@@ -1,0 +1,362 @@
+package graft.avro
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode, TextNode}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Avro schema AST.
+  *
+  * Mirrors the schema algebra of the reference's vendored Avro library
+  * (reference: python-udf/avro/schema.py:172-1191) re-expressed as a Scala ADT.
+  * Logical types wrap their physical type; invalid logical parameters degrade
+  * to the physical type with a warning, never an error
+  * (reference: python-udf/avro/schema.py:1213-1246).
+  */
+sealed trait AvroSchema {
+  def typeName: String
+
+  /** Physical type for wire purposes (logical types delegate). */
+  def physical: AvroSchema = this
+
+  /** Parsing Canonical Form (Avro spec) — used for fingerprints/equality.
+    * (reference: python-udf/avro/schema.py:224-235)
+    */
+  def canonical: String = AvroSchemaParser.toCanonical(this)
+
+  def fingerprint: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(canonical.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
+
+case object ANull    extends AvroSchema { val typeName = "null" }
+case object ABoolean extends AvroSchema { val typeName = "boolean" }
+case object AInt     extends AvroSchema { val typeName = "int" }
+case object ALong    extends AvroSchema { val typeName = "long" }
+case object AFloat   extends AvroSchema { val typeName = "float" }
+case object ADouble  extends AvroSchema { val typeName = "double" }
+case object ABytes   extends AvroSchema { val typeName = "bytes" }
+case object AString  extends AvroSchema { val typeName = "string" }
+
+sealed trait NamedSchema extends AvroSchema {
+  def name: String
+  def namespace: Option[String]
+  def fullName: String = namespace.filter(_.nonEmpty).map(ns => s"$ns.$name").getOrElse(name)
+  def aliases: Seq[String]
+}
+
+final case class AFixed(name: String, namespace: Option[String], size: Int,
+                        aliases: Seq[String] = Nil) extends NamedSchema {
+  val typeName = "fixed"
+}
+
+final case class AEnum(name: String, namespace: Option[String], symbols: Seq[String],
+                       enumDefault: Option[String] = None,
+                       aliases: Seq[String] = Nil) extends NamedSchema {
+  val typeName = "enum"
+  private val index = symbols.zipWithIndex.toMap
+  def indexOf(symbol: String): Int = index.getOrElse(symbol, -1)
+}
+
+final case class AField(name: String, schema: AvroSchema,
+                        default: Option[JsonNode] = None,
+                        order: Option[String] = None,
+                        aliases: Seq[String] = Nil)
+
+final case class ARecord(name: String, namespace: Option[String], fields: Seq[AField],
+                         aliases: Seq[String] = Nil) extends NamedSchema {
+  val typeName = "record"
+}
+
+final case class AArray(items: AvroSchema) extends AvroSchema { val typeName = "array" }
+final case class AMap(values: AvroSchema) extends AvroSchema { val typeName = "map" }
+
+final case class AUnion(branches: Seq[AvroSchema]) extends AvroSchema {
+  val typeName = "union"
+  /** index of first branch matching the given type name (fullname for named types) */
+  def indexOfTypeName(tn: String): Int = branches.indexWhere {
+    case n: NamedSchema => n.fullName == tn || n.typeName == tn
+    case b              => b.typeName == tn
+  }
+  def isNullable: Boolean = branches.contains(ANull)
+  def nonNullBranches: Seq[AvroSchema] = branches.filterNot(_ == ANull)
+}
+
+/** A named-type forward reference resolved during parse; after parse all refs
+  * are replaced by the actual schema, so decode never sees this. */
+final case class ARef(fullName: String, resolved: () => AvroSchema) extends AvroSchema {
+  val typeName = "ref"
+  lazy val target: AvroSchema = resolved()
+  override def physical: AvroSchema = target.physical
+}
+
+// ---- logical types ------------------------------------------------------
+sealed trait LogicalSchema extends AvroSchema { def underlying: AvroSchema
+  override def physical: AvroSchema = underlying }
+
+final case class ADecimal(precision: Int, scale: Int, underlying: AvroSchema)
+    extends LogicalSchema { val typeName = "decimal" }
+final case class ADate(underlying: AvroSchema = AInt) extends LogicalSchema { val typeName = "date" }
+final case class ATimeMillis(underlying: AvroSchema = AInt) extends LogicalSchema { val typeName = "time-millis" }
+final case class ATimeMicros(underlying: AvroSchema = ALong) extends LogicalSchema { val typeName = "time-micros" }
+final case class ATimestampMillis(underlying: AvroSchema = ALong) extends LogicalSchema { val typeName = "timestamp-millis" }
+final case class ATimestampMicros(underlying: AvroSchema = ALong) extends LogicalSchema { val typeName = "timestamp-micros" }
+final case class AUuid(underlying: AvroSchema = AString) extends LogicalSchema { val typeName = "uuid" }
+
+final class AvroSchemaParseException(msg: String) extends RuntimeException(msg)
+
+/** `.avsc` JSON → [[AvroSchema]] parser with name/namespace resolution.
+  *
+  * (reference: python-udf/avro/schema.py:1249-1394 `make_avsc_object`/`parse`,
+  * python-udf/avro/name.py:50-200 for name rules.)
+  */
+object AvroSchemaParser {
+  private val mapper = new ObjectMapper()
+
+  private val PrimitiveNames: Map[String, AvroSchema] = Map(
+    "null" -> ANull, "boolean" -> ABoolean, "int" -> AInt, "long" -> ALong,
+    "float" -> AFloat, "double" -> ADouble, "bytes" -> ABytes, "string" -> AString)
+
+  private val NameRegex = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  def parse(json: String): AvroSchema = {
+    val node = try mapper.readTree(json) catch {
+      case e: Exception => throw new AvroSchemaParseException(s"invalid schema JSON: ${e.getMessage}")
+    }
+    build(node, None, new mutable.HashMap[String, AvroSchema])
+  }
+
+  private def validName(n: String): Boolean = NameRegex.matches(n)
+
+  /** Resolve (name, namespace-attr, enclosing-namespace) → (simpleName, namespace). */
+  private def resolveName(name: String, nsAttr: Option[String], enclosing: Option[String]):
+      (String, Option[String]) = {
+    if (name.contains('.')) {
+      val i = name.lastIndexOf('.')
+      val (ns, simple) = (name.substring(0, i), name.substring(i + 1))
+      if (!validName(simple)) throw new AvroSchemaParseException(s"invalid name: $simple")
+      (simple, Some(ns))
+    } else {
+      if (!validName(name)) throw new AvroSchemaParseException(s"invalid name: $name")
+      (name, nsAttr.orElse(enclosing).filter(_.nonEmpty))
+    }
+  }
+
+  private def fullName(simple: String, ns: Option[String]): String =
+    ns.filter(_.nonEmpty).map(n => s"$n.$simple").getOrElse(simple)
+
+  private def build(node: JsonNode, enclosingNs: Option[String],
+                    names: mutable.HashMap[String, AvroSchema]): AvroSchema = node match {
+    case t: TextNode =>
+      val tn = t.asText()
+      PrimitiveNames.getOrElse(tn, {
+        // named-type reference; try fullname then enclosing-namespace-qualified
+        val candidates = Seq(tn) ++ enclosingNs.map(ns => s"$ns.$tn")
+        candidates.flatMap(names.get).headOption.getOrElse {
+          // forward reference: lazily resolved (recursive schemas)
+          val key = candidates.find(_.contains('.')).getOrElse(tn)
+          ARef(key, () => names.getOrElse(key,
+            names.getOrElse(tn,
+              throw new AvroSchemaParseException(s"undefined named type: $tn"))))
+        }
+      })
+    case a: ArrayNode => AUnion(a.elements().asScala.map(build(_, enclosingNs, names)).toSeq)
+    case o: ObjectNode =>
+      val tNode = o.get("type")
+      if (tNode == null) throw new AvroSchemaParseException(s"missing 'type' in $o")
+      val logical = Option(o.get("logicalType")).map(_.asText())
+      val base: AvroSchema = tNode match {
+        case tt: TextNode => tt.asText() match {
+          case "record" | "error" => buildRecord(o, enclosingNs, names)
+          case "enum"             => buildEnum(o, enclosingNs, names)
+          case "fixed"            => buildFixed(o, enclosingNs, names)
+          case "array" =>
+            AArray(build(Option(o.get("items")).getOrElse(
+              throw new AvroSchemaParseException("array missing items")), enclosingNs, names))
+          case "map" =>
+            AMap(build(Option(o.get("values")).getOrElse(
+              throw new AvroSchemaParseException("map missing values")), enclosingNs, names))
+          case prim if PrimitiveNames.contains(prim) => PrimitiveNames(prim)
+          case other =>
+            // {"type": "SomeNamed"} form
+            build(new TextNode(other), enclosingNs, names)
+        }
+        case _ => build(tNode, enclosingNs, names) // nested schema object/array as type
+      }
+      logical.map(applyLogical(_, base, o)).getOrElse(base)
+    case other => throw new AvroSchemaParseException(s"cannot parse schema from: $other")
+  }
+
+  /** Warn-and-fallback on invalid logical params
+    * (reference: python-udf/avro/schema.py:1213-1246). */
+  private def applyLogical(lt: String, base: AvroSchema, o: ObjectNode): AvroSchema = {
+    def warn(msg: String): AvroSchema = { // fall back to physical type
+      System.err.println(s"[graft-avro] ignoring invalid logical type '$lt': $msg"); base
+    }
+    (lt, base) match {
+      case ("decimal", ABytes) | ("decimal", _: AFixed) =>
+        val prec = Option(o.get("precision")).map(_.asInt(-1)).getOrElse(-1)
+        val scale = Option(o.get("scale")).map(_.asInt(0)).getOrElse(0)
+        val maxPrec = base match {
+          case AFixed(_, _, size, _) => math.floor(math.log10(2) * (8L * size - 1)).toInt
+          case _ => Int.MaxValue
+        }
+        if (prec <= 0) warn(s"invalid precision $prec")
+        else if (scale < 0 || scale > prec) warn(s"invalid scale $scale for precision $prec")
+        else if (prec > maxPrec) warn(s"precision $prec exceeds fixed capacity $maxPrec")
+        else ADecimal(prec, scale, base)
+      case ("date", AInt)              => ADate(base)
+      case ("time-millis", AInt)       => ATimeMillis(base)
+      case ("time-micros", ALong)      => ATimeMicros(base)
+      case ("timestamp-millis", ALong) => ATimestampMillis(base)
+      case ("timestamp-micros", ALong) => ATimestampMicros(base)
+      case ("uuid", AString)           => AUuid(base)
+      case _ => warn(s"not applicable to physical type ${base.typeName}")
+    }
+  }
+
+  private def buildRecord(o: ObjectNode, enclosingNs: Option[String],
+                          names: mutable.HashMap[String, AvroSchema]): ARecord = {
+    val rawName = reqText(o, "name")
+    val nsAttr = Option(o.get("namespace")).map(_.asText())
+    val (simple, ns) = resolveName(rawName, nsAttr, enclosingNs)
+    val fn = fullName(simple, ns)
+    if (names.contains(fn)) throw new AvroSchemaParseException(s"redefined named type: $fn")
+    val fieldsNode = Option(o.get("fields")).collect { case a: ArrayNode => a }
+      .getOrElse(throw new AvroSchemaParseException(s"record $fn missing fields"))
+    // register a placeholder for recursive references before building fields
+    var rec: ARecord = null
+    names(fn) = ARef(fn, () => rec)
+    val fields = fieldsNode.elements().asScala.map { fo =>
+      val fname = reqText(fo.asInstanceOf[ObjectNode], "name")
+      val fschema = build(Option(fo.get("type")).getOrElse(
+        throw new AvroSchemaParseException(s"field $fname missing type")), ns, names)
+      AField(fname, fschema,
+        default = Option(fo.get("default")),
+        order = Option(fo.get("order")).map(_.asText()),
+        aliases = textArray(fo, "aliases"))
+    }.toSeq
+    rec = ARecord(simple, ns, fields, aliases = textArray(o, "aliases"))
+    names(fn) = rec
+    rec
+  }
+
+  private def buildEnum(o: ObjectNode, enclosingNs: Option[String],
+                        names: mutable.HashMap[String, AvroSchema]): AEnum = {
+    val (simple, ns) = resolveName(reqText(o, "name"),
+      Option(o.get("namespace")).map(_.asText()), enclosingNs)
+    val symbols = textArray(o, "symbols")
+    if (symbols.isEmpty) throw new AvroSchemaParseException(s"enum $simple has no symbols")
+    if (symbols.distinct.size != symbols.size)
+      throw new AvroSchemaParseException(s"enum $simple has duplicate symbols")
+    val e = AEnum(simple, ns, symbols, Option(o.get("default")).map(_.asText()),
+      aliases = textArray(o, "aliases"))
+    val fn = e.fullName
+    if (names.contains(fn)) throw new AvroSchemaParseException(s"redefined named type: $fn")
+    names(fn) = e
+    e
+  }
+
+  private def buildFixed(o: ObjectNode, enclosingNs: Option[String],
+                         names: mutable.HashMap[String, AvroSchema]): AFixed = {
+    val (simple, ns) = resolveName(reqText(o, "name"),
+      Option(o.get("namespace")).map(_.asText()), enclosingNs)
+    val size = Option(o.get("size")).map(_.asInt(-1)).getOrElse(-1)
+    if (size < 0) throw new AvroSchemaParseException(s"fixed $simple invalid size")
+    val f = AFixed(simple, ns, size, aliases = textArray(o, "aliases"))
+    val fn = f.fullName
+    if (names.contains(fn)) throw new AvroSchemaParseException(s"redefined named type: $fn")
+    names(fn) = f
+    f
+  }
+
+  private def reqText(o: JsonNode, field: String): String =
+    Option(o.get(field)).map(_.asText()).getOrElse(
+      throw new AvroSchemaParseException(s"missing '$field' in $o"))
+
+  private def textArray(o: JsonNode, field: String): Seq[String] = Option(o.get(field)) match {
+    case Some(a: ArrayNode) => a.elements().asScala.map(_.asText()).toSeq
+    case _ => Nil
+  }
+
+  // ---- canonical form ----------------------------------------------------
+  /** Parsing Canonical Form per the Avro spec: strip docs/aliases/defaults,
+    * fullnames, fixed field order name,type,fields|symbols|items|values|size.
+    * (reference: python-udf/avro/schema.py:85-93,161-169,224-235) */
+  def toCanonical(s: AvroSchema, seen: Set[String] = Set.empty): String = s match {
+    case p @ (ANull | ABoolean | AInt | ALong | AFloat | ADouble | ABytes | AString) =>
+      "\"" + p.typeName + "\""
+    case l: LogicalSchema => toCanonical(l.physical, seen)
+    case r: ARef => if (seen.contains(r.fullName)) "\"" + r.fullName + "\""
+                    else toCanonical(r.target, seen)
+    case AUnion(bs) => bs.map(toCanonical(_, seen)).mkString("[", ",", "]")
+    case AArray(items) => s"""{"type":"array","items":${toCanonical(items, seen)}}"""
+    case AMap(values) => s"""{"type":"map","values":${toCanonical(values, seen)}}"""
+    case f: AFixed =>
+      if (seen.contains(f.fullName)) "\"" + f.fullName + "\""
+      else s"""{"name":"${f.fullName}","type":"fixed","size":${f.size}}"""
+    case e: AEnum =>
+      if (seen.contains(e.fullName)) "\"" + e.fullName + "\""
+      else s"""{"name":"${e.fullName}","type":"enum","symbols":[${e.symbols.map("\"" + _ + "\"").mkString(",")}]}"""
+    case r: ARecord =>
+      if (seen.contains(r.fullName)) "\"" + r.fullName + "\""
+      else {
+        val seen2 = seen + r.fullName
+        val fs = r.fields.map(f =>
+          s"""{"name":"${f.name}","type":${toCanonical(f.schema, seen2)}}""").mkString(",")
+        s"""{"name":"${r.fullName}","type":"record","fields":[$fs]}"""
+      }
+  }
+
+  // ---- schema → avsc JSON (round-trip; used by OCF writer metadata) ------
+  def toJson(s: AvroSchema): String = {
+    val sb = new StringBuilder
+    writeJson(s, sb, Set.empty)
+    sb.toString
+  }
+
+  private def writeJson(s: AvroSchema, sb: StringBuilder, seen: Set[String]): Unit = s match {
+    case p @ (ANull | ABoolean | AInt | ALong | AFloat | ADouble | ABytes | AString) =>
+      sb.append('"').append(p.typeName).append('"')
+    case ADecimal(p, sc, u) =>
+      u match {
+        case f: AFixed =>
+          sb.append(s"""{"type":"fixed","name":"${f.fullName}","size":${f.size},"logicalType":"decimal","precision":$p,"scale":$sc}""")
+        case _ =>
+          sb.append(s"""{"type":"bytes","logicalType":"decimal","precision":$p,"scale":$sc}""")
+      }
+    case l: LogicalSchema =>
+      sb.append(s"""{"type":"${l.physical.typeName}","logicalType":"${l.typeName}"}""")
+    case r: ARef => writeJson(r.target, sb, seen)
+    case AUnion(bs) =>
+      sb.append('[')
+      bs.zipWithIndex.foreach { case (b, i) =>
+        if (i > 0) sb.append(','); writeJson(b, sb, seen) }
+      sb.append(']')
+    case AArray(items) =>
+      sb.append("""{"type":"array","items":"""); writeJson(items, sb, seen); sb.append('}')
+    case AMap(values) =>
+      sb.append("""{"type":"map","values":"""); writeJson(values, sb, seen); sb.append('}')
+    case f: AFixed =>
+      if (seen.contains(f.fullName)) sb.append('"').append(f.fullName).append('"')
+      else sb.append(s"""{"type":"fixed","name":"${f.fullName}","size":${f.size}}""")
+    case e: AEnum =>
+      if (seen.contains(e.fullName)) sb.append('"').append(e.fullName).append('"')
+      else sb.append(s"""{"type":"enum","name":"${e.fullName}","symbols":[${e.symbols.map("\"" + _ + "\"").mkString(",")}]}""")
+    case r: ARecord =>
+      if (seen.contains(r.fullName)) sb.append('"').append(r.fullName).append('"')
+      else {
+        val seen2 = seen + r.fullName
+        sb.append(s"""{"type":"record","name":"${r.fullName}","fields":[""")
+        r.fields.zipWithIndex.foreach { case (f, i) =>
+          if (i > 0) sb.append(',')
+          sb.append(s"""{"name":"${f.name}","type":""")
+          writeJson(f.schema, sb, seen2)
+          f.default.foreach(d => sb.append(s""","default":${d.toString}"""))
+          sb.append('}')
+        }
+        sb.append("]}")
+      }
+  }
+}

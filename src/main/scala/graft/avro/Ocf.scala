@@ -1,0 +1,225 @@
+package graft.avro
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater, Inflater}
+import scala.collection.mutable
+
+/** OCF block compression codecs.
+  * (reference: python-udf/avro/codecs.py:99-205 — null/deflate/bzip2/snappy/
+  * zstandard, registry by name, unsupported → error.) */
+trait AvroCodec {
+  def name: String
+  def compress(data: Array[Byte]): Array[Byte]
+  def decompress(data: Array[Byte]): Array[Byte]
+}
+
+object AvroCodecs {
+  object NullCodec extends AvroCodec {
+    val name = "null"
+    def compress(data: Array[Byte]): Array[Byte] = data
+    def decompress(data: Array[Byte]): Array[Byte] = data
+  }
+
+  /** Raw zlib, −15 window (no zlib header/trailer).
+    * (reference: codecs.py:110-126) */
+  object DeflateCodec extends AvroCodec {
+    val name = "deflate"
+    def compress(data: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(data); d.finish()
+      val out = new ByteArrayOutputStream(math.max(64, data.length / 2))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def decompress(data: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater(true)
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(math.max(64, data.length * 3))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new AvroEofException("truncated deflate block")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+  }
+
+  /** Snappy with big-endian CRC32 of the *uncompressed* data appended.
+    * (reference: codecs.py:145-163) */
+  object SnappyCodec extends AvroCodec {
+    val name = "snappy"
+    def compress(data: Array[Byte]): Array[Byte] = {
+      val c = org.xerial.snappy.Snappy.compress(data)
+      val crc = new CRC32(); crc.update(data)
+      val v = crc.getValue
+      val out = new Array[Byte](c.length + 4)
+      System.arraycopy(c, 0, out, 0, c.length)
+      out(c.length) = ((v >> 24) & 0xff).toByte
+      out(c.length + 1) = ((v >> 16) & 0xff).toByte
+      out(c.length + 2) = ((v >> 8) & 0xff).toByte
+      out(c.length + 3) = (v & 0xff).toByte
+      out
+    }
+    def decompress(data: Array[Byte]): Array[Byte] = {
+      val body = java.util.Arrays.copyOfRange(data, 0, data.length - 4)
+      val un = org.xerial.snappy.Snappy.uncompress(body)
+      val crc = new CRC32(); crc.update(un)
+      val expected = ((data(data.length - 4) & 0xffL) << 24) |
+        ((data(data.length - 3) & 0xffL) << 16) |
+        ((data(data.length - 2) & 0xffL) << 8) | (data(data.length - 1) & 0xffL)
+      if (crc.getValue != expected)
+        throw new AvroEofException("snappy CRC32 mismatch on OCF block")
+      un
+    }
+  }
+
+  object ZstandardCodec extends AvroCodec {
+    val name = "zstandard"
+    def compress(data: Array[Byte]): Array[Byte] =
+      com.github.luben.zstd.Zstd.compress(data)
+    def decompress(data: Array[Byte]): Array[Byte] = {
+      // streaming decompress — frame may not carry content size (reference: codecs.py:166-186)
+      val in = new java.io.ByteArrayInputStream(data)
+      val z = new com.github.luben.zstd.ZstdInputStream(in)
+      val out = new ByteArrayOutputStream(math.max(64, data.length * 3))
+      val buf = new Array[Byte](8192)
+      var n = z.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = z.read(buf) }
+      z.close()
+      out.toByteArray
+    }
+  }
+
+  object Bzip2Codec extends AvroCodec {
+    val name = "bzip2"
+    def compress(data: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos)
+      z.write(data); z.close()
+      bos.toByteArray
+    }
+    def decompress(data: Array[Byte]): Array[Byte] = {
+      val z = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new java.io.ByteArrayInputStream(data))
+      val out = new ByteArrayOutputStream(math.max(64, data.length * 3))
+      val buf = new Array[Byte](8192)
+      var n = z.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = z.read(buf) }
+      z.close()
+      out.toByteArray
+    }
+  }
+
+  val known: Map[String, AvroCodec] = Map(
+    NullCodec.name -> NullCodec, DeflateCodec.name -> DeflateCodec,
+    SnappyCodec.name -> SnappyCodec, ZstandardCodec.name -> ZstandardCodec,
+    Bzip2Codec.name -> Bzip2Codec)
+
+  def apply(name: String): AvroCodec = known.getOrElse(name,
+    throw new AvroResolutionException(s"unsupported codec: $name"))
+}
+
+final case class OcfHeader(meta: mutable.LinkedHashMap[String, Array[Byte]],
+                           sync: Array[Byte]) {
+  def schemaJson: String = new String(meta.getOrElse("avro.schema",
+    throw new AvroResolutionException("OCF missing avro.schema metadata")), "UTF-8")
+  def codecName: String = meta.get("avro.codec").map(new String(_, "UTF-8")).getOrElse("null")
+}
+
+/** Avro Object Container File reader/writer.
+  *
+  * Layout: magic `Obj\x01`, meta `map<string,bytes>` (incl. `avro.schema`,
+  * `avro.codec`), 16-byte sync marker; then per block: datum count, compressed
+  * byte size, block data, sync marker.
+  * (reference: python-udf/avro/datafile.py:35-65 META_SCHEMA, 292-426 reader,
+  * 140-289 writer; SYNC_INTERVAL 64000 at datafile.py:39.)
+  */
+object Ocf {
+  val Magic: Array[Byte] = Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)
+  val SyncSize = 16
+  val SyncInterval = 64000 // bytes buffered before block flush (reference: datafile.py:39)
+
+  def readHeader(in: AvroBinaryReader): OcfHeader = {
+    val magic = in.readFixed(4)
+    if (!java.util.Arrays.equals(magic, Magic))
+      throw new AvroResolutionException("not an Avro object container file (bad magic)")
+    val meta = mutable.LinkedHashMap.empty[String, Array[Byte]]
+    var count = in.readLong()
+    while (count != 0) {
+      if (count < 0) { count = -count; in.skipLong() }
+      var i = 0L
+      while (i < count) { meta(in.readString()) = in.readBytes(); i += 1 }
+      count = in.readLong()
+    }
+    OcfHeader(meta, in.readFixed(SyncSize))
+  }
+
+  /** Decode every datum of an OCF payload (generic representation). */
+  def readAll(bytes: Array[Byte], readerSchema: Option[AvroSchema] = None): (AvroSchema, Vector[Any]) = {
+    val in = new AvroBinaryReader(bytes)
+    val header = readHeader(in)
+    val writerSchema = AvroSchemaParser.parse(header.schemaJson)
+    val codec = AvroCodecs(header.codecName)
+    val reader = new AvroDatumReader(writerSchema, readerSchema)
+    val out = Vector.newBuilder[Any]
+    while (!in.atEnd) {
+      val datumCount = in.readLong()
+      val byteSize = in.readLong()
+      val block = codec.decompress(in.readFixed(byteSize.toInt))
+      val bin = new AvroBinaryReader(block)
+      var i = 0L
+      while (i < datumCount) { out += reader.read(bin); i += 1 }
+      val sync = in.readFixed(SyncSize)
+      if (!java.util.Arrays.equals(sync, header.sync))
+        throw new AvroResolutionException("OCF sync marker mismatch (corrupt block boundary)")
+    }
+    (readerSchema.getOrElse(writerSchema), out.result())
+  }
+
+  /** Encode datums into a complete OCF payload. Deterministic sync marker
+    * derived from the schema fingerprint unless supplied (tests need
+    * reproducible bytes; the reference uses random sync, datafile.py:180). */
+  def writeAll(schema: AvroSchema, datums: Seq[Any], codecName: String = "null",
+               syncOpt: Option[Array[Byte]] = None): Array[Byte] = {
+    val codec = AvroCodecs(codecName)
+    val writer = new AvroDatumWriter(schema)
+    val sync = syncOpt.getOrElse {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(schema.canonical.getBytes("UTF-8"))
+    }
+    require(sync.length == SyncSize, s"sync marker must be $SyncSize bytes")
+    val out = new AvroBinaryWriter()
+    out.writeFixed(Magic)
+    val meta = mutable.LinkedHashMap[String, Array[Byte]](
+      "avro.codec" -> codecName.getBytes("UTF-8"),
+      "avro.schema" -> AvroSchemaParser.toJson(schema).getBytes("UTF-8"))
+    out.writeLong(meta.size.toLong)
+    meta.foreach { case (k, v) => out.writeString(k); out.writeBytes(v) }
+    out.writeLong(0)
+    out.writeFixed(sync)
+
+    // buffer datums; flush a block when the buffer passes SyncInterval
+    var buf = new AvroBinaryWriter()
+    var blockCount = 0L
+    def flush(): Unit = if (blockCount > 0) {
+      val compressed = codec.compress(buf.toByteArray)
+      out.writeLong(blockCount)
+      out.writeLong(compressed.length.toLong)
+      out.writeFixed(compressed)
+      out.writeFixed(sync)
+      buf = new AvroBinaryWriter()
+      blockCount = 0
+    }
+    datums.foreach { d =>
+      writer.write(d, buf)
+      blockCount += 1
+      if (buf.out.size() >= SyncInterval) flush()
+    }
+    flush()
+    out.toByteArray
+  }
+}

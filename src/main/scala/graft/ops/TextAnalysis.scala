@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.spark.{LangId, TextFingerprint}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token counting, quality scoring,
+  * language identification, fingerprinting. Everything except the two custom
+  * expressions is built-in `functions._` (whole-stage codegen'd); the quality
+  * metrics are defined with engine-portable arithmetic so a SQL oracle can
+  * reproduce them bit-for-bit. */
+object TextAnalysis {
+
+  /** Whitespace token count — `size(split(text, '\s+'))`, with the empty
+    * string counting zero tokens (matches `len(string_split_regex(..))`
+    * semantics used by the oracle modulo the empty-leading-token case). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: splits on word/number/punctuation boundaries the
+    * way byte-pair tokenizers pre-tokenize (letters runs, digit runs, single
+    * punctuation marks each count). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), c => length(c) > 0))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation character count (portable character class). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?'\"()\\[\\]{}-]", ""))
+
+  /** English stopword hits among whitespace tokens. */
+  def stopwordCount(text: Column): Column = {
+    val stop = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+    size(filter(split(lower(text), "\\s+"),
+      t => stop.map(s => t === lit(s)).reduce(_ || _)))
+  }
+
+  /** Deterministic quality score in [0,1]: mean word length band, stopword
+    * ratio and punctuation-density terms — all exact integer arithmetic until
+    * one final double division, so any engine reproduces it bit-for-bit. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val nChar = length(text)
+    val nStop = stopwordCount(text)
+    val nPunct = punctCount(text)
+    // components scaled ×1000 in integer space, combined, then one division
+    val avgLenOk = when(nTok === 0, lit(0)).otherwise(
+      when(nChar * lit(10) >= nTok * lit(30) && nChar * lit(10) <= nTok * lit(120), lit(1000))
+        .otherwise(lit(0)))
+    val stopTerm = when(nTok === 0, lit(0)).otherwise(
+      least(nStop * lit(1000) * lit(5) / nTok, lit(1000)))
+    val punctOk = when(nChar === 0, lit(0)).otherwise(
+      when(nPunct * lit(10) <= nChar, lit(1000)).otherwise(lit(0)))
+    ((avgLenOk + stopTerm + punctOk).cast("double") / lit(3000.0)).as("quality")
+  }
+
+  def langId(text: Column): Column = Shims.column(LangId(Shims.expression(text)))
+
+  def fingerprint(text: Column): Column =
+    Shims.column(TextFingerprint(Shims.expression(text)))
+
+  /** Standard per-document feature set over a corpus. */
+  def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      charCount(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      punctCount(t).as("n_punct"),
+      stopwordCount(t).as("n_stopwords"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

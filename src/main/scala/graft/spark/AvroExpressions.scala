@@ -1,0 +1,224 @@
+package graft.spark
+
+import graft.avro._
+import graft.framing.{KplDeaggregator, SpringHeaders}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.concurrent.TrieMap
+
+/** Per-executor caches: schema JSON → parsed AST, (writer,reader) → compiled
+  * Catalyst reader. The Spark analog of the reference's registry LRU cache
+  * (glue-schema-per-stream-udf/lambda_function.py:14) — resolved once per
+  * executor, reused across rows and tasks. */
+object AvroRuntime {
+  private val schemaCache = TrieMap.empty[String, AvroSchema]
+  private val readerCache = TrieMap.empty[(String, String), CatalystAvroReader.Reader]
+  private val genericReaderCache = TrieMap.empty[String, AvroDatumReader]
+
+  def parse(json: String): AvroSchema =
+    schemaCache.getOrElseUpdate(json, AvroSchemaParser.parse(json))
+
+  def catalystReader(writerJson: String, readerJson: String): CatalystAvroReader.Reader =
+    readerCache.getOrElseUpdate((writerJson, readerJson),
+      CatalystAvroReader.compile(parse(writerJson), parse(readerJson)))
+
+  def genericReader(writerJson: String): AvroDatumReader =
+    genericReaderCache.getOrElseUpdate(writerJson, new AvroDatumReader(parse(writerJson)))
+}
+
+/** Mixin: codegen that calls back into the expression instance — a single
+  * virtual call per row, so the expression participates in whole-stage codegen
+  * instead of forcing a CodegenFallback interpreter boundary. */
+trait GraftUnaryCodegen { self: UnaryExpression =>
+  /** Must accept the non-null child value and return a Catalyst value. */
+  def nullSafeEval(input: Any): Any
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", this, classOf[GraftUnaryCodegen].getName)
+    val javaType = CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"""
+         |${ev.value} = ($javaType) $ref.nullSafeEval($input);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  }
+}
+
+/** `from_avro(binary, writerSchema[, readerSchema])`: decode one bare Avro
+  * datum to a Catalyst value, with full writer→reader resolution.
+  * FAILFAST throws (the reference's batch-failure contract,
+  * avro-file-udf/lambda_function.py:26-30); PERMISSIVE yields null.
+  * (reference: glue-schema-per-stream-udf/lambda_function.py:30-42 bare-datum
+  * decode; python-udf/avro/io.py:637-702.) */
+case class AvroDecode(child: Expression, writerSchemaJson: String,
+                      readerSchemaJson: Option[String] = None,
+                      mode: String = "FAILFAST")
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  @transient private lazy val reader =
+    AvroRuntime.catalystReader(writerSchemaJson, readerSchemaJson.getOrElse(writerSchemaJson))
+  @transient private lazy val permissive = mode.equalsIgnoreCase("PERMISSIVE")
+
+  override lazy val dataType: DataType =
+    SchemaConverters.toSqlType(AvroRuntime.parse(readerSchemaJson.getOrElse(writerSchemaJson))).dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "from_avro"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    try reader(new AvroBinaryReader(bytes))
+    catch {
+      case e: Exception if permissive => null
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroDecode =
+    copy(child = newChild)
+}
+
+/** `to_avro(value)`: encode any Catalyst value as a bare Avro datum using a
+  * schema derived from the input type (or an explicit one).
+  * (reference: python-udf/avro/io.py:1125-1337 DatumWriter — needed for the
+  * fixture writers and round-trip tests, per SURVEY §2.1 S2.) */
+case class AvroEncode(child: Expression, schemaJsonOpt: Option[String] = None)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  lazy val avroSchema: AvroSchema = schemaJsonOpt.map(AvroRuntime.parse).getOrElse(
+    SchemaConverters.toAvroType(child.dataType, child.nullable))
+  lazy val avroSchemaJson: String = AvroSchemaParser.toJson(avroSchema)
+  @transient private lazy val writer = CatalystAvroWriter.compile(child.dataType, avroSchema)
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "to_avro"
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = new AvroBinaryWriter()
+    writer(input, out)
+    out.toByteArray
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroEncode =
+    copy(child = newChild)
+}
+
+/** `avro_ocf_decode(binary, readerSchema)` → `array<struct>`: decode every
+  * datum of an Avro Object Container File payload. The writer schema is read
+  * from the file header and resolved against the supplied reader schema, so
+  * the output type is static while files may evolve. Wrap in `explode(...)`
+  * for the relational fan-out.
+  * (reference: python-udf/avro/datafile.py:292-426 DataFileReader;
+  * avro-file-udf/lambda_function.py:8-30.) */
+case class AvroOcfDecode(child: Expression, readerSchemaJson: String)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  @transient private lazy val readerSchema = AvroRuntime.parse(readerSchemaJson)
+  @transient private lazy val perWriter = TrieMap.empty[String, (CatalystAvroReader.Reader, AvroCodec)]
+
+  override lazy val dataType: DataType =
+    ArrayType(SchemaConverters.toSqlType(readerSchema).dataType, containsNull = false)
+  override def prettyName: String = "avro_ocf_decode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val in = new AvroBinaryReader(bytes)
+    val header = Ocf.readHeader(in)
+    val (reader, codec) = perWriter.getOrElseUpdate(header.schemaJson, {
+      val w = AvroRuntime.parse(header.schemaJson)
+      (CatalystAvroReader.compile(w, readerSchema), AvroCodecs(header.codecName))
+    })
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (!in.atEnd) {
+      val datumCount = in.readLong()
+      val byteSize = in.readLong()
+      val block = codec.decompress(in.readFixed(byteSize.toInt))
+      val bin = new AvroBinaryReader(block)
+      var i = 0L
+      while (i < datumCount) { out += reader(bin); i += 1 }
+      val sync = in.readFixed(Ocf.SyncSize)
+      if (!java.util.Arrays.equals(sync, header.sync))
+        throw new AvroResolutionException("OCF sync marker mismatch")
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroOcfDecode =
+    copy(child = newChild)
+}
+
+/** `avro_ocf_decode_json(binary)` → JSON array string of all datums — the
+  * schema-less late-binding surface matching the reference Lambda UDF output
+  * exactly (one JSON array per input row, Python `json.dumps` formatting).
+  * (reference: avro-file-udf/lambda_function.py:13-22 — U1/U2 parity.) */
+case class AvroOcfDecodeJson(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "avro_ocf_decode_json"
+
+  override def nullSafeEval(input: Any): Any = {
+    val (_, datums) = Ocf.readAll(input.asInstanceOf[Array[Byte]])
+    UTF8String.fromString(AvroJson.renderAll(datums))
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroOcfDecodeJson =
+    copy(child = newChild)
+}
+
+/** `avro_decode_json(binary, writerSchema)` → JSON string of one bare datum
+  * (registry path parity: the schema comes from a registry, the output is the
+  * reference's exact JSON text).
+  * (reference: glue-schema-per-stream-udf/lambda_function.py:30-42.) */
+case class AvroDecodeJson(child: Expression, writerSchemaJson: String)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "avro_decode_json"
+
+  override def nullSafeEval(input: Any): Any = {
+    val datum = AvroRuntime.genericReader(writerSchemaJson).read(input.asInstanceOf[Array[Byte]])
+    UTF8String.fromString(AvroJson.render(datum))
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroDecodeJson =
+    copy(child = newChild)
+}
+
+/** `kpl_deaggregate(binary)` → `array<binary>`: explode a KPL aggregated
+  * Kinesis record into its sub-payloads.
+  * (reference: springcloud-lambda-udf/lambda_function.py:142-155.) */
+case class KplDeaggregate(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "kpl_deaggregate"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      KplDeaggregator.subPayloads(input.asInstanceOf[Array[Byte]]).toArray[Any])
+  override protected def withNewChildInternal(newChild: Expression): KplDeaggregate =
+    copy(child = newChild)
+}
+
+/** `spring_extract(binary)` → `struct<headers: map<string,string>, body: binary>`:
+  * strip spring-cloud-stream embedded headers from a message payload.
+  * (reference: springcloud-lambda-udf/lambda_function.py:72-139.) */
+case class SpringExtract(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("headers", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+  override def prettyName: String = "spring_extract"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ex = SpringHeaders.extract(input.asInstanceOf[Array[Byte]])
+    val keys = ex.headers.keys.map(k => UTF8String.fromString(k)).toArray[Any]
+    val vals = ex.headers.values.map(v => UTF8String.fromString(v)).toArray[Any]
+    val row = new GenericInternalRow(2)
+    row.update(0, new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals)))
+    row.update(1, ex.body)
+    row
+  }
+  override protected def withNewChildInternal(newChild: Expression): SpringExtract =
+    copy(child = newChild)
+}

@@ -1,0 +1,250 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit hashing primitives shared by the dedup/text operators.
+  * Pure + seedable: every executor computes identical values, so signatures
+  * are join/bucket keys at any scale. */
+object TextHashing {
+  /** FNV-1a 64-bit over UTF-8 bytes. */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  def fnv1a64(s: String): Long = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    fnv1a64(b, 0, b.length)
+  }
+
+  /** splitmix64 — derives the i-th hash-family parameters deterministically. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Karp–Rabin rolling polynomial hash (base 257, mod 2^64). */
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 257L + s.charAt(i); i += 1 }
+    h
+  }
+
+  def tokenize(s: String): Array[String] = {
+    val out = s.split("\\s+")
+    if (out.length > 0 && out(0).isEmpty) out.drop(1) else out
+  }
+
+  /** Word-level shingles of size n, joined with a separator unlikely in text. */
+  def shingles(s: String, n: Int): Array[String] = {
+    val toks = tokenize(s)
+    if (toks.length < n) {
+      if (toks.isEmpty) Array.empty else Array(toks.mkString(""))
+    } else {
+      Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(""))
+    }
+  }
+
+  /** MinHash signature: k permutations h_i(x) = a_i*x + b_i over shingle
+    * hashes (odd a_i, so the map is a bijection on Z/2^64). */
+  def minHash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val sh = shingles(text, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (sh.isEmpty) return sig
+    val as = Array.tabulate(numHashes)(i => splitmix64(2L * i) | 1L)
+    val bs = Array.tabulate(numHashes)(i => splitmix64(2L * i + 1))
+    var j = 0
+    while (j < sh.length) {
+      val h = fnv1a64(sh(j))
+      var i = 0
+      while (i < numHashes) {
+        val v = as(i) * h + bs(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** SimHash-64 over token unigrams: per-bit vote of token hashes. */
+  def simHash(text: String): Long = {
+    val toks = tokenize(text)
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < toks.length) {
+      val h = fnv1a64(toks(j))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** `minhash_signature(text)` → `array<long>` of k MinHash values over
+  * word-shingles — the signature stage of MinHash-LSH dedup. Pure and
+  * partition-local; banding/bucketing happens relationally on top. */
+case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize: Int = 3)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def nullSafeEval(input: Any): Any = {
+    val sig = TextHashing.minHash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
+    new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash64(text)` → long. Near-duplicate pairs have small Hamming distance;
+  * compare with `bit_count(a ^ b)` (built-in, codegen'd). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.simHash(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `text_fingerprint(text)` → long Karp–Rabin rolling hash of the document —
+  * a cheap exact-dup fingerprint (order-sensitive, unlike bag-of-words). */
+case class TextFingerprint(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_fingerprint"
+  override def nullSafeEval(input: Any): Any =
+    TextHashing.rollingHash(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): TextFingerprint =
+    copy(child = newChild)
+}
+
+/** `lang_id(text)` → 2-letter code from a character/stopword n-gram heuristic
+  * (profiles for en/es/de/fr/zh; deterministic tie-break by code). */
+case class LangId(child: Expression)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(LangId.detect(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+object LangId {
+  private val profiles: Seq[(String, Set[String])] = Seq(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con"),
+    "de" -> Set("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "ein", "eine"),
+    "fr" -> Set("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que", "pour", "sur"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "non", "sono", "con", "del"))
+
+  def detect(text: String): String = {
+    // CJK codepoints dominate → zh before any stopword voting
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < text.length && i < 4000) {
+      val c = text.charAt(i)
+      if (!c.isWhitespace) {
+        total += 1
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk * 3 > total) return "zh"
+    val toks = TextHashing.tokenize(text.toLowerCase).take(500)
+    val scores = profiles.map { case (code, stops) =>
+      (code, toks.count(stops.contains))
+    }
+    val best = scores.maxBy { case (code, n) => (n, -code.charAt(0).toInt) }
+    if (best._2 == 0) "und" else best._1
+  }
+}
+
+/** `cosine_similarity(a, b)` over two float-array embeddings, accumulated in
+  * double, strictly left-to-right (bit-reproducible across engines). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      nx += xi * xi
+      ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosExpr", this, classOf[CosineSimilarity].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (Double) $ref.nullSafeEval($a, $b);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `lsh_bucket(embedding)` → int signature of sign-bits under `numPlanes`
+  * seeded random hyperplanes — the bucketing stage of approximate
+  * nearest-neighbor search (near vectors collide with high probability). */
+case class HyperplaneLshBucket(child: Expression, numPlanes: Int = 16, seed: Long = 42L)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  // hyperplane matrix built once on the driver, shipped with the expression
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = v.numElements()
+    var sig = 0
+    var p = 0
+    while (p < numPlanes) {
+      var dot = 0.0
+      val plane = planes(p)
+      var i = 0
+      val lim = math.min(n, plane.length)
+      while (i < lim) { dot += v.getFloat(i) * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
+    copy(child = newChild)
+}
