@@ -52,7 +52,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("band", "b")))
       .withColumn("band_hash",
-        hash(col("b"), slice(col("sig"), col("b") * rowsPerBand + 1, rowsPerBand)))
+        hash(col("b"), slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand))))
       .select("id", "sig", "band_hash")
     val a = banded.as("a")
     val b = banded.as("b")
