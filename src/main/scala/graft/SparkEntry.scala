@@ -1,13 +1,477 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.avro._
+import graft.framing.{KplDeaggregator, SpringHeaders}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.spark.{functions => gfn}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is written with a total ORDER BY and engine-portable arithmetic
+  * (exact decimal sums, integer-space scoring, one final double division) so
+  * the DuckDB oracle reproduces results bit-for-bit. Column names are aliased
+  * identically on both sides — the driver's compare sorts columns by name.
+  */
 object SparkEntry {
+
+  // ---- fixtures -----------------------------------------------------------
+
+  /** Row 1 of the reference's Redshift event fixture — one complete OCF file
+    * with two example.avro.User records (Alyssa/Ben).
+    * (reference: avro-file-udf/payload.json:11) */
+  val goldenOcfHex: String =
+    "4f626a0104146176726f2e636f646563086e756c6c166176726f2e736368656d61ba037b22747970" +
+    "65223a20227265636f7264222c20226e616d65223a202255736572222c20226e616d657370616365" +
+    "223a20226578616d706c652e6176726f222c20226669656c6473223a205b7b2274797065223a2022" +
+    "737472696e67222c20226e616d65223a20226e616d65227d2c207b2274797065223a205b22696e74" +
+    "222c20226e756c6c225d2c20226e616d65223a20226661766f726974655f6e756d626572227d2c20" +
+    "7b2274797065223a205b22737472696e67222c20226e756c6c225d2c20226e616d65223a20226661" +
+    "766f726974655f636f6c6f72227d5d7d009eeefde491b1497c504abe61a8cc79c1042c0c416c7973" +
+    "7361008004020642656e000e00067265649eeefde491b1497c504abe61a8cc79c1"
+
+  val userSchemaJson: String =
+    """{"type": "record", "name": "User", "namespace": "example.avro", "fields": [
+      |{"type": "string", "name": "name"},
+      |{"type": ["int", "null"], "name": "favorite_number"},
+      |{"type": ["string", "null"], "name": "favorite_color"}]}""".stripMargin
+
+  private val nationSchemaJson =
+    """{"type":"record","name":"nation","fields":[
+      |{"name":"n_nationkey","type":"int"},
+      |{"name":"n_name","type":"string"},
+      |{"name":"n_regionkey","type":"int"}]}""".stripMargin
+
+  private val regionSchemaJson =
+    """{"type":"record","name":"region","fields":[
+      |{"name":"r_regionkey","type":"int"},
+      |{"name":"r_name","type":"string"}]}""".stripMargin
+
+  private val lineitemAvroSchemaJson =
+    """{"type":"record","name":"lineitem_slice","fields":[
+      |{"name":"l_orderkey","type":"long"},
+      |{"name":"l_linenumber","type":"int"},
+      |{"name":"l_quantity","type":"double"},
+      |{"name":"l_returnflag","type":"string"},
+      |{"name":"l_shipdate","type":{"type":"long","logicalType":"timestamp-micros"}}]}""".stripMargin
+
+  private val customerWriterJson =
+    """{"type":"record","name":"customer","fields":[
+      |{"name":"c_custkey","type":"long"},
+      |{"name":"c_name","type":"string"},
+      |{"name":"c_acctbal","type":"double"}]}""".stripMargin
+
+  /** Reader schema exercising the resolution engine: field projection
+    * (c_acctbal dropped), numeric promotion (long→double on c_custkey) and
+    * reader-default fill (c_loyalty). (reference: python-udf/avro/io.py:990-1039) */
+  private val customerReaderJson =
+    """{"type":"record","name":"customer","fields":[
+      |{"name":"c_custkey","type":"double"},
+      |{"name":"c_name","type":"string"},
+      |{"name":"c_loyalty","type":"string","default":"none"}]}""".stripMargin
+
+  // ---- helpers ------------------------------------------------------------
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def oneBinaryRow(s: SparkSession, bytes: Array[Byte]): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(bytes)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+
+  private def oneStringRow(s: SparkSession, v: String, name: String): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(Row(v)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(name,
+          org.apache.spark.sql.types.StringType))))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_join_topk")(spark, "/root/testdata/sf0.001")
+
+  // ---- the query inventory -------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- built-in relational demos over the TPC-H-ish tables (SURVEY §2.3-2.7)
+
+    // Aggregation: TPC-H Q1 flavor. Sums ride exact DECIMAL(18,2) so every
+    // engine produces the identical double after the final round+cast.
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .as("sum_base_price"),
+          expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE)")
+            .as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Join: customer ⋈ orders ⋈ lineitem, top-10 revenue orders in one
+    // segment. Dimension side is broadcast — no shuffle of the fact table
+    // beyond the groupBy on its natural key.
+    "q03_join_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      broadcast(cust)
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(expr("CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE)")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Window: top-3 orders per customer by price (rank + tie-break).
+    "q04_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Sort/limit: global top-20 lineitems (total order via tie-breaks).
+    "q05_sort_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+
+    // Set ops: INTERSECT / EXCEPT / UNION ALL in one result.
+    "q06_setops" -> ((s, dir) => {
+      val cids = t(s, dir, "customer").select(col("c_custkey").as("id"))
+      val oids = t(s, dir, "orders").select(col("o_custkey").as("id"))
+      cids.intersect(oids).withColumn("tag", lit("both"))
+        .unionAll(cids.except(oids).withColumn("tag", lit("cust_only")))
+        .unionAll(oids.except(cids).withColumn("tag", lit("ord_only")))
+        .orderBy("tag", "id")
+    }),
+
+    // Semi/anti join: customers with vs without a high-value order.
+    "q07_semi_anti" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val hi = t(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      cust.join(hi, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")).withColumn("has_big", lit(1))
+        .unionAll(
+          cust.join(hi, col("c_custkey") === col("o_custkey"), "left_anti")
+            .select(col("c_custkey"), col("c_name")).withColumn("has_big", lit(0)))
+        .orderBy("c_custkey")
+    }),
+
+    // Event-time tumbling window over the stream-shaped table (§2.12 analog,
+    // batch form; the streaming form is tested in StreamingIngestSpec).
+    "q08_events_hourly" -> ((s, dir) => {
+      // the events table stores TIMESTAMP(NANOS); Spark's parquet reader
+      // rejects nanos unless read as long — convert back to micros explicitly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)").as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // -- the Avro engine itself (SURVEY §2.1, §2.8, §2.9, §2.11)
+
+    // S1/U1: golden OCF payload (the reference's own fixture) → typed rows.
+    "q10_avro_golden_ocf" -> ((s, dir) => {
+      oneStringRow(s, goldenOcfHex, "payload_hex")
+        .select(explode(gfn.avro_ocf_decode(unhex(col("payload_hex")), userSchemaJson)).as("u"))
+        .select(col("u.name").as("name"),
+          col("u.favorite_number").as("favorite_number"),
+          col("u.favorite_color").as("favorite_color"))
+        .orderBy("name")
+    }),
+
+    // U2: the SQL-registered hex→JSON UDF, exact reference output string.
+    "q11_avro_ocf_json_udf" -> ((s, dir) => {
+      gfn.registerAll(s)
+      oneStringRow(s, goldenOcfHex, "payload_hex")
+        .selectExpr("fn_decode_avro_binary(payload_hex) AS json")
+    }),
+
+    // F1-F17 encode+decode round-trip over real data (long/int/double/string/
+    // timestamp-micros logical type), partition-local throughout.
+    "q12_avro_roundtrip" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(gfn.to_avro(
+          struct(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"), col("l_shipdate")),
+          lineitemAvroSchemaJson).as("payload"))
+        .select(gfn.from_avro(col("payload"), lineitemAvroSchemaJson).as("r"))
+        .select(col("r.l_orderkey").as("l_orderkey"),
+          col("r.l_linenumber").as("l_linenumber"),
+          col("r.l_quantity").as("l_quantity"),
+          col("r.l_returnflag").as("l_returnflag"),
+          to_date(col("r.l_shipdate")).as("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // G5/P1: reader≠writer resolution — projection, long→double promotion,
+    // reader-default fill — against a plain-SQL oracle.
+    "q13_avro_resolution" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(gfn.to_avro(
+          struct(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          customerWriterJson).as("payload"))
+        .select(gfn.from_avro(col("payload"), customerWriterJson, customerReaderJson).as("r"))
+        .select(col("r.c_custkey").as("c_custkey"), col("r.c_name").as("c_name"),
+          col("r.c_loyalty").as("c_loyalty"))
+        .orderBy("c_custkey")
+    }),
+
+    // U3/S11: bare-datum decode to the reference's exact JSON text
+    // (Python json.dumps formatting, key order = writer field order).
+    "q14_avro_json" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .select(gfn.avro_decode_json(
+          gfn.to_avro(struct(col("n_nationkey"), col("n_name")),
+            """{"type":"record","name":"n","fields":[
+              |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"}]}""".stripMargin),
+          """{"type":"record","name":"n","fields":[
+            |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"}]}""".stripMargin).as("json"))
+        .orderBy("json")
+    }),
+
+    // S2/C2: OCF write with the deflate codec → S1 read back. The 25-row
+    // nation table is a fixture here; the payload is built once driver-side.
+    "q15_ocf_deflate_roundtrip" -> ((s, dir) => {
+      val schema = AvroSchemaParser.parse(nationSchemaJson).asInstanceOf[ARecord]
+      val rows = t(s, dir, "nation").orderBy("n_nationkey").collect()
+      val datums = rows.map(r => AvroRecord(schema,
+        Array[Any](r.getInt(0), r.getString(1), r.getInt(2))))
+      val payload = Ocf.writeAll(schema, datums.toIndexedSeq, "deflate")
+      oneBinaryRow(s, payload)
+        .select(explode(gfn.avro_ocf_decode(col("payload"), nationSchemaJson)).as("n"))
+        .select(col("n.n_nationkey").as("n_nationkey"), col("n.n_name").as("n_name"),
+          col("n.n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // S7/S8/S4 composed: KPL aggregate → Spring embedded headers → bare-datum
+    // decode, oracle-checked against the source table.
+    "q16_spring_kpl" -> ((s, dir) => {
+      val schema = AvroSchemaParser.parse(regionSchemaJson).asInstanceOf[ARecord]
+      val writer = new AvroDatumWriter(schema)
+      val rows = t(s, dir, "region").orderBy("r_regionkey").collect()
+      val framed = rows.map { r =>
+        val body = writer.toBytes(AvroRecord(schema, Array[Any](r.getInt(0), r.getString(1))))
+        SpringHeaders.frame(Seq("contentType" -> "application/vnd.region.v1+avro"), body)
+      }
+      val kpl = KplDeaggregator.encode(KplDeaggregator.Aggregated(
+        partitionKeys = Seq("pk0"), explicitHashKeys = Seq.empty,
+        records = framed.map(KplDeaggregator.KplRecord(0, None, _)).toIndexedSeq))
+      oneBinaryRow(s, kpl)
+        .select(explode(gfn.kpl_deaggregate(col("payload"))).as("sub"))
+        .select(gfn.spring_extract(col("sub")).as("ex"))
+        .select(col("ex.headers").getItem("contentType").as("content_type"),
+          gfn.from_avro(col("ex.body"), regionSchemaJson).as("r"))
+        .select(col("content_type"), col("r.r_regionkey").as("r_regionkey"),
+          col("r.r_name").as("r_name"))
+        .orderBy("r_regionkey")
+    }),
+
+    // -- LLM-data-pipeline operators over documents/embeddings
+
+    // Exact dedup groups (hash-groupBy on a 16-byte digest, not on text).
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("digest")),
+
+    // Text quality/statistics features, integer arithmetic + one division.
+    "q21_text_features" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val text = col("text")
+      d.select(col("doc_id"),
+          TextAnalysis.charCount(text).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(text).cast("long").as("n_subwords"),
+          TextAnalysis.punctCount(text).cast("long").as("n_punct"),
+          TextAnalysis.stopwordCount(text).cast("long").as("n_stopwords"),
+          TextAnalysis.qualityScore(text).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID + order-sensitive fingerprint (custom expressions; no SQL
+    // oracle — driver records the weaker rows-only check).
+    "q22_lang_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash-LSH near-dup candidate pairs (banded, bucketed — no O(n²)).
+    "q23_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.7)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (pigeonhole chunk bucketing + bit_count verify).
+    "q24_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
+    // Blocked n-gram Jaccard over word shingles (exact set similarity).
+    "q25_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", "source",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(round(jaccard, 9) AS DOUBLE)").as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force exact cosine top-k (the ANN correctness baseline).
+    "q26_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, 5)
+        .select(col("q_id"), col("n_id"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Embedding near-dup pairs via hyperplane LSH buckets + exact verify.
+    // (The synthetic embeddings carry no planted duplicates — max pairwise
+    // cosine is ~0.51 — so the threshold targets the top tail instead.)
+    "q27_cosine_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"))
+        .orderBy("id_a", "id_b"))
+  )
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for non-SQL-expressible ops (custom hashing)
+    * → driver records a weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_join_topk" ->
+      """SELECT o_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q05_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "q06_setops" ->
+      """SELECT id, tag FROM (
+        |  SELECT id, 'both' AS tag FROM (SELECT c_custkey AS id FROM customer INTERSECT SELECT o_custkey AS id FROM orders)
+        |  UNION ALL
+        |  SELECT id, 'cust_only' AS tag FROM (SELECT c_custkey AS id FROM customer EXCEPT SELECT o_custkey AS id FROM orders)
+        |  UNION ALL
+        |  SELECT id, 'ord_only' AS tag FROM (SELECT o_custkey AS id FROM orders EXCEPT SELECT c_custkey AS id FROM customer)
+        |) ORDER BY tag, id""".stripMargin,
+
+    "q07_semi_anti" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |       THEN 1 ELSE 0 END AS has_big
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q08_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "q10_avro_golden_ocf" ->
+      """SELECT * FROM (VALUES ('Alyssa', 256, CAST(NULL AS VARCHAR)), ('Ben', 7, 'red'))
+        |AS t(name, favorite_number, favorite_color) ORDER BY name""".stripMargin,
+
+    "q11_avro_ocf_json_udf" ->
+      """SELECT '[{"name": "Alyssa", "favorite_number": 256, "favorite_color": null}, {"name": "Ben", "favorite_number": 7, "favorite_color": "red"}]' AS json""".stripMargin,
+
+    "q12_avro_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q13_avro_resolution" ->
+      """SELECT CAST(c_custkey AS DOUBLE) AS c_custkey, c_name, 'none' AS c_loyalty
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q14_avro_json" ->
+      """SELECT '{"n_nationkey": ' || n_nationkey || ', "n_name": "' || n_name || '"}' AS json
+        |FROM nation ORDER BY json""".stripMargin,
+
+    "q15_ocf_deflate_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    "q16_spring_kpl" ->
+      """SELECT 'application/vnd.region.v1+avro' AS content_type, r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    "q21_text_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9]')) AS BIGINT) AS n_subwords,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_subwords, n_punct, n_stopwords,
+        |  ((CASE WHEN n_tokens = 0 THEN 0
+        |         WHEN n_chars * 10 >= n_tokens * 30 AND n_chars * 10 <= n_tokens * 120 THEN 1000
+        |         ELSE 0 END)
+        |   + (CASE WHEN n_tokens = 0 THEN 0 ELSE least(n_stopwords * 1000 * 5 / n_tokens, 1000) END)
+        |   + (CASE WHEN n_chars = 0 THEN 0 WHEN n_punct * 10 <= n_chars THEN 1000 ELSE 0 END)
+        |  ) / 3000.0 AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q26_cosine_topk" ->
+      """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim0,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  )
 }

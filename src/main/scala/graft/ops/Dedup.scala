@@ -41,27 +41,31 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: signature → `numBands` band hashes →
     * explode → bucket self-join → estimated-Jaccard filter.
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * Shuffle discipline for 100 TB: the band self-join carries only
+    * `(band_hash, id)` — the 128-long signatures do NOT ride through the
+    * ×numBands explode; they are re-joined by id for the (much smaller)
+    * surviving candidate set only. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, numBands: Int = 32,
                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-    // band hash = hash of the band's signature slice
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(sequence(lit(0), lit(numBands - 1))).as(Seq("band", "b")))
-      .withColumn("band_hash",
-        hash(col("b"), slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select("id", "sig", "band_hash")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a.join(b,
-        col("a.band_hash") === col("b.band_hash") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    // all band hashes in one pass over the signature, pre-explode; the band
+    // index participates in the hash so a single join key suffices
+    val banded = sigs.select(col("id"),
+        explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
+          s"b -> hash(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as("bh"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    pairs.withColumn("est_jaccard",
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
           .cast("double") / lit(numHashes))
       .where(col("est_jaccard") >= threshold)
@@ -91,23 +95,35 @@ object Dedup {
   }
 
   /** N-gram Jaccard similarity over word shingles for candidate pairs drawn
-    * from a blocking column (e.g. same source) — exact set Jaccard via
-    * built-in array_intersect/array_union (no UDF in the hot path). */
+    * from a blocking column (e.g. same source) — exact set Jaccard computed
+    * via an inverted index: explode grams, self-join on (block, gram), count
+    * shared grams per pair, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale notes: shuffle volume is proportional to total gram count, not to
+    * the O(n²) per-block pair space; only pairs that actually share a gram
+    * are ever materialized, and the per-pair work is a counting aggregate
+    * (map-side combined) instead of wide array_intersect calls. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val toks = s"split($textCol, '\\\\s+')"
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(expr(
-        s"transform(filter(transform(sequence(0, size(split($textCol, '\\\\s+')) - $n), " +
-        s"i -> slice(split($textCol, '\\\\s+'), i + 1, $n)), x -> size(x) = $n), " +
-        "x -> array_join(x, ' '))")).as("grams"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("inter", size(array_intersect(col("a.grams"), col("b.grams"))))
-      .withColumn("uni", size(array_union(col("a.grams"), col("b.grams"))))
-      .where(col("uni") > 0)
-      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+        s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+        s"transform(sequence(0, size($toks) - $n), " +
+        s"i -> array_join(slice($toks, i + 1, $n), ' ')) END")).as("grams"))
+    val sizes = sh.select(col("id"), size(col("grams")).as("n_grams"))
+    val inv = sh.select(col("id"), col("blk"), explode(col("grams")).as("gram"))
+    val pairs = inv.as("a")
+      .join(inv.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

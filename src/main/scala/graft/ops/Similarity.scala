@@ -10,18 +10,24 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: brute-force is the correctness baseline (O(|Q|·|C|) dot
   * products — fine when the query side is small and broadcast); the LSH path
-  * buckets both sides with seeded random hyperplanes so the join fans out to
-  * bucket-local candidates only, and the final exact re-rank touches a small
-  * candidate set. At 100 TB the corpus side stays partition-local throughout:
-  * no shuffle of the embedding vectors themselves beyond the bucket key.
+  * buckets both sides with `numTables` independent sets of seeded random
+  * hyperplanes, so the join fans out to bucket-local candidates only and a
+  * neighbor is found if it collides in ANY table (recall 1−(1−p^k)^L).
+  * The final exact cosine re-rank touches only the candidate set. At 100 TB
+  * the corpus side stays partition-local throughout: the broadcast-hash join
+  * on (table, bucket) shuffles no corpus vectors at all.
   */
 object Similarity {
 
   def cosine(a: Column, b: Column): Column =
     Shims.column(CosineSimilarity(Shims.expression(a), Shims.expression(b)))
 
+  /** One bucket id per hash table: `array<int>` of length `numTables`. */
+  def lshBuckets(c: Column, numPlanes: Int = 16, numTables: Int = 1, seed: Long = 42L): Column =
+    Shims.column(HyperplaneLshBucket(Shims.expression(c), numPlanes, seed, numTables))
+
   def lshBucket(c: Column, numPlanes: Int = 16, seed: Long = 42L): Column =
-    Shims.column(HyperplaneLshBucket(Shims.expression(c), numPlanes, seed))
+    element_at(lshBuckets(c, numPlanes, 1, seed), 1)
 
   /** Exact top-k neighbors for each query vector (brute force, broadcast
     * query side). Returns (q_id, n_id, sim, rank). Tie-break on neighbor id
@@ -40,27 +46,24 @@ object Similarity {
       .select("q_id", "n_id", "sim", "rank")
   }
 
-  /** Approximate top-k via hyperplane LSH with multi-probe (probe 0 = own
-    * bucket; additional probes flip one signature bit each, trading recall
-    * for fan-out). Exact cosine re-rank inside candidate buckets. */
+  /** Approximate top-k via multi-table hyperplane LSH: a candidate is any
+    * corpus vector sharing a bucket with the query in at least one of the
+    * `numTables` tables; candidates get an exact cosine re-rank. Higher
+    * `numTables` → higher recall; higher `numPlanes` → fewer candidates. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              numPlanes: Int = 12, probes: Int = 4, seed: Long = 42L,
+              numPlanes: Int = 8, numTables: Int = 16, seed: Long = 42L,
               qId: String = "vec_id", qVec: String = "embedding",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     val c = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
-      .withColumn("bucket", lshBucket(col("n_vec"), numPlanes, seed))
-    val probeCols = (0 until math.max(1, probes)).map { p =>
-      if (p == 0) col("__bucket0")
-      else col("__bucket0").bitwiseXOR(lit(1 << (p - 1)))
-    }
+      .select(col("n_id"), col("n_vec"),
+        posexplode(lshBuckets(col("n_vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
     val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-      .withColumn("__bucket0", lshBucket(col(qVec), numPlanes, seed))
-      .withColumn("bucket", explode(array(probeCols: _*)))
-      .drop("__bucket0")
-    val scored = broadcast(q).join(c, Seq("bucket"))
+      .select(col("q_id"), col("q_vec"),
+        posexplode(lshBuckets(col("q_vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
+    val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
       .dropDuplicates("q_id", "n_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -68,17 +71,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over the whole corpus (id_a < id_b,
-    * sim ≥ threshold), LSH-bucketed to avoid the O(n²) pair space. */
+    * sim ≥ threshold), multi-table LSH-bucketed to avoid the O(n²) pair space
+    * while keeping recall high for truly-near pairs. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         numPlanes: Int = 10, seed: Long = 42L): DataFrame = {
+                         numPlanes: Int = 12, numTables: Int = 8,
+                         seed: Long = 42L): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), numPlanes, seed))
+      .select(col("id"), col("vec"),
+        posexplode(lshBuckets(col("vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
     val l = b.as("a")
     val r = b.as("b")
-    l.join(r, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.vec"), col("b.vec")))
+    l.join(r, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -40,12 +40,18 @@ trait GraftUnaryCodegen { self: UnaryExpression =>
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftExpr", this, classOf[GraftUnaryCodegen].getName)
-    val javaType = CodeGenerator.boxedType(dataType)
-    nullSafeCodeGen(ctx, ev, input =>
+    val boxed = CodeGenerator.boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, input => {
+      // ev.value is declared with the PRIMITIVE java type for numeric results,
+      // so the null check must happen on a boxed temporary (a `long == null`
+      // comparison fails Janino compilation and silently disables codegen).
+      val tmp = ctx.freshName("graftResult")
       s"""
-         |${ev.value} = ($javaType) $ref.nullSafeEval($input);
-         |${ev.isNull} = ${ev.value} == null;
-       """.stripMargin)
+         |$boxed $tmp = ($boxed) $ref.nullSafeEval($input);
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
   }
 }
 

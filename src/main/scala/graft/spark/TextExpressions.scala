@@ -56,14 +56,20 @@ object TextHashing {
     }
   }
 
+  /** Hash-family parameters for a k-permutation MinHash family; derived
+    * deterministically so every executor agrees. Built once per expression
+    * instance (NOT per row — see MinHashSignature). */
+  def minHashParams(numHashes: Int): (Array[Long], Array[Long]) =
+    (Array.tabulate(numHashes)(i => splitmix64(2L * i) | 1L),
+     Array.tabulate(numHashes)(i => splitmix64(2L * i + 1)))
+
   /** MinHash signature: k permutations h_i(x) = a_i*x + b_i over shingle
     * hashes (odd a_i, so the map is a bijection on Z/2^64). */
-  def minHash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+  def minHash(text: String, as: Array[Long], bs: Array[Long], shingleSize: Int): Array[Long] = {
+    val numHashes = as.length
     val sh = shingles(text, shingleSize)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (sh.isEmpty) return sig
-    val as = Array.tabulate(numHashes)(i => splitmix64(2L * i) | 1L)
-    val bs = Array.tabulate(numHashes)(i => splitmix64(2L * i + 1))
     var j = 0
     while (j < sh.length) {
       val h = fnv1a64(sh(j))
@@ -106,8 +112,10 @@ case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize
     extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  // hash-family parameters hoisted out of the per-row hot path
+  @transient private lazy val (as, bs) = TextHashing.minHashParams(numHashes)
   override def nullSafeEval(input: Any): Any = {
-    val sig = TextHashing.minHash(input.asInstanceOf[UTF8String].toString, numHashes, shingleSize)
+    val sig = TextHashing.minHash(input.asInstanceOf[UTF8String].toString, as, bs, shingleSize)
     new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -218,32 +226,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** `lsh_bucket(embedding)` → int signature of sign-bits under `numPlanes`
   * seeded random hyperplanes — the bucketing stage of approximate
   * nearest-neighbor search (near vectors collide with high probability). */
-case class HyperplaneLshBucket(child: Expression, numPlanes: Int = 16, seed: Long = 42L)
+/** `lsh_buckets(embedding)` → `array<int>` of `numTables` independent
+  * hyperplane signatures — the bucketing stage of approximate
+  * nearest-neighbor search. A neighbor is a candidate if it collides in ANY
+  * table, so recall is 1−(1−p^k)^L; tune `numPlanes` (selectivity) against
+  * `numTables` (recall) for the corpus's similarity profile.
+  *
+  * Rademacher (±1) hyperplane components are derived from
+  * splitmix64(seed, table, plane, i) — they work for ANY embedding dimension
+  * (no stored fixed-size matrix, no silent truncation) and are identical on
+  * every executor. Plane rows are materialized lazily per observed dimension
+  * and cached per expression instance. */
+case class HyperplaneLshBucket(child: Expression, numPlanes: Int = 16,
+                               seed: Long = 42L, numTables: Int = 1)
     extends UnaryExpression with GraftUnaryCodegen {
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "lsh_bucket"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
 
-  // hyperplane matrix built once on the driver, shipped with the expression
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(numPlanes)(Array.fill(64)(rnd.nextGaussian()))
-  }
+  @transient private lazy val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+
+  // one flat array of numTables*numPlanes plane rows per dimension
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate(dim, Array.tabulate(numTables * numPlanes) { g =>
+      Array.tabulate(dim) { i =>
+        val h = TextHashing.splitmix64(
+          seed ^ (g.toLong * 0x9e3779b97f4a7c15L) ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    })
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = v.numElements()
-    var sig = 0
-    var p = 0
-    while (p < numPlanes) {
-      var dot = 0.0
-      val plane = planes(p)
-      var i = 0
-      val lim = math.min(n, plane.length)
-      while (i < lim) { dot += v.getFloat(i) * plane(i); i += 1 }
-      if (dot >= 0) sig |= (1 << p)
-      p += 1
+    val planes = planesFor(n)
+    val out = new Array[Any](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0
+      var p = 0
+      while (p < numPlanes) {
+        var dot = 0.0
+        val plane = planes(t * numPlanes + p)
+        var i = 0
+        while (i < n) { dot += v.getFloat(i) * plane(i); i += 1 }
+        if (dot >= 0) sig |= (1 << p)
+        p += 1
+      }
+      out(t) = sig
+      t += 1
     }
-    sig
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(newChild: Expression): HyperplaneLshBucket =
     copy(child = newChild)

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-level specs for the training-data-pipeline operators (dedup,
+  * similarity, text analysis) over the driver's sf0.001 test tables. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-ops-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup keeps one row per distinct text") {
+    val d = docs
+    val total = d.count()
+    val dedup = Dedup.exact(d, "doc_id", "text").count()
+    val distinct = d.select("text").distinct().count()
+    assert(dedup == distinct)
+    assert(dedup <= total)
+  }
+
+  test("minhash candidate pairs are symmetric-free, thresholded, and real near-dups") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.5).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("est_jaccard") >= 0.5)
+    }
+  }
+
+  test("simhash pairs respect the Hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ngram jaccard inverted-index equals direct set jaccard on a fixture") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e", "x"),
+      (2L, "a b c d f", "x"),   // shares 2 of its 3 trigrams with doc 1
+      (3L, "q r s t u", "x"),
+      (4L, "a b c d e", "y")    // same text, different block — never paired
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.ngramJaccard(d, "doc_id", "text", "source", n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // doc1 grams {abc,bcd,cde}, doc2 grams {abc,bcd,cdf}: |∩|=2, |∪|=4 → 0.5
+    assert(out == Set((1L, 2L, 0.5)))
+  }
+
+  test("lsh bucket handles embeddings wider than 64 dims (no truncation)") {
+    import spark.implicits._
+    // two identical-direction 384-dim vectors must land in the same bucket;
+    // the bucket must depend on components beyond index 63
+    val base = Array.tabulate(384)(i => math.sin(i * 0.7).toFloat)
+    val tailFlipped = base.clone()
+    (64 until 384).foreach(i => tailFlipped(i) = -tailFlipped(i))
+    val d = Seq((1L, base.toSeq), (2L, base.map(x => (x * 2.0f)).toSeq), (3L, tailFlipped.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val b = d.select(col("vec_id"), Similarity.lshBucket(col("embedding"), 16, 42L).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(1L) == b(2L), "scaling must not change the bucket")
+    assert(b(1L) != b(3L), "flipping dims ≥64 must change the bucket (truncation bug)")
+  }
+
+  test("lshTopK recall@10 vs brute force is at least 0.9") {
+    val emb = embeddings
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the synthetic embeddings are near-orthogonal (top-10 sims ~0.3-0.5), so
+    // high recall needs many short tables; real clustered corpora use fewer,
+    // longer ones
+    val approx = Similarity.lshTopK(queries, emb, 10, numPlanes = 4, numTables = 24)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+
+  test("text features: quality in [0,1], token count zero on blank text") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat. it was that good."), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val f = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(f(1L)._1 == 10)
+    assert(f(2L)._1 == 0 && f(3L)._1 == 0)
+    f.values.foreach { case (_, q) => assert(q >= 0.0 && q <= 1.0) }
+  }
+
+  test("language id picks en/es/de/fr profiles and zh via CJK ratio") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox is in the yard and it is that fast for sure"),
+      (2L, "el perro y el gato en la casa con los amigos por una tarde"),
+      (3L, "der hund und die katze ist in den garten mit ein freund"),
+      (4L, "le chat et le chien dans les jardins pour une promenade sur la route"),
+      (5L, "中文文本处理引擎测试")
+    ).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+}
