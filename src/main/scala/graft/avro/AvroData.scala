@@ -62,7 +62,7 @@ final class AvroDatumReader(val writerSchema: AvroSchema, val readerSchemaOpt: O
   private def matches(w: AvroSchema, r: AvroSchema): Boolean = (deref(w), deref(r)) match {
     case (a, b) if a.typeName == b.typeName =>
       (a, b) match {
-        case (x: NamedSchema, y: NamedSchema) => x.fullName == y.fullName || x.name == y.name
+        case (x: NamedSchema, y: NamedSchema) => AvroNames.nameMatches(x, y)
         case _ => true
       }
     case (AInt, ALong | AFloat | ADouble) => true
@@ -230,22 +230,22 @@ final class AvroDatumReader(val writerSchema: AvroSchema, val readerSchemaOpt: O
   }
 
   private def compileRecordBody(wr: ARecord, rr: ARecord): AvroBinaryReader => Any = {
-    val readerIndex: Map[String, Int] = rr.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val slotOf = AvroNames.readerFieldSlot(rr)
     // per writer field: either (readerSlot, readFn) or (-1, skipFn)
     val steps: Array[(Int, AvroBinaryReader => Any)] = wr.fields.map { wf =>
-      readerIndex.get(wf.name) match {
-        case Some(ri) =>
-          val fn = compile(wf.schema, rr.fields(ri).schema)
-          (ri, fn)
-        case None =>
+      slotOf(wf.name) match {
+        case -1 =>
           val sk = AvroSkipper.compile(wf.schema)
           (-1, (in: AvroBinaryReader) => { sk(in); null })
+        case ri =>
+          val fn = compile(wf.schema, rr.fields(ri).schema)
+          (ri, fn)
       }
     }.toArray
-    // reader fields not written: defaults
-    val writerNames = wr.fields.map(_.name).toSet
+    // reader fields no writer field landed in: defaults
+    val written = steps.map(_._1).filter(_ >= 0).toSet
     val defaults: Array[(Int, Any)] = rr.fields.zipWithIndex.collect {
-      case (rf, i) if !writerNames.contains(rf.name) =>
+      case (rf, i) if !written.contains(i) =>
         rf.default match {
           case Some(d) => (i, AvroDefaults.materialize(d, rf.schema))
           case None => throw new AvroResolutionException(

@@ -106,6 +106,36 @@ final case class AUuid(underlying: AvroSchema = AString) extends LogicalSchema {
 
 final class AvroSchemaParseException(msg: String) extends RuntimeException(msg)
 
+/** Name-matching rules shared by decode-time resolution and the
+  * compatibility checker.
+  * (reference: python-udf/avro/name.py:50-200 for fullname rules;
+  * python-udf/avro/compatibility.py:376-395 for alias lookup.) */
+object AvroNames {
+  /** An unqualified alias lives in the namespace of the schema that declares
+    * it (Avro spec "Aliases"). */
+  def qualify(alias: String, ns: Option[String]): String =
+    if (alias.contains('.')) alias
+    else ns.filter(_.nonEmpty).map(n => s"$n.$alias").getOrElse(alias)
+
+  /** Decode-time named-type match: fullname equality, or one of the READER's
+    * aliases names the writer type. No bare simple-name fallback — schemas
+    * differing only by namespace must not silently resolve. */
+  def nameMatches(writer: NamedSchema, reader: NamedSchema): Boolean =
+    writer.fullName == reader.fullName ||
+      reader.aliases.exists(a => qualify(a, reader.namespace) == writer.fullName)
+
+  /** Writer-field-name → reader-field-index lookup honoring reader-field
+    * aliases (a renamed reader field declares its old writer name as an
+    * alias). Direct name matches win over aliases. Returns -1 when no reader
+    * field consumes the writer field. */
+  def readerFieldSlot(reader: ARecord): String => Int = {
+    val direct = reader.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    val byAlias = reader.fields.zipWithIndex
+      .flatMap { case (f, i) => f.aliases.map(_ -> i) }.toMap
+    wname => direct.getOrElse(wname, byAlias.getOrElse(wname, -1))
+  }
+}
+
 /** `.avsc` JSON → [[AvroSchema]] parser with name/namespace resolution.
   *
   * (reference: python-udf/avro/schema.py:1249-1394 `make_avsc_object`/`parse`,

@@ -35,7 +35,7 @@ object CatalystAvroReader {
 
   private def matches(w: AvroSchema, r: AvroSchema): Boolean = (deref(w), deref(r)) match {
     case (a, b) if a.typeName == b.typeName => (a, b) match {
-      case (x: NamedSchema, y: NamedSchema) => x.fullName == y.fullName || x.name == y.name
+      case (x: NamedSchema, y: NamedSchema) => AvroNames.nameMatches(x, y)
       case _ => true
     }
     case (AInt, ALong | AFloat | ADouble) => true
@@ -231,18 +231,18 @@ object CatalystAvroReader {
   }
 
   private def makeRecord(wr: ARecord, rr: ARecord): Reader = {
-      val readerIndex = rr.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+      val slotOf = AvroNames.readerFieldSlot(rr)
       val steps: Array[(Int, Reader)] = wr.fields.map { wf =>
-        readerIndex.get(wf.name) match {
-          case Some(ri) => (ri, make(wf.schema, rr.fields(ri).schema))
-          case None =>
+        slotOf(wf.name) match {
+          case -1 =>
             val sk = AvroSkipper.compile(wf.schema)
             (-1, (in: AvroBinaryReader) => { sk(in); null })
+          case ri => (ri, make(wf.schema, rr.fields(ri).schema))
         }
       }.toArray
-      val writerNames = wr.fields.map(_.name).toSet
+      val written = steps.map(_._1).filter(_ >= 0).toSet
       val defaults: Array[(Int, Any)] = rr.fields.zipWithIndex.collect {
-        case (rf, i) if !writerNames.contains(rf.name) =>
+        case (rf, i) if !written.contains(i) =>
           rf.default match {
             case Some(d) =>
               (i, toCatalyst(AvroDefaults.materialize(d, rf.schema), rf.schema))
