@@ -179,8 +179,9 @@ object SparkEntry {
     // batch form; the streaming form is tested in StreamingIngestSpec).
     "q08_events_hourly" -> ((s, dir) => {
       // the events table stores TIMESTAMP(NANOS); Spark's parquet reader
-      // rejects nanos unless read as long — convert back to micros explicitly
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // rejects nanos unless spark.sql.legacy.parquet.nanosAsLong is set —
+      // that conf lives in session setup (Bench/Verify/specs), not here, so
+      // one query can't silently change how other reads decode timestamps
       t(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))

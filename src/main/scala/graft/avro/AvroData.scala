@@ -230,10 +230,10 @@ final class AvroDatumReader(val writerSchema: AvroSchema, val readerSchemaOpt: O
   }
 
   private def compileRecordBody(wr: ARecord, rr: ARecord): AvroBinaryReader => Any = {
-    val slotOf = AvroNames.readerFieldSlot(rr)
+    val slots = AvroNames.assignReaderSlots(wr, rr)
     // per writer field: either (readerSlot, readFn) or (-1, skipFn)
-    val steps: Array[(Int, AvroBinaryReader => Any)] = wr.fields.map { wf =>
-      slotOf(wf.name) match {
+    val steps: Array[(Int, AvroBinaryReader => Any)] = wr.fields.zipWithIndex.map { case (wf, wi) =>
+      slots(wi) match {
         case -1 =>
           val sk = AvroSkipper.compile(wf.schema)
           (-1, (in: AvroBinaryReader) => { sk(in); null })

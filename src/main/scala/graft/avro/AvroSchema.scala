@@ -124,15 +124,41 @@ object AvroNames {
     writer.fullName == reader.fullName ||
       reader.aliases.exists(a => qualify(a, reader.namespace) == writer.fullName)
 
-  /** Writer-field-name → reader-field-index lookup honoring reader-field
+  /** Writer-field-index → reader-field-index assignment honoring reader-field
     * aliases (a renamed reader field declares its old writer name as an
-    * alias). Direct name matches win over aliases. Returns -1 when no reader
-    * field consumes the writer field. */
-  def readerFieldSlot(reader: ARecord): String => Int = {
+    * alias). Direct name matches claim slots first; alias matches only fill
+    * slots no direct match claimed. A slot claimed twice (two writer fields
+    * resolving to one reader field via aliases, or a duplicated alias) is an
+    * ambiguity and throws — silently letting the last-decoded writer field
+    * win would corrupt data. Returns -1 for writer fields no reader field
+    * consumes (skipped, not materialized). */
+  def assignReaderSlots(writer: ARecord, reader: ARecord): Array[Int] = {
     val direct = reader.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
     val byAlias = reader.fields.zipWithIndex
-      .flatMap { case (f, i) => f.aliases.map(_ -> i) }.toMap
-    wname => direct.getOrElse(wname, byAlias.getOrElse(wname, -1))
+      .flatMap { case (f, i) => f.aliases.map(_ -> i) }
+      .groupBy(_._1).map { case (a, hits) =>
+        if (hits.map(_._2).distinct.size > 1)
+          throw new AvroResolutionException(
+            s"reader ${reader.fullName}: alias '$a' is declared by multiple fields " +
+              hits.map(h => reader.fields(h._2).name).distinct.mkString("(", ", ", ")"))
+        a -> hits.head._2
+      }
+    val slots = writer.fields.map { wf =>
+      direct.get(wf.name).orElse(byAlias.get(wf.name)).getOrElse(-1)
+    }.toArray
+    val claimedBy = new Array[Int](reader.fields.length) // writer idx + 1; 0 = free
+    writer.fields.indices.foreach { wi =>
+      val slot = slots(wi)
+      if (slot >= 0) {
+        if (claimedBy(slot) != 0)
+          throw new AvroResolutionException(
+            s"ambiguous resolution for reader field '${reader.fields(slot).name}' of " +
+              s"${reader.fullName}: writer fields '${writer.fields(claimedBy(slot) - 1).name}' " +
+              s"and '${writer.fields(wi).name}' both resolve to it")
+        claimedBy(slot) = wi + 1
+      }
+    }
+    slots
   }
 }
 

@@ -51,8 +51,12 @@ object Dedup {
                         numHashes: Int = 128, numBands: Int = 32,
                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / numBands
+    // the signature (128 permutations over full document text) is referenced
+    // three times (band explode + two candidate re-joins); persist so it is
+    // computed once instead of 3× — at 100 TB the recompute would dominate
     val sigs = df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // all band hashes in one pass over the signature, pre-explode; the band
     // index participates in the hash so a single join key suffices
     val banded = sigs.select(col("id"),
@@ -105,6 +109,12 @@ object Dedup {
     * (map-side combined) instead of wide array_intersect calls. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // The inverted index can only materialize pairs sharing ≥1 gram, so a
+    // threshold of 0 (which would include gram-disjoint pairs) is not
+    // expressible in this plan shape — reject it instead of silently
+    // diverging from exact all-pairs semantics.
+    require(threshold > 0.0,
+      s"ngramJaccard requires threshold > 0 (inverted index only sees pairs sharing a gram); got $threshold")
     val toks = s"split($textCol, '\\\\s+')"
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(expr(
@@ -122,7 +132,11 @@ object Dedup {
       .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), "id_b")
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        // inter ≥ 1 for every materialized pair, so the denominator is ≥ 1;
+        // the greatest() guard keeps the contract explicit if that invariant
+        // ever changes (0/0 must not become a silently-dropped null)
+        col("inter").cast("double") /
+          greatest(col("n_a") + col("n_b") - col("inter"), lit(1L)))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -46,11 +46,20 @@ trait GraftUnaryCodegen { self: UnaryExpression =>
       // so the null check must happen on a boxed temporary (a `long == null`
       // comparison fails Janino compilation and silently disables codegen).
       val tmp = ctx.freshName("graftResult")
-      s"""
-         |$boxed $tmp = ($boxed) $ref.nullSafeEval($input);
-         |${ev.isNull} = $tmp == null;
-         |if (!${ev.isNull}) { ${ev.value} = $tmp; }
-       """.stripMargin
+      if (nullable)
+        s"""
+           |$boxed $tmp = ($boxed) $ref.nullSafeEval($input);
+           |${ev.isNull} = $tmp == null;
+           |if (!${ev.isNull}) { ${ev.value} = $tmp; }
+         """.stripMargin
+      else
+        // nullSafeCodeGen's non-nullable branch pins ev.isNull to the literal
+        // `false` and declares no isNull variable — assigning it would fail
+        // Janino compilation (and silently disable codegen for the stage).
+        s"""
+           |$boxed $tmp = ($boxed) $ref.nullSafeEval($input);
+           |${ev.value} = $tmp;
+         """.stripMargin
     })
   }
 }

@@ -231,9 +231,9 @@ object CatalystAvroReader {
   }
 
   private def makeRecord(wr: ARecord, rr: ARecord): Reader = {
-      val slotOf = AvroNames.readerFieldSlot(rr)
-      val steps: Array[(Int, Reader)] = wr.fields.map { wf =>
-        slotOf(wf.name) match {
+      val slots = AvroNames.assignReaderSlots(wr, rr)
+      val steps: Array[(Int, Reader)] = wr.fields.zipWithIndex.map { case (wf, wi) =>
+        slots(wi) match {
           case -1 =>
             val sk = AvroSkipper.compile(wf.schema)
             (-1, (in: AvroBinaryReader) => { sk(in); null })
