@@ -323,10 +323,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // MinHash-LSH near-dup candidate pairs (banded, bucketed — no O(n²)).
+    // MinHash-LSH near-dup pairs, exact-verified: banded LSH proposes
+    // candidates (no O(n²)), exact word-3-gram Jaccard filters at 0.7 — the
+    // reported similarity is exact, so the all-pairs DuckDB oracle matches.
     "q23_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(round(jaccard, 9) AS DOUBLE)").as("jaccard"))
         .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs (pigeonhole chunk bucketing + bit_count verify).
@@ -352,10 +356,14 @@ object SparkEntry {
     }),
 
     // Embedding near-dup pairs via hyperplane LSH buckets + exact verify.
-    // (The synthetic embeddings carry no planted duplicates — max pairwise
-    // cosine is ~0.51 — so the threshold targets the top tail instead.)
+    // The synthetic embeddings carry no planted duplicates (max pairwise
+    // cosine ~0.51, a continuous tail), so hitting the 0.4 threshold exactly
+    // needs high-recall params (4 planes × 64 tables ⇒ per-pair miss ~1e-5
+    // at sim 0.4); production near-dup corpora (sim ≥ 0.85) would use
+    // 12-16 planes × 8 tables with far fewer candidates.
     "q27_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4,
+          numPlanes = 4, numTables = 64)
         .select(col("id_a"), col("id_b"),
           expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"))
         .orderBy("id_a", "id_b"))
@@ -464,6 +472,124 @@ object SparkEntry {
         |   + (CASE WHEN n_chars = 0 THEN 0 WHEN n_punct * 10 <= n_chars THEN 1000 ELSE 0 END)
         |  ) / 3000.0 AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Replicates LangId.detect (stopword-profile voting; tie-break = count
+    // desc, then profile first-letter asc, then profile order — the Scala
+    // maxBy ordering) and TextHashing.rollingHash (Karp–Rabin base 257 mod
+    // 2^64, signed). Exact because the corpus is pure ASCII, so Java charAt
+    // == codepoint. The CJK branch never fires on ASCII input.
+    "q22_lang_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:500] AS toks,
+        |    list_transform(generate_series(1, length(text)), i -> unicode(text[i])) AS cps
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with'], t))) AS n_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con'], t))) AS n_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit','ein','eine'], t))) AS n_de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','dans','que','pour','sur'], t))) AS n_fr,
+        |    len(list_filter(toks, t -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del'], t))) AS n_it,
+        |    list_reduce(list_prepend(CAST(0 AS HUGEINT), list_transform(cps, c -> CAST(c AS HUGEINT))),
+        |      (acc, c) -> (acc * 257 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM f),
+        |r AS (
+        |  SELECT doc_id,
+        |    (SELECT code FROM (VALUES ('en', n_en, 0, ascii('e')), ('es', n_es, 1, ascii('e')),
+        |                              ('de', n_de, 2, ascii('d')), ('fr', n_fr, 3, ascii('f')),
+        |                              ('it', n_it, 4, ascii('i'))) AS v(code, n, pos, fc)
+        |     ORDER BY n DESC, fc ASC, pos ASC LIMIT 1) AS best,
+        |    greatest(n_en, n_es, n_de, n_fr, n_it) AS mx,
+        |    CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |              THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS fingerprint
+        |  FROM s)
+        |SELECT doc_id, CASE WHEN mx = 0 THEN 'und' ELSE best END AS lang_pred, fingerprint
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Exact all-pairs word-3-gram Jaccard ≥ 0.7 (same gram definition as
+    // Dedup.wordGrams incl. the <3-token fallback). Matches the Spark side
+    // because q23 reports EXACT similarity for LSH-proposed candidates and
+    // 32 bands × 4 rows proposes a pair at j ≥ 0.7 w.p. ≥ 0.9998.
+    "q23_minhash_pairs" ->
+      """WITH g AS (
+        |  SELECT doc_id, (
+        |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
+        |    SELECT CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |                WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |                ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END
+        |    FROM t) AS grams
+        |  FROM documents)
+        |SELECT id_a, id_b, CAST(round(jac, 9) AS DOUBLE) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jac
+        |  FROM g a, g b
+        |  WHERE a.doc_id < b.doc_id AND len(list_intersect(a.grams, b.grams)) > 0)
+        |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin,
+
+    // SimHash-64 (FNV-1a-64 per token, per-bit majority vote) in pure SQL:
+    // HUGEINT arithmetic emulates unsigned 64-bit wraparound; the low-byte
+    // xor identity works because FNV folds in one byte (< 256) at a time.
+    // Recall is structural (4×16-bit pigeonhole covers Hamming ≤ 3), so the
+    // all-pairs oracle matches the bucketed Spark plan exactly.
+    "q24_simhash_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          list_transform(generate_series(1, length(t)), i -> CAST(unicode(t[i]) AS HUGEINT))),
+        |        (acc, c) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)))
+        |                     * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS th
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST((SELECT coalesce(sum(CASE WHEN 2 * len(list_filter(th, x -> (x // CAST(power(2, b.b) AS HUGEINT)) % 2 = 1)) > len(th)
+        |                     THEN CAST(power(2, b.b) AS HUGEINT) ELSE 0 END), 0)
+        |     FROM generate_series(0, 63) AS b(b)) AS HUGEINT) AS sh_u
+        |  FROM h),
+        |sb AS (
+        |  SELECT doc_id, CAST(CASE WHEN sh_u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN sh_u - CAST('18446744073709551616' AS HUGEINT) ELSE sh_u END AS BIGINT) AS sh
+        |  FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM sb a, sb b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact blocked (same-source) word-3-gram Jaccard ≥ 0.5; <3-token docs
+    // have an empty gram set (ngramJaccard contract — no fallback gram).
+    "q25_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, (
+        |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
+        |    SELECT CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |                ELSE list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |                     i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) END
+        |    FROM t) AS grams
+        |  FROM documents)
+        |SELECT id_a, id_b, CAST(round(jac, 9) AS DOUBLE) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jac
+        |  FROM g a, g b
+        |  WHERE a.source = b.source AND a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.grams, b.grams)) > 0)
+        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact all-pairs cosine ≥ 0.4; matches the Spark LSH+verify plan
+    // because 4 planes × 64 tables gives per-pair miss ~1e-5 at sim 0.4.
+    "q27_cosine_neardup" ->
+      """SELECT id_a, id_b, CAST(round(sim0, 9) AS DOUBLE) AS sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim0
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE sim0 >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "q26_cosine_topk" ->
       """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (

@@ -39,34 +39,51 @@ object Dedup {
 
   def simhash(c: Column): Column = Shims.column(SimHash64(Shims.expression(c)))
 
-  /** MinHash-LSH candidate pairs: signature → `numBands` band hashes →
-    * explode → bucket self-join → estimated-Jaccard filter.
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
-    *
-    * Shuffle discipline for 100 TB: the band self-join carries only
-    * `(band_hash, id)` — the 128-long signatures do NOT ride through the
-    * ×numBands explode; they are re-joined by id for the (much smaller)
-    * surviving candidate set only. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 128, numBands: Int = 32,
-                        shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+  /** Distinct word-`n`-gram set of `textCol` (space-joined shingles).
+    * Fewer than `n` tokens collapses to one gram of the whole token sequence
+    * (so short docs still dedup against each other); zero tokens → empty set. */
+  private[graft] def wordGrams(textCol: String, n: Int): Column = {
+    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+    expr(
+      s"""array_distinct(CASE
+         |  WHEN size($toks) = 0 THEN CAST(array() AS ARRAY<STRING>)
+         |  WHEN size($toks) < $n THEN array(array_join($toks, ' '))
+         |  ELSE transform(sequence(0, size($toks) - $n),
+         |                 i -> array_join(slice($toks, i + 1, $n), ' '))
+         |END)""".stripMargin)
+  }
+
+  /** Banded-LSH candidate pairs over a `(id, sig)` frame: band hashes are
+    * computed pre-explode so the self-join shuffles only `(band_hash, id)` —
+    * the 128-long signatures never ride through the ×numBands explode. */
+  private def bandCandidates(sigs: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    // the signature (128 permutations over full document text) is referenced
-    // three times (band explode + two candidate re-joins); persist so it is
-    // computed once instead of 3× — at 100 TB the recompute would dominate
-    val sigs = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // all band hashes in one pass over the signature, pre-explode; the band
-    // index participates in the hash so a single join key suffices
     val banded = sigs.select(col("id"),
         explode(expr(s"transform(sequence(0, ${numBands - 1}), " +
           s"b -> hash(b, slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")).as("bh"))
-    val candidates = banded.as("a")
+    banded.as("a")
       .join(banded.as("b"), col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    candidates
+  }
+
+  private def persistedSigs(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, shingleSize: Int): DataFrame =
+    // the signature (numHashes permutations over full document text) is
+    // referenced more than once (band explode + re-joins); persist so it is
+    // computed once instead of 3× — at 100 TB the recompute would dominate
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** MinHash-LSH candidate pairs: signature → `numBands` band hashes →
+    * explode → bucket self-join → estimated-Jaccard filter.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, numBands: Int = 32,
+                        shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sigs = persistedSigs(df, idCol, textCol, numHashes, shingleSize)
+    bandCandidates(sigs, numHashes, numBands)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
@@ -74,6 +91,33 @@ object Dedup {
           .cast("double") / lit(numHashes))
       .where(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** MinHash-LSH near-duplicate pairs with EXACT verification: banded LSH
+    * proposes candidates, then exact word-`shingleSize`-gram Jaccard filters
+    * at `threshold`. Output (id_a, id_b, jaccard) is the exact similarity,
+    * so results are engine-reproducible (the signature only drives candidate
+    * generation, never the reported value).
+    *
+    * Scale: candidate volume tracks true near-duplicate density (band
+    * buckets), the exact verify touches only candidates, and the gram
+    * arrays are joined by id for candidates only — never exploded. With the
+    * default 32 bands × 4 rows, a pair at Jaccard `j` is proposed with
+    * probability 1−(1−j⁴)³²  (≥ 0.9998 at j = 0.7). */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 128, numBands: Int = 32,
+                        shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sigs = persistedSigs(df, idCol, textCol, numHashes, shingleSize)
+    val grams = df.select(col(idCol).as("id"), wordGrams(textCol, shingleSize).as("grams"))
+    bandCandidates(sigs, numHashes, numBands)
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
+      .withColumn("uni", size(col("g_a")) + size(col("g_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(lit(0.0)))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash near-dup pairs within a Hamming radius (default 3 bits).
@@ -115,7 +159,7 @@ object Dedup {
     // diverging from exact all-pairs semantics.
     require(threshold > 0.0,
       s"ngramJaccard requires threshold > 0 (inverted index only sees pairs sharing a gram); got $threshold")
-    val toks = s"split($textCol, '\\\\s+')"
+    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
     val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(expr(
         s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
