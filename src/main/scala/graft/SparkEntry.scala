@@ -292,6 +292,67 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // G6: typed compatibility-checker results over a fixed evolution matrix
+    // (promotions, unions, projections, defaults, enum defaults, fixed size,
+    // names/aliases) — the registry-style "can R read W?" surface.
+    "q17_compat_check" -> ((s, dir) => {
+      val writerRec = """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},{"name":"b","type":"string"}]}""".stripMargin
+      val writerEnum = """{"type":"enum","name":"E","symbols":["A","B","C"]}"""
+      val cases: Seq[(String, String, String)] = Seq(
+        ("enum_default_absorbs",
+          """{"type":"enum","name":"E","symbols":["A","B"],"default":"A"}""", writerEnum),
+        ("enum_missing_symbols",
+          """{"type":"enum","name":"E","symbols":["A","B"]}""", writerEnum),
+        ("fixed_size_mismatch",
+          """{"type":"fixed","name":"F","size":4}""",
+          """{"type":"fixed","name":"F","size":8}"""),
+        ("int_reads_long", "\"int\"", "\"long\""),
+        ("long_reads_int", "\"long\"", "\"int\""),
+        ("name_mismatch",
+          """{"type":"record","name":"X","fields":[{"name":"a","type":"int"}]}""",
+          """{"type":"record","name":"Y","fields":[{"name":"a","type":"int"}]}"""),
+        ("record_missing_default",
+          """{"type":"record","name":"R","fields":[
+            |{"name":"a","type":"int"},{"name":"c","type":"int"}]}""".stripMargin, writerRec),
+        ("record_projection",
+          """{"type":"record","name":"R","fields":[{"name":"a","type":"long"}]}""", writerRec),
+        ("union_missing_branch", """["null","int"]""", """["null","int","string"]"""),
+        ("union_widening", """["null","long"]""", """["null","int"]"""))
+      val rows = cases.map { case (name, r, w) =>
+        val res = graft.avro.Compatibility.check(
+          AvroSchemaParser.parse(r), AvroSchemaParser.parse(w))
+        Row(name, res.isCompatible, res.incompatibilities.map(_.kind.name).mkString(","))
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("case_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("compatible",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("kinds",
+            org.apache.spark.sql.types.StringType))))
+        .orderBy("case_name")
+    }),
+
+    // U4 as ONE expression: KPL → Spring headers → registry → decode → one
+    // JSON array string per input row (reference Lambda per-row contract).
+    "q18_spring_kpl_all" -> ((s, dir) => {
+      val schema = AvroSchemaParser.parse(regionSchemaJson).asInstanceOf[ARecord]
+      val writer = new AvroDatumWriter(schema)
+      val rows = t(s, dir, "region").orderBy("r_regionkey").collect()
+      val framed = rows.map { r =>
+        val body = writer.toBytes(AvroRecord(schema, Array[Any](r.getInt(0), r.getString(1))))
+        SpringHeaders.frame(Seq("contentType" -> "application/vnd.region.v1+avro"), body)
+      }
+      val kpl = KplDeaggregator.encode(KplDeaggregator.Aggregated(
+        partitionKeys = Seq("pk0"), explicitHashKeys = Seq.empty,
+        records = framed.map(KplDeaggregator.KplRecord(0, None, _)).toIndexedSeq))
+      oneBinaryRow(s, kpl)
+        .select(gfn.spring_kpl_decode_all(col("payload"),
+          Map("application/vnd.region.v1+avro" -> regionSchemaJson)).as("json"))
+    }),
+
     // -- LLM-data-pipeline operators over documents/embeddings
 
     // Exact dedup groups (hash-groupBy on a 16-byte digest, not on text).
@@ -448,6 +509,24 @@ object SparkEntry {
     "q16_spring_kpl" ->
       """SELECT 'application/vnd.region.v1+avro' AS content_type, r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q17_compat_check" ->
+      """SELECT * FROM (VALUES
+        |  ('enum_default_absorbs',    true,  ''),
+        |  ('enum_missing_symbols',    false, 'missing_enum_symbols'),
+        |  ('fixed_size_mismatch',     false, 'fixed_size_mismatch'),
+        |  ('int_reads_long',          false, 'type_mismatch'),
+        |  ('long_reads_int',          true,  ''),
+        |  ('name_mismatch',           false, 'name_mismatch'),
+        |  ('record_missing_default',  false, 'reader_field_missing_default_value'),
+        |  ('record_projection',       true,  ''),
+        |  ('union_missing_branch',    false, 'missing_union_branch'),
+        |  ('union_widening',          true,  '')
+        |) AS t(case_name, compatible, kinds) ORDER BY case_name""".stripMargin,
+
+    "q18_spring_kpl_all" ->
+      """SELECT '[' || string_agg('{"r_regionkey": ' || r_regionkey || ', "r_name": "' || r_name || '"}',
+        |  ', ' ORDER BY r_regionkey) || ']' AS json FROM region""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -214,6 +214,36 @@ case class KplDeaggregate(child: Expression)
     copy(child = newChild)
 }
 
+/** `spring_kpl_decode_all(binary)` → JSON array string: the U4 composite in
+  * ONE expression — KPL de-aggregation → per-sub-record Spring embedded-header
+  * extraction → contentType → registry schema → bare-datum decode → one
+  * Python-`json.dumps`-formatted JSON array per input row. Schemas are
+  * resolved from a driver-supplied contentType→schema map (the offline
+  * registry), cached per executor.
+  * (reference: springcloud-lambda-udf/lambda_function.py:171-219 —
+  * decode_spring_kpl_encoded_data + the per-row json.dumps contract.) */
+case class SpringKplDecodeAll(child: Expression, schemasByContentType: Map[String, String])
+    extends UnaryExpression with GraftUnaryCodegen {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "spring_kpl_decode_all"
+
+  override def nullSafeEval(input: Any): Any = {
+    val subs = KplDeaggregator.subPayloads(input.asInstanceOf[Array[Byte]])
+    val datums = subs.map { sub =>
+      val ex = SpringHeaders.extract(sub)
+      val contentType = ex.headers.getOrElse("contentType",
+        throw new AvroResolutionException("Spring message missing contentType header"))
+      val schemaJson = schemasByContentType.getOrElse(contentType,
+        throw new AvroResolutionException(s"no schema registered for content type '$contentType'"))
+      AvroRuntime.genericReader(schemaJson).read(ex.body)
+    }
+    UTF8String.fromString(AvroJson.renderAll(datums))
+  }
+  override protected def withNewChildInternal(newChild: Expression): SpringKplDecodeAll =
+    copy(child = newChild)
+}
+
 /** `spring_extract(binary)` → `struct<headers: map<string,string>, body: binary>`:
   * strip spring-cloud-stream embedded headers from a message payload.
   * (reference: springcloud-lambda-udf/lambda_function.py:72-139.) */

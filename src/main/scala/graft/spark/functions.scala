@@ -53,6 +53,11 @@ object functions {
 
   def spring_extract(data: Column): Column = col(SpringExtract(expr(data)))
 
+  /** U4 composite: KPL → Spring headers → registry → decode → one JSON array
+    * per input row (the reference Lambda's exact per-row contract). */
+  def spring_kpl_decode_all(data: Column, schemasByContentType: Map[String, String]): Column =
+    col(SpringKplDecodeAll(expr(data), schemasByContentType))
+
   // ---- SQL registration ---------------------------------------------------
   private def litString(e: Expression, fn: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** S6: streaming decode-on-ingest — the reference's "Code example TBD" slot
+  * (reference: README.md:54-58) filled with Structured Streaming. */
+class StreamingIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streaming-spec")
+    .getOrCreate()
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("OCF files stream through decode and land as parquet (golden fixture)") {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val out = Files.createTempDirectory("graft-stream-out")
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    Files.write(in.resolve("payload-000.ocf"), unhex(SparkEntry.goldenOcfHex))
+
+    val decoded = StreamingIngest.ocfFileStream(
+      spark, in.toString, SparkEntry.userSchemaJson)
+    assert(decoded.isStreaming)
+    val q = StreamingIngest.landToParquet(decoded, out.toString, ckpt.toString)
+    q.awaitTermination(60000)
+
+    val landed = spark.read.parquet(out.toString).orderBy("name").collect()
+    assert(landed.length == 2)
+    assert(landed(0).getAs[String]("name") == "Alyssa")
+    assert(landed(0).getAs[Int]("favorite_number") == 256)
+    assert(landed(0).getAs[String]("favorite_color") == null)
+    assert(landed(1).getAs[String]("name") == "Ben")
+    assert(landed(1).getAs[String]("favorite_color") == "red")
+
+    // a second identical run is a no-op: the checkpoint remembers the file
+    // (exactly-once ingest, not at-least-once)
+    val q2 = StreamingIngest.landToParquet(
+      StreamingIngest.ocfFileStream(spark, in.toString, SparkEntry.userSchemaJson),
+      out.toString, ckpt.toString)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out.toString).count() == 2)
+  }
+
+  test("bare-datum memory stream decodes with watermarked windowed counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val schemaJson =
+      """{"type":"record","name":"Evt","fields":[
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |{"name":"what","type":"string"}]}""".stripMargin
+
+    // build three bare-datum payloads via the engine's own encoder
+    val enc = new graft.avro.AvroDatumWriter(
+      graft.avro.AvroSchemaParser.parse(schemaJson).asInstanceOf[graft.avro.ARecord])
+    def payload(epochMicros: Long, what: String): Array[Byte] =
+      enc.toBytes(graft.avro.AvroRecord(
+        graft.avro.AvroSchemaParser.parse(schemaJson).asInstanceOf[graft.avro.ARecord],
+        Array[Any](java.time.Instant.ofEpochSecond(epochMicros / 1000000L,
+          (epochMicros % 1000000L) * 1000L), what)))
+
+    val base = 1700000000L * 1000000L // stable epoch micros
+    val stream = MemoryStream[Array[Byte]]
+    stream.addData(
+      payload(base, "a"),
+      payload(base + 30L * 1000000L, "b"),            // same minute
+      payload(base + 90L * 1000000L, "c"))            // next minute
+
+    val decoded = StreamingIngest
+      .decodeBareDatums(stream.toDF().withColumnRenamed("value", "payload"),
+        "payload", schemaJson)
+      .select(col("record.ts").as("ts"), col("record.what").as("what"))
+    val counts = StreamingIngest.windowedCounts(decoded, "ts", "10 minutes", "1 minute")
+
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_counts ORDER BY window_start").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+}
