@@ -416,6 +416,20 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Multimodal: typed binary assets → batched partition-local (stub)
+    // decode stats. The byte-level decode is a documented deterministic
+    // stub (no codec libs in this environment); the schema/batch/partition
+    // plumbing is the real contract under test.
+    "q30_multimodal_stats" -> ((s, dir) =>
+      ops.Multimodal.decodeStats(ops.Multimodal.syntheticAssets(t(s, dir, "documents")))
+        .orderBy("asset_id")),
+
+    // Multimodal: video frame sampling — metadata-only relational fan-out
+    // (no binary content touched until a later decode stage selects frames).
+    "q31_frame_sample" -> ((s, dir) =>
+      ops.Multimodal.frameSample(ops.Multimodal.syntheticAssets(t(s, dir, "documents")), 250L)
+        .orderBy("asset_id", "frame_idx")),
+
     // Embedding near-dup pairs via hyperplane LSH buckets + exact verify.
     // The synthetic embeddings carry no planted duplicates (max pairwise
     // cosine ~0.51, a continuous tail), so hitting the 0.4 threshold exactly
@@ -660,6 +674,25 @@ object SparkEntry {
         |  WHERE a.source = b.source AND a.doc_id < b.doc_id
         |    AND len(list_intersect(a.grams, b.grams)) > 0)
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // The stub decode is byte statistics over UTF-8 content; the ASCII
+    // corpus makes bytes == codepoints, so SQL reproduces it exactly.
+    "q30_multimodal_stats" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(generate_series(1, length(text)), i -> unicode(text[i]))) AS BIGINT) AS sum_bytes,
+        |  CAST(list_sum(list_transform(generate_series(1, length(text)), i -> unicode(text[i]))) * 1000 // length(text) AS BIGINT) AS mean_byte_x1000,
+        |  CAST(16 + length(text) % 64 AS INTEGER) AS width,
+        |  CAST(16 + length(text) % 48 AS INTEGER) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q31_frame_sample" ->
+      """SELECT asset_id, CAST(g AS BIGINT) AS frame_idx, CAST(g * 250 AS BIGINT) AS ts_ms
+        |FROM (SELECT doc_id AS asset_id,
+        |        unnest(generate_series(0, (1000 * (1 + doc_id % 30) - 1) // 250)) AS g
+        |      FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     // Exact all-pairs cosine ≥ 0.4; matches the Spark LSH+verify plan
     // because 4 planes × 64 tables gives per-pair miss ~1e-5 at sim 0.4.

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines.
+  *
+  * Model: media are opaque `binary` columns with a typed metadata struct —
+  * the same "binary payload + schema-described envelope" shape as the Avro
+  * engine, applied to media. Decode / feature-extraction / resize run as
+  * partition-local batched functions (the Scala analog of `mapInPandas`:
+  * one decoder context per batch, vectorized work inside); frame/chunk
+  * sampling is pure relational fan-out (`sequence` + `explode`), so Catalyst
+  * plans and scales it like any other generator.
+  *
+  * ==== STUB BOUNDARY ====
+  * This container ships no imaging/audio codec libraries, so the byte-level
+  * "decode" is a DETERMINISTIC FAKE (byte statistics standing in for pixel
+  * planes / PCM samples), clearly marked at [[StubCodecs]]. Everything
+  * Spark-side — schemas, metadata propagation, batch shape, partition
+  * locality, fan-out plans — is real and tested; swapping a real codec in
+  * changes only the function bodies in [[StubCodecs]].
+  *
+  * Scale notes (100 TB of media):
+  *  - binary content never enters a shuffle: stats/features are computed
+  *    partition-local and only (id, features) rows move;
+  *  - frame sampling emits (asset_id, frame_idx, ts_ms) BEFORE any frame
+  *    content is materialized — at 1000 executors the fan-out is metadata
+  *    only until a downstream stage decodes selected frames;
+  *  - per-batch decoder amortization mirrors Arrow-batch Python UDFs.
+  */
+object Multimodal {
+
+  val MetaFields: Seq[String] =
+    Seq("width", "height", "channels", "sample_rate", "duration_ms", "codec")
+
+  /** Deterministic synthetic assets derived from the documents table — the
+    * fixture generator standing in for a real media lake (content bytes =
+    * UTF-8 text, metadata derived arithmetically, kind cycles
+    * image/audio/video by id). Keeps every downstream operator
+    * oracle-checkable. */
+  def syntheticAssets(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol) % 3 + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("content"),
+      struct(
+        (lit(16) + length(col(textCol)) % 64).cast("int").as("width"),
+        (lit(16) + length(col(textCol)) % 48).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit(16000).as("sample_rate"),
+        (lit(1000) * (lit(1) + col(idCol) % 30)).cast("long").as("duration_ms"),
+        element_at(array(lit("png"), lit("pcm_s16le"), lit("h264")),
+          (col(idCol) % 3 + 1).cast("int")).as("codec")).as("meta"))
+
+  /** The clearly-marked stub codec layer. Real implementations would wrap
+    * an imaging/audio library here; the signatures (bytes in, typed stats /
+    * resized bytes out, one context per batch) are the real contract. */
+  object StubCodecs {
+    /** STUB image/audio "decode": byte statistics stand in for decoded
+      * pixel/sample planes. Deterministic, engine-reproducible. */
+    def decodeStats(content: Array[Byte]): (Long, Long, Long) = {
+      var sum = 0L
+      var i = 0
+      while (i < content.length) { sum += content(i) & 0xff; i += 1 }
+      val n = content.length.toLong
+      (n, sum, if (n == 0) 0L else sum * 1000L / n)
+    }
+
+    /** STUB resize: a real codec would decode, scale, re-encode; the fake
+      * truncates/pads content to width*height*channels bytes so downstream
+      * size accounting stays honest. */
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
+      java.util.Arrays.copyOf(content, w * h * channels)
+  }
+
+  /** Per-asset decode statistics, batched partition-local (the mapInPandas
+    * shape: decoder context per batch, loop inside). Output carries the
+    * metadata through so downstream stages never re-join the binary side. */
+  def decodeStats(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = assets.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("kind", StringType),
+      StructField("n_bytes", LongType), StructField("sum_bytes", LongType),
+      StructField("mean_byte_x1000", LongType),
+      StructField("width", IntegerType), StructField("height", IntegerType)))
+    val in = assets.select(col("asset_id"), col("kind"), col("content"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      // one (stub) decoder context per batch — amortizes real-codec init
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (n, sum, mean) = StubCodecs.decodeStats(r.getAs[Array[Byte]]("content"))
+          Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"), n, sum, mean,
+            r.getAs[Int]("width"), r.getAs[Int]("height"))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Resize images to a target box: metadata updated relationally, bytes
+    * re-encoded by the (stub) codec partition-locally. */
+  def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val resizeUdf = udf((content: Array[Byte], channels: Int) =>
+      StubCodecs.resize(content, targetW, targetH, channels))
+    assets.where(col("kind") === "image")
+      .withColumn("content", resizeUdf(col("content"), col("meta.channels")))
+      .withColumn("meta", struct(
+        lit(targetW).cast("int").as("width"), lit(targetH).cast("int").as("height"),
+        col("meta.channels").as("channels"), col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec")))
+  }
+
+  /** Frame sampling for video assets: one row per sampled frame timestamp,
+    * every `stepMs` through the clip. Pure relational fan-out — no binary
+    * content is touched, so at scale this stage shuffles metadata only. */
+  def frameSample(assets: DataFrame, stepMs: Long): DataFrame =
+    assets.where(col("kind") === "video")
+      .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"),
+        posexplode(expr(s"sequence(0L, (meta.duration_ms - 1) DIV $stepMs)"))
+          .as(Seq("frame_idx", "step")))
+      .select(col("asset_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("step") * stepMs).cast("long").as("ts_ms"))
+
+  /** Audio chunking: fixed-length windows over the clip duration (last
+    * chunk may be short). Same metadata-only fan-out discipline. */
+  def audioChunks(assets: DataFrame, chunkMs: Long): DataFrame =
+    assets.where(col("kind") === "audio")
+      .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"),
+        posexplode(expr(s"sequence(0L, (meta.duration_ms - 1) DIV $chunkMs)"))
+          .as(Seq("chunk_idx", "step")))
+      .select(col("asset_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("step") * chunkMs).cast("long").as("start_ms"),
+        least((col("step") + 1) * chunkMs, col("duration_ms")).cast("long").as("end_ms"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: typed metadata, batched partition-local stub decode,
+  * relational frame/chunk fan-out. The codec layer is a documented stub;
+  * these tests pin the Spark-side contract. */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-multimodal-spec")
+    .getOrCreate()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def assets = Multimodal.syntheticAssets(docs)
+
+  test("synthetic assets carry typed metadata and cycle kinds deterministically") {
+    val a = assets.orderBy("asset_id").limit(6).collect()
+    assert(a.map(_.getAs[String]("kind")).toSeq ==
+      Seq("image", "audio", "video", "image", "audio", "video"))
+    val m = a.head.getStruct(a.head.fieldIndex("meta"))
+    assert(m.getAs[Int]("channels") == 3)
+    assert(m.getAs[Long]("duration_ms") % 1000 == 0)
+  }
+
+  test("batched stub decode matches a direct per-row computation") {
+    val stats = Multimodal.decodeStats(assets, batchSize = 7)
+      .orderBy("asset_id").limit(20).collect()
+    val direct = assets.orderBy("asset_id").limit(20).collect()
+    stats.zip(direct).foreach { case (s, d) =>
+      val content = d.getAs[Array[Byte]]("content")
+      val sum = content.map(_ & 0xff).map(_.toLong).sum
+      assert(s.getAs[Long]("n_bytes") == content.length.toLong)
+      assert(s.getAs[Long]("sum_bytes") == sum)
+      assert(s.getAs[Long]("mean_byte_x1000") ==
+        (if (content.isEmpty) 0L else sum * 1000L / content.length))
+    }
+  }
+
+  test("resize re-encodes content to width*height*channels bytes and updates meta") {
+    val r = Multimodal.resizeImages(assets, 32, 24).limit(5).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val m = row.getStruct(row.fieldIndex("meta"))
+      assert(m.getAs[Int]("width") == 32 && m.getAs[Int]("height") == 24)
+      assert(row.getAs[Array[Byte]]("content").length == 32 * 24 * 3)
+    }
+  }
+
+  test("frame sampling fans out metadata-only rows at the step cadence") {
+    val frames = Multimodal.frameSample(assets, 250L)
+    val one = frames.where(col("asset_id") === 2).orderBy("frame_idx").collect()
+    // doc 2 is video with duration 1000*(1+2%30) = 3000 ms -> 12 frames @250ms
+    assert(one.length == 12)
+    assert(one.head.getAs[Long]("ts_ms") == 0L)
+    assert(one.last.getAs[Long]("ts_ms") == 2750L)
+  }
+
+  test("audio chunking clips the final window to the duration") {
+    val chunks = Multimodal.audioChunks(assets, 700L)
+    val one = chunks.where(col("asset_id") === 1).orderBy("chunk_idx").collect()
+    // doc 1 is audio with duration 2000 ms -> ceil(2000/700) = 3 chunks
+    assert(one.length == 3)
+    assert(one.last.getAs[Long]("end_ms") == 2000L)
+    assert(one.last.getAs[Long]("start_ms") == 1400L)
+  }
+}
