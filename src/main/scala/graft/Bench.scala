@@ -22,10 +22,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm up the JVM + filesystem once, outside any query's timing; a bad
-    // data dir must still produce the JSON line (with every query not-ok)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // warm up the JVM + filesystem + codegen/agg/sink paths once, outside any
+    // query's timing (the first query otherwise absorbs JIT + Janino compile
+    // time); a bad data dir must still produce the JSON line (all not-ok)
+    try {
+      import org.apache.spark.sql.functions.sum
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+        .groupBy("l_returnflag").agg(sum("l_quantity"))
+        .write.mode("overwrite").format("noop").save()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -147,10 +147,17 @@ object Dedup {
     * via an inverted index: explode grams, self-join on (block, gram), count
     * shared grams per pair, |A∪B| = |A|+|B|−|A∩B|.
     *
-    * Scale notes: shuffle volume is proportional to total gram count, not to
-    * the O(n²) per-block pair space; only pairs that actually share a gram
-    * are ever materialized, and the per-pair work is a counting aggregate
-    * (map-side combined) instead of wide array_intersect calls. */
+    * The inverted index is PREFIX-FILTERED (AllPairs/PPJoin family): each
+    * doc indexes only its `|A| − ⌈t·|A|⌉ + 1` globally-rarest grams, which
+    * is provably lossless — under any global total order, two sets with
+    * Jaccard ≥ t must share a gram inside both prefixes. Candidates then
+    * get an exact `array_intersect` verify.
+    *
+    * Scale notes: the self-join touches only prefix grams ordered
+    * rarest-first, so frequent grams (the quadratic blowup of a naive
+    * inverted index) never generate pairs — shuffle volume tracks candidate
+    * density, not gram-frequency skew. The exact verify joins gram arrays
+    * by id for surviving candidates only. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     // The inverted index can only materialize pairs sharing ≥1 gram, so a
@@ -165,22 +172,32 @@ object Dedup {
         s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
         s"transform(sequence(0, size($toks) - $n), " +
         s"i -> array_join(slice($toks, i + 1, $n), ' ')) END")).as("grams"))
-    val sizes = sh.select(col("id"), size(col("grams")).as("n_grams"))
-    val inv = sh.select(col("id"), col("blk"), explode(col("grams")).as("gram"))
-    val pairs = inv.as("a")
-      .join(inv.as("b"), col("a.blk") === col("b.blk") &&
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv0 = sh.select(col("id"), col("blk"), explode(col("grams")).as("gram"))
+    // global gram rarity; (df, gram) is the total order for prefix selection
+    val gramDf = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
+    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val prefix = inv0.join(gramDf, "gram")
+      .withColumn("n_grams", count(lit(1)).over(byId))
+      .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("gram"))))
+      .where(col("rn") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + lit(1))
+      .select(col("id"), col("blk"), col("gram"))
+    val pairs = prefix.as("a")
+      .join(prefix.as("b"), col("a.blk") === col("b.blk") &&
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val grams = sh.select(col("id"), col("grams"))
     pairs
-      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("n_b")), "id_b")
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("jaccard",
-        // inter ≥ 1 for every materialized pair, so the denominator is ≥ 1;
+        // inter ≥ 1 for every candidate pair, so the denominator is ≥ 1;
         // the greatest() guard keeps the contract explicit if that invariant
         // ever changes (0/0 must not become a silently-dropped null)
         col("inter").cast("double") /
-          greatest(col("n_a") + col("n_b") - col("inter"), lit(1L)))
+          greatest(size(col("g_a")) + size(col("g_b")) - col("inter"), lit(1)))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

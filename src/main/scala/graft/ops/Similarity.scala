@@ -77,16 +77,21 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          numPlanes: Int = 12, numTables: Int = 8,
                          seed: Long = 42L): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"),
+    // Shuffle discipline: the ×numTables bucket self-join carries only
+    // (tbl, bucket, id) — vectors are re-joined by id AFTER pair dedup, so
+    // the wide embedding column never rides the candidate-pair explosion
+    // (at 64 tables that join is ~numTables× the corpus; carrying two
+    // embeddings through it dominates the whole query otherwise).
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val b = vecs.select(col("id"),
         posexplode(lshBuckets(col("vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
-    val l = b.as("a")
-    val r = b.as("b")
-    l.join(r, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+    b.as("a")
+      .join(b.as("b"), col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
