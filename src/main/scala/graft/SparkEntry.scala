@@ -416,6 +416,20 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // ANN top-k via multi-table hyperplane LSH + exact cosine re-rank. With
+    // 4 planes × 64 tables the per-neighbor miss probability is ~1e-4 on
+    // this corpus, so the result equals brute force exactly and the q26
+    // oracle applies; clustered production corpora would use 8-16 planes ×
+    // 8-16 tables with far fewer candidates.
+    "q28_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, 5,
+          numPlanes = 4, numTables = 64)
+        .select(col("q_id"), col("n_id"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Multimodal: typed binary assets → batched partition-local (stub)
     // decode stats. The byte-level decode is a documented deterministic
     // stub (no codec libs in this environment); the schema/batch/partition
@@ -674,6 +688,18 @@ object SparkEntry {
         |  WHERE a.source = b.source AND a.doc_id < b.doc_id
         |    AND len(list_intersect(a.grams, b.grams)) > 0)
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Identical to the q26 oracle: with exact-recall LSH parameters the
+    // approximate plan must reproduce brute-force top-k bit-for-bit.
+    "q28_ann_topk" ->
+      """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim0,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // The stub decode is byte statistics over UTF-8 content; the ASCII
     // corpus makes bytes == codepoints, so SQL reproduces it exactly.

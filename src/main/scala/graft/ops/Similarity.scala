@@ -54,15 +54,20 @@ object Similarity {
               numPlanes: Int = 8, numTables: Int = 16, seed: Long = 42L,
               qId: String = "vec_id", qVec: String = "embedding",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
-      .select(col("n_id"), col("n_vec"),
-        posexplode(lshBuckets(col("n_vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
-    val q = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-      .select(col("q_id"), col("q_vec"),
-        posexplode(lshBuckets(col("q_vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
+    // Shuffle discipline: the ×numTables bucket join matches on
+    // (tbl, bucket) with ids only; both embedding columns are re-joined by
+    // id after candidate dedup so they never ride the bucket fan-out.
+    val cv = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
+    val qv = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+    val c = cv.select(col("n_id"),
+      posexplode(lshBuckets(col("n_vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
+    val q = qv.select(col("q_id"),
+      posexplode(lshBuckets(col("q_vec"), numPlanes, numTables, seed)).as(Seq("tbl", "bucket")))
     val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
       .where(col("q_id") =!= col("n_id"))
       .dropDuplicates("q_id", "n_id")
+      .join(broadcast(qv), "q_id")
+      .join(cv, "n_id")
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
