@@ -368,47 +368,58 @@ object AvroSchemaParser {
   // ---- schema → avsc JSON (round-trip; used by OCF writer metadata) ------
   def toJson(s: AvroSchema): String = {
     val sb = new StringBuilder
-    writeJson(s, sb, Set.empty)
+    writeJson(s, sb, Set.empty, None)
     sb.toString
   }
 
-  private def writeJson(s: AvroSchema, sb: StringBuilder, seen: Set[String]): Unit = s match {
+  /** Declaration-site name attributes: when a named type's namespace matches
+    * the enclosing one it inherits (fullname form for roots), otherwise an
+    * explicit "namespace" attribute is written — "" encodes the NULL
+    * namespace per the spec, so a null-namespaced type nested inside a
+    * namespaced record survives the round-trip. */
+  private def nameAttrs(n: NamedSchema, enclosing: Option[String]): String =
+    if (n.namespace == enclosing || (enclosing.isEmpty && n.namespace.nonEmpty))
+      s""""name":"${n.fullName}""""
+    else s""""name":"${n.name}","namespace":"${n.namespace.getOrElse("")}""""
+
+  private def writeJson(s: AvroSchema, sb: StringBuilder, seen: Set[String],
+                        enclosing: Option[String]): Unit = s match {
     case p @ (ANull | ABoolean | AInt | ALong | AFloat | ADouble | ABytes | AString) =>
       sb.append('"').append(p.typeName).append('"')
     case ADecimal(p, sc, u) =>
       u match {
         case f: AFixed =>
-          sb.append(s"""{"type":"fixed","name":"${f.fullName}","size":${f.size},"logicalType":"decimal","precision":$p,"scale":$sc}""")
+          sb.append(s"""{"type":"fixed",${nameAttrs(f, enclosing)},"size":${f.size},"logicalType":"decimal","precision":$p,"scale":$sc}""")
         case _ =>
           sb.append(s"""{"type":"bytes","logicalType":"decimal","precision":$p,"scale":$sc}""")
       }
     case l: LogicalSchema =>
       sb.append(s"""{"type":"${l.physical.typeName}","logicalType":"${l.typeName}"}""")
-    case r: ARef => writeJson(r.target, sb, seen)
+    case r: ARef => writeJson(r.target, sb, seen, enclosing)
     case AUnion(bs) =>
       sb.append('[')
       bs.zipWithIndex.foreach { case (b, i) =>
-        if (i > 0) sb.append(','); writeJson(b, sb, seen) }
+        if (i > 0) sb.append(','); writeJson(b, sb, seen, enclosing) }
       sb.append(']')
     case AArray(items) =>
-      sb.append("""{"type":"array","items":"""); writeJson(items, sb, seen); sb.append('}')
+      sb.append("""{"type":"array","items":"""); writeJson(items, sb, seen, enclosing); sb.append('}')
     case AMap(values) =>
-      sb.append("""{"type":"map","values":"""); writeJson(values, sb, seen); sb.append('}')
+      sb.append("""{"type":"map","values":"""); writeJson(values, sb, seen, enclosing); sb.append('}')
     case f: AFixed =>
       if (seen.contains(f.fullName)) sb.append('"').append(f.fullName).append('"')
-      else sb.append(s"""{"type":"fixed","name":"${f.fullName}","size":${f.size}}""")
+      else sb.append(s"""{"type":"fixed",${nameAttrs(f, enclosing)},"size":${f.size}}""")
     case e: AEnum =>
       if (seen.contains(e.fullName)) sb.append('"').append(e.fullName).append('"')
-      else sb.append(s"""{"type":"enum","name":"${e.fullName}","symbols":[${e.symbols.map("\"" + _ + "\"").mkString(",")}]}""")
+      else sb.append(s"""{"type":"enum",${nameAttrs(e, enclosing)},"symbols":[${e.symbols.map("\"" + _ + "\"").mkString(",")}]}""")
     case r: ARecord =>
       if (seen.contains(r.fullName)) sb.append('"').append(r.fullName).append('"')
       else {
         val seen2 = seen + r.fullName
-        sb.append(s"""{"type":"record","name":"${r.fullName}","fields":[""")
+        sb.append(s"""{"type":"record",${nameAttrs(r, enclosing)},"fields":[""")
         r.fields.zipWithIndex.foreach { case (f, i) =>
           if (i > 0) sb.append(',')
           sb.append(s"""{"name":"${f.name}","type":""")
-          writeJson(f.schema, sb, seen2)
+          writeJson(f.schema, sb, seen2, r.namespace)
           f.default.foreach(d => sb.append(s""","default":${d.toString}"""))
           sb.append('}')
         }
