@@ -292,6 +292,19 @@ object SparkEntry {
         .orderBy("r_regionkey")
     }),
 
+    // S12: SUPER materialization — decoded JSON text → VariantType
+    // (`parse_json`, the Spark analog of Redshift's `json_parse` → SUPER,
+    // README.md:16-17) → typed field extraction with variant_get.
+    "q19_super_variant" -> ((s, dir) => {
+      gfn.registerAll(s)
+      oneStringRow(s, goldenOcfHex, "payload_hex")
+        .selectExpr("parse_json(fn_decode_avro_binary(payload_hex)) AS v")
+        .selectExpr(
+          "variant_get(v, '$[0].name', 'string') AS name0",
+          "variant_get(v, '$[1].name', 'string') AS name1",
+          "variant_get(v, '$[1].favorite_number', 'int') AS fav1")
+    }),
+
     // G6: typed compatibility-checker results over a fixed evolution matrix
     // (promotions, unions, projections, defaults, enum defaults, fixed size,
     // names/aliases) — the registry-style "can R read W?" surface.
@@ -537,6 +550,9 @@ object SparkEntry {
     "q16_spring_kpl" ->
       """SELECT 'application/vnd.region.v1+avro' AS content_type, r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q19_super_variant" ->
+      """SELECT 'Alyssa' AS name0, 'Ben' AS name1, CAST(7 AS INTEGER) AS fav1""",
 
     "q17_compat_check" ->
       """SELECT * FROM (VALUES

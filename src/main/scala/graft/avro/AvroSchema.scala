@@ -176,6 +176,12 @@ object AvroSchemaParser {
 
   private val NameRegex = "[A-Za-z_][A-Za-z0-9_]*".r
 
+  /** Primitive type names are reserved — a named type may not shadow them
+    * (reference: python-udf/avro/name.py:186-189). */
+  private def checkReserved(fullName: String): Unit =
+    if (PrimitiveNames.contains(fullName))
+      throw new AvroSchemaParseException(s"$fullName is a reserved type name")
+
   def parse(json: String): AvroSchema = {
     val node = try mapper.readTree(json) catch {
       case e: Exception => throw new AvroSchemaParseException(s"invalid schema JSON: ${e.getMessage}")
@@ -278,6 +284,7 @@ object AvroSchemaParser {
     val nsAttr = Option(o.get("namespace")).map(_.asText())
     val (simple, ns) = resolveName(rawName, nsAttr, enclosingNs)
     val fn = fullName(simple, ns)
+    checkReserved(fn)
     if (names.contains(fn)) throw new AvroSchemaParseException(s"redefined named type: $fn")
     val fieldsNode = Option(o.get("fields")).collect { case a: ArrayNode => a }
       .getOrElse(throw new AvroSchemaParseException(s"record $fn missing fields"))
@@ -309,6 +316,7 @@ object AvroSchemaParser {
     val e = AEnum(simple, ns, symbols, Option(o.get("default")).map(_.asText()),
       aliases = textArray(o, "aliases"))
     val fn = e.fullName
+    checkReserved(fn)
     if (names.contains(fn)) throw new AvroSchemaParseException(s"redefined named type: $fn")
     names(fn) = e
     e
@@ -322,6 +330,7 @@ object AvroSchemaParser {
     if (size < 0) throw new AvroSchemaParseException(s"fixed $simple invalid size")
     val f = AFixed(simple, ns, size, aliases = textArray(o, "aliases"))
     val fn = f.fullName
+    checkReserved(fn)
     if (names.contains(fn)) throw new AvroSchemaParseException(s"redefined named type: $fn")
     names(fn) = f
     f

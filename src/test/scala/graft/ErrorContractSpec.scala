@@ -1,0 +1,80 @@
+package graft
+
+import graft.avro._
+import graft.spark.{functions => gfn}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** U5 error contracts (FAILFAST mirrors the reference's whole-batch failure,
+  * PERMISSIVE is the Spark idiom) and parser error taxonomy.
+  * (reference: avro-file-udf/lambda_function.py:26-30 batch failure;
+  * python-udf/avro/name.py:186-189 reserved names.) */
+class ErrorContractSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-errors-spec")
+    .getOrCreate()
+
+  private val schemaJson =
+    """{"type":"record","name":"KV","fields":[{"name":"k","type":"string"}]}"""
+
+  private def payloadDf(bytes: Array[Byte]) = spark.createDataFrame(
+    java.util.Arrays.asList(Row(bytes)),
+    StructType(Seq(StructField("payload", BinaryType))))
+
+  test("FAILFAST: corrupt bytes fail the query (reference batch contract)") {
+    val corrupt = Array[Byte](0x7f, 0x7f, 0x7f) // truncated varint-length string
+    val e = intercept[Exception] {
+      payloadDf(corrupt).select(gfn.from_avro(
+        org.apache.spark.sql.functions.col("payload"), schemaJson)).collect()
+    }
+    assert(e != null)
+  }
+
+  test("PERMISSIVE: corrupt bytes decode to null instead of failing") {
+    val corrupt = Array[Byte](0x7f, 0x7f, 0x7f)
+    val rows = payloadDf(corrupt).select(gfn.from_avro_permissive(
+      org.apache.spark.sql.functions.col("payload"), schemaJson).as("r")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).isNullAt(0))
+    // and a VALID payload still decodes on the same path
+    val schema = AvroSchemaParser.parse(schemaJson).asInstanceOf[ARecord]
+    val good = new AvroDatumWriter(schema).toBytes(AvroRecord(schema, Array[Any]("v")))
+    val ok = payloadDf(good).select(gfn.from_avro_permissive(
+      org.apache.spark.sql.functions.col("payload"), schemaJson).as("r")).collect()
+    assert(ok(0).getStruct(0).getString(0) == "v")
+  }
+
+  test("primitive type names are reserved for named types") {
+    for (bad <- Seq("int", "string", "null", "bytes")) {
+      intercept[AvroSchemaParseException] {
+        AvroSchemaParser.parse(s"""{"type":"record","name":"$bad","fields":[]}""")
+      }
+      intercept[AvroSchemaParseException] {
+        AvroSchemaParser.parse(s"""{"type":"fixed","name":"$bad","size":4}""")
+      }
+    }
+    // ...but a namespaced name that merely ENDS in a primitive word is fine
+    assert(AvroSchemaParser.parse(
+      """{"type":"fixed","name":"my.ns.int2","size":4}""").isInstanceOf[AFixed])
+  }
+
+  test("ambiguous alias resolution throws instead of last-write-wins") {
+    val writer = AvroSchemaParser.parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int"},{"name":"old_a","type":"int"}]}""".stripMargin)
+    val reader = AvroSchemaParser.parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int","aliases":["old_a"]}]}""".stripMargin)
+    val schema = writer.asInstanceOf[ARecord]
+    val bytes = new AvroDatumWriter(schema).toBytes(AvroRecord(schema, Array[Any](1, 2)))
+    intercept[AvroResolutionException] {
+      new AvroDatumReader(writer, Some(reader)).read(bytes)
+    }
+  }
+}
