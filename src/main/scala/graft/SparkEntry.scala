@@ -269,6 +269,25 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // S2 at engine level: rows → block-buffered OCF payloads (partition-
+    // local mapPartitions sink, deflate codec, multi-block via the 64 KB
+    // sync interval) → S1 decode back. Round-trips the whole container
+    // format under Spark, not just the kernel writer.
+    "q32_ocf_sink_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"), col("l_shipdate"))
+      graft.spark.OcfSink.payloads(li, lineitemAvroSchemaJson,
+          codecName = "deflate", datumsPerPayload = 20000)
+        .select(explode(gfn.avro_ocf_decode(col("payload"), lineitemAvroSchemaJson)).as("r"))
+        .select(col("r.l_orderkey").as("l_orderkey"),
+          col("r.l_linenumber").as("l_linenumber"),
+          col("r.l_quantity").as("l_quantity"),
+          col("r.l_returnflag").as("l_returnflag"),
+          to_date(col("r.l_shipdate")).as("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // S7/S8/S4 composed: KPL aggregate → Spring embedded headers → bare-datum
     // decode, oracle-checked against the source table.
     "q16_spring_kpl" -> ((s, dir) => {
@@ -550,6 +569,11 @@ object SparkEntry {
     "q16_spring_kpl" ->
       """SELECT 'application/vnd.region.v1+avro' AS content_type, r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q32_ocf_sink_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |  CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q19_super_variant" ->
       """SELECT 'Alyssa' AS name0, 'Ben' AS name1, CAST(7 AS INTEGER) AS fav1""",

@@ -222,4 +222,47 @@ object Ocf {
     flush()
     out.toByteArray
   }
+
+  /** Assemble an OCF payload from PRE-ENCODED bare datums — the engine sink
+    * path: rows are encoded by the codegen'd `to_avro` expression, and block
+    * assembly is pure byte bookkeeping (an OCF block body is simply the
+    * concatenation of bare datums). Same header/block/sync layout and
+    * SyncInterval flush policy as [[writeAll]]. */
+  def writePreEncoded(schema: AvroSchema, datums: Iterator[Array[Byte]],
+                      codecName: String = "null",
+                      syncOpt: Option[Array[Byte]] = None): Array[Byte] = {
+    val codec = AvroCodecs(codecName)
+    val sync = syncOpt.getOrElse {
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(schema.canonical.getBytes("UTF-8"))
+    }
+    require(sync.length == SyncSize, s"sync marker must be $SyncSize bytes")
+    val out = new AvroBinaryWriter()
+    out.writeFixed(Magic)
+    val meta = mutable.LinkedHashMap[String, Array[Byte]](
+      "avro.codec" -> codecName.getBytes("UTF-8"),
+      "avro.schema" -> AvroSchemaParser.toJson(schema).getBytes("UTF-8"))
+    out.writeLong(meta.size.toLong)
+    meta.foreach { case (k, v) => out.writeString(k); out.writeBytes(v) }
+    out.writeLong(0)
+    out.writeFixed(sync)
+    var buf = new java.io.ByteArrayOutputStream()
+    var blockCount = 0L
+    def flush(): Unit = if (blockCount > 0) {
+      val compressed = codec.compress(buf.toByteArray)
+      out.writeLong(blockCount)
+      out.writeLong(compressed.length.toLong)
+      out.writeFixed(compressed)
+      out.writeFixed(sync)
+      buf = new java.io.ByteArrayOutputStream()
+      blockCount = 0
+    }
+    datums.foreach { d =>
+      buf.write(d, 0, d.length)
+      blockCount += 1
+      if (buf.size() >= SyncInterval) flush()
+    }
+    flush()
+    out.toByteArray
+  }
 }
