@@ -134,28 +134,42 @@ object AvroNames {
     * consumes (skipped, not materialized). */
   def assignReaderSlots(writer: ARecord, reader: ARecord): Array[Int] = {
     val direct = reader.fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
-    val byAlias = reader.fields.zipWithIndex
+    val byAlias: Map[String, Seq[Int]] = reader.fields.zipWithIndex
       .flatMap { case (f, i) => f.aliases.map(_ -> i) }
-      .groupBy(_._1).map { case (a, hits) =>
-        if (hits.map(_._2).distinct.size > 1)
-          throw new AvroResolutionException(
-            s"reader ${reader.fullName}: alias '$a' is declared by multiple fields " +
-              hits.map(h => reader.fields(h._2).name).distinct.mkString("(", ", ", ")"))
-        a -> hits.head._2
-      }
-    val slots = writer.fields.map { wf =>
-      direct.get(wf.name).orElse(byAlias.get(wf.name)).getOrElse(-1)
-    }.toArray
-    val claimedBy = new Array[Int](reader.fields.length) // writer idx + 1; 0 = free
-    writer.fields.indices.foreach { wi =>
-      val slot = slots(wi)
-      if (slot >= 0) {
-        if (claimedBy(slot) != 0)
-          throw new AvroResolutionException(
-            s"ambiguous resolution for reader field '${reader.fields(slot).name}' of " +
-              s"${reader.fullName}: writer fields '${writer.fields(claimedBy(slot) - 1).name}' " +
-              s"and '${writer.fields(wi).name}' both resolve to it")
-        claimedBy(slot) = wi + 1
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+
+    val slots = Array.fill(writer.fields.length)(-1)
+    // -1 = free; otherwise writer-field index that claimed the slot
+    val claimedBy = Array.fill(reader.fields.length)(-1)
+
+    // pass 1: direct name matches always win their slot
+    writer.fields.zipWithIndex.foreach { case (wf, wi) =>
+      direct.get(wf.name).foreach { slot => slots(wi) = slot; claimedBy(slot) = wi }
+    }
+    // pass 2: alias matches fill remaining slots only. A slot already taken
+    // by a DIRECT match just shadows the alias (the writer field is skipped);
+    // two writer fields alias-matching one reader slot is a genuine
+    // ambiguity and throws — last-write-wins would corrupt data.
+    writer.fields.zipWithIndex.foreach { case (wf, wi) =>
+      if (slots(wi) < 0) byAlias.get(wf.name).foreach { candidates =>
+        val free = candidates.filter(claimedBy(_) < 0)
+        free match {
+          case Seq() =>
+            val aliasClash = candidates.find(s => claimedBy(s) >= 0 &&
+              writer.fields(claimedBy(s)).name != reader.fields(s).name)
+            aliasClash.foreach { s =>
+              throw new AvroResolutionException(
+                s"ambiguous resolution for reader field '${reader.fields(s).name}' of " +
+                  s"${reader.fullName}: writer fields '${writer.fields(claimedBy(s)).name}' " +
+                  s"and '${wf.name}' both resolve to it via aliases")
+            } // else: slot held by a direct match — alias is shadowed, field skipped
+          case Seq(slot) => slots(wi) = slot; claimedBy(slot) = wi
+          case several =>
+            throw new AvroResolutionException(
+              s"ambiguous resolution for writer field '${wf.name}' of ${writer.fullName}: " +
+                s"reader fields " + several.map(reader.fields(_).name).mkString("(", ", ", ")") +
+                " all declare it as an alias")
+        }
       }
     }
     slots
@@ -386,10 +400,20 @@ object AvroSchemaParser {
     * explicit "namespace" attribute is written — "" encodes the NULL
     * namespace per the spec, so a null-namespaced type nested inside a
     * namespaced record survives the round-trip. */
-  private def nameAttrs(n: NamedSchema, enclosing: Option[String]): String =
-    if (n.namespace == enclosing || (enclosing.isEmpty && n.namespace.nonEmpty))
-      s""""name":"${n.fullName}""""
-    else s""""name":"${n.name}","namespace":"${n.namespace.getOrElse("")}""""
+  private def nameAttrs(n: NamedSchema, enclosing: Option[String]): String = {
+    val name =
+      if (n.namespace == enclosing || (enclosing.isEmpty && n.namespace.nonEmpty))
+        s""""name":"${n.fullName}""""
+      else s""""name":"${n.name}","namespace":"${n.namespace.getOrElse("")}""""
+    name + aliasAttr(n.aliases)
+  }
+
+  /** Evolution metadata must survive serialization: a schema stored or
+    * transported via toJson that silently dropped aliases/defaults would
+    * change resolution and compatibility results downstream. */
+  private def aliasAttr(aliases: Seq[String]): String =
+    if (aliases.isEmpty) ""
+    else aliases.map("\"" + _ + "\"").mkString(""","aliases":[""", ",", "]")
 
   private def writeJson(s: AvroSchema, sb: StringBuilder, seen: Set[String],
                         enclosing: Option[String]): Unit = s match {
@@ -419,7 +443,10 @@ object AvroSchemaParser {
       else sb.append(s"""{"type":"fixed",${nameAttrs(f, enclosing)},"size":${f.size}}""")
     case e: AEnum =>
       if (seen.contains(e.fullName)) sb.append('"').append(e.fullName).append('"')
-      else sb.append(s"""{"type":"enum",${nameAttrs(e, enclosing)},"symbols":[${e.symbols.map("\"" + _ + "\"").mkString(",")}]}""")
+      else {
+        val dflt = e.enumDefault.map(d => s""","default":"$d"""").getOrElse("")
+        sb.append(s"""{"type":"enum",${nameAttrs(e, enclosing)},"symbols":[${e.symbols.map("\"" + _ + "\"").mkString(",")}]$dflt}""")
+      }
     case r: ARecord =>
       if (seen.contains(r.fullName)) sb.append('"').append(r.fullName).append('"')
       else {
@@ -430,6 +457,8 @@ object AvroSchemaParser {
           sb.append(s"""{"name":"${f.name}","type":""")
           writeJson(f.schema, sb, seen2, r.namespace)
           f.default.foreach(d => sb.append(s""","default":${d.toString}"""))
+          f.order.foreach(o => sb.append(s""","order":"$o""""))
+          sb.append(aliasAttr(f.aliases))
           sb.append('}')
         }
         sb.append("]}")

@@ -185,42 +185,8 @@ object Ocf {
     * reproducible bytes; the reference uses random sync, datafile.py:180). */
   def writeAll(schema: AvroSchema, datums: Seq[Any], codecName: String = "null",
                syncOpt: Option[Array[Byte]] = None): Array[Byte] = {
-    val codec = AvroCodecs(codecName)
     val writer = new AvroDatumWriter(schema)
-    val sync = syncOpt.getOrElse {
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(schema.canonical.getBytes("UTF-8"))
-    }
-    require(sync.length == SyncSize, s"sync marker must be $SyncSize bytes")
-    val out = new AvroBinaryWriter()
-    out.writeFixed(Magic)
-    val meta = mutable.LinkedHashMap[String, Array[Byte]](
-      "avro.codec" -> codecName.getBytes("UTF-8"),
-      "avro.schema" -> AvroSchemaParser.toJson(schema).getBytes("UTF-8"))
-    out.writeLong(meta.size.toLong)
-    meta.foreach { case (k, v) => out.writeString(k); out.writeBytes(v) }
-    out.writeLong(0)
-    out.writeFixed(sync)
-
-    // buffer datums; flush a block when the buffer passes SyncInterval
-    var buf = new AvroBinaryWriter()
-    var blockCount = 0L
-    def flush(): Unit = if (blockCount > 0) {
-      val compressed = codec.compress(buf.toByteArray)
-      out.writeLong(blockCount)
-      out.writeLong(compressed.length.toLong)
-      out.writeFixed(compressed)
-      out.writeFixed(sync)
-      buf = new AvroBinaryWriter()
-      blockCount = 0
-    }
-    datums.foreach { d =>
-      writer.write(d, buf)
-      blockCount += 1
-      if (buf.out.size() >= SyncInterval) flush()
-    }
-    flush()
-    out.toByteArray
+    writePreEncoded(schema, datums.iterator.map(writer.toBytes), codecName, syncOpt)
   }
 
   /** Assemble an OCF payload from PRE-ENCODED bare datums — the engine sink

@@ -69,9 +69,12 @@ object Dedup {
 
   private def persistedSigs(df: DataFrame, idCol: String, textCol: String,
                             numHashes: Int, shingleSize: Int): DataFrame =
-    // the signature (numHashes permutations over full document text) is
+    // The signature (numHashes permutations over full document text) is
     // referenced more than once (band explode + re-joins); persist so it is
-    // computed once instead of 3× — at 100 TB the recompute would dominate
+    // computed once instead of 3× — at 100 TB the recompute would dominate.
+    // The cache lives until the session drops it (the returned plan is lazy,
+    // so this function cannot unpersist); batch jobs end with the session,
+    // long-lived services should `spark.catalog.clearCache()` between runs.
     df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

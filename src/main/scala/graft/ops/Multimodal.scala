@@ -121,6 +121,9 @@ object Multimodal {
     * content is touched, so at scale this stage shuffles metadata only. */
   def frameSample(assets: DataFrame, stepMs: Long): DataFrame =
     assets.where(col("kind") === "video")
+      // zero-duration clips have no frames; negative durations are malformed
+      // metadata and must not emit descending bogus timestamps
+      .where(col("meta.duration_ms") > 0)
       .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"),
         posexplode(expr(s"sequence(0L, (meta.duration_ms - 1) DIV $stepMs)"))
           .as(Seq("frame_idx", "step")))
@@ -131,6 +134,7 @@ object Multimodal {
     * chunk may be short). Same metadata-only fan-out discipline. */
   def audioChunks(assets: DataFrame, chunkMs: Long): DataFrame =
     assets.where(col("kind") === "audio")
+      .where(col("meta.duration_ms") > 0)
       .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"),
         posexplode(expr(s"sequence(0L, (meta.duration_ms - 1) DIV $chunkMs)"))
           .as(Seq("chunk_idx", "step")))

@@ -22,8 +22,20 @@ object OcfSink {
                datumsPerPayload: Int = 5000): DataFrame = {
     require(datumsPerPayload > 0, s"datumsPerPayload must be positive; got $datumsPerPayload")
     val schema = AvroSchemaParser.parse(schemaJson)
+    // columns are matched to Avro fields BY NAME (and reordered to schema
+    // field order) — positional pairing would silently swap same-typed
+    // columns into each other's fields
+    val fieldNames = schema match {
+      case r: graft.avro.ARecord => r.fields.map(_.name)
+      case other => throw new IllegalArgumentException(
+        s"OCF sink requires a record schema; got ${other.typeName}")
+    }
+    val missing = fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"DataFrame lacks columns for Avro fields: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
     val encoded = df
-      .select(functions.to_avro(struct(df.columns.map(col).toIndexedSeq: _*), schemaJson).as("datum"))
+      .select(functions.to_avro(struct(fieldNames.map(col): _*), schemaJson).as("datum"))
       .select(col("datum")).as(Encoders.BINARY)
     encoded.mapPartitions { datums =>
       datums.grouped(datumsPerPayload).map(group =>

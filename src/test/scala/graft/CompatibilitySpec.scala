@@ -135,6 +135,18 @@ class CompatibilitySpec extends AnyFunSuite {
     assert(kinds(r).forall(_ == TypeMismatch))
   }
 
+  test("memoized mismatches are rebased per occurrence, not frozen at first path") {
+    // two int→string mismatches share the singleton (AInt, AString) memo
+    // entry; each must still report its OWN field location
+    val r = check(
+      s("""{"type":"record","name":"R","fields":[
+          |{"name":"a","type":"int"},{"name":"b","type":"int"}]}""".stripMargin),
+      s("""{"type":"record","name":"R","fields":[
+          |{"name":"a","type":"string"},{"name":"b","type":"string"}]}""".stripMargin))
+    assert(kinds(r) == Seq(TypeMismatch, TypeMismatch))
+    assert(r.incompatibilities.map(_.location) == Seq("/fields/0/type", "/fields/1/type"))
+  }
+
   test("checker instance memoizes across checks (registry pattern)") {
     val checker = new Checker
     val a = s("""{"type":"record","name":"R","fields":[{"name":"a","type":"int"}]}""")

@@ -64,7 +64,9 @@ class ErrorContractSpec extends AnyFunSuite {
       """{"type":"fixed","name":"my.ns.int2","size":4}""").isInstanceOf[AFixed])
   }
 
-  test("ambiguous alias resolution throws instead of last-write-wins") {
+  test("direct field match shadows an alias to the same slot (no corruption)") {
+    // writer has BOTH the current name and the old aliased name: the direct
+    // match wins, the alias-named writer field is skipped, never overwritten
     val writer = AvroSchemaParser.parse(
       """{"type":"record","name":"R","fields":[
         |{"name":"a","type":"int"},{"name":"old_a","type":"int"}]}""".stripMargin)
@@ -73,8 +75,39 @@ class ErrorContractSpec extends AnyFunSuite {
         |{"name":"a","type":"int","aliases":["old_a"]}]}""".stripMargin)
     val schema = writer.asInstanceOf[ARecord]
     val bytes = new AvroDatumWriter(schema).toBytes(AvroRecord(schema, Array[Any](1, 2)))
+    val back = new AvroDatumReader(writer, Some(reader)).read(bytes).asInstanceOf[AvroRecord]
+    assert(back.get("a") == 1) // direct value, not the skipped old_a=2
+  }
+
+  test("genuinely ambiguous alias resolution throws instead of last-write-wins") {
+    // reader field aliases TWO distinct writer fields and matches neither
+    // directly: whichever decoded last would silently win — must throw
+    val writer = AvroSchemaParser.parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"w1","type":"int"},{"name":"w2","type":"int"}]}""".stripMargin)
+    val reader = AvroSchemaParser.parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"int","aliases":["w1","w2"]}]}""".stripMargin)
+    val schema = writer.asInstanceOf[ARecord]
+    val bytes = new AvroDatumWriter(schema).toBytes(AvroRecord(schema, Array[Any](1, 2)))
     intercept[AvroResolutionException] {
       new AvroDatumReader(writer, Some(reader)).read(bytes)
     }
+  }
+
+  test("duplicate alias declarations are harmless when direct matches cover all fields") {
+    // both reader fields declare the same alias, but the writer matches both
+    // directly — aliases are never consulted, so decode must succeed
+    val writer = AvroSchemaParser.parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":"int"},{"name":"y","type":"int"}]}""".stripMargin)
+    val reader = AvroSchemaParser.parse(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"x","type":"int","aliases":["old"]},
+        |{"name":"y","type":"int","aliases":["old"]}]}""".stripMargin)
+    val schema = writer.asInstanceOf[ARecord]
+    val bytes = new AvroDatumWriter(schema).toBytes(AvroRecord(schema, Array[Any](7, 9)))
+    val back = new AvroDatumReader(writer, Some(reader)).read(bytes).asInstanceOf[AvroRecord]
+    assert(back.get("x") == 7 && back.get("y") == 9)
   }
 }
