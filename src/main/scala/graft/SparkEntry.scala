@@ -279,12 +279,11 @@ object SparkEntry {
         col("l_returnflag"), col("l_shipdate"))
       graft.spark.OcfSink.payloads(li, lineitemAvroSchemaJson,
           codecName = "deflate", datumsPerPayload = 20000)
-        .select(explode(gfn.avro_ocf_decode(col("payload"), lineitemAvroSchemaJson)).as("r"))
-        .select(col("r.l_orderkey").as("l_orderkey"),
-          col("r.l_linenumber").as("l_linenumber"),
-          col("r.l_quantity").as("l_quantity"),
-          col("r.l_returnflag").as("l_returnflag"),
-          to_date(col("r.l_shipdate")).as("l_shipdate"))
+        // Generator form: decodes block-by-block, never materializes the
+        // 20k-datum array per payload
+        .select(gfn.avro_ocf_explode(col("payload"), lineitemAvroSchemaJson))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"), to_date(col("l_shipdate")).as("l_shipdate"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 

@@ -3,8 +3,8 @@ package graft.spark
 import graft.avro._
 import graft.framing.{KplDeaggregator, SpringHeaders}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -159,6 +159,63 @@ case class AvroOcfDecode(child: Expression, readerSchemaJson: String)
     new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(newChild: Expression): AvroOcfDecode =
+    copy(child = newChild)
+}
+
+/** `avro_ocf_explode(binary, readerSchema)`: the [[AvroOcfDecode]] semantics
+  * as a true Catalyst `Generator` (UDTF) — one payload row in, one output
+  * row PER DATUM, decoded lazily block-by-block. Unlike the
+  * `explode(avro_ocf_decode(...))` form, the per-payload array of datums is
+  * never materialized, so memory stays bounded by one block (≤ the 64 KB
+  * sync interval × codec ratio) regardless of payload size.
+  * (reference: python-udf/avro/datafile.py:331-409 — the pull-based
+  * DataFileReader iterator, which this mirrors shape-for-shape.) */
+case class AvroOcfExplode(child: Expression, readerSchemaJson: String)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  @transient private lazy val readerSchema = AvroRuntime.parse(readerSchemaJson)
+  @transient private lazy val perWriter = TrieMap.empty[String, (CatalystAvroReader.Reader, AvroCodec)]
+  @transient private lazy val (outSchema: StructType, wrap: Boolean) =
+    SchemaConverters.toSqlType(readerSchema).dataType match {
+      case st: StructType => (st, false)
+      case other          => (StructType(Seq(StructField("value", other))), true)
+    }
+
+  override def elementSchema: StructType = outSchema
+  override def prettyName: String = "avro_ocf_explode"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val payload = child.eval(input)
+    if (payload == null) return Iterator.empty
+    val in = new AvroBinaryReader(payload.asInstanceOf[Array[Byte]])
+    val header = Ocf.readHeader(in)
+    val (reader, codec) = perWriter.getOrElseUpdate(header.schemaJson, {
+      val w = AvroRuntime.parse(header.schemaJson)
+      (CatalystAvroReader.compile(w, readerSchema), AvroCodecs(header.codecName))
+    })
+    new Iterator[InternalRow] {
+      private var remaining = 0L
+      private var bin: AvroBinaryReader = _
+      private def advance(): Unit =
+        while (remaining == 0 && !in.atEnd) {
+          val datumCount = in.readLong()
+          val byteSize = in.readLong()
+          bin = new AvroBinaryReader(codec.decompress(in.readFixed(byteSize.toInt)))
+          val sync = in.readFixed(Ocf.SyncSize)
+          if (!java.util.Arrays.equals(sync, header.sync))
+            throw new AvroResolutionException("OCF sync marker mismatch")
+          remaining = datumCount
+        }
+      override def hasNext: Boolean = { advance(); remaining > 0 }
+      override def next(): InternalRow = {
+        advance()
+        remaining -= 1
+        val v = reader(bin)
+        if (wrap) new GenericInternalRow(Array(v)) else v.asInstanceOf[InternalRow]
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression): AvroOcfExplode =
     copy(child = newChild)
 }
 

@@ -41,6 +41,13 @@ object functions {
   def avro_ocf_decode(data: Column, readerSchemaJson: String): Column =
     col(AvroOcfDecode(expr(data), readerSchemaJson))
 
+  /** OCF payload → one row per datum (true Generator/UDTF form): decodes
+    * lazily block-by-block, so memory stays bounded by one ≤64 KB block
+    * regardless of payload size — prefer this over
+    * `explode(avro_ocf_decode(...))` for large containers. */
+  def avro_ocf_explode(data: Column, readerSchemaJson: String): Column =
+    col(AvroOcfExplode(expr(data), readerSchemaJson))
+
   /** OCF payload → reference-exact JSON array string (late binding, U1). */
   def avro_ocf_decode_json(data: Column): Column = col(AvroOcfDecodeJson(expr(data)))
 
@@ -81,6 +88,10 @@ object functions {
     Shims.registerFunction(spark, "avro_ocf_decode", {
       case Seq(data, schema) => AvroOcfDecode(data, litString(schema, "avro_ocf_decode"))
       case args => throw new IllegalArgumentException(s"avro_ocf_decode(data, readerSchema); got ${args.size} args")
+    })
+    Shims.registerFunction(spark, "avro_ocf_explode", {
+      case Seq(data, schema) => AvroOcfExplode(data, litString(schema, "avro_ocf_explode"))
+      case args => throw new IllegalArgumentException(s"avro_ocf_explode(data, readerSchema); got ${args.size} args")
     })
     Shims.registerFunction(spark, "avro_ocf_decode_json", {
       case Seq(data) => AvroOcfDecodeJson(data)

@@ -50,6 +50,25 @@ class ErrorContractSpec extends AnyFunSuite {
     assert(ok(0).getStruct(0).getString(0) == "v")
   }
 
+  test("generator OCF decode matches the array form across multiple blocks") {
+    // >64 KB of datums forces multi-block payloads (sync-interval flush)
+    val rows = (0 until 5000).map(i => s"value_$i" * 3)
+    import spark.implicits._
+    val df = rows.toDF("k")
+    val valSchema = """{"type":"record","name":"KV","fields":[{"name":"k","type":"string"}]}"""
+    val payloads = graft.spark.OcfSink.payloads(df, valSchema, "deflate", datumsPerPayload = 5000)
+    assert(payloads.count() >= 1)
+    val viaGenerator = payloads
+      .select(gfn.avro_ocf_explode(org.apache.spark.sql.functions.col("payload"), valSchema))
+      .orderBy("k").collect().map(_.getString(0))
+    val viaArray = payloads
+      .select(org.apache.spark.sql.functions.explode(
+        gfn.avro_ocf_decode(org.apache.spark.sql.functions.col("payload"), valSchema)).as("r"))
+      .select("r.k").orderBy("k").collect().map(_.getString(0))
+    assert(viaGenerator.toSeq == rows.sorted)
+    assert(viaArray.toSeq == viaGenerator.toSeq)
+  }
+
   test("primitive type names are reserved for named types") {
     for (bad <- Seq("int", "string", "null", "bytes")) {
       intercept[AvroSchemaParseException] {
