@@ -21,6 +21,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.AvroDecodePruning.install(spark)
 
     // warm up the JVM + filesystem + codegen/agg/sink paths once, outside any
     // query's timing (the first query otherwise absorbs JIT + Janino compile

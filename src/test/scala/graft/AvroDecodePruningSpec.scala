@@ -1,0 +1,78 @@
+package graft
+
+import graft.plans.AvroDecodePruning
+import graft.spark.{AvroDecode, functions => gfn}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decode-time column pruning: the optimizer rewrites AvroDecode with a
+  * reader schema restricted to the consumed fields, so dropped writer
+  * fields are wire-skipped, never materialized. */
+class AvroDecodePruningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-pruning-spec")
+      .getOrCreate()
+    AvroDecodePruning.install(s)
+    s
+  }
+
+  private val schemaJson =
+    """{"type":"record","name":"W","fields":[
+      |{"name":"a","type":"int"},{"name":"big","type":"string"},
+      |{"name":"c","type":"long"}]}""".stripMargin
+
+  // parquet-backed so ConvertToLocalRelation can't constant-fold the decode
+  private lazy val encodedPath: String = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    (0 until 100).map(i => (i, "x" * 1000, i.toLong)).toDF("a", "big", "c")
+      .select(gfn.to_avro(struct(col("a"), col("big"), col("c")), schemaJson).as("bin"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+  private def encoded = spark.read.parquet(encodedPath)
+
+  private def decodedReaderFields(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.queryExecution.optimizedPlan.flatMap(node => node.expressions.flatMap(_.collect {
+      case d: AvroDecode =>
+        graft.avro.AvroSchemaParser
+          .parse(d.readerSchemaJson.getOrElse(d.writerSchemaJson))
+          .asInstanceOf[graft.avro.ARecord].fields.map(_.name)
+    }))
+
+  test("partial field access prunes the reader schema and skips the rest") {
+    val df = encoded
+      .select(gfn.from_avro(col("bin"), schemaJson).as("r"))
+      .select(col("r.a").as("a"), col("r.c").as("c"))
+    val readers = decodedReaderFields(df)
+    assert(readers.nonEmpty && readers.forall(_ == Seq("a", "c")),
+      s"expected pruned reader [a, c]; got $readers\n${df.queryExecution.optimizedPlan}")
+    // and the results are identical to the unpruned decode
+    val rows = df.orderBy("a").collect()
+    assert(rows.length == 100)
+    assert(rows(7).getInt(0) == 7 && rows(7).getLong(1) == 7L)
+  }
+
+  test("whole-struct access is left untouched") {
+    val df = encoded.select(gfn.from_avro(col("bin"), schemaJson).as("r"))
+    val readers = decodedReaderFields(df)
+    assert(readers.nonEmpty && readers.forall(_ == Seq("a", "big", "c")))
+    assert(df.count() == 100)
+  }
+
+  test("mixed whole-struct and field access keeps the full schema (conservative)") {
+    val df = encoded
+      .select(gfn.from_avro(col("bin"), schemaJson).as("r"))
+      .select(col("r"), col("r.a").as("a"))
+    val readers = decodedReaderFields(df)
+    assert(readers.nonEmpty && readers.forall(_ == Seq("a", "big", "c")))
+    assert(df.count() == 100)
+  }
+}
