@@ -51,6 +51,37 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(out.toString).count() == 2)
   }
 
+  test("Spring/KPL framed stream decodes with headers preserved") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schemaJson =
+      """{"type":"record","name":"KV","fields":[{"name":"k","type":"string"}]}"""
+    val schema = graft.avro.AvroSchemaParser.parse(schemaJson)
+      .asInstanceOf[graft.avro.ARecord]
+    val writer = new graft.avro.AvroDatumWriter(schema)
+    def kpl(values: String*): Array[Byte] =
+      graft.framing.KplDeaggregator.encode(graft.framing.KplDeaggregator.Aggregated(
+        Seq("pk"), Nil, values.map { v =>
+          val body = writer.toBytes(graft.avro.AvroRecord(schema, Array[Any](v)))
+          graft.framing.KplDeaggregator.KplRecord(0, None,
+            graft.framing.SpringHeaders.frame(
+              Seq("contentType" -> "application/vnd.kv.v1+avro"), body))
+        }))
+    val stream = MemoryStream[Array[Byte]]
+    stream.addData(kpl("a", "b"), kpl("c"))
+    val decoded = StreamingIngest.decodeSpringKpl(
+      stream.toDF().withColumnRenamed("value", "payload"), "payload", schemaJson)
+    val q = decoded.writeStream.format("memory").queryName("spring_rows")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT headers['contentType'] AS ct, record.k AS k FROM spring_rows ORDER BY k").collect()
+      assert(rows.map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+      assert(rows.forall(_.getString(0) == "application/vnd.kv.v1+avro"))
+    } finally q.stop()
+  }
+
   test("bare-datum memory stream decodes with watermarked windowed counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
