@@ -75,6 +75,54 @@ object Similarity {
       .select("q_id", "n_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * (cosine distance, trained once on the corpus) partitions vectors into
+    * `nlist` cells; each query probes its `nprobe` nearest cells and
+    * exact-re-ranks only the vectors in those cells. Recall rises with
+    * nprobe (nprobe = nlist is exhaustive); candidate cost is ~nprobe/nlist
+    * of the corpus.
+    *
+    * Scale notes: training touches a bounded sample on the driver; cell
+    * assignment is a partition-local expression with the centroid table
+    * shipped in the closure (broadcast-sized: nlist × dim doubles); the
+    * probe join matches on the int cell id with ids only — vectors are
+    * re-joined by id after candidate dedup, the same discipline as the LSH
+    * paths. At 100 TB the corpus side never shuffles: cells are the
+    * natural partitioning key for the inverted file. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              qId: String = "vec_id", qVec: String = "embedding",
+              cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val cv = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
+    val qv = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+    // coarse quantizer: k-means in cosine geometry, deterministic via seed
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features")
+      .fit(cv.select(array_to_vector(col("n_vec")).as("features")))
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+
+    def cells(c: Column, probes: Int): Column =
+      Shims.column(graft.spark.NearestCentroids(Shims.expression(c), centroids, probes))
+
+    val corpusCells = cv.select(col("n_id"), element_at(cells(col("n_vec"), 1), 1).as("cell"))
+    val queryCells = qv.select(col("q_id"), explode(cells(col("q_vec"), nprobe)).as("cell"))
+    val scored = broadcast(queryCells).join(corpusCells, "cell")
+      .where(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+      .dropDuplicates("q_id", "n_id")
+      .join(broadcast(qv), "q_id")
+      .join(cv, "n_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs over the whole corpus (id_a < id_b,
     * sim ≥ threshold), multi-table LSH-bucketed to avoid the O(n²) pair space
     * while keeping recall high for truly-near pairs. */

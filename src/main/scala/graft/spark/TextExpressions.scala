@@ -223,6 +223,53 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `nearest_centroids(embedding)` → `array<int>` of the `nprobe` centroid
+  * indices nearest by cosine — the assignment/probe stage of IVF
+  * (inverted-file) approximate nearest-neighbor search. Centroids are
+  * trained once on the driver and ship with the expression (broadcast-style,
+  * like the reference's registry cache); assignment is partition-local. */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(nprobe >= 1 && nprobe <= centroids.size,
+    s"nprobe must be in [1, ${centroids.size}]; got $nprobe")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  // centroids normalized once per expression instance, not per row
+  @transient private lazy val normalized: Array[Array[Double]] = centroids.map { c =>
+    val a = c.toArray
+    val n = math.sqrt(a.map(x => x * x).sum)
+    if (n == 0.0) a else a.map(_ / n)
+  }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = v.numElements()
+    val sims = new Array[Double](normalized.length)
+    var c = 0
+    while (c < normalized.length) {
+      val cent = normalized(c)
+      val lim = math.min(n, cent.length)
+      var dot = 0.0
+      var nv = 0.0
+      var i = 0
+      while (i < lim) {
+        val x = v.getFloat(i).toDouble
+        dot += x * cent(i)
+        nv += x * x
+        i += 1
+      }
+      sims(c) = if (nv == 0.0) -2.0 else dot / math.sqrt(nv)
+      c += 1
+    }
+    // top-nprobe by similarity, index ascending on ties (deterministic)
+    val order = sims.indices.sortBy(i => (-sims(i), i)).take(nprobe)
+    new GenericArrayData(order.map(Int.box(_): Any).toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** `lsh_bucket(embedding)` → int signature of sign-bits under `numPlanes`
   * seeded random hyperplanes — the bucketing stage of approximate
   * nearest-neighbor search (near vectors collide with high probability). */

@@ -89,6 +89,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
 
+  test("IVF top-k: recall rises with nprobe and exhaustive probing is exact") {
+    val queries = embeddings.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, embeddings, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(queries, embeddings, 10, nlist = 16, nprobe = nprobe)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    assert(r8 > r2, s"recall must rise with nprobe: nprobe=2 → $r2, nprobe=8 → $r8")
+    assert(r8 >= 0.7, s"recall@10 with nprobe=8/16 = $r8 (synthetic corpus is unclustered; " +
+      "clustered production embeddings give far higher recall at the same nprobe)")
+    // probing every cell is exhaustive — structurally identical to brute force
+    val all = Similarity.ivfTopK(queries, embeddings, 10, nlist = 16, nprobe = 16)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact)
+  }
+
   test("text features: quality in [0,1], token count zero on blank text") {
     import spark.implicits._
     val d = Seq((1L, "the cat sat on the mat. it was that good."), (2L, "   "), (3L, ""))
