@@ -438,6 +438,15 @@ object SparkEntry {
           expr("CAST(round(jaccard, 9) AS DOUBLE)").as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // Flagship curation pipeline: exact dedup → language filter → quality
+    // floor — each stage an already-verified primitive, composed.
+    "q33_curation" -> ((s, dir) =>
+      ops.Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+          lang = "en", minQuality = 0.5)
+        .select(col("doc_id"), col("lang_pred"),
+          expr("CAST(round(quality, 9) AS DOUBLE)").as("quality"))
+        .orderBy("doc_id")),
+
     // Brute-force exact cosine top-k (the ANN correctness baseline).
     "q26_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -758,6 +767,49 @@ object SparkEntry {
         |        unnest(generate_series(0, (1000 * (1 + doc_id % 30) - 1) // 250)) AS g
         |      FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY asset_id, frame_idx""".stripMargin,
+
+    // Composition of the verified q20/q21/q22 fragments: dedup keep-set,
+    // q21's quality arithmetic, q22's language vote, then the two filters.
+    "q33_curation" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d AS (
+        |  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM keep)),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')[1:500] AS toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS BIGINT) AS n_stopwords
+        |  FROM d),
+        |lang AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for','on','with'], t))) AS n_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','una','los','las','por','con'], t))) AS n_es,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','in','den','von','zu','mit','ein','eine'], t))) AS n_de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','une','est','dans','que','pour','sur'], t))) AS n_fr,
+        |    len(list_filter(toks, t -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del'], t))) AS n_it
+        |  FROM f),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN greatest(n_en, n_es, n_de, n_fr, n_it) = 0 THEN 'und'
+        |         ELSE (SELECT code FROM (VALUES ('en', n_en, 0, ascii('e')), ('es', n_es, 1, ascii('e')),
+        |                                        ('de', n_de, 2, ascii('d')), ('fr', n_fr, 3, ascii('f')),
+        |                                        ('it', n_it, 4, ascii('i'))) AS v(code, n, pos, fc)
+        |               ORDER BY n DESC, fc ASC, pos ASC LIMIT 1) END AS lang_pred,
+        |    ((CASE WHEN n_tokens = 0 THEN 0
+        |           WHEN n_chars * 10 >= n_tokens * 30 AND n_chars * 10 <= n_tokens * 120 THEN 1000
+        |           ELSE 0 END)
+        |     + (CASE WHEN n_tokens = 0 THEN 0 ELSE least(n_stopwords * 1000 * 5 / n_tokens, 1000) END)
+        |     + (CASE WHEN n_chars = 0 THEN 0 WHEN n_punct * 10 <= n_chars THEN 1000 ELSE 0 END)
+        |    ) / 3000.0 AS quality
+        |  FROM f JOIN lang ON f.doc_id = lang.doc_id)
+        |SELECT doc_id, lang_pred, CAST(round(quality, 9) AS DOUBLE) AS quality
+        |FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+        |ORDER BY doc_id""".stripMargin,
 
     // Exact all-pairs cosine ≥ 0.4; matches the Spark LSH+verify plan
     // because 4 planes × 64 tables gives per-pair miss ~1e-5 at sim 0.4.

@@ -109,6 +109,14 @@ class OpsSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("curation pipeline: funnel counts are monotone and match curate()") {
+    val f = graft.ops.Curation.funnel(docs, "doc_id", "text").collect()(0)
+    val (d, l, q) = (f.getAs[Long]("after_dedup"), f.getAs[Long]("after_lang"),
+      f.getAs[Long]("after_quality"))
+    assert(d >= l && l >= q && q > 0)
+    assert(graft.ops.Curation.curate(docs, "doc_id", "text").count() == q)
+  }
+
   test("text features: quality in [0,1], token count zero on blank text") {
     import spark.implicits._
     val d = Seq((1L, "the cat sat on the mat. it was that good."), (2L, "   "), (3L, ""))
