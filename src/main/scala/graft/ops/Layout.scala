@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout techniques for shuffle avoidance at scale: bucketing for
+  * co-located joins, deterministic salting for skewed keys. (AQE's runtime
+  * skew-join splitting complements the salting path; bucketing removes the
+  * exchange entirely for repeated joins on the same key.) */
+object Layout {
+
+  /** Persist `df` bucketed and sorted by `keyCol` into the session catalog.
+    * Two tables bucketed by the same key with the same bucket count join
+    * with NO shuffle exchange on either side — the layout cost is paid once
+    * at write time and amortized over every subsequent join. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on the bucketing key. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Skew-tolerant equi-join: the skewed side gets a deterministic salt in
+    * [0, saltFactor) (hash of the whole row — no RNG, so re-runs and
+    * retried tasks agree), the dimension side is replicated `saltFactor`
+    * times, and the join key becomes (key, salt). One hot key's rows spread
+    * over `saltFactor` reducers instead of one. */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive; got $saltFactor")
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
+        .cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(expr(s"CAST(sequence(0, ${saltFactor - 1}) AS ARRAY<INT>)")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}
