@@ -13,6 +13,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events stores TIMESTAMP(NANOS) parquet; read as long, convert in-query
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local test tables are single small files; split them so scans keep
+      // the parallelism a production many-file layout would have
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

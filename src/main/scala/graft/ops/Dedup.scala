@@ -75,9 +75,19 @@ object Dedup {
     // The cache lives until the session drops it (the returned plan is lazy,
     // so this function cannot unpersist); batch jobs end with the session,
     // long-lived services should `spark.catalog.clearCache()` between runs.
-    df.select(col(idCol).as("id"),
+    spreadSmallInput(df).select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** A corpus that fits one file scans as ONE partition, serializing the
+    * CPU-heavy signature pass on a single core. Repartition only in that
+    * under-parallelized case — at production scale inputs already carry
+    * thousands of partitions and this is a no-op (no shuffle). */
+  private def spreadSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
 
   /** MinHash-LSH candidate pairs: signature → `numBands` band hashes →
     * explode → bucket self-join → estimated-Jaccard filter.
@@ -111,7 +121,11 @@ object Dedup {
                         numHashes: Int = 128, numBands: Int = 32,
                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
     val sigs = persistedSigs(df, idCol, textCol, numHashes, shingleSize)
-    val grams = df.select(col(idCol).as("id"), wordGrams(textCol, shingleSize).as("grams"))
+    // gram arrays feed BOTH candidate re-joins; persist (and parallelize a
+    // single-file corpus) so the gram pass runs once on all cores
+    val grams = spreadSmallInput(df)
+      .select(col(idCol).as("id"), wordGrams(textCol, shingleSize).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandCandidates(sigs, numHashes, numBands)
       .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
       .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
@@ -170,7 +184,7 @@ object Dedup {
     require(threshold > 0.0,
       s"ngramJaccard requires threshold > 0 (inverted index only sees pairs sharing a gram); got $threshold")
     val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
-    val sh = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+    val sh = spreadSmallInput(df).select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(expr(
         s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
         s"transform(sequence(0, size($toks) - $n), " +

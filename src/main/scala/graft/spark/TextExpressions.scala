@@ -64,15 +64,38 @@ object TextHashing {
      Array.tabulate(numHashes)(i => splitmix64(2L * i + 1)))
 
   /** MinHash signature: k permutations h_i(x) = a_i*x + b_i over shingle
-    * hashes (odd a_i, so the map is a bijection on Z/2^64). */
+    * hashes (odd a_i, so the map is a bijection on Z/2^64). Shingle hashes
+    * are computed directly over token byte arrays — FNV-1a over the
+    * concatenated UTF-8 bytes equals FNV-1a over the joined string, so no
+    * per-shingle string is ever materialized (the hot allocation in the
+    * most data-intensive operator). */
   def minHash(text: String, as: Array[Long], bs: Array[Long], shingleSize: Int): Array[Long] = {
     val numHashes = as.length
-    val sh = shingles(text, shingleSize)
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (sh.isEmpty) return sig
+    val toks = tokenize(text)
+    if (toks.isEmpty) return sig
+    val tokBytes = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tokBytes(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    val window = math.min(shingleSize, toks.length) // <n tokens → one whole-text shingle
+    val nShingles = toks.length - window + 1
     var j = 0
-    while (j < sh.length) {
-      val h = fnv1a64(sh(j))
+    while (j < nShingles) {
+      var h = 0xcbf29ce484222325L
+      var w = 0
+      while (w < window) {
+        val b = tokBytes(j + w)
+        var i = 0
+        while (i < b.length) {
+          h ^= (b(i) & 0xffL)
+          h *= 0x100000001b3L
+          i += 1
+        }
+        w += 1
+      }
       var i = 0
       while (i < numHashes) {
         val v = as(i) * h + bs(i)
@@ -116,7 +139,8 @@ case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize
   @transient private lazy val (as, bs) = TextHashing.minHashParams(numHashes)
   override def nullSafeEval(input: Any): Any = {
     val sig = TextHashing.minHash(input.asInstanceOf[UTF8String].toString, as, bs, shingleSize)
-    new GenericArrayData(sig.map(java.lang.Long.valueOf(_): Any))
+    // unboxed array output — 128 boxed Longs per row would dominate alloc
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
   }
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
