@@ -72,49 +72,55 @@ object functions {
       s"$fn expects a literal schema string, got $other")
   }
 
-  /** Register the SQL functions on a session (idempotent). */
-  def registerAll(spark: SparkSession): Unit = {
-    Shims.registerFunction(spark, "from_avro", {
+  /** The SQL surface as (name, builder) pairs — shared by the imperative
+    * [[registerAll]] and the `spark.sql.extensions` path
+    * ([[GraftSparkExtensions]]). */
+  private[graft] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "from_avro" -> {
       case Seq(data, schema) => AvroDecode(data, litString(schema, "from_avro"))
       case Seq(data, w, r) => AvroDecode(data, litString(w, "from_avro"),
         Some(litString(r, "from_avro")))
       case args => throw new IllegalArgumentException(s"from_avro(data, schema[, readerSchema]); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "to_avro", {
+    },
+    "to_avro" -> {
       case Seq(data) => AvroEncode(data)
       case Seq(data, schema) => AvroEncode(data, Some(litString(schema, "to_avro")))
       case args => throw new IllegalArgumentException(s"to_avro(data[, schema]); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "avro_ocf_decode", {
+    },
+    "avro_ocf_decode" -> {
       case Seq(data, schema) => AvroOcfDecode(data, litString(schema, "avro_ocf_decode"))
       case args => throw new IllegalArgumentException(s"avro_ocf_decode(data, readerSchema); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "avro_ocf_explode", {
+    },
+    "avro_ocf_explode" -> {
       case Seq(data, schema) => AvroOcfExplode(data, litString(schema, "avro_ocf_explode"))
       case args => throw new IllegalArgumentException(s"avro_ocf_explode(data, readerSchema); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "avro_ocf_decode_json", {
+    },
+    "avro_ocf_decode_json" -> {
       case Seq(data) => AvroOcfDecodeJson(data)
       case args => throw new IllegalArgumentException(s"avro_ocf_decode_json(data); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "avro_decode_json", {
+    },
+    "avro_decode_json" -> {
       case Seq(data, schema) => AvroDecodeJson(data, litString(schema, "avro_decode_json"))
       case args => throw new IllegalArgumentException(s"avro_decode_json(data, schema); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "kpl_deaggregate", {
+    },
+    "kpl_deaggregate" -> {
       case Seq(data) => KplDeaggregate(data)
       case args => throw new IllegalArgumentException(s"kpl_deaggregate(data); got ${args.size} args")
-    })
-    Shims.registerFunction(spark, "spring_extract", {
+    },
+    "spring_extract" -> {
       case Seq(data) => SpringExtract(data)
       case args => throw new IllegalArgumentException(s"spring_extract(data); got ${args.size} args")
-    })
+    },
     // U2 parity: hex varchar in → JSON varchar out, exactly the embedded
     // Python UDF contract (README.md:29-44, python-udf/udf.py:7-9).
-    Shims.registerFunction(spark, "fn_decode_avro_binary", {
+    "fn_decode_avro_binary" -> {
       case Seq(hex) => AvroOcfDecodeJson(
         org.apache.spark.sql.catalyst.expressions.Unhex(hex))
       case args => throw new IllegalArgumentException(s"fn_decode_avro_binary(hex); got ${args.size} args")
     })
-  }
+
+  /** Register the SQL functions on a session (idempotent). */
+  def registerAll(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      Shims.registerFunction(spark, name, builder) }
 }
