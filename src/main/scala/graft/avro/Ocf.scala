@@ -158,24 +158,41 @@ object Ocf {
     OcfHeader(meta, in.readFixed(SyncSize))
   }
 
-  /** Decode every datum of an OCF payload (generic representation). */
-  def readAll(bytes: Array[Byte], readerSchema: Option[AvroSchema] = None): (AvroSchema, Vector[Any]) = {
+  /** One decompressed block: a reader positioned at its first datum plus the
+    * datum count. */
+  final case class Block(in: AvroBinaryReader, datumCount: Long)
+
+  /** The single block-framing loop shared by every OCF consumer: read the
+    * header, then lazily yield decompressed blocks with their sync markers
+    * verified. Decoding datums from each block is the caller's concern. */
+  def blockIterator(bytes: Array[Byte]): (OcfHeader, Iterator[Block]) = {
     val in = new AvroBinaryReader(bytes)
     val header = readHeader(in)
-    val writerSchema = AvroSchemaParser.parse(header.schemaJson)
     val codec = AvroCodecs(header.codecName)
+    val blocks = new Iterator[Block] {
+      override def hasNext: Boolean = !in.atEnd
+      override def next(): Block = {
+        val datumCount = in.readLong()
+        val byteSize = in.readLong()
+        val block = codec.decompress(in.readFixed(byteSize.toInt))
+        val sync = in.readFixed(SyncSize)
+        if (!java.util.Arrays.equals(sync, header.sync))
+          throw new AvroResolutionException("OCF sync marker mismatch (corrupt block boundary)")
+        Block(new AvroBinaryReader(block), datumCount)
+      }
+    }
+    (header, blocks)
+  }
+
+  /** Decode every datum of an OCF payload (generic representation). */
+  def readAll(bytes: Array[Byte], readerSchema: Option[AvroSchema] = None): (AvroSchema, Vector[Any]) = {
+    val (header, blocks) = blockIterator(bytes)
+    val writerSchema = AvroSchemaParser.parse(header.schemaJson)
     val reader = new AvroDatumReader(writerSchema, readerSchema)
     val out = Vector.newBuilder[Any]
-    while (!in.atEnd) {
-      val datumCount = in.readLong()
-      val byteSize = in.readLong()
-      val block = codec.decompress(in.readFixed(byteSize.toInt))
-      val bin = new AvroBinaryReader(block)
+    blocks.foreach { b =>
       var i = 0L
-      while (i < datumCount) { out += reader.read(bin); i += 1 }
-      val sync = in.readFixed(SyncSize)
-      if (!java.util.Arrays.equals(sync, header.sync))
-        throw new AvroResolutionException("OCF sync marker mismatch (corrupt block boundary)")
+      while (i < b.datumCount) { out += reader.read(b.in); i += 1 }
     }
     (readerSchema.getOrElse(writerSchema), out.result())
   }

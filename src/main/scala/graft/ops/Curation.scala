@@ -17,7 +17,11 @@ object Curation {
   /** Surviving documents with their language and quality, after:
     * 1. exact dedup (keep the minimum-id copy of each distinct text),
     * 2. language-ID filter (`lang`),
-    * 3. quality floor (`minQuality`). */
+    * 3. quality floor (`minQuality`).
+    *
+    * Output contract: the result carries `lang_pred` and `quality` columns
+    * computed HERE — input columns of those names would be replaced, so
+    * rename any pre-existing ones before calling. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              lang: String = "en", minQuality: Double = 0.5): DataFrame =
     Dedup.exact(docs, idCol, textCol)

@@ -75,17 +75,21 @@ object Dedup {
     // The cache lives until the session drops it (the returned plan is lazy,
     // so this function cannot unpersist); batch jobs end with the session,
     // long-lived services should `spark.catalog.clearCache()` between runs.
-    spreadSmallInput(df).select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** A corpus that fits one file scans as ONE partition, serializing the
-    * CPU-heavy signature pass on a single core. Repartition only in that
-    * under-parallelized case — at production scale inputs already carry
-    * thousands of partitions and this is a no-op (no shuffle). */
+  /** A corpus that fits a few files scans as that few partitions,
+    * serializing the CPU-heavy text passes. Repartition only in that
+    * under-parallelized case, detected from FILE METADATA only —
+    * `df.rdd.getNumPartitions` would eagerly execute upstream shuffle
+    * stages under AQE. Non-file-backed inputs (joins, streams) are left
+    * alone: their upstream shuffles already set the parallelism; at
+    * production scale inputs carry thousands of files and this is a no-op. */
   private def spreadSmallInput(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    val files = try df.inputFiles.length catch { case _: Exception => 0 }
+    if (files == 0 || files >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 
@@ -95,7 +99,7 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, numBands: Int = 32,
                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sigs = persistedSigs(df, idCol, textCol, numHashes, shingleSize)
+    val sigs = persistedSigs(spreadSmallInput(df), idCol, textCol, numHashes, shingleSize)
     bandCandidates(sigs, numHashes, numBands)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -120,10 +124,11 @@ object Dedup {
   def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 128, numBands: Int = 32,
                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sigs = persistedSigs(df, idCol, textCol, numHashes, shingleSize)
-    // gram arrays feed BOTH candidate re-joins; persist (and parallelize a
-    // single-file corpus) so the gram pass runs once on all cores
-    val grams = spreadSmallInput(df)
+    val spread = spreadSmallInput(df) // checked once, shared by both passes
+    val sigs = persistedSigs(spread, idCol, textCol, numHashes, shingleSize)
+    // gram arrays feed BOTH candidate re-joins; persist so the gram pass
+    // runs once on all cores
+    val grams = spread
       .select(col(idCol).as("id"), wordGrams(textCol, shingleSize).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bandCandidates(sigs, numHashes, numBands)

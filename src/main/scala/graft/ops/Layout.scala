@@ -23,17 +23,20 @@ object Layout {
                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** Skew-tolerant equi-join: the skewed side gets a deterministic salt in
-    * [0, saltFactor) (hash of the whole row — no RNG, so re-runs and
-    * retried tasks agree), the dimension side is replicated `saltFactor`
-    * times, and the join key becomes (key, salt). One hot key's rows spread
-    * over `saltFactor` reducers instead of one. */
+  /** Skew-tolerant equi-join: the skewed side gets a salt in
+    * [0, saltFactor) derived from the row's position (so byte-identical
+    * duplicate rows — the worst skew case — still spread; a row-content
+    * hash would send them all to one reducer), the dimension side is
+    * replicated `saltFactor` times, and the join key becomes (key, salt).
+    * One hot key's rows spread over `saltFactor` reducers instead of one.
+    * The salt is deterministic within a job (partition index + offset), so
+    * retried tasks agree; it is NOT stable across different runs, which is
+    * fine — any salt distribution yields the same join result. */
   def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive; got $saltFactor")
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.map(col).toIndexedSeq: _*)), lit(saltFactor))
-        .cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",
       explode(expr(s"CAST(sequence(0, ${saltFactor - 1}) AS ARRAY<INT>)")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

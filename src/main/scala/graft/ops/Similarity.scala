@@ -82,27 +82,37 @@ object Similarity {
     * nprobe (nprobe = nlist is exhaustive); candidate cost is ~nprobe/nlist
     * of the corpus.
     *
-    * Scale notes: training touches a bounded sample on the driver; cell
-    * assignment is a partition-local expression with the centroid table
-    * shipped in the closure (broadcast-sized: nlist × dim doubles); the
-    * probe join matches on the int cell id with ids only — vectors are
-    * re-joined by id after candidate dedup, the same discipline as the LSH
-    * paths. At 100 TB the corpus side never shuffles: cells are the
-    * natural partitioning key for the inverted file. */
+    * Scale notes: training runs distributed k-means EAGERLY at call time —
+    * pass `trainFraction < 1` to fit the quantizer on a corpus sample (the
+    * centers converge on a sample at scale; only nlist × dim doubles come
+    * back to the driver). Cell assignment is a partition-local expression
+    * with the centroid table shipped in the closure; the probe join matches
+    * on the int cell id with ids only — vectors are re-joined by id after
+    * candidate dedup, the same discipline as the LSH paths. At 100 TB the
+    * corpus side never shuffles: cells are the natural partitioning key for
+    * the inverted file. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              trainFraction: Double = 1.0,
               qId: String = "vec_id", qVec: String = "embedding",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val cv = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
     val qv = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
-    // coarse quantizer: k-means in cosine geometry, deterministic via seed
+    // coarse quantizer: k-means in cosine geometry, deterministic via seed.
+    // Zero-norm vectors (padding rows, failed embeds) are excluded from
+    // TRAINING only — cosine k-means rejects them — but stay in the corpus
+    // (NearestCentroids assigns them deterministically, cosine scores 0).
+    val trainable = cv
+      .where(expr("aggregate(n_vec, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0"))
+    val train = (if (trainFraction < 1.0) trainable.sample(trainFraction, seed) else trainable)
+      .select(array_to_vector(col("n_vec")).as("features"))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10)
       .setDistanceMeasure("cosine")
       .setFeaturesCol("features")
-      .fit(cv.select(array_to_vector(col("n_vec")).as("features")))
+      .fit(train)
     val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
 
     def cells(c: Column, probes: Int): Column =

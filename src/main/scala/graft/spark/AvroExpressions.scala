@@ -130,31 +130,23 @@ case class AvroOcfDecode(child: Expression, readerSchemaJson: String)
     extends UnaryExpression with GraftUnaryCodegen {
 
   @transient private lazy val readerSchema = AvroRuntime.parse(readerSchemaJson)
-  @transient private lazy val perWriter = TrieMap.empty[String, (CatalystAvroReader.Reader, AvroCodec)]
+  // keyed by writer schema only: block framing/codec is handled per payload
+  // by Ocf.blockIterator, so a schema seen with several codecs still reuses
+  // one compiled reader
+  @transient private lazy val perWriter = TrieMap.empty[String, CatalystAvroReader.Reader]
 
   override lazy val dataType: DataType =
     ArrayType(SchemaConverters.toSqlType(readerSchema).dataType, containsNull = false)
   override def prettyName: String = "avro_ocf_decode"
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    val in = new AvroBinaryReader(bytes)
-    val header = Ocf.readHeader(in)
-    val (reader, codec) = perWriter.getOrElseUpdate(header.schemaJson, {
-      val w = AvroRuntime.parse(header.schemaJson)
-      (CatalystAvroReader.compile(w, readerSchema), AvroCodecs(header.codecName))
-    })
+    val (header, blocks) = Ocf.blockIterator(input.asInstanceOf[Array[Byte]])
+    val reader = perWriter.getOrElseUpdate(header.schemaJson,
+      CatalystAvroReader.compile(AvroRuntime.parse(header.schemaJson), readerSchema))
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    while (!in.atEnd) {
-      val datumCount = in.readLong()
-      val byteSize = in.readLong()
-      val block = codec.decompress(in.readFixed(byteSize.toInt))
-      val bin = new AvroBinaryReader(block)
+    blocks.foreach { b =>
       var i = 0L
-      while (i < datumCount) { out += reader(bin); i += 1 }
-      val sync = in.readFixed(Ocf.SyncSize)
-      if (!java.util.Arrays.equals(sync, header.sync))
-        throw new AvroResolutionException("OCF sync marker mismatch")
+      while (i < b.datumCount) { out += reader(b.in); i += 1 }
     }
     new GenericArrayData(out.toArray)
   }
@@ -174,7 +166,7 @@ case class AvroOcfExplode(child: Expression, readerSchemaJson: String)
     extends UnaryExpression with Generator with CodegenFallback {
 
   @transient private lazy val readerSchema = AvroRuntime.parse(readerSchemaJson)
-  @transient private lazy val perWriter = TrieMap.empty[String, (CatalystAvroReader.Reader, AvroCodec)]
+  @transient private lazy val perWriter = TrieMap.empty[String, CatalystAvroReader.Reader]
   @transient private lazy val (outSchema: StructType, wrap: Boolean) =
     SchemaConverters.toSqlType(readerSchema).dataType match {
       case st: StructType => (st, false)
@@ -187,24 +179,17 @@ case class AvroOcfExplode(child: Expression, readerSchemaJson: String)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val payload = child.eval(input)
     if (payload == null) return Iterator.empty
-    val in = new AvroBinaryReader(payload.asInstanceOf[Array[Byte]])
-    val header = Ocf.readHeader(in)
-    val (reader, codec) = perWriter.getOrElseUpdate(header.schemaJson, {
-      val w = AvroRuntime.parse(header.schemaJson)
-      (CatalystAvroReader.compile(w, readerSchema), AvroCodecs(header.codecName))
-    })
+    val (header, blocks) = Ocf.blockIterator(payload.asInstanceOf[Array[Byte]])
+    val reader = perWriter.getOrElseUpdate(header.schemaJson,
+      CatalystAvroReader.compile(AvroRuntime.parse(header.schemaJson), readerSchema))
     new Iterator[InternalRow] {
       private var remaining = 0L
       private var bin: AvroBinaryReader = _
       private def advance(): Unit =
-        while (remaining == 0 && !in.atEnd) {
-          val datumCount = in.readLong()
-          val byteSize = in.readLong()
-          bin = new AvroBinaryReader(codec.decompress(in.readFixed(byteSize.toInt)))
-          val sync = in.readFixed(Ocf.SyncSize)
-          if (!java.util.Arrays.equals(sync, header.sync))
-            throw new AvroResolutionException("OCF sync marker mismatch")
-          remaining = datumCount
+        while (remaining == 0 && blocks.hasNext) {
+          val b = blocks.next()
+          bin = b.in
+          remaining = b.datumCount
         }
       override def hasNext: Boolean = { advance(); remaining > 0 }
       override def next(): InternalRow = {

@@ -286,9 +286,24 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], npro
       sims(c) = if (nv == 0.0) -2.0 else dot / math.sqrt(nv)
       c += 1
     }
-    // top-nprobe by similarity, index ascending on ties (deterministic)
-    val order = sims.indices.sortBy(i => (-sims(i), i)).take(nprobe)
-    new GenericArrayData(order.map(Int.box(_): Any).toArray)
+    // primitive top-nprobe selection (corpus-wide hot path: no boxing, no
+    // tuple sort) — repeated max scan over ≤ nlist entries, ties by index
+    val out = new Array[Int](nprobe)
+    val taken = new Array[Boolean](sims.length)
+    var p = 0
+    while (p < nprobe) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var i = 0
+      while (i < sims.length) {
+        if (!taken(i) && sims(i) > bestSim) { best = i; bestSim = sims(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
