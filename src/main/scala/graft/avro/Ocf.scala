@@ -206,6 +206,25 @@ object Ocf {
     writePreEncoded(schema, datums.iterator.map(writer.toBytes), codecName, syncOpt)
   }
 
+  /** Append datums to an EXISTING container payload (the reference's
+    * append-mode reopen, datafile.py:161-177): the original header — schema,
+    * codec, sync marker — is reused, new blocks are written with the same
+    * sync, and existing bytes are untouched. */
+  def append(existing: Array[Byte], datums: Seq[Any]): Array[Byte] = {
+    val in = new AvroBinaryReader(existing)
+    val header = readHeader(in)
+    val schema = AvroSchemaParser.parse(header.schemaJson)
+    val tail = writeAll(schema, datums, header.codecName, Some(header.sync))
+    // strip the fresh header from the tail: blocks start after magic+meta+sync
+    val tailIn = new AvroBinaryReader(tail)
+    readHeader(tailIn)
+    val blocksStart = tailIn.pos
+    val out = new Array[Byte](existing.length + (tail.length - blocksStart))
+    System.arraycopy(existing, 0, out, 0, existing.length)
+    System.arraycopy(tail, blocksStart, out, existing.length, tail.length - blocksStart)
+    out
+  }
+
   /** Assemble an OCF payload from PRE-ENCODED bare datums — the engine sink
     * path: rows are encoded by the codegen'd `to_avro` expression, and block
     * assembly is pure byte bookkeeping (an OCF block body is simply the

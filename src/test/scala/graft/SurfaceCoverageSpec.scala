@@ -52,6 +52,40 @@ class SurfaceCoverageSpec extends AnyFunSuite {
     intercept[Exception](reg.get("missing"))
   }
 
+  test("mixed codecs with one schema decode correctly (per-payload framing)") {
+    // regression: the per-writer reader cache must NOT capture the codec —
+    // a schema seen with codec 'null' first must still inflate 'deflate'
+    val schemaJson = """{"type":"record","name":"KV","fields":[{"name":"k","type":"string"}]}"""
+    val schema = AvroSchemaParser.parse(schemaJson).asInstanceOf[ARecord]
+    val pNull = Ocf.writeAll(schema, Seq(AvroRecord(schema, Array[Any]("plain"))), "null")
+    val pDeflate = Ocf.writeAll(schema, Seq(AvroRecord(schema, Array[Any]("packed"))), "deflate")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(pNull), Row(pDeflate)),
+      StructType(Seq(StructField("payload", BinaryType))))
+    val viaGenerator = df
+      .select(gfn.avro_ocf_explode(org.apache.spark.sql.functions.col("payload"), schemaJson))
+      .collect().map(_.getString(0)).sorted
+    val viaArray = df
+      .select(org.apache.spark.sql.functions.explode(
+        gfn.avro_ocf_decode(org.apache.spark.sql.functions.col("payload"), schemaJson)).as("r"))
+      .select("r.k").collect().map(_.getString(0)).sorted
+    assert(viaGenerator.toSeq == Seq("packed", "plain"))
+    assert(viaArray.toSeq == Seq("packed", "plain"))
+  }
+
+  test("append-mode reopen keeps the original header and extends the stream") {
+    val schemaJson = """{"type":"record","name":"KV","fields":[{"name":"k","type":"string"}]}"""
+    val schema = AvroSchemaParser.parse(schemaJson).asInstanceOf[ARecord]
+    val original = Ocf.writeAll(schema,
+      Seq(AvroRecord(schema, Array[Any]("a"))), "deflate")
+    val extended = Ocf.append(original,
+      Seq(AvroRecord(schema, Array[Any]("b")), AvroRecord(schema, Array[Any]("c"))))
+    val (_, datums) = Ocf.readAll(extended)
+    assert(datums.map(_.asInstanceOf[AvroRecord].get("k")) == Vector("a", "b", "c"))
+    // original bytes are a strict prefix (append never rewrites)
+    assert(extended.take(original.length).sameElements(original))
+  }
+
   test("OcfDump prints one JSON line per datum and --schema prints the schema") {
     val schema = AvroSchemaParser.parse(
       """{"type":"record","name":"KV","fields":[{"name":"k","type":"string"}]}""")
