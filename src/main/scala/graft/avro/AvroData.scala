@@ -358,7 +358,7 @@ object AvroDefaults {
         b.result()
       case AMap(values) =>
         val m = mutable.LinkedHashMap.empty[String, Any]
-        d.fields().forEachRemaining(e => m(e.getKey) = materialize(e.getValue, values))
+        d.fieldNames().forEachRemaining(n => m(n) = materialize(d.get(n), values))
         m
       case u: AUnion =>
         // Avro spec: default of a union corresponds to its FIRST branch

@@ -49,23 +49,24 @@ object Compatibility {
   def canRead(writer: AvroSchema, reader: AvroSchema): Boolean =
     check(reader, writer).isCompatible
 
+  /** Identity key for memoization (schemas may be singletons or shared). */
+  private final class IdKey(val s: AvroSchema) {
+    override def hashCode: Int = System.identityHashCode(s)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdKey => k.s eq s
+      case _ => false
+    }
+  }
+
+  /** An incompatibility located relative to its (reader, writer) pair. */
+  private final case class RelInc(kind: Kind, message: String, loc: List[String])
+
   final class Checker {
     /** Memo keyed by (reader, writer) object identity; an in-progress entry
       * marks a recursion cycle and reads as compatible (the cycle's result
       * is determined by the rest of the traversal). Values carry
       * pair-RELATIVE locations; callers rebase. */
     private val memo = mutable.HashMap.empty[(IdKey, IdKey), Option[List[RelInc]]]
-
-    private final class IdKey(val s: AvroSchema) {
-      override def hashCode: Int = System.identityHashCode(s)
-      override def equals(o: Any): Boolean = o match {
-        case k: IdKey => k.s eq s
-        case _ => false
-      }
-    }
-
-    /** An incompatibility located relative to its (reader, writer) pair. */
-    private case class RelInc(kind: Kind, message: String, loc: List[String])
 
     def check(reader: AvroSchema, writer: AvroSchema): Result =
       Result(pairCompat(deref(reader), deref(writer)).map { r =>
