@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver harness contract itself: a typo'd oracle key or a
+  * broken flagship would silently cost correctness rows at round end. */
+class DriverContractSpec extends AnyFunSuite {
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
+  test("queries without an oracle are the known, documented set") {
+    // these fall back to the driver's weaker rows-only check — keep the set
+    // explicit so a new query can't silently ship oracle-less by accident
+    val known = Set.empty[String]
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == known, s"queries lacking an oracle: ${missing -- known}")
+  }
+
+  test("the flagship entry() returns rows on sf0.001 (driver smoke contract)") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-contract-spec")
+      .getOrCreate()
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL contains no unescaped control characters that would break JSON dumping") {
+    // Verify.q() escapes them, but flag early if an oracle picks up e.g. a
+    // raw tab that makes diffs confusing
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("\r"), s"$name oracle contains a carriage return")
+    }
+  }
+}
