@@ -26,14 +26,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.AvroDecodePruning.install(spark)
 
-    // warm up the JVM + filesystem + codegen/agg/sink paths once, outside any
-    // query's timing (the first query otherwise absorbs JIT + Janino compile
-    // time); a bad data dir must still produce the JSON line (all not-ok)
+    // warm up the JVM + filesystem + codegen/agg/join/window/text paths once,
+    // outside any query's timing (the first query touching a path otherwise
+    // absorbs its JIT + Janino compile time); a bad data dir must still
+    // produce the JSON line (all not-ok)
     try {
-      import org.apache.spark.sql.functions.sum
-      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
-        .groupBy("l_returnflag").agg(sum("l_quantity"))
-        .write.mode("overwrite").format("noop").save()
+      import org.apache.spark.sql.functions.{col, sum}
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.mode("overwrite").format("noop").save()
+      noop(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+        .groupBy("l_returnflag").agg(sum("l_quantity")))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+        .persist()
+      noop(graft.ops.Dedup.minhashDedupPairs(docs, "doc_id", "text"))
+      noop(graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text", "source"))
+      noop(graft.ops.TextAnalysis.documentFeatures(docs, "doc_id", "text"))
+      docs.unpersist()
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).persist()
+      noop(graft.ops.Similarity.cosineNearDupPairs(emb, 0.99, numPlanes = 4, numTables = 4))
+      emb.unpersist()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
