@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * one of the already-verified primitives, so the pipeline inherits their
   * oracle-reproducible semantics.
   *
-  * Scale notes: the stages are ordered cheapest-reduction-first — the
-  * 16-byte-digest dedup shuffle runs on the full corpus, but language and
-  * quality are partition-local expressions over the survivors only; no
-  * stage shuffles document text. */
+  * Scale notes: the stages are ordered cheapest-reduction-first — the dedup
+  * stage shuffles only a narrow (digest, id) projection and broadcasts the
+  * duplicated-group keepers back (see [[Dedup.exact]]), and language and
+  * quality are partition-local expressions over the survivors; no stage
+  * shuffles document text. */
 object Curation {
 
   /** Surviving documents with their language and quality, after:

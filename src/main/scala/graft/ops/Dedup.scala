@@ -19,12 +19,26 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on a digest of `textCol`: keeps the first (minimum `idCol`)
-    * row of each duplicate group. Shuffle key = md5 digest. */
+    * row of each duplicate group.
+    *
+    * Plan shape: only DUPLICATED digests need arbitration, and at realistic
+    * duplicate rates that set is tiny — so the arbitration frame
+    * (digest, keep_id) for groups with n > 1 is built from a narrow
+    * (digest, id) projection (map-side partial agg, 16-byte-key shuffle) and
+    * broadcast back. Document text therefore NEVER crosses the wire: the
+    * survivor filter is a broadcast-hash join against the full rows in place.
+    * (A corpus that is MOSTLY duplicates would outgrow the broadcast — drop
+    * the hint there and let AQE pick the join, paying one row shuffle.) */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    df.withColumn("__digest", md5(col(textCol)))
-      .withColumn("__keep",
-        min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__digest"))))
-      .where(col(idCol) === col("__keep"))
+    val withDigest = df.withColumn("__digest", md5(col(textCol)))
+    val dupKeepers = withDigest
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select(col("__digest"), col("__keep"))
+    withDigest
+      .join(broadcast(dupKeepers), Seq("__digest"), "left_outer")
+      .where(col("__keep").isNull || col(idCol) === col("__keep"))
       .drop("__digest", "__keep")
   }
 
@@ -147,7 +161,12 @@ object Dedup {
     * `bit_count(a^b)` verifies exactly (whole-stage codegen'd). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    // the 64-bit signature feeds both sides of the chunk self-join; persist
+    // (id, sh) — 16 bytes/row — so SimHash64 runs over the corpus once, the
+    // same discipline as the minhash paths
+    val sigs = spreadSmallInput(df)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
           shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*))
@@ -195,12 +214,16 @@ object Dedup {
         s"transform(sequence(0, size($toks) - $n), " +
         s"i -> array_join(slice($toks, i + 1, $n), ' ')) END")).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv0 = sh.select(col("id"), col("blk"), explode(col("grams")).as("gram"))
+    // carry |grams| from the pre-explode frame — it is size(grams), so the
+    // prefix bound needs no count(*) window over the exploded index (that
+    // window was a second full shuffle+sort of (id, gram) for a value
+    // already known)
+    val inv0 = sh.select(col("id"), col("blk"), size(col("grams")).as("n_grams"),
+      explode(col("grams")).as("gram"))
     // global gram rarity; (df, gram) is the total order for prefix selection
     val gramDf = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
     val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val prefix = inv0.join(gramDf, "gram")
-      .withColumn("n_grams", count(lit(1)).over(byId))
       .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("gram"))))
       .where(col("rn") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + lit(1))
       .select(col("id"), col("blk"), col("gram"))

@@ -72,8 +72,16 @@ object Multimodal {
     /** STUB resize: a real codec would decode, scale, re-encode; the fake
       * truncates/pads content to width*height*channels bytes so downstream
       * size accounting stays honest. */
-    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] =
-      java.util.Arrays.copyOf(content, w * h * channels)
+    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && channels > 0,
+        s"resize dimensions must be positive; got ${w}x${h}x$channels")
+      // w*h*channels overflows Int silently (e.g. 50000x50000x3) — the long
+      // product catches malformed metadata before Arrays.copyOf misallocates
+      val size = w.toLong * h * channels
+      require(size <= Int.MaxValue,
+        s"resize target ${w}x${h}x$channels = $size bytes exceeds a byte array")
+      java.util.Arrays.copyOf(content, size.toInt)
+    }
   }
 
   /** Per-asset decode statistics, batched partition-local (the mapInPandas

@@ -204,7 +204,11 @@ object LangId {
       i += 1
     }
     if (total > 0 && cjk * 3 > total) return "zh"
-    val toks = TextHashing.tokenize(text.toLowerCase).take(500)
+    // tokenize first, lowercase only the ≤500 examined tokens (lowercasing
+    // the whole document first was O(doc) work for a capped vote); ROOT
+    // locale keeps the fold identical across executor default locales
+    val toks = TextHashing.tokenize(text).take(500)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
     val scores = profiles.map { case (code, stops) =>
       (code, toks.count(stops.contains))
     }
@@ -238,11 +242,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("cosExpr", this, classOf[CosineSimilarity].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = (Double) $ref.nullSafeEval($a, $b);")
-  }
+  // fully inline codegen: the dot-product loop runs inside whole-stage
+  // codegen with primitive locals — no boxed Double, no virtual call per
+  // pair (this sits in the innermost loop of every similarity join)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $nx = 0.0;
+         |double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = (double) $a.getFloat($i);
+         |  final double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi;
+         |  $nx += $xi * $xi;
+         |  $ny += $yi * $yi;
+         |}
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
@@ -283,7 +310,12 @@ case class NearestCentroids(child: Expression, centroids: Seq[Seq[Double]], npro
         nv += x * x
         i += 1
       }
-      sims(c) = if (nv == 0.0) -2.0 else dot / math.sqrt(nv)
+      // NaN inputs (failed embeds) poison the selection below (`NaN > x` is
+      // always false, which would leave `best` at -1 and crash the taken()
+      // update); map them to the same sentinel as zero-norm vectors so
+      // assignment stays total and deterministic
+      val s = if (nv == 0.0) -2.0 else dot / math.sqrt(nv)
+      sims(c) = if (java.lang.Double.isNaN(s)) -2.0 else s
       c += 1
     }
     // primitive top-nprobe selection (corpus-wide hot path: no boxing, no

@@ -36,8 +36,9 @@ object StreamingIngest {
         org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
       .load(inputDir)
-      .select(explode(gfn.avro_ocf_decode(col("content"), readerSchemaJson)).as("r"))
-      .select("r.*")
+      // Generator form: decodes lazily block-by-block, so one oversized
+      // landing file cannot materialize its whole datum array per row
+      .select(gfn.avro_ocf_explode(col("content"), readerSchemaJson))
 
   /** Decode a bare-datum binary column on a streaming frame (the Kafka/
     * Kinesis `value` shape; registry mode S4). Non-decoded columns pass

@@ -30,6 +30,25 @@ class OpsSpec extends AnyFunSuite {
     assert(dedup <= total)
   }
 
+  test("exact dedup plan never shuffles document text") {
+    // AQE wraps the plan in AdaptiveSparkPlanExec (opaque to collect);
+    // disable it for the shape assertion only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.exact(docs, "doc_id", "text").queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "expected the narrow (digest, id) aggregation shuffle")
+      shuffles.foreach { e =>
+        assert(!e.child.output.exists(_.name == "text"),
+          s"document text rides a shuffle:\n$e")
+      }
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, "survivor filter must be a broadcast-hash join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("minhash candidate pairs are symmetric-free, thresholded, and real near-dups") {
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", threshold = 0.5).collect()
     assert(pairs.nonEmpty)
