@@ -133,6 +133,28 @@ object Similarity {
       .select("q_id", "n_id", "sim", "rank")
   }
 
+  /** EXACT corpus-wide cosine pairs at a threshold (id_a < id_b,
+    * sim ≥ threshold) — a declared O(n²) block-nested-loop, for thresholds
+    * that sit inside the corpus's continuous similarity tail. In that regime
+    * hyperplane LSH cannot beat brute force at full recall (the collision
+    * probability at sim ≈ 0.4 forces more candidate work than the n²/2 pair
+    * space — measured on this corpus: 4 planes × 64 tables ≈ 4× brute
+    * force), so the honest plan is the exact one. The broadcast side is the
+    * (id, vec) projection; at corpora beyond broadcast size, grid-partition
+    * both sides (p×p blocks) instead. True NEAR-duplicate corpora
+    * (sim ≥ ~0.85) should use [[cosineNearDupPairs]], whose recall at
+    * production parameters is spec-proven (LshRecallSpec). */
+  def cosineAllPairs(df: DataFrame, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(broadcast(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))),
+        col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .where(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over the whole corpus (id_a < id_b,
     * sim ≥ threshold), multi-table LSH-bucketed to avoid the O(n²) pair space
     * while keeping recall high for truly-near pairs. */
