@@ -62,6 +62,22 @@ object SparkEntry {
       |{"name":"c_name","type":"string"},
       |{"name":"c_acctbal","type":"double"}]}""".stripMargin
 
+  /** The cold half of the wire-type matrix in one record: decimal over bytes
+    * AND fixed, date, enum, fixed, map, time-millis, time-micros.
+    * (reference: python-udf/avro/io.py:284-319 logical types,
+    * io.py:824-979 complex types, schema.py:512-1068.) */
+  private val wireTypesSchemaJson =
+    """{"type":"record","name":"wt","fields":[
+      |{"name":"k","type":"int"},
+      |{"name":"dec_b","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+      |{"name":"dec_f","type":{"type":"fixed","name":"dfx","size":8,"logicalType":"decimal","precision":10,"scale":2}},
+      |{"name":"d","type":{"type":"int","logicalType":"date"}},
+      |{"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","GREEN","BLUE"]}},
+      |{"name":"fx","type":{"type":"fixed","name":"fx4","size":4}},
+      |{"name":"m","type":{"type":"map","values":"long"}},
+      |{"name":"tm","type":{"type":"int","logicalType":"time-millis"}},
+      |{"name":"tu","type":{"type":"long","logicalType":"time-micros"}}]}""".stripMargin
+
   /** Reader schema exercising the resolution engine: field projection
     * (c_acctbal dropped), numeric promotion (long→double on c_custkey) and
     * reader-default fill (c_loyalty). (reference: python-udf/avro/io.py:990-1039) */
@@ -285,6 +301,97 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"), to_date(col("l_shipdate")).as("l_shipdate"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // F-matrix cold half through the ENGINE encoder+decoder: decimal(bytes),
+    // decimal(fixed), date, enum, fixed, map, time-millis and time-micros
+    // round-trip via to_avro → from_avro, plus a general (non-nullable)
+    // ["int","string"] union decoded from kernel-written datums (to_avro
+    // only emits nullable-style unions by design, so the union payloads are
+    // a 25-row kernel fixture — same driver-side fixture pattern as q15).
+    "q34_avro_wire_types" -> ((s, dir) => {
+      val unionSchemaJson = """["int","string"]"""
+      val uw = new AvroDatumWriter(AvroSchemaParser.parse(unionSchemaJson))
+      val uRows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey").collect().map { r =>
+          val k = r.getInt(0)
+          Row(k, uw.toBytes(if (k % 2 == 0) k * 11 else r.getString(1)))
+        }
+      val uDf = s.createDataFrame(
+        java.util.Arrays.asList(uRows.toIndexedSeq: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("up",
+            org.apache.spark.sql.types.BinaryType))))
+      val encoded = t(s, dir, "nation").select(
+        col("n_nationkey").as("k"),
+        gfn.to_avro(struct(
+          col("n_nationkey").as("k"),
+          expr("CAST(n_nationkey + 0.25 AS DECIMAL(10,2))").as("dec_b"),
+          expr("CAST(n_nationkey * 2 + 0.5 AS DECIMAL(10,2))").as("dec_f"),
+          expr("DATE'2024-01-01' + n_nationkey").as("d"),
+          element_at(array(lit("RED"), lit("GREEN"), lit("BLUE")),
+            (col("n_nationkey") % 3 + 1).cast("int")).as("color"),
+          unhex(lpad(hex(col("n_nationkey")), 8, "0")).as("fx"),
+          map(lit("k1"), (col("n_nationkey") * 10).cast("long"),
+            lit("k2"), col("n_regionkey").cast("long")).as("m"),
+          (col("n_nationkey") * 1000 + 123).cast("int").as("tm"),
+          (col("n_nationkey") * 1000000L + 456).cast("long").as("tu")),
+          wireTypesSchemaJson).as("p"))
+      encoded.join(broadcast(uDf), "k")
+        .select(gfn.from_avro(col("p"), wireTypesSchemaJson).as("r"),
+          gfn.from_avro(col("up"), unionSchemaJson).as("u"))
+        .select(col("r.k").as("k"),
+          col("r.dec_b").cast("double").as("dec_b"),
+          col("r.dec_f").cast("double").as("dec_f"),
+          col("r.d").as("d"), col("r.color").as("color"),
+          hex(col("r.fx")).as("fx_hex"),
+          element_at(col("r.m"), "k1").as("m_k1"),
+          element_at(col("r.m"), "k2").as("m_k2"),
+          col("r.tm").as("tm"), col("r.tu").as("tu"),
+          col("u.member0").as("u_int"), col("u.member1").as("u_str"))
+        .orderBy("k")
+    }),
+
+    // C3/C4 at engine level: the q32 sink→scan round-trip with the snappy
+    // and zstandard codecs (q15/q32 exercise deflate; these close the codec
+    // matrix at driver level). (reference: python-udf/avro/codecs.py:129-186.)
+    "q35_ocf_snappy_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.spark.OcfSink.payloads(c, customerWriterJson,
+          codecName = "snappy", datumsPerPayload = 500)
+        .select(gfn.avro_ocf_explode(col("payload"), customerWriterJson))
+        .orderBy("c_custkey")
+    }),
+
+    "q36_ocf_zstd_roundtrip" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      graft.spark.OcfSink.payloads(c, customerWriterJson,
+          codecName = "zstandard", datumsPerPayload = 500)
+        .select(gfn.avro_ocf_explode(col("payload"), customerWriterJson))
+        .orderBy("c_custkey")
+    }),
+
+    // S9: writer schema resolved THROUGH THE REGISTRY keyed by a stream-name
+    // COLUMN — two streams with different schemas decode in one expression,
+    // the Glue per-stream path. Payloads are engine-encoded (to_avro) from
+    // the tables; no driver-side fixture.
+    "q37_registry_stream" -> ((s, dir) => {
+      val nSchema = """{"type":"record","name":"n","fields":[
+        |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"}]}""".stripMargin
+      val rSchema = """{"type":"record","name":"r","fields":[
+        |{"name":"r_regionkey","type":"int"},{"name":"r_name","type":"string"}]}""".stripMargin
+      val registry = graft.framing.SchemaRegistry.inMemory(
+        "nation-stream" -> nSchema, "region-stream" -> rSchema)
+      val nations = t(s, dir, "nation").select(lit("nation-stream").as("stream"),
+        gfn.to_avro(struct(col("n_nationkey"), col("n_name")), nSchema).as("payload"))
+      val regions = t(s, dir, "region").select(lit("region-stream").as("stream"),
+        gfn.to_avro(struct(col("r_regionkey"), col("r_name")), rSchema).as("payload"))
+      nations.unionAll(regions)
+        .select(col("stream"),
+          gfn.registry_decode_json(col("stream"), col("payload"), registry).as("json"))
+        .orderBy("stream", "json")
     }),
 
     // S7/S8/S4 composed: KPL aggregate → Spring embedded headers → bare-datum
@@ -584,6 +691,38 @@ object SparkEntry {
     "q16_spring_kpl" ->
       """SELECT 'application/vnd.region.v1+avro' AS content_type, r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "q34_avro_wire_types" ->
+      """SELECT n_nationkey AS k,
+        |  CAST(CAST(n_nationkey + 0.25 AS DECIMAL(10,2)) AS DOUBLE) AS dec_b,
+        |  CAST(CAST(n_nationkey * 2 + 0.5 AS DECIMAL(10,2)) AS DOUBLE) AS dec_f,
+        |  DATE '2024-01-01' + n_nationkey AS d,
+        |  ['RED','GREEN','BLUE'][n_nationkey % 3 + 1] AS color,
+        |  upper(lpad(to_hex(n_nationkey), 8, '0')) AS fx_hex,
+        |  CAST(n_nationkey * 10 AS BIGINT) AS m_k1,
+        |  CAST(n_regionkey AS BIGINT) AS m_k2,
+        |  CAST(n_nationkey * 1000 + 123 AS INTEGER) AS tm,
+        |  CAST(n_nationkey * 1000000 + 456 AS BIGINT) AS tu,
+        |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey * 11 END AS INTEGER) AS u_int,
+        |  CASE WHEN n_nationkey % 2 = 1 THEN n_name END AS u_str
+        |FROM nation ORDER BY k""".stripMargin,
+
+    "q35_ocf_snappy_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "q36_ocf_zstd_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "q37_registry_stream" ->
+      """SELECT stream, json FROM (
+        |  SELECT 'nation-stream' AS stream,
+        |    '{"n_nationkey": ' || n_nationkey || ', "n_name": "' || n_name || '"}' AS json
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'region-stream' AS stream,
+        |    '{"r_regionkey": ' || r_regionkey || ', "r_name": "' || r_name || '"}' AS json
+        |  FROM region
+        |) ORDER BY stream, json""".stripMargin,
 
     "q32_ocf_sink_roundtrip" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,

@@ -286,6 +286,38 @@ case class SpringKplDecodeAll(child: Expression, schemasByContentType: Map[Strin
     copy(child = newChild)
 }
 
+/** `registry_decode_json(streamName, payload)` → JSON string: resolve the
+  * WRITER schema per stream-name value through a [[graft.framing.SchemaRegistry]]
+  * shipped with the expression (the Glue registry-keyed-by-stream path, S9),
+  * decode the bare datum, and render the reference's exact JSON text. Datum
+  * readers are built per distinct stream key and cached per executor — the
+  * Spark analog of the reference's LRU(32) per-container cache.
+  * (reference: glue-schema-per-stream-udf/lambda_function.py:14-42.) */
+case class RegistryDecodeJson(left: Expression, right: Expression,
+                              registry: graft.framing.SchemaRegistry)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "registry_decode_json"
+
+  @transient private lazy val readers = TrieMap.empty[String, AvroDatumReader]
+
+  override def nullSafeEval(stream: Any, payload: Any): Any = {
+    val key = stream.asInstanceOf[UTF8String].toString
+    val reader = readers.getOrElseUpdate(key, new AvroDatumReader(registry.get(key)))
+    UTF8String.fromString(AvroJson.render(reader.read(payload.asInstanceOf[Array[Byte]])))
+  }
+
+  // one virtual call per row keeps the expression inside whole-stage codegen
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("registryDecode", this, classOf[RegistryDecodeJson].getName)
+    nullSafeCodeGen(ctx, ev, (s, p) =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($s, $p);")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RegistryDecodeJson =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `spring_extract(binary)` → `struct<headers: map<string,string>, body: binary>`:
   * strip spring-cloud-stream embedded headers from a message payload.
   * (reference: springcloud-lambda-udf/lambda_function.py:72-139.) */

@@ -65,6 +65,13 @@ object functions {
   def spring_kpl_decode_all(data: Column, schemasByContentType: Map[String, String]): Column =
     col(SpringKplDecodeAll(expr(data), schemasByContentType))
 
+  /** S9: decode bare datums whose writer schema is resolved per STREAM NAME
+    * through a [[graft.framing.SchemaRegistry]] (the Glue
+    * registry-keyed-by-stream path). */
+  def registry_decode_json(stream: Column, data: Column,
+                           registry: graft.framing.SchemaRegistry): Column =
+    col(RegistryDecodeJson(expr(stream), expr(data), registry))
+
   // ---- SQL registration ---------------------------------------------------
   private def litString(e: Expression, fn: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
