@@ -60,6 +60,31 @@ class AvroDecodePruningSpec extends AnyFunSuite {
     assert(rows(7).getInt(0) == 7 && rows(7).getLong(1) == 7L)
   }
 
+  test("a Filter consumer prunes through the decode alias") {
+    val df = encoded
+      .select(gfn.from_avro(col("bin"), schemaJson).as("r"))
+      .where(col("r.a") % 2 === 0)
+      .select(col("r.c").as("c"))
+    // filter pushdown splits the decode: the Filter keeps its own copy for
+    // `a`, the Project one for `c` — each must be pruned to just its field
+    // (in particular the 1000-byte `big` is wire-skipped in both)
+    val readers = decodedReaderFields(df)
+    assert(readers.nonEmpty && readers.forall(r => r == Seq("a") || r == Seq("c")),
+      s"expected per-consumer pruned readers [a]/[c]; got $readers\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().map(_.getLong(0)).sorted.take(3).toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("an Aggregate consumer prunes through the decode alias") {
+    val df = encoded
+      .select(gfn.from_avro(col("bin"), schemaJson).as("r"))
+      .groupBy((col("r.a") % 5).as("g"))
+      .agg(sum(col("r.c")).as("s"))
+    val readers = decodedReaderFields(df)
+    assert(readers.nonEmpty && readers.forall(_ == Seq("a", "c")),
+      s"expected pruned reader [a, c]; got $readers\n${df.queryExecution.optimizedPlan}")
+    assert(df.count() == 5)
+  }
+
   test("whole-struct access is left untouched") {
     val df = encoded.select(gfn.from_avro(col("bin"), schemaJson).as("r"))
     val readers = decodedReaderFields(df)
