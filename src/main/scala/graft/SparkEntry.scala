@@ -502,13 +502,16 @@ object SparkEntry {
     "q21_text_features" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val text = col("text")
+      // quality is derived from the SELECTED counts — the count expressions
+      // (lambda/regex, outside codegen CSE) each evaluate exactly once
       d.select(col("doc_id"),
           TextAnalysis.charCount(text).cast("long").as("n_chars"),
           TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
           TextAnalysis.subwordCount(text).cast("long").as("n_subwords"),
           TextAnalysis.punctCount(text).cast("long").as("n_punct"),
-          TextAnalysis.stopwordCount(text).cast("long").as("n_stopwords"),
-          TextAnalysis.qualityScore(text).as("quality"))
+          TextAnalysis.stopwordCount(text).cast("long").as("n_stopwords"))
+        .withColumn("quality", TextAnalysis.qualityScoreFromCounts(
+          col("n_chars"), col("n_tokens"), col("n_stopwords"), col("n_punct")))
         .orderBy("doc_id")
     }),
 

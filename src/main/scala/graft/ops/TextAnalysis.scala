@@ -41,11 +41,17 @@ object TextAnalysis {
   /** Deterministic quality score in [0,1]: mean word length band, stopword
     * ratio and punctuation-density terms — all exact integer arithmetic until
     * one final double division, so any engine reproduces it bit-for-bit. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text)
-    val nChar = length(text)
-    val nStop = stopwordCount(text)
-    val nPunct = punctCount(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromCounts(length(text), tokenCount(text),
+      stopwordCount(text), punctCount(text))
+
+  /** [[qualityScore]] over ALREADY-COMPUTED counts. The count inputs are
+    * lambda/regex expressions that sit outside whole-stage-codegen common-
+    * subexpression elimination, so a query selecting the counts AND the
+    * quality should feed the selected columns here instead of paying for
+    * each count twice (q21 does). */
+  def qualityScoreFromCounts(nChar: Column, nTok: Column,
+                             nStop: Column, nPunct: Column): Column = {
     // components scaled ×1000 in integer space, combined, then one division
     val avgLenOk = when(nTok === 0, lit(0)).otherwise(
       when(nChar * lit(10) >= nTok * lit(30) && nChar * lit(10) <= nTok * lit(120), lit(1000))
