@@ -85,6 +85,60 @@ class AvroDecodePruningSpec extends AnyFunSuite {
     assert(df.count() == 5)
   }
 
+  private val nestedSchemaJson =
+    """{"type":"record","name":"N","fields":[
+      |{"name":"id","type":"int"},
+      |{"name":"meta","type":{"type":"record","name":"M","fields":[
+      |  {"name":"ts","type":"long"},{"name":"blob","type":"string"},
+      |  {"name":"tag","type":"string"}]}},
+      |{"name":"big","type":"string"}]}""".stripMargin
+
+  private lazy val nestedPath: String = {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-prune-nested").toString
+    (0 until 50).map(i => (i, (i.toLong * 10, "y" * 500, s"t$i"), "z" * 500))
+      .toDF("id", "meta", "big")
+      .select(gfn.to_avro(struct(col("id"), col("meta").cast(
+        "struct<ts:bigint,blob:string,tag:string>"), col("big")), nestedSchemaJson).as("bin"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("nested field access prunes the sub-record reader") {
+    val df = spark.read.parquet(nestedPath)
+      .select(gfn.from_avro(col("bin"), nestedSchemaJson).as("r"))
+      .select(col("r.id").as("id"), col("r.meta.ts").as("ts"))
+    val readers = decodedReaderFields(df)
+    // top level pruned to [id, meta]; meta pruned to [ts] (blob/tag skipped)
+    assert(readers.nonEmpty && readers.forall(_ == Seq("id", "meta")),
+      s"expected top-level [id, meta]; got $readers\n${df.queryExecution.optimizedPlan}")
+    val metaFields = df.queryExecution.optimizedPlan.flatMap(_.expressions.flatMap(_.collect {
+      case d: AvroDecode =>
+        graft.avro.AvroSchemaParser
+          .parse(d.readerSchemaJson.getOrElse(d.writerSchemaJson))
+          .asInstanceOf[graft.avro.ARecord].fields.collect {
+            case f if f.name == "meta" =>
+              f.schema.asInstanceOf[graft.avro.ARecord].fields.map(_.name)
+          }
+    }).flatten)
+    assert(metaFields.nonEmpty && metaFields.forall(_ == Seq("ts")),
+      s"expected meta pruned to [ts]; got $metaFields")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 50 && rows(7).getInt(0) == 7 && rows(7).getLong(1) == 70L)
+  }
+
+  test("mixed nested and whole-sub-struct access keeps that subtree") {
+    val df = spark.read.parquet(nestedPath)
+      .select(gfn.from_avro(col("bin"), nestedSchemaJson).as("r"))
+      .select(col("r.meta").as("m"), col("r.meta.ts").as("ts"))
+    val readers = decodedReaderFields(df)
+    // top level pruned to [meta]; meta kept whole (a use stops at it)
+    assert(readers.nonEmpty && readers.forall(_ == Seq("meta")),
+      s"expected top-level [meta]; got $readers\n${df.queryExecution.optimizedPlan}")
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 50 && rows(3).getStruct(0).getString(2) == "t3")
+  }
+
   test("whole-struct access is left untouched") {
     val df = encoded.select(gfn.from_avro(col("bin"), schemaJson).as("r"))
     val readers = decodedReaderFields(df)
