@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.spark.{functions => gfn}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming decode-on-ingest: the reference's "decode in-flight
   * in the stream processor before landing" option, which it documents but
@@ -13,8 +13,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * The reference pipeline is stateless per-message (SURVEY §2.12) — no
   * watermarks or windows are required for parity — but event-time windowed
-  * aggregation over the decoded stream is the natural Spark extension and is
-  * provided ([[windowedCounts]]).
+  * aggregation ([[windowedCounts]]) and custom-state sessionization
+  * ([[sessionize]], `flatMapGroupsWithState` + event-time timeout) are the
+  * natural Spark extensions and are provided.
   *
   * Scale notes: every decode is a partition-local deterministic expression
   * (no driver funnel, no per-batch state), so throughput scales with
@@ -71,6 +72,71 @@ object StreamingIngest {
       .groupBy(window(col(tsCol), windowLength))
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_events"))
+
+  /** A closed session: consecutive events of one key whose inter-event gaps
+    * stayed within the sessionization gap. */
+  final case class Session(key: String, start_ts: java.sql.Timestamp,
+                           end_ts: java.sql.Timestamp, n_events: Long)
+
+  /** Event-time sessionization over a decoded stream — the custom-state
+    * extension of §2.12 (`flatMapGroupsWithState` + event-time timeout). A
+    * session closes when a same-key event arrives more than `gapMs` after
+    * the previous one (emitted immediately), or when the watermark passes
+    * the session's gap horizon with no new events (emitted by timeout).
+    *
+    * Scale notes: state per key is three longs regardless of event count,
+    * so the state store grows with DISTINCT ACTIVE keys only; events are
+    * shuffled once on the key, the same partitioning the state store uses. */
+  def sessionize(decoded: DataFrame, keyCol: String, tsCol: String, gapMs: Long,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded
+      // project/cast BEFORE the watermark: a cast projected after
+      // withWatermark is a new column without the watermark tag, which
+      // event-time timeout rejects
+      .select(col(keyCol).cast("string").as("_k"), col(tsCol).cast("timestamp").as("_ts"))
+      .withWatermark("_ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        // state = (startMs, lastMs, n): a plain tuple keeps the state
+        // encoder inside codegen (a private case class is not reachable
+        // from generated code)
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => {
+          def close(s: (Long, Long, Long)) = Session(key,
+            new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator
+            state.remove()
+            out
+          } else {
+            val closed = scala.collection.mutable.Buffer.empty[Session]
+            var cur = state.getOption
+            // in-batch events may be unordered; late events beyond the
+            // watermark were already dropped upstream
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s._2 <= gapMs =>
+                  cur = Some((s._1, math.max(s._2, t), s._3 + 1))
+                case Some(s) =>
+                  closed += close(s)
+                  cur = Some((t, t, 1L))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
+          }
+        })
+  }
 
   /** Land a decoded stream as parquet with exactly-once file-sink semantics;
     * AvailableNow processes the backlog and stops (batch-boundary friendly,

@@ -82,6 +82,45 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionization closes sessions on gap splits and watermark timeouts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L * 1000L // epoch millis
+    def ts(offsetSec: Long) = new java.sql.Timestamp(base + offsetSec * 1000L)
+
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val sessions = StreamingIngest.sessionize(
+      stream.toDF().toDF("k", "ts"), "k", "ts",
+      gapMs = 120000L, watermarkDelay = "60 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: one k1 session (2 events), one k2 singleton
+      stream.addData(("k1", ts(0)), ("k1", ts(10)), ("k2", ts(0)))
+      q.processAllAvailable()
+      // batch 2: k1 jumps past the 120 s gap → session [0,10] closes inline
+      stream.addData(("k1", ts(600)))
+      q.processAllAvailable()
+      // batches 3-4: k2 far ahead advances the watermark past k1's horizon,
+      // so the [600,600] session times out without any further k1 event
+      stream.addData(("k2", ts(1200)))
+      q.processAllAvailable()
+      stream.addData(("k2", ts(2400)))
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        "SELECT key, n_events, CAST(start_ts AS LONG) AS s, CAST(end_ts AS LONG) AS e " +
+          "FROM sessions ORDER BY key, s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2) - base / 1000L,
+          r.getLong(3) - base / 1000L))
+      val k1 = rows.filter(_._1 == "k1").toSeq
+      assert(k1 == Seq(("k1", 2L, 0L, 10L), ("k1", 1L, 600L, 600L)),
+        s"got $k1 (all rows: ${rows.toSeq})")
+      // k2's first singleton must have closed by timeout as well
+      assert(rows.contains(("k2", 1L, 0L, 0L)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("bare-datum memory stream decodes with watermarked windowed counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
