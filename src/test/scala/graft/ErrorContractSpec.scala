@@ -27,6 +27,26 @@ class ErrorContractSpec extends AnyFunSuite {
     java.util.Arrays.asList(Row(bytes)),
     StructType(Seq(StructField("payload", BinaryType))))
 
+  test("registry decode: unregistered stream name fails with a clear error") {
+    val writer = new AvroDatumWriter(AvroSchemaParser.parse(schemaJson))
+    val body = writer.toBytes(AvroRecord(
+      AvroSchemaParser.parse(schemaJson).asInstanceOf[ARecord], Array[Any]("v1")))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row("ghost-stream", body)),
+      StructType(Seq(
+        StructField("stream", org.apache.spark.sql.types.StringType),
+        StructField("payload", BinaryType))))
+    val registry = graft.framing.SchemaRegistry.inMemory("real-stream" -> schemaJson)
+    val e = intercept[Exception] {
+      df.select(gfn.registry_decode_json(
+        org.apache.spark.sql.functions.col("stream"),
+        org.apache.spark.sql.functions.col("payload"), registry)).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("ghost-stream"), s"error must name the stream key: $e")
+  }
+
   test("FAILFAST: corrupt bytes fail the query (reference batch contract)") {
     val corrupt = Array[Byte](0x7f, 0x7f, 0x7f) // truncated varint-length string
     val e = intercept[Exception] {
