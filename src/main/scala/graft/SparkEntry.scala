@@ -587,6 +587,22 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // IVF ANN with EXHAUSTIVE probing (nprobe = nlist), which is
+    // structurally identical to brute force — the honest oracle-able
+    // configuration (results do not depend on where k-means put the
+    // centroids). Exercises the full IVF plumbing: SAMPLED quantizer
+    // training (the 100 TB path), partition-local cell assignment, int
+    // cell-id probe join with ids only, exact cosine re-rank. The
+    // sub-exhaustive recall/cost curve is spec-proven in OpsSpec.
+    "q38_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, 5,
+          nlist = 16, nprobe = 16, trainFraction = 0.5)
+        .select(col("q_id"), col("n_id"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Multimodal: typed binary assets → batched partition-local (stub)
     // decode stats. The byte-level decode is a documented deterministic
     // stub (no codec libs in this environment); the schema/batch/partition
@@ -976,6 +992,17 @@ object SparkEntry {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim0
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE sim0 >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // Exhaustive-probe IVF ≡ brute force, so the q26 oracle applies verbatim.
+    "q38_ivf_topk" ->
+      """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim0,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "q26_cosine_topk" ->
       """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
