@@ -139,6 +139,24 @@ class AvroDecodePruningSpec extends AnyFunSuite {
     assert(rows.length == 50 && rows(3).getStruct(0).getString(2) == "t3")
   }
 
+  test("pruned plans return identical results for every access-path combination") {
+    // a session WITHOUT the rule is the reference semantics; ordinal
+    // remapping bugs at any depth would diverge silently otherwise
+    val pristine = spark.newSession()
+    val accessSets: Seq[Seq[String]] = Seq(
+      Seq("r.id"), Seq("r.meta.ts"), Seq("r.meta.blob", "r.id"),
+      Seq("r.meta.ts", "r.meta.tag"), Seq("r.big", "r.meta.tag"),
+      Seq("r.id", "r.meta.ts", "r.big"), Seq("r.meta", "r.meta.ts"),
+      Seq("r.meta.tag", "r.meta.blob", "r.meta.ts"))
+    for (cols <- accessSets) {
+      def run(s: org.apache.spark.sql.SparkSession): Seq[String] = s.read.parquet(nestedPath)
+        .select(gfn.from_avro(col("bin"), nestedSchemaJson).as("r"))
+        .select(cols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"c$i") }: _*)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(run(spark) == run(pristine), s"pruned result diverges for $cols")
+    }
+  }
+
   test("whole-struct access is left untouched") {
     val df = encoded.select(gfn.from_avro(col("bin"), schemaJson).as("r"))
     val readers = decodedReaderFields(df)
