@@ -69,14 +69,20 @@ object SparkEntry {
   private val wireTypesSchemaJson =
     """{"type":"record","name":"wt","fields":[
       |{"name":"k","type":"int"},
+      |{"name":"b","type":"boolean"},
+      |{"name":"f","type":"float"},
+      |{"name":"raw","type":"bytes"},
+      |{"name":"arr","type":{"type":"array","items":"long"}},
       |{"name":"dec_b","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
       |{"name":"dec_f","type":{"type":"fixed","name":"dfx","size":8,"logicalType":"decimal","precision":10,"scale":2}},
       |{"name":"d","type":{"type":"int","logicalType":"date"}},
+      |{"name":"u","type":{"type":"string","logicalType":"uuid"}},
       |{"name":"color","type":{"type":"enum","name":"Color","symbols":["RED","GREEN","BLUE"]}},
       |{"name":"fx","type":{"type":"fixed","name":"fx4","size":4}},
       |{"name":"m","type":{"type":"map","values":"long"}},
       |{"name":"tm","type":{"type":"int","logicalType":"time-millis"}},
-      |{"name":"tu","type":{"type":"long","logicalType":"time-micros"}}]}""".stripMargin
+      |{"name":"tu","type":{"type":"long","logicalType":"time-micros"}},
+      |{"name":"tsm","type":{"type":"long","logicalType":"timestamp-millis"}}]}""".stripMargin
 
   /** Reader schema exercising the resolution engine: field projection
     * (c_acctbal dropped), numeric promotion (long→double on c_custkey) and
@@ -328,28 +334,46 @@ object SparkEntry {
         col("n_nationkey").as("k"),
         gfn.to_avro(struct(
           col("n_nationkey").as("k"),
+          (col("n_nationkey") % 2 === 0).as("b"),
+          // Spark division promotes to double; the quarter values are exact
+          // in float, so the round-trip through FLOAT stays bit-exact
+          (col("n_nationkey").cast("float") / lit(4.0f)).cast("float").as("f"),
+          unhex(lpad(hex(col("n_nationkey") * 7), 6, "0")).as("raw"),
+          array((col("n_nationkey") * 2).cast("long"),
+            (col("n_nationkey") * 3 + 1).cast("long")).as("arr"),
           expr("CAST(n_nationkey + 0.25 AS DECIMAL(10,2))").as("dec_b"),
           expr("CAST(n_nationkey * 2 + 0.5 AS DECIMAL(10,2))").as("dec_f"),
           expr("DATE'2024-01-01' + n_nationkey").as("d"),
+          concat(lpad(hex(col("n_nationkey")), 8, "0"), lit("-0000-4000-8000-"),
+            lpad(hex(col("n_nationkey")), 12, "0")).as("u"),
           element_at(array(lit("RED"), lit("GREEN"), lit("BLUE")),
             (col("n_nationkey") % 3 + 1).cast("int")).as("color"),
           unhex(lpad(hex(col("n_nationkey")), 8, "0")).as("fx"),
           map(lit("k1"), (col("n_nationkey") * 10).cast("long"),
             lit("k2"), col("n_regionkey").cast("long")).as("m"),
           (col("n_nationkey") * 1000 + 123).cast("int").as("tm"),
-          (col("n_nationkey") * 1000000L + 456).cast("long").as("tu")),
+          (col("n_nationkey") * 1000000L + 456).cast("long").as("tu"),
+          timestamp_millis(col("n_nationkey") * 1000L + 5).as("tsm")),
           wireTypesSchemaJson).as("p"))
       encoded.join(broadcast(uDf), "k")
         .select(gfn.from_avro(col("p"), wireTypesSchemaJson).as("r"),
           gfn.from_avro(col("up"), unionSchemaJson).as("u"))
         .select(col("r.k").as("k"),
+          col("r.b").as("b"),
+          col("r.f").cast("double").as("f"),
+          hex(col("r.raw")).as("raw_hex"),
+          element_at(col("r.arr"), 1).as("arr_1"),
+          element_at(col("r.arr"), 2).as("arr_2"),
           col("r.dec_b").cast("double").as("dec_b"),
           col("r.dec_f").cast("double").as("dec_f"),
-          col("r.d").as("d"), col("r.color").as("color"),
+          col("r.d").as("d"),
+          col("r.u").as("uuid"),
+          col("r.color").as("color"),
           hex(col("r.fx")).as("fx_hex"),
           element_at(col("r.m"), "k1").as("m_k1"),
           element_at(col("r.m"), "k2").as("m_k2"),
           col("r.tm").as("tm"), col("r.tu").as("tu"),
+          date_format(col("r.tsm"), "yyyy-MM-dd HH:mm:ss.SSS").as("tsm"),
           col("u.member0").as("u_int"), col("u.member1").as("u_str"))
         .orderBy("k")
     }),
@@ -371,6 +395,16 @@ object SparkEntry {
           codecName = "zstandard", datumsPerPayload = 500)
         .select(gfn.avro_ocf_explode(col("payload"), customerWriterJson))
         .orderBy("c_custkey")
+    }),
+
+    // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
+    // the (slow) codec's bench cost trivial.
+    "q39_ocf_bzip2_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.spark.OcfSink.payloads(n, nationSchemaJson,
+          codecName = "bzip2", datumsPerPayload = 10)
+        .select(gfn.avro_ocf_explode(col("payload"), nationSchemaJson))
+        .orderBy("n_nationkey")
     }),
 
     // S9: writer schema resolved THROUGH THE REGISTRY keyed by a stream-name
@@ -713,15 +747,23 @@ object SparkEntry {
 
     "q34_avro_wire_types" ->
       """SELECT n_nationkey AS k,
+        |  n_nationkey % 2 = 0 AS b,
+        |  CAST(CAST(n_nationkey AS FLOAT) / CAST(4.0 AS FLOAT) AS DOUBLE) AS f,
+        |  upper(lpad(to_hex(n_nationkey * 7), 6, '0')) AS raw_hex,
+        |  CAST(n_nationkey * 2 AS BIGINT) AS arr_1,
+        |  CAST(n_nationkey * 3 + 1 AS BIGINT) AS arr_2,
         |  CAST(CAST(n_nationkey + 0.25 AS DECIMAL(10,2)) AS DOUBLE) AS dec_b,
         |  CAST(CAST(n_nationkey * 2 + 0.5 AS DECIMAL(10,2)) AS DOUBLE) AS dec_f,
         |  DATE '2024-01-01' + n_nationkey AS d,
+        |  upper(lpad(to_hex(n_nationkey), 8, '0')) || '-0000-4000-8000-' ||
+        |    upper(lpad(to_hex(n_nationkey), 12, '0')) AS uuid,
         |  ['RED','GREEN','BLUE'][n_nationkey % 3 + 1] AS color,
         |  upper(lpad(to_hex(n_nationkey), 8, '0')) AS fx_hex,
         |  CAST(n_nationkey * 10 AS BIGINT) AS m_k1,
         |  CAST(n_regionkey AS BIGINT) AS m_k2,
         |  CAST(n_nationkey * 1000 + 123 AS INTEGER) AS tm,
         |  CAST(n_nationkey * 1000000 + 456 AS BIGINT) AS tu,
+        |  strftime(epoch_ms(n_nationkey * 1000 + 5), '%Y-%m-%d %H:%M:%S.%g') AS tsm,
         |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey * 11 END AS INTEGER) AS u_int,
         |  CASE WHEN n_nationkey % 2 = 1 THEN n_name END AS u_str
         |FROM nation ORDER BY k""".stripMargin,
@@ -731,6 +773,9 @@ object SparkEntry {
 
     "q36_ocf_zstd_roundtrip" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "q39_ocf_bzip2_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
 
     "q37_registry_stream" ->
       """SELECT stream, json FROM (
