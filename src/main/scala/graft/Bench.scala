@@ -54,7 +54,12 @@ object Bench {
     // the cache is dropped BETWEEN queries so Dedup/Similarity persists
     // never accumulate across the run.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query-name filter for isolating one query's
+    // timing behavior (e.g. SPARK_GRAFT_BENCH_ONLY=q23_minhash_pairs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val runs = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         val ok =
