@@ -662,8 +662,56 @@ object SparkEntry {
       Similarity.cosineAllPairs(t(s, dir, "embeddings"), 0.4)
         .select(col("id_a"), col("id_b"),
           expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Deterministic per-stratum sampling: hash-keyed (reproducible under
+    // task retry/speculation — rand() is not), pure map-side filter. The
+    // rates are exactly-representable binary fractions so the < comparison
+    // is bit-identical in any engine.
+    "q40_stratified_sample" -> ((s, dir) =>
+      ops.Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+          sampleRates, salt = "r6")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // Weighted corpus mixing with oversampling (epochs): books-style strata
+    // above 1x, web-style below — the standard pretraining mix as one
+    // declarative operator (generated epoch fan-out, map-side fractional
+    // sampling, no shuffle).
+    "q41_corpus_mix" -> ((s, dir) =>
+      ops.Sampling.weightedMix(t(s, dir, "documents"), "doc_id", "source",
+          mixWeights, salt = "r6")
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
+    // Token-budget sequence packing: concat-then-split chunk assignment per
+    // shard (single window shuffle; shards are the scale-out unit).
+    "q42_token_packing" -> ((s, dir) =>
+      ops.Packing.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+          "source", budgetTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("chunk_id"), col("chunk_offset"))
+        .orderBy("doc_id")),
+
+    // Per-stratum corpus report with DISCRETE rank-rule quantiles (integer
+    // selection — no interpolation, so the values are engine-exact).
+    "q43_corpus_stats" -> ((s, dir) =>
+      ops.Packing.corpusStats(t(s, dir, "documents"), "source", "text")
+        .select(col("stratum"), col("n_docs"), col("total_tokens"),
+          expr("CAST(round(mean_tokens, 9) AS DOUBLE)").as("mean_tokens"),
+          col("p50_tokens"), col("p90_tokens"), col("p99_tokens"))
+        .orderBy("stratum"))
   )
+
+  /** q40 rates / q41 weights: keyed on the 20 synthetic sources; exactly-
+    * representable binary fractions so engine comparisons are bit-identical. */
+  private val sampleRates: Map[String, Double] = Map(
+    "src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25,
+    "src4" -> 0.125, "src5" -> 0.0625, "src6" -> 0.5, "src7" -> 0.25,
+    "src8" -> 0.75, "src9" -> 0.5)
+  private val mixWeights: Map[String, Double] = Map(
+    "src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0,
+    "src4" -> 0.75, "src5" -> 0.5, "src6" -> 0.25, "src7" -> 3.0)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (custom hashing)
@@ -1057,6 +1105,68 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // hashUnit(key, salt) ≡ CAST(('0x'||substr(md5(key||'#'||salt),1,8)) AS
+    // BIGINT)/2^32 — engine-portable by construction (md5 hex slicing).
+    "q40_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#r6'),1,8)) AS BIGINT)/4294967296.0 <
+        |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.75 WHEN 'src2' THEN 0.5
+        |    WHEN 'src3' THEN 0.25 WHEN 'src4' THEN 0.125 WHEN 'src5' THEN 0.0625
+        |    WHEN 'src6' THEN 0.5 WHEN 'src7' THEN 0.25 WHEN 'src8' THEN 0.75
+        |    WHEN 'src9' THEN 0.5 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_corpus_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0 WHEN 'src2' THEN 1.5
+        |      WHEN 'src3' THEN 1.0 WHEN 'src4' THEN 0.75 WHEN 'src5' THEN 0.5
+        |      WHEN 'src6' THEN 0.25 WHEN 'src7' THEN 3.0 END AS w
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source, w,
+        |    unnest(generate_series(0, CAST(ceil(w) AS BIGINT) - 1)) AS epoch
+        |  FROM w WHERE w IS NOT NULL AND w > 0)
+        |SELECT doc_id, source, epoch FROM e
+        |WHERE epoch < floor(w)
+        |   OR CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#r6'||CAST(epoch AS VARCHAR)),1,8)) AS BIGINT)/4294967296.0 < w - floor(w)
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    "q42_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(tokens_before / 512.0) AS BIGINT) AS chunk_id,
+        |  tokens_before - CAST(floor(tokens_before / 512.0) AS BIGINT) * 512 AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q43_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source AS stratum,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT stratum, n_tokens,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY stratum) AS n
+        |  FROM t)
+        |SELECT stratum, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 9) AS DOUBLE) AS mean_tokens,
+        |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin
   )
 }

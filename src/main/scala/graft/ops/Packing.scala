@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and corpus reporting for pretraining pipelines. */
+object Packing {
+
+  /** Contiguous token-budget chunking — the "concatenate the shard, then cut
+    * every `budgetTokens` tokens" packing used to build fixed-length
+    * pretraining sequences. Within each shard (deterministically ordered by
+    * `idCol`) every document is assigned the chunk its FIRST token falls in:
+    * `chunk_id = floor(tokens_before / budget)`, `chunk_offset = tokens_before
+    * − chunk_id·budget`. Documents may straddle a chunk boundary (that is the
+    * concat-then-split semantics, not bin packing — no token is dropped and
+    * chunk capacity is exactly `budgetTokens`).
+    *
+    * Scale: one window over `shardCol` — a single shuffle whose parallelism
+    * is the shard count, so shards are the unit of scale-out. A corpus with
+    * one giant shard serializes; shard first (hash-bucket the corpus) and
+    * this is embarrassingly parallel. Token counts are whitespace tokens
+    * ([[TextAnalysis.tokenCount]]), ≤ 2^52 per shard before the double
+    * division below loses exactness (≈ 4×10^15 tokens — far past any real
+    * shard). */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  shardCol: String, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive; got $budgetTokens")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id",
+        floor(col("tokens_before").cast("double") / budgetTokens))
+      .withColumn("chunk_offset",
+        col("tokens_before") - col("chunk_id") * budgetTokens)
+      .drop("tokens_before")
+  }
+
+  /** Per-stratum corpus report: document count, total/mean token counts, and
+    * DISCRETE token-count quantiles (p50/p90/p99). Quantiles use the rank
+    * rule `value at row ceil(q·n)` of the sorted stratum — integer selection,
+    * no interpolation, so any engine reproduces the exact same values
+    * (interpolated quantiles differ across engines in the last float bit).
+    *
+    * Scale: one shuffle to rank within strata + a map-side-combined
+    * aggregation. For strata too large to sort, swap the rank rule for a
+    * sketch (t-digest/KLL) — kept exact here because the report feeds
+    * correctness-gated curation decisions. */
+  def corpusStats(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    val ranked = df
+      .select(col(stratumCol).as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("n_tokens"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+    def atQuantile(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("n_tokens")))
+    ranked.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("mean_tokens"),
+        atQuantile(0.5).as("p50_tokens"),
+        atQuantile(0.9).as("p90_tokens"),
+        atQuantile(0.99).as("p99_tokens"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus-mixing operators for training-data
+  * pipelines.
+  *
+  * Everything here is keyed on a CONTENT-INDEPENDENT deterministic hash of a
+  * row key, never on `rand()`:
+  *  - reproducible across runs, engines, and partition layouts (the hash is a
+  *    pure function of the key, so a re-run, a task RETRY, or a SPECULATIVE
+  *    duplicate task selects the same rows — `rand()` re-rolls per attempt
+  *    and can silently duplicate or drop rows under retries);
+  *  - pure map-side work: no shuffle, no RNG state, no driver coordination —
+  *    at 100 TB a sample is exactly one filtered scan;
+  *  - auditable: whether a given row is in the sample is answerable from the
+  *    row alone.
+  */
+object Sampling {
+
+  /** Uniform hash of `key` into [0, 1): the first 8 hex digits of
+    * `md5(key # salt)` read as a 32-bit integer, divided by 2^32. Engine-
+    * portable (md5 + hex slicing exist everywhere) and exactly reproducible
+    * in SQL: `CAST(('0x'||substr(md5(k||'#'||s),1,8)) AS BIGINT)/4294967296.0`.
+    * The '#' separator keeps (key="1", salt="12") and (key="11", salt="2")
+    * from colliding. */
+  def hashUnit(key: Column, salt: Column = lit("")): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#"), salt.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Per-stratum deterministic sampling: keeps a row iff
+    * `hashUnit(key, salt) < rates(stratum)`. Strata absent from `rates` are
+    * dropped (a missing rate is an explicit "not in this mix"). Rates ≥ 1.0
+    * keep the whole stratum; use [[weightedMix]] for oversampling above 1×. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       rates: Map[String, Double], salt: String = ""): DataFrame = {
+    require(rates.nonEmpty, "stratifiedSample needs at least one stratum rate")
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      s"stratified rates must be in [0,1]; got $rates (use weightedMix for >1x)")
+    df.where(hashUnit(col(keyCol), lit(salt)) < element_at(typedLit(rates), col(stratumCol)))
+  }
+
+  /** Weighted corpus mixing with oversampling: each row of stratum `s` with
+    * weight `w = weights(s)` appears `floor(w)` times (epochs `0..floor(w)-1`)
+    * plus one more at probability `w − floor(w)` (epoch `floor(w)`), selected
+    * by a per-epoch-salted hash so fractional epochs draw independent subsets.
+    * Output gains an `epoch: long` column; strata absent from `weights` (or
+    * with weight 0) are dropped.
+    *
+    * This is the standard "mix web at 0.3×, books at 2.5×" pretraining recipe
+    * as one declarative operator: the epoch fan-out is a generated `sequence`
+    * (no join against an epoch table), the sample filter is map-side, and no
+    * shuffle is introduced — output partitioning follows the input's. */
+  def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
+                  weights: Map[String, Double], salt: String = ""): DataFrame = {
+    require(weights.nonEmpty, "weightedMix needs at least one stratum weight")
+    require(weights.values.forall(_ >= 0), s"weights must be non-negative; got $weights")
+    val w = element_at(typedLit(weights), col(stratumCol))
+    df.withColumn("__w", w)
+      .where(col("__w").isNotNull && col("__w") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), ceil(col("__w")).cast("long") - 1)))
+      .where(col("epoch") < floor(col("__w")) ||
+        hashUnit(col(keyCol), concat(lit(salt), col("epoch"))) <
+          col("__w") - floor(col("__w")))
+      .drop("__w")
+  }
+}

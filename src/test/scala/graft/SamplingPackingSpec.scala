@@ -1,0 +1,145 @@
+package graft
+
+import graft.ops.{Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the deterministic sampling / corpus mixing / sequence packing
+  * operators over the driver's sf0.001 documents table. */
+class SamplingPackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-sampling-packing-spec")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("hashUnit is uniform-ish and in [0,1)") {
+    val h = docs.select(Sampling.hashUnit(col("doc_id")).as("h"))
+    val row = h.agg(min("h"), max("h"), avg("h")).head()
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(1) < 1.0)
+    // 500 uniform draws: mean within ±0.1 of 0.5 w.h.p.
+    assert(math.abs(row.getDouble(2) - 0.5) < 0.1)
+  }
+
+  test("stratified sample is deterministic, rate-respecting, and drops unlisted strata") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "source", rates).collect()
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "source", rates).collect()
+    assert(s1.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      s2.map(_.getAs[Long]("doc_id")).sorted), "re-runs must select identical rows")
+    val bySource = s1.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == totals("src0"), "rate 1.0 keeps the whole stratum")
+    assert(!bySource.contains("src2"), "rate 0.0 drops the stratum")
+    assert(bySource.keySet.subsetOf(Set("src0", "src1")), "unlisted strata are dropped")
+    // 25 docs at rate 0.5: expect ~12, allow wide binomial slack
+    assert(bySource.getOrElse("src1", 0) > 2 && bySource("src1") < 23)
+  }
+
+  test("different salts draw different samples") {
+    val rates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.5, "src3" -> 0.5)
+    val a = Sampling.stratifiedSample(docs, "doc_id", "source", rates, salt = "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs, "doc_id", "source", rates, salt = "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != b, "independent salts should not select identical subsets")
+  }
+
+  test("weightedMix: integer weights give exact copy counts, fractions sample") {
+    val weights = Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 2.5)
+    val m = Sampling.weightedMix(docs, "doc_id", "source", weights)
+      .groupBy("source").agg(countDistinct("epoch").as("n_epochs"),
+        count(lit(1)).as("n_rows")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_epochs"), r.getAs[Long]("n_rows"))).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("src0")._1 == 2 && m("src0")._2 == 2 * totals("src0"),
+      "weight 2.0 = exactly two full epochs")
+    assert(m("src1")._1 == 1 && m("src1")._2 < totals("src1"),
+      "weight 0.5 = one partially-sampled epoch")
+    // 2.5: epochs 0,1 full + epoch 2 sampled at 0.5
+    assert(m("src2")._1 == 3 && m("src2")._2 > 2 * totals("src2") &&
+      m("src2")._2 < 3 * totals("src2"))
+    assert(!m.contains("src3"), "unweighted strata are dropped")
+  }
+
+  test("weightedMix fractional epochs are independent across epoch index") {
+    // weight 1.5: epoch 0 is full; epoch 1 is a hash sample — the sampled
+    // subset must differ from what a salt-free epoch-0 sample would give
+    // (the per-epoch salt drives independence)
+    val m = Sampling.weightedMix(docs, "doc_id", "source", Map("src0" -> 1.5))
+    val epoch1 = m.where(col("epoch") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val epoch0 = m.where(col("epoch") === 0).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(epoch1.subsetOf(epoch0) && epoch1.size < epoch0.size)
+  }
+
+  test("tokenChunks covers every token exactly once per shard") {
+    val c = Packing.tokenChunks(docs, "doc_id", "text", "source", 512)
+    // per shard: offsets are the running token total (gapless, no overlap)
+    val perShard = c.orderBy("source", "doc_id")
+      .select("source", "n_tokens", "chunk_id", "chunk_offset").collect()
+      .groupBy(_.getAs[String]("source"))
+    perShard.foreach { case (_, rows) =>
+      var expectBefore = 0L
+      rows.foreach { r =>
+        val chunkId = r.getAs[Long]("chunk_id")
+        val off = r.getAs[Long]("chunk_offset")
+        assert(chunkId == expectBefore / 512 && off == expectBefore % 512,
+          s"doc must start at the running token offset: $r (expected before=$expectBefore)")
+        expectBefore += r.getAs[Long]("n_tokens")
+      }
+    }
+    // chunk ids are dense per shard: max chunk == floor((total-1)/512) for
+    // nonempty shards
+    val chk = c.groupBy("source").agg(max("chunk_id").as("mx"),
+      sum("n_tokens").as("tot")).collect()
+    chk.foreach { r =>
+      val tot = r.getAs[Long]("tot")
+      if (tot > 0)
+        assert(r.getAs[Long]("mx") <= (tot - 1) / 512,
+          "no chunk can start past the last token")
+    }
+  }
+
+  test("corpusStats quantiles follow the rank rule exactly") {
+    val stats = Packing.corpusStats(docs, "source", "text")
+      .where(col("stratum") === "src0").head()
+    val toks = docs.where(col("source") === "src0")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .collect().map(_.getLong(0)).sorted
+    val n = toks.length
+    assert(stats.getAs[Long]("n_docs") == n)
+    assert(stats.getAs[Long]("total_tokens") == toks.sum)
+    def rankQ(q: Double) = toks(math.ceil(q * n).toInt - 1)
+    assert(stats.getAs[Long]("p50_tokens") == rankQ(0.5))
+    assert(stats.getAs[Long]("p90_tokens") == rankQ(0.9))
+    assert(stats.getAs[Long]("p99_tokens") == rankQ(0.99))
+  }
+
+  test("sampling plans are shuffle-free map-side filters") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Sampling.stratifiedSample(docs, "doc_id", "source",
+        Map("src0" -> 0.5)).queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty, s"stratified sample must not shuffle:\n$plan")
+      val mixPlan = Sampling.weightedMix(docs, "doc_id", "source",
+        Map("src0" -> 2.5)).queryExecution.executedPlan
+      val mixShuffles = mixPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(mixShuffles.isEmpty, s"weightedMix must not shuffle:\n$mixPlan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
