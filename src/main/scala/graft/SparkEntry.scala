@@ -301,6 +301,12 @@ object SparkEntry {
         col("l_returnflag"), col("l_shipdate"))
       graft.spark.OcfSink.payloads(li, lineitemAvroSchemaJson,
           codecName = "deflate", datumsPerPayload = 20000)
+        // A payload blob is the decode unit of parallelism: spread the ~30
+        // blobs across all slots before exploding (an opaque-blob shuffle of
+        // a few MB; at production payload counts partitions already exceed
+        // slots and this repartition is a near-no-op). Without it decode
+        // parallelism stays capped at the sink's input partition count.
+        .repartition(s.sparkContext.defaultParallelism)
         // Generator form: decodes block-by-block, never materializes the
         // 20k-datum array per payload
         .select(gfn.avro_ocf_explode(col("payload"), lineitemAvroSchemaJson))
