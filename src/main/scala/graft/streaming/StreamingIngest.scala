@@ -138,6 +138,25 @@ object StreamingIngest {
         })
   }
 
+  /** Streaming exact dedup — the streaming face of `Dedup.exact`: a row is
+    * dropped if a row with the same content digest was already emitted
+    * within the watermark horizon. State is ONE 16-byte digest per distinct
+    * document inside the horizon (`dropDuplicatesWithinWatermark`), so the
+    * state store is bounded by arrival rate × horizon, not by stream
+    * lifetime — the unbounded-state trap of plain streaming
+    * `dropDuplicates` on an eternal ingest stream.
+    *
+    * Like the batch operator, document text never shuffles: rows are hashed
+    * to state-store partitions by the digest column only (Spark projects
+    * the dedup keys for the exchange). */
+  def dedupStream(decoded: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String): DataFrame =
+    decoded
+      .withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Land a decoded stream as parquet with exactly-once file-sink semantics;
     * AvailableNow processes the backlog and stops (batch-boundary friendly,
     * used by tests and backfills). */

@@ -121,6 +121,36 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops same-digest rows within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L * 1000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(base + offsetSec * 1000L)
+
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = StreamingIngest.dedupStream(
+      stream.toDF().toDF("id", "text", "ts"), "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts, one in-batch duplicate
+      stream.addData((1L, "alpha beta", ts(0)), (2L, "gamma", ts(5)),
+        (3L, "alpha beta", ts(10)))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate inside the horizon + one new text
+      stream.addData((4L, "gamma", ts(60)), (5L, "delta", ts(70)))
+      q.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup_stream").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("alpha beta", "delta", "gamma"),
+        s"exactly one row per distinct text within the horizon; got $texts")
+      // the emitted row for a duplicated text is the FIRST seen
+      val alpha = spark.sql("SELECT id FROM dedup_stream WHERE text = 'alpha beta'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(alpha == Seq(1L), s"got $alpha")
+    } finally q.stop()
+  }
+
   test("bare-datum memory stream decodes with watermarked windowed counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
