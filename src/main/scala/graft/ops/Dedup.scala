@@ -189,24 +189,28 @@ object Dedup {
     * shared grams per pair, |A∪B| = |A|+|B|−|A∩B|.
     *
     * The inverted index is PREFIX-FILTERED (AllPairs/PPJoin family): each
-    * doc indexes only its `|A| − ⌈t·|A|⌉ + 1` globally-rarest grams, which
-    * is provably lossless — under any global total order, two sets with
-    * Jaccard ≥ t must share a gram inside both prefixes. Candidates then
-    * get an exact `array_intersect` verify.
+    * doc indexes only `|A| − ⌈t·|A|⌉ + 1` grams selected under a global
+    * total order, which is provably lossless — under ANY total order, two
+    * sets with Jaccard ≥ t must share a gram inside both prefixes.
+    * Candidates then get an exact `array_intersect` verify.
     *
-    * Scale notes: the self-join touches only prefix grams ordered
-    * rarest-first, so frequent grams (the quadratic blowup of a naive
-    * inverted index) never generate pairs — shuffle volume tracks candidate
-    * density, not gram-frequency skew. The exact verify joins gram arrays
+    * Scale notes: `prefixOrder = "hash"` (default) computes prefixes as a
+    * per-row array operation — the only corpus-wide shuffle left is the
+    * prefix self-join itself; `"df"` restores the classic rarest-first
+    * order (minimum candidates, three extra corpus-wide exchanges to rank
+    * grams by exact global frequency). The exact verify joins gram arrays
     * by id for surviving candidates only. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   prefixOrder: String = "hash"): DataFrame = {
     // The inverted index can only materialize pairs sharing ≥1 gram, so a
     // threshold of 0 (which would include gram-disjoint pairs) is not
     // expressible in this plan shape — reject it instead of silently
     // diverging from exact all-pairs semantics.
     require(threshold > 0.0,
       s"ngramJaccard requires threshold > 0 (inverted index only sees pairs sharing a gram); got $threshold")
+    require(prefixOrder == "hash" || prefixOrder == "df",
+      s"prefixOrder must be 'hash' or 'df'; got $prefixOrder")
     val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
     val sh = spreadSmallInput(df).select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(expr(
@@ -214,19 +218,41 @@ object Dedup {
         s"transform(sequence(0, size($toks) - $n), " +
         s"i -> array_join(slice($toks, i + 1, $n), ' ')) END")).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // carry |grams| from the pre-explode frame — it is size(grams), so the
-    // prefix bound needs no count(*) window over the exploded index (that
-    // window was a second full shuffle+sort of (id, gram) for a value
-    // already known)
-    val inv0 = sh.select(col("id"), col("blk"), size(col("grams")).as("n_grams"),
-      explode(col("grams")).as("gram"))
-    // global gram rarity; (df, gram) is the total order for prefix selection
-    val gramDf = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
-    val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-    val prefix = inv0.join(gramDf, "gram")
-      .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("gram"))))
-      .where(col("rn") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + lit(1))
-      .select(col("id"), col("blk"), col("gram"))
+    // Prefix selection is lossless under ANY global total order of grams
+    // (two sets at Jaccard ≥ t must share a gram inside both prefixes
+    // whatever the order is); the order only tunes HOW FEW candidates the
+    // index generates. Two orders are offered:
+    //  - "hash" (default): order by (xxhash64(gram), gram). The prefix is
+    //    then a pure per-row array computation — sort the gram array, slice
+    //    the first |A| − ⌈t·|A|⌉ + 1, explode ONLY those — so the exploded
+    //    index, the gram-frequency aggregation, its join, and the per-doc
+    //    rank window all disappear: three full shuffles of the (id, gram)
+    //    space removed. At 100 TB that is the difference between one
+    //    candidate-sized exchange and four corpus-sized ones.
+    //  - "df": the classic AllPairs rarest-first order (global document
+    //    frequency, ties by gram). Minimizes candidate volume — frequent
+    //    grams never enter prefixes — at the cost of computing exact global
+    //    gram frequencies (groupBy + join + rank window). Worth it only
+    //    when the corpus has heavy stop-gram skew AND the candidate verify
+    //    dominates the index build.
+    val prefix = if (prefixOrder == "hash") {
+      val prefixLen = s"CAST(size(grams) - ceil($threshold * size(grams)) + 1 AS INT)"
+      sh.select(col("id"), col("blk"),
+        explode(expr(
+          s"transform(slice(array_sort(transform(grams, g -> struct(xxhash64(g) AS h, g AS g))), " +
+          s"1, $prefixLen), s -> s.g)")).as("gram"))
+    } else {
+      // carry |grams| from the pre-explode frame — it is size(grams), so the
+      // prefix bound needs no count(*) window over the exploded index
+      val inv0 = sh.select(col("id"), col("blk"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+      val gramDf = inv0.groupBy("gram").agg(count(lit(1)).as("df"))
+      val byId = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      inv0.join(gramDf, "gram")
+        .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("gram"))))
+        .where(col("rn") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + lit(1))
+        .select(col("id"), col("blk"), col("gram"))
+    }
     val pairs = prefix.as("a")
       .join(prefix.as("b"), col("a.blk") === col("b.blk") &&
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))

@@ -78,6 +78,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 0.5)))
   }
 
+  test("ngramJaccard prefix orders (hash vs df) are result-equivalent") {
+    // prefix filtering is lossless under ANY global total order — both
+    // orders must produce the identical pair set on real documents
+    def run(order: String) =
+      Dedup.ngramJaccard(docs, "doc_id", "text", "source", n = 3,
+          threshold = 0.3, prefixOrder = order)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hash = run("hash")
+    val df = run("df")
+    assert(hash == df, s"orders disagree: hash-only=${hash -- df} df-only=${df -- hash}")
+    assert(hash.nonEmpty, "expected at least one near-dup pair at t=0.3")
+  }
+
   test("lsh bucket handles embeddings wider than 64 dims (no truncation)") {
     import spark.implicits._
     // two identical-direction 384-dim vectors must land in the same bucket;
