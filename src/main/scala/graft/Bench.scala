@@ -55,8 +55,15 @@ object Bench {
     // never accumulate across the run.
     val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt)
     // optional comma-separated query-name filter for isolating one query's
-    // timing behavior (e.g. SPARK_GRAFT_BENCH_ONLY=q23_minhash_pairs)
+    // timing behavior (e.g. SPARK_GRAFT_BENCH_ONLY=q23_minhash_pairs);
+    // unknown names are a hard error — a silently-empty filter would emit
+    // an "all_ok": true line that reads as a successful full run
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -80,9 +87,16 @@ object Bench {
     val allRuns = results.map { case (k, _, _, rs) =>
       "\"" + k + "\":" + rs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // steady-state = fastest run: repeats share persisted intermediates, so
+    // the min reads the plan's warm cost with cache population (a one-time
+    // amortized cost at production reuse) excluded — report it alongside the
+    // median so persist-population doesn't masquerade as plan cost
+    val steady = results.map { case (k, _, _, rs) => "\"" + k + "\":" + f"${rs.min}%.3f" }
+      .mkString("{", ",", "}")
     val total = f"${results.collect { case (_, v, true, _) => v }.sum}%.3f"
+    val totalSteady = f"${results.collect { case (_, _, true, rs) => rs.min }.sum}%.3f"
     val allOk = results.forall(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"total_steady":$totalSteady,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1137,7 +1137,7 @@ object SparkEntry {
         |  FROM w WHERE w IS NOT NULL AND w > 0)
         |SELECT doc_id, source, epoch FROM e
         |WHERE epoch < floor(w)
-        |   OR CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#r6'||CAST(epoch AS VARCHAR)),1,8)) AS BIGINT)/4294967296.0 < w - floor(w)
+        |   OR CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#r6|'||CAST(epoch AS VARCHAR)),1,8)) AS BIGINT)/4294967296.0 < w - floor(w)
         |ORDER BY doc_id, epoch""".stripMargin,
 
     "q42_token_packing" ->

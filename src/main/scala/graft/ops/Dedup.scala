@@ -194,54 +194,59 @@ object Dedup {
     * sets with Jaccard ≥ t must share a gram inside both prefixes.
     * Candidates then get an exact `array_intersect` verify.
     *
-    * Scale notes: `prefixOrder = "hash"` (default) computes prefixes as a
-    * per-row array operation — the only corpus-wide shuffle left is the
-    * prefix self-join itself; `"df"` restores the classic rarest-first
-    * order (minimum candidates, three extra corpus-wide exchanges to rank
-    * grams by exact global frequency). The exact verify joins gram arrays
-    * by id for surviving candidates only. */
+    * Scale notes: `prefixOrder = "sampled"` (default) orders grams by a
+    * driver-sampled document-frequency ranking — per-row prefix selection
+    * (no corpus-wide exchange to build the index) that still keeps the
+    * corpus's frequent grams OUT of prefixes, so per-gram posting lists
+    * stay short and the self-join cannot blow up Θ(m²) on a hot gram.
+    * `"df"` is the classic exact rarest-first order (minimum candidates,
+    * three extra corpus-wide exchanges); `"hash"` is order-by-hash (zero
+    * setup, UNSAFE under stop-gram skew — a gram shared by m docs yields
+    * Θ(m²) candidates). The exact verify joins gram arrays by id for
+    * surviving candidates only. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   prefixOrder: String = "hash"): DataFrame = {
+                   prefixOrder: String = "sampled",
+                   sampleOneIn: Int = 16, hotK: Int = 4096): DataFrame = {
     // The inverted index can only materialize pairs sharing ≥1 gram, so a
     // threshold of 0 (which would include gram-disjoint pairs) is not
     // expressible in this plan shape — reject it instead of silently
     // diverging from exact all-pairs semantics.
     require(threshold > 0.0,
       s"ngramJaccard requires threshold > 0 (inverted index only sees pairs sharing a gram); got $threshold")
-    require(prefixOrder == "hash" || prefixOrder == "df",
-      s"prefixOrder must be 'hash' or 'df'; got $prefixOrder")
+    require(Set("sampled", "hash", "df").contains(prefixOrder),
+      s"prefixOrder must be 'sampled', 'hash' or 'df'; got $prefixOrder")
     val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
-    val sh = spreadSmallInput(df).select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(expr(
-        s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
-        s"transform(sequence(0, size($toks) - $n), " +
-        s"i -> array_join(slice($toks, i + 1, $n), ' ')) END")).as("grams"))
+    val gramsOf = array_distinct(expr(
+      s"CASE WHEN size($toks) < $n THEN CAST(array() AS ARRAY<STRING>) ELSE " +
+      s"transform(sequence(0, size($toks) - $n), " +
+      s"i -> array_join(slice($toks, i + 1, $n), ' ')) END"))
+    val spread = spreadSmallInput(df)
+    val sh = spread.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        gramsOf.as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Prefix selection is lossless under ANY global total order of grams
     // (two sets at Jaccard ≥ t must share a gram inside both prefixes
     // whatever the order is); the order only tunes HOW FEW candidates the
-    // index generates. Two orders are offered:
-    //  - "hash" (default): order by (xxhash64(gram), gram). The prefix is
-    //    then a pure per-row array computation — sort the gram array, slice
-    //    the first |A| − ⌈t·|A|⌉ + 1, explode ONLY those — so the exploded
-    //    index, the gram-frequency aggregation, its join, and the per-doc
-    //    rank window all disappear: three full shuffles of the (id, gram)
-    //    space removed. At 100 TB that is the difference between one
-    //    candidate-sized exchange and four corpus-sized ones.
-    //  - "df": the classic AllPairs rarest-first order (global document
-    //    frequency, ties by gram). Minimizes candidate volume — frequent
-    //    grams never enter prefixes — at the cost of computing exact global
-    //    gram frequencies (groupBy + join + rank window). Worth it only
-    //    when the corpus has heavy stop-gram skew AND the candidate verify
-    //    dominates the index build.
-    val prefix = if (prefixOrder == "hash") {
-      val prefixLen = s"CAST(size(grams) - ceil($threshold * size(grams)) + 1 AS INT)"
-      sh.select(col("id"), col("blk"),
-        explode(expr(
-          s"transform(slice(array_sort(transform(grams, g -> struct(xxhash64(g) AS h, g AS g))), " +
-          s"1, $prefixLen), s -> s.g)")).as("gram"))
-    } else {
+    // index generates. Three orders are offered:
+    //  - "sampled" (default): ascending (sampled-df rank, xxhash64(gram),
+    //    gram). A deterministic 1-in-`sampleOneIn` id-hash sample of docs is
+    //    aggregated ONCE, eagerly, into the top-`hotK` grams by sampled
+    //    frequency; that bounded ranking ships inside a HotGramRank
+    //    expression (broadcast-style). Hot grams rank 1..K (hottest = K) and
+    //    therefore sort LAST — provably excluded from prefixes exactly as in
+    //    exact-df order — while the unsampled tail falls back to hash order.
+    //    Prefix selection stays a pure per-row array computation: the only
+    //    corpus-wide shuffle in the whole plan is the prefix self-join.
+    //    Skew-resistant AND exchange-free — r6 measured hash order 3× slower
+    //    than df under stop-gram skew; this keeps df's candidate bound
+    //    without its three extra corpus-wide exchanges.
+    //  - "df": the classic AllPairs rarest-first order (exact global document
+    //    frequency, ties by gram). Minimum candidates, at the cost of a
+    //    groupBy + join + rank window over the exploded (id, gram) space.
+    //  - "hash": order by (xxhash64(gram), gram) with zero setup. Only safe
+    //    when gram frequencies are known to be near-uniform.
+    val prefix = if (prefixOrder == "df") {
       // carry |grams| from the pre-explode frame — it is size(grams), so the
       // prefix bound needs no count(*) window over the exploded index
       val inv0 = sh.select(col("id"), col("blk"), size(col("grams")).as("n_grams"),
@@ -252,6 +257,33 @@ object Dedup {
         .withColumn("rn", row_number().over(byId.orderBy(col("df"), col("gram"))))
         .where(col("rn") <= col("n_grams") - ceil(lit(threshold) * col("n_grams")) + lit(1))
         .select(col("id"), col("blk"), col("gram"))
+    } else {
+      val ranks: Map[String, Int] = if (prefixOrder == "hash") Map.empty else {
+        // Bounded eager driver aggregation (like IVF's sampled k-means
+        // training): ≤ hotK rows ride back, ordered deterministically so
+        // retries/speculation see the identical ranking. Sample-df-1 grams
+        // carry no skew signal and are left to the hash tail.
+        val hot = spread
+          .where(pmod(xxhash64(col(idCol), lit("graft|hotgrams")), lit(sampleOneIn)) === lit(0))
+          .select(explode(gramsOf).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2)
+          .orderBy(col("df").desc, col("gram"))
+          .limit(hotK)
+          .collect()
+        hot.iterator.zipWithIndex
+          .map { case (r, i) => r.getString(0) -> (hot.length - i) }.toMap
+      }
+      def rank(g: Column): Column =
+        if (ranks.isEmpty) lit(0)
+        else Shims.column(graft.spark.HotGramRank(Shims.expression(g), ranks))
+      val nGrams = size(col("grams"))
+      val prefixLen = (nGrams - ceil(lit(threshold) * nGrams) + lit(1)).cast("int")
+      val keyed = transform(col("grams"),
+        g => struct(rank(g).as("r"), xxhash64(g).as("h"), g.as("g")))
+      sh.select(col("id"), col("blk"),
+        explode(transform(slice(array_sort(keyed), lit(1), prefixLen),
+          s => s.getField("g"))).as("gram"))
     }
     val pairs = prefix.as("a")
       .join(prefix.as("b"), col("a.blk") === col("b.blk") &&

@@ -61,8 +61,12 @@ object Sampling {
       .where(col("__w").isNotNull && col("__w") > 0)
       .withColumn("epoch",
         explode(sequence(lit(0L), ceil(col("__w")).cast("long") - 1)))
+      // '|' delimiter between salt and epoch: without it (salt="r6",
+      // epoch=12) and (salt="r61", epoch=2) hash identically, so
+      // prefix-related salts across invocations would draw correlated
+      // samples (and epoch 0 would equal stratifiedSample(salt + "0"))
       .where(col("epoch") < floor(col("__w")) ||
-        hashUnit(col(keyCol), concat(lit(salt), col("epoch"))) <
+        hashUnit(col(keyCol), concat(lit(salt), lit("|"), col("epoch"))) <
           col("__w") - floor(col("__w")))
       .drop("__w")
   }

@@ -146,6 +146,31 @@ case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize
     copy(child = newChild)
 }
 
+/** `hot_gram_rank(gram)` → int: 0 for grams outside the driver-sampled hot
+  * set, else 1..K ascending by sampled document frequency (hottest gram = K).
+  * The AllPairs prefix order sorts ascending on (rank, hash, gram), so
+  * sampled-frequent grams land at the END of every gram array and are
+  * excluded from prefixes — the skew-resistance of exact-df order without
+  * its three corpus-wide exchanges (the ranking rides the expression,
+  * broadcast-style, like [[NearestCentroids]] centroids). */
+case class HotGramRank(child: Expression, ranks: Map[String, Int])
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hot_gram_rank"
+  // O(1) lookup keyed by UTF8String — no per-gram String materialization
+  @transient private lazy val lookup = {
+    val m = new java.util.HashMap[UTF8String, Integer](ranks.size * 2)
+    ranks.foreach { case (g, r) => m.put(UTF8String.fromString(g), Integer.valueOf(r)) }
+    m
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val r = lookup.get(input.asInstanceOf[UTF8String])
+    if (r == null) 0 else r.intValue()
+  }
+  override protected def withNewChildInternal(newChild: Expression): HotGramRank =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)` → long. Near-duplicate pairs have small Hamming distance;
   * compare with `bit_count(a ^ b)` (built-in, codegen'd). */
 case class SimHash64(child: Expression)

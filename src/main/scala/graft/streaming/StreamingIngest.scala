@@ -146,9 +146,13 @@ object StreamingIngest {
     * lifetime — the unbounded-state trap of plain streaming
     * `dropDuplicates` on an eternal ingest stream.
     *
-    * Like the batch operator, document text never shuffles: rows are hashed
-    * to state-store partitions by the digest column only (Spark projects
-    * the dedup keys for the exchange). */
+    * Scale note: the dedup exchange hash-partitions by the digest column
+    * only, but the FULL row (text included) rides that exchange to its
+    * state-store partition — survivors must be emitted there, so unlike
+    * batch `Dedup.exact` there is no no-text-shuffle guarantee. What stays
+    * digest-only is the STATE: 16 bytes per distinct document in the
+    * horizon. If text-shuffle volume matters, pre-project (digest, key, ts),
+    * dedup that, and re-join text by key downstream. */
   def dedupStream(decoded: DataFrame, textCol: String, tsCol: String,
                   watermarkDelay: String): DataFrame =
     decoded

@@ -78,16 +78,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((1L, 2L, 0.5)))
   }
 
-  test("ngramJaccard prefix orders (hash vs df) are result-equivalent") {
-    // prefix filtering is lossless under ANY global total order — both
-    // orders must produce the identical pair set on real documents
-    def run(order: String) =
+  test("ngramJaccard prefix orders (sampled vs hash vs df) are result-equivalent") {
+    // prefix filtering is lossless under ANY global total order — all three
+    // orders must produce the identical pair set on real documents (sampled
+    // is exercised at sampleOneIn=1, i.e. every doc feeds the hot ranking,
+    // the configuration most likely to expose an order-dependence bug)
+    def run(order: String, oneIn: Int = 16) =
       Dedup.ngramJaccard(docs, "doc_id", "text", "source", n = 3,
-          threshold = 0.3, prefixOrder = order)
+          threshold = 0.3, prefixOrder = order, sampleOneIn = oneIn)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val hash = run("hash")
     val df = run("df")
+    val sampled = run("sampled")
+    val sampledFull = run("sampled", oneIn = 1)
     assert(hash == df, s"orders disagree: hash-only=${hash -- df} df-only=${df -- hash}")
+    assert(sampled == df, s"sampled disagrees: extra=${sampled -- df} missing=${df -- sampled}")
+    assert(sampledFull == df,
+      s"sampled(1-in-1) disagrees: extra=${sampledFull -- df} missing=${df -- sampledFull}")
     assert(hash.nonEmpty, "expected at least one near-dup pair at t=0.3")
   }
 
