@@ -643,6 +643,26 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF at the RECALL-BEARING configuration (nprobe = 2 of nlist = 16 —
+    // 1/8 of the corpus per probe), oracle-able by construction: each probe
+    // is an EXACT copy of a corpus vector under a shifted id, and a colinear
+    // probe has the identical centroid ranking as its source, so the
+    // source's cell is always among the probed cells REGARDLESS of where
+    // k-means placed the centroids. Top-1 (sim = 1.0 beats the ≤ 0.52
+    // continuous tail; any other sim-1.0 vector is colinear too and shares
+    // the cell) therefore provably equals brute force, while the physical
+    // plan runs the true sub-exhaustive probe join users run.
+    "q44_ivf_subexhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 8).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(probes, emb, 1,
+          nlist = 16, nprobe = 2, trainFraction = 0.5)
+        .select((col("q_id") - lit(1000000L)).as("q_id"), col("n_id"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"), col("rank"))
+        .orderBy("q_id")
+    }),
+
     // Multimodal: typed binary assets → batched partition-local (stub)
     // decode stats. The byte-level decode is a documented deterministic
     // stub (no codec libs in this environment); the schema/batch/partition
@@ -1102,6 +1122,19 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Self-probe (exact-copy) top-1 ≡ brute-force top-1 (see the query's
+    // colinearity argument); the source itself is the expected hit, so
+    // there is no q<>c exclusion.
+    "q44_ivf_subexhaustive" ->
+      """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim0,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8)
+        |WHERE rank <= 1 ORDER BY q_id""".stripMargin,
 
     "q26_cosine_topk" ->
       """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
