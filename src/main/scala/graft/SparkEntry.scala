@@ -318,24 +318,17 @@ object SparkEntry {
     // F-matrix cold half through the ENGINE encoder+decoder: decimal(bytes),
     // decimal(fixed), date, enum, fixed, map, time-millis and time-micros
     // round-trip via to_avro → from_avro, plus a general (non-nullable)
-    // ["int","string"] union decoded from kernel-written datums (to_avro
-    // only emits nullable-style unions by design, so the union payloads are
-    // a 25-row kernel fixture — same driver-side fixture pattern as q15).
+    // ["int","string"] union round-tripped ENGINE-SIDE in the
+    // struct-of-members form (the set member's position selects the write
+    // branch — no driver-side fixture, fully distributed).
     "q34_avro_wire_types" -> ((s, dir) => {
       val unionSchemaJson = """["int","string"]"""
-      val uw = new AvroDatumWriter(AvroSchemaParser.parse(unionSchemaJson))
-      val uRows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
-        .orderBy("n_nationkey").collect().map { r =>
-          val k = r.getInt(0)
-          Row(k, uw.toBytes(if (k % 2 == 0) k * 11 else r.getString(1)))
-        }
-      val uDf = s.createDataFrame(
-        java.util.Arrays.asList(uRows.toIndexedSeq: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("up",
-            org.apache.spark.sql.types.BinaryType))))
+      val uDf = t(s, dir, "nation").select(
+        col("n_nationkey").as("k"),
+        gfn.to_avro(struct(
+          when(col("n_nationkey") % 2 === 0, col("n_nationkey") * 11).as("member0"),
+          when(col("n_nationkey") % 2 =!= 0, col("n_name")).as("member1")),
+          unionSchemaJson).as("up"))
       val encoded = t(s, dir, "nation").select(
         col("n_nationkey").as("k"),
         gfn.to_avro(struct(

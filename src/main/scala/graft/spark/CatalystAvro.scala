@@ -318,12 +318,13 @@ object CatalystAvroWriter {
 
   private def make(dt: DataType, s0: AvroSchema): Writer = deref(s0) match {
     case AUnion(branches) =>
-      // encode side only emits nullable-style ["null", T] unions
       val nullIdx = branches.indexOf(ANull)
-      val valueIdx = branches.indexWhere(_ != ANull)
-      if (valueIdx < 0) (_, out) => out.writeLong(nullIdx.toLong)
-      else {
-        val inner = make(dt, branches(valueIdx))
+      val valueBranches = branches.zipWithIndex.filter(_._1 != ANull)
+      if (valueBranches.isEmpty) (_, out) => out.writeLong(nullIdx.toLong)
+      else if (valueBranches.length == 1) {
+        // nullable-style ["null", T] union: Catalyst nullability IS the tag
+        val (branch, valueIdx) = valueBranches.head
+        val inner = make(dt, branch)
         (v, out) =>
           if (v == null) {
             if (nullIdx < 0) throw new AvroResolutionException("null for non-nullable Avro union")
@@ -332,6 +333,38 @@ object CatalystAvroWriter {
             out.writeLong(valueIdx.toLong)
             inner(v, out)
           }
+      } else dt match {
+        // general union: the struct-of-members Catalyst form (the decode
+        // mirror of SchemaConverters — member_i ↔ i-th non-null branch).
+        // The set member's POSITION selects the branch, which is the
+        // deterministic Catalyst equivalent of the reference writer's
+        // first-validating-branch rule (io.py:1306-1322): exactly one
+        // member is expected non-null; with several set, the first wins.
+        case st: StructType if st.length == valueBranches.length =>
+          val members = valueBranches.zipWithIndex.map { case ((b, branchIdx), mi) =>
+            (branchIdx, make(st.fields(mi).dataType, b),
+              InternalRowGetters.forType(st.fields(mi).dataType))
+          }.toArray
+          (v, out) => {
+            val row = if (v == null) null else v.asInstanceOf[InternalRow]
+            var mi = 0
+            var chosen = -1
+            while (chosen < 0 && row != null && mi < members.length) {
+              if (!row.isNullAt(mi)) chosen = mi else mi += 1
+            }
+            if (chosen < 0) {
+              if (nullIdx < 0) throw new AvroResolutionException(
+                "no non-null member for non-nullable Avro union")
+              out.writeLong(nullIdx.toLong)
+            } else {
+              val (branchIdx, w, g) = members(chosen)
+              out.writeLong(branchIdx.toLong)
+              w(g(row, chosen), out)
+            }
+          }
+        case other => throw new AvroResolutionException(
+          s"general Avro union with ${valueBranches.length} branches expects a " +
+          s"struct of as many members; got ${other.sql}")
       }
     case ANull    => (_, _) => ()
     case ABoolean => (v, out) => out.writeBoolean(v.asInstanceOf[Boolean])

@@ -89,6 +89,67 @@ class ErrorContractSpec extends AnyFunSuite {
     assert(viaArray.toSeq == viaGenerator.toSeq)
   }
 
+  test("general-union encode: struct-of-members bytes equal kernel-written bytes") {
+    // ["int","string"]: member position selects the write branch — the
+    // engine-encoded datum must be byte-identical to the kernel writer's
+    // first-validating-branch output (io.py:1306-1322 semantics)
+    val unionJson = """["int","string"]"""
+    val kernel = new AvroDatumWriter(AvroSchemaParser.parse(unionJson))
+    import org.apache.spark.sql.functions.{col, struct, when, lit}
+    import spark.implicits._
+    val df = Seq((0, "zero"), (1, "one"), (2, "two"), (3, "three")).toDF("k", "s")
+    val engineBytes = df.select(col("k"), gfn.to_avro(struct(
+        when(col("k") % 2 === 0, col("k") * 11).as("member0"),
+        when(col("k") % 2 =!= 0, col("s")).as("member1")), unionJson).as("p"))
+      .orderBy("k").collect().map(_.getAs[Array[Byte]]("p"))
+    val kernelBytes = Seq(0, 1, 2, 3).map { k =>
+      kernel.toBytes(if (k % 2 == 0) k * 11 else Seq("zero", "one", "two", "three")(k))
+    }
+    engineBytes.zip(kernelBytes).zipWithIndex.foreach { case ((e, x), i) =>
+      assert(e.sameElements(x), s"row $i: engine ${e.toSeq} != kernel ${x.toSeq}")
+    }
+    // and the engine decode closes the loop (member0 XOR member1 set)
+    val back = df.select(col("k"), gfn.from_avro(gfn.to_avro(struct(
+        when(col("k") % 2 === 0, col("k") * 11).as("member0"),
+        when(col("k") % 2 =!= 0, col("s")).as("member1")), unionJson), unionJson).as("u"))
+      .orderBy("k").collect()
+    back.foreach { r =>
+      val k = r.getInt(0)
+      val u = r.getStruct(1)
+      if (k % 2 == 0) { assert(u.getInt(0) == k * 11); assert(u.isNullAt(1)) }
+      else { assert(u.isNullAt(0)); assert(!u.isNullAt(1)) }
+    }
+  }
+
+  test("general-union encode: nullable union writes the null branch for all-null members") {
+    val unionJson = """["null","int","string"]"""
+    import org.apache.spark.sql.functions.{col, struct, when}
+    import spark.implicits._
+    val df = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "s")
+    // k=2 sets neither member → null branch (index 0) on the wire
+    val back = df.select(col("k"), gfn.from_avro(gfn.to_avro(struct(
+        when(col("k") === 0, col("k") + 100).as("member0"),
+        when(col("k") === 1, col("s")).as("member1")), unionJson), unionJson).as("u"))
+      .orderBy("k").collect()
+    assert(back(0).getStruct(1).getInt(0) == 100)
+    assert(back(1).getStruct(1).getString(1) == "b")
+    // the null branch decodes to a NULL struct (nullable-union contract),
+    // not a struct of nulls
+    assert(back(2).isNullAt(1))
+  }
+
+  test("general-union encode: wrong struct arity fails with a clear error") {
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("k", "s")
+    val e = intercept[Exception] {
+      df.select(gfn.to_avro(struct(col("k")), """["int","string","boolean"]""")).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(c => Option(c.getMessage).getOrElse("")).getOrElse("")
+    assert(msg.contains("union"), s"error must mention the union mismatch: $e")
+  }
+
   test("primitive type names are reserved for named types") {
     for (bad <- Seq("int", "string", "null", "bytes")) {
       intercept[AvroSchemaParseException] {
