@@ -396,6 +396,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // S1 path-based: OCF files LANDED IN A DIRECTORY and batch-scanned back
+    // (the reference's file-path-first shape, datafile.py:292-426) — writes
+    // one .avro file per payload blob eagerly, then reads through the
+    // binaryFile source + lazy OCF generator. Decode parallelism = file
+    // count, the production layout's natural unit.
+    "q45_ocf_dir_scan" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val payloads = graft.spark.OcfSink.payloads(c, customerWriterJson,
+        codecName = "deflate", datumsPerPayload = 100)
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q45_ocf")
+      // deterministic re-runs: clean the landing dir before the eager write
+      if (out.exists) out.listFiles.foreach(f => { f.delete(); () })
+      graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
+      graft.spark.OcfFiles.scanDirectory(s, out.getAbsolutePath, customerWriterJson)
+        .orderBy("c_custkey")
+    }),
+
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
     // the (slow) codec's bench cost trivial.
     "q39_ocf_bzip2_roundtrip" -> ((s, dir) => {
@@ -839,6 +856,10 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
 
     "q36_ocf_zstd_roundtrip" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    // directory write → binaryFile scan → OCF decode is a pure round-trip
+    "q45_ocf_dir_scan" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
 
     "q39_ocf_bzip2_roundtrip" ->
