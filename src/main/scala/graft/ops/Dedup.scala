@@ -51,6 +51,12 @@ object Dedup {
   def minhashSignature(c: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
     Shims.column(MinHashSignature(Shims.expression(c), numHashes, shingleSize))
 
+  /** Fused signature→band-hash computation (one pass, no signature column
+    * ever materialized) — see [[graft.spark.MinHashBandHashes]]. */
+  def minhashBandHashes(c: Column, numHashes: Int = 128, numBands: Int = 32,
+                        shingleSize: Int = 3): Column =
+    Shims.column(graft.spark.MinHashBandHashes(Shims.expression(c), numHashes, numBands, shingleSize))
+
   def simhash(c: Column): Column = Shims.column(SimHash64(Shims.expression(c)))
 
   /** Distinct word-`n`-gram set of `textCol` (space-joined shingles).
@@ -139,13 +145,25 @@ object Dedup {
                         numHashes: Int = 128, numBands: Int = 32,
                         shingleSize: Int = 3, threshold: Double = 0.7): DataFrame = {
     val spread = spreadSmallInput(df) // checked once, shared by both passes
-    val sigs = persistedSigs(spread, idCol, textCol, numHashes, shingleSize)
+    // Fused signature→band-hash expression: ONE pass over the text computes
+    // the banded (id, bh) frame directly — no 128-long signature column is
+    // ever materialized or cached. The 16-byte-row banded frame is what the
+    // self-join reads twice, so IT is what persists (32 rows/doc vs a 1 KB
+    // signature array/doc: ~2× less cache, one fewer corpus text pass).
+    val banded = spread
+      .select(col(idCol).as("id"),
+        explode(minhashBandHashes(col(textCol), numHashes, numBands, shingleSize)).as("bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
     // gram arrays feed BOTH candidate re-joins; persist so the gram pass
     // runs once on all cores
     val grams = spread
       .select(col(idCol).as("id"), wordGrams(textCol, shingleSize).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandCandidates(sigs, numHashes, numBands)
+    candidates
       .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
       .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))))

@@ -146,6 +146,44 @@ case class MinHashSignature(child: Expression, numHashes: Int = 128, shingleSize
     copy(child = newChild)
 }
 
+/** `minhash_band_hashes(text)` → `array<long>` of `numBands` banded-LSH
+  * bucket hashes, computed in ONE pass: signature and band hashing fuse
+  * inside the expression, so the LSH plan needs neither a signature
+  * materialization nor a second transform over it — the exploded
+  * (band-hash, id) frame is the only thing the candidate join ever sees.
+  * Two documents agreeing on a band's signature slice always agree on its
+  * band hash (hash of equal inputs), so the candidate recall of the
+  * relational band construction is preserved exactly; spurious hash
+  * collisions only ADD candidates, which the exact verify filters. */
+case class MinHashBandHashes(child: Expression, numHashes: Int = 128,
+                             numBands: Int = 32, shingleSize: Int = 3)
+    extends UnaryExpression with GraftUnaryCodegen {
+  require(numHashes % numBands == 0,
+    s"numHashes ($numHashes) must be divisible by numBands ($numBands)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+  @transient private lazy val (as, bs) = TextHashing.minHashParams(numHashes)
+  override def nullSafeEval(input: Any): Any = {
+    val sig = TextHashing.minHash(input.asInstanceOf[UTF8String].toString, as, bs, shingleSize)
+    val rowsPerBand = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      // band index seeds the mix so identical slices in DIFFERENT bands
+      // land in different buckets (the relational form hashed (b, slice))
+      var h = TextHashing.splitmix64(b.toLong * 0x9e3779b97f4a7c15L)
+      var i = b * rowsPerBand
+      val end = i + rowsPerBand
+      while (i < end) { h = TextHashing.splitmix64(h ^ sig(i)); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandHashes =
+    copy(child = newChild)
+}
+
 /** `hot_gram_rank(gram)` → int: 0 for grams outside the driver-sampled hot
   * set, else 1..K ascending by sampled document frequency (hottest gram = K).
   * The AllPairs prefix order sorts ascending on (rank, hash, gram), so
