@@ -396,6 +396,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // U5 PERMISSIVE at driver level: every third payload is deterministically
+    // truncated by one byte (the string field's length header then overruns —
+    // decode MUST fail), and PERMISSIVE maps exactly those to null rows while
+    // the rest decode on the same path. FAILFAST's whole-batch contract is
+    // spec-proven (ErrorContractSpec); this row-level recovery contract is
+    // the production half.
+    "q46_permissive_decode" -> ((s, dir) => {
+      val schemaJson =
+        """{"type":"record","name":"N","fields":[
+          |{"name":"nk","type":"int"},{"name":"name","type":"string"}]}""".stripMargin
+      val enc = t(s, dir, "nation").select(col("n_nationkey").as("k"),
+        gfn.to_avro(struct(col("n_nationkey").as("nk"), col("n_name").as("name")),
+          schemaJson).as("p"))
+      enc
+        .withColumn("p", when(col("k") % 3 === 0,
+          expr("substring(p, 1, length(p) - 1)")).otherwise(col("p")))
+        .select(col("k"), gfn.from_avro_permissive(col("p"), schemaJson).as("r"))
+        .select(col("k"), col("r.name").as("name"), col("r").isNull.as("corrupt"))
+        .orderBy("k")
+    }),
+
     // S1 path-based: OCF files LANDED IN A DIRECTORY and batch-scanned back
     // (the reference's file-path-first shape, datafile.py:292-426) — writes
     // one .avro file per payload blob eagerly, then reads through the
@@ -861,6 +882,13 @@ object SparkEntry {
     // directory write → binaryFile scan → OCF decode is a pure round-trip
     "q45_ocf_dir_scan" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    // PERMISSIVE maps exactly the deterministically-corrupted rows to null
+    "q46_permissive_decode" ->
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS name,
+        |  n_nationkey % 3 = 0 AS corrupt
+        |FROM nation ORDER BY k""".stripMargin,
 
     "q39_ocf_bzip2_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
