@@ -68,6 +68,41 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     Shims.column(TextFingerprint(Shims.expression(text)))
 
+  /** Token-level repetition/boilerplate metrics (the Gopher/C4-style
+    * repetition rules, restated for single-line documents):
+    *  - `top_bigram_frac`: occurrences of the most frequent word bigram over
+    *    total bigrams (boilerplate templates repeat their phrasing);
+    *  - `dup_token_frac`: fraction of tokens that are repeats of an earlier
+    *    token.
+    * Both are PER-ROW array computations (sort + one fold over the row's own
+    * bigrams) — the whole operator is a map-side projection with zero
+    * shuffle, so at 100 TB it costs exactly one pass over the corpus. The
+    * max-multiplicity fold runs over the row-local sorted bigram array;
+    * nothing explodes into a corpus-wide (doc, gram) space. */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
+    val bgs = s"CASE WHEN size($toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+      s"ELSE transform(sequence(0, size($toks) - 2), " +
+      s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2))) END"
+    // longest equal-run in the sorted bigram array = max bigram multiplicity
+    val maxMult =
+      s"""aggregate(array_sort($bgs),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END,
+         |    'best', greatest(acc.best,
+         |      CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END)),
+         |  acc -> acc.best)""".stripMargin
+    df.select(col(idCol),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      expr(s"CASE WHEN size($bgs) = 0 THEN 0D ELSE CAST($maxMult AS DOUBLE) / size($bgs) END")
+        .as("top_bigram_frac"),
+      expr(s"CASE WHEN size($toks) = 0 THEN 0D ELSE " +
+        s"CAST(size($toks) - size(array_distinct($toks)) AS DOUBLE) / size($toks) END")
+        .as("dup_token_frac"))
+  }
+
   /** Standard per-document feature set over a corpus. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
