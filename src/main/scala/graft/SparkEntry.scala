@@ -628,6 +628,38 @@ object SparkEntry {
           expr("CAST(round(quality, 9) AS DOUBLE)").as("quality"))
         .orderBy("doc_id")),
 
+    // X31: benchmark decontamination — the train/test-contamination guard
+    // every corpus release runs (8-gram overlap, the production shape). The
+    // eval set is drawn FROM the corpus (doc_id % 50 = 0) so overlap is
+    // planted by construction: every eval doc flags at least itself, plus
+    // any corpus doc sharing an 8-gram (near-dups). The eval gram set
+    // broadcasts; only matching (doc, gram) hits ever shuffle.
+    "q47_decontam_flags" -> ((s, dir) =>
+      ops.Decontamination.contaminated(
+          t(s, dir, "documents"),
+          t(s, dir, "documents").where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
+        .orderBy("id")),
+
+    // X31's shipping half: the corpus with flagged documents REMOVED
+    // (broadcast anti-join against the small flag set).
+    "q48_decontam_filter" -> ((s, dir) =>
+      ops.Decontamination.decontaminate(
+          t(s, dir, "documents"),
+          t(s, dir, "documents").where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // X32: Gopher/C4-style repetition/boilerplate metrics — per-row sorted-
+    // array fold, zero shuffle (one map-side pass over the corpus).
+    "q49_repetition_metrics" -> ((s, dir) =>
+      ops.TextAnalysis.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(round(top_bigram_frac, 9) AS DOUBLE)").as("top_bigram_frac"),
+          expr("CAST(round(dup_token_frac, 9) AS DOUBLE)").as("dup_token_frac"))
+        .orderBy("doc_id")),
+
     // Brute-force exact cosine top-k (the ANN correctness baseline).
     "q26_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1062,6 +1094,70 @@ object SparkEntry {
         |  WHERE a.source = b.source AND a.doc_id < b.doc_id
         |    AND len(list_intersect(a.grams, b.grams)) > 0)
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Word-8-gram overlap vs the planted eval set (doc_id % 50 = 0). The
+    // gram CTE mirrors Dedup.wordGrams exactly: distinct grams, <8-token
+    // docs collapse to one whole-token-sequence gram, empty text → no gram.
+    "q47_decontam_flags" ->
+      """WITH g AS (
+        |  SELECT doc_id, (
+        |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
+        |    SELECT list_distinct(CASE
+        |      WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 7),
+        |           i -> array_to_string(toks[i:i+7], ' ')) END)
+        |    FROM t) AS grams
+        |  FROM documents),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT dg.doc_id AS id, count(*) AS n_overlap
+        |FROM dg JOIN eg USING (gram)
+        |GROUP BY 1 HAVING count(*) >= 1 ORDER BY id""".stripMargin,
+
+    // The shipped filter: corpus minus every doc with >= 1 eval-gram hit.
+    "q48_decontam_filter" ->
+      """WITH g AS (
+        |  SELECT doc_id, (
+        |    WITH t AS (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks)
+        |    SELECT list_distinct(CASE
+        |      WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, len(toks) - 7),
+        |           i -> array_to_string(toks[i:i+7], ' ')) END)
+        |    FROM t) AS grams
+        |  FROM documents),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT DISTINCT dg.doc_id FROM dg JOIN eg USING (gram))
+        |ORDER BY doc_id""".stripMargin,
+
+    // Max bigram multiplicity via unnest + group-by (equals the engine's
+    // sorted-array longest-equal-run fold); token/dup fractions are exact
+    // integer arithmetic until the final double division.
+    "q49_repetition_metrics" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(generate_series(1, len(toks) - 1),
+        |              i -> concat(toks[i], ' ', toks[i+1])) END AS bgs
+        |  FROM t),
+        |mm AS (
+        |  SELECT doc_id, max(c) AS max_mult FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bgs) AS g FROM b) GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(round(CASE WHEN len(bgs) = 0 THEN 0.0
+        |    ELSE CAST(mm.max_mult AS DOUBLE) / len(bgs) END, 9) AS DOUBLE) AS top_bigram_frac,
+        |  CAST(round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) END, 9) AS DOUBLE) AS dup_token_frac
+        |FROM b LEFT JOIN mm USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Exact nearest neighbor of each perturbed probe. The probe floats are
     // reproduced bit-for-bit (float × double literal → double, IEEE-rounded

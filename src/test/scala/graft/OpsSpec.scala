@@ -98,6 +98,54 @@ class OpsSpec extends AnyFunSuite {
     assert(hash.nonEmpty, "expected at least one near-dup pair at t=0.3")
   }
 
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // contains eval 4-gram
+      (2L, "completely unrelated text about something else entirely here"),
+      (3L, "quick brown fox jumps high above the fence"),    // shares "quick brown fox jumps"
+      (4L, "short doc")                                      // <4 tokens → whole-text gram
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (100L, "watch the quick brown fox jumps sequence"),
+      (101L, "short doc")                                    // whole-text gram matches doc 4
+    ).toDF("doc_id", "text")
+    val flagged = graft.ops.Decontamination
+      .contaminated(corpus, evalSet, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc1: grams include "the quick brown fox" & "quick brown fox jumps" —
+    // eval contributes "the quick brown fox"? eval text grams: "watch the quick brown",
+    // "the quick brown fox", "quick brown fox jumps", "brown fox jumps sequence"
+    // → doc1 overlaps on 2 grams, doc3 on 1 ("quick brown fox jumps"), doc4 on its whole-text gram
+    assert(flagged == Map(1L -> 2L, 3L -> 1L, 4L -> 1L), s"got $flagged")
+    val survivors = graft.ops.Decontamination
+      .decontaminate(corpus, evalSet, "doc_id", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(2L), s"got $survivors")
+    // minOverlap raises the bar: only doc1 has >= 2 overlapping grams
+    val strict = graft.ops.Decontamination
+      .contaminated(corpus, evalSet, "doc_id", "text", n = 4, minOverlap = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(1L), s"got $strict")
+  }
+
+  test("repetition metrics: fractions match hand-computed fixtures") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b a b"),        // toks 6: bigrams [ab,ba,ab,ba,ab] → max 3/5; dup (6-2)/6
+      (2L, "x y z"),              // all distinct: bigram max 1/2; dup 0
+      (3L, "w"),                  // one token: no bigrams → 0; dup 0
+      (4L, "")                    // empty: 0 tokens → both 0
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 3.0 / 5.0, 4.0 / 6.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 0.5, 0.0)), s"got ${out(2L)}")
+    assert(out(3L) == ((1L, 0.0, 0.0)), s"got ${out(3L)}")
+    assert(out(4L) == ((0L, 0.0, 0.0)), s"got ${out(4L)}")
+  }
+
   test("lsh bucket handles embeddings wider than 64 dims (no truncation)") {
     import spark.implicits._
     // two identical-direction 384-dim vectors must land in the same bucket;
