@@ -426,9 +426,13 @@ object SparkEntry {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val payloads = graft.spark.OcfSink.payloads(c, customerWriterJson,
         codecName = "deflate", datumsPerPayload = 100)
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q45_ocf")
+      // app-id suffix isolates concurrent bench/correctness runs sharing
+      // /tmp; Option-guarded listFiles covers a non-directory squatter
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q45_ocf_${s.sparkContext.applicationId}")
       // deterministic re-runs: clean the landing dir before the eager write
-      if (out.exists) out.listFiles.foreach(f => { f.delete(); () })
+      if (out.isDirectory)
+        Option(out.listFiles).foreach(_.foreach(f => { f.delete(); () }))
       graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
       graft.spark.OcfFiles.scanDirectory(s, out.getAbsolutePath, customerWriterJson)
         .orderBy("c_custkey")
@@ -714,7 +718,10 @@ object SparkEntry {
     // k-means placed the centroids. Top-1 (sim = 1.0 beats the ≤ 0.52
     // continuous tail; any other sim-1.0 vector is colinear too and shares
     // the cell) therefore provably equals brute force, while the physical
-    // plan runs the true sub-exhaustive probe join users run.
+    // plan runs the true sub-exhaustive probe join users run. The corpus
+    // assumption this leans on (no NON-colinear pair within 9-digit rounding
+    // of sim 1.0) is asserted as a fixture invariant in OpsSpec, so data
+    // regeneration cannot silently invalidate the oracle.
     "q44_ivf_subexhaustive" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val probes = emb.where(col("vec_id") < 8).select(

@@ -221,7 +221,14 @@ object Dedup {
     * three extra corpus-wide exchanges); `"hash"` is order-by-hash (zero
     * setup, UNSAFE under stop-gram skew — a gram shared by m docs yields
     * Θ(m²) candidates). The exact verify joins gram arrays by id for
-    * surviving candidates only. */
+    * surviving candidates only.
+    *
+    * NOTE: with `prefixOrder = "sampled"` CALLING this method triggers one
+    * bounded Spark job at plan-construction time (the hot-gram sample
+    * aggregation, ≤ `hotK` rows collected to the driver — the same eager
+    * pattern as `ivfTopK`'s quantizer training); the returned DataFrame is
+    * otherwise lazy. Use `"hash"`/`"df"` if plan construction must not
+    * touch the cluster. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, blockCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    prefixOrder: String = "sampled",

@@ -46,6 +46,14 @@ object OcfFiles {
     * `<prefix>-<partition>-<index>.avro`, unique per task without any
     * cross-task coordination. Returns the number of files written.
     *
+    * Torn-file safety under speculative execution / zombie retries: each
+    * blob is written to an attempt-unique dot-prefixed temp name and then
+    * ATOMIC_MOVE'd into place, so two attempts racing on the same final
+    * path each rename a fully-written file (POSIX rename replaces
+    * atomically — the last winner is whole, never interleaved), and
+    * leftover temp files are invisible to scans (the `*.avro` glob misses
+    * them and file sources skip dot-files regardless).
+    *
     * `dir` must be a filesystem every task can reach (local mode, NFS, a
     * fuse-mounted store); for object stores, land the payload frame through
     * a standard binary-capable sink instead — the OCF bytes are identical. */
@@ -53,12 +61,19 @@ object OcfFiles {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     payloads.select(col("payload")).as(Encoders.BINARY)
       .mapPartitions { blobs =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = ctx.partitionId()
+        val attempt = ctx.taskAttemptId()
         var i = 0
         var n = 0L
         blobs.foreach { bytes =>
           val p = java.nio.file.Paths.get(dir, f"$prefix-$pid%05d-$i%05d.avro")
-          java.nio.file.Files.write(p, bytes)
+          val tmp = java.nio.file.Paths.get(dir,
+            f".$prefix-$pid%05d-$i%05d.avro.$attempt.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           i += 1
           n += 1
         }

@@ -190,7 +190,13 @@ case class MinHashBandHashes(child: Expression, numHashes: Int = 128,
   * sampled-frequent grams land at the END of every gram array and are
   * excluded from prefixes — the skew-resistance of exact-df order without
   * its three corpus-wide exchanges (the ranking rides the expression,
-  * broadcast-style, like [[NearestCentroids]] centroids). */
+  * broadcast-style, like [[NearestCentroids]] centroids).
+  *
+  * The embedded map rides Java serialization into every task closure and
+  * participates in case-class equality during plan canonicalization —
+  * acceptable at the default hotK = 4096 (a few hundred KB, same order as
+  * NearestCentroids); if hotK is ever raised by orders of magnitude, switch
+  * the ranking to a broadcast variable referenced from the expression. */
 case class HotGramRank(child: Expression, ranks: Map[String, Int])
     extends UnaryExpression with GraftUnaryCodegen {
   override def dataType: DataType = IntegerType

@@ -146,6 +146,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0.0, 0.0)), s"got ${out(4L)}")
   }
 
+  test("q44 oracle fixture invariant: no near-1.0 non-colinear neighbor") {
+    // q44's IVF-equals-brute-force proof relies on the corpus having NO pair
+    // whose cosine rounds to 1.0 at 9 digits without being exactly colinear:
+    // a sim >= 0.9999999995 vector in an unprobed cell would break the
+    // equivalence. Assert the second-best (different-embedding) similarity
+    // for every probe source is bounded WELL away from the rounding cliff,
+    // so regenerating the test data cannot silently invalidate the oracle.
+    val emb = embeddings
+    val best = Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, 10)
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")), "n_id")
+      .where(col("q_emb") =!= col("n_emb"))
+      .groupBy("q_id").agg(max("sim").as("second_best"))
+      .collect()
+    assert(best.length == 8)
+    best.foreach { r =>
+      val s = r.getAs[Double]("second_best")
+      assert(s < 0.99, s"probe ${r.get(0)}: non-colinear neighbor at sim=$s is " +
+        "too close to the 9-digit rounding cliff (oracle construction unsafe)")
+    }
+  }
+
   test("lsh bucket handles embeddings wider than 64 dims (no truncation)") {
     import spark.implicits._
     // two identical-direction 384-dim vectors must land in the same bucket;
