@@ -64,39 +64,65 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // Host-contention hardening (the BENCH_r07 lesson: an adjacent-query
+    // slow cluster on UNCHANGED code was 4-6x host noise, proven only by a
+    // manual isolation rerun). Two measures make the artifact self-auditing:
+    //  1. the 1-minute system load average is sampled at every run start
+    //     and reported per query — a slow median under heavy external load
+    //     reads as contention, not regression;
+    //  2. any query whose median exceeds 3x its own min (the intra-query
+    //     contention signature — identical code and cache state cannot
+    //     legitimately spread 3x) is re-run `repeats` more times and the
+    //     median recomputed over ALL runs, so a contention window must
+    //     persist across BOTH windows to survive into the headline number.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadAvg: Double = osBean.getSystemLoadAverage // -1.0 where unsupported
+    def median(ts: Seq[Double]): Double = { val s = ts.sorted; s(s.length / 2) }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val runs = (1 to repeats).map { _ =>
+      def timeRuns(n: Int): Seq[(Double, Boolean, Double)] = (1 to n).map { _ =>
+        val l0 = loadAvg
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        ((System.nanoTime() - t0) / 1e9, ok, l0)
       }
+      val first = timeRuns(repeats)
+      val suspect = repeats > 1 && first.forall(_._2) &&
+        median(first.map(_._1)) > 3 * first.map(_._1).min
+      if (suspect) System.err.println(
+        s"[bench] $name median/min > 3x (${first.map(_._1).map(v => f"$v%.2f").mkString(",")}) — retrying")
+      val runs = if (suspect) first ++ timeRuns(repeats) else first
       spark.catalog.clearCache()
-      val sortedTimes = runs.map(_._1).sorted
-      (name, sortedTimes(sortedTimes.length / 2), runs.forall(_._2), runs.map(_._1))
+      (name, median(runs.map(_._1)), runs.forall(_._2), runs.map(_._1),
+        runs.map(_._3), suspect)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val oks = results.map { case (k, _, ok, _) => "\"" + k + "\":" + ok }
+    val oks = results.map { case (k, _, ok, _, _, _) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
-    val allRuns = results.map { case (k, _, _, rs) =>
+    val allRuns = results.map { case (k, _, _, rs, _, _) =>
       "\"" + k + "\":" + rs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val loads = results.map { case (k, _, _, _, ls, _) =>
+      "\"" + k + "\":" + ls.map(v => f"$v%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val retried = results.collect { case (k, _, _, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // steady-state = fastest run: repeats share persisted intermediates, so
     // the min reads the plan's warm cost with cache population (a one-time
     // amortized cost at production reuse) excluded — report it alongside the
     // median so persist-population doesn't masquerade as plan cost
-    val steady = results.map { case (k, _, _, rs) => "\"" + k + "\":" + f"${rs.min}%.3f" }
+    val steady = results.map { case (k, _, _, rs, _, _) => "\"" + k + "\":" + f"${rs.min}%.3f" }
       .mkString("{", ",", "}")
-    val total = f"${results.collect { case (_, v, true, _) => v }.sum}%.3f"
-    val totalSteady = f"${results.collect { case (_, _, true, rs) => rs.min }.sum}%.3f"
+    val total = f"${results.collect { case (_, v, true, _, _, _) => v }.sum}%.3f"
+    val totalSteady = f"${results.collect { case (_, _, true, rs, _, _) => rs.min }.sum}%.3f"
     val allOk = results.forall(_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"total_steady":$totalSteady,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"n_queries":${results.length},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"total_steady":$totalSteady,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"load_1m":$loads,"retried":$retried,"n_queries":${results.length},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

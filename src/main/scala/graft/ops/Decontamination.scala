@@ -31,7 +31,9 @@ object Decontamination {
   def contaminated(docs: DataFrame, evalDocs: DataFrame, idCol: String,
                    textCol: String, n: Int = 8, minOverlap: Int = 1): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1; got $minOverlap")
-    val grams = docs.select(col(idCol).as("id"),
+    // few-file corpora scan as few partitions, serializing the CPU-heavy
+    // gram pass — same treatment as the Dedup operators (no-op at scale)
+    val grams = Dedup.spreadSmallInput(docs).select(col(idCol).as("id"),
       explode(Dedup.wordGrams(textCol, n)).as("gram"))
     grams
       .join(broadcast(evalGrams(evalDocs, textCol, n)), "gram")

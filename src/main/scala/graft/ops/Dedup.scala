@@ -106,7 +106,7 @@ object Dedup {
     * stages under AQE. Non-file-backed inputs (joins, streams) are left
     * alone: their upstream shuffles already set the parallelism; at
     * production scale inputs carry thousands of files and this is a no-op. */
-  private def spreadSmallInput(df: DataFrame): DataFrame = {
+  private[ops] def spreadSmallInput(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val files = try df.inputFiles.length catch { case _: Exception => 0 }
     if (files == 0 || files >= math.max(2, target / 2)) df

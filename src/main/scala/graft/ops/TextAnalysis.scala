@@ -80,26 +80,41 @@ object TextAnalysis {
     * max-multiplicity fold runs over the row-local sorted bigram array;
     * nothing explodes into a corpus-wide (doc, gram) space. */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = s"filter(split($textCol, '\\\\s+'), x -> x != '')"
-    val bgs = s"CASE WHEN size($toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
-      s"ELSE transform(sequence(0, size($toks) - 2), " +
-      s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2))) END"
+    // Staged projections so each array materializes ONCE per row: lambda
+    // (higher-order) expressions sit outside whole-stage-codegen common-
+    // subexpression elimination, so a single-Project formulation would
+    // re-tokenize per textual reference (measured 6x slower). CollapseProject
+    // keeps the stages separate — it never inlines an expensive alias that is
+    // consumed more than once — and the chain still fuses into one codegen
+    // stage, so this stays a zero-shuffle single pass.
+    val toks = df.select(col(idCol),
+      expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("__toks"))
+    val arrs = toks.select(col(idCol), col("__toks"),
+      expr("CASE WHEN size(__toks) < 2 THEN CAST(array() AS ARRAY<STRING>) " +
+        "ELSE transform(sequence(0, size(__toks) - 2), " +
+        "i -> concat(element_at(__toks, i + 1), ' ', element_at(__toks, i + 2))) END")
+        .as("__bgs"))
     // longest equal-run in the sorted bigram array = max bigram multiplicity
     val maxMult =
-      s"""aggregate(array_sort($bgs),
-         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-         |  (acc, x) -> named_struct(
-         |    'prev', x,
-         |    'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END,
-         |    'best', greatest(acc.best,
-         |      CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END)),
-         |  acc -> acc.best)""".stripMargin
-    df.select(col(idCol),
-      expr(s"size($toks)").cast("long").as("n_tokens"),
-      expr(s"CASE WHEN size($bgs) = 0 THEN 0D ELSE CAST($maxMult AS DOUBLE) / size($bgs) END")
+      """aggregate(array_sort(__bgs),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END,
+        |    'best', greatest(acc.best,
+        |      CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END)),
+        |  acc -> acc.best)""".stripMargin
+    val counts = arrs.select(col(idCol),
+      expr("size(__toks)").as("__n_toks"),
+      expr("size(array_distinct(__toks))").as("__n_dtoks"),
+      expr("size(__bgs)").as("__n_bgs"),
+      expr(maxMult).as("__max_mult"))
+    counts.select(col(idCol),
+      col("__n_toks").cast("long").as("n_tokens"),
+      expr("CASE WHEN __n_bgs = 0 THEN 0D ELSE CAST(__max_mult AS DOUBLE) / __n_bgs END")
         .as("top_bigram_frac"),
-      expr(s"CASE WHEN size($toks) = 0 THEN 0D ELSE " +
-        s"CAST(size($toks) - size(array_distinct($toks)) AS DOUBLE) / size($toks) END")
+      expr("CASE WHEN __n_toks = 0 THEN 0D ELSE " +
+        "CAST(__n_toks - __n_dtoks AS DOUBLE) / __n_toks END")
         .as("dup_token_frac"))
   }
 
