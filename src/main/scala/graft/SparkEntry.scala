@@ -56,6 +56,13 @@ object SparkEntry {
       |{"name":"l_returnflag","type":"string"},
       |{"name":"l_shipdate","type":{"type":"long","logicalType":"timestamp-micros"}}]}""".stripMargin
 
+  private val ordersWriterJson =
+    """{"type":"record","name":"orders_slice","fields":[
+      |{"name":"o_orderkey","type":"long"},
+      |{"name":"o_custkey","type":"long"},
+      |{"name":"o_orderstatus","type":"string"},
+      |{"name":"o_totalprice","type":"double"}]}""".stripMargin
+
   private val customerWriterJson =
     """{"type":"record","name":"customer","fields":[
       |{"name":"c_custkey","type":"long"},
@@ -436,6 +443,34 @@ object SparkEntry {
       graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
       graft.spark.OcfFiles.scanDirectory(s, out.getAbsolutePath, customerWriterJson)
         .orderBy("c_custkey")
+    }),
+
+    // S1 at the 100 TB shape: ONE large OCF file, split INTRA-file on its
+    // sync markers by the DataSource V2 reader (`format("graft-ocf")`,
+    // reference datafile.py:39,380-394), with column pruning pushed into
+    // the decode — only the two aggregated fields are decoded, the other
+    // two are varint skips. splitSize=64 KB fans the single file into
+    // ~size/64KB parallel tasks: the plan that survives a 10 GB file on a
+    // 1000-executor cluster, where the binaryFile path (q45) would
+    // serialize on file count.
+    "q50_ocf_split_scan" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val payloads = graft.spark.OcfSink.payloads(o.coalesce(1), ordersWriterJson,
+        codecName = "deflate", datumsPerPayload = Int.MaxValue)
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q50_ocf_${s.sparkContext.applicationId}")
+      if (out.isDirectory)
+        Option(out.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+      graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
+      s.read.format("graft-ocf")
+        .option("splitSize", (64 * 1024).toString)
+        .load(out.getAbsolutePath)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
+            .as("total"))
+        .orderBy("o_orderstatus")
     }),
 
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
@@ -921,6 +956,13 @@ object SparkEntry {
     // directory write → binaryFile scan → OCF decode is a pure round-trip
     "q45_ocf_dir_scan" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    // the split DSv2 scan is a pure round-trip of orders, so the oracle is
+    // the same aggregate straight off the parquet table
+    "q50_ocf_split_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // PERMISSIVE maps exactly the deterministically-corrupted rows to null
     "q46_permissive_decode" ->

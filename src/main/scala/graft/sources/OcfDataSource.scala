@@ -1,0 +1,350 @@
+package graft.sources
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+import java.util.OptionalLong
+
+import graft.avro._
+import graft.spark.{AvroRuntime, SchemaConverters}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, GlobFilter, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Splittable DataSource V2 reader for Avro Object Container Files:
+  * `spark.read.format("graft-ocf").load(dir)`.
+  *
+  * This is the 100 TB face of S1. The `binaryFile`-based scan
+  * ([[graft.spark.OcfFiles.scanDirectory]]) decodes one FILE per task, so a
+  * directory of a few huge files serializes on file count. OCF was designed
+  * to split WITHIN a file: the writer flushes a block every ~64 KB and seals
+  * it with the header's 16-byte sync marker (reference:
+  * python-udf/avro/datafile.py:39 SYNC_INTERVAL, 380-394 sync scan), so any
+  * byte offset can be re-anchored to the next block boundary without reading
+  * what came before. This source plans `ceil(fileLen / splitSize)` input
+  * partitions per file and each task decodes exactly the blocks anchored in
+  * its range — a 10 GB file fans out across the cluster like 80 files would.
+  *
+  * Split ownership uses the standard Avro contract: a block whose
+  * count-varint begins at offset `b` (always immediately after a sync
+  * marker) belongs to the split `[start, end)` for which scanning from
+  * `start` finds that marker first and `b < end + 16`. Every block lands in
+  * exactly one split: markers at `m ∈ [start, end)` anchor blocks
+  * `b = m + 16 ∈ [start+16, end+16)`, and the ranges tile. The sync scan can
+  * in principle false-positive on payload bytes that happen to equal the
+  * marker (the block framing then fails loudly on the sync check) — the same
+  * 2^-128-per-offset exposure every Avro splitter accepts.
+  *
+  * Column pruning is pushed INTO the decode: `pruneColumns` rebuilds the
+  * Avro reader schema with only the requested top-level fields, and the
+  * resolving decoder then type-directed-skips the dropped writer fields
+  * (P1/P2, reference: python-udf/avro/io.py:954-972) — pruned columns cost a
+  * varint walk, not a decode. `SELECT count(*)` decodes zero fields.
+  *
+  * Options: `readerSchema` (Avro JSON; defaults to the first file's writer
+  * schema), `splitSize` (bytes; defaults to
+  * `spark.sql.files.maxPartitionBytes`), `pathGlobFilter`,
+  * `recursiveFileLookup`. Files may differ in writer schema and codec —
+  * each split resolves its own file's header against the shared reader
+  * schema.
+  */
+final class OcfDataSource extends TableProvider with DataSourceRegister {
+  import OcfDataSource._
+
+  // one provider instance serves one read; memoize so inferSchema + getTable
+  // don't list the directory (and read a header) twice
+  @volatile private var cached: Option[(String, Resolved)] = None
+  private def resolvedFor(options: CaseInsensitiveStringMap): Resolved = {
+    val key = options.asCaseSensitiveMap().toString
+    cached match {
+      case Some((k, r)) if k == key => r
+      case _ =>
+        val r = resolve(options)
+        cached = Some((key, r))
+        r
+    }
+  }
+
+  override def shortName(): String = "graft-ocf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    resolvedFor(options).sql
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new OcfTable(resolvedFor(new CaseInsensitiveStringMap(properties)))
+}
+
+object OcfDataSource {
+  final case class FileSlice(path: String, len: Long)
+
+  /** Driver-side view of one read: the frozen file listing, the reader
+    * schema, its Spark shape, and the planned split size. */
+  final case class Resolved(files: Seq[FileSlice], readerJson: String,
+                            sql: StructType, wrap: Boolean,
+                            conf: Configuration, splitSize: Long)
+
+  private[sources] def sqlShape(readerJson: String): (StructType, Boolean) =
+    SchemaConverters.toSqlType(AvroRuntime.parse(readerJson)).dataType match {
+      case st: StructType => (st, false)
+      case other          => (StructType(Seq(StructField("value", other))), true)
+    }
+
+  private def resolve(options: CaseInsensitiveStringMap): Resolved = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val paths = pathsOf(options)
+    require(paths.nonEmpty, "graft-ocf: no 'path' specified")
+    val files = list(conf, paths,
+      Option(options.get("pathGlobFilter")),
+      options.getBoolean("recursiveFileLookup", false))
+    require(files.nonEmpty, s"graft-ocf: no input files under ${paths.mkString(", ")}")
+    val readerJson = Option(options.get("readerSchema")).getOrElse {
+      val p = new Path(files.head.path)
+      val in = p.getFileSystem(conf).open(p)
+      try readHeaderAt(in, files.head.len)._1.schemaJson finally in.close()
+    }
+    val (sql, wrap) = sqlShape(readerJson)
+    val splitSize = Option(options.get("splitSize")).map(_.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    require(splitSize > 0, s"graft-ocf: splitSize must be positive, got $splitSize")
+    Resolved(files, readerJson, sql, wrap, conf, splitSize)
+  }
+
+  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).toSeq.flatMap { js =>
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readValue(js, classOf[Array[String]]).toSeq
+    }
+    Option(options.get("path")).toSeq ++ multi
+  }
+
+  private def list(conf: Configuration, paths: Seq[String],
+                   glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
+    val filter = glob.map(new GlobFilter(_))
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val statuses: Seq[FileStatus] =
+        if (fs.getFileStatus(hp).isDirectory) {
+          val it = fs.listFiles(hp, recursive)
+          val b = Seq.newBuilder[FileStatus]
+          while (it.hasNext) b += it.next()
+          b.result()
+        } else Seq(fs.getFileStatus(hp))
+      statuses.iterator.filter { st =>
+        val name = st.getPath.getName
+        st.isFile && !name.startsWith(".") && !name.startsWith("_") &&
+          filter.forall(_.accept(st.getPath))
+      }.map(st => FileSlice(st.getPath.toString, st.getLen)).toSeq
+    }.sortBy(_.path)
+  }
+
+  /** Parse an OCF header from a seekable stream without knowing its length
+    * up front: read a prefix, retry with a larger one on EOF (headers are a
+    * few hundred bytes unless the schema JSON is huge). Returns the header
+    * and the offset of the first block. */
+  private[sources] def readHeaderAt(in: FSDataInputStream, fileLen: Long): (OcfHeader, Long) = {
+    var cap = 64 * 1024
+    var out: (OcfHeader, Long) = null
+    while (out == null) {
+      val n = math.min(cap.toLong, fileLen).toInt
+      val buf = new Array[Byte](n)
+      in.readFully(0L, buf, 0, n)
+      try {
+        val r = new AvroBinaryReader(buf, 0, n)
+        val h = Ocf.readHeader(r)
+        out = (h, r.pos.toLong)
+      } catch {
+        case e: AvroEofException =>
+          if (n >= fileLen) throw new AvroResolutionException(
+            s"truncated OCF header (${fileLen} bytes): ${e.getMessage}")
+          cap *= 4
+      }
+    }
+    out
+  }
+}
+
+/** Hadoop `Configuration` is not `java.io.Serializable`; this 12-line
+  * envelope ships it to executors via its own `write`/`readFields`. */
+final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
+  @throws[IOException]
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  @throws[IOException]
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+  }
+}
+
+private[sources] final class OcfTable(resolved: OcfDataSource.Resolved)
+    extends Table with SupportsRead {
+  override def name(): String = "graft-ocf"
+  override def schema(): StructType = resolved.sql
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OcfScanBuilder(resolved)
+}
+
+private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: Option[StructType] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = {
+    val (readerJson, sql, wrap) =
+      (AvroRuntime.parse(resolved.readerJson).physical, required) match {
+        case (rec: ARecord, Some(req)) if req.fieldNames.toSeq != rec.fields.map(_.name) =>
+          // rebuild the reader schema with only the requested fields, in the
+          // requested order — resolution matches by name, so order is free,
+          // and dropped fields become type-directed skips in the decoder
+          val pruned = rec.copy(
+            fields = req.fieldNames.toSeq.flatMap(n => rec.fields.find(_.name == n)))
+          val (sql, wrap) = OcfDataSource.sqlShape(AvroSchemaParser.toJson(pruned))
+          (AvroSchemaParser.toJson(pruned), sql, wrap)
+        case _ => (resolved.readerJson, resolved.sql, resolved.wrap)
+      }
+    OcfScan(resolved.files, readerJson, sql, wrap,
+      new SerializableHadoopConf(resolved.conf), resolved.splitSize)
+  }
+}
+
+private[sources] final case class OcfInputPartition(
+    path: String, start: Long, end: Long, fileLen: Long) extends InputPartition
+
+private[sources] final case class OcfScan(
+    files: Seq[OcfDataSource.FileSlice], readerJson: String, sql: StructType,
+    wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = sql
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ocf files=${files.size} splitSize=$splitSize ReadSchema: ${sql.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.iterator.flatMap { f =>
+      (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
+        OcfInputPartition(f.path, k * splitSize, math.min((k + 1) * splitSize, f.len), f.len)
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    OcfReaderFactory(readerJson, wrap, conf)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.len).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+private[sources] final case class OcfReaderFactory(
+    readerJson: String, wrap: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OcfSplitReader(partition.asInstanceOf[OcfInputPartition], readerJson, wrap, conf.value)
+}
+
+/** Decodes the blocks of one split. All file access is positioned
+  * (`readFully(pos, …)`): two preads per ~64 KB block (header varints, then
+  * body + trailing sync in one read), plus the chunked sync scan for a
+  * non-zero start offset. Per-executor schema-parse and compiled-reader
+  * caches ([[graft.spark.AvroRuntime]]) are shared across splits, so a
+  * thousand splits of one file compile the writer→reader resolution once. */
+private[sources] final class OcfSplitReader(
+    part: OcfInputPartition, readerJson: String, wrap: Boolean, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+
+  private val hPath = new Path(part.path)
+  private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
+  private val (header, headerEnd) = OcfDataSource.readHeaderAt(in, part.fileLen)
+  private val codec = AvroCodecs(header.codecName)
+  private val compiled = AvroRuntime.catalystReader(header.schemaJson, readerJson)
+
+  // offset of the next block's count varint (always just past a sync
+  // marker), or -1 when this split has no further anchored block
+  private var blockStart: Long =
+    if (part.start == 0L) headerEnd else syncScan(part.start)
+  private var remaining = 0L
+  private var bin: AvroBinaryReader = _
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    while (remaining == 0L) {
+      if (blockStart < 0L || blockStart >= part.fileLen || blockStart >= part.end + 16L)
+        return false
+      loadBlock()
+    }
+    val v = compiled(bin)
+    row = if (wrap) new GenericInternalRow(Array[Any](v)) else v.asInstanceOf[InternalRow]
+    remaining -= 1L
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+
+  private def loadBlock(): Unit = {
+    // the two varints are ≤20 bytes; parse them from a small positioned read
+    val hn = math.min(20L, part.fileLen - blockStart).toInt
+    val hbuf = new Array[Byte](hn)
+    in.readFully(blockStart, hbuf, 0, hn)
+    val hr = new AvroBinaryReader(hbuf, 0, hn)
+    val count = hr.readLong()
+    val size = hr.readLong()
+    if (size < 0 || size > part.fileLen)
+      throw new AvroResolutionException(
+        s"corrupt OCF block at ${part.path}:$blockStart (size $size)")
+    val dataStart = blockStart + hr.pos
+    val body = new Array[Byte](size.toInt + Ocf.SyncSize)
+    in.readFully(dataStart, body, 0, body.length)
+    var i = 0
+    while (i < Ocf.SyncSize) {
+      if (body(size.toInt + i) != header.sync(i))
+        throw new AvroResolutionException(
+          s"OCF sync marker mismatch at ${part.path}:$blockStart (corrupt block boundary)")
+      i += 1
+    }
+    bin = new AvroBinaryReader(codec.decompress(java.util.Arrays.copyOf(body, size.toInt)))
+    remaining = count
+    blockStart = dataStart + size + Ocf.SyncSize
+  }
+
+  /** Find the first sync marker starting at offset `m >= from` with
+    * `m < part.end`, reading the file in 64 KB chunks with a 15-byte overlap
+    * so a marker spanning a chunk boundary is still seen. Returns the block
+    * anchor `m + 16`, or -1 if this split owns no block. */
+  private def syncScan(from: Long): Long = {
+    val sync = header.sync
+    val first = sync(0)
+    val chunk = 1 << 16
+    val buf = new Array[Byte](chunk + Ocf.SyncSize - 1)
+    var base = from
+    while (base < part.end && base <= part.fileLen - Ocf.SyncSize) {
+      val n = math.min(buf.length.toLong, part.fileLen - base).toInt
+      in.readFully(base, buf, 0, n)
+      val iMax = math.min((n - Ocf.SyncSize).toLong, part.end - base - 1L).toInt
+      var i = 0
+      while (i <= iMax) {
+        if (buf(i) == first) {
+          var j = 1
+          while (j < Ocf.SyncSize && buf(i + j) == sync(j)) j += 1
+          if (j == Ocf.SyncSize) return base + i + Ocf.SyncSize
+        }
+        i += 1
+      }
+      base += chunk
+    }
+    -1L
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.spark.{OcfFiles, OcfSink}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The splittable DataSource V2 OCF reader (`format("graft-ocf")`):
+  * intra-file sync-marker splits, pruning pushdown, per-file schema/codec
+  * resolution (reference datafile.py:39, 380-394). */
+class OcfDataSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-ocfsource-spec")
+    .getOrCreate()
+
+  private val schemaJson =
+    """{"type":"record","name":"KV","fields":[
+      |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin
+
+  private def tempDir(name: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d
+  }
+
+  /** One big OCF file of `n` rows (many 64 KB blocks) under a fresh dir. */
+  private def bigFile(n: Long, codec: String): (java.io.File, Seq[(Long, String)]) = {
+    import spark.implicits._
+    val rows = (0L until n).map(i => (i, s"value_${i}_${"x" * 40}"))
+    val payloads = OcfSink.payloads(
+      rows.toDF("k", "v").coalesce(1), schemaJson, codec, datumsPerPayload = n.toInt)
+    val dir = tempDir(s"graft-dsv2-$codec")
+    assert(OcfFiles.writePayloadFiles(payloads, dir.getAbsolutePath) == 1L)
+    (dir, rows)
+  }
+
+  private def read(dir: java.io.File, splitSize: Long, more: (String, String)*): DataFrame = {
+    val r = spark.read.format("graft-ocf").option("splitSize", splitSize.toString)
+    more.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load(dir.getAbsolutePath)
+  }
+
+  private def collectKV(df: DataFrame): Seq[(Long, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+
+  test("one file fans out into many splits and every split size agrees") {
+    val (dir, rows) = bigFile(12000, "deflate")
+    val whole = read(dir, 1L << 26)
+    assert(whole.rdd.getNumPartitions == 1)
+    val fine = read(dir, 4096)
+    assert(fine.rdd.getNumPartitions > 10,
+      s"expected many intra-file splits, got ${fine.rdd.getNumPartitions}")
+    val sorted = rows.sorted
+    assert(collectKV(whole) == sorted)
+    assert(collectKV(fine) == sorted)
+    // pathological: splits smaller than a sync marker still tile exactly
+    assert(read(dir, 700).count() == 12000)
+  }
+
+  test("splits decode correctly under every block codec") {
+    for (codec <- Seq("null", "snappy", "zstandard", "bzip2")) {
+      val (dir, rows) = bigFile(3000, codec)
+      assert(collectKV(read(dir, 8192)) == rows.sorted, s"codec $codec")
+    }
+  }
+
+  // read the scan from the OPTIMIZED plan: pushdown runs there, and AQE
+  // hides BatchScanExec from executedPlan.collect until execution
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }.head
+
+  test("column pruning reaches the decoder as a reader-schema projection") {
+    val (dir, rows) = bigFile(2000, "deflate")
+    val df = read(dir, 16384).select("v")
+    assert(scanOf(df).readSchema().fieldNames.toSeq == Seq("v"),
+      "pruned scan must read only the requested field")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == rows.map(_._2).sorted)
+    // count(*) prunes every field: the decoder only walks varints
+    val cnt = read(dir, 16384).count()
+    assert(cnt == 2000)
+    assert(scanOf(read(dir, 16384).groupBy().count()).readSchema().isEmpty)
+  }
+
+  test("reader schema option: reorder, drop, add-with-default, promote") {
+    val (dir, _) = bigFile(500, "null")
+    val reader =
+      """{"type":"record","name":"KV","fields":[
+        |{"name":"v","type":"string"},
+        |{"name":"k","type":"double"},
+        |{"name":"tag","type":"string","default":"none"}]}""".stripMargin
+    val df = read(dir, 4096, "readerSchema" -> reader)
+    assert(df.schema.fieldNames.toSeq == Seq("v", "k", "tag"))
+    val got = df.collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(got.length == 500)
+    assert(got.forall { case (v, k, t) => v.startsWith(s"value_${k.toLong}_") && t == "none" })
+  }
+
+  test("directory scan: many files, glob filter, recursion, paths varargs") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-many")
+    val sub = new java.io.File(dir, "nested"); sub.mkdirs()
+    val rows = (0L until 900L).map(i => (i, s"m$i"))
+    val payloads = OcfSink.payloads(
+      rows.toDF("k", "v").repartition(3), schemaJson, "deflate", datumsPerPayload = 100)
+    OcfFiles.writePayloadFiles(payloads, dir.getAbsolutePath)
+    OcfFiles.writePayloadFiles(
+      OcfSink.payloads(Seq((1000L, "sub")).toDF("k", "v"), schemaJson), sub.getAbsolutePath)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "decoy.txt").toPath, Array[Byte](1, 2, 3))
+
+    val flat = read(dir, 1L << 20, "pathGlobFilter" -> "*.avro")
+    assert(collectKV(flat) == rows.sorted)
+    val rec = read(dir, 1L << 20,
+      "pathGlobFilter" -> "*.avro", "recursiveFileLookup" -> "true")
+    assert(rec.count() == 901)
+    val two = spark.read.format("graft-ocf").option("pathGlobFilter", "*.avro")
+      .load(dir.getAbsolutePath, sub.getAbsolutePath)
+    // load(dir, sub): dir non-recursively (900 rows) plus sub (1 row)
+    assert(two.count() == 901)
+  }
+
+  test("header-only file (zero blocks) and empty splits yield zero rows") {
+    val dir = tempDir("graft-dsv2-empty")
+    val bytes = graft.avro.Ocf.writeAll(
+      graft.avro.AvroSchemaParser.parse(schemaJson), Seq.empty)
+    java.nio.file.Files.write(new java.io.File(dir, "empty.avro").toPath, bytes)
+    assert(read(dir, 64).count() == 0)
+  }
+}
