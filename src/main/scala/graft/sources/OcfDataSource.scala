@@ -82,11 +82,25 @@ final class OcfDataSource extends TableProvider with DataSourceRegister {
 object OcfDataSource {
   final case class FileSlice(path: String, len: Long)
 
-  /** Driver-side view of one read: the frozen file listing, the reader
-    * schema, its Spark shape, and the planned split size. */
-  final case class Resolved(files: Seq[FileSlice], readerJson: String,
+  /** One input file plus everything a split needs from its OCF header —
+    * resolved ONCE at planning time and shipped inside each
+    * [[OcfInputPartition]], so a thousand splits of one file never re-read
+    * or re-parse the header (at q50's 64 KB splits the per-split pread
+    * roughly doubled bytes read), and header errors (truncation, bad magic,
+    * unknown codec) fail the QUERY PLAN instead of a mid-job task. */
+  final case class OcfFileMeta(path: String, len: Long, writerSchemaJson: String,
+                               codecName: String, sync: Array[Byte], headerEnd: Long)
+
+  /** Driver-side view of one read: the frozen file listing (with resolved
+    * headers), the reader schema, its Spark shape, and the planned split
+    * size. */
+  final case class Resolved(files: Seq[OcfFileMeta], readerJson: String,
                             sql: StructType, wrap: Boolean,
                             conf: Configuration, splitSize: Long)
+
+  /** Test observability: counts [[readHeaderAt]] calls, asserting the
+    * one-header-read-per-file planning contract. */
+  private[graft] val headerReads = new java.util.concurrent.atomic.AtomicLong
 
   private[sources] def sqlShape(readerJson: String): (StructType, Boolean) =
     SchemaConverters.toSqlType(AvroRuntime.parse(readerJson)).dataType match {
@@ -103,17 +117,43 @@ object OcfDataSource {
       Option(options.get("pathGlobFilter")),
       options.getBoolean("recursiveFileLookup", false))
     require(files.nonEmpty, s"graft-ocf: no input files under ${paths.mkString(", ")}")
-    val readerJson = Option(options.get("readerSchema")).getOrElse {
-      val p = new Path(files.head.path)
-      val in = p.getFileSystem(conf).open(p)
-      try readHeaderAt(in, files.head.len)._1.schemaJson finally in.close()
-    }
+    val metas = fetchMetas(conf, files)
+    // fail fast on a codec no executor could decode
+    metas.map(_.codecName).distinct.foreach(AvroCodecs(_))
+    val readerJson =
+      Option(options.get("readerSchema")).getOrElse(metas.head.writerSchemaJson)
     val (sql, wrap) = sqlShape(readerJson)
     val splitSize = Option(options.get("splitSize")).map(_.toLong).getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
     require(splitSize > 0, s"graft-ocf: splitSize must be positive, got $splitSize")
-    Resolved(files, readerJson, sql, wrap, conf, splitSize)
+    Resolved(metas, readerJson, sql, wrap, conf, splitSize)
+  }
+
+  /** Read each file's OCF header exactly once, driver-side. Headers are tiny
+    * positioned reads; the bounded pool hides per-file round-trip latency on
+    * remote stores when the listing is large. */
+  private def fetchMetas(conf: Configuration, files: Seq[FileSlice]): Seq[OcfFileMeta] = {
+    def metaOf(f: FileSlice): OcfFileMeta = {
+      val p = new Path(f.path)
+      val in = p.getFileSystem(conf).open(p)
+      val (h, end) = try readHeaderAt(in, f.len) finally in.close()
+      OcfFileMeta(f.path, f.len, h.schemaJson, h.codecName, h.sync, end)
+    }
+    if (files.lengthCompare(2) < 0) files.map(metaOf)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+      try {
+        files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[OcfFileMeta] {
+            override def call(): OcfFileMeta = metaOf(f)
+          })
+        }.map { fut =>
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
   }
 
   private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
@@ -149,7 +189,8 @@ object OcfDataSource {
     * up front: read a prefix, retry with a larger one on EOF (headers are a
     * few hundred bytes unless the schema JSON is huge). Returns the header
     * and the offset of the first block. */
-  private[sources] def readHeaderAt(in: FSDataInputStream, fileLen: Long): (OcfHeader, Long) = {
+  private[graft] def readHeaderAt(in: FSDataInputStream, fileLen: Long): (OcfHeader, Long) = {
+    headerReads.incrementAndGet()
     var cap = 64 * 1024
     var out: (OcfHeader, Long) = null
     while (out == null) {
@@ -219,11 +260,16 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   }
 }
 
-private[sources] final case class OcfInputPartition(
-    path: String, start: Long, end: Long, fileLen: Long) extends InputPartition
+/** One split plus its file's planning-time header resolution: splits carry
+  * (writer schema, codec, sync, first-block offset) so executors never touch
+  * the header region. */
+private[graft] final case class OcfInputPartition(
+    path: String, start: Long, end: Long, fileLen: Long,
+    writerSchemaJson: String, codecName: String, sync: Array[Byte],
+    headerEnd: Long) extends InputPartition
 
 private[sources] final case class OcfScan(
-    files: Seq[OcfDataSource.FileSlice], readerJson: String, sql: StructType,
+    files: Seq[OcfDataSource.OcfFileMeta], readerJson: String, sql: StructType,
     wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long)
     extends Scan with Batch with SupportsReportStatistics {
 
@@ -235,7 +281,8 @@ private[sources] final case class OcfScan(
   override def planInputPartitions(): Array[InputPartition] =
     files.iterator.flatMap { f =>
       (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
-        OcfInputPartition(f.path, k * splitSize, math.min((k + 1) * splitSize, f.len), f.len)
+        OcfInputPartition(f.path, k * splitSize, math.min((k + 1) * splitSize, f.len),
+          f.len, f.writerSchemaJson, f.codecName, f.sync, f.headerEnd)
       }
     }.toArray
 
@@ -255,26 +302,38 @@ private[sources] final case class OcfReaderFactory(
     new OcfSplitReader(partition.asInstanceOf[OcfInputPartition], readerJson, wrap, conf.value)
 }
 
-/** Decodes the blocks of one split. All file access is positioned
-  * (`readFully(pos, …)`): two preads per ~64 KB block (header varints, then
-  * body + trailing sync in one read), plus the chunked sync scan for a
-  * non-zero start offset. Per-executor schema-parse and compiled-reader
-  * caches ([[graft.spark.AvroRuntime]]) are shared across splits, so a
-  * thousand splits of one file compile the writer→reader resolution once. */
-private[sources] final class OcfSplitReader(
+/** Decodes the blocks of one split. The file header was resolved at planning
+  * and arrives inside the partition — no split ever reads bytes before its
+  * own range. All file access is positioned (`readFully(pos, …)`): two
+  * preads per ~64 KB block (header varints, then body + trailing sync in one
+  * read), plus the chunked sync scan for a non-zero start offset.
+  * Per-executor schema-parse and compiled-reader caches
+  * ([[graft.spark.AvroRuntime]]) are shared across splits, so a thousand
+  * splits of one file compile the writer→reader resolution once. */
+private[graft] final class OcfSplitReader(
     part: OcfInputPartition, readerJson: String, wrap: Boolean, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(part.path)
   private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
-  private val (header, headerEnd) = OcfDataSource.readHeaderAt(in, part.fileLen)
-  private val codec = AvroCodecs(header.codecName)
-  private val compiled = AvroRuntime.catalystReader(header.schemaJson, readerJson)
+  // post-open init can throw (unknown codec, writer→reader resolution
+  // failure, I/O during the sync scan); Spark only calls close() on a reader
+  // whose constructor SUCCEEDED, so close the stream before rethrowing
+  private val (codec, compiled, firstBlockStart) =
+    try {
+      val c = AvroCodecs(part.codecName)
+      val r = AvroRuntime.catalystReader(part.writerSchemaJson, readerJson)
+      val b = if (part.start == 0L) part.headerEnd else syncScan(part.start)
+      (c, r, b)
+    } catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
 
   // offset of the next block's count varint (always just past a sync
   // marker), or -1 when this split has no further anchored block
-  private var blockStart: Long =
-    if (part.start == 0L) headerEnd else syncScan(part.start)
+  private var blockStart: Long = firstBlockStart
   private var remaining = 0L
   private var bin: AvroBinaryReader = _
   private var row: InternalRow = _
@@ -310,7 +369,7 @@ private[sources] final class OcfSplitReader(
     in.readFully(dataStart, body, 0, body.length)
     var i = 0
     while (i < Ocf.SyncSize) {
-      if (body(size.toInt + i) != header.sync(i))
+      if (body(size.toInt + i) != part.sync(i))
         throw new AvroResolutionException(
           s"OCF sync marker mismatch at ${part.path}:$blockStart (corrupt block boundary)")
       i += 1
@@ -325,7 +384,7 @@ private[sources] final class OcfSplitReader(
     * so a marker spanning a chunk boundary is still seen. Returns the block
     * anchor `m + 16`, or -1 if this split owns no block. */
   private def syncScan(from: Long): Long = {
-    val sync = header.sync
+    val sync = part.sync
     val first = sync(0)
     val chunk = 1 << 16
     val buf = new Array[Byte](chunk + Ocf.SyncSize - 1)

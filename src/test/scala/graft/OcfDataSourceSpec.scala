@@ -126,6 +126,59 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(two.count() == 901)
   }
 
+  test("headers are resolved once per file at planning, not per split") {
+    val (dir, _) = bigFile(6000, "deflate")
+    val before = graft.sources.OcfDataSource.headerReads.get()
+    val df = read(dir, 1024)
+    assert(df.rdd.getNumPartitions > 10, "want many splits sharing one header")
+    assert(df.count() == 6000)
+    assert(read(dir, 1024).count() == 6000) // second read of the same dir
+    val reads = graft.sources.OcfDataSource.headerReads.get() - before
+    // one read per `load()` (the two reads above), zero per split
+    assert(reads <= 2, s"expected at most one header read per load, got $reads")
+  }
+
+  test("reader-construction failure closes the opened stream (no fd leak)") {
+    import org.apache.hadoop.fs.Path
+    val (dir, _) = bigFile(300, "null")
+    val file = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new Path(file.getAbsolutePath)
+    val in = hp.getFileSystem(conf).open(hp)
+    val (h, headerEnd) =
+      try graft.sources.OcfDataSource.readHeaderAt(in, file.length()) finally in.close()
+    def fds(): Int = new java.io.File("/proc/self/fd").listFiles().count { l =>
+      try java.nio.file.Files.readSymbolicLink(l.toPath).toString == file.getAbsolutePath
+      catch { case _: Exception => false }
+    }
+    // no-default field absent from the writer: resolution fails in the ctor
+    val badReader =
+      """{"type":"record","name":"KV","fields":[{"name":"nope","type":"string"}]}"""
+    val before = fds()
+    intercept[Exception] {
+      new graft.sources.OcfSplitReader(
+        graft.sources.OcfInputPartition(file.getAbsolutePath, 0L, file.length(),
+          file.length(), h.schemaJson, h.codecName, h.sync, headerEnd),
+        badReader, wrap = false, conf)
+    }
+    assert(fds() == before, "constructor failure must not leak the input stream")
+    // unknown codec takes the same guarded path
+    intercept[Exception] {
+      new graft.sources.OcfSplitReader(
+        graft.sources.OcfInputPartition(file.getAbsolutePath, 0L, file.length(),
+          file.length(), h.schemaJson, "lzo", h.sync, headerEnd),
+        h.schemaJson, wrap = false, conf)
+    }
+    assert(fds() == before)
+  }
+
+  test("a truncated header fails the plan, not a mid-job task") {
+    val dir = tempDir("graft-dsv2-trunc")
+    java.nio.file.Files.write(new java.io.File(dir, "bad.avro").toPath,
+      Array[Byte]('O', 'b', 'j', 1, 2))
+    intercept[Exception] { read(dir, 4096) } // load() itself throws
+  }
+
   test("header-only file (zero blocks) and empty splits yield zero rows") {
     val dir = tempDir("graft-dsv2-empty")
     val bytes = graft.avro.Ocf.writeAll(
