@@ -105,6 +105,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** /tmp landing dir for the OCF file-based queries. The app-id suffix
+    * isolates concurrent bench/correctness runs sharing /tmp; sibling dirs
+    * with the same prefix but a DIFFERENT app id are from finished runs and
+    * would otherwise accumulate forever, so they are swept here; the current
+    * app's own dir is emptied for deterministic re-runs. Option-guarded
+    * listFiles covers a non-directory squatter. */
+  private def landingDir(s: SparkSession, prefix: String): java.io.File = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = prefix + s.sparkContext.applicationId
+    Option(tmp.listFiles).foreach(_.foreach { d =>
+      if (d.getName.startsWith(prefix) && d.getName != mine && d.isDirectory) {
+        Option(d.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+        d.delete()
+        ()
+      }
+    })
+    val out = new java.io.File(tmp, mine)
+    if (out.isDirectory)
+      Option(out.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+    out
+  }
+
   private def oneBinaryRow(s: SparkSession, bytes: Array[Byte]): DataFrame =
     s.createDataFrame(
       java.util.Arrays.asList(Row(bytes)),
@@ -433,13 +455,7 @@ object SparkEntry {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       val payloads = graft.spark.OcfSink.payloads(c, customerWriterJson,
         codecName = "deflate", datumsPerPayload = 100)
-      // app-id suffix isolates concurrent bench/correctness runs sharing
-      // /tmp; Option-guarded listFiles covers a non-directory squatter
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q45_ocf_${s.sparkContext.applicationId}")
-      // deterministic re-runs: clean the landing dir before the eager write
-      if (out.isDirectory)
-        Option(out.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+      val out = landingDir(s, "graft_q45_ocf_")
       graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
       graft.spark.OcfFiles.scanDirectory(s, out.getAbsolutePath, customerWriterJson)
         .orderBy("c_custkey")
@@ -458,10 +474,7 @@ object SparkEntry {
         col("o_orderstatus"), col("o_totalprice"))
       val payloads = graft.spark.OcfSink.payloads(o.coalesce(1), ordersWriterJson,
         codecName = "deflate", datumsPerPayload = Int.MaxValue)
-      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_q50_ocf_${s.sparkContext.applicationId}")
-      if (out.isDirectory)
-        Option(out.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+      val out = landingDir(s, "graft_q50_ocf_")
       graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
       s.read.format("graft-ocf")
         .option("splitSize", (64 * 1024).toString)

@@ -102,6 +102,37 @@ object OcfDataSource {
     * one-header-read-per-file planning contract. */
   private[graft] val headerReads = new java.util.concurrent.atomic.AtomicLong
 
+  /** Test observability: the effective reader schema JSON of the last-built
+    * scan (after column pruning pushed the required schema into the decode),
+    * asserting that nested pruning reached the decoder. */
+  private[graft] val lastBuiltReaderJson =
+    new java.util.concurrent.atomic.AtomicReference[String]
+
+  /** Rebuild `avro` to the (possibly nested-pruned) shape `required`
+    * requests: Spark's V2 pushdown hands `pruneColumns` a schema pruned at
+    * ANY depth (`SchemaPruning`), and Avro resolution matches record fields
+    * by NAME, so dropping a field at any record level turns its bytes into a
+    * type-directed wire skip (P2, reference python-udf/avro/io.py:793-822,
+    * 990-1039). Recurses through records, nullable record unions, arrays and
+    * maps; shapes resolution can't narrow (general unions, refs, leaves)
+    * keep their whole subtree — partial pruning is safe because Spark
+    * rewrites accessors against whatever `readSchema()` returns. */
+  private[sources] def pruneAvro(avro: AvroSchema, required: org.apache.spark.sql.types.DataType): AvroSchema =
+    (avro, required) match {
+      case (rec: ARecord, req: StructType) =>
+        rec.copy(fields = req.fields.toSeq.flatMap { rf =>
+          rec.fields.find(_.name == rf.name)
+            .map(f => f.copy(schema = pruneAvro(f.schema, rf.dataType)))
+        })
+      case (u: AUnion, req) if u.nonNullBranches.lengthCompare(1) == 0 =>
+        AUnion(u.branches.map(b => if (b == ANull) b else pruneAvro(b, req)))
+      case (AArray(items), org.apache.spark.sql.types.ArrayType(el, _)) =>
+        AArray(pruneAvro(items, el))
+      case (AMap(values), org.apache.spark.sql.types.MapType(_, v, _)) =>
+        AMap(pruneAvro(values, v))
+      case _ => avro
+    }
+
   private[sources] def sqlShape(readerJson: String): (StructType, Boolean) =
     SchemaConverters.toSqlType(AvroRuntime.parse(readerJson)).dataType match {
       case st: StructType => (st, false)
