@@ -105,25 +105,39 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Age threshold for sweeping another run's landing dir: a dir younger
+    * than this may belong to a CONCURRENT run whose scan hasn't happened yet,
+    * so it is left alone. */
+  private val sweepAgeMs = 60L * 60L * 1000L
+
   /** /tmp landing dir for the OCF file-based queries. The app-id suffix
-    * isolates concurrent bench/correctness runs sharing /tmp; sibling dirs
-    * with the same prefix but a DIFFERENT app id are from finished runs and
-    * would otherwise accumulate forever, so they are swept here; the current
-    * app's own dir is emptied for deterministic re-runs. Option-guarded
-    * listFiles covers a non-directory squatter. */
+    * isolates concurrent bench/correctness runs sharing /tmp. Sibling dirs
+    * with the same prefix but a DIFFERENT app id are swept only when their
+    * mtime is over an hour old — a younger sibling may belong to a LIVE
+    * concurrent run (deleting between its write and its scan would fail or
+    * corrupt that run), while hour-old ones are leftovers that would
+    * accumulate forever. The sweep deletes recursively (a leftover may
+    * contain subdirs); the current app's own dir is emptied for
+    * deterministic re-runs. Option-guarded listFiles covers a non-directory
+    * squatter. */
   private def landingDir(s: SparkSession, prefix: String): java.io.File = {
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+      if (!f.delete() && f.exists())
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"graft: could not delete stale landing path $f")
+    }
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val mine = prefix + s.sparkContext.applicationId
+    val cutoff = System.currentTimeMillis() - sweepAgeMs
     Option(tmp.listFiles).foreach(_.foreach { d =>
-      if (d.getName.startsWith(prefix) && d.getName != mine && d.isDirectory) {
-        Option(d.listFiles).foreach(_.foreach(f => { f.delete(); () }))
-        d.delete()
-        ()
-      }
+      if (d.getName.startsWith(prefix) && d.getName != mine && d.isDirectory &&
+          d.lastModified() < cutoff)
+        deleteRecursively(d)
     })
     val out = new java.io.File(tmp, mine)
     if (out.isDirectory)
-      Option(out.listFiles).foreach(_.foreach(f => { f.delete(); () }))
+      Option(out.listFiles).foreach(_.foreach(deleteRecursively))
     out
   }
 
@@ -484,6 +498,36 @@ object SparkEntry {
           expr("CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)")
             .as("total"))
         .orderBy("o_orderstatus")
+    }),
+
+    // P1 at depth: a NESTED-record OCF scanned via `graft-ocf` with a nested
+    // projection — `meta.status` is the only leaf the decoder materializes;
+    // o_orderkey and the sibling leaves meta.price / meta.priority become
+    // type-directed wire skips (reference python-udf/avro/io.py:793-822,
+    // 990-1039). On a 100 TB wide-nested corpus this is the difference
+    // between decoding one string per row and decoding the whole subtree.
+    "q51_ocf_nested_prune" -> ((s, dir) => {
+      val nestedJson =
+        """{"type":"record","name":"orders_nested","fields":[
+          |{"name":"o_orderkey","type":"long"},
+          |{"name":"meta","type":{"type":"record","name":"orders_meta","fields":[
+          |  {"name":"status","type":"string"},
+          |  {"name":"price","type":"double"},
+          |  {"name":"priority","type":"string"}]}}]}""".stripMargin
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          col("o_orderpriority").as("priority")).as("meta"))
+      val payloads = graft.spark.OcfSink.payloads(o.coalesce(1), nestedJson,
+        codecName = "deflate", datumsPerPayload = Int.MaxValue)
+      val out = landingDir(s, "graft_q51_ocf_")
+      graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
+      s.read.format("graft-ocf")
+        .option("splitSize", (64 * 1024).toString)
+        .load(out.getAbsolutePath)
+        .groupBy(col("meta.status").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("status")
     }),
 
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
@@ -976,6 +1020,12 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // the nested-OCF scan is a pure round-trip of two orders columns, so the
+    // oracle is the same aggregate straight off the parquet table
+    "q51_ocf_nested_prune" ->
+      """SELECT o_orderstatus AS status, count(*) AS n
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
 
     // PERMISSIVE maps exactly the deterministically-corrupted rows to null
     "q46_permissive_decode" ->

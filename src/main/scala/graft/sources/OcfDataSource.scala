@@ -42,10 +42,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * 2^-128-per-offset exposure every Avro splitter accepts.
   *
   * Column pruning is pushed INTO the decode: `pruneColumns` rebuilds the
-  * Avro reader schema with only the requested top-level fields, and the
-  * resolving decoder then type-directed-skips the dropped writer fields
-  * (P1/P2, reference: python-udf/avro/io.py:954-972) — pruned columns cost a
-  * varint walk, not a decode. `SELECT count(*)` decodes zero fields.
+  * Avro reader schema to the pushed-down shape at ANY depth (Spark's
+  * `SchemaPruning` hands down nested prunes), and the resolving decoder
+  * then type-directed-skips the dropped writer fields (P1/P2, reference:
+  * python-udf/avro/io.py:954-972,793-822) — pruned columns cost a varint
+  * walk, not a decode. `SELECT count(*)` decodes zero fields;
+  * `select(col("a.b"))` decodes only `b` inside `a`.
   *
   * Options: `readerSchema` (Avro JSON; defaults to the first file's writer
   * schema), `splitSize` (bytes; defaults to
@@ -108,6 +110,11 @@ object OcfDataSource {
   private[graft] val lastBuiltReaderJson =
     new java.util.concurrent.atomic.AtomicReference[String]
 
+  /** Thrown when a required field has no (unique) match in the Avro record —
+    * the caller falls back to the UNPRUNED schema so a requested column can
+    * never silently vanish from `readSchema()`. */
+  private[graft] final class PruneMismatch(msg: String) extends RuntimeException(msg)
+
   /** Rebuild `avro` to the (possibly nested-pruned) shape `required`
     * requests: Spark's V2 pushdown hands `pruneColumns` a schema pruned at
     * ANY depth (`SchemaPruning`), and Avro resolution matches record fields
@@ -116,13 +123,24 @@ object OcfDataSource {
     * 990-1039). Recurses through records, nullable record unions, arrays and
     * maps; shapes resolution can't narrow (general unions, refs, leaves)
     * keep their whole subtree — partial pruning is safe because Spark
-    * rewrites accessors against whatever `readSchema()` returns. */
-  private[sources] def pruneAvro(avro: AvroSchema, required: org.apache.spark.sql.types.DataType): AvroSchema =
+    * rewrites accessors against whatever `readSchema()` returns.
+    *
+    * Field matching is exact-name first, then unique case-insensitive
+    * (Spark's default analysis is case-insensitive, so the pushed-down name
+    * may differ in case from the Avro field). No match → [[PruneMismatch]],
+    * never a silent drop. */
+  private[graft] def pruneAvro(avro: AvroSchema, required: org.apache.spark.sql.types.DataType): AvroSchema =
     (avro, required) match {
       case (rec: ARecord, req: StructType) =>
-        rec.copy(fields = req.fields.toSeq.flatMap { rf =>
-          rec.fields.find(_.name == rf.name)
-            .map(f => f.copy(schema = pruneAvro(f.schema, rf.dataType)))
+        rec.copy(fields = req.fields.toSeq.map { rf =>
+          val f = rec.fields.find(_.name == rf.name).getOrElse {
+            rec.fields.filter(_.name.equalsIgnoreCase(rf.name)) match {
+              case Seq(one) => one
+              case other => throw new PruneMismatch(
+                s"required field '${rf.name}' matches ${other.size} fields of record '${rec.name}'")
+            }
+          }
+          f.copy(schema = pruneAvro(f.schema, rf.dataType))
         })
       case (u: AUnion, req) if u.nonNullBranches.lengthCompare(1) == 0 =>
         AUnion(u.branches.map(b => if (b == ANull) b else pruneAvro(b, req)))
@@ -274,18 +292,30 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     required = Some(requiredSchema)
 
   override def build(): Scan = {
+    // Rebuild the reader schema to exactly the pushed-down shape — at ANY
+    // depth, not just top level: `select(col("a.b"))` over a wide nested OCF
+    // must decode only `a.b` and type-directed-skip the rest of `a`'s
+    // subtree (reference python-udf/avro/io.py:793-822,990-1039). A field
+    // that fails to match (PruneMismatch) falls back to the unpruned schema:
+    // decode everything, Spark projects on top — never a vanished column.
     val (readerJson, sql, wrap) =
       (AvroRuntime.parse(resolved.readerJson).physical, required) match {
-        case (rec: ARecord, Some(req)) if req.fieldNames.toSeq != rec.fields.map(_.name) =>
-          // rebuild the reader schema with only the requested fields, in the
-          // requested order — resolution matches by name, so order is free,
-          // and dropped fields become type-directed skips in the decoder
-          val pruned = rec.copy(
-            fields = req.fieldNames.toSeq.flatMap(n => rec.fields.find(_.name == n)))
-          val (sql, wrap) = OcfDataSource.sqlShape(AvroSchemaParser.toJson(pruned))
-          (AvroSchemaParser.toJson(pruned), sql, wrap)
+        case (rec: ARecord, Some(req)) =>
+          try {
+            val pruned = OcfDataSource.pruneAvro(rec, req)
+            if (pruned == rec) (resolved.readerJson, resolved.sql, resolved.wrap)
+            else {
+              val js = AvroSchemaParser.toJson(pruned)
+              val (sql, wrap) = OcfDataSource.sqlShape(js)
+              (js, sql, wrap)
+            }
+          } catch {
+            case _: OcfDataSource.PruneMismatch =>
+              (resolved.readerJson, resolved.sql, resolved.wrap)
+          }
         case _ => (resolved.readerJson, resolved.sql, resolved.wrap)
       }
+    OcfDataSource.lastBuiltReaderJson.set(readerJson)
     OcfScan(resolved.files, readerJson, sql, wrap,
       new SerializableHadoopConf(resolved.conf), resolved.splitSize)
   }

@@ -88,6 +88,64 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(scanOf(read(dir, 16384).groupBy().count()).readSchema().isEmpty)
   }
 
+  test("nested pruning reaches the decoder: select(info.b) narrows the subtree") {
+    val nestedJson =
+      """{"type":"record","name":"Outer","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"info","type":{"type":"record","name":"Info","fields":[
+        |  {"name":"a","type":"string"},
+        |  {"name":"b","type":"long"},
+        |  {"name":"c","type":"string"}]}}]}""".stripMargin
+    import spark.implicits._
+    val df0 = (0L until 1500L).toDF("id").select(col("id"), struct(
+      concat(lit("a_"), col("id"), lit("p" * 30)).as("a"),
+      (col("id") * 2).as("b"),
+      concat(lit("c"), col("id")).as("c")).as("info")).coalesce(1)
+    val payloads = OcfSink.payloads(df0, nestedJson, "deflate", datumsPerPayload = 1500)
+    val dir = tempDir("graft-dsv2-nested")
+    OcfFiles.writePayloadFiles(payloads, dir.getAbsolutePath)
+
+    val q = read(dir, 8192).select(col("info.b").as("b"))
+    val reader = scanOf(q).readSchema() // forces pushdown → build()
+    val built = graft.sources.OcfDataSource.lastBuiltReaderJson.get()
+    // the decoder's reader schema must contain ONLY the requested subtree:
+    // info.b survives, sibling leaves a/c (and top-level id) become skips
+    assert(built.contains("\"b\""), s"pruned reader schema lost b: $built")
+    assert(!built.contains("\"a\"") && !built.contains("\"c\"") && !built.contains("\"id\""),
+      s"nested prune did not narrow the reader schema: $built")
+    val infoField = reader(reader.fieldIndex("info")).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(infoField.fieldNames.toSeq == Seq("b"),
+      s"readSchema must be nested-pruned, got $reader")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (0L until 1500L).map(_ * 2))
+
+    // a top-level-only prune still narrows (regression for the old path)
+    val top = read(dir, 8192).select("id")
+    assert(scanOf(top).readSchema().fieldNames.toSeq == Seq("id"))
+    assert(top.count() == 1500)
+
+    // full-width read after a pruned one: lastBuiltReaderJson reflects it
+    val whole = read(dir, 8192)
+    assert(scanOf(whole).readSchema().fieldNames.toSeq == Seq("id", "info"))
+    assert(graft.sources.OcfDataSource.lastBuiltReaderJson.get().contains("\"a\""))
+  }
+
+  test("pruneAvro falls back, never silently drops, on an unmatched field") {
+    import org.apache.spark.sql.types._
+    val rec = graft.avro.AvroSchemaParser.parse(schemaJson)
+      .asInstanceOf[graft.avro.ARecord]
+    // case-insensitive unique match resolves (Spark default analysis)
+    val ci = graft.sources.OcfDataSource.pruneAvro(
+      rec, StructType(Seq(StructField("K", LongType))))
+      .asInstanceOf[graft.avro.ARecord]
+    assert(ci.fields.map(_.name) == Seq("k"))
+    // no match at all must throw, not drop
+    intercept[graft.sources.OcfDataSource.PruneMismatch] {
+      graft.sources.OcfDataSource.pruneAvro(
+        rec, StructType(Seq(StructField("nope", LongType))))
+    }
+  }
+
   test("reader schema option: reorder, drop, add-with-default, promote") {
     val (dir, _) = bigFile(500, "null")
     val reader =
