@@ -85,11 +85,12 @@ object OcfDataSource {
   final case class FileSlice(path: String, len: Long)
 
   /** One input file plus everything a split needs from its OCF header —
-    * resolved ONCE at planning time and shipped inside each
-    * [[OcfInputPartition]], so a thousand splits of one file never re-read
-    * or re-parse the header (at q50's 64 KB splits the per-split pread
-    * roughly doubled bytes read), and header errors (truncation, bad magic,
-    * unknown codec) fail the QUERY PLAN instead of a mid-job task. */
+    * resolved ONCE at planning time and shipped ONCE per stage inside
+    * [[OcfReaderFactory]] (splits carry only an index into it), so a
+    * thousand splits of one file never re-read or re-parse the header (at
+    * q50's 64 KB splits the per-split pread roughly doubled bytes read), and
+    * header errors (truncation, bad magic, unknown codec) fail the QUERY
+    * PLAN instead of a mid-job task. */
   final case class OcfFileMeta(path: String, len: Long, writerSchemaJson: String,
                                codecName: String, sync: Array[Byte], headerEnd: Long)
 
@@ -321,15 +322,16 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   }
 }
 
-/** One split plus its file's planning-time header resolution: splits carry
-  * (writer schema, codec, sync, first-block offset) so executors never touch
-  * the header region. */
+/** One split: an index into the reader factory's file table plus a byte
+  * range. The per-file header resolution (writer schema JSON, codec, sync,
+  * first-block offset) lives ONCE in [[OcfReaderFactory]] — which rides the
+  * stage's broadcast task binary, serialized once per stage — so a thousand
+  * 64 KB splits of a file with a 100 KB avsc ship O(1) bytes each instead of
+  * ~100 KB each (~16 GB of task metadata at 10 GB/64 KB splits). */
 private[graft] final case class OcfInputPartition(
-    path: String, start: Long, end: Long, fileLen: Long,
-    writerSchemaJson: String, codecName: String, sync: Array[Byte],
-    headerEnd: Long) extends InputPartition
+    fileIndex: Int, start: Long, end: Long) extends InputPartition
 
-private[sources] final case class OcfScan(
+private[graft] final case class OcfScan(
     files: Seq[OcfDataSource.OcfFileMeta], readerJson: String, sql: StructType,
     wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long)
     extends Scan with Batch with SupportsReportStatistics {
@@ -340,15 +342,14 @@ private[sources] final case class OcfScan(
     s"graft-ocf files=${files.size} splitSize=$splitSize ReadSchema: ${sql.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.iterator.flatMap { f =>
+    files.iterator.zipWithIndex.flatMap { case (f, i) =>
       (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
-        OcfInputPartition(f.path, k * splitSize, math.min((k + 1) * splitSize, f.len),
-          f.len, f.writerSchemaJson, f.codecName, f.sync, f.headerEnd)
+        OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
       }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OcfReaderFactory(readerJson, wrap, conf)
+    OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.len).sum)
@@ -357,34 +358,38 @@ private[sources] final case class OcfScan(
 }
 
 private[sources] final case class OcfReaderFactory(
-    readerJson: String, wrap: Boolean, conf: SerializableHadoopConf)
+    files: IndexedSeq[OcfDataSource.OcfFileMeta], readerJson: String,
+    wrap: Boolean, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OcfSplitReader(partition.asInstanceOf[OcfInputPartition], readerJson, wrap, conf.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OcfInputPartition]
+    new OcfSplitReader(files(p.fileIndex), p.start, p.end, readerJson, wrap, conf.value)
+  }
 }
 
 /** Decodes the blocks of one split. The file header was resolved at planning
-  * and arrives inside the partition — no split ever reads bytes before its
-  * own range. All file access is positioned (`readFully(pos, …)`): two
+  * and arrives via the factory's file table — no split ever reads bytes
+  * before its own range. All file access is positioned (`readFully(pos, …)`): two
   * preads per ~64 KB block (header varints, then body + trailing sync in one
   * read), plus the chunked sync scan for a non-zero start offset.
   * Per-executor schema-parse and compiled-reader caches
   * ([[graft.spark.AvroRuntime]]) are shared across splits, so a thousand
   * splits of one file compile the writer→reader resolution once. */
 private[graft] final class OcfSplitReader(
-    part: OcfInputPartition, readerJson: String, wrap: Boolean, conf: Configuration)
+    meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
+    readerJson: String, wrap: Boolean, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
-  private val hPath = new Path(part.path)
+  private val hPath = new Path(meta.path)
   private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
   // post-open init can throw (unknown codec, writer→reader resolution
   // failure, I/O during the sync scan); Spark only calls close() on a reader
   // whose constructor SUCCEEDED, so close the stream before rethrowing
   private val (codec, compiled, firstBlockStart) =
     try {
-      val c = AvroCodecs(part.codecName)
-      val r = AvroRuntime.catalystReader(part.writerSchemaJson, readerJson)
-      val b = if (part.start == 0L) part.headerEnd else syncScan(part.start)
+      val c = AvroCodecs(meta.codecName)
+      val r = AvroRuntime.catalystReader(meta.writerSchemaJson, readerJson)
+      val b = if (start == 0L) meta.headerEnd else syncScan(start)
       (c, r, b)
     } catch {
       case t: Throwable =>
@@ -401,7 +406,7 @@ private[graft] final class OcfSplitReader(
 
   override def next(): Boolean = {
     while (remaining == 0L) {
-      if (blockStart < 0L || blockStart >= part.fileLen || blockStart >= part.end + 16L)
+      if (blockStart < 0L || blockStart >= meta.len || blockStart >= end + 16L)
         return false
       loadBlock()
     }
@@ -416,23 +421,23 @@ private[graft] final class OcfSplitReader(
 
   private def loadBlock(): Unit = {
     // the two varints are ≤20 bytes; parse them from a small positioned read
-    val hn = math.min(20L, part.fileLen - blockStart).toInt
+    val hn = math.min(20L, meta.len - blockStart).toInt
     val hbuf = new Array[Byte](hn)
     in.readFully(blockStart, hbuf, 0, hn)
     val hr = new AvroBinaryReader(hbuf, 0, hn)
     val count = hr.readLong()
     val size = hr.readLong()
-    if (size < 0 || size > part.fileLen)
+    if (size < 0 || size > meta.len)
       throw new AvroResolutionException(
-        s"corrupt OCF block at ${part.path}:$blockStart (size $size)")
+        s"corrupt OCF block at ${meta.path}:$blockStart (size $size)")
     val dataStart = blockStart + hr.pos
     val body = new Array[Byte](size.toInt + Ocf.SyncSize)
     in.readFully(dataStart, body, 0, body.length)
     var i = 0
     while (i < Ocf.SyncSize) {
-      if (body(size.toInt + i) != part.sync(i))
+      if (body(size.toInt + i) != meta.sync(i))
         throw new AvroResolutionException(
-          s"OCF sync marker mismatch at ${part.path}:$blockStart (corrupt block boundary)")
+          s"OCF sync marker mismatch at ${meta.path}:$blockStart (corrupt block boundary)")
       i += 1
     }
     bin = new AvroBinaryReader(codec.decompress(java.util.Arrays.copyOf(body, size.toInt)))
@@ -441,19 +446,19 @@ private[graft] final class OcfSplitReader(
   }
 
   /** Find the first sync marker starting at offset `m >= from` with
-    * `m < part.end`, reading the file in 64 KB chunks with a 15-byte overlap
+    * `m < end`, reading the file in 64 KB chunks with a 15-byte overlap
     * so a marker spanning a chunk boundary is still seen. Returns the block
     * anchor `m + 16`, or -1 if this split owns no block. */
   private def syncScan(from: Long): Long = {
-    val sync = part.sync
+    val sync = meta.sync
     val first = sync(0)
     val chunk = 1 << 16
     val buf = new Array[Byte](chunk + Ocf.SyncSize - 1)
     var base = from
-    while (base < part.end && base <= part.fileLen - Ocf.SyncSize) {
-      val n = math.min(buf.length.toLong, part.fileLen - base).toInt
+    while (base < end && base <= meta.len - Ocf.SyncSize) {
+      val n = math.min(buf.length.toLong, meta.len - base).toInt
       in.readFully(base, buf, 0, n)
-      val iMax = math.min((n - Ocf.SyncSize).toLong, part.end - base - 1L).toInt
+      val iMax = math.min((n - Ocf.SyncSize).toLong, end - base - 1L).toInt
       var i = 0
       while (i <= iMax) {
         if (buf(i) == first) {

@@ -215,19 +215,52 @@ class OcfDataSourceSpec extends AnyFunSuite {
     val before = fds()
     intercept[Exception] {
       new graft.sources.OcfSplitReader(
-        graft.sources.OcfInputPartition(file.getAbsolutePath, 0L, file.length(),
-          file.length(), h.schemaJson, h.codecName, h.sync, headerEnd),
-        badReader, wrap = false, conf)
+        graft.sources.OcfDataSource.OcfFileMeta(file.getAbsolutePath, file.length(),
+          h.schemaJson, h.codecName, h.sync, headerEnd),
+        0L, file.length(), badReader, wrap = false, conf)
     }
     assert(fds() == before, "constructor failure must not leak the input stream")
     // unknown codec takes the same guarded path
     intercept[Exception] {
       new graft.sources.OcfSplitReader(
-        graft.sources.OcfInputPartition(file.getAbsolutePath, 0L, file.length(),
-          file.length(), h.schemaJson, "lzo", h.sync, headerEnd),
-        h.schemaJson, wrap = false, conf)
+        graft.sources.OcfDataSource.OcfFileMeta(file.getAbsolutePath, file.length(),
+          h.schemaJson, "lzo", h.sync, headerEnd),
+        0L, file.length(), h.schemaJson, wrap = false, conf)
     }
     assert(fds() == before)
+  }
+
+  test("split metadata is O(1): partition size independent of schema JSON size") {
+    def serializedSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close()
+      bos.size()
+    }
+    // a grotesquely wide schema (~60 KB of JSON) vs the 2-field one: the
+    // planned InputPartitions must not grow with it — the header meta rides
+    // the reader FACTORY (one per stage), not each split
+    val wideJson = {
+      val fields = (0 until 1000).map(i =>
+        s"""{"name":"pad_field_with_a_long_name_$i","type":"string"}""")
+      s"""{"type":"record","name":"Wide","fields":[${fields.mkString(",")}]}"""
+    }
+    assert(wideJson.length > 50000)
+    def partsOf(schemaJson: String): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+      val meta = graft.sources.OcfDataSource.OcfFileMeta(
+        "/x/f.avro", 1L << 30, schemaJson, "null", new Array[Byte](16), 100L)
+      graft.sources.OcfScan(Seq(meta), schemaJson,
+        new org.apache.spark.sql.types.StructType(), wrap = false,
+        new graft.sources.SerializableHadoopConf(spark.sessionState.newHadoopConf()),
+        64L * 1024L).planInputPartitions()
+    }
+    val small = partsOf(schemaJson)
+    val wide = partsOf(wideJson)
+    assert(wide.length == (1L << 30) / (64L * 1024L))
+    val sSmall = serializedSize(small.head)
+    val sWide = serializedSize(wide.head)
+    assert(sWide == sSmall, s"split metadata must not scale with schema: $sSmall vs $sWide")
+    assert(sWide < 512, s"split metadata should be tiny, got $sWide bytes")
   }
 
   test("a truncated header fails the plan, not a mid-job task") {
