@@ -95,11 +95,15 @@ object OcfDataSource {
                                codecName: String, sync: Array[Byte], headerEnd: Long)
 
   /** Driver-side view of one read: the frozen file listing (with resolved
-    * headers), the reader schema, its Spark shape, and the planned split
-    * size. */
+    * headers), the reader schema, its Spark shape, the planned split size,
+    * and the listing parameters (kept so a STREAMING read can re-list the
+    * same directories on every micro-batch). */
   final case class Resolved(files: Seq[OcfFileMeta], readerJson: String,
                             sql: StructType, wrap: Boolean,
-                            conf: Configuration, splitSize: Long)
+                            conf: Configuration, splitSize: Long,
+                            paths: Seq[String] = Nil,
+                            glob: Option[String] = None,
+                            recursive: Boolean = false)
 
   /** Test observability: counts [[readHeaderAt]] calls, asserting the
     * one-header-read-per-file planning contract. */
@@ -177,13 +181,15 @@ object OcfDataSource {
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
     require(splitSize > 0, s"graft-ocf: splitSize must be positive, got $splitSize")
-    Resolved(metas, readerJson, sql, wrap, conf, splitSize)
+    Resolved(metas, readerJson, sql, wrap, conf, splitSize,
+      paths, Option(options.get("pathGlobFilter")),
+      options.getBoolean("recursiveFileLookup", false))
   }
 
   /** Read each file's OCF header exactly once, driver-side. Headers are tiny
     * positioned reads; the bounded pool hides per-file round-trip latency on
     * remote stores when the listing is large. */
-  private def fetchMetas(conf: Configuration, files: Seq[FileSlice]): Seq[OcfFileMeta] = {
+  private[sources] def fetchMetas(conf: Configuration, files: Seq[FileSlice]): Seq[OcfFileMeta] = {
     def metaOf(f: FileSlice): OcfFileMeta = {
       val p = new Path(f.path)
       val in = p.getFileSystem(conf).open(p)
@@ -214,7 +220,7 @@ object OcfDataSource {
     Option(options.get("path")).toSeq ++ multi
   }
 
-  private def list(conf: Configuration, paths: Seq[String],
+  private[sources] def list(conf: Configuration, paths: Seq[String],
                    glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
     val filter = glob.map(new GlobFilter(_))
     paths.flatMap { p =>
@@ -280,7 +286,7 @@ private[sources] final class OcfTable(resolved: OcfDataSource.Resolved)
   override def name(): String = "graft-ocf"
   override def schema(): StructType = resolved.sql
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OcfScanBuilder(resolved)
 }
@@ -318,7 +324,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       }
     OcfDataSource.lastBuiltReaderJson.set(readerJson)
     OcfScan(resolved.files, readerJson, sql, wrap,
-      new SerializableHadoopConf(resolved.conf), resolved.splitSize)
+      new SerializableHadoopConf(resolved.conf), resolved.splitSize,
+      resolved.paths, resolved.glob, resolved.recursive)
   }
 }
 
@@ -333,11 +340,16 @@ private[graft] final case class OcfInputPartition(
 
 private[graft] final case class OcfScan(
     files: Seq[OcfDataSource.OcfFileMeta], readerJson: String, sql: StructType,
-    wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long)
+    wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long,
+    paths: Seq[String] = Nil, glob: Option[String] = None,
+    recursive: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = sql
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new OcfMicroBatchStream(this, checkpointLocation)
   override def description(): String =
     s"graft-ocf files=${files.size} splitSize=$splitSize ReadSchema: ${sql.simpleString}"
 

@@ -1,0 +1,167 @@
+package graft.sources
+
+import graft.avro.AvroCodecs
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+
+/** `readStream.format("graft-ocf")` — the splittable OCF source as a
+  * Structured Streaming micro-batch source over a GROWING directory: the
+  * reference's "decode in-flight before landing" slot
+  * (reference: README.md:54-58), on the same header-at-plan / split-on-sync
+  * decode path as the batch scan. Spark applies no column-pruning pushdown
+  * to streaming V2 relations, so narrowing the decode is done with an
+  * explicit `readerSchema` option (the decoder wire-skips the rest, like
+  * the batch scan's pushed prune).
+  *
+  * Offset model: the offset is a COUNT into an append-only discovery log of
+  * files, ordered first-seen (path-sorted within one listing pass). Each
+  * `latestOffset()` re-lists the directories, resolves headers of NEW files
+  * only (one pread per file, ever), appends them to the log, and persists
+  * the cumulative listing to `<checkpoint>/graft-ocf-files/<count>` — so a
+  * `(start, end)` batch replayed after a restart maps to the exact same file
+  * slice even if the directory has since grown or lost files. A file is
+  * therefore decoded in EXACTLY ONE micro-batch (exactly-once with a
+  * replayable sink), and files must be landed atomically (write-then-rename,
+  * the standard convention this source's own `_`/`.`-prefix filter backs).
+  *
+  * Scale notes: per-trigger driver work is one directory listing plus one
+  * header pread per NEW file; decode fans out over `splitSize` splits like
+  * the batch scan, so one huge landed file does not serialize a trigger.
+  * State is the file log (a name + header meta per file, no content).
+  */
+private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation: String)
+    extends MicroBatchStream {
+  import OcfDataSource.OcfFileMeta
+
+  private val conf = scan.conf.value
+  private val logDir = new Path(checkpointLocation, "graft-ocf-files")
+  private val fs = logDir.getFileSystem(conf)
+  fs.mkdirs(logDir)
+
+  // the discovery log: files in first-seen order; guarded by `this` (Spark
+  // calls the stream from its single streaming-query thread, but restore on
+  // replanning can race a listing in theory)
+  private val known = new scala.collection.mutable.LinkedHashMap[String, OcfFileMeta]
+  restoreLatest()
+
+  override def initialOffset(): Offset = OcfStreamOffset(0)
+  override def deserializeOffset(json: String): Offset = OcfStreamOffset.fromJson(json)
+
+  override def latestOffset(): Offset = synchronized {
+    val listed = OcfDataSource.list(conf, scan.paths, scan.glob, scan.recursive)
+    val fresh = listed.filterNot(f => known.contains(f.path))
+    if (fresh.nonEmpty) {
+      val metas = OcfDataSource.fetchMetas(conf, fresh)
+      // an undecodable codec fails the TRIGGER, not a mid-batch task
+      metas.foreach { m => AvroCodecs(m.codecName); known += (m.path -> m) }
+      persist(known.size)
+    }
+    OcfStreamOffset(known.size)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
+    val s = start.asInstanceOf[OcfStreamOffset].fileCount
+    val e = end.asInstanceOf[OcfStreamOffset].fileCount
+    if (known.size < e) restoreAt(e) // replay after restart: reload the frozen listing
+    require(known.size >= e,
+      s"graft-ocf stream: offset $e exceeds the ${known.size}-file discovery log " +
+        s"and no persisted listing exists at $logDir/$e")
+    known.values.slice(s, e).flatMap { f =>
+      (0L until math.max(1L, (f.len + scan.splitSize - 1) / scan.splitSize)).map { k =>
+        OcfStreamInputPartition(f, k * scan.splitSize,
+          math.min((k + 1) * scan.splitSize, f.len))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    OcfStreamReaderFactory(scan.readerJson, scan.wrap, scan.conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  // ---- the persisted discovery log -----------------------------------------
+
+  private def logPath(count: Int): Path = new Path(logDir, count.toString)
+
+  /** Persist the cumulative ordered listing for offset `count`, atomically
+    * (temp + rename) so a crashed write never leaves a torn log. */
+  private def persist(count: Int): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    known.values.foreach { m =>
+      val o = arr.addObject()
+      o.put("path", m.path); o.put("len", m.len)
+      o.put("schema", m.writerSchemaJson); o.put("codec", m.codecName)
+      o.put("sync", java.util.Base64.getEncoder.encodeToString(m.sync))
+      o.put("headerEnd", m.headerEnd)
+      ()
+    }
+    val tmp = new Path(logDir, s".${count}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(arr)) finally out.close()
+    if (!fs.rename(tmp, logPath(count)) && !fs.exists(logPath(count)))
+      throw new java.io.IOException(s"graft-ocf stream: could not persist file log $count")
+  }
+
+  private def load(p: Path): Seq[OcfFileMeta] = {
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.readTree(bytes)
+    (0 until arr.size).map { i =>
+      val o = arr.get(i)
+      OcfFileMeta(o.get("path").asText, o.get("len").asLong,
+        o.get("schema").asText, o.get("codec").asText,
+        java.util.Base64.getDecoder.decode(o.get("sync").asText),
+        o.get("headerEnd").asLong)
+    }
+  }
+
+  private def restoreAt(count: Int): Unit = {
+    val p = logPath(count)
+    if (fs.exists(p)) {
+      known.clear()
+      load(p).foreach(m => known += (m.path -> m))
+    }
+  }
+
+  /** On construction, seed the log from the highest persisted listing so a
+    * restarted query replans uncommitted batches identically. */
+  private def restoreLatest(): Unit = {
+    val latest = if (!fs.exists(logDir)) None
+    else fs.listStatus(logDir).iterator
+      .flatMap(st => scala.util.Try(st.getPath.getName.toInt).toOption)
+      .reduceOption(_ max _)
+    latest.foreach(restoreAt)
+  }
+}
+
+/** Streaming offset: a count into the append-only file-discovery log. */
+private[graft] final case class OcfStreamOffset(fileCount: Int) extends Offset {
+  override def json(): String = s"""{"fileCount":$fileCount}"""
+}
+
+private[graft] object OcfStreamOffset {
+  def fromJson(json: String): OcfStreamOffset = OcfStreamOffset(
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("fileCount").asInt)
+}
+
+/** A streaming split carries its file's header meta directly: a micro-batch
+  * covers only the trigger's NEW files, so the batch scan's
+  * factory-interning optimization buys little here and the partition must
+  * stay self-contained across the factory's per-batch lifecycle. */
+private[graft] final case class OcfStreamInputPartition(
+    meta: OcfDataSource.OcfFileMeta, start: Long, end: Long) extends InputPartition
+
+private[graft] final case class OcfStreamReaderFactory(
+    readerJson: String, wrap: Boolean, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OcfStreamInputPartition]
+    new OcfSplitReader(p.meta, p.start, p.end, readerJson, wrap, conf.value)
+  }
+}

@@ -41,6 +41,27 @@ object StreamingIngest {
       // landing file cannot materialize its whole datum array per row
       .select(gfn.avro_ocf_explode(col("content"), readerSchemaJson))
 
+  /** Stream a growing directory of OCF files through the SPLITTABLE
+    * DataSource V2 reader (`readStream.format("graft-ocf")`): each trigger
+    * picks up newly landed files exactly once (checkpoint-persisted
+    * discovery log) and fans each file out over sync-marker splits, so one
+    * huge landed file cannot serialize a trigger the way the one-row-per-
+    * file [[ocfFileStream]] path does. Spark does not run column-pruning
+    * pushdown on streaming V2 relations, so to narrow the decode pass a
+    * projected `readerSchemaJson` — the resolving decoder then wire-skips
+    * everything else, exactly like the batch scan's pushed prune.
+    * The directory must hold at least one file at start (schema comes from
+    * its header unless `readerSchemaJson` is given), and files must land
+    * atomically (write-then-rename). */
+  def ocfSplitFileStream(spark: SparkSession, inputDir: String,
+                         readerSchemaJson: Option[String] = None,
+                         splitSize: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-ocf")
+    val r1 = readerSchemaJson.fold(r)(j => r.option("readerSchema", j))
+    val r2 = splitSize.fold(r1)(s => r1.option("splitSize", s.toString))
+    r2.load(inputDir)
+  }
+
   /** Decode a bare-datum binary column on a streaming frame (the Kafka/
     * Kinesis `value` shape; registry mode S4). Non-decoded columns pass
     * through unchanged. */
