@@ -460,6 +460,31 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // U5 third mode: same planted corruption as q46, but quarantine-and-
+    // continue — the corrupt row keeps its RAW datum bytes in a trailing
+    // _corrupt_record binary field (Spark's from_json idiom) instead of
+    // vanishing into an all-null row. bytes_match proves the retained bytes
+    // are EXACTLY the planted payload (null-safe equality covers clean rows).
+    "q46b_permissive_corrupt" -> ((s, dir) => {
+      val schemaJson =
+        """{"type":"record","name":"N","fields":[
+          |{"name":"nk","type":"int"},{"name":"name","type":"string"}]}""".stripMargin
+      val enc = t(s, dir, "nation").select(col("n_nationkey").as("k"),
+        gfn.to_avro(struct(col("n_nationkey").as("nk"), col("n_name").as("name")),
+          schemaJson).as("p"))
+      enc
+        .withColumn("p", when(col("k") % 3 === 0,
+          expr("substring(p, 1, length(p) - 1)")).otherwise(col("p")))
+        .select(col("k"), col("p"),
+          gfn.from_avro_permissive(col("p"), schemaJson, "_corrupt_record").as("r"))
+        .select(col("k"),
+          col("r.name").as("name"),
+          col("r._corrupt_record").isNotNull.as("corrupt"),
+          (col("r._corrupt_record") <=> when(col("k") % 3 === 0, col("p")))
+            .as("bytes_match"))
+        .orderBy("k")
+    }),
+
     // S1 path-based: OCF files LANDED IN A DIRECTORY and batch-scanned back
     // (the reference's file-path-first shape, datafile.py:292-426) — writes
     // one .avro file per payload blob eagerly, then reads through the
@@ -1026,6 +1051,15 @@ object SparkEntry {
     "q51_ocf_nested_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS n
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    // corrupt-record mode: corrupt rows decode to null data fields with the
+    // raw bytes retained; bytes_match is proven true row-by-row in Spark
+    "q46b_permissive_corrupt" ->
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS name,
+        |  n_nationkey % 3 = 0 AS corrupt,
+        |  true AS bytes_match
+        |FROM nation ORDER BY k""".stripMargin,
 
     // PERMISSIVE maps exactly the deterministically-corrupted rows to null
     "q46_permissive_decode" ->

@@ -68,27 +68,62 @@ trait GraftUnaryCodegen { self: UnaryExpression =>
   * datum to a Catalyst value, with full writer→reader resolution.
   * FAILFAST throws (the reference's batch-failure contract,
   * avro-file-udf/lambda_function.py:26-30); PERMISSIVE yields null.
+  * PERMISSIVE with `corruptRecordCol` set is the third mode (Spark's
+  * `from_json` `_corrupt_record` idiom): the result struct gains a trailing
+  * binary field of that name holding the RAW offending datum bytes on a
+  * row-level decode failure (data fields null), and null on clean rows —
+  * the quarantine-and-continue shape of the reference's batch-fail contract.
   * (reference: glue-schema-per-stream-udf/lambda_function.py:30-42 bare-datum
   * decode; python-udf/avro/io.py:637-702.) */
 case class AvroDecode(child: Expression, writerSchemaJson: String,
                       readerSchemaJson: Option[String] = None,
-                      mode: String = "FAILFAST")
+                      mode: String = "FAILFAST",
+                      corruptRecordCol: Option[String] = None)
     extends UnaryExpression with GraftUnaryCodegen {
 
   @transient private lazy val reader =
     AvroRuntime.catalystReader(writerSchemaJson, readerSchemaJson.getOrElse(writerSchemaJson))
   @transient private lazy val permissive = mode.equalsIgnoreCase("PERMISSIVE")
 
-  override lazy val dataType: DataType =
+  private lazy val decodedType: DataType =
     SchemaConverters.toSqlType(AvroRuntime.parse(readerSchemaJson.getOrElse(writerSchemaJson))).dataType
+
+  override lazy val dataType: DataType = corruptRecordCol match {
+    case None => decodedType
+    case Some(name) => decodedType match {
+      case st: StructType => st.add(name, BinaryType, nullable = true)
+      case other => throw new IllegalArgumentException(
+        s"from_avro corrupt-record mode requires a record schema, got ${other.simpleString}")
+    }
+  }
+  @transient private lazy val decodedWidth =
+    decodedType.asInstanceOf[StructType].length
+  @transient private lazy val decodedFieldTypes =
+    decodedType.asInstanceOf[StructType].fields.map(_.dataType)
+
   override def nullable: Boolean = true
   override def prettyName: String = "from_avro"
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    try reader(new AvroBinaryReader(bytes))
-    catch {
-      case e: Exception if permissive => null
+    corruptRecordCol match {
+      case None =>
+        try reader(new AvroBinaryReader(bytes))
+        catch { case _: Exception if permissive => null }
+      case Some(_) =>
+        // quarantine mode: always emit a row; the trailing field carries the
+        // raw datum bytes iff this row failed to decode
+        val out = new Array[Any](decodedWidth + 1)
+        try {
+          val row = reader(new AvroBinaryReader(bytes)).asInstanceOf[InternalRow]
+          var i = 0
+          while (i < decodedWidth) { out(i) = row.get(i, decodedFieldTypes(i)); i += 1 }
+        } catch {
+          case e: Exception =>
+            if (!permissive) throw e
+            out(decodedWidth) = bytes
+        }
+        new GenericInternalRow(out)
     }
   }
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =

@@ -31,6 +31,15 @@ object functions {
   def from_avro_permissive(data: Column, writerSchemaJson: String): Column =
     col(AvroDecode(expr(data), writerSchemaJson, None, "PERMISSIVE"))
 
+  /** PERMISSIVE third mode (the `from_json` `_corrupt_record` idiom): the
+    * result struct gains a trailing binary `corruptColName` field holding
+    * the RAW offending datum bytes when a row fails to decode (data fields
+    * null), and null on clean rows — quarantine-and-continue instead of
+    * drop-and-continue. */
+  def from_avro_permissive(data: Column, writerSchemaJson: String,
+                           corruptColName: String): Column =
+    col(AvroDecode(expr(data), writerSchemaJson, None, "PERMISSIVE", Some(corruptColName)))
+
   /** Encode a Catalyst value as a bare Avro datum (schema derived from type). */
   def to_avro(data: Column): Column = col(AvroEncode(expr(data)))
 

@@ -70,6 +70,33 @@ class ErrorContractSpec extends AnyFunSuite {
     assert(ok(0).getStruct(0).getString(0) == "v")
   }
 
+  test("PERMISSIVE corrupt-record mode retains the raw offending bytes") {
+    val corrupt = Array[Byte](0x7f, 0x7f, 0x7f)
+    val rows = payloadDf(corrupt).select(gfn.from_avro_permissive(
+      org.apache.spark.sql.functions.col("payload"), schemaJson, "_corrupt_record")
+      .as("r")).select("r.k", "r._corrupt_record").collect()
+    assert(rows.length == 1)
+    assert(rows(0).isNullAt(0), "data fields must be null on a corrupt row")
+    assert(rows(0).getAs[Array[Byte]](1).toSeq == corrupt.toSeq,
+      "the corrupt row must retain the exact raw datum bytes")
+    // a clean payload decodes normally with a null corrupt field
+    val schema = AvroSchemaParser.parse(schemaJson).asInstanceOf[ARecord]
+    val good = new AvroDatumWriter(schema).toBytes(AvroRecord(schema, Array[Any]("v")))
+    val ok = payloadDf(good).select(gfn.from_avro_permissive(
+      org.apache.spark.sql.functions.col("payload"), schemaJson, "_corrupt_record")
+      .as("r")).select("r.k", "r._corrupt_record").collect()
+    assert(ok(0).getString(0) == "v")
+    assert(ok(0).isNullAt(1), "clean rows must carry a null corrupt field")
+    // FAILFAST ignores the corrupt column and still fails the batch
+    intercept[Exception] {
+      payloadDf(corrupt).select(org.apache.spark.sql.graft.Shims.column(
+        graft.spark.AvroDecode(
+          org.apache.spark.sql.graft.Shims.expression(
+            org.apache.spark.sql.functions.col("payload")),
+          schemaJson, None, "FAILFAST", Some("_corrupt_record")))).collect()
+    }
+  }
+
   test("generator OCF decode matches the array form across multiple blocks") {
     // >64 KB of datums forces multi-block payloads (sync-interval flush)
     val rows = (0 until 5000).map(i => s"value_$i" * 3)
