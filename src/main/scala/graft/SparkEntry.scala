@@ -460,6 +460,33 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // F14 at full width: a THREE-branch general union (int | string | record)
+    // round-tripped engine-side in the struct-of-members form — exactly one
+    // member set per row, branch selected by position, including the NESTED
+    // RECORD branch the writer supports (CatalystAvro.scala:325-367,
+    // reference union spec: python-udf/avro/io.py:384-392,726-741).
+    "q52_union3_roundtrip" -> ((s, dir) => {
+      val u3 =
+        """["int","string",{"type":"record","name":"pt","fields":[
+          |{"name":"x","type":"long"},{"name":"y","type":"long"}]}]""".stripMargin
+      val enc = t(s, dir, "nation").select(
+        col("n_nationkey").as("k"),
+        gfn.to_avro(struct(
+          when(col("n_nationkey") % 3 === 0, col("n_nationkey") * 11).as("member0"),
+          when(col("n_nationkey") % 3 === 1, col("n_name")).as("member1"),
+          when(col("n_nationkey") % 3 === 2,
+            struct((col("n_nationkey") * 2).cast("long").as("x"),
+              (col("n_nationkey") + 100).cast("long").as("y"))).as("member2")),
+          u3).as("p"))
+      enc.select(col("k"), gfn.from_avro(col("p"), u3).as("u"))
+        .select(col("k"),
+          col("u.member0").as("u_int"),
+          col("u.member1").as("u_str"),
+          col("u.member2.x").as("pt_x"),
+          col("u.member2.y").as("pt_y"))
+        .orderBy("k")
+    }),
+
     // U5 third mode: same planted corruption as q46, but quarantine-and-
     // continue — the corrupt row keeps its RAW datum bytes in a trailing
     // _corrupt_record binary field (Spark's from_json idiom) instead of
@@ -1051,6 +1078,15 @@ object SparkEntry {
     "q51_ocf_nested_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS n
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    // three-branch union: exactly one member non-null per row, by k mod 3
+    "q52_union3_roundtrip" ->
+      """SELECT n_nationkey AS k,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN n_nationkey * 11 END AS u_int,
+        |  CASE WHEN n_nationkey % 3 = 1 THEN n_name END AS u_str,
+        |  CASE WHEN n_nationkey % 3 = 2 THEN CAST(n_nationkey * 2 AS BIGINT) END AS pt_x,
+        |  CASE WHEN n_nationkey % 3 = 2 THEN CAST(n_nationkey + 100 AS BIGINT) END AS pt_y
+        |FROM nation ORDER BY k""".stripMargin,
 
     // corrupt-record mode: corrupt rows decode to null data fields with the
     // raw bytes retained; bytes_match is proven true row-by-row in Spark

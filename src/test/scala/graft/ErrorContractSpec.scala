@@ -148,6 +148,53 @@ class ErrorContractSpec extends AnyFunSuite {
     }
   }
 
+  test("general-union: three branches incl. a record branch round-trip") {
+    // ["int","string",record(x,y)] — one member set per row by k mod 3; the
+    // record branch exercises the nested-struct write path and the kernel
+    // byte-equality closes the encode side (io.py:1306-1322)
+    val u3 =
+      """["int","string",{"type":"record","name":"pt","fields":[
+        |{"name":"x","type":"long"},{"name":"y","type":"long"}]}]""".stripMargin
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, struct, when}
+    import spark.implicits._
+    val df = (0 until 9).toDF("k")
+    val members = struct(
+      when(col("k") % 3 === 0, col("k") * 11).as("member0"),
+      when(col("k") % 3 === 1, concat_ws("_", lit("s"), col("k"))).as("member1"),
+      when(col("k") % 3 === 2,
+        struct((col("k") * 2).cast("long").as("x"),
+          (col("k") + 100).cast("long").as("y"))).as("member2"))
+    val engineBytes = df.select(col("k"), gfn.to_avro(members, u3).as("p"))
+      .orderBy("k").collect().map(_.getAs[Array[Byte]]("p"))
+    val parsed = AvroSchemaParser.parse(u3)
+    val kernel = new AvroDatumWriter(parsed)
+    val ptRec = parsed.asInstanceOf[AUnion].branches(2).asInstanceOf[ARecord]
+    val kernelBytes = (0 until 9).map { k =>
+      kernel.toBytes(k % 3 match {
+        case 0 => k * 11
+        case 1 => s"s_$k"
+        case _ => AvroRecord(ptRec, Array[Any](k * 2L, k + 100L))
+      })
+    }
+    engineBytes.zip(kernelBytes).zipWithIndex.foreach { case ((e, x), i) =>
+      assert(e.sameElements(x), s"row $i: engine ${e.toSeq} != kernel ${x.toSeq}")
+    }
+    val back = df.select(col("k"),
+      gfn.from_avro(gfn.to_avro(members, u3), u3).as("u")).orderBy("k").collect()
+    back.foreach { r =>
+      val k = r.getInt(0)
+      val u = r.getStruct(1)
+      k % 3 match {
+        case 0 => assert(u.getInt(0) == k * 11 && u.isNullAt(1) && u.isNullAt(2))
+        case 1 => assert(u.isNullAt(0) && u.getString(1) == s"s_$k" && u.isNullAt(2))
+        case _ =>
+          assert(u.isNullAt(0) && u.isNullAt(1))
+          val pt = u.getStruct(2)
+          assert(pt.getLong(0) == k * 2L && pt.getLong(1) == k + 100L)
+      }
+    }
+  }
+
   test("general-union encode: nullable union writes the null branch for all-null members") {
     val unionJson = """["null","int","string"]"""
     import org.apache.spark.sql.functions.{col, struct, when}
