@@ -885,6 +885,15 @@ object SparkEntry {
       ops.Multimodal.decodeStats(ops.Multimodal.syntheticAssets(t(s, dir, "documents")))
         .orderBy("asset_id")),
 
+    // Multimodal with a REAL codec: mono PCM-16 WAVs synthesized by the
+    // from-scratch RIFF/WAVE writer, parsed back by the real chunk-walking
+    // parser (X16 de-stubbed for audio). sum_samples reduces the PCM payload
+    // itself, so a wrong data-chunk walk cannot match the oracle.
+    "q53_wav_audio_meta" -> ((s, dir) =>
+      ops.Multimodal.audioInfo(
+        ops.Multimodal.syntheticWavAssets(t(s, dir, "documents")))
+        .orderBy("asset_id")),
+
     // Multimodal: video frame sampling — metadata-only relational fan-out
     // (no binary content touched until a later decode stage selects frames).
     "q31_frame_sample" -> ((s, dir) =>
@@ -1371,6 +1380,17 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(generate_series(1, length(text)), i -> unicode(text[i]))) * 1000 // length(text) AS BIGINT) AS mean_byte_x1000,
         |  CAST(16 + length(text) % 64 AS INTEGER) AS width,
         |  CAST(16 + length(text) % 48 AS INTEGER) AS height
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the WAV fixtures are arithmetic: (a%30+1)*160 frames at 16 kHz mono,
+    // sample i = (a*31 + i*7) % 2048 - 1024 — every parsed field reproduces
+    "q53_wav_audio_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  16000 AS sample_rate, 1 AS channels, 16 AS bits_per_sample,
+        |  CAST((doc_id % 30 + 1) * 160 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 30 + 1) * 10 AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(generate_series(0, (doc_id % 30 + 1) * 160 - 1),
+        |    i -> (doc_id * 31 + i * 7) % 2048 - 1024)) AS BIGINT) AS sum_samples
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     "q31_frame_sample" ->

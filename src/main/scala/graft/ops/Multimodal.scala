@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * plans and scales it like any other generator.
   *
   * ==== STUB BOUNDARY ====
-  * This container ships no imaging/audio codec libraries, so the byte-level
+  * This container ships no imaging codec libraries, so the IMAGE byte-level
   * "decode" is a DETERMINISTIC FAKE (byte statistics standing in for pixel
-  * planes / PCM samples), clearly marked at [[StubCodecs]]. Everything
+  * planes), clearly marked at [[StubCodecs]]. The AUDIO path is REAL:
+  * [[WavCodec]] is a from-scratch RIFF/WAVE PCM parser+writer (WAV needs no
+  * library), driven by [[audioInfo]]/[[syntheticWavAssets]]. Everything
   * Spark-side — schemas, metadata propagation, batch shape, partition
-  * locality, fan-out plans — is real and tested; swapping a real codec in
-  * changes only the function bodies in [[StubCodecs]].
+  * locality, fan-out plans — is real and tested; swapping a real image codec
+  * in changes only the function bodies in [[StubCodecs]].
   *
   * Scale notes (100 TB of media):
   *  - binary content never enters a shuffle: stats/features are computed
@@ -107,6 +109,48 @@ object Multimodal {
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"), n, sum, mean,
             r.getAs[Int]("width"), r.getAs[Int]("height"))
         }
+      }
+    }(encoder)
+  }
+
+  /** Deterministic REAL-WAV audio fixtures: one mono PCM-16 WAV per doc,
+    * synthesized by the real [[WavCodec]] writer — sample `i` of asset `a`
+    * is `(a*31 + i*7) % 2048 - 1024`, `(a % 30 + 1) * 160` frames at 16 kHz
+    * — so every field [[audioInfo]] extracts (duration, frame count, sample
+    * sum) is reproducible arithmetically by the SQL oracle. */
+  def syntheticWavAssets(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val wavUdf = udf((assetId: Long) => {
+      val n = ((assetId % 30) + 1).toInt * 160
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((assetId * 31 + i.toLong * 7) % 2048 - 1024).toShort
+        i += 1
+      }
+      WavCodec.write(16000, 1, samples)
+    })
+    docs.select(col(idCol).cast("long").as("asset_id"))
+      .withColumn("kind", lit("audio"))
+      .withColumn("content", wavUdf(col("asset_id")))
+  }
+
+  /** Parse REAL WAV headers + payload partition-locally (the de-stubbed
+    * audio half of the codec layer): one [[WavCodec.parse]] per asset, no
+    * shuffle of content — only (id, parsed facts) rows leave the partition. */
+  def audioInfo(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType), StructField("bits_per_sample", IntegerType),
+      StructField("n_frames", LongType), StructField("duration_ms", LongType),
+      StructField("sum_samples", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val info = WavCodec.parse(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[Long]("asset_id"), info.sampleRate, info.channels,
+          info.bitsPerSample, info.nFrames, info.durationMs, info.sumSamples)
       }
     }(encoder)
   }

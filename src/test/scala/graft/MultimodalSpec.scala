@@ -30,6 +30,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getAs[Long]("duration_ms") % 1000 == 0)
   }
 
+  test("WAV codec: write/parse round-trip, chunk tolerance, corruption rejected") {
+    import graft.ops.WavCodec
+    val samples = Array.tabulate[Short](320)(i => ((i * 7) % 2048 - 1024).toShort)
+    val wav = WavCodec.write(16000, 1, samples)
+    assert(wav.length == 44 + 640)
+    val info = WavCodec.parse(wav)
+    assert(info.sampleRate == 16000 && info.channels == 1 && info.bitsPerSample == 16)
+    assert(info.nFrames == 320 && info.durationMs == 20)
+    assert(info.sumSamples == samples.map(_.toLong).sum)
+
+    // stereo frames count once per block, not per sample
+    val stereo = WavCodec.parse(WavCodec.write(8000, 2, samples))
+    assert(stereo.nFrames == 160 && stereo.durationMs == 20)
+
+    // an extra LIST chunk (odd size → padded) between fmt and data is walked
+    // over per the RIFF spec, not mistaken for audio
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'i', 'n', 'f', 'o', 'x', 0)
+    val spliced = wav.take(36) ++ extra ++ wav.drop(36)
+    // RIFF size field must cover the insert
+    val riffSize = 36 + extra.length + 640
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    val tolerant = WavCodec.parse(spliced)
+    assert(tolerant.nFrames == 320 && tolerant.sumSamples == info.sumSamples)
+
+    // corruption fails loudly: bad magic, truncation, non-PCM format tag
+    intercept[IllegalArgumentException] { WavCodec.parse("not a wav at all".getBytes) }
+    intercept[IllegalArgumentException] { WavCodec.parse(wav.take(50)) }
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE float tag
+    intercept[IllegalArgumentException] { WavCodec.parse(nonPcm) }
+  }
+
+  test("audioInfo parses real WAV fixtures distributively and exactly") {
+    val info = Multimodal.audioInfo(Multimodal.syntheticWavAssets(docs))
+      .orderBy("asset_id").limit(10).collect()
+    info.foreach { r =>
+      val a = r.getAs[Long]("asset_id")
+      val n = ((a % 30) + 1) * 160
+      assert(r.getAs[Int]("sample_rate") == 16000)
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Long]("n_frames") == n)
+      assert(r.getAs[Long]("duration_ms") == ((a % 30) + 1) * 10)
+      val expectedSum = (0L until n).map(i => (a * 31 + i * 7) % 2048 - 1024).sum
+      assert(r.getAs[Long]("sum_samples") == expectedSum, s"asset $a")
+    }
+  }
+
   test("batched stub decode matches a direct per-row computation") {
     val stats = Multimodal.decodeStats(assets, batchSize = 7)
       .orderBy("asset_id").limit(20).collect()
