@@ -117,7 +117,12 @@ object AvroDecodePruning extends Rule[LogicalPlan] {
   }
 
   private def prunedDecode(d: AvroDecode, paths: Seq[Seq[Int]]): Option[(AvroDecode, Remap)] =
-    AvroRuntime.parse(d.readerSchemaJson.getOrElse(d.writerSchemaJson)) match {
+    // corrupt-record (quarantine) decodes are never pruned: their sql struct
+    // carries a trailing field with no Avro counterpart (ordinals would
+    // misalign), and narrowing the reader schema would change WHICH
+    // corruptions are even detected — the full-record decode IS the contract
+    if (d.corruptRecordCol.isDefined) None
+    else AvroRuntime.parse(d.readerSchemaJson.getOrElse(d.writerSchemaJson)) match {
       case reader: ARecord =>
         val (pruned, remap) = pruneRecord(reader, buildTrie(paths))
         if (pruned == reader) None

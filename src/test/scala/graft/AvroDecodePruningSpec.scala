@@ -157,6 +157,23 @@ class AvroDecodePruningSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt-record (quarantine) decodes are never pruned") {
+    // the trailing _corrupt_record field has no Avro counterpart — the rule
+    // must leave the decode alone (a prune here used to throw on the
+    // out-of-range ordinal, and would change which corruptions are detected)
+    val df = encoded.select(gfn.from_avro_permissive(
+        col("bin"), schemaJson, "_corrupt_record").as("r"))
+      .select(col("r.a").as("a"), col("r._corrupt_record").isNull.as("clean"))
+    val decodes = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect { case d: AvroDecode => d })
+    }.flatten
+    assert(decodes.nonEmpty)
+    assert(decodes.forall(_.readerSchemaJson.isEmpty),
+      "quarantine decode must keep the full reader schema")
+    val rows = df.collect()
+    assert(rows.length == 100 && rows.forall(_.getBoolean(1)))
+  }
+
   test("whole-struct access is left untouched") {
     val df = encoded.select(gfn.from_avro(col("bin"), schemaJson).as("r"))
     val readers = decodedReaderFields(df)
