@@ -19,9 +19,11 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * files, ordered first-seen (path-sorted within one listing pass). Each
   * `latestOffset()` re-lists the directories, resolves headers of NEW files
   * only (one pread per file, ever), appends them to the log, and persists
-  * the cumulative listing to `<checkpoint>/graft-ocf-files/<count>` — so a
-  * `(start, end)` batch replayed after a restart maps to the exact same file
-  * slice even if the directory has since grown or lost files. A file is
+  * the DELTA to `<checkpoint>/graft-ocf-files/<count>` (total log bytes stay
+  * O(files) over the stream's lifetime; reconstruction concatenates deltas
+  * in offset order) — so a `(start, end)` batch replayed after a restart
+  * maps to the exact same file slice even if the directory has since grown
+  * or lost files. A file is
   * therefore decoded in EXACTLY ONE micro-batch (exactly-once with a
   * replayable sink), and files must be landed atomically (write-then-rename,
   * the standard convention this source's own `_`/`.`-prefix filter backs).
@@ -56,7 +58,7 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
       val metas = OcfDataSource.fetchMetas(conf, fresh)
       // an undecodable codec fails the TRIGGER, not a mid-batch task
       metas.foreach { m => AvroCodecs(m.codecName); known += (m.path -> m) }
-      persist(known.size)
+      persist(known.size, metas)
     }
     OcfStreamOffset(known.size)
   }
@@ -86,12 +88,15 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
 
   private def logPath(count: Int): Path = new Path(logDir, count.toString)
 
-  /** Persist the cumulative ordered listing for offset `count`, atomically
-    * (temp + rename) so a crashed write never leaves a torn log. */
-  private def persist(count: Int): Unit = {
+  /** Persist the files DISCOVERED AT offset `count` (a delta, not the
+    * cumulative listing — total log bytes stay O(files), not O(files²) over
+    * a long-running stream), atomically (temp + rename) so a crashed write
+    * never leaves a torn log. Reconstruction concatenates deltas in
+    * offset order. */
+  private def persist(count: Int, delta: Seq[OcfFileMeta]): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = om.createArrayNode()
-    known.values.foreach { m =>
+    delta.foreach { m =>
       val o = arr.addObject()
       o.put("path", m.path); o.put("len", m.len)
       o.put("schema", m.writerSchemaJson); o.put("codec", m.codecName)
@@ -120,23 +125,26 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     }
   }
 
+  private def persistedCounts(): Seq[Int] =
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).iterator
+      .flatMap(st => scala.util.Try(st.getPath.getName.toInt).toOption)
+      .toSeq.sorted
+
+  /** Rebuild the discovery log from the persisted deltas up to `count`
+    * (ascending offset order reproduces first-seen order exactly). */
   private def restoreAt(count: Int): Unit = {
-    val p = logPath(count)
-    if (fs.exists(p)) {
+    val counts = persistedCounts().filter(_ <= count)
+    if (counts.nonEmpty) {
       known.clear()
-      load(p).foreach(m => known += (m.path -> m))
+      counts.foreach(c => load(logPath(c)).foreach(m => known += (m.path -> m)))
     }
   }
 
-  /** On construction, seed the log from the highest persisted listing so a
-    * restarted query replans uncommitted batches identically. */
-  private def restoreLatest(): Unit = {
-    val latest = if (!fs.exists(logDir)) None
-    else fs.listStatus(logDir).iterator
-      .flatMap(st => scala.util.Try(st.getPath.getName.toInt).toOption)
-      .reduceOption(_ max _)
-    latest.foreach(restoreAt)
-  }
+  /** On construction, seed the log from every persisted delta so a restarted
+    * query replans uncommitted batches identically. */
+  private def restoreLatest(): Unit =
+    persistedCounts().lastOption.foreach(restoreAt)
 }
 
 /** Streaming offset: a count into the append-only file-discovery log. */
