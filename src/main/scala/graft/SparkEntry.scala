@@ -894,6 +894,25 @@ object SparkEntry {
         ops.Multimodal.syntheticWavAssets(t(s, dir, "documents")))
         .orderBy("asset_id")),
 
+    // Multimodal with the REAL image codec: binary PPM/PGM synthesized by
+    // the from-scratch Netpbm writer, parsed back by the comment-tolerant
+    // header scanner (X16 de-stubbed for images). sum_pixels reduces the
+    // raster itself, so a wrong raster offset cannot match the oracle.
+    "q54_pnm_image_meta" -> ((s, dir) =>
+      ops.Multimodal.imageInfo(
+        ops.Multimodal.syntheticPnmAssets(t(s, dir, "documents")))
+        .orderBy("asset_id")),
+
+    // REAL nearest-neighbor resize: decode → resample pixels → re-encode,
+    // then re-parse the resized raster. The oracle recomputes every sampled
+    // source pixel arithmetically, so a byte-truncating fake resize (or an
+    // off-by-one in the sy/sx mapping) cannot match.
+    "q55_pnm_resize" -> ((s, dir) =>
+      ops.Multimodal.imageInfo(
+        ops.Multimodal.resizeImages(
+          ops.Multimodal.syntheticPnmAssets(t(s, dir, "documents")), 8, 6))
+        .orderBy("asset_id")),
+
     // Multimodal: video frame sampling — metadata-only relational fan-out
     // (no binary content touched until a later decode stage selects frames).
     "q31_frame_sample" -> ((s, dir) =>
@@ -1392,6 +1411,40 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(generate_series(0, (doc_id % 30 + 1) * 160 - 1),
         |    i -> (doc_id * 31 + i * 7) % 2048 - 1024)) AS BIGINT) AS sum_samples
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the PNM fixtures are arithmetic: (4 + a%13)x(3 + a%11), 3 channels on
+    // even ids (P6) / 1 on odd (P5), sample i = (a*31 + i*7) % 256 — parsed
+    // dims and the raster sum reproduce in SQL
+    "q54_pnm_image_meta" ->
+      """SELECT asset_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(ch AS INTEGER) AS channels, 255 AS maxval,
+        |  CAST(list_sum(list_transform(generate_series(0, w * h * ch - 1),
+        |    i -> (asset_id * 31 + i * 7) % 256)) AS BIGINT) AS sum_pixels
+        |FROM (SELECT doc_id AS asset_id, 4 + doc_id % 13 AS w,
+        |        3 + doc_id % 11 AS h,
+        |        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |      FROM documents)
+        |ORDER BY asset_id""".stripMargin,
+
+    // nearest-neighbor to 8x6: target interleaved index j decomposes to
+    // ty = j // (8*ch), tx = (j % (8*ch)) // ch, c = j % ch; the sampled
+    // source index is ((ty*h//6)*w + tx*w//8)*ch + c and its value follows
+    // the same (a*31 + i*7) % 256 fixture formula
+    "q55_pnm_resize" ->
+      """SELECT asset_id,
+        |  8 AS width, 6 AS height,
+        |  CAST(ch AS INTEGER) AS channels, 255 AS maxval,
+        |  CAST(list_sum(list_transform(generate_series(0, 48 * ch - 1),
+        |    j -> (asset_id * 31 +
+        |          ((((j // (8 * ch)) * h // 6) * w
+        |            + ((j % (8 * ch)) // ch) * w // 8) * ch + j % ch) * 7
+        |         ) % 256)) AS BIGINT) AS sum_pixels
+        |FROM (SELECT doc_id AS asset_id, 4 + doc_id % 13 AS w,
+        |        3 + doc_id % 11 AS h,
+        |        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
+        |      FROM documents)
+        |ORDER BY asset_id""".stripMargin,
 
     "q31_frame_sample" ->
       """SELECT asset_id, CAST(g AS BIGINT) AS frame_idx, CAST(g * 250 AS BIGINT) AS ts_ms

@@ -13,15 +13,16 @@ import org.apache.spark.sql.functions._
   * sampling is pure relational fan-out (`sequence` + `explode`), so Catalyst
   * plans and scales it like any other generator.
   *
-  * ==== STUB BOUNDARY ====
-  * This container ships no imaging codec libraries, so the IMAGE byte-level
-  * "decode" is a DETERMINISTIC FAKE (byte statistics standing in for pixel
-  * planes), clearly marked at [[StubCodecs]]. The AUDIO path is REAL:
-  * [[WavCodec]] is a from-scratch RIFF/WAVE PCM parser+writer (WAV needs no
-  * library), driven by [[audioInfo]]/[[syntheticWavAssets]]. Everything
-  * Spark-side — schemas, metadata propagation, batch shape, partition
-  * locality, fan-out plans — is real and tested; swapping a real image codec
-  * in changes only the function bodies in [[StubCodecs]].
+  * ==== CODEC LAYER ====
+  * Both media codecs are REAL, from-scratch parsers/writers: [[WavCodec]]
+  * (RIFF/WAVE PCM) drives [[audioInfo]]/[[syntheticWavAssets]], and
+  * [[PnmCodec]] (binary PPM/PGM) drives [[imageInfo]]/[[resizeImages]]/
+  * [[syntheticPnmAssets]] — including a real nearest-neighbor resampler
+  * over decoded pixels. What remains in [[OpaqueStats]] is not a stub: it
+  * is the kind-agnostic byte-statistics operator for payloads whose codec
+  * is unknown (the honest operation on opaque binary). Formats needing
+  * licensed/compressed codecs (JPEG, H.264) are out of container scope;
+  * wrapping one means adding a sibling of [[WavCodec]]/[[PnmCodec]].
   *
   * Scale notes (100 TB of media):
   *  - binary content never enters a shuffle: stats/features are computed
@@ -57,32 +58,17 @@ object Multimodal {
         element_at(array(lit("png"), lit("pcm_s16le"), lit("h264")),
           (col(idCol) % 3 + 1).cast("int")).as("codec")).as("meta"))
 
-  /** The clearly-marked stub codec layer. Real implementations would wrap
-    * an imaging/audio library here; the signatures (bytes in, typed stats /
-    * resized bytes out, one context per batch) are the real contract. */
-  object StubCodecs {
-    /** STUB image/audio "decode": byte statistics stand in for decoded
-      * pixel/sample planes. Deterministic, engine-reproducible. */
+  /** Byte statistics over OPAQUE binary — the kind-agnostic operator for
+    * payloads whose codec is unknown or unavailable. Deterministic and
+    * engine-reproducible; decoded-domain work lives in [[WavCodec]] and
+    * [[PnmCodec]]. */
+  object OpaqueStats {
     def decodeStats(content: Array[Byte]): (Long, Long, Long) = {
       var sum = 0L
       var i = 0
       while (i < content.length) { sum += content(i) & 0xff; i += 1 }
       val n = content.length.toLong
       (n, sum, if (n == 0) 0L else sum * 1000L / n)
-    }
-
-    /** STUB resize: a real codec would decode, scale, re-encode; the fake
-      * truncates/pads content to width*height*channels bytes so downstream
-      * size accounting stays honest. */
-    def resize(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
-      require(w > 0 && h > 0 && channels > 0,
-        s"resize dimensions must be positive; got ${w}x${h}x$channels")
-      // w*h*channels overflows Int silently (e.g. 50000x50000x3) — the long
-      // product catches malformed metadata before Arrays.copyOf misallocates
-      val size = w.toLong * h * channels
-      require(size <= Int.MaxValue,
-        s"resize target ${w}x${h}x$channels = $size bytes exceeds a byte array")
-      java.util.Arrays.copyOf(content, size.toInt)
     }
   }
 
@@ -102,10 +88,10 @@ object Multimodal {
       col("meta.width").as("width"), col("meta.height").as("height"))
     val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     in.mapPartitions { rows =>
-      // one (stub) decoder context per batch — amortizes real-codec init
+      // one decoder context per batch — amortizes codec init
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val (n, sum, mean) = StubCodecs.decodeStats(r.getAs[Array[Byte]]("content"))
+          val (n, sum, mean) = OpaqueStats.decodeStats(r.getAs[Array[Byte]]("content"))
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("kind"), n, sum, mean,
             r.getAs[Int]("width"), r.getAs[Int]("height"))
         }
@@ -155,17 +141,61 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Resize images to a target box: metadata updated relationally, bytes
-    * re-encoded by the (stub) codec partition-locally. */
+  /** Deterministic REAL-PNM image fixtures: one binary PPM (even ids, RGB)
+    * or PGM (odd ids, gray) per doc, synthesized by the real [[PnmCodec]]
+    * writer — asset `a` is `(4 + a%13)`x`(3 + a%11)`, sample at row-major
+    * interleaved index `i` is `(a*31 + i*7) % 256` — so every field
+    * [[imageInfo]] extracts (dims, channels, raster sum) and every pixel a
+    * [[resizeImages]] resample selects is reproducible arithmetically by
+    * the SQL oracle. */
+  def syntheticPnmAssets(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val pnmUdf = udf((assetId: Long) => {
+      val w = 4 + (assetId % 13).toInt
+      val h = 3 + (assetId % 11).toInt
+      val ch = if (assetId % 2 == 0) 3 else 1
+      val px = new Array[Byte](w * h * ch)
+      var i = 0
+      while (i < px.length) { px(i) = ((assetId * 31 + i.toLong * 7) % 256).toByte; i += 1 }
+      PnmCodec.write(PnmCodec.PnmImage(w, h, ch, 255, px))
+    })
+    docs.select(col(idCol).cast("long").as("asset_id"))
+      .withColumn("kind", lit("image"))
+      .withColumn("content", pnmUdf(col("asset_id")))
+  }
+
+  /** Parse REAL PPM/PGM headers + raster partition-locally (the de-stubbed
+    * image half of the codec layer): one [[PnmCodec.parse]] per asset, no
+    * shuffle of content — only (id, parsed facts) rows leave the partition.
+    * `sum_pixels` reduces the raster itself, so a wrong raster offset or
+    * length cannot match the oracle. */
+  def imageInfo(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("channels", IntegerType),
+      StructField("maxval", IntegerType), StructField("sum_pixels", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val img = PnmCodec.parse(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[Long]("asset_id"), img.width, img.height, img.channels,
+          img.maxval, img.sumPixels)
+      }
+    }(encoder)
+  }
+
+  /** Resize PNM images to a target box with the REAL nearest-neighbor
+    * resampler: decode → resample over pixels → re-encode, all
+    * partition-local. Non-image kinds are filtered relationally before any
+    * byte is touched. */
   def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
-    val resizeUdf = udf((content: Array[Byte], channels: Int) =>
-      StubCodecs.resize(content, targetW, targetH, channels))
+    require(targetW > 0 && targetH > 0,
+      s"resize target must be positive; got ${targetW}x$targetH")
+    val resizeUdf = udf((content: Array[Byte]) =>
+      PnmCodec.write(PnmCodec.resize(PnmCodec.parse(content), targetW, targetH)))
     assets.where(col("kind") === "image")
-      .withColumn("content", resizeUdf(col("content"), col("meta.channels")))
-      .withColumn("meta", struct(
-        lit(targetW).cast("int").as("width"), lit(targetH).cast("int").as("height"),
-        col("meta.channels").as("channels"), col("meta.sample_rate").as("sample_rate"),
-        col("meta.duration_ms").as("duration_ms"), col("meta.codec").as("codec")))
+      .withColumn("content", resizeUdf(col("content")))
   }
 
   /** Frame sampling for video assets: one row per sampled frame timestamp,

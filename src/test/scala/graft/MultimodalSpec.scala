@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing: typed metadata, batched partition-local stub decode,
-  * relational frame/chunk fan-out. The codec layer is a documented stub;
-  * these tests pin the Spark-side contract. */
+/** Multimodal plumbing: typed metadata, batched partition-local decode,
+  * relational frame/chunk fan-out. Both codecs are real from-scratch
+  * parsers ([[graft.ops.WavCodec]] RIFF/WAVE, [[graft.ops.PnmCodec]]
+  * PPM/PGM); [[graft.ops.Multimodal.OpaqueStats]] covers unknown codecs. */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -76,7 +77,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("batched stub decode matches a direct per-row computation") {
+  test("batched opaque-binary stats match a direct per-row computation") {
     val stats = Multimodal.decodeStats(assets, batchSize = 7)
       .orderBy("asset_id").limit(20).collect()
     val direct = assets.orderBy("asset_id").limit(20).collect()
@@ -90,13 +91,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize re-encodes content to width*height*channels bytes and updates meta") {
-    val r = Multimodal.resizeImages(assets, 32, 24).limit(5).collect()
-    assert(r.nonEmpty)
-    r.foreach { row =>
-      val m = row.getStruct(row.fieldIndex("meta"))
-      assert(m.getAs[Int]("width") == 32 && m.getAs[Int]("height") == 24)
-      assert(row.getAs[Array[Byte]]("content").length == 32 * 24 * 3)
+  test("PNM codec: write/parse round-trip, header comments, corruption rejected") {
+    import graft.ops.PnmCodec
+    val px = Array.tabulate[Byte](5 * 4 * 3)(i => ((i * 11) % 256).toByte)
+    val img = PnmCodec.PnmImage(5, 4, 3, 255, px)
+    val back = PnmCodec.parse(PnmCodec.write(img))
+    assert(back.width == 5 && back.height == 4 && back.channels == 3)
+    assert(back.pixels.sameElements(px))
+
+    // grayscale P5 round-trips with channels = 1
+    val gray = PnmCodec.parse(PnmCodec.write(PnmCodec.PnmImage(3, 2, 1, 255, px.take(6))))
+    assert(gray.channels == 1 && gray.pixels.length == 6)
+
+    // '#' comments anywhere in the header are legal per the Netpbm spec
+    val commented = ("P6 # magic\n# a whole comment line\n 5 # width\n4\n255\n")
+      .getBytes("US-ASCII") ++ px
+    val tolerant = PnmCodec.parse(commented)
+    assert(tolerant.width == 5 && tolerant.height == 4)
+    assert(tolerant.sumPixels == img.sumPixels)
+
+    // corruption fails loudly: bad magic, short raster, 2-byte maxval
+    intercept[IllegalArgumentException] { PnmCodec.parse("not an image".getBytes) }
+    intercept[IllegalArgumentException] { PnmCodec.parse(PnmCodec.write(img).dropRight(4)) }
+    intercept[IllegalArgumentException] {
+      PnmCodec.parse("P6\n2 2\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](24))
+    }
+  }
+
+  test("imageInfo parses real PNM fixtures distributively and exactly") {
+    val info = Multimodal.imageInfo(Multimodal.syntheticPnmAssets(docs))
+      .orderBy("asset_id").limit(10).collect()
+    info.foreach { r =>
+      val a = r.getAs[Long]("asset_id")
+      val w = 4 + (a % 13).toInt; val h = 3 + (a % 11).toInt
+      val ch = if (a % 2 == 0) 3 else 1
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == ch && r.getAs[Int]("maxval") == 255)
+      val expectedSum = (0 until w * h * ch).map(i => (a * 31 + i * 7) % 256).sum
+      assert(r.getAs[Long]("sum_pixels") == expectedSum, s"asset $a")
+    }
+  }
+
+  test("resize is a real nearest-neighbor resample over decoded pixels") {
+    import graft.ops.PnmCodec
+    val resized = Multimodal.resizeImages(Multimodal.syntheticPnmAssets(docs), 8, 6)
+      .orderBy("asset_id").limit(6).collect()
+    resized.foreach { row =>
+      val a = row.getAs[Long]("asset_id")
+      val w = 4 + (a % 13).toInt; val h = 3 + (a % 11).toInt
+      val ch = if (a % 2 == 0) 3 else 1
+      val img = PnmCodec.parse(row.getAs[Array[Byte]]("content"))
+      assert(img.width == 8 && img.height == 6 && img.channels == ch)
+      // pixel-exact: target (ty,tx,c) copies source (ty*h/6, tx*w/8, c)
+      for (ty <- 0 until 6; tx <- 0 until 8; c <- 0 until ch) {
+        val srcIdx = ((ty * h / 6) * w + (tx * w / 8)) * ch + c
+        val expected = ((a * 31 + srcIdx.toLong * 7) % 256).toInt
+        val got = img.pixels((ty * 8 + tx) * ch + c) & 0xff
+        assert(got == expected, s"asset $a pixel ($ty,$tx,$c)")
+      }
     }
   }
 
