@@ -582,6 +582,24 @@ object SparkEntry {
         .orderBy("status")
     }),
 
+    // Aggregate pushdown: a bare count(*) over the DSv2 scan never reads a
+    // block BODY — each split sums its blocks' row-count varints (~20 bytes
+    // read per block, no decompression, no datum decode) and Spark sums the
+    // per-split partials. At 100 TB this turns a full-corpus count into a
+    // block-header walk reading ~0.1% of the bytes.
+    "q56_ocf_count_pushdown" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val payloads = graft.spark.OcfSink.payloads(o.coalesce(1), ordersWriterJson,
+        codecName = "deflate", datumsPerPayload = Int.MaxValue)
+      val out = landingDir(s, "graft_q56_ocf_")
+      graft.spark.OcfFiles.writePayloadFiles(payloads, out.getAbsolutePath)
+      s.read.format("graft-ocf")
+        .option("splitSize", (64 * 1024).toString)
+        .load(out.getAbsolutePath)
+        .groupBy().count()
+    }),
+
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
     // the (slow) codec's bench cost trivial.
     "q39_ocf_bzip2_roundtrip" -> ((s, dir) => {
@@ -1106,6 +1124,10 @@ object SparkEntry {
     "q51_ocf_nested_prune" ->
       """SELECT o_orderstatus AS status, count(*) AS n
         |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+
+    // the pushed count is a pure row count of the round-tripped orders file
+    "q56_ocf_count_pushdown" ->
+      """SELECT count(*) AS count FROM orders""",
 
     // three-branch union: exactly one member non-null per row, by k mod 3
     "q52_union3_roundtrip" ->

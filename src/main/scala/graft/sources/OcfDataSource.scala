@@ -292,13 +292,47 @@ private[sources] final class OcfTable(resolved: OcfDataSource.Resolved)
 }
 
 private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var required: Option[StructType] = None
+  private var limit: Option[Int] = None
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, Spark keeps the
+    * global limit): each split stops decoding after `l` rows, so
+    * `df.limit(10)` over a 10 GB OCF decodes ≤10 rows per task instead of
+    * every block in every split. */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+
+  /** PARTIAL `COUNT(*)` pushdown: ungrouped bare counts become a block-HEADER
+    * walk — each split sums the row-count varints of its blocks and emits one
+    * row; block bodies are never read, decompressed, or decoded (the count
+    * rides the OCF block framing, reference python-udf/avro/datafile.py block
+    * layout). Spark re-aggregates the per-split partials with a final sum
+    * (`supportCompletePushDown` stays false). At 100 TB a `count(*)` reads
+    * ~40 bytes per 64 KB block — 0.1% of the data, zero codec work. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = limit.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) countStar = true
+    ok
+  }
+
   override def build(): Scan = {
+    if (countStar)
+      return OcfScan(resolved.files, resolved.readerJson, resolved.sql,
+        resolved.wrap, new SerializableHadoopConf(resolved.conf),
+        resolved.splitSize, resolved.paths, resolved.glob, resolved.recursive,
+        countStar = true)
     // Rebuild the reader schema to exactly the pushed-down shape — at ANY
     // depth, not just top level: `select(col("a.b"))` over a wide nested OCF
     // must decode only `a.b` and type-directed-skip the rest of `a`'s
@@ -325,7 +359,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     OcfDataSource.lastBuiltReaderJson.set(readerJson)
     OcfScan(resolved.files, readerJson, sql, wrap,
       new SerializableHadoopConf(resolved.conf), resolved.splitSize,
-      resolved.paths, resolved.glob, resolved.recursive)
+      resolved.paths, resolved.glob, resolved.recursive,
+      limit = limit.map(_.toLong).getOrElse(Long.MaxValue))
   }
 }
 
@@ -342,16 +377,28 @@ private[graft] final case class OcfScan(
     files: Seq[OcfDataSource.OcfFileMeta], readerJson: String, sql: StructType,
     wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long,
     paths: Seq[String] = Nil, glob: Option[String] = None,
-    recursive: Boolean = false)
+    recursive: Boolean = false, limit: Long = Long.MaxValue,
+    countStar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
-  override def readSchema(): StructType = sql
+  override def readSchema(): StructType =
+    if (countStar)
+      StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    else sql
   override def toBatch: Batch = this
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!countStar && limit == Long.MaxValue,
+      "graft-ocf: limit/aggregate pushdown is batch-only")
     new OcfMicroBatchStream(this, checkpointLocation)
-  override def description(): String =
-    s"graft-ocf files=${files.size} splitSize=$splitSize ReadSchema: ${sql.simpleString}"
+  }
+  override def description(): String = {
+    val pushed =
+      (if (countStar) " PushedAggregation: [COUNT(*)]" else "") +
+        (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "")
+    s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     files.iterator.zipWithIndex.flatMap { case (f, i) =>
@@ -361,7 +408,8 @@ private[graft] final case class OcfScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf)
+    if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
+    else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.len).sum)
@@ -371,12 +419,59 @@ private[graft] final case class OcfScan(
 
 private[sources] final case class OcfReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], readerJson: String,
-    wrap: Boolean, conf: SerializableHadoopConf)
+    wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfInputPartition]
-    new OcfSplitReader(files(p.fileIndex), p.start, p.end, readerJson, wrap, conf.value)
+    new OcfSplitReader(files(p.fileIndex), p.start, p.end, readerJson, wrap,
+      conf.value, limit)
   }
+}
+
+/** `COUNT(*)` partials: one reader per split, emitting a single row with the
+  * sum of its blocks' row-count varints. Walks block HEADERS only — per
+  * block: one ~20-byte positioned read for the two varints, then a seek past
+  * body + sync. No decompression, no datum decode, no reader-schema
+  * resolution. The only full-chunk read is the one sync scan anchoring a
+  * mid-file split. */
+private[sources] final case class OcfCountReaderFactory(
+    files: IndexedSeq[OcfDataSource.OcfFileMeta], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OcfInputPartition]
+    new OcfCountReader(files(p.fileIndex), p.start, p.end, conf.value)
+  }
+}
+
+private[graft] final class OcfCountReader(
+    meta: OcfDataSource.OcfFileMeta, start: Long, end: Long, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val hPath = new Path(meta.path)
+  private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var total = 0L
+    var blockStart =
+      try { if (start == 0L) meta.headerEnd else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end) }
+      catch { case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+      }
+    while (blockStart >= 0L && blockStart < meta.len && blockStart < end + 16L) {
+      val h = OcfBlocks.readBlockHeader(in, meta, blockStart)
+      total += h.count
+      blockStart = h.dataStart + h.size + Ocf.SyncSize
+    }
+    row = new GenericInternalRow(Array[Any](total))
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
 }
 
 /** Decodes the blocks of one split. The file header was resolved at planning
@@ -389,7 +484,8 @@ private[sources] final case class OcfReaderFactory(
   * splits of one file compile the writer→reader resolution once. */
 private[graft] final class OcfSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
-    readerJson: String, wrap: Boolean, conf: Configuration)
+    readerJson: String, wrap: Boolean, conf: Configuration,
+    limit: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(meta.path)
@@ -401,7 +497,8 @@ private[graft] final class OcfSplitReader(
     try {
       val c = AvroCodecs(meta.codecName)
       val r = AvroRuntime.catalystReader(meta.writerSchemaJson, readerJson)
-      val b = if (start == 0L) meta.headerEnd else syncScan(start)
+      val b = if (start == 0L) meta.headerEnd
+              else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end)
       (c, r, b)
     } catch {
       case t: Throwable =>
@@ -413,10 +510,14 @@ private[graft] final class OcfSplitReader(
   // marker), or -1 when this split has no further anchored block
   private var blockStart: Long = firstBlockStart
   private var remaining = 0L
+  private var emitted = 0L
   private var bin: AvroBinaryReader = _
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed-down limit: a split never decodes (or loads) past `limit` rows,
+    // so limit(10) stops after the first block regardless of split size
+    if (emitted >= limit) return false
     while (remaining == 0L) {
       if (blockStart < 0L || blockStart >= meta.len || blockStart >= end + 16L)
         return false
@@ -425,6 +526,7 @@ private[graft] final class OcfSplitReader(
     val v = compiled(bin)
     row = if (wrap) new GenericInternalRow(Array[Any](v)) else v.asInstanceOf[InternalRow]
     remaining -= 1L
+    emitted += 1L
     true
   }
 
@@ -432,43 +534,56 @@ private[graft] final class OcfSplitReader(
   override def close(): Unit = in.close()
 
   private def loadBlock(): Unit = {
-    // the two varints are ≤20 bytes; parse them from a small positioned read
+    val h = OcfBlocks.readBlockHeader(in, meta, blockStart)
+    val body = new Array[Byte](h.size.toInt + Ocf.SyncSize)
+    in.readFully(h.dataStart, body, 0, body.length)
+    var i = 0
+    while (i < Ocf.SyncSize) {
+      if (body(h.size.toInt + i) != meta.sync(i))
+        throw new AvroResolutionException(
+          s"OCF sync marker mismatch at ${meta.path}:$blockStart (corrupt block boundary)")
+      i += 1
+    }
+    bin = new AvroBinaryReader(codec.decompress(java.util.Arrays.copyOf(body, h.size.toInt)))
+    remaining = h.count
+    blockStart = h.dataStart + h.size + Ocf.SyncSize
+  }
+}
+
+/** Block-framing primitives shared by the decoding split reader and the
+  * header-walking count reader. */
+private[sources] object OcfBlocks {
+
+  final case class BlockHeader(count: Long, size: Long, dataStart: Long)
+
+  /** Parse the two block varints (row count, compressed size) from a small
+    * positioned read; ≤20 bytes. */
+  def readBlockHeader(in: FSDataInputStream, meta: OcfDataSource.OcfFileMeta,
+                      blockStart: Long): BlockHeader = {
     val hn = math.min(20L, meta.len - blockStart).toInt
     val hbuf = new Array[Byte](hn)
     in.readFully(blockStart, hbuf, 0, hn)
     val hr = new AvroBinaryReader(hbuf, 0, hn)
     val count = hr.readLong()
     val size = hr.readLong()
-    if (size < 0 || size > meta.len)
+    if (count < 0 || size < 0 || size > meta.len)
       throw new AvroResolutionException(
-        s"corrupt OCF block at ${meta.path}:$blockStart (size $size)")
-    val dataStart = blockStart + hr.pos
-    val body = new Array[Byte](size.toInt + Ocf.SyncSize)
-    in.readFully(dataStart, body, 0, body.length)
-    var i = 0
-    while (i < Ocf.SyncSize) {
-      if (body(size.toInt + i) != meta.sync(i))
-        throw new AvroResolutionException(
-          s"OCF sync marker mismatch at ${meta.path}:$blockStart (corrupt block boundary)")
-      i += 1
-    }
-    bin = new AvroBinaryReader(codec.decompress(java.util.Arrays.copyOf(body, size.toInt)))
-    remaining = count
-    blockStart = dataStart + size + Ocf.SyncSize
+        s"corrupt OCF block at ${meta.path}:$blockStart (count $count, size $size)")
+    BlockHeader(count, size, blockStart + hr.pos)
   }
 
   /** Find the first sync marker starting at offset `m >= from` with
     * `m < end`, reading the file in 64 KB chunks with a 15-byte overlap
     * so a marker spanning a chunk boundary is still seen. Returns the block
     * anchor `m + 16`, or -1 if this split owns no block. */
-  private def syncScan(from: Long): Long = {
-    val sync = meta.sync
+  def syncScan(in: FSDataInputStream, sync: Array[Byte], fileLen: Long,
+               from: Long, end: Long): Long = {
     val first = sync(0)
     val chunk = 1 << 16
     val buf = new Array[Byte](chunk + Ocf.SyncSize - 1)
     var base = from
-    while (base < end && base <= meta.len - Ocf.SyncSize) {
-      val n = math.min(buf.length.toLong, meta.len - base).toInt
+    while (base < end && base <= fileLen - Ocf.SyncSize) {
+      val n = math.min(buf.length.toLong, fileLen - base).toInt
       in.readFully(base, buf, 0, n)
       val iMax = math.min((n - Ocf.SyncSize).toLong, end - base - 1L).toInt
       var i = 0

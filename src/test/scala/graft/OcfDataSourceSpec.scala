@@ -82,10 +82,12 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(scanOf(df).readSchema().fieldNames.toSeq == Seq("v"),
       "pruned scan must read only the requested field")
     assert(df.collect().map(_.getString(0)).sorted.toSeq == rows.map(_._2).sorted)
-    // count(*) prunes every field: the decoder only walks varints
+    // count(*) goes further than pruning every field: the aggregate itself
+    // is pushed and the scan's output is the per-split partial count
     val cnt = read(dir, 16384).count()
     assert(cnt == 2000)
-    assert(scanOf(read(dir, 16384).groupBy().count()).readSchema().isEmpty)
+    assert(scanOf(read(dir, 16384).groupBy().count())
+      .readSchema().fieldNames.toSeq == Seq("count"))
   }
 
   test("nested pruning reaches the decoder: select(info.b) narrows the subtree") {
@@ -261,6 +263,69 @@ class OcfDataSourceSpec extends AnyFunSuite {
     val sWide = serializedSize(wide.head)
     assert(sWide == sSmall, s"split metadata must not scale with schema: $sSmall vs $sWide")
     assert(sWide < 512, s"split metadata should be tiny, got $sWide bytes")
+  }
+
+  test("count(*) pushdown walks block headers only: exact over corrupt bodies") {
+    import org.apache.hadoop.fs.Path
+    val (dir, _) = bigFile(12000, "deflate")
+    val file = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new Path(file.getAbsolutePath)
+    val in = hp.getFileSystem(conf).open(hp)
+    val (h, headerEnd) =
+      try graft.sources.OcfDataSource.readHeaderAt(in, file.length()) finally in.close()
+    // overwrite the FIRST block's entire compressed body with a constant —
+    // framing (count/size varints, sync markers) stays intact, so the
+    // header walk is unaffected while any body decompression fails
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val hr = new graft.avro.AvroBinaryReader(bytes, headerEnd.toInt, bytes.length)
+    hr.readLong() // block row count
+    val size = hr.readLong()
+    java.util.Arrays.fill(bytes, hr.pos, hr.pos + size.toInt, 0x55.toByte)
+    java.nio.file.Files.write(file.toPath, bytes)
+
+    // pushed: plan advertises the aggregate, result is exact, bodies unread
+    val pushed = read(dir, 16384).groupBy().count()
+    assert(scanOf(pushed).description().contains("PushedAggregation: [COUNT(*)]"))
+    assert(pushed.head.getLong(0) == 12000)
+    // same result when the count is a single whole-file split
+    assert(read(dir, 1L << 26).count() == 12000)
+    // a decoding read of the same files fails loudly on the trashed body
+    intercept[org.apache.spark.SparkException] {
+      read(dir, 16384).agg(max("k")).head
+    }
+    // grouped counts are NOT pushed (the source only takes bare COUNT(*))
+    assert(!scanOf(read(dir, 16384).groupBy("k").count())
+      .description().contains("PushedAggregation"))
+  }
+
+  test("limit pushdown caps per-split decode and keeps results exact") {
+    val (dir, rows) = bigFile(3000, "deflate")
+    val df = read(dir, 16384).limit(7)
+    assert(scanOf(df).description().contains("PushedLimit: LIMIT 7"),
+      s"limit must reach the scan: ${scanOf(df).description()}")
+    val got = df.collect()
+    assert(got.length == 7)
+    assert(got.forall(r => rows.contains((r.getLong(0), r.getString(1)))))
+
+    // reader-level contract: a split with thousands of anchored rows stops
+    // emitting (and loading blocks) at the pushed limit
+    import org.apache.hadoop.fs.Path
+    val file = dir.listFiles().filter(_.getName.endsWith(".avro")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val hp = new Path(file.getAbsolutePath)
+    val in = hp.getFileSystem(conf).open(hp)
+    val (h, headerEnd) =
+      try graft.sources.OcfDataSource.readHeaderAt(in, file.length()) finally in.close()
+    val r = new graft.sources.OcfSplitReader(
+      graft.sources.OcfDataSource.OcfFileMeta(file.getAbsolutePath, file.length(),
+        h.schemaJson, h.codecName, h.sync, headerEnd),
+      0L, file.length(), h.schemaJson, wrap = false, conf, limit = 3L)
+    try {
+      var n = 0
+      while (r.next()) n += 1
+      assert(n == 3, s"pushed limit 3 must cap the reader, emitted $n")
+    } finally r.close()
   }
 
   test("a truncated header fails the plan, not a mid-job task") {
