@@ -986,6 +986,15 @@ object SparkEntry {
         .select(col("stratum"), col("n_docs"), col("total_tokens"),
           expr("CAST(round(mean_tokens, 9) AS DOUBLE)").as("mean_tokens"),
           col("p50_tokens"), col("p90_tokens"), col("p99_tokens"))
+        .orderBy("stratum")),
+
+    // X29 scale path: SKETCHED per-stratum quantiles (percentile_approx —
+    // mergeable GK summaries, bounded executor memory, no per-stratum sort).
+    // Sketch values are engine-specific, so no SQL oracle — the spec proves
+    // the rank-error bound against the exact rank rule; the driver records
+    // the rows-only check.
+    "q57_corpus_stats_approx" -> ((s, dir) =>
+      ops.Packing.corpusStatsApprox(t(s, dir, "documents"), "source", "text")
         .orderBy("stratum"))
   )
 

@@ -44,9 +44,9 @@ object Packing {
     * (interpolated quantiles differ across engines in the last float bit).
     *
     * Scale: one shuffle to rank within strata + a map-side-combined
-    * aggregation. For strata too large to sort, swap the rank rule for a
-    * sketch (t-digest/KLL) — kept exact here because the report feeds
-    * correctness-gated curation decisions. */
+    * aggregation. For strata too large to sort, use [[corpusStatsApprox]] —
+    * kept exact here because the report feeds correctness-gated curation
+    * decisions. */
   def corpusStats(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
     val ranked = df
       .select(col(stratumCol).as("stratum"),
@@ -63,5 +63,30 @@ object Packing {
         atQuantile(0.5).as("p50_tokens"),
         atQuantile(0.9).as("p90_tokens"),
         atQuantile(0.99).as("p99_tokens"))
+  }
+
+  /** The [[corpusStats]] scale path: SKETCHED quantiles via Spark's built-in
+    * `percentile_approx` (Greenwald-Khanna summaries — mergeable, map-side
+    * combined, bounded memory), for strata too large to window-sort. One
+    * shuffle of O(strata × sketch) partial states instead of a full
+    * per-stratum sort: a 10 TB stratum costs the same executor memory as a
+    * 10 MB one. `accuracy` trades sketch size for rank error ≤ n/accuracy —
+    * at the 10000 default, p90 of a billion-row stratum lands within rank
+    * ±100k. Use [[corpusStats]] when the report feeds correctness-gated
+    * decisions; this when strata outgrow the sort. */
+  def corpusStatsApprox(df: DataFrame, stratumCol: String, textCol: String,
+                        accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive; got $accuracy")
+    def pct(q: Double) =
+      percentile_approx(col("n_tokens"), lit(q), lit(accuracy))
+    df.select(col(stratumCol).as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("mean_tokens"),
+        pct(0.5).as("p50_tokens"),
+        pct(0.9).as("p90_tokens"),
+        pct(0.99).as("p99_tokens"))
   }
 }

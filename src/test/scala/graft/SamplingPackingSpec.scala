@@ -127,6 +127,30 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("p99_tokens") == rankQ(0.99))
   }
 
+  test("corpusStatsApprox sketches land within the guaranteed rank error") {
+    val approx = Packing.corpusStatsApprox(docs, "source", "text")
+      .where(col("stratum") === "src0").head()
+    val toks = docs.where(col("source") === "src0")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("t"))
+      .collect().map(_.getLong(0)).sorted
+    val n = toks.length
+    // exact aggregates are exact regardless of the sketch
+    assert(approx.getAs[Long]("n_docs") == n)
+    assert(approx.getAs[Long]("total_tokens") == toks.sum)
+    // each sketched quantile must be an actual token count whose rank is
+    // within n/accuracy (+1 for the discrete-rank convention gap) of q*n
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val got = approx.getAs[Long](s"p${(q * 100).toInt}_tokens")
+      assert(toks.contains(got), s"p$q=$got is not an observed value")
+      val lo = toks.count(_ < got)       // smallest rank holding this value
+      val hi = toks.count(_ <= got)      // largest rank holding this value
+      val target = q * n
+      val slack = n.toDouble / 10000 + 1
+      assert(lo - slack <= target && target <= hi + slack,
+        s"p$q=$got rank window [$lo,$hi] too far from ${target} (n=$n)")
+    }
+  }
+
   test("sampling plans are shuffle-free map-side filters") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
