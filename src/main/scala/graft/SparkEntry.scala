@@ -600,6 +600,30 @@ object SparkEntry {
         .groupBy().count()
     }),
 
+    // S2 at the 100 TB shape: the DataSource V2 WRITE path. Each task
+    // streams its partition straight into one OCF file (dot-prefixed temp,
+    // renamed on job commit — a half-written job is never visible), so the
+    // sink fans out exactly as wide as the upstream plan with no driver
+    // funnel; reading the files back through the splittable scan closes the
+    // producer→consumer loop the reference spreads across
+    // datafile.py:140-289 (writer) and :292-479 (reader).
+    "q58_ocf_v2_write" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+      val out = landingDir(s, "graft_q58_ocf_")
+      l.repartition(4)
+        .write.format("graft-ocf").mode("overwrite")
+        .option("codec", "deflate")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf")
+        .option("splitSize", (64 * 1024).toString)
+        .load(out.getAbsolutePath)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
     // the (slow) codec's bench cost trivial.
     "q39_ocf_bzip2_roundtrip" -> ((s, dir) => {
@@ -1137,6 +1161,12 @@ object SparkEntry {
     // the pushed count is a pure row count of the round-tripped orders file
     "q56_ocf_count_pushdown" ->
       """SELECT count(*) AS count FROM orders""",
+
+    // the V2 write → split-scan read is a pure round-trip of four lineitem
+    // columns, so the oracle is the same aggregate straight off the parquet
+    "q58_ocf_v2_write" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // three-branch union: exactly one member non-null per row, by k mod 3
     "q52_union3_roundtrip" ->

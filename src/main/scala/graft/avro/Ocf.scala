@@ -233,38 +233,81 @@ object Ocf {
   def writePreEncoded(schema: AvroSchema, datums: Iterator[Array[Byte]],
                       codecName: String = "null",
                       syncOpt: Option[Array[Byte]] = None): Array[Byte] = {
-    val codec = AvroCodecs(codecName)
-    val sync = syncOpt.getOrElse {
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(schema.canonical.getBytes("UTF-8"))
-    }
-    require(sync.length == SyncSize, s"sync marker must be $SyncSize bytes")
-    val out = new AvroBinaryWriter()
-    out.writeFixed(Magic)
+    val bos = new ByteArrayOutputStream()
+    val w = new OcfStreamWriter(bos, schema, codecName, syncOpt)
+    datums.foreach(w.append)
+    w.finish()
+    bos.toByteArray
+  }
+}
+
+/** Incremental OCF writer over any `OutputStream` — the streaming-file face
+  * of [[Ocf.writePreEncoded]] (reference: python-udf/avro/datafile.py:140-289
+  * DataFileWriter, which likewise buffers datums and seals a block per
+  * `SYNC_INTERVAL`). The header (magic, codec+schema meta, sync marker) is
+  * emitted at construction; each `append` buffers one pre-encoded datum and
+  * seals a block — count varint, size varint, compressed body, sync — once
+  * `blockBytes` is buffered. `finish()` seals the tail block but does NOT
+  * close the underlying stream (the caller owns file lifecycle / commit
+  * protocol). Byte-for-byte identical framing to [[Ocf.writePreEncoded]]:
+  * deterministic schema-fingerprint sync unless supplied, flush-after-append
+  * policy, so a file written here reads back through every existing OCF
+  * consumer. Memory is bounded by one block (~`blockBytes`), so a task can
+  * stream arbitrarily many rows to a 100 GB file without heap growth. */
+final class OcfStreamWriter(out: java.io.OutputStream, schema: AvroSchema,
+                            codecName: String = "null",
+                            syncOpt: Option[Array[Byte]] = None,
+                            blockBytes: Int = Ocf.SyncInterval) {
+  require(blockBytes > 0, s"blockBytes must be positive; got $blockBytes")
+  private val codec = AvroCodecs(codecName)
+  private val sync = syncOpt.getOrElse {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(schema.canonical.getBytes("UTF-8"))
+  }
+  require(sync.length == Ocf.SyncSize,
+    s"sync marker must be ${Ocf.SyncSize} bytes")
+
+  locally {
+    val h = new AvroBinaryWriter()
+    h.writeFixed(Ocf.Magic)
     val meta = mutable.LinkedHashMap[String, Array[Byte]](
       "avro.codec" -> codecName.getBytes("UTF-8"),
       "avro.schema" -> AvroSchemaParser.toJson(schema).getBytes("UTF-8"))
-    out.writeLong(meta.size.toLong)
-    meta.foreach { case (k, v) => out.writeString(k); out.writeBytes(v) }
-    out.writeLong(0)
-    out.writeFixed(sync)
-    var buf = new java.io.ByteArrayOutputStream()
-    var blockCount = 0L
-    def flush(): Unit = if (blockCount > 0) {
-      val compressed = codec.compress(buf.toByteArray)
-      out.writeLong(blockCount)
-      out.writeLong(compressed.length.toLong)
-      out.writeFixed(compressed)
-      out.writeFixed(sync)
-      buf = new java.io.ByteArrayOutputStream()
-      blockCount = 0
-    }
-    datums.foreach { d =>
-      buf.write(d, 0, d.length)
-      blockCount += 1
-      if (buf.size() >= SyncInterval) flush()
-    }
-    flush()
-    out.toByteArray
+    h.writeLong(meta.size.toLong)
+    meta.foreach { case (k, v) => h.writeString(k); h.writeBytes(v) }
+    h.writeLong(0)
+    h.writeFixed(sync)
+    val bytes = h.toByteArray
+    out.write(bytes, 0, bytes.length)
   }
+
+  private var buf = new ByteArrayOutputStream()
+  private var blockCount = 0L
+  private var total = 0L
+
+  /** Rows appended so far (across all blocks). */
+  def rowCount: Long = total
+
+  def append(datum: Array[Byte]): Unit = {
+    buf.write(datum, 0, datum.length)
+    blockCount += 1
+    total += 1
+    if (buf.size() >= blockBytes) flushBlock()
+  }
+
+  private def flushBlock(): Unit = if (blockCount > 0) {
+    val compressed = codec.compress(buf.toByteArray)
+    val w = new AvroBinaryWriter()
+    w.writeLong(blockCount)
+    w.writeLong(compressed.length.toLong)
+    w.writeFixed(compressed)
+    w.writeFixed(sync)
+    val bytes = w.toByteArray
+    out.write(bytes, 0, bytes.length)
+    buf = new ByteArrayOutputStream()
+    blockCount = 0
+  }
+
+  /** Seal any buffered tail block. Idempotent; does not close `out`. */
+  def finish(): Unit = flushBlock()
 }

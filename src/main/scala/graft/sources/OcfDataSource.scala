@@ -76,9 +76,16 @@ final class OcfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ocf"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     resolvedFor(options).sql
+  /** Writes hand the QUERY schema to `getTable` instead of calling
+    * [[inferSchema]] — essential for writing to a directory that does not
+    * exist yet (a read-style resolve would fail on the empty listing).
+    * Resolution therefore happens LAZILY, at first scan. */
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    new OcfTable(resolvedFor(new CaseInsensitiveStringMap(properties)))
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new OcfTable(Option(schema), () => resolvedFor(opts))
+  }
 }
 
 object OcfDataSource {
@@ -281,14 +288,34 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   }
 }
 
-private[sources] final class OcfTable(resolved: OcfDataSource.Resolved)
-    extends Table with SupportsRead {
+/** `external` is the schema Spark handed to `getTable`: on the read path the
+  * just-inferred schema (or a user `.schema(...)`, which must match what the
+  * files resolve to); on the write path the query's schema. `resolve` runs
+  * the directory listing + header resolution lazily so a pure write never
+  * lists (or requires) existing input files. */
+private[sources] final class OcfTable(
+    external: Option[StructType],
+    resolve: () => OcfDataSource.Resolved)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "graft-ocf"
-  override def schema(): StructType = resolved.sql
+  override def schema(): StructType = external.getOrElse(resolve().sql)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OcfScanBuilder(resolved)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val r = resolve()
+    external.foreach { ext =>
+      require(ext == r.sql,
+        "graft-ocf: a user-specified read schema must match the resolved file schema " +
+          s"(got ${ext.simpleString}, resolved ${r.sql.simpleString}); " +
+          "use the 'readerSchema' option (Avro JSON) to project/resolve instead")
+    }
+    new OcfScanBuilder(r)
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new OcfWriteBuilder(info)
 }
 
 private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)

@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.io.IOException
+
+import graft.avro._
+import graft.spark.{AvroRuntime, CatalystAvroWriter, InternalRowGetters, SchemaConverters}
+import org.apache.hadoop.fs.{FSDataOutputStream, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+
+/** DataSource V2 WRITE path for Avro Object Container Files — the sink
+  * mirror of [[OcfDataSource]]: `df.write.format("graft-ocf")` (batch) and
+  * `df.writeStream.format("graft-ocf")` (streaming), completing the
+  * source/sink symmetry the reference expresses as producer + consumer of
+  * the same container format (python-udf/avro/datafile.py:140-289
+  * DataFileWriter vs :292-479 DataFileReader).
+  *
+  * Scale shape (the 100 TB story):
+  *  - each TASK streams its partition's rows straight to one OCF file via
+  *    [[graft.avro.OcfStreamWriter]] — memory bounded by one ~64 KB block,
+  *    no driver funnel, no shuffle: writing fans out exactly as wide as the
+  *    upstream plan;
+  *  - row→datum encoding reuses the compiled [[CatalystAvroWriter]]
+  *    (one compile per executor via [[AvroRuntime]]'s caches, same as the
+  *    read side), fields matched to Avro record fields BY NAME (positional
+  *    pairing would silently swap same-typed columns);
+  *  - commit protocol: tasks write DOT-PREFIXED temp files (invisible to
+  *    [[OcfDataSource]]'s listing and to Spark's own file index), the driver
+  *    renames them into place on job/epoch commit — a half-written job is
+  *    never observable as data;
+  *  - empty partitions produce NO file (a 10k-partition plan with 12
+  *    non-empty partitions writes 12 files, not 10k headers);
+  *  - streaming epochs use DETERMINISTIC final names
+  *    (`part-<epoch>-<partition>.avro`), so a replayed epoch after failure
+  *    overwrites its own output — idempotent, giving exactly-once file
+  *    contents downstream of Spark's checkpointed offset log.
+  *
+  * Options: `avroSchema` (explicit writer schema JSON; default derived from
+  * the query schema via [[SchemaConverters.toAvroType]]), `codec`
+  * (null/deflate/snappy/zstandard/bzip2; default null), `blockBytes`
+  * (block flush threshold; default [[Ocf.SyncInterval]]).
+  * `mode("overwrite")` clears the directory's visible files at commit
+  * (`SupportsTruncate`); `mode("append")` adds files.
+  */
+private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateAll = false
+  override def truncate(): WriteBuilder = { truncateAll = true; this }
+
+  override def build(): Write = {
+    val opts = info.options()
+    val dir = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-ocf write: no 'path' specified"))
+    val sql = info.schema()
+    val avroJson = Option(opts.get("avroSchema")).getOrElse(
+      AvroSchemaParser.toJson(SchemaConverters.toAvroType(sql)))
+    val codecName = Option(opts.get("codec")).getOrElse("null")
+    AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
+    val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
+    require(blockBytes > 0, s"graft-ocf write: blockBytes must be positive, got $blockBytes")
+    val cfg = OcfWriteConfig(dir, sql, avroJson,
+      OcfWrite.fieldOrdinals(sql, avroJson), codecName, blockBytes,
+      new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+      info.queryId())
+    // compile the row→datum writers once driver-side so schema mismatches
+    // (wrong type for a field, non-record schema) fail the plan
+    OcfWrite.compileFieldWriters(cfg)
+    new OcfWrite(cfg, truncateAll)
+  }
+}
+
+/** Everything a writer task needs, resolved once at plan time. */
+private[sources] final case class OcfWriteConfig(
+    dir: String, sql: StructType, avroJson: String, ordinals: Array[Int],
+    codecName: String, blockBytes: Int, conf: SerializableHadoopConf,
+    jobId: String)
+
+private[sources] object OcfWrite {
+
+  /** Map each Avro record field to its DataFrame column ordinal — exact name
+    * first, then unique case-insensitive (Spark analysis is case-insensitive
+    * by default), mirroring [[OcfDataSource.pruneAvro]]'s matching. Missing
+    * or ambiguous columns fail here, at plan time. */
+  def fieldOrdinals(sql: StructType, avroJson: String): Array[Int] = {
+    val rec = recordOf(avroJson)
+    rec.fields.map { f =>
+      val exact = sql.fields.indexWhere(_.name == f.name)
+      if (exact >= 0) exact
+      else sql.fields.zipWithIndex.filter(_._1.name.equalsIgnoreCase(f.name)) match {
+        case Array((_, i)) => i
+        case Array() => throw new IllegalArgumentException(
+          s"graft-ocf write: DataFrame lacks a column for Avro field '${f.name}' " +
+            s"(have: ${sql.fieldNames.mkString(", ")})")
+        case many => throw new IllegalArgumentException(
+          s"graft-ocf write: Avro field '${f.name}' matches ${many.length} columns " +
+            s"case-insensitively; rename to disambiguate")
+      }
+    }.toArray
+  }
+
+  def recordOf(avroJson: String): ARecord = AvroRuntime.parse(avroJson).physical match {
+    case r: ARecord => r
+    case other => throw new IllegalArgumentException(
+      s"graft-ocf write requires a record schema; got ${other.typeName}")
+  }
+
+  /** Per-Avro-field (writer, getter) pairs in Avro field order; the ordinal
+    * array maps each to its source column. Compiled once per executor
+    * ([[AvroRuntime.parse]] caches the schema parse; the closures themselves
+    * are cheap to build). */
+  def compileFieldWriters(cfg: OcfWriteConfig): Array[(CatalystAvroWriter.Writer, InternalRowGetters.Getter)] = {
+    val rec = recordOf(cfg.avroJson)
+    rec.fields.zipWithIndex.map { case (f, i) =>
+      val dt = cfg.sql.fields(cfg.ordinals(i)).dataType
+      (CatalystAvroWriter.compile(dt, f.schema), InternalRowGetters.forType(dt))
+    }.toArray
+  }
+}
+
+/** The logical write: one class serves batch (`toBatch`) and streaming
+  * (`toStreaming`) — the factories differ only in file naming. */
+private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
+    extends Write with BatchWrite {
+
+  override def description(): String =
+    s"graft-ocf dir=${cfg.dir} codec=${cfg.codecName} schema=${cfg.sql.simpleString}"
+
+  override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = new OcfStreamingWrite(cfg, truncateAll)
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+    OcfBatchWriterFactory(cfg)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    OcfCommit.publish(cfg, messages, clearVisible = truncateAll)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    OcfCommit.discard(cfg, messages)
+}
+
+private[sources] final class OcfStreamingWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo): StreamingDataWriterFactory =
+    OcfStreamingWriterFactory(cfg)
+
+  /** Epoch commit: rename this epoch's temps over their DETERMINISTIC final
+    * names (replacing a failed earlier attempt of the SAME epoch, never a
+    * different epoch's output). Complete-output mode (`truncate`) clears
+    * visible files first, so each epoch replaces the directory's contents. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    OcfCommit.publish(cfg, messages, clearVisible = truncateAll)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    OcfCommit.discard(cfg, messages)
+}
+
+private[sources] final case class OcfBatchWriterFactory(cfg: OcfWriteConfig)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new OcfDataWriter(cfg,
+      f"part-$partitionId%05d-${cfg.jobId}.avro",
+      f".part-$partitionId%05d-$taskId-${cfg.jobId}.avro.tmp")
+}
+
+private[sources] final case class OcfStreamingWriterFactory(cfg: OcfWriteConfig)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new OcfDataWriter(cfg,
+      f"part-$epochId%05d-$partitionId%05d.avro",
+      f".part-$epochId%05d-$partitionId%05d-$taskId.avro.tmp")
+}
+
+/** Streams one partition's rows to one temp OCF file. The file is opened
+  * LAZILY on the first row, so empty partitions cost nothing; the temp name
+  * is dot-prefixed (invisible to listings) and unique per task ATTEMPT, so
+  * speculative/retried attempts never collide — only the committed attempt's
+  * temp is renamed by the driver. */
+private[sources] final class OcfDataWriter(
+    cfg: OcfWriteConfig, finalName: String, tmpName: String)
+    extends DataWriter[InternalRow] {
+
+  private val fieldWriters = OcfWrite.compileFieldWriters(cfg)
+  private val ordinals = cfg.ordinals
+  private val schema = OcfWrite.recordOf(cfg.avroJson)
+
+  private var out: FSDataOutputStream = _
+  private var ocf: OcfStreamWriter = _
+
+  override def write(row: InternalRow): Unit = {
+    if (ocf == null) {
+      val p = new Path(cfg.dir, tmpName)
+      out = p.getFileSystem(cfg.conf.value).create(p, true)
+      ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes)
+    }
+    val w = new AvroBinaryWriter()
+    var i = 0
+    while (i < fieldWriters.length) {
+      val ord = ordinals(i)
+      val (fw, getter) = fieldWriters(i)
+      fw(if (row.isNullAt(ord)) null else getter(row, ord), w)
+      i += 1
+    }
+    ocf.append(w.toByteArray)
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (ocf == null) OcfCommitMessage(null, null, 0L)
+    else {
+      val rows = ocf.rowCount
+      ocf.finish()
+      out.close()
+      out = null
+      OcfCommitMessage(new Path(cfg.dir, tmpName).toString,
+        new Path(cfg.dir, finalName).toString, rows)
+    }
+
+  override def abort(): Unit = {
+    close()
+    val p = new Path(cfg.dir, tmpName)
+    val fs = p.getFileSystem(cfg.conf.value)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  override def close(): Unit =
+    if (out != null) {
+      try out.close() catch { case _: IOException => }
+      out = null
+    }
+}
+
+/** One written file: temp path + destination (null/null for an empty
+  * partition that wrote nothing). */
+private[sources] final case class OcfCommitMessage(
+    tmp: String, dest: String, rows: Long) extends WriterCommitMessage
+
+private[sources] object OcfCommit {
+
+  /** Driver-side job/epoch commit: optionally clear the directory's VISIBLE
+    * files (overwrite / complete mode), then rename every committed temp
+    * over its final name. Renames are within one directory (atomic on
+    * HDFS/local); a destination left by a failed attempt of the same job or
+    * a replayed epoch is replaced. */
+  def publish(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage],
+              clearVisible: Boolean): Unit = {
+    val dirPath = new Path(cfg.dir)
+    val fs = dirPath.getFileSystem(cfg.conf.value)
+    fs.mkdirs(dirPath)
+    if (clearVisible) {
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    messages.foreach {
+      case OcfCommitMessage(tmp, dest, _) if tmp != null =>
+        val destPath = new Path(dest)
+        if (fs.exists(destPath)) fs.delete(destPath, false)
+        if (!fs.rename(new Path(tmp), destPath))
+          throw new IOException(s"graft-ocf write: failed to rename $tmp to $dest")
+      case _ => ()
+    }
+  }
+
+  def discard(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(cfg.dir).getFileSystem(cfg.conf.value)
+    messages.foreach {
+      case OcfCommitMessage(tmp, _, _) if tmp != null =>
+        val p = new Path(tmp)
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ => ()
+    }
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import graft.avro.Ocf
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DataSource V2 WRITE path (`df.write.format("graft-ocf")` and
+  * `writeStream.format("graft-ocf")`) — the sink mirror of the splittable
+  * reader (reference producer: python-udf/avro/datafile.py:140-289). */
+class OcfWriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-ocfwrite-spec")
+    .getOrCreate()
+
+  private def tempDir(name: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def visibleFiles(dir: java.io.File): Seq[java.io.File] =
+    dir.listFiles().toSeq.filter(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+
+  private def readBack(dir: java.io.File): DataFrame =
+    spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+
+  test("batch write/read roundtrip preserves values, fans out per partition, leaves no temps") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-roundtrip")
+    val df = (0L until 1000L).map(i => (i, s"name_$i", i.toDouble / 7.0))
+      .toDF("id", "name", "score").repartition(3)
+    df.write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+
+    val files = visibleFiles(dir)
+    assert(files.size == 3, s"one file per non-empty partition; got ${files.map(_.getName)}")
+    assert(files.forall(_.getName.matches("part-\\d{5}-.*\\.avro")), files.map(_.getName).toString)
+    assert(dir.listFiles().forall(f => !f.getName.endsWith(".tmp")), "temp files must be renamed away")
+
+    val got = readBack(dir).as[(Long, String, Double)].collect().sorted
+    assert(got.length == 1000)
+    assert(got.toSeq == (0L until 1000L).map(i => (i, s"name_$i", i.toDouble / 7.0)))
+  }
+
+  test("empty partitions write no file") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-empty")
+    // 3 rows through 8 partitions: only the non-empty ones may produce files
+    Seq(1L, 2L, 3L).toDF("id").repartition(8)
+      .write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val files = visibleFiles(dir)
+    assert(files.nonEmpty && files.size <= 3,
+      s"expected at most one file per non-empty partition, got ${files.size}")
+    assert(readBack(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("overwrite mode replaces prior contents; append mode accumulates") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-modes")
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    Seq(3L).toDF("id").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    assert(readBack(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    Seq(9L).toDF("id").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Overwrite).save(dir.getAbsolutePath)
+    assert(readBack(dir).as[Long].collect().toSeq == Seq(9L))
+    assert(visibleFiles(dir).size == 1)
+  }
+
+  test("codec option shapes the container; blocks verify on read") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-codec")
+    val rows = (0L until 5000L).map(i => (i, "x" * 50))
+    rows.toDF("k", "v").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append)
+      .option("codec", "deflate").save(dir.getAbsolutePath)
+    val bytes = java.nio.file.Files.readAllBytes(visibleFiles(dir).head.toPath)
+    val (header, blocks) = Ocf.blockIterator(bytes)
+    assert(header.codecName == "deflate")
+    assert(blocks.map(_.datumCount).sum == 5000L, "block framing must account for every row")
+    assert(readBack(dir).count() == 5000L)
+  }
+
+  test("explicit avroSchema pins the writer schema and matches columns BY NAME") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-schema")
+    val avsc =
+      """{"type":"record","name":"Pinned","fields":[
+        |{"name":"b","type":"string"},{"name":"a","type":"long"}]}""".stripMargin
+    // DataFrame column order (a, b) differs from Avro field order (b, a)
+    Seq((1L, "one"), (2L, "two")).toDF("a", "b").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append)
+      .option("avroSchema", avsc).save(dir.getAbsolutePath)
+    val back = readBack(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("b", "a"), "Avro field order wins on read")
+    assert(back.schema.fields.forall(!_.nullable), "pinned non-null schema survives the roundtrip")
+    assert(back.as[(String, Long)].collect().sorted.toSeq == Seq(("one", 1L), ("two", 2L)))
+  }
+
+  test("nested/temporal/decimal types roundtrip through the V2 writer") {
+    val dir = tempDir("graft-w-types")
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT id,
+        |  named_struct('x', id * 2, 'y', concat('p', id)) AS pt,
+        |  array(id, id + 1) AS xs,
+        |  map('k', id) AS m,
+        |  date_add(date'2024-01-01', cast(id AS int)) AS d,
+        |  timestamp'2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+        |  cast(id AS decimal(12,3)) / 8 AS dec
+        |FROM range(200)""".stripMargin)
+    df.coalesce(1).write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val back = readBack(dir)
+    val exp = df.collect().map(_.toString).sorted
+    val got = back.collect().map(_.toString).sorted
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("plan-time failures: unknown codec, missing column, non-record schema") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-fail")
+    val df = Seq(1L).toDF("id")
+    intercept[Exception] {
+      df.write.format("graft-ocf").mode(SaveMode.Append)
+        .option("codec", "lzo").save(dir.getAbsolutePath)
+    }
+    intercept[Exception] {
+      df.write.format("graft-ocf").mode(SaveMode.Append)
+        .option("avroSchema",
+          """{"type":"record","name":"R","fields":[{"name":"nope","type":"long"}]}""")
+        .save(dir.getAbsolutePath)
+    }
+    intercept[Exception] {
+      df.write.format("graft-ocf").mode(SaveMode.Append)
+        .option("avroSchema", """"long"""").save(dir.getAbsolutePath)
+    }
+    assert(!dir.exists() || visibleFiles(dir).isEmpty, "failed plans must publish nothing")
+  }
+
+  test("streaming sink: epochs land as deterministic files, contents exactly once") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("graft-w-stream")
+    val ckpt = tempDir("graft-w-stream-ckpt")
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().withColumnRenamed("value", "id")
+      .writeStream.format("graft-ocf")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append")
+      .start(dir.getAbsolutePath)
+    try {
+      stream.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      stream.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val files = visibleFiles(dir)
+    assert(files.forall(_.getName.matches("part-\\d{5}-\\d{5}\\.avro")),
+      s"deterministic epoch-partition names required, got ${files.map(_.getName)}")
+    // two epochs → file name prefixes for two distinct epoch ids
+    assert(files.map(_.getName.split("-")(1)).distinct.size == 2)
+    assert(readBack(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(dir.listFiles().forall(f => !f.getName.endsWith(".tmp")))
+  }
+}
