@@ -955,6 +955,29 @@ object SparkEntry {
           ops.Multimodal.syntheticPnmAssets(t(s, dir, "documents")), 8, 6))
         .orderBy("asset_id")),
 
+    // Multimodal with the REAL video codec: uncompressed YUV4MPEG2 clips
+    // synthesized by the from-scratch Y4M writer, parsed back frame by
+    // frame (X16 completed for video). sum_bytes reduces every plane byte
+    // of every frame, so a wrong 4:2:0 plane-size computation or a
+    // header-only fake cannot match the oracle.
+    "q59_y4m_video_meta" -> ((s, dir) =>
+      ops.Multimodal.videoInfo(
+        ops.Multimodal.syntheticY4mAssets(t(s, dir, "documents")))
+        .orderBy("asset_id")),
+
+    // Frame EXTRACTION composing two real codecs: Y4M parse → luma plane →
+    // PGM encode → PNM parse. Every 2nd frame of each clip becomes a real
+    // grayscale image whose raster sum the oracle recomputes per
+    // (asset, frame) — at 100 TB only the sampled frames' bytes are ever
+    // materialized, partition-locally.
+    "q60_y4m_frame_sample" -> ((s, dir) =>
+      ops.Multimodal.imageInfo(
+        ops.Multimodal.videoFrameImages(
+          ops.Multimodal.syntheticY4mAssets(t(s, dir, "documents")), everyK = 2)
+          .select((col("asset_id") * 100 + col("frame_idx")).as("asset_id"),
+            col("content")))
+        .orderBy("asset_id")),
+
     // Multimodal: video frame sampling — metadata-only relational fan-out
     // (no binary content touched until a later decode stage selects frames).
     "q31_frame_sample" -> ((s, dir) =>
@@ -1505,6 +1528,36 @@ object SparkEntry {
         |        3 + doc_id % 11 AS h,
         |        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
         |      FROM documents)
+        |ORDER BY asset_id""".stripMargin,
+
+    // the Y4M fixtures are arithmetic: (8 + a%5*2)x(6 + a%4*2) C420 at
+    // (5 + a%5):1 fps, (a%6 + 2) frames, frame f byte i = (a*31+f*17+i*7)%256
+    // — parsed geometry/rate and the full-payload byte sum reproduce in SQL
+    // (frame bytes fb = w*h*3/2; j decomposes as f = j//fb, i = j%fb)
+    "q59_y4m_video_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS width,
+        |  CAST(6 + (doc_id % 4) * 2 AS INTEGER) AS height,
+        |  CAST(5 + doc_id % 5 AS INTEGER) AS fps_num, 1 AS fps_den,
+        |  CAST(doc_id % 6 + 2 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 6 + 2) * 1000 // (5 + doc_id % 5) AS BIGINT) AS duration_ms,
+        |  CAST(list_sum(list_transform(generate_series(0, (doc_id % 6 + 2) * ((8 + (doc_id % 5) * 2) * (6 + (doc_id % 4) * 2) * 3 // 2) - 1),
+        |    j -> (doc_id * 31 + (j // ((8 + (doc_id % 5) * 2) * (6 + (doc_id % 4) * 2) * 3 // 2)) * 17
+        |          + (j % ((8 + (doc_id % 5) * 2) * (6 + (doc_id % 4) * 2) * 3 // 2)) * 7) % 256)) AS BIGINT) AS sum_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // every 2nd frame's LUMA plane as a PGM image: key = asset*100 + frame,
+    // raster sum over the first w*h bytes of that frame's deterministic fill
+    "q60_y4m_frame_sample" ->
+      """SELECT a * 100 + f AS asset_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  1 AS channels, 255 AS maxval,
+        |  CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+        |    i -> (a * 31 + f * 17 + i * 7) % 256)) AS BIGINT) AS sum_pixels
+        |FROM (SELECT doc_id AS a, 8 + (doc_id % 5) * 2 AS w, 6 + (doc_id % 4) * 2 AS h,
+        |        doc_id % 6 + 2 AS n FROM documents),
+        |  UNNEST(generate_series(0, n - 1)) AS t(f)
+        |WHERE f % 2 = 0
         |ORDER BY asset_id""".stripMargin,
 
     "q31_frame_sample" ->

@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
   * plans and scales it like any other generator.
   *
   * ==== CODEC LAYER ====
-  * Both media codecs are REAL, from-scratch parsers/writers: [[WavCodec]]
-  * (RIFF/WAVE PCM) drives [[audioInfo]]/[[syntheticWavAssets]], and
+  * All three media codecs are REAL, from-scratch parsers/writers:
+  * [[WavCodec]] (RIFF/WAVE PCM) drives [[audioInfo]]/[[syntheticWavAssets]],
   * [[PnmCodec]] (binary PPM/PGM) drives [[imageInfo]]/[[resizeImages]]/
   * [[syntheticPnmAssets]] — including a real nearest-neighbor resampler
-  * over decoded pixels. What remains in [[OpaqueStats]] is not a stub: it
-  * is the kind-agnostic byte-statistics operator for payloads whose codec
-  * is unknown (the honest operation on opaque binary). Formats needing
-  * licensed/compressed codecs (JPEG, H.264) are out of container scope;
-  * wrapping one means adding a sibling of [[WavCodec]]/[[PnmCodec]].
+  * over decoded pixels — and [[Y4mCodec]] (YUV4MPEG2 planar video) drives
+  * [[videoInfo]]/[[videoFrameImages]]/[[syntheticY4mAssets]], with frame
+  * extraction composing into [[PnmCodec]] grayscale images. What remains in
+  * [[OpaqueStats]] is not a stub: it is the kind-agnostic byte-statistics
+  * operator for payloads whose codec is unknown (the honest operation on
+  * opaque binary). Formats needing licensed/compressed codecs (JPEG, H.264)
+  * are out of container scope; wrapping one means adding a sibling of
+  * [[WavCodec]]/[[PnmCodec]]/[[Y4mCodec]].
   *
   * Scale notes (100 TB of media):
   *  - binary content never enters a shuffle: stats/features are computed
@@ -196,6 +199,84 @@ object Multimodal {
       PnmCodec.write(PnmCodec.resize(PnmCodec.parse(content), targetW, targetH)))
     assets.where(col("kind") === "image")
       .withColumn("content", resizeUdf(col("content")))
+  }
+
+  /** Deterministic REAL-Y4M video fixtures: one uncompressed C420 clip per
+    * doc, synthesized by the real [[Y4mCodec]] writer — asset `a` is
+    * `(8 + (a%5)*2)`x`(6 + (a%4)*2)` (even dims for 4:2:0 chroma) at
+    * `(5 + a%5)`:1 fps with `(a%6 + 2)` frames; byte `i` of frame `f`
+    * (across all three planes) is `(a*31 + f*17 + i*7) % 256` — so every
+    * fact [[videoInfo]] extracts (geometry, rate, frame count, duration,
+    * payload sum) is reproducible arithmetically by the SQL oracle. */
+  def syntheticY4mAssets(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val y4mUdf = udf((assetId: Long) => {
+      val w = 8 + ((assetId % 5) * 2).toInt
+      val h = 6 + ((assetId % 4) * 2).toInt
+      val n = ((assetId % 6) + 2).toInt
+      val fb = Y4mCodec.frameBytes(w, h, "420")
+      val frames = Vector.tabulate(n) { f =>
+        val arr = new Array[Byte](fb)
+        var i = 0
+        while (i < fb) {
+          arr(i) = ((assetId * 31 + f.toLong * 17 + i.toLong * 7) % 256).toByte
+          i += 1
+        }
+        arr
+      }
+      Y4mCodec.write(Y4mCodec.Y4mVideo(w, h, 5 + (assetId % 5).toInt, 1, "420", frames))
+    })
+    docs.select(col(idCol).cast("long").as("asset_id"))
+      .withColumn("kind", lit("video"))
+      .withColumn("content", y4mUdf(col("asset_id")))
+  }
+
+  /** Parse REAL Y4M stream headers + every frame's planes partition-locally
+    * (the video third of the codec layer): one [[Y4mCodec.parse]] per asset,
+    * no shuffle of content — only (id, parsed facts) rows leave the
+    * partition. `sum_bytes` reduces every plane byte of every frame, so a
+    * wrong frame-size computation or a header-only fake cannot match. */
+  def videoInfo(assets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("fps_num", IntegerType),
+      StructField("fps_den", IntegerType), StructField("n_frames", LongType),
+      StructField("duration_ms", LongType), StructField("sum_bytes", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val v = Y4mCodec.parse(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[Long]("asset_id"), v.width, v.height, v.fpsNum, v.fpsDen,
+          v.nFrames.toLong, v.durationMs, v.sumBytes)
+      }
+    }(encoder)
+  }
+
+  /** Decode every `everyK`-th frame of each clip into a REAL grayscale
+    * image: Y4M parse → luma plane → [[PnmCodec]] PGM encode, composing two
+    * from-scratch codecs partition-locally. Output rows are
+    * (asset_id, frame_idx, content=PGM bytes) — the decoded-frame fan-out
+    * stage that [[frameSample]] plans as metadata; at 100 TB only the
+    * SELECTED frames' bytes are ever materialized, and they never shuffle
+    * unless a downstream stage asks them to. */
+  def videoFrameImages(assets: DataFrame, everyK: Int): DataFrame = {
+    require(everyK > 0, s"everyK must be positive; got $everyK")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType), StructField("frame_idx", LongType),
+      StructField("content", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    assets.select(col("asset_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val v = Y4mCodec.parse(r.getAs[Array[Byte]]("content"))
+        (0 until v.nFrames by everyK).iterator.map { f =>
+          Row(r.getAs[Long]("asset_id"), f.toLong,
+            PnmCodec.write(PnmCodec.PnmImage(v.width, v.height, 1, 255, v.lumaFrame(f))))
+        }
+      }
+    }(encoder)
   }
 
   /** Frame sampling for video assets: one row per sampled frame timestamp,

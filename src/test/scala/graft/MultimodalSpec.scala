@@ -152,6 +152,81 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("Y4M codec: write/parse round-trip, param tolerance, corruption rejected") {
+    import graft.ops.Y4mCodec
+    val fb = Y4mCodec.frameBytes(8, 6, "420")
+    assert(fb == 8 * 6 + 2 * (4 * 3))
+    val frames = Vector.tabulate(3)(f =>
+      Array.tabulate[Byte](fb)(i => ((f * 50 + i * 3) % 256).toByte))
+    val v = Y4mCodec.Y4mVideo(8, 6, 25, 1, "420", frames)
+    val back = Y4mCodec.parse(Y4mCodec.write(v))
+    assert(back.width == 8 && back.height == 6 && back.fpsNum == 25 && back.fpsDen == 1)
+    assert(back.nFrames == 3 && back.colorspace == "420")
+    (0 until 3).foreach(f => assert(back.frames(f).sameElements(frames(f))))
+    assert(back.durationMs == 3 * 1000 / 25)
+    assert(back.lumaFrame(1).sameElements(frames(1).take(48)))
+
+    // other subsamplings size their planes correctly
+    assert(Y4mCodec.frameBytes(8, 6, "422") == 48 + 2 * 4 * 6)
+    assert(Y4mCodec.frameBytes(8, 6, "444") == 3 * 48)
+    assert(Y4mCodec.frameBytes(8, 6, "mono") == 48)
+
+    // unknown stream params (X...) and per-frame params are skipped per spec
+    val loose = ("YUV4MPEG2 W2 H2 F30:1 Ip A1:1 C420 XYSCSS=420\n" +
+      "FRAME Ipremixed\n").getBytes("US-ASCII") ++ Array.tabulate[Byte](6)(_.toByte)
+    val lv = Y4mCodec.parse(loose)
+    assert(lv.nFrames == 1 && lv.sumBytes == (0 until 6).sum)
+
+    // corruption fails loudly: bad magic, odd 4:2:0 dims, truncated frame
+    intercept[IllegalArgumentException] { Y4mCodec.parse("MPEG4 garbage\n".getBytes) }
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse("YUV4MPEG2 W3 H2 F30:1\nFRAME\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { Y4mCodec.parse(Y4mCodec.write(v).dropRight(5)) }
+  }
+
+  test("videoInfo parses real Y4M fixtures distributively and exactly") {
+    val info = Multimodal.videoInfo(Multimodal.syntheticY4mAssets(docs))
+      .orderBy("asset_id").limit(10).collect()
+    assert(info.nonEmpty)
+    info.foreach { r =>
+      val a = r.getAs[Long]("asset_id")
+      val w = 8 + ((a % 5) * 2).toInt; val h = 6 + ((a % 4) * 2).toInt
+      val n = ((a % 6) + 2).toInt; val num = 5 + (a % 5).toInt
+      val fb = w * h * 3 / 2
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("fps_num") == num && r.getAs[Int]("fps_den") == 1)
+      assert(r.getAs[Long]("n_frames") == n)
+      assert(r.getAs[Long]("duration_ms") == n.toLong * 1000 / num)
+      val expectedSum = (0 until n).map(f =>
+        (0 until fb).map(i => (a * 31 + f * 17 + i * 7) % 256).sum).sum
+      assert(r.getAs[Long]("sum_bytes") == expectedSum, s"asset $a")
+    }
+  }
+
+  test("videoFrameImages composes Y4M luma extraction into real PGM images") {
+    val frames = Multimodal.videoFrameImages(
+      Multimodal.syntheticY4mAssets(docs.limit(12)), everyK = 2)
+    val rows = frames.orderBy("asset_id", "frame_idx").collect()
+    rows.foreach { r =>
+      val a = r.getAs[Long]("asset_id")
+      val f = r.getAs[Long]("frame_idx")
+      assert(f % 2 == 0, "only every 2nd frame is decoded")
+      val img = graft.ops.PnmCodec.parse(r.getAs[Array[Byte]]("content"))
+      val w = 8 + ((a % 5) * 2).toInt; val h = 6 + ((a % 4) * 2).toInt
+      assert(img.width == w && img.height == h && img.channels == 1)
+      // luma plane = first w*h bytes of the frame's deterministic fill
+      val expectedSum = (0 until w * h).map(i => (a * 31 + f * 17 + i * 7) % 256).sum
+      assert(img.sumPixels == expectedSum, s"asset $a frame $f")
+    }
+    // cadence: asset 0 has 2 frames -> 1 sampled; asset 5 has 7 -> 4 sampled
+    val byAsset = rows.groupBy(_.getAs[Long]("asset_id")).map { case (a, rs) => (a, rs.length) }
+    byAsset.foreach { case (a, cnt) =>
+      val n = ((a % 6) + 2).toInt
+      assert(cnt == (n + 1) / 2, s"asset $a: $cnt of $n frames sampled")
+    }
+  }
+
   test("frame sampling fans out metadata-only rows at the step cadence") {
     val frames = Multimodal.frameSample(assets, 250L)
     val one = frames.where(col("asset_id") === 2).orderBy("frame_idx").collect()
