@@ -850,6 +850,24 @@ object SparkEntry {
           expr("CAST(round(dup_token_frac, 9) AS DOUBLE)").as("dup_token_frac"))
         .orderBy("doc_id")),
 
+    // X-op: PII scrub — the map-side detect+redact pass every training
+    // pipeline runs first. PII is PLANTED deterministically (an email, an
+    // IPv4, a 9+-digit account number per doc) so the oracle can re-plant
+    // and re-scrub identically; patterns are engine-portable (no \b, no
+    // lookaround) so Java regex and the oracle's RE2 agree byte-for-byte.
+    // Whole-stage codegen'd regexp built-ins, zero shuffle.
+    "q61_pii_redaction" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+          col("doc_id") % 256, lit(".7 acct "),
+          col("doc_id") * 1000003 + 123456789).as("text"))
+      ops.TextAnalysis.redactPii(planted, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_idnums"),
+          md5(col("text_redacted")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force exact cosine top-k (the ANN correctness baseline).
     "q26_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1529,6 +1547,24 @@ object SparkEntry {
         |        CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS ch
         |      FROM documents)
         |ORDER BY asset_id""".stripMargin,
+
+    // PII scrub: plant → count → redact re-done in SQL with the same
+    // engine-portable patterns ('g' = replace-all, matching Spark's default)
+    "q61_pii_redaction" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+        |    (doc_id % 256) || '.7 acct ' || (doc_id * 1000003 + 123456789) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\d{9,}')) AS INTEGER) AS n_idnums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |      '\d{9,}', '<ID>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
 
     // the Y4M fixtures are arithmetic: (8 + a%5*2)x(6 + a%4*2) C420 at
     // (5 + a%5):1 fps, (a%6 + 2) frames, frame f byte i = (a*31+f*17+i*7)%256

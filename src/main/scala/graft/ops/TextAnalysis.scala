@@ -118,6 +118,43 @@ object TextAnalysis {
         .as("dup_token_frac"))
   }
 
+  // ---- PII detection / redaction -------------------------------------
+
+  /** PII patterns shared by detection and redaction. Deliberately
+    * ENGINE-PORTABLE: plain character classes and greedy quantifiers only —
+    * no `\b` word boundaries (ASCII-only in RE2 engines but Unicode-aware
+    * in Java, so the same corpus could count differently), no lookarounds
+    * (absent from RE2 entirely). Under leftmost-first greedy matching these
+    * behave identically in Spark (java.util.regex) and the DuckDB/RE2-style
+    * engines a SQL oracle runs on. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  /** Account/phone-shaped digit runs (9+ digits). Must be applied AFTER
+    * email and IPv4 redaction so their digits are already collapsed. */
+  val IdNumberPattern = "\\d{9,}"
+
+  /** Detect and redact PII in one map-side pass: per-row match counts (on
+    * the ORIGINAL text) plus a `<textCol>_redacted` column with emails,
+    * IPv4s, then long digit runs replaced by typed tokens. Pure built-in
+    * `regexp_extract_all`/`regexp_replace` — whole-stage codegen'd, zero
+    * shuffle, so at 100 TB this is one streaming pass over the corpus (the
+    * scrub stage every training pipeline runs before anything else). */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+      .withColumn("n_idnums",
+        size(regexp_extract_all(t, lit(IdNumberPattern), lit(0))))
+      .withColumn(s"${textCol}_redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailPattern, "<EMAIL>"),
+            Ipv4Pattern, "<IP>"),
+          IdNumberPattern, "<ID>"))
+  }
+
   /** Standard per-document feature set over a corpus. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
