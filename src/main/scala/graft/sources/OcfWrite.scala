@@ -188,6 +188,9 @@ private[sources] final class OcfDataWriter(
 
   private var out: FSDataOutputStream = _
   private var ocf: OcfStreamWriter = _
+  // one reusable datum encoder per writer: reset the backing buffer per row
+  // instead of allocating a fresh writer + stream per row
+  private val enc = new AvroBinaryWriter()
 
   override def write(row: InternalRow): Unit = {
     if (ocf == null) {
@@ -195,15 +198,15 @@ private[sources] final class OcfDataWriter(
       out = p.getFileSystem(cfg.conf.value).create(p, true)
       ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes)
     }
-    val w = new AvroBinaryWriter()
+    enc.out.reset()
     var i = 0
     while (i < fieldWriters.length) {
       val ord = ordinals(i)
       val (fw, getter) = fieldWriters(i)
-      fw(if (row.isNullAt(ord)) null else getter(row, ord), w)
+      fw(if (row.isNullAt(ord)) null else getter(row, ord), enc)
       i += 1
     }
-    ocf.append(w.toByteArray)
+    ocf.append(enc.toByteArray)
   }
 
   override def commit(): WriterCommitMessage =
