@@ -40,7 +40,9 @@ import org.apache.spark.sql.types.StructType
   * Options: `avroSchema` (explicit writer schema JSON; default derived from
   * the query schema via [[SchemaConverters.toAvroType]]), `codec`
   * (null/deflate/snappy/zstandard/bzip2; default null), `blockBytes`
-  * (block flush threshold; default [[Ocf.SyncInterval]]).
+  * (block flush threshold; default [[Ocf.SyncInterval]]),
+  * `maxBytesPerFile` (roll a task's output to a new file past this size;
+  * default unbounded).
   * `mode("overwrite")` clears the directory's visible files at commit
   * (`SupportsTruncate`); `mode("append")` adds files.
   */
@@ -60,11 +62,13 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
     require(blockBytes > 0, s"graft-ocf write: blockBytes must be positive, got $blockBytes")
+    val maxBytesPerFile = Option(opts.get("maxBytesPerFile")).map(_.toLong).getOrElse(Long.MaxValue)
+    require(maxBytesPerFile > 0, s"graft-ocf write: maxBytesPerFile must be positive, got $maxBytesPerFile")
     val cfg = OcfWriteConfig(dir, sql, avroJson,
       OcfWrite.fieldOrdinals(sql, avroJson), codecName, blockBytes,
       new SerializableHadoopConf(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
-      info.queryId())
+      info.queryId(), maxBytesPerFile)
     // compile the row→datum writers once driver-side so schema mismatches
     // (wrong type for a field, non-record schema) fail the plan
     OcfWrite.compileFieldWriters(cfg)
@@ -72,11 +76,14 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
   }
 }
 
-/** Everything a writer task needs, resolved once at plan time. */
+/** Everything a writer task needs, resolved once at plan time.
+  * `maxBytesPerFile` rolls a task's output to a fresh file once the current
+  * one exceeds the bound (checked at block-flush granularity) — at 100 TB a
+  * skewed 100 GB partition must not become one 100 GB file. */
 private[sources] final case class OcfWriteConfig(
     dir: String, sql: StructType, avroJson: String, ordinals: Array[Int],
     codecName: String, blockBytes: Int, conf: SerializableHadoopConf,
-    jobId: String)
+    jobId: String, maxBytesPerFile: Long = Long.MaxValue)
 
 private[sources] object OcfWrite {
 
@@ -173,11 +180,15 @@ private[sources] final case class OcfStreamingWriterFactory(cfg: OcfWriteConfig)
       f".part-$epochId%05d-$partitionId%05d-$taskId.avro.tmp")
 }
 
-/** Streams one partition's rows to one temp OCF file. The file is opened
+/** Streams one partition's rows to temp OCF files. The file is opened
   * LAZILY on the first row, so empty partitions cost nothing; the temp name
   * is dot-prefixed (invisible to listings) and unique per task ATTEMPT, so
   * speculative/retried attempts never collide — only the committed attempt's
-  * temp is renamed by the driver. */
+  * temps are renamed by the driver. When `maxBytesPerFile` is set the task
+  * ROLLS to a `-cNNN`-suffixed sibling once the current file exceeds the
+  * bound (checked at block-flush granularity, so the overshoot is at most
+  * one block); chunk names are a deterministic function of the data order,
+  * keeping streaming-epoch replay idempotent. */
 private[sources] final class OcfDataWriter(
     cfg: OcfWriteConfig, finalName: String, tmpName: String)
     extends DataWriter[InternalRow] {
@@ -188,13 +199,22 @@ private[sources] final class OcfDataWriter(
 
   private var out: FSDataOutputStream = _
   private var ocf: OcfStreamWriter = _
+  private var chunk = 0
+  private var totalRows = 0L
+  private val sealedFiles = Seq.newBuilder[OcfWrittenFile]
   // one reusable datum encoder per writer: reset the backing buffer per row
   // instead of allocating a fresh writer + stream per row
   private val enc = new AvroBinaryWriter()
 
+  // chunk 0 keeps the plain name so the common (no-roll) case and the
+  // deterministic streaming names are unchanged
+  private def chunked(name: String): String =
+    if (chunk == 0) name else name.replace(".avro", f"-c$chunk%03d.avro")
+  private def currentTmp: Path = new Path(cfg.dir, chunked(tmpName))
+
   override def write(row: InternalRow): Unit = {
     if (ocf == null) {
-      val p = new Path(cfg.dir, tmpName)
+      val p = currentTmp
       out = p.getFileSystem(cfg.conf.value).create(p, true)
       ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes)
     }
@@ -207,24 +227,37 @@ private[sources] final class OcfDataWriter(
       i += 1
     }
     ocf.append(enc.toByteArray)
+    // getPos counts FLUSHED bytes, so the roll triggers on sealed blocks
+    // only — at most one block of overshoot past the bound
+    if (out.getPos >= cfg.maxBytesPerFile) {
+      sealCurrent()
+      chunk += 1
+    }
   }
 
-  override def commit(): WriterCommitMessage =
-    if (ocf == null) OcfCommitMessage(null, null, 0L)
-    else {
-      val rows = ocf.rowCount
+  /** Finish and close the open file, recording its (tmp, dest) pair. */
+  private def sealCurrent(): Unit =
+    if (ocf != null) {
+      totalRows += ocf.rowCount
       ocf.finish()
       out.close()
+      sealedFiles += OcfWrittenFile(currentTmp.toString,
+        new Path(cfg.dir, chunked(finalName)).toString)
+      ocf = null
       out = null
-      OcfCommitMessage(new Path(cfg.dir, tmpName).toString,
-        new Path(cfg.dir, finalName).toString, rows)
     }
+
+  override def commit(): WriterCommitMessage = {
+    sealCurrent()
+    OcfCommitMessage(sealedFiles.result(), totalRows)
+  }
 
   override def abort(): Unit = {
     close()
-    val p = new Path(cfg.dir, tmpName)
-    val fs = p.getFileSystem(cfg.conf.value)
-    if (fs.exists(p)) fs.delete(p, false)
+    val fs = new Path(cfg.dir).getFileSystem(cfg.conf.value)
+    (sealedFiles.result().map(f => new Path(f.tmp)) :+ currentTmp).foreach { p =>
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
 
   override def close(): Unit =
@@ -234,10 +267,13 @@ private[sources] final class OcfDataWriter(
     }
 }
 
-/** One written file: temp path + destination (null/null for an empty
-  * partition that wrote nothing). */
+/** One written file: temp path + rename destination. */
+private[sources] final case class OcfWrittenFile(tmp: String, dest: String)
+
+/** One task's committed output: every sealed (tmp, dest) pair — empty for a
+  * partition that wrote nothing — plus the row total. */
 private[sources] final case class OcfCommitMessage(
-    tmp: String, dest: String, rows: Long) extends WriterCommitMessage
+    files: Seq[OcfWrittenFile], rows: Long) extends WriterCommitMessage
 
 private[sources] object OcfCommit {
 
@@ -259,11 +295,12 @@ private[sources] object OcfCommit {
       }
     }
     messages.foreach {
-      case OcfCommitMessage(tmp, dest, _) if tmp != null =>
-        val destPath = new Path(dest)
+      case OcfCommitMessage(files, _) => files.foreach { f =>
+        val destPath = new Path(f.dest)
         if (fs.exists(destPath)) fs.delete(destPath, false)
-        if (!fs.rename(new Path(tmp), destPath))
-          throw new IOException(s"graft-ocf write: failed to rename $tmp to $dest")
+        if (!fs.rename(new Path(f.tmp), destPath))
+          throw new IOException(s"graft-ocf write: failed to rename ${f.tmp} to ${f.dest}")
+      }
       case _ => ()
     }
   }
@@ -271,9 +308,10 @@ private[sources] object OcfCommit {
   def discard(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(cfg.dir).getFileSystem(cfg.conf.value)
     messages.foreach {
-      case OcfCommitMessage(tmp, _, _) if tmp != null =>
-        val p = new Path(tmp)
+      case OcfCommitMessage(files, _) => files.foreach { f =>
+        val p = new Path(f.tmp)
         if (fs.exists(p)) fs.delete(p, false)
+      }
       case _ => ()
     }
   }

@@ -125,6 +125,24 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("maxBytesPerFile rolls one partition's output into bounded chunk files") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-roll")
+    val rows = (0L until 20000L).map(i => (i, "x" * 60))
+    rows.toDF("k", "v").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append)
+      .option("maxBytesPerFile", (256 * 1024).toString)
+      .save(dir.getAbsolutePath)
+    val files = visibleFiles(dir)
+    assert(files.size > 2, s"~1.3 MB at a 256 KB bound must roll; got ${files.size} file(s)")
+    assert(files.count(!_.getName.contains("-c")) == 1, "chunk 0 keeps the plain name")
+    assert(files.forall(_.length <= 256 * 1024 + 70 * 1024),
+      s"each file is bounded (+ one block of overshoot); got ${files.map(_.length)}")
+    // every chunk is a standalone valid container and no row is lost or duped
+    val got = readBack(dir).as[(Long, String)].collect().sorted
+    assert(got.length == 20000 && got.toSeq == rows)
+  }
+
   test("plan-time failures: unknown codec, missing column, non-record schema") {
     import spark.implicits._
     val dir = tempDir("graft-w-fail")
