@@ -801,6 +801,16 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b")),
 
+    // Near-dup CLUSTERING: connected components over the q24 candidate
+    // pairs by iterative min-label propagation (exact convergence, lineage
+    // checkpointed per round). Only (id, label) pairs shuffle; rounds =
+    // largest component diameter. The oracle walks the same graph with a
+    // recursive CTE.
+    "q62_neardup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("doc_id")),
+
     // Blocked n-gram Jaccard over word shingles (exact set similarity).
     "q25_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", "source",
@@ -1076,6 +1086,36 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for non-SQL-expressible ops (custom hashing)
     * → driver records a weaker rows-only check. */
+  /** The q24 simhash candidate-pair derivation, shared verbatim by the q62
+    * connected-components oracle (which wraps it in a recursive CTE) so the
+    * two can never drift apart. No ORDER BY — callers append their own. */
+  private val simhashPairsOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(toks, t ->
+      |      list_reduce(
+      |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+      |          list_transform(generate_series(1, length(t)), i -> CAST(unicode(t[i]) AS HUGEINT))),
+      |        (acc, c) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)))
+      |                     * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS th
+      |  FROM f),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST((SELECT coalesce(sum(CASE WHEN 2 * len(list_filter(th, x -> (x // CAST(power(2, b.b) AS HUGEINT)) % 2 = 1)) > len(th)
+      |                     THEN CAST(power(2, b.b) AS HUGEINT) ELSE 0 END), 0)
+      |     FROM generate_series(0, 63) AS b(b)) AS HUGEINT) AS sh_u
+      |  FROM h),
+      |sb AS (
+      |  SELECT doc_id, CAST(CASE WHEN sh_u >= CAST('9223372036854775808' AS HUGEINT)
+      |       THEN sh_u - CAST('18446744073709551616' AS HUGEINT) ELSE sh_u END AS BIGINT) AS sh
+      |  FROM s)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      |FROM sb a, sb b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1359,33 +1399,22 @@ object SparkEntry {
     // xor identity works because FNV folds in one byte (< 256) at a time.
     // Recall is structural (4×16-bit pigeonhole covers Hamming ≤ 3), so the
     // all-pairs oracle matches the bucketed Spark plan exactly.
-    "q24_simhash_pairs" ->
-      """WITH f AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    list_transform(toks, t ->
-        |      list_reduce(
-        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
-        |          list_transform(generate_series(1, length(t)), i -> CAST(unicode(t[i]) AS HUGEINT))),
-        |        (acc, c) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), CAST(c AS BIGINT)))
-        |                     * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS th
-        |  FROM f),
-        |s AS (
-        |  SELECT doc_id,
-        |    CAST((SELECT coalesce(sum(CASE WHEN 2 * len(list_filter(th, x -> (x // CAST(power(2, b.b) AS HUGEINT)) % 2 = 1)) > len(th)
-        |                     THEN CAST(power(2, b.b) AS HUGEINT) ELSE 0 END), 0)
-        |     FROM generate_series(0, 63) AS b(b)) AS HUGEINT) AS sh_u
-        |  FROM h),
-        |sb AS (
-        |  SELECT doc_id, CAST(CASE WHEN sh_u >= CAST('9223372036854775808' AS HUGEINT)
-        |       THEN sh_u - CAST('18446744073709551616' AS HUGEINT) ELSE sh_u END AS BIGINT) AS sh
-        |  FROM s)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-        |FROM sb a, sb b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q24_simhash_pairs" -> (simhashPairsOracleSql + "\nORDER BY id_a, id_b"),
+
+    // near-dup CLUSTERS: connected components over the q24 pair graph —
+    // the oracle re-derives the same pairs, then walks reachability with a
+    // recursive CTE and labels each doc with its component's min id
+    "q62_neardup_components" ->
+      s"""WITH RECURSIVE
+        |pairs AS (SELECT id_a, id_b FROM ($simhashPairsOracleSql) q),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, w.label FROM e JOIN walk w ON w.id = e.b)
+        |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
+        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
 
     // Exact blocked (same-source) word-3-gram Jaccard ≥ 0.5; <3-token docs
     // have an empty gram set (ngramJaccard contract — no fallback gram).

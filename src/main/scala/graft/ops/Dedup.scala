@@ -329,4 +329,63 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Connected components over an undirected candidate-pair edge set — the
+    * CLUSTERING step that turns pairwise near-dup hits ([[simhashPairs]],
+    * [[minhashLshPairs]], [[ngramJaccard]]) into dedup groups: every doc in
+    * a component gets the component's MINIMUM doc id as its label, so "keep
+    * one per cluster" is then `WHERE doc_id = component`.
+    *
+    * Algorithm: iterative min-label propagation to EXACT convergence — each
+    * round every vertex takes the min of its own and its neighbors' labels;
+    * a round is one shuffle join (edges x labels) plus one aggregate, and
+    * the rounds needed equal the largest component's diameter (near-dup
+    * clusters are dense, typically 2-4). The per-round driver cost is ONE
+    * scalar (the changed-label count); labels for the next round stay
+    * distributed. `maxRounds` is a safety valve that THROWS rather than
+    * return a partially-converged (wrong) labeling.
+    *
+    * At 100 TB the edge set is the already-bucketed candidate pairs —
+    * orders of magnitude smaller than the corpus — and only (id, label)
+    * pairs ever shuffle. Docs with no near-dup edge are absent from the
+    * output (they are their own singleton cluster by definition). */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxRounds: Int = 64): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // localCheckpoint (not persist) everywhere a frame re-enters the loop:
+    // an iterative plan's LINEAGE grows multiplicatively per round, and by
+    // ~10 rounds plan analysis alone exhausts driver heap — truncating
+    // lineage each round keeps every round's plan the same constant size
+    // (the standard Spark iterative-graph idiom; recompute-on-executor-loss
+    // is traded away exactly as GraphFrames does)
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0) {
+      if (round >= maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            "(component diameter exceeds the bound); raise maxRounds")
+      val neigh = sym
+        .join(labels.select(col("id").as("b"), col("component").as("nl")), "b")
+        .groupBy("a").agg(min("nl").as("nl"))
+      val next = labels
+        .join(neigh.select(col("a").as("id"), col("nl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nl"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
 }

@@ -146,6 +146,28 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0.0, 0.0)), s"got ${out(4L)}")
   }
 
+  test("connected components: exact labels on chains, cliques, and singleton absence") {
+    import spark.implicits._
+    // graph: chain 1-2-3-4 (diameter 3), clique {10,11,12}, edge {20,21};
+    // vertex 30 has no edge and must be ABSENT from the output
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), s"got $got")
+
+    // a long path exercises multi-round convergence (diameter 9)
+    val path = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(path).collect().map(_.getLong(1)).distinct
+    assert(labels.toSeq == Seq(0L), "one component spanning the whole path")
+
+    // the safety valve throws instead of returning unconverged labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxRounds = 2).collect()
+    }
+  }
+
   test("PII redaction: counts and typed replacements on hand fixtures") {
     import spark.implicits._
     val d = Seq(
