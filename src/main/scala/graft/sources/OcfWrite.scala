@@ -127,6 +127,29 @@ private[sources] object OcfWrite {
   }
 }
 
+/** Custom V2 metrics: per-task counters surfaced on the write node in the
+  * Spark UI / listener bus, summed across tasks — the operational face of
+  * the sink (how many container files, rows, raw bytes a job produced). */
+private[sources] object OcfWriteMetrics {
+  final class FilesWritten extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "ocfFilesWritten"
+    override def description(): String = "OCF files written"
+  }
+  final class RowsWritten extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "ocfRowsWritten"
+    override def description(): String = "OCF datums written"
+  }
+  final class BytesWritten extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "ocfBytesWritten"
+    override def description(): String = "OCF bytes written (post-codec)"
+  }
+  def all: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FilesWritten, new RowsWritten, new BytesWritten)
+}
+
+private[sources] final case class OcfTaskMetric(name: String, value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric
+
 /** The logical write: one class serves batch (`toBatch`) and streaming
   * (`toStreaming`) — the factories differ only in file naming. */
 private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
@@ -134,6 +157,9 @@ private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
 
   override def description(): String =
     s"graft-ocf dir=${cfg.dir} codec=${cfg.codecName} schema=${cfg.sql.simpleString}"
+
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    OcfWriteMetrics.all
 
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite = new OcfStreamingWrite(cfg, truncateAll)
@@ -201,6 +227,8 @@ private[sources] final class OcfDataWriter(
   private var ocf: OcfStreamWriter = _
   private var chunk = 0
   private var totalRows = 0L
+  private var filesSealed = 0L
+  private var bytesSealed = 0L
   private val sealedFiles = Seq.newBuilder[OcfWrittenFile]
   // one reusable datum encoder per writer: reset the backing buffer per row
   // instead of allocating a fresh writer + stream per row
@@ -240,12 +268,20 @@ private[sources] final class OcfDataWriter(
     if (ocf != null) {
       totalRows += ocf.rowCount
       ocf.finish()
+      bytesSealed += out.getPos
       out.close()
       sealedFiles += OcfWrittenFile(currentTmp.toString,
         new Path(cfg.dir, chunked(finalName)).toString)
+      filesSealed += 1
       ocf = null
       out = null
     }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      OcfTaskMetric("ocfFilesWritten", filesSealed + (if (ocf != null) 1 else 0)),
+      OcfTaskMetric("ocfRowsWritten", totalRows + (if (ocf != null) ocf.rowCount else 0L)),
+      OcfTaskMetric("ocfBytesWritten", bytesSealed + (if (out != null) out.getPos else 0L)))
 
   override def commit(): WriterCommitMessage = {
     sealCurrent()
