@@ -311,6 +311,33 @@ private[sources] final case class OcfWrittenFile(tmp: String, dest: String)
 private[sources] final case class OcfCommitMessage(
     files: Seq[OcfWrittenFile], rows: Long) extends WriterCommitMessage
 
+/** Maintenance for OCF output directories. */
+object OcfMaintenance {
+
+  /** Delete ORPHANED writer temps (`.*.avro.tmp`) older than `minAgeMs` —
+    * the leftovers of a driver that died between task commit and job
+    * commit, which no future job will ever rename or clean. The age gate
+    * keeps a LIVE concurrent job's temps safe (its files are younger), the
+    * same discipline as any staged-commit janitor. Returns the number of
+    * temp files removed. */
+  def vacuumTemps(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  minAgeMs: Long = 24L * 60 * 60 * 1000): Long = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dirPath)) return 0L
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    var removed = 0L
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith(".") && n.endsWith(".avro.tmp") &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) removed += 1
+      }
+    }
+    removed
+  }
+}
+
 private[sources] object OcfCommit {
 
   /** Driver-side job/epoch commit: optionally clear the directory's VISIBLE

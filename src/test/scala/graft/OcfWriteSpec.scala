@@ -164,6 +164,28 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(!dir.exists() || visibleFiles(dir).isEmpty, "failed plans must publish nothing")
   }
 
+  test("vacuumTemps removes only ORPHANED old writer temps") {
+    import graft.sources.OcfMaintenance
+    val dir = tempDir("graft-w-vacuum")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    // plant: an old orphan temp, a fresh temp (live concurrent job), junk
+    val orphan = new java.io.File(dir, ".part-9-dead.avro.tmp")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 3 * 60 * 60 * 1000)
+    val fresh = new java.io.File(dir, ".part-8-live.avro.tmp")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](4))
+
+    val removed = OcfMaintenance.vacuumTemps(spark, dir.getAbsolutePath,
+      minAgeMs = 60 * 60 * 1000)
+    assert(removed == 1, s"only the hour-old orphan goes; removed $removed")
+    assert(!orphan.exists() && fresh.exists())
+    // committed data and its readability are untouched
+    assert(readBack(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(OcfMaintenance.vacuumTemps(spark, "/nonexistent/graft", 0) == 0L)
+  }
+
   test("streaming source feeds streaming sink: one OCF-to-OCF pipeline, exactly once") {
     import spark.implicits._
     val in = tempDir("graft-w-pipe-in")
