@@ -776,6 +776,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Token-budget corpus selection: rank by the (verified) q21 quality
+    // score, keep the best-docs prefix whose running token total fits a
+    // 20k-token budget. The global prefix sum is the scalable two-phase
+    // form — range exchange + per-partition windows + a partitions-sized
+    // offsets array — never a single-partition global window.
+    "q63_token_budget_mix" -> ((s, dir) => {
+      val text = col("text")
+      val feats = t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.charCount(text).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(text).cast("long").as("n_tokens"),
+          TextAnalysis.punctCount(text).cast("long").as("n_punct"),
+          TextAnalysis.stopwordCount(text).cast("long").as("n_stopwords"))
+        .withColumn("quality", TextAnalysis.qualityScoreFromCounts(
+          col("n_chars"), col("n_tokens"), col("n_stopwords"), col("n_punct")))
+      ops.Sampling.tokenBudgetSelect(feats, "doc_id", "quality", "n_tokens", 20000L)
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(round(quality, 9) AS DOUBLE)").as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID + order-sensitive fingerprint (custom expressions; no SQL
     // oracle — driver records the weaker rows-only check).
     "q22_lang_fingerprint" -> ((s, dir) => {
@@ -1337,6 +1357,34 @@ object SparkEntry {
         |   + (CASE WHEN n_chars = 0 THEN 0 WHEN n_punct * 10 <= n_chars THEN 1000 ELSE 0 END)
         |  ) / 3000.0 AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // budget selection re-done in SQL: same quality formula as q21, global
+    // running token total via a window, keep rows with cum <= 20000
+    "q63_token_budget_mix" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |         t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    ((CASE WHEN n_tokens = 0 THEN 0
+        |           WHEN n_chars * 10 >= n_tokens * 30 AND n_chars * 10 <= n_tokens * 120 THEN 1000
+        |           ELSE 0 END)
+        |     + (CASE WHEN n_tokens = 0 THEN 0 ELSE least(n_stopwords * 1000 * 5 / n_tokens, 1000) END)
+        |     + (CASE WHEN n_chars = 0 THEN 0 WHEN n_punct * 10 <= n_chars THEN 1000 ELSE 0 END)
+        |    ) / 3000.0 AS quality
+        |  FROM f),
+        |c AS (
+        |  SELECT doc_id, n_tokens, quality,
+        |    SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+        |  FROM q)
+        |SELECT doc_id, n_tokens, CAST(round(quality, 9) AS DOUBLE) AS quality
+        |FROM c WHERE cum <= 20000 ORDER BY doc_id""".stripMargin,
 
     // Replicates LangId.detect (stopword-profile voting; tie-break = count
     // desc, then profile first-letter asc, then profile order — the Scala

@@ -41,6 +41,53 @@ object Sampling {
     df.where(hashUnit(col(keyCol), lit(salt)) < element_at(typedLit(rates), col(stratumCol)))
   }
 
+  /** Greedy token-budget selection: rank rows by `scoreCol` DESCENDING
+    * (ties broken by `idCol`) and keep the prefix whose running token total
+    * stays within `tokenBudget` — the "best docs until the budget is spent"
+    * step of building a training mix.
+    *
+    * The running total is a GLOBAL prefix sum computed the scalable way:
+    * (1) range-repartition on the global sort key, so partition `p`'s rows
+    * all rank before partition `p+1`'s; (2) per-partition token totals —
+    * `partitions` longs — come to the driver once and become prefix
+    * offsets; (3) a window partitioned BY partition id adds the local
+    * cumsum. No single-partition global window ever exists, so at 100 TB
+    * the cost is one range exchange plus partition-local windows; the only
+    * driver traffic is the `partitions`-row totals array. Selection is a
+    * pure function of (score, id, tokens) — partitioning choices cannot
+    * change which rows are kept. */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, tokenBudget: Long,
+                        partitions: Int = 32): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be non-negative; got $tokenBudget")
+    require(partitions > 0, s"partitions must be positive; got $partitions")
+    import org.apache.spark.sql.expressions.Window
+    // persisted so the totals pass and the final pass see the SAME range
+    // boundaries (the range exchange is sampling-based; recomputing it
+    // between passes could mis-align the prefix offsets) — one disk-backed
+    // materialization of the candidate set, released with the usual cache
+    // lifecycle
+    val ranged = df
+      .repartitionByRange(partitions, col(scoreCol).desc, col(idCol).asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver traffic: one (pid, tokenTotal) row per range partition
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until partitions).scanLeft(0L) {
+      (acc, p) => acc + totals.getOrElse(p, 0L)
+    }
+    val offsetFor = element_at(
+      typedLit(offsets.take(partitions).toSeq), col("__pid") + 1)
+    val w = Window.partitionBy("__pid")
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    ranged
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w) + offsetFor)
+      .where(col("__cum") <= tokenBudget)
+      .drop("__pid", "__cum")
+  }
+
   /** Weighted corpus mixing with oversampling: each row of stratum `s` with
     * weight `w = weights(s)` appears `floor(w)` times (epochs `0..floor(w)-1`)
     * plus one more at probability `w − floor(w)` (epoch `floor(w)`), selected

@@ -166,4 +166,27 @@ class SamplingPackingSpec extends AnyFunSuite {
       assert(mixShuffles.isEmpty, s"weightedMix must not shuffle:\n$mixPlan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("tokenBudgetSelect keeps exactly the best-score prefix within budget") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 0.9, 10L), (2L, 0.8, 20L), (3L, 0.8, 30L), (4L, 0.7, 25L), (5L, 0.6, 5L)
+    ).toDF("id", "score", "tok")
+    // rank order (score desc, id): 1(cum 10) 2(30) 3(60) 4(85) 5(90)
+    def sel(budget: Long) = Sampling
+      .tokenBudgetSelect(d, "id", "score", "tok", budget, partitions = 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(sel(60) == Seq(1L, 2L, 3L), "budget lands exactly on doc 3's cum")
+    assert(sel(59) == Seq(1L, 2L), "doc 3 would cross the budget")
+    assert(sel(0) == Seq())
+    assert(sel(1000) == Seq(1L, 2L, 3L, 4L, 5L))
+    // tie on score: lower id ranks first (2 before 3)
+    assert(sel(30) == Seq(1L, 2L))
+    // selection is invariant to the partition count (prefix math, not luck)
+    val one = Sampling.tokenBudgetSelect(d, "id", "score", "tok", 60, partitions = 1)
+      .select("id").as[Long].collect().sorted.toSeq
+    val many = Sampling.tokenBudgetSelect(d, "id", "score", "tok", 60, partitions = 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(one == sel(60) && many == sel(60))
+  }
 }
