@@ -135,7 +135,10 @@ class OcfWriteSpec extends AnyFunSuite {
       .save(dir.getAbsolutePath)
     val files = visibleFiles(dir)
     assert(files.size > 2, s"~1.3 MB at a 256 KB bound must roll; got ${files.size} file(s)")
-    assert(files.count(!_.getName.contains("-c")) == 1, "chunk 0 keeps the plain name")
+    // the chunk suffix is exactly "-cNNN.avro"; a bare "-c" can legitimately
+    // appear inside the job UUID, so match the tail pattern
+    assert(files.count(!_.getName.matches(".*-c\\d{3}\\.avro")) == 1,
+      s"chunk 0 keeps the plain name: ${files.map(_.getName)}")
     assert(files.forall(_.length <= 256 * 1024 + 70 * 1024),
       s"each file is bounded (+ one block of overshoot); got ${files.map(_.length)}")
     // every chunk is a standalone valid container and no row is lost or duped
