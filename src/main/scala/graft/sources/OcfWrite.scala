@@ -320,6 +320,39 @@ object OcfMaintenance {
     * keeps a LIVE concurrent job's temps safe (its files are younger), the
     * same discipline as any staged-commit janitor. Returns the number of
     * temp files removed. */
+  /** Compact a directory of (typically many small) OCF files into
+    * size-bounded ones: splittable scan in, V2 sink out — decode and
+    * re-encode ride the same verified paths as any query, so mixed writer
+    * schemas resolve against `readerSchema` (or the first file's schema)
+    * and the output is uniformly that schema at `codec`. The small-files
+    * problem is the top operational cost of long-running streaming sinks at
+    * scale: a year of 1-minute epochs is half a million files whose
+    * per-file open/close dominates scan time; compaction turns them into
+    * `targetBytes`-bounded containers. Writes to a SEPARATE directory —
+    * an in-place swap is the caller's (atomic rename) decision. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, codec: String = "null",
+              targetBytes: Long = 128L * 1024 * 1024,
+              readerSchemaJson: Option[String] = None): Unit = {
+    require(inDir != outDir, "compact writes to a separate directory")
+    // one output file per ~targetBytes of INPUT: the sink writes one file
+    // per task, so the scan's one-split-per-small-file parallelism must be
+    // coalesced (shuffle-free split merging) down to the output file count;
+    // maxBytesPerFile still rolls any task whose share lands oversized
+    val inputBytes = OcfDataSource
+      .list(spark.sessionState.newHadoopConf(), Seq(inDir), None, recursive = false)
+      .map(_.len).sum
+    val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
+    val r = spark.read.format("graft-ocf")
+    readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
+      .load(inDir)
+      .coalesce(parts)
+      .write.format("graft-ocf").mode("overwrite")
+      .option("codec", codec)
+      .option("maxBytesPerFile", targetBytes.toString)
+      .save(outDir)
+  }
+
   def vacuumTemps(spark: org.apache.spark.sql.SparkSession, dir: String,
                   minAgeMs: Long = 24L * 60 * 60 * 1000): Long = {
     val dirPath = new Path(dir)

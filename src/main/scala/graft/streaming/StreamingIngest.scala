@@ -193,4 +193,35 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** Watermarked stream-stream INTERVAL join — the "attach each right-stream
+    * event to the left-stream event it belongs to" pattern (impressions ⋈
+    * clicks, requests ⋈ responses): equi-join on `keyCol` with the right
+    * event's time constrained to `[left.ts, left.ts + withinMs]`.
+    *
+    * Both sides carry a `watermarkDelayMs` watermark, and the time-range
+    * predicate bounds HOW LONG either side's state must be retained: Spark
+    * derives the state eviction horizon from watermark + interval, so state
+    * is O(in-flight window), not O(stream history) — the property that
+    * keeps a stream-stream join alive for months at production rates. Inner
+    * join: unmatched events age out silently. Column names are prefixed
+    * `left_`/`right_` (except the shared key) so the joined frame is
+    * unambiguous downstream. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String, withinMs: Long,
+                   watermarkDelayMs: Long = 60000L): DataFrame = {
+    require(withinMs > 0, s"withinMs must be positive; got $withinMs")
+    def delay(ms: Long) = s"$ms milliseconds"
+    val l = left.withWatermark(leftTsCol, delay(watermarkDelayMs))
+      .select(col(keyCol) +: left.columns.filter(_ != keyCol)
+        .map(c => col(c).as(s"left_$c")).toSeq: _*)
+    val r = right.withWatermark(rightTsCol, delay(watermarkDelayMs))
+      .select(col(keyCol).as("__rk") +: right.columns.filter(_ != keyCol)
+        .map(c => col(c).as(s"right_$c")).toSeq: _*)
+    l.join(r,
+      col(keyCol) === col("__rk") &&
+        col(s"right_$rightTsCol") >= col(s"left_$leftTsCol") &&
+        col(s"right_$rightTsCol") <= col(s"left_$leftTsCol") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+      .drop("__rk")
+  }
 }

@@ -167,6 +167,27 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(!dir.exists() || visibleFiles(dir).isEmpty, "failed plans must publish nothing")
   }
 
+  test("compact folds many small files into bounded ones, values and codec intact") {
+    import graft.sources.OcfMaintenance
+    import spark.implicits._
+    val in = tempDir("graft-w-compact-in")
+    val outD = tempDir("graft-w-compact-out").getAbsolutePath + "/packed"
+    // 16 small files from 16 partitions
+    (0L until 4000L).map(i => (i, s"doc_$i")).toDF("k", "v").repartition(16)
+      .write.format("graft-ocf").mode(SaveMode.Append).save(in.getAbsolutePath)
+    assert(visibleFiles(in).size == 16)
+
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD,
+      codec = "deflate", targetBytes = 1L << 20)
+    val packed = new java.io.File(outD).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith(".")).toSeq
+    assert(packed.size < 16, s"compaction must reduce file count, got ${packed.size}")
+    val bytes = java.nio.file.Files.readAllBytes(packed.head.toPath)
+    assert(Ocf.blockIterator(bytes)._1.codecName == "deflate")
+    val got = spark.read.format("graft-ocf").load(outD).as[(Long, String)].collect().sorted
+    assert(got.length == 4000 && got.toSeq == (0L until 4000L).map(i => (i, s"doc_$i")))
+  }
+
   test("vacuumTemps removes only ORPHANED old writer temps") {
     import graft.sources.OcfMaintenance
     val dir = tempDir("graft-w-vacuum")

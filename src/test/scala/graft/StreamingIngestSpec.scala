@@ -272,4 +272,30 @@ class StreamingIngestSpec extends AnyFunSuite {
       assert(rows(1).getAs[Long]("n_events") == 1L)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches right events within the window only") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val impressions = MemoryStream[(String, java.sql.Timestamp)]
+    val clicks = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = StreamingIngest.intervalJoin(
+      impressions.toDF.toDF("ad", "its"),
+      clicks.toDF.toDF("ad", "cts"),
+      keyCol = "ad", leftTsCol = "its", rightTsCol = "cts",
+      withinMs = 10000L)
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      impressions.addData(("a", ts(100)), ("b", ts(100)), ("a", ts(200)))
+      // a@103: within 10s of a@100 only; b@150: outside b@100's window;
+      // a@205: within a@200's window; c@100: no impression at all
+      clicks.addData(("a", ts(103)), ("b", ts(150)), ("a", ts(205)), ("c", ts(100)))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT ad, left_its, right_cts FROM ij").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000))
+        .toSet
+      assert(got == Set(("a", 100L, 103L), ("a", 200L, 205L)), s"got $got")
+    } finally q.stop()
+  }
 }
