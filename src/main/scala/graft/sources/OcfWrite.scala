@@ -64,6 +64,18 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
     require(blockBytes > 0, s"graft-ocf write: blockBytes must be positive, got $blockBytes")
     val maxBytesPerFile = Option(opts.get("maxBytesPerFile")).map(_.toLong).getOrElse(Long.MaxValue)
     require(maxBytesPerFile > 0, s"graft-ocf write: maxBytesPerFile must be positive, got $maxBytesPerFile")
+    // opt-in append-time schema guard: a directory's existing consumers read
+    // every file against ONE reader schema (by convention the first file's),
+    // so an append whose schema that reader cannot resolve bricks the whole
+    // directory for them. compatCheck=backward fails such appends AT PLAN
+    // TIME with the checker's typed incompatibilities (G6) instead of at
+    // some future reader's runtime.
+    Option(opts.get("compatCheck")).foreach {
+      case "none" => ()
+      case "backward" => OcfWrite.checkBackwardCompat(dir, avroJson)
+      case other => throw new IllegalArgumentException(
+        s"graft-ocf write: compatCheck must be 'none' or 'backward', got '$other'")
+    }
     val cfg = OcfWriteConfig(dir, sql, avroJson,
       OcfWrite.fieldOrdinals(sql, avroJson), codecName, blockBytes,
       new SerializableHadoopConf(
@@ -106,6 +118,32 @@ private[sources] object OcfWrite {
             s"case-insensitively; rename to disambiguate")
       }
     }.toArray
+  }
+
+  /** `compatCheck=backward`: every existing file's schema — used as the
+    * READER schema by the directory's consumers — must be able to read the
+    * new writer schema. One header pread per existing file (headers are
+    * already deduplicated driver-side); an empty or absent directory passes
+    * trivially. */
+  def checkBackwardCompat(dir: String, newWriterJson: String): Unit = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(dirPath)) return
+    val files = OcfDataSource.list(conf, Seq(dir), None, recursive = false)
+    if (files.isEmpty) return
+    val newSchema = AvroRuntime.parse(newWriterJson)
+    OcfDataSource.fetchMetas(conf, files)
+      .map(_.writerSchemaJson).distinct.foreach { existingJson =>
+        val result = Compatibility.check(
+          reader = AvroRuntime.parse(existingJson), writer = newSchema)
+        if (!result.isCompatible)
+          throw new IllegalArgumentException(
+            "graft-ocf write: compatCheck=backward rejected the append — existing " +
+              "readers of this directory could not resolve the new schema: " +
+              result.incompatibilities.map(i => s"${i.kind} at ${i.location}: ${i.message}")
+                .mkString("; "))
+      }
   }
 
   def recordOf(avroJson: String): ARecord = AvroRuntime.parse(avroJson).physical match {

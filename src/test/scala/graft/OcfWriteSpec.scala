@@ -167,6 +167,44 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(!dir.exists() || visibleFiles(dir).isEmpty, "failed plans must publish nothing")
   }
 
+  test("compatCheck=backward gates appends on what existing readers can resolve") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-compat")
+    val base = Seq((1L, "a")).toDF("k", "v").coalesce(1)
+    base.write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+
+    // adding a field WITH a default stays readable by the original schema
+    val okJson =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":"string"},
+        |{"name":"extra","type":"long","default":0}]}""".stripMargin
+    Seq((2L, "b", 7L)).toDF("k", "v", "extra").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append)
+      .option("avroSchema", okJson).option("compatCheck", "backward")
+      .save(dir.getAbsolutePath)
+    // readers on the original schema still read the whole directory
+    assert(spark.read.format("graft-ocf")
+      .option("readerSchema",
+        """{"type":"record","name":"topLevelRecord","fields":[
+          |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin)
+      .load(dir.getAbsolutePath).count() == 2)
+
+    // an incompatible type change fails AT PLAN TIME and publishes nothing
+    val before = visibleFiles(dir).map(_.getName).toSet
+    val err = intercept[IllegalArgumentException] {
+      Seq(("x", "b")).toDF("k", "v").coalesce(1)
+        .write.format("graft-ocf").mode(SaveMode.Append)
+        .option("compatCheck", "backward").save(dir.getAbsolutePath)
+    }
+    assert(err.getMessage.contains("compatCheck=backward"))
+    assert(visibleFiles(dir).map(_.getName).toSet == before)
+    // unknown mode is rejected
+    intercept[Exception] {
+      base.write.format("graft-ocf").mode(SaveMode.Append)
+        .option("compatCheck", "sideways").save(dir.getAbsolutePath)
+    }
+  }
+
   test("compact folds many small files into bounded ones, values and codec intact") {
     import graft.sources.OcfMaintenance
     import spark.implicits._
