@@ -831,6 +831,16 @@ object SparkEntry {
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    // the filter face of q62: corpus minus every non-canonical cluster
+    // member — text never shuffles, the loser set rides a broadcast
+    "q64_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dropNearDups(docs, "doc_id",
+          Dedup.simhashPairs(docs, "doc_id", "text"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Blocked n-gram Jaccard over word shingles (exact set similarity).
     "q25_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text", "source",
@@ -1463,6 +1473,21 @@ object SparkEntry {
         |  SELECT e.a, w.label FROM e JOIN walk w ON w.id = e.b)
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q62's labeling applied as a filter: drop docs whose component label
+    // is a DIFFERENT doc's id; docs outside the pair graph survive
+    "q64_neardup_dedup" ->
+      s"""WITH RECURSIVE
+        |pairs AS (SELECT id_a, id_b FROM ($simhashPairsOracleSql) q),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, w.label FROM e JOIN walk w ON w.id = e.b),
+        |comp AS (SELECT id, min(label) AS lbl FROM walk GROUP BY id)
+        |SELECT d.doc_id, d.source FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        |WHERE c.id IS NULL OR c.lbl = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Exact blocked (same-source) word-3-gram Jaccard ≥ 0.5; <3-token docs
     // have an empty gram set (ngramJaccard contract — no fallback gram).

@@ -388,4 +388,19 @@ object Dedup {
     }
     labels.select(col("id").as("doc_id"), col("component"))
   }
+
+  /** Keep ONE document per near-dup cluster: the corpus minus every doc
+    * whose [[connectedComponents]] label is another doc's id. Docs outside
+    * the pair graph pass through untouched (they are singleton clusters).
+    * The label frame is tiny relative to the corpus (only docs with a
+    * near-dup edge appear), so the filter is a broadcast-friendly left
+    * join — document text never shuffles, mirroring [[exact]]'s survivor
+    * discipline. */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
+                   aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__loser"))
+    df.join(broadcast(losers), col(idCol) === col("__loser"), "left_anti")
+  }
 }

@@ -166,6 +166,12 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(path, maxRounds = 2).collect()
     }
+
+    // dropNearDups keeps one doc per cluster; singletons (30) pass through
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 10L, 20L, 30L), s"got ${kept.toSeq}")
   }
 
   test("PII redaction: counts and typed replacements on hand fixtures") {
