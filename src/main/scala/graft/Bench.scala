@@ -31,7 +31,7 @@ object Bench {
     // absorbs its JIT + Janino compile time); a bad data dir must still
     // produce the JSON line (all not-ok)
     try {
-      import org.apache.spark.sql.functions.{col, sum}
+      import org.apache.spark.sql.functions.sum
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.mode("overwrite").format("noop").save()
       noop(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) columns for training-data pipelines.
@@ -79,7 +79,6 @@ object Multimodal {
     * shape: decoder context per batch, loop inside). Output carries the
     * metadata through so downstream stages never re-join the binary side. */
   def decodeStats(assets: DataFrame, batchSize: Int = 64): DataFrame = {
-    val spark = assets.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(

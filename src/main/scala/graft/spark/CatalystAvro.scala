@@ -76,10 +76,6 @@ object CatalystAvroReader {
             }
         }
       case (wu: AUnion, rr) =>
-        val rBranches: Seq[AvroSchema] = rr match {
-          case u: AUnion => u.branches
-          case other     => Seq(other)
-        }
         val ruNonNull = rr match {
           case u: AUnion => u.nonNullBranches
           case other     => Seq(other)

@@ -290,7 +290,7 @@ object LangId {
   * double, strictly left-to-right (bit-reproducible across engines). */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
   override def nullSafeEval(a: Any, b: Any): Any = {
