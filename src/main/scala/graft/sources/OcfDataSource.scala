@@ -181,8 +181,11 @@ object OcfDataSource {
     val metas = fetchMetas(conf, files)
     // fail fast on a codec no executor could decode
     metas.map(_.codecName).distinct.foreach(AvroCodecs(_))
-    val readerJson =
-      Option(options.get("readerSchema")).getOrElse(metas.head.writerSchemaJson)
+    val readerJson = Option(options.get("readerSchema")) match {
+      case Some("auto") => widestSchema(metas.map(_.writerSchemaJson).distinct)
+      case Some(json)   => json
+      case None         => metas.head.writerSchemaJson
+    }
     val (sql, wrap) = sqlShape(readerJson)
     val splitSize = Option(options.get("splitSize")).map(_.toLong).getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -192,6 +195,34 @@ object OcfDataSource {
       paths, Option(options.get("pathGlobFilter")),
       options.getBoolean("recursiveFileLookup", false))
   }
+
+  /** `readerSchema=auto`: among the directory's DISTINCT writer schemas,
+    * pick the one that can read every other (the "widest" — typically the
+    * newest after compatible evolution: added-with-default fields, widened
+    * types). Every file then resolves against it, so an evolved directory
+    * reads as one uniform frame with defaults materialized for old files.
+    * No such schema (a fork, an incompatible rewrite) fails the PLAN with
+    * the candidates listed — auto never guesses. */
+  private[sources] def widestSchema(distinctJsons: Seq[String]): String =
+    distinctJsons match {
+      case Seq(one) => one
+      case many =>
+        val parsed = many.map(j => j -> AvroRuntime.parse(j))
+        val able = parsed.filter { case (_, cand) =>
+          parsed.forall { case (_, w) =>
+            Compatibility.check(reader = cand, writer = w).isCompatible }
+        }
+        if (able.isEmpty) throw new AvroResolutionException(
+          s"graft-ocf: readerSchema=auto found no schema able to read all " +
+            s"${many.size} distinct writer schemas in this directory; pass an " +
+            "explicit readerSchema. Schemas: " + many.mkString(" | "))
+        // several schemas may be MUTUALLY readable (old readers skip added
+        // fields); prefer the one exposing the most top-level fields — the
+        // evolved shape — with listing order as the deterministic tie-break
+        able.maxBy { case (_, s) =>
+          s.physical match { case r: ARecord => r.fields.size; case _ => 0 }
+        }._1
+    }
 
   /** Read each file's OCF header exactly once, driver-side. Headers are tiny
     * positioned reads; the bounded pool hides per-file round-trip latency on

@@ -48,6 +48,40 @@ class OcfDataSourceSpec extends AnyFunSuite {
   private def collectKV(df: DataFrame): Seq[(Long, String)] =
     df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
 
+  test("readerSchema=auto resolves an evolved directory to its widest schema") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-auto")
+    // v1 files: (k, v); v2 files: (k, v, extra with default) — v2 reads v1
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft-ocf").mode("append").save(dir.getAbsolutePath)
+    val v2 =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":["null","string"]},
+        |{"name":"extra","type":"long","default":-1}]}""".stripMargin
+    Seq((3L, "c", 30L)).toDF("k", "v", "extra").coalesce(1)
+      .write.format("graft-ocf").mode("append")
+      .option("avroSchema", v2).save(dir.getAbsolutePath)
+
+    val auto = spark.read.format("graft-ocf").option("readerSchema", "auto")
+      .load(dir.getAbsolutePath)
+    assert(auto.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    val got = auto.as[(Long, String, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)),
+      "old files materialize the default, new files keep their value")
+
+    // incompatible fork: auto refuses instead of guessing
+    val fork = tempDir("graft-dsv2-auto-fork")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("graft-ocf").mode("append").save(fork.getAbsolutePath)
+    Seq(("x", 1L)).toDF("k", "v").coalesce(1) // k:string vs k:long
+      .write.format("graft-ocf").mode("append").save(fork.getAbsolutePath)
+    val err = intercept[Exception] {
+      spark.read.format("graft-ocf").option("readerSchema", "auto")
+        .load(fork.getAbsolutePath).collect()
+    }
+    assert(err.getMessage.contains("auto"), err.getMessage)
+  }
+
   test("one file fans out into many splits and every split size agrees") {
     val (dir, rows) = bigFile(12000, "deflate")
     val whole = read(dir, 1L << 26)
