@@ -796,6 +796,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RAG-style chunking: 32-token windows with 8-token overlap — a pure
+    // generator fan-out (split → sequence → explode → slice), zero shuffle,
+    // zero UDF; the oracle re-slices the same token lists in SQL.
+    "q65_text_chunking" -> ((s, dir) =>
+      ops.TextAnalysis.chunkText(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlapTokens = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Language ID + order-sensitive fingerprint (custom expressions; no SQL
     // oracle — driver records the weaker rows-only check).
     "q22_lang_fingerprint" -> ((s, dir) => {
@@ -1367,6 +1375,23 @@ object SparkEntry {
         |   + (CASE WHEN n_chars = 0 THEN 0 WHEN n_punct * 10 <= n_chars THEN 1000 ELSE 0 END)
         |  ) / 3000.0 AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // chunking re-done in SQL: same token list, 1-based inclusive slices of
+    // 32 at stride 24, chunk count = ceil(max(n-8,1)/24)
+    "q65_text_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, nt,
+        |    CAST(ceil(CAST(greatest(nt - 8, 1) AS DOUBLE) / 24) AS BIGINT) AS nchunks
+        |  FROM n)
+        |SELECT doc_id, CAST(f AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[f * 24 + 1 : f * 24 + 32], ' ') AS chunk,
+        |  CAST(len(toks[f * 24 + 1 : f * 24 + 32]) AS INTEGER) AS n_tokens
+        |FROM c, UNNEST(generate_series(0, nchunks - 1)) AS u(f)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // budget selection re-done in SQL: same quality formula as q21, global
     // running token total via a window, keep rows with cum <= 20000

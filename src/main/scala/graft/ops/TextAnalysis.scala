@@ -155,6 +155,38 @@ object TextAnalysis {
           IdNumberPattern, "<ID>"))
   }
 
+  /** Chunk documents into fixed-size token windows with overlap — the
+    * RAG/context-window splitter: chunk `i` covers tokens
+    * `[i*stride, i*stride + chunkTokens)` where `stride = chunkTokens −
+    * overlapTokens`, so consecutive chunks share `overlapTokens` tokens and
+    * every token lands in at least one chunk (the tail chunk may be short;
+    * empty documents produce no chunk). Output: (id, chunk_idx, chunk,
+    * n_tokens).
+    *
+    * Pure built-ins (`split`/`sequence`/`explode`/`slice`/`array_join`), so
+    * Catalyst plans the fan-out as a generator: zero shuffle, zero UDF — at
+    * 100 TB chunking is one streaming pass whose output partitioning
+    * follows the input's. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive; got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens); got $overlapTokens of $chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol),
+        filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .where(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(greatest(col("__n") - lit(overlapTokens), lit(1))
+          .cast("double") / stride).cast("long") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ").as("chunk"),
+        size(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens))).as("n_tokens"))
+  }
+
   /** Standard per-document feature set over a corpus. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -174,6 +174,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 10L, 20L, 30L), s"got ${kept.toSeq}")
   }
 
+  test("chunkText: windows, overlap, short tails, and empty docs on hand fixtures") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, "  "),                                     // empty after trim: no chunk
+      (4L, (1 to 5).map(i => s"x$i").mkString(" "))   // exactly chunkTokens
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.chunkText(d, "doc_id", "text",
+        chunkTokens = 5, overlapTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: stride 3, ceil(max(10-2,1)/3)=3 chunks: [1..5],[4..8],[7..10]
+    assert(out.filter(_._1 == 1L).map(c => (c._3, c._4)).toSeq == Seq(
+      ("w1 w2 w3 w4 w5", 5), ("w4 w5 w6 w7 w8", 5), ("w7 w8 w9 w10", 4)))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b c"))
+    assert(!out.exists(_._1 == 3L), "empty doc yields no chunk")
+    assert(out.filter(_._1 == 4L).map(_._4).toSeq == Seq(5), "exact fit is one chunk")
+  }
+
   test("PII redaction: counts and typed replacements on hand fixtures") {
     import spark.implicits._
     val d = Seq(
