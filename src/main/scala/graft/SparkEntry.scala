@@ -1676,22 +1676,29 @@ object SparkEntry {
         |ORDER BY asset_id""".stripMargin,
 
     // PII scrub: plant → count → redact re-done in SQL with the same
-    // engine-portable patterns ('g' = replace-all, matching Spark's default)
+    // engine-portable patterns ('g' = replace-all, matching Spark's
+    // default); counts are STAGED like the redaction, so each n_X equals
+    // the <X> tokens emitted
     "q61_pii_redaction" ->
       """WITH planted AS (
         |  SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com via 10.0.' ||
         |    (doc_id % 256) || '.7 acct ' || (doc_id * 1000003 + 123456789) AS text
-        |  FROM documents)
+        |  FROM documents),
+        |staged AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS post_email
+        |  FROM planted),
+        |staged2 AS (
+        |  SELECT doc_id, text, post_email,
+        |    regexp_replace(post_email, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS post_ip
+        |  FROM staged)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INTEGER) AS n_ipv4,
-        |  CAST(len(regexp_extract_all(text, '\d{9,}')) AS INTEGER) AS n_idnums,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
-        |      '\d{9,}', '<ID>', 'g')) AS redacted_md5
-        |FROM planted ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(post_email, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(post_ip, '\d{9,}')) AS INTEGER) AS n_idnums,
+        |  md5(regexp_replace(post_ip, '\d{9,}', '<ID>', 'g')) AS redacted_md5
+        |FROM staged2 ORDER BY doc_id""".stripMargin,
 
     // the Y4M fixtures are arithmetic: (8 + a%5*2)x(6 + a%4*2) C420 at
     // (5 + a%5):1 fps, (a%6 + 2) frames, frame f byte i = (a*31+f*17+i*7)%256

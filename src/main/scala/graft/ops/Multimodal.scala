@@ -190,14 +190,22 @@ object Multimodal {
   /** Resize PNM images to a target box with the REAL nearest-neighbor
     * resampler: decode → resample over pixels → re-encode, all
     * partition-local. Non-image kinds are filtered relationally before any
-    * byte is touched. */
+    * byte is touched. When the frame carries the typed `meta` struct, its
+    * width/height are updated to the target box — stale pre-resize
+    * dimensions would poison every downstream stage that (by this module's
+    * own design) trusts metadata instead of re-parsing bytes. */
   def resizeImages(assets: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"resize target must be positive; got ${targetW}x$targetH")
     val resizeUdf = udf((content: Array[Byte]) =>
       PnmCodec.write(PnmCodec.resize(PnmCodec.parse(content), targetW, targetH)))
-    assets.where(col("kind") === "image")
+    val resized = assets.where(col("kind") === "image")
       .withColumn("content", resizeUdf(col("content")))
+    if (resized.columns.contains("meta"))
+      resized.withColumn("meta", col("meta")
+        .withField("width", lit(targetW))
+        .withField("height", lit(targetH)))
+    else resized
   }
 
   /** Deterministic REAL-Y4M video fixtures: one uncompressed C420 clip per

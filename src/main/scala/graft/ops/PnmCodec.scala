@@ -111,7 +111,12 @@ object PnmCodec {
   def resize(img: PnmImage, tw: Int, th: Int): PnmImage = {
     require(tw > 0 && th > 0, s"resize target must be positive; got ${tw}x$th")
     val ch = img.channels
-    val out = new Array[Byte](tw * th * ch)
+    // Long guard: a 50000x50000x3 target would wrap tw*th*ch around Int and
+    // allocate a short raster whose wrapped indices "work" — fail instead
+    val size = tw.toLong * th.toLong * ch.toLong
+    require(size <= Int.MaxValue,
+      s"resize target ${tw}x$th x$ch needs $size bytes (exceeds array bounds)")
+    val out = new Array[Byte](size.toInt)
     var ty = 0
     while (ty < th) {
       val sy = ty * img.height / th

@@ -62,15 +62,17 @@ object Sampling {
     require(tokenBudget >= 0, s"tokenBudget must be non-negative; got $tokenBudget")
     require(partitions > 0, s"partitions must be positive; got $partitions")
     import org.apache.spark.sql.expressions.Window
-    // persisted so the totals pass and the final pass see the SAME range
-    // boundaries (the range exchange is sampling-based; recomputing it
-    // between passes could mis-align the prefix offsets) — one disk-backed
-    // materialization of the candidate set, released with the usual cache
-    // lifecycle
+    // localCheckpoint so the totals pass and the final pass see the SAME
+    // range boundaries (the range exchange is sampling-based; recomputing
+    // it between passes could mis-align the prefix offsets). Checkpoint
+    // blocks — unlike a persist() entry, which lives in the CacheManager
+    // until someone calls unpersist/clearCache — are released by the
+    // ContextCleaner when the returned frame is garbage-collected, so
+    // repeated calls do not accumulate pinned caches.
     val ranged = df
       .repartitionByRange(partitions, col(scoreCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // bounded driver traffic: one (pid, tokenTotal) row per range partition
     val totals = ranged.groupBy("__pid")
       .agg(sum(col(tokenCol).cast("long")).as("__t"))

@@ -133,26 +133,31 @@ object TextAnalysis {
     * email and IPv4 redaction so their digits are already collapsed. */
   val IdNumberPattern = "\\d{9,}"
 
-  /** Detect and redact PII in one map-side pass: per-row match counts (on
-    * the ORIGINAL text) plus a `<textCol>_redacted` column with emails,
-    * IPv4s, then long digit runs replaced by typed tokens. Pure built-in
-    * `regexp_extract_all`/`regexp_replace` — whole-stage codegen'd, zero
-    * shuffle, so at 100 TB this is one streaming pass over the corpus (the
-    * scrub stage every training pipeline runs before anything else). */
+  /** Detect and redact PII in one map-side pass: per-row match counts plus
+    * a `<textCol>_redacted` column with emails, IPv4s, then long digit runs
+    * replaced by typed tokens. Each count is taken on the SAME text its
+    * replacement stage sees (emails on the original, IPv4s after email
+    * redaction, digit runs after both), so `n_X` always equals the number
+    * of `<X>` tokens emitted — a digit run inside an email is redacted as
+    * part of the email, and is not double-counted as an id number. Pure
+    * built-in `regexp_extract_all`/`regexp_replace` — whole-stage
+    * codegen'd, zero shuffle, so at 100 TB this is one streaming pass over
+    * the corpus (the scrub stage every training pipeline runs first). */
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_emails",
+    // staged projections (same CSE discipline as repetitionMetrics): each
+    // intermediate redaction materializes once per row
+    df.withColumn("__post_email", regexp_replace(t, EmailPattern, "<EMAIL>"))
+      .withColumn("__post_ip", regexp_replace(col("__post_email"), Ipv4Pattern, "<IP>"))
+      .withColumn("n_emails",
         size(regexp_extract_all(t, lit(EmailPattern), lit(0))))
       .withColumn("n_ipv4",
-        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))))
+        size(regexp_extract_all(col("__post_email"), lit(Ipv4Pattern), lit(0))))
       .withColumn("n_idnums",
-        size(regexp_extract_all(t, lit(IdNumberPattern), lit(0))))
+        size(regexp_extract_all(col("__post_ip"), lit(IdNumberPattern), lit(0))))
       .withColumn(s"${textCol}_redacted",
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, EmailPattern, "<EMAIL>"),
-            Ipv4Pattern, "<IP>"),
-          IdNumberPattern, "<ID>"))
+        regexp_replace(col("__post_ip"), IdNumberPattern, "<ID>"))
+      .drop("__post_email", "__post_ip")
   }
 
   /** Chunk documents into fixed-size token windows with overlap — the

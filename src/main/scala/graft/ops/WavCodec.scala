@@ -39,7 +39,9 @@ object WavCodec {
     while (pos + 8 <= bytes.length) {
       val id = ascii(bytes, pos, 4)
       val size = le32(bytes, pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // Long arithmetic: a crafted size near Int.MaxValue must trip this
+      // guard, not wrap `pos + 8 + size` negative and sneak past it
+      require(size >= 0 && pos.toLong + 8L + size.toLong <= bytes.length,
         s"corrupt WAV: chunk '$id' size $size overruns ${bytes.length}-byte payload")
       id match {
         case "fmt " =>

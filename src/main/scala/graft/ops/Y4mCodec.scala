@@ -45,16 +45,24 @@ object Y4mCodec {
       java.util.Arrays.copyOf(frames(idx), width * height)
   }
 
-  /** Raw bytes of one frame for the given geometry/subsampling. */
-  def frameBytes(width: Int, height: Int, colorspace: String): Int =
-    colorspace match {
-      case cs if cs.startsWith("420") => width * height + 2 * ((width / 2) * (height / 2))
-      case "422" => width * height + 2 * ((width / 2) * height)
-      case "444" => 3 * width * height
-      case "mono" => width * height
+  /** Raw bytes of one frame for the given geometry/subsampling. Computed in
+    * Long and bounds-checked: a corrupt header claiming huge dimensions must
+    * fail loudly, not wrap `width*height` around Int and "validate" a
+    * zero-byte frame budget. */
+  def frameBytes(width: Int, height: Int, colorspace: String): Int = {
+    val w = width.toLong; val h = height.toLong
+    val n: Long = colorspace match {
+      case cs if cs.startsWith("420") => w * h + 2 * ((w / 2) * (h / 2))
+      case "422" => w * h + 2 * ((w / 2) * h)
+      case "444" => 3 * w * h
+      case "mono" => w * h
       case other => throw new IllegalArgumentException(
         s"unsupported Y4M colorspace C$other")
     }
+    require(n > 0 && n <= Int.MaxValue,
+      s"Y4M frame of ${width}x$height C$colorspace needs $n bytes (out of range)")
+    n.toInt
+  }
 
   private val Magic = "YUV4MPEG2"
 

@@ -91,7 +91,15 @@ case class AvroDecode(child: Expression, writerSchemaJson: String,
   override lazy val dataType: DataType = corruptRecordCol match {
     case None => decodedType
     case Some(name) => decodedType match {
-      case st: StructType => st.add(name, BinaryType, nullable = true)
+      // quarantined rows carry null in every data slot, so the declared
+      // field types must be NULLABLE regardless of the Avro schema — the
+      // same rule as Spark's from_json, whose PERMISSIVE mode forces a
+      // fully-nullable schema; advertising non-null here would let a
+      // downstream encoder read garbage (getInt on a null slot) instead of
+      // seeing the quarantine
+      case st: StructType =>
+        StructType(st.fields.map(_.copy(nullable = true)))
+          .add(name, BinaryType, nullable = true)
       case other => throw new IllegalArgumentException(
         s"from_avro corrupt-record mode requires a record schema, got ${other.simpleString}")
     }

@@ -185,6 +185,23 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Y4mCodec.parse(Y4mCodec.write(v).dropRight(5)) }
   }
 
+  test("codec guards: crafted huge sizes fail loudly instead of wrapping Int") {
+    import graft.ops.{PnmCodec, WavCodec, Y4mCodec}
+    // Y4M header claiming 65536x65536 mono: w*h == 2^32 wraps to 0 without
+    // the Long guard and would "validate" zero-byte frames
+    intercept[IllegalArgumentException] {
+      Y4mCodec.parse("YUV4MPEG2 W65536 H65536 F30:1 Cmono\nFRAME\n".getBytes("US-ASCII"))
+    }
+    // WAV data chunk declaring ~Int.MaxValue bytes on a tiny payload: the
+    // overrun check must not wrap negative and pass
+    val wav = WavCodec.write(16000, 1, Array.tabulate[Short](8)(_.toShort))
+    wav(43) = 0x7f.toByte // size LE bytes at offset 40..43 -> huge positive
+    intercept[IllegalArgumentException] { WavCodec.parse(wav) }
+    // resize to a box whose raster exceeds array bounds
+    val img = PnmCodec.PnmImage(2, 2, 3, 255, new Array[Byte](12))
+    intercept[IllegalArgumentException] { PnmCodec.resize(img, 65536, 65536) }
+  }
+
   test("videoInfo parses real Y4M fixtures distributively and exactly") {
     val info = Multimodal.videoInfo(Multimodal.syntheticY4mAssets(docs))
       .orderBy("asset_id").limit(10).collect()

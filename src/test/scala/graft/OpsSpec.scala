@@ -199,7 +199,8 @@ class OpsSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "mail a.b+c@sub.example.org and 192.168.0.1 and acct 123456789"),
       (2L, "no pii here, just 1234 and v1.2.3.x"),
-      (3L, "two mails x@y.io z9@w.co plus 9999999999")
+      (3L, "two mails x@y.io z9@w.co plus 9999999999"),
+      (4L, "u123456789@x.io only") // digit run INSIDE an email: one <EMAIL>, zero <ID>
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(d).collect().map(r => r.getAs[Long]("doc_id") ->
       ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_ipv4"), r.getAs[Int]("n_idnums"),
@@ -207,6 +208,8 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == ((1, 1, 1, "mail <EMAIL> and <IP> and acct <ID>")), s"got ${out(1L)}")
     assert(out(2L) == ((0, 0, 0, "no pii here, just 1234 and v1.2.3.x")), s"got ${out(2L)}")
     assert(out(3L) == ((2, 0, 1, "two mails <EMAIL> <EMAIL> plus <ID>")), s"got ${out(3L)}")
+    // counts are staged like the redaction: every n_X equals the emitted <X> tokens
+    assert(out(4L) == ((1, 0, 0, "<EMAIL> only")), s"got ${out(4L)}")
   }
 
   test("q44 oracle fixture invariant: no near-1.0 non-colinear neighbor") {
