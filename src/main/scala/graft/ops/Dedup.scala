@@ -352,7 +352,10 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
                           maxRounds: Int = 64): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // ids keep their NATIVE type (long, string, ...): a cast("long") here
+    // would turn uncastable ids into nulls and silently collapse the label
+    // frame — string/UUID corpora must cluster, not no-op
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
     // localCheckpoint (not persist) everywhere a frame re-enters the loop:
     // an iterative plan's LINEAGE grows multiplicatively per round, and by
     // ~10 rounds plan analysis alone exhausts driver heap — truncating
@@ -392,15 +395,16 @@ object Dedup {
   /** Keep ONE document per near-dup cluster: the corpus minus every doc
     * whose [[connectedComponents]] label is another doc's id. Docs outside
     * the pair graph pass through untouched (they are singleton clusters).
-    * The label frame is tiny relative to the corpus (only docs with a
-    * near-dup edge appear), so the filter is a broadcast-friendly left
-    * join — document text never shuffles, mirroring [[exact]]'s survivor
-    * discipline. */
+    * The loser frame carries only ids, so Spark auto-broadcasts it under
+    * the usual threshold; above it (a corpus that is MOSTLY near-dups) the
+    * anti join degrades to a shuffle on ids alone — never forced into a
+    * broadcast that an adversarial duplicate rate could blow past the 8 GB
+    * limit (the same escape [[exact]] documents for its survivor join). */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame,
                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val losers = connectedComponents(pairs, aCol, bCol)
       .where(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("__loser"))
-    df.join(broadcast(losers), col(idCol) === col("__loser"), "left_anti")
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 }

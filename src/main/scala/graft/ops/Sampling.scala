@@ -68,7 +68,10 @@ object Sampling {
     // blocks — unlike a persist() entry, which lives in the CacheManager
     // until someone calls unpersist/clearCache — are released by the
     // ContextCleaner when the returned frame is garbage-collected, so
-    // repeated calls do not accumulate pinned caches.
+    // repeated calls do not accumulate pinned caches. Traded away (as in
+    // connectedComponents): checkpoint blocks have no lineage, so losing
+    // an executor that held them AFTER this returns fails the caller's
+    // action instead of recomputing — an error, never silently wrong data.
     val ranged = df
       .repartitionByRange(partitions, col(scoreCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())

@@ -182,9 +182,12 @@ object OcfDataSource {
     // fail fast on a codec no executor could decode
     metas.map(_.codecName).distinct.foreach(AvroCodecs(_))
     val readerJson = Option(options.get("readerSchema")) match {
-      case Some("auto") => widestSchema(metas.map(_.writerSchemaJson).distinct)
-      case Some(json)   => json
-      case None         => metas.head.writerSchemaJson
+      // case-insensitive: option KEYS already are, and "AUTO" silently
+      // parsing as schema JSON would yield a baffling error
+      case Some(v) if v.equalsIgnoreCase("auto") =>
+        widestSchema(metas.map(_.writerSchemaJson).distinct)
+      case Some(json) => json
+      case None       => metas.head.writerSchemaJson
     }
     val (sql, wrap) = sqlShape(readerJson)
     val splitSize = Option(options.get("splitSize")).map(_.toLong).getOrElse(

@@ -69,10 +69,12 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
     // so an append whose schema that reader cannot resolve bricks the whole
     // directory for them. compatCheck=backward fails such appends AT PLAN
     // TIME with the checker's typed incompatibilities (G6) instead of at
-    // some future reader's runtime.
+    // some future reader's runtime. An OVERWRITE (truncate) replaces every
+    // file the gate would protect, so the check is skipped — an
+    // intentionally incompatible rewrite is the point of overwriting.
     Option(opts.get("compatCheck")).foreach {
       case "none" => ()
-      case "backward" => OcfWrite.checkBackwardCompat(dir, avroJson)
+      case "backward" => if (!truncateAll) OcfWrite.checkBackwardCompat(dir, avroJson)
       case other => throw new IllegalArgumentException(
         s"graft-ocf write: compatCheck must be 'none' or 'backward', got '$other'")
     }
@@ -122,15 +124,16 @@ private[sources] object OcfWrite {
 
   /** `compatCheck=backward`: every existing file's schema — used as the
     * READER schema by the directory's consumers — must be able to read the
-    * new writer schema. One header pread per existing file (headers are
-    * already deduplicated driver-side); an empty or absent directory passes
-    * trivially. */
+    * new writer schema. The listing is RECURSIVE so files a consumer sees
+    * via `recursiveFileLookup=true` are also checked. One header pread per
+    * existing file (headers are already deduplicated driver-side); an empty
+    * or absent directory passes trivially. */
   def checkBackwardCompat(dir: String, newWriterJson: String): Unit = {
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     if (!fs.exists(dirPath)) return
-    val files = OcfDataSource.list(conf, Seq(dir), None, recursive = false)
+    val files = OcfDataSource.list(conf, Seq(dir), None, recursive = true)
     if (files.isEmpty) return
     val newSchema = AvroRuntime.parse(newWriterJson)
     OcfDataSource.fetchMetas(conf, files)

@@ -62,8 +62,8 @@ class OcfDataSourceSpec extends AnyFunSuite {
       .write.format("graft-ocf").mode("append")
       .option("avroSchema", v2).save(dir.getAbsolutePath)
 
-    val auto = spark.read.format("graft-ocf").option("readerSchema", "auto")
-      .load(dir.getAbsolutePath)
+    val auto = spark.read.format("graft-ocf").option("readerSchema", "AUTO")
+      .load(dir.getAbsolutePath) // option VALUES are case-insensitive like keys
     assert(auto.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
     val got = auto.as[(Long, String, Long)].collect().sorted
     assert(got.toSeq == Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L)),

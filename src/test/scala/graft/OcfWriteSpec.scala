@@ -203,6 +203,13 @@ class OcfWriteSpec extends AnyFunSuite {
       base.write.format("graft-ocf").mode(SaveMode.Append)
         .option("compatCheck", "sideways").save(dir.getAbsolutePath)
     }
+
+    // OVERWRITE replaces every file the gate protects, so an intentionally
+    // incompatible rewrite passes even with the gate on
+    Seq(("x", "b")).toDF("k", "v").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Overwrite)
+      .option("compatCheck", "backward").save(dir.getAbsolutePath)
+    assert(readBack(dir).count() == 1, "gated overwrite rewrites the directory")
   }
 
   test("compact folds many small files into bounded ones, values and codec intact") {

@@ -172,6 +172,18 @@ class OpsSpec extends AnyFunSuite {
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 10L, 20L, 30L), s"got ${kept.toSeq}")
+
+    // ids keep their native type: string/UUID corpora must cluster, not
+    // silently no-op through a long cast
+    val spairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val sgot = Dedup.connectedComponents(spairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sgot == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"),
+      s"got $sgot")
+    val sdocs = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("doc_id")
+    val skept = Dedup.dropNearDups(sdocs, "doc_id", spairs)
+      .select("doc_id").as[String].collect().sorted
+    assert(skept.toSeq == Seq("doc-a", "doc-z"), s"got ${skept.toSeq}")
   }
 
   test("chunkText: windows, overlap, short tails, and empty docs on hand fixtures") {
