@@ -796,6 +796,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact-N per-stratum sample: 20 docs per source by deterministic key
+    // hash — the fixed-size companion to q40's rate-based stratified
+    // sample; two-phase rank keeps a hot stratum off a single task.
+    "q66_exact_stratum_sample" -> ((s, dir) =>
+      ops.Sampling.exactSamplePerStratum(
+          t(s, dir, "documents"), "doc_id", "source", n = 20, salt = "r12")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // RAG-style chunking: 32-token windows with 8-token overlap — a pure
     // generator fan-out (split → sequence → explode → slice), zero shuffle,
     // zero UDF; the oracle re-slices the same token lists in SQL.
@@ -1833,6 +1842,16 @@ object SparkEntry {
         |    WHEN 'src6' THEN 0.5 WHEN 'src7' THEN 0.25 WHEN 'src8' THEN 0.75
         |    WHEN 'src9' THEN 0.5 END
         |ORDER BY doc_id""".stripMargin,
+
+    // exact-N per stratum: rank by the SAME hashUnit integer (the /2^32
+    // division is order-preserving, so the oracle ranks the raw value)
+    "q66_exact_stratum_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#r12'),1,8)) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "q41_corpus_mix" ->
       """WITH w AS (

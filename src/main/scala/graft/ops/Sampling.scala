@@ -41,6 +41,37 @@ object Sampling {
     df.where(hashUnit(col(keyCol), lit(salt)) < element_at(typedLit(rates), col(stratumCol)))
   }
 
+  /** EXACT-size per-stratum sampling: keep the `n` rows of each stratum
+    * with the smallest deterministic key hash — "give me exactly 20k docs
+    * per source" where [[stratifiedSample]]'s rate-based filter gives an
+    * expected size. Same auditability: membership is a pure function of
+    * (key, salt, the stratum's other keys).
+    *
+    * Runs in TWO phases so a hot stratum cannot funnel into one task:
+    * phase 1 ranks within (stratum, input partition) — the window key
+    * carries `spark_partition_id()`, spreading a skewed stratum across the
+    * cluster — and keeps `n` per cell; phase 2 ranks the survivors
+    * (≤ n × partitions rows per stratum) globally per stratum. Both phases
+    * are ordinary window sorts; results are identical to a single global
+    * rank because a stratum's true top-n within any partition subset
+    * survives phase 1. */
+  def exactSamplePerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                            n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"sample size must be positive; got $n")
+    import org.apache.spark.sql.expressions.Window
+    val h = hashUnit(col(keyCol), lit(salt))
+    val local = Window.partitionBy(col(stratumCol), col("__pid"))
+      .orderBy(h.asc, col(keyCol).asc)
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(local))
+      .where(col("__lrn") <= n)
+      .withColumn("__rn", row_number().over(global))
+      .where(col("__rn") <= n)
+      .drop("__pid", "__lrn", "__rn")
+  }
+
   /** Greedy token-budget selection: rank rows by `scoreCol` DESCENDING
     * (ties broken by `idCol`) and keep the prefix whose running token total
     * stays within `tokenBudget` — the "best docs until the budget is spent"

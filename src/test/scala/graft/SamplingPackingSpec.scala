@@ -167,6 +167,32 @@ class SamplingPackingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("exactSamplePerStratum: exact sizes, determinism, two-phase equals global rank") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sample = Sampling.exactSamplePerStratum(docs, "doc_id", "source", n = 7, salt = "t")
+    val sizes = sample.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (s, total) =>
+      assert(sizes.getOrElse(s, 0L) == math.min(7L, total), s"stratum $s") }
+
+    // deterministic across runs and partition layouts
+    val again = Sampling.exactSamplePerStratum(
+      docs.repartition(13), "doc_id", "source", n = 7, salt = "t")
+    assert(sample.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+
+    // two-phase result == straight global rank by the same hash
+    val h = Sampling.hashUnit(col("doc_id"), lit("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(h.asc, col("doc_id").asc)
+    val direct = docs.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 7).select("doc_id").as[Long].collect().sorted
+    assert(sample.select("doc_id").as[Long].collect().sorted.toSeq == direct.toSeq)
+  }
+
   test("tokenBudgetSelect keeps exactly the best-score prefix within budget") {
     import spark.implicits._
     val d = Seq(
