@@ -106,6 +106,27 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(back.as[(String, Long)].collect().sorted.toSeq == Seq(("one", 1L), ("two", 2L)))
   }
 
+  test("null values roundtrip through nullable unions in the V2 writer") {
+    val dir = tempDir("graft-w-nulls")
+    val df = spark.sql(
+      """SELECT id,
+        |  CASE WHEN id % 2 = 0 THEN concat('s', id) END AS s,
+        |  CASE WHEN id % 3 = 0 THEN id * 1.5 END AS d,
+        |  CASE WHEN id % 5 = 0 THEN named_struct('a', id, 'b', concat('n', id)) END AS st,
+        |  CASE WHEN id % 4 = 0 THEN array(id, id + 1) END AS xs
+        |FROM range(100)""".stripMargin)
+    df.coalesce(2).write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val back = readBack(dir)
+    assert(back.schema.fields.filter(_.name != "id").forall(_.nullable),
+      "nullable columns become [null, T] unions and read back nullable")
+    val exp = df.collect().map(_.toString).sorted
+    val got = back.collect().map(_.toString).sorted
+    assert(got.toSeq == exp.toSeq)
+    // null density survives: exactly the planted nulls, no more, no fewer
+    assert(back.where(col("s").isNull).count() == 50)
+    assert(back.where(col("st").isNull).count() == 80)
+  }
+
   test("nested/temporal/decimal types roundtrip through the V2 writer") {
     val dir = tempDir("graft-w-types")
     import spark.implicits._
