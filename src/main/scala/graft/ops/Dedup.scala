@@ -378,15 +378,18 @@ object Dedup {
       val neigh = sym
         .join(labels.select(col("id").as("b"), col("component").as("nl")), "b")
         .groupBy("a").agg(min("nl").as("nl"))
+      // the convergence flag rides INSIDE the propagation projection (label
+      // shrank iff a neighbor's min label beat the current one), so the
+      // changed count is a scan of the just-checkpointed frame — no second
+      // labels join and no extra pass per round
       val next = labels
         .join(neigh.select(col("a").as("id"), col("nl")), Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("nl"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nl"), col("component"))).as("component"),
+          (coalesce(col("nl"), col("component")) < col("component")).as("__changed"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .where(col("component") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("__changed")).count()
+      labels = next.drop("__changed")
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("component"))

@@ -107,9 +107,15 @@ object Sampling {
       .repartitionByRange(partitions, col(scoreCol).desc, col(idCol).asc)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    // bounded driver traffic: one (pid, tokenTotal) row per range partition
+    // bounded driver traffic: one (pid, tokenTotal) row per range partition.
+    // Null tokens count as 0 in BOTH passes (coalesce here, coalesce in the
+    // window cumsum below): an all-null partition would otherwise sum to
+    // SQL NULL and NPE the driver's getLong, and rows with null tokens
+    // would be excluded from offsets yet counted as 0 in the cumsum,
+    // skewing the budget across partitions.
+    val tokens = coalesce(col(tokenCol).cast("long"), lit(0L))
     val totals = ranged.groupBy("__pid")
-      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .agg(sum(tokens).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until partitions).scanLeft(0L) {
       (acc, p) => acc + totals.getOrElse(p, 0L)
@@ -119,7 +125,7 @@ object Sampling {
     val w = Window.partitionBy("__pid")
       .orderBy(col(scoreCol).desc, col(idCol).asc)
     ranged
-      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w) + offsetFor)
+      .withColumn("__cum", sum(tokens).over(w) + offsetFor)
       .where(col("__cum") <= tokenBudget)
       .drop("__pid", "__cum")
   }

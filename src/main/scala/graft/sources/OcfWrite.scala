@@ -222,10 +222,18 @@ private[sources] final class OcfStreamingWrite(cfg: OcfWriteConfig, truncateAll:
 
   /** Epoch commit: rename this epoch's temps over their DETERMINISTIC final
     * names (replacing a failed earlier attempt of the SAME epoch, never a
-    * different epoch's output). Complete-output mode (`truncate`) clears
-    * visible files first, so each epoch replaces the directory's contents. */
+    * different epoch's output). Before renaming, every visible file carrying
+    * THIS epoch's `part-<epoch>-` prefix is deleted: a replayed epoch that
+    * produces FEWER files than a previously committed attempt (fewer
+    * non-empty partitions, or a different chunk count under
+    * `maxBytesPerFile` after a nondeterministic shuffle order) would
+    * otherwise leave the stale extras in place as duplicate rows. Delete +
+    * rename makes replay idempotent regardless of file count. Complete-output
+    * mode (`truncate`) clears ALL visible files instead, so each epoch
+    * replaces the directory's contents. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    OcfCommit.publish(cfg, messages, clearVisible = truncateAll)
+    OcfCommit.publish(cfg, messages, clearVisible = truncateAll,
+      clearPrefix = if (truncateAll) None else Some(f"part-$epochId%05d-"))
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     OcfCommit.discard(cfg, messages)
@@ -415,28 +423,50 @@ object OcfMaintenance {
 private[sources] object OcfCommit {
 
   /** Driver-side job/epoch commit: optionally clear the directory's VISIBLE
-    * files (overwrite / complete mode), then rename every committed temp
-    * over its final name. Renames are within one directory (atomic on
-    * HDFS/local); a destination left by a failed attempt of the same job or
-    * a replayed epoch is replaced. */
+    * files (overwrite / complete mode) or just the committing epoch's
+    * `clearPrefix`-named files (replay idempotence even when the replay
+    * writes fewer files), then rename every committed temp over its final
+    * name. Replacement uses [[FileContext]] rename with `OVERWRITE` where
+    * the filesystem supports it — a SINGLE atomic operation on HDFS/local,
+    * so a driver crash mid-commit never leaves a destination deleted but
+    * not yet replaced; the exists→delete→rename fallback is only for
+    * filesystems without a FileContext binding. */
   def publish(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage],
-              clearVisible: Boolean): Unit = {
+              clearVisible: Boolean, clearPrefix: Option[String] = None): Unit = {
     val dirPath = new Path(cfg.dir)
     val fs = dirPath.getFileSystem(cfg.conf.value)
     fs.mkdirs(dirPath)
-    if (clearVisible) {
+    if (clearVisible || clearPrefix.isDefined) {
       fs.listStatus(dirPath).foreach { st =>
         val n = st.getPath.getName
-        if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
-          fs.delete(st.getPath, false)
+        val doomed =
+          if (clearVisible) !n.startsWith(".") && !n.startsWith("_")
+          else clearPrefix.exists(n.startsWith)
+        if (st.isFile && doomed) fs.delete(st.getPath, false)
       }
     }
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, cfg.conf.value))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
     messages.foreach {
       case OcfCommitMessage(files, _) => files.foreach { f =>
-        val destPath = new Path(f.dest)
-        if (fs.exists(destPath)) fs.delete(destPath, false)
-        if (!fs.rename(new Path(f.tmp), destPath))
-          throw new IOException(s"graft-ocf write: failed to rename ${f.tmp} to ${f.dest}")
+        val src = fs.makeQualified(new Path(f.tmp))
+        val dst = fs.makeQualified(new Path(f.dest))
+        fc match {
+          case Some(c) =>
+            // FileContext renames bypass ChecksumFileSystem, so on local FS
+            // the `.{name}.crc` sidecars are neither moved nor replaced —
+            // drop both (the temp's orphan and any stale one under the
+            // destination name, which would fail verification on read)
+            Seq(new Path(src.getParent, "." + src.getName + ".crc"),
+                new Path(dst.getParent, "." + dst.getName + ".crc"))
+              .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+            c.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          case None =>
+            if (fs.exists(dst)) fs.delete(dst, false)
+            if (!fs.rename(src, dst))
+              throw new IOException(s"graft-ocf write: failed to rename ${f.tmp} to ${f.dest}")
+        }
       }
       case _ => ()
     }

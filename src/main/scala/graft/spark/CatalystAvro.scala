@@ -306,11 +306,31 @@ object CatalystAvroReader {
 object CatalystAvroWriter {
   type Writer = (Any, AvroBinaryWriter) => Unit
 
-  def compile(dt: DataType, avro: AvroSchema): Writer = make(dt, avro)
+  def compile(dt: DataType, avro: AvroSchema): Writer =
+    nullGuarded("<value>", avro, make(dt, avro))
 
   private def deref(s: AvroSchema): AvroSchema = s match {
     case r: ARef => deref(r.target); case o => o
   }
+
+  private def allowsNull(s: AvroSchema): Boolean = deref(s) match {
+    case ANull => true
+    case AUnion(branches) => branches.exists(b => deref(b) == ANull)
+    case _ => false
+  }
+
+  /** A null routed into a schema with no null branch must fail as a TYPED
+    * [[AvroResolutionException]] naming the location — the raw scalar
+    * writers would otherwise throw a bare executor-side NPE (e.g.
+    * `asInstanceOf[UTF8String].getBytes`), inconsistent with the union
+    * path's error and nearly undiagnosable from a task failure. */
+  private def nullGuarded(where: String, s: AvroSchema, w: Writer): Writer =
+    if (allowsNull(s)) w
+    else (v, out) =>
+      if (v == null) throw new AvroResolutionException(
+        s"null value for non-nullable Avro ${deref(s).typeName} at $where; " +
+          "add a [\"null\", ...] union branch or filter nulls upstream")
+      else w(v, out)
 
   private def make(dt: DataType, s0: AvroSchema): Writer = deref(s0) match {
     case AUnion(branches) =>
@@ -412,7 +432,7 @@ object CatalystAvroWriter {
         case ArrayType(e, _) => e
         case other => throw new AvroResolutionException(s"array schema for ${other.sql}")
       }
-      val item = make(elType, items)
+      val item = nullGuarded("array item", items, make(elType, items))
       (v, out) => {
         val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val n = arr.numElements()
@@ -429,7 +449,7 @@ object CatalystAvroWriter {
         case MapType(_, v, _) => v
         case other => throw new AvroResolutionException(s"map schema for ${other.sql}")
       }
-      val value = make(vType, values)
+      val value = nullGuarded("map value", values, make(vType, values))
       (v, out) => {
         val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
         val n = m.numElements()
@@ -453,7 +473,8 @@ object CatalystAvroWriter {
         case other => throw new AvroResolutionException(s"record schema for ${other.sql}")
       }
       val fieldWriters: Array[Writer] = r.fields.zipWithIndex.map { case (f, i) =>
-        make(st.fields(i).dataType, f.schema)
+        nullGuarded(s"field '${f.name}' of record ${r.fullName}", f.schema,
+          make(st.fields(i).dataType, f.schema))
       }.toArray
       val getters = st.fields.map(f => InternalRowGetters.forType(f.dataType))
       (v, out) => {
