@@ -1110,13 +1110,19 @@ object SparkEntry {
           col("p50_tokens"), col("p90_tokens"), col("p99_tokens"))
         .orderBy("stratum")),
 
-    // X29 scale path: SKETCHED per-stratum quantiles (percentile_approx —
-    // mergeable GK summaries, bounded executor memory, no per-stratum sort).
-    // Sketch values are engine-specific, so no SQL oracle — the spec proves
-    // the rank-error bound against the exact rank rule; the driver records
-    // the rows-only check.
+    // X29 scale path, oracle-comparable form: exact rank-rule quantiles
+    // (cross-checked against DuckDB like q43) PLUS one boolean per quantile
+    // asserting the percentile_approx sketch value sits within its
+    // spec-guaranteed rank window q*n +/- n/accuracy. The oracle asserts the
+    // booleans literally TRUE, so a sketch that violated its published bound
+    // would hash-mismatch; raw sketch values (engine-specific) never leave
+    // the Spark side. corpusStatsApprox itself stays the scale path.
     "q57_corpus_stats_approx" -> ((s, dir) =>
-      ops.Packing.corpusStatsApprox(t(s, dir, "documents"), "source", "text")
+      ops.Packing.corpusStatsApproxChecked(t(s, dir, "documents"), "source", "text")
+        .select(col("stratum"), col("n_docs"), col("total_tokens"),
+          expr("CAST(round(mean_tokens, 9) AS DOUBLE)").as("mean_tokens"),
+          col("p50_tokens"), col("p90_tokens"), col("p99_tokens"),
+          col("p50_in_bound"), col("p90_in_bound"), col("p99_in_bound"))
         .orderBy("stratum"))
   )
 
@@ -1902,6 +1908,32 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS p50_tokens,
         |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS p90_tokens,
         |  max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin,
+
+    // q57: exact columns are the q43 query verbatim; the *_in_bound booleans
+    // are the sketch's cross-engine CONTRACT — the oracle asserts them TRUE,
+    // the Spark side computes them from the measured rank of the sketch
+    // value, so a bound violation fails the hash compare.
+    "q57_corpus_stats_approx" ->
+      """WITH t AS (
+        |  SELECT source AS stratum,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT stratum, n_tokens,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY n_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY stratum) AS n
+        |  FROM t)
+        |SELECT stratum, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 9) AS DOUBLE) AS mean_tokens,
+        |  max(CASE WHEN rn = ceil(0.5 * n) THEN n_tokens END) AS p50_tokens,
+        |  max(CASE WHEN rn = ceil(0.9 * n) THEN n_tokens END) AS p90_tokens,
+        |  max(CASE WHEN rn = ceil(0.99 * n) THEN n_tokens END) AS p99_tokens,
+        |  TRUE AS p50_in_bound,
+        |  TRUE AS p90_in_bound,
+        |  TRUE AS p99_in_bound
         |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin
   )
 }

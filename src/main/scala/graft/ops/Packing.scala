@@ -89,4 +89,58 @@ object Packing {
         pct(0.9).as("p90_tokens"),
         pct(0.99).as("p99_tokens"))
   }
+
+  /** [[corpusStatsApprox]] made ORACLE-COMPARABLE: the raw sketch values are
+    * engine-specific (no other engine reproduces a Greenwald-Khanna summary
+    * bit-for-bit), so instead of emitting them this report emits the EXACT
+    * rank-rule quantiles ([[corpusStats]] machinery) alongside one boolean
+    * per quantile stating that the sketch value's rank interval intersects
+    * the spec-guaranteed window `q·n ± n/accuracy` (±1 rank of slack for the
+    * rank convention). The booleans are a cross-engine contract — an
+    * independent oracle asserts them literally TRUE, so a sketch that ever
+    * violated its published bound breaks the comparison.
+    *
+    * The rank of the sketch value is measured as the interval
+    * `[count(x < v)+1, count(x ≤ v)]` (duplicates make rank an interval,
+    * not a point), computed as two conditional sums in the SAME aggregation
+    * as the exact quantiles — one stratum-join of three sketch scalars plus
+    * the q43 window, no extra pass. This is the verification path; at scale
+    * prefer [[corpusStatsApprox]] (no window sort) once the bound is
+    * trusted. */
+  def corpusStatsApproxChecked(df: DataFrame, stratumCol: String,
+                               textCol: String, accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, s"accuracy must be positive; got $accuracy")
+    val toks = df.select(col(stratumCol).as("stratum"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    def pct(q: Double) =
+      percentile_approx(col("n_tokens"), lit(q), lit(accuracy))
+    val sketch = toks.groupBy("stratum")
+      .agg(pct(0.5).as("a50"), pct(0.9).as("a90"), pct(0.99).as("a99"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("n_tokens"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+      .join(broadcast(sketch), "stratum")
+    def atQuantile(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("n_tokens")))
+    def inBound(q: Double, a: org.apache.spark.sql.Column) = {
+      val n = max(col("n")).cast("double")
+      val eps = n / accuracy + 1.0
+      val target = lit(q) * n
+      val lowRank = sum(when(col("n_tokens") < a, 1L).otherwise(0L)) + lit(1L)
+      val highRank = sum(when(col("n_tokens") <= a, 1L).otherwise(0L))
+      (highRank.cast("double") >= target - eps) &&
+        (lowRank.cast("double") <= target + eps)
+    }
+    ranked.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (sum("n_tokens").cast("double") / count(lit(1))).as("mean_tokens"),
+        atQuantile(0.5).as("p50_tokens"),
+        atQuantile(0.9).as("p90_tokens"),
+        atQuantile(0.99).as("p99_tokens"),
+        inBound(0.5, col("a50")).as("p50_in_bound"),
+        inBound(0.9, col("a90")).as("p90_in_bound"),
+        inBound(0.99, col("a99")).as("p99_in_bound"))
+  }
 }

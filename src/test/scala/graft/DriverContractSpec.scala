@@ -12,16 +12,12 @@ class DriverContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("queries without an oracle are the known, documented set") {
-    // these fall back to the driver's weaker rows-only check — keep the set
-    // explicit so a new query can't silently ship oracle-less by accident.
-    // q57: percentile_approx sketch values are engine-specific (GK summary
-    // collapse order), so no SQL engine reproduces them bit-exactly; the
-    // rank-error bound is spec-proven against the exact rank rule instead
-    // (SamplingPackingSpec "corpusStatsApprox sketches land within...").
-    val known = Set("q57_corpus_stats_approx")
+  test("every declared query has an oracle") {
+    // q57 regained its oracle in r13 (exact quantiles + bound booleans), so
+    // the oracle-less set is now empty — keep this assert so a new query
+    // can't silently ship oracle-less by accident.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == known, s"queries lacking an oracle: ${missing -- known}")
+    assert(missing.isEmpty, s"queries lacking an oracle: $missing")
   }
 
   test("the flagship entry() returns rows on sf0.001 (driver smoke contract)") {

@@ -151,6 +151,24 @@ class SamplingPackingSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusStatsApproxChecked: exact quantiles match corpusStats, bounds hold") {
+    val checked = Packing.corpusStatsApproxChecked(docs, "source", "text")
+    val exact = Packing.corpusStats(docs, "source", "text")
+    // the exact columns are byte-identical to the q43 report
+    val joined = checked.as("c").join(exact.as("e"), "stratum")
+    assert(joined.where(
+      col("c.n_docs") =!= col("e.n_docs") ||
+      col("c.total_tokens") =!= col("e.total_tokens") ||
+      col("c.p50_tokens") =!= col("e.p50_tokens") ||
+      col("c.p90_tokens") =!= col("e.p90_tokens") ||
+      col("c.p99_tokens") =!= col("e.p99_tokens")).isEmpty,
+      "checked report's exact columns must equal corpusStats")
+    // at test scale eps < 1 row, so the sketch bound must hold everywhere —
+    // this is the oracle contract (DuckDB asserts the same literals TRUE)
+    assert(checked.where(!col("p50_in_bound") || !col("p90_in_bound") ||
+      !col("p99_in_bound")).isEmpty, "a sketch violated its rank bound")
+  }
+
   test("sampling plans are shuffle-free map-side filters") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
