@@ -110,7 +110,9 @@ object OcfDataSource {
                             conf: Configuration, splitSize: Long,
                             paths: Seq[String] = Nil,
                             glob: Option[String] = None,
-                            recursive: Boolean = false)
+                            recursive: Boolean = false,
+                            maxFilesPerTrigger: Option[Int] = None,
+                            maxBytesPerTrigger: Option[Long] = None)
 
   /** Test observability: counts [[readHeaderAt]] calls, asserting the
     * one-header-read-per-file planning contract. */
@@ -194,9 +196,18 @@ object OcfDataSource {
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
     require(splitSize > 0, s"graft-ocf: splitSize must be positive, got $splitSize")
+    // streaming admission control (ignored by batch scans): bound how much
+    // of the backlog one micro-batch may admit
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    maxFiles.foreach(n => require(n > 0,
+      s"graft-ocf: maxFilesPerTrigger must be positive, got $n"))
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+    maxBytes.foreach(n => require(n > 0,
+      s"graft-ocf: maxBytesPerTrigger must be positive, got $n"))
     Resolved(metas, readerJson, sql, wrap, conf, splitSize,
       paths, Option(options.get("pathGlobFilter")),
-      options.getBoolean("recursiveFileLookup", false))
+      options.getBoolean("recursiveFileLookup", false), maxFiles, maxBytes)
   }
 
   /** `readerSchema=auto`: among the directory's DISTINCT writer schemas,
@@ -421,7 +432,9 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     OcfScan(resolved.files, readerJson, sql, wrap,
       new SerializableHadoopConf(resolved.conf), resolved.splitSize,
       resolved.paths, resolved.glob, resolved.recursive,
-      limit = limit.map(_.toLong).getOrElse(Long.MaxValue))
+      limit = limit.map(_.toLong).getOrElse(Long.MaxValue),
+      maxFilesPerTrigger = resolved.maxFilesPerTrigger,
+      maxBytesPerTrigger = resolved.maxBytesPerTrigger)
   }
 }
 
@@ -459,7 +472,9 @@ private[graft] final case class OcfScan(
     wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long,
     paths: Seq[String] = Nil, glob: Option[String] = None,
     recursive: Boolean = false, limit: Long = Long.MaxValue,
-    countStar: Boolean = false)
+    countStar: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =

@@ -4,7 +4,7 @@ import graft.avro.AvroCodecs
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
 /** `readStream.format("graft-ocf")` — the splittable OCF source as a
   * Structured Streaming micro-batch source over a GROWING directory: the
@@ -34,7 +34,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
   * State is the file log (a name + header meta per file, no content).
   */
 private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation: String)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   import OcfDataSource.OcfFileMeta
 
   private val conf = scan.conf.value
@@ -51,7 +51,12 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
   override def initialOffset(): Offset = OcfStreamOffset(0)
   override def deserializeOffset(json: String): Offset = OcfStreamOffset.fromJson(json)
 
-  override def latestOffset(): Offset = synchronized {
+  /** Re-list the directories and append every NEW file to the discovery
+    * log. Discovery is always exhaustive — ADMISSION (how much of the
+    * backlog one micro-batch may take) is bounded separately, so the log's
+    * delta-persistence and first-seen order are identical with and without
+    * a read limit. Returns the discovered-file count. */
+  private def discover(): Int = {
     val listed = OcfDataSource.list(conf, scan.paths, scan.glob, scan.recursive)
     val fresh = listed.filterNot(f => known.contains(f.path))
     if (fresh.nonEmpty) {
@@ -60,13 +65,78 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
       metas.foreach { m => AvroCodecs(m.codecName); known += (m.path -> m) }
       persist(known.size, metas)
     }
-    OcfStreamOffset(known.size)
+    known.size
+  }
+
+  override def latestOffset(): Offset = synchronized { OcfStreamOffset(discover()) }
+
+  /** Admission control: the first trigger of a stream started over a YEAR of
+    * landed files must not decode the whole backlog in one micro-batch
+    * (reference slot README.md:54-58 — in-flight decode at a controlled
+    * rate). `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each batch;
+    * the backlog drains over successive triggers in first-seen order, each
+    * file still in exactly one batch. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = (scan.maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      scan.maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq).toArray
+    limits.length match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => limits(0)
+      case _ => ReadLimit.compositeLimit(limits)
+    }
+  }
+
+  /** `Trigger.AvailableNow`: the backlog is FROZEN at prepare time; batches
+    * then drain `[start, target)` under the read limit and the query stops
+    * at the target. Without this, Spark's wrapper would ignore the read
+    * limit entirely and decode the whole backlog in one batch — the exact
+    * failure admission control exists to prevent. */
+  private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowTarget = Some(discover())
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = synchronized {
+    val s = start.asInstanceOf[OcfStreamOffset].fileCount
+    val end = availableNowTarget match {
+      case Some(t) => math.min(admit(s, limit), t) // frozen listing, no re-discovery
+      case None    => discover(); admit(s, limit)
+    }
+    OcfStreamOffset(end)
+  }
+
+  /** For streaming progress: the true end of the discovered log, so the UI
+    * shows the backlog an admission-limited batch has not yet taken. */
+  override def reportLatestOffset(): Offset = synchronized { OcfStreamOffset(known.size) }
+
+  /** End offset for a batch starting at file `from` under `limit`. A bytes
+    * limit always admits at least one file (a single file larger than the
+    * cap must still make progress); a composite limit is the strictest of
+    * its parts. Row-based limits are not meaningful pre-decode (an OCF
+    * file's row count is not in its header) and admit everything. */
+  private def admit(from: Int, limit: ReadLimit): Int = limit match {
+    case _: ReadAllAvailable => known.size
+    case f: ReadMaxFiles => math.min(known.size, from + f.maxFiles)
+    case b: ReadMaxBytes =>
+      var end = from
+      var bytes = 0L
+      val it = known.values.iterator.drop(from)
+      var full = false
+      while (!full && it.hasNext) {
+        val m = it.next()
+        if (end == from || bytes + m.len <= b.maxBytes) { bytes += m.len; end += 1 }
+        else full = true
+      }
+      end
+    case c: CompositeReadLimit => c.getReadLimits.map(l => admit(from, l)).min
+    case _ => known.size
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = synchronized {
     val s = start.asInstanceOf[OcfStreamOffset].fileCount
     val e = end.asInstanceOf[OcfStreamOffset].fileCount
-    if (known.size < e) restoreAt(e) // replay after restart: reload the frozen listing
+    if (known.size < e) restoreLatest() // replay after restart: reload the frozen listing
     require(known.size >= e,
       s"graft-ocf stream: offset $e exceeds the ${known.size}-file discovery log " +
         s"and no persisted listing exists at $logDir/$e")
@@ -131,20 +201,20 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
       .flatMap(st => scala.util.Try(st.getPath.getName.toInt).toOption)
       .toSeq.sorted
 
-  /** Rebuild the discovery log from the persisted deltas up to `count`
-    * (ascending offset order reproduces first-seen order exactly). */
-  private def restoreAt(count: Int): Unit = {
-    val counts = persistedCounts().filter(_ <= count)
+  /** Rebuild the COMPLETE discovery log from the persisted deltas
+    * (ascending offset order reproduces first-seen order exactly). Always
+    * whole — deltas are keyed by the cumulative discovered count at persist
+    * time, which under admission control exceeds committed end offsets, and
+    * a partially loaded log would let the next [[discover]] re-append (and
+    * re-persist) files that live in the unloaded tail. Extra entries past a
+    * replayed batch's end are harmless: slices are bounded by the offsets. */
+  private def restoreLatest(): Unit = {
+    val counts = persistedCounts()
     if (counts.nonEmpty) {
       known.clear()
       counts.foreach(c => load(logPath(c)).foreach(m => known += (m.path -> m)))
     }
   }
-
-  /** On construction, seed the log from every persisted delta so a restarted
-    * query replans uncommitted batches identically. */
-  private def restoreLatest(): Unit =
-    persistedCounts().lastOption.foreach(restoreAt)
 }
 
 /** Streaming offset: a count into the append-only file-discovery log. */

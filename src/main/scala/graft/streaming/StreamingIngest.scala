@@ -52,14 +52,23 @@ object StreamingIngest {
     * everything else, exactly like the batch scan's pushed prune.
     * The directory must hold at least one file at start (schema comes from
     * its header unless `readerSchemaJson` is given), and files must land
-    * atomically (write-then-rename). */
+    * atomically (write-then-rename).
+    *
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` bound ADMISSION per
+    * micro-batch: a stream started over a large existing directory drains
+    * the backlog across triggers instead of decoding a year of landings in
+    * batch 0, each file still in exactly one batch. */
   def ocfSplitFileStream(spark: SparkSession, inputDir: String,
                          readerSchemaJson: Option[String] = None,
-                         splitSize: Option[Long] = None): DataFrame = {
+                         splitSize: Option[Long] = None,
+                         maxFilesPerTrigger: Option[Int] = None,
+                         maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.format("graft-ocf")
     val r1 = readerSchemaJson.fold(r)(j => r.option("readerSchema", j))
     val r2 = splitSize.fold(r1)(s => r1.option("splitSize", s.toString))
-    r2.load(inputDir)
+    val r3 = maxFilesPerTrigger.fold(r2)(n => r2.option("maxFilesPerTrigger", n.toString))
+    val r4 = maxBytesPerTrigger.fold(r3)(n => r3.option("maxBytesPerTrigger", n.toString))
+    r4.load(inputDir)
   }
 
   /** Decode a bare-datum binary column on a streaming frame (the Kafka/

@@ -104,6 +104,87 @@ class StreamingIngestSpec extends AnyFunSuite {
       "restart must decode exactly the files landed after the checkpointed offset")
   }
 
+  test("graft-ocf split stream: admission control drains a backlog over bounded triggers") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-ocfadmit-in")
+    val schemaJson =
+      """{"type":"record","name":"KV","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin
+    // pre-seed SIX files before the stream starts — the "start a stream on
+    // an existing directory" case the cap exists for
+    (0 until 6).foreach { f =>
+      val df = (f * 100 until (f + 1) * 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+      val payloads = graft.spark.OcfSink.payloads(df, schemaJson, "null", datumsPerPayload = 100)
+      graft.spark.OcfFiles.writePayloadFiles(payloads, in.toString, prefix = f"f$f%02d")
+    }
+
+    // parquet sink so the same checkpoint can restart mid-backlog
+    val out = Files.createTempDirectory("graft-ocfadmit-out")
+    val ckpt = Files.createTempDirectory("graft-ocfadmit-ckpt")
+    def run(): Seq[Long] = {
+      val q = StreamingIngest.ocfSplitFileStream(spark, in.toString,
+          maxFilesPerTrigger = Some(2))
+        .writeStream.format("parquet")
+        .option("path", out.toString).option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      assert(batches.forall(_.numInputRows <= 200),
+        s"each micro-batch admits at most 2 files (200 rows); got ${batches.map(_.numInputRows).toList}")
+      batches.map(_.numInputRows)
+    }
+    val b1 = run()
+    assert(b1.length == 3, s"6 files / cap 2 = 3 non-empty batches; got $b1")
+    val ks = spark.read.parquet(out.toString).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ks == (0L until 600L), "backlog drains exactly-once across bounded batches")
+
+    // land 3 more files; a RESTART from the same checkpoint picks up only
+    // the new backlog, still under the cap (2 batches: 2 files + 1 file)
+    (6 until 9).foreach { f =>
+      val df = (f * 100 until (f + 1) * 100).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+      val payloads = graft.spark.OcfSink.payloads(df, schemaJson, "null", datumsPerPayload = 100)
+      graft.spark.OcfFiles.writePayloadFiles(payloads, in.toString, prefix = f"f$f%02d")
+    }
+    val b2 = run()
+    assert(b2.length == 2, s"3 new files / cap 2 = 2 non-empty batches; got $b2")
+    val ks2 = spark.read.parquet(out.toString).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ks2 == (0L until 900L),
+      "restart admits only files landed after the checkpointed offset, exactly once")
+  }
+
+  test("graft-ocf split stream: maxBytesPerTrigger admits at least one file per batch") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-ocfbytes-in")
+    val schemaJson =
+      """{"type":"record","name":"KV","fields":[
+        |{"name":"k","type":"long"},{"name":"v","type":"string"}]}""".stripMargin
+    (0 until 3).foreach { f =>
+      val df = (f * 50 until (f + 1) * 50).map(i => (i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+      val payloads = graft.spark.OcfSink.payloads(df, schemaJson, "null", datumsPerPayload = 50)
+      graft.spark.OcfFiles.writePayloadFiles(payloads, in.toString, prefix = f"f$f%02d")
+    }
+    val ckpt = Files.createTempDirectory("graft-ocfbytes-ckpt")
+    // 1-byte cap: smaller than any file, so progress REQUIRES the
+    // at-least-one-file rule — one file per batch, 3 batches
+    val q = StreamingIngest.ocfSplitFileStream(spark, in.toString,
+        maxBytesPerTrigger = Some(1L))
+      .writeStream.format("memory").queryName("ocf_bytes_admit")
+      .option("checkpointLocation", ckpt.toString).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"sub-file byte cap must admit exactly one file per batch; got ${batches.map(_.numInputRows).toList}")
+      val ks = spark.table("ocf_bytes_admit").select("k").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(ks == (0L until 150L))
+    } finally q.stop()
+  }
+
   test("graft-ocf split stream: projected readerSchema narrows the decode") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-ocfprune-in")
