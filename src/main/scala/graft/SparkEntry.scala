@@ -624,6 +624,49 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Partitioned V2 write + partition-pruned read: documents land as
+    // lang=<value>/ hive-style directories (values dropped from file
+    // contents, stored only in the path), then the scan prunes to ONE
+    // partition from the pushed filter — the pruned files' headers are
+    // never even read. At 100 TB directory partitioning is the single
+    // most-used layout tool; this closes the write→prune loop.
+    "q67_partitioned_write_read" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q67_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // File-skipping stats: the sink stamps per-file n_chars min/max into
+    // the OCF header (statsColumns); range-partitioned files get disjoint
+    // ranges, and the scan's pushed predicate then excludes non-matching
+    // files from the plan header-only — same trick as q56's COUNT(*)
+    // pushdown, applied to selection. Spec-proven that only matching files
+    // plan splits (OcfDataSourceSpec "stats skipping").
+    "q68_stats_skip_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val out = landingDir(s, "graft_q68_ocf_")
+      d.repartitionByRange(4, col("n_chars"), col("doc_id"))
+        .sortWithinPartitions("n_chars")
+        .write.format("graft-ocf").mode("overwrite")
+        .option("statsColumns", "n_chars")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("n_chars") >= 80)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+    }),
+
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
     // the (slow) codec's bench cost trivial.
     "q39_ocf_bzip2_roundtrip" -> ((s, dir) => {
@@ -1301,6 +1344,20 @@ object SparkEntry {
     "q58_ocf_v2_write" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // partitioned write → partition-pruned read is a lossless round-trip of
+    // documents restricted to one lang, so the oracle aggregates straight
+    // off the parquet with the same WHERE
+    "q67_partitioned_write_read" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
+
+    // stats-skipped scan is a lossless selection: same filter + aggregates
+    // off the parquet
+    "q68_stats_skip_scan" ->
+      """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents WHERE n_chars >= 80""".stripMargin,
 
     // three-branch union: exactly one member non-null per row, by k mod 3
     "q52_union3_roundtrip" ->

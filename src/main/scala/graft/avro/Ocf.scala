@@ -143,6 +143,21 @@ object Ocf {
   val SyncSize = 16
   val SyncInterval = 64000 // bytes buffered before block flush (reference: datafile.py:39)
 
+  /** Serialized header bytes: magic, one meta map block, terminator, sync —
+    * the exact framing [[readHeader]] parses. Shared by the streaming writer
+    * and the stats-stamping header rewrite so the two can never drift. */
+  def headerBytes(meta: mutable.LinkedHashMap[String, Array[Byte]],
+                  sync: Array[Byte]): Array[Byte] = {
+    require(sync.length == SyncSize, s"sync marker must be $SyncSize bytes")
+    val h = new AvroBinaryWriter()
+    h.writeFixed(Magic)
+    h.writeLong(meta.size.toLong)
+    meta.foreach { case (k, v) => h.writeString(k); h.writeBytes(v) }
+    h.writeLong(0)
+    h.writeFixed(sync)
+    h.toByteArray
+  }
+
   def readHeader(in: AvroBinaryReader): OcfHeader = {
     val magic = in.readFixed(4)
     if (!java.util.Arrays.equals(magic, Magic))
@@ -268,16 +283,9 @@ final class OcfStreamWriter(out: java.io.OutputStream, schema: AvroSchema,
     s"sync marker must be ${Ocf.SyncSize} bytes")
 
   locally {
-    val h = new AvroBinaryWriter()
-    h.writeFixed(Ocf.Magic)
-    val meta = mutable.LinkedHashMap[String, Array[Byte]](
+    val bytes = Ocf.headerBytes(mutable.LinkedHashMap(
       "avro.codec" -> codecName.getBytes("UTF-8"),
-      "avro.schema" -> AvroSchemaParser.toJson(schema).getBytes("UTF-8"))
-    h.writeLong(meta.size.toLong)
-    meta.foreach { case (k, v) => h.writeString(k); h.writeBytes(v) }
-    h.writeLong(0)
-    h.writeFixed(sync)
-    val bytes = h.toByteArray
+      "avro.schema" -> AvroSchemaParser.toJson(schema).getBytes("UTF-8")), sync)
     out.write(bytes, 0, bytes.length)
   }
 

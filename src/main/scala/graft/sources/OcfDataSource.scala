@@ -84,12 +84,26 @@ final class OcfDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new OcfTable(Option(schema), () => resolvedFor(opts))
+    // `df.write.partitionBy(cols)` arrives here as identity transforms —
+    // the only transform family a directory layout can express
+    val partCols = partitioning.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new IllegalArgumentException(
+        s"graft-ocf: unsupported partition transform '$other'; only " +
+          "partitionBy(column) (identity) maps to a directory layout")
+    }
+    new OcfTable(Option(schema), partitioning, partCols, () => resolvedFor(opts))
   }
 }
 
 object OcfDataSource {
-  final case class FileSlice(path: String, len: Long)
+  /** One listed input file; `partitionValues` (aligned with the resolve's
+    * inferred partition columns, null = hive null dir) ride along from the
+    * listing so partition pruning can run BEFORE any header is read. */
+  final case class FileSlice(path: String, len: Long,
+                             partitionValues: Array[String] = Array.empty)
 
   /** One input file plus everything a split needs from its OCF header —
     * resolved ONCE at planning time and shipped ONCE per stage inside
@@ -99,24 +113,42 @@ object OcfDataSource {
     * header errors (truncation, bad magic, unknown codec) fail the QUERY
     * PLAN instead of a mid-job task. */
   final case class OcfFileMeta(path: String, len: Long, writerSchemaJson: String,
-                               codecName: String, sync: Array[Byte], headerEnd: Long)
+                               codecName: String, sync: Array[Byte], headerEnd: Long,
+                               partitionValues: Array[String] = Array.empty,
+                               statsJson: Option[String] = None)
 
-  /** Driver-side view of one read: the frozen file listing (with resolved
-    * headers), the reader schema, its Spark shape, the planned split size,
-    * and the listing parameters (kept so a STREAMING read can re-list the
-    * same directories on every micro-batch). */
-  final case class Resolved(files: Seq[OcfFileMeta], readerJson: String,
-                            sql: StructType, wrap: Boolean,
+  /** Driver-side view of one read: the frozen file LISTING (header
+    * resolution is deferred to [[OcfScanBuilder.build]] so partition
+    * pruning can drop files before their headers are ever read; only
+    * `readerSchema=auto` — which needs every writer schema — prefetches
+    * them), the reader schema, its Spark shape (`dataSql` = file contents,
+    * `sql` = dataSql ++ inferred partition columns as strings), the planned
+    * split size, and the listing parameters (kept so a STREAMING read can
+    * re-list the same directories on every micro-batch). */
+  final case class Resolved(files: Seq[FileSlice], readerJson: String,
+                            dataSql: StructType, sql: StructType, wrap: Boolean,
                             conf: Configuration, splitSize: Long,
+                            partCols: Seq[String] = Nil,
+                            prefetched: Option[Seq[OcfFileMeta]] = None,
                             paths: Seq[String] = Nil,
                             glob: Option[String] = None,
                             recursive: Boolean = false,
                             maxFilesPerTrigger: Option[Int] = None,
-                            maxBytesPerTrigger: Option[Long] = None)
+                            maxBytesPerTrigger: Option[Long] = None) {
+    /** Driver-side per-path header memo: one read per file per RESOLVE, no
+      * matter how many scans (builds/actions) share this resolve. */
+    val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
+  }
 
   /** Test observability: counts [[readHeaderAt]] calls, asserting the
     * one-header-read-per-file planning contract. */
   private[graft] val headerReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test observability: the file paths the last-built scan actually plans
+    * splits over — AFTER partition pruning and stats skipping — proving a
+    * selective predicate eliminates whole files from the plan. */
+  private[graft] val lastPlannedFiles =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
   /** Test observability: the effective reader schema JSON of the last-built
     * scan (after column pruning pushed the required schema into the decode),
@@ -176,22 +208,46 @@ object OcfDataSource {
     val conf = spark.sessionState.newHadoopConf()
     val paths = pathsOf(options)
     require(paths.nonEmpty, "graft-ocf: no 'path' specified")
-    val files = list(conf, paths,
-      Option(options.get("pathGlobFilter")),
-      options.getBoolean("recursiveFileLookup", false))
-    require(files.nonEmpty, s"graft-ocf: no input files under ${paths.mkString(", ")}")
-    val metas = fetchMetas(conf, files)
-    // fail fast on a codec no executor could decode
-    metas.map(_.codecName).distinct.foreach(AvroCodecs(_))
-    val readerJson = Option(options.get("readerSchema")) match {
+    val glob = Option(options.get("pathGlobFilter"))
+    val userRecursive = options.getBoolean("recursiveFileLookup", false)
+    var recursive = userRecursive
+    var listed = list(conf, paths, glob, userRecursive)
+    if (listed.isEmpty && !userRecursive) {
+      // a hive-partitioned root has no direct files, only col=value/ dirs —
+      // recurse rather than fail, the same default as Spark's file sources
+      listed = list(conf, paths, glob, recursive = true)
+      recursive = true
+    }
+    require(listed.nonEmpty, s"graft-ocf: no input files under ${paths.mkString(", ")}")
+    val qualifiedRoots = paths.map { p =>
+      val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    val (partCols, files) = OcfPartitions.infer(qualifiedRoots, listed)
+    // header resolution is LAZY (deferred to build, after partition pruning);
+    // only what the schema needs is read here
+    val readerOpt = Option(options.get("readerSchema"))
+    var firstMeta: Option[OcfFileMeta] = None
+    val (readerJson, prefetched) = readerOpt match {
       // case-insensitive: option KEYS already are, and "AUTO" silently
       // parsing as schema JSON would yield a baffling error
       case Some(v) if v.equalsIgnoreCase("auto") =>
-        widestSchema(metas.map(_.writerSchemaJson).distinct)
-      case Some(json) => json
-      case None       => metas.head.writerSchemaJson
+        val metas = fetchMetas(conf, files)
+        metas.map(_.codecName).distinct.foreach(AvroCodecs(_))
+        (widestSchema(metas.map(_.writerSchemaJson).distinct), Some(metas))
+      case Some(json) => (json, None)
+      case None =>
+        val m = fetchMetas(conf, Seq(files.head)).head
+        firstMeta = Some(m)
+        (m.writerSchemaJson, None)
     }
-    val (sql, wrap) = sqlShape(readerJson)
+    val (dataSql, wrap) = sqlShape(readerJson)
+    partCols.foreach { pc =>
+      require(!dataSql.fieldNames.exists(_.equalsIgnoreCase(pc)),
+        s"graft-ocf: partition column '$pc' collides with a data field; " +
+          "rename the directory level or the field")
+    }
+    val sql = StructType(dataSql.fields ++ partCols.map(
+      StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
     val splitSize = Option(options.get("splitSize")).map(_.toLong).getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
@@ -205,9 +261,10 @@ object OcfDataSource {
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
     maxBytes.foreach(n => require(n > 0,
       s"graft-ocf: maxBytesPerTrigger must be positive, got $n"))
-    Resolved(metas, readerJson, sql, wrap, conf, splitSize,
-      paths, Option(options.get("pathGlobFilter")),
-      options.getBoolean("recursiveFileLookup", false), maxFiles, maxBytes)
+    val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
+      partCols, prefetched, paths, glob, recursive, maxFiles, maxBytes)
+    firstMeta.foreach(m => r.metaCache.put(m.path, m))
+    r
   }
 
   /** `readerSchema=auto`: among the directory's DISTINCT writer schemas,
@@ -246,7 +303,9 @@ object OcfDataSource {
       val p = new Path(f.path)
       val in = p.getFileSystem(conf).open(p)
       val (h, end) = try readHeaderAt(in, f.len) finally in.close()
-      OcfFileMeta(f.path, f.len, h.schemaJson, h.codecName, h.sync, end)
+      OcfFileMeta(f.path, f.len, h.schemaJson, h.codecName, h.sync, end,
+        f.partitionValues,
+        h.meta.get("graft.stats").map(new String(_, "UTF-8")))
     }
     if (files.lengthCompare(2) < 0) files.map(metaOf)
     else {
@@ -340,11 +399,16 @@ final class SerializableHadoopConf(@transient var value: Configuration) extends 
   * lists (or requires) existing input files. */
 private[sources] final class OcfTable(
     external: Option[StructType],
+    transforms: Array[Transform],
+    partCols: Array[String],
     resolve: () => OcfDataSource.Resolved)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = "graft-ocf"
   override def schema(): StructType = external.getOrElse(resolve().sql)
+  // echo the requested transforms: DataFrameWriter verifies the table's
+  // partitioning matches its partitionBy before writing
+  override def partitioning(): Array[Transform] = transforms
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -360,16 +424,32 @@ private[sources] final class OcfTable(
     new OcfScanBuilder(r)
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
-    new OcfWriteBuilder(info)
+    new OcfWriteBuilder(info, partCols)
 }
 
 private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
   private var countStar = false
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  /** Filters are accepted for DRIVER-SIDE file elimination only — exact
+    * partition-value pruning (before any header read) and header-stats
+    * range skipping — and ALL remain residual (returned back), because both
+    * are file-granular: a surviving file still holds non-matching rows, so
+    * Spark must re-apply the predicate after decode. Keeping them residual
+    * costs one codegen'd comparison per row; dropping them would cost
+    * correctness. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
@@ -400,8 +480,44 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   }
 
   override def build(): Scan = {
+    val partIdx: Map[String, Int] = resolved.partCols.zipWithIndex.toMap
+    def partValueOf(f: Array[String])(name: String): Option[String] =
+      partIdx.get(name).collect { case i if i < f.length => f(i) }
+    // 1. partition-prune on path values — NO header I/O for pruned files
+    val kept = resolved.files.filter(f =>
+      OcfPartitions.mayMatch(pushed.toSeq, partValueOf(f.partitionValues), _ => None))
+    // 2. headers for the survivors only (auto mode already fetched all);
+    // memoized per resolve so repeated builds/actions don't re-read
+    val metas0 = resolved.prefetched match {
+      case Some(ms) =>
+        val keepSet = kept.map(_.path).toSet
+        ms.filter(m => keepSet(m.path))
+      case None =>
+        val missing = kept.filterNot(f => resolved.metaCache.containsKey(f.path))
+        if (missing.nonEmpty)
+          OcfDataSource.fetchMetas(resolved.conf, missing)
+            .foreach(m => resolved.metaCache.put(m.path, m))
+        kept.map(f => resolved.metaCache.get(f.path))
+    }
+    // fail fast on a codec no executor could decode
+    metas0.map(_.codecName).distinct.foreach(AvroCodecs(_))
+    // 3. stats-skip on header-stamped min/max — header-only, no data read
+    val metas = metas0.filter { m =>
+      m.statsJson.forall { js =>
+        OcfPartitions.mayMatch(pushed.toSeq, partValueOf(m.partitionValues),
+          OcfPartitions.parseStats(js).get)
+      }
+    }
+    OcfDataSource.lastPlannedFiles.set(metas.map(_.path))
+    // partition columns the query still needs, in layout order
+    val reqPartCols = required match {
+      case Some(req) =>
+        resolved.partCols.filter(pc => req.fieldNames.exists(_.equalsIgnoreCase(pc)))
+      case None => resolved.partCols
+    }
+    val reqPartIdx = reqPartCols.map(pc => partIdx(pc)).toArray
     if (countStar)
-      return OcfScan(resolved.files, resolved.readerJson, resolved.sql,
+      return OcfScan(metas, resolved.readerJson, resolved.dataSql,
         resolved.wrap, new SerializableHadoopConf(resolved.conf),
         resolved.splitSize, resolved.paths, resolved.glob, resolved.recursive,
         countStar = true)
@@ -411,12 +527,16 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     // subtree (reference python-udf/avro/io.py:793-822,990-1039). A field
     // that fails to match (PruneMismatch) falls back to the unpruned schema:
     // decode everything, Spark projects on top — never a vanished column.
-    val (readerJson, sql, wrap) =
-      (AvroRuntime.parse(resolved.readerJson).physical, required) match {
-        case (rec: ARecord, Some(req)) =>
+    // Partition columns never reach the decoder: only the DATA slice of the
+    // required schema drives the prune.
+    val requiredData = required.map(req => StructType(req.fields.filterNot(
+      f => resolved.partCols.exists(_.equalsIgnoreCase(f.name)))))
+    val (readerJson, dataSql, wrap) =
+      (AvroRuntime.parse(resolved.readerJson).physical, requiredData) match {
+        case (rec: ARecord, Some(req)) if req.nonEmpty =>
           try {
             val pruned = OcfDataSource.pruneAvro(rec, req)
-            if (pruned == rec) (resolved.readerJson, resolved.sql, resolved.wrap)
+            if (pruned == rec) (resolved.readerJson, resolved.dataSql, resolved.wrap)
             else {
               val js = AvroSchemaParser.toJson(pruned)
               val (sql, wrap) = OcfDataSource.sqlShape(js)
@@ -424,17 +544,18 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
             }
           } catch {
             case _: OcfDataSource.PruneMismatch =>
-              (resolved.readerJson, resolved.sql, resolved.wrap)
+              (resolved.readerJson, resolved.dataSql, resolved.wrap)
           }
-        case _ => (resolved.readerJson, resolved.sql, resolved.wrap)
+        case _ => (resolved.readerJson, resolved.dataSql, resolved.wrap)
       }
     OcfDataSource.lastBuiltReaderJson.set(readerJson)
-    OcfScan(resolved.files, readerJson, sql, wrap,
+    OcfScan(metas, readerJson, dataSql, wrap,
       new SerializableHadoopConf(resolved.conf), resolved.splitSize,
       resolved.paths, resolved.glob, resolved.recursive,
       limit = limit.map(_.toLong).getOrElse(Long.MaxValue),
       maxFilesPerTrigger = resolved.maxFilesPerTrigger,
-      maxBytesPerTrigger = resolved.maxBytesPerTrigger)
+      maxBytesPerTrigger = resolved.maxBytesPerTrigger,
+      partCols = reqPartCols, partIdx = reqPartIdx)
   }
 }
 
@@ -474,17 +595,21 @@ private[graft] final case class OcfScan(
     recursive: Boolean = false, limit: Long = Long.MaxValue,
     countStar: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     OcfScanMetrics.all
 
+  /** Data fields (post-prune) followed by the required partition columns —
+    * the partition values come from directory names, typed string. */
   override def readSchema(): StructType =
     if (countStar)
       StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
         nullable = false)))
-    else sql
+    else StructType(sql.fields ++ partCols.map(
+      StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -495,7 +620,8 @@ private[graft] final case class OcfScan(
   override def description(): String = {
     val pushed =
       (if (countStar) " PushedAggregation: [COUNT(*)]" else "") +
-        (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "")
+        (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
+        (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }
 
@@ -508,7 +634,7 @@ private[graft] final case class OcfScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
-    else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit)
+    else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.len).sum)
@@ -518,12 +644,14 @@ private[graft] final case class OcfScan(
 
 private[sources] final case class OcfReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], readerJson: String,
-    wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue)
+    wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue,
+    partIdx: Array[Int] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfInputPartition]
-    new OcfSplitReader(files(p.fileIndex), p.start, p.end, readerJson, wrap,
-      conf.value, limit)
+    val meta = files(p.fileIndex)
+    new OcfSplitReader(meta, p.start, p.end, readerJson, wrap,
+      conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx))
   }
 }
 
@@ -590,10 +718,24 @@ private[graft] final class OcfCountReader(
   * Per-executor schema-parse and compiled-reader caches
   * ([[graft.spark.AvroRuntime]]) are shared across splits, so a thousand
   * splits of one file compile the writer→reader resolution once. */
+private[graft] object OcfSplitReader {
+  /** The per-file CONSTANT row of required partition values (directory-name
+    * strings), or null when unpartitioned — one allocation per split, joined
+    * onto every decoded row. */
+  def partitionRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int]): InternalRow =
+    if (partIdx.isEmpty) null
+    else new GenericInternalRow(partIdx.map { i =>
+      meta.partitionValues(i) match {
+        case null => null
+        case v    => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+    }.asInstanceOf[Array[Any]])
+}
+
 private[graft] final class OcfSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
     readerJson: String, wrap: Boolean, conf: Configuration,
-    limit: Long = Long.MaxValue)
+    limit: Long = Long.MaxValue, partRow: InternalRow = null)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(meta.path)
@@ -622,6 +764,13 @@ private[graft] final class OcfSplitReader(
   private var bin: AvroBinaryReader = _
   private var row: InternalRow = _
 
+  // reused per row: joins the decoded data row with the per-file constant
+  // partition-value row (Spark copies rows it retains, the standard
+  // file-source appended-partition-columns contract)
+  private val joined =
+    if (partRow == null) null
+    else new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+
   override def next(): Boolean = {
     // pushed-down limit: a split never decodes (or loads) past `limit` rows,
     // so limit(10) stops after the first block regardless of split size
@@ -632,7 +781,8 @@ private[graft] final class OcfSplitReader(
       loadBlock()
     }
     val v = compiled(bin)
-    row = if (wrap) new GenericInternalRow(Array[Any](v)) else v.asInstanceOf[InternalRow]
+    val data = if (wrap) new GenericInternalRow(Array[Any](v)) else v.asInstanceOf[InternalRow]
+    row = if (joined == null) data else joined(data, partRow)
     remaining -= 1L
     emitted += 1L
     true

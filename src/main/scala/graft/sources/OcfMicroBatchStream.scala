@@ -51,6 +51,13 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
   override def initialOffset(): Offset = OcfStreamOffset(0)
   override def deserializeOffset(json: String): Offset = OcfStreamOffset.fromJson(json)
 
+  // for re-deriving partition values of newly landed files (partitioned
+  // streaming reads re-list per trigger; a file outside the layout fails
+  // the trigger loudly rather than reading as null partitions)
+  private lazy val qualifiedRoots = scan.paths.map { p =>
+    val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString
+  }
+
   /** Re-list the directories and append every NEW file to the discovery
     * log. Discovery is always exhaustive — ADMISSION (how much of the
     * backlog one micro-batch may take) is bounded separately, so the log's
@@ -58,8 +65,18 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     * a read limit. Returns the discovered-file count. */
   private def discover(): Int = {
     val listed = OcfDataSource.list(conf, scan.paths, scan.glob, scan.recursive)
-    val fresh = listed.filterNot(f => known.contains(f.path))
-    if (fresh.nonEmpty) {
+    val freshRaw = listed.filterNot(f => known.contains(f.path))
+    if (freshRaw.nonEmpty) {
+      val fresh =
+        if (scan.partCols.isEmpty) freshRaw
+        else {
+          val (cols, annotated) = OcfPartitions.infer(qualifiedRoots, freshRaw)
+          require(cols == scan.partCols,
+            s"graft-ocf stream: newly landed files have partition layout " +
+              s"[${cols.mkString(",")}] but the stream resolved " +
+              s"[${scan.partCols.mkString(",")}]")
+          annotated
+        }
       val metas = OcfDataSource.fetchMetas(conf, fresh)
       // an undecodable codec fails the TRIGGER, not a mid-batch task
       metas.foreach { m => AvroCodecs(m.codecName); known += (m.path -> m) }
@@ -149,7 +166,7 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OcfStreamReaderFactory(scan.readerJson, scan.wrap, scan.conf)
+    OcfStreamReaderFactory(scan.readerJson, scan.wrap, scan.conf, scan.partIdx)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -172,6 +189,11 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
       o.put("schema", m.writerSchemaJson); o.put("codec", m.codecName)
       o.put("sync", java.util.Base64.getEncoder.encodeToString(m.sync))
       o.put("headerEnd", m.headerEnd)
+      if (m.partitionValues.nonEmpty) {
+        val pa = o.putArray("parts")
+        m.partitionValues.foreach(v => if (v == null) pa.addNull() else pa.add(v))
+      }
+      m.statsJson.foreach(s => o.put("stats", s))
       ()
     }
     val tmp = new Path(logDir, s".${count}.tmp")
@@ -188,10 +210,15 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     val arr = om.readTree(bytes)
     (0 until arr.size).map { i =>
       val o = arr.get(i)
+      val parts = Option(o.get("parts")).map { pa =>
+        (0 until pa.size).map(j =>
+          if (pa.get(j).isNull) null else pa.get(j).asText).toArray
+      }.getOrElse(Array.empty[String])
       OcfFileMeta(o.get("path").asText, o.get("len").asLong,
         o.get("schema").asText, o.get("codec").asText,
         java.util.Base64.getDecoder.decode(o.get("sync").asText),
-        o.get("headerEnd").asLong)
+        o.get("headerEnd").asLong, parts,
+        Option(o.get("stats")).map(_.asText))
     }
   }
 
@@ -236,10 +263,12 @@ private[graft] final case class OcfStreamInputPartition(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long) extends InputPartition
 
 private[graft] final case class OcfStreamReaderFactory(
-    readerJson: String, wrap: Boolean, conf: SerializableHadoopConf)
+    readerJson: String, wrap: Boolean, conf: SerializableHadoopConf,
+    partIdx: Array[Int] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfStreamInputPartition]
-    new OcfSplitReader(p.meta, p.start, p.end, readerJson, wrap, conf.value)
+    new OcfSplitReader(p.meta, p.start, p.end, readerJson, wrap, conf.value,
+      partRow = OcfSplitReader.partitionRow(p.meta, partIdx))
   }
 }

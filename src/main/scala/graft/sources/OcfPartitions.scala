@@ -1,0 +1,231 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.sources._
+
+/** Hive-style directory partitioning for `graft-ocf`: encoding of partition
+  * values into `col=value/` path segments on write, inference of partition
+  * columns from file paths on read, and the conservative driver-side filter
+  * evaluation that prunes partitions (exact, from path values) and skips
+  * files (range-based, from header-stamped min/max stats) before any data
+  * is fetched.
+  *
+  * Partition values surface as STRING columns on read — the directory name
+  * is the value's only durable representation, and guessing numeric types
+  * from path text is how readers silently mis-sort "10" before "9". Cast in
+  * the query when needed.
+  */
+private[graft] object OcfPartitions {
+
+  /** Directory name for a null partition value (Hive's convention). */
+  val NullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  // the characters Hive escapes in partition directory names: path
+  // separators and metacharacters that break listings or URIs
+  private val Escaped: Set[Char] =
+    "\"#%'*/:=?\\{[]^".toSet
+
+  def escape(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    v.foreach { c =>
+      if (c < ' ' || Escaped(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** One `col=value/...` relative directory for a row's partition values
+    * (empty string when unpartitioned). */
+  def partitionDir(names: Array[String], values: Array[String]): String =
+    names.indices.map { i =>
+      names(i) + "=" + (values(i) match {
+        case null => NullDir
+        case v    => escape(v)
+      })
+    }.mkString("/")
+
+  /** Infer partition columns from the listed files' paths relative to the
+    * load roots: consecutive `k=v` directory segments directly under a root
+    * are partition columns. All files must agree on the exact column
+    * sequence (a half-partitioned directory is a layout bug, not something
+    * to paper over). Returns the column names and each file annotated with
+    * its (unescaped, null-decoded) values, aligned to the names. */
+  def infer(roots: Seq[String], files: Seq[OcfDataSource.FileSlice])
+      : (Seq[String], Seq[OcfDataSource.FileSlice]) = {
+    // normalize roots for prefix matching (they were resolved by the same
+    // FileSystem that produced the file paths, but may lack scheme)
+    val rootDirs = roots.map(r => new Path(r).toUri.getPath.stripSuffix("/"))
+    def segmentsOf(path: String): Seq[(String, String)] = {
+      val p = new Path(path).toUri.getPath
+      val dir = p.substring(0, p.lastIndexOf('/'))
+      val rel = rootDirs.collectFirst {
+        case r if dir == r => ""
+        case r if dir.startsWith(r + "/") => dir.substring(r.length + 1)
+      }.getOrElse("")
+      if (rel.isEmpty) Nil
+      else rel.split('/').toSeq.takeWhile(_.contains('=')).map { seg =>
+        val eq = seg.indexOf('=')
+        (seg.substring(0, eq), seg.substring(eq + 1))
+      }
+    }
+    val perFile = files.map(f => f -> segmentsOf(f.path))
+    val colSeqs = perFile.map(_._2.map(_._1)).distinct
+    colSeqs match {
+      case Seq(Seq()) | Seq() => (Nil, files)
+      case Seq(cols) =>
+        (cols, perFile.map { case (f, segs) =>
+          f.copy(partitionValues = segs.map { case (_, v) =>
+            if (v == NullDir) null else unescape(v)
+          }.toArray)
+        })
+      case many => throw new IllegalArgumentException(
+        "graft-ocf: inconsistent partition layout under " +
+          s"${roots.mkString(", ")} — files disagree on partition columns: " +
+          many.map(_.mkString("[", ",", "]")).mkString(" vs "))
+    }
+  }
+
+  // ---- per-file column statistics (header-stamped min/max) -----------------
+
+  /** Parsed `graft.stats` header entry for one field. `min`/`max` are absent
+    * when every value was null. */
+  final case class ColStat(typ: String, min: Option[JsonNode], max: Option[JsonNode],
+                           hasNull: Boolean, allNull: Boolean) {
+    /** sign(v - min), sign(v - max); None when `v`'s type does not line up
+      * with the stamped type (no skipping on a mismatched comparison). */
+    def cmp(v: Any): Option[(Int, Int)] = (min, max) match {
+      case (Some(mn), Some(mx)) => (typ, v) match {
+        case ("long", n: Number) if n.isInstanceOf[java.lang.Long] ||
+            n.isInstanceOf[Integer] || n.isInstanceOf[java.lang.Short] ||
+            n.isInstanceOf[java.lang.Byte] =>
+          Some((java.lang.Long.compare(n.longValue, mn.asLong),
+            java.lang.Long.compare(n.longValue, mx.asLong)))
+        case ("double", n: Number) =>
+          Some((java.lang.Double.compare(n.doubleValue, mn.asDouble),
+            java.lang.Double.compare(n.doubleValue, mx.asDouble)))
+        case ("string", s: String) =>
+          Some((s.compareTo(mn.asText), s.compareTo(mx.asText)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  def parseStats(json: String): Map[String, ColStat] = {
+    val root = new ObjectMapper().readTree(json)
+    val b = Map.newBuilder[String, ColStat]
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val o = e.getValue
+      b += e.getKey -> ColStat(o.get("t").asText,
+        Option(o.get("min")), Option(o.get("max")),
+        o.get("hasNull").asBoolean, o.get("allNull").asBoolean)
+    }
+    b.result()
+  }
+
+  // ---- conservative filter evaluation --------------------------------------
+
+  /** Whether a file MAY contain rows matching every pushed filter, given its
+    * exact partition values and optional header stats. `Some(false)` from
+    * any filter skips the file; anything unknown keeps it (Spark re-applies
+    * every filter on the decoded rows, so keeping too much is only cost,
+    * never wrongness). */
+  def mayMatch(filters: Seq[Filter], partCol: String => Option[String],
+               stat: String => Option[ColStat]): Boolean =
+    filters.forall(f => eval(f, partCol, stat) != Some(false))
+
+  /** Kleene tri-state: Some(true/false) definite, None unknown. Partition
+    * columns evaluate EXACTLY (the path value is the value, as a string —
+    * partition columns ARE strings in the read schema, so string comparison
+    * is the query's own semantics); stats evaluate to Some(false) or None
+    * (a range can refute, never confirm). */
+  private def eval(f: Filter, partCol: String => Option[String],
+                   stat: String => Option[ColStat]): Option[Boolean] = {
+    def onPart(a: String)(g: String => Boolean): Option[Option[Boolean]] =
+      partCol(a).map(v => Some(g(v)))
+    def onStat(a: String)(g: ColStat => Option[Boolean]): Option[Boolean] =
+      stat(a).flatMap(g)
+    f match {
+      case EqualTo(a, v) =>
+        onPart(a)(pv => pv != null && pv == String.valueOf(v)).getOrElse(
+          onStat(a) { st =>
+            if (st.allNull) Some(false)
+            else st.cmp(v) match {
+              case Some((dmin, dmax)) if dmin < 0 || dmax > 0 => Some(false)
+              case _ => None
+            }
+          })
+      case EqualNullSafe(a, null) => eval(IsNull(a), partCol, stat)
+      case EqualNullSafe(a, v) => eval(EqualTo(a, v), partCol, stat)
+      case In(a, vs) =>
+        onPart(a)(pv => pv != null && vs.exists(v => String.valueOf(v) == pv)).getOrElse(
+          onStat(a) { st =>
+            if (st.allNull) Some(false)
+            else {
+              val verdicts = vs.map(st.cmp)
+              if (verdicts.forall(_.exists { case (dmin, dmax) => dmin < 0 || dmax > 0 }))
+                Some(false)
+              else None
+            }
+          })
+      case IsNull(a) =>
+        onPart(a)(_ == null).getOrElse(
+          onStat(a)(st => if (!st.hasNull) Some(false) else None))
+      case IsNotNull(a) =>
+        onPart(a)(_ != null).getOrElse(
+          onStat(a)(st => if (st.allNull) Some(false) else None))
+      case GreaterThan(a, v) =>
+        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) > 0).getOrElse(
+          onStat(a)(rangeRefute(_, v) { case (_, dmax) => dmax >= 0 }))
+      case GreaterThanOrEqual(a, v) =>
+        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) >= 0).getOrElse(
+          onStat(a)(rangeRefute(_, v) { case (_, dmax) => dmax > 0 }))
+      case LessThan(a, v) =>
+        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) < 0).getOrElse(
+          onStat(a)(rangeRefute(_, v) { case (dmin, _) => dmin <= 0 }))
+      case LessThanOrEqual(a, v) =>
+        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) <= 0).getOrElse(
+          onStat(a)(rangeRefute(_, v) { case (dmin, _) => dmin < 0 }))
+      case StringStartsWith(a, p) =>
+        onPart(a)(pv => pv != null && pv.startsWith(p)).getOrElse(None)
+      case And(l, r) => (eval(l, partCol, stat), eval(r, partCol, stat)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval(l, partCol, stat), eval(r, partCol, stat)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(x) => eval(x, partCol, stat).map(!_)
+      case _ => None
+    }
+  }
+
+  /** Some(false) when the filter `col OP v` cannot hold anywhere in
+    * [min, max]: `refutes` receives (sign(v-min), sign(v-max)) and answers
+    * "does v sit where the range makes the predicate everywhere-false". */
+  private def rangeRefute(st: ColStat, v: Any)(refutes: ((Int, Int)) => Boolean): Option[Boolean] =
+    if (st.allNull) Some(false)
+    else st.cmp(v) match {
+      case Some(d) if refutes(d) => Some(false)
+      case _ => None
+    }
+}

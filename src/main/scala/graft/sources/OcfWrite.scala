@@ -46,7 +46,8 @@ import org.apache.spark.sql.types.StructType
   * `mode("overwrite")` clears the directory's visible files at commit
   * (`SupportsTruncate`); `mode("append")` adds files.
   */
-private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
+private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
+                                             partCols: Array[String])
     extends WriteBuilder with SupportsTruncate {
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
@@ -56,8 +57,69 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
     val dir = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-ocf write: no 'path' specified"))
     val sql = info.schema()
+    // `partitionBy(cols)`: those columns become hive-style `col=value/`
+    // directory levels and are DROPPED from file contents — the directory
+    // name is their storage. Resolve against the query schema (exact name
+    // first, then unique case-insensitive).
+    val partOrdinals: Array[Int] = partCols.map { pc =>
+      val exact = sql.fields.indexWhere(_.name == pc)
+      val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(pc))
+      if (i < 0) throw new IllegalArgumentException(
+        s"graft-ocf write: partition column '$pc' is not in the query schema " +
+          s"(${sql.fieldNames.mkString(", ")})")
+      i
+    }
+    partOrdinals.foreach { i =>
+      sql.fields(i).dataType match {
+        case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+             (_: org.apache.spark.sql.types.DecimalType) => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft-ocf write: partition column '${sql.fields(i).name}' has type " +
+            s"${dt.simpleString}; only string/numeric/boolean values have a " +
+            "faithful directory-name representation")
+      }
+    }
+    val dataSql = StructType(sql.fields.zipWithIndex.collect {
+      case (f, i) if !partOrdinals.contains(i) => f
+    })
+    require(dataSql.fields.nonEmpty,
+      "graft-ocf write: every column is a partition column; nothing to store in files")
     val avroJson = Option(opts.get("avroSchema")).getOrElse(
-      AvroSchemaParser.toJson(SchemaConverters.toAvroType(sql)))
+      AvroSchemaParser.toJson(SchemaConverters.toAvroType(dataSql)))
+    if (partCols.nonEmpty) {
+      val avroFields = OcfWrite.recordOf(avroJson).fields.map(_.name)
+      partCols.foreach(pc => require(!avroFields.exists(_.equalsIgnoreCase(pc)),
+        s"graft-ocf write: partition column '$pc' must not appear in the Avro " +
+          "schema — partition values live in directory names, not file contents"))
+    }
+    // `statsColumns`: top-level orderable primitives whose per-file min/max
+    // the sink stamps into the OCF header (`graft.stats`) for read-side
+    // file skipping. Costs one sequential re-copy of each sealed file (the
+    // OCF header precedes the data it describes), so it is opt-in.
+    val statsOrdinals: Array[Int] = Option(opts.get("statsColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+      .map { sc =>
+        val exact = sql.fields.indexWhere(_.name == sc)
+        val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(sc))
+        if (i < 0) throw new IllegalArgumentException(
+          s"graft-ocf write: statsColumns entry '$sc' is not in the query schema")
+        require(!partOrdinals.contains(i),
+          s"graft-ocf write: statsColumns entry '$sc' is a partition column; " +
+            "partition values are already exact in the path")
+        sql.fields(i).dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => ()
+          case dt => throw new IllegalArgumentException(
+            s"graft-ocf write: statsColumns entry '$sc' has type ${dt.simpleString}; " +
+              "only numeric and string columns carry range stats")
+        }
+        i
+      }
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -82,7 +144,9 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
       OcfWrite.fieldOrdinals(sql, avroJson), codecName, blockBytes,
       new SerializableHadoopConf(
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
-      info.queryId(), maxBytesPerFile)
+      info.queryId(), maxBytesPerFile,
+      partNames = partOrdinals.map(sql.fields(_).name),
+      partOrdinals = partOrdinals, statsOrdinals = statsOrdinals)
     // compile the row→datum writers once driver-side so schema mismatches
     // (wrong type for a field, non-record schema) fail the plan
     OcfWrite.compileFieldWriters(cfg)
@@ -93,11 +157,17 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo)
 /** Everything a writer task needs, resolved once at plan time.
   * `maxBytesPerFile` rolls a task's output to a fresh file once the current
   * one exceeds the bound (checked at block-flush granularity) — at 100 TB a
-  * skewed 100 GB partition must not become one 100 GB file. */
+  * skewed 100 GB partition must not become one 100 GB file. `partNames` /
+  * `partOrdinals` route rows to `col=value/` subdirectories (values dropped
+  * from file contents); `statsOrdinals` are the columns whose per-file
+  * min/max the sink stamps into the header for read-side file skipping. */
 private[sources] final case class OcfWriteConfig(
     dir: String, sql: StructType, avroJson: String, ordinals: Array[Int],
     codecName: String, blockBytes: Int, conf: SerializableHadoopConf,
-    jobId: String, maxBytesPerFile: Long = Long.MaxValue)
+    jobId: String, maxBytesPerFile: Long = Long.MaxValue,
+    partNames: Array[String] = Array.empty,
+    partOrdinals: Array[Int] = Array.empty,
+    statsOrdinals: Array[Int] = Array.empty)
 
 private[sources] object OcfWrite {
 
@@ -192,12 +262,33 @@ private[sources] final case class OcfTaskMetric(name: String, value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 /** The logical write: one class serves batch (`toBatch`) and streaming
-  * (`toStreaming`) — the factories differ only in file naming. */
+  * (`toStreaming`) — the factories differ only in file naming.
+  *
+  * Partitioned writes require a task-local SORT on the partition columns
+  * (no distribution — clustering would funnel each partition value through
+  * one task, serializing the write; Spark's own file sink makes the same
+  * choice): sorted input means each task holds ONE open file at a time and
+  * rolls on value change, so memory stays O(one block) regardless of how
+  * many partition values a task sees. Files per value ≈ upstream tasks
+  * touching it; `df.repartition(cols)` first if one-file-per-partition
+  * matters more than write parallelism. */
 private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    cfg.partNames.map { n =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(n),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }
 
   override def description(): String =
-    s"graft-ocf dir=${cfg.dir} codec=${cfg.codecName} schema=${cfg.sql.simpleString}"
+    s"graft-ocf dir=${cfg.dir} codec=${cfg.codecName} schema=${cfg.sql.simpleString}" +
+      (if (cfg.partNames.nonEmpty) s" partitionBy=${cfg.partNames.mkString(",")}" else "")
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     OcfWriteMetrics.all
@@ -271,6 +362,10 @@ private[sources] final class OcfDataWriter(
   private val fieldWriters = OcfWrite.compileFieldWriters(cfg)
   private val ordinals = cfg.ordinals
   private val schema = OcfWrite.recordOf(cfg.avroJson)
+  private val partGetters =
+    cfg.partOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  private val stats =
+    if (cfg.statsOrdinals.isEmpty) null else new OcfStatsTracker(cfg)
 
   private var out: FSDataOutputStream = _
   private var ocf: OcfStreamWriter = _
@@ -282,19 +377,46 @@ private[sources] final class OcfDataWriter(
   // one reusable datum encoder per writer: reset the backing buffer per row
   // instead of allocating a fresh writer + stream per row
   private val enc = new AvroBinaryWriter()
+  // relative `col=value/...` directory of the OPEN file ("" = unpartitioned
+  // root). Input arrives sorted on the partition columns (requiredOrdering),
+  // so each value change seals the current file — one open file per task.
+  private var currentPartDir: String = ""
 
   // chunk 0 keeps the plain name so the common (no-roll) case and the
   // deterministic streaming names are unchanged
   private def chunked(name: String): String =
     if (chunk == 0) name else name.replace(".avro", f"-c$chunk%03d.avro")
-  private def currentTmp: Path = new Path(cfg.dir, chunked(tmpName))
+  private def dirPath: Path =
+    if (currentPartDir.isEmpty) new Path(cfg.dir) else new Path(cfg.dir, currentPartDir)
+  private def currentTmp: Path = new Path(dirPath, chunked(tmpName))
+
+  private def partDirOf(row: InternalRow): String = {
+    val vals = new Array[String](cfg.partOrdinals.length)
+    var i = 0
+    while (i < vals.length) {
+      val o = cfg.partOrdinals(i)
+      vals(i) = if (row.isNullAt(o)) null else String.valueOf(partGetters(i)(row, o))
+      i += 1
+    }
+    OcfPartitions.partitionDir(cfg.partNames, vals)
+  }
 
   override def write(row: InternalRow): Unit = {
+    if (cfg.partOrdinals.nonEmpty) {
+      val pd = partDirOf(row)
+      if (pd != currentPartDir) {
+        sealCurrent()
+        currentPartDir = pd
+        chunk = 0
+      }
+    }
     if (ocf == null) {
       val p = currentTmp
       out = p.getFileSystem(cfg.conf.value).create(p, true)
       ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes)
+      if (stats != null) stats.reset()
     }
+    if (stats != null) stats.update(row)
     enc.out.reset()
     var i = 0
     while (i < fieldWriters.length) {
@@ -312,15 +434,25 @@ private[sources] final class OcfDataWriter(
     }
   }
 
-  /** Finish and close the open file, recording its (tmp, dest) pair. */
+  /** Finish and close the open file, recording its (tmp, dest) pair. With
+    * stats enabled the sealed temp is re-copied once with the `graft.stats`
+    * header entry (the OCF header precedes the data it summarizes, so the
+    * stamp cannot be known at open). */
   private def sealCurrent(): Unit =
     if (ocf != null) {
       totalRows += ocf.rowCount
       ocf.finish()
       bytesSealed += out.getPos
       out.close()
-      sealedFiles += OcfWrittenFile(currentTmp.toString,
-        new Path(cfg.dir, chunked(finalName)).toString)
+      var tmp = currentTmp
+      if (stats != null) {
+        val stamped = new Path(dirPath,
+          chunked(tmpName).replace(".avro.tmp", "-s.avro.tmp"))
+        OcfStatsTracker.rewriteWithStats(cfg.conf.value, tmp, stamped, stats.toJson)
+        tmp = stamped
+      }
+      sealedFiles += OcfWrittenFile(tmp.toString,
+        new Path(dirPath, chunked(finalName)).toString)
       filesSealed += 1
       ocf = null
       out = null
@@ -350,6 +482,141 @@ private[sources] final class OcfDataWriter(
       try out.close() catch { case _: IOException => }
       out = null
     }
+}
+
+/** Per-file column statistics for `statsColumns`: running min/max (typed
+  * long / double / string), null presence, and all-null flag per tracked
+  * column — O(columns) state, updated per row, serialized once per sealed
+  * file into the `graft.stats` header entry that [[OcfPartitions.mayMatch]]
+  * uses for read-side file skipping. */
+private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
+  private val n = cfg.statsOrdinals.length
+  private val names = cfg.statsOrdinals.map(cfg.sql.fields(_).name)
+  private val getters = cfg.statsOrdinals.map(o =>
+    InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  // 0 = integral (stored long), 1 = floating (stored double), 2 = string
+  private val tags: Array[Int] = cfg.statsOrdinals.map { o =>
+    cfg.sql.fields(o).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => 0
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => 1
+      case _ => 2
+    }
+  }
+  private val minL = new Array[Long](n)
+  private val maxL = new Array[Long](n)
+  private val minD = new Array[Double](n)
+  private val maxD = new Array[Double](n)
+  private val minS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+  private val maxS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+  private val nonNull = new Array[Long](n)
+  private val sawNull = new Array[Boolean](n)
+
+  def reset(): Unit = {
+    java.util.Arrays.fill(nonNull, 0L)
+    java.util.Arrays.fill(sawNull, false)
+    java.util.Arrays.fill(minS.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(maxS.asInstanceOf[Array[AnyRef]], null)
+  }
+
+  def update(row: InternalRow): Unit = {
+    var i = 0
+    while (i < n) {
+      val o = cfg.statsOrdinals(i)
+      if (row.isNullAt(o)) sawNull(i) = true
+      else {
+        tags(i) match {
+          case 0 =>
+            val v = getters(i)(row, o).asInstanceOf[Number].longValue
+            if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
+            if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
+          case 1 =>
+            val v = getters(i)(row, o).asInstanceOf[Number].doubleValue
+            if (nonNull(i) == 0L || v < minD(i)) minD(i) = v
+            if (nonNull(i) == 0L || v > maxD(i)) maxD(i) = v
+          case _ =>
+            // clone: UTF8String from the reader may alias a reused buffer
+            val v = getters(i)(row, o)
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+            if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v
+            if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v
+        }
+        nonNull(i) += 1L
+      }
+      i += 1
+    }
+  }
+
+  def toJson: String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    var i = 0
+    while (i < n) {
+      val o = root.putObject(names(i))
+      o.put("t", tags(i) match { case 0 => "long"; case 1 => "double"; case _ => "string" })
+      if (nonNull(i) > 0L) tags(i) match {
+        case 0 => o.put("min", minL(i)); o.put("max", maxL(i))
+        case 1 => o.put("min", minD(i)); o.put("max", maxD(i))
+        case _ => o.put("min", minS(i).toString); o.put("max", maxS(i).toString)
+      }
+      o.put("hasNull", sawNull(i))
+      o.put("allNull", nonNull(i) == 0L)
+      i += 1
+    }
+    om.writeValueAsString(root)
+  }
+}
+
+private[sources] object OcfStatsTracker {
+  /** Re-copy a sealed temp OCF with the `graft.stats` entry added to its
+    * header meta map: new header bytes, then the block section streamed
+    * through unchanged (same sync marker, same framing — readers cannot
+    * tell the file was stamped). One sequential read+write of the file,
+    * O(64 KB) heap; the unstamped original is deleted. */
+  def rewriteWithStats(conf: org.apache.hadoop.conf.Configuration,
+                       src: Path, dst: Path, statsJson: String): Unit = {
+    val fs = src.getFileSystem(conf)
+    val len = fs.getFileStatus(src).getLen
+    val in = fs.open(src)
+    try {
+      // bounded-retry header parse, same discipline as the scan's
+      // readHeaderAt (not shared: that one counts toward scan observability)
+      var cap = 64 * 1024
+      var parsed: (OcfHeader, Long) = null
+      while (parsed == null) {
+        val m = math.min(cap.toLong, len).toInt
+        val buf = new Array[Byte](m)
+        in.readFully(0L, buf, 0, m)
+        try {
+          val r = new AvroBinaryReader(buf, 0, m)
+          val h = Ocf.readHeader(r)
+          parsed = (h, r.pos.toLong)
+        } catch {
+          case e: AvroEofException =>
+            if (m >= len) throw new AvroResolutionException(
+              s"truncated OCF header while stamping stats ($len bytes): ${e.getMessage}")
+            cap *= 4
+        }
+      }
+      val (hdr, headerEnd) = parsed
+      val meta = hdr.meta.clone()
+      meta("graft.stats") = statsJson.getBytes("UTF-8")
+      val outS = fs.create(dst, true)
+      try {
+        val hb = Ocf.headerBytes(meta, hdr.sync)
+        outS.write(hb, 0, hb.length)
+        val buf = new Array[Byte](64 * 1024)
+        var pos = headerEnd
+        while (pos < len) {
+          val r = in.read(pos, buf, 0, math.min(buf.length.toLong, len - pos).toInt)
+          if (r < 0) throw new IOException(s"unexpected EOF copying $src at $pos")
+          outS.write(buf, 0, r)
+          pos += r
+        }
+      } finally outS.close()
+    } finally in.close()
+    fs.delete(src, false)
+  }
 }
 
 /** One written file: temp path + rename destination. */
@@ -409,7 +676,10 @@ object OcfMaintenance {
     if (!fs.exists(dirPath)) return 0L
     val cutoff = System.currentTimeMillis() - minAgeMs
     var removed = 0L
-    fs.listStatus(dirPath).foreach { st =>
+    // recursive: partitioned writers stage temps inside col=value/ subdirs
+    val it = fs.listFiles(dirPath, true)
+    while (it.hasNext) {
+      val st = it.next()
       val n = st.getPath.getName
       if (st.isFile && n.startsWith(".") && n.endsWith(".avro.tmp") &&
           st.getModificationTime < cutoff) {
@@ -437,7 +707,11 @@ private[sources] object OcfCommit {
     val fs = dirPath.getFileSystem(cfg.conf.value)
     fs.mkdirs(dirPath)
     if (clearVisible || clearPrefix.isDefined) {
-      fs.listStatus(dirPath).foreach { st =>
+      // RECURSIVE: partitioned layouts commit into col=value/ subdirectories,
+      // so overwrite-truncate and epoch-replay cleanup must reach them too
+      val it = fs.listFiles(dirPath, true)
+      while (it.hasNext) {
+        val st = it.next()
         val n = st.getPath.getName
         val doomed =
           if (clearVisible) !n.startsWith(".") && !n.startsWith("_")
@@ -448,10 +722,12 @@ private[sources] object OcfCommit {
     val fc =
       try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, cfg.conf.value))
       catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    val madeDirs = scala.collection.mutable.Set.empty[Path]
     messages.foreach {
       case OcfCommitMessage(files, _) => files.foreach { f =>
         val src = fs.makeQualified(new Path(f.tmp))
         val dst = fs.makeQualified(new Path(f.dest))
+        if (madeDirs.add(dst.getParent)) fs.mkdirs(dst.getParent)
         fc match {
           case Some(c) =>
             // FileContext renames bypass ChecksumFileSystem, so on local FS

@@ -376,4 +376,72 @@ class OcfDataSourceSpec extends AnyFunSuite {
     java.nio.file.Files.write(new java.io.File(dir, "empty.avro").toPath, bytes)
     assert(read(dir, 64).count() == 0)
   }
+
+  test("partition pruning: unselected partitions' headers are never read") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-prune")
+    (0L until 90L).map(i => (i, s"p${i % 3}")).toDF("id", "p").coalesce(1)
+      .write.format("graft-ocf").partitionBy("p").mode("append")
+      .save(dir.getAbsolutePath)
+    // 3 partition dirs, one file each
+    assert(dir.listFiles().count(_.isDirectory) == 3)
+
+    val before = graft.sources.OcfDataSource.headerReads.get()
+    val got = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+      .where(col("p") === "p1").select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 90L).filter(_ % 3 == 1))
+    val reads = graft.sources.OcfDataSource.headerReads.get() - before
+    // resolve reads ONE header for the schema; the two pruned files' headers
+    // are never fetched (1 for schema + ≤1 for the surviving file's plan)
+    assert(reads <= 2, s"partition pruning must skip pruned files' headers; got $reads reads")
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.size == 1 && planned.head.contains("p=p1"),
+      s"only the selected partition may be planned; got $planned")
+  }
+
+  test("stats skipping: files outside the predicate range never plan splits") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-skip")
+    // 4 files with disjoint id ranges via range partitioning + statsColumns
+    (0L until 400L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft-ocf").option("statsColumns", "id")
+      .mode("append").save(dir.getAbsolutePath)
+    val files = dir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(files.length == 4, s"expected 4 range files, got ${files.length}")
+
+    val got = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+      .where(col("id") >= 350L).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (350L until 400L))
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.size == 1,
+      s"min/max stats must exclude 3 of 4 files from the plan; planned $planned")
+
+    // an unstamped directory never skips (stats are opt-in, absence = keep)
+    val dir2 = tempDir("graft-dsv2-noskip")
+    (0L until 40L).map(i => (i, "x")).toDF("id", "v").coalesce(1)
+      .write.format("graft-ocf").mode("append").save(dir2.getAbsolutePath)
+    assert(spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+      .where(col("id") < 0).count() == 0)
+  }
+
+  test("partitioned dir round-trips through SQL with pruning in the plan description") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-partsql")
+    (0L until 60L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par").coalesce(1)
+      .write.format("graft-ocf").partitionBy("par").mode("append")
+      .save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    // partition column participates in grouping like any column
+    val counts = df.groupBy("par").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("even" -> 30L, "odd" -> 30L))
+    // and filters on it still return correct rows when combined with data filters
+    val both = df.where(col("par") === "odd" && col("id") < 10)
+      .select("id").as[Long].collect().sorted
+    assert(both.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
+  }
 }

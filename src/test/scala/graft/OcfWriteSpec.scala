@@ -340,4 +340,79 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(readBack(dir).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     assert(dir.listFiles().forall(f => !f.getName.endsWith(".tmp")))
   }
+
+  test("partitionBy writes hive-style dirs, drops values from files, reads back") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-part")
+    val df = (0L until 300L).map(i => (i, s"lang${i % 3}", s"doc $i"))
+      .toDF("id", "lang", "text").repartition(4)
+    df.write.format("graft-ocf").partitionBy("lang")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+
+    val subdirs = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.toSeq == Seq("lang=lang0", "lang=lang1", "lang=lang2"),
+      s"hive-style partition dirs required, got ${subdirs.toSeq}")
+    assert(visibleFiles(dir).isEmpty, "no data files at the partitioned root")
+    // the files store only (id, text): lang lives in the directory name
+    val oneFile = new java.io.File(dir, "lang=lang1").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).head
+    val hex = java.nio.file.Files.readAllBytes(oneFile.toPath)
+    val (hdr, _) = Ocf.blockIterator(hex)
+    assert(!hdr.schemaJson.contains("\"lang\""),
+      "partition column must not appear in the file's writer schema")
+
+    val back = readBack(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "text", "lang"),
+      s"data fields then partition columns; got ${back.schema.fieldNames.toSeq}")
+    val got = back.select("id", "lang", "text").as[(Long, String, String)]
+      .collect().sorted
+    assert(got.toSeq == (0L until 300L).map(i => (i, s"lang${i % 3}", s"doc $i")))
+  }
+
+  test("partitioned roundtrip survives null values and escaped characters") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-part-esc")
+    val rows = Seq((1L, "a/b=c%d", "x"), (2L, null, "y"), (3L, "plain", "z"))
+    rows.toDF("id", "key", "text").coalesce(1)
+      .write.format("graft-ocf").partitionBy("key")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val names = dir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(names.contains("key=__HIVE_DEFAULT_PARTITION__"), names.toString)
+    assert(names.exists(n => n.startsWith("key=a%2Fb%3Dc%25d")), names.toString)
+    val got = readBack(dir).select("id", "key", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == rows)
+  }
+
+  test("partitioned overwrite clears subdirectories recursively") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-part-ovw")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "p").coalesce(1)
+      .write.format("graft-ocf").partitionBy("p")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+    Seq((9L, "a")).toDF("id", "p").coalesce(1)
+      .write.format("graft-ocf").partitionBy("p")
+      .mode(SaveMode.Overwrite).save(dir.getAbsolutePath)
+    val got = readBack(dir).select("id", "p")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((9L, "a")), s"overwrite must clear old partitions; got $got")
+  }
+
+  test("statsColumns stamps per-file min/max into the header") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-stats")
+    (0L until 100L).map(i => (i, s"s$i")).toDF("id", "name")
+      .coalesce(1)
+      .write.format("graft-ocf").option("statsColumns", "id,name")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val f = visibleFiles(dir).head
+    val (hdr, blocks) = Ocf.blockIterator(java.nio.file.Files.readAllBytes(f.toPath))
+    val statsJson = new String(hdr.meta("graft.stats"), "UTF-8")
+    val stats = graft.sources.OcfPartitions.parseStats(statsJson)
+    assert(stats("id").min.get.asLong == 0L && stats("id").max.get.asLong == 99L)
+    assert(stats("name").min.get.asText == "s0" && stats("name").max.get.asText == "s99")
+    assert(!stats("id").hasNull && !stats("id").allNull)
+    assert(blocks.map(_.datumCount).sum == 100L, "block section must survive the stamp")
+    assert(readBack(dir).count() == 100L)
+  }
 }
