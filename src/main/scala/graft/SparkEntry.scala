@@ -698,6 +698,33 @@ object SparkEntry {
         .orderBy("stream", "json")
     }),
 
+    // SURVEY §7.4 mode (b): VARIANT-returning decode for late-bound registry
+    // streams — two streams with DIFFERENT schemas land in one VariantType
+    // column (the engine-native SUPER), then per-stream fields come back out
+    // with variant_get. try_variant_get nulls the path the other stream
+    // lacks, which is exactly the semi-structured contract.
+    "q69_variant_decode" -> ((s, dir) => {
+      val nSchema = """{"type":"record","name":"n","fields":[
+        |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"string"}]}""".stripMargin
+      val rSchema = """{"type":"record","name":"r","fields":[
+        |{"name":"r_regionkey","type":"int"},{"name":"r_name","type":"string"}]}""".stripMargin
+      val registry = graft.framing.SchemaRegistry.inMemory(
+        "nation-stream" -> nSchema, "region-stream" -> rSchema)
+      val nations = t(s, dir, "nation").select(lit("nation-stream").as("stream"),
+        gfn.to_avro(struct(col("n_nationkey"), col("n_name")), nSchema).as("payload"))
+      val regions = t(s, dir, "region").select(lit("region-stream").as("stream"),
+        gfn.to_avro(struct(col("r_regionkey"), col("r_name")), rSchema).as("payload"))
+      nations.unionAll(regions)
+        .select(col("stream"),
+          gfn.registry_decode_variant(col("stream"), col("payload"), registry).as("v"))
+        .select(col("stream"),
+          coalesce(expr("try_variant_get(v, '$.n_nationkey', 'int')"),
+            expr("try_variant_get(v, '$.r_regionkey', 'int')")).as("key"),
+          coalesce(expr("try_variant_get(v, '$.n_name', 'string')"),
+            expr("try_variant_get(v, '$.r_name', 'string')")).as("name"))
+        .orderBy("stream", "key")
+    }),
+
     // S7/S8/S4 composed: KPL aggregate → Spring embedded headers → bare-datum
     // decode, oracle-checked against the source table.
     "q16_spring_kpl" -> ((s, dir) => {
@@ -1351,6 +1378,15 @@ object SparkEntry {
     "q67_partitioned_write_read" ->
       """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
+
+    // variant decode round-trips both streams' keys and names losslessly,
+    // so the oracle is the same union off the parquet tables
+    "q69_variant_decode" ->
+      """SELECT stream, key, name FROM (
+        |  SELECT 'nation-stream' AS stream, n_nationkey AS key, n_name AS name FROM nation
+        |  UNION ALL
+        |  SELECT 'region-stream' AS stream, r_regionkey AS key, r_name AS name FROM region
+        |) ORDER BY stream, key""".stripMargin,
 
     // stats-skipped scan is a lossless selection: same filter + aggregates
     // off the parquet

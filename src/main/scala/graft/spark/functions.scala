@@ -81,6 +81,24 @@ object functions {
                            registry: graft.framing.SchemaRegistry): Column =
     col(RegistryDecodeJson(expr(stream), expr(data), registry))
 
+  /** SURVEY §7.4 mode (b): decode a bare datum to Spark's `VariantType` —
+    * the engine-native SUPER analog (reference `README.md:16-17` lands the
+    * decoded JSON in Redshift SUPER). Rides the verified datum→JSON path
+    * (F19) and Spark's `parse_json`, so the variant's value semantics are
+    * exactly the JSON the reference UDF emits; prefer [[from_avro]] when the
+    * schema is known at plan time (typed columns beat late binding). */
+  def from_avro_variant(data: Column, writerSchemaJson: String): Column =
+    org.apache.spark.sql.functions.parse_json(
+      avro_decode_json(data, writerSchemaJson))
+
+  /** [[from_avro_variant]] with the writer schema resolved per stream name
+    * through a registry — the late-bound heterogeneous-stream shape where
+    * a single typed schema cannot exist and variant IS the row type. */
+  def registry_decode_variant(stream: Column, data: Column,
+                              registry: graft.framing.SchemaRegistry): Column =
+    org.apache.spark.sql.functions.parse_json(
+      registry_decode_json(stream, data, registry))
+
   // ---- SQL registration ---------------------------------------------------
   private def litString(e: Expression, fn: String): String = e match {
     case Literal(s: UTF8String, _) => s.toString
