@@ -531,9 +531,13 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     // required schema drives the prune.
     val requiredData = required.map(req => StructType(req.fields.filterNot(
       f => resolved.partCols.exists(_.equalsIgnoreCase(f.name)))))
+    // an EMPTY requiredData (query touches only partition columns, e.g.
+    // groupBy(lang).count()) prunes to a zero-field record: every writer
+    // field wire-skips and each datum emits an empty row the partition
+    // values join onto — no data column is ever decoded
     val (readerJson, dataSql, wrap) =
       (AvroRuntime.parse(resolved.readerJson).physical, requiredData) match {
-        case (rec: ARecord, Some(req)) if req.nonEmpty =>
+        case (rec: ARecord, Some(req)) =>
           try {
             val pruned = OcfDataSource.pruneAvro(rec, req)
             if (pruned == rec) (resolved.readerJson, resolved.dataSql, resolved.wrap)
@@ -725,10 +729,11 @@ private[graft] object OcfSplitReader {
   def partitionRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int]): InternalRow =
     if (partIdx.isEmpty) null
     else new GenericInternalRow(partIdx.map { i =>
-      meta.partitionValues(i) match {
-        case null => null
-        case v    => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-      }
+      // bounds guard: a streaming discovery log persisted BEFORE partition
+      // support has entries with empty value arrays — degrade to null
+      // partition values on replay rather than crash the restarted query
+      if (i >= meta.partitionValues.length || meta.partitionValues(i) == null) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(meta.partitionValues(i))
     }.asInstanceOf[Array[Any]])
 }
 

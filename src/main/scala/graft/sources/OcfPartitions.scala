@@ -19,34 +19,17 @@ import org.apache.spark.sql.sources._
 private[graft] object OcfPartitions {
 
   /** Directory name for a null partition value (Hive's convention). */
-  val NullDir = "__HIVE_DEFAULT_PARTITION__"
+  val NullDir: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
-  // the characters Hive escapes in partition directory names: path
-  // separators and metacharacters that break listings or URIs
-  private val Escaped: Set[Char] =
-    "\"#%'*/:=?\\{[]^".toSet
+  /** Hive-rule path escaping, delegated to Spark's own implementation so a
+    * directory written by this sink and one written by Spark's file sources
+    * agree byte-for-byte on every value. */
+  def escape(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
 
-  def escape(v: String): String = {
-    val sb = new StringBuilder(v.length)
-    v.foreach { c =>
-      if (c < ' ' || Escaped(c)) sb.append(f"%%${c.toInt}%02X")
-      else sb.append(c)
-    }
-    sb.toString
-  }
-
-  def unescape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-        i += 3
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  def unescape(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 
   /** One `col=value/...` relative directory for a row's partition values
     * (empty string when unpartitioned). */
@@ -115,10 +98,21 @@ private[graft] object OcfPartitions {
           Some((java.lang.Long.compare(n.longValue, mn.asLong),
             java.lang.Long.compare(n.longValue, mx.asLong)))
         case ("double", n: Number) =>
-          Some((java.lang.Double.compare(n.doubleValue, mn.asDouble),
-            java.lang.Double.compare(n.doubleValue, mx.asDouble)))
+          // normalize -0.0 → 0.0 on BOTH sides (the tracker does the same):
+          // Spark compares them equal, while Double.compare orders them —
+          // an un-normalized bound would wrongly refute `= 0.0` on a file
+          // of -0.0s. NaN then follows Spark's ordering (largest) for free.
+          def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+          Some((java.lang.Double.compare(norm(n.doubleValue), norm(mn.asDouble)),
+            java.lang.Double.compare(norm(n.doubleValue), norm(mx.asDouble))))
         case ("string", s: String) =>
-          Some((s.compareTo(mn.asText), s.compareTo(mx.asText)))
+          // UTF-8 binary order (UTF8String), matching both the writer's
+          // min/max tracking and Spark's own string comparison — Java
+          // String.compareTo is UTF-16 code-unit order and disagrees above
+          // the BMP, which would skip files that match
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          Some((u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(mn.asText)),
+            u.compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(mx.asText))))
         case _ => None
       }
       case _ => None

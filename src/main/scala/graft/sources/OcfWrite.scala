@@ -74,12 +74,17 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
              org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
              (_: org.apache.spark.sql.types.DecimalType) => ()
+        // float/double partition values are rejected outright: the sort
+        // that makes partition directories task-contiguous compares -0.0
+        // and 0.0 (and NaN payload variants) EQUAL while their directory
+        // strings differ, so a task could revisit a directory and clobber
+        // its own sealed file — and a base-10 directory name round-trips
+        // binary floats lossily anyway
         case dt => throw new IllegalArgumentException(
           s"graft-ocf write: partition column '${sql.fields(i).name}' has type " +
-            s"${dt.simpleString}; only string/numeric/boolean values have a " +
-            "faithful directory-name representation")
+            s"${dt.simpleString}; only string/integer/decimal/boolean values " +
+            "have a faithful, sort-consistent directory-name representation")
       }
     }
     val dataSql = StructType(sql.fields.zipWithIndex.collect {
@@ -381,6 +386,7 @@ private[sources] final class OcfDataWriter(
   // root). Input arrives sorted on the partition columns (requiredOrdering),
   // so each value change seals the current file — one open file per task.
   private var currentPartDir: String = ""
+  private val seenPartDirs = scala.collection.mutable.Set.empty[String]
 
   // chunk 0 keeps the plain name so the common (no-roll) case and the
   // deterministic streaming names are unchanged
@@ -406,6 +412,13 @@ private[sources] final class OcfDataWriter(
       val pd = partDirOf(row)
       if (pd != currentPartDir) {
         sealCurrent()
+        // the required task-local sort makes each directory contiguous; a
+        // revisit means unsorted input (or a sort-equal/string-distinct
+        // value pair) and silently reusing the tmp path would clobber the
+        // sealed file — fail the task loudly instead
+        require(seenPartDirs.add(pd),
+          s"graft-ocf write: partition directory '$pd' revisited out of " +
+            "order — input rows are not sorted by the partition columns")
         currentPartDir = pd
         chunk = 0
       }
@@ -531,15 +544,21 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
             if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
           case 1 =>
-            val v = getters(i)(row, o).asInstanceOf[Number].doubleValue
-            if (nonNull(i) == 0L || v < minD(i)) minD(i) = v
-            if (nonNull(i) == 0L || v > maxD(i)) maxD(i) = v
+            // -0.0 normalizes to 0.0 (Spark compares them equal; an ordered
+            // -0.0 bound would wrongly refute `= 0.0`), then Double.compare
+            // gives NaN its Spark position (largest) so `v < min(NaN-first
+            // file)` still updates the min
+            val raw = getters(i)(row, o).asInstanceOf[Number].doubleValue
+            val v = if (raw == 0.0) 0.0 else raw
+            if (nonNull(i) == 0L || java.lang.Double.compare(v, minD(i)) < 0) minD(i) = v
+            if (nonNull(i) == 0L || java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
           case _ =>
-            // clone: UTF8String from the reader may alias a reused buffer
             val v = getters(i)(row, o)
-              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
-            if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v
-            if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            // clone ONLY on adoption as an extremum (the value may alias a
+            // reused decode buffer): O(distinct extrema), not O(rows)
+            if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
+            if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
         }
         nonNull(i) += 1L
       }
@@ -556,7 +575,13 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
       o.put("t", tags(i) match { case 0 => "long"; case 1 => "double"; case _ => "string" })
       if (nonNull(i) > 0L) tags(i) match {
         case 0 => o.put("min", minL(i)); o.put("max", maxL(i))
-        case 1 => o.put("min", minD(i)); o.put("max", maxD(i))
+        case 1 =>
+          // NaN/Infinity have no portable JSON form — omit the bounds
+          // (absent bounds = file never skipped on this column, which is
+          // the conservative direction)
+          if (java.lang.Double.isFinite(minD(i)) && java.lang.Double.isFinite(maxD(i))) {
+            o.put("min", minD(i)); o.put("max", maxD(i))
+          }
         case _ => o.put("min", minS(i).toString); o.put("max", maxS(i).toString)
       }
       o.put("hasNull", sawNull(i))

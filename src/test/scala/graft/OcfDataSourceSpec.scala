@@ -427,6 +427,50 @@ class OcfDataSourceSpec extends AnyFunSuite {
       .where(col("id") < 0).count() == 0)
   }
 
+  test("partition-only projection prunes the decode to a zero-field record") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-partonly")
+    (0L until 50L).map(i => (i, s"text $i " * 10, s"g${i % 5}"))
+      .toDF("id", "body", "grp").coalesce(1)
+      .write.format("graft-ocf").partitionBy("grp").mode("append")
+      .save(dir.getAbsolutePath)
+    val counts = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == (0 until 5).map(g => s"g$g" -> 10L).toMap)
+    // the effective reader schema decodes NO data fields: id and body
+    // wire-skip; the rows carry only the path-derived partition value
+    val reader = graft.sources.OcfDataSource.lastBuiltReaderJson.get()
+    assert(reader.contains("\"fields\":[]") || reader.contains("\"fields\": []"),
+      s"partition-only query must prune to an empty record; got $reader")
+  }
+
+  test("double stats: NaN and -0.0 files are never skipped incorrectly") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-nan")
+    // file contains small values plus NaN: a naive max would refute x > 1e9,
+    // but Spark orders NaN greater than everything, so the NaN row matches
+    Seq(1.0, 2.0, Double.NaN, -0.0).zipWithIndex.map(_.swap)
+      .toDF("id", "x").coalesce(1)
+      .write.format("graft-ocf").option("statsColumns", "x")
+      .mode("append").save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    assert(df.where(col("x") > 1e9).count() == 1, "the NaN row matches x > 1e9")
+    assert(df.where(col("x") === 0.0).count() == 1, "-0.0 equals 0.0 in Spark")
+    assert(df.where(col("x") < 1.5).count() == 2, "1.0 and -0.0")
+  }
+
+  test("float/double partition columns are rejected at plan time") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-fpart")
+    val e = intercept[Exception] {
+      Seq((1L, 0.5)).toDF("id", "score").coalesce(1)
+        .write.format("graft-ocf").partitionBy("score")
+        .mode("append").save(dir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("score") || e.getCause != null)
+  }
+
   test("partitioned dir round-trips through SQL with pruning in the plan description") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-partsql")
