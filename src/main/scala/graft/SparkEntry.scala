@@ -667,6 +667,25 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // MIN/MAX aggregate pushdown answered from the header stamps: with
+    // statsColumns on the sink, min/max/count over the directory is a
+    // plan-time header read plus a block-header walk — zero data bytes
+    // decoded (spec-proven exact over corrupted block bodies). The 100 TB
+    // "profile the corpus" query at ~0.1% I/O.
+    "q70_minmax_pushdown" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val out = landingDir(s, "graft_q70_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").mode("overwrite")
+        .option("statsColumns", "doc_id,n_chars")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          count(lit(1)).as("n_docs"))
+    }),
+
     // C5: bzip2 closes the codec matrix 5/5 at driver level; nation keeps
     // the (slow) codec's bench cost trivial.
     "q39_ocf_bzip2_roundtrip" -> ((s, dir) => {
@@ -1387,6 +1406,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'region-stream' AS stream, r_regionkey AS key, r_name AS name FROM region
         |) ORDER BY stream, key""".stripMargin,
+
+    // min/max/count pushdown is a lossless aggregate of the written data,
+    // so the oracle aggregates straight off the parquet
+    "q70_minmax_pushdown" ->
+      """SELECT min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  count(*) AS n_docs FROM documents""".stripMargin,
 
     // stats-skipped scan is a lossless selection: same filter + aggregates
     // off the parquet

@@ -323,6 +323,22 @@ object OcfDataSource {
     }
   }
 
+  /** A `graft.stats` bound rendered as the column's own Catalyst value (the
+    * stamp stores integral as long, floating as double, string as text). */
+  private[sources] def statValue(node: com.fasterxml.jackson.databind.JsonNode,
+                                 dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.ByteType    => node.asLong.toByte
+    case org.apache.spark.sql.types.ShortType   => node.asLong.toShort
+    case org.apache.spark.sql.types.IntegerType => node.asLong.toInt
+    case org.apache.spark.sql.types.LongType    => node.asLong
+    case org.apache.spark.sql.types.FloatType   => node.asDouble.toFloat
+    case org.apache.spark.sql.types.DoubleType  => node.asDouble
+    case org.apache.spark.sql.types.StringType  =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(node.asText)
+    case other => throw new IllegalStateException(
+      s"graft-ocf: no stats value rendering for ${other.simpleString}")
+  }
+
   private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
       new com.fasterxml.jackson.databind.ObjectMapper()
@@ -377,6 +393,15 @@ object OcfDataSource {
     }
     out
   }
+}
+
+/** One pushed ungrouped aggregate expression (see
+  * [[OcfScanBuilder.pushAggregation]]). */
+private[graft] sealed trait OcfAggExpr extends Serializable
+private[graft] object OcfAggExpr {
+  case object Count extends OcfAggExpr
+  final case class MinOf(field: String, dt: org.apache.spark.sql.types.DataType) extends OcfAggExpr
+  final case class MaxOf(field: String, dt: org.apache.spark.sql.types.DataType) extends OcfAggExpr
 }
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; this 12-line
@@ -435,6 +460,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
   private var countStar = false
+  private var aggExprs: Option[Seq[OcfAggExpr]] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   /** Filters are accepted for DRIVER-SIDE file elimination only — exact
@@ -463,21 +489,73 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     true
   }
 
-  /** PARTIAL `COUNT(*)` pushdown: ungrouped bare counts become a block-HEADER
-    * walk — each split sums the row-count varints of its blocks and emits one
-    * row; block bodies are never read, decompressed, or decoded (the count
-    * rides the OCF block framing, reference python-udf/avro/datafile.py block
-    * layout). Spark re-aggregates the per-split partials with a final sum
-    * (`supportCompletePushDown` stays false). At 100 TB a `count(*)` reads
-    * ~40 bytes per 64 KB block — 0.1% of the data, zero codec work. */
+  /** PARTIAL aggregate pushdown for ungrouped `COUNT(*)` / `MIN(col)` /
+    * `MAX(col)` mixes (`supportCompletePushDown` stays false — Spark
+    * re-aggregates the per-split partials):
+    *
+    *  - `COUNT(*)` becomes a block-HEADER walk — each split sums the
+    *    row-count varints of its blocks; block bodies are never read,
+    *    decompressed, or decoded (the count rides the OCF block framing,
+    *    reference python-udf/avro/datafile.py block layout). At 100 TB this
+    *    reads ~40 bytes per 64 KB block — 0.1% of the data, zero codec work.
+    *  - `MIN`/`MAX` are answered from the `graft.stats` header stamps the
+    *    sink wrote (`statsColumns`): accepted ONLY when every file carries
+    *    bounds for every referenced column (or is all-null), in which case
+    *    the answer needs NO data read at all — min/max-only aggregations
+    *    never open a file body. Tracker bounds are exact (it sees every
+    *    row), so this is exact pushdown, not an approximation. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val ok = limit.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-    if (ok) countStar = true
-    ok
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (limit.nonEmpty || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return false
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        resolved.dataSql.fields.filter(_.name.equalsIgnoreCase(r.fieldNames()(0))) match {
+          case Array(f) => Some((f.name, f.dataType))
+          case _ => None
+        }
+      case _ => None
+    }
+    val parsed = agg.aggregateExpressions.map {
+      case _: CountStar => Some(OcfAggExpr.Count)
+      case m: Min => fieldOf(m.column).map { case (n, dt) => OcfAggExpr.MinOf(n, dt) }
+      case m: Max => fieldOf(m.column).map { case (n, dt) => OcfAggExpr.MaxOf(n, dt) }
+      case _ => None
+    }
+    if (parsed.exists(_.isEmpty)) return false
+    val exprs = parsed.flatten.toSeq
+    val statFields = exprs.collect {
+      case OcfAggExpr.MinOf(f, _) => f
+      case OcfAggExpr.MaxOf(f, _) => f
+    }.distinct
+    if (statFields.nonEmpty) {
+      // every file must answer from its header or the pushdown is off —
+      // header fetches are memoized, so build() pays nothing extra
+      val ok = allMetas().forall { m =>
+        m.statsJson.exists { js =>
+          val stats = OcfPartitions.parseStats(js)
+          statFields.forall(f => stats.get(f).exists(st =>
+            st.allNull || (st.min.isDefined && st.max.isDefined)))
+        }
+      }
+      if (!ok) return false
+    }
+    aggExprs = Some(exprs)
+    countStar = exprs == Seq(OcfAggExpr.Count)
+    true
   }
+
+  /** All files' headers, memoized into the resolve's meta cache. */
+  private def allMetas(): Seq[OcfDataSource.OcfFileMeta] =
+    resolved.prefetched.getOrElse {
+      val missing = resolved.files.filterNot(f => resolved.metaCache.containsKey(f.path))
+      if (missing.nonEmpty)
+        OcfDataSource.fetchMetas(resolved.conf, missing)
+          .foreach(m => resolved.metaCache.put(m.path, m))
+      resolved.files.map(f => resolved.metaCache.get(f.path))
+    }
 
   override def build(): Scan = {
     val partIdx: Map[String, Int] = resolved.partCols.zipWithIndex.toMap
@@ -521,6 +599,29 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
         resolved.wrap, new SerializableHadoopConf(resolved.conf),
         resolved.splitSize, resolved.paths, resolved.glob, resolved.recursive,
         countStar = true)
+    aggExprs match {
+      case Some(exprs) =>
+        // min/max (possibly mixed with count): resolve each file's answer
+        // from its header stamp at PLAN time; readers emit constants (plus
+        // the block-walk count partial when asked)
+        val aggValues: Seq[Array[Any]] = metas.map { m =>
+          lazy val stats = OcfPartitions.parseStats(m.statsJson.get)
+          exprs.map {
+            case OcfAggExpr.Count => null
+            case OcfAggExpr.MinOf(f, dt) =>
+              val st = stats(f)
+              if (st.allNull) null else OcfDataSource.statValue(st.min.get, dt)
+            case OcfAggExpr.MaxOf(f, dt) =>
+              val st = stats(f)
+              if (st.allNull) null else OcfDataSource.statValue(st.max.get, dt)
+          }.toArray[Any]
+        }
+        return OcfScan(metas, resolved.readerJson, resolved.dataSql,
+          resolved.wrap, new SerializableHadoopConf(resolved.conf),
+          resolved.splitSize, resolved.paths, resolved.glob, resolved.recursive,
+          aggExprs = exprs, aggValues = aggValues)
+      case None => ()
+    }
     // Rebuild the reader schema to exactly the pushed-down shape — at ANY
     // depth, not just top level: `select(col("a.b"))` over a wide nested OCF
     // must decode only `a.b` and type-directed-skip the rest of `a`'s
@@ -600,7 +701,8 @@ private[graft] final case class OcfScan(
     countStar: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty)
+    partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
+    aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -612,25 +714,42 @@ private[graft] final case class OcfScan(
     if (countStar)
       StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
         nullable = false)))
+    else if (aggExprs.nonEmpty)
+      StructType(aggExprs.zipWithIndex.map {
+        case (OcfAggExpr.Count, i) =>
+          StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
+        case (OcfAggExpr.MinOf(f, dt), i) => StructField(s"min_${f}_$i", dt, nullable = true)
+        case (OcfAggExpr.MaxOf(f, dt), i) => StructField(s"max_${f}_$i", dt, nullable = true)
+      })
     else StructType(sql.fields ++ partCols.map(
       StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!countStar && limit == Long.MaxValue,
+    require(!countStar && aggExprs.isEmpty && limit == Long.MaxValue,
       "graft-ocf: limit/aggregate pushdown is batch-only")
     new OcfMicroBatchStream(this, checkpointLocation)
   }
   override def description(): String = {
     val pushed =
       (if (countStar) " PushedAggregation: [COUNT(*)]" else "") +
+        (if (aggExprs.nonEmpty) s" PushedAggregation: [${aggExprs.map {
+          case OcfAggExpr.Count => "COUNT(*)"
+          case OcfAggExpr.MinOf(f, _) => s"MIN($f)"
+          case OcfAggExpr.MaxOf(f, _) => s"MAX($f)"
+        }.mkString(", ")}]" else "") +
         (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.iterator.zipWithIndex.flatMap { case (f, i) =>
+    // a min/max-only aggregation is fully answered from plan-time header
+    // stamps: ONE partition per file (no count partial needs a block walk,
+    // so fanning a file out over splits would just duplicate constants)
+    if (aggExprs.nonEmpty && !aggExprs.contains(OcfAggExpr.Count))
+      files.indices.map(i => OcfInputPartition(i, 0L, files(i).len): InputPartition).toArray
+    else files.iterator.zipWithIndex.flatMap { case (f, i) =>
       (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
         OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
       }
@@ -638,6 +757,8 @@ private[graft] final case class OcfScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
+    else if (aggExprs.nonEmpty)
+      OcfAggReaderFactory(files.toIndexedSeq, conf, aggExprs.toArray, aggValues.toIndexedSeq)
     else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -712,6 +833,72 @@ private[graft] final class OcfCountReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Partials for a pushed COUNT/MIN/MAX mix: one row per split. MIN/MAX are
+  * plan-time constants from the file's header stamp (exact — the sink's
+  * tracker saw every row); COUNT walks block headers like [[OcfCountReader]].
+  * A min/max-only aggregation therefore NEVER OPENS the file. */
+private[sources] final case class OcfAggReaderFactory(
+    files: IndexedSeq[OcfDataSource.OcfFileMeta], conf: SerializableHadoopConf,
+    exprs: Array[OcfAggExpr], values: IndexedSeq[Array[Any]])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OcfInputPartition]
+    new OcfAggReader(files(p.fileIndex), p.start, p.end, conf.value,
+      exprs, values(p.fileIndex))
+  }
+}
+
+private[graft] final class OcfAggReader(
+    meta: OcfDataSource.OcfFileMeta, start: Long, end: Long, conf: Configuration,
+    exprs: Array[OcfAggExpr], fileValues: Array[Any])
+    extends PartitionReader[InternalRow] {
+
+  private val needCount = exprs.contains(OcfAggExpr.Count)
+  private var in: FSDataInputStream = _
+  private var done = false
+  private var row: InternalRow = _
+  private var blocksVisited = 0L
+  private var bytesFetched = 0L
+
+  override def next(): Boolean = {
+    if (done) return false
+    val count: Long =
+      if (!needCount) 0L
+      else {
+        val hPath = new Path(meta.path)
+        in = hPath.getFileSystem(conf).open(hPath)
+        var total = 0L
+        var blockStart =
+          if (start == 0L) meta.headerEnd
+          else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end)
+        while (blockStart >= 0L && blockStart < meta.len && blockStart < end + 16L) {
+          val h = OcfBlocks.readBlockHeader(in, meta, blockStart)
+          total += h.count
+          blocksVisited += 1
+          bytesFetched += 20L
+          blockStart = h.dataStart + h.size + Ocf.SyncSize
+        }
+        total
+      }
+    val vals = new Array[Any](exprs.length)
+    var i = 0
+    while (i < exprs.length) {
+      vals(i) = if (exprs(i) == OcfAggExpr.Count) count else fileValues(i)
+      i += 1
+    }
+    row = new GenericInternalRow(vals)
+    done = true
+    true
+  }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(OcfScanTaskMetric("ocfBlocksRead", blocksVisited),
+      OcfScanTaskMetric("ocfBytesRead", bytesFetched))
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (in != null) in.close()
 }
 
 /** Decodes the blocks of one split. The file header was resolved at planning

@@ -59,9 +59,19 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     val sql = info.schema()
     // `partitionBy(cols)`: those columns become hive-style `col=value/`
     // directory levels and are DROPPED from file contents — the directory
-    // name is their storage. Resolve against the query schema (exact name
-    // first, then unique case-insensitive).
-    val partOrdinals: Array[Int] = partCols.map { pc =>
+    // name is their storage. Batch writes deliver the columns as identity
+    // transforms; STREAMING writes must use `.option("partitionBy", "a,b")`
+    // because DataStreamWriter silently drops partitionBy for V2 tables.
+    // Resolve against the query schema (exact name first, then unique
+    // case-insensitive).
+    val optionCols: Array[String] = Option(opts.get("partitionBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    require(partCols.isEmpty || optionCols.isEmpty ||
+        partCols.toSeq == optionCols.toSeq,
+      s"graft-ocf write: partitionBy(${partCols.mkString(",")}) and " +
+        s"option partitionBy=${optionCols.mkString(",")} disagree")
+    val effectiveCols = if (partCols.nonEmpty) partCols else optionCols
+    val partOrdinals: Array[Int] = effectiveCols.map { pc =>
       val exact = sql.fields.indexWhere(_.name == pc)
       val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(pc))
       if (i < 0) throw new IllegalArgumentException(
@@ -94,9 +104,9 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       "graft-ocf write: every column is a partition column; nothing to store in files")
     val avroJson = Option(opts.get("avroSchema")).getOrElse(
       AvroSchemaParser.toJson(SchemaConverters.toAvroType(dataSql)))
-    if (partCols.nonEmpty) {
+    if (effectiveCols.nonEmpty) {
       val avroFields = OcfWrite.recordOf(avroJson).fields.map(_.name)
-      partCols.foreach(pc => require(!avroFields.exists(_.equalsIgnoreCase(pc)),
+      effectiveCols.foreach(pc => require(!avroFields.exists(_.equalsIgnoreCase(pc)),
         s"graft-ocf write: partition column '$pc' must not appear in the Avro " +
           "schema — partition values live in directory names, not file contents"))
     }

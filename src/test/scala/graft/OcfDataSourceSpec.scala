@@ -377,6 +377,47 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(read(dir, 64).count() == 0)
   }
 
+  test("min/max pushdown answers from header stamps: exact over corrupt bodies") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("graft-dsv2-minmax")
+    (0L until 500L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartition(2)
+      .write.format("graft-ocf").option("statsColumns", "id,name")
+      .mode("append").save(dir.getAbsolutePath)
+    // trash EVERY file's first block body — framing stays intact, so any
+    // answer that survives proves no data byte was decoded
+    val conf = spark.sessionState.newHadoopConf()
+    dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".avro")).foreach { file =>
+      val hp = new Path(file.getAbsolutePath)
+      val in = hp.getFileSystem(conf).open(hp)
+      val (_, headerEnd) =
+        try graft.sources.OcfDataSource.readHeaderAt(in, file.length()) finally in.close()
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val hr = new graft.avro.AvroBinaryReader(bytes, headerEnd.toInt, bytes.length)
+      hr.readLong()
+      val size = hr.readLong()
+      java.util.Arrays.fill(bytes, hr.pos, hr.pos + size.toInt, 0x55.toByte)
+      java.nio.file.Files.write(file.toPath, bytes)
+    }
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    val agged = df.agg(min("id"), max("id"), min("name"), max("name"), count(lit(1)))
+    assert(scanOf(agged).description().contains(
+      "PushedAggregation: [MIN(id), MAX(id), MIN(name), MAX(name), COUNT(*)]"),
+      scanOf(agged).description())
+    val r = agged.head
+    assert((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)) ==
+      (0L, 499L, "name_0", "name_99", 500L))
+    // a directory WITHOUT stats falls back to a normal (here: failing) scan —
+    // the pushdown must never fabricate an answer it cannot prove
+    val dir2 = tempDir("graft-dsv2-minmax-nostats")
+    (0L until 10L).map(i => (i, "x")).toDF("id", "name").coalesce(1)
+      .write.format("graft-ocf").mode("append").save(dir2.getAbsolutePath)
+    val unstamped = spark.read.format("graft-ocf").load(dir2.getAbsolutePath).agg(min("id"))
+    assert(!scanOf(unstamped).description().contains("MIN(id)"))
+    assert(unstamped.head.getLong(0) == 0L)
+  }
+
   test("partition pruning: unselected partitions' headers are never read") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-prune")

@@ -398,6 +398,35 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(got == Seq((9L, "a")), s"overwrite must clear old partitions; got $got")
   }
 
+  test("streaming sink partitions epochs via the partitionBy option") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("graft-w-streampart")
+    val ckpt = tempDir("graft-w-streampart-ckpt")
+    val stream = MemoryStream[(Long, String)]
+    // DataStreamWriter.partitionBy is silently dropped for V2 tables, so the
+    // sink takes it as an option — the landing pattern "stream in,
+    // partitioned layout out" must work end to end
+    val q = stream.toDF.toDF("id", "grp")
+      .writeStream.format("graft-ocf")
+      .option("partitionBy", "grp")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append")
+      .start(dir.getAbsolutePath)
+    try {
+      stream.addData((1L, "a"), (2L, "b"), (3L, "a"))
+      q.processAllAvailable()
+      stream.addData((4L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("grp=a", "grp=b"), s"epochs must land partitioned; got ${dirs.toSeq}")
+    assert(visibleFiles(dir).isEmpty, "no files at the partitioned root")
+    val back = readBack(dir).select("id", "grp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+  }
+
   test("statsColumns stamps per-file min/max into the header") {
     import spark.implicits._
     val dir = tempDir("graft-w-stats")
