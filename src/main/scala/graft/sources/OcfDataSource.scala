@@ -461,6 +461,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   private var limit: Option[Int] = None
   private var countStar = false
   private var aggExprs: Option[Seq[OcfAggExpr]] = None
+  private var statsByPath: Map[String, Map[String, OcfPartitions.ColStat]] = Map.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   /** Filters are accepted for DRIVER-SIDE file elimination only — exact
@@ -532,15 +533,15 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     }.distinct
     if (statFields.nonEmpty) {
       // every file must answer from its header or the pushdown is off —
-      // header fetches are memoized, so build() pays nothing extra
-      val ok = allMetas().forall { m =>
-        m.statsJson.exists { js =>
-          val stats = OcfPartitions.parseStats(js)
-          statFields.forall(f => stats.get(f).exists(st =>
-            st.allNull || (st.min.isDefined && st.max.isDefined)))
-        }
-      }
+      // header fetches are memoized (build() pays nothing extra) and the
+      // parsed stats are kept for build()'s value resolution
+      val parsedByPath = allMetas().map(m =>
+        m.path -> m.statsJson.map(OcfPartitions.parseStats)).toMap
+      val ok = parsedByPath.valuesIterator.forall(_.exists(stats =>
+        statFields.forall(f => stats.get(f).exists(st =>
+          st.allNull || (st.min.isDefined && st.max.isDefined)))))
       if (!ok) return false
+      statsByPath = parsedByPath.collect { case (p, Some(s)) => p -> s }
     }
     aggExprs = Some(exprs)
     countStar = exprs == Seq(OcfAggExpr.Count)
@@ -605,7 +606,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
         // from its header stamp at PLAN time; readers emit constants (plus
         // the block-walk count partial when asked)
         val aggValues: Seq[Array[Any]] = metas.map { m =>
-          lazy val stats = OcfPartitions.parseStats(m.statsJson.get)
+          lazy val stats = statsByPath.getOrElse(m.path,
+            OcfPartitions.parseStats(m.statsJson.get))
           exprs.map {
             case OcfAggExpr.Count => null
             case OcfAggExpr.MinOf(f, dt) =>
@@ -745,10 +747,11 @@ private[graft] final case class OcfScan(
 
   override def planInputPartitions(): Array[InputPartition] =
     // a min/max-only aggregation is fully answered from plan-time header
-    // stamps: ONE partition per file (no count partial needs a block walk,
-    // so fanning a file out over splits would just duplicate constants)
+    // stamps: ONE task emitting one constant row per file (fileIndex -1
+    // sentinel) — scheduling a no-I/O task per file would make task
+    // overhead the whole cost of a 100k-file profile query
     if (aggExprs.nonEmpty && !aggExprs.contains(OcfAggExpr.Count))
-      files.indices.map(i => OcfInputPartition(i, 0L, files(i).len): InputPartition).toArray
+      Array(OcfInputPartition(-1, 0L, 0L))
     else files.iterator.zipWithIndex.flatMap { case (f, i) =>
       (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
         OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
@@ -808,20 +811,14 @@ private[graft] final class OcfCountReader(
 
   override def next(): Boolean = {
     if (done) return false
-    var total = 0L
-    var blockStart =
-      try { if (start == 0L) meta.headerEnd else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end) }
+    val (total, blocks, bytes) =
+      try OcfBlocks.sumBlockCounts(in, meta, start, end)
       catch { case t: Throwable =>
         try in.close() catch { case s: Throwable => t.addSuppressed(s) }
         throw t
       }
-    while (blockStart >= 0L && blockStart < meta.len && blockStart < end + 16L) {
-      val h = OcfBlocks.readBlockHeader(in, meta, blockStart)
-      total += h.count
-      blocksVisited += 1
-      bytesFetched += 20L // the header pread; bodies are never fetched
-      blockStart = h.dataStart + h.size + Ocf.SyncSize
-    }
+    blocksVisited += blocks
+    bytesFetched += bytes
     row = new GenericInternalRow(Array[Any](total))
     done = true
     true
@@ -845,9 +842,24 @@ private[sources] final case class OcfAggReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfInputPartition]
-    new OcfAggReader(files(p.fileIndex), p.start, p.end, conf.value,
+    if (p.fileIndex < 0) new OcfAggConstantsReader(exprs, values)
+    else new OcfAggReader(files(p.fileIndex), p.start, p.end, conf.value,
       exprs, values(p.fileIndex))
   }
+}
+
+/** The min/max-only fast path: one task, one constant partial row per file,
+  * zero file I/O — everything was read from headers at plan time. */
+private[graft] final class OcfAggConstantsReader(
+    exprs: Array[OcfAggExpr], values: IndexedSeq[Array[Any]])
+    extends PartitionReader[InternalRow] {
+  private var i = 0
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (i >= values.length) false
+    else { row = new GenericInternalRow(values(i)); i += 1; true }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 private[graft] final class OcfAggReader(
@@ -869,17 +881,9 @@ private[graft] final class OcfAggReader(
       else {
         val hPath = new Path(meta.path)
         in = hPath.getFileSystem(conf).open(hPath)
-        var total = 0L
-        var blockStart =
-          if (start == 0L) meta.headerEnd
-          else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end)
-        while (blockStart >= 0L && blockStart < meta.len && blockStart < end + 16L) {
-          val h = OcfBlocks.readBlockHeader(in, meta, blockStart)
-          total += h.count
-          blocksVisited += 1
-          bytesFetched += 20L
-          blockStart = h.dataStart + h.size + Ocf.SyncSize
-        }
+        val (total, blocks, bytes) = OcfBlocks.sumBlockCounts(in, meta, start, end)
+        blocksVisited += blocks
+        bytesFetched += bytes
         total
       }
     val vals = new Array[Any](exprs.length)
@@ -1014,6 +1018,27 @@ private[graft] final class OcfSplitReader(
 private[sources] object OcfBlocks {
 
   final case class BlockHeader(count: Long, size: Long, dataStart: Long)
+
+  /** Sum the row-count varints of every block this split owns — the shared
+    * header-only walk behind COUNT(*) pushdown (no body read, no codec
+    * work). Returns (rowTotal, blocksVisited, bytesFetched). */
+  def sumBlockCounts(in: FSDataInputStream, meta: OcfDataSource.OcfFileMeta,
+                     start: Long, end: Long): (Long, Long, Long) = {
+    var total = 0L
+    var blocks = 0L
+    var bytes = 0L
+    var blockStart =
+      if (start == 0L) meta.headerEnd
+      else syncScan(in, meta.sync, meta.len, start, end)
+    while (blockStart >= 0L && blockStart < meta.len && blockStart < end + 16L) {
+      val h = readBlockHeader(in, meta, blockStart)
+      total += h.count
+      blocks += 1
+      bytes += 20L // the header pread; bodies are never fetched
+      blockStart = h.dataStart + h.size + Ocf.SyncSize
+    }
+    (total, blocks, bytes)
+  }
 
   /** Parse the two block varints (row count, compressed size) from a small
     * positioned read; ≤20 bytes. */

@@ -67,7 +67,8 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     val optionCols: Array[String] = Option(opts.get("partitionBy"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
     require(partCols.isEmpty || optionCols.isEmpty ||
-        partCols.toSeq == optionCols.toSeq,
+        (partCols.length == optionCols.length &&
+          partCols.zip(optionCols).forall { case (a, b) => a.equalsIgnoreCase(b) }),
       s"graft-ocf write: partitionBy(${partCols.mkString(",")}) and " +
         s"option partitionBy=${optionCols.mkString(",")} disagree")
     val effectiveCols = if (partCols.nonEmpty) partCols else optionCols
@@ -554,12 +555,13 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
             if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
           case 1 =>
-            // -0.0 normalizes to 0.0 (Spark compares them equal; an ordered
-            // -0.0 bound would wrongly refute `= 0.0`), then Double.compare
-            // gives NaN its Spark position (largest) so `v < min(NaN-first
-            // file)` still updates the min
-            val raw = getters(i)(row, o).asInstanceOf[Number].doubleValue
-            val v = if (raw == 0.0) 0.0 else raw
+            // Double.compare ordering: NaN takes its Spark position
+            // (largest) and signed zeros stay distinct, so the stamp carries
+            // the TRUE extremum (min/max pushdown returns it verbatim —
+            // normalizing -0.0 here would turn an exact answer into +0.0).
+            // The read-side SKIPPING comparison normalizes both sides, so
+            // a -0.0 bound still never refutes `= 0.0`.
+            val v = getters(i)(row, o).asInstanceOf[Number].doubleValue
             if (nonNull(i) == 0L || java.lang.Double.compare(v, minD(i)) < 0) minD(i) = v
             if (nonNull(i) == 0L || java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
           case _ =>
@@ -587,12 +589,20 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
         case 0 => o.put("min", minL(i)); o.put("max", maxL(i))
         case 1 =>
           // NaN/Infinity have no portable JSON form — omit the bounds
-          // (absent bounds = file never skipped on this column, which is
-          // the conservative direction)
+          // (absent bounds = file never skipped on this column and min/max
+          // pushdown refused, which is the conservative direction)
           if (java.lang.Double.isFinite(minD(i)) && java.lang.Double.isFinite(maxD(i))) {
             o.put("min", minD(i)); o.put("max", maxD(i))
           }
-        case _ => o.put("min", minS(i).toString); o.put("max", maxS(i).toString)
+        case _ =>
+          // the stamp stores JSON text; a string whose bytes are not valid
+          // UTF-8 does not survive toString (U+FFFD substitution), so such
+          // extrema are omitted rather than stamped corrupted
+          def roundTrips(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.toString) == s
+          if (roundTrips(minS(i)) && roundTrips(maxS(i))) {
+            o.put("min", minS(i).toString); o.put("max", maxS(i).toString)
+          }
       }
       o.put("hasNull", sawNull(i))
       o.put("allNull", nonNull(i) == 0L)

@@ -408,6 +408,13 @@ class OcfDataSourceSpec extends AnyFunSuite {
     val r = agged.head
     assert((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)) ==
       (0L, 499L, "name_0", "name_99", 500L))
+    // min/max WITHOUT count: fully plan-time — one task emits the per-file
+    // constants, no file is ever opened (still exact over the trashed bodies)
+    val mmOnly = df.agg(min("id"), max("name"))
+    assert(mmOnly.rdd.getNumPartitions == 1,
+      "min/max-only pushdown must not schedule a task per file")
+    val r2 = mmOnly.head
+    assert((r2.getLong(0), r2.getString(1)) == (0L, "name_99"))
     // a directory WITHOUT stats falls back to a normal (here: failing) scan —
     // the pushdown must never fabricate an answer it cannot prove
     val dir2 = tempDir("graft-dsv2-minmax-nostats")
