@@ -113,10 +113,25 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     }
     // `statsColumns`: top-level orderable primitives whose per-file min/max
     // the sink stamps into the OCF header (`graft.stats`) for read-side
-    // file skipping. Costs one sequential re-copy of each sealed file (the
-    // OCF header precedes the data it describes), so it is opt-in.
-    val statsOrdinals: Array[Int] = Option(opts.get("statsColumns"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    // file skipping and min/max pushdown. Costs one sequential re-copy of
+    // each sealed file (the OCF header precedes the data it describes), so
+    // it is opt-in. `statsColumns=auto` stamps every eligible data column.
+    def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    val statsNames: Array[String] = Option(opts.get("statsColumns")) match {
+      case Some(v) if v.equalsIgnoreCase("auto") =>
+        sql.fields.zipWithIndex.collect {
+          case (f, i) if !partOrdinals.contains(i) && statsEligible(f.dataType) => f.name
+        }
+      case Some(v) => v.split(",").map(_.trim).filter(_.nonEmpty)
+      case None => Array.empty
+    }
+    val statsOrdinals: Array[Int] = statsNames
       .map { sc =>
         val exact = sql.fields.indexWhere(_.name == sc)
         val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(sc))
@@ -696,22 +711,31 @@ object OcfMaintenance {
               targetBytes: Long = 128L * 1024 * 1024,
               readerSchemaJson: Option[String] = None): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
+    val conf = spark.sessionState.newHadoopConf()
+    // RECURSIVE listing: a partitioned (or sweep-landed) input keeps its
+    // whole tree in the size estimate, and the inferred partition layout
+    // is PRESERVED on the output — compacting a hive-partitioned stream
+    // landing must not flatten partition values into data columns
+    val files = OcfDataSource.list(conf, Seq(inDir), None, recursive = true)
+    val qualified = {
+      val hp = new Path(inDir); Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
+    }
+    val (partCols, _) = OcfPartitions.infer(qualified, files)
     // one output file per ~targetBytes of INPUT: the sink writes one file
     // per task, so the scan's one-split-per-small-file parallelism must be
     // coalesced (shuffle-free split merging) down to the output file count;
     // maxBytesPerFile still rolls any task whose share lands oversized
-    val inputBytes = OcfDataSource
-      .list(spark.sessionState.newHadoopConf(), Seq(inDir), None, recursive = false)
-      .map(_.len).sum
+    val inputBytes = files.map(_.len).sum
     val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
     val r = spark.read.format("graft-ocf")
-    readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
+    val w = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
       .load(inDir)
       .coalesce(parts)
       .write.format("graft-ocf").mode("overwrite")
       .option("codec", codec)
       .option("maxBytesPerFile", targetBytes.toString)
-      .save(outDir)
+    (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
+     else w).save(outDir)
   }
 
   def vacuumTemps(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -254,6 +254,40 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(got.length == 4000 && got.toSeq == (0L until 4000L).map(i => (i, s"doc_$i")))
   }
 
+  test("compact preserves a hive-partitioned layout instead of flattening it") {
+    import graft.sources.OcfMaintenance
+    import spark.implicits._
+    val in = tempDir("graft-w-compactpart-in")
+    val outD = tempDir("graft-w-compactpart-out").getAbsolutePath + "/packed"
+    (0L until 600L).map(i => (i, s"p${i % 2}")).toDF("id", "p").repartition(6)
+      .write.format("graft-ocf").partitionBy("p")
+      .mode(SaveMode.Append).save(in.getAbsolutePath)
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD, targetBytes = 1L << 20)
+    val outDirs = new java.io.File(outD).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(outDirs.toSeq == Seq("p=p0", "p=p1"),
+      s"compaction must keep the partition layout; got ${outDirs.toSeq}")
+    val got = spark.read.format("graft-ocf").load(outD).select("id", "p")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == (0L until 600L).map(i => (i, s"p${i % 2}")))
+  }
+
+  test("statsColumns=auto stamps every eligible data column") {
+    import spark.implicits._
+    val dir = tempDir("graft-w-statsauto")
+    (0L until 40L).map(i => (i, s"s$i", i.toDouble / 2, Array[Byte](i.toByte), s"g${i % 2}"))
+      .toDF("id", "name", "score", "blob", "grp").coalesce(1)
+      .write.format("graft-ocf").partitionBy("grp")
+      .option("statsColumns", "auto")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val f = new java.io.File(dir, "grp=g0").listFiles()
+      .filter(x => x.isFile && !x.getName.startsWith(".")).head
+    val (hdr, _) = Ocf.blockIterator(java.nio.file.Files.readAllBytes(f.toPath))
+    val stats = graft.sources.OcfPartitions.parseStats(
+      new String(hdr.meta("graft.stats"), "UTF-8"))
+    // id/name/score eligible; blob (binary) and grp (partition) are not
+    assert(stats.keySet == Set("id", "name", "score"), stats.keySet.toString)
+  }
+
   test("vacuumTemps removes only ORPHANED old writer temps") {
     import graft.sources.OcfMaintenance
     val dir = tempDir("graft-w-vacuum")
