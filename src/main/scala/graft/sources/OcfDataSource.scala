@@ -662,7 +662,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       limit = limit.map(_.toLong).getOrElse(Long.MaxValue),
       maxFilesPerTrigger = resolved.maxFilesPerTrigger,
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
-      partCols = reqPartCols, partIdx = reqPartIdx)
+      partCols = reqPartCols, partIdx = reqPartIdx,
+      filtersDesc = pushed.map(_.toString).toSeq)
   }
 }
 
@@ -704,7 +705,8 @@ private[graft] final case class OcfScan(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
-    aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil)
+    aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
+    filtersDesc: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -741,6 +743,7 @@ private[graft] final case class OcfScan(
           case OcfAggExpr.MaxOf(f, _) => s"MAX($f)"
         }.mkString(", ")}]" else "") +
         (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
+        (if (filtersDesc.nonEmpty) s" PushedFilters: [${filtersDesc.mkString(", ")}]" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }

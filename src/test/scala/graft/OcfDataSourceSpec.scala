@@ -519,6 +519,31 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("score") || e.getCause != null)
   }
 
+  test("two-level partitioning: inference order, pruning on either level") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-part2")
+    (0L until 120L).map(i => (i, s"y${i % 2}", s"m${i % 3}"))
+      .toDF("id", "year", "month").coalesce(1)
+      .write.format("graft-ocf").partitionBy("year", "month").mode("append")
+      .save(dir.getAbsolutePath)
+    // layout: year=*/month=*/file — 2 x 3 = 6 leaf dirs
+    val leaves = dir.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.isDirectory).map(_.getName).distinct.sorted
+    assert(leaves.toSeq == Seq("month=m0", "month=m1", "month=m2"))
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "year", "month"))
+    // prune on the SECOND level alone: 2 of 6 leaf files planned
+    val got = df.where(col("month") === "m1").select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 120L).filter(_ % 3 == 1))
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size == 2,
+      s"month=m1 lives in 2 of 6 leaves; planned ${graft.sources.OcfDataSource.lastPlannedFiles.get()}")
+    // conjunction across levels: 1 of 6
+    val both = df.where(col("year") === "y0" && col("month") === "m2")
+      .select("id").as[Long].collect().sorted
+    assert(both.toSeq == (0L until 120L).filter(i => i % 2 == 0 && i % 3 == 2))
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size == 1)
+  }
+
   test("partitioned dir round-trips through SQL with pruning in the plan description") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-partsql")

@@ -185,6 +185,35 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("graft-ocf split stream over a partitioned directory carries partition columns") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-ocfpartstream-in")
+    val ckpt = Files.createTempDirectory("graft-ocfpartstream-ckpt")
+    // pre-seed a hive-partitioned layout through the V2 sink
+    (0L until 60L).map(i => (i, s"p${i % 2}")).toDF("id", "par").coalesce(1)
+      .write.format("graft-ocf").partitionBy("par").mode("append")
+      .save(in.toString)
+    val df = spark.readStream.format("graft-ocf").load(in.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "par"),
+      s"partition column must ride the streaming schema; got ${df.schema.fieldNames.toSeq}")
+    val q = df.writeStream.format("memory").queryName("ocf_part_stream")
+      .option("checkpointLocation", ckpt.toString).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ocf_part_stream").select("id", "par")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq == (0L until 60L).map(i => (i, s"p${i % 2}")))
+      // a NEW partitioned landing decodes exactly once with its path value
+      (100L until 110L).map(i => (i, "p9")).toDF("id", "par").coalesce(1)
+        .write.format("graft-ocf").partitionBy("par").mode("append")
+        .save(in.toString)
+      q.processAllAvailable()
+      val got2 = spark.table("ocf_part_stream").where(col("par") === "p9")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got2.toSeq == (100L until 110L))
+    } finally q.stop()
+  }
+
   test("graft-ocf split stream: projected readerSchema narrows the decode") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-ocfprune-in")
