@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.OcfPartitions
+import org.apache.spark.sql.sources._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests over the partition-layout and stats-skipping layer: path
+  * escaping round-trips arbitrary values, partition-directory encode/parse is
+  * an identity, and the conservative filter evaluator NEVER refutes a file
+  * that contains a matching row (soundness — the only property that matters:
+  * over-keeping costs I/O, over-skipping loses rows). */
+class PartitionStatsPropertySpec extends AnyFunSuite {
+
+  private def runProp(prop: Prop, min: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(min), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genValue: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf('a', '/', '=', '%', '#', ':', ' ', 'é')).map(_.mkString))
+
+  test("path escaping round-trips every value and never emits separators") {
+    runProp(Prop.forAll(genValue) { v =>
+      val e = OcfPartitions.escape(v)
+      OcfPartitions.unescape(e) == v && !e.contains('/') && !e.contains('=')
+    })
+  }
+
+  test("partitionDir encodes what infer parses back (identity through paths)") {
+    val gen = for {
+      n <- Gen.choose(1, 3)
+      names <- Gen.listOfN(n, Gen.identifier.suchThat(_.nonEmpty)).map(_.zipWithIndex.map {
+        case (s, i) => s.take(8) + i  // unique column names
+      })
+      values <- Gen.listOfN(n, Gen.option(genValue))
+    } yield (names.toArray, values.map(_.orNull).toArray)
+    runProp(Prop.forAll(gen) { case (names, values) =>
+      val rel = OcfPartitions.partitionDir(names, values)
+      val root = "/data/t"
+      val slice = graft.sources.OcfDataSource.FileSlice(s"$root/$rel/part-0.avro", 1L)
+      val (cols, files) = OcfPartitions.infer(Seq(root), Seq(slice))
+      cols == names.toSeq && files.head.partitionValues.toSeq == values.toSeq
+    })
+  }
+
+  /** Brute-force soundness: generate a small long column, stamp its true
+    * min/max the way the tracker does, generate a random simple filter, and
+    * check that whenever ANY value in the file satisfies the filter, the
+    * evaluator keeps the file. */
+  test("stats skipping is sound: a file with a matching row is never refuted") {
+    val genVals = Gen.nonEmptyListOf(Gen.choose(-50L, 50L))
+    val genFilter: Gen[Filter] = for {
+      v <- Gen.choose(-60L, 60L)
+      f <- Gen.oneOf[Filter](EqualTo("x", v), GreaterThan("x", v),
+        GreaterThanOrEqual("x", v), LessThan("x", v), LessThanOrEqual("x", v),
+        In("x", Array[Any](v, v + 3)), IsNotNull("x"),
+        Not(EqualTo("x", v)), Or(LessThan("x", v), GreaterThan("x", v + 5)),
+        And(GreaterThanOrEqual("x", v), LessThanOrEqual("x", v + 10)))
+    } yield f
+    def evalRow(f: Filter, x: Long): Boolean = f match {
+      case EqualTo("x", v) => x == v.asInstanceOf[Long]
+      case GreaterThan("x", v) => x > v.asInstanceOf[Long]
+      case GreaterThanOrEqual("x", v) => x >= v.asInstanceOf[Long]
+      case LessThan("x", v) => x < v.asInstanceOf[Long]
+      case LessThanOrEqual("x", v) => x <= v.asInstanceOf[Long]
+      case In("x", vs) => vs.exists(_.asInstanceOf[Long] == x)
+      case IsNotNull("x") => true
+      case Not(g) => !evalRow(g, x)
+      case Or(l, r) => evalRow(l, x) || evalRow(r, x)
+      case And(l, r) => evalRow(l, x) && evalRow(r, x)
+      case _ => true
+    }
+    runProp(Prop.forAll(genVals, genFilter) { (vals, filter) =>
+      val json = s"""{"x":{"t":"long","min":${vals.min},"max":${vals.max},"hasNull":false,"allNull":false}}"""
+      val stats = OcfPartitions.parseStats(json)
+      val kept = OcfPartitions.mayMatch(Seq(filter), _ => None, stats.get)
+      val anyRowMatches = vals.exists(evalRow(filter, _))
+      // soundness: matching row somewhere in the file ⇒ file kept
+      !anyRowMatches || kept
+    }, min = 500)
+  }
+
+  test("partition-value filters evaluate exactly (keep iff the value matches)") {
+    val genV: Gen[String] = Gen.oneOf("a", "b", "", "a/b", "é")
+    val genF: Gen[String => Filter] = Gen.oneOf(
+      (v: String) => EqualTo("p", v),
+      (v: String) => Not(EqualTo("p", v)),
+      (v: String) => In("p", Array[Any](v, "zzz")),
+      (v: String) => StringStartsWith("p", v.take(1)),
+      (_: String) => IsNull("p"),
+      (_: String) => IsNotNull("p"))
+    runProp(Prop.forAll(genV, genV, genF) { (fileVal, filterVal, mk) =>
+      val f = mk(filterVal)
+      def evalExact(f: Filter): Boolean = f match {
+        case EqualTo("p", v) => fileVal == v
+        case Not(g) => !evalExact(g)
+        case In("p", vs) => vs.contains(fileVal)
+        case StringStartsWith("p", pre) => fileVal.startsWith(pre)
+        case IsNull("p") => false // fileVal non-null here
+        case IsNotNull("p") => true
+        case _ => true
+      }
+      OcfPartitions.mayMatch(Seq(f), n => if (n == "p") Some(fileVal) else None,
+        _ => None) == evalExact(f)
+    })
+  }
+}
