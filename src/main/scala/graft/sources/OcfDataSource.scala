@@ -347,8 +347,30 @@ object OcfDataSource {
     Option(options.get("path")).toSeq ++ multi
   }
 
+  /** List input files. A CONCURRENT writer's temp can vanish between the
+    * listing's enumeration and its stat (local FS even shells out for
+    * permissions), surfacing as FileNotFound/ExitCode noise mid-iteration —
+    * on a live landing directory that's normal operation, not an error, so
+    * the listing retries from scratch a few times before giving up. */
   private[sources] def list(conf: Configuration, paths: Seq[String],
                    glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
+    def vanished(t: Throwable): Boolean = {
+      val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      chain.exists(_.isInstanceOf[java.io.FileNotFoundException]) ||
+        chain.exists(c => c.getMessage != null && c.getMessage.contains("No such file"))
+    }
+    var attempt = 0
+    while (true) {
+      try return listOnce(conf, paths, glob, recursive)
+      catch {
+        case t: Throwable if attempt < 3 && vanished(t) => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def listOnce(conf: Configuration, paths: Seq[String],
+                       glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
     val filter = glob.map(new GlobFilter(_))
     paths.flatMap { p =>
       val hp = new Path(p)
@@ -707,7 +729,42 @@ private[graft] final case class OcfScan(
     partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
     aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
     filtersDesc: Seq[String] = Nil)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** RUNTIME (dynamic partition pruning) filtering: a broadcast join whose
+    * build side constrains a partition column hands the joined key set to
+    * the probe-side scan at EXECUTION time — whole partition directories
+    * vanish from the plan without the user writing a literal predicate.
+    * Spark's DPP rule targets exactly this interface for V2 relations. The
+    * evaluator is the same conservative [[OcfPartitions.mayMatch]] used at
+    * plan time (exact on partition values, range on header stats), so
+    * over-delivery is impossible: Spark re-applies the join itself. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  // runtime-filtered view of `files`; index-aligned factories are built
+  // AFTER filter() runs (Spark replans the batch), so readers and splits
+  // always index into the same filtered table
+  @transient private var runtimeFiles: Seq[OcfDataSource.OcfFileMeta] = _
+  private def effectiveFiles: Seq[OcfDataSource.OcfFileMeta] =
+    if (runtimeFiles != null) runtimeFiles else files
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // agg-pushed scans never declare filter attributes (partCols is empty
+    // there), but guard anyway: their aggValues are index-aligned to the
+    // UNFILTERED file list
+    if (countStar || aggExprs.nonEmpty) return
+    val nameToIdx = partCols.zipWithIndex.toMap
+    runtimeFiles = files.filter { m =>
+      def partValue(name: String): Option[String] = nameToIdx.get(name).collect {
+        case i if partIdx(i) < m.partitionValues.length => m.partitionValues(partIdx(i))
+      }
+      lazy val stats = m.statsJson.map(OcfPartitions.parseStats).getOrElse(Map.empty)
+      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get)
+    }
+    OcfDataSource.lastPlannedFiles.set(runtimeFiles.map(_.path))
+  }
 
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     OcfScanMetrics.all
@@ -755,20 +812,20 @@ private[graft] final case class OcfScan(
     // overhead the whole cost of a 100k-file profile query
     if (aggExprs.nonEmpty && !aggExprs.contains(OcfAggExpr.Count))
       Array(OcfInputPartition(-1, 0L, 0L))
-    else files.iterator.zipWithIndex.flatMap { case (f, i) =>
+    else effectiveFiles.iterator.zipWithIndex.flatMap { case (f, i) =>
       (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
         OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
       }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
+    if (countStar) OcfCountReaderFactory(effectiveFiles.toIndexedSeq, conf)
     else if (aggExprs.nonEmpty)
-      OcfAggReaderFactory(files.toIndexedSeq, conf, aggExprs.toArray, aggValues.toIndexedSeq)
-    else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
+      OcfAggReaderFactory(effectiveFiles.toIndexedSeq, conf, aggExprs.toArray, aggValues.toIndexedSeq)
+    else OcfReaderFactory(effectiveFiles.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(files.map(_.len).sum)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(effectiveFiles.map(_.len).sum)
     override def numRows(): OptionalLong = OptionalLong.empty()
   }
 }

@@ -519,6 +519,31 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("score") || e.getCause != null)
   }
 
+  test("runtime filtering prunes partitions delivered by a broadcast join (DPP)") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-dpp")
+    (0L until 90L).map(i => (i, s"p${i % 3}")).toDF("id", "p").coalesce(1)
+      .write.format("graft-ocf").partitionBy("p").mode("append")
+      .save(dir.getAbsolutePath)
+    val fact = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+
+    // direct contract: filter() drops non-matching files, keeps supersets
+    val scan = scanOf(fact.select("id", "p"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("p"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("p", Array[Any]("p2"))))
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size == 1,
+      s"runtime In(p2) must keep one file; got ${graft.sources.OcfDataSource.lastPlannedFiles.get()}")
+
+    // end-to-end: a broadcast join keyed on the partition column stays
+    // correct with runtime filtering in play (DPP fires when Spark decides;
+    // correctness must hold either way)
+    val dim = Seq("p1").toDF("p")
+    val joined = fact.join(broadcast(dim), "p").select("id").as[Long].collect().sorted
+    assert(joined.toSeq == (0L until 90L).filter(_ % 3 == 1))
+  }
+
   test("two-level partitioning: inference order, pruning on either level") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-part2")
