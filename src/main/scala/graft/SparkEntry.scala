@@ -667,6 +667,28 @@ object SparkEntry {
           max(col("n_chars")).cast("long").as("max_chars"))
     }),
 
+    // Runtime (dynamic partition pruning) filtering: a broadcast join keyed
+    // on the partition column hands its key set to the scan at EXECUTION
+    // time (SupportsRuntimeFiltering), so only the joined languages' files
+    // are opened — no literal predicate anywhere in the query. The 100 TB
+    // "join the partitioned corpus against a small dim" shape.
+    "q71_dpp_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q71_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .save(out.getAbsolutePath)
+      import s.implicits._
+      val dim = Seq(("en", 1.0), ("fr", 0.5)).toDF("lang", "weight")
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .join(broadcast(dim), "lang")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars") * col("weight")).cast("double").as("weighted_chars"))
+        .orderBy("lang")
+    }),
+
     // MIN/MAX aggregate pushdown answered from the header stamps: with
     // statsColumns on the sink, min/max/count over the directory is a
     // plan-time header read plus a block-header walk — zero data bytes
@@ -1406,6 +1428,15 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'region-stream' AS stream, r_regionkey AS key, r_name AS name FROM region
         |) ORDER BY stream, key""".stripMargin,
+
+    // the DPP join is a lossless inner join of documents against the
+    // two-language dim, so the oracle computes the same join off parquet
+    "q71_dpp_join" ->
+      """WITH dim(lang, weight) AS (VALUES ('en', 1.0), ('fr', 0.5))
+        |SELECT d.lang, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars * dim.weight) AS DOUBLE) AS weighted_chars
+        |FROM documents d JOIN dim ON d.lang = dim.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // min/max/count pushdown is a lossless aggregate of the written data,
     // so the oracle aggregates straight off the parquet
