@@ -347,11 +347,18 @@ object OcfDataSource {
     Option(options.get("path")).toSeq ++ multi
   }
 
+  /** A listed ROOT path itself does not exist — a typo or a deleted source
+    * directory, not listing churn; surfaced immediately, never retried. */
+  private final class RootPathMissing(val underlying: java.io.FileNotFoundException)
+    extends RuntimeException(underlying)
+
   /** List input files. A CONCURRENT writer's temp can vanish between the
     * listing's enumeration and its stat (local FS even shells out for
     * permissions), surfacing as FileNotFound/ExitCode noise mid-iteration —
     * on a live landing directory that's normal operation, not an error, so
-    * the listing retries from scratch a few times before giving up. */
+    * the listing retries from scratch a few times (with a short pause, so a
+    * racing rename has time to land) before giving up. A MISSING ROOT path
+    * is a different thing entirely and fails fast. */
   private[sources] def list(conf: Configuration, paths: Seq[String],
                    glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
     def vanished(t: Throwable): Boolean = {
@@ -363,7 +370,10 @@ object OcfDataSource {
     while (true) {
       try return listOnce(conf, paths, glob, recursive)
       catch {
-        case t: Throwable if attempt < 3 && vanished(t) => attempt += 1
+        case r: RootPathMissing => throw r.underlying
+        case t: Throwable if attempt < 3 && vanished(t) =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -375,13 +385,16 @@ object OcfDataSource {
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
+      val rootStatus =
+        try fs.getFileStatus(hp)
+        catch { case e: java.io.FileNotFoundException => throw new RootPathMissing(e) }
       val statuses: Seq[FileStatus] =
-        if (fs.getFileStatus(hp).isDirectory) {
+        if (rootStatus.isDirectory) {
           val it = fs.listFiles(hp, recursive)
           val b = Seq.newBuilder[FileStatus]
           while (it.hasNext) b += it.next()
           b.result()
-        } else Seq(fs.getFileStatus(hp))
+        } else Seq(rootStatus)
       statuses.iterator.filter { st =>
         val name = st.getPath.getName
         st.isFile && !name.startsWith(".") && !name.startsWith("_") &&
@@ -743,9 +756,14 @@ private[graft] final case class OcfScan(
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     partCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
-  // runtime-filtered view of `files`; index-aligned factories are built
-  // AFTER filter() runs (Spark replans the batch), so readers and splits
-  // always index into the same filtered table
+  // Runtime-filtered view of `files`. Split indices stay STABLE: splits
+  // always index into the ORIGINAL `files` table and runtime pruning only
+  // DROPS splits. Spark may build (and cache) the reader factory BEFORE
+  // filter() runs — DataSourceV2ScanExecBase forces the readerFactory lazy
+  // val during columnar-support planning, ahead of DPP subquery execution —
+  // so a factory snapshotting a filtered list would misalign with splits
+  // planned afterwards and read the wrong files. With one index space the
+  // factory's creation time is irrelevant.
   @transient private var runtimeFiles: Seq[OcfDataSource.OcfFileMeta] = _
   private def effectiveFiles: Seq[OcfDataSource.OcfFileMeta] =
     if (runtimeFiles != null) runtimeFiles else files
@@ -812,17 +830,22 @@ private[graft] final case class OcfScan(
     // overhead the whole cost of a 100k-file profile query
     if (aggExprs.nonEmpty && !aggExprs.contains(OcfAggExpr.Count))
       Array(OcfInputPartition(-1, 0L, 0L))
-    else effectiveFiles.iterator.zipWithIndex.flatMap { case (f, i) =>
-      (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
-        OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
-      }
-    }.toArray
+    else {
+      val keep: OcfDataSource.OcfFileMeta => Boolean =
+        if (runtimeFiles == null) _ => true
+        else { val kept = runtimeFiles.iterator.map(_.path).toSet; m => kept(m.path) }
+      files.iterator.zipWithIndex.filter { case (f, _) => keep(f) }.flatMap { case (f, i) =>
+        (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
+          OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
+        }
+      }.toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (countStar) OcfCountReaderFactory(effectiveFiles.toIndexedSeq, conf)
+    if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
     else if (aggExprs.nonEmpty)
-      OcfAggReaderFactory(effectiveFiles.toIndexedSeq, conf, aggExprs.toArray, aggValues.toIndexedSeq)
-    else OcfReaderFactory(effectiveFiles.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
+      OcfAggReaderFactory(files.toIndexedSeq, conf, aggExprs.toArray, aggValues.toIndexedSeq)
+    else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(effectiveFiles.map(_.len).sum)

@@ -140,15 +140,10 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         require(!partOrdinals.contains(i),
           s"graft-ocf write: statsColumns entry '$sc' is a partition column; " +
             "partition values are already exact in the path")
-        sql.fields(i).dataType match {
-          case org.apache.spark.sql.types.StringType |
-               org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => ()
-          case dt => throw new IllegalArgumentException(
-            s"graft-ocf write: statsColumns entry '$sc' has type ${dt.simpleString}; " +
-              "only numeric and string columns carry range stats")
-        }
+        if (!statsEligible(sql.fields(i).dataType)) throw new IllegalArgumentException(
+          s"graft-ocf write: statsColumns entry '$sc' has type " +
+            s"${sql.fields(i).dataType.simpleString}; " +
+            "only numeric and string columns carry range stats")
         i
       }
     val codecName = Option(opts.get("codec")).getOrElse("null")
@@ -709,18 +704,45 @@ object OcfMaintenance {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
               outDir: String, codec: String = "null",
               targetBytes: Long = 128L * 1024 * 1024,
-              readerSchemaJson: Option[String] = None): Unit = {
+              readerSchemaJson: Option[String] = None,
+              statsColumns: Option[Seq[String]] = None): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
     val conf = spark.sessionState.newHadoopConf()
-    // RECURSIVE listing: a partitioned (or sweep-landed) input keeps its
-    // whole tree in the size estimate, and the inferred partition layout
-    // is PRESERVED on the output — compacting a hive-partitioned stream
-    // landing must not flatten partition values into data columns
-    val files = OcfDataSource.list(conf, Seq(inDir), None, recursive = true)
+    // The listing MIRRORS the read path's (`OcfDataSource.resolve`): direct
+    // root files if any, else recurse into a hive-partitioned tree. A
+    // recursive-always listing here would count bytes the non-recursive
+    // read never scans (inflating the output file count) and feed infer()
+    // mixed layouts that the read itself never sees. The inferred partition
+    // layout is PRESERVED on the output — compacting a hive-partitioned
+    // stream landing must not flatten partition values into data columns.
+    val direct = OcfDataSource.list(conf, Seq(inDir), None, recursive = false)
+    val files =
+      if (direct.nonEmpty) direct
+      else OcfDataSource.list(conf, Seq(inDir), None, recursive = true)
+    require(files.nonEmpty, s"graft-ocf compact: no input files under $inDir")
     val qualified = {
       val hp = new Path(inDir); Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
     }
     val (partCols, _) = OcfPartitions.infer(qualified, files)
+    // Stats stamps are PRESERVED too: compaction re-stamps the columns the
+    // input files carried (union across files — a partially-stamped input
+    // still skips on whichever files have bounds, and so should the output)
+    // unless the caller overrides. Silently dropping `graft.stats` would
+    // turn the recommended maintenance job into a skipping/pushdown
+    // regression for every reader of the compacted directory.
+    val stampedCols: Seq[String] = statsColumns.getOrElse {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      files.foreach { f =>
+        val p = new Path(f.path)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          val (hdr, _) = OcfDataSource.readHeaderAt(in, f.len)
+          hdr.meta.get("graft.stats").foreach(b =>
+            seen ++= OcfPartitions.parseStats(new String(b, "UTF-8")).keys.toSeq.sorted)
+        } finally in.close()
+      }
+      seen.toSeq
+    }
     // one output file per ~targetBytes of INPUT: the sink writes one file
     // per task, so the scan's one-split-per-small-file parallelism must be
     // coalesced (shuffle-free split merging) down to the output file count;
@@ -728,14 +750,20 @@ object OcfMaintenance {
     val inputBytes = files.map(_.len).sum
     val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
     val r = spark.read.format("graft-ocf")
-    val w = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
+    val df = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
       .load(inDir)
+    // a readerSchema projection may drop a stamped column; stamp only what
+    // the output will actually contain
+    val outCols = df.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val keptStats = stampedCols.filter(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
+    var w = df
       .coalesce(parts)
       .write.format("graft-ocf").mode("overwrite")
       .option("codec", codec)
       .option("maxBytesPerFile", targetBytes.toString)
-    (if (partCols.nonEmpty) w.option("partitionBy", partCols.mkString(","))
-     else w).save(outDir)
+    if (partCols.nonEmpty) w = w.option("partitionBy", partCols.mkString(","))
+    if (keptStats.nonEmpty) w = w.option("statsColumns", keptStats.mkString(","))
+    w.save(outDir)
   }
 
   def vacuumTemps(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -362,6 +362,13 @@ class OcfDataSourceSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("a missing root path surfaces FileNotFound directly, not a retry wrapper") {
+    val e = intercept[java.io.FileNotFoundException] {
+      spark.read.format("graft-ocf").load("/definitely/not/here-graft-xyz")
+    }
+    assert(e.getMessage.contains("here-graft-xyz"))
+  }
+
   test("a truncated header fails the plan, not a mid-job task") {
     val dir = tempDir("graft-dsv2-trunc")
     java.nio.file.Files.write(new java.io.File(dir, "bad.avro").toPath,
@@ -535,6 +542,31 @@ class OcfDataSourceSpec extends AnyFunSuite {
       org.apache.spark.sql.sources.In("p", Array[Any]("p2"))))
     assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size == 1,
       s"runtime In(p2) must keep one file; got ${graft.sources.OcfDataSource.lastPlannedFiles.get()}")
+
+    // Spark's REAL call order: BatchScanExec forces the reader factory
+    // during plan preparation (columnar-support checks), BEFORE the DPP
+    // subquery delivers filter(); input partitions are planned AFTER.
+    // Splits must land on the right files through that pre-built factory —
+    // i.e. indices must be stable against the unfiltered file table.
+    val scan2 = scanOf(fact.select("id", "p"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val batch = scan2.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    val preFactory = batch.createReaderFactory() // cached pre-filter, like Spark
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("p", Array[Any]("p2"))))
+    val rows = batch.planInputPartitions().flatMap { part =>
+      val r = preFactory.createReader(part)
+      val b = Seq.newBuilder[(Long, String)]
+      try while (r.next()) {
+        val row = r.get()
+        b += ((row.getLong(0), row.getUTF8String(1).toString))
+      } finally r.close()
+      b.result()
+    }
+    assert(rows.forall(_._2 == "p2"),
+      s"pre-filter factory must read only p2 files; got ${rows.map(_._2).distinct.toSeq}")
+    assert(rows.map(_._1).sorted.toSeq == (0L until 90L).filter(_ % 3 == 2),
+      "runtime-pruned read through a pre-filter factory lost or swapped rows")
 
     // end-to-end: a broadcast join keyed on the partition column stays
     // correct with runtime filtering in play (DPP fires when Spark decides;

@@ -271,6 +271,48 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until 600L).map(i => (i, s"p${i % 2}")))
   }
 
+  test("compact re-stamps input stats and matches the read path's listing") {
+    import graft.sources.OcfMaintenance
+    import spark.implicits._
+    val in = tempDir("graft-w-compactstats-in")
+    val outD = tempDir("graft-w-compactstats-out").getAbsolutePath + "/packed"
+    (0L until 800L).map(i => (i, s"doc_$i")).toDF("k", "v").repartition(8)
+      .write.format("graft-ocf").option("statsColumns", "k,v")
+      .mode(SaveMode.Append).save(in.getAbsolutePath)
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD, targetBytes = 1L << 20)
+    // the compacted files must carry graft.stats for the same columns —
+    // the maintenance job must not silently destroy file skipping
+    val packed = new java.io.File(outD).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith(".")).toSeq
+    assert(packed.nonEmpty)
+    packed.foreach { f =>
+      val (hdr, _) = Ocf.blockIterator(java.nio.file.Files.readAllBytes(f.toPath))
+      val stats = hdr.meta.get("graft.stats").map(b => new String(b, "UTF-8"))
+      assert(stats.isDefined, s"${f.getName} lost its stats stamp")
+      assert(stats.get.contains("\"k\"") && stats.get.contains("\"v\""), stats.get)
+    }
+    // min/max pushdown still answers header-only on the compacted dir
+    val agged = spark.read.format("graft-ocf").load(outD).agg(min("k"), max("k"))
+    assert(agged.head.getLong(0) == 0L && agged.head.getLong(1) == 799L)
+
+    // MIXED directory: root-level data files plus an unrelated subdir of
+    // files. The read path lists non-recursively (root is non-empty), so
+    // compact must size and compact exactly the root files, not throw on
+    // the nested layout or count bytes the read never scans.
+    val mixed = tempDir("graft-w-compactmixed-in")
+    val mixedOut = tempDir("graft-w-compactmixed-out").getAbsolutePath + "/packed"
+    (0L until 100L).map(i => (i, s"r$i")).toDF("k", "v").repartition(4)
+      .write.format("graft-ocf").mode(SaveMode.Append).save(mixed.getAbsolutePath)
+    (0L until 50L).map(i => (i, s"n$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft-ocf").mode(SaveMode.Append)
+      .save(new java.io.File(mixed, "nested").getAbsolutePath)
+    OcfMaintenance.compact(spark, mixed.getAbsolutePath, mixedOut, targetBytes = 1L << 20)
+    val gotMixed = spark.read.format("graft-ocf").load(mixedOut)
+      .as[(Long, String)].collect().sorted
+    assert(gotMixed.toSeq == (0L until 100L).map(i => (i, s"r$i")),
+      "compact must cover exactly what the read path lists (root files only)")
+  }
+
   test("statsColumns=auto stamps every eligible data column") {
     import spark.implicits._
     val dir = tempDir("graft-w-statsauto")
