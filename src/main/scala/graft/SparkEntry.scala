@@ -689,6 +689,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Storage-partitioned scan: the source REPORTS its hive layout to Spark
+    // as a KeyGroupedPartitioning (SupportsReportPartitioning + per-split
+    // HasPartitionKey), so this group-by on the partition column plans
+    // WITHOUT an Exchange — each task aggregates the partition it read, no
+    // re-hash of the corpus. At 100 TB the saved shuffle IS the query cost:
+    // the data is already grouped on disk. Spec-proven exchange-free plan
+    // in OcfDataSourceSpec.
+    "q72_storage_partitioned_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q72_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").option("reportPartitioning", "true")
+        .load(out.getAbsolutePath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // MIN/MAX aggregate pushdown answered from the header stamps: with
     // statsColumns on the sink, min/max/count over the directory is a
     // plan-time header read plus a block-header walk — zero data bytes
@@ -1437,6 +1459,12 @@ object SparkEntry {
         |  CAST(sum(d.n_chars * dim.weight) AS DOUBLE) AS weighted_chars
         |FROM documents d JOIN dim ON d.lang = dim.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // the storage-partitioned aggregation is a lossless group-by of the
+    // written data, so the oracle groups straight off the parquet
+    "q72_storage_partitioned_agg" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // min/max/count pushdown is a lossless aggregate of the written data,
     // so the oracle aggregates straight off the parquet

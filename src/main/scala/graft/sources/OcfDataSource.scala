@@ -134,7 +134,8 @@ object OcfDataSource {
                             glob: Option[String] = None,
                             recursive: Boolean = false,
                             maxFilesPerTrigger: Option[Int] = None,
-                            maxBytesPerTrigger: Option[Long] = None) {
+                            maxBytesPerTrigger: Option[Long] = None,
+                            reportPartitioning: Boolean = false) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -261,8 +262,16 @@ object OcfDataSource {
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
     maxBytes.foreach(n => require(n > 0,
       s"graft-ocf: maxBytesPerTrigger must be positive, got $n"))
+    // Opt-in storage-partitioned scan: report the hive layout as Spark's
+    // KeyGroupedPartitioning so a group-by/join on the partition columns
+    // skips its shuffle (with spark.sql.sources.v2.bucketing.enabled).
+    // Opt-in because key grouping folds all splits of one partition value
+    // into ONE task — right when the query keys on the layout, wrong for
+    // full scans that want split-level parallelism.
+    val reportPart = options.getBoolean("reportPartitioning", false)
     val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
-      partCols, prefetched, paths, glob, recursive, maxFiles, maxBytes)
+      partCols, prefetched, paths, glob, recursive, maxFiles, maxBytes,
+      reportPartitioning = reportPart)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     r
   }
@@ -698,7 +707,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       maxFilesPerTrigger = resolved.maxFilesPerTrigger,
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
       partCols = reqPartCols, partIdx = reqPartIdx,
-      filtersDesc = pushed.map(_.toString).toSeq)
+      filtersDesc = pushed.map(_.toString).toSeq,
+      reportPartitioning = resolved.reportPartitioning)
   }
 }
 
@@ -708,8 +718,21 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   * stage's broadcast task binary, serialized once per stage — so a thousand
   * 64 KB splits of a file with a 100 KB avsc ship O(1) bytes each instead of
   * ~100 KB each (~16 GB of task metadata at 10 GB/64 KB splits). */
+private[graft] sealed trait OcfSplit extends InputPartition {
+  def fileIndex: Int; def start: Long; def end: Long
+}
+
 private[graft] final case class OcfInputPartition(
-    fileIndex: Int, start: Long, end: Long) extends InputPartition
+    fileIndex: Int, start: Long, end: Long) extends OcfSplit
+
+/** A split that also carries its file's hive partition-key values, letting
+  * Spark group splits by key (storage-partitioned scan) when the source
+  * reports its layout via `reportPartitioning`. */
+private[graft] final case class OcfKeyedInputPartition(
+    fileIndex: Int, start: Long, end: Long, key: InternalRow)
+    extends OcfSplit with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** Custom V2 metrics: per-split counters summed onto the scan node in the
   * Spark UI. `ocfBytesRead` is the bytes actually fetched (block headers +
@@ -741,9 +764,32 @@ private[graft] final case class OcfScan(
     maxBytesPerTrigger: Option[Long] = None,
     partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
     aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
-    filtersDesc: Seq[String] = Nil)
+    filtersDesc: Seq[String] = Nil,
+    reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED scan (opt-in): the hive directory layout IS a
+    * partitioning, and reporting it as [[KeyGroupedPartitioning]] lets
+    * Spark's `EnsureRequirements` satisfy a ClusteredDistribution on the
+    * partition columns straight from the scan — `groupBy(partCol)` and
+    * same-layout joins run SHUFFLE-FREE. At 100 TB the saved exchange is
+    * the whole cost of such a query: the data is already grouped on disk,
+    * re-hashing it across the cluster moves every byte once for nothing.
+    * Requires `spark.sql.sources.v2.bucketing.enabled`; splits carry their
+    * key ([[OcfKeyedInputPartition]]) and Spark groups them per value. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty) {
+      val distinctKeys = files.iterator
+        .map(m => partIdx.toSeq.map(i =>
+          if (i < m.partitionValues.length) m.partitionValues(i) else null))
+        .toSet.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+          .toArray[org.apache.spark.sql.connector.expressions.Expression],
+        math.max(distinctKeys, 1))
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** RUNTIME (dynamic partition pruning) filtering: a broadcast join whose
     * build side constrains a partition column hands the joined key set to
@@ -834,9 +880,12 @@ private[graft] final case class OcfScan(
       val keep: OcfDataSource.OcfFileMeta => Boolean =
         if (runtimeFiles == null) _ => true
         else { val kept = runtimeFiles.iterator.map(_.path).toSet; m => kept(m.path) }
+      val keyed = reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty
       files.iterator.zipWithIndex.filter { case (f, _) => keep(f) }.flatMap { case (f, i) =>
         (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
-          OcfInputPartition(i, k * splitSize, math.min((k + 1) * splitSize, f.len))
+          val (s, e) = (k * splitSize, math.min((k + 1) * splitSize, f.len))
+          if (keyed) OcfKeyedInputPartition(i, s, e, OcfSplitReader.partitionRow(f, partIdx))
+          else OcfInputPartition(i, s, e)
         }
       }.toArray
     }
@@ -859,7 +908,7 @@ private[sources] final case class OcfReaderFactory(
     partIdx: Array[Int] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[OcfInputPartition]
+    val p = partition.asInstanceOf[OcfSplit]
     val meta = files(p.fileIndex)
     new OcfSplitReader(meta, p.start, p.end, readerJson, wrap,
       conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx))
@@ -876,7 +925,7 @@ private[sources] final case class OcfCountReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[OcfInputPartition]
+    val p = partition.asInstanceOf[OcfSplit]
     new OcfCountReader(files(p.fileIndex), p.start, p.end, conf.value)
   }
 }
@@ -924,7 +973,7 @@ private[sources] final case class OcfAggReaderFactory(
     exprs: Array[OcfAggExpr], values: IndexedSeq[Array[Any]])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[OcfInputPartition]
+    val p = partition.asInstanceOf[OcfSplit]
     if (p.fileIndex < 0) new OcfAggConstantsReader(exprs, values)
     else new OcfAggReader(files(p.fileIndex), p.start, p.end, conf.value,
       exprs, values(p.fileIndex))

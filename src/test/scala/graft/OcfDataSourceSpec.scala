@@ -576,6 +576,53 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(joined.toSeq == (0L until 90L).filter(_ % 3 == 1))
   }
 
+  test("reportPartitioning: group-by and same-layout join plan without an Exchange") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val dirA = tempDir("graft-dsv2-spj-a")
+      val dirB = tempDir("graft-dsv2-spj-b")
+      (0L until 120L).map(i => (i, s"p${i % 3}")).toDF("id", "p").repartition(4)
+        .write.format("graft-ocf").partitionBy("p").mode("append")
+        .save(dirA.getAbsolutePath)
+      (0L until 60L).map(i => (i * 10, s"p${i % 3}")).toDF("id2", "p").repartition(2)
+        .write.format("graft-ocf").partitionBy("p").mode("append")
+        .save(dirB.getAbsolutePath)
+
+      def reported(dir: java.io.File) = spark.read.format("graft-ocf")
+        .option("reportPartitioning", "true").load(dir.getAbsolutePath)
+
+      // group-by on the partition column: no shuffle, exact result
+      val agg = reported(dirA).groupBy("p").count()
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"key-grouped scan must satisfy the group-by without an Exchange:\n${agg.queryExecution.executedPlan}")
+      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+        Seq(("p0", 40L), ("p1", 40L), ("p2", 40L)))
+
+      // same-layout aggregate join: storage-partitioned, no shuffle
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try {
+        val j = reported(dirA).groupBy("p").count()
+          .join(reported(dirB).groupBy("p").agg(count(lit(1)).as("c2")), "p")
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+          s"same-layout join must be storage-partitioned:\n${j.queryExecution.executedPlan}")
+        assert(j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+          Seq(("p0", 40L, 20L), ("p1", 40L, 20L), ("p2", 40L, 20L)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+
+      // WITHOUT the option the scan stays split-parallel and shuffles as before
+      val plain = spark.read.format("graft-ocf").load(dirA.getAbsolutePath).groupBy("p").count()
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "reportPartitioning must stay opt-in")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("two-level partitioning: inference order, pruning on either level") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-part2")
