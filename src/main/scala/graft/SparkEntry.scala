@@ -689,6 +689,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Bloom file skipping: per-file Bloom filters (bloomColumns) stamped in
+    // the OCF header answer the predicate range stats cannot — a point
+    // lookup on a high-cardinality key spread across every file. Ids are
+    // round-robined so every file's [min,max] spans the whole domain (range
+    // skipping is useless by construction); the bloom prunes non-matching
+    // files header-only (spec-proven in OcfDataSourceSpec). The 100 TB
+    // "find these three documents in the corpus" needle query.
+    "q73_bloom_point_lookup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val out = landingDir(s, "graft_q73_ocf_")
+      d.repartition(8)
+        .write.format("graft-ocf").mode("overwrite")
+        .option("bloomColumns", "doc_id")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("doc_id").isin(42L, 137L, 411L))
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Storage-partitioned scan: the source REPORTS its hive layout to Spark
     // as a KeyGroupedPartitioning (SupportsReportPartitioning + per-split
     // HasPartitionKey), so this group-by on the partition column plans
@@ -1459,6 +1479,12 @@ object SparkEntry {
         |  CAST(sum(d.n_chars * dim.weight) AS DOUBLE) AS weighted_chars
         |FROM documents d JOIN dim ON d.lang = dim.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // the bloom-skipped point lookup is a lossless selection of the written
+    // data, so the oracle selects straight off the parquet
+    "q73_bloom_point_lookup" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id IN (42, 137, 411) ORDER BY doc_id""".stripMargin,
 
     // the storage-partitioned aggregation is a lossless group-by of the
     // written data, so the oracle groups straight off the parquet

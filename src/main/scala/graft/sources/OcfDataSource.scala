@@ -115,7 +115,8 @@ object OcfDataSource {
   final case class OcfFileMeta(path: String, len: Long, writerSchemaJson: String,
                                codecName: String, sync: Array[Byte], headerEnd: Long,
                                partitionValues: Array[String] = Array.empty,
-                               statsJson: Option[String] = None)
+                               statsJson: Option[String] = None,
+                               bloomJson: Option[String] = None)
 
   /** Driver-side view of one read: the frozen file LISTING (header
     * resolution is deferred to [[OcfScanBuilder.build]] so partition
@@ -314,7 +315,8 @@ object OcfDataSource {
       val (h, end) = try readHeaderAt(in, f.len) finally in.close()
       OcfFileMeta(f.path, f.len, h.schemaJson, h.codecName, h.sync, end,
         f.partitionValues,
-        h.meta.get("graft.stats").map(new String(_, "UTF-8")))
+        h.meta.get("graft.stats").map(new String(_, "UTF-8")),
+        h.meta.get("graft.bloom").map(new String(_, "UTF-8")))
     }
     if (files.lengthCompare(2) < 0) files.map(metaOf)
     else {
@@ -624,13 +626,18 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     }
     // fail fast on a codec no executor could decode
     metas0.map(_.codecName).distinct.foreach(AvroCodecs(_))
-    // 3. stats-skip on header-stamped min/max — header-only, no data read
-    val metas = metas0.filter { m =>
-      m.statsJson.forall { js =>
-        OcfPartitions.mayMatch(pushed.toSeq, partValueOf(m.partitionValues),
-          OcfPartitions.parseStats(js).get)
+    // 3. stats-skip on header-stamped min/max, then bloom-skip on exact-
+    // match predicates — both header-only, no data read
+    val metas =
+      if (pushed.isEmpty) metas0
+      else metas0.filter { m =>
+        m.statsJson.forall { js =>
+          OcfPartitions.mayMatch(pushed.toSeq, partValueOf(m.partitionValues),
+            OcfPartitions.parseStats(js).get)
+        } && m.bloomJson.forall { js =>
+          OcfBloom.mayMatch(pushed.toSeq, OcfBloom.parse(js).get)
+        }
       }
-    }
     OcfDataSource.lastPlannedFiles.set(metas.map(_.path))
     // partition columns the query still needs, in layout order
     val reqPartCols = required match {
@@ -825,7 +832,8 @@ private[graft] final case class OcfScan(
         case i if partIdx(i) < m.partitionValues.length => m.partitionValues(partIdx(i))
       }
       lazy val stats = m.statsJson.map(OcfPartitions.parseStats).getOrElse(Map.empty)
-      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get)
+      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get) &&
+        m.bloomJson.forall(js => OcfBloom.mayMatch(filters.toSeq, OcfBloom.parse(js).get))
     }
     OcfDataSource.lastPlannedFiles.set(runtimeFiles.map(_.path))
   }

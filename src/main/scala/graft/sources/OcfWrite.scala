@@ -146,6 +146,41 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
             "only numeric and string columns carry range stats")
         i
       }
+    // `bloomColumns`: per-file Bloom filters stamped into the header
+    // (`graft.bloom`) for read-side EXACT-MATCH file skipping — the point-
+    // lookup complement to statsColumns' range skipping. Integral + string
+    // columns only (equality on float is ill-defined; binary/nested have no
+    // pushed equality filters to serve).
+    def bloomEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bloomOrdinals: Array[Int] = Option(opts.get("bloomColumns")) match {
+      case Some(v) =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).map { bc =>
+          val exact = sql.fields.indexWhere(_.name == bc)
+          val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(bc))
+          if (i < 0) throw new IllegalArgumentException(
+            s"graft-ocf write: bloomColumns entry '$bc' is not in the query schema")
+          require(!partOrdinals.contains(i),
+            s"graft-ocf write: bloomColumns entry '$bc' is a partition column; " +
+              "partition values are already exact in the path")
+          if (!bloomEligible(sql.fields(i).dataType)) throw new IllegalArgumentException(
+            s"graft-ocf write: bloomColumns entry '$bc' has type " +
+              s"${sql.fields(i).dataType.simpleString}; " +
+              "only integral and string columns carry Bloom filters")
+          i
+        }
+      case None => Array.empty
+    }
+    val bloomFpp = Option(opts.get("bloomFpp")).map(_.toDouble).getOrElse(0.01)
+    require(bloomFpp > 0 && bloomFpp < 0.5,
+      s"graft-ocf write: bloomFpp must be in (0, 0.5), got $bloomFpp")
+    val bloomMaxItems = Option(opts.get("bloomMaxItems")).map(_.toInt).getOrElse(1000000)
+    require(bloomMaxItems > 0,
+      s"graft-ocf write: bloomMaxItems must be positive, got $bloomMaxItems")
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -172,7 +207,9 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
       info.queryId(), maxBytesPerFile,
       partNames = partOrdinals.map(sql.fields(_).name),
-      partOrdinals = partOrdinals, statsOrdinals = statsOrdinals)
+      partOrdinals = partOrdinals, statsOrdinals = statsOrdinals,
+      bloomOrdinals = bloomOrdinals, bloomFpp = bloomFpp,
+      bloomMaxItems = bloomMaxItems)
     // compile the row→datum writers once driver-side so schema mismatches
     // (wrong type for a field, non-record schema) fail the plan
     OcfWrite.compileFieldWriters(cfg)
@@ -193,7 +230,10 @@ private[sources] final case class OcfWriteConfig(
     jobId: String, maxBytesPerFile: Long = Long.MaxValue,
     partNames: Array[String] = Array.empty,
     partOrdinals: Array[Int] = Array.empty,
-    statsOrdinals: Array[Int] = Array.empty)
+    statsOrdinals: Array[Int] = Array.empty,
+    bloomOrdinals: Array[Int] = Array.empty,
+    bloomFpp: Double = 0.01,
+    bloomMaxItems: Int = 1000000)
 
 private[sources] object OcfWrite {
 
@@ -392,6 +432,8 @@ private[sources] final class OcfDataWriter(
     cfg.partOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
   private val stats =
     if (cfg.statsOrdinals.isEmpty) null else new OcfStatsTracker(cfg)
+  private val bloom =
+    if (cfg.bloomOrdinals.isEmpty) null else new OcfBloomTracker(cfg)
 
   private var out: FSDataOutputStream = _
   private var ocf: OcfStreamWriter = _
@@ -449,8 +491,10 @@ private[sources] final class OcfDataWriter(
       out = p.getFileSystem(cfg.conf.value).create(p, true)
       ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes)
       if (stats != null) stats.reset()
+      if (bloom != null) bloom.reset()
     }
     if (stats != null) stats.update(row)
+    if (bloom != null) bloom.update(row)
     enc.out.reset()
     var i = 0
     while (i < fieldWriters.length) {
@@ -469,9 +513,9 @@ private[sources] final class OcfDataWriter(
   }
 
   /** Finish and close the open file, recording its (tmp, dest) pair. With
-    * stats enabled the sealed temp is re-copied once with the `graft.stats`
-    * header entry (the OCF header precedes the data it summarizes, so the
-    * stamp cannot be known at open). */
+    * stats and/or blooms enabled the sealed temp is re-copied ONCE with the
+    * `graft.stats` / `graft.bloom` header entries (the OCF header precedes
+    * the data it summarizes, so the stamps cannot be known at open). */
   private def sealCurrent(): Unit =
     if (ocf != null) {
       totalRows += ocf.rowCount
@@ -479,10 +523,13 @@ private[sources] final class OcfDataWriter(
       bytesSealed += out.getPos
       out.close()
       var tmp = currentTmp
-      if (stats != null) {
+      val stamps =
+        (if (stats != null) Seq("graft.stats" -> stats.toJson) else Nil) ++
+          (if (bloom != null) bloom.toJsonOpt.map("graft.bloom" -> _).toSeq else Nil)
+      if (stamps.nonEmpty) {
         val stamped = new Path(dirPath,
           chunked(tmpName).replace(".avro.tmp", "-s.avro.tmp"))
-        OcfStatsTracker.rewriteWithStats(cfg.conf.value, tmp, stamped, stats.toJson)
+        OcfStatsTracker.rewriteWithMeta(cfg.conf.value, tmp, stamped, stamps)
         tmp = stamped
       }
       sealedFiles += OcfWrittenFile(tmp.toString,
@@ -623,13 +670,14 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
 }
 
 private[sources] object OcfStatsTracker {
-  /** Re-copy a sealed temp OCF with the `graft.stats` entry added to its
-    * header meta map: new header bytes, then the block section streamed
-    * through unchanged (same sync marker, same framing — readers cannot
-    * tell the file was stamped). One sequential read+write of the file,
-    * O(64 KB) heap; the unstamped original is deleted. */
-  def rewriteWithStats(conf: org.apache.hadoop.conf.Configuration,
-                       src: Path, dst: Path, statsJson: String): Unit = {
+  /** Re-copy a sealed temp OCF with the given entries added to its header
+    * meta map: new header bytes, then the block section streamed through
+    * unchanged (same sync marker, same framing — readers cannot tell the
+    * file was stamped). One sequential read+write of the file regardless of
+    * how many entries are stamped, O(64 KB) heap; the unstamped original is
+    * deleted. */
+  def rewriteWithMeta(conf: org.apache.hadoop.conf.Configuration,
+                      src: Path, dst: Path, entries: Seq[(String, String)]): Unit = {
     val fs = src.getFileSystem(conf)
     val len = fs.getFileStatus(src).getLen
     val in = fs.open(src)
@@ -655,7 +703,7 @@ private[sources] object OcfStatsTracker {
       }
       val (hdr, headerEnd) = parsed
       val meta = hdr.meta.clone()
-      meta("graft.stats") = statsJson.getBytes("UTF-8")
+      entries.foreach { case (k, v) => meta(k) = v.getBytes("UTF-8") }
       val outS = fs.create(dst, true)
       try {
         val hb = Ocf.headerBytes(meta, hdr.sync)
@@ -730,19 +778,20 @@ object OcfMaintenance {
     // unless the caller overrides. Silently dropping `graft.stats` would
     // turn the recommended maintenance job into a skipping/pushdown
     // regression for every reader of the compacted directory.
-    val stampedCols: Seq[String] = statsColumns.getOrElse {
-      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-      files.foreach { f =>
-        val p = new Path(f.path)
-        val in = p.getFileSystem(conf).open(p)
-        try {
-          val (hdr, _) = OcfDataSource.readHeaderAt(in, f.len)
-          hdr.meta.get("graft.stats").foreach(b =>
-            seen ++= OcfPartitions.parseStats(new String(b, "UTF-8")).keys.toSeq.sorted)
-        } finally in.close()
-      }
-      seen.toSeq
+    val seenStats = scala.collection.mutable.LinkedHashSet.empty[String]
+    val seenBloom = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (statsColumns.isEmpty) files.foreach { f =>
+      val p = new Path(f.path)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        val (hdr, _) = OcfDataSource.readHeaderAt(in, f.len)
+        hdr.meta.get("graft.stats").foreach(b =>
+          seenStats ++= OcfPartitions.parseStats(new String(b, "UTF-8")).keys.toSeq.sorted)
+        hdr.meta.get("graft.bloom").foreach(b =>
+          seenBloom ++= OcfBloom.parse(new String(b, "UTF-8")).keys.toSeq.sorted)
+      } finally in.close()
     }
+    val stampedCols: Seq[String] = statsColumns.getOrElse(seenStats.toSeq)
     // one output file per ~targetBytes of INPUT: the sink writes one file
     // per task, so the scan's one-split-per-small-file parallelism must be
     // coalesced (shuffle-free split merging) down to the output file count;
@@ -756,6 +805,7 @@ object OcfMaintenance {
     // the output will actually contain
     val outCols = df.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val keptStats = stampedCols.filter(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
+    val keptBloom = seenBloom.toSeq.filter(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
     var w = df
       .coalesce(parts)
       .write.format("graft-ocf").mode("overwrite")
@@ -763,6 +813,7 @@ object OcfMaintenance {
       .option("maxBytesPerFile", targetBytes.toString)
     if (partCols.nonEmpty) w = w.option("partitionBy", partCols.mkString(","))
     if (keptStats.nonEmpty) w = w.option("statsColumns", keptStats.mkString(","))
+    if (keptBloom.nonEmpty) w = w.option("bloomColumns", keptBloom.mkString(","))
     w.save(outDir)
   }
 

@@ -576,6 +576,73 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(joined.toSeq == (0L until 90L).filter(_ % 3 == 1))
   }
 
+  test("bloom skipping: point lookups plan only files that might contain the key") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-bloom")
+    // 4 files with DISJOINT id ranges but overlapping min/max can't happen
+    // with ranges — so shuffle ids round-robin: every file's [min,max] spans
+    // the whole domain and range stats are useless, the bloom's exact case
+    (0L until 4000L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .repartition(4)
+      .write.format("graft-ocf")
+      .option("statsColumns", "id").option("bloomColumns", "id,name")
+      .mode("append").save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+
+    // a present key: exactly the containing file(s) plan splits, result exact
+    val hit = df.where(col("id") === 1234L).collect()
+    assert(hit.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1234L, "name_1234")))
+    val plannedHit = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(plannedHit.size < 4 && plannedHit.nonEmpty,
+      s"bloom must skip files without the key (min/max can't): planned ${plannedHit.size}")
+
+    // an absent key: no file plans (subject to fpp; deterministic data+hash)
+    assert(df.where(col("id") === 999999L).collect().isEmpty)
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().isEmpty,
+      "absent key must prune every file")
+
+    // string column, IN-list: union of containing files
+    assert(df.where(col("name").isin("name_7", "name_3999")).count() == 2)
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size < 4)
+
+    // soundness: EVERY present key must be found (no false negatives), even
+    // probing one by one across files
+    val probes = Seq(0L, 1L, 999L, 2048L, 3999L)
+    probes.foreach { k =>
+      assert(df.where(col("id") === k).count() == 1, s"bloom lost key $k")
+    }
+
+    // non-equality predicates and untracked columns stay conservative
+    assert(df.where(col("id") > 3990L).count() == 9)
+    assert(df.where(length(col("name")) === lit(6)).count() == 10) // name_0..name_9
+  }
+
+  test("bloom skipping: all-null and overflowed columns never skip incorrectly") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-bloomnull")
+    Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "name").coalesce(1)
+      .write.format("graft-ocf").option("bloomColumns", "id,name")
+      .mode("append").save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    // all-null name: empty bloom proves no value matches -> file skipped
+    assert(df.where(col("name") === "x").collect().isEmpty)
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().isEmpty)
+    // IS NULL must still find the rows (bloom ignores null predicates)
+    assert(df.where(col("name").isNull).count() == 2)
+
+    // overflow: a tiny bloomMaxItems drops the stamp -> file always kept
+    val dir2 = tempDir("graft-dsv2-bloomovf")
+    (0L until 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1)
+      .write.format("graft-ocf")
+      .option("bloomColumns", "id").option("bloomMaxItems", "10")
+      .mode("append").save(dir2.getAbsolutePath)
+    val df2 = spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+    assert(df2.where(col("id") === 999999L).collect().isEmpty)
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size == 1,
+      "overflowed bloom must keep the file (conservative)")
+  }
+
   test("reportPartitioning: group-by and same-layout join plan without an Exchange") {
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.OcfPartitions
+import graft.sources.{OcfBloom, OcfPartitions}
 import org.apache.spark.sql.sources._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
@@ -81,6 +81,47 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
       // soundness: matching row somewhere in the file ⇒ file kept
       !anyRowMatches || kept
     }, min = 500)
+  }
+
+  test("bloom skipping is sound: a filter built from values never refutes them") {
+    val genVals = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val genStrs = Gen.nonEmptyListOf(genValue)
+    val genFpp = Gen.oneOf(0.001, 0.01, 0.1, 0.3)
+    runProp(Prop.forAll(genVals, genFpp) { (vs, fpp) =>
+      val hashes = vs.map(OcfBloom.hashLong).toArray
+      val b = OcfBloom.build("long", hashes, hashes.length, fpp)
+      val blooms: String => Option[OcfBloom.BloomLite] =
+        n => if (n == "c") Some(b) else None
+      // every inserted value must survive EqualTo and In probes — and so
+      // must the filter after a JSON round-trip (what the header stores)
+      val parsed = OcfBloom.parse(OcfBloom.toJson(Seq("c" -> b)))("c")
+      vs.forall { v =>
+        OcfBloom.mayMatch(Seq(EqualTo("c", v)), blooms) &&
+          OcfBloom.mayMatch(Seq(In("c", Array[Any](v))), blooms) &&
+          parsed.mightContain(OcfBloom.hashLong(v))
+      }
+    })
+    runProp(Prop.forAll(genStrs, genFpp) { (vs, fpp) =>
+      val hashes = vs.map(s => OcfBloom.hashUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))).toArray
+      val b = OcfBloom.build("string", hashes, hashes.length, fpp)
+      val parsed = OcfBloom.parse(OcfBloom.toJson(Seq("s" -> b)))("s")
+      vs.forall { v =>
+        OcfBloom.mayMatch(Seq(EqualTo("s", v)), n => Some(b)) &&
+          parsed.mightContain(OcfBloom.hashUtf8(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      }
+    })
+    // conservative on everything a bloom cannot answer
+    val b0 = OcfBloom.build("long", Array(OcfBloom.hashLong(1L)), 1, 0.01)
+    val lk: String => Option[OcfBloom.BloomLite] = _ => Some(b0)
+    assert(OcfBloom.mayMatch(Seq(GreaterThan("c", 0L)), lk))
+    assert(OcfBloom.mayMatch(Seq(IsNull("c")), lk))
+    assert(OcfBloom.mayMatch(Seq(Not(EqualTo("c", 99L))), lk))
+    assert(OcfBloom.mayMatch(Seq(EqualTo("c", "wrong-type")), lk))
+    assert(OcfBloom.mayMatch(Seq(EqualTo("other", 99L)), n => None))
+    // Or keeps the file when EITHER side might match
+    assert(OcfBloom.mayMatch(Seq(Or(EqualTo("c", 99L), EqualTo("c", 1L))), lk))
   }
 
   test("partition-value filters evaluate exactly (keep iff the value matches)") {
