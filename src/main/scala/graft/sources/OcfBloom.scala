@@ -32,16 +32,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] object OcfBloom {
 
+  /** Columns that can carry a Bloom filter: integral + string. Equality on
+    * float is ill-defined; binary/nested have no pushed equality filters
+    * to serve. */
+  def eligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType |
+         org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** The i-th Kirsch-Mitzenmacher probe position for a 64-bit value hash —
+    * the ONE place the derivation lives; build and probe both use it, so
+    * the no-false-negative guarantee cannot be broken by the two halves
+    * drifting apart. */
+  @inline private def probePos(hash: Long, i: Int, m: Int): Int =
+    java.lang.Math.floorMod((hash >>> 32).toInt + i * hash.toInt, m)
+
   /** One parsed per-column filter. `typ` anchors the hash interpretation:
     * "long" = integral column hashed by long value, "string" = UTF-8 bytes. */
   final case class BloomLite(typ: String, m: Int, k: Int, bits: Array[Long]) {
     def mightContain(hash: Long): Boolean = {
       if (m <= 0) return false // empty filter: nothing was inserted
-      val h1 = (hash >>> 32).toInt
-      val h2 = hash.toInt
       var i = 0
       while (i < k) {
-        val pos = java.lang.Math.floorMod(h1 + i * h2, m)
+        val pos = probePos(hash, i, m)
         if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
         i += 1
       }
@@ -73,23 +88,39 @@ private[graft] object OcfBloom {
     (((math.max(64L, capped) + 63L) / 64L) * 64L).toInt
   }
 
-  def optimalK(m: Int, n: Long): Int =
-    math.max(1, math.round(m.toDouble / math.max(1L, n) * math.log(2)).toInt)
+  /** Optimal probe count, capped at ceil(-log2(fpp)) — the value implied by
+    * an optimally-sized filter. Without the cap, m's 64-bit floor makes tiny
+    * files (n of 1-10) compute k in the dozens: harmless to correctness but
+    * ~6x the probe cost across a wide listing. */
+  def optimalK(m: Int, n: Long, fpp: Double): Int = {
+    val cap = math.max(1, math.ceil(-math.log(fpp) / math.log(2)).toInt)
+    math.max(1, math.min(cap,
+      math.round(m.toDouble / math.max(1L, n) * math.log(2)).toInt))
+  }
 
-  /** Build a sized filter from collected 64-bit value hashes. */
+  /** Build a filter from collected 64-bit value hashes, sized by the
+    * DISTINCT hash count — a low-cardinality column over many rows gets a
+    * filter proportional to its cardinality, not its row count (the raw
+    * count would bloat the header thousands-fold for enum-like columns). */
   def build(typ: String, hashes: Array[Long], count: Int, fpp: Double): BloomLite = {
     if (count == 0) return BloomLite(typ, 0, 1, Array.empty)
-    val m = optimalM(count.toLong, fpp)
-    val k = optimalK(m, count.toLong)
+    val sorted = java.util.Arrays.copyOf(hashes, count)
+    java.util.Arrays.sort(sorted)
+    var distinct = 1
+    var j = 1
+    while (j < count) {
+      if (sorted(j) != sorted(j - 1)) { sorted(distinct) = sorted(j); distinct += 1 }
+      j += 1
+    }
+    val m = optimalM(distinct.toLong, fpp)
+    val k = optimalK(m, distinct.toLong, fpp)
     val bits = new Array[Long](m >>> 6)
     var r = 0
-    while (r < count) {
-      val hash = hashes(r)
-      val h1 = (hash >>> 32).toInt
-      val h2 = hash.toInt
+    while (r < distinct) {
+      val hash = sorted(r)
       var i = 0
       while (i < k) {
-        val pos = java.lang.Math.floorMod(h1 + i * h2, m)
+        val pos = probePos(hash, i, m)
         bits(pos >>> 6) |= 1L << (pos & 63)
         i += 1
       }
@@ -129,6 +160,22 @@ private[graft] object OcfBloom {
       b += e.getKey -> BloomLite(o.get("t").asText, o.get("m").asInt, o.get("k").asInt, bits)
     }
     b.result()
+  }
+
+  /** True when the pushed set contains at least one shape a Bloom filter
+    * can answer (EqualTo/EqualNullSafe/In, recursing And/Or). Callers gate
+    * the per-file JSON parse on this: for a pure range/prefix/null query
+    * every filter is guaranteed "keep", so decoding potentially-megabyte
+    * bloom entries across a wide listing would be pure planning cost. */
+  def anyEqualityShape(filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def any(f: Filter): Boolean = f match {
+      case And(l, r) => any(l) || any(r)
+      case Or(l, r) => any(l) || any(r)
+      case _: EqualTo | _: EqualNullSafe | _: In => true
+      case _ => false
+    }
+    filters.exists(any)
   }
 
   /** Conservative per-file evaluation of the pushed filters against the

@@ -627,16 +627,19 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     // fail fast on a codec no executor could decode
     metas0.map(_.codecName).distinct.foreach(AvroCodecs(_))
     // 3. stats-skip on header-stamped min/max, then bloom-skip on exact-
-    // match predicates — both header-only, no data read
+    // match predicates — both header-only, no data read. The bloom parse
+    // (base64 + JSON, potentially MBs across a wide listing) only runs
+    // when the pushed set contains a shape a bloom can answer.
+    val bloomUseful = OcfBloom.anyEqualityShape(pushed.toSeq)
     val metas =
       if (pushed.isEmpty) metas0
       else metas0.filter { m =>
         m.statsJson.forall { js =>
           OcfPartitions.mayMatch(pushed.toSeq, partValueOf(m.partitionValues),
             OcfPartitions.parseStats(js).get)
-        } && m.bloomJson.forall { js =>
+        } && (!bloomUseful || m.bloomJson.forall { js =>
           OcfBloom.mayMatch(pushed.toSeq, OcfBloom.parse(js).get)
-        }
+        })
       }
     OcfDataSource.lastPlannedFiles.set(metas.map(_.path))
     // partition columns the query still needs, in layout order
@@ -832,8 +835,11 @@ private[graft] final case class OcfScan(
         case i if partIdx(i) < m.partitionValues.length => m.partitionValues(partIdx(i))
       }
       lazy val stats = m.statsJson.map(OcfPartitions.parseStats).getOrElse(Map.empty)
-      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get) &&
-        m.bloomJson.forall(js => OcfBloom.mayMatch(filters.toSeq, OcfBloom.parse(js).get))
+      // no bloom consult here: runtime filters only reference
+      // filterAttributes() = partition columns, which the writer forbids in
+      // bloomColumns — parsing every file's bloom JSON on the driver would
+      // cost MBs of decode with zero possible pruning
+      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get)
     }
     OcfDataSource.lastPlannedFiles.set(runtimeFiles.map(_.path))
   }

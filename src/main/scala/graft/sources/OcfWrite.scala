@@ -151,12 +151,6 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     // lookup complement to statsColumns' range skipping. Integral + string
     // columns only (equality on float is ill-defined; binary/nested have no
     // pushed equality filters to serve).
-    def bloomEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
     val bloomOrdinals: Array[Int] = Option(opts.get("bloomColumns")) match {
       case Some(v) =>
         v.split(",").map(_.trim).filter(_.nonEmpty).map { bc =>
@@ -167,7 +161,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
           require(!partOrdinals.contains(i),
             s"graft-ocf write: bloomColumns entry '$bc' is a partition column; " +
               "partition values are already exact in the path")
-          if (!bloomEligible(sql.fields(i).dataType)) throw new IllegalArgumentException(
+          if (!OcfBloom.eligible(sql.fields(i).dataType)) throw new IllegalArgumentException(
             s"graft-ocf write: bloomColumns entry '$bc' has type " +
               s"${sql.fields(i).dataType.simpleString}; " +
               "only integral and string columns carry Bloom filters")
@@ -778,15 +772,20 @@ object OcfMaintenance {
     // unless the caller overrides. Silently dropping `graft.stats` would
     // turn the recommended maintenance job into a skipping/pushdown
     // regression for every reader of the compacted directory.
+    // The header scan always runs: a statsColumns override replaces the
+    // STATS set only — bloom stamps are still discovered and preserved
+    // (dropping them because the caller adjusted stats would be the same
+    // silent skipping regression for point lookups).
     val seenStats = scala.collection.mutable.LinkedHashSet.empty[String]
     val seenBloom = scala.collection.mutable.LinkedHashSet.empty[String]
-    if (statsColumns.isEmpty) files.foreach { f =>
+    files.foreach { f =>
       val p = new Path(f.path)
       val in = p.getFileSystem(conf).open(p)
       try {
         val (hdr, _) = OcfDataSource.readHeaderAt(in, f.len)
-        hdr.meta.get("graft.stats").foreach(b =>
-          seenStats ++= OcfPartitions.parseStats(new String(b, "UTF-8")).keys.toSeq.sorted)
+        if (statsColumns.isEmpty)
+          hdr.meta.get("graft.stats").foreach(b =>
+            seenStats ++= OcfPartitions.parseStats(new String(b, "UTF-8")).keys.toSeq.sorted)
         hdr.meta.get("graft.bloom").foreach(b =>
           seenBloom ++= OcfBloom.parse(new String(b, "UTF-8")).keys.toSeq.sorted)
       } finally in.close()
@@ -805,7 +804,12 @@ object OcfMaintenance {
     // the output will actually contain
     val outCols = df.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val keptStats = stampedCols.filter(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
-    val keptBloom = seenBloom.toSeq.filter(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
+    // a readerSchema override can also PROMOTE a stamped column to a type
+    // blooms don't support (int -> double); stamp only still-eligible ones
+    val outEligible = df.schema.fields
+      .filter(f => OcfBloom.eligible(f.dataType))
+      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    val keptBloom = seenBloom.toSeq.filter(c => outEligible(c.toLowerCase(java.util.Locale.ROOT)))
     var w = df
       .coalesce(parts)
       .write.format("graft-ocf").mode("overwrite")

@@ -271,6 +271,50 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until 600L).map(i => (i, s"p${i % 2}")))
   }
 
+  test("compact preserves bloom stamps under a statsColumns override and drops promoted-ineligible ones") {
+    import graft.sources.OcfMaintenance
+    import spark.implicits._
+    val in = tempDir("graft-w-compactbloom-in")
+    val outD = tempDir("graft-w-compactbloom-out").getAbsolutePath + "/packed"
+    (0L until 400L).map(i => (i, s"doc_$i")).toDF("k", "v").repartition(4)
+      .write.format("graft-ocf")
+      .option("statsColumns", "k").option("bloomColumns", "k,v")
+      .mode(SaveMode.Append).save(in.getAbsolutePath)
+    // an explicit statsColumns override replaces the STATS set only — the
+    // input's bloom stamps must survive into the compacted output
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD,
+      targetBytes = 1L << 20, statsColumns = Some(Seq("k")))
+    val packed = new java.io.File(outD).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith(".")).toSeq
+    assert(packed.nonEmpty)
+    packed.foreach { f =>
+      val (hdr, _) = Ocf.blockIterator(java.nio.file.Files.readAllBytes(f.toPath))
+      val bloom = hdr.meta.get("graft.bloom").map(b => new String(b, "UTF-8"))
+      assert(bloom.isDefined, s"${f.getName} lost its bloom stamp")
+      assert(bloom.get.contains("\"k\"") && bloom.get.contains("\"v\""), bloom.get)
+    }
+    // a readerSchema promoting a bloom column to double must not crash the
+    // maintenance job: 'k' silently drops from the stamp (ineligible type),
+    // 'v' stays
+    val outD2 = tempDir("graft-w-compactbloom-out2").getAbsolutePath + "/packed"
+    val promoted =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"double"},{"name":"v","type":"string"}]}""".stripMargin
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD2,
+      targetBytes = 1L << 20, readerSchemaJson = Some(promoted))
+    val packed2 = new java.io.File(outD2).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith(".")).toSeq
+    assert(packed2.nonEmpty)
+    packed2.foreach { f =>
+      val (hdr, _) = Ocf.blockIterator(java.nio.file.Files.readAllBytes(f.toPath))
+      val bloom = hdr.meta.get("graft.bloom").map(b => new String(b, "UTF-8"))
+      // probe at the top level: the filter payloads themselves contain a
+      // "k" field (probe count), so substring checks must anchor on "col":{
+      assert(bloom.isDefined && bloom.get.contains("\"v\":{") && !bloom.get.contains("\"k\":{"),
+        s"promoted column must drop from the bloom stamp, kept: $bloom")
+    }
+  }
+
   test("compact re-stamps input stats and matches the read path's listing") {
     import graft.sources.OcfMaintenance
     import spark.implicits._
