@@ -709,6 +709,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Grouped aggregate pushdown: GROUP BY a partition column with
+    // COUNT(*)/MIN/MAX never decodes a datum — each file belongs to exactly
+    // one partition tuple, so its partial is already per-group: counts walk
+    // ~20-byte block headers, min/max come from plan-time header stamps,
+    // group values ride the path. The 100 TB "profile the corpus by date"
+    // query at ~0.1% of the bytes. Spec-proven over trashed block bodies.
+    "q74_grouped_agg_pushdown" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val out = landingDir(s, "graft_q74_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .option("statsColumns", "doc_id")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // Storage-partitioned scan: the source REPORTS its hive layout to Spark
     // as a KeyGroupedPartitioning (SupportsReportPartitioning + per-split
     // HasPartitionKey), so this group-by on the partition column plans
@@ -1479,6 +1499,12 @@ object SparkEntry {
         |  CAST(sum(d.n_chars * dim.weight) AS DOUBLE) AS weighted_chars
         |FROM documents d JOIN dim ON d.lang = dim.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // the grouped pushdown is a lossless group-by of the written data, so
+    // the oracle groups straight off the parquet
+    "q74_grouped_agg_pushdown" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the bloom-skipped point lookup is a lossless selection of the written
     // data, so the oracle selects straight off the parquet

@@ -507,6 +507,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   private var limit: Option[Int] = None
   private var countStar = false
   private var aggExprs: Option[Seq[OcfAggExpr]] = None
+  private var aggGroupCols: Array[String] = Array.empty
   private var statsByPath: Map[String, Map[String, OcfPartitions.ColStat]] = Map.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
@@ -536,9 +537,10 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     true
   }
 
-  /** PARTIAL aggregate pushdown for ungrouped `COUNT(*)` / `MIN(col)` /
-    * `MAX(col)` mixes (`supportCompletePushDown` stays false — Spark
-    * re-aggregates the per-split partials):
+  /** PARTIAL aggregate pushdown for `COUNT(*)` / `MIN(col)` / `MAX(col)`
+    * mixes, ungrouped or GROUPED BY partition columns
+    * (`supportCompletePushDown` stays false — Spark re-aggregates the
+    * per-split partials, summing counts and re-min/max-ing bounds):
     *
     *  - `COUNT(*)` becomes a block-HEADER walk — each split sums the
     *    row-count varints of its blocks; block bodies are never read,
@@ -550,11 +552,25 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     *    bounds for every referenced column (or is all-null), in which case
     *    the answer needs NO data read at all — min/max-only aggregations
     *    never open a file body. Tracker bounds are exact (it sees every
-    *    row), so this is exact pushdown, not an approximation. */
+    *    row), so this is exact pushdown, not an approximation.
+    *
+    * GROUP BY is accepted when every grouping expression is a partition
+    * column: a file belongs to exactly one partition tuple, so its partial
+    * (block-walk count / header bounds) is already per-group — the group
+    * values ride the row as path-derived constants. `SELECT date, count(*)
+    * GROUP BY date` over 100 TB reads block headers only; a min/max-only
+    * grouped profile reads NOTHING but file headers. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (limit.nonEmpty || pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+    if (limit.nonEmpty || pushed.nonEmpty ||
         agg.aggregateExpressions.isEmpty) return false
+    val gCols: Array[String] = agg.groupByExpressions.map {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        resolved.partCols.find(_.equalsIgnoreCase(r.fieldNames()(0))).orNull
+      case _ => null
+    }
+    if (gCols.exists(_ == null)) return false
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -590,7 +606,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       statsByPath = parsedByPath.collect { case (p, Some(s)) => p -> s }
     }
     aggExprs = Some(exprs)
-    countStar = exprs == Seq(OcfAggExpr.Count)
+    aggGroupCols = gCols
+    countStar = gCols.isEmpty && exprs == Seq(OcfAggExpr.Count)
     true
   }
 
@@ -658,11 +675,19 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       case Some(exprs) =>
         // min/max (possibly mixed with count): resolve each file's answer
         // from its header stamp at PLAN time; readers emit constants (plus
-        // the block-walk count partial when asked)
+        // the block-walk count partial when asked). A grouped pushdown
+        // prepends the file's partition-tuple values — path-derived
+        // constants, so the partial row is already per-group.
+        val groupIdx: Array[Int] = aggGroupCols.map(partIdx)
         val aggValues: Seq[Array[Any]] = metas.map { m =>
           lazy val stats = statsByPath.getOrElse(m.path,
             OcfPartitions.parseStats(m.statsJson.get))
-          exprs.map {
+          val groupVals: Array[Any] = groupIdx.map { gi =>
+            if (gi >= m.partitionValues.length || m.partitionValues(gi) == null) null
+            else org.apache.spark.unsafe.types.UTF8String
+              .fromString(m.partitionValues(gi)): Any
+          }
+          groupVals ++ exprs.map {
             case OcfAggExpr.Count => null
             case OcfAggExpr.MinOf(f, dt) =>
               val st = stats(f)
@@ -675,7 +700,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
         return OcfScan(metas, resolved.readerJson, resolved.dataSql,
           resolved.wrap, new SerializableHadoopConf(resolved.conf),
           resolved.splitSize, resolved.paths, resolved.glob, resolved.recursive,
-          aggExprs = exprs, aggValues = aggValues)
+          aggExprs = exprs, aggValues = aggValues,
+          aggGroupCols = aggGroupCols.toSeq)
       case None => ()
     }
     // Rebuild the reader schema to exactly the pushed-down shape — at ANY
@@ -774,6 +800,7 @@ private[graft] final case class OcfScan(
     maxBytesPerTrigger: Option[Long] = None,
     partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
     aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
+    aggGroupCols: Seq[String] = Nil,
     filtersDesc: Seq[String] = Nil,
     reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
@@ -854,12 +881,16 @@ private[graft] final case class OcfScan(
       StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
         nullable = false)))
     else if (aggExprs.nonEmpty)
-      StructType(aggExprs.zipWithIndex.map {
-        case (OcfAggExpr.Count, i) =>
-          StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
-        case (OcfAggExpr.MinOf(f, dt), i) => StructField(s"min_${f}_$i", dt, nullable = true)
-        case (OcfAggExpr.MaxOf(f, dt), i) => StructField(s"max_${f}_$i", dt, nullable = true)
-      })
+      // contract: group-by output columns first (positional), then one
+      // field per aggregate expression
+      StructType(aggGroupCols.map(c =>
+        StructField(c, org.apache.spark.sql.types.StringType, nullable = true)) ++
+        aggExprs.zipWithIndex.map {
+          case (OcfAggExpr.Count, i) =>
+            StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
+          case (OcfAggExpr.MinOf(f, dt), i) => StructField(s"min_${f}_$i", dt, nullable = true)
+          case (OcfAggExpr.MaxOf(f, dt), i) => StructField(s"max_${f}_$i", dt, nullable = true)
+        })
     else StructType(sql.fields ++ partCols.map(
       StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
   override def toBatch: Batch = this
@@ -877,6 +908,8 @@ private[graft] final case class OcfScan(
           case OcfAggExpr.MinOf(f, _) => s"MIN($f)"
           case OcfAggExpr.MaxOf(f, _) => s"MAX($f)"
         }.mkString(", ")}]" else "") +
+        (if (aggGroupCols.nonEmpty)
+          s" PushedGroupBy: [${aggGroupCols.mkString(", ")}]" else "") +
         (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
         (if (filtersDesc.nonEmpty) s" PushedFilters: [${filtersDesc.mkString(", ")}]" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
@@ -907,7 +940,8 @@ private[graft] final case class OcfScan(
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
     else if (aggExprs.nonEmpty)
-      OcfAggReaderFactory(files.toIndexedSeq, conf, aggExprs.toArray, aggValues.toIndexedSeq)
+      OcfAggReaderFactory(files.toIndexedSeq, conf, aggExprs.toArray,
+        aggValues.toIndexedSeq, aggGroupCols.length)
     else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -984,13 +1018,17 @@ private[graft] final class OcfCountReader(
   * A min/max-only aggregation therefore NEVER OPENS the file. */
 private[sources] final case class OcfAggReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], conf: SerializableHadoopConf,
-    exprs: Array[OcfAggExpr], values: IndexedSeq[Array[Any]])
+    exprs: Array[OcfAggExpr], values: IndexedSeq[Array[Any]],
+    groupCount: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
     if (p.fileIndex < 0) new OcfAggConstantsReader(exprs, values)
     else new OcfAggReader(files(p.fileIndex), p.start, p.end, conf.value,
-      exprs, values(p.fileIndex))
+      // the row template is group values + agg constants; COUNT slots sit
+      // after the group prefix
+      exprs.zipWithIndex.collect { case (OcfAggExpr.Count, i) => groupCount + i },
+      values(p.fileIndex))
   }
 }
 
@@ -1010,10 +1048,9 @@ private[graft] final class OcfAggConstantsReader(
 
 private[graft] final class OcfAggReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long, conf: Configuration,
-    exprs: Array[OcfAggExpr], fileValues: Array[Any])
+    countSlots: Array[Int], fileValues: Array[Any])
     extends PartitionReader[InternalRow] {
 
-  private val needCount = exprs.contains(OcfAggExpr.Count)
   private var in: FSDataInputStream = _
   private var done = false
   private var row: InternalRow = _
@@ -1022,21 +1059,14 @@ private[graft] final class OcfAggReader(
 
   override def next(): Boolean = {
     if (done) return false
-    val count: Long =
-      if (!needCount) 0L
-      else {
-        val hPath = new Path(meta.path)
-        in = hPath.getFileSystem(conf).open(hPath)
-        val (total, blocks, bytes) = OcfBlocks.sumBlockCounts(in, meta, start, end)
-        blocksVisited += blocks
-        bytesFetched += bytes
-        total
-      }
-    val vals = new Array[Any](exprs.length)
-    var i = 0
-    while (i < exprs.length) {
-      vals(i) = if (exprs(i) == OcfAggExpr.Count) count else fileValues(i)
-      i += 1
+    val vals = fileValues.clone()
+    if (countSlots.nonEmpty) {
+      val hPath = new Path(meta.path)
+      in = hPath.getFileSystem(conf).open(hPath)
+      val (total, blocks, bytes) = OcfBlocks.sumBlockCounts(in, meta, start, end)
+      blocksVisited += blocks
+      bytesFetched += bytes
+      countSlots.foreach(s => vals(s) = total)
     }
     row = new GenericInternalRow(vals)
     done = true

@@ -432,6 +432,68 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(unstamped.head.getLong(0) == 0L)
   }
 
+  test("grouped aggregate pushdown: GROUP BY partition column answered without data reads") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("graft-dsv2-groupagg")
+    (0L until 600L).map(i => (i, s"p${i % 3}")).toDF("id", "p").repartition(4)
+      .write.format("graft-ocf").partitionBy("p").option("statsColumns", "id")
+      .mode("append").save(dir.getAbsolutePath)
+    // trash every block BODY (framing intact): any surviving answer proves
+    // counts came from block headers and min/max from header stamps
+    val conf = spark.sessionState.newHadoopConf()
+    def allFiles(d: java.io.File): Seq[java.io.File] =
+      d.listFiles.toSeq.flatMap(f =>
+        if (f.isDirectory) allFiles(f)
+        else if (f.isFile && f.getName.endsWith(".avro")) Seq(f) else Nil)
+    allFiles(dir).foreach { file =>
+      val hp = new Path(file.getAbsolutePath)
+      val in = hp.getFileSystem(conf).open(hp)
+      val (_, headerEnd) =
+        try graft.sources.OcfDataSource.readHeaderAt(in, file.length()) finally in.close()
+      val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+      val hr = new graft.avro.AvroBinaryReader(bytes, headerEnd.toInt, bytes.length)
+      hr.readLong()
+      val size = hr.readLong()
+      java.util.Arrays.fill(bytes, hr.pos, hr.pos + size.toInt, 0x55.toByte)
+      java.nio.file.Files.write(file.toPath, bytes)
+    }
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+
+    // grouped COUNT(*): block-header walk per file, group values from paths
+    val counts = df.groupBy("p").count()
+    val cDesc = scanOf(counts).description()
+    assert(cDesc.contains("PushedAggregation: [COUNT(*)]") &&
+      cDesc.contains("PushedGroupBy: [p]"), cDesc)
+    assert(counts.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("p0", 200L), ("p1", 200L), ("p2", 200L)))
+
+    // grouped MIN/MAX (no count): answered entirely from plan-time header
+    // stamps — the single constants task, zero file I/O
+    val mm = df.groupBy("p").agg(min("id").as("mn"), max("id").as("mx"))
+    assert(scanOf(mm).description().contains("PushedAggregation: [MIN(id), MAX(id)]"),
+      scanOf(mm).description())
+    assert(mm.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      Seq(("p0", 0L, 597L), ("p1", 1L, 598L), ("p2", 2L, 599L)))
+
+    // mixed count + min/max in one grouped aggregation
+    val mixed = df.groupBy("p").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(mixed.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      Seq(("p0", 200L, 597L), ("p1", 200L, 598L), ("p2", 200L, 599L)))
+
+    // grouping on a DATA column must not push (normal scan path)
+    val dir2 = tempDir("graft-dsv2-groupagg-data")
+    (0L until 60L).map(i => (i, s"g${i % 2}", s"p${i % 3}")).toDF("id", "g", "p")
+      .coalesce(1).write.format("graft-ocf").partitionBy("p")
+      .mode("append").save(dir2.getAbsolutePath)
+    val byData = spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+      .groupBy("g").count()
+    assert(!scanOf(byData).description().contains("PushedAggregation"),
+      scanOf(byData).description())
+    assert(byData.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("g0", 30L), ("g1", 30L)))
+  }
+
   test("partition pruning: unselected partitions' headers are never read") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-prune")
@@ -489,10 +551,14 @@ class OcfDataSourceSpec extends AnyFunSuite {
       .toDF("id", "body", "grp").coalesce(1)
       .write.format("graft-ocf").partitionBy("grp").mode("append")
       .save(dir.getAbsolutePath)
-    val counts = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
-      .groupBy("grp").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts == (0 until 5).map(g => s"g$g" -> 10L).toMap)
+    // NOTE: groupBy(grp).count() no longer exercises this path — it pushes
+    // as a grouped aggregate (block-header walk, no datum iteration at
+    // all). A plain partition-column projection still decodes row-by-row
+    // and must prune to the zero-field record.
+    val vals = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+      .select("grp").collect().map(_.getString(0))
+    assert(vals.groupBy(identity).view.mapValues(_.length).toMap ==
+      (0 until 5).map(g => s"g$g" -> 10).toMap)
     // the effective reader schema decodes NO data fields: id and body
     // wire-skip; the rows carry only the path-derived partition value
     val reader = graft.sources.OcfDataSource.lastBuiltReaderJson.get()
@@ -660,28 +726,34 @@ class OcfDataSourceSpec extends AnyFunSuite {
       def reported(dir: java.io.File) = spark.read.format("graft-ocf")
         .option("reportPartitioning", "true").load(dir.getAbsolutePath)
 
-      // group-by on the partition column: no shuffle, exact result
-      val agg = reported(dirA).groupBy("p").count()
+      // group-by on the partition column: no shuffle, exact result. SUM is
+      // used (not COUNT) because grouped COUNT/MIN/MAX now push down as
+      // header-only aggregates — a different (cheaper) path than the
+      // storage-partitioned data aggregation proven here.
+      val expA = (0L until 120L).groupBy(i => s"p${i % 3}").view.mapValues(_.sum).toMap
+      val expB = (0L until 60L).map(_ * 10).groupBy(i => s"p${(i / 10) % 3}").view
+        .mapValues(_.sum).toMap
+      val agg = reported(dirA).groupBy("p").agg(sum("id").as("s"))
       assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
         s"key-grouped scan must satisfy the group-by without an Exchange:\n${agg.queryExecution.executedPlan}")
-      assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
-        Seq(("p0", 40L), ("p1", 40L), ("p2", 40L)))
+      assert(agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == expA)
 
       // same-layout aggregate join: storage-partitioned, no shuffle
       val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       try {
-        val j = reported(dirA).groupBy("p").count()
-          .join(reported(dirB).groupBy("p").agg(count(lit(1)).as("c2")), "p")
+        val j = reported(dirA).groupBy("p").agg(sum("id").as("s"))
+          .join(reported(dirB).groupBy("p").agg(sum("id2").as("s2")), "p")
         assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
           s"same-layout join must be storage-partitioned:\n${j.queryExecution.executedPlan}")
         assert(j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
-          Seq(("p0", 40L, 20L), ("p1", 40L, 20L), ("p2", 40L, 20L)))
+          expA.keys.toSeq.sorted.map(p => (p, expA(p), expB(p))))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
 
       // WITHOUT the option the scan stays split-parallel and shuffles as before
-      val plain = spark.read.format("graft-ocf").load(dirA.getAbsolutePath).groupBy("p").count()
+      val plain = spark.read.format("graft-ocf").load(dirA.getAbsolutePath)
+        .groupBy("p").agg(sum("id").as("s"))
       assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
         "reportPartitioning must stay opt-in")
     } finally prev match {
