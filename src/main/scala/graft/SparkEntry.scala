@@ -709,6 +709,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Block-index scan: blockIndex=true stamps a PER-BLOCK min/max index
+    // into the OCF header; a range predicate over the sorted column then
+    // prunes splits INSIDE the file, block-aligned (no sync scan), before
+    // any data I/O — row-group pruning for OCF. At 100 TB, file-level
+    // stats stop helping once files are GBs; the block index keeps
+    // selective scans proportional to the MATCHING bytes, not file count.
+    // Spec-proven over trashed non-matching blocks in OcfDataSourceSpec.
+    "q75_block_index_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val out = landingDir(s, "graft_q75_ocf_")
+      d.coalesce(1).sortWithinPartitions("n_chars")
+        .write.format("graft-ocf").mode("overwrite")
+        .option("statsColumns", "n_chars").option("blockIndex", "true")
+        .option("blockBytes", "4096")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("n_chars") >= 500L)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Grouped aggregate pushdown: GROUP BY a partition column with
     // COUNT(*)/MIN/MAX never decodes a datum — each file belongs to exactly
     // one partition tuple, so its partial is already per-group: counts walk
@@ -1499,6 +1520,12 @@ object SparkEntry {
         |  CAST(sum(d.n_chars * dim.weight) AS DOUBLE) AS weighted_chars
         |FROM documents d JOIN dim ON d.lang = dim.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // the block-index scan is a lossless selection of the written data, so
+    // the oracle selects straight off the parquet
+    "q75_block_index_scan" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE n_chars >= 500 ORDER BY doc_id""".stripMargin,
 
     // the grouped pushdown is a lossless group-by of the written data, so
     // the oracle groups straight off the parquet

@@ -272,7 +272,13 @@ object Ocf {
 final class OcfStreamWriter(out: java.io.OutputStream, schema: AvroSchema,
                             codecName: String = "null",
                             syncOpt: Option[Array[Byte]] = None,
-                            blockBytes: Int = Ocf.SyncInterval) {
+                            blockBytes: Int = Ocf.SyncInterval,
+                            // invoked as each block seals with (offset of the
+                            // block's count varint RELATIVE to the end of the
+                            // header, rows in the block, block bytes incl.
+                            // trailing sync) — relative offsets survive a
+                            // later header re-stamp, absolute ones would not
+                            onBlockSealed: (Long, Long, Long) => Unit = null) {
   require(blockBytes > 0, s"blockBytes must be positive; got $blockBytes")
   private val codec = AvroCodecs(codecName)
   private val sync = syncOpt.getOrElse {
@@ -292,6 +298,7 @@ final class OcfStreamWriter(out: java.io.OutputStream, schema: AvroSchema,
   private var buf = new ByteArrayOutputStream()
   private var blockCount = 0L
   private var total = 0L
+  private var sectionBytes = 0L // block-section bytes written so far
 
   /** Rows appended so far (across all blocks). */
   def rowCount: Long = total
@@ -312,6 +319,9 @@ final class OcfStreamWriter(out: java.io.OutputStream, schema: AvroSchema,
     w.writeFixed(sync)
     val bytes = w.toByteArray
     out.write(bytes, 0, bytes.length)
+    val rel = sectionBytes
+    sectionBytes += bytes.length
+    if (onBlockSealed != null) onBlockSealed(rel, blockCount, bytes.length.toLong)
     buf = new ByteArrayOutputStream()
     blockCount = 0
   }

@@ -116,7 +116,8 @@ object OcfDataSource {
                                codecName: String, sync: Array[Byte], headerEnd: Long,
                                partitionValues: Array[String] = Array.empty,
                                statsJson: Option[String] = None,
-                               bloomJson: Option[String] = None)
+                               bloomJson: Option[String] = None,
+                               blockIndexJson: Option[String] = None)
 
   /** Driver-side view of one read: the frozen file LISTING (header
     * resolution is deferred to [[OcfScanBuilder.build]] so partition
@@ -316,7 +317,8 @@ object OcfDataSource {
       OcfFileMeta(f.path, f.len, h.schemaJson, h.codecName, h.sync, end,
         f.partitionValues,
         h.meta.get("graft.stats").map(new String(_, "UTF-8")),
-        h.meta.get("graft.bloom").map(new String(_, "UTF-8")))
+        h.meta.get("graft.bloom").map(new String(_, "UTF-8")),
+        h.meta.get("graft.blockIndex").map(new String(_, "UTF-8")))
     }
     if (files.lengthCompare(2) < 0) files.map(metaOf)
     else {
@@ -743,6 +745,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       maxFilesPerTrigger = resolved.maxFilesPerTrigger,
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
       partCols = reqPartCols, partIdx = reqPartIdx,
+      pushedFilters = pushed.toSeq,
       filtersDesc = pushed.map(_.toString).toSeq,
       reportPartitioning = resolved.reportPartitioning)
   }
@@ -756,16 +759,22 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   * ~100 KB each (~16 GB of task metadata at 10 GB/64 KB splits). */
 private[graft] sealed trait OcfSplit extends InputPartition {
   def fileIndex: Int; def start: Long; def end: Long
+  /** True when `start`/`end` are EXACT block boundaries from the file's
+    * block index: the reader anchors at `start` directly (no sync scan) and
+    * stops at `end` exactly (no trailing-sync grace). */
+  def aligned: Boolean
 }
 
 private[graft] final case class OcfInputPartition(
-    fileIndex: Int, start: Long, end: Long) extends OcfSplit
+    fileIndex: Int, start: Long, end: Long,
+    aligned: Boolean = false) extends OcfSplit
 
 /** A split that also carries its file's hive partition-key values, letting
   * Spark group splits by key (storage-partitioned scan) when the source
   * reports its layout via `reportPartitioning`. */
 private[graft] final case class OcfKeyedInputPartition(
-    fileIndex: Int, start: Long, end: Long, key: InternalRow)
+    fileIndex: Int, start: Long, end: Long, key: InternalRow,
+    aligned: Boolean = false)
     extends OcfSplit with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -801,6 +810,7 @@ private[graft] final case class OcfScan(
     partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
     aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
     aggGroupCols: Seq[String] = Nil,
+    pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     filtersDesc: Seq[String] = Nil,
     reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
@@ -929,10 +939,16 @@ private[graft] final case class OcfScan(
         else { val kept = runtimeFiles.iterator.map(_.path).toSet; m => kept(m.path) }
       val keyed = reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty
       files.iterator.zipWithIndex.filter { case (f, _) => keep(f) }.flatMap { case (f, i) =>
-        (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
-          val (s, e) = (k * splitSize, math.min((k + 1) * splitSize, f.len))
-          if (keyed) OcfKeyedInputPartition(i, s, e, OcfSplitReader.partitionRow(f, partIdx))
-          else OcfInputPartition(i, s, e)
+        def mk(s: Long, e: Long, aligned: Boolean): OcfSplit =
+          if (keyed) OcfKeyedInputPartition(i, s, e,
+            OcfSplitReader.partitionRow(f, partIdx), aligned)
+          else OcfInputPartition(i, s, e, aligned)
+        OcfScan.blockAlignedRanges(f, pushedFilters, splitSize) match {
+          case Some(ranges) => ranges.iterator.map { case (s, e) => mk(s, e, aligned = true) }
+          case None =>
+            (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>
+              mk(k * splitSize, math.min((k + 1) * splitSize, f.len), aligned = false)
+            }
         }
       }.toArray
     }
@@ -950,6 +966,66 @@ private[graft] final case class OcfScan(
   }
 }
 
+private[graft] object OcfScan {
+  /** Plan a block-indexed file's splits from its `graft.blockIndex` stamp:
+    * block-ALIGNED byte ranges (readers anchor at the exact offset — no
+    * sync scan — and stop exactly at `end`), with blocks whose stamped
+    * bounds refute the pushed filters PRUNED and the surviving runs chunked
+    * at `splitSize` on block boundaries. This is row-group pruning for OCF:
+    * file-level stats stop helping once files are GBs, but a selective
+    * range predicate over a sorted/clustered column skips the non-matching
+    * middle of every file, block by block, before any data I/O.
+    *
+    * None = no usable index (absent, unparsable, or inconsistent with the
+    * file's actual extent — a stale stamp must degrade to plain splits, not
+    * drop data). Soundness mirrors the file-level path: a block survives
+    * unless `mayMatch` PROVES no row in it can match; Spark re-applies
+    * every filter on the decoded rows. */
+  def blockAlignedRanges(f: OcfDataSource.OcfFileMeta,
+                         filters: Seq[org.apache.spark.sql.sources.Filter],
+                         splitSize: Long): Option[Seq[(Long, Long)]] =
+    f.blockIndexJson.flatMap { js =>
+      scala.util.Try(OcfPartitions.parseBlockIndex(js)).toOption.flatMap { idx =>
+        // the index must tile the block section exactly: first block at
+        // relative 0, entries contiguous, last entry ending at file end
+        var ok = idx.nonEmpty && idx.head.offset == 0L
+        var i = 0
+        while (ok && i < idx.length) {
+          val e = idx(i)
+          ok = e.len > 0 && e.rows > 0 &&
+            (if (i + 1 < idx.length) idx(i + 1).offset == e.offset + e.len
+             else f.headerEnd + e.offset + e.len == f.len)
+          i += 1
+        }
+        if (!ok) None
+        else {
+          val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          var runStart = -1L
+          var runEnd = -1L
+          idx.foreach { e =>
+            // partition-column predicates were settled at file level (the
+            // whole file shares one partition tuple), so blocks resolve
+            // them as unknown -> kept, which is correct and costless
+            val m = filters.isEmpty ||
+              OcfPartitions.mayMatch(filters, _ => None, e.stats.get)
+            if (m) {
+              if (runStart < 0L) { runStart = e.offset; runEnd = e.offset + e.len }
+              else if (runEnd - runStart + e.len > splitSize) {
+                ranges += ((runStart, runEnd))
+                runStart = e.offset; runEnd = e.offset + e.len
+              } else runEnd = e.offset + e.len
+            } else if (runStart >= 0L) {
+              ranges += ((runStart, runEnd)); runStart = -1L
+            }
+          }
+          if (runStart >= 0L) ranges += ((runStart, runEnd))
+          Some(ranges.map { case (s, e) =>
+            (f.headerEnd + s, f.headerEnd + e) }.toSeq)
+        }
+      }
+    }
+}
+
 private[sources] final case class OcfReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], readerJson: String,
     wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue,
@@ -959,7 +1035,7 @@ private[sources] final case class OcfReaderFactory(
     val p = partition.asInstanceOf[OcfSplit]
     val meta = files(p.fileIndex)
     new OcfSplitReader(meta, p.start, p.end, readerJson, wrap,
-      conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx))
+      conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx), p.aligned)
   }
 }
 
@@ -974,12 +1050,13 @@ private[sources] final case class OcfCountReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
-    new OcfCountReader(files(p.fileIndex), p.start, p.end, conf.value)
+    new OcfCountReader(files(p.fileIndex), p.start, p.end, conf.value, p.aligned)
   }
 }
 
 private[graft] final class OcfCountReader(
-    meta: OcfDataSource.OcfFileMeta, start: Long, end: Long, conf: Configuration)
+    meta: OcfDataSource.OcfFileMeta, start: Long, end: Long, conf: Configuration,
+    aligned: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val hPath = new Path(meta.path)
   private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
@@ -992,7 +1069,7 @@ private[graft] final class OcfCountReader(
   override def next(): Boolean = {
     if (done) return false
     val (total, blocks, bytes) =
-      try OcfBlocks.sumBlockCounts(in, meta, start, end)
+      try OcfBlocks.sumBlockCounts(in, meta, start, end, aligned)
       catch { case t: Throwable =>
         try in.close() catch { case s: Throwable => t.addSuppressed(s) }
         throw t
@@ -1028,7 +1105,7 @@ private[sources] final case class OcfAggReaderFactory(
       // the row template is group values + agg constants; COUNT slots sit
       // after the group prefix
       exprs.zipWithIndex.collect { case (OcfAggExpr.Count, i) => groupCount + i },
-      values(p.fileIndex))
+      values(p.fileIndex), p.aligned)
   }
 }
 
@@ -1048,7 +1125,7 @@ private[graft] final class OcfAggConstantsReader(
 
 private[graft] final class OcfAggReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long, conf: Configuration,
-    countSlots: Array[Int], fileValues: Array[Any])
+    countSlots: Array[Int], fileValues: Array[Any], aligned: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private var in: FSDataInputStream = _
@@ -1063,7 +1140,7 @@ private[graft] final class OcfAggReader(
     if (countSlots.nonEmpty) {
       val hPath = new Path(meta.path)
       in = hPath.getFileSystem(conf).open(hPath)
-      val (total, blocks, bytes) = OcfBlocks.sumBlockCounts(in, meta, start, end)
+      val (total, blocks, bytes) = OcfBlocks.sumBlockCounts(in, meta, start, end, aligned)
       blocksVisited += blocks
       bytesFetched += bytes
       countSlots.foreach(s => vals(s) = total)
@@ -1107,11 +1184,17 @@ private[graft] object OcfSplitReader {
 private[graft] final class OcfSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
     readerJson: String, wrap: Boolean, conf: Configuration,
-    limit: Long = Long.MaxValue, partRow: InternalRow = null)
+    limit: Long = Long.MaxValue, partRow: InternalRow = null,
+    aligned: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val hPath = new Path(meta.path)
   private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
+  // aligned splits carry exact block-boundary offsets from the file's block
+  // index: anchor at `start` directly (no sync scan) and stop at `end`
+  // exactly; plain splits own the blocks whose introducing sync STARTS in
+  // [start, end), hence the +16 grace on the stop bound
+  private val stopAt: Long = if (aligned) end else end + 16L
   // post-open init can throw (unknown codec, writer→reader resolution
   // failure, I/O during the sync scan); Spark only calls close() on a reader
   // whose constructor SUCCEEDED, so close the stream before rethrowing
@@ -1119,7 +1202,8 @@ private[graft] final class OcfSplitReader(
     try {
       val c = AvroCodecs(meta.codecName)
       val r = AvroRuntime.catalystReader(meta.writerSchemaJson, readerJson)
-      val b = if (start == 0L) meta.headerEnd
+      val b = if (aligned) start
+              else if (start == 0L) meta.headerEnd
               else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end)
       (c, r, b)
     } catch {
@@ -1148,7 +1232,7 @@ private[graft] final class OcfSplitReader(
     // so limit(10) stops after the first block regardless of split size
     if (emitted >= limit) return false
     while (remaining == 0L) {
-      if (blockStart < 0L || blockStart >= meta.len || blockStart >= end + 16L)
+      if (blockStart < 0L || blockStart >= meta.len || blockStart >= stopAt)
         return false
       loadBlock()
     }
@@ -1199,14 +1283,21 @@ private[sources] object OcfBlocks {
     * header-only walk behind COUNT(*) pushdown (no body read, no codec
     * work). Returns (rowTotal, blocksVisited, bytesFetched). */
   def sumBlockCounts(in: FSDataInputStream, meta: OcfDataSource.OcfFileMeta,
-                     start: Long, end: Long): (Long, Long, Long) = {
+                     start: Long, end: Long,
+                     aligned: Boolean = false): (Long, Long, Long) = {
     var total = 0L
     var blocks = 0L
     var bytes = 0L
+    // aligned splits carry exact block boundaries (block-index planning):
+    // anchor at start directly and stop at end exactly — a sync scan from a
+    // nonzero aligned start would SKIP the first owned block, and the +16
+    // grace would double-count the next split's first block
+    val stopAt = if (aligned) end else end + 16L
     var blockStart =
-      if (start == 0L) meta.headerEnd
+      if (aligned) start
+      else if (start == 0L) meta.headerEnd
       else syncScan(in, meta.sync, meta.len, start, end)
-    while (blockStart >= 0L && blockStart < meta.len && blockStart < end + 16L) {
+    while (blockStart >= 0L && blockStart < meta.len && blockStart < stopAt) {
       val h = readBlockHeader(in, meta, blockStart)
       total += h.count
       blocks += 1

@@ -119,8 +119,11 @@ private[graft] object OcfPartitions {
     }
   }
 
-  def parseStats(json: String): Map[String, ColStat] = {
-    val root = new ObjectMapper().readTree(json)
+  def parseStats(json: String): Map[String, ColStat] =
+    parseStatsNode(new ObjectMapper().readTree(json))
+
+  private def parseStatsNode(root: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, ColStat] = {
     val b = Map.newBuilder[String, ColStat]
     val it = root.fields()
     while (it.hasNext) {
@@ -131,6 +134,26 @@ private[graft] object OcfPartitions {
         o.get("hasNull").asBoolean, o.get("allNull").asBoolean)
     }
     b.result()
+  }
+
+  /** One `graft.blockIndex` entry: a block's count-varint offset RELATIVE to
+    * the end of the header, its row count, its byte length (body + trailing
+    * sync), and its per-column bounds in `graft.stats` shape. */
+  final case class BlockEntry(offset: Long, rows: Long, len: Long,
+                              stats: Map[String, ColStat])
+
+  def parseBlockIndex(json: String): Array[BlockEntry] = {
+    val root = new ObjectMapper().readTree(json)
+    require(root.isArray, "graft.blockIndex must be a JSON array")
+    val out = new Array[BlockEntry](root.size())
+    var i = 0
+    while (i < out.length) {
+      val e = root.get(i)
+      out(i) = BlockEntry(e.get("o").asLong, e.get("n").asLong,
+        e.get("l").asLong, parseStatsNode(e.get("s")))
+      i += 1
+    }
+    out
   }
 
   // ---- conservative filter evaluation --------------------------------------

@@ -175,6 +175,19 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     val bloomMaxItems = Option(opts.get("bloomMaxItems")).map(_.toInt).getOrElse(1000000)
     require(bloomMaxItems > 0,
       s"graft-ocf write: bloomMaxItems must be positive, got $bloomMaxItems")
+    // `blockIndex=true`: additionally stamp a PER-BLOCK min/max index
+    // (`graft.blockIndex`) over the statsColumns set — the read side plans
+    // block-aligned splits and prunes non-matching blocks INSIDE a file,
+    // the parquet row-group-pruning analog (file-level stats stop helping
+    // once files are GBs)
+    val blockIndex = Option(opts.get("blockIndex")).exists(_.toBoolean)
+    require(!blockIndex || statsOrdinals.nonEmpty,
+      "graft-ocf write: blockIndex=true requires statsColumns (the index " +
+        "stamps per-block bounds for exactly those columns)")
+    val blockIndexMaxEntries =
+      Option(opts.get("blockIndexMaxEntries")).map(_.toInt).getOrElse(8192)
+    require(blockIndexMaxEntries > 0,
+      s"graft-ocf write: blockIndexMaxEntries must be positive, got $blockIndexMaxEntries")
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -203,7 +216,8 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       partNames = partOrdinals.map(sql.fields(_).name),
       partOrdinals = partOrdinals, statsOrdinals = statsOrdinals,
       bloomOrdinals = bloomOrdinals, bloomFpp = bloomFpp,
-      bloomMaxItems = bloomMaxItems)
+      bloomMaxItems = bloomMaxItems,
+      blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries)
     // compile the row→datum writers once driver-side so schema mismatches
     // (wrong type for a field, non-record schema) fail the plan
     OcfWrite.compileFieldWriters(cfg)
@@ -227,7 +241,9 @@ private[sources] final case class OcfWriteConfig(
     statsOrdinals: Array[Int] = Array.empty,
     bloomOrdinals: Array[Int] = Array.empty,
     bloomFpp: Double = 0.01,
-    bloomMaxItems: Int = 1000000)
+    bloomMaxItems: Int = 1000000,
+    blockIndex: Boolean = false,
+    blockIndexMaxEntries: Int = 8192)
 
 private[sources] object OcfWrite {
 
@@ -426,6 +442,8 @@ private[sources] final class OcfDataWriter(
     cfg.partOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
   private val stats =
     if (cfg.statsOrdinals.isEmpty) null else new OcfStatsTracker(cfg)
+  private val blockIdx =
+    if (!cfg.blockIndex) null else new OcfBlockIndexTracker(cfg)
   private val bloom =
     if (cfg.bloomOrdinals.isEmpty) null else new OcfBloomTracker(cfg)
 
@@ -483,11 +501,14 @@ private[sources] final class OcfDataWriter(
     if (ocf == null) {
       val p = currentTmp
       out = p.getFileSystem(cfg.conf.value).create(p, true)
-      ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes)
+      ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes,
+        onBlockSealed = if (blockIdx == null) null else blockIdx.sealBlock)
       if (stats != null) stats.reset()
+      if (blockIdx != null) blockIdx.reset()
       if (bloom != null) bloom.reset()
     }
     if (stats != null) stats.update(row)
+    if (blockIdx != null) blockIdx.update(row)
     if (bloom != null) bloom.update(row)
     enc.out.reset()
     var i = 0
@@ -519,6 +540,8 @@ private[sources] final class OcfDataWriter(
       var tmp = currentTmp
       val stamps =
         (if (stats != null) Seq("graft.stats" -> stats.toJson) else Nil) ++
+          (if (blockIdx != null)
+            blockIdx.toJsonOpt.map("graft.blockIndex" -> _).toSeq else Nil) ++
           (if (bloom != null) bloom.toJsonOpt.map("graft.bloom" -> _).toSeq else Nil)
       if (stamps.nonEmpty) {
         val stamped = new Path(dirPath,
@@ -663,6 +686,37 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   }
 }
 
+/** Per-block min/max index for one open file: a second [[OcfStatsTracker]]
+  * accumulates the CURRENT block's bounds; the stream writer's seal callback
+  * snapshots it into an entry `{"o":rel,"n":rows,"s":{col:stats}}` and
+  * resets it. Offsets are relative to the END of the header (the later
+  * header re-stamp changes the header length; block bytes are copied
+  * verbatim, so relative offsets stay true). A file exceeding `maxEntries`
+  * blocks drops its index (absent index = no block pruning — conservative),
+  * bounding the header stamp at ~100 B × maxEntries. */
+private[sources] final class OcfBlockIndexTracker(cfg: OcfWriteConfig) {
+  private val acc = new OcfStatsTracker(cfg)
+  private val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+  private var dropped = false
+
+  def reset(): Unit = { acc.reset(); entries.clear(); dropped = false }
+  def update(row: InternalRow): Unit = if (!dropped) acc.update(row)
+
+  def sealBlock(relOffset: Long, rows: Long, blockLen: Long): Unit = {
+    if (dropped) return
+    if (entries.length >= cfg.blockIndexMaxEntries) {
+      dropped = true; entries.clear(); return
+    }
+    entries += s"""{"o":$relOffset,"n":$rows,"l":$blockLen,"s":${acc.toJson}}"""
+    acc.reset()
+  }
+
+  /** None when the file overflowed `maxEntries` or sealed zero blocks. */
+  def toJsonOpt: Option[String] =
+    if (dropped || entries.isEmpty) None
+    else Some(entries.mkString("[", ",", "]"))
+}
+
 private[sources] object OcfStatsTracker {
   /** Re-copy a sealed temp OCF with the given entries added to its header
     * meta map: new header bytes, then the block section streamed through
@@ -778,6 +832,7 @@ object OcfMaintenance {
     // silent skipping regression for point lookups).
     val seenStats = scala.collection.mutable.LinkedHashSet.empty[String]
     val seenBloom = scala.collection.mutable.LinkedHashSet.empty[String]
+    var seenBlockIdx = false
     files.foreach { f =>
       val p = new Path(f.path)
       val in = p.getFileSystem(conf).open(p)
@@ -788,6 +843,7 @@ object OcfMaintenance {
             seenStats ++= OcfPartitions.parseStats(new String(b, "UTF-8")).keys.toSeq.sorted)
         hdr.meta.get("graft.bloom").foreach(b =>
           seenBloom ++= OcfBloom.parse(new String(b, "UTF-8")).keys.toSeq.sorted)
+        seenBlockIdx ||= hdr.meta.contains("graft.blockIndex")
       } finally in.close()
     }
     val stampedCols: Seq[String] = statsColumns.getOrElse(seenStats.toSeq)
@@ -818,6 +874,9 @@ object OcfMaintenance {
     if (partCols.nonEmpty) w = w.option("partitionBy", partCols.mkString(","))
     if (keptStats.nonEmpty) w = w.option("statsColumns", keptStats.mkString(","))
     if (keptBloom.nonEmpty) w = w.option("bloomColumns", keptBloom.mkString(","))
+    // block indexes are re-derived over the output's (possibly overridden)
+    // stats set — they only exist alongside statsColumns
+    if (seenBlockIdx && keptStats.nonEmpty) w = w.option("blockIndex", "true")
     w.save(outDir)
   }
 

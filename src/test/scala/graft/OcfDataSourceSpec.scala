@@ -432,6 +432,92 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(unstamped.head.getLong(0) == 0L)
   }
 
+  test("block index: range predicates prune splits INSIDE a file, block-aligned") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-blockidx")
+    // ONE file, sorted ids, tiny blocks -> many index entries
+    (0L until 4000L).map(i => (i, s"name_$i")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("graft-ocf")
+      .option("statsColumns", "id").option("blockIndex", "true")
+      .option("blockBytes", "2048")
+      .mode("append").save(dir.getAbsolutePath)
+    val file = dir.listFiles.filter(f => f.isFile && f.getName.endsWith(".avro")).head
+    val (hdr, _) = graft.avro.Ocf.blockIterator(java.nio.file.Files.readAllBytes(file.toPath))
+    val idxJson = hdr.meta.get("graft.blockIndex").map(b => new String(b, "UTF-8"))
+    assert(idxJson.isDefined, "blockIndex=true must stamp graft.blockIndex")
+    val nBlocks = graft.sources.OcfPartitions.parseBlockIndex(idxJson.get).length
+    assert(nBlocks > 10, s"expected many small blocks, got $nBlocks")
+
+    def planned(df: DataFrame): Array[org.apache.spark.sql.connector.read.InputPartition] =
+      scanOf(df).toBatch.planInputPartitions()
+
+    // selective tail predicate: few aligned splits covering a small slice
+    val tail = read(dir, 1 << 20).where(col("id") >= 3900L)
+    val tailSplits = planned(tail)
+    assert(tailSplits.length >= 1 && tailSplits.length < nBlocks / 2,
+      s"tail query must prune most blocks; planned ${tailSplits.length} of $nBlocks")
+    val covered = tailSplits.collect {
+      case s: graft.sources.OcfInputPartition => assert(s.aligned); s.end - s.start
+    }.sum
+    assert(covered < file.length() / 4,
+      s"pruned splits must cover a fraction of the file: $covered of ${file.length()}")
+    assert(tail.select("id").as[Long].collect().sorted.toSeq == (3900L until 4000L))
+
+    // a middle range: interior blocks only
+    val mid = read(dir, 1 << 20).where(col("id") >= 2000L && col("id") < 2050L)
+    assert(mid.select("id").as[Long].collect().sorted.toSeq == (2000L until 2050L))
+
+    // unfiltered scan over aligned splits chunked at a small splitSize:
+    // multiple aligned splits, zero sync scans, no row lost or doubled
+    val full = read(dir, 8192)
+    val fullSplits = planned(full)
+    assert(fullSplits.length > 1, "small splitSize must chunk the aligned runs")
+    assert(full.select("id").as[Long].collect().sorted.toSeq == (0L until 4000L))
+
+    // COUNT(*) pushdown over aligned splits: the block walk must anchor at
+    // the split's exact offset (a sync scan from an aligned start would
+    // skip the first owned block) and stop exactly at end (the +16 grace
+    // would double-count across adjacent aligned splits)
+    assert(read(dir, 1 << 20).count() == 4000L, "single aligned split count")
+    assert(read(dir, 8192).count() == 4000L, "chunked aligned split count")
+    // grouped count over a partitioned + block-indexed layout (agg reader)
+    val gdir = tempDir("graft-dsv2-blockidx-grp")
+    (0L until 300L).map(i => (i, s"p${i % 3}")).toDF("id", "p").coalesce(1)
+      .write.format("graft-ocf").partitionBy("p")
+      .option("statsColumns", "id").option("blockIndex", "true")
+      .option("blockBytes", "512")
+      .mode("append").save(gdir.getAbsolutePath)
+    val gcounts = spark.read.format("graft-ocf").load(gdir.getAbsolutePath)
+      .groupBy("p").count()
+    assert(gcounts.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("p0", 100L), ("p1", 100L), ("p2", 100L)))
+
+    // decisive skip proof: trash the bodies of the FIRST half of the blocks
+    // (sorted file -> small ids live there); the tail query still answers
+    // exactly because those blocks are never decoded
+    val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+    val entries = graft.sources.OcfPartitions.parseBlockIndex(idxJson.get)
+    val headerEnd = {
+      val hp = new org.apache.hadoop.fs.Path(file.getAbsolutePath)
+      val in = hp.getFileSystem(spark.sessionState.newHadoopConf()).open(hp)
+      try graft.sources.OcfDataSource.readHeaderAt(in, file.length())._2 finally in.close()
+    }
+    entries.take(entries.length / 2).foreach { e =>
+      // zero the block BODY (skip the two varints, keep the trailing sync)
+      val bodyStart = {
+        val r = new graft.avro.AvroBinaryReader(bytes, (headerEnd + e.offset).toInt, bytes.length)
+        r.readLong(); r.readLong(); r.pos
+      }
+      val bodyEnd = (headerEnd + e.offset + e.len).toInt - 16
+      java.util.Arrays.fill(bytes, bodyStart, bodyEnd, 0x55.toByte)
+    }
+    java.nio.file.Files.write(file.toPath, bytes)
+    assert(read(dir, 1 << 20).where(col("id") >= 3900L)
+      .select("id").as[Long].collect().sorted.toSeq == (3900L until 4000L),
+      "tail query must never touch the trashed early blocks")
+  }
+
   test("grouped aggregate pushdown: GROUP BY partition column answered without data reads") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

@@ -279,6 +279,7 @@ class OcfWriteSpec extends AnyFunSuite {
     (0L until 400L).map(i => (i, s"doc_$i")).toDF("k", "v").repartition(4)
       .write.format("graft-ocf")
       .option("statsColumns", "k").option("bloomColumns", "k,v")
+      .option("blockIndex", "true").option("blockBytes", "1024")
       .mode(SaveMode.Append).save(in.getAbsolutePath)
     // an explicit statsColumns override replaces the STATS set only — the
     // input's bloom stamps must survive into the compacted output
@@ -292,6 +293,9 @@ class OcfWriteSpec extends AnyFunSuite {
       val bloom = hdr.meta.get("graft.bloom").map(b => new String(b, "UTF-8"))
       assert(bloom.isDefined, s"${f.getName} lost its bloom stamp")
       assert(bloom.get.contains("\"k\"") && bloom.get.contains("\"v\""), bloom.get)
+      // the block index is re-derived over the compacted blocks, not lost
+      assert(hdr.meta.contains("graft.blockIndex"),
+        s"${f.getName} lost its block index")
     }
     // a readerSchema promoting a bloom column to double must not crash the
     // maintenance job: 'k' silently drops from the stamp (ineligible type),

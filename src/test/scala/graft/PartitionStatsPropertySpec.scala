@@ -124,6 +124,51 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
     assert(OcfBloom.mayMatch(Seq(Or(EqualTo("c", 99L), EqualTo("c", 1L))), lk))
   }
 
+  test("blockAlignedRanges: coalescing, chunking, and stale-index fallback") {
+    import graft.sources.{OcfDataSource, OcfScan}
+    val he = 100L // header end
+    def entry(o: Long, l: Long, mn: Long, mx: Long): String =
+      s"""{"o":$o,"n":10,"l":$l,"s":{"id":{"t":"long","min":$mn,"max":$mx,""" +
+        s""""hasNull":false,"allNull":false}}}"""
+    def meta(entries: Seq[String], len: Long) =
+      OcfDataSource.OcfFileMeta("f", len, "{}", "null", new Array[Byte](16), he,
+        blockIndexJson = Some(entries.mkString("[", ",", "]")))
+    // 4 contiguous 100-byte blocks: id ranges [0,99],[100,199],[200,299],[300,399]
+    val tiles = Seq(entry(0, 100, 0, 99), entry(100, 100, 100, 199),
+      entry(200, 100, 200, 299), entry(300, 100, 300, 399))
+    val m = meta(tiles, he + 400)
+
+    // adjacent matches coalesce into ONE range
+    assert(OcfScan.blockAlignedRanges(m, Seq(GreaterThanOrEqual("id", 250L)), 1L << 20)
+      .contains(Seq((he + 200, he + 400))))
+    // disjoint matches stay separate ranges
+    assert(OcfScan.blockAlignedRanges(m, Seq(In("id", Array[Any](50L, 250L))), 1L << 20)
+      .contains(Seq((he + 0, he + 100), (he + 200, he + 300))))
+    // nothing matches -> zero ranges (file contributes no splits)
+    assert(OcfScan.blockAlignedRanges(m, Seq(GreaterThan("id", 9999L)), 1L << 20)
+      .contains(Seq.empty))
+    // no filters -> whole file, chunked at splitSize on block boundaries
+    assert(OcfScan.blockAlignedRanges(m, Nil, 150L)
+      .contains(Seq((he + 0, he + 100), (he + 100, he + 200),
+        (he + 200, he + 300), (he + 300, he + 400))))
+    assert(OcfScan.blockAlignedRanges(m, Nil, 200L)
+      .contains(Seq((he + 0, he + 200), (he + 200, he + 400))))
+    // a stale/foreign index must fall back, never drop data:
+    // gap between entries
+    assert(OcfScan.blockAlignedRanges(
+      meta(Seq(entry(0, 100, 0, 99), entry(150, 100, 100, 199)), he + 250), Nil, 1L).isEmpty)
+    // doesn't tile to the file end
+    assert(OcfScan.blockAlignedRanges(meta(tiles, he + 401), Nil, 1L).isEmpty)
+    // first block not at relative 0
+    assert(OcfScan.blockAlignedRanges(
+      meta(Seq(entry(10, 100, 0, 99)), he + 110), Nil, 1L).isEmpty)
+    // unparsable JSON
+    assert(OcfScan.blockAlignedRanges(
+      m.copy(blockIndexJson = Some("{not json")), Nil, 1L).isEmpty)
+    // absent index
+    assert(OcfScan.blockAlignedRanges(m.copy(blockIndexJson = None), Nil, 1L).isEmpty)
+  }
+
   test("partition-value filters evaluate exactly (keep iff the value matches)") {
     val genV: Gen[String] = Gen.oneOf("a", "b", "", "a/b", "é")
     val genF: Gen[String => Filter] = Gen.oneOf(
