@@ -684,11 +684,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
         val aggValues: Seq[Array[Any]] = metas.map { m =>
           lazy val stats = statsByPath.getOrElse(m.path,
             OcfPartitions.parseStats(m.statsJson.get))
-          val groupVals: Array[Any] = groupIdx.map { gi =>
-            if (gi >= m.partitionValues.length || m.partitionValues(gi) == null) null
-            else org.apache.spark.unsafe.types.UTF8String
-              .fromString(m.partitionValues(gi)): Any
-          }
+          val groupVals: Array[Any] =
+            groupIdx.map(gi => OcfSplitReader.partitionValue(m, gi))
           groupVals ++ exprs.map {
             case OcfAggExpr.Count => null
             case OcfAggExpr.MinOf(f, dt) =>
@@ -746,7 +743,6 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
       partCols = reqPartCols, partIdx = reqPartIdx,
       pushedFilters = pushed.toSeq,
-      filtersDesc = pushed.map(_.toString).toSeq,
       reportPartitioning = resolved.reportPartitioning)
   }
 }
@@ -811,7 +807,6 @@ private[graft] final case class OcfScan(
     aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
     aggGroupCols: Seq[String] = Nil,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    filtersDesc: Seq[String] = Nil,
     reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
@@ -921,7 +916,8 @@ private[graft] final case class OcfScan(
         (if (aggGroupCols.nonEmpty)
           s" PushedGroupBy: [${aggGroupCols.mkString(", ")}]" else "") +
         (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
-        (if (filtersDesc.nonEmpty) s" PushedFilters: [${filtersDesc.mkString(", ")}]" else "") +
+        (if (pushedFilters.nonEmpty)
+          s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }
@@ -953,12 +949,19 @@ private[graft] final case class OcfScan(
       }.toArray
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    if (countStar) OcfCountReaderFactory(files.toIndexedSeq, conf)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the stats/bloom/block-index stamps are DRIVER-ONLY planning inputs
+    // (file pruning, split planning, agg constants); shipping them in the
+    // factory's file table would put potentially-MBs of JSON per file into
+    // the stage's task binary for data no reader ever touches
+    val shipped = files.iterator.map(m =>
+      m.copy(statsJson = None, bloomJson = None, blockIndexJson = None)).toIndexedSeq
+    if (countStar) OcfCountReaderFactory(shipped, conf)
     else if (aggExprs.nonEmpty)
-      OcfAggReaderFactory(files.toIndexedSeq, conf, aggExprs.toArray,
+      OcfAggReaderFactory(shipped, conf, aggExprs.toArray,
         aggValues.toIndexedSeq, aggGroupCols.length)
-    else OcfReaderFactory(files.toIndexedSeq, readerJson, wrap, conf, limit, partIdx)
+    else OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx)
+  }
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(effectiveFiles.map(_.len).sum)
@@ -1170,15 +1173,21 @@ private[graft] object OcfSplitReader {
   /** The per-file CONSTANT row of required partition values (directory-name
     * strings), or null when unpartitioned — one allocation per split, joined
     * onto every decoded row. */
+  /** One partition value as its Catalyst representation (UTF8String or
+    * null) — the SINGLE materialization point, shared by the per-split
+    * partition row and the grouped-aggregate group values so the two can
+    * never diverge.
+    *
+    * Bounds guard: a streaming discovery log persisted BEFORE partition
+    * support has entries with empty value arrays — degrade to null
+    * partition values on replay rather than crash the restarted query. */
+  def partitionValue(meta: OcfDataSource.OcfFileMeta, i: Int): Any =
+    if (i >= meta.partitionValues.length || meta.partitionValues(i) == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(meta.partitionValues(i))
+
   def partitionRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int]): InternalRow =
     if (partIdx.isEmpty) null
-    else new GenericInternalRow(partIdx.map { i =>
-      // bounds guard: a streaming discovery log persisted BEFORE partition
-      // support has entries with empty value arrays — degrade to null
-      // partition values on replay rather than crash the restarted query
-      if (i >= meta.partitionValues.length || meta.partitionValues(i) == null) null
-      else org.apache.spark.unsafe.types.UTF8String.fromString(meta.partitionValues(i))
-    }.asInstanceOf[Array[Any]])
+    else new GenericInternalRow(partIdx.map(i => partitionValue(meta, i)))
 }
 
 private[graft] final class OcfSplitReader(

@@ -875,8 +875,15 @@ object OcfMaintenance {
     if (keptStats.nonEmpty) w = w.option("statsColumns", keptStats.mkString(","))
     if (keptBloom.nonEmpty) w = w.option("bloomColumns", keptBloom.mkString(","))
     // block indexes are re-derived over the output's (possibly overridden)
-    // stats set — they only exist alongside statsColumns
-    if (seenBlockIdx && keptStats.nonEmpty) w = w.option("blockIndex", "true")
+    // stats set — they only exist alongside statsColumns. The entry cap is
+    // scaled to the output file size (targetBytes / default blockBytes, 2x
+    // slack): large compaction targets must not silently overflow the
+    // default cap and drop the very index being preserved.
+    if (seenBlockIdx && keptStats.nonEmpty) {
+      w = w.option("blockIndex", "true")
+      val entryCap = math.max(8192L, 2L * targetBytes / Ocf.SyncInterval)
+      w = w.option("blockIndexMaxEntries", entryCap.toString)
+    }
     w.save(outDir)
   }
 
