@@ -719,10 +719,12 @@ object SparkEntry {
     "q75_block_index_scan" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
       val out = landingDir(s, "graft_q75_ocf_")
-      d.coalesce(1).sortWithinPartitions("n_chars")
+      // the SINK requests the clustering sort (sortColumns) — the caller
+      // hands over unsorted data and the layout is a storage property
+      d.coalesce(1)
         .write.format("graft-ocf").mode("overwrite")
         .option("statsColumns", "n_chars").option("blockIndex", "true")
-        .option("blockBytes", "4096")
+        .option("blockBytes", "4096").option("sortColumns", "n_chars")
         .save(out.getAbsolutePath)
       s.read.format("graft-ocf").load(out.getAbsolutePath)
         .where(col("n_chars") >= 500L)

@@ -188,6 +188,25 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       Option(opts.get("blockIndexMaxEntries")).map(_.toInt).getOrElse(8192)
     require(blockIndexMaxEntries > 0,
       s"graft-ocf write: blockIndexMaxEntries must be positive, got $blockIndexMaxEntries")
+    // `sortColumns`: the SINK requests a task-local sort on these columns
+    // (after the partition columns) via RequiresDistributionAndOrdering, so
+    // block indexes and min/max stamps get tight, disjoint ranges without
+    // the caller pre-sorting — clustering as a storage property, the way a
+    // table format owns its layout
+    val sortNames: Array[String] = Option(opts.get("sortColumns")) match {
+      case Some(v) =>
+        v.split(",").map(_.trim).filter(_.nonEmpty).map { sc =>
+          val exact = sql.fields.indexWhere(_.name == sc)
+          val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(sc))
+          if (i < 0) throw new IllegalArgumentException(
+            s"graft-ocf write: sortColumns entry '$sc' is not in the query schema")
+          require(!partOrdinals.contains(i),
+            s"graft-ocf write: sortColumns entry '$sc' is a partition column; " +
+              "partition columns are already sorted first")
+          sql.fields(i).name
+        }
+      case None => Array.empty
+    }
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -217,7 +236,8 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       partOrdinals = partOrdinals, statsOrdinals = statsOrdinals,
       bloomOrdinals = bloomOrdinals, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
-      blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries)
+      blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries,
+      sortNames = sortNames)
     // compile the row→datum writers once driver-side so schema mismatches
     // (wrong type for a field, non-record schema) fail the plan
     OcfWrite.compileFieldWriters(cfg)
@@ -243,7 +263,8 @@ private[sources] final case class OcfWriteConfig(
     bloomFpp: Double = 0.01,
     bloomMaxItems: Int = 1000000,
     blockIndex: Boolean = false,
-    blockIndexMaxEntries: Int = 8192)
+    blockIndexMaxEntries: Int = 8192,
+    sortNames: Array[String] = Array.empty)
 
 private[sources] object OcfWrite {
 
@@ -356,7 +377,7 @@ private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
     org.apache.spark.sql.connector.distributions.Distributions.unspecified()
 
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    cfg.partNames.map { n =>
+    (cfg.partNames ++ cfg.sortNames).map { n =>
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(n),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)

@@ -518,6 +518,41 @@ class OcfDataSourceSpec extends AnyFunSuite {
       "tail query must never touch the trashed early blocks")
   }
 
+  test("sortColumns: the sink's requested sort makes block indexes effective on unsorted input") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-sortcols")
+    // DELIBERATELY shuffled input: without the sink-side sort every block's
+    // [min,max] would span the whole domain and nothing could prune
+    val shuffled = new scala.util.Random(7).shuffle((0L until 4000L).toVector)
+    shuffled.map(i => (i, s"name_$i")).toDF("id", "name")
+      .coalesce(1)
+      .write.format("graft-ocf")
+      .option("statsColumns", "id").option("blockIndex", "true")
+      .option("blockBytes", "2048").option("sortColumns", "id")
+      .mode("append").save(dir.getAbsolutePath)
+    val df = read(dir, 1 << 20).where(col("id") >= 3900L)
+    val splits = scanOf(df).toBatch.planInputPartitions()
+    val file = dir.listFiles.filter(f => f.isFile && f.getName.endsWith(".avro")).head
+    val covered = splits.collect {
+      case s: graft.sources.OcfInputPartition => assert(s.aligned); s.end - s.start
+    }.sum
+    assert(covered < file.length() / 4,
+      s"sink-sorted blocks must prune the tail query: covered $covered of ${file.length()}")
+    assert(df.select("id").as[Long].collect().sorted.toSeq == (3900L until 4000L))
+
+    // unknown / partition sort columns fail the plan
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "p").write.format("graft-ocf")
+        .option("sortColumns", "nope").mode("append")
+        .save(tempDir("graft-dsv2-sortbad").getAbsolutePath)
+    }
+    intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "p").write.format("graft-ocf")
+        .partitionBy("p").option("sortColumns", "p").mode("append")
+        .save(tempDir("graft-dsv2-sortbad2").getAbsolutePath)
+    }
+  }
+
   test("grouped aggregate pushdown: GROUP BY partition column answered without data reads") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path
