@@ -709,6 +709,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Consumed partition filters + aggregate pushdown: a predicate whose
+    // every attribute is a partition column is applied EXACTLY by file
+    // pruning (a file has one partition tuple), so the source consumes it
+    // instead of returning it residual — Spark drops the post-scan Filter
+    // and the grouped COUNT/MAX pushdown fires THROUGH the WHERE clause.
+    // "Count docs per selected language" over 100 TB: partition dirs
+    // pruned exactly, survivors answered from block headers + stamps.
+    "q76_filtered_agg_pushdown" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val out = landingDir(s, "graft_q76_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .option("statsColumns", "doc_id")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("lang").isin("en", "fr", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
     // Block-index scan: blockIndex=true stamps a PER-BLOCK min/max index
     // into the OCF header; a range predicate over the sorted column then
     // prunes splits INSIDE the file, block-aligned (no sync scan), before
@@ -1522,6 +1543,13 @@ object SparkEntry {
         |  CAST(sum(d.n_chars * dim.weight) AS DOUBLE) AS weighted_chars
         |FROM documents d JOIN dim ON d.lang = dim.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // the filtered grouped pushdown is a lossless filter+group of the
+    // written data, so the oracle runs straight off the parquet
+    "q76_filtered_agg_pushdown" ->
+      """SELECT lang, count(*) AS n_docs, max(doc_id) AS max_id
+        |FROM documents WHERE lang IN ('en','fr','de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the block-index scan is a lossless selection of the written data, so
     // the oracle selects straight off the parquet

@@ -513,17 +513,22 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   private var statsByPath: Map[String, Map[String, OcfPartitions.ColStat]] = Map.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
-  /** Filters are accepted for DRIVER-SIDE file elimination only — exact
-    * partition-value pruning (before any header read) and header-stats
-    * range skipping — and ALL remain residual (returned back), because both
-    * are file-granular: a surviving file still holds non-matching rows, so
-    * Spark must re-apply the predicate after decode. Keeping them residual
-    * costs one codegen'd comparison per row; dropping them would cost
-    * correctness. */
+  /** Filters are accepted for DRIVER-SIDE file elimination — exact
+    * partition-value pruning (before any header read) and header-stats /
+    * bloom / block-index skipping. Filters whose every attribute is a
+    * partition column (and whose shape the partition evaluation decides
+    * definitively) are CONSUMED — not returned residual — because a file
+    * has exactly one partition tuple, so file-granular pruning IS row-exact
+    * for them; consuming them lets Spark drop the post-scan Filter and,
+    * crucially, attempt aggregate pushdown (`WHERE date = X` + grouped
+    * COUNT/MIN/MAX stays header-only). Everything else stays residual:
+    * stats/bloom/block skipping is conservative (a surviving file still
+    * holds non-matching rows), so Spark must re-apply those predicates. */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters
-    filters
+    filters.filterNot(f =>
+      OcfPartitions.exactOnPartitions(f, resolved.partCols.contains))
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
@@ -564,7 +569,13 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     * grouped profile reads NOTHING but file headers. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    if (limit.nonEmpty || pushed.nonEmpty ||
+    // consumed (partition-exact) filters compose with aggregate pushdown:
+    // build() prunes to exactly the matching files, whose partials are then
+    // exact for the filtered query. Spark only attempts the push when no
+    // residual filters remain, so `pushed` here is normally all-consumed —
+    // the guard is defensive.
+    if (limit.nonEmpty ||
+        pushed.exists(f => !OcfPartitions.exactOnPartitions(f, resolved.partCols.contains)) ||
         agg.aggregateExpressions.isEmpty) return false
     val gCols: Array[String] = agg.groupByExpressions.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -596,10 +607,11 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       case OcfAggExpr.MaxOf(f, _) => f
     }.distinct
     if (statFields.nonEmpty) {
-      // every file must answer from its header or the pushdown is off —
-      // header fetches are memoized (build() pays nothing extra) and the
-      // parsed stats are kept for build()'s value resolution
-      val parsedByPath = allMetas().map(m =>
+      // every file the (consumed-filter-pruned) scan will read must answer
+      // from its header or the pushdown is off — pruned files need neither
+      // stats nor a header fetch. Fetches are memoized (build() pays
+      // nothing extra); parsed stats are kept for build()'s resolution.
+      val parsedByPath = candidateMetas().map(m =>
         m.path -> m.statsJson.map(OcfPartitions.parseStats)).toMap
       val ok = parsedByPath.valuesIterator.forall(_.exists(stats =>
         statFields.forall(f => stats.get(f).exists(st =>
@@ -613,15 +625,26 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     true
   }
 
-  /** All files' headers, memoized into the resolve's meta cache. */
-  private def allMetas(): Seq[OcfDataSource.OcfFileMeta] =
-    resolved.prefetched.getOrElse {
-      val missing = resolved.files.filterNot(f => resolved.metaCache.containsKey(f.path))
-      if (missing.nonEmpty)
-        OcfDataSource.fetchMetas(resolved.conf, missing)
-          .foreach(m => resolved.metaCache.put(m.path, m))
-      resolved.files.map(f => resolved.metaCache.get(f.path))
+  /** Headers of the files surviving partition pruning on the pushed
+    * filters, memoized into the resolve's meta cache. */
+  private def candidateMetas(): Seq[OcfDataSource.OcfFileMeta] = {
+    val partIdx = resolved.partCols.zipWithIndex.toMap
+    val kept = resolved.files.filter(f => OcfPartitions.mayMatch(pushed.toSeq,
+      name => partIdx.get(name).collect {
+        case i if i < f.partitionValues.length => f.partitionValues(i) },
+      _ => None))
+    resolved.prefetched match {
+      case Some(ms) =>
+        val keep = kept.map(_.path).toSet
+        ms.filter(m => keep(m.path))
+      case None =>
+        val missing = kept.filterNot(f => resolved.metaCache.containsKey(f.path))
+        if (missing.nonEmpty)
+          OcfDataSource.fetchMetas(resolved.conf, missing)
+            .foreach(m => resolved.metaCache.put(m.path, m))
+        kept.map(f => resolved.metaCache.get(f.path))
     }
+  }
 
   override def build(): Scan = {
     val partIdx: Map[String, Int] = resolved.partCols.zipWithIndex.toMap
@@ -903,6 +926,14 @@ private[graft] final case class OcfScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!countStar && aggExprs.isEmpty && limit == Long.MaxValue,
       "graft-ocf: limit/aggregate pushdown is batch-only")
+    // partition-exact filters are CONSUMED at the batch planner (no
+    // post-scan Filter); the streaming planner reads every discovered file,
+    // so a consumed filter here would silently return unfiltered rows.
+    // Spark does not currently push filters into this streaming path —
+    // fail loudly if that ever changes rather than emit wrong results.
+    require(pushedFilters.isEmpty,
+      "graft-ocf: filter pushdown is batch-only; the streaming source would " +
+        "not apply consumed partition filters")
     new OcfMicroBatchStream(this, checkpointLocation)
   }
   override def description(): String = {

@@ -156,6 +156,32 @@ private[graft] object OcfPartitions {
     out
   }
 
+  /** Whether `f` can be applied EXACTLY by file-level partition pruning —
+    * every referenced attribute is a partition column (exact name match:
+    * the same resolution [[mayMatch]]'s partCol lookup uses) and the shape
+    * is one [[eval]]'s partition branch decides definitively. Such filters
+    * can be CONSUMED by pushFilters (not returned residual): every row of a
+    * kept file satisfies them, every dropped file's rows do not, because a
+    * file has exactly one partition tuple. Null literals are excluded —
+    * `eval`'s In branch string-compares `String.valueOf(null)`, which does
+    * not match SQL three-valued semantics for a partition VALUE "null". */
+  def exactOnPartitions(f: Filter, isPartCol: String => Boolean): Boolean = f match {
+    case EqualTo(a, v) => v != null && isPartCol(a)
+    case EqualNullSafe(a, _) => isPartCol(a)
+    case In(a, vs) => vs != null && !vs.contains(null) && isPartCol(a)
+    case IsNull(a) => isPartCol(a)
+    case IsNotNull(a) => isPartCol(a)
+    case GreaterThan(a, v) => v != null && isPartCol(a)
+    case GreaterThanOrEqual(a, v) => v != null && isPartCol(a)
+    case LessThan(a, v) => v != null && isPartCol(a)
+    case LessThanOrEqual(a, v) => v != null && isPartCol(a)
+    case StringStartsWith(a, p) => p != null && isPartCol(a)
+    case And(l, r) => exactOnPartitions(l, isPartCol) && exactOnPartitions(r, isPartCol)
+    case Or(l, r) => exactOnPartitions(l, isPartCol) && exactOnPartitions(r, isPartCol)
+    case Not(x) => exactOnPartitions(x, isPartCol)
+    case _ => false
+  }
+
   // ---- conservative filter evaluation --------------------------------------
 
   /** Whether a file MAY contain rows matching every pushed filter, given its
@@ -208,19 +234,22 @@ private[graft] object OcfPartitions {
         onPart(a)(_ != null).getOrElse(
           onStat(a)(st => if (st.allNull) Some(false) else None))
       case GreaterThan(a, v) =>
-        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) > 0).getOrElse(
+        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) > 0).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (_, dmax) => dmax >= 0 }))
       case GreaterThanOrEqual(a, v) =>
-        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) >= 0).getOrElse(
+        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) >= 0).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (_, dmax) => dmax > 0 }))
       case LessThan(a, v) =>
-        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) < 0).getOrElse(
+        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) < 0).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (dmin, _) => dmin <= 0 }))
       case LessThanOrEqual(a, v) =>
-        onPart(a)(pv => pv != null && pv.compareTo(String.valueOf(v)) <= 0).getOrElse(
+        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) <= 0).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (dmin, _) => dmin < 0 }))
       case StringStartsWith(a, p) =>
-        onPart(a)(pv => pv != null && pv.startsWith(p)).getOrElse(None)
+        onPart(a)(pv => pv != null &&
+          org.apache.spark.unsafe.types.UTF8String.fromString(pv)
+            .startsWith(org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+          .getOrElse(None)
       case And(l, r) => (eval(l, partCol, stat), eval(r, partCol, stat)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)
         case (Some(true), Some(true)) => Some(true)
@@ -235,6 +264,14 @@ private[graft] object OcfPartitions {
       case _ => None
     }
   }
+
+  /** Spark's string order is UTF-8 BINARY (UTF8String.compareTo); Java
+    * String.compareTo is UTF-16 code-unit order and disagrees above the
+    * BMP. Partition-value comparisons are EXACT (a mismatch drops a file's
+    * rows outright), so they must use Spark's order. */
+  private def cmpUtf8(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 
   /** Some(false) when the filter `col OP v` cannot hold anywhere in
     * [min, max]: `refutes` receives (sign(v-min), sign(v-max)) and answers

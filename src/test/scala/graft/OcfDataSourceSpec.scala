@@ -518,6 +518,59 @@ class OcfDataSourceSpec extends AnyFunSuite {
       "tail query must never touch the trashed early blocks")
   }
 
+  test("partition-exact filters are consumed: no post-scan Filter, aggregates compose") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-consume")
+    (0L until 300L).map(i => (i, s"p${i % 3}")).toDF("id", "p").repartition(2)
+      .write.format("graft-ocf").partitionBy("p")
+      .option("statsColumns", "id")
+      .mode("append").save(dir.getAbsolutePath)
+    def load() = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+
+    // a pure partition predicate leaves NO post-scan Filter (consumed)
+    val sel = load().where(col("p") === "p1")
+    assert(sel.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"partition-exact filter must be consumed:\n${sel.queryExecution.optimizedPlan}")
+    assert(sel.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 300L).filter(_ % 3 == 1))
+
+    // ...which lets COUNT(*) push down THROUGH the filter: header-only
+    // count of exactly the matching partition
+    val cnt = load().where(col("p") =!= "p0").count()
+    assert(cnt == 200L)
+    val cntDf = load().where(col("p") =!= "p0").groupBy().count()
+    assert(scanOf(cntDf).description().contains("PushedAggregation: [COUNT(*)]"),
+      scanOf(cntDf).description())
+
+    // grouped + filtered: per-partition partials of the selected partitions
+    val grouped = load().where(col("p").isin("p1", "p2")).groupBy("p").count()
+    assert(scanOf(grouped).description().contains("PushedGroupBy: [p]"))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ==
+      Seq(("p1", 100L), ("p2", 100L)))
+
+    // min/max + filter: bounds come only from the matching partition's files
+    val mm = load().where(col("p") === "p2").agg(min("id"), max("id"))
+    assert(scanOf(mm).description().contains("PushedAggregation: [MIN(id), MAX(id)]"),
+      scanOf(mm).description())
+    assert((mm.head.getLong(0), mm.head.getLong(1)) == (2L, 299L))
+
+    // string-range partition predicate is consumed too (UTF-8 order = Spark's)
+    val rng = load().where(col("p") > "p0")
+    assert(rng.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty)
+    assert(rng.count() == 200L)
+
+    // a MIXED predicate keeps the data half residual and stays exact
+    val mixed = load().where(col("p") === "p1" && col("id") < 100L)
+    assert(mixed.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty, "the data predicate must remain residual")
+    assert(mixed.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filter(_ % 3 == 1))
+  }
+
   test("sortColumns: the sink's requested sort makes block indexes effective on unsorted input") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-sortcols")

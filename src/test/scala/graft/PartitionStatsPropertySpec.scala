@@ -170,12 +170,18 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
   }
 
   test("partition-value filters evaluate exactly (keep iff the value matches)") {
-    val genV: Gen[String] = Gen.oneOf("a", "b", "", "a/b", "é")
+    // "𐍈" (U+10348) sits ABOVE the BMP: Java String.compareTo
+    // (UTF-16 units) and Spark's UTF8String order DISAGREE between it and
+    // "￿" — the exact evaluation must follow Spark's order
+    def u8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val genV: Gen[String] = Gen.oneOf("a", "b", "", "a/b", "é", "￿", "𐍈")
     val genF: Gen[String => Filter] = Gen.oneOf(
       (v: String) => EqualTo("p", v),
       (v: String) => Not(EqualTo("p", v)),
       (v: String) => In("p", Array[Any](v, "zzz")),
       (v: String) => StringStartsWith("p", v.take(1)),
+      (v: String) => GreaterThan("p", v),
+      (v: String) => LessThanOrEqual("p", v),
       (_: String) => IsNull("p"),
       (_: String) => IsNotNull("p"))
     runProp(Prop.forAll(genV, genV, genF) { (fileVal, filterVal, mk) =>
@@ -184,7 +190,9 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
         case EqualTo("p", v) => fileVal == v
         case Not(g) => !evalExact(g)
         case In("p", vs) => vs.contains(fileVal)
-        case StringStartsWith("p", pre) => fileVal.startsWith(pre)
+        case StringStartsWith("p", pre) => u8(fileVal).startsWith(u8(pre))
+        case GreaterThan("p", v) => u8(fileVal).compareTo(u8(String.valueOf(v))) > 0
+        case LessThanOrEqual("p", v) => u8(fileVal).compareTo(u8(String.valueOf(v))) <= 0
         case IsNull("p") => false // fileVal non-null here
         case IsNotNull("p") => true
         case _ => true
@@ -192,5 +200,17 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
       OcfPartitions.mayMatch(Seq(f), n => if (n == "p") Some(fileVal) else None,
         _ => None) == evalExact(f)
     })
+    // the shapes the builder may CONSUME are exactly the definite ones
+    val isP = Set("p")
+    assert(OcfPartitions.exactOnPartitions(EqualTo("p", "x"), isP))
+    assert(OcfPartitions.exactOnPartitions(
+      And(In("p", Array[Any]("a", "b")), Not(IsNull("p"))), isP))
+    assert(OcfPartitions.exactOnPartitions(GreaterThan("p", "x"), isP))
+    assert(!OcfPartitions.exactOnPartitions(EqualTo("data", "x"), isP))
+    assert(!OcfPartitions.exactOnPartitions(EqualTo("p", null), isP))
+    assert(!OcfPartitions.exactOnPartitions(In("p", Array[Any]("a", null)), isP))
+    assert(!OcfPartitions.exactOnPartitions(
+      And(EqualTo("p", "x"), EqualTo("data", "y")), isP))
+    assert(!OcfPartitions.exactOnPartitions(StringEndsWith("p", "x"), isP))
   }
 }
