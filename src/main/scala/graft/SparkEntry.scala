@@ -773,6 +773,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // SUM/COUNT(col) aggregate pushdown: the sink stamps each file's exact
+    // non-null count and exact integral sum alongside min/max
+    // (statsColumns), and the grouped profile below is answered ENTIRELY
+    // from file headers — no block is read, decompressed, or decoded. At
+    // 100 TB a per-partition token/char accounting query costs one header
+    // pread per file instead of a full corpus scan. Exactness is
+    // spec-proven over deliberately corrupted block bodies in
+    // OcfDataSourceSpec; SUM over floating columns is refused by design
+    // (accumulation order), which the same spec pins.
+    "q77_sum_pushdown" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q77_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .option("statsColumns", "doc_id,n_chars")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(col("n_chars")).as("n_vals"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("lang")
+    }),
+
     // Storage-partitioned scan: the source REPORTS its hive layout to Spark
     // as a KeyGroupedPartitioning (SupportsReportPartitioning + per-split
     // HasPartitionKey), so this group-by on the partition column plans
@@ -1561,6 +1586,13 @@ object SparkEntry {
     // the oracle groups straight off the parquet
     "q74_grouped_agg_pushdown" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the header-stamped sums/counts are exact, so the pushed-down profile
+    // must hash-match a straight aggregation of the parquet
+    "q77_sum_pushdown" ->
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  count(n_chars) AS n_vals, min(doc_id) AS min_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the bloom-skipped point lookup is a lossless selection of the written

@@ -21,7 +21,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.AvroDecodePruning.install(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q01_agg,q77_sum_pushdown — subset dump for
+    // local iteration; unset (the driver's mode) dumps everything
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ns) => SparkEntry.queries.view.filterKeys(ns).toMap
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

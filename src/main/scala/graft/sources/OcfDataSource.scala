@@ -450,6 +450,13 @@ private[graft] object OcfAggExpr {
   case object Count extends OcfAggExpr
   final case class MinOf(field: String, dt: org.apache.spark.sql.types.DataType) extends OcfAggExpr
   final case class MaxOf(field: String, dt: org.apache.spark.sql.types.DataType) extends OcfAggExpr
+  /** COUNT(col): the header stamp's exact non-null count — a constant. */
+  final case class CountOf(field: String) extends OcfAggExpr
+  /** SUM(col), integral columns only: the header stamp's exact Long sum — a
+    * constant. Partial type is LongType (matching Spark's Sum result type
+    * for byte/short/int/long inputs); the sink refuses to stamp a wrapped
+    * sum, so an accepted push is always exact. */
+  final case class SumOf(field: String) extends OcfAggExpr
 }
 
 /** Hadoop `Configuration` is not `java.io.Serializable`; this 12-line
@@ -544,7 +551,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     true
   }
 
-  /** PARTIAL aggregate pushdown for `COUNT(*)` / `MIN(col)` / `MAX(col)`
+  /** PARTIAL aggregate pushdown for `COUNT(*)` / `MIN(col)` / `MAX(col)` /
+    * `COUNT(col)` / `SUM(col)` (integral)
     * mixes, ungrouped or GROUPED BY partition columns
     * (`supportCompletePushDown` stays false — Spark re-aggregates the
     * per-split partials, summing counts and re-min/max-ing bounds):
@@ -560,6 +568,13 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     *    the answer needs NO data read at all — min/max-only aggregations
     *    never open a file body. Tracker bounds are exact (it sees every
     *    row), so this is exact pushdown, not an approximation.
+    *  - `COUNT(col)` / `SUM(col)` are likewise header constants: the stamp
+    *    carries the exact non-null count (`nn`) and, for integral columns
+    *    whose sum never wrapped a Long, the exact sum. SUM over float/double
+    *    is never pushed (accumulation order would make the constant diverge
+    *    from a row-order recompute); stamps predating `nn`/`sum` refuse the
+    *    push. A stats-only aggregation — any COUNT(col)/SUM/MIN/MAX mix
+    *    without COUNT(*) — therefore reads NOTHING but file headers.
     *
     * GROUP BY is accepted when every grouping expression is a partition
     * column: a file belongs to exactly one partition tuple, so its partial
@@ -568,7 +583,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     * GROUP BY date` over 100 TB reads block headers only; a min/max-only
     * grouped profile reads NOTHING but file headers. */
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     // consumed (partition-exact) filters compose with aggregate pushdown:
     // build() prunes to exactly the matching files, whose partials are then
     // exact for the filtered query. Spark only attempts the push when no
@@ -594,19 +609,43 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
         }
       case _ => None
     }
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val parsed = agg.aggregateExpressions.map {
       case _: CountStar => Some(OcfAggExpr.Count)
       case m: Min => fieldOf(m.column).map { case (n, dt) => OcfAggExpr.MinOf(n, dt) }
       case m: Max => fieldOf(m.column).map { case (n, dt) => OcfAggExpr.MaxOf(n, dt) }
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map { case (n, _) => OcfAggExpr.CountOf(n) }
+      // SUM only over integral columns: the stamp is an exact Long; a
+      // floating sum is accumulation-order-dependent, so a header constant
+      // could differ from what a row-order scan computes
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).collect { case (n, dt) if integral(dt) => OcfAggExpr.SumOf(n) }
       case _ => None
     }
     if (parsed.exists(_.isEmpty)) return false
     val exprs = parsed.flatten.toSeq
-    val statFields = exprs.collect {
-      case OcfAggExpr.MinOf(f, _) => f
-      case OcfAggExpr.MaxOf(f, _) => f
-    }.distinct
-    if (statFields.nonEmpty) {
+    // per-field requirement a file's stamp must meet for the push to stay
+    // exact; any shortfall (old stamp, missing column, overflowed sum)
+    // refuses the whole aggregation — never a partially-trusted answer
+    val statNeeds: Seq[(String, OcfPartitions.ColStat => Boolean)] = exprs.collect {
+      case OcfAggExpr.MinOf(f, _) =>
+        f -> ((st: OcfPartitions.ColStat) =>
+          st.allNull || (st.min.isDefined && st.max.isDefined))
+      case OcfAggExpr.MaxOf(f, _) =>
+        f -> ((st: OcfPartitions.ColStat) =>
+          st.allNull || (st.min.isDefined && st.max.isDefined))
+      case OcfAggExpr.CountOf(f) =>
+        f -> ((st: OcfPartitions.ColStat) => st.nonNull.isDefined)
+      case OcfAggExpr.SumOf(f) =>
+        f -> ((st: OcfPartitions.ColStat) =>
+          st.sum.isDefined || st.nonNull.contains(0L))
+    }
+    if (statNeeds.nonEmpty) {
       // every file the (consumed-filter-pruned) scan will read must answer
       // from its header or the pushdown is off — pruned files need neither
       // stats nor a header fetch. Fetches are memoized (build() pays
@@ -614,8 +653,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       val parsedByPath = candidateMetas().map(m =>
         m.path -> m.statsJson.map(OcfPartitions.parseStats)).toMap
       val ok = parsedByPath.valuesIterator.forall(_.exists(stats =>
-        statFields.forall(f => stats.get(f).exists(st =>
-          st.allNull || (st.min.isDefined && st.max.isDefined)))))
+        statNeeds.forall { case (f, need) => stats.get(f).exists(need) }))
       if (!ok) return false
       statsByPath = parsedByPath.collect { case (p, Some(s)) => p -> s }
     }
@@ -717,6 +755,12 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
             case OcfAggExpr.MaxOf(f, dt) =>
               val st = stats(f)
               if (st.allNull) null else OcfDataSource.statValue(st.max.get, dt)
+            case OcfAggExpr.CountOf(f) => java.lang.Long.valueOf(stats(f).nonNull.get)
+            case OcfAggExpr.SumOf(f) =>
+              val st = stats(f)
+              // SUM ignores nulls: a file with no non-null values
+              // contributes a null partial, which Spark's final Sum skips
+              if (st.nonNull.contains(0L)) null else java.lang.Long.valueOf(st.sum.get)
           }.toArray[Any]
         }
         return OcfScan(metas, resolved.readerJson, resolved.dataSql,
@@ -918,6 +962,10 @@ private[graft] final case class OcfScan(
             StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
           case (OcfAggExpr.MinOf(f, dt), i) => StructField(s"min_${f}_$i", dt, nullable = true)
           case (OcfAggExpr.MaxOf(f, dt), i) => StructField(s"max_${f}_$i", dt, nullable = true)
+          case (OcfAggExpr.CountOf(f), i) =>
+            StructField(s"count_${f}_$i", org.apache.spark.sql.types.LongType, nullable = false)
+          case (OcfAggExpr.SumOf(f), i) =>
+            StructField(s"sum_${f}_$i", org.apache.spark.sql.types.LongType, nullable = true)
         })
     else StructType(sql.fields ++ partCols.map(
       StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
@@ -943,6 +991,8 @@ private[graft] final case class OcfScan(
           case OcfAggExpr.Count => "COUNT(*)"
           case OcfAggExpr.MinOf(f, _) => s"MIN($f)"
           case OcfAggExpr.MaxOf(f, _) => s"MAX($f)"
+          case OcfAggExpr.CountOf(f) => s"COUNT($f)"
+          case OcfAggExpr.SumOf(f) => s"SUM($f)"
         }.mkString(", ")}]" else "") +
         (if (aggGroupCols.nonEmpty)
           s" PushedGroupBy: [${aggGroupCols.mkString(", ")}]" else "") +

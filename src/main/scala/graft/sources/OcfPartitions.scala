@@ -85,9 +85,13 @@ private[graft] object OcfPartitions {
   // ---- per-file column statistics (header-stamped min/max) -----------------
 
   /** Parsed `graft.stats` header entry for one field. `min`/`max` are absent
-    * when every value was null. */
+    * when every value was null. `nonNull` (the exact non-null row count) and
+    * `sum` (exact integral sum) are absent on stamps written before they
+    * existed — absent means the scan refuses the corresponding COUNT/SUM
+    * aggregate pushdown, never that it guesses. */
   final case class ColStat(typ: String, min: Option[JsonNode], max: Option[JsonNode],
-                           hasNull: Boolean, allNull: Boolean) {
+                           hasNull: Boolean, allNull: Boolean,
+                           nonNull: Option[Long] = None, sum: Option[Long] = None) {
     /** sign(v - min), sign(v - max); None when `v`'s type does not line up
       * with the stamped type (no skipping on a mismatched comparison). */
     def cmp(v: Any): Option[(Int, Int)] = (min, max) match {
@@ -131,7 +135,8 @@ private[graft] object OcfPartitions {
       val o = e.getValue
       b += e.getKey -> ColStat(o.get("t").asText,
         Option(o.get("min")), Option(o.get("max")),
-        o.get("hasNull").asBoolean, o.get("allNull").asBoolean)
+        o.get("hasNull").asBoolean, o.get("allNull").asBoolean,
+        Option(o.get("nn")).map(_.asLong), Option(o.get("sum")).map(_.asLong))
     }
     b.result()
   }

@@ -604,10 +604,15 @@ private[sources] final class OcfDataWriter(
 }
 
 /** Per-file column statistics for `statsColumns`: running min/max (typed
-  * long / double / string), null presence, and all-null flag per tracked
-  * column — O(columns) state, updated per row, serialized once per sealed
-  * file into the `graft.stats` header entry that [[OcfPartitions.mayMatch]]
-  * uses for read-side file skipping. */
+  * long / double / string), null presence, all-null flag, non-null count,
+  * and (integral columns only) the exact running sum per tracked column —
+  * O(columns) state, updated per row, serialized once per sealed file into
+  * the `graft.stats` header entry that [[OcfPartitions.mayMatch]] uses for
+  * read-side file skipping and the scan's SUM/COUNT(col) aggregate pushdown
+  * answers from. The sum is kept only for integral types (exact Long
+  * arithmetic; a floating sum depends on accumulation order, so a header
+  * stamp could disagree with a row-order recompute) and is dropped on Long
+  * overflow rather than stamped wrapped. */
 private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   private val n = cfg.statsOrdinals.length
   private val names = cfg.statsOrdinals.map(cfg.sql.fields(_).name)
@@ -630,10 +635,14 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   private val maxS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
   private val nonNull = new Array[Long](n)
   private val sawNull = new Array[Boolean](n)
+  private val sumL = new Array[Long](n)
+  private val sumOverflow = new Array[Boolean](n)
 
   def reset(): Unit = {
     java.util.Arrays.fill(nonNull, 0L)
     java.util.Arrays.fill(sawNull, false)
+    java.util.Arrays.fill(sumL, 0L)
+    java.util.Arrays.fill(sumOverflow, false)
     java.util.Arrays.fill(minS.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(maxS.asInstanceOf[Array[AnyRef]], null)
   }
@@ -649,6 +658,10 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             val v = getters(i)(row, o).asInstanceOf[Number].longValue
             if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
             if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
+            val s = sumL(i) + v
+            // two same-signed operands producing the opposite sign = wrap
+            if (((sumL(i) ^ s) & (v ^ s)) < 0) sumOverflow(i) = true
+            sumL(i) = s
           case 1 =>
             // Double.compare ordering: NaN takes its Spark position
             // (largest) and signed zeros stay distinct, so the stamp carries
@@ -701,6 +714,11 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
       }
       o.put("hasNull", sawNull(i))
       o.put("allNull", nonNull(i) == 0L)
+      // exact non-null count (COUNT(col) pushdown) and, for integral
+      // columns that did not overflow a Long, the exact sum (SUM pushdown);
+      // an absent "sum" just means the read side refuses the push
+      o.put("nn", nonNull(i))
+      if (tags(i) == 0 && nonNull(i) > 0L && !sumOverflow(i)) o.put("sum", sumL(i))
       i += 1
     }
     om.writeValueAsString(root)
