@@ -773,6 +773,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Z-order clustering (X47): rows land along the Morton curve of
+    // (doc_id, n_chars), so per-file min/max stamps stay tight on BOTH
+    // columns — the n_chars range predicate below skips files even though
+    // it is not the leading sort column. At 100 TB this makes stats
+    // skipping serve every frequent predicate column at once instead of
+    // one; two-dimensional skip counts are spec-proven in LayoutSpec
+    // against a lexicographic-sort control.
+    "q78_zorder_scan" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q78_ocf_")
+      ops.Layout.zorderBy(d, 8, "doc_id", "n_chars")
+        .write.format("graft-ocf").mode("overwrite")
+        .option("statsColumns", "doc_id,n_chars")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("n_chars") >= 200L && col("n_chars") < 400L)
+        .orderBy("doc_id")
+    }),
+
     // SUM/COUNT(col) aggregate pushdown: the sink stamps each file's exact
     // non-null count and exact integral sum alongside min/max
     // (statsColumns), and the grouped profile below is answered ENTIRELY
@@ -1587,6 +1607,13 @@ object SparkEntry {
     "q74_grouped_agg_pushdown" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the z-ordered roundtrip is a lossless relayout of the written data,
+    // so the filtered read must hash-match a straight filter of the parquet
+    "q78_zorder_scan" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+        |FROM documents WHERE n_chars >= 200 AND n_chars < 400
+        |ORDER BY doc_id""".stripMargin,
 
     // the header-stamped sums/counts are exact, so the pushed-down profile
     // must hash-match a straight aggregation of the parquet

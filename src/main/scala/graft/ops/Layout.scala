@@ -41,4 +41,28 @@ object Layout {
       explode(expr(s"CAST(sequence(0, ${saltFactor - 1}) AS ARRAY<INT>)")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** The raw Z-order (Morton) key for `cols` — a binary column whose
+    * unsigned-lexicographic order walks the space-filling curve. See
+    * [[graft.spark.ZOrderKey]]. */
+  def zorderKey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Shims.column(
+      graft.spark.ZOrderKey(cols.map(org.apache.spark.sql.graft.Shims.expression)))
+
+  /** Cluster `df` along the Z-order curve of `cols` into `numPartitions`
+    * output partitions: range-partition on the Morton key (each partition =
+    * one compact curve segment), sort within, drop the key. Written out with
+    * `statsColumns`/`blockIndex` over the same columns, EVERY column's
+    * per-file and per-block min/max stays tight — a selective predicate on
+    * ANY of them skips most files, where a lexicographic sort only serves
+    * the leading column. The projection that drops the key is narrow, so
+    * the per-partition sort order survives into the writer. */
+  def zorderBy(df: DataFrame, numPartitions: Int, cols: String*): DataFrame = {
+    require(cols.nonEmpty, "zorderBy needs at least one column")
+    require(numPartitions > 0, s"numPartitions must be positive; got $numPartitions")
+    df.withColumn("__graft_zkey", zorderKey(cols.map(df(_)): _*))
+      .repartitionByRange(numPartitions, col("__graft_zkey"))
+      .sortWithinPartitions("__graft_zkey")
+      .drop("__graft_zkey")
+  }
 }
