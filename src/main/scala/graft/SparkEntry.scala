@@ -1334,6 +1334,18 @@ object SparkEntry {
           expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"))
         .orderBy("id_a", "id_b")),
 
+    // X48 semantic dedup (SemDeDup family): keep a vector iff no lower-id
+    // vector sits within cosine 0.4 — the id-order local minima of the
+    // near-neighbor graph (a per-item rule, distinct from q64's
+    // one-per-connected-component). Exact candidates here because this
+    // corpus's 0.4 tail is continuous (same regime argument as q27); the
+    // SemDeDup cluster-scoped and LSH scale paths are spec-proven equal to
+    // exact on planted separated clusters (LshRecallSpec).
+    "q79_semantic_dedup" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
     // Deterministic per-stratum sampling: hash-keyed (reproducible under
     // task retry/speculation — rand() is not), pure map-side filter. The
     // rates are exactly-representable binary fractions so the < comparison
@@ -2149,6 +2161,15 @@ object SparkEntry {
         |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS sim0
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE sim0 >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // kept = rows with no lower-id near neighbor; the NOT EXISTS mirrors the
+    // drop rule literally
+    "q79_semantic_dedup" ->
+      """SELECT d.vec_id, d.label FROM embeddings d WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings e WHERE e.vec_id < d.vec_id AND
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(d.embedding AS DOUBLE[])) >= 0.4)
+        |ORDER BY d.vec_id""".stripMargin,
 
     // Exhaustive-probe IVF ≡ brute force, so the q26 oracle applies verbatim.
     "q38_ivf_topk" ->

@@ -96,24 +96,15 @@ object Similarity {
               trainFraction: Double = 1.0,
               qId: String = "vec_id", qVec: String = "embedding",
               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val cv = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
     val qv = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
     // coarse quantizer: k-means in cosine geometry, deterministic via seed.
     // Zero-norm vectors (padding rows, failed embeds) are excluded from
     // TRAINING only — cosine k-means rejects them — but stay in the corpus
     // (NearestCentroids assigns them deterministically, cosine scores 0).
-    val trainable = cv
-      .where(expr("aggregate(n_vec, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0"))
-    val train = (if (trainFraction < 1.0) trainable.sample(trainFraction, seed) else trainable)
-      .select(array_to_vector(col("n_vec")).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine")
-      .setFeaturesCol("features")
-      .fit(train)
-    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centroids: Seq[Seq[Double]] = trainCentroids(
+      cv.select(col("n_id").as("id"), col("n_vec").as("vec")),
+      nlist, seed, trainFraction)
 
     def cells(c: Column, probes: Int): Column =
       Shims.column(graft.spark.NearestCentroids(Shims.expression(c), centroids, probes))
@@ -180,5 +171,88 @@ object Similarity {
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
       .where(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** How [[semDedup]] generates its candidate near-duplicate pairs. */
+  sealed trait SemDedupCandidates extends Serializable
+  /** Exact all-pairs scoring — full recall, declared O(n²); the correctness
+    * baseline and the honest plan for thresholds inside the corpus's
+    * continuous similarity tail (see [[cosineAllPairs]]). */
+  case object ExactCandidates extends SemDedupCandidates
+  /** Multi-table hyperplane-LSH buckets ([[cosineNearDupPairs]]) — the scale
+    * path for true near-duplicate thresholds (sim ≥ ~0.85), where banded
+    * collisions have spec-proven recall (LshRecallSpec). */
+  final case class LshCandidates(numPlanes: Int = 12, numTables: Int = 8,
+                                 seed: Long = 42L) extends SemDedupCandidates
+  /** SemDeDup's cluster scoping (Abbas et al., "SemDeDup", 2023): a coarse
+    * k-means quantizer (cosine geometry, [[ivfTopK]]'s machinery) partitions
+    * the corpus into `nlist` cells and only WITHIN-cell pairs are scored —
+    * cost Σ|cell|²·dim instead of n²·dim. Pairs that straddle a cell
+    * boundary are missed by construction; that is the documented SemDeDup
+    * approximation, acceptable when clusters are well-separated relative to
+    * the threshold (spec-proven equal to exact on planted separated
+    * clusters). */
+  final case class ClusteredCandidates(nlist: Int = 16, trainFraction: Double = 1.0,
+                                       seed: Long = 42L) extends SemDedupCandidates
+
+  /** Semantic deduplication over an embedding column: keep a row iff NO
+    * lower-id row sits within cosine `threshold` of it — the id-order local
+    * minima of the near-neighbor graph. The decision reads raw pairs only
+    * (no iteration, no dependence on what else was kept), so it is cheap
+    * and deterministic; a component may retain several rows (a node whose
+    * neighbors all have higher ids survives), where
+    * [[Dedup.dropNearDups]] keeps exactly one row per CONNECTED COMPONENT.
+    * Returns the kept rows with all original columns.
+    *
+    * Scale notes: the drop set ships as an ids-only left-anti join; with
+    * [[ClusteredCandidates]] the pair space is cell-local (embeddings ride
+    * exactly one shuffle keyed by cell id) and with [[LshCandidates]] the
+    * bucket fan-out carries ids only — the full corpus row never travels
+    * with its vector beyond the first projection. */
+  def semDedup(df: DataFrame, threshold: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               candidates: SemDedupCandidates = ExactCandidates): DataFrame = {
+    val pairs = candidates match {
+      case ExactCandidates => cosineAllPairs(df, threshold, idCol, vecCol)
+      case LshCandidates(planes, tables, seed) =>
+        cosineNearDupPairs(df, threshold, idCol, vecCol, planes, tables, seed)
+      case ClusteredCandidates(nlist, trainFraction, seed) =>
+        val cv = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        val centroids = trainCentroids(cv, nlist, seed, trainFraction)
+        def cells(c: Column): Column =
+          Shims.column(graft.spark.NearestCentroids(Shims.expression(c), centroids, 1))
+        val celled = cv.select(col("id"), col("vec"),
+          element_at(cells(col("vec")), 1).as("cell"))
+        celled.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
+          .join(celled.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b")),
+            Seq("cell"))
+          .where(col("id_a") < col("id_b"))
+          .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+          .where(col("sim") >= threshold)
+          .select(col("id_a"), col("id_b"), col("sim"))
+    }
+    val drops = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Coarse k-means quantizer centers in cosine geometry (shared by
+    * [[ivfTopK]] and [[semDedup]]'s cluster scoping): deterministic via
+    * seed, trained on a sample when `trainFraction < 1`, zero-norm vectors
+    * excluded from training only. Only nlist × dim doubles return to the
+    * driver. */
+  private def trainCentroids(cv: DataFrame, nlist: Int, seed: Long,
+                             trainFraction: Double): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val trainable = cv
+      .where(expr("aggregate(vec, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0"))
+    val train = (if (trainFraction < 1.0) trainable.sample(trainFraction, seed) else trainable)
+      .select(array_to_vector(col("vec")).as("features"))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine")
+      .setFeaturesCol("features")
+      .fit(train)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
   }
 }

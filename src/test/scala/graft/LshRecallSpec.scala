@@ -85,4 +85,48 @@ class LshRecallSpec extends AnyFunSuite {
     val hits = (0 until nPlanted).count(i => res.get(1000L + i).contains(i.toLong))
     assert(hits >= math.ceil(nPlanted * 0.95).toInt, s"source found for $hits/$nPlanted probes")
   }
+
+  test("semDedup: clustered (SemDeDup) and LSH candidates equal exact on separated clusters") {
+    // 6 well-separated gaussian centers (dim 64 → cross-cluster cos ≈ ±0.12),
+    // 8 members each at 0.1·g noise (intra-cluster cos ≈ 0.99): at τ = 0.8
+    // every cluster is a complete near-dup graph and no pair crosses one, so
+    // ALL THREE candidate modes must keep exactly the min id per cluster.
+    val r2 = new scala.util.Random(11)
+    val centers = Array.fill(6)(Array.fill(dim)(r2.nextGaussian().toFloat))
+    val rows = for {
+      c <- centers.indices; m <- 0 until 8
+    } yield ((c * 100 + m).toLong,
+      centers(c).map(x => x + 0.1f * r2.nextGaussian().toFloat))
+    // sanity on the plant: separation holds for the chosen seed
+    for (i <- centers.indices; j <- (i + 1) until centers.length)
+      assert(cos(centers(i), centers(j)) < 0.5, s"centers $i,$j too close")
+    val df = toDf(rows)
+    val expectKept = centers.indices.map(_ * 100L).toSet
+    def keptOf(mode: Similarity.SemDedupCandidates): Set[Long] =
+      Similarity.semDedup(df, 0.8, candidates = mode)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptOf(Similarity.ExactCandidates) == expectKept)
+    assert(keptOf(Similarity.ClusteredCandidates(nlist = 6)) == expectKept,
+      "k-means cell scoping must not lose within-cluster pairs on separated clusters")
+    assert(keptOf(Similarity.LshCandidates()) == expectKept)
+  }
+
+  test("semDedup keeps id-order local minima, not one-per-component") {
+    // star: a(1)~c(3), b(2)~c(3), a!~b at cos >= 0.7 — c drops (a is an
+    // earlier neighbor), but b SURVIVES (its only neighbor has a higher id),
+    // unlike a component rule which would keep a alone
+    val inv = (1.0 / math.sqrt(2.0)).toFloat
+    val star = toDf(Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(inv, inv))))
+    val keptStar = Similarity.semDedup(star, 0.7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptStar == Set(1L, 2L), s"star kept $keptStar")
+    // chain: x(1)~y(2)~z(3), x!~z — y and z both have earlier neighbors,
+    // only x survives (here the rule agrees with the component rule)
+    val chain = toDf(Seq(
+      (1L, Array(1f, 0f)), (2L, Array(inv, inv)), (3L, Array(0f, 1f))))
+    val keptChain = Similarity.semDedup(chain, 0.7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptChain == Set(1L), s"chain kept $keptChain")
+  }
 }
