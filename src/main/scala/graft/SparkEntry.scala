@@ -773,6 +773,29 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Top-k pushdown (X50): the sink's sortColumns ordered these files and
+    // its tracker CERTIFIED each one (graft.sortedBy header stamp); the
+    // ORDER BY+LIMIT below pushes as a partial TopN, so every split decodes
+    // at most 10 rows instead of its whole range, and the scan also reports
+    // its per-partition ordering (SupportsReportOrdering) so layout-
+    // satisfied local sorts vanish from plans. At 100 TB `ORDER BY ts
+    // LIMIT k` over time-sorted landings is a ~k-rows-per-split query, not
+    // a corpus scan. Cap + refusal shapes spec-proven in OcfDataSourceSpec;
+    // the stamp's honesty (verified row-by-row, dropped on any inversion)
+    // in OcfMetricsSpec.
+    "q80_topk_pushdown" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q80_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").mode("overwrite")
+        .option("sortColumns", "n_chars,doc_id")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .orderBy(col("n_chars"), col("doc_id"))
+        .limit(10)
+    }),
+
     // Z-order clustering (X47): rows land along the Morton curve of
     // (doc_id, n_chars), so per-file min/max stamps stay tight on BOTH
     // columns — the n_chars range predicate below skips files even though
@@ -1619,6 +1642,12 @@ object SparkEntry {
     "q74_grouped_agg_pushdown" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the sorted roundtrip is lossless and the (n_chars, doc_id) order is
+    // total, so the pushed top-10 must hash-match the straight SQL top-10
+    "q80_topk_pushdown" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
+        |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
 
     // the z-ordered roundtrip is a lossless relayout of the written data,
     // so the filtered read must hash-match a straight filter of the parquet

@@ -117,7 +117,8 @@ object OcfDataSource {
                                partitionValues: Array[String] = Array.empty,
                                statsJson: Option[String] = None,
                                bloomJson: Option[String] = None,
-                               blockIndexJson: Option[String] = None)
+                               blockIndexJson: Option[String] = None,
+                               sortedByJson: Option[String] = None)
 
   /** Driver-side view of one read: the frozen file LISTING (header
     * resolution is deferred to [[OcfScanBuilder.build]] so partition
@@ -318,7 +319,8 @@ object OcfDataSource {
         f.partitionValues,
         h.meta.get("graft.stats").map(new String(_, "UTF-8")),
         h.meta.get("graft.bloom").map(new String(_, "UTF-8")),
-        h.meta.get("graft.blockIndex").map(new String(_, "UTF-8")))
+        h.meta.get("graft.blockIndex").map(new String(_, "UTF-8")),
+        h.meta.get("graft.sortedBy").map(new String(_, "UTF-8")))
     }
     if (files.lengthCompare(2) < 0) files.map(metaOf)
     else {
@@ -510,10 +512,12 @@ private[sources] final class OcfTable(
 private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
+  private var topNCols: Seq[String] = Nil
   private var countStar = false
   private var aggExprs: Option[Seq[OcfAggExpr]] = None
   private var aggGroupCols: Array[String] = Array.empty
@@ -550,6 +554,49 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     limit = Some(l)
     true
   }
+
+  /** PARTIAL top-k pushdown over SORT-STAMPED files (`isPartiallyPushed`
+    * stays true — Spark keeps the global sort + limit): accepted when the
+    * requested ordering is ascending-nulls-first on a PREFIX of every
+    * candidate file's verified `graft.sortedBy` stamp (the order the sink's
+    * `sortColumns` wrote and its tracker certified row-by-row). Each split
+    * of a sorted file is itself sorted, so its first `k` rows are a
+    * superset of its contribution to the global top-k — the reader reuses
+    * the limit cap and decodes ≤ k rows per split. `ORDER BY ts LIMIT 100`
+    * over 100 TB of time-sorted landings decodes ~100 rows per split
+    * instead of the corpus. Sound with consumed partition filters (they are
+    * row-exact, so every decoded row qualifies); any other filter shape
+    * refuses the push. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    if (limit.nonEmpty || countStar || aggExprs.nonEmpty || orders.isEmpty) return false
+    if (pushed.exists(f => !OcfPartitions.exactOnPartitions(f, resolved.partCols.contains)))
+      return false
+    val names: Array[String] = orders.map { o =>
+      if (o.direction != SortDirection.ASCENDING ||
+          o.nullOrdering != NullOrdering.NULLS_FIRST) null
+      else o.expression match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference
+            if r.fieldNames.length == 1 =>
+          resolved.dataSql.fields.filter(_.name.equalsIgnoreCase(r.fieldNames()(0))) match {
+            case Array(f) => f.name
+            case _ => null
+          }
+        case _ => null
+      }
+    }
+    if (names.exists(_ == null)) return false
+    // every file the pruned scan will read must certify the requested
+    // ordering as a prefix of its stamp; one uncertified file refuses
+    val ok = candidateMetas().forall(m => m.sortedByJson.exists(js =>
+      OcfPartitions.parseSortedBy(js).startsWith(names.toSeq)))
+    if (!ok) return false
+    limit = Some(l)
+    topNCols = names.toSeq
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** PARTIAL aggregate pushdown for `COUNT(*)` / `MIN(col)` / `MAX(col)` /
     * `COUNT(col)` / `SUM(col)` (integral)
@@ -806,6 +853,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       new SerializableHadoopConf(resolved.conf), resolved.splitSize,
       resolved.paths, resolved.glob, resolved.recursive,
       limit = limit.map(_.toLong).getOrElse(Long.MaxValue),
+      topNCols = topNCols,
       maxFilesPerTrigger = resolved.maxFilesPerTrigger,
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
       partCols = reqPartCols, partIdx = reqPartIdx,
@@ -867,6 +915,7 @@ private[graft] final case class OcfScan(
     wrap: Boolean, conf: SerializableHadoopConf, splitSize: Long,
     paths: Seq[String] = Nil, glob: Option[String] = None,
     recursive: Boolean = false, limit: Long = Long.MaxValue,
+    topNCols: Seq[String] = Nil,
     countStar: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
@@ -877,7 +926,8 @@ private[graft] final case class OcfScan(
     reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** STORAGE-PARTITIONED scan (opt-in): the hive directory layout IS a
     * partitioning, and reporting it as [[KeyGroupedPartitioning]] lets
@@ -899,6 +949,35 @@ private[graft] final case class OcfScan(
           .toArray[org.apache.spark.sql.connector.expressions.Expression],
         math.max(distinctKeys, 1))
     } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
+  /** PER-PARTITION output ordering from verified `graft.sortedBy` stamps:
+    * every split of a sorted file is itself sorted, so when ALL planned
+    * files certify the same column list, each input partition's rows emerge
+    * ascending-nulls-first on it — Spark's `EnsureRequirements` then drops
+    * local Sort nodes (`sortWithinPartitions`, sort-based aggregation,
+    * window sorts over the same prefix) instead of re-sorting data the
+    * layout already ordered. Withheld when the scan reports a
+    * KeyGroupedPartitioning (grouping CONCATENATES same-key splits of
+    * different files — each sorted, the concatenation not), for aggregate
+    * pushdown shapes (different output schema), and for any column pruned
+    * out of the read schema (an ordering claim must reference output
+    * columns). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (countStar || aggExprs.nonEmpty || files.isEmpty ||
+        (reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty))
+      return Array.empty
+    val lists = files.map(_.sortedByJson)
+    if (lists.exists(_.isEmpty)) return Array.empty
+    val parsed = lists.map(js => OcfPartitions.parseSortedBy(js.get))
+    val head = parsed.head
+    if (parsed.exists(_ != head)) return Array.empty
+    val out = readSchema().fieldNames.toSet
+    head.takeWhile(out.contains).map { n =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(n),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }.toArray
+  }
 
   /** RUNTIME (dynamic partition pruning) filtering: a broadcast join whose
     * build side constrains a partition column hands the joined key set to
@@ -996,7 +1075,9 @@ private[graft] final case class OcfScan(
         }.mkString(", ")}]" else "") +
         (if (aggGroupCols.nonEmpty)
           s" PushedGroupBy: [${aggGroupCols.mkString(", ")}]" else "") +
-        (if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
+        (if (topNCols.nonEmpty)
+          s" PushedTopN: ORDER BY ${topNCols.mkString(", ")} LIMIT $limit"
+        else if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
         (if (pushedFilters.nonEmpty)
           s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
@@ -1036,7 +1117,8 @@ private[graft] final case class OcfScan(
     // factory's file table would put potentially-MBs of JSON per file into
     // the stage's task binary for data no reader ever touches
     val shipped = files.iterator.map(m =>
-      m.copy(statsJson = None, bloomJson = None, blockIndexJson = None)).toIndexedSeq
+      m.copy(statsJson = None, bloomJson = None, blockIndexJson = None,
+        sortedByJson = None)).toIndexedSeq
     if (countStar) OcfCountReaderFactory(shipped, conf)
     else if (aggExprs.nonEmpty)
       OcfAggReaderFactory(shipped, conf, aggExprs.toArray,

@@ -161,6 +161,14 @@ private[graft] object OcfPartitions {
     out
   }
 
+  /** Parsed `graft.sortedBy` header entry: the column list the sink's sort
+    * tracker certified the file is ascending-nulls-first sorted on. */
+  def parseSortedBy(json: String): Seq[String] = {
+    val root = new ObjectMapper().readTree(json)
+    require(root.isArray, "graft.sortedBy must be a JSON array")
+    (0 until root.size()).map(root.get(_).asText)
+  }
+
   /** Whether `f` can be applied EXACTLY by file-level partition pruning —
     * every referenced attribute is a partition column (exact name match:
     * the same resolution [[mayMatch]]'s partCol lookup uses) and the shape

@@ -467,6 +467,10 @@ private[sources] final class OcfDataWriter(
     if (!cfg.blockIndex) null else new OcfBlockIndexTracker(cfg)
   private val bloom =
     if (cfg.bloomOrdinals.isEmpty) null else new OcfBloomTracker(cfg)
+  private val sortTrk = {
+    val t = if (cfg.sortNames.isEmpty) null else new OcfSortTracker(cfg)
+    if (t != null && t.supported) t else null
+  }
 
   private var out: FSDataOutputStream = _
   private var ocf: OcfStreamWriter = _
@@ -527,10 +531,12 @@ private[sources] final class OcfDataWriter(
       if (stats != null) stats.reset()
       if (blockIdx != null) blockIdx.reset()
       if (bloom != null) bloom.reset()
+      if (sortTrk != null) sortTrk.reset()
     }
     if (stats != null) stats.update(row)
     if (blockIdx != null) blockIdx.update(row)
     if (bloom != null) bloom.update(row)
+    if (sortTrk != null) sortTrk.update(row)
     enc.out.reset()
     var i = 0
     while (i < fieldWriters.length) {
@@ -563,7 +569,9 @@ private[sources] final class OcfDataWriter(
         (if (stats != null) Seq("graft.stats" -> stats.toJson) else Nil) ++
           (if (blockIdx != null)
             blockIdx.toJsonOpt.map("graft.blockIndex" -> _).toSeq else Nil) ++
-          (if (bloom != null) bloom.toJsonOpt.map("graft.bloom" -> _).toSeq else Nil)
+          (if (bloom != null) bloom.toJsonOpt.map("graft.bloom" -> _).toSeq else Nil) ++
+          (if (sortTrk != null)
+            sortTrk.sortedByJsonOpt.map("graft.sortedBy" -> _).toSeq else Nil)
       if (stamps.nonEmpty) {
         val stamped = new Path(dirPath,
           chunked(tmpName).replace(".avro.tmp", "-s.avro.tmp"))
@@ -723,6 +731,100 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
     }
     om.writeValueAsString(root)
   }
+}
+
+/** Watches the CURRENT open file's rows and certifies they arrived in
+  * ascending nulls-first order on `cfg.sortNames` — the order the sink's
+  * `RequiresDistributionAndOrdering` requested. A certified file gets a
+  * `graft.sortedBy` header stamp, which the scan uses for TopN pushdown and
+  * `SupportsReportOrdering`. The stamp is VERIFIED, not assumed: if any
+  * engine ever hands rows out of order (or a future path bypasses the
+  * requested sort), the stamp is silently dropped — absent stamp = no
+  * ordering claim, the conservative direction. Covers the same column types
+  * as [[OcfStatsTracker]] (integral / floating / string); comparisons are
+  * equal-or-stricter than Spark's ordering for those types (Double.compare
+  * splits -0.0/0.0 that Spark ties — strictness only ever WITHHOLDS a
+  * stamp), so a stamped file satisfies Spark's ASC NULLS FIRST. */
+private[sources] final class OcfSortTracker(cfg: OcfWriteConfig) {
+  private val ords: Array[Int] = cfg.sortNames.map(n => cfg.sql.fieldIndex(n))
+  private val n = ords.length
+  // 0 = integral, 1 = floating, 2 = string, -1 = unsupported
+  private val tags: Array[Int] = ords.map { o =>
+    cfg.sql.fields(o).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => 0
+      case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => 1
+      case org.apache.spark.sql.types.StringType => 2
+      case _ => -1
+    }
+  }
+  val supported: Boolean = n > 0 && tags.forall(_ >= 0)
+  private val getters = ords.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  private val prevL = new Array[Long](n)
+  private val prevD = new Array[Double](n)
+  private val prevS = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+  private val prevNull = new Array[Boolean](n)
+  private var first = true
+  private var valid = true
+
+  def reset(): Unit = {
+    first = true; valid = true
+    java.util.Arrays.fill(prevS.asInstanceOf[Array[AnyRef]], null)
+  }
+
+  def update(row: InternalRow): Unit = {
+    if (!valid) return
+    if (!first) {
+      // lexicographic prev-vs-current: the first non-tie column decides
+      var i = 0
+      var decided = false
+      while (i < n && !decided) {
+        val o = ords(i)
+        val curNull = row.isNullAt(o)
+        val c =
+          if (prevNull(i) && curNull) 0
+          else if (prevNull(i)) -1 // null (prev) < non-null (cur): ok
+          else if (curNull) 1 // non-null before null violates NULLS FIRST
+          else tags(i) match {
+            case 0 => java.lang.Long.compare(prevL(i),
+              getters(i)(row, o).asInstanceOf[Number].longValue)
+            case 1 => java.lang.Double.compare(prevD(i),
+              getters(i)(row, o).asInstanceOf[Number].doubleValue)
+            case _ => prevS(i).compareTo(getters(i)(row, o)
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+          }
+        if (c > 0) { valid = false; return }
+        if (c < 0) decided = true
+        i += 1
+      }
+    }
+    first = false
+    var i = 0
+    while (i < n) {
+      val o = ords(i)
+      prevNull(i) = row.isNullAt(o)
+      if (!prevNull(i)) tags(i) match {
+        case 0 => prevL(i) = getters(i)(row, o).asInstanceOf[Number].longValue
+        case 1 => prevD(i) = getters(i)(row, o).asInstanceOf[Number].doubleValue
+        case _ =>
+          // clone: the value may alias a reused decode buffer
+          prevS(i) = getters(i)(row, o)
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone()
+      }
+      i += 1
+    }
+  }
+
+  /** JSON array of the certified sort columns; None once a violation was
+    * seen. An empty file is trivially sorted and keeps its stamp. */
+  def sortedByJsonOpt: Option[String] =
+    if (!valid) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = om.createArrayNode()
+      cfg.sortNames.foreach(arr.add)
+      Some(om.writeValueAsString(arr))
+    }
 }
 
 /** Per-block min/max index for one open file: a second [[OcfStatsTracker]]

@@ -432,6 +432,48 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(unstamped.head.getLong(0) == 0L)
   }
 
+  test("top-k pushdown over sort-stamped files; ordering reported to the planner") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-topn")
+    // unsorted input, TWO tasks: the sink's own sortColumns request orders
+    // each task's rows and its tracker certifies each sealed file
+    (0L until 400L).map(i => ((i * 7919L) % 400L, i)).toDF("k", "payload")
+      .repartition(2)
+      .write.format("graft-ocf").option("sortColumns", "k")
+      .mode("append").save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+
+    val top = df.orderBy("k").limit(5)
+    assert(scanOf(top).description().contains("PushedTopN: ORDER BY k LIMIT 5"),
+      scanOf(top).description())
+    // (i*7919) % 400 is a permutation of 0..399 (7919 coprime to 400):
+    // the global top-5 is exactly 0..4 — Spark's kept sort merges the
+    // per-split <=5-row partials correctly
+    assert(top.select("k").as[Long].collect().toSeq == (0L until 5L))
+
+    // descending, non-stamped column, and unstamped directory all refuse
+    assert(!scanOf(df.orderBy(col("k").desc).limit(5)).description()
+      .contains("PushedTopN"))
+    assert(!scanOf(df.orderBy("payload").limit(5)).description()
+      .contains("PushedTopN"))
+    val plainDir = tempDir("graft-dsv2-topn-plain")
+    (0L until 40L).map(i => (i, i)).toDF("k", "payload").coalesce(1)
+      .write.format("graft-ocf").mode("append").save(plainDir.getAbsolutePath)
+    val plain = spark.read.format("graft-ocf").load(plainDir.getAbsolutePath)
+    assert(!scanOf(plain.orderBy("k").limit(5)).description().contains("PushedTopN"))
+
+    // SupportsReportOrdering: a local sort on the certified column is
+    // ELIMINATED (the scan already delivers each partition ordered)...
+    val swp = df.sortWithinPartitions("k")
+    val swpPlan = swp.queryExecution.executedPlan.toString
+    assert(!swpPlan.contains("Sort ["), s"layout-satisfied sort must vanish:\n$swpPlan")
+    assert(swp.count() == 400L)
+    // ...while the unstamped directory still plans a real Sort
+    val plainPlan = plain.sortWithinPartitions("k")
+      .queryExecution.executedPlan.toString
+    assert(plainPlan.contains("Sort ["), s"unstamped dir must keep its sort:\n$plainPlan")
+  }
+
   test("SUM/COUNT(col) pushdown answers from header stamps: exact over corrupt bodies") {
     import spark.implicits._
     import org.apache.hadoop.fs.Path

@@ -76,4 +76,47 @@ class OcfMetricsSpec extends AnyFunSuite {
     assert(cm("ocfBytesRead") < f.length() / 10,
       s"the header walk must read a small fraction of the file: $cm vs ${f.length()}")
   }
+
+  test("sort tracker certifies only truly ordered streams (stamp is verified, not assumed)") {
+    val sql = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val avroJson = AvroSchemaParser.toJson(SchemaConverters.toAvroType(sql))
+    def cfg(sortCols: Array[String]) = OcfWriteConfig("/tmp/unused", sql, avroJson,
+      OcfWrite.fieldOrdinals(sql, avroJson), "null", blockBytes = 1024,
+      new SerializableHadoopConf(conf), "job-sort", sortNames = sortCols)
+    def row(k: Any, v: String) =
+      new GenericInternalRow(Array[Any](k, if (v == null) null else UTF8String.fromString(v)))
+
+    // ascending with a duplicate and nulls FIRST: certified
+    val ok = new OcfSortTracker(cfg(Array("k")))
+    ok.reset()
+    Seq(row(null, "a"), row(1L, "b"), row(1L, "c"), row(5L, "d")).foreach(ok.update)
+    assert(ok.sortedByJsonOpt.contains("""["k"]"""))
+
+    // one inversion anywhere: stamp dropped
+    val bad = new OcfSortTracker(cfg(Array("k")))
+    bad.reset()
+    Seq(row(1L, "a"), row(5L, "b"), row(4L, "c")).foreach(bad.update)
+    assert(bad.sortedByJsonOpt.isEmpty)
+
+    // a null AFTER non-null values violates NULLS FIRST: stamp dropped
+    val lateNull = new OcfSortTracker(cfg(Array("k")))
+    lateNull.reset()
+    Seq(row(1L, "a"), row(null, "b")).foreach(lateNull.update)
+    assert(lateNull.sortedByJsonOpt.isEmpty)
+
+    // lexicographic two-column order: ties on k defer to v
+    val two = new OcfSortTracker(cfg(Array("k", "v")))
+    two.reset()
+    Seq(row(1L, "a"), row(1L, "b"), row(2L, "a")).foreach(two.update)
+    assert(two.sortedByJsonOpt.contains("""["k","v"]"""))
+    val twoBad = new OcfSortTracker(cfg(Array("k", "v")))
+    twoBad.reset()
+    Seq(row(1L, "b"), row(1L, "a")).foreach(twoBad.update)
+    assert(twoBad.sortedByJsonOpt.isEmpty)
+
+    // reset() forgives: a new file starts its own certification
+    bad.reset()
+    Seq(row(7L, "x"), row(9L, "y")).foreach(bad.update)
+    assert(bad.sortedByJsonOpt.contains("""["k"]"""))
+  }
 }
