@@ -974,6 +974,7 @@ object OcfMaintenance {
     val seenStats = scala.collection.mutable.LinkedHashSet.empty[String]
     val seenBloom = scala.collection.mutable.LinkedHashSet.empty[String]
     var seenBlockIdx = false
+    val seenSorted = scala.collection.mutable.ArrayBuffer.empty[Option[Seq[String]]]
     files.foreach { f =>
       val p = new Path(f.path)
       val in = p.getFileSystem(conf).open(p)
@@ -985,8 +986,19 @@ object OcfMaintenance {
         hdr.meta.get("graft.bloom").foreach(b =>
           seenBloom ++= OcfBloom.parse(new String(b, "UTF-8")).keys.toSeq.sorted)
         seenBlockIdx ||= hdr.meta.contains("graft.blockIndex")
+        seenSorted += hdr.meta.get("graft.sortedBy").map(b =>
+          OcfPartitions.parseSortedBy(new String(b, "UTF-8")))
       } finally in.close()
     }
+    // sorted layout is preserved like stats/bloom: when EVERY input file
+    // certifies the SAME order, the output is re-sorted on it (coalesced
+    // split merging interleaves files, so the order must be re-established;
+    // the sink's tracker then re-certifies each output file). Compaction
+    // must not silently cost the directory its TopN/ordering pushdown.
+    val commonSorted: Seq[String] =
+      if (seenSorted.nonEmpty && seenSorted.forall(_.isDefined) &&
+          seenSorted.iterator.map(_.get).distinct.size == 1) seenSorted.head.get
+      else Nil
     val stampedCols: Seq[String] = statsColumns.getOrElse(seenStats.toSeq)
     // one output file per ~targetBytes of INPUT: the sink writes one file
     // per task, so the scan's one-split-per-small-file parallelism must be
@@ -1015,6 +1027,11 @@ object OcfMaintenance {
     if (partCols.nonEmpty) w = w.option("partitionBy", partCols.mkString(","))
     if (keptStats.nonEmpty) w = w.option("statsColumns", keptStats.mkString(","))
     if (keptBloom.nonEmpty) w = w.option("bloomColumns", keptBloom.mkString(","))
+    // a readerSchema projection may drop a sort column: the surviving
+    // PREFIX still orders the output (a longer-list suffix cannot)
+    val keptSorted = commonSorted.takeWhile(c =>
+      outCols(c.toLowerCase(java.util.Locale.ROOT)))
+    if (keptSorted.nonEmpty) w = w.option("sortColumns", keptSorted.mkString(","))
     // block indexes are re-derived over the output's (possibly overridden)
     // stats set — they only exist alongside statsColumns. The entry cap is
     // scaled to the output file size (targetBytes / default blockBytes, 2x

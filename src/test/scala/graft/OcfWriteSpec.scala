@@ -29,6 +29,14 @@ class OcfWriteSpec extends AnyFunSuite {
     dir.listFiles().toSeq.filter(f =>
       f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
 
+  // read the scan from the OPTIMIZED plan: pushdown runs there, and AQE
+  // hides BatchScanExec from executedPlan.collect until execution
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }.head
+
   private def readBack(dir: java.io.File): DataFrame =
     spark.read.format("graft-ocf").load(dir.getAbsolutePath)
 
@@ -252,6 +260,39 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(Ocf.blockIterator(bytes)._1.codecName == "deflate")
     val got = spark.read.format("graft-ocf").load(outD).as[(Long, String)].collect().sorted
     assert(got.length == 4000 && got.toSeq == (0L until 4000L).map(i => (i, s"doc_$i")))
+  }
+
+  test("compact preserves a uniformly certified sort order (re-sorted, re-certified)") {
+    import graft.sources.OcfMaintenance
+    import spark.implicits._
+    val in = tempDir("graft-w-compactsort-in")
+    val outD = tempDir("graft-w-compactsort-out").getAbsolutePath + "/packed"
+    (0L until 4000L).map(i => ((i * 7919L) % 4000L, i)).toDF("k", "payload")
+      .repartition(8)
+      .write.format("graft-ocf").option("sortColumns", "k")
+      .mode(SaveMode.Append).save(in.getAbsolutePath)
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD, targetBytes = 1L << 20)
+    // the compacted directory still answers TopN from the stamp: coalesced
+    // interleaving was re-sorted by the sink and re-certified per file
+    val df = spark.read.format("graft-ocf").load(outD)
+    val top = df.orderBy("k").limit(5)
+    assert(scanOf(top).description().contains("PushedTopN: ORDER BY k LIMIT 5"),
+      s"compaction must carry the certified sort forward: ${scanOf(top).description()}")
+    assert(top.select("k").as[Long].collect().toSeq == (0L until 5L))
+    // a mixed directory (one unsorted file) must NOT re-sort or stamp
+    val in2 = tempDir("graft-w-compactsort-mixed")
+    val out2 = tempDir("graft-w-compactsort-mixed-out").getAbsolutePath + "/packed"
+    (0L until 100L).map(i => (i, i)).toDF("k", "payload").coalesce(1)
+      .write.format("graft-ocf").option("sortColumns", "k")
+      .mode(SaveMode.Append).save(in2.getAbsolutePath)
+    (0L until 100L).map(i => (100L - i, i)).toDF("k", "payload").coalesce(1)
+      .write.format("graft-ocf")
+      .mode(SaveMode.Append).save(in2.getAbsolutePath)
+    OcfMaintenance.compact(spark, in2.getAbsolutePath, out2, targetBytes = 1L << 20)
+    val mixed = spark.read.format("graft-ocf").load(out2)
+    assert(!scanOf(mixed.orderBy("k").limit(5)).description().contains("PushedTopN"),
+      "a mixed directory must not invent a sort certification")
+    assert(mixed.count() == 200L)
   }
 
   test("compact preserves a hive-partitioned layout instead of flattening it") {
