@@ -118,7 +118,8 @@ object OcfDataSource {
                                statsJson: Option[String] = None,
                                bloomJson: Option[String] = None,
                                blockIndexJson: Option[String] = None,
-                               sortedByJson: Option[String] = None)
+                               sortedByJson: Option[String] = None,
+                               rowsStamp: Option[Long] = None)
 
   /** Driver-side view of one read: the frozen file LISTING (header
     * resolution is deferred to [[OcfScanBuilder.build]] so partition
@@ -320,7 +321,8 @@ object OcfDataSource {
         h.meta.get("graft.stats").map(new String(_, "UTF-8")),
         h.meta.get("graft.bloom").map(new String(_, "UTF-8")),
         h.meta.get("graft.blockIndex").map(new String(_, "UTF-8")),
-        h.meta.get("graft.sortedBy").map(new String(_, "UTF-8")))
+        h.meta.get("graft.sortedBy").map(new String(_, "UTF-8")),
+        h.meta.get("graft.rows").flatMap(b => new String(b, "UTF-8").toLongOption))
     }
     if (files.lengthCompare(2) < 0) files.map(metaOf)
     else {
@@ -1128,7 +1130,20 @@ private[graft] final case class OcfScan(
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(effectiveFiles.map(_.len).sum)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    /** Exact when every planned file carries a `graft.rows` stamp (the
+      * sink's sealed row count, piggybacked on the stats re-copy) and the
+      * scan emits raw rows — CBO's join planning then sees a real
+      * cardinality instead of a byte-based guess. Any unstamped file, a
+      * pushed limit, or an aggregate shape leaves it empty (a wrong
+      * cardinality misleads the planner more than a missing one). */
+    override def numRows(): OptionalLong = {
+      if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue)
+        return OptionalLong.empty()
+      val fs = effectiveFiles
+      if (fs.nonEmpty && fs.forall(_.rowsStamp.isDefined))
+        OptionalLong.of(fs.map(_.rowsStamp.get).sum)
+      else OptionalLong.empty()
+    }
   }
 }
 

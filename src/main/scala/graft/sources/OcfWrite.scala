@@ -560,7 +560,8 @@ private[sources] final class OcfDataWriter(
     * the data it summarizes, so the stamps cannot be known at open). */
   private def sealCurrent(): Unit =
     if (ocf != null) {
-      totalRows += ocf.rowCount
+      val rowsThisFile = ocf.rowCount
+      totalRows += rowsThisFile
       ocf.finish()
       bytesSealed += out.getPos
       out.close()
@@ -575,7 +576,11 @@ private[sources] final class OcfDataWriter(
       if (stamps.nonEmpty) {
         val stamped = new Path(dirPath,
           chunked(tmpName).replace(".avro.tmp", "-s.avro.tmp"))
-        OcfStatsTracker.rewriteWithMeta(cfg.conf.value, tmp, stamped, stamps)
+        // piggyback the exact file row count on the stamp re-copy (an
+        // always-on rows stamp would force the copy onto stamp-free writes);
+        // the scan sums these into estimateStatistics().numRows for CBO
+        OcfStatsTracker.rewriteWithMeta(cfg.conf.value, tmp, stamped,
+          stamps :+ ("graft.rows" -> rowsThisFile.toString))
         tmp = stamped
       }
       sealedFiles += OcfWrittenFile(tmp.toString,
@@ -942,8 +947,11 @@ object OcfMaintenance {
               outDir: String, codec: String = "null",
               targetBytes: Long = 128L * 1024 * 1024,
               readerSchemaJson: Option[String] = None,
-              statsColumns: Option[Seq[String]] = None): Unit = {
+              statsColumns: Option[Seq[String]] = None,
+              zorderColumns: Option[Seq[String]] = None): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
+    require(zorderColumns.forall(_.nonEmpty),
+      "graft-ocf compact: zorderColumns, when given, needs at least one column")
     val conf = spark.sessionState.newHadoopConf()
     // The listing MIRRORS the read path's (`OcfDataSource.resolve`): direct
     // root files if any, else recurse into a hive-partitioned tree. A
@@ -1019,25 +1027,50 @@ object OcfMaintenance {
       .filter(f => OcfBloom.eligible(f.dataType))
       .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
     val keptBloom = seenBloom.toSeq.filter(c => outEligible(c.toLowerCase(java.util.Locale.ROOT)))
-    var w = df
-      .coalesce(parts)
+    // OPTIMIZE-ZORDER mode: instead of shuffle-free split coalescing, the
+    // rows are RANGE-partitioned and sorted along the Morton curve of
+    // `zorderColumns` (graft.ops.Layout.zorderBy), and those columns join
+    // the stats set (with block indexing) so the relayout immediately
+    // serves multi-column file AND block skipping. Unpartitioned layouts
+    // only: the sink's partition-first required sort would destroy the
+    // in-task z-order. One full decode+shuffle of the directory — the
+    // declared price of re-clustering, vs. plain compaction's streaming
+    // merge.
+    val zcols: Seq[String] = zorderColumns.getOrElse(Nil).map { zc =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(zc)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-ocf compact: zorderColumns entry '$zc' is not in the output schema"))
+      require(graft.spark.ZOrderKey.tagOf(f.dataType) >= 0,
+        s"graft-ocf compact: zorderColumns entry '$zc' has type " +
+          s"${f.dataType.simpleString}, not z-order encodable")
+      f.name
+    }
+    require(zcols.isEmpty || partCols.isEmpty,
+      "graft-ocf compact: zorderColumns is not supported on a hive-partitioned " +
+        "layout (the partition-first write sort would undo the z-order); " +
+        "compact each partition directory separately instead")
+    var w = (if (zcols.nonEmpty) graft.ops.Layout.zorderBy(df, parts, zcols: _*)
+             else df.coalesce(parts))
       .write.format("graft-ocf").mode("overwrite")
       .option("codec", codec)
       .option("maxBytesPerFile", targetBytes.toString)
     if (partCols.nonEmpty) w = w.option("partitionBy", partCols.mkString(","))
-    if (keptStats.nonEmpty) w = w.option("statsColumns", keptStats.mkString(","))
+    val statsWithZ = (keptStats ++ zcols.filterNot(keptStats.contains)).toSeq
+    if (statsWithZ.nonEmpty) w = w.option("statsColumns", statsWithZ.mkString(","))
     if (keptBloom.nonEmpty) w = w.option("bloomColumns", keptBloom.mkString(","))
     // a readerSchema projection may drop a sort column: the surviving
-    // PREFIX still orders the output (a longer-list suffix cannot)
-    val keptSorted = commonSorted.takeWhile(c =>
-      outCols(c.toLowerCase(java.util.Locale.ROOT)))
+    // PREFIX still orders the output (a longer-list suffix cannot). A
+    // z-order relayout replaces any previous per-column order outright.
+    val keptSorted =
+      if (zcols.nonEmpty) Nil
+      else commonSorted.takeWhile(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
     if (keptSorted.nonEmpty) w = w.option("sortColumns", keptSorted.mkString(","))
     // block indexes are re-derived over the output's (possibly overridden)
     // stats set — they only exist alongside statsColumns. The entry cap is
     // scaled to the output file size (targetBytes / default blockBytes, 2x
     // slack): large compaction targets must not silently overflow the
     // default cap and drop the very index being preserved.
-    if (seenBlockIdx && keptStats.nonEmpty) {
+    if ((seenBlockIdx || zcols.nonEmpty) && statsWithZ.nonEmpty) {
       w = w.option("blockIndex", "true")
       val entryCap = math.max(8192L, 2L * targetBytes / Ocf.SyncInterval)
       w = w.option("blockIndexMaxEntries", entryCap.toString)

@@ -95,7 +95,7 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
 object ZOrderKey {
   /** 0 = integral-backed (byte/short/int/long/date/timestamp), 1 = floating,
     * 2 = string, -1 = unsupported. */
-  private[spark] def tagOf(dt: DataType): Int = dt match {
+  private[graft] def tagOf(dt: DataType): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType => 0
     case FloatType | DoubleType => 1
