@@ -25,6 +25,14 @@ object Verify {
     // local iteration; unset (the driver's mode) dumps everything
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must FAIL, not silently produce an empty/partial dump
+    // that reads as a passing subset run
+    only.foreach { ns =>
+      val unknown = ns -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val selected = only match {
       case Some(ns) => SparkEntry.queries.view.filterKeys(ns).toMap
       case None => SparkEntry.queries

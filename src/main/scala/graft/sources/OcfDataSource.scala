@@ -350,6 +350,11 @@ object OcfDataSource {
     case org.apache.spark.sql.types.LongType    => node.asLong
     case org.apache.spark.sql.types.FloatType   => node.asDouble.toFloat
     case org.apache.spark.sql.types.DoubleType  => node.asDouble
+    // stamped as the internal backing value (days / micros) — exactly the
+    // Catalyst representation a MIN/MAX pushdown answer must carry
+    case org.apache.spark.sql.types.DateType    => node.asLong.toInt
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => node.asLong
     case org.apache.spark.sql.types.StringType  =>
       org.apache.spark.unsafe.types.UTF8String.fromString(node.asText)
     case other => throw new IllegalStateException(
@@ -592,7 +597,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     // every file the pruned scan will read must certify the requested
     // ordering as a prefix of its stamp; one uncertified file refuses
     val ok = candidateMetas().forall(m => m.sortedByJson.exists(js =>
-      OcfPartitions.parseSortedBy(js).startsWith(names.toSeq)))
+      OcfPartitions.parseSortedBy(js).exists(_.startsWith(names.toSeq))))
     if (!ok) return false
     limit = Some(l)
     topNCols = names.toSeq
@@ -970,11 +975,14 @@ private[graft] final case class OcfScan(
       return Array.empty
     val lists = files.map(_.sortedByJson)
     if (lists.exists(_.isEmpty)) return Array.empty
+    // a malformed stamp parses to None → no ordering claim for the scan
     val parsed = lists.map(js => OcfPartitions.parseSortedBy(js.get))
+    if (parsed.exists(_.isEmpty)) return Array.empty
     val head = parsed.head
     if (parsed.exists(_ != head)) return Array.empty
+    val headList = head.get
     val out = readSchema().fieldNames.toSet
-    head.takeWhile(out.contains).map { n =>
+    headList.takeWhile(out.contains).map { n =>
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(n),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)

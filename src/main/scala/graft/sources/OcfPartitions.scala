@@ -101,6 +101,22 @@ private[graft] object OcfPartitions {
             n.isInstanceOf[java.lang.Byte] =>
           Some((java.lang.Long.compare(n.longValue, mn.asLong),
             java.lang.Long.compare(n.longValue, mx.asLong)))
+        // date/timestamp columns stamp their internal backing value (days /
+        // micros) under typ "long"; the pushed V1 Filter carries the
+        // EXTERNAL value — convert with Spark's own DateTimeUtils so the
+        // comparison is exactly the engine's
+        case ("long", t) =>
+          import org.apache.spark.sql.catalyst.util.DateTimeUtils
+          val internal: Option[Long] = t match {
+            case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+            case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d).toLong)
+            case ts: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(ts))
+            case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+            case ldt: java.time.LocalDateTime => Some(DateTimeUtils.localDateTimeToMicros(ldt))
+            case _ => None
+          }
+          internal.map(x => (java.lang.Long.compare(x, mn.asLong),
+            java.lang.Long.compare(x, mx.asLong)))
         case ("double", n: Number) =>
           // normalize -0.0 → 0.0 on BOTH sides (the tracker does the same):
           // Spark compares them equal, while Double.compare orders them —
@@ -162,12 +178,16 @@ private[graft] object OcfPartitions {
   }
 
   /** Parsed `graft.sortedBy` header entry: the column list the sink's sort
-    * tracker certified the file is ascending-nulls-first sorted on. */
-  def parseSortedBy(json: String): Seq[String] = {
-    val root = new ObjectMapper().readTree(json)
-    require(root.isArray, "graft.sortedBy must be a JSON array")
-    (0 until root.size()).map(root.get(_).asText)
-  }
+    * tracker certified the file is ascending-nulls-first sorted on.
+    * A malformed stamp (non-JSON, non-array) parses to None — absent stamp =
+    * no ordering claim, so one corrupt header degrades that file to an
+    * unordered read instead of failing every scan of the directory. */
+  def parseSortedBy(json: String): Option[Seq[String]] =
+    scala.util.Try {
+      val root = new ObjectMapper().readTree(json)
+      require(root.isArray, "graft.sortedBy must be a JSON array")
+      (0 until root.size()).map(root.get(_).asText): Seq[String]
+    }.toOption
 
   /** Whether `f` can be applied EXACTLY by file-level partition pruning —
     * every referenced attribute is a partition column (exact name match:

@@ -120,7 +120,9 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => true
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
       case _ => false
     }
     val statsNames: Array[String] = Option(opts.get("statsColumns")) match {
@@ -632,12 +634,26 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   private val getters = cfg.statsOrdinals.map(o =>
     InternalRowGetters.forType(cfg.sql.fields(o).dataType))
   // 0 = integral (stored long), 1 = floating (stored double), 2 = string
+  // date/timestamp ride the integral tag (int days / long micros backing —
+  // the order Spark itself compares them by), but never stamp a "sum"
   private val tags: Array[Int] = cfg.statsOrdinals.map { o =>
     cfg.sql.fields(o).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => 0
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => 0
       case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => 1
       case _ => 2
+    }
+  }
+  // SUM over a date/timestamp is not a meaningful quantity; suppressing the
+  // stamp (rather than trusting Spark never to push one) keeps the header
+  // from ever certifying it
+  private val sumEligible: Array[Boolean] = cfg.statsOrdinals.map { o =>
+    cfg.sql.fields(o).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
     }
   }
   private val minL = new Array[Long](n)
@@ -731,7 +747,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
       // columns that did not overflow a Long, the exact sum (SUM pushdown);
       // an absent "sum" just means the read side refuses the push
       o.put("nn", nonNull(i))
-      if (tags(i) == 0 && nonNull(i) > 0L && !sumOverflow(i)) o.put("sum", sumL(i))
+      if (sumEligible(i) && nonNull(i) > 0L && !sumOverflow(i)) o.put("sum", sumL(i))
       i += 1
     }
     om.writeValueAsString(root)
@@ -757,7 +773,10 @@ private[sources] final class OcfSortTracker(cfg: OcfWriteConfig) {
   private val tags: Array[Int] = ords.map { o =>
     cfg.sql.fields(o).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => 0
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => 0 // date/ts are int/long-backed;
+      // Spark orders them by that backing value, so the integral compare is exact
       case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => 1
       case org.apache.spark.sql.types.StringType => 2
       case _ => -1
@@ -948,7 +967,8 @@ object OcfMaintenance {
               targetBytes: Long = 128L * 1024 * 1024,
               readerSchemaJson: Option[String] = None,
               statsColumns: Option[Seq[String]] = None,
-              zorderColumns: Option[Seq[String]] = None): Unit = {
+              zorderColumns: Option[Seq[String]] = None,
+              preserveSort: Boolean = true): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
     require(zorderColumns.forall(_.nonEmpty),
       "graft-ocf compact: zorderColumns, when given, needs at least one column")
@@ -994,7 +1014,7 @@ object OcfMaintenance {
         hdr.meta.get("graft.bloom").foreach(b =>
           seenBloom ++= OcfBloom.parse(new String(b, "UTF-8")).keys.toSeq.sorted)
         seenBlockIdx ||= hdr.meta.contains("graft.blockIndex")
-        seenSorted += hdr.meta.get("graft.sortedBy").map(b =>
+        seenSorted += hdr.meta.get("graft.sortedBy").flatMap(b =>
           OcfPartitions.parseSortedBy(new String(b, "UTF-8")))
       } finally in.close()
     }
@@ -1061,8 +1081,12 @@ object OcfMaintenance {
     // a readerSchema projection may drop a sort column: the surviving
     // PREFIX still orders the output (a longer-list suffix cannot). A
     // z-order relayout replaces any previous per-column order outright.
+    // preserveSort=false opts out of the re-sort (each output task fully
+    // sorts its coalesced input — ~targetBytes of buffer/spill per task);
+    // the compacted directory then reads as unordered, trading the
+    // TopN/ordering pushdown for a plain streaming merge.
     val keptSorted =
-      if (zcols.nonEmpty) Nil
+      if (zcols.nonEmpty || !preserveSort) Nil
       else commonSorted.takeWhile(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
     if (keptSorted.nonEmpty) w = w.option("sortColumns", keptSorted.mkString(","))
     // block indexes are re-derived over the output's (possibly overridden)

@@ -821,6 +821,64 @@ class OcfDataSourceSpec extends AnyFunSuite {
       .where(col("id") < 0).count() == 0)
   }
 
+  test("timestamp/date stats: range skipping and MIN/MAX pushdown on time columns") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-tskip")
+    // 4 files with disjoint timestamp ranges; ts = epoch seconds 0..399
+    (0L until 400L).map(i => (i, new java.sql.Timestamp(i * 1000L),
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i))))
+      .toDF("id", "ts", "d")
+      .repartitionByRange(4, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.format("graft-ocf").option("statsColumns", "ts,d")
+      .option("sortColumns", "ts")
+      .mode("append").save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+
+    // range predicate on the timestamp keeps ONE of four files
+    val cut = new java.sql.Timestamp(350L * 1000L)
+    val got = df.where(col("ts") >= cut).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (350L until 400L))
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.size == 1,
+      s"timestamp stats must exclude 3 of 4 files; planned $planned")
+
+    // date predicate skips too
+    val dcut = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(350L))
+    assert(df.where(col("d") >= dcut).count() == 50L)
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().size == 1,
+      "date stats must exclude 3 of 4 files")
+
+    // MIN/MAX over the timestamp answered header-only
+    val mm = df.agg(min("ts"), max("ts"))
+    assert(scanOf(mm).description().contains("PushedAggregation: [MIN(ts), MAX(ts)]"),
+      scanOf(mm).description())
+    val r = mm.head
+    assert(r.getTimestamp(0) == new java.sql.Timestamp(0L) &&
+      r.getTimestamp(1) == new java.sql.Timestamp(399L * 1000L))
+
+    // SUM over a timestamp is never stamped, so a sum pushdown cannot
+    // engage even if a plan ever asked for one: the stamp simply lacks it
+    val stats = {
+      val f = dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".avro")).head
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      val in = hp.getFileSystem(conf).open(hp)
+      val (h, _) =
+        try graft.sources.OcfDataSource.readHeaderAt(in, f.length()) finally in.close()
+      graft.sources.OcfPartitions.parseStats(new String(h.meta("graft.stats"), "UTF-8"))
+    }
+    assert(stats("ts").sum.isEmpty, "no sum stamp on a timestamp column")
+    assert(stats("ts").min.isDefined && stats("ts").nonNull.isDefined)
+
+    // the sort stamp certifies the timestamp order: TopN pushes
+    val top = df.orderBy("ts").limit(3)
+    assert(scanOf(top).description().contains("PushedTopN: ORDER BY ts LIMIT 3"),
+      scanOf(top).description())
+    assert(top.select("id").as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("partition-only projection prunes the decode to a zero-field record") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-partonly")

@@ -119,4 +119,41 @@ class OcfMetricsSpec extends AnyFunSuite {
     Seq(row(7L, "x"), row(9L, "y")).foreach(bad.update)
     assert(bad.sortedByJsonOpt.contains("""["k"]"""))
   }
+
+  test("sort tracker certifies date/timestamp columns (int/long-backed ordering)") {
+    import org.apache.spark.sql.types.{DateType, TimestampType, TimestampNTZType}
+    val sql = StructType(Seq(
+      StructField("d", DateType), StructField("ts", TimestampType),
+      StructField("tsn", TimestampNTZType)))
+    val avroJson = AvroSchemaParser.toJson(SchemaConverters.toAvroType(sql))
+    def cfg(cols: Array[String]) = OcfWriteConfig("/tmp/unused", sql, avroJson,
+      OcfWrite.fieldOrdinals(sql, avroJson), "null", blockBytes = 1024,
+      new SerializableHadoopConf(conf), "job-sort-ts", sortNames = cols)
+    def row(d: Int, ts: Long, tsn: Long) =
+      new GenericInternalRow(Array[Any](d, ts, tsn))
+
+    val trk = new OcfSortTracker(cfg(Array("ts")))
+    assert(trk.supported, "TimestampType sort column must be trackable")
+    trk.reset()
+    Seq(row(1, 10L, 0L), row(2, 10L, 1L), row(0, 999L, 2L)).foreach(trk.update)
+    assert(trk.sortedByJsonOpt.contains("""["ts"]"""))
+
+    val bad = new OcfSortTracker(cfg(Array("ts")))
+    bad.reset()
+    Seq(row(1, 10L, 0L), row(2, 9L, 1L)).foreach(bad.update)
+    assert(bad.sortedByJsonOpt.isEmpty, "a descending timestamp drops the stamp")
+
+    val multi = new OcfSortTracker(cfg(Array("d", "tsn")))
+    assert(multi.supported, "Date + TimestampNTZ must be trackable")
+    multi.reset()
+    Seq(row(1, 0L, 5L), row(1, 0L, 7L), row(3, 0L, 2L)).foreach(multi.update)
+    assert(multi.sortedByJsonOpt.contains("""["d","tsn"]"""))
+  }
+
+  test("malformed graft.sortedBy stamps parse to None (absent = no ordering claim)") {
+    assert(OcfPartitions.parseSortedBy("""["a","b"]""").contains(Seq("a", "b")))
+    assert(OcfPartitions.parseSortedBy("""{"not":"an array"}""").isEmpty)
+    assert(OcfPartitions.parseSortedBy("not json at all").isEmpty)
+    assert(OcfPartitions.parseSortedBy("").isEmpty)
+  }
 }
