@@ -3,6 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
 
 /** Hive-style directory partitioning for `graft-ocf`: encoding of partition
   * values into `col=value/` path segments on write, inference of partition
@@ -11,12 +12,23 @@ import org.apache.spark.sql.sources._
   * files (range-based, from header-stamped min/max stats) before any data
   * is fetched.
   *
-  * Partition values surface as STRING columns on read — the directory name
-  * is the value's only durable representation, and guessing numeric types
-  * from path text is how readers silently mis-sort "10" before "9". Cast in
-  * the query when needed.
+  * Partition COLUMN TYPES: the directory name is the value's only durable
+  * representation, so the read side infers each column's type from the
+  * values themselves — int, then long, then date, else string — accepting a
+  * type only when EVERY value round-trips canonically ("007" stays a
+  * string; "2020" is an int; "2020-06-01" is a date). A `partitionSchema`
+  * read option (Spark DDL, e.g. "year INT, lang STRING") overrides
+  * inference per column; `inferPartitionTypes=false` reverts every column
+  * to string. Typed columns compare NUMERICALLY in partition pruning (no
+  * "10" < "9" string traps) and round-trip a `partitionBy` write→read with
+  * the input schema intact.
   */
 private[graft] object OcfPartitions {
+
+  /** One file's value for a partition column, paired with the column's READ
+    * type: `raw` is the unescaped directory string (null = hive null dir);
+    * comparisons against pushed filter values go through the type. */
+  final case class PartVal(raw: String, dt: DataType)
 
   /** Directory name for a null partition value (Hive's convention). */
   val NullDir: String =
@@ -80,6 +92,116 @@ private[graft] object OcfPartitions {
           s"${roots.mkString(", ")} — files disagree on partition columns: " +
           many.map(_.mkString("[", ",", "]")).mkString(" vs "))
     }
+  }
+
+  // ---- partition column types ----------------------------------------------
+
+  /** Types a partition directory value can be declared as (via the
+    * `partitionSchema` read option). Inference proposes only int/long/date;
+    * byte/short are declaration-only (their rendered values are
+    * indistinguishable from int in a path). */
+  def supportedPartType(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType | DateType => true
+    case _ => false
+  }
+
+  /** `yyyy-MM-dd` days-since-epoch, accepted only when the string is the
+    * CANONICAL rendering of the date (what this sink writes) — a lenient
+    * parse ("2020-6-1") must not claim date-ness the round-trip would then
+    * rewrite. */
+  private[sources] def dateDays(v: String): Option[Int] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    DateTimeUtils.stringToDate(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      .filter(d => DateTimeUtils.daysToLocalDate(d).toString == v)
+  }
+
+  /** Narrowest type in int → long → date → string that every non-null value
+    * round-trips through EXACTLY. Canonical round-trip (not just parse)
+    * keeps read-back values byte-faithful to the directory names: "007"
+    * parses as 7 but renders back "7", so it stays a string. */
+  def inferColumnType(values: Iterator[String]): DataType = {
+    var canInt = true; var canLong = true; var canDate = true
+    values.foreach { v =>
+      if (v != null) {
+        if (canInt && !v.toIntOption.exists(_.toString == v)) canInt = false
+        if (canLong && !v.toLongOption.exists(_.toString == v)) canLong = false
+        if (canDate && dateDays(v).isEmpty) canDate = false
+        if (!canInt && !canLong && !canDate) return StringType
+      }
+    }
+    if (canInt) IntegerType else if (canLong) LongType
+    else if (canDate) DateType else StringType
+  }
+
+  /** The Catalyst-internal value of a path string under the column's read
+    * type (Int days for dates, UTF8String for strings). The SINGLE
+    * materialization point for partition values — row assembly, grouped
+    * aggregate constants and keyed splits all come through here, so they can
+    * never disagree. A value that does not parse fails loudly: resolution
+    * validated every file's values against the schema, so a failure here is
+    * a schema/layout drift bug, not a quiet null. */
+  def castPartValue(raw: String, dt: DataType): Any =
+    if (raw == null) null else dt match {
+      case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(raw)
+      case ByteType    => java.lang.Byte.valueOf(raw.toByte)
+      case ShortType   => java.lang.Short.valueOf(raw.toShort)
+      case IntegerType => java.lang.Integer.valueOf(raw.toInt)
+      case LongType    => java.lang.Long.valueOf(raw.toLong)
+      case DateType    => java.lang.Integer.valueOf(dateDays(raw).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-ocf: partition value '$raw' is not a date (yyyy-MM-dd)")))
+      case other => throw new IllegalArgumentException(
+        s"graft-ocf: unsupported partition column type ${other.simpleString}")
+    }
+
+  /** External → path-string rendering for a partition value on WRITE (the
+    * inverse of [[castPartValue]]'s parse): dates render ISO so the
+    * directory is human-readable and the read side re-infers DateType. */
+  def renderPartValue(internal: Any, dt: DataType): String = dt match {
+    case DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .daysToLocalDate(internal.asInstanceOf[Int]).toString
+    case _ => String.valueOf(internal)
+  }
+
+  /** Resolve the partition columns' read types: a `partitionSchema` DDL
+    * declaration wins per column; otherwise inference over every file's
+    * values (or string when `inferPartitionTypes=false`). Every file value
+    * is validated against the resolved type AT PLAN TIME — a declared INT
+    * over a directory holding `year=unknown/` must fail the plan, not a
+    * mid-job task. */
+  def resolvePartSchema(partCols: Seq[String], files: Seq[OcfDataSource.FileSlice],
+                        declaredDdl: Option[String], inferTypes: Boolean): StructType = {
+    val declared = declaredDdl.map(StructType.fromDDL)
+    declared.foreach { st =>
+      st.fields.foreach { f =>
+        require(partCols.exists(_.equalsIgnoreCase(f.name)),
+          s"graft-ocf: partitionSchema column '${f.name}' is not a partition " +
+            s"column of this layout (${partCols.mkString(", ")})")
+        require(supportedPartType(f.dataType),
+          s"graft-ocf: partitionSchema column '${f.name}' has unsupported type " +
+            s"${f.dataType.simpleString}; partition values can be " +
+            "string/byte/short/int/long/date")
+      }
+    }
+    StructType(partCols.zipWithIndex.map { case (pc, i) =>
+      def valuesOf: Iterator[String] = files.iterator.map(f =>
+        if (i < f.partitionValues.length) f.partitionValues(i) else null)
+      val dt = declared.flatMap(_.fields.find(_.name.equalsIgnoreCase(pc))) match {
+        case Some(f) =>
+          valuesOf.foreach { v =>
+            if (v != null) try castPartValue(v, f.dataType) catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"graft-ocf: partition value '$pc=$v' does not parse as " +
+                  s"declared type ${f.dataType.simpleString}", e)
+            }
+          }
+          f.dataType
+        case None if inferTypes => inferColumnType(valuesOf)
+        case None => StringType
+      }
+      StructField(pc, dt, nullable = true)
+    })
   }
 
   // ---- per-file column statistics (header-stamped min/max) -----------------
@@ -191,28 +313,77 @@ private[graft] object OcfPartitions {
 
   /** Whether `f` can be applied EXACTLY by file-level partition pruning —
     * every referenced attribute is a partition column (exact name match:
-    * the same resolution [[mayMatch]]'s partCol lookup uses) and the shape
-    * is one [[eval]]'s partition branch decides definitively. Such filters
-    * can be CONSUMED by pushFilters (not returned residual): every row of a
-    * kept file satisfies them, every dropped file's rows do not, because a
-    * file has exactly one partition tuple. Null literals are excluded —
-    * `eval`'s In branch string-compares `String.valueOf(null)`, which does
-    * not match SQL three-valued semantics for a partition VALUE "null". */
-  def exactOnPartitions(f: Filter, isPartCol: String => Boolean): Boolean = f match {
-    case EqualTo(a, v) => v != null && isPartCol(a)
-    case EqualNullSafe(a, _) => isPartCol(a)
-    case In(a, vs) => vs != null && !vs.contains(null) && isPartCol(a)
-    case IsNull(a) => isPartCol(a)
-    case IsNotNull(a) => isPartCol(a)
-    case GreaterThan(a, v) => v != null && isPartCol(a)
-    case GreaterThanOrEqual(a, v) => v != null && isPartCol(a)
-    case LessThan(a, v) => v != null && isPartCol(a)
-    case LessThanOrEqual(a, v) => v != null && isPartCol(a)
-    case StringStartsWith(a, p) => p != null && isPartCol(a)
-    case And(l, r) => exactOnPartitions(l, isPartCol) && exactOnPartitions(r, isPartCol)
-    case Or(l, r) => exactOnPartitions(l, isPartCol) && exactOnPartitions(r, isPartCol)
-    case Not(x) => exactOnPartitions(x, isPartCol)
+    * the same resolution [[mayMatch]]'s partCol lookup uses), its VALUE is
+    * comparable under the column's read type (so [[eval]]'s partition
+    * branch decides definitively — a consumed filter evaluated "unknown"
+    * would keep a file whose rows Spark then never re-filters), and the
+    * shape is one the partition branch handles. Such filters can be
+    * CONSUMED by pushFilters (not returned residual): every row of a kept
+    * file satisfies them, every dropped file's rows do not, because a file
+    * has exactly one partition tuple. Null literals are excluded — SQL
+    * three-valued comparison against null never selects a partition. */
+  def exactOnPartitions(f: Filter, partType: String => Option[DataType]): Boolean = {
+    def ok(a: String, v: Any): Boolean =
+      v != null && partType(a).exists(dt => filterComparable(v, dt))
+    f match {
+      case EqualTo(a, v) => ok(a, v)
+      case EqualNullSafe(a, null) => partType(a).isDefined
+      case EqualNullSafe(a, v) => ok(a, v)
+      case In(a, vs) => vs != null && !vs.contains(null) &&
+        partType(a).exists(dt => vs.forall(filterComparable(_, dt)))
+      case IsNull(a) => partType(a).isDefined
+      case IsNotNull(a) => partType(a).isDefined
+      case GreaterThan(a, v) => ok(a, v)
+      case GreaterThanOrEqual(a, v) => ok(a, v)
+      case LessThan(a, v) => ok(a, v)
+      case LessThanOrEqual(a, v) => ok(a, v)
+      case StringStartsWith(a, p) => p != null && partType(a).contains(StringType)
+      case And(l, r) => exactOnPartitions(l, partType) && exactOnPartitions(r, partType)
+      case Or(l, r) => exactOnPartitions(l, partType) && exactOnPartitions(r, partType)
+      case Not(x) => exactOnPartitions(x, partType)
+      case _ => false
+    }
+  }
+
+  /** Whether a pushed filter value's runtime class can be compared against
+    * a partition column of type `dt` — the gate [[exactOnPartitions]] uses
+    * so consumed filters are exactly those [[partCmp]] decides. */
+  private def filterComparable(v: Any, dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => v match {
+      case _: java.lang.Byte | _: java.lang.Short | _: Integer | _: java.lang.Long => true
+      case _ => false
+    }
+    case DateType => v match {
+      case _: java.sql.Date | _: java.time.LocalDate => true
+      case _ => false
+    }
+    case StringType => true // compared via String.valueOf, always decidable
     case _ => false
+  }
+
+  /** sign(path value − filter value) under the column's read type; None when
+    * the pair is incomparable (unknown — never reached for consumed filters,
+    * which [[exactOnPartitions]] restricted to comparable values). */
+  private def partCmp(raw: String, v: Any, dt: DataType): Option[Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      val fv: Option[Long] = v match {
+        case b: java.lang.Byte => Some(b.longValue)
+        case s: java.lang.Short => Some(s.longValue)
+        case i: Integer => Some(i.longValue)
+        case l: java.lang.Long => Some(l.longValue)
+        case _ => None
+      }
+      for (p <- raw.toLongOption; f <- fv) yield java.lang.Long.compare(p, f)
+    case DateType =>
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      val fv: Option[Int] = v match {
+        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+        case d: java.time.LocalDate => Some(DateTimeUtils.localDateToDays(d))
+        case _ => None
+      }
+      for (p <- dateDays(raw); f <- fv) yield Integer.compare(p, f)
+    case StringType => Some(cmpUtf8(raw, String.valueOf(v)))
+    case _ => None
   }
 
   // ---- conservative filter evaluation --------------------------------------
