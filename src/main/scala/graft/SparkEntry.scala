@@ -243,12 +243,16 @@ object SparkEntry {
     // Event-time tumbling window over the stream-shaped table (§2.12 analog,
     // batch form; the streaming form is tested in StreamingIngestSpec).
     "q08_events_hourly" -> ((s, dir) => {
-      // the events table stores TIMESTAMP(NANOS); Spark's parquet reader
-      // rejects nanos unless spark.sql.legacy.parquet.nanosAsLong is set —
-      // that conf lives in session setup (Bench/Verify/specs), not here, so
-      // one query can't silently change how other reads decode timestamps
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // the events table has stored `ts` as TIMESTAMP(NANOS) (read as a
+      // nanos LONG under spark.sql.legacy.parquet.nanosAsLong, set in the
+      // session setup of Bench/Verify/specs) and as plain TIMESTAMP[us] —
+      // adapt to whichever shape this dataset carries
+      val ev = t(s, dir, "events")
+      val tsExpr = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts DIV 1000"))
+        case _ => col("ts")
+      }
+      ev.withColumn("ts", tsExpr)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           expr("CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE)").as("sum_value"))

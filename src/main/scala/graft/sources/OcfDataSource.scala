@@ -531,6 +531,14 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   private var statsByPath: Map[String, Map[String, OcfPartitions.ColStat]] = Map.empty
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
+  /** Read type of a partition column (None = not a partition column) — the
+    * lookup [[OcfPartitions.exactOnPartitions]] gates consumed filters on,
+    * so a filter is only consumed when its value is comparable under the
+    * column's actual type. */
+  private def partType(name: String): Option[org.apache.spark.sql.types.DataType] =
+    if (resolved.partCols.contains(name)) Some(org.apache.spark.sql.types.StringType)
+    else None
+
   /** Filters are accepted for DRIVER-SIDE file elimination — exact
     * partition-value pruning (before any header read) and header-stats /
     * bloom / block-index skipping. Filters whose every attribute is a
@@ -545,8 +553,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     pushed = filters
-    filters.filterNot(f =>
-      OcfPartitions.exactOnPartitions(f, resolved.partCols.contains))
+    filters.filterNot(f => OcfPartitions.exactOnPartitions(f, partType))
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
@@ -578,7 +585,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
                         l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     if (limit.nonEmpty || countStar || aggExprs.nonEmpty || orders.isEmpty) return false
-    if (pushed.exists(f => !OcfPartitions.exactOnPartitions(f, resolved.partCols.contains)))
+    if (pushed.exists(f => !OcfPartitions.exactOnPartitions(f, partType)))
       return false
     val names: Array[String] = orders.map { o =>
       if (o.direction != SortDirection.ASCENDING ||
@@ -644,7 +651,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     // residual filters remain, so `pushed` here is normally all-consumed —
     // the guard is defensive.
     if (limit.nonEmpty ||
-        pushed.exists(f => !OcfPartitions.exactOnPartitions(f, resolved.partCols.contains)) ||
+        pushed.exists(f => !OcfPartitions.exactOnPartitions(f, partType)) ||
         agg.aggregateExpressions.isEmpty) return false
     val gCols: Array[String] = agg.groupByExpressions.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference

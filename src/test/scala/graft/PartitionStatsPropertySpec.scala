@@ -201,7 +201,8 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
         _ => None) == evalExact(f)
     })
     // the shapes the builder may CONSUME are exactly the definite ones
-    val isP = Set("p")
+    val isP: String => Option[org.apache.spark.sql.types.DataType] =
+      n => if (n == "p") Some(org.apache.spark.sql.types.StringType) else None
     assert(OcfPartitions.exactOnPartitions(EqualTo("p", "x"), isP))
     assert(OcfPartitions.exactOnPartitions(
       And(In("p", Array[Any]("a", "b")), Not(IsNull("p"))), isP))
