@@ -800,6 +800,30 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // Typed partition columns: an INT-derived bucket column partitions the
+    // layout, the read side re-infers IntegerType from the directory values
+    // (schema round-trips the write), and the range predicate below is
+    // consumed with NUMERIC comparison — bins 10..22 survive `> 9`, which a
+    // string-typed partition column would lexically drop ("10" < "9").
+    // Date/int partitioning is the norm at 100 TB (hourly/daily landings);
+    // typed pruning is what keeps `WHERE day >= X` a directory-level
+    // operation. Inference/declared-schema/date round-trips spec-proven in
+    // OcfDataSourceSpec.
+    "q81_typed_partitions" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        expr("CAST(n_chars DIV 25 AS INT)").as("chars_bin"))
+      val out = landingDir(s, "graft_q81_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("chars_bin").mode("overwrite")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("chars_bin") > 9)
+        .groupBy(col("chars_bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("chars_bin")
+    }),
+
     // Z-order clustering (X47): rows land along the Morton curve of
     // (doc_id, n_chars), so per-file min/max stamps stay tight on BOTH
     // columns — the n_chars range predicate below skips files even though
@@ -1652,6 +1676,14 @@ object SparkEntry {
     "q80_topk_pushdown" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
         |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
+
+    // the partitioned roundtrip drops no rows and the bin range predicate
+    // must behave numerically (bins 10..22 > 9), not lexically
+    "q81_typed_partitions" ->
+      """SELECT CAST(n_chars // 25 AS INTEGER) AS chars_bin,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars // 25 > 9
+        |GROUP BY 1 ORDER BY chars_bin""".stripMargin,
 
     // the z-ordered roundtrip is a lossless relayout of the written data,
     // so the filtered read must hash-match a straight filter of the parquet

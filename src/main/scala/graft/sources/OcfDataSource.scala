@@ -133,6 +133,7 @@ object OcfDataSource {
                             dataSql: StructType, sql: StructType, wrap: Boolean,
                             conf: Configuration, splitSize: Long,
                             partCols: Seq[String] = Nil,
+                            partSchema: StructType = new StructType(),
                             prefetched: Option[Seq[OcfFileMeta]] = None,
                             paths: Seq[String] = Nil,
                             glob: Option[String] = None,
@@ -251,8 +252,14 @@ object OcfDataSource {
         s"graft-ocf: partition column '$pc' collides with a data field; " +
           "rename the directory level or the field")
     }
-    val sql = StructType(dataSql.fields ++ partCols.map(
-      StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
+    // partition column READ TYPES: a `partitionSchema` DDL declaration wins
+    // per column, otherwise int/long/date/string inference over every file's
+    // values (string-only under inferPartitionTypes=false) — validated
+    // against every value at PLAN time, so a bad directory fails the plan
+    val partSchema = OcfPartitions.resolvePartSchema(partCols, files,
+      Option(options.get("partitionSchema")),
+      options.getBoolean("inferPartitionTypes", true))
+    val sql = StructType(dataSql.fields ++ partSchema.fields)
     val splitSize = Option(options.get("splitSize")).map(_.toLong).getOrElse(
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
@@ -274,8 +281,8 @@ object OcfDataSource {
     // full scans that want split-level parallelism.
     val reportPart = options.getBoolean("reportPartitioning", false)
     val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
-      partCols, prefetched, paths, glob, recursive, maxFiles, maxBytes,
-      reportPartitioning = reportPart)
+      partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
+      maxBytes, reportPartitioning = reportPart)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     r
   }
@@ -534,10 +541,9 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   /** Read type of a partition column (None = not a partition column) — the
     * lookup [[OcfPartitions.exactOnPartitions]] gates consumed filters on,
     * so a filter is only consumed when its value is comparable under the
-    * column's actual type. */
+    * column's actual type (an int-vs-string mismatch stays residual). */
   private def partType(name: String): Option[org.apache.spark.sql.types.DataType] =
-    if (resolved.partCols.contains(name)) Some(org.apache.spark.sql.types.StringType)
-    else None
+    resolved.partSchema.fields.find(_.name == name).map(_.dataType)
 
   /** Filters are accepted for DRIVER-SIDE file elimination — exact
     * partition-value pruning (before any header read) and header-stats /
@@ -724,14 +730,20 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     true
   }
 
+  /** One file's typed partition value for pruning: the raw directory string
+    * paired with the column's resolved read type. */
+  private def partValOf(vals: Array[String])(name: String): Option[OcfPartitions.PartVal] = {
+    val i = resolved.partCols.indexOf(name)
+    if (i >= 0 && i < vals.length)
+      Some(OcfPartitions.PartVal(vals(i), resolved.partSchema.fields(i).dataType))
+    else None
+  }
+
   /** Headers of the files surviving partition pruning on the pushed
     * filters, memoized into the resolve's meta cache. */
   private def candidateMetas(): Seq[OcfDataSource.OcfFileMeta] = {
-    val partIdx = resolved.partCols.zipWithIndex.toMap
     val kept = resolved.files.filter(f => OcfPartitions.mayMatch(pushed.toSeq,
-      name => partIdx.get(name).collect {
-        case i if i < f.partitionValues.length => f.partitionValues(i) },
-      _ => None))
+      partValOf(f.partitionValues), _ => None))
     resolved.prefetched match {
       case Some(ms) =>
         val keep = kept.map(_.path).toSet
@@ -747,11 +759,9 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
 
   override def build(): Scan = {
     val partIdx: Map[String, Int] = resolved.partCols.zipWithIndex.toMap
-    def partValueOf(f: Array[String])(name: String): Option[String] =
-      partIdx.get(name).collect { case i if i < f.length => f(i) }
     // 1. partition-prune on path values — NO header I/O for pruned files
     val kept = resolved.files.filter(f =>
-      OcfPartitions.mayMatch(pushed.toSeq, partValueOf(f.partitionValues), _ => None))
+      OcfPartitions.mayMatch(pushed.toSeq, partValOf(f.partitionValues), _ => None))
     // 2. headers for the survivors only (auto mode already fetched all);
     // memoized per resolve so repeated builds/actions don't re-read
     val metas0 = resolved.prefetched match {
@@ -776,7 +786,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       if (pushed.isEmpty) metas0
       else metas0.filter { m =>
         m.statsJson.forall { js =>
-          OcfPartitions.mayMatch(pushed.toSeq, partValueOf(m.partitionValues),
+          OcfPartitions.mayMatch(pushed.toSeq, partValOf(m.partitionValues),
             OcfPartitions.parseStats(js).get)
         } && (!bloomUseful || m.bloomJson.forall { js =>
           OcfBloom.mayMatch(pushed.toSeq, OcfBloom.parse(js).get)
@@ -790,6 +800,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       case None => resolved.partCols
     }
     val reqPartIdx = reqPartCols.map(pc => partIdx(pc)).toArray
+    val reqPartTypes = reqPartIdx.map(i => resolved.partSchema.fields(i).dataType).toSeq
     if (countStar)
       return OcfScan(metas, resolved.readerJson, resolved.dataSql,
         resolved.wrap, new SerializableHadoopConf(resolved.conf),
@@ -806,8 +817,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
         val aggValues: Seq[Array[Any]] = metas.map { m =>
           lazy val stats = statsByPath.getOrElse(m.path,
             OcfPartitions.parseStats(m.statsJson.get))
-          val groupVals: Array[Any] =
-            groupIdx.map(gi => OcfSplitReader.partitionValue(m, gi))
+          val groupVals: Array[Any] = groupIdx.map(gi =>
+            OcfSplitReader.partitionValue(m, gi, resolved.partSchema.fields(gi).dataType))
           groupVals ++ exprs.map {
             case OcfAggExpr.Count => null
             case OcfAggExpr.MinOf(f, dt) =>
@@ -828,7 +839,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
           resolved.wrap, new SerializableHadoopConf(resolved.conf),
           resolved.splitSize, resolved.paths, resolved.glob, resolved.recursive,
           aggExprs = exprs, aggValues = aggValues,
-          aggGroupCols = aggGroupCols.toSeq)
+          aggGroupCols = aggGroupCols.toSeq,
+          aggGroupTypes = groupIdx.map(i => resolved.partSchema.fields(i).dataType).toSeq)
       case None => ()
     }
     // Rebuild the reader schema to exactly the pushed-down shape — at ANY
@@ -870,7 +882,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       topNCols = topNCols,
       maxFilesPerTrigger = resolved.maxFilesPerTrigger,
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
-      partCols = reqPartCols, partIdx = reqPartIdx,
+      partCols = reqPartCols, partIdx = reqPartIdx, partTypes = reqPartTypes,
       pushedFilters = pushed.toSeq,
       reportPartitioning = resolved.reportPartitioning)
   }
@@ -934,8 +946,10 @@ private[graft] final case class OcfScan(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
     partCols: Seq[String] = Nil, partIdx: Array[Int] = Array.empty,
+    partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     aggExprs: Seq[OcfAggExpr] = Nil, aggValues: Seq[Array[Any]] = Nil,
     aggGroupCols: Seq[String] = Nil,
+    aggGroupTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     reportPartitioning: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
@@ -1026,9 +1040,11 @@ private[graft] final case class OcfScan(
     if (countStar || aggExprs.nonEmpty) return
     val nameToIdx = partCols.zipWithIndex.toMap
     runtimeFiles = files.filter { m =>
-      def partValue(name: String): Option[String] = nameToIdx.get(name).collect {
-        case i if partIdx(i) < m.partitionValues.length => m.partitionValues(partIdx(i))
-      }
+      def partValue(name: String): Option[OcfPartitions.PartVal] =
+        nameToIdx.get(name).collect {
+          case i if partIdx(i) < m.partitionValues.length =>
+            OcfPartitions.PartVal(m.partitionValues(partIdx(i)), partTypes(i))
+        }
       lazy val stats = m.statsJson.map(OcfPartitions.parseStats).getOrElse(Map.empty)
       // no bloom consult here: runtime filters only reference
       // filterAttributes() = partition columns, which the writer forbids in
@@ -1042,8 +1058,9 @@ private[graft] final case class OcfScan(
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     OcfScanMetrics.all
 
-  /** Data fields (post-prune) followed by the required partition columns —
-    * the partition values come from directory names, typed string. */
+  /** Data fields (post-prune) followed by the required partition columns
+    * under their RESOLVED read types (declared via `partitionSchema` or
+    * inferred int/long/date/string from the directory values). */
   override def readSchema(): StructType =
     if (countStar)
       StructType(Seq(StructField("count", org.apache.spark.sql.types.LongType,
@@ -1051,8 +1068,8 @@ private[graft] final case class OcfScan(
     else if (aggExprs.nonEmpty)
       // contract: group-by output columns first (positional), then one
       // field per aggregate expression
-      StructType(aggGroupCols.map(c =>
-        StructField(c, org.apache.spark.sql.types.StringType, nullable = true)) ++
+      StructType(aggGroupCols.zip(aggGroupTypes).map { case (c, dt) =>
+        StructField(c, dt, nullable = true) } ++
         aggExprs.zipWithIndex.map {
           case (OcfAggExpr.Count, i) =>
             StructField(s"count_$i", org.apache.spark.sql.types.LongType, nullable = false)
@@ -1063,8 +1080,8 @@ private[graft] final case class OcfScan(
           case (OcfAggExpr.SumOf(f), i) =>
             StructField(s"sum_${f}_$i", org.apache.spark.sql.types.LongType, nullable = true)
         })
-    else StructType(sql.fields ++ partCols.map(
-      StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
+    else StructType(sql.fields ++ partCols.zip(partTypes).map { case (c, dt) =>
+      StructField(c, dt, nullable = true) })
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1116,7 +1133,7 @@ private[graft] final case class OcfScan(
       files.iterator.zipWithIndex.filter { case (f, _) => keep(f) }.flatMap { case (f, i) =>
         def mk(s: Long, e: Long, aligned: Boolean): OcfSplit =
           if (keyed) OcfKeyedInputPartition(i, s, e,
-            OcfSplitReader.partitionRow(f, partIdx), aligned)
+            OcfSplitReader.partitionRow(f, partIdx, partTypes), aligned)
           else OcfInputPartition(i, s, e, aligned)
         OcfScan.blockAlignedRanges(f, pushedFilters, splitSize) match {
           case Some(ranges) => ranges.iterator.map { case (s, e) => mk(s, e, aligned = true) }
@@ -1140,7 +1157,7 @@ private[graft] final case class OcfScan(
     else if (aggExprs.nonEmpty)
       OcfAggReaderFactory(shipped, conf, aggExprs.toArray,
         aggValues.toIndexedSeq, aggGroupCols.length)
-    else OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx)
+    else OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -1225,13 +1242,14 @@ private[graft] object OcfScan {
 private[sources] final case class OcfReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], readerJson: String,
     wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue,
-    partIdx: Array[Int] = Array.empty)
+    partIdx: Array[Int] = Array.empty,
+    partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
     val meta = files(p.fileIndex)
     new OcfSplitReader(meta, p.start, p.end, readerJson, wrap,
-      conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx), p.aligned)
+      conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx, partTypes), p.aligned)
   }
 }
 
@@ -1363,24 +1381,29 @@ private[graft] final class OcfAggReader(
   * ([[graft.spark.AvroRuntime]]) are shared across splits, so a thousand
   * splits of one file compile the writer→reader resolution once. */
 private[graft] object OcfSplitReader {
-  /** The per-file CONSTANT row of required partition values (directory-name
-    * strings), or null when unpartitioned — one allocation per split, joined
-    * onto every decoded row. */
-  /** One partition value as its Catalyst representation (UTF8String or
-    * null) — the SINGLE materialization point, shared by the per-split
-    * partition row and the grouped-aggregate group values so the two can
-    * never diverge.
+  /** One partition value as its Catalyst representation under the column's
+    * READ TYPE (Int for int/date columns, UTF8String for strings, null for
+    * the hive null dir) — the SINGLE materialization point
+    * ([[OcfPartitions.castPartValue]]), shared by the per-split partition
+    * row, the keyed-split partition keys, and the grouped-aggregate group
+    * values so they can never diverge.
     *
     * Bounds guard: a streaming discovery log persisted BEFORE partition
     * support has entries with empty value arrays — degrade to null
     * partition values on replay rather than crash the restarted query. */
-  def partitionValue(meta: OcfDataSource.OcfFileMeta, i: Int): Any =
+  def partitionValue(meta: OcfDataSource.OcfFileMeta, i: Int,
+                     dt: org.apache.spark.sql.types.DataType): Any =
     if (i >= meta.partitionValues.length || meta.partitionValues(i) == null) null
-    else org.apache.spark.unsafe.types.UTF8String.fromString(meta.partitionValues(i))
+    else OcfPartitions.castPartValue(meta.partitionValues(i), dt)
 
-  def partitionRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int]): InternalRow =
+  /** The per-file CONSTANT row of required partition values, or null when
+    * unpartitioned — one allocation per split, joined onto every decoded
+    * row. `partTypes` aligns with `partIdx` (the REQUIRED columns). */
+  def partitionRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int],
+                   partTypes: Seq[org.apache.spark.sql.types.DataType]): InternalRow =
     if (partIdx.isEmpty) null
-    else new GenericInternalRow(partIdx.map(i => partitionValue(meta, i)))
+    else new GenericInternalRow(partIdx.indices.toArray.map(k =>
+      partitionValue(meta, partIdx(k), partTypes(k))))
 }
 
 private[graft] final class OcfSplitReader(

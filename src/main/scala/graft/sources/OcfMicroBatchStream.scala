@@ -166,7 +166,8 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    OcfStreamReaderFactory(scan.readerJson, scan.wrap, scan.conf, scan.partIdx)
+    OcfStreamReaderFactory(scan.readerJson, scan.wrap, scan.conf, scan.partIdx,
+      scan.partTypes)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -264,11 +265,12 @@ private[graft] final case class OcfStreamInputPartition(
 
 private[graft] final case class OcfStreamReaderFactory(
     readerJson: String, wrap: Boolean, conf: SerializableHadoopConf,
-    partIdx: Array[Int] = Array.empty)
+    partIdx: Array[Int] = Array.empty,
+    partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfStreamInputPartition]
     new OcfSplitReader(p.meta, p.start, p.end, readerJson, wrap, conf.value,
-      partRow = OcfSplitReader.partitionRow(p.meta, partIdx))
+      partRow = OcfSplitReader.partitionRow(p.meta, partIdx, partTypes))
   }
 }

@@ -118,18 +118,22 @@ private[graft] object OcfPartitions {
   /** Narrowest type in int → long → date → string that every non-null value
     * round-trips through EXACTLY. Canonical round-trip (not just parse)
     * keeps read-back values byte-faithful to the directory names: "007"
-    * parses as 7 but renders back "7", so it stays a string. */
+    * parses as 7 but renders back "7", so it stays a string. An all-null
+    * column stays a string (no evidence to claim anything narrower). */
   def inferColumnType(values: Iterator[String]): DataType = {
     var canInt = true; var canLong = true; var canDate = true
+    var sawValue = false
     values.foreach { v =>
       if (v != null) {
+        sawValue = true
         if (canInt && !v.toIntOption.exists(_.toString == v)) canInt = false
         if (canLong && !v.toLongOption.exists(_.toString == v)) canLong = false
         if (canDate && dateDays(v).isEmpty) canDate = false
         if (!canInt && !canLong && !canDate) return StringType
       }
     }
-    if (canInt) IntegerType else if (canLong) LongType
+    if (!sawValue) StringType
+    else if (canInt) IntegerType else if (canLong) LongType
     else if (canDate) DateType else StringType
   }
 
@@ -389,28 +393,39 @@ private[graft] object OcfPartitions {
   // ---- conservative filter evaluation --------------------------------------
 
   /** Whether a file MAY contain rows matching every pushed filter, given its
-    * exact partition values and optional header stats. `Some(false)` from
-    * any filter skips the file; anything unknown keeps it (Spark re-applies
-    * every filter on the decoded rows, so keeping too much is only cost,
-    * never wrongness). */
-  def mayMatch(filters: Seq[Filter], partCol: String => Option[String],
+    * exact partition values (with their read types) and optional header
+    * stats. `Some(false)` from any filter skips the file; anything unknown
+    * keeps it (Spark re-applies every filter on the decoded rows, so keeping
+    * too much is only cost, never wrongness). */
+  def mayMatch(filters: Seq[Filter], partCol: String => Option[PartVal],
                stat: String => Option[ColStat]): Boolean =
     filters.forall(f => eval(f, partCol, stat) != Some(false))
 
   /** Kleene tri-state: Some(true/false) definite, None unknown. Partition
-    * columns evaluate EXACTLY (the path value is the value, as a string —
-    * partition columns ARE strings in the read schema, so string comparison
-    * is the query's own semantics); stats evaluate to Some(false) or None
-    * (a range can refute, never confirm). */
-  private def eval(f: Filter, partCol: String => Option[String],
+    * columns evaluate EXACTLY under the column's READ TYPE (via [[partCmp]]
+    * — an int column decides `year > 9` numerically, so `year=10` survives;
+    * a string column compares in Spark's UTF-8 binary order); a value/type
+    * pair partCmp cannot compare is unknown, never a guess. For CONSUMED
+    * filters [[exactOnPartitions]] already restricted values to comparable
+    * ones, so their partition branches always decide. Comparisons against a
+    * null partition value are false (no row of the file can satisfy them);
+    * null-ness itself is decided by the IsNull/IsNotNull branches — the
+    * filters Spark pushes alongside any null-intolerant predicate. Stats
+    * evaluate to Some(false) or None (a range can refute, never confirm). */
+  private def eval(f: Filter, partCol: String => Option[PartVal],
                    stat: String => Option[ColStat]): Option[Boolean] = {
-    def onPart(a: String)(g: String => Boolean): Option[Option[Boolean]] =
-      partCol(a).map(v => Some(g(v)))
+    def onPart(a: String)(g: PartVal => Option[Boolean]): Option[Option[Boolean]] =
+      partCol(a).map(g)
     def onStat(a: String)(g: ColStat => Option[Boolean]): Option[Boolean] =
       stat(a).flatMap(g)
+    // sign(path value - filter value) routed through the column's read type;
+    // a null path value compares as "no match" (SQL comparison semantics)
+    def cmpPart(pv: PartVal, v: Any)(decide: Int => Boolean): Option[Boolean] =
+      if (pv.raw == null) Some(false)
+      else partCmp(pv.raw, v, pv.dt).map(decide)
     f match {
       case EqualTo(a, v) =>
-        onPart(a)(pv => pv != null && pv == String.valueOf(v)).getOrElse(
+        onPart(a)(cmpPart(_, v)(_ == 0)).getOrElse(
           onStat(a) { st =>
             if (st.allNull) Some(false)
             else st.cmp(v) match {
@@ -421,7 +436,15 @@ private[graft] object OcfPartitions {
       case EqualNullSafe(a, null) => eval(IsNull(a), partCol, stat)
       case EqualNullSafe(a, v) => eval(EqualTo(a, v), partCol, stat)
       case In(a, vs) =>
-        onPart(a)(pv => pv != null && vs.exists(v => String.valueOf(v) == pv)).getOrElse(
+        onPart(a) { pv =>
+          if (pv.raw == null) Some(false)
+          else {
+            val cs = vs.map(v => partCmp(pv.raw, v, pv.dt))
+            if (cs.exists(_.contains(0))) Some(true)
+            else if (cs.forall(_.isDefined)) Some(false)
+            else None // some value incomparable: can't rule the file out
+          }
+        }.getOrElse(
           onStat(a) { st =>
             if (st.allNull) Some(false)
             else {
@@ -432,28 +455,30 @@ private[graft] object OcfPartitions {
             }
           })
       case IsNull(a) =>
-        onPart(a)(_ == null).getOrElse(
+        onPart(a)(pv => Some(pv.raw == null)).getOrElse(
           onStat(a)(st => if (!st.hasNull) Some(false) else None))
       case IsNotNull(a) =>
-        onPart(a)(_ != null).getOrElse(
+        onPart(a)(pv => Some(pv.raw != null)).getOrElse(
           onStat(a)(st => if (st.allNull) Some(false) else None))
       case GreaterThan(a, v) =>
-        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) > 0).getOrElse(
+        onPart(a)(cmpPart(_, v)(_ > 0)).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (_, dmax) => dmax >= 0 }))
       case GreaterThanOrEqual(a, v) =>
-        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) >= 0).getOrElse(
+        onPart(a)(cmpPart(_, v)(_ >= 0)).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (_, dmax) => dmax > 0 }))
       case LessThan(a, v) =>
-        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) < 0).getOrElse(
+        onPart(a)(cmpPart(_, v)(_ < 0)).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (dmin, _) => dmin <= 0 }))
       case LessThanOrEqual(a, v) =>
-        onPart(a)(pv => pv != null && cmpUtf8(pv, String.valueOf(v)) <= 0).getOrElse(
+        onPart(a)(cmpPart(_, v)(_ <= 0)).getOrElse(
           onStat(a)(rangeRefute(_, v) { case (dmin, _) => dmin < 0 }))
       case StringStartsWith(a, p) =>
-        onPart(a)(pv => pv != null &&
-          org.apache.spark.unsafe.types.UTF8String.fromString(pv)
-            .startsWith(org.apache.spark.unsafe.types.UTF8String.fromString(p)))
-          .getOrElse(None)
+        onPart(a) { pv =>
+          if (pv.dt != StringType) None // a prefix claim on a non-string column
+          else Some(pv.raw != null &&
+            org.apache.spark.unsafe.types.UTF8String.fromString(pv.raw)
+              .startsWith(org.apache.spark.unsafe.types.UTF8String.fromString(p)))
+        }.getOrElse(None)
       case And(l, r) => (eval(l, partCol, stat), eval(r, partCol, stat)) match {
         case (Some(false), _) | (_, Some(false)) => Some(false)
         case (Some(true), Some(true)) => Some(true)

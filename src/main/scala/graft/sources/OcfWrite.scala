@@ -82,9 +82,13 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     }
     partOrdinals.foreach { i =>
       sql.fields(i).dataType match {
+        // DateType is faithful too: the internal Int day count sorts
+        // identically to its ISO `yyyy-MM-dd` rendering, and the read side
+        // re-infers DateType from the canonical directory strings
         case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
              org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.DateType |
              (_: org.apache.spark.sql.types.DecimalType) => ()
         // float/double partition values are rejected outright: the sort
         // that makes partition directories task-contiguous compares -0.0
@@ -463,6 +467,7 @@ private[sources] final class OcfDataWriter(
   private val schema = OcfWrite.recordOf(cfg.avroJson)
   private val partGetters =
     cfg.partOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  private val partTypes = cfg.partOrdinals.map(o => cfg.sql.fields(o).dataType)
   private val stats =
     if (cfg.statsOrdinals.isEmpty) null else new OcfStatsTracker(cfg)
   private val blockIdx =
@@ -503,7 +508,10 @@ private[sources] final class OcfDataWriter(
     var i = 0
     while (i < vals.length) {
       val o = cfg.partOrdinals(i)
-      vals(i) = if (row.isNullAt(o)) null else String.valueOf(partGetters(i)(row, o))
+      // type-aware rendering (dates ISO, everything else String.valueOf) so
+      // the read side re-infers the written column's type and values
+      vals(i) = if (row.isNullAt(o)) null
+        else OcfPartitions.renderPartValue(partGetters(i)(row, o), partTypes(i))
       i += 1
     }
     OcfPartitions.partitionDir(cfg.partNames, vals)

@@ -1139,4 +1139,93 @@ class OcfDataSourceSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted
     assert(both.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
   }
+
+  test("typed partition columns: int inference, numeric pruning, schema round-trip") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-typedpart")
+    // year values 9/10/11: lexical string order would decide 10 < 9
+    (0L until 90L).map(i => (i, 9 + (i % 3).toInt)).toDF("id", "year")
+      .repartition(2)
+      .write.format("graft-ocf").partitionBy("year").mode("append")
+      .save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    // round-trip: the read schema carries the written INT type
+    assert(df.schema("year").dataType == org.apache.spark.sql.types.IntegerType,
+      df.schema.treeString)
+    // the "10" < "9" trap: a CONSUMED range filter must decide numerically
+    val sel = df.where(col("year") > 9)
+    assert(sel.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"typed partition range filter must be consumed:\n${sel.queryExecution.optimizedPlan}")
+    assert(sel.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 90L).filter(i => 9 + (i % 3) > 9))
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.forall(p => p.contains("year=10") || p.contains("year=11")),
+      s"year > 9 must prune year=9 files; planned $planned")
+    // equality + grouped aggregate pushdown emit typed values
+    assert(df.where(col("year") === 10).count() == 30L)
+    val grouped = df.groupBy("year").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(grouped == Map(9 -> 30L, 10 -> 30L, 11 -> 30L))
+    // runtime (DPP-style) filtering with a typed key set
+    val scan = scanOf(df.select("id", "year"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("year", Array[Any](11))))
+    val kept = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(kept.nonEmpty && kept.forall(_.contains("year=11")),
+      s"runtime In(11) must keep only year=11 files; got $kept")
+
+    // declared partitionSchema wins over inference; inferPartitionTypes=false
+    // reverts to strings (the pre-typed behavior)
+    val declared = spark.read.format("graft-ocf")
+      .option("partitionSchema", "year LONG").load(dir.getAbsolutePath)
+    assert(declared.schema("year").dataType == org.apache.spark.sql.types.LongType)
+    assert(declared.where(col("year") > 9L).select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 90L).filter(i => 9 + (i % 3) > 9))
+    val strings = spark.read.format("graft-ocf")
+      .option("inferPartitionTypes", "false").load(dir.getAbsolutePath)
+    assert(strings.schema("year").dataType == org.apache.spark.sql.types.StringType)
+    assert(strings.where(col("year") === "10").count() == 30L)
+    // a declared type the directory values don't parse as fails the PLAN
+    val bad = intercept[Exception] {
+      spark.read.format("graft-ocf")
+        .option("partitionSchema", "year DATE").load(dir.getAbsolutePath).count()
+    }
+    assert(bad.getMessage.contains("does not parse"), bad.getMessage)
+  }
+
+  test("typed partition columns: date round-trip and non-canonical values stay strings") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-datepart")
+    val days = Seq("2024-01-30", "2024-01-31", "2024-02-01").map(java.sql.Date.valueOf)
+    days.zipWithIndex.flatMap { case (d, k) => (0 until 10).map(i => (k * 10L + i, d)) }
+      .toDF("id", "day").coalesce(1)
+      .write.format("graft-ocf").partitionBy("day").mode("append")
+      .save(dir.getAbsolutePath)
+    // directories are ISO-rendered, not internal day counts
+    val dirs = dir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("day=2024-01-30", "day=2024-01-31", "day=2024-02-01"))
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    assert(df.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    // consumed date range predicate prunes to the matching directories
+    val sel = df.where(col("day") >= lit("2024-01-31").cast("date"))
+    assert(sel.select("id").as[Long].collect().sorted.toSeq == (10L until 30L))
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.forall(p => !p.contains("2024-01-30")),
+      s"day >= 2024-01-31 must prune the 01-30 directory; planned $planned")
+    assert(df.groupBy("day").count().collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toMap ==
+      days.map(d => d.toString -> 10L).toMap)
+
+    // non-canonical numerics stay strings: "007" parses as 7 but would
+    // render back "7", so inference must refuse int-ness for the column
+    val dir2 = tempDir("graft-dsv2-noncanon")
+    Seq((1L, "007"), (2L, "008")).toDF("id", "code").coalesce(1)
+      .write.format("graft-ocf").partitionBy("code").mode("append")
+      .save(dir2.getAbsolutePath)
+    val df2 = spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+    assert(df2.schema("code").dataType == org.apache.spark.sql.types.StringType)
+    assert(df2.where(col("code") === "007").count() == 1L)
+  }
 }

@@ -197,7 +197,10 @@ class PartitionStatsPropertySpec extends AnyFunSuite {
         case IsNotNull("p") => true
         case _ => true
       }
-      OcfPartitions.mayMatch(Seq(f), n => if (n == "p") Some(fileVal) else None,
+      OcfPartitions.mayMatch(Seq(f),
+        n => if (n == "p")
+          Some(OcfPartitions.PartVal(fileVal, org.apache.spark.sql.types.StringType))
+        else None,
         _ => None) == evalExact(f)
     })
     // the shapes the builder may CONSUME are exactly the definite ones
