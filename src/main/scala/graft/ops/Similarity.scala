@@ -221,12 +221,18 @@ object Similarity {
         val centroids = trainCentroids(cv, nlist, seed, trainFraction)
         def cells(c: Column): Column =
           Shims.column(graft.spark.NearestCentroids(Shims.expression(c), centroids, 1))
-        val celled = cv.select(col("id"), col("vec"),
-          element_at(cells(col("vec")), 1).as("cell"))
-        celled.select(col("cell"), col("id").as("id_a"), col("vec").as("vec_a"))
-          .join(celled.select(col("cell"), col("id").as("id_b"), col("vec").as("vec_b")),
-            Seq("cell"))
+        // ids-first discipline, same as the LSH paths: the cell self-join
+        // ships (cell, id) ONLY — a skewed cell's pair explosion fans out
+        // 8-byte ids, not Σ|cell|²·2·dim vector doubles into one reducer's
+        // shuffle fetch; embeddings re-join by id on the (far smaller)
+        // candidate-pair set before the exact cosine
+        val celled = cv.select(col("id"), element_at(cells(col("vec")), 1).as("cell"))
+        celled.select(col("cell"), col("id").as("id_a"))
+          .join(celled.select(col("cell"), col("id").as("id_b")), Seq("cell"))
           .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .join(cv.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+          .join(cv.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
           .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
           .where(col("sim") >= threshold)
           .select(col("id_a"), col("id_b"), col("sim"))

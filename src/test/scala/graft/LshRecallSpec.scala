@@ -111,6 +111,25 @@ class LshRecallSpec extends AnyFunSuite {
     assert(keptOf(Similarity.LshCandidates()) == expectKept)
   }
 
+  test("semDedup clustered candidates: the cell self-join ships ids only") {
+    // the pair explosion of a skewed cell must fan out 8-byte ids, not
+    // dim-wide vectors — embeddings re-join by id after the pair space
+    val r3 = new scala.util.Random(7)
+    val rows = (0 until 24).map(i => (i.toLong, Array.fill(dim)(r3.nextGaussian().toFloat)))
+    val out = Similarity.semDedup(toDf(rows), 0.8,
+      candidates = Similarity.ClusteredCandidates(nlist = 4))
+    val cellJoins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "cell")) => j
+    }
+    assert(cellJoins.nonEmpty, "expected a join keyed on the cell id")
+    cellJoins.foreach { j =>
+      val shipped = j.children.flatMap(_.output).map(_.name)
+      assert(!shipped.exists(n => n == "vec" || n.startsWith("vec_") || n == "embedding"),
+        s"cell join must carry ids only, shipped: $shipped")
+    }
+  }
+
   test("semDedup keeps id-order local minima, not one-per-component") {
     // star: a(1)~c(3), b(2)~c(3), a!~b at cos >= 0.7 — c drops (a is an
     // earlier neighbor), but b SURVIVES (its only neighbor has a higher id),
