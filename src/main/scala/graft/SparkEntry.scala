@@ -824,6 +824,30 @@ object SparkEntry {
         .orderBy("chars_bin")
     }),
 
+    // Runtime file skipping on a DATA column: the scan advertises its
+    // bloom-stamped doc_id for runtime filtering
+    // (SupportsRuntimeFiltering), so a broadcast join's key set prunes
+    // non-containing files at EXECUTION time — the "needle join against a
+    // huge corpus" shape with no literal predicate anywhere in the query.
+    // At 100 TB this is what turns a 10k-file probe join into ~the handful
+    // of file opens the keys actually live in. Direct file-count proof in
+    // OcfDataSourceSpec ("runtime filtering skips files on stats/bloom-
+    // stamped DATA columns").
+    "q82_runtime_data_skip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val out = landingDir(s, "graft_q82_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").mode("overwrite")
+        .option("bloomColumns", "doc_id")
+        .save(out.getAbsolutePath)
+      import s.implicits._
+      val keys = Seq(3L, 57L, 120L, 255L).toDF("doc_id")
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .join(broadcast(keys), "doc_id")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Z-order clustering (X47): rows land along the Morton curve of
     // (doc_id, n_chars), so per-file min/max stamps stay tight on BOTH
     // columns — the n_chars range predicate below skips files even though
@@ -1676,6 +1700,12 @@ object SparkEntry {
     "q80_topk_pushdown" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
         |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
+
+    // the bloom-stamped roundtrip drops no rows, so the broadcast key join
+    // mirrors a plain IN-list selection
+    "q82_runtime_data_skip" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id IN (3, 57, 120, 255) ORDER BY doc_id""".stripMargin,
 
     // the partitioned roundtrip drops no rows and the bin range predicate
     // must behave numerically (bins 10..22 > 9), not lexically

@@ -1010,16 +1010,30 @@ private[graft] final case class OcfScan(
     }.toArray
   }
 
-  /** RUNTIME (dynamic partition pruning) filtering: a broadcast join whose
-    * build side constrains a partition column hands the joined key set to
-    * the probe-side scan at EXECUTION time — whole partition directories
-    * vanish from the plan without the user writing a literal predicate.
-    * Spark's DPP rule targets exactly this interface for V2 relations. The
-    * evaluator is the same conservative [[OcfPartitions.mayMatch]] used at
-    * plan time (exact on partition values, range on header stats), so
-    * over-delivery is impossible: Spark re-applies the join itself. */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  /** RUNTIME (dynamic file pruning) filtering: a broadcast join whose build
+    * side constrains a partition column OR a stats-/bloom-stamped data
+    * column hands the joined key set to the probe-side scan at EXECUTION
+    * time — whole files vanish from the plan without the user writing a
+    * literal predicate. Spark's DPP rule targets exactly this interface for
+    * V2 relations. Exposed attributes: the partition columns plus every
+    * output data column at least one planned file stamps (stats or bloom) —
+    * names are scanned from the header JSON keys without decoding the
+    * values, so a wide listing costs a token walk, not megabytes of base64.
+    * The evaluator is the same conservative [[OcfPartitions.mayMatch]] +
+    * [[OcfBloom.mayMatch]] used at plan time (exact on partition values,
+    * range on header stats, membership on blooms), so over-delivery is
+    * impossible: Spark re-applies the join itself. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (countStar || aggExprs.nonEmpty) return Array.empty
+    val out = readSchema().fieldNames.toSet
+    val stamped = files.iterator.flatMap(m =>
+      m.statsJson.iterator.flatMap(OcfPartitions.jsonFieldNames) ++
+        m.bloomJson.iterator.flatMap(OcfPartitions.jsonFieldNames))
+      .filter(c => out.contains(c) && !partCols.contains(c))
+      .toSeq.distinct
+    (partCols ++ stamped)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
 
   // Runtime-filtered view of `files`. Split indices stay STABLE: splits
   // always index into the ORIGINAL `files` table and runtime pruning only
@@ -1039,6 +1053,7 @@ private[graft] final case class OcfScan(
     // UNFILTERED file list
     if (countStar || aggExprs.nonEmpty) return
     val nameToIdx = partCols.zipWithIndex.toMap
+    val bloomUseful = OcfBloom.anyEqualityShape(filters.toSeq)
     runtimeFiles = files.filter { m =>
       def partValue(name: String): Option[OcfPartitions.PartVal] =
         nameToIdx.get(name).collect {
@@ -1046,11 +1061,13 @@ private[graft] final case class OcfScan(
             OcfPartitions.PartVal(m.partitionValues(partIdx(i)), partTypes(i))
         }
       lazy val stats = m.statsJson.map(OcfPartitions.parseStats).getOrElse(Map.empty)
-      // no bloom consult here: runtime filters only reference
-      // filterAttributes() = partition columns, which the writer forbids in
-      // bloomColumns — parsing every file's bloom JSON on the driver would
-      // cost MBs of decode with zero possible pruning
-      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get)
+      // bloom parse (base64 decode, potentially MBs across a wide listing)
+      // only runs when the runtime key set contains an equality shape a
+      // bloom can answer — a range-only runtime filter costs no decode
+      OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get) &&
+        (!bloomUseful || m.bloomJson.forall { js =>
+          OcfBloom.mayMatch(filters.toSeq, OcfBloom.parse(js).get)
+        })
     }
     OcfDataSource.lastPlannedFiles.set(runtimeFiles.map(_.path))
   }

@@ -268,6 +268,29 @@ private[graft] object OcfPartitions {
   def parseStats(json: String): Map[String, ColStat] =
     parseStatsNode(new ObjectMapper().readTree(json))
 
+  /** Top-level field names of a `graft.stats` / `graft.bloom` JSON object
+    * WITHOUT decoding the values (a bloom entry's base64 bits can run to
+    * megabytes across a wide listing) — cheap enough to call per file at
+    * plan time when deciding which columns runtime filtering can serve.
+    * Malformed JSON yields no names (no claim, never an error). */
+  def jsonFieldNames(json: String): Seq[String] = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    val out = Seq.newBuilder[String]
+    try {
+      val p = new JsonFactory().createParser(json)
+      try {
+        if (p.nextToken() == JsonToken.START_OBJECT) {
+          while (p.nextToken() == JsonToken.FIELD_NAME) {
+            out += p.currentName()
+            p.nextToken()
+            p.skipChildren()
+          }
+        }
+      } finally p.close()
+    } catch { case _: java.io.IOException => return Nil }
+    out.result()
+  }
+
   private def parseStatsNode(root: com.fasterxml.jackson.databind.JsonNode)
       : Map[String, ColStat] = {
     val b = Map.newBuilder[String, ColStat]

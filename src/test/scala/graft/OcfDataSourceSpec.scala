@@ -977,6 +977,62 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(joined.toSeq == (0L until 90L).filter(_ % 3 == 1))
   }
 
+  test("runtime filtering skips files on stats/bloom-stamped DATA columns") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-rtdata")
+    // ids round-robined: every file's [min,max] spans the domain (range
+    // stats useless) — only the bloom can prune a runtime key set
+    (0L until 400L).map(i => (i, s"body_$i")).toDF("doc_id", "body")
+      .repartition(4)
+      .write.format("graft-ocf").mode("append")
+      .option("bloomColumns", "doc_id")
+      .save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    val scan = scanOf(df.select("doc_id", "body"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    // the bloom-stamped data column is advertised for runtime filtering
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("doc_id"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array[Any](5L, 17L))))
+    val kept = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(kept.nonEmpty && kept.size < 4,
+      s"runtime In(5,17) must bloom-skip non-containing files; kept $kept")
+
+    // stats-stamped range-clustered column: the runtime key set prunes on
+    // header min/max even without a bloom
+    val dir2 = tempDir("graft-dsv2-rtstats")
+    (0L until 400L).map(i => (i, i % 7)).toDF("doc_id", "x")
+      .repartitionByRange(4, col("doc_id"))
+      .write.format("graft-ocf").mode("append")
+      .option("statsColumns", "doc_id")
+      .save(dir2.getAbsolutePath)
+    val df2 = spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+    val scan2 = scanOf(df2.select("doc_id", "x"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(scan2.filterAttributes().map(_.describe()).toSeq == Seq("doc_id"))
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("doc_id", Array[Any](5L, 17L))))
+    val kept2 = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(kept2.size == 1,
+      s"runtime In over range-clustered stats must keep 1 of 4 files; kept $kept2")
+
+    // an unstamped layout advertises nothing beyond partition columns
+    val dir3 = tempDir("graft-dsv2-rtnone")
+    Seq((1L, "a")).toDF("doc_id", "body").coalesce(1)
+      .write.format("graft-ocf").mode("append").save(dir3.getAbsolutePath)
+    val scan3 = scanOf(spark.read.format("graft-ocf").load(dir3.getAbsolutePath))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    assert(scan3.filterAttributes().isEmpty)
+
+    // end-to-end: a broadcast join keyed on the stamped data column stays
+    // correct with runtime filtering in play (injection is Spark's call;
+    // correctness must hold either way)
+    val dim = Seq(5L, 17L).toDF("doc_id")
+    val joined = df.join(broadcast(dim), "doc_id").select("body")
+      .as[String].collect().sorted
+    assert(joined.toSeq == Seq("body_17", "body_5"))
+  }
+
   test("bloom skipping: point lookups plan only files that might contain the key") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-bloom")
