@@ -824,6 +824,37 @@ object SparkEntry {
         .orderBy("chars_bin")
     }),
 
+    // V2 TableCatalog SQL surface: CREATE TABLE / INSERT INTO / SELECT
+    // through a registered catalog (graft.sources.GraftCatalog) — the
+    // reference's own premise is a SQL warehouse over Avro payloads
+    // (README.md:9-19). A catalog table is the SAME engine as the path
+    // API, so the partition filter below is consumed and directory-pruned
+    // identically, and the grouped aggregate pushes down. DDL lifecycle
+    // (create/drop/rename, empty-table reads, typed partitions through
+    // DDL) spec-proven in GraftCatalogSpec.
+    "q83_sql_catalog" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q83",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q83_wh_")
+      s.conf.set("spark.sql.catalog.graft_q83.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q83.corpus")
+      s.sql(
+        """CREATE TABLE IF NOT EXISTS graft_q83.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT, lang STRING)
+          |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_q83_src")
+      s.sql(
+        """INSERT OVERWRITE graft_q83.corpus.docs
+          |SELECT doc_id, source, n_chars, lang FROM graft_q83_src""".stripMargin)
+      s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q83.corpus.docs WHERE lang = 'en'
+          |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Runtime file skipping on a DATA column: the scan advertises its
     // bloom-stamped doc_id for runtime filtering
     // (SupportsRuntimeFiltering), so a broadcast join's key set prunes
@@ -1700,6 +1731,14 @@ object SparkEntry {
     "q80_topk_pushdown" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
         |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
+
+    // the catalog INSERT is a lossless landing of the documents slice, so
+    // the SQL-path aggregate mirrors the straight query
+    "q83_sql_catalog" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the bloom-stamped roundtrip drops no rows, so the broadcast key join
     // mirrors a plain IN-list selection

@@ -1,0 +1,347 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** File-backed V2 `TableCatalog` for `graft-ocf` tables — the SQL-warehouse
+  * face of the source (the reference's own premise is a SQL surface over
+  * Avro payloads, reference README.md:9-19):
+  *
+  * {{{
+  * spark.sql.catalog.g           = graft.sources.GraftCatalog
+  * spark.sql.catalog.g.warehouse = /data/warehouse
+  *
+  * CREATE NAMESPACE g.corpus;
+  * CREATE TABLE g.corpus.docs (doc_id BIGINT, body STRING, lang STRING)
+  *   USING graft-ocf PARTITIONED BY (lang)
+  *   OPTIONS (statsColumns 'doc_id', codec 'zstandard');
+  * INSERT INTO g.corpus.docs SELECT ...;
+  * SELECT lang, count(*) FROM g.corpus.docs WHERE lang = 'en' GROUP BY lang;
+  * }}}
+  *
+  * Layout: a namespace is a directory under the warehouse; a table is a
+  * directory holding its data files plus a `_graft_table.json` descriptor
+  * (schema as Catalyst JSON, partition columns, location, write options).
+  * The descriptor commits atomically (temp + rename), so a crashed CREATE
+  * never leaves a half-registered table.
+  *
+  * Reads and writes are the SAME engine as the path API: `loadTable` wires
+  * the stored location and options into [[OcfTable]], so every pushdown the
+  * path source has (partition pruning, consumed filters, stats/bloom
+  * skipping, COUNT/MIN/MAX/SUM aggregates, limit/top-k, runtime filtering,
+  * storage-partitioned joins) works identically through SQL. Partition
+  * columns are stored DECLARED-TYPED: the descriptor's types feed the read
+  * side's `partitionSchema` option, so `WHERE year > 9` on an INT partition
+  * column prunes numerically without inference.
+  *
+  * Partition columns are reordered to the END of the stored schema (the
+  * hive/path-table convention this source's directory layout implies); the
+  * declared data-column order is otherwise preserved.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog._
+
+  private var catName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name': set spark.sql.catalog.$name.warehouse to a directory"))
+    warehouse = new Path(wh)
+  }
+  override def name(): String = catName
+
+  private def conf: Configuration = SparkSession.active.sessionState.newHadoopConf()
+  private def fs = warehouse.getFileSystem(conf)
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => new Path(p, s))
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+  private def metaPath(dir: Path): Path = new Path(dir, MetaFileName)
+
+  // ---- namespaces ----------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(warehouse)) return Array.empty
+    fs.listStatus(warehouse).iterator.filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(nsDir(namespace)).iterator.filter(_.isDirectory)
+      .filterNot(st => fs.exists(metaPath(st.getPath))) // tables are not namespaces
+      .map(st => namespace :+ st.getPath.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.nonEmpty && fs.exists(nsDir(namespace)) &&
+      !fs.exists(metaPath(nsDir(namespace)))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsDir(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"graft catalog: ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(nsDir(namespace), true)
+  }
+
+  // ---- tables --------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    fs.listStatus(nsDir(namespace)).iterator
+      .filter(st => st.isDirectory && fs.exists(metaPath(st.getPath)))
+      .map(st => Identifier.of(namespace, st.getPath.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(metaPath(tableDir(ident)))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val mp = metaPath(dir)
+    if (!fs.exists(mp)) throw new NoSuchTableException(ident)
+    val meta = readMeta(fs, mp)
+    val transforms: Array[Transform] = meta.partCols.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+    val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
+    new CatalogOcfTable(fullName, meta, transforms, conf)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace.toSeq)
+    val partCols: Seq[String] = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unsupported partition transform '$other'; only " +
+          "PARTITIONED BY (column) maps to a directory layout")
+    }
+    partCols.foreach { pc =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: partition column '$pc' is not in the table schema"))
+      require(OcfPartitions.supportedPartType(f.dataType),
+        s"graft catalog: partition column '$pc' has type " +
+          s"${f.dataType.simpleString}; partition values must be " +
+          "string/byte/short/int/long/date")
+    }
+    // hive/path-table convention: partition columns move to the END (the
+    // read side appends them after the file columns); data order preserved
+    val isPart = (f: org.apache.spark.sql.types.StructField) =>
+      partCols.exists(_.equalsIgnoreCase(f.name))
+    val stored = StructType(schema.fields.filterNot(isPart) ++ schema.fields.filter(isPart))
+    val dir = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(new Path(_)).getOrElse(tableDir(ident))
+    val options = tableOptions(properties)
+    val meta = TableMeta(stored, partCols, dir.toString, options)
+    fs.mkdirs(dir)
+    writeMeta(fs, metaPath(tableDir(ident)), meta)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    // property-only changes update the descriptor; schema evolution is out
+    // of scope (partition layout + avro resolution would both need a
+    // migration story, not a metadata flip)
+    val dir = tableDir(ident)
+    val mp = metaPath(dir)
+    if (!fs.exists(mp)) throw new NoSuchTableException(ident)
+    val meta = readMeta(fs, mp)
+    val updated = changes.foldLeft(meta) {
+      case (m, set: TableChange.SetProperty) =>
+        m.copy(options = m.options + (set.property -> set.value))
+      case (m, rm: TableChange.RemoveProperty) =>
+        m.copy(options = m.options - rm.property)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported table change $other (only table " +
+          "properties can be altered)")
+    }
+    writeMeta(fs, mp, updated)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!fs.exists(metaPath(dir))) return false
+    val meta = readMeta(fs, metaPath(dir))
+    // external location: drop the metadata, leave the data (standard
+    // external-table semantics); managed: the directory IS the table
+    if (meta.location != dir.toString) fs.delete(metaPath(dir), false)
+    fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!fs.exists(metaPath(from))) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace.toSeq)
+    val meta = readMeta(fs, metaPath(from))
+    require(meta.location == from.toString,
+      "graft catalog: RENAME of a table with an external LOCATION is not " +
+        "supported (the location would dangle)")
+    val to = tableDir(newIdent)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"graft catalog: rename $from -> $to failed")
+    writeMeta(fs, metaPath(to), meta.copy(location = to.toString))
+  }
+}
+
+private[sources] object GraftCatalog {
+  val MetaFileName = "_graft_table.json"
+
+  /** Reserved property keys Spark attaches to CREATE TABLE that are not
+    * write options. */
+  private val ReservedProps = Set(TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_COMMENT,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION)
+
+  /** CREATE TABLE ... OPTIONS(k v) arrive in `properties` both bare and
+    * `option.`-prefixed; normalize to one bare map of write/read options. */
+  def tableOptions(properties: java.util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap
+      .collect {
+        case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+          k.stripPrefix(TableCatalog.OPTION_PREFIX) -> v
+        case (k, v) if !ReservedProps.contains(k) => k -> v
+      }
+  }
+
+  final case class TableMeta(schema: StructType, partCols: Seq[String],
+                             location: String, options: Map[String, String]) {
+    def dataSchema: StructType = StructType(schema.fields.filterNot(
+      f => partCols.exists(_.equalsIgnoreCase(f.name))))
+    def partSchemaDdl: String = partCols.map { pc =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).get
+      s"${f.name} ${f.dataType.catalogString}"
+    }.mkString(", ")
+  }
+
+  def writeMeta(fs: org.apache.hadoop.fs.FileSystem, path: Path, meta: TableMeta): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("schema", meta.schema.json)
+    val pa = root.putArray("partCols")
+    meta.partCols.foreach(pa.add)
+    root.put("location", meta.location)
+    val oo = root.putObject("options")
+    meta.options.foreach { case (k, v) => oo.put(k, v) }
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+    if (!fs.rename(tmp, path) && !fs.exists(path))
+      throw new java.io.IOException(s"graft catalog: could not commit $path")
+  }
+
+  def readMeta(fs: org.apache.hadoop.fs.FileSystem, path: Path): TableMeta = {
+    val in = fs.open(path)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(root.get("schema").asText)
+      .asInstanceOf[StructType]
+    val pc = (0 until root.get("partCols").size).map(root.get("partCols").get(_).asText)
+    val opts = Option(root.get("options")).map { o =>
+      val b = Map.newBuilder[String, String]
+      val it = o.fields()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    TableMeta(schema, pc, root.get("location").asText, opts)
+  }
+}
+
+/** One catalog table: the stored descriptor wired into the SAME read/write
+  * engine as the path API. An empty table (no data files yet) reads as zero
+  * rows of the stored schema instead of failing resolution. */
+private[sources] final class CatalogOcfTable(
+    fullName: String, meta: GraftCatalog.TableMeta,
+    transforms: Array[Transform], conf: Configuration)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private def readOptions: CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String]()
+    meta.options.foreach { case (k, v) => m.put(k, v) }
+    m.put("path", meta.location)
+    if (meta.partCols.nonEmpty) m.put("partitionSchema", meta.partSchemaDdl)
+    new CaseInsensitiveStringMap(m)
+  }
+
+  // per-instance memo (Spark re-loads the table per statement, so this
+  // cannot go stale across INSERTs); resolution stays LAZY so a write to an
+  // empty table never lists input files
+  private lazy val resolved = OcfDataSource.resolve(readOptions)
+  private lazy val inner = new OcfTable(Some(meta.schema), transforms,
+    meta.partCols.toArray, () => resolved, fullName,
+    meta.options + ("path" -> meta.location) +
+      ("partitionBy" -> meta.partCols.mkString(",")))
+
+  override def name(): String = fullName
+  override def schema(): StructType = meta.schema
+  override def partitioning(): Array[Transform] = transforms
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val hasFiles =
+      try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true).nonEmpty
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!hasFiles) new EmptyOcfScanBuilder(meta.schema)
+    else inner.newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+}
+
+/** Zero-row scan of a known schema — what an empty catalog table reads as. */
+private[sources] final class EmptyOcfScanBuilder(schema: StructType) extends ScanBuilder {
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = schema
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(partition: InputPartition): PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+          throw new IllegalStateException("empty scan plans no partitions")
+      }
+    override def description(): String = s"graft-ocf EMPTY ${schema.simpleString}"
+  }
+}

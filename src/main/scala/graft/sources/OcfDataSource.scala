@@ -209,7 +209,7 @@ object OcfDataSource {
       case other          => (StructType(Seq(StructField("value", other))), true)
     }
 
-  private def resolve(options: CaseInsensitiveStringMap): Resolved = {
+  private[sources] def resolve(options: CaseInsensitiveStringMap): Resolved = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val paths = pathsOf(options)
@@ -497,10 +497,12 @@ private[sources] final class OcfTable(
     external: Option[StructType],
     transforms: Array[Transform],
     partCols: Array[String],
-    resolve: () => OcfDataSource.Resolved)
+    resolve: () => OcfDataSource.Resolved,
+    tableName: String = "graft-ocf",
+    writeOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = "graft-ocf"
+  override def name(): String = tableName
   override def schema(): StructType = external.getOrElse(resolve().sql)
   // echo the requested transforms: DataFrameWriter verifies the table's
   // partitioning matches its partitionBy before writing
@@ -512,7 +514,10 @@ private[sources] final class OcfTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val r = resolve()
     external.foreach { ext =>
-      require(ext == r.sql,
+      // nullability-insensitive: a nullable-declared column over files whose
+      // writer schema is non-null (or vice versa) reads fine — names, types
+      // and order must agree
+      require(org.apache.spark.sql.graft.Shims.sameType(ext, r.sql),
         "graft-ocf: a user-specified read schema must match the resolved file schema " +
           s"(got ${ext.simpleString}, resolved ${r.sql.simpleString}); " +
           "use the 'readerSchema' option (Avro JSON) to project/resolve instead")
@@ -520,7 +525,7 @@ private[sources] final class OcfTable(
     new OcfScanBuilder(r)
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
-    new OcfWriteBuilder(info, partCols)
+    new OcfWriteBuilder(info, partCols, writeOptions)
 }
 
 private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)

@@ -47,13 +47,23 @@ import org.apache.spark.sql.types.StructType
   * (`SupportsTruncate`); `mode("append")` adds files.
   */
 private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
-                                             partCols: Array[String])
+                                             partCols: Array[String],
+                                             baseOptions: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
   private var truncateAll = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
 
   override def build(): Write = {
-    val opts = info.options()
+    // catalog tables inject their stored location + write options as the
+    // base layer; per-statement options (DataFrameWriter .option) win
+    val opts =
+      if (baseOptions.isEmpty) info.options()
+      else {
+        val m = new java.util.HashMap[String, String]()
+        baseOptions.foreach { case (k, v) => m.put(k, v) }
+        m.putAll(info.options().asCaseSensitiveMap())
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+      }
     val dir = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-ocf write: no 'path' specified"))
     val sql = info.schema()

@@ -14,6 +14,12 @@ object Shims {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Nullability-insensitive schema equality (`DataType.sameType` is
+    * `private[sql]`): same field names, types and order. */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+               b: org.apache.spark.sql.types.DataType): Boolean =
+    a.sameType(b)
+
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
