@@ -824,6 +824,28 @@ object SparkEntry {
         .orderBy("chars_bin")
     }),
 
+    // Nested-field stats (statsColumns=a.b): the sink stamps min/max for a
+    // LEAF inside a struct under its dotted name, and the scan's
+    // nested-predicate pushdown then skips whole files on a nested range
+    // filter — header-only, like parquet's leaf stats at depth. The
+    // surviving rows re-filter as usual (skipping is conservative).
+    // File-count proof + nested MIN/MAX/COUNT pushdown in OcfDataSourceSpec.
+    "q84_nested_stats_skip" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        struct(col("n_chars").cast("long").as("n_chars"), col("lang")).as("meta"))
+      val out = landingDir(s, "graft_q84_ocf_")
+      d.repartitionByRange(4, col("meta.n_chars"), col("doc_id"))
+        .write.format("graft-ocf").mode("overwrite")
+        .option("statsColumns", "meta.n_chars")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .where(col("meta.n_chars") >= 300L)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("meta.n_chars")).cast("long").as("sum_chars"),
+          min(col("meta.n_chars")).cast("long").as("min_chars"),
+          max(col("meta.n_chars")).cast("long").as("max_chars"))
+    }),
+
     // V2 TableCatalog SQL surface: CREATE TABLE / INSERT INTO / SELECT
     // through a registered catalog (graft.sources.GraftCatalog) — the
     // reference's own premise is a SQL warehouse over Avro payloads
@@ -1731,6 +1753,15 @@ object SparkEntry {
     "q80_topk_pushdown" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
         |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
+
+    // the nested roundtrip is lossless, so the nested-predicate profile
+    // mirrors the flat query
+    "q84_nested_stats_skip" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents WHERE n_chars >= 300""".stripMargin,
 
     // the catalog INSERT is a lossless landing of the documents slice, so
     // the SQL-path aggregate mirrors the straight query

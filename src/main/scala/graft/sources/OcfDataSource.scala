@@ -671,13 +671,27 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       case _ => null
     }
     if (gCols.exists(_ == null)) return false
+    // resolves top-level AND nested references (MIN(info.score)): the
+    // canonical dotted name matches the header stamp's key, so nested
+    // aggregates answer from nested leaf stats exactly like top-level ones
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
-          if r.fieldNames.length == 1 =>
-        resolved.dataSql.fields.filter(_.name.equalsIgnoreCase(r.fieldNames()(0))) match {
-          case Array(f) => Some((f.name, f.dataType))
-          case _ => None
+          if r.fieldNames.nonEmpty =>
+        var st: org.apache.spark.sql.types.DataType = resolved.dataSql
+        val canonical = Seq.newBuilder[String]
+        r.fieldNames.foreach { n =>
+          st match {
+            case s: StructType => s.fields.filter(_.name.equalsIgnoreCase(n)) match {
+              case Array(f) => canonical += f.name; st = f.dataType
+              case _ => return None
+            }
+            case _ => return None
+          }
+        }
+        st match {
+          case _: StructType => None // must end at a leaf
+          case leaf => Some((canonical.result().mkString("."), leaf))
         }
       case _ => None
     }

@@ -125,11 +125,15 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         s"graft-ocf write: partition column '$pc' must not appear in the Avro " +
           "schema — partition values live in directory names, not file contents"))
     }
-    // `statsColumns`: top-level orderable primitives whose per-file min/max
-    // the sink stamps into the OCF header (`graft.stats`) for read-side
-    // file skipping and min/max pushdown. Costs one sequential re-copy of
-    // each sealed file (the OCF header precedes the data it describes), so
-    // it is opt-in. `statsColumns=auto` stamps every eligible data column.
+    // `statsColumns`: orderable primitives whose per-file min/max the sink
+    // stamps into the OCF header (`graft.stats`) for read-side file
+    // skipping and min/max pushdown — top-level columns OR dotted paths to
+    // a leaf inside nested structs (`info.score`), stamped under the dotted
+    // name so the scan's nested-predicate filters find them directly
+    // (parquet likewise stamps leaf stats at every depth). Costs one
+    // sequential re-copy of each sealed file (the OCF header precedes the
+    // data it describes), so it is opt-in. `statsColumns=auto` stamps every
+    // eligible TOP-LEVEL data column.
     def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.StringType |
            org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -147,21 +151,21 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       case Some(v) => v.split(",").map(_.trim).filter(_.nonEmpty)
       case None => Array.empty
     }
-    val statsOrdinals: Array[Int] = statsNames
-      .map { sc =>
-        val exact = sql.fields.indexWhere(_.name == sc)
-        val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(sc))
-        if (i < 0) throw new IllegalArgumentException(
-          s"graft-ocf write: statsColumns entry '$sc' is not in the query schema")
-        require(!partOrdinals.contains(i),
+    val statsCols: Array[OcfWrite.StatCol] = statsNames.map { sc =>
+      val col = OcfWrite.resolveStatPath(sql, sc).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-ocf write: statsColumns entry '$sc' is not in the query " +
+            "schema (top-level column or dotted struct path)"))
+      if (col.path.length == 1)
+        require(!partOrdinals.contains(col.path(0)),
           s"graft-ocf write: statsColumns entry '$sc' is a partition column; " +
             "partition values are already exact in the path")
-        if (!statsEligible(sql.fields(i).dataType)) throw new IllegalArgumentException(
-          s"graft-ocf write: statsColumns entry '$sc' has type " +
-            s"${sql.fields(i).dataType.simpleString}; " +
-            "only numeric and string columns carry range stats")
-        i
-      }
+      if (!statsEligible(col.dt)) throw new IllegalArgumentException(
+        s"graft-ocf write: statsColumns entry '$sc' has type " +
+          s"${col.dt.simpleString}; " +
+          "only numeric and string leaves carry range stats")
+      col
+    }
     // `bloomColumns`: per-file Bloom filters stamped into the header
     // (`graft.bloom`) for read-side EXACT-MATCH file skipping — the point-
     // lookup complement to statsColumns' range skipping. Integral + string
@@ -197,7 +201,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     // the parquet row-group-pruning analog (file-level stats stop helping
     // once files are GBs)
     val blockIndex = Option(opts.get("blockIndex")).exists(_.toBoolean)
-    require(!blockIndex || statsOrdinals.nonEmpty,
+    require(!blockIndex || statsCols.nonEmpty,
       "graft-ocf write: blockIndex=true requires statsColumns (the index " +
         "stamps per-block bounds for exactly those columns)")
     val blockIndexMaxEntries =
@@ -249,7 +253,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
       info.queryId(), maxBytesPerFile,
       partNames = partOrdinals.map(sql.fields(_).name),
-      partOrdinals = partOrdinals, statsOrdinals = statsOrdinals,
+      partOrdinals = partOrdinals, statsCols = statsCols,
       bloomOrdinals = bloomOrdinals, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
       blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries,
@@ -266,15 +270,16 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
   * one exceeds the bound (checked at block-flush granularity) — at 100 TB a
   * skewed 100 GB partition must not become one 100 GB file. `partNames` /
   * `partOrdinals` route rows to `col=value/` subdirectories (values dropped
-  * from file contents); `statsOrdinals` are the columns whose per-file
-  * min/max the sink stamps into the header for read-side file skipping. */
+  * from file contents); `statsCols` are the (possibly nested) leaf columns
+  * whose per-file min/max the sink stamps into the header for read-side
+  * file skipping. */
 private[sources] final case class OcfWriteConfig(
     dir: String, sql: StructType, avroJson: String, ordinals: Array[Int],
     codecName: String, blockBytes: Int, conf: SerializableHadoopConf,
     jobId: String, maxBytesPerFile: Long = Long.MaxValue,
     partNames: Array[String] = Array.empty,
     partOrdinals: Array[Int] = Array.empty,
-    statsOrdinals: Array[Int] = Array.empty,
+    statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomOrdinals: Array[Int] = Array.empty,
     bloomFpp: Double = 0.01,
     bloomMaxItems: Int = 1000000,
@@ -283,6 +288,72 @@ private[sources] final case class OcfWriteConfig(
     sortNames: Array[String] = Array.empty)
 
 private[sources] object OcfWrite {
+
+  /** One tracked stats column: the canonical dotted name (the header stamp
+    * key, which matches the dotted attribute names Spark's nested-predicate
+    * pushdown emits), the ordinal chain from the row root through any
+    * intermediate structs, those structs' field counts (for `getStruct`),
+    * and the LEAF type. */
+  final case class StatCol(name: String, path: Array[Int], sizes: Array[Int],
+                           dt: org.apache.spark.sql.types.DataType) {
+    /** The leaf's row (the innermost struct holding it), or null when any
+      * ancestor struct is null — a null parent makes the leaf SQL-null. */
+    def leafRow(row: InternalRow): InternalRow = {
+      var r: InternalRow = row
+      var i = 0
+      while (i < path.length - 1) {
+        if (r.isNullAt(path(i))) return null
+        r = r.getStruct(path(i), sizes(i))
+        i += 1
+      }
+      r
+    }
+    def leafOrdinal: Int = path(path.length - 1)
+  }
+
+  /** Resolve a `statsColumns` entry to a [[StatCol]]: a top-level column
+    * (exact name first, then unique case-insensitive — so a literal column
+    * named "a.b" wins over a dotted interpretation) or a dotted path walked
+    * level by level through struct fields with the same matching rule. */
+  def resolveStatPath(sql: StructType, entry: String): Option[StatCol] = {
+    def fieldIn(st: StructType, n: String): Option[Int] = {
+      val exact = st.fields.indexWhere(_.name == n)
+      if (exact >= 0) Some(exact)
+      else st.fields.zipWithIndex.filter(_._1.name.equalsIgnoreCase(n)) match {
+        case Array((_, i)) => Some(i)
+        case _ => None
+      }
+    }
+    fieldIn(sql, entry) match {
+      case Some(i) =>
+        Some(StatCol(sql.fields(i).name, Array(i), Array.empty, sql.fields(i).dataType))
+      case None =>
+        val parts = entry.split('.')
+        if (parts.length < 2) return None
+        val path = Array.newBuilder[Int]
+        val sizes = Array.newBuilder[Int]
+        val canonical = Seq.newBuilder[String]
+        var st: org.apache.spark.sql.types.DataType = sql
+        parts.foreach { p =>
+          st match {
+            case s: StructType => fieldIn(s, p) match {
+              case Some(i) =>
+                path += i
+                canonical += s.fields(i).name
+                st = s.fields(i).dataType
+                st match { case inner: StructType => sizes += inner.length; case _ => () }
+              case None => return None
+            }
+            case _ => return None
+          }
+        }
+        st match {
+          case _: StructType => None // the path must end at a leaf
+          case leaf => Some(StatCol(canonical.result().mkString("."),
+            path.result(), sizes.result(), leaf))
+        }
+    }
+  }
 
   /** Map each Avro record field to its DataFrame column ordinal — exact name
     * first, then unique case-insensitive (Spark analysis is case-insensitive
@@ -479,7 +550,7 @@ private[sources] final class OcfDataWriter(
     cfg.partOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
   private val partTypes = cfg.partOrdinals.map(o => cfg.sql.fields(o).dataType)
   private val stats =
-    if (cfg.statsOrdinals.isEmpty) null else new OcfStatsTracker(cfg)
+    if (cfg.statsCols.isEmpty) null else new OcfStatsTracker(cfg)
   private val blockIdx =
     if (!cfg.blockIndex) null else new OcfBlockIndexTracker(cfg)
   private val bloom =
@@ -647,15 +718,14 @@ private[sources] final class OcfDataWriter(
   * stamp could disagree with a row-order recompute) and is dropped on Long
   * overflow rather than stamped wrapped. */
 private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
-  private val n = cfg.statsOrdinals.length
-  private val names = cfg.statsOrdinals.map(cfg.sql.fields(_).name)
-  private val getters = cfg.statsOrdinals.map(o =>
-    InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  private val n = cfg.statsCols.length
+  private val names = cfg.statsCols.map(_.name)
+  private val getters = cfg.statsCols.map(c => InternalRowGetters.forType(c.dt))
   // 0 = integral (stored long), 1 = floating (stored double), 2 = string
   // date/timestamp ride the integral tag (int days / long micros backing —
   // the order Spark itself compares them by), but never stamp a "sum"
-  private val tags: Array[Int] = cfg.statsOrdinals.map { o =>
-    cfg.sql.fields(o).dataType match {
+  private val tags: Array[Int] = cfg.statsCols.map { c =>
+    c.dt match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
@@ -667,8 +737,8 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   // SUM over a date/timestamp is not a meaningful quantity; suppressing the
   // stamp (rather than trusting Spark never to push one) keeps the header
   // from ever certifying it
-  private val sumEligible: Array[Boolean] = cfg.statsOrdinals.map { o =>
-    cfg.sql.fields(o).dataType match {
+  private val sumEligible: Array[Boolean] = cfg.statsCols.map { c =>
+    c.dt match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
@@ -697,12 +767,14 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   def update(row: InternalRow): Unit = {
     var i = 0
     while (i < n) {
-      val o = cfg.statsOrdinals(i)
-      if (row.isNullAt(o)) sawNull(i) = true
+      // the leaf's enclosing struct; null at ANY level = SQL-null leaf
+      val lr = cfg.statsCols(i).leafRow(row)
+      val o = cfg.statsCols(i).leafOrdinal
+      if (lr == null || lr.isNullAt(o)) sawNull(i) = true
       else {
         tags(i) match {
           case 0 =>
-            val v = getters(i)(row, o).asInstanceOf[Number].longValue
+            val v = getters(i)(lr, o).asInstanceOf[Number].longValue
             if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
             if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
             val s = sumL(i) + v
@@ -716,11 +788,11 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             // normalizing -0.0 here would turn an exact answer into +0.0).
             // The read-side SKIPPING comparison normalizes both sides, so
             // a -0.0 bound still never refutes `= 0.0`.
-            val v = getters(i)(row, o).asInstanceOf[Number].doubleValue
+            val v = getters(i)(lr, o).asInstanceOf[Number].doubleValue
             if (nonNull(i) == 0L || java.lang.Double.compare(v, minD(i)) < 0) minD(i) = v
             if (nonNull(i) == 0L || java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
           case _ =>
-            val v = getters(i)(row, o)
+            val v = getters(i)(lr, o)
               .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
             // clone ONLY on adoption as an extremum (the value may alias a
             // reused decode buffer): O(distinct extrema), not O(rows)

@@ -1196,6 +1196,51 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(both.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("nested-field stats: statsColumns=a.b skips files and answers nested MIN/MAX") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-neststats")
+    spark.range(400).select(col("id"),
+        struct(col("id").as("score"), concat(lit("s"), col("id")).as("tag")).as("info"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-ocf").mode("append")
+      .option("statsColumns", "info.score")
+      .save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    // a nested range predicate skips non-matching files header-only
+    val sel = df.where(col("info.score") >= 300L).select("id")
+    assert(sel.as[Long].collect().sorted.toSeq == (300L until 400L))
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.size == 1,
+      s"info.score >= 300 must keep 1 of 4 range-clustered files; planned $planned")
+    // nested MIN/MAX answer from the dotted-path header stamps
+    val agg = df.agg(min(col("info.score")).as("mn"), max(col("info.score")).as("mx"))
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 399L)))
+    assert(scanOf(agg).description().contains("MIN(info.score)"),
+      s"nested MIN must push down: ${scanOf(agg).description()}")
+
+    // a null PARENT struct is a null leaf: COUNT(info.score) stays exact
+    val dir2 = tempDir("graft-dsv2-nestnull")
+    spark.range(10).select(col("id"),
+        when(col("id") % 2 === 0, struct(col("id").as("score"))).as("info"))
+      .coalesce(1)
+      .write.format("graft-ocf").mode("append")
+      .option("statsColumns", "info.score")
+      .save(dir2.getAbsolutePath)
+    val df2 = spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+    val cnt = df2.agg(count(col("info.score")).as("c"))
+    assert(cnt.collect().head.getLong(0) == 5L)
+    assert(scanOf(cnt).description().contains("COUNT(info.score)"),
+      s"nested COUNT must push down: ${scanOf(cnt).description()}")
+
+    // a stats path into a non-struct or missing field fails the WRITE plan
+    val e = intercept[Exception] {
+      spark.range(3).select(col("id"))
+        .write.format("graft-ocf").option("statsColumns", "id.sub")
+        .mode("append").save(tempDir("graft-dsv2-nestbad").getAbsolutePath)
+    }
+    assert(e.getMessage.contains("statsColumns"), e.getMessage)
+  }
+
   test("typed partition columns: int inference, numeric pruning, schema round-trip") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-typedpart")
