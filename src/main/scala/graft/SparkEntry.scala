@@ -824,6 +824,25 @@ object SparkEntry {
         .orderBy("chars_bin")
     }),
 
+    // AVG pushdown (stretch on X49): Spark's partial aggregate pushdown
+    // decomposes AVG into SUM + COUNT, which the scan answers from the
+    // exact header stamps — a grouped per-language mean over 100 TB reads
+    // NOTHING but file headers. Refusal on unstamped files (and the exact
+    // plan shape) spec-proven in OcfDataSourceSpec.
+    "q85_avg_pushdown" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("lang"))
+      val out = landingDir(s, "graft_q85_ocf_")
+      d.repartition(4)
+        .write.format("graft-ocf").partitionBy("lang").mode("overwrite")
+        .option("statsColumns", "n_chars")
+        .save(out.getAbsolutePath)
+      s.read.format("graft-ocf").load(out.getAbsolutePath)
+        .groupBy(col("lang"))
+        .agg(expr("CAST(round(avg(n_chars), 6) AS DOUBLE)").as("avg_chars"))
+        .orderBy("lang")
+    }),
+
     // Nested-field stats (statsColumns=a.b): the sink stamps min/max for a
     // LEAF inside a struct under its dotted name, and the scan's
     // nested-predicate pushdown then skips whole files on a nested range
@@ -1753,6 +1772,12 @@ object SparkEntry {
     "q80_topk_pushdown" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang
         |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
+
+    // header sums and counts are exact longs, so the pushed AVG equals the
+    // row-order mean bit-for-bit (one long division on each side)
+    "q85_avg_pushdown" ->
+      """SELECT lang, CAST(round(avg(n_chars), 6) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the nested roundtrip is lossless, so the nested-predicate profile
     // mirrors the flat query

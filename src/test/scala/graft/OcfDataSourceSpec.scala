@@ -1196,6 +1196,47 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(both.toSeq == Seq(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("AVG pushdown: Spark decomposes to header-only SUM+COUNT; unstamped refuses") {
+    val dir = tempDir("graft-dsv2-avg")
+    spark.range(1000).select(col("id"), (col("id") % 7).as("x"))
+      .coalesce(2).write.format("graft-ocf")
+      .option("statsColumns", "x").mode("append").save(dir.getAbsolutePath)
+    val a = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+      .agg(avg(col("x")).as("a"))
+    val desc = scanOf(a).description()
+    assert(desc.contains("SUM(x)") && desc.contains("COUNT(x)"),
+      s"AVG must ride the SUM+COUNT stamps: $desc")
+    assert(a.collect().head.getDouble(0) ==
+      (0L until 1000L).map(_ % 7).sum.toDouble / 1000.0)
+
+    // grouped AVG over a partitioned stamped layout: per-partition header
+    // constants, no data read
+    val dir2 = tempDir("graft-dsv2-avg2")
+    spark.range(300).select(col("id"),
+        expr("concat('p', id % 3)").as("p"), (col("id") % 11).as("x"))
+      .repartition(2).write.format("graft-ocf").partitionBy("p")
+      .option("statsColumns", "x").mode("append").save(dir2.getAbsolutePath)
+    val g = spark.read.format("graft-ocf").load(dir2.getAbsolutePath)
+      .groupBy("p").agg(avg(col("x")).as("a"))
+    assert(scanOf(g).description().contains("PushedGroupBy: [p]"),
+      scanOf(g).description())
+    val exp = (0L until 300L).groupBy(i => s"p${i % 3}").view
+      .mapValues(s => s.map(_ % 11).sum.toDouble / s.size).toMap
+    assert(g.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap == exp)
+
+    // no stamps: the push is refused and the plain scan still answers right
+    val dir3 = tempDir("graft-dsv2-avg3")
+    spark.range(100).select(col("id"), (col("id") % 5).as("x"))
+      .coalesce(1).write.format("graft-ocf").mode("append")
+      .save(dir3.getAbsolutePath)
+    val u = spark.read.format("graft-ocf").load(dir3.getAbsolutePath)
+      .agg(avg(col("x")).as("a"))
+    assert(!scanOf(u).description().contains("PushedAggregation"),
+      scanOf(u).description())
+    assert(u.collect().head.getDouble(0) ==
+      (0 until 100).map(_ % 5).sum.toDouble / 100.0)
+  }
+
   test("nested-field stats: statsColumns=a.b skips files and answers nested MIN/MAX") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-neststats")
