@@ -810,10 +810,14 @@ object SparkEntry {
     // operation. Inference/declared-schema/date round-trips spec-proven in
     // OcfDataSourceSpec.
     "q81_typed_partitions" -> ((s, dir) => {
+      // DIV 40 yields bins 1..13 on this corpus — enough to cross the 9/10
+      // lexical boundary without exploding the directory count (each task
+      // writes one file per bin it sees; 2 tasks x 13 bins bounds the
+      // listing the repeated read then pays)
       val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
-        expr("CAST(n_chars DIV 25 AS INT)").as("chars_bin"))
+        expr("CAST(n_chars DIV 40 AS INT)").as("chars_bin"))
       val out = landingDir(s, "graft_q81_ocf_")
-      d.repartition(4)
+      d.repartition(2)
         .write.format("graft-ocf").partitionBy("chars_bin").mode("overwrite")
         .save(out.getAbsolutePath)
       s.read.format("graft-ocf").load(out.getAbsolutePath)
@@ -1805,9 +1809,9 @@ object SparkEntry {
     // the partitioned roundtrip drops no rows and the bin range predicate
     // must behave numerically (bins 10..22 > 9), not lexically
     "q81_typed_partitions" ->
-      """SELECT CAST(n_chars // 25 AS INTEGER) AS chars_bin,
+      """SELECT CAST(n_chars // 40 AS INTEGER) AS chars_bin,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents WHERE n_chars // 25 > 9
+        |FROM documents WHERE n_chars // 40 > 9
         |GROUP BY 1 ORDER BY chars_bin""".stripMargin,
 
     // the z-ordered roundtrip is a lossless relayout of the written data,

@@ -1063,6 +1063,9 @@ private[graft] final case class OcfScan(
   // planned afterwards and read the wrong files. With one index space the
   // factory's creation time is irrelevant.
   @transient private var runtimeFiles: Seq[OcfDataSource.OcfFileMeta] = _
+  // the delivered runtime filters also feed BLOCK pruning at split planning
+  // (block-index stats can refute a runtime key set inside surviving files)
+  @transient private var runtimeFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
   private def effectiveFiles: Seq[OcfDataSource.OcfFileMeta] =
     if (runtimeFiles != null) runtimeFiles else files
 
@@ -1071,6 +1074,7 @@ private[graft] final case class OcfScan(
     // there), but guard anyway: their aggValues are index-aligned to the
     // UNFILTERED file list
     if (countStar || aggExprs.nonEmpty) return
+    runtimeFilters = filters.toSeq
     val nameToIdx = partCols.zipWithIndex.toMap
     val bloomUseful = OcfBloom.anyEqualityShape(filters.toSeq)
     runtimeFiles = files.filter { m =>
@@ -1171,7 +1175,11 @@ private[graft] final case class OcfScan(
           if (keyed) OcfKeyedInputPartition(i, s, e,
             OcfSplitReader.partitionRow(f, partIdx, partTypes), aligned)
           else OcfInputPartition(i, s, e, aligned)
-        OcfScan.blockAlignedRanges(f, pushedFilters, splitSize) match {
+        // defensive null check: @transient fields revive as null if a scan
+        // object ever crosses a serialization boundary before planning
+        OcfScan.blockAlignedRanges(f,
+          pushedFilters ++ (if (runtimeFilters == null) Nil else runtimeFilters),
+          splitSize) match {
           case Some(ranges) => ranges.iterator.map { case (s, e) => mk(s, e, aligned = true) }
           case None =>
             (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>

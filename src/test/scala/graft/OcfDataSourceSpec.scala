@@ -1033,6 +1033,43 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(joined.toSeq == Seq("body_17", "body_5"))
   }
 
+  test("runtime filters prune blocks inside surviving files (block index)") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-rtblocks")
+    // one sorted block-indexed file: a runtime key set should plan only the
+    // blocks whose stamped ranges may contain the keys
+    (0L until 4000L).map(i => (i, s"v$i")).toDF("id", "name")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("graft-ocf").mode("append")
+      .option("statsColumns", "id")
+      .option("blockIndex", "true").option("blockBytes", "2048")
+      .save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    val scan = scanOf(df.select("id", "name"))
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    def extent(parts: Array[org.apache.spark.sql.connector.read.InputPartition]): Long =
+      parts.map { case s: graft.sources.OcfSplit => s.end - s.start }.sum
+    val before = extent(batch.planInputPartitions())
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array[Any](10L, 3990L))))
+    val after = batch.planInputPartitions()
+    // two needle keys in a sorted block-indexed file: the planned byte
+    // extent collapses to the two containing blocks
+    assert(extent(after) < before / 4,
+      s"runtime In(10, 3990) must drop refuted blocks: $before -> ${extent(after)} bytes")
+    // and the runtime-pruned splits still read exactly the matching rows
+    val factory = batch.createReaderFactory()
+    val rows = after.flatMap { part =>
+      val r = factory.createReader(part)
+      val b = Seq.newBuilder[Long]
+      try while (r.next()) b += r.get().getLong(0) finally r.close()
+      b.result()
+    }
+    assert(Seq(10L, 3990L).forall(rows.contains),
+      s"block-pruned read must retain the matching rows; got ${rows.length} rows")
+  }
+
   test("bloom skipping: point lookups plan only files that might contain the key") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-bloom")
