@@ -1128,9 +1128,10 @@ object OcfMaintenance {
     val df = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
       .load(inDir)
     // a readerSchema projection may drop a stamped column; stamp only what
-    // the output will actually contain
+    // the output will actually contain — resolution handles nested dotted
+    // paths (info.score) the same way the sink itself will
     val outCols = df.schema.fieldNames.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
-    val keptStats = stampedCols.filter(c => outCols(c.toLowerCase(java.util.Locale.ROOT)))
+    val keptStats = stampedCols.filter(c => OcfWrite.resolveStatPath(df.schema, c).isDefined)
     // a readerSchema override can also PROMOTE a stamped column to a type
     // blooms don't support (int -> double); stamp only still-eligible ones
     val outEligible = df.schema.fields

@@ -262,6 +262,24 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(got.length == 4000 && got.toSeq == (0L until 4000L).map(i => (i, s"doc_$i")))
   }
 
+  test("compact preserves nested stats stamps (dotted statsColumns)") {
+    import graft.sources.OcfMaintenance
+    val in = tempDir("graft-w-compactnest-in")
+    val outD = tempDir("graft-w-compactnest-out").getAbsolutePath + "/packed"
+    spark.range(400).select(col("id"), struct(col("id").as("score")).as("info"))
+      .repartition(4)
+      .write.format("graft-ocf").option("statsColumns", "info.score")
+      .mode(SaveMode.Append).save(in.getAbsolutePath)
+    OcfMaintenance.compact(spark, in.getAbsolutePath, outD, targetBytes = 1L << 20)
+    // the compacted files re-stamp the nested leaf: a nested MIN/MAX still
+    // answers header-only after maintenance
+    val df = spark.read.format("graft-ocf").load(outD)
+    val agg = df.agg(min(col("info.score")).as("mn"), max(col("info.score")).as("mx"))
+    assert(scanOf(agg).description().contains("MIN(info.score)"),
+      s"compaction must carry the nested stamp forward: ${scanOf(agg).description()}")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 399L)))
+  }
+
   test("compact preserves a uniformly certified sort order (re-sorted, re-certified)") {
     import graft.sources.OcfMaintenance
     import spark.implicits._
