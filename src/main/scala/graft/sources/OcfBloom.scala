@@ -222,12 +222,11 @@ private[graft] object OcfBloom {
   * file (absent filter = never skipped — conservative), bounding writer
   * memory at `columns × maxItems × 8` bytes. */
 private[sources] final class OcfBloomTracker(cfg: OcfWriteConfig) {
-  private val n = cfg.bloomOrdinals.length
-  private val names = cfg.bloomOrdinals.map(cfg.sql.fields(_).name)
-  private val getters = cfg.bloomOrdinals.map(o =>
-    InternalRowGetters.forType(cfg.sql.fields(o).dataType))
-  private val isString: Array[Boolean] = cfg.bloomOrdinals.map(o =>
-    cfg.sql.fields(o).dataType == org.apache.spark.sql.types.StringType)
+  private val n = cfg.bloomCols.length
+  private val names = cfg.bloomCols.map(_.name)
+  private val getters = cfg.bloomCols.map(c => InternalRowGetters.forType(c.dt))
+  private val isString: Array[Boolean] = cfg.bloomCols.map(
+    _.dt == org.apache.spark.sql.types.StringType)
   private val logs = new Array[Array[Long]](n)
   private val counts = new Array[Int](n)
   private val overflowed = new Array[Boolean](n)
@@ -243,8 +242,10 @@ private[sources] final class OcfBloomTracker(cfg: OcfWriteConfig) {
   def update(row: InternalRow): Unit = {
     var i = 0
     while (i < n) {
-      val o = cfg.bloomOrdinals(i)
-      if (!overflowed(i) && !row.isNullAt(o)) {
+      // leaf's enclosing struct; a null ancestor makes the leaf null
+      val lr = cfg.bloomCols(i).leafRow(row)
+      val o = cfg.bloomCols(i).leafOrdinal
+      if (!overflowed(i) && lr != null && !lr.isNullAt(o)) {
         if (counts(i) >= cfg.bloomMaxItems) {
           overflowed(i) = true; logs(i) = null
         } else {
@@ -254,9 +255,9 @@ private[sources] final class OcfBloomTracker(cfg: OcfWriteConfig) {
               math.min(logs(i).length * 2, cfg.bloomMaxItems))
           val h =
             if (isString(i))
-              OcfBloom.hashUtf8(getters(i)(row, o)
+              OcfBloom.hashUtf8(getters(i)(lr, o)
                 .asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-            else OcfBloom.hashLong(getters(i)(row, o).asInstanceOf[Number].longValue)
+            else OcfBloom.hashLong(getters(i)(lr, o).asInstanceOf[Number].longValue)
           logs(i)(counts(i)) = h
           counts(i) += 1
         }

@@ -169,23 +169,25 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     // `bloomColumns`: per-file Bloom filters stamped into the header
     // (`graft.bloom`) for read-side EXACT-MATCH file skipping — the point-
     // lookup complement to statsColumns' range skipping. Integral + string
-    // columns only (equality on float is ill-defined; binary/nested have no
-    // pushed equality filters to serve).
-    val bloomOrdinals: Array[Int] = Option(opts.get("bloomColumns")) match {
+    // LEAVES only (equality on float is ill-defined); like statsColumns,
+    // an entry may be a top-level column or a dotted struct path, stamped
+    // under the dotted name Spark's nested-predicate pushdown emits.
+    val bloomCols: Array[OcfWrite.StatCol] = Option(opts.get("bloomColumns")) match {
       case Some(v) =>
         v.split(",").map(_.trim).filter(_.nonEmpty).map { bc =>
-          val exact = sql.fields.indexWhere(_.name == bc)
-          val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(bc))
-          if (i < 0) throw new IllegalArgumentException(
-            s"graft-ocf write: bloomColumns entry '$bc' is not in the query schema")
-          require(!partOrdinals.contains(i),
-            s"graft-ocf write: bloomColumns entry '$bc' is a partition column; " +
-              "partition values are already exact in the path")
-          if (!OcfBloom.eligible(sql.fields(i).dataType)) throw new IllegalArgumentException(
+          val col = OcfWrite.resolveStatPath(sql, bc).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-ocf write: bloomColumns entry '$bc' is not in the query " +
+                "schema (top-level column or dotted struct path)"))
+          if (col.path.length == 1)
+            require(!partOrdinals.contains(col.path(0)),
+              s"graft-ocf write: bloomColumns entry '$bc' is a partition column; " +
+                "partition values are already exact in the path")
+          if (!OcfBloom.eligible(col.dt)) throw new IllegalArgumentException(
             s"graft-ocf write: bloomColumns entry '$bc' has type " +
-              s"${sql.fields(i).dataType.simpleString}; " +
-              "only integral and string columns carry Bloom filters")
-          i
+              s"${col.dt.simpleString}; " +
+              "only integral and string leaves carry Bloom filters")
+          col
         }
       case None => Array.empty
     }
@@ -254,7 +256,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       info.queryId(), maxBytesPerFile,
       partNames = partOrdinals.map(sql.fields(_).name),
       partOrdinals = partOrdinals, statsCols = statsCols,
-      bloomOrdinals = bloomOrdinals, bloomFpp = bloomFpp,
+      bloomCols = bloomCols, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
       blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries,
       sortNames = sortNames)
@@ -280,7 +282,7 @@ private[sources] final case class OcfWriteConfig(
     partNames: Array[String] = Array.empty,
     partOrdinals: Array[Int] = Array.empty,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
-    bloomOrdinals: Array[Int] = Array.empty,
+    bloomCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomFpp: Double = 0.01,
     bloomMaxItems: Int = 1000000,
     blockIndex: Boolean = false,
@@ -554,7 +556,7 @@ private[sources] final class OcfDataWriter(
   private val blockIdx =
     if (!cfg.blockIndex) null else new OcfBlockIndexTracker(cfg)
   private val bloom =
-    if (cfg.bloomOrdinals.isEmpty) null else new OcfBloomTracker(cfg)
+    if (cfg.bloomCols.isEmpty) null else new OcfBloomTracker(cfg)
   private val sortTrk = {
     val t = if (cfg.sortNames.isEmpty) null else new OcfSortTracker(cfg)
     if (t != null && t.supported) t else null
@@ -1134,10 +1136,9 @@ object OcfMaintenance {
     val keptStats = stampedCols.filter(c => OcfWrite.resolveStatPath(df.schema, c).isDefined)
     // a readerSchema override can also PROMOTE a stamped column to a type
     // blooms don't support (int -> double); stamp only still-eligible ones
-    val outEligible = df.schema.fields
-      .filter(f => OcfBloom.eligible(f.dataType))
-      .map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
-    val keptBloom = seenBloom.toSeq.filter(c => outEligible(c.toLowerCase(java.util.Locale.ROOT)))
+    // (nested dotted names resolve the same way the sink's will)
+    val keptBloom = seenBloom.toSeq.filter(c =>
+      OcfWrite.resolveStatPath(df.schema, c).exists(sc => OcfBloom.eligible(sc.dt)))
     // OPTIMIZE-ZORDER mode: instead of shuffle-free split coalescing, the
     // rows are RANGE-partitioned and sorted along the Morton curve of
     // `zorderColumns` (graft.ops.Layout.zorderBy), and those columns join

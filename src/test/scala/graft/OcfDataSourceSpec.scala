@@ -1319,6 +1319,34 @@ class OcfDataSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("statsColumns"), e.getMessage)
   }
 
+  test("nested-field blooms: bloomColumns=a.b skips files on nested point lookups") {
+    import spark.implicits._
+    val dir = tempDir("graft-dsv2-nestbloom")
+    // ids round-robined so every file's range spans the domain — only the
+    // nested bloom can prune the equality probe
+    spark.range(4000).select(col("id"),
+        struct(col("id").as("key"), concat(lit("n"), col("id")).as("nm")).as("info"))
+      .repartition(4)
+      .write.format("graft-ocf").mode("append")
+      .option("bloomColumns", "info.key")
+      .save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+    // present key: found, and fewer than all files planned
+    val hit = df.where(col("info.key") === 1234L).select("id").as[Long].collect()
+    assert(hit.toSeq == Seq(1234L))
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.nonEmpty && planned.size < 4,
+      s"nested bloom must skip non-containing files; planned ${planned.size}")
+    // absent key: every file refuted
+    assert(df.where(col("info.key") === 999999L).collect().isEmpty)
+    assert(graft.sources.OcfDataSource.lastPlannedFiles.get().isEmpty,
+      "absent nested key must prune every file")
+    // soundness across several present keys
+    Seq(0L, 1L, 1999L, 3999L).foreach { k =>
+      assert(df.where(col("info.key") === k).count() == 1L, s"bloom lost nested key $k")
+    }
+  }
+
   test("typed partition columns: int inference, numeric pruning, schema round-trip") {
     import spark.implicits._
     val dir = tempDir("graft-dsv2-typedpart")
