@@ -264,7 +264,12 @@ private[sources] object GraftCatalog {
     val tmp = new Path(path.getParent, s".${path.getName}.tmp")
     val out = fs.create(tmp, true)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
-    if (!fs.rename(tmp, path) && !fs.exists(path))
+    // HDFS-semantics rename REFUSES an existing destination (rename + alter
+    // rewrite the descriptor in place), so replace = delete + rename. DDL is
+    // single-writer; a crash inside the window leaves the new content in the
+    // temp file rather than a torn descriptor.
+    if (fs.exists(path)) fs.delete(path, false)
+    if (!fs.rename(tmp, path))
       throw new java.io.IOException(s"graft catalog: could not commit $path")
   }
 

@@ -1042,17 +1042,24 @@ private[graft] final case class OcfScan(
     * [[OcfBloom.mayMatch]] used at plan time (exact on partition values,
     * range on header stats, membership on blooms), so over-delivery is
     * impossible: Spark re-applies the join itself. */
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    if (countStar || aggExprs.nonEmpty) return Array.empty
-    val out = readSchema().fieldNames.toSet
-    val stamped = files.iterator.flatMap(m =>
-      m.statsJson.iterator.flatMap(OcfPartitions.jsonFieldNames) ++
-        m.bloomJson.iterator.flatMap(OcfPartitions.jsonFieldNames))
-      .filter(c => out.contains(c) && !partCols.contains(c))
-      .toSeq.distinct
-    (partCols ++ stamped)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  // memoized: planning may ask for the filterable attributes several times,
+  // and the stamped-name token walk is O(listing)
+  @transient private lazy val filterableColumns: Seq[String] = {
+    if (countStar || aggExprs.nonEmpty) Nil
+    else {
+      val out = readSchema().fieldNames.toSet
+      val stamped = files.iterator.flatMap(m =>
+        m.statsJson.iterator.flatMap(OcfPartitions.jsonFieldNames) ++
+          m.bloomJson.iterator.flatMap(OcfPartitions.jsonFieldNames))
+        .filter(c => out.contains(c) && !partCols.contains(c))
+        .toSeq.distinct
+      partCols ++ stamped
+    }
   }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    filterableColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
 
   // Runtime-filtered view of `files`. Split indices stay STABLE: splits
   // always index into the ORIGINAL `files` table and runtime pruning only

@@ -154,4 +154,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW NAMESPACES IN g").collect()
       .map(_.getString(0)).contains("life"))
   }
+
+  test("RENAME TABLE moves data; ALTER TABLE adjusts write options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ren")
+    spark.sql("CREATE TABLE g.ren.a (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO g.ren.a VALUES (1), (2), (3)")
+    // the TO name resolves inside the same catalog (no catalog qualifier)
+    spark.sql("ALTER TABLE g.ren.a RENAME TO ren.b")
+    assert(spark.table("g.ren.b").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    intercept[Exception] { spark.table("g.ren.a").count() }
+
+    // property-only ALTER lands in the descriptor and steers future writes
+    spark.sql("ALTER TABLE g.ren.b SET TBLPROPERTIES ('codec' = 'deflate')")
+    spark.sql("INSERT INTO g.ren.b VALUES (4)")
+    assert(spark.table("g.ren.b").count() == 4L)
+    // schema changes are refused loudly, not silently ignored
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE g.ren.b ADD COLUMN extra STRING")
+    }
+    assert(e.getMessage.toLowerCase.contains("unsupported") ||
+      e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+  }
 }
