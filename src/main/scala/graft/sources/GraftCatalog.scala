@@ -172,9 +172,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    // property-only changes update the descriptor; schema evolution is out
-    // of scope (partition layout + avro resolution would both need a
-    // migration story, not a metadata flip)
+    // property changes update the descriptor; ADD COLUMN is real schema
+    // evolution via Avro reader defaults (see [[GraftCatalog.readerJsonWithDefaults]]):
+    // files written before the column existed resolve it to null, no
+    // rewrite. Anything else (drop/rename/retype a column) would need a
+    // data migration story and is refused loudly.
     val dir = tableDir(ident)
     val mp = metaPath(dir)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
@@ -184,9 +186,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         m.copy(options = m.options + (set.property -> set.value))
       case (m, rm: TableChange.RemoveProperty) =>
         m.copy(options = m.options - rm.property)
+      case (m, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns only")
+        val name = add.fieldNames()(0)
+        require(add.isNullable,
+          s"graft catalog: ADD COLUMN '$name' must be nullable — files written " +
+            "before the column existed materialize it as null (Avro reader default)")
+        require(!m.schema.fields.exists(_.name.equalsIgnoreCase(name)),
+          s"graft catalog: column '$name' already exists")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN positioning is not supported; new columns " +
+            "append after the existing data columns")
+        // no Avro shape for the type => fail the DDL, not a later scan
+        graft.spark.SchemaConverters.toAvroType(add.dataType, nullable = true)
+        val parts = m.schema.fields.filter(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
+        m.copy(schema = StructType((m.dataSchema.fields :+
+          org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true)) ++ parts))
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other (only table " +
-          "properties can be altered)")
+        s"graft catalog: unsupported table change $other (properties and " +
+          "nullable ADD COLUMN only)")
     }
     writeMeta(fs, mp, updated)
     loadTable(ident)
@@ -222,6 +241,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
 private[sources] object GraftCatalog {
   val MetaFileName = "_graft_table.json"
+
+  /** The table's READER schema for its data columns: nullable fields carry
+    * an explicit `null` default, so a file written BEFORE a column was
+    * added (ALTER TABLE ADD COLUMN) resolves it to null through the Avro
+    * kernel's reader-default materialization — schema evolution without
+    * rewriting a byte of data (reference analog: reader-default fill,
+    * python-udf/avro/io.py resolution). */
+  def readerJsonWithDefaults(dataSchema: StructType): String = {
+    val rec = graft.spark.SchemaConverters.toAvroType(dataSchema)
+      .asInstanceOf[graft.avro.ARecord]
+    val withDefaults = rec.copy(fields = rec.fields.map { f =>
+      f.schema match {
+        case u: graft.avro.AUnion if u.isNullable =>
+          f.copy(default = Some(com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+        case _ => f
+      }
+    })
+    graft.avro.AvroSchemaParser.toJson(withDefaults)
+  }
 
   /** Reserved property keys Spark attaches to CREATE TABLE that are not
     * write options. */
@@ -303,6 +341,10 @@ private[sources] final class CatalogOcfTable(
     val m = new java.util.HashMap[String, String]()
     meta.options.foreach { case (k, v) => m.put(k, v) }
     m.put("path", meta.location)
+    // the STORED schema is authoritative: every file resolves against it
+    // (with null defaults for nullable fields), so a directory holding
+    // pre-ADD COLUMN files reads as one uniform frame
+    m.put("readerSchema", GraftCatalog.readerJsonWithDefaults(meta.dataSchema))
     if (meta.partCols.nonEmpty) m.put("partitionSchema", meta.partSchemaDdl)
     new CaseInsensitiveStringMap(m)
   }

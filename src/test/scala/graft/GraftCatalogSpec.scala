@@ -169,11 +169,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE g.ren.b SET TBLPROPERTIES ('codec' = 'deflate')")
     spark.sql("INSERT INTO g.ren.b VALUES (4)")
     assert(spark.table("g.ren.b").count() == 4L)
-    // schema changes are refused loudly, not silently ignored
+    // destructive schema changes are refused loudly, not silently ignored
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE g.ren.b ADD COLUMN extra STRING")
+      spark.sql("ALTER TABLE g.ren.b DROP COLUMN id")
     }
     assert(e.getMessage.toLowerCase.contains("unsupported") ||
       e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMN: old files resolve the new column via reader default") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo")
+    spark.sql(
+      """CREATE TABLE g.evo.d (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+    spark.sql("INSERT INTO g.evo.d VALUES (1, 'en'), (2, 'fr')")
+    spark.sql("ALTER TABLE g.evo.d ADD COLUMN note STRING")
+    // the new column lands after the data columns, before the partition cols
+    assert(spark.table("g.evo.d").schema.fieldNames.toSeq == Seq("id", "note", "lang"))
+    spark.sql("INSERT INTO g.evo.d VALUES (3, 'x', 'en')")
+    val rows = spark.table("g.evo.d").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "NULL" else r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    // old files (no such field in their writer schema) materialize null —
+    // Avro reader-default resolution, zero bytes rewritten
+    assert(rows.toSeq == Seq((1L, "NULL", "en"), (2L, "NULL", "fr"), (3L, "x", "en")))
+    // the evolved column filters and aggregates like any other
+    assert(spark.sql("SELECT id FROM g.evo.d WHERE note = 'x'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.sql("SELECT count(note) FROM g.evo.d").collect().head.getLong(0) == 1L)
+    // a NOT NULL addition cannot hold over existing files — refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo.d ADD COLUMN strict STRING NOT NULL")
+    }
   }
 }
