@@ -900,6 +900,38 @@ object SparkEntry {
           |GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // Schema evolution through DDL: ALTER TABLE ADD COLUMN appends a
+    // nullable column whose value in files written BEFORE the alter comes
+    // from Avro reader-default resolution (null) — no data rewritten. The
+    // half-then-half insert below lands the corpus across the two schema
+    // epochs and reads back as one uniform frame. Old-file null fill +
+    // refusals spec-proven in GraftCatalogSpec.
+    "q86_schema_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q86",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q86_wh_")
+      s.conf.set("spark.sql.catalog.graft_q86.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q86.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q86.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q86.corpus.docs (doc_id BIGINT, lang STRING)
+          |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_q86_src")
+      s.sql(
+        """INSERT INTO graft_q86.corpus.docs
+          |SELECT doc_id, lang FROM graft_q86_src WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE graft_q86.corpus.docs ADD COLUMN n_chars BIGINT")
+      s.sql(
+        """INSERT INTO graft_q86.corpus.docs
+          |SELECT doc_id, n_chars, lang FROM graft_q86_src WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT lang, count(*) AS n_docs, count(n_chars) AS n_evolved,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q86.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Runtime file skipping on a DATA column: the scan advertises its
     // bloom-stamped doc_id for runtime filtering
     // (SupportsRuntimeFiltering), so a broadcast join's key set prunes
@@ -1791,6 +1823,14 @@ object SparkEntry {
         |  CAST(min(n_chars) AS BIGINT) AS min_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin,
+
+    // rows inserted before the ADD COLUMN read the new column as NULL, so
+    // count(n_chars)/sum(n_chars) cover only the post-alter half
+    "q86_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_evolved,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the catalog INSERT is a lossless landing of the documents slice, so
     // the SQL-path aggregate mirrors the straight query
