@@ -330,12 +330,21 @@ private[sources] object GraftCatalog {
 
 /** One catalog table: the stored descriptor wired into the SAME read/write
   * engine as the path API. An empty table (no data files yet) reads as zero
-  * rows of the stored schema instead of failing resolution. */
+  * rows of the stored schema instead of failing resolution.
+  *
+  * DELETE is METADATA-ONLY (the Iceberg/Delta file-granular delete analog):
+  * `canDeleteWhere` accepts exactly the partition-exact predicate shapes —
+  * a file holds one partition tuple, so it either matches entirely or not
+  * at all — and `deleteWhere` removes the matching FILES. A predicate on a
+  * data column cannot be answered file-granularly and is refused loudly
+  * (Spark surfaces "cannot delete"), never partially applied. TRUNCATE
+  * TABLE rides the same path with an always-true predicate. */
 private[sources] final class CatalogOcfTable(
     fullName: String, meta: GraftCatalog.TableMeta,
     transforms: Array[Transform], conf: Configuration)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def readOptions: CaseInsensitiveStringMap = {
     val m = new java.util.HashMap[String, String]()
@@ -376,6 +385,35 @@ private[sources] final class CatalogOcfTable(
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     inner.newWriteBuilder(info)
+
+  private def partTypeOf(name: String): Option[org.apache.spark.sql.types.DataType] =
+    if (meta.partCols.contains(name))
+      meta.schema.fields.find(_.name == name).map(_.dataType)
+    else None
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => OcfPartitions.exactOnPartitions(f, partTypeOf))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val files =
+      try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true)
+      catch { case _: java.io.FileNotFoundException => return }
+    if (files.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fsys = root.getFileSystem(conf)
+    val qualified = fsys.makeQualified(root).toString
+    val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), files)
+    val idx = layoutCols.zipWithIndex.toMap
+    def pv(vals: Array[String])(name: String): Option[OcfPartitions.PartVal] =
+      for {
+        i <- idx.get(name) if i < vals.length
+        dt <- partTypeOf(name)
+      } yield OcfPartitions.PartVal(vals(i), dt)
+    annotated.foreach { f =>
+      if (OcfPartitions.matchesExactly(filters.toSeq, pv(f.partitionValues)))
+        fsys.delete(new org.apache.hadoop.fs.Path(f.path), false)
+    }
+  }
 }
 
 /** Zero-row scan of a known schema — what an empty catalog table reads as. */

@@ -353,6 +353,7 @@ private[graft] object OcfPartitions {
     def ok(a: String, v: Any): Boolean =
       v != null && partType(a).exists(dt => filterComparable(v, dt))
     f match {
+      case AlwaysTrue() | AlwaysFalse() => true
       case EqualTo(a, v) => ok(a, v)
       case EqualNullSafe(a, null) => partType(a).isDefined
       case EqualNullSafe(a, v) => ok(a, v)
@@ -424,6 +425,14 @@ private[graft] object OcfPartitions {
                stat: String => Option[ColStat]): Boolean =
     filters.forall(f => eval(f, partCol, stat) != Some(false))
 
+  /** Whether EVERY row of a file with these exact partition values matches
+    * all `filters` — the DEFINITE evaluation behind file-granular DELETE.
+    * Only meaningful for filters [[exactOnPartitions]] admitted (their
+    * partition branches always decide); anything unknown is false, so an
+    * undecidable file is never deleted. */
+  def matchesExactly(filters: Seq[Filter], partCol: String => Option[PartVal]): Boolean =
+    filters.forall(f => eval(f, partCol, _ => None) == Some(true))
+
   /** Kleene tri-state: Some(true/false) definite, None unknown. Partition
     * columns evaluate EXACTLY under the column's READ TYPE (via [[partCmp]]
     * — an int column decides `year > 9` numerically, so `year=10` survives;
@@ -447,6 +456,8 @@ private[graft] object OcfPartitions {
       if (pv.raw == null) Some(false)
       else partCmp(pv.raw, v, pv.dt).map(decide)
     f match {
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
       case EqualTo(a, v) =>
         onPart(a)(cmpPart(_, v)(_ == 0)).getOrElse(
           onStat(a) { st =>

@@ -177,6 +177,29 @@ class GraftCatalogSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
 
+  test("DELETE FROM drops whole partitions file-granularly; TRUNCATE empties") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.del")
+    spark.sql(
+      """CREATE TABLE g.del.t (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      """INSERT INTO g.del.t
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(20)""".stripMargin)
+    spark.sql("DELETE FROM g.del.t WHERE lang = 'en'")
+    assert(spark.table("g.del.t").select("lang").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("fr"))
+    assert(spark.table("g.del.t").count() == 10L)
+    // a data-column predicate cannot be answered file-granularly: refused
+    // loudly, never partially applied
+    intercept[Exception] { spark.sql("DELETE FROM g.del.t WHERE id = 3") }
+    assert(spark.table("g.del.t").count() == 10L)
+    spark.sql("TRUNCATE TABLE g.del.t")
+    assert(spark.table("g.del.t").count() == 0L)
+    // and the truncated table accepts new rows
+    spark.sql("INSERT INTO g.del.t VALUES (99, 'de')")
+    assert(spark.table("g.del.t").count() == 1L)
+  }
+
   test("ALTER TABLE ADD COLUMN: old files resolve the new column via reader default") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo")
     spark.sql(
