@@ -49,9 +49,31 @@ import org.apache.spark.sql.types.StructType
 private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
                                              partCols: Array[String],
                                              baseOptions: Map[String, String] = Map.empty)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateAll = false
+  private var overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
+  private var dynamicOverwrite = false
   override def truncate(): WriteBuilder = { truncateAll = true; this }
+  /** Static partition overwrite (`INSERT OVERWRITE … PARTITION (col=v)`):
+    * the matching files are replaced at commit. Validation (the predicate
+    * must be partition-exact — file granularity is only row-exact then)
+    * happens in [[build]], where the effective partition columns are
+    * known. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncateAll = true
+    else overwriteFilters = Some(filters.toSeq)
+    this
+  }
+  /** Dynamic partition overwrite: at commit, exactly the partition
+    * directories receiving new files are cleared first — untouched
+    * partitions survive (`spark.sql.sources.partitionOverwriteMode=dynamic`). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true
+    this
+  }
 
   override def build(): Write = {
     // catalog tables inject their stored location + write options as the
@@ -263,7 +285,20 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     // compile the row→datum writers once driver-side so schema mismatches
     // (wrong type for a field, non-record schema) fail the plan
     OcfWrite.compileFieldWriters(cfg)
-    new OcfWrite(cfg, truncateAll)
+    // static overwrite predicates must be decidable per FILE: every
+    // referenced attribute a partition column, every value comparable under
+    // its type — exactly the consumed-filter gate, reused
+    overwriteFilters.foreach { filters =>
+      val typeOf: String => Option[org.apache.spark.sql.types.DataType] = n =>
+        partOrdinals.collectFirst {
+          case i if sql.fields(i).name.equalsIgnoreCase(n) => sql.fields(i).dataType
+        }
+      require(filters.forall(f => OcfPartitions.exactOnPartitions(f, typeOf)),
+        "graft-ocf write: overwrite-by-filter must reference partition " +
+          s"columns only (files are replaced whole); got ${filters.mkString(", ")} " +
+          s"over partition columns [${effectiveCols.mkString(", ")}]")
+    }
+    new OcfWrite(cfg, truncateAll, overwriteFilters, dynamicOverwrite)
   }
 }
 
@@ -458,7 +493,10 @@ private[sources] final case class OcfTaskMetric(name: String, value: Long)
   * many partition values a task sees. Files per value ≈ upstream tasks
   * touching it; `df.repartition(cols)` first if one-file-per-partition
   * matters more than write parallelism. */
-private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
+private[sources] final class OcfWrite(
+    cfg: OcfWriteConfig, truncateAll: Boolean,
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -486,7 +524,9 @@ private[sources] final class OcfWrite(cfg: OcfWriteConfig, truncateAll: Boolean)
     OcfBatchWriterFactory(cfg)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    OcfCommit.publish(cfg, messages, clearVisible = truncateAll)
+    OcfCommit.publish(cfg, messages, clearVisible = truncateAll,
+      clearWhere = if (truncateAll) None else overwriteFilters,
+      clearDynamic = dynamicOverwrite)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     OcfCommit.discard(cfg, messages)
@@ -1218,19 +1258,63 @@ object OcfMaintenance {
 private[sources] object OcfCommit {
 
   /** Driver-side job/epoch commit: optionally clear the directory's VISIBLE
-    * files (overwrite / complete mode) or just the committing epoch's
+    * files (overwrite / complete mode), just the committing epoch's
     * `clearPrefix`-named files (replay idempotence even when the replay
-    * writes fewer files), then rename every committed temp over its final
+    * writes fewer files), the files whose partition values match a
+    * partition-exact `clearWhere` predicate (static partition overwrite —
+    * `INSERT OVERWRITE … PARTITION (col=v)` replaces exactly that
+    * directory's files), or the partition directories RECEIVING new files
+    * (`clearDynamic`, Spark's dynamic partition overwrite mode — untouched
+    * partitions survive), then rename every committed temp over its final
     * name. Replacement uses [[FileContext]] rename with `OVERWRITE` where
     * the filesystem supports it — a SINGLE atomic operation on HDFS/local,
     * so a driver crash mid-commit never leaves a destination deleted but
     * not yet replaced; the exists→delete→rename fallback is only for
     * filesystems without a FileContext binding. */
   def publish(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage],
-              clearVisible: Boolean, clearPrefix: Option[String] = None): Unit = {
+              clearVisible: Boolean, clearPrefix: Option[String] = None,
+              clearWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+              clearDynamic: Boolean = false): Unit = {
     val dirPath = new Path(cfg.dir)
     val fs = dirPath.getFileSystem(cfg.conf.value)
     fs.mkdirs(dirPath)
+    clearWhere.foreach { filters =>
+      // file-granular static overwrite: a file holds ONE partition tuple,
+      // and the builder admitted only partition-exact predicate shapes, so
+      // matchesExactly decides every file definitively
+      val listed = OcfDataSource.list(cfg.conf.value, Seq(cfg.dir), None, recursive = true)
+      if (listed.nonEmpty) {
+        val qualified = fs.makeQualified(dirPath).toString
+        val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), listed)
+        val idx = layoutCols.zipWithIndex.toMap
+        val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+          cfg.partOrdinals.map(o => cfg.sql.fields(o).name -> cfg.sql.fields(o).dataType).toMap
+        def pv(vals: Array[String])(name: String): Option[OcfPartitions.PartVal] =
+          for { i <- idx.get(name) if i < vals.length; dt <- typeOf.get(name) }
+            yield OcfPartitions.PartVal(vals(i), dt)
+        annotated.foreach { f =>
+          if (OcfPartitions.matchesExactly(filters, pv(f.partitionValues)))
+            fs.delete(new Path(f.path), false)
+        }
+      }
+    }
+    if (clearDynamic) {
+      // replace exactly the partition directories this job wrote into: the
+      // new files are still dot-prefixed temps, so clearing visible files
+      // in those directories before the renames cannot touch them
+      val targets = messages.flatMap {
+        case OcfCommitMessage(files, _) =>
+          files.map(f => fs.makeQualified(new Path(f.dest)).getParent)
+        case _ => Nil
+      }.toSet
+      targets.foreach { d =>
+        if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
     if (clearVisible || clearPrefix.isDefined) {
       // RECURSIVE: partitioned layouts commit into col=value/ subdirectories,
       // so overwrite-truncate and epoch-replay cleanup must reach them too

@@ -177,6 +177,40 @@ class GraftCatalogSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not supported"), e.getMessage)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly that partition; dynamic mode too") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ow")
+    spark.sql(
+      """CREATE TABLE g.ow.t (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      """INSERT INTO g.ow.t
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(20)""".stripMargin)
+
+    // STATIC: replace only lang='en'; fr rows untouched
+    spark.sql("INSERT OVERWRITE g.ow.t PARTITION (lang = 'en') SELECT id FROM range(100, 103)")
+    val afterStatic = spark.table("g.ow.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(afterStatic.count(_._2 == "fr") == 10, "fr partition must survive")
+    assert(afterStatic.filter(_._2 == "en").map(_._1).toSeq == Seq(100L, 101L, 102L),
+      s"en partition must hold only the overwrite rows; got ${afterStatic.toSeq}")
+
+    // DYNAMIC: only partitions receiving rows are replaced
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE g.ow.t SELECT id, 'fr' FROM range(200, 202)")
+      val afterDyn = spark.table("g.ow.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(afterDyn.filter(_._2 == "en").map(_._1).toSeq == Seq(100L, 101L, 102L),
+        "dynamic overwrite must not touch the en partition")
+      assert(afterDyn.filter(_._2 == "fr").map(_._1).toSeq == Seq(200L, 201L),
+        s"fr partition must hold only the new rows; got ${afterDyn.toSeq}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   test("DELETE FROM drops whole partitions file-granularly; TRUNCATE empties") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.del")
     spark.sql(
