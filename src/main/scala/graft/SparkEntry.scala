@@ -932,6 +932,52 @@ object SparkEntry {
           |FROM graft_q86.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // Copy-on-write row-level operations (X57): DELETE, UPDATE and MERGE
+    // INTO with arbitrary (non-partition) predicates through the catalog
+    // SQL surface. Spark plans the group-based rewrite
+    // (SupportsRowLevelOperations); the operation's scan prunes to the
+    // files that MAY hold matching rows via the same stats/bloom stamps as
+    // any read, Spark recomputes those files' surviving rows, and the
+    // commit replaces exactly the scanned files — at 100 TB a point delete
+    // rewrites a handful of files, never the table. Partition-exact
+    // predicates still fold back to the metadata-only delete
+    // (OptimizeMetadataOnlyDeleteFromTable). File-granularity proof in
+    // GraftCatalogSpec ("copy-on-write DELETE/UPDATE/MERGE rewrite only
+    // may-match files").
+    "q87_row_level_cow" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q87",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q87_wh_")
+      s.conf.set("spark.sql.catalog.graft_q87.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q87.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q87.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q87.corpus.docs (doc_id BIGINT, n_chars BIGINT, lang STRING)
+          |USING `graft-ocf` PARTITIONED BY (lang)
+          |OPTIONS (statsColumns 'doc_id', bloomColumns 'doc_id')""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_q87_src")
+      s.sql(
+        """INSERT INTO graft_q87.corpus.docs
+          |SELECT doc_id, n_chars, lang FROM graft_q87_src""".stripMargin)
+      s.sql("DELETE FROM graft_q87.corpus.docs WHERE doc_id % 7 = 0")
+      s.sql(
+        """UPDATE graft_q87.corpus.docs SET n_chars = n_chars + 1000
+          |WHERE doc_id % 5 = 0""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_q87.corpus.docs t
+          |USING (SELECT doc_id, n_chars, lang FROM graft_q87_src
+          |       WHERE doc_id % 11 = 0) s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + 100000
+          |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
+          |  VALUES (s.doc_id, -1, s.lang)""".stripMargin)
+      s.sql(
+        """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q87.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Runtime file skipping on a DATA column: the scan advertises its
     // bloom-stamped doc_id for runtime filtering
     // (SupportsRuntimeFiltering), so a broadcast join's key set prunes
@@ -1831,6 +1877,35 @@ object SparkEntry {
         |  count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS n_evolved,
         |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the DELETE / UPDATE / MERGE sequence relationally: drop the
+    // %7 rows, bump the %5 survivors, then left-join the %11 merge source —
+    // matched rows gain 100000, unmatched source rows re-insert at -1
+    "q87_row_level_cow" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang FROM documents
+        |), after_delete AS (
+        |  SELECT * FROM base WHERE doc_id % 7 <> 0
+        |), after_update AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+        |         lang
+        |  FROM after_delete
+        |), src AS (
+        |  SELECT doc_id, n_chars, lang FROM base WHERE doc_id % 11 = 0
+        |), merged AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN s.doc_id IS NOT NULL THEN t.n_chars + 100000
+        |              ELSE t.n_chars END AS n_chars,
+        |         t.lang
+        |  FROM after_update t LEFT JOIN src s ON t.doc_id = s.doc_id
+        |  UNION ALL
+        |  SELECT s.doc_id, -1 AS n_chars, s.lang
+        |  FROM src s LEFT JOIN after_update t ON s.doc_id = t.doc_id
+        |  WHERE t.doc_id IS NULL
+        |)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the catalog INSERT is a lossless landing of the documents slice, so
     // the SQL-path aggregate mirrors the straight query

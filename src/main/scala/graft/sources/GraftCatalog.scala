@@ -344,7 +344,14 @@ private[sources] final class CatalogOcfTable(
     transforms: Array[Transform], conf: Configuration)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (meta.schema.fieldNames.exists(_.equalsIgnoreCase(OcfDataSource.FileColName)))
+      Array.empty
+    else Array(OcfDataSource.FileMetadataColumn)
 
   private def readOptions: CaseInsensitiveStringMap = {
     val m = new java.util.HashMap[String, String]()
@@ -362,10 +369,11 @@ private[sources] final class CatalogOcfTable(
   // cannot go stale across INSERTs); resolution stays LAZY so a write to an
   // empty table never lists input files
   private lazy val resolved = OcfDataSource.resolve(readOptions)
-  private lazy val inner = new OcfTable(Some(meta.schema), transforms,
-    meta.partCols.toArray, () => resolved, fullName,
+  private val writeOptions: Map[String, String] =
     meta.options + ("path" -> meta.location) +
-      ("partitionBy" -> meta.partCols.mkString(",")))
+      ("partitionBy" -> meta.partCols.mkString(","))
+  private lazy val inner = new OcfTable(Some(meta.schema), transforms,
+    meta.partCols.toArray, () => resolved, fullName, writeOptions)
 
   override def name(): String = fullName
   override def schema(): StructType = meta.schema
@@ -376,16 +384,50 @@ private[sources] final class CatalogOcfTable(
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val hasFiles =
-      try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true).nonEmpty
-      catch { case _: java.io.FileNotFoundException => false }
-    if (!hasFiles) new EmptyOcfScanBuilder(meta.schema)
+  private[sources] def hasDataFiles: Boolean =
+    try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true).nonEmpty
+    catch { case _: java.io.FileNotFoundException => false }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
     else inner.newScanBuilder(options)
-  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     inner.newWriteBuilder(info)
+
+  /** Copy-on-write row-level operations (the group-based path Spark plans
+    * for DELETE/UPDATE/MERGE when the predicate is not partition-exact —
+    * partition-exact DELETEs still fold back to the metadata-only
+    * [[deleteWhere]] via OptimizeMetadataOnlyDeleteFromTable): the
+    * operation's scan reads the files that MAY hold matching rows (static
+    * stats/bloom/partition pruning plus runtime group filtering over the
+    * same stamps), Spark recomputes those files' surviving/updated rows,
+    * and the commit replaces exactly the scanned files. Files the stamps
+    * refute are never read, never rewritten. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // the operation REQUIRES the _file metadata column (Spark's group-based
+    // plans only project data rows cleanly for the write when the operation
+    // declares metadata attributes); a table shadowing it cannot do CoW
+    require(metadataColumns().nonEmpty,
+      s"graft-ocf: row-level ${info.command} needs the " +
+        s"${OcfDataSource.FileColName} metadata column, which a table column " +
+        "of the same name shadows")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new OcfRowLevelOperation(info.command, CatalogOcfTable.this)
+    }
+  }
+
+  private[sources] def rowLevelScanBuilder(onBuilt: OcfScan => Unit): ScanBuilder =
+    inner.scanBuilderWithHook(Some(onBuilt))
+
+  private[sources] def rowLevelWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+      replaceFiles: () => Seq[String]): org.apache.spark.sql.connector.write.WriteBuilder =
+    new OcfWriteBuilder(info, meta.partCols.toArray, writeOptions,
+      replaceFiles = Some(replaceFiles))
 
   private def partTypeOf(name: String): Option[org.apache.spark.sql.types.DataType] =
     if (meta.partCols.contains(name))
@@ -417,10 +459,76 @@ private[sources] final class CatalogOcfTable(
   }
 }
 
-/** Zero-row scan of a known schema — what an empty catalog table reads as. */
-private[sources] final class EmptyOcfScanBuilder(schema: StructType) extends ScanBuilder {
+/** One group-based (copy-on-write) row-level operation over a catalog
+  * table. Spark wraps the table in a `RowLevelOperationTable` whose scans
+  * and writes both route through THIS instance, which is the whole point:
+  * the scan records which files it plans (its "groups"), and the write's
+  * commit replaces exactly those files.
+  *
+  * The planned set is read LAZILY at commit time — after the scan has
+  * executed — so runtime group filtering (Spark's
+  * RowLevelOperationRuntimeGroupFiltering feeds the matching keys back
+  * through `SupportsRuntimeFiltering`) has already shrunk it: a DELETE
+  * keyed on a bloom-stamped column rewrites only the files whose stamps
+  * cannot refute the matching keys, not every file the static predicate
+  * admits. Files outside the set are untouched bytes — at 100 TB a
+  * point-delete rewrites a handful of files, never the table.
+  *
+  * Scan-side correctness: pushed filters prune FILES, never rows (file
+  * pruning is conservative, and Spark keeps the row-level plan's own
+  * kept-rows Filter regardless of what the scan consumes), so every row of
+  * every planned file reaches the rewrite — including the rows that must
+  * survive. An empty table plans zero groups: DELETE/UPDATE rewrite
+  * nothing and a MERGE's NOT MATCHED inserts append as new files. */
+private[sources] final class OcfRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    table: CatalogOcfTable)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private val planned =
+    new java.util.concurrent.atomic.AtomicReference[() => Seq[String]](null)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** Requiring `_file` makes Spark read it through the operation's scan and
+    * build a metadata projection — which is what switches the write path to
+    * `DataAndMetadataWritingSparkTask`, the task that strips the
+    * `__row_operation` marker and projects each row to the table schema
+    * before our writer sees it. The metadata row itself is ignored. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      OcfDataSource.FileColName))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (!table.hasDataFiles) {
+      planned.set(() => Nil)
+      new EmptyOcfScanBuilder(table.schema())
+    } else table.rowLevelScanBuilder(scan => planned.set(() => scan.plannedFilePaths))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    table.rowLevelWriteBuilder(info, () => {
+      val p = planned.get
+      require(p != null, s"graft-ocf $cmd: commit ran before the operation's " +
+        "scan was planned — no file groups to replace")
+      p()
+    })
+
+  override def description(): String = s"graft-ocf copy-on-write $cmd"
+}
+
+/** Zero-row scan of a known schema — what an empty catalog table reads as.
+  * Echoes pruned columns (including metadata columns like `_file`) so plans
+  * that reference them — a MERGE's target scan, say — stay resolved. */
+private[sources] final class EmptyOcfScanBuilder(schema: StructType)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var out: StructType = schema
+  override def pruneColumns(required: StructType): Unit = { out = required }
   override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = schema
+    override def readSchema(): StructType = out
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] = Array.empty
     override def createReaderFactory(): PartitionReaderFactory =

@@ -146,6 +146,23 @@ object OcfDataSource {
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
   }
 
+  /** Name of the `_file` METADATA column (the row's source-file path) every
+    * graft-ocf table exposes unless a real column shadows it — the V2
+    * metadata-column analog of `input_file_name()`, and the attribute a
+    * row-level operation requires so Spark's group-based DELETE/UPDATE/MERGE
+    * plans project data and metadata separately before the write. */
+  val FileColName = "_file"
+
+  private[sources] object FileMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = FileColName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    // nullable: a MERGE's NOT MATCHED insert rows have no source file
+    override def isNullable: Boolean = true
+    override def comment(): String = "path of the data file the row came from"
+  }
+
   /** Test observability: counts [[readHeaderAt]] calls, asserting the
     * one-header-read-per-file planning contract. */
   private[graft] val headerReads = new java.util.concurrent.atomic.AtomicLong
@@ -501,9 +518,18 @@ private[sources] final class OcfTable(
     tableName: String = "graft-ocf",
     writeOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = tableName
   override def schema(): StructType = external.getOrElse(resolve().sql)
+  /** `_file` metadata column, shadowed by any real column of that name. A
+    * write-only table (nothing to list yet) advertises none. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    try {
+      if (schema().fieldNames.exists(_.equalsIgnoreCase(OcfDataSource.FileColName)))
+        Array.empty
+      else Array(OcfDataSource.FileMetadataColumn)
+    } catch { case scala.util.control.NonFatal(_) => Array.empty }
   // echo the requested transforms: DataFrameWriter verifies the table's
   // partitioning matches its partitionBy before writing
   override def partitioning(): Array[Transform] = transforms
@@ -512,7 +538,13 @@ private[sources] final class OcfTable(
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderWithHook(None)
+
+  /** Scan builder whose built [[OcfScan]] is handed to `onBuilt` — how a
+    * row-level operation learns which files its scan plans (the "groups" a
+    * group-based DELETE/UPDATE/MERGE commit replaces). */
+  private[sources] def scanBuilderWithHook(onBuilt: Option[OcfScan => Unit]): ScanBuilder = {
     val r = resolve()
     external.foreach { ext =>
       // nullability-insensitive: a nullable-declared column over files whose
@@ -523,19 +555,22 @@ private[sources] final class OcfTable(
           s"(got ${ext.simpleString}, resolved ${r.sql.simpleString}); " +
           "use the 'readerSchema' option (Avro JSON) to project/resolve instead")
     }
-    new OcfScanBuilder(r)
+    new OcfScanBuilder(r, onBuilt)
   }
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new OcfWriteBuilder(info, partCols, writeOptions)
 }
 
-private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
+private[sources] final class OcfScanBuilder(
+    resolved: OcfDataSource.Resolved,
+    onBuilt: Option[OcfScan => Unit] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with SupportsPushDownFilters
     with SupportsPushDownAggregates {
   private var required: Option[StructType] = None
+  private var wantFile = false
   private var limit: Option[Int] = None
   private var topNCols: Seq[String] = Nil
   private var countStar = false
@@ -569,8 +604,18 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = Some(requiredSchema)
+  /** `_file` in the required schema is the METADATA column (the row's
+    * source-file path) unless a real data/partition column shadows it —
+    * strip it here and emit it reader-side as a per-split constant. */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantFile = requiredSchema.fieldNames.contains(OcfDataSource.FileColName) &&
+      !resolved.dataSql.fieldNames.contains(OcfDataSource.FileColName) &&
+      !resolved.partCols.contains(OcfDataSource.FileColName)
+    required = Some(
+      if (wantFile)
+        StructType(requiredSchema.fields.filterNot(_.name == OcfDataSource.FileColName))
+      else requiredSchema)
+  }
 
   /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, Spark keeps the
     * global limit): each split stops decoding after `l` rows, so
@@ -662,7 +707,7 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
     // exact for the filtered query. Spark only attempts the push when no
     // residual filters remain, so `pushed` here is normally all-consumed —
     // the guard is defensive.
-    if (limit.nonEmpty ||
+    if (limit.nonEmpty || wantFile ||
         pushed.exists(f => !OcfPartitions.exactOnPartitions(f, partType)) ||
         agg.aggregateExpressions.isEmpty) return false
     val gCols: Array[String] = agg.groupByExpressions.map {
@@ -778,6 +823,12 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
   }
 
   override def build(): Scan = {
+    val s = buildScan()
+    onBuilt.foreach(_(s))
+    s
+  }
+
+  private def buildScan(): OcfScan = {
     val partIdx: Map[String, Int] = resolved.partCols.zipWithIndex.toMap
     // 1. partition-prune on path values — NO header I/O for pruned files
     val kept = resolved.files.filter(f =>
@@ -904,7 +955,8 @@ private[sources] final class OcfScanBuilder(resolved: OcfDataSource.Resolved)
       maxBytesPerTrigger = resolved.maxBytesPerTrigger,
       partCols = reqPartCols, partIdx = reqPartIdx, partTypes = reqPartTypes,
       pushedFilters = pushed.toSeq,
-      reportPartitioning = resolved.reportPartitioning)
+      reportPartitioning = resolved.reportPartitioning,
+      withFilePath = wantFile)
   }
 }
 
@@ -971,7 +1023,8 @@ private[graft] final case class OcfScan(
     aggGroupCols: Seq[String] = Nil,
     aggGroupTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    reportPartitioning: Boolean = false)
+    reportPartitioning: Boolean = false,
+    withFilePath: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1077,6 +1130,11 @@ private[graft] final case class OcfScan(
   private def effectiveFiles: Seq[OcfDataSource.OcfFileMeta] =
     if (runtimeFiles != null) runtimeFiles else files
 
+  /** Driver-side, read at row-level-operation COMMIT time (after execution,
+    * so runtime group filtering has already shrunk the set): the files this
+    * scan actually read — the groups a copy-on-write commit replaces. */
+  private[sources] def plannedFilePaths: Seq[String] = effectiveFiles.map(_.path)
+
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     // agg-pushed scans never declare filter attributes (partCols is empty
     // there), but guard anyway: their aggValues are index-aligned to the
@@ -1129,7 +1187,11 @@ private[graft] final case class OcfScan(
             StructField(s"sum_${f}_$i", org.apache.spark.sql.types.LongType, nullable = true)
         })
     else StructType(sql.fields ++ partCols.zip(partTypes).map { case (c, dt) =>
-      StructField(c, dt, nullable = true) })
+      StructField(c, dt, nullable = true) } ++
+      (if (withFilePath)
+        Seq(StructField(OcfDataSource.FileColName,
+          org.apache.spark.sql.types.StringType, nullable = true))
+      else Nil))
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1143,6 +1205,8 @@ private[graft] final case class OcfScan(
     require(pushedFilters.isEmpty,
       "graft-ocf: filter pushdown is batch-only; the streaming source would " +
         "not apply consumed partition filters")
+    require(!withFilePath,
+      "graft-ocf: the _file metadata column is batch-only")
     new OcfMicroBatchStream(this, checkpointLocation)
   }
   override def description(): String = {
@@ -1209,7 +1273,8 @@ private[graft] final case class OcfScan(
     else if (aggExprs.nonEmpty)
       OcfAggReaderFactory(shipped, conf, aggExprs.toArray,
         aggValues.toIndexedSeq, aggGroupCols.length)
-    else OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes)
+    else OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes,
+      withFilePath)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -1295,13 +1360,15 @@ private[sources] final case class OcfReaderFactory(
     files: IndexedSeq[OcfDataSource.OcfFileMeta], readerJson: String,
     wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue,
     partIdx: Array[Int] = Array.empty,
-    partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil)
+    partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
+    withFilePath: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
     val meta = files(p.fileIndex)
     new OcfSplitReader(meta, p.start, p.end, readerJson, wrap,
-      conf.value, limit, OcfSplitReader.partitionRow(meta, partIdx, partTypes), p.aligned)
+      conf.value, limit,
+      OcfSplitReader.appendedRow(meta, partIdx, partTypes, withFilePath), p.aligned)
   }
 }
 
@@ -1456,6 +1523,22 @@ private[graft] object OcfSplitReader {
     if (partIdx.isEmpty) null
     else new GenericInternalRow(partIdx.indices.toArray.map(k =>
       partitionValue(meta, partIdx(k), partTypes(k))))
+
+  /** The per-file constant row joined onto every decoded data row: required
+    * partition values, then (when asked) the `_file` metadata value — the
+    * file's path as a string. */
+  def appendedRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int],
+                  partTypes: Seq[org.apache.spark.sql.types.DataType],
+                  withFilePath: Boolean): InternalRow = {
+    if (!withFilePath) return partitionRow(meta, partIdx, partTypes)
+    val vals = new Array[Any](partIdx.length + 1)
+    var k = 0
+    while (k < partIdx.length) {
+      vals(k) = partitionValue(meta, partIdx(k), partTypes(k)); k += 1
+    }
+    vals(partIdx.length) = org.apache.spark.unsafe.types.UTF8String.fromString(meta.path)
+    new GenericInternalRow(vals)
+  }
 }
 
 private[graft] final class OcfSplitReader(

@@ -48,7 +48,8 @@ import org.apache.spark.sql.types.StructType
   */
 private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
                                              partCols: Array[String],
-                                             baseOptions: Map[String, String] = Map.empty)
+                                             baseOptions: Map[String, String] = Map.empty,
+                                             replaceFiles: Option[() => Seq[String]] = None)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -298,7 +299,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
           s"columns only (files are replaced whole); got ${filters.mkString(", ")} " +
           s"over partition columns [${effectiveCols.mkString(", ")}]")
     }
-    new OcfWrite(cfg, truncateAll, overwriteFilters, dynamicOverwrite)
+    new OcfWrite(cfg, truncateAll, overwriteFilters, dynamicOverwrite, replaceFiles)
   }
 }
 
@@ -496,7 +497,8 @@ private[sources] final case class OcfTaskMetric(name: String, value: Long)
 private[sources] final class OcfWrite(
     cfg: OcfWriteConfig, truncateAll: Boolean,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    replaceFiles: Option[() => Seq[String]] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -526,7 +528,10 @@ private[sources] final class OcfWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     OcfCommit.publish(cfg, messages, clearVisible = truncateAll,
       clearWhere = if (truncateAll) None else overwriteFilters,
-      clearDynamic = dynamicOverwrite)
+      clearDynamic = dynamicOverwrite,
+      // resolved at COMMIT time: by now the row-level operation's scan has
+      // executed, so runtime group filtering has already shrunk the set
+      clearPaths = replaceFiles.map(_()))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     OcfCommit.discard(cfg, messages)
@@ -1274,10 +1279,26 @@ private[sources] object OcfCommit {
   def publish(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage],
               clearVisible: Boolean, clearPrefix: Option[String] = None,
               clearWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-              clearDynamic: Boolean = false): Unit = {
+              clearDynamic: Boolean = false,
+              clearPaths: Option[Seq[String]] = None): Unit = {
     val dirPath = new Path(cfg.dir)
     val fs = dirPath.getFileSystem(cfg.conf.value)
     fs.mkdirs(dirPath)
+    clearPaths.foreach { paths =>
+      // group-based row-level operation (copy-on-write DELETE/UPDATE/MERGE):
+      // replace exactly the files the operation's scan read — their
+      // surviving/updated rows are among this commit's new files. The new
+      // files are still dot-prefixed temps, so these deletes cannot touch
+      // them. Paths come from the scan of the SAME table; refuse anything
+      // outside the table directory rather than trust them blindly.
+      val rootPrefix = fs.makeQualified(dirPath).toString + Path.SEPARATOR
+      paths.foreach { p =>
+        val qp = fs.makeQualified(new Path(p))
+        require(qp.toString.startsWith(rootPrefix),
+          s"graft-ocf row-level commit: $qp is outside table directory ${cfg.dir}")
+        if (fs.exists(qp)) fs.delete(qp, false)
+      }
+    }
     clearWhere.foreach { filters =>
       // file-granular static overwrite: a file holds ONE partition tuple,
       // and the builder admitted only partition-exact predicate shapes, so

@@ -223,15 +223,100 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("g.del.t").select("lang").distinct()
       .collect().map(_.getString(0)).toSeq == Seq("fr"))
     assert(spark.table("g.del.t").count() == 10L)
-    // a data-column predicate cannot be answered file-granularly: refused
-    // loudly, never partially applied
-    intercept[Exception] { spark.sql("DELETE FROM g.del.t WHERE id = 3") }
-    assert(spark.table("g.del.t").count() == 10L)
+    // a data-column predicate cannot be answered file-granularly — it takes
+    // the copy-on-write row-level path instead (exact, file-replacing)
+    spark.sql("DELETE FROM g.del.t WHERE id = 3")
+    assert(spark.table("g.del.t").count() == 9L)
+    assert(spark.sql("SELECT * FROM g.del.t WHERE id = 3").count() == 0L)
     spark.sql("TRUNCATE TABLE g.del.t")
     assert(spark.table("g.del.t").count() == 0L)
     // and the truncated table accepts new rows
     spark.sql("INSERT INTO g.del.t VALUES (99, 'de')")
     assert(spark.table("g.del.t").count() == 1L)
+  }
+
+  test("copy-on-write DELETE/UPDATE/MERGE rewrite only may-match files; _file column") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.rlo")
+    spark.sql(
+      """CREATE TABLE g.rlo.t (id BIGINT, txt STRING, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (statsColumns 'id', bloomColumns 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO g.rlo.t
+        |SELECT id, concat('row', id),
+        |       CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(100)""".stripMargin)
+    def files(): Set[String] = {
+      val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath + "/rlo/t")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val it = fs.listFiles(root, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val n = it.next()
+        if (!n.getPath.getName.startsWith("_") && !n.getPath.getName.startsWith("."))
+          b += n.getPath.toString
+      }
+      b.result()
+    }
+
+    // the _file metadata column: one value per data file, consistent with
+    // the row's partition directory; available unless a real column shadows it
+    val fileVals = spark.sql("SELECT DISTINCT _file FROM g.rlo.t")
+      .collect().map(_.getString(0))
+    assert(fileVals.length == files().size)
+    assert(spark.sql("SELECT _file FROM g.rlo.t WHERE id = 4")
+      .collect().head.getString(0).contains("lang=en"))
+
+    // DELETE keyed on a bloom-stamped data column: copy-on-write replaces
+    // ONLY the files whose stamps cannot refute the key — the rest of the
+    // table is untouched bytes
+    val before = files()
+    spark.sql("DELETE FROM g.rlo.t WHERE id = 42")
+    assert(spark.table("g.rlo.t").count() == 99L)
+    assert(spark.sql("SELECT * FROM g.rlo.t WHERE id = 42").count() == 0L)
+    val untouched = before intersect files()
+    assert(untouched.size >= before.size - 2,
+      s"point delete must rewrite only may-match files; ${before.size - untouched.size} replaced")
+    assert(untouched.size < before.size, "the matching file must be replaced")
+
+    // UPDATE: non-matching rows of the rewritten file survive verbatim
+    spark.sql("UPDATE g.rlo.t SET txt = 'updated' WHERE id = 7")
+    assert(spark.sql("SELECT txt FROM g.rlo.t WHERE id = 7")
+      .collect().head.getString(0) == "updated")
+    assert(spark.table("g.rlo.t").count() == 99L)
+    assert(spark.sql("SELECT txt FROM g.rlo.t WHERE id = 9")
+      .collect().head.getString(0) == "row9")
+
+    // UPDATE of the partition column moves the row between directories
+    spark.sql("UPDATE g.rlo.t SET lang = 'de' WHERE id = 6")
+    assert(spark.sql("SELECT _file FROM g.rlo.t WHERE id = 6")
+      .collect().head.getString(0).contains("lang=de"))
+    assert(spark.table("g.rlo.t").count() == 99L)
+
+    // MERGE: matched update, matched delete, not-matched insert — one pass
+    spark.sql(
+      """SELECT * FROM (VALUES (8L, 'merged'), (10L, CAST(NULL AS STRING)),
+        |(1000L, 'inserted')) AS s(id, newTxt)""".stripMargin)
+      .createOrReplaceTempView("rlo_src")
+    spark.sql(
+      """MERGE INTO g.rlo.t t USING rlo_src s ON t.id = s.id
+        |WHEN MATCHED AND s.newTxt IS NULL THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET txt = s.newTxt
+        |WHEN NOT MATCHED THEN INSERT (id, txt, lang) VALUES (s.id, s.newTxt, 'de')""".stripMargin)
+    assert(spark.sql("SELECT txt FROM g.rlo.t WHERE id = 8")
+      .collect().head.getString(0) == "merged")
+    assert(spark.sql("SELECT * FROM g.rlo.t WHERE id = 10").count() == 0L)
+    assert(spark.sql("SELECT txt, lang FROM g.rlo.t WHERE id = 1000")
+      .collect().head.toSeq == Seq("inserted", "de"))
+    assert(spark.table("g.rlo.t").count() == 99L) // -1 delete +1 insert
+
+    // MERGE into an EMPTY table: zero groups to rewrite, inserts append
+    spark.sql(
+      """CREATE TABLE g.rlo.empty (id BIGINT, txt STRING, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+    spark.sql(
+      """MERGE INTO g.rlo.empty t USING rlo_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, txt, lang) VALUES (s.id, s.newTxt, 'xx')""".stripMargin)
+    assert(spark.table("g.rlo.empty").count() == 3L)
   }
 
   test("ALTER TABLE ADD COLUMN: old files resolve the new column via reader default") {
