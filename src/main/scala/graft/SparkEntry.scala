@@ -978,6 +978,41 @@ object SparkEntry {
           |FROM graft_q87.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // SQL-callable maintenance (X60): `CALL g.system.compact(...)` rewrites
+    // a fragmented landing (one file per insert x task here; half a million
+    // files for a year of 1-minute streaming epochs at scale) into
+    // size-bounded files through the same verified scan/sink paths as any
+    // query — stats/bloom stamps preserved, so the compacted table keeps
+    // every pushdown. The aggregate AFTER the CALL proves the rewrite is
+    // lossless. Procedure mechanics (file counts, vacuum, unknown-procedure
+    // refusal) spec-proven in GraftCatalogSpec.
+    "q88_compact_call" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q88",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q88_wh_")
+      s.conf.set("spark.sql.catalog.graft_q88.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q88.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q88.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q88.corpus.docs (doc_id BIGINT, n_chars BIGINT, lang STRING)
+          |USING `graft-ocf` OPTIONS (statsColumns 'doc_id,n_chars')""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_q88_src")
+      // fragment the landing: one INSERT per lang → many small files
+      s.sql("SELECT DISTINCT lang FROM graft_q88_src").collect().map(_.getString(0))
+        .sorted.foreach { lg =>
+          s.sql(s"""INSERT INTO graft_q88.corpus.docs
+                   |SELECT doc_id, n_chars, lang FROM graft_q88_src
+                   |WHERE lang = '$lg'""".stripMargin)
+        }
+      s.sql("CALL graft_q88.system.compact(`table` => 'corpus.docs')")
+      s.sql(
+        """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+          |FROM graft_q88.corpus.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Runtime file skipping on a DATA column: the scan advertises its
     // bloom-stamped doc_id for runtime filtering
     // (SupportsRuntimeFiltering), so a broadcast join's key set prunes
@@ -1906,6 +1941,13 @@ object SparkEntry {
         |)
         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the fragmented landing + CALL compact is a lossless relayout, so the
+    // post-compaction aggregate mirrors a straight aggregate of the source
+    "q88_compact_call" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the catalog INSERT is a lossless landing of the documents slice, so
     // the SQL-path aggregate mirrors the straight query

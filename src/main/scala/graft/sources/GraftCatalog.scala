@@ -45,8 +45,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hive/path-table convention this source's directory layout implies); the
   * declared data-column order is otherwise preserved.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import GraftCatalog._
+
+  /** `CALL <cat>.system.compact(...)` / `vacuum_temps(...)` — SQL-callable
+    * maintenance over catalog tables (see [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
+
+  /** Stored descriptor of a table, for procedures that need its location
+    * and write options. */
+  private[sources] def tableMeta(ident: Identifier): TableMeta = {
+    val mp = metaPath(tableDir(ident))
+    if (!fs.exists(mp)) throw new NoSuchTableException(ident)
+    readMeta(fs, mp)
+  }
 
   private var catName: String = _
   private var warehouse: Path = _

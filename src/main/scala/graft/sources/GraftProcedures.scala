@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** SQL-callable maintenance procedures under the catalog's `system`
+  * namespace (the Iceberg `CALL catalog.system.rewrite_data_files` shape):
+  *
+  * {{{
+  * CALL g.system.compact(`table` => 'corpus.docs', target_bytes => 134217728)
+  * CALL g.system.vacuum_temps(`table` => 'corpus.docs', min_age_ms => 3600000)
+  * }}}
+  *
+  * `compact` rewrites a table's (typically many small) files into
+  * `target_bytes`-bounded ones through [[OcfMaintenance.compact]] — the same
+  * verified scan/sink paths as any query, stats/bloom/sort stamps preserved,
+  * and the table's STORED schema (with null defaults) as the reader schema,
+  * so a post-`ALTER TABLE ADD COLUMN` compaction also materializes the
+  * unified schema. The swap is move-new-in-then-delete-old: like all DDL on
+  * this catalog it assumes a single maintenance writer; a crash mid-swap
+  * leaves extra (duplicate) rows to re-compact, never lost ones.
+  *
+  * `vacuum_temps` removes orphaned writer temps older than `min_age_ms`
+  * (leftovers of a driver that died between task and job commit). Both
+  * return a metrics row. */
+private[sources] object GraftProcedures {
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    val known: Map[String, UnboundProcedure] = Map(
+      "compact" -> new CompactProcedure(cat),
+      "vacuum_temps" -> new VacuumTempsProcedure(cat))
+    if (ident.namespace.toSeq != Seq("system"))
+      throw new RuntimeException(
+        s"graft catalog: procedures live under the 'system' namespace " +
+          s"(CALL <cat>.system.<name>); got ${ident.namespace.mkString(".")}")
+    known.getOrElse(ident.name, throw new RuntimeException(
+      s"graft catalog: unknown procedure '${ident.name}'; " +
+        s"available: ${known.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array(Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "vacuum_temps"))
+    else Array.empty
+
+  /** `ns.table` (relative to the catalog) → identifier. */
+  private def tableIdent(s: String): Identifier = {
+    val parts = s.split('.')
+    require(parts.length >= 2,
+      s"graft catalog procedure: table must be 'namespace.table', got '$s'")
+    Identifier.of(parts.init, parts.last)
+  }
+
+  private def str(row: InternalRow, i: Int): Option[String] =
+    if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+
+  /** Visible data files under `dir`, recursively. */
+  private def visibleFiles(spark: SparkSession, dir: String): Seq[(Path, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val b = Seq.newBuilder[(Path, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+        b += ((st.getPath, st.getLen))
+    }
+    b.result()
+  }
+
+  private def singleRowResult(schema: StructType, vals: Array[Any]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
+      override def readSchema(): StructType = schema
+      override def description(): String = "graft procedure result"
+    }).iterator()
+
+  private final class CompactProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "Rewrite a graft-ocf table's files into size-bounded ones (stamps " +
+        "preserved); optional z-order re-clustering for unpartitioned tables"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue(String.valueOf(128L * 1024 * 1024))
+        .comment("approximate output file size bound").build(),
+      ProcedureParameter.in("codec", StringType).defaultValue("NULL")
+        .comment("output codec; defaults to the table's codec option").build(),
+      ProcedureParameter.in("zorder", StringType).defaultValue("NULL")
+        .comment("comma-separated z-order columns (unpartitioned tables)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false),
+      StructField("bytes_before", LongType, nullable = false),
+      StructField("bytes_after", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val targetBytes = if (input.isNullAt(1)) 128L * 1024 * 1024 else input.getLong(1)
+      val codec = str(input, 2).orElse(meta.options.get("codec")).getOrElse("null")
+      val zorder = str(input, 3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      val before = visibleFiles(spark, meta.location)
+      if (before.isEmpty)
+        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L, 0L))
+      // compact into a SIBLING staging dir (never inside the table dir — the
+      // table's recursive listing must not see half-written output)
+      val staging = meta.location + ".compact-" + java.util.UUID.randomUUID()
+      OcfMaintenance.compact(spark, meta.location, staging,
+        codec = codec, targetBytes = targetBytes,
+        readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
+        zorderColumns = zorder)
+      // swap: move the compacted files in under fresh names, then drop the
+      // snapshot of old files — a crash between the two leaves duplicates
+      // (re-compactable), never data loss
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val stagingRoot = fs.makeQualified(new Path(staging))
+      val moved = visibleFiles(spark, staging)
+      moved.foreach { case (p, _) =>
+        val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
+          .stripPrefix(Path.SEPARATOR)
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(
+            s"graft compact: could not move $p to $dest")
+      }
+      before.foreach { case (p, _) => fs.delete(p, false) }
+      fs.delete(new Path(staging), true)
+      val after = visibleFiles(spark, meta.location)
+      singleRowResult(outSchema, Array[Any](
+        before.size.toLong, after.size.toLong,
+        before.map(_._2).sum, after.map(_._2).sum))
+    }
+  }
+
+  private final class VacuumTempsProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum_temps"
+    override def description(): String =
+      "Delete orphaned writer temp files older than min_age_ms"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("min_age_ms", LongType)
+        .defaultValue(String.valueOf(24L * 60 * 60 * 1000))
+        .comment("only temps at least this old are removed").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("removed", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val minAge = if (input.isNullAt(1)) 24L * 60 * 60 * 1000 else input.getLong(1)
+      val removed = OcfMaintenance.vacuumTemps(spark, meta.location, minAge)
+      singleRowResult(outSchema, Array[Any](removed))
+    }
+  }
+}

@@ -319,6 +319,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("g.rlo.empty").count() == 3L)
   }
 
+  test("CALL system.compact / system.vacuum_temps maintenance procedures") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.maint")
+    spark.sql(
+      """CREATE TABLE g.maint.t (id BIGINT, txt STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id', bloomColumns 'id')""".stripMargin)
+    // many small files: one per insert x shuffle partition
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO g.maint.t SELECT id, concat('r', id) " +
+        s"FROM range(${i * 100}, ${(i + 1) * 100})")
+    }
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f)
+          else if (!f.getName.startsWith(".") && !f.getName.startsWith("_")) Seq(f)
+          else Nil)
+      walk(new java.io.File(warehouse, "maint/t"))
+    }
+    val before = dataFiles().size
+    assert(before > 1, s"fixture must start fragmented, got $before files")
+
+    val res = spark.sql(
+      "CALL g.system.compact(`table` => 'maint.t', target_bytes => 1073741824)")
+      .collect().head
+    assert(res.getLong(0) == before.toLong)
+    assert(res.getLong(1) == 1L, s"one output file expected, got ${res.getLong(1)}")
+    assert(dataFiles().size == 1)
+    // contents intact, stamps preserved (min/max still answer header-only)
+    assert(spark.table("g.maint.t").count() == 500L)
+    assert(spark.sql("SELECT min(id), max(id) FROM g.maint.t")
+      .collect().head.toSeq == Seq(0L, 499L))
+
+    // vacuum: a planted orphaned temp older than the age gate is removed
+    val orphan = new java.io.File(warehouse, "maint/t/.orphan.avro.tmp")
+    java.nio.file.Files.writeString(orphan.toPath, "x")
+    orphan.setLastModified(System.currentTimeMillis() - 100000)
+    val vac = spark.sql(
+      "CALL g.system.vacuum_temps(`table` => 'maint.t', min_age_ms => 1000)")
+      .collect().head
+    assert(vac.getLong(0) == 1L)
+    assert(!orphan.exists())
+
+    // unknown procedures fail loudly at analysis
+    intercept[Exception] { spark.sql("CALL g.system.nope()") }
+  }
+
   test("ALTER TABLE ADD COLUMN: old files resolve the new column via reader default") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo")
     spark.sql(
