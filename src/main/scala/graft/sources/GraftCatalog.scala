@@ -364,6 +364,7 @@ private[sources] final class CatalogOcfTable(
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
@@ -446,6 +447,113 @@ private[sources] final class CatalogOcfTable(
       replaceFiles: () => Seq[String]): org.apache.spark.sql.connector.write.WriteBuilder =
     new OcfWriteBuilder(info, meta.partCols.toArray, writeOptions,
       replaceFiles = Some(replaceFiles))
+
+  // ---- partition management (SHOW PARTITIONS / ALTER TABLE ... PARTITION) --
+  // The directory layout IS the partition state: a partition exists iff its
+  // `col=value/` directory does (an ADD PARTITION'ed empty directory shows
+  // up before any rows land, matching hive/path-table expectations).
+
+  override def partitionSchema(): StructType =
+    StructType(meta.partCols.map(pc =>
+      meta.schema.fields.find(_.name.equalsIgnoreCase(pc)).get))
+
+  private def fsys = new org.apache.hadoop.fs.Path(meta.location).getFileSystem(conf)
+
+  private def partDirOf(ident: org.apache.spark.sql.catalyst.InternalRow): org.apache.hadoop.fs.Path = {
+    val ps = partitionSchema()
+    require(ps.nonEmpty, s"graft catalog: table $fullName is not partitioned")
+    require(ident.numFields == ps.length,
+      s"graft catalog: partition spec must bind every partition column " +
+        s"(${meta.partCols.mkString(", ")})")
+    val rendered = ps.fields.indices.map { i =>
+      if (ident.isNullAt(i)) null
+      else OcfPartitions.renderPartValue(
+        ident.get(i, ps.fields(i).dataType), ps.fields(i).dataType)
+    }.toArray
+    new org.apache.hadoop.fs.Path(meta.location,
+      OcfPartitions.partitionDir(meta.partCols.toArray, rendered))
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+                               properties: java.util.Map[String, String]): Unit = {
+    if (partitionExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        fullName, ident, partitionSchema())
+    fsys.mkdirs(partDirOf(ident))
+    ()
+  }
+
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val d = partDirOf(ident)
+    fsys.exists(d) && fsys.delete(d, true)
+  }
+
+  override def partitionExists(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    fsys.exists(partDirOf(ident))
+
+  override def truncatePartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val d = partDirOf(ident)
+    if (!fsys.exists(d))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        fullName, ident, partitionSchema())
+    fsys.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+        fsys.delete(st.getPath, false)
+    }
+    true
+  }
+
+  override def replacePartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow,
+                                        properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: partition metadata is not supported (the directory is the state)")
+
+  override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] = java.util.Collections.emptyMap()
+
+  /** Distinct partition tuples from the DIRECTORY tree (one `col=value`
+    * level per partition column), optionally filtered by a partial spec —
+    * empty (ADD PARTITION'ed) directories included. */
+  override def listPartitionIdentifiers(names: Array[String],
+                                        ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    if (ps.isEmpty) return Array.empty
+    require(names.length == ident.numFields,
+      "graft catalog: partial partition spec names and values must align")
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    if (!fsys.exists(root)) return Array.empty
+    var tuples: Seq[(org.apache.hadoop.fs.Path, Vector[Any])] =
+      Seq((root, Vector.empty))
+    ps.fields.foreach { f =>
+      val prefix = f.name + "="
+      tuples = tuples.flatMap { case (dir, vals) =>
+        fsys.listStatus(dir).iterator.filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith(prefix)).map { st =>
+          val raw0 = st.getPath.getName.substring(prefix.length)
+          val raw = if (raw0 == OcfPartitions.NullDir) null
+                    else OcfPartitions.unescape(raw0)
+          (st.getPath, vals :+ OcfPartitions.castPartValue(raw, f.dataType))
+        }.toSeq
+      }
+    }
+    val specIdx: Array[Int] = names.map { n =>
+      val i = ps.fields.indexWhere(_.name.equalsIgnoreCase(n))
+      require(i >= 0, s"graft catalog: '$n' is not a partition column of $fullName")
+      i
+    }
+    tuples.iterator.map(_._2).filter { vals =>
+      specIdx.indices.forall { k =>
+        val i = specIdx(k)
+        val want = if (ident.isNullAt(k)) null else ident.get(k, ps.fields(i).dataType)
+        val have = vals(i)
+        (want == null && have == null) || (want != null && want == have)
+      }
+    }.map(vals =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.toArray))
+      .toArray
+  }
 
   private def partTypeOf(name: String): Option[org.apache.spark.sql.types.DataType] =
     if (meta.partCols.contains(name))

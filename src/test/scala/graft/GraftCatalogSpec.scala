@@ -319,6 +319,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("g.rlo.empty").count() == 3L)
   }
 
+  test("SHOW PARTITIONS and ALTER TABLE ADD/DROP PARTITION on the directory layout") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.parts")
+    spark.sql(
+      """CREATE TABLE g.parts.t (id BIGINT, lang STRING, year INT)
+        |USING `graft-ocf` PARTITIONED BY (lang, year)""".stripMargin)
+    spark.sql("INSERT INTO g.parts.t VALUES (1, 'en', 2024), (2, 'fr', 2024), (3, 'en', 2025)")
+    def parts(): Seq[String] =
+      spark.sql("SHOW PARTITIONS g.parts.t").collect().map(_.getString(0)).sorted.toSeq
+    assert(parts() == Seq("lang=en/year=2024", "lang=en/year=2025", "lang=fr/year=2024"))
+    // partial spec filters; typed INT value compares numerically
+    assert(spark.sql("SHOW PARTITIONS g.parts.t PARTITION (year=2025)")
+      .collect().map(_.getString(0)).toSeq == Seq("lang=en/year=2025"))
+    // ADD PARTITION registers an empty directory — visible before rows land
+    spark.sql("ALTER TABLE g.parts.t ADD PARTITION (lang='de', year=2030)")
+    assert(parts().contains("lang=de/year=2030"))
+    assert(spark.table("g.parts.t").count() == 3L)
+    // DROP PARTITION removes the directory and its rows
+    spark.sql("ALTER TABLE g.parts.t DROP PARTITION (lang='en', year=2024)")
+    assert(!parts().contains("lang=en/year=2024"))
+    assert(spark.table("g.parts.t").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
   test("CALL system.compact / system.vacuum_temps maintenance procedures") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.maint")
     spark.sql(
