@@ -46,8 +46,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * declared data-column order is otherwise preserved.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import GraftCatalog._
+
+  /** `SELECT <cat>.system.fn_decode_avro_binary(hex)` and friends — the
+    * reference's SQL-UDF surface, catalog-qualified (see [[GraftFunctions]]). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.list(namespace)
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.exists(ident)
 
   /** `CALL <cat>.system.compact(...)` / `vacuum_temps(...)` — SQL-callable
     * maintenance over catalog tables (see [[GraftProcedures]]). */

@@ -341,6 +341,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("g.parts.t").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("catalog-qualified V2 functions: fn_decode_avro_binary and friends") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.fn")
+    spark.sql("CREATE TABLE g.fn.t (id BIGINT, txt STRING) USING `graft-ocf`")
+    spark.sql("INSERT INTO g.fn.t VALUES (1, 'alpha'), (2, 'beta')")
+    // hex-encode every data file of the landing, decode through the catalog
+    // function — the reference's headline UDF, no session extensions needed
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) walk(f)
+        else if (!f.getName.startsWith(".") && !f.getName.startsWith("_")) Seq(f)
+        else Nil)
+    val hexes = walk(new java.io.File(warehouse, "fn/t")).map(f =>
+      java.nio.file.Files.readAllBytes(f.toPath).map("%02x".format(_)).mkString)
+    import spark.implicits._
+    hexes.toDF("payload").createOrReplaceTempView("g_fn_landing")
+    val out = spark.sql(
+      "SELECT g.system.fn_decode_avro_binary(payload) AS js FROM g_fn_landing")
+      .collect().map(_.getString(0)).mkString
+    assert(out.contains("\"txt\": \"alpha\"") && out.contains("\"txt\": \"beta\""))
+
+    // binary OCF form agrees with the hex form
+    val out2 = spark.sql(
+      "SELECT g.system.avro_ocf_decode_json(unhex(payload)) AS js FROM g_fn_landing")
+      .collect().map(_.getString(0)).mkString
+    assert(out2 == out)
+
+    // bare-datum decode: schema is a runtime VALUE (registry path), reader
+    // compiled once per schema via the executor cache
+    graft.spark.functions.registerAll(spark)
+    val avsc = """{"type":"record","name":"r","fields":[{"name":"v","type":"long"}]}"""
+    assert(spark.sql(
+      s"SELECT g.system.avro_decode_json(to_avro(named_struct('v', 7L), '$avsc'), '$avsc') AS j")
+      .collect().head.getString(0) == "{\"v\": 7}")
+
+    // nulls propagate; unknown functions fail loudly at analysis
+    assert(spark.sql("SELECT g.system.kpl_deaggregate(CAST(NULL AS BINARY))")
+      .collect().head.isNullAt(0))
+    intercept[Exception] { spark.sql("SELECT g.system.nope(1)") }
+  }
+
   test("CALL system.compact / system.vacuum_temps maintenance procedures") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.maint")
     spark.sql(
