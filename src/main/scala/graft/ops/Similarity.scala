@@ -241,6 +241,93 @@ object Similarity {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** A trained product-quantization codebook: `m` subspaces × `ksub`
+    * centroids × `dim/m` dims, over L2-NORMALIZED vectors. */
+  final case class PqCodebook(centroids: Seq[Seq[Seq[Double]]]) {
+    def m: Int = centroids.size
+    def ksub: Int = centroids.head.size
+    def dsub: Int = centroids.head.head.size
+  }
+
+  /** Train a PQ codebook (Jégou et al. 2011): normalize, split each vector
+    * into `m` subvectors, run seeded k-means with `ksub` centers in EACH
+    * subspace. Deterministic via seed; `trainFraction < 1` fits on a sample
+    * (m × ksub × dsub doubles return to the driver — a few KB). */
+  def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+              trainFraction: Double = 1.0, vecCol: String = "embedding"): PqCodebook = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim must divide into m=$m subvectors")
+    val dsub = dim / m
+    // normalized once, sampled once — every subspace trains on the same rows
+    val unitVec = expr(
+      s"""CASE WHEN aggregate($vecCol, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0
+         |THEN transform($vecCol, x -> CAST(x AS DOUBLE) /
+         |  sqrt(aggregate($vecCol, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |ELSE transform($vecCol, x -> CAST(x AS DOUBLE)) END""".stripMargin)
+    val base = corpus.select(unitVec.as("u"))
+    val train = (if (trainFraction < 1.0) base.sample(trainFraction, seed) else base).cache()
+    try {
+      val cents: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+        val sub = train.select(array_to_vector(
+          expr(s"slice(u, ${j * dsub + 1}, $dsub)")).as("features"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
+          .setFeaturesCol("features")
+          .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+      }
+      PqCodebook(cents)
+    } finally { train.unpersist(); () }
+  }
+
+  /** `binary` PQ codes (`m` bytes) for every corpus row — at scale this is
+    * computed ONCE and persisted as a column next to the table (the codes
+    * are what the search scans; the fp32 vectors are only touched by the
+    * final re-rank). */
+  def pqEncode(corpus: DataFrame, cb: PqCodebook,
+               vecCol: String = "embedding", codesCol: String = "pq_codes"): DataFrame =
+    corpus.withColumn(codesCol,
+      Shims.column(graft.spark.PqEncode(Shims.expression(col(vecCol)), cb.centroids)))
+
+  /** Approximate top-k via PQ + ADC: each query builds ONE m·ksub lookup
+    * table; every corpus code scores with m table lookups (no vector
+    * decoded); the `shortlist` best ADC candidates per query get an exact
+    * cosine re-rank on the true vectors. Returns (q_id, n_id, sim, rank).
+    *
+    * Scale notes: the scoring pass reads m BYTES per corpus row instead of
+    * dim floats — 32× less data and ~dim/m× less arithmetic at dim=64,
+    * m=8 — and the codes column is partition-local throughout (the
+    * broadcast side is queries + LUTs). Only shortlist·|Q| true vectors are
+    * ever fetched, by id. Recall is governed by `shortlist` (exact re-rank
+    * can only lose a neighbor the ADC pass dropped). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cb: PqCodebook,
+             shortlist: Int = 64,
+             qId: String = "vec_id", qVec: String = "embedding",
+             cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k <= shortlist, s"pqTopK: k=$k must be <= shortlist=$shortlist")
+    val cv = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
+    val qv = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+    val codes = pqEncode(cv, cb, "n_vec", "codes").select("n_id", "codes")
+    val luts = qv.select(col("q_id"),
+      Shims.column(graft.spark.PqLut(Shims.expression(col("q_vec")), cb.centroids)).as("lut"))
+    val adc = broadcast(luts).crossJoin(codes)
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", Shims.column(graft.spark.PqAdcDistance(
+        Shims.expression(col("lut")), Shims.expression(col("codes")))))
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    val shortlisted = adc.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select("q_id", "n_id")
+    val scored = shortlisted
+      .join(broadcast(qv), "q_id")
+      .join(cv, "n_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "sim", "rank")
+  }
+
   /** Coarse k-means quantizer centers in cosine geometry (shared by
     * [[ivfTopK]] and [[semDedup]]'s cluster scoping): deterministic via
     * seed, trained on a sample when `trainFraction < 1`, zero-norm vectors

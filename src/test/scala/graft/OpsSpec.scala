@@ -296,6 +296,35 @@ class OpsSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("PQ top-k: ADC shortlist recall rises with shortlist size; codes are m bytes") {
+    val queries = embeddings.where(col("vec_id") < 20)
+    val cb = Similarity.pqTrain(embeddings, m = 8, ksub = 16)
+    assert(cb.m == 8 && cb.ksub == 16 && cb.dsub == 8)
+    // codes really are m bytes — the 32x-smaller scan the design claims
+    val codes = Similarity.pqEncode(embeddings, cb).select("pq_codes").collect()
+    assert(codes.forall(_.getAs[Array[Byte]](0).length == 8))
+    // training is deterministic: same seed, same codebook
+    assert(Similarity.pqTrain(embeddings, m = 8, ksub = 16).centroids == cb.centroids)
+
+    val exact = Similarity.bruteForceTopK(queries, embeddings, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(shortlist: Int): Double = {
+      val approx = Similarity.pqTopK(queries, embeddings, 10, cb, shortlist = shortlist)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r16 = recall(16)
+    val r128 = recall(128)
+    assert(r128 >= r16, s"recall must rise with shortlist: 16 → $r16, 128 → $r128")
+    assert(r128 >= 0.8, s"recall@10 with shortlist=128 = $r128 (unclustered synthetic " +
+      "corpus; the ADC ordering must still put most true neighbors up front)")
+    // a shortlist covering the corpus is exhaustive: exact re-rank == brute force
+    val n = embeddings.count().toInt
+    val all = Similarity.pqTopK(queries, embeddings, 10, cb, shortlist = n)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact)
+  }
+
   test("curation pipeline: funnel counts are monotone and match curate()") {
     val f = graft.ops.Curation.funnel(docs, "doc_id", "text").collect()(0)
     val (d, l, q) = (f.getAs[Long]("after_dedup"), f.getAs[Long]("after_lang"),
