@@ -1503,6 +1503,27 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // IVF-PQ (X64, the FAISS IndexIVFPQ composition) at the oracle-able
+    // configuration: exhaustive probing (results independent of where
+    // k-means put the cells) with a shortlist wide enough for recall 1 on
+    // the near-identical probes. Exercises the full pipeline — coarse cell
+    // assignment, per-cell ADC scoring over m-byte codes, exact re-rank.
+    // The sub-exhaustive recall/cost curve is spec-proven in OpsSpec.
+    "q90_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val probes = emb.where(col("vec_id") < 8).select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "CAST(x * (CASE WHEN i % 2 = 0 THEN 1.1D ELSE 0.9D END) AS FLOAT))")
+          .as("embedding"))
+      val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(probes, emb, 1, cb,
+          nlist = 16, nprobe = 16, shortlist = 64, trainFraction = 0.5)
+        .select((col("q_id") - lit(1000000L)).as("q_id"), col("n_id"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"), col("rank"))
+        .orderBy("q_id")
+    }),
+
     // IVF ANN with EXHAUSTIVE probing (nprobe = nlist), which is
     // structurally identical to brute force — the honest oracle-able
     // configuration (results do not depend on where k-means put the
@@ -2349,6 +2370,23 @@ object SparkEntry {
     // back to float, identical in both engines); the probe's source sits at
     // sim ≈ 0.995 vs a ≤ 0.52 continuous tail, so the exact argmax equals
     // the LSH result (per-probe miss ~5e-11 at 8 planes × 16 tables).
+    // exhaustive-probe IVF-PQ with a wide shortlist achieves recall 1 here,
+    // so the exact brute-force top-1 oracle applies
+    "q90_ivfpq_topk" ->
+      """WITH probes AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(generate_series(1, len(embedding)), i ->
+        |      CAST(embedding[i] * (CASE WHEN (i - 1) % 2 = 0
+        |        THEN CAST(1.1 AS DOUBLE) ELSE CAST(0.9 AS DOUBLE) END) AS FLOAT)) AS qe
+        |  FROM embeddings WHERE vec_id < 8)
+        |SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
+        |  SELECT p.q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim0,
+        |    CAST(row_number() OVER (PARTITION BY p.q_id
+        |      ORDER BY list_cosine_similarity(CAST(p.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+        |  FROM probes p, embeddings c)
+        |WHERE rank <= 1 ORDER BY q_id""".stripMargin,
+
     // PQ shortlist + exact re-rank achieves recall 1 here, so the oracle is
     // the same exact brute-force top-1 as the LSH path's
     "q89_pq_ann_topk" ->

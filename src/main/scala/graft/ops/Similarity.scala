@@ -328,6 +328,54 @@ object Similarity {
       .select("q_id", "n_id", "sim", "rank")
   }
 
+  /** IVF-PQ (the FAISS IndexIVFPQ composition): a coarse quantizer prunes
+    * the candidate set to the query's `nprobe` nearest cells, PQ/ADC scores
+    * only those cells' CODES (m bytes + m lookups per candidate), and the
+    * exact re-rank touches only the `shortlist` best. Candidate cost is
+    * ~nprobe/nlist of the corpus × m/(4·dim) of the bytes — at 100 TB of
+    * fp32 embeddings that is the difference between scanning terabytes and
+    * scanning a few gigabytes of codes. Cells and codes are both
+    * partition-local (at scale both are computed once and PERSISTED as
+    * columns); the broadcast side is queries + LUTs. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int, cb: PqCodebook,
+                nlist: Int = 16, nprobe: Int = 4, shortlist: Int = 64,
+                seed: Long = 42L, trainFraction: Double = 1.0,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    require(k <= shortlist, s"ivfPqTopK: k=$k must be <= shortlist=$shortlist")
+    val cv = corpus.select(col(cId).as("n_id"), col(cVec).as("n_vec"))
+    val qv = queries.select(col(qId).as("q_id"), col(qVec).as("q_vec"))
+    val centroids = trainCentroids(
+      cv.select(col("n_id").as("id"), col("n_vec").as("vec")),
+      nlist, seed, trainFraction)
+    def cells(c: Column, probes: Int): Column =
+      Shims.column(graft.spark.NearestCentroids(Shims.expression(c), centroids, probes))
+    val corpusSide = pqEncode(cv, cb, "n_vec", "codes")
+      .select(col("n_id"), element_at(cells(col("n_vec"), 1), 1).as("cell"), col("codes"))
+    val querySide = qv.select(col("q_id"),
+        explode(cells(col("q_vec"), nprobe)).as("cell"),
+        Shims.column(graft.spark.PqLut(Shims.expression(col("q_vec")), cb.centroids)).as("lut"))
+    val adc = broadcast(querySide).join(corpusSide, "cell")
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("adc", Shims.column(graft.spark.PqAdcDistance(
+        Shims.expression(col("lut")), Shims.expression(col("codes")))))
+      // a vector can reach one query through several probed cells only if
+      // cell assignment were multi-probe on the corpus side — it is not
+      // (corpus rows carry their single nearest cell), so no dedup needed
+    val ws = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id").asc)
+    val shortlisted = adc.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select("q_id", "n_id")
+    val scored = shortlisted
+      .join(broadcast(qv), "q_id")
+      .join(cv, "n_id")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "n_id", "sim", "rank")
+  }
+
   /** Coarse k-means quantizer centers in cosine geometry (shared by
     * [[ivfTopK]] and [[semDedup]]'s cluster scoping): deterministic via
     * seed, trained on a sample when `trainFraction < 1`, zero-norm vectors

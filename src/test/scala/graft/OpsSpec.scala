@@ -325,6 +325,29 @@ class OpsSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("IVF-PQ: recall rises with nprobe; exhaustive probe + corpus shortlist is exact") {
+    val queries = embeddings.where(col("vec_id") < 20)
+    val cb = Similarity.pqTrain(embeddings, m = 8, ksub = 16)
+    val exact = Similarity.bruteForceTopK(queries, embeddings, 10)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nprobe: Int, shortlist: Int): Double = {
+      val approx = Similarity.ivfPqTopK(queries, embeddings, 10, cb,
+          nlist = 16, nprobe = nprobe, shortlist = shortlist)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect approx).size.toDouble / exact.size
+    }
+    val r2 = recall(2, 128)
+    val r8 = recall(8, 128)
+    assert(r8 >= r2, s"recall must rise with nprobe: 2 → $r2, 8 → $r8")
+    assert(r8 >= 0.6, s"recall@10 at nprobe=8/16 shortlist=128 = $r8")
+    // exhaustive probing + a corpus-wide shortlist degenerates to brute force
+    val n = embeddings.count().toInt
+    val all = Similarity.ivfPqTopK(queries, embeddings, 10, cb,
+        nlist = 16, nprobe = 16, shortlist = n)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == exact)
+  }
+
   test("curation pipeline: funnel counts are monotone and match curate()") {
     val f = graft.ops.Curation.funnel(docs, "doc_id", "text").collect()(0)
     val (d, l, q) = (f.getAs[Long]("after_dedup"), f.getAs[Long]("after_lang"),
