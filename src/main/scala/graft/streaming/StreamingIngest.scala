@@ -191,6 +191,57 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming NEAR-duplicate detection — the streaming face of MinHash-LSH
+    * dedup (`Dedup.minhashCandidates`): each arriving document's signature
+    * is banded into `numBands` hashes, every band CLAIMS its bucket in
+    * per-bucket state, and a document is flagged `near_dup` when at least
+    * one of its bands hit an already-claimed bucket (the standard LSH
+    * candidate rule, applied greedily in arrival order; ties inside a batch
+    * break by ascending id, so replays are deterministic). Emits one
+    * `(id, near_dup)` verdict per document — act on it downstream (filter a
+    * keyed landing, route to quarantine) without the text ever re-shuffling.
+    *
+    * Two chained stateful operators in append mode: bucket claims keyed by
+    * (band, hash), then a per-document OR that emits once all `numBands`
+    * verdicts arrived (that second state is transient — removed at emit).
+    * The claim state is one boolean per DISTINCT band hash seen — the
+    * irreducible memory of "have I seen something like this before"; at
+    * ~numBands × distinct-docs entries it is bounded by corpus novelty, not
+    * stream length. Like its batch analog this trades a small
+    * false-positive rate (band collisions of genuinely different docs) for
+    * never missing a pair the banding would catch. */
+  def dedupNearStream(decoded: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 128, numBands: Int = 32,
+                      shingleSize: Int = 3): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val bands = decoded.select(col(idCol).cast("long").as("id"),
+        posexplode(graft.ops.Dedup.minhashBandHashes(
+          col(textCol), numHashes, numBands, shingleSize)).as(Seq("band", "hash")))
+      .as[(Long, Int, Long)]
+    val flagged = bands.groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Boolean, (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          val claimed = state.getOption.getOrElse(false)
+          state.update(true)
+          sorted.zipWithIndex.map { case (r, i) => (r._1, claimed || i > 0) }.iterator
+      }
+    flagged.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Boolean), (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (doc, rows, state: GroupState[(Int, Boolean)]) =>
+          val (seen0, dup0) = state.getOption.getOrElse((0, false))
+          val rs = rows.toSeq
+          val seen = seen0 + rs.size
+          val dup = dup0 || rs.exists(_._2)
+          if (seen >= numBands) { state.remove(); Iterator((doc, dup)) }
+          else { state.update((seen, dup)); Iterator.empty }
+      }
+      .toDF(idCol, "near_dup")
+  }
+
   /** Land a decoded stream as parquet with exactly-once file-sink semantics;
     * AvailableNow processes the backlog and stops (batch-boundary friendly,
     * used by tests and backfills). */

@@ -341,6 +341,36 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags banded MinHash collisions across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog and then runs far away home"
+    val aNear = a.replace("lazy", "sleepy") // one-word edit: near-duplicate
+    val c = "completely different content about distributed query engines and avro"
+
+    val stream = MemoryStream[(Long, String)]
+    val verdicts = StreamingIngest.dedupNearStream(
+      stream.toDF().toDF("id", "text"), "id", "text",
+      numHashes = 64, numBands = 16, shingleSize = 3)
+    val q = verdicts.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, a), (2L, c))
+      q.processAllAvailable()
+      // batch 2: a near-duplicate of doc 1, an exact duplicate of doc 2,
+      // and a fresh document
+      stream.addData((3L, aNear), (4L, c), (5L, "novel text never seen before today"))
+      q.processAllAvailable()
+      val out = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(out.size == 5, s"one verdict per doc; got $out")
+      assert(!out(1L) && !out(2L), s"first arrivals are not duplicates: $out")
+      assert(out(3L), s"near-duplicate of doc 1 must flag: $out")
+      assert(out(4L), s"exact duplicate of doc 2 must flag: $out")
+      assert(!out(5L), s"fresh document must not flag: $out")
+    } finally q.stop()
+  }
+
   test("bare-datum memory stream decodes with watermarked windowed counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
