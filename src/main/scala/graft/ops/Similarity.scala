@@ -251,33 +251,112 @@ object Similarity {
 
   /** Train a PQ codebook (Jégou et al. 2011): normalize, split each vector
     * into `m` subvectors, run seeded k-means with `ksub` centers in EACH
-    * subspace. Deterministic via seed; `trainFraction < 1` fits on a sample
-    * (m × ksub × dsub doubles return to the driver — a few KB). */
+    * subspace. Training collects a BOUNDED deterministic sample to the
+    * driver (`maxTrainRows`, hash-ordered so the same corpus always yields
+    * the same sample) and runs local Lloyd's iterations there — the FAISS
+    * discipline: centroids converge on a sample, and 64k × dim doubles
+    * (~32 MB at dim=64) is driver-trivial even when the corpus is 100 TB.
+    * One Spark job total, vs m distributed fits. */
   def pqTrain(corpus: DataFrame, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-              trainFraction: Double = 1.0, vecCol: String = "embedding"): PqCodebook = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              trainFraction: Double = 1.0, vecCol: String = "embedding",
+              maxTrainRows: Int = 65536): PqCodebook = {
     val dim = corpus.select(size(col(vecCol)).as("d")).head.getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim must divide into m=$m subvectors")
     val dsub = dim / m
-    // normalized once, sampled once — every subspace trains on the same rows
-    val unitVec = expr(
-      s"""CASE WHEN aggregate($vecCol, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0
-         |THEN transform($vecCol, x -> CAST(x AS DOUBLE) /
-         |  sqrt(aggregate($vecCol, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-         |ELSE transform($vecCol, x -> CAST(x AS DOUBLE)) END""".stripMargin)
-    val base = corpus.select(unitVec.as("u"))
-    val train = (if (trainFraction < 1.0) base.sample(trainFraction, seed) else base).cache()
-    try {
-      val cents: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-        val sub = train.select(array_to_vector(
-          expr(s"slice(u, ${j * dsub + 1}, $dsub)")).as("features"))
-        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(10)
-          .setFeaturesCol("features")
-          .fit(sub).clusterCenters.map(_.toArray.toSeq).toSeq
+    val base = (if (trainFraction < 1.0) corpus.sample(trainFraction, seed) else corpus)
+      .select(col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy("h").limit(maxTrainRows)
+      .select("v")
+    val sample: Array[Array[Double]] = base.collect().map { r =>
+      val s = r.getSeq[Float](0)
+      val a = new Array[Double](dim)
+      var n2 = 0.0
+      var i = 0
+      while (i < math.min(dim, s.length)) { a(i) = s(i).toDouble; n2 += a(i) * a(i); i += 1 }
+      if (n2 > 0.0 && !java.lang.Double.isNaN(n2)) {
+        val inv = 1.0 / math.sqrt(n2); i = 0
+        while (i < dim) { a(i) *= inv; i += 1 }
       }
-      PqCodebook(cents)
-    } finally { train.unpersist(); () }
+      a
+    }
+    require(sample.nonEmpty, "pqTrain: empty training set")
+    val cents: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+      localKMeans(sample, j * dsub, dsub, ksub, seed + j).map(_.toSeq).toSeq
+    }
+    PqCodebook(cents)
+  }
+
+  /** Seeded local Lloyd's over one subspace of the collected sample: init
+    * from a seeded shuffle of distinct rows, 10 iterations, empty clusters
+    * keep their previous center. Deterministic given the same sample. */
+  private def localKMeans(sample: Array[Array[Double]], off: Int, dsub: Int,
+                          k: Int, seed: Long): Array[Array[Double]] = {
+    val n = sample.length
+    val rnd = new scala.util.Random(seed)
+    val order = rnd.shuffle((0 until n).toVector)
+    val centers = Array.ofDim[Double](k, dsub)
+    var taken = 0
+    var oi = 0
+    while (taken < k && oi < n) {
+      val row = sample(order(oi))
+      var dup = false
+      var c = 0
+      while (c < taken && !dup) {
+        var same = true
+        var i = 0
+        while (i < dsub && same) { same = centers(c)(i) == row(off + i); i += 1 }
+        dup = same; c += 1
+      }
+      if (!dup) { var i = 0; while (i < dsub) { centers(taken)(i) = row(off + i); i += 1 }; taken += 1 }
+      oi += 1
+    }
+    // fewer distinct rows than k: remaining centers stay at the last value
+    while (taken < k && taken > 0) {
+      java.lang.System.arraycopy(centers(taken - 1), 0, centers(taken), 0, dsub)
+      taken += 1
+    }
+    val assign = new Array[Int](n)
+    var iter = 0
+    while (iter < 10) {
+      var r = 0
+      while (r < n) {
+        val row = sample(r)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = row(off + i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(r) = best
+        r += 1
+      }
+      val sums = Array.ofDim[Double](k, dsub)
+      val counts = new Array[Long](k)
+      r = 0
+      while (r < n) {
+        val row = sample(r)
+        val c = assign(r)
+        counts(c) += 1
+        var i = 0
+        while (i < dsub) { sums(c)(i) += row(off + i); i += 1 }
+        r += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dsub) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** `binary` PQ codes (`m` bytes) for every corpus row — at scale this is
