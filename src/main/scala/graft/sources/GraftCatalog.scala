@@ -410,6 +410,14 @@ private[sources] final class CatalogOcfTable(
   override def name(): String = fullName
   override def schema(): StructType = meta.schema
   override def partitioning(): Array[Transform] = transforms
+  /** Stored write/read options, surfaced so `SHOW CREATE TABLE` and
+    * `DESCRIBE EXTENDED` reproduce the table's configuration. */
+  override def properties(): java.util.Map[String, String] = {
+    val p = new java.util.HashMap[String, String]()
+    meta.options.foreach { case (k, v) => p.put(k, v) }
+    p.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION, meta.location)
+    p
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,

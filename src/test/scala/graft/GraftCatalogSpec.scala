@@ -339,6 +339,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE g.parts.t DROP PARTITION (lang='en', year=2024)")
     assert(!parts().contains("lang=en/year=2024"))
     assert(spark.table("g.parts.t").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // TRUNCATE PARTITION empties exactly that partition, keeps the directory
+    spark.sql("TRUNCATE TABLE g.parts.t PARTITION (lang='fr', year=2024)")
+    assert(spark.table("g.parts.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(parts().contains("lang=fr/year=2024"), "truncated partition stays registered")
+    // SHOW CREATE TABLE reproduces schema, partitioning and stored options
+    spark.sql("ALTER TABLE g.parts.t SET TBLPROPERTIES ('statsColumns' = 'id')")
+    val ddl = spark.sql("SHOW CREATE TABLE g.parts.t").collect().head.getString(0)
+    assert(ddl.contains("PARTITIONED BY (lang, year)") || ddl.contains("PARTITIONED BY"), ddl)
+    assert(ddl.contains("statsColumns"), s"options must round-trip through SHOW CREATE TABLE:\n$ddl")
   }
 
   test("catalog-qualified V2 functions: fn_decode_avro_binary and friends") {
