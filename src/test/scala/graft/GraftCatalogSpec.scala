@@ -350,6 +350,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ddl.contains("statsColumns"), s"options must round-trip through SHOW CREATE TABLE:\n$ddl")
   }
 
+  test("CTAS, partitioned CTAS and REPLACE TABLE AS SELECT") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ctas")
+    spark.sql(
+      """CREATE TABLE g.ctas.t USING `graft-ocf`
+        |AS SELECT id, concat('r', id) AS txt FROM range(10)""".stripMargin)
+    assert(spark.table("g.ctas.t").count() == 10L)
+    // RTAS swaps schema and contents
+    spark.sql("REPLACE TABLE g.ctas.t USING `graft-ocf` AS SELECT id FROM range(3)")
+    assert(spark.table("g.ctas.t").columns.toSeq == Seq("id"))
+    assert(spark.table("g.ctas.t").count() == 3L)
+    // partitioned CTAS lays out directories and registers partitions
+    spark.sql(
+      """CREATE TABLE g.ctas.p USING `graft-ocf` PARTITIONED BY (lang)
+        |AS SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang
+        |FROM range(10)""".stripMargin)
+    assert(spark.sql("SHOW PARTITIONS g.ctas.p").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("lang=en", "lang=fr"))
+    assert(spark.table("g.ctas.p").count() == 10L)
+  }
+
   test("catalog-qualified V2 functions: fn_decode_avro_binary and friends") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.fn")
     spark.sql("CREATE TABLE g.fn.t (id BIGINT, txt STRING) USING `graft-ocf`")
