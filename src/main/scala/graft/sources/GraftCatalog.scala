@@ -157,7 +157,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     val mp = metaPath(dir)
-    if (!fs.exists(mp)) throw new NoSuchTableException(ident)
+    if (!fs.exists(mp)) {
+      // `SELECT * FROM g.ns.t.files` — the Iceberg-style FILES metadata
+      // table: per-file size, row stamp, codec, partition values, and which
+      // header stamps are present; answered from headers only
+      if (ident.name == "files" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfFilesMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     val meta = readMeta(fs, mp)
     val transforms: Array[Transform] = meta.partCols.map(
       org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
@@ -664,6 +677,75 @@ private[sources] final class OcfRowLevelOperation(
     })
 
   override def description(): String = s"graft-ocf copy-on-write $cmd"
+}
+
+/** The `<table>.files` METADATA table: one row per data file with its size,
+  * sealed-row-count stamp, codec, partition values and stamp inventory —
+  * answered entirely from file headers at PLAN time (the same one-pread-per-
+  * file resolution as query planning; no data block is ever read). The
+  * Iceberg `table.files` observability analog: `WHERE rows IS NULL` finds
+  * unstamped files, `ORDER BY size_bytes` finds compaction candidates. */
+private[sources] final class OcfFilesMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta, conf: Configuration)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("codec", StringType, nullable = false),
+    StructField("partition", MapType(StringType, StringType, valueContainsNull = true),
+      nullable = false),
+    StructField("sorted_by", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("has_stats", BooleanType, nullable = false),
+    StructField("has_bloom", BooleanType, nullable = false),
+    StructField("has_block_index", BooleanType, nullable = false)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-ocf FILES metadata of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val files =
+            try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true)
+            catch { case _: java.io.FileNotFoundException => Nil }
+          if (files.isEmpty) return Array.empty
+          val root = new Path(meta.location)
+          val qualified = root.getFileSystem(conf).makeQualified(root).toString
+          val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), files)
+          val metas = OcfDataSource.fetchMetas(conf, annotated)
+          metas.map { m =>
+            val part = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              layoutCols.indices.map(i => UTF8String.fromString(layoutCols(i))).toArray[Any],
+              layoutCols.indices.map(i =>
+                if (i < m.partitionValues.length && m.partitionValues(i) != null)
+                  UTF8String.fromString(m.partitionValues(i))
+                else null).toArray[Any])
+            val sortedBy = m.sortedByJson.flatMap(OcfPartitions.parseSortedBy).map(cols =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                cols.map(UTF8String.fromString).toArray[Any])).orNull
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+              UTF8String.fromString(m.path),
+              m.len,
+              m.rowsStamp.map(java.lang.Long.valueOf).orNull,
+              UTF8String.fromString(m.codecName),
+              part,
+              sortedBy,
+              m.statsJson.isDefined,
+              m.bloomJson.isDefined,
+              m.blockIndexJson.isDefined))
+          }.toArray
+        }
+      }
+    }
 }
 
 /** Zero-row scan of a known schema — what an empty catalog table reads as.

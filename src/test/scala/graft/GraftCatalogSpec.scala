@@ -370,6 +370,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("g.ctas.p").count() == 10L)
   }
 
+  test("the .files metadata table reports per-file stamps from headers only") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.meta")
+    spark.sql(
+      """CREATE TABLE g.meta.t (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (statsColumns 'id', codec 'deflate')""".stripMargin)
+    spark.sql(
+      """INSERT INTO g.meta.t
+        |SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(20)""".stripMargin)
+    val files = spark.sql("SELECT * FROM g.meta.t.files")
+    assert(files.columns.toSeq == Seq("file", "size_bytes", "rows", "codec",
+      "partition", "sorted_by", "has_stats", "has_bloom", "has_block_index"))
+    // row stamps sum to the table's row count; every file is stats-stamped
+    assert(spark.sql("SELECT sum(rows) FROM g.meta.t.files")
+      .collect().head.getLong(0) == 20L)
+    assert(spark.sql("SELECT count(*) FROM g.meta.t.files WHERE NOT has_stats")
+      .collect().head.getLong(0) == 0L)
+    assert(spark.sql("SELECT DISTINCT codec FROM g.meta.t.files")
+      .collect().map(_.getString(0)).toSeq == Seq("deflate"))
+    // partition values surface as a map keyed by layout column
+    assert(spark.sql("SELECT DISTINCT partition['lang'] FROM g.meta.t.files")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("en", "fr"))
+    // metadata of a missing table still resolves to NoSuchTable
+    intercept[Exception] { spark.sql("SELECT * FROM g.meta.nope.files").collect() }
+  }
+
   test("catalog-qualified V2 functions: fn_decode_avro_binary and friends") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.fn")
     spark.sql("CREATE TABLE g.fn.t (id BIGINT, txt STRING) USING `graft-ocf`")
