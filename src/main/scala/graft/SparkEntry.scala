@@ -1286,6 +1286,14 @@ object SparkEntry {
         .orderBy("digest")),
 
     // Text quality/statistics features, integer arithmetic + one division.
+    // Corpus-wide frequent n-gram mining (X67): the boilerplate-detection
+    // primitive — the crawl's top shared trigrams are its navigation
+    // chrome and license footers. Built-ins end to end: the gram fan-out
+    // codegens, partial counts combine map-side, and the shuffle carries
+    // (ngram, count) pairs only — documents never leave their partitions.
+    "q91_top_ngrams" -> ((s, dir) =>
+      graft.ops.TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)),
+
     "q21_text_features" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val text = col("text")
@@ -2122,6 +2130,20 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    // identical tokenization (whitespace split, empties dropped) and
+    // deterministic (count desc, ngram asc) tie-break on both sides
+    "q91_top_ngrams" ->
+      """WITH words AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws
+        |  FROM documents
+        |), grams AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS ngram
+        |  FROM words WHERE len(ws) >= 3
+        |)
+        |SELECT ngram, count(*) AS n FROM grams
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
 
     "q21_text_features" ->
       """WITH f AS (

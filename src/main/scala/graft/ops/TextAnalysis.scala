@@ -143,6 +143,34 @@ object TextAnalysis {
     * built-in `regexp_extract_all`/`regexp_replace` — whole-stage
     * codegen'd, zero shuffle, so at 100 TB this is one streaming pass over
     * the corpus (the scrub stage every training pipeline runs first). */
+  /** Corpus-wide most-frequent word n-grams — the boilerplate-mining
+    * primitive (CCNet-style: the top shared n-grams of a crawl are its
+    * navigation chrome, cookie banners and license footers; their counts
+    * feed both boilerplate strip-lists and contamination screens).
+    * Whitespace-tokenized, n-grams joined by single spaces; ties broken by
+    * n-gram text for a deterministic result.
+    *
+    * Scale notes: built-ins end to end (split/transform/explode → hash
+    * aggregate), so the fan-out codegens and partial-aggregates map-side;
+    * the shuffle carries (ngram, partial count) pairs — never documents —
+    * and the final top-k is a single reduction over distinct n-grams. */
+  def topNgrams(df: DataFrame, textCol: String = "text",
+                n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"topNgrams: n=$n and k=$k must be positive")
+    val words = df.select(
+      expr(s"filter(split($textCol, '\\\\s+'), w -> w != '')").as("__words"))
+    // documents shorter than n words contribute nothing (sequence(1, 0)
+    // would DESCEND, so the short case must be an explicit empty array)
+    val grams = words.select(explode(expr(
+      s"""CASE WHEN size(__words) >= $n
+         |THEN transform(sequence(1, size(__words) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(__words, i, $n)))
+         |ELSE array() END""".stripMargin)).as("ngram"))
+    grams.groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     // staged projections (same CSE discipline as repetitionMetrics): each

@@ -348,6 +348,21 @@ class OpsSpec extends AnyFunSuite {
     assert(all == exact)
   }
 
+  test("topNgrams mines frequent trigrams; short docs contribute nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox", // trigrams: "the quick brown", "quick brown fox"
+      "the quick brown dog",
+      "tiny doc", // < 3 words: nothing
+      "").toDF("text")
+    val top = graft.ops.TextAnalysis.topNgrams(docs, "text", n = 3, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == ("the quick brown", 2L), s"got ${top.toSeq}")
+    assert(top.length == 2 && top(1)._2 == 1L, s"got ${top.toSeq}")
+    // n larger than every doc: empty result, not an error
+    assert(graft.ops.TextAnalysis.topNgrams(docs, "text", n = 10, k = 5).count() == 0L)
+  }
+
   test("curation pipeline: funnel counts are monotone and match curate()") {
     val f = graft.ops.Curation.funnel(docs, "doc_id", "text").collect()(0)
     val (d, l, q) = (f.getAs[Long]("after_dedup"), f.getAs[Long]("after_lang"),
