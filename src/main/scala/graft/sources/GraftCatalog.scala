@@ -46,6 +46,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * declared data-column order is otherwise preserved.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import GraftCatalog._
@@ -178,12 +179,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new CatalogOcfTable(fullName, meta, transforms, conf)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (!namespaceExists(ident.namespace))
-      throw new NoSuchNamespaceException(ident.namespace.toSeq)
+  /** Shared CREATE-shape validation: identity-only partitioning, supported
+    * partition types, partition columns reordered to the END of the stored
+    * schema (hive/path-table convention). */
+  private def buildMeta(ident: Identifier, schema: StructType,
+                        partitions: Array[Transform],
+                        properties: java.util.Map[String, String]): TableMeta = {
     val partCols: Seq[String] = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
@@ -201,18 +202,122 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${f.dataType.simpleString}; partition values must be " +
           "string/byte/short/int/long/date")
     }
-    // hive/path-table convention: partition columns move to the END (the
-    // read side appends them after the file columns); data order preserved
     val isPart = (f: org.apache.spark.sql.types.StructField) =>
       partCols.exists(_.equalsIgnoreCase(f.name))
     val stored = StructType(schema.fields.filterNot(isPart) ++ schema.fields.filter(isPart))
     val dir = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(new Path(_)).getOrElse(tableDir(ident))
-    val options = tableOptions(properties)
-    val meta = TableMeta(stored, partCols, dir.toString, options)
-    fs.mkdirs(dir)
+    TableMeta(stored, partCols, dir.toString, tableOptions(properties))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace.toSeq)
+    val meta = buildMeta(ident, schema, partitions, properties)
+    fs.mkdirs(new Path(meta.location))
     writeMeta(fs, metaPath(tableDir(ident)), meta)
     loadTable(ident)
+  }
+
+  // ---- staged (atomic-ish) CTAS / RTAS -------------------------------------
+  // Without staging, Spark's REPLACE TABLE AS SELECT drops the table BEFORE
+  // the query runs — a mid-write crash loses table and data both. Staged
+  // writes land in an underscore-prefixed (listing-invisible) directory
+  // INSIDE the table dir; the live table stays fully readable until
+  // commitStagedChanges swaps: new descriptor, delete old visible files,
+  // move staged files up. A crash mid-swap leaves a recoverable table
+  // (re-run the statement), never a vanished one; abort just deletes the
+  // staging directory.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace.toSeq)
+    staged(ident, schema, partitions, properties, replacing = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, replacing = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace.toSeq)
+    staged(ident, schema, partitions, properties, replacing = tableExists(ident))
+  }
+
+  private def staged(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform],
+                     properties: java.util.Map[String, String],
+                     replacing: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val finalMeta = buildMeta(ident, schema, partitions, properties)
+    require(finalMeta.location == tableDir(ident).toString,
+      "graft catalog: staged CREATE/REPLACE ... AS SELECT does not support " +
+        "an external LOCATION (the staged swap owns the managed directory)")
+    val dir = tableDir(ident)
+    val stagingDir = new Path(dir,
+      "_staged-" + java.util.UUID.randomUUID().toString)
+    val stagingMeta = finalMeta.copy(location = stagingDir.toString)
+    fs.mkdirs(stagingDir)
+    val transforms: Array[Transform] = finalMeta.partCols.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+    val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
+    val catalogFs = fs
+    new CatalogOcfTable(fullName, stagingMeta, transforms, conf)
+        with org.apache.spark.sql.connector.catalog.StagedTable {
+      override def commitStagedChanges(): Unit = {
+        // 1. descriptor first: from here the table exists with the NEW
+        // schema (a crash now reads zero rows of it — recoverable)
+        GraftCatalog.writeMeta(catalogFs, metaPath(dir), finalMeta)
+        // 2. drop the replaced table's visible files
+        if (replacing) {
+          def clear(d: Path): Unit = catalogFs.listStatus(d).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+              catalogFs.delete(st.getPath, false)
+            else if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+              { clear(st.getPath); catalogFs.delete(st.getPath, false); () }
+          }
+          clear(dir)
+        }
+        // 3. promote staged files, preserving the partition layout
+        val stagedRoot = catalogFs.makeQualified(stagingDir).toString
+        val it = catalogFs.listFiles(stagingDir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val n = st.getPath.getName
+          if (st.isFile && !n.startsWith(".") && !n.startsWith("_")) {
+            val rel = catalogFs.makeQualified(st.getPath).toString
+              .stripPrefix(stagedRoot).stripPrefix(Path.SEPARATOR)
+            val dest = new Path(dir, rel)
+            catalogFs.mkdirs(dest.getParent)
+            if (!catalogFs.rename(st.getPath, dest))
+              throw new java.io.IOException(
+                s"graft catalog: staged commit could not move ${st.getPath} to $dest")
+          }
+        }
+        catalogFs.delete(stagingDir, true)
+        ()
+      }
+      override def abortStagedChanges(): Unit = {
+        catalogFs.delete(stagingDir, true)
+        ()
+      }
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -383,7 +488,7 @@ private[sources] object GraftCatalog {
   * data column cannot be answered file-granularly and is refused loudly
   * (Spark surfaces "cannot delete"), never partially applied. TRUNCATE
   * TABLE rides the same path with an always-true predicate. */
-private[sources] final class CatalogOcfTable(
+private[sources] class CatalogOcfTable(
     fullName: String, meta: GraftCatalog.TableMeta,
     transforms: Array[Transform], conf: Configuration)
     extends Table with SupportsRead

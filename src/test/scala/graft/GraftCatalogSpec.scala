@@ -350,6 +350,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(ddl.contains("statsColumns"), s"options must round-trip through SHOW CREATE TABLE:\n$ddl")
   }
 
+  test("staged RTAS: a failing replacement query leaves the old table intact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.stg")
+    spark.sql(
+      """CREATE TABLE g.stg.t USING `graft-ocf`
+        |AS SELECT id, concat('r', id) AS txt FROM range(10)""".stripMargin)
+    // the staged write aborts mid-query; without staging Spark would have
+    // DROPPED the table before running the query
+    intercept[Exception] {
+      spark.sql(
+        """REPLACE TABLE g.stg.t USING `graft-ocf`
+          |AS SELECT CAST(raise_error('boom') AS STRING) AS x FROM range(1)""".stripMargin)
+    }
+    assert(spark.table("g.stg.t").count() == 10L)
+    assert(spark.table("g.stg.t").columns.toSeq == Seq("id", "txt"))
+    // no staging leftovers under the table directory
+    def walk(d: java.io.File): Seq[String] =
+      Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) walk(f) :+ f.getName else Seq(f.getName))
+    assert(!walk(new java.io.File(warehouse, "stg/t")).exists(_.startsWith("_staged")))
+    // a successful staged RTAS swaps schema, layout and contents
+    spark.sql(
+      """REPLACE TABLE g.stg.t USING `graft-ocf` PARTITIONED BY (lang)
+        |AS SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END AS lang
+        |FROM range(6)""".stripMargin)
+    assert(spark.table("g.stg.t").columns.toSeq == Seq("id", "lang"))
+    assert(spark.table("g.stg.t").count() == 6L)
+    assert(!walk(new java.io.File(warehouse, "stg/t")).exists(_.startsWith("_staged")))
+  }
+
   test("CTAS, partitioned CTAS and REPLACE TABLE AS SELECT") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.ctas")
     spark.sql(
