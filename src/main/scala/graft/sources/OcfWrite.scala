@@ -1256,6 +1256,15 @@ object OcfMaintenance {
         if (fs.delete(st.getPath, false)) removed += 1
       }
     }
+    // orphaned staged-CTAS/RTAS directories (a driver that died before
+    // commitStagedChanges/abortStagedChanges): whole-directory removals,
+    // same age gate so a LIVE staged write is never swept
+    fs.listStatus(dirPath).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("_staged-") &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, true)) removed += 1
+      }
+    }
     removed
   }
 }

@@ -501,11 +501,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     val orphan = new java.io.File(warehouse, "maint/t/.orphan.avro.tmp")
     java.nio.file.Files.writeString(orphan.toPath, "x")
     orphan.setLastModified(System.currentTimeMillis() - 100000)
+    // an orphaned staged-RTAS directory (driver died pre-commit) is swept too
+    val staleStage = new java.io.File(warehouse, "maint/t/_staged-dead")
+    staleStage.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(staleStage, "part-x.avro").toPath, "x")
+    staleStage.setLastModified(System.currentTimeMillis() - 100000)
     val vac = spark.sql(
       "CALL g.system.vacuum_temps(`table` => 'maint.t', min_age_ms => 1000)")
       .collect().head
-    assert(vac.getLong(0) == 1L)
+    assert(vac.getLong(0) == 2L, s"temp file + staged dir; got ${vac.getLong(0)}")
     assert(!orphan.exists())
+    assert(!staleStage.exists())
 
     // unknown procedures fail loudly at analysis
     intercept[Exception] { spark.sql("CALL g.system.nope()") }
