@@ -126,15 +126,19 @@ object Bench {
     val total = f"${results.collect { case (_, v, true, _, _, _) => v }.sum}%.3f"
     val totalSteady = f"${results.collect { case (_, _, true, rs, _, _) => rs.min }.sum}%.3f"
     val allOk = results.forall(_._3)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"total_steady":$totalSteady,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"load_1m":$loads,"retried":$retried,"n_queries":${results.length},"sf":"$sfDir"}"""
-    println(line)
-    // stdout is captured by log-tailing harnesses that can truncate it; the
-    // file is the durable record of the run
+    // stdout gets a COMPACT line (the harness parses the last stdout line as
+    // JSON and may tail-truncate long output); the file keeps the full
+    // diagnostics (per-run samples, load averages, retry markers)
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_steady":$totalSteady,"all_ok":$allOk,"failed":$failed,"repeats":$repeats,"n_queries":${results.length},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"total_steady":$totalSteady,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"load_1m":$loads,"retried":$retried,"n_queries":${results.length},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench-latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] could not write target/bench-latest.json: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }
