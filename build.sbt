@@ -14,7 +14,7 @@ run / fork := true
 // The bench/verify harness parses the LAST stdout line as JSON; sbt's
 // trailing "[success] Total time ..." line would shadow it, and the
 // default forked-output strategy would prefix every line with "[info] ".
-showSuccess := false
+Global / showSuccess := false
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1294,6 +1294,47 @@ object SparkEntry {
     "q91_top_ngrams" -> ((s, dir) =>
       graft.ops.TextAnalysis.topNgrams(t(s, dir, "documents"), "text", n = 3, k = 20)),
 
+    // Hash-bucketed tables (X69): both sides land as `bucket(8, doc_id)`
+    // layouts, so the MERGE-hinted equi-join is satisfied straight from the
+    // scans' KeyGroupedPartitioning — storage-partitioned, no exchange on
+    // either side (spec-proven in OcfBucketSpec; at 100 TB the elided
+    // shuffle of both tables IS the query's cost). The point-lookup side
+    // benefit: WHERE doc_id = v reads 1/8 of the files with no stamps.
+    "q92_bucketed_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q92",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q92_wh_")
+      s.conf.set("spark.sql.catalog.graft_q92.warehouse", wh.getAbsolutePath)
+      // benign globally: key grouping stays opt-in per table
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q92.corpus")
+      s.sql(
+        """CREATE TABLE IF NOT EXISTS graft_q92.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf` PARTITIONED BY (bucket(8, doc_id))
+          |OPTIONS (reportPartitioning 'true')""".stripMargin)
+      s.sql(
+        """CREATE TABLE IF NOT EXISTS graft_q92.corpus.quality
+          |(doc_id BIGINT, lang STRING)
+          |USING `graft-ocf` PARTITIONED BY (bucket(8, doc_id))
+          |OPTIONS (reportPartitioning 'true')""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_q92_src")
+      s.sql(
+        """INSERT OVERWRITE graft_q92.corpus.docs
+          |SELECT doc_id, source, n_chars FROM graft_q92_src""".stripMargin)
+      s.sql(
+        """INSERT OVERWRITE graft_q92.corpus.quality
+          |SELECT doc_id, lang FROM graft_q92_src""".stripMargin)
+      s.sql(
+        """SELECT /*+ MERGE(q) */ q.lang, d.source, count(*) AS n_docs,
+          |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q92.corpus.docs d
+          |JOIN graft_q92.corpus.quality q ON d.doc_id = q.doc_id
+          |GROUP BY q.lang, d.source ORDER BY q.lang, d.source""".stripMargin)
+    }),
+
     "q21_text_features" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val text = col("text")
@@ -2130,6 +2171,14 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    // bucketing is layout, invisible to results: the bucketed-table join
+    // mirrors a plain self-join of the source frame
+    "q92_bucketed_join" ->
+      """SELECT q.lang, d.source, count(*) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN documents q ON d.doc_id = q.doc_id
+        |GROUP BY q.lang, d.source ORDER BY q.lang, d.source""".stripMargin,
 
     // identical tokenization (whitespace split, empties dropped) and
     // deterministic (count desc, ngram asc) tie-break on both sides

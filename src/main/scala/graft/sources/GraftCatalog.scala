@@ -173,25 +173,68 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     }
     val meta = readMeta(fs, mp)
-    val transforms: Array[Transform] = meta.partCols.map(
-      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
-    new CatalogOcfTable(fullName, meta, transforms, conf)
+    new CatalogOcfTable(fullName, meta, GraftCatalog.transformsOf(meta), conf)
   }
 
-  /** Shared CREATE-shape validation: identity-only partitioning, supported
-    * partition types, partition columns reordered to the END of the stored
-    * schema (hive/path-table convention). */
+  /** Shared CREATE-shape validation: identity transforms plus at most one
+    * `bucket(N, col...)`, supported partition types, partition columns
+    * reordered to the END of the stored schema (hive/path-table
+    * convention). Bucket columns stay ordinary data columns; the bucket
+    * spec persists in the descriptor's options (`bucketColumns`/
+    * `numBuckets`), which both the read and write paths consume. */
   private def buildMeta(ident: Identifier, schema: StructType,
                         partitions: Array[Transform],
                         properties: java.util.Map[String, String]): TableMeta = {
-    val partCols: Seq[String] = partitions.toSeq.map {
+    val (bucketTs, identTs) = partitions.toSeq.partition(t =>
+      t.name == "bucket" || t.name == "sorted_bucket")
+    val partCols: Seq[String] = identTs.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
         t.references()(0).fieldNames()(0)
       case other => throw new IllegalArgumentException(
         s"graft catalog: unsupported partition transform '$other'; only " +
-          "PARTITIONED BY (column) maps to a directory layout")
+          "PARTITIONED BY (column, bucket(N, column)) maps to a directory layout")
+    }
+    val bucketSpec: Option[(Seq[String], Int)] = bucketTs match {
+      case Nil => None
+      case Seq(t) if t.name == "bucket" =>
+        // public Transform API (the BucketTransform case class is
+        // private[sql]): arguments = one int literal + the key references
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.intValue
+              case other => throw new IllegalArgumentException(
+                s"graft catalog: bucket count literal must be INT, got $other")
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform '$t' carries no bucket count"))
+        require(n > 1, s"graft catalog: bucket count must be > 1, got $n")
+        val cols = t.arguments().collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames.mkString(".")
+        }.toSeq
+        require(cols.nonEmpty,
+          s"graft catalog: bucket transform '$t' names no key columns")
+        Some((cols, n))
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unsupported bucket transform shape " +
+          s"${other.mkString(", ")}; one bucket(N, col...) without sort " +
+          "columns is supported")
+    }
+    bucketSpec.foreach { case (cols, _) =>
+      cols.foreach { bc =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(bc)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: bucket column '$bc' is not in the table schema"))
+        require(!partCols.exists(_.equalsIgnoreCase(bc)),
+          s"graft catalog: '$bc' cannot be both a partition and a bucket column")
+        require(OcfBucket.supportedType(f.dataType),
+          s"graft catalog: bucket column '$bc' has type " +
+            s"${f.dataType.simpleString}; bucket keys must be " +
+            "string/binary/boolean/integral/date")
+      }
     }
     partCols.foreach { pc =>
       val f = schema.fields.find(_.name.equalsIgnoreCase(pc)).getOrElse(
@@ -207,7 +250,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val stored = StructType(schema.fields.filterNot(isPart) ++ schema.fields.filter(isPart))
     val dir = Option(properties.get(TableCatalog.PROP_LOCATION))
       .map(new Path(_)).getOrElse(tableDir(ident))
-    TableMeta(stored, partCols, dir.toString, tableOptions(properties))
+    val opts = tableOptions(properties)
+    bucketSpec.foreach { case (cols, _) =>
+      require(!opts.keys.exists(k => k.equalsIgnoreCase("bucketColumns") ||
+          k.equalsIgnoreCase("numBuckets")),
+        "graft catalog: declare bucketing via PARTITIONED BY (bucket(N, col)), " +
+          "not OPTIONS")
+      ()
+    }
+    val optsWithBucket = bucketSpec.fold(opts) { case (cols, n) =>
+      opts + ("bucketColumns" -> cols.mkString(",")) + ("numBuckets" -> n.toString)
+    }
+    TableMeta(stored, partCols, dir.toString, optsWithBucket)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -273,8 +327,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       "_staged-" + java.util.UUID.randomUUID().toString)
     val stagingMeta = finalMeta.copy(location = stagingDir.toString)
     fs.mkdirs(stagingDir)
-    val transforms: Array[Transform] = finalMeta.partCols.map(
-      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
+    val transforms: Array[Transform] = GraftCatalog.transformsOf(finalMeta)
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
     val catalogFs = fs
     new CatalogOcfTable(fullName, stagingMeta, transforms, conf)
@@ -330,10 +383,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mp = metaPath(dir)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
     val meta = readMeta(fs, mp)
+    def guardBucketKey(k: String): Unit =
+      require(!k.equalsIgnoreCase("bucketColumns") && !k.equalsIgnoreCase("numBuckets"),
+        "graft catalog: the bucket spec is layout (directory names encode " +
+          "the hash); it cannot be altered without rewriting the table")
     val updated = changes.foldLeft(meta) {
       case (m, set: TableChange.SetProperty) =>
+        guardBucketKey(set.property)
         m.copy(options = m.options + (set.property -> set.value))
       case (m, rm: TableChange.RemoveProperty) =>
+        guardBucketKey(rm.property)
         m.copy(options = m.options - rm.property)
       case (m, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -429,6 +488,19 @@ private[sources] object GraftCatalog {
       }
   }
 
+  /** Declared transforms of a table: identity per partition column plus the
+    * bucket transform when the descriptor's options carry a bucket spec. */
+  def transformsOf(meta: TableMeta): Array[Transform] = {
+    val ids = meta.partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform)
+    val bucket = for {
+      cols <- meta.options.find(_._1.equalsIgnoreCase("bucketColumns")).map(_._2)
+      n <- meta.options.find(_._1.equalsIgnoreCase("numBuckets")).map(_._2)
+    } yield org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      n.toInt, cols.split(","): _*): Transform
+    (ids ++ bucket).toArray
+  }
+
   final case class TableMeta(schema: StructType, partCols: Seq[String],
                              location: String, options: Map[String, String]) {
     def dataSchema: StructType = StructType(schema.fields.filterNot(
@@ -521,7 +593,11 @@ private[sources] class CatalogOcfTable(
   private lazy val resolved = OcfDataSource.resolve(readOptions)
   private val writeOptions: Map[String, String] =
     meta.options + ("path" -> meta.location) +
-      ("partitionBy" -> meta.partCols.mkString(","))
+      ("partitionBy" -> meta.partCols.mkString(",")) +
+      // bucketed writes are gated on catalog management (the write's
+      // bucket-transform distribution resolves via this catalog's
+      // function catalog; a bare path write has none)
+      ("graft.catalogWrite" -> "true")
   private lazy val inner = new OcfTable(Some(meta.schema), transforms,
     meta.partCols.toArray, () => resolved, fullName, writeOptions)
 

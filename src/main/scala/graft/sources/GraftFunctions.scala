@@ -30,6 +30,12 @@ import graft.spark.AvroRuntime
 private[sources] object GraftFunctions {
 
   def load(ident: Identifier): UnboundFunction = {
+    // `bucket` lives at the EMPTY namespace: that is where Spark's
+    // V2ExpressionUtils resolves partition-transform functions when it
+    // plans a bucketed write's distribution or unifies a storage-
+    // partitioned join's scan transforms
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      return GraftBucketFunction
     if (ident.namespace.toSeq != Seq("system"))
       throw new RuntimeException(
         s"graft catalog: functions live under the 'system' namespace " +
@@ -45,7 +51,8 @@ private[sources] object GraftFunctions {
     else Array.empty
 
   def exists(ident: Identifier): Boolean =
-    ident.namespace.toSeq == Seq("system") && all.contains(ident.name)
+    (ident.namespace.isEmpty && ident.name == "bucket") ||
+      (ident.namespace.toSeq == Seq("system") && all.contains(ident.name))
 
   private val all: Map[String, UnboundFunction] = Map(
     "fn_decode_avro_binary" -> FnDecodeAvroBinary,

@@ -140,7 +140,8 @@ object OcfDataSource {
                             recursive: Boolean = false,
                             maxFilesPerTrigger: Option[Int] = None,
                             maxBytesPerTrigger: Option[Long] = None,
-                            reportPartitioning: Boolean = false) {
+                            reportPartitioning: Boolean = false,
+                            bucket: Option[OcfBucket.Spec] = None) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -245,7 +246,33 @@ object OcfDataSource {
     val qualifiedRoots = paths.map { p =>
       val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    val (partCols, files) = OcfPartitions.infer(qualifiedRoots, listed)
+    val (inferredCols, files) = OcfPartitions.infer(qualifiedRoots, listed)
+    // Hash-bucketed layout ([[OcfBucket]]): when the read declares
+    // `bucketColumns`/`numBuckets` (always the case through the catalog),
+    // the trailing `_bucket=K` directory level is the bucket id — folded
+    // into the bucket spec, NOT surfaced as a partition column. An
+    // option-less path read of the same directory sees `_bucket` as an
+    // ordinary int partition column instead (honest observability).
+    val bucketColsOpt: Array[String] = Option(options.get("bucketColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    val numBuckets: Int = Option(options.get("numBuckets")).map(_.toInt).getOrElse(0)
+    require(bucketColsOpt.isEmpty == (numBuckets == 0),
+      "graft-ocf: bucketColumns and numBuckets must be set together")
+    val bucket: Option[OcfBucket.Spec] =
+      if (numBuckets == 0) None
+      else {
+        require(inferredCols.nonEmpty && inferredCols.last == OcfBucket.DirCol,
+          s"graft-ocf: read declares numBuckets=$numBuckets but the layout " +
+            s"has no trailing ${OcfBucket.DirCol}= directory level " +
+            s"(found: ${inferredCols.mkString(", ")})")
+        files.foreach { f =>
+          val v = f.partitionValues.last
+          require(v != null && v.toIntOption.exists(b => b >= 0 && b < numBuckets),
+            s"graft-ocf: ${f.path} has bucket id '$v' outside [0, $numBuckets)")
+        }
+        Some(OcfBucket.Spec(bucketColsOpt.toSeq, numBuckets, inferredCols.length - 1))
+      }
+    val partCols = if (bucket.isDefined) inferredCols.dropRight(1) else inferredCols
     // header resolution is LAZY (deferred to build, after partition pruning);
     // only what the schema needs is read here
     val readerOpt = Option(options.get("readerSchema"))
@@ -268,6 +295,21 @@ object OcfDataSource {
       require(!dataSql.fieldNames.exists(_.equalsIgnoreCase(pc)),
         s"graft-ocf: partition column '$pc' collides with a data field; " +
           "rename the directory level or the field")
+    }
+    // bucket columns are DATA columns; canonicalize to the read schema's
+    // exact casing so filter-name matching in bucket pruning is reliable
+    val bucketSpec: Option[OcfBucket.Spec] = bucket.map { spec =>
+      spec.copy(cols = spec.cols.map { c =>
+        val f = dataSql.fields.find(_.name == c)
+          .orElse(dataSql.fields.find(_.name.equalsIgnoreCase(c)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-ocf: bucket column '$c' is not in the read schema " +
+              s"(${dataSql.fieldNames.mkString(", ")})"))
+        require(OcfBucket.supportedType(f.dataType),
+          s"graft-ocf: bucket column '$c' has unsupported type " +
+            f.dataType.simpleString)
+        f.name
+      })
     }
     // partition column READ TYPES: a `partitionSchema` DDL declaration wins
     // per column, otherwise int/long/date/string inference over every file's
@@ -299,7 +341,7 @@ object OcfDataSource {
     val reportPart = options.getBoolean("reportPartitioning", false)
     val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
       partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
-      maxBytes, reportPartitioning = reportPart)
+      maxBytes, reportPartitioning = reportPart, bucket = bucketSpec)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     r
   }
@@ -830,8 +872,25 @@ private[sources] final class OcfScanBuilder(
 
   private def buildScan(): OcfScan = {
     val partIdx: Map[String, Int] = resolved.partCols.zipWithIndex.toMap
+    // bucket-prune: equality predicates pinning every bucket column admit a
+    // computable set of bucket ids — files in other buckets drop here, with
+    // the partition prune, before any header I/O. Exactness does NOT depend
+    // on this (the predicate still runs post-scan as a residual filter), so
+    // the conservative None from [[OcfBucket.admittedIds]] just keeps all.
+    val bucketKeep: OcfDataSource.FileSlice => Boolean = resolved.bucket match {
+      case Some(spec) =>
+        val dts = spec.cols.map(c =>
+          resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)
+        OcfBucket.admittedIds(pushed.toSeq, spec.cols, dts, spec.numBuckets) match {
+          case Some(ids) => f =>
+            f.partitionValues.length > spec.valueIdx &&
+              f.partitionValues(spec.valueIdx).toIntOption.exists(ids.contains)
+          case None => _ => true
+        }
+      case None => _ => true
+    }
     // 1. partition-prune on path values — NO header I/O for pruned files
-    val kept = resolved.files.filter(f =>
+    val kept = resolved.files.filter(f => bucketKeep(f) &&
       OcfPartitions.mayMatch(pushed.toSeq, partValOf(f.partitionValues), _ => None))
     // 2. headers for the survivors only (auto mode already fetched all);
     // memoized per resolve so repeated builds/actions don't re-read
@@ -956,7 +1015,12 @@ private[sources] final class OcfScanBuilder(
       partCols = reqPartCols, partIdx = reqPartIdx, partTypes = reqPartTypes,
       pushedFilters = pushed.toSeq,
       reportPartitioning = resolved.reportPartitioning,
-      withFilePath = wantFile)
+      withFilePath = wantFile,
+      bucketCols = resolved.bucket.map(_.cols).getOrElse(Nil),
+      bucketColTypes = resolved.bucket.map(_.cols.map(c =>
+        resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)).getOrElse(Nil),
+      bucketN = resolved.bucket.map(_.numBuckets).getOrElse(0),
+      bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1))
   }
 }
 
@@ -1024,7 +1088,11 @@ private[graft] final case class OcfScan(
     aggGroupTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     pushedFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     reportPartitioning: Boolean = false,
-    withFilePath: Boolean = false)
+    withFilePath: Boolean = false,
+    bucketCols: Seq[String] = Nil,
+    bucketColTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
+    bucketN: Int = 0,
+    bucketValueIdx: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1039,16 +1107,31 @@ private[graft] final case class OcfScan(
     * re-hashing it across the cluster moves every byte once for nothing.
     * Requires `spark.sql.sources.v2.bucketing.enabled`; splits carry their
     * key ([[OcfKeyedInputPartition]]) and Spark groups them per value. */
+  /** True when this scan reports key-grouped splits: the identity-partition
+    * case needs the partition columns surviving into the output; the
+    * bucketed case needs no columns at all — the key is the bucket id, a
+    * property of the FILE. Both compose: keys = identities ++ bucket. */
+  private def keyGrouped: Boolean =
+    reportPartitioning && !countStar && aggExprs.isEmpty &&
+      ((partCols.nonEmpty && partIdx.nonEmpty) || bucketN > 0)
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty) {
+    if (keyGrouped) {
       val distinctKeys = files.iterator
         .map(m => partIdx.toSeq.map(i =>
-          if (i < m.partitionValues.length) m.partitionValues(i) else null))
+          if (i < m.partitionValues.length) m.partitionValues(i) else null) ++
+          (if (bucketN > 0) Seq(m.partitionValues(bucketValueIdx)) else Nil))
         .toSet.size
+      val keys =
+        partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression) ++
+          (if (bucketN > 0)
+            Seq(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+              bucketN, bucketCols: _*)
+              : org.apache.spark.sql.connector.expressions.Expression)
+          else Nil)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-          .toArray[org.apache.spark.sql.connector.expressions.Expression],
-        math.max(distinctKeys, 1))
+        keys.toArray, math.max(distinctKeys, 1))
     } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** PER-PARTITION output ordering from verified `graft.sortedBy` stamps:
@@ -1064,8 +1147,7 @@ private[graft] final case class OcfScan(
     * out of the read schema (an ordering claim must reference output
     * columns). */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    if (countStar || aggExprs.nonEmpty || files.isEmpty ||
-        (reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty))
+    if (countStar || aggExprs.nonEmpty || files.isEmpty || keyGrouped)
       return Array.empty
     val lists = files.map(_.sortedByJson)
     if (lists.exists(_.isEmpty)) return Array.empty
@@ -1107,7 +1189,10 @@ private[graft] final case class OcfScan(
           m.bloomJson.iterator.flatMap(OcfPartitions.jsonFieldNames))
         .filter(c => out.contains(c) && !partCols.contains(c))
         .toSeq.distinct
-      partCols ++ stamped
+      // bucket columns answer runtime equality sets by hashing the keys —
+      // a broadcast join keyed on the bucket column prunes to the buckets
+      // the build side's values actually hash into
+      (partCols ++ stamped ++ bucketCols.filter(out.contains)).distinct
     }
   }
 
@@ -1143,6 +1228,9 @@ private[graft] final case class OcfScan(
     runtimeFilters = filters.toSeq
     val nameToIdx = partCols.zipWithIndex.toMap
     val bloomUseful = OcfBloom.anyEqualityShape(filters.toSeq)
+    val bucketIds: Option[Set[Int]] =
+      if (bucketN == 0) None
+      else OcfBucket.admittedIds(filters.toSeq, bucketCols, bucketColTypes, bucketN)
     runtimeFiles = files.filter { m =>
       def partValue(name: String): Option[OcfPartitions.PartVal] =
         nameToIdx.get(name).collect {
@@ -1153,6 +1241,9 @@ private[graft] final case class OcfScan(
       // bloom parse (base64 decode, potentially MBs across a wide listing)
       // only runs when the runtime key set contains an equality shape a
       // bloom can answer — a range-only runtime filter costs no decode
+      bucketIds.forall(ids =>
+        m.partitionValues.length > bucketValueIdx &&
+          m.partitionValues(bucketValueIdx).toIntOption.exists(ids.contains)) &&
       OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get) &&
         (!bloomUseful || m.bloomJson.forall { js =>
           OcfBloom.mayMatch(filters.toSeq, OcfBloom.parse(js).get)
@@ -1226,7 +1317,8 @@ private[graft] final case class OcfScan(
         else if (limit != Long.MaxValue) s" PushedLimit: LIMIT $limit" else "") +
         (if (pushedFilters.nonEmpty)
           s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
-        (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "")
+        (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "") +
+        (if (bucketN > 0) s" BucketedBy: ${bucketCols.mkString(",")} into $bucketN" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }
 
@@ -1241,11 +1333,21 @@ private[graft] final case class OcfScan(
       val keep: OcfDataSource.OcfFileMeta => Boolean =
         if (runtimeFiles == null) _ => true
         else { val kept = runtimeFiles.iterator.map(_.path).toSet; m => kept(m.path) }
-      val keyed = reportPartitioning && partCols.nonEmpty && partIdx.nonEmpty
+      val keyed = keyGrouped
       files.iterator.zipWithIndex.filter { case (f, _) => keep(f) }.flatMap { case (f, i) =>
+        def keyRow(f: OcfDataSource.OcfFileMeta): InternalRow = {
+          val vals = new Array[Any](partIdx.length + (if (bucketN > 0) 1 else 0))
+          var k = 0
+          while (k < partIdx.length) {
+            vals(k) = OcfSplitReader.partitionValue(f, partIdx(k), partTypes(k))
+            k += 1
+          }
+          if (bucketN > 0)
+            vals(partIdx.length) = f.partitionValues(bucketValueIdx).toInt
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        }
         def mk(s: Long, e: Long, aligned: Boolean): OcfSplit =
-          if (keyed) OcfKeyedInputPartition(i, s, e,
-            OcfSplitReader.partitionRow(f, partIdx, partTypes), aligned)
+          if (keyed) OcfKeyedInputPartition(i, s, e, keyRow(f), aligned)
           else OcfInputPartition(i, s, e, aligned)
         // defensive null check: @transient fields revive as null if a scan
         // object ever crosses a serialization boundary before planning

@@ -252,6 +252,45 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         }
       case None => Array.empty
     }
+    // `bucketColumns` + `numBuckets`: hash-bucketed layout ([[OcfBucket]]).
+    // Bucket columns are DATA columns (they stay in the files); only the
+    // stable hash of their values becomes the trailing `_bucket=K/`
+    // directory level. Catalog-managed writes only: clustering the incoming
+    // rows by bucket rides the write's required distribution, whose
+    // `bucket(N, col)` transform Spark resolves through the table catalog's
+    // V2 function catalog — a bare path write has none to resolve against.
+    val bucketNames: Array[String] = Option(opts.get("bucketColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    val numBuckets: Int = Option(opts.get("numBuckets")).map(_.toInt).getOrElse(0)
+    require(bucketNames.isEmpty == (numBuckets == 0),
+      "graft-ocf write: bucketColumns and numBuckets must be set together")
+    val bucketOrdinals: Array[Int] = bucketNames.map { bc =>
+      val exact = sql.fields.indexWhere(_.name == bc)
+      val i = if (exact >= 0) exact else sql.fields.indexWhere(_.name.equalsIgnoreCase(bc))
+      if (i < 0) throw new IllegalArgumentException(
+        s"graft-ocf write: bucket column '$bc' is not in the query schema " +
+          s"(${sql.fieldNames.mkString(", ")})")
+      require(!partOrdinals.contains(i),
+        s"graft-ocf write: bucket column '$bc' is a partition column; a " +
+          "value with its own directory needs no hash routing")
+      require(OcfBucket.supportedType(sql.fields(i).dataType),
+        s"graft-ocf write: bucket column '$bc' has type " +
+          s"${sql.fields(i).dataType.simpleString}; bucket keys must be " +
+          "string/binary/boolean/integral/date")
+      i
+    }
+    if (numBuckets > 0) {
+      require(numBuckets > 1,
+        s"graft-ocf write: numBuckets must be > 1, got $numBuckets")
+      require(Option(opts.get("graft.catalogWrite")).exists(_.toBoolean),
+        "graft-ocf write: bucketed writes go through a catalog table " +
+          "(CREATE TABLE ... PARTITIONED BY (bucket(N, col))); a bare path " +
+          "write cannot cluster rows by bucket — Spark resolves the " +
+          "bucket transform via the table's function catalog")
+      require(!sql.fieldNames.exists(_.equalsIgnoreCase(OcfBucket.DirCol)),
+        s"graft-ocf write: column '${OcfBucket.DirCol}' collides with the " +
+          "bucket directory level")
+    }
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -278,7 +317,10 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
       info.queryId(), maxBytesPerFile,
       partNames = partOrdinals.map(sql.fields(_).name),
-      partOrdinals = partOrdinals, statsCols = statsCols,
+      partOrdinals = partOrdinals,
+      bucketNames = bucketOrdinals.map(sql.fields(_).name),
+      bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
+      statsCols = statsCols,
       bloomCols = bloomCols, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
       blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries,
@@ -317,6 +359,9 @@ private[sources] final case class OcfWriteConfig(
     jobId: String, maxBytesPerFile: Long = Long.MaxValue,
     partNames: Array[String] = Array.empty,
     partOrdinals: Array[Int] = Array.empty,
+    bucketNames: Array[String] = Array.empty,
+    bucketOrdinals: Array[Int] = Array.empty,
+    numBuckets: Int = 0,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomFpp: Double = 0.01,
@@ -502,15 +547,42 @@ private[sources] final class OcfWrite(
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
-  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  private def bucketTransform: org.apache.spark.sql.connector.expressions.Transform =
+    org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      cfg.numBuckets, cfg.bucketNames: _*)
 
-  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    (cfg.partNames ++ cfg.sortNames).map { n =>
+  /** Bucketed writes cluster rows by (partitions, bucket id) BEFORE the
+    * tasks run, so each bucket's rows land in one task → one well-sized
+    * file per bucket per partition (otherwise every task would write a
+    * sliver of every bucket: tasks × buckets files). Spark resolves the
+    * `bucket(N, col)` transform through the table's V2 function catalog —
+    * [[GraftBucketFunction]], the same hash the writer stamps into the
+    * directory names. Unbucketed writes keep the unspecified distribution
+    * (any pre-existing partitioning of the query is fine). */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (cfg.numBuckets > 0)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        (cfg.partNames.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+          :+ bucketTransform)
+          .toArray[org.apache.spark.sql.connector.expressions.Expression])
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    def colSort(n: String) =
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(n),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-    }
+    // partitions, then bucket id, then the in-file sort: each task's rows
+    // arrive directory-contiguous, so the writer keeps ONE open file
+    cfg.partNames.map(colSort) ++
+      (if (cfg.numBuckets > 0)
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          bucketTransform,
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      else Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]) ++
+      cfg.sortNames.map(colSort)
+  }
 
   override def description(): String =
     s"graft-ocf dir=${cfg.dir} codec=${cfg.codecName} schema=${cfg.sql.simpleString}" +
@@ -596,6 +668,9 @@ private[sources] final class OcfDataWriter(
   private val partGetters =
     cfg.partOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
   private val partTypes = cfg.partOrdinals.map(o => cfg.sql.fields(o).dataType)
+  private val bucketGetters =
+    cfg.bucketOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  private val bucketTypes = cfg.bucketOrdinals.map(o => cfg.sql.fields(o).dataType)
   private val stats =
     if (cfg.statsCols.isEmpty) null else new OcfStatsTracker(cfg)
   private val blockIdx =
@@ -642,11 +717,31 @@ private[sources] final class OcfDataWriter(
         else OcfPartitions.renderPartValue(partGetters(i)(row, o), partTypes(i))
       i += 1
     }
-    OcfPartitions.partitionDir(cfg.partNames, vals)
+    val pd = OcfPartitions.partitionDir(cfg.partNames, vals)
+    if (cfg.numBuckets == 0) pd
+    else {
+      val keys = new Array[Any](cfg.bucketOrdinals.length)
+      var j = 0
+      while (j < keys.length) {
+        val o = cfg.bucketOrdinals(j)
+        keys(j) = if (row.isNullAt(o)) null else bucketGetters(j)(row, o)
+        j += 1
+      }
+      val seg = OcfBucket.DirCol + "=" +
+        OcfBucket.idOfValues(keys, bucketTypes, cfg.numBuckets)
+      if (pd.isEmpty) seg else pd + "/" + seg
+    }
   }
 
+  // bucketed writes tolerate directory revisits (Spark plans that omit the
+  // sink's required ordering — e.g. a CTAS shape — may interleave buckets):
+  // a revisit continues at the directory's next free chunk index instead of
+  // clobbering the sealed file. Unbucketed revisits stay a loud failure —
+  // there the required ordering IS applied, so a revisit means broken input.
+  private val dirNextChunk = scala.collection.mutable.Map.empty[String, Int]
+
   override def write(row: InternalRow): Unit = {
-    if (cfg.partOrdinals.nonEmpty) {
+    if (cfg.partOrdinals.nonEmpty || cfg.numBuckets > 0) {
       val pd = partDirOf(row)
       if (pd != currentPartDir) {
         sealCurrent()
@@ -654,11 +749,11 @@ private[sources] final class OcfDataWriter(
         // revisit means unsorted input (or a sort-equal/string-distinct
         // value pair) and silently reusing the tmp path would clobber the
         // sealed file — fail the task loudly instead
-        require(seenPartDirs.add(pd),
+        require(cfg.numBuckets > 0 || seenPartDirs.add(pd),
           s"graft-ocf write: partition directory '$pd' revisited out of " +
             "order — input rows are not sorted by the partition columns")
         currentPartDir = pd
-        chunk = 0
+        chunk = dirNextChunk.getOrElse(pd, 0)
       }
     }
     if (ocf == null) {
@@ -724,6 +819,7 @@ private[sources] final class OcfDataWriter(
       sealedFiles += OcfWrittenFile(tmp.toString,
         new Path(dirPath, chunked(finalName)).toString)
       filesSealed += 1
+      dirNextChunk(currentPartDir) = chunk + 1
       ocf = null
       out = null
     }
@@ -1334,14 +1430,30 @@ private[sources] object OcfCommit {
       // in those directories before the renames cannot touch them
       val targets = messages.flatMap {
         case OcfCommitMessage(files, _) =>
-          files.map(f => fs.makeQualified(new Path(f.dest)).getParent)
+          files.map { f =>
+            val parent = fs.makeQualified(new Path(f.dest)).getParent
+            // a bucketed file's parent is its `_bucket=K` level; dynamic
+            // overwrite replaces the PARTITION, so lift to the partition
+            // dir — clearing only the touched buckets would leave stale
+            // rows in that partition's untouched buckets
+            if (cfg.numBuckets > 0 &&
+                parent.getName.startsWith(OcfBucket.DirCol + "="))
+              parent.getParent
+            else parent
+          }
         case _ => Nil
       }.toSet
       targets.foreach { d =>
-        if (fs.exists(d)) fs.listStatus(d).foreach { st =>
-          val n = st.getPath.getName
-          if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
-            fs.delete(st.getPath, false)
+        // recursive: a bucketed partition's visible files live one
+        // `_bucket=K` level below the partition dir being replaced
+        if (fs.exists(d)) {
+          val it = fs.listFiles(d, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val n = st.getPath.getName
+            if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+              fs.delete(st.getPath, false)
+          }
         }
       }
     }
