@@ -29,8 +29,25 @@ class OcfBucketSpec extends AnyFunSuite {
     s
   }
 
-  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }.size
+  /** Exchanges in the FINAL plan: materializes the frame first, then walks
+    * through AQE wrappers (AdaptiveSparkPlanExec re-plans after execution;
+    * QueryStageExec nodes hide their subtree from `collect`). A naive
+    * `executedPlan.collect` sees zero exchanges under AQE no matter what —
+    * a vacuously-passing assertion. */
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        count(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        count(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        count(r.child)
+      case s: ShuffleExchangeExec => 1 + s.children.map(count).sum
+      case other => other.children.map(count).sum
+    }
+    count(df.queryExecution.executedPlan)
+  }
 
   // ---- hash primitive ------------------------------------------------------
 
@@ -176,6 +193,37 @@ class OcfBucketSpec extends AnyFunSuite {
       assert(agg.count() == 200L)
       assert(shuffles(agg) == 0,
         s"groupBy on the bucket column must be exchange-free:\n${agg.queryExecution.executedPlan}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("unbucketed side shuffles INTO the bucketed layout (one exchange, not two)") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled routes the small side
+    // through OUR catalog-registered bucket function — if its hash disagreed
+    // with the writer's, matching rows would land in different partitions
+    // and the join would silently LOSE rows, so the row-count assertion is
+    // an end-to-end hash-consistency proof, not just a plan check
+    val withSpj = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = withSpj.map { case (k, _) => k -> spark.conf.getOption(k) }
+    withSpj.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.range(0, 200).selectExpr("id AS doc_id", "id * 3 AS w")
+        .createOrReplaceTempView("plain_side")
+      val joined = spark.sql(
+        """SELECT d.doc_id, d.body, p.w
+          |FROM gb.ns.docs d JOIN plain_side p ON d.doc_id = p.doc_id""".stripMargin)
+      assert(joined.count() == 200L,
+        "every row must match — a hash mismatch between the catalog bucket " +
+          "function and the written layout would drop rows here")
+      assert(shuffles(joined) == 1,
+        s"only the unbucketed side may shuffle:\n${joined.queryExecution.executedPlan}")
+      val r = joined.filter("doc_id = 33").head
+      assert(r.getString(1) == "b33" && r.getLong(2) == 99L)
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
