@@ -1335,6 +1335,30 @@ object SparkEntry {
           |GROUP BY q.lang, d.source ORDER BY q.lang, d.source""".stripMargin)
     }),
 
+    // Gopher/C4 quality-rule funnel (X70): per-rule boolean flags from the
+    // published filtering heuristics, aggregated into a per-source funnel —
+    // which rule kills how many documents. Integer-exact arithmetic keeps
+    // every flag oracle-reproducible; one zero-shuffle map pass then a
+    // (source, counts)-only aggregation.
+    "q93_quality_rules" -> ((s, dir) => {
+      val flags = graft.ops.TextAnalysis.gopherQualityFlags(
+        t(s, dir, "documents"), "doc_id", "text", keepCols = Seq("source"))
+      def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L))
+      flags.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        fails("r_word_count").as("f_word_count"),
+        fails("r_mean_word_len").as("f_mean_word_len"),
+        fails("r_symbol_ratio").as("f_symbol_ratio"),
+        fails("r_alpha_words").as("f_alpha_words"),
+        fails("r_bullet_lines").as("f_bullet_lines"),
+        fails("r_ellipsis_lines").as("f_ellipsis_lines"),
+        fails("r_stopwords").as("f_stopwords"),
+        fails("r_no_lorem").as("f_no_lorem"),
+        fails("r_no_brace").as("f_no_brace"))
+        .orderBy("source")
+    }),
+
     "q21_text_features" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val text = col("text")
@@ -2171,6 +2195,60 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    // same tokenization (whitespace split of trimmed text), same trimmed
+    // non-empty lines, same integer-exact ratio comparisons as the Spark
+    // flags; TRUE OR NULL = TRUE makes the empty-denominator guards agree
+    "q93_quality_rules" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS ls,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS ell,
+        |    contains(lower(text), 'lorem ipsum') AS lorem,
+        |    contains(text, '{') AS brace
+        |  FROM documents
+        |), f AS (
+        |  SELECT source,
+        |    len(ws) AS n_words,
+        |    COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS swc,
+        |    len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+        |    len(list_distinct(list_filter(list_transform(ws, x -> lower(x)),
+        |      x -> x IN ('the','be','to','of','and','that','have','with')))) AS stops,
+        |    hashes, ell, lorem, brace,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*'))) AS bullets,
+        |    len(list_filter(ls, l -> ends_with(l, '...'))) AS ells
+        |  FROM m
+        |), r AS (
+        |  SELECT source,
+        |    (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |    (n_words = 0 OR (swc >= n_words * 3 AND swc <= n_words * 10)) AS r_mean_word_len,
+        |    (n_words = 0 OR (hashes + ell) * 10 <= n_words) AS r_symbol_ratio,
+        |    (n_words = 0 OR alpha * 10 >= n_words * 8) AS r_alpha_words,
+        |    (n_lines = 0 OR bullets * 10 <= n_lines) AS r_bullet_lines,
+        |    (n_lines = 0 OR ells * 10 <= n_lines * 3) AS r_ellipsis_lines,
+        |    (stops >= 2) AS r_stopwords,
+        |    (NOT lorem) AS r_no_lorem,
+        |    (NOT brace) AS r_no_brace
+        |  FROM f
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+        |    AND r_alpha_words AND r_bullet_lines AND r_ellipsis_lines
+        |    AND r_stopwords AND r_no_lorem AND r_no_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS f_word_count,
+        |  CAST(sum(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS f_mean_word_len,
+        |  CAST(sum(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS f_symbol_ratio,
+        |  CAST(sum(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha_words,
+        |  CAST(sum(CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_bullet_lines,
+        |  CAST(sum(CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS f_ellipsis_lines,
+        |  CAST(sum(CASE WHEN NOT r_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS f_stopwords,
+        |  CAST(sum(CASE WHEN NOT r_no_lorem THEN 1 ELSE 0 END) AS BIGINT) AS f_no_lorem,
+        |  CAST(sum(CASE WHEN NOT r_no_brace THEN 1 ELSE 0 END) AS BIGINT) AS f_no_brace
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     // bucketing is layout, invisible to results: the bucketed-table join
     // mirrors a plain self-join of the source frame

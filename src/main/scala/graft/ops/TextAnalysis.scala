@@ -233,4 +233,69 @@ object TextAnalysis {
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** Gopher/C4-style document quality rules (X70): the published filter
+    * heuristics from the Gopher "quality filtering" recipe (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1) and C4's cleaning pass (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2), re-expressed with INTEGER-EXACT arithmetic so a
+    * SQL oracle reproduces every flag bit-for-bit (a float ratio compare
+    * would flap on engine rounding). One boolean per rule plus the overall
+    * conjunction — per-rule flags instead of a single verdict because a
+    * curation funnel needs to know WHICH rule kills a document.
+    *
+    * Rules (pass = keep):
+    *  - `r_word_count`:   50 <= words <= 100000 (Gopher doc-length gate)
+    *  - `r_mean_word_len`: mean word length in [3, 10] chars
+    *  - `r_symbol_ratio`:  (# chars + '...' runs) <= 10% of words
+    *  - `r_alpha_words`:   >= 80% of words contain a letter
+    *  - `r_bullet_lines`:  <= 10% of non-empty lines start with a bullet
+    *  - `r_ellipsis_lines`: <= 30% of non-empty lines end with '...'
+    *  - `r_stopwords`:     >= 2 DISTINCT common stopwords present
+    *  - `r_no_lorem`:      no 'lorem ipsum' boilerplate (C4)
+    *  - `r_no_brace`:      no '{' (C4's code/markup tell)
+    * Ratio rules over an empty denominator pass vacuously (the word-count
+    * gate already fails empty docs).
+    *
+    * Scale: one zero-shuffle map pass, all built-in expressions (split /
+    * filter / transform / aggregate lambdas) — text never leaves its
+    * partition; the output is id + metrics + booleans. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         keepCols: Seq[String] = Nil): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val sumWordChars = aggregate(words, lit(0), (acc, w) => acc + length(w))
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val distinctStops = size(array_intersect(
+      array(stopSet.map(lit): _*), transform(words, w => lower(w))))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    // removed matches are whole '...' runs, so the byte delta is an exact
+    // multiple of 3 — the division stays integer-exact; cast pins the type
+    val ellipses =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("int")
+    val lines = filter(transform(split(t, "\n"), l => trim(l)), l => length(l) > 0)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*")))
+    val ellipsisLines = size(filter(lines, l => l.endsWith("...")))
+    df.select(Seq(col(idCol)) ++ keepCols.map(col) ++ Seq(
+      nWords.cast("long").as("n_words"),
+      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
+      // 3 <= sum/words <= 10  ==  3*words <= sum AND sum <= 10*words
+      (nWords === 0 ||
+        (sumWordChars >= nWords * 3 && sumWordChars <= nWords * 10))
+        .as("r_mean_word_len"),
+      (nWords === 0 || (hashes + ellipses) * 10 <= nWords).as("r_symbol_ratio"),
+      (nWords === 0 || alphaWords * 10 >= nWords * 8).as("r_alpha_words"),
+      (nLines === 0 || bulletLines * 10 <= nLines).as("r_bullet_lines"),
+      (nLines === 0 || ellipsisLines * 10 <= nLines * 3).as("r_ellipsis_lines"),
+      (distinctStops >= 2).as("r_stopwords"),
+      (!lower(t).contains("lorem ipsum")).as("r_no_lorem"),
+      (!t.contains("{")).as("r_no_brace")): _*)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_alpha_words") && col("r_bullet_lines") && col("r_ellipsis_lines") &&
+          col("r_stopwords") && col("r_no_lorem") && col("r_no_brace"))
+  }
 }

@@ -397,4 +397,49 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
   }
+
+  test("gopher quality rules: each rule trips on its crafted fixture") {
+    import spark.implicits._
+    val goodBody = ("the quick brown fox jumps over twelve lazy dogs near " +
+      "a quiet river bend and every sentence here reads like plain prose " +
+      "that would have passed review with no trouble at all because it " +
+      "keeps ordinary words of sensible length throughout the entire text " +
+      "and it continues for long enough to clear the fifty word minimum " +
+      "gate easily with room to spare for good measure")
+    val d = Seq(
+      (1L, goodBody),                                      // passes everything
+      (2L, "too few words to have any chance"),            // word count
+      (3L, ("the of " + Seq.fill(60)("a").mkString(" "))), // mean word len < 3
+      (4L, ("the of and that " + Seq.fill(60)("word # tag").mkString(" "))), // symbols
+      (5L, goodBody + "\n" + Seq.fill(20)("- bullet item").mkString("\n")), // bullets
+      (6L, goodBody + "\n" + Seq.fill(20)("trailing line ...").mkString("\n")), // ellipsis lines
+      (7L, Seq.fill(60)("zzz qqq xxx").mkString(" ")),     // no stopwords
+      (8L, goodBody + " lorem ipsum dolor sit amet"),      // lorem
+      (9L, goodBody + " function() { return 1; }")         // brace
+    ).toDF("doc_id", "text")
+    val flags = TextAnalysis.gopherQualityFlags(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (2 until r.length).map(i => r.get(i)).toSeq).toMap
+    def rule(id: Long, name: String): Boolean = {
+      val cols = TextAnalysis.gopherQualityFlags(d, "doc_id", "text").columns
+      val idx = cols.indexOf(name)
+      assert(idx >= 2, s"missing column $name")
+      flags(id)(idx - 2).asInstanceOf[Boolean]
+    }
+    assert(rule(1L, "pass"), s"good doc must pass: ${flags(1L)}")
+    assert(!rule(2L, "r_word_count") && !rule(2L, "pass"))
+    assert(!rule(3L, "r_mean_word_len") && !rule(3L, "pass"))
+    assert(!rule(4L, "r_symbol_ratio") && !rule(4L, "pass"))
+    assert(!rule(5L, "r_bullet_lines") && !rule(5L, "pass"))
+    assert(!rule(6L, "r_ellipsis_lines") && !rule(6L, "pass"))
+    assert(!rule(7L, "r_stopwords") && !rule(7L, "pass"))
+    assert(!rule(8L, "r_no_lorem") && !rule(8L, "pass"))
+    assert(!rule(9L, "r_no_brace") && !rule(9L, "pass"))
+    // empty doc: ratio rules vacuous, the word-count gate still kills it
+    val empty = TextAnalysis.gopherQualityFlags(
+      Seq((10L, "")).toDF("doc_id", "text"), "doc_id", "text").collect().head
+    assert(!empty.getAs[Boolean]("pass") && !empty.getAs[Boolean]("r_word_count"))
+    assert(empty.getAs[Boolean]("r_mean_word_len") &&
+      empty.getAs[Boolean]("r_symbol_ratio"))
+  }
 }
