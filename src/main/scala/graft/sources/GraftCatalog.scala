@@ -170,11 +170,51 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.history` — one row per snapshot commit
+      if (ident.name == "history" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfHistoryMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
+        }
+      }
       throw new NoSuchTableException(ident)
     }
     val meta = readMeta(fs, mp)
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
     new CatalogOcfTable(fullName, meta, GraftCatalog.transformsOf(meta), conf)
+  }
+
+  /** `SELECT ... FROM t VERSION AS OF n` — a read-only table pinned to
+    * snapshot manifest `n` ([[OcfSnapshots]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: VERSION AS OF wants a numeric snapshot version, got '$version'"))
+    val meta = tableMeta(ident)
+    val root = new Path(meta.location)
+    val fsys = root.getFileSystem(conf)
+    require(OcfSnapshots.versions(fsys, root).contains(v),
+      s"graft catalog: table ${ident.name} has no snapshot version $v " +
+        s"(available: ${OcfSnapshots.versions(fsys, root).mkString(", ")})")
+    val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
+    new CatalogOcfTable(fullName, meta, GraftCatalog.transformsOf(meta), conf,
+      pinnedVersion = Some(v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF ts` — pins the latest snapshot
+    * committed at or before `ts` (Spark hands MICROseconds). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val meta = tableMeta(ident)
+    val root = new Path(meta.location)
+    val fsys = root.getFileSystem(conf)
+    val snap = OcfSnapshots.asOfTimestamp(fsys, root, timestampMicros / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: table ${ident.name} has no snapshot at or before " +
+          s"timestamp ${timestampMicros / 1000L} ms"))
+    val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
+    new CatalogOcfTable(fullName, meta, GraftCatalog.transformsOf(meta), conf,
+      pinnedVersion = Some(snap.version))
   }
 
   /** Shared CREATE-shape validation: identity transforms plus at most one
@@ -330,25 +370,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val transforms: Array[Transform] = GraftCatalog.transformsOf(finalMeta)
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
     val catalogFs = fs
-    new CatalogOcfTable(fullName, stagingMeta, transforms, conf)
+    new CatalogOcfTable(fullName, stagingMeta, transforms, conf,
+        snapshotWrites = false)
         with org.apache.spark.sql.connector.catalog.StagedTable {
       override def commitStagedChanges(): Unit = {
         // 1. descriptor first: from here the table exists with the NEW
         // schema (a crash now reads zero rows of it — recoverable)
         GraftCatalog.writeMeta(catalogFs, metaPath(dir), finalMeta)
-        // 2. drop the replaced table's visible files
-        if (replacing) {
-          def clear(d: Path): Unit = catalogFs.listStatus(d).foreach { st =>
-            val n = st.getPath.getName
-            if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
-              catalogFs.delete(st.getPath, false)
-            else if (st.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
-              { clear(st.getPath); catalogFs.delete(st.getPath, false); () }
-          }
-          clear(dir)
-        }
-        // 3. promote staged files, preserving the partition layout
+        // 2. promote staged files, preserving the partition layout
         val stagedRoot = catalogFs.makeQualified(stagingDir).toString
+        val promoted = Seq.newBuilder[OcfSnapshots.SnapFile]
         val it = catalogFs.listFiles(stagingDir, true)
         while (it.hasNext) {
           val st = it.next()
@@ -361,8 +392,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             if (!catalogFs.rename(st.getPath, dest))
               throw new java.io.IOException(
                 s"graft catalog: staged commit could not move ${st.getPath} to $dest")
+            promoted += OcfSnapshots.SnapFile(rel, st.getLen)
           }
         }
+        // 3. ONE manifest commit flips the table to exactly the promoted
+        // set — the replaced generation's files stay on disk as retained
+        // history (expire_snapshots reclaims them), and readers switch
+        // from old-complete to new-complete atomically
+        val op = if (replacing) "replace-table" else "create-table"
+        OcfSnapshots.commit(catalogFs, dir, op)(_ => promoted.result())
         catalogFs.delete(stagingDir, true)
         ()
       }
@@ -562,7 +600,12 @@ private[sources] object GraftCatalog {
   * TABLE rides the same path with an always-true predicate. */
 private[sources] class CatalogOcfTable(
     fullName: String, meta: GraftCatalog.TableMeta,
-    transforms: Array[Transform], conf: Configuration)
+    transforms: Array[Transform], conf: Configuration,
+    // staged (CTAS/RTAS) instances write into a staging dir that must NOT
+    // grow its own manifest — the table-level snapshot is committed at the
+    // staged swap; time-travel instances carry the pinned version
+    snapshotWrites: Boolean = true,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -584,6 +627,7 @@ private[sources] class CatalogOcfTable(
     // pre-ADD COLUMN files reads as one uniform frame
     m.put("readerSchema", GraftCatalog.readerJsonWithDefaults(meta.dataSchema))
     if (meta.partCols.nonEmpty) m.put("partitionSchema", meta.partSchemaDdl)
+    pinnedVersion.foreach(v => m.put("graft.snapshot.version", v.toString))
     new CaseInsensitiveStringMap(m)
   }
 
@@ -597,7 +641,10 @@ private[sources] class CatalogOcfTable(
       // bucketed writes are gated on catalog management (the write's
       // bucket-transform distribution resolves via this catalog's
       // function catalog; a bare path write has none)
-      ("graft.catalogWrite" -> "true")
+      ("graft.catalogWrite" -> "true") +
+      // catalog tables are snapshot-managed ([[OcfSnapshots]]): commits
+      // publish a manifest, reads plan from it, history is time-travelable
+      ("graft.snapshots" -> snapshotWrites.toString)
   private lazy val inner = new OcfTable(Some(meta.schema), transforms,
     meta.partCols.toArray, () => resolved, fullName, writeOptions)
 
@@ -618,16 +665,27 @@ private[sources] class CatalogOcfTable(
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
 
-  private[sources] def hasDataFiles: Boolean =
-    try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true).nonEmpty
-    catch { case _: java.io.FileNotFoundException => false }
+  private[sources] def hasDataFiles: Boolean = pinnedVersion match {
+    case Some(v) =>
+      val root = new Path(meta.location)
+      OcfSnapshots.read(root.getFileSystem(conf), root, v).files.nonEmpty
+    case None =>
+      try OcfDataSource.snapshotAwareList(conf, Seq(meta.location), None,
+        recursive = true).nonEmpty
+      catch { case _: java.io.FileNotFoundException => false }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
     else inner.newScanBuilder(options)
 
-  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"graft catalog: $fullName is pinned to snapshot version " +
+        s"${pinnedVersion.get} (VERSION/TIMESTAMP AS OF) — historical " +
+        "versions are read-only")
     inner.newWriteBuilder(info)
+  }
 
   /** Copy-on-write row-level operations (the group-based path Spark plans
     * for DELETE/UPDATE/MERGE when the predicate is not partition-exact —
@@ -698,9 +756,27 @@ private[sources] class CatalogOcfTable(
     ()
   }
 
+  /** Partition DROP/TRUNCATE are LAYOUT DDL and stay physically destructive
+    * (the directory is the partition's existence); on a snapshot-managed
+    * table the manifest is re-committed without the destroyed files so the
+    * visible set stays consistent — time travel across a partition drop is
+    * documented as unsupported (the bytes are gone). */
+  private def snapshotDropUnder(d: org.apache.hadoop.fs.Path, op: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    if (OcfSnapshots.enabled(fsys, root)) {
+      val relDir = OcfSnapshots.relativize(
+        fsys.makeQualified(root).toString, fsys.makeQualified(d).toString)
+      OcfSnapshots.commit(fsys, root, op)(prev =>
+        prev.filterNot(f => f.path.startsWith(relDir + "/")))
+      ()
+    }
+  }
+
   override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
     val d = partDirOf(ident)
-    fsys.exists(d) && fsys.delete(d, true)
+    val dropped = fsys.exists(d) && fsys.delete(d, true)
+    if (dropped) snapshotDropUnder(d, "drop-partition")
+    dropped
   }
 
   override def partitionExists(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
@@ -716,6 +792,7 @@ private[sources] class CatalogOcfTable(
       if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
         fsys.delete(st.getPath, false)
     }
+    snapshotDropUnder(d, "truncate-partition")
     true
   }
 
@@ -779,12 +856,31 @@ private[sources] class CatalogOcfTable(
     filters.forall(f => OcfPartitions.exactOnPartitions(f, partTypeOf))
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fsys = root.getFileSystem(conf)
+    // snapshot-managed: the delete is a MANIFEST commit — matching files
+    // drop from the visible set, bytes stay for time travel
+    if (OcfSnapshots.enabled(fsys, root)) {
+      OcfSnapshots.commit(fsys, root, "delete-where") { prev =>
+        prev.filterNot { f =>
+          val segs = f.path.split('/').dropRight(1).takeWhile(_.contains('='))
+          val idx = segs.map(_.takeWhile(_ != '=')).zipWithIndex.toMap
+          val vals = segs.map { s =>
+            val v = s.substring(s.indexOf('=') + 1)
+            if (v == OcfPartitions.NullDir) null else OcfPartitions.unescape(v)
+          }
+          def pv(name: String): Option[OcfPartitions.PartVal] =
+            for { i <- idx.get(name); dt <- partTypeOf(name) }
+              yield OcfPartitions.PartVal(vals(i), dt)
+          OcfPartitions.matchesExactly(filters.toSeq, pv)
+        }
+      }
+      return
+    }
     val files =
       try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true)
       catch { case _: java.io.FileNotFoundException => return }
     if (files.isEmpty) return
-    val root = new org.apache.hadoop.fs.Path(meta.location)
-    val fsys = root.getFileSystem(conf)
     val qualified = fsys.makeQualified(root).toString
     val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), files)
     val idx = layoutCols.zipWithIndex.toMap
@@ -895,8 +991,10 @@ private[sources] final class OcfFilesMetaTable(
         override def description(): String = s"graft-ocf FILES metadata of ${meta.location}"
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
           import org.apache.spark.unsafe.types.UTF8String
+          // snapshot-aware: retained time-travel files are not the table
           val files =
-            try OcfDataSource.list(conf, Seq(meta.location), None, recursive = true)
+            try OcfDataSource.snapshotAwareList(conf, Seq(meta.location), None,
+              recursive = true)
             catch { case _: java.io.FileNotFoundException => Nil }
           if (files.isEmpty) return Array.empty
           val root = new Path(meta.location)
@@ -948,4 +1046,49 @@ private[sources] final class EmptyOcfScanBuilder(schema: StructType)
       }
     override def description(): String = s"graft-ocf EMPTY ${schema.simpleString}"
   }
+}
+
+/** `SELECT * FROM <cat>.<ns>.<table>.history` — one row per snapshot
+  * commit ([[OcfSnapshots]]): version, commit time, operation, file count
+  * and total visible bytes. The Iceberg `table.history`/`snapshots`
+  * observability surface, answered from the manifest JSONs alone — zero
+  * data files touched at any table size. */
+private[sources] final class OcfHistoryMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta, conf: Configuration)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-ocf HISTORY of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val root = new Path(meta.location)
+          val fsys = root.getFileSystem(conf)
+          OcfSnapshots.versions(fsys, root).map { v =>
+            val s = OcfSnapshots.read(fsys, root, v)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+              s.version,
+              s.timestampMs * 1000L, // internal timestamps are micros
+              UTF8String.fromString(s.operation),
+              s.files.length.toLong,
+              s.files.map(_.len).sum))
+          }.toArray
+        }
+      }
+    }
 }

@@ -34,7 +34,8 @@ private[sources] object GraftProcedures {
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     val known: Map[String, UnboundProcedure] = Map(
       "compact" -> new CompactProcedure(cat),
-      "vacuum_temps" -> new VacuumTempsProcedure(cat))
+      "vacuum_temps" -> new VacuumTempsProcedure(cat),
+      "expire_snapshots" -> new ExpireSnapshotsProcedure(cat))
     if (ident.namespace.toSeq != Seq("system"))
       throw new RuntimeException(
         s"graft catalog: procedures live under the 'system' namespace " +
@@ -47,6 +48,7 @@ private[sources] object GraftProcedures {
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "expire_snapshots"),
         Identifier.of(Array("system"), "vacuum_temps"))
     else Array.empty
 
@@ -66,6 +68,12 @@ private[sources] object GraftProcedures {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
+    // snapshot-managed: the manifest IS the visible set (retained
+    // time-travel files and the manifests themselves are not table data)
+    if (OcfSnapshots.enabled(fs, root)) {
+      return OcfSnapshots.latest(fs, root).toSeq.flatMap(_.files)
+        .map(f => (new Path(fs.makeQualified(root), f.path), f.len))
+    }
     val b = Seq.newBuilder[(Path, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
@@ -132,7 +140,7 @@ private[sources] object GraftProcedures {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val stagingRoot = fs.makeQualified(new Path(staging))
       val moved = visibleFiles(spark, staging)
-      moved.foreach { case (p, _) =>
+      val movedRel = moved.map { case (p, len) =>
         val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
           .stripPrefix(Path.SEPARATOR)
         val dest = new Path(root, rel)
@@ -140,8 +148,21 @@ private[sources] object GraftProcedures {
         if (!fs.rename(p, dest))
           throw new java.io.IOException(
             s"graft compact: could not move $p to $dest")
+        OcfSnapshots.SnapFile(rel, len)
       }
-      before.foreach { case (p, _) => fs.delete(p, false) }
+      if (OcfSnapshots.enabled(fs, root)) {
+        // snapshot-managed: ONE manifest commit flips visibility to the
+        // compacted set; the fragmented generation stays on disk as
+        // retained history for time travel (expire_snapshots reclaims it)
+        val beforeRel = before.map { case (p, _) =>
+          OcfSnapshots.relativize(fs.makeQualified(root).toString,
+            fs.makeQualified(p).toString)
+        }.toSet
+        OcfSnapshots.commit(fs, root, "compact")(prev =>
+          prev.filterNot(f => beforeRel.contains(f.path)) ++ movedRel)
+      } else {
+        before.foreach { case (p, _) => fs.delete(p, false) }
+      }
       fs.delete(new Path(staging), true)
       val after = visibleFiles(spark, meta.location)
       singleRowResult(outSchema, Array[Any](
@@ -173,6 +194,68 @@ private[sources] object GraftProcedures {
       val minAge = if (input.isNullAt(1)) 24L * 60 * 60 * 1000 else input.getLong(1)
       val removed = OcfMaintenance.vacuumTemps(spark, meta.location, minAge)
       singleRowResult(outSchema, Array[Any](removed))
+    }
+  }
+
+  /** `CALL g.system.expire_snapshots(table => 'ns.t', keep_last => 3)` —
+    * drops snapshot history: retains the newest `keep_last` manifests and
+    * PHYSICALLY deletes (a) every data file referenced only by expired
+    * manifests and (b) the expired manifest JSONs. The Iceberg
+    * `expire_snapshots` shape: time travel shrinks to the retained window,
+    * disk usage shrinks to the files that window still references. The
+    * latest manifest is always retained (keep_last is clamped to >= 1), so
+    * the CURRENT table contents can never be collected. */
+  private final class ExpireSnapshotsProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      "Drop old snapshot manifests and delete data files they alone reference"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("keep_last", LongType)
+        .defaultValue("1")
+        .comment("how many newest snapshots to retain (min 1)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("expired_snapshots", LongType, nullable = false),
+      StructField("deleted_files", LongType, nullable = false),
+      StructField("deleted_bytes", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val keepLast = math.max(1L,
+        if (input.isNullAt(1)) 1L else input.getLong(1)).toInt
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!OcfSnapshots.enabled(fs, root))
+        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
+      val versions = OcfSnapshots.versions(fs, root)
+      val (expired, retained) =
+        versions.splitAt(math.max(0, versions.length - keepLast))
+      if (expired.isEmpty)
+        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
+      val keepFiles: Set[String] = retained
+        .flatMap(v => OcfSnapshots.read(fs, root, v).files.map(_.path)).toSet
+      var deleted = 0L
+      var deletedBytes = 0L
+      expired.foreach { v =>
+        OcfSnapshots.read(fs, root, v).files.foreach { f =>
+          if (!keepFiles.contains(f.path)) {
+            val p = new Path(root, f.path)
+            if (fs.exists(p) && fs.delete(p, false)) {
+              deleted += 1
+              deletedBytes += f.len
+            }
+          }
+        }
+      }
+      expired.foreach(v => OcfSnapshots.deleteManifest(fs, root, v))
+      singleRowResult(outSchema,
+        Array[Any](expired.length.toLong, deleted, deletedBytes))
     }
   }
 }

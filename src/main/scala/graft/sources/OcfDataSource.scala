@@ -235,8 +235,36 @@ object OcfDataSource {
     val glob = Option(options.get("pathGlobFilter"))
     val userRecursive = options.getBoolean("recursiveFileLookup", false)
     var recursive = userRecursive
-    var listed = list(conf, paths, glob, userRecursive)
-    if (listed.isEmpty && !userRecursive) {
+    // Snapshot-managed directory ([[OcfSnapshots]]): the manifest — ONE
+    // small JSON, not a recursive million-file listing — is the visible
+    // file set; retained (time-travel) files in the directory are invisible
+    // to it by construction, so even a bare path read of a snapshot table
+    // stays correct. `graft.snapshot.version` pins a historical manifest
+    // (VERSION AS OF through the catalog).
+    val snapVersion = Option(options.get("graft.snapshot.version")).map(_.toLong)
+    val snapRoot: Option[Path] =
+      if (paths.length == 1 && glob.isEmpty) {
+        val root = new Path(paths.head)
+        val fs = root.getFileSystem(conf)
+        if (OcfSnapshots.enabled(fs, root)) Some(root) else None
+      } else None
+    require(snapVersion.isEmpty || snapRoot.isDefined,
+      "graft-ocf: graft.snapshot.version needs a single snapshot-managed " +
+        s"root directory; got ${paths.mkString(", ")} glob=$glob")
+    var listed = snapRoot match {
+      case Some(root) =>
+        val fs = root.getFileSystem(conf)
+        val snap = snapVersion match {
+          case Some(v) => OcfSnapshots.read(fs, root, v)
+          case None => OcfSnapshots.latest(fs, root).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-ocf: $root has a ${OcfSnapshots.Dir} directory but no manifest"))
+        }
+        recursive = true // manifest files live in col=value subtrees
+        OcfSnapshots.toFileSlices(fs, root, snap.files)
+      case None => list(conf, paths, glob, userRecursive)
+    }
+    if (listed.isEmpty && !userRecursive && snapRoot.isEmpty) {
       // a hive-partitioned root has no direct files, only col=value/ dirs —
       // recurse rather than fail, the same default as Spark's file sources
       listed = list(conf, paths, glob, recursive = true)
@@ -447,6 +475,23 @@ object OcfDataSource {
     * the listing retries from scratch a few times (with a short pause, so a
     * racing rename has time to land) before giving up. A MISSING ROOT path
     * is a different thing entirely and fails fast. */
+  /** [[list]], except a single snapshot-managed root reads its latest
+    * manifest instead of walking the directory — used by every re-listing
+    * surface (streaming discovery, emptiness probes) so retained
+    * time-travel files stay invisible everywhere, not just in resolve(). */
+  private[sources] def snapshotAwareList(conf: Configuration, paths: Seq[String],
+                   glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
+    if (paths.length == 1 && glob.isEmpty) {
+      val root = new Path(paths.head)
+      val fs = root.getFileSystem(conf)
+      if (OcfSnapshots.enabled(fs, root))
+        return OcfSnapshots.latest(fs, root)
+          .map(s => OcfSnapshots.toFileSlices(fs, root, s.files))
+          .getOrElse(Nil)
+    }
+    list(conf, paths, glob, recursive)
+  }
+
   private[sources] def list(conf: Configuration, paths: Seq[String],
                    glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
     def vanished(t: Throwable): Boolean = {

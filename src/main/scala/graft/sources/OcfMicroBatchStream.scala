@@ -64,17 +64,22 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     * delta-persistence and first-seen order are identical with and without
     * a read limit. Returns the discovered-file count. */
   private def discover(): Int = {
-    val listed = OcfDataSource.list(conf, scan.paths, scan.glob, scan.recursive)
+    val listed = OcfDataSource.snapshotAwareList(conf, scan.paths, scan.glob, scan.recursive)
     val freshRaw = listed.filterNot(f => known.contains(f.path))
     if (freshRaw.nonEmpty) {
       val fresh =
         if (scan.partCols.isEmpty) freshRaw
         else {
           val (cols, annotated) = OcfPartitions.infer(qualifiedRoots, freshRaw)
-          require(cols == scan.partCols,
+          // a bucketed layout carries its synthetic trailing _bucket level;
+          // the scan's partCols exclude it by design
+          val expected =
+            if (scan.bucketN > 0) scan.partCols :+ OcfBucket.DirCol
+            else scan.partCols
+          require(cols == expected,
             s"graft-ocf stream: newly landed files have partition layout " +
               s"[${cols.mkString(",")}] but the stream resolved " +
-              s"[${scan.partCols.mkString(",")}]")
+              s"[${expected.mkString(",")}]")
           annotated
         }
       val metas = OcfDataSource.fetchMetas(conf, fresh)

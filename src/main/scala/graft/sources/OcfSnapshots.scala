@@ -1,0 +1,166 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Snapshot manifests for `graft-ocf` catalog tables: every commit writes a
+  * new numbered manifest listing the table's VISIBLE data files, making the
+  * manifest — not the directory listing — the source of truth for reads.
+  *
+  * What this buys at 100 TB:
+  *  - **O(1) planning listings**: a read opens ONE small JSON instead of
+  *    recursively listing a million-file directory tree (the S3 LIST call
+  *    train that dominates large-table planning).
+  *  - **Atomic commits + snapshot isolation**: a manifest appears with a
+  *    single create; concurrent readers see either the old complete version
+  *    or the new complete version, never a half-renamed directory.
+  *  - **Optimistic concurrency**: the next version is created with
+  *    CREATE-exclusive semantics — two racing committers cannot both win;
+  *    the loser recomputes against the winner's manifest and retries.
+  *  - **Time travel**: `VERSION AS OF n` / `TIMESTAMP AS OF t` pin a read
+  *    to an old manifest. Removed files are dropped from the manifest but
+  *    NOT physically deleted — `expire_snapshots` reclaims unreferenced
+  *    files once history is no longer wanted.
+  *
+  * Layout: `<table>/_graft_snapshots/v000000000042.json` (underscore dir —
+  * invisible to data-file listings). Paths inside a manifest are RELATIVE
+  * to the table directory, so a table can be relocated wholesale.
+  *
+  * Migration: a directory without a snapshots dir reads by listing, exactly
+  * as before; the FIRST snapshot commit folds the pre-existing listing in
+  * as its base, so existing tables upgrade in place. */
+private[graft] object OcfSnapshots {
+
+  val Dir = "_graft_snapshots"
+
+  final case class SnapFile(path: String, len: Long)
+  final case class Snapshot(version: Long, timestampMs: Long, operation: String,
+                            files: Seq[SnapFile])
+
+  private val mapper = new ObjectMapper()
+
+  def snapshotsDir(tableDir: Path): Path = new Path(tableDir, Dir)
+
+  // underscore-prefixed NAME: every data listing in this source filters
+  // file names on "_"/"." prefixes, so manifests are invisible to them
+  // even when a recursive walk reaches inside _graft_snapshots
+  private def manifestPath(tableDir: Path, version: Long): Path =
+    new Path(snapshotsDir(tableDir), f"_v$version%012d.json")
+
+  /** Physically remove one manifest (expire_snapshots). */
+  def deleteManifest(fs: FileSystem, tableDir: Path, version: Long): Unit = {
+    fs.delete(manifestPath(tableDir, version), false)
+    ()
+  }
+
+  def enabled(fs: FileSystem, tableDir: Path): Boolean =
+    try fs.exists(snapshotsDir(tableDir)) catch { case _: java.io.IOException => false }
+
+  /** All manifest versions present, ascending. */
+  def versions(fs: FileSystem, tableDir: Path): Seq[Long] = {
+    val d = snapshotsDir(tableDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith("_v") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("_v").stripSuffix(".json").toLongOption)
+      .toSeq.sorted
+  }
+
+  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot = {
+    val in = fs.open(manifestPath(tableDir, version))
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = mapper.readTree(bytes)
+    val files = Seq.newBuilder[SnapFile]
+    val it = root.get("files").elements()
+    while (it.hasNext) {
+      val f = it.next()
+      files += SnapFile(f.get("path").asText, f.get("len").asLong)
+    }
+    Snapshot(root.get("version").asLong, root.get("timestampMs").asLong,
+      root.get("operation").asText, files.result())
+  }
+
+  def latest(fs: FileSystem, tableDir: Path): Option[Snapshot] =
+    versions(fs, tableDir).lastOption.map(read(fs, tableDir, _))
+
+  /** Latest snapshot with `timestampMs <= ts`, for TIMESTAMP AS OF. */
+  def asOfTimestamp(fs: FileSystem, tableDir: Path, ts: Long): Option[Snapshot] =
+    versions(fs, tableDir).map(read(fs, tableDir, _))
+      .filter(_.timestampMs <= ts).lastOption
+
+  private def render(s: Snapshot): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("timestampMs", s.timestampMs)
+    root.put("operation", s.operation)
+    val arr = root.putArray("files")
+    s.files.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path)
+      o.put("len", f.len)
+    }
+    mapper.writeValueAsBytes(root)
+  }
+
+  /** Optimistic snapshot commit: `transform` maps the previous visible set
+    * (the latest manifest's files, or — on the very first commit — the
+    * directory's current listing, folding a pre-snapshot table in) to the
+    * new visible set. The next version is written CREATE-EXCLUSIVE through
+    * a temp + no-overwrite rename; when a racing committer wins the
+    * version, the transform re-runs against the WINNER's files — the
+    * retry sees the concurrent commit's effects, it does not clobber them.
+    * Returns the committed snapshot. */
+  def commit(fs: FileSystem, tableDir: Path, operation: String)
+            (transform: Seq[SnapFile] => Seq[SnapFile]): Snapshot = {
+    val sdir = snapshotsDir(tableDir)
+    fs.mkdirs(sdir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val prevVersion = versions(fs, tableDir).lastOption
+      val prevFiles = prevVersion match {
+        case Some(v) => read(fs, tableDir, v).files
+        case None => listingAsFiles(fs, tableDir)
+      }
+      val next = Snapshot(prevVersion.getOrElse(0L) + 1, System.currentTimeMillis(),
+        operation, transform(prevFiles))
+      val dest = manifestPath(tableDir, next.version)
+      val tmp = new Path(sdir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try { out.write(render(next)) } finally out.close()
+      // rename WITHOUT overwrite: exactly one committer wins a version
+      val won = !fs.exists(dest) && fs.rename(tmp, dest)
+      if (won) return next
+      fs.delete(tmp, false)
+      if (attempts >= 20) throw new java.io.IOException(
+        s"graft-ocf snapshots: lost the commit race $attempts times under $tableDir")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The table directory's current visible data files as relative manifest
+    * entries — the migration base for a table's first snapshot commit. */
+  def listingAsFiles(fs: FileSystem, tableDir: Path): Seq[SnapFile] = {
+    val qual = fs.makeQualified(tableDir).toString
+    val listed =
+      try OcfDataSource.list(fs.getConf, Seq(tableDir.toString), None, recursive = true)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    listed.map(f => SnapFile(relativize(qual, f.path), f.len))
+  }
+
+  def relativize(qualifiedTableDir: String, path: String): String = {
+    val qp = path
+    val prefix = qualifiedTableDir.stripSuffix("/") + "/"
+    require(qp.startsWith(prefix),
+      s"graft-ocf snapshots: $qp is not under table directory $qualifiedTableDir")
+    qp.substring(prefix.length)
+  }
+
+  /** Manifest entries → qualified FileSlices (partition values re-derived
+    * from the relative paths by the normal inference). */
+  def toFileSlices(fs: FileSystem, tableDir: Path, files: Seq[SnapFile])
+      : Seq[OcfDataSource.FileSlice] = {
+    val base = fs.makeQualified(tableDir)
+    files.map(f => OcfDataSource.FileSlice(new Path(base, f.path).toString, f.len))
+  }
+}

@@ -320,6 +320,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       partOrdinals = partOrdinals,
       bucketNames = bucketOrdinals.map(sql.fields(_).name),
       bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
+      snapshots = Option(opts.get("graft.snapshots")).exists(_.toBoolean),
       statsCols = statsCols,
       bloomCols = bloomCols, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
@@ -362,6 +363,7 @@ private[sources] final case class OcfWriteConfig(
     bucketNames: Array[String] = Array.empty,
     bucketOrdinals: Array[Int] = Array.empty,
     numBuckets: Int = 0,
+    snapshots: Boolean = false,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomFpp: Double = 0.01,
@@ -1213,10 +1215,17 @@ object OcfMaintenance {
     // mixed layouts that the read itself never sees. The inferred partition
     // layout is PRESERVED on the output — compacting a hive-partitioned
     // stream landing must not flatten partition values into data columns.
-    val direct = OcfDataSource.list(conf, Seq(inDir), None, recursive = false)
+    val inRoot = new Path(inDir)
     val files =
-      if (direct.nonEmpty) direct
-      else OcfDataSource.list(conf, Seq(inDir), None, recursive = true)
+      if (OcfSnapshots.enabled(inRoot.getFileSystem(conf), inRoot))
+        // snapshot-managed input: the manifest is the visible set (retained
+        // time-travel files must not fold into the compaction)
+        OcfDataSource.snapshotAwareList(conf, Seq(inDir), None, recursive = true)
+      else {
+        val direct = OcfDataSource.list(conf, Seq(inDir), None, recursive = false)
+        if (direct.nonEmpty) direct
+        else OcfDataSource.list(conf, Seq(inDir), None, recursive = true)
+      }
     require(files.nonEmpty, s"graft-ocf compact: no input files under $inDir")
     val qualified = {
       val hp = new Path(inDir); Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
@@ -1389,6 +1398,15 @@ private[sources] object OcfCommit {
     val dirPath = new Path(cfg.dir)
     val fs = dirPath.getFileSystem(cfg.conf.value)
     fs.mkdirs(dirPath)
+    // snapshot mode when the config asks for it (catalog tables) OR the
+    // directory is already snapshot-managed — a path-API write into a
+    // snapshot table must keep the manifest consistent, else its rows
+    // would be invisible to (or double-counted by) every manifest read
+    if (cfg.snapshots || OcfSnapshots.enabled(fs, dirPath)) {
+      publishSnapshot(cfg, messages, clearVisible, clearPrefix, clearWhere,
+        clearDynamic, clearPaths)
+      return
+    }
     clearPaths.foreach { paths =>
       // group-based row-level operation (copy-on-write DELETE/UPDATE/MERGE):
       // replace exactly the files the operation's scan read — their
@@ -1470,6 +1488,13 @@ private[sources] object OcfCommit {
         if (st.isFile && doomed) fs.delete(st.getPath, false)
       }
     }
+    renameAll(cfg, fs, messages)
+  }
+
+  /** Rename every committed temp over its final name (FileContext OVERWRITE
+    * rename where available — atomic on HDFS/local). */
+  private def renameAll(cfg: OcfWriteConfig, fs: org.apache.hadoop.fs.FileSystem,
+                        messages: Array[WriterCommitMessage]): Unit = {
     val fc =
       try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, cfg.conf.value))
       catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
@@ -1497,6 +1522,88 @@ private[sources] object OcfCommit {
       }
       case _ => ()
     }
+  }
+
+  /** Snapshot-mode commit ([[OcfSnapshots]]): renames land the new files,
+    * then ONE manifest commit makes them visible and the replaced set
+    * invisible — atomically, against the previous MANIFEST (never the
+    * directory listing, which still holds retained time-travel files).
+    * Nothing is physically deleted here; `expire_snapshots` reclaims
+    * unreferenced files when history is dropped. The removal selectors
+    * mirror the physical-delete modes of the listing path exactly. */
+  private def publishSnapshot(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage],
+                              clearVisible: Boolean, clearPrefix: Option[String],
+                              clearWhere: Option[Seq[org.apache.spark.sql.sources.Filter]],
+                              clearDynamic: Boolean,
+                              clearPaths: Option[Seq[String]]): Unit = {
+    val dirPath = new Path(cfg.dir)
+    val fs = dirPath.getFileSystem(cfg.conf.value)
+    renameAll(cfg, fs, messages)
+    val qualDir = fs.makeQualified(dirPath).toString
+    val added: Seq[OcfSnapshots.SnapFile] = messages.toSeq.flatMap {
+      case OcfCommitMessage(files, _) => files.map { f =>
+        val dst = fs.makeQualified(new Path(f.dest))
+        OcfSnapshots.SnapFile(OcfSnapshots.relativize(qualDir, dst.toString),
+          fs.getFileStatus(dst).getLen)
+      }
+      case _ => Nil
+    }
+    // relative partition directory of a manifest path, the `_bucket=K`
+    // level lifted — dynamic overwrite replaces PARTITIONS, not buckets
+    def partDirOfRel(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      val dir = if (i < 0) "" else rel.substring(0, i)
+      if (cfg.numBuckets == 0) dir
+      else {
+        val j = dir.lastIndexOf('/')
+        val last = if (j < 0) dir else dir.substring(j + 1)
+        if (last.startsWith(OcfBucket.DirCol + "="))
+          (if (j < 0) "" else dir.substring(0, j))
+        else dir
+      }
+    }
+    val dynTargets: Set[String] =
+      if (clearDynamic) added.map(f => partDirOfRel(f.path)).toSet else Set.empty
+    val clearPathSet: Set[String] = clearPaths.getOrElse(Nil)
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      cfg.partOrdinals.map(o => cfg.sql.fields(o).name -> cfg.sql.fields(o).dataType).toMap
+    def removedBy(f: OcfSnapshots.SnapFile): Boolean = {
+      if (clearVisible) true
+      else if (clearPrefix.isDefined) {
+        val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+        clearPrefix.exists(name.startsWith)
+      } else if (clearWhere.isDefined) {
+        val segs = f.path.split('/').dropRight(1).takeWhile(_.contains('='))
+        val idx = segs.map(_.takeWhile(_ != '=')).zipWithIndex.toMap
+        val vals = segs.map { s =>
+          val v = s.substring(s.indexOf('=') + 1)
+          if (v == OcfPartitions.NullDir) null else OcfPartitions.unescape(v)
+        }
+        def pv(name: String): Option[OcfPartitions.PartVal] =
+          for { i <- idx.get(name); dt <- typeOf.get(name) }
+            yield OcfPartitions.PartVal(vals(i), dt)
+        OcfPartitions.matchesExactly(clearWhere.get, pv)
+      } else if (clearDynamic) dynTargets.contains(partDirOfRel(f.path))
+      else if (clearPathSet.nonEmpty)
+        clearPathSet.contains(fs.makeQualified(
+          new Path(dirPath, f.path)).toString)
+      else false
+    }
+    val op =
+      if (clearPaths.isDefined) "replace-rows"
+      else if (clearWhere.isDefined) "overwrite-where"
+      else if (clearDynamic) "overwrite-dynamic"
+      else if (clearVisible) "overwrite"
+      else if (clearPrefix.isDefined) "stream-epoch"
+      else "append"
+    // a replayed streaming epoch reuses its deterministic names: the added
+    // entry REPLACES any same-path survivor, never duplicates it
+    val addedPaths = added.map(_.path).toSet
+    OcfSnapshots.commit(fs, dirPath, op) { prev =>
+      prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
+    }
+    ()
   }
 
   def discard(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage]): Unit = {

@@ -245,18 +245,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       """INSERT INTO g.rlo.t
         |SELECT id, concat('row', id),
         |       CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(100)""".stripMargin)
-    def files(): Set[String] = {
-      val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath + "/rlo/t")
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val it = fs.listFiles(root, true)
-      val b = Set.newBuilder[String]
-      while (it.hasNext) {
-        val n = it.next()
-        if (!n.getPath.getName.startsWith("_") && !n.getPath.getName.startsWith("."))
-          b += n.getPath.toString
-      }
-      b.result()
-    }
+    // the VISIBLE file set (the snapshot manifest's view, via the .files
+    // metadata table) — under snapshot management a replaced file stays on
+    // disk as retained history, so a disk walk no longer describes the table
+    def files(): Set[String] =
+      spark.sql("SELECT file FROM g.rlo.t.files").collect()
+        .map(_.getString(0)).toSet
 
     // the _file metadata column: one value per data file, consistent with
     // the row's partition directory; available unless a real column shadows it
@@ -433,9 +427,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // function — the reference's headline UDF, no session extensions needed
     def walk(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).toSeq.flatten.flatMap(f =>
-        if (f.isDirectory) walk(f)
-        else if (!f.getName.startsWith(".") && !f.getName.startsWith("_")) Seq(f)
-        else Nil)
+        // hidden DIRECTORIES too: snapshot manifests (_graft_snapshots/)
+        // and staged dirs are not table data
+        if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+        else if (f.isDirectory) walk(f)
+        else Seq(f))
     val hexes = walk(new java.io.File(warehouse, "fn/t")).map(f =>
       java.nio.file.Files.readAllBytes(f.toPath).map("%02x".format(_)).mkString)
     import spark.implicits._
@@ -478,9 +474,9 @@ class GraftCatalogSpec extends AnyFunSuite {
     def dataFiles(): Seq[java.io.File] = {
       def walk(d: java.io.File): Seq[java.io.File] =
         Option(d.listFiles()).toSeq.flatten.flatMap(f =>
-          if (f.isDirectory) walk(f)
-          else if (!f.getName.startsWith(".") && !f.getName.startsWith("_")) Seq(f)
-          else Nil)
+          if (f.getName.startsWith(".") || f.getName.startsWith("_")) Nil
+          else if (f.isDirectory) walk(f)
+          else Seq(f))
       walk(new java.io.File(warehouse, "maint/t"))
     }
     val before = dataFiles().size
@@ -491,6 +487,10 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head
     assert(res.getLong(0) == before.toLong)
     assert(res.getLong(1) == 1L, s"one output file expected, got ${res.getLong(1)}")
+    // snapshot-managed: the fragmented generation stays on disk as retained
+    // history until expire_snapshots; VISIBILITY is one file immediately
+    assert(spark.sql("SELECT count(*) FROM g.maint.t.files").head.getLong(0) == 1L)
+    spark.sql("CALL g.system.expire_snapshots(`table` => 'maint.t', keep_last => 1)")
     assert(dataFiles().size == 1)
     // contents intact, stamps preserved (min/max still answer header-only)
     assert(spark.table("g.maint.t").count() == 500L)

@@ -1,0 +1,200 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot manifests + time travel (X71): every catalog-table commit
+  * publishes a manifest ([[OcfSnapshots]]); reads plan from the manifest,
+  * `VERSION AS OF` / `TIMESTAMP AS OF` pin history, `.history` reports the
+  * commit log, and `expire_snapshots` reclaims unreferenced files. */
+class OcfSnapshotsSpec extends AnyFunSuite {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-snap-wh").toFile
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-snapshots-spec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.gs", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gs.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gs.ns")
+    s
+  }
+
+  private def fs = new Path(warehouse.getAbsolutePath)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("each INSERT commits a manifest; VERSION AS OF pins history") {
+    spark.sql(
+      """CREATE TABLE gs.ns.t (id BIGINT, v STRING)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql("INSERT INTO gs.ns.t SELECT id, concat('a', id) FROM range(10)")
+    spark.sql("INSERT INTO gs.ns.t SELECT id, concat('b', id) FROM range(10, 25)")
+    spark.sql("INSERT INTO gs.ns.t SELECT id, concat('c', id) FROM range(25, 30)")
+
+    val root = new Path(warehouse.getAbsolutePath, "ns/t")
+    assert(OcfSnapshots.versions(fs, root) == Seq(1L, 2L, 3L))
+
+    assert(spark.table("gs.ns.t").count() == 30L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.t VERSION AS OF 1").head.getLong(0) == 10L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.t VERSION AS OF 2").head.getLong(0) == 25L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.t VERSION AS OF 3").head.getLong(0) == 30L)
+
+    // TIMESTAMP AS OF: pin to version 2's commit time
+    val t2 = OcfSnapshots.read(fs, root, 2L).timestampMs
+    val ts = java.time.Instant.ofEpochMilli(t2).toString.replace("T", " ").replace("Z", "")
+    assert(spark.sql(
+      s"SELECT count(*) FROM gs.ns.t TIMESTAMP AS OF '$ts'").head.getLong(0) == 25L)
+
+    // unknown version refused with the available ones listed
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gs.ns.t VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 99"), e.getMessage)
+  }
+
+  test(".history reports the commit log from manifests only") {
+    val h = spark.sql(
+      "SELECT version, operation, n_files FROM gs.ns.t.history ORDER BY version")
+      .collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.forall(_.getString(1) == "append"))
+    assert(h.map(_.getLong(2)).toSeq == h.map(_.getLong(2)).toSeq.sorted,
+      "visible file count must be non-decreasing across appends")
+  }
+
+  test("INSERT OVERWRITE keeps old versions readable; path reads see only the manifest") {
+    spark.sql("INSERT OVERWRITE gs.ns.t SELECT id, concat('z', id) FROM range(7)")
+    assert(spark.table("gs.ns.t").count() == 7L)
+    // time travel back across the overwrite: the replaced files are retained
+    assert(spark.sql("SELECT count(*) FROM gs.ns.t VERSION AS OF 3").head.getLong(0) == 30L)
+    val h = spark.sql(
+      "SELECT operation FROM gs.ns.t.history WHERE version = 4").head.getString(0)
+    assert(h == "overwrite")
+    // a bare path read of the table directory plans from the manifest too —
+    // the 30 retained rows must NOT leak in
+    val tableDir = new java.io.File(warehouse, "ns/t").getAbsolutePath
+    assert(spark.read.format("graft-ocf").load(tableDir).count() == 7L)
+    // .files reflects the manifest, not the directory
+    assert(spark.sql("SELECT count(*) FROM gs.ns.t.files").head.getLong(0) ==
+      OcfSnapshots.latest(fs, new Path(tableDir)).get.files.length.toLong)
+  }
+
+  test("metadata-only DELETE and row-level DELETE are snapshot commits") {
+    spark.sql(
+      """CREATE TABLE gs.ns.p (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (statsColumns 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO gs.ns.p SELECT id,
+        |CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(40)""".stripMargin)
+    // partition-exact → metadata-only path
+    spark.sql("DELETE FROM gs.ns.p WHERE lang = 'fr'")
+    assert(spark.table("gs.ns.p").count() == 20L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.p VERSION AS OF 1").head.getLong(0) == 40L)
+    assert(spark.sql(
+      "SELECT operation FROM gs.ns.p.history WHERE version = 2").head.getString(0)
+      == "delete-where")
+    // data-column predicate → copy-on-write path, another version
+    spark.sql("DELETE FROM gs.ns.p WHERE id < 10")
+    assert(spark.table("gs.ns.p").count() == 15L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.p VERSION AS OF 2").head.getLong(0) == 20L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.p VERSION AS OF 1").head.getLong(0) == 40L)
+  }
+
+  test("historical versions are read-only") {
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gs.ns.t VERSION AS OF 1 SELECT id, 'x' FROM range(3)")
+    }
+    // Spark may refuse time-travel DML itself or reach our guard — either
+    // way the write must not happen
+    assert(spark.sql("SELECT count(*) FROM gs.ns.t VERSION AS OF 1").head.getLong(0) == 10L)
+  }
+
+  test("expire_snapshots reclaims files referenced only by expired history") {
+    val root = new Path(warehouse.getAbsolutePath, "ns/t")
+    val beforeVersions = OcfSnapshots.versions(fs, root)
+    assert(beforeVersions.length == 4)
+    // files on disk > files in the latest manifest (retained generations)
+    def dataFilesOnDisk: Int = {
+      val it = fs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString
+        if (st.isFile && !rel.contains("/_") && !rel.contains("/.")) n += 1
+      }
+      n
+    }
+    val latest = OcfSnapshots.latest(fs, root).get
+    assert(dataFilesOnDisk > latest.files.length)
+
+    val r = spark.sql(
+      "CALL gs.system.expire_snapshots(`table` => 'ns.t', keep_last => 1)").head
+    assert(r.getLong(0) == 3L, s"3 snapshots must expire, got $r")
+    assert(r.getLong(1) > 0L, "retained-only files must be deleted")
+    assert(OcfSnapshots.versions(fs, root) == Seq(4L))
+    assert(dataFilesOnDisk == latest.files.length,
+      "after expiry the directory holds exactly the live files")
+    // current contents untouched; expired history gone
+    assert(spark.table("gs.ns.t").count() == 7L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gs.ns.t VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 2"), e.getMessage)
+  }
+
+  test("optimistic commit survives a racing writer") {
+    val root = new Path(warehouse.getAbsolutePath, "ns/t")
+    val v0 = OcfSnapshots.versions(fs, root).last
+    // a "racing" commit lands first
+    OcfSnapshots.commit(fs, root, "race")(prev => prev)
+    val s = OcfSnapshots.commit(fs, root, "mine")(prev => prev)
+    assert(s.version == v0 + 2, "the loser retries onto the next version")
+  }
+
+  test("compaction is a snapshot commit; fragmented generation expires cleanly") {
+    spark.sql(
+      """CREATE TABLE gs.ns.frag (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id')""".stripMargin)
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO gs.ns.frag SELECT id, concat('x', id) FROM range(${i * 10}, ${i * 10 + 10})"))
+    val root = new Path(warehouse.getAbsolutePath, "ns/frag")
+    assert(OcfSnapshots.latest(fs, root).get.files.length >= 4)
+    val res = spark.sql("CALL gs.system.compact(`table` => 'ns.frag')").head
+    assert(res.getLong(1) < res.getLong(0), s"compaction must shrink files: $res")
+    assert(spark.table("gs.ns.frag").count() == 40L)
+    assert(spark.sql(
+      "SELECT operation FROM gs.ns.frag.history ORDER BY version DESC LIMIT 1")
+      .head.getString(0) == "compact")
+    // the pre-compaction version still reads (fragmented files retained)
+    val preVersion = OcfSnapshots.versions(fs, root).takeRight(2).head
+    assert(spark.sql(
+      s"SELECT count(*) FROM gs.ns.frag VERSION AS OF $preVersion").head.getLong(0) == 40L)
+    spark.sql("CALL gs.system.expire_snapshots(`table` => 'ns.frag', keep_last => 1)")
+    assert(spark.table("gs.ns.frag").count() == 40L)
+  }
+
+  test("CTAS and RTAS commit create/replace snapshots") {
+    spark.sql(
+      """CREATE TABLE gs.ns.c USING `graft-ocf` AS
+        |SELECT id, concat('v', id) AS v FROM range(12)""".stripMargin)
+    assert(spark.table("gs.ns.c").count() == 12L)
+    assert(spark.sql("SELECT operation FROM gs.ns.c.history WHERE version = 1")
+      .head.getString(0) == "create-table")
+    spark.sql(
+      """REPLACE TABLE gs.ns.c USING `graft-ocf` AS
+        |SELECT id, concat('w', id) AS v FROM range(5)""".stripMargin)
+    assert(spark.table("gs.ns.c").count() == 5L)
+    assert(spark.sql("SELECT operation FROM gs.ns.c.history WHERE version = 2")
+      .head.getString(0) == "replace-table")
+    // same-schema replace: the replaced generation stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM gs.ns.c VERSION AS OF 1").head.getLong(0) == 12L)
+  }
+}
