@@ -1335,6 +1335,43 @@ object SparkEntry {
           |GROUP BY q.lang, d.source ORDER BY q.lang, d.source""".stripMargin)
     }),
 
+    // Snapshot time travel (X71): two INSERT commits produce manifests v1
+    // and v2; VERSION AS OF pins each — the same table reports different
+    // row sets per version, both aggregated in one result. DROP+CREATE per
+    // run keeps the version numbers deterministic under bench repeats.
+    "q94_time_travel" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q94",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q94_wh_")
+      s.conf.set("spark.sql.catalog.graft_q94.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q94.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q94.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q94.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q94_src")
+      s.sql(
+        """INSERT INTO graft_q94.corpus.docs
+          |SELECT doc_id, source, n_chars FROM graft_q94_src
+          |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q94.corpus.docs
+          |SELECT doc_id, source, n_chars FROM graft_q94_src
+          |WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT 1 AS version, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q94.corpus.docs VERSION AS OF 1
+          |UNION ALL
+          |SELECT 2 AS version, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q94.corpus.docs VERSION AS OF 2
+          |ORDER BY version""".stripMargin)
+    }),
+
     // Gopher/C4 quality-rule funnel (X70): per-rule boolean flags from the
     // published filtering heuristics, aggregated into a per-source funnel —
     // which rule kills how many documents. Integer-exact arithmetic keeps
@@ -2195,6 +2232,18 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    // version 1 holds the even doc_ids, version 2 everything — snapshot
+    // numbering is deterministic because the query recreates the table
+    "q94_time_travel" ->
+      """SELECT 1 AS version, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT 2 AS version, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |ORDER BY version""".stripMargin,
 
     // same tokenization (whitespace split of trimmed text), same trimmed
     // non-empty lines, same integer-exact ratio comparisons as the Spark
