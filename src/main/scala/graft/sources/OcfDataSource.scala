@@ -119,7 +119,14 @@ object OcfDataSource {
                                bloomJson: Option[String] = None,
                                blockIndexJson: Option[String] = None,
                                sortedByJson: Option[String] = None,
-                               rowsStamp: Option[Long] = None)
+                               rowsStamp: Option[Long] = None,
+                               // manifest-sourced metas ([[OcfSnapshots]]) inline
+                               // everything EXCEPT the potentially-large bloom /
+                               // block-index stamps; these flags say the HEADER
+                               // holds one, so the scan preads it lazily — only
+                               // when a query shape can actually use it
+                               bloomInHeader: Boolean = false,
+                               blockIndexInHeader: Boolean = false)
 
   /** Driver-side view of one read: the frozen file LISTING (header
     * resolution is deferred to [[OcfScanBuilder.build]] so partition
@@ -251,6 +258,9 @@ object OcfDataSource {
     require(snapVersion.isEmpty || snapRoot.isDefined,
       "graft-ocf: graft.snapshot.version needs a single snapshot-managed " +
         s"root directory; got ${paths.mkString(", ")} glob=$glob")
+    // manifest-embedded header metadata, keyed by qualified path: reads of
+    // a meta-carrying manifest plan with ZERO per-file header preads
+    var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty
     var listed = snapRoot match {
       case Some(root) =>
         val fs = root.getFileSystem(conf)
@@ -261,6 +271,9 @@ object OcfDataSource {
               s"graft-ocf: $root has a ${OcfSnapshots.Dir} directory but no manifest"))
         }
         recursive = true // manifest files live in col=value subtrees
+        val base = fs.makeQualified(root)
+        snapMetaByPath = snap.files.iterator.flatMap(sf =>
+          sf.meta.map(m => new Path(base, sf.path).toString -> m)).toMap
         OcfSnapshots.toFileSlices(fs, root, snap.files)
       case None => list(conf, paths, glob, userRecursive)
     }
@@ -304,17 +317,29 @@ object OcfDataSource {
     // header resolution is LAZY (deferred to build, after partition pruning);
     // only what the schema needs is read here
     val readerOpt = Option(options.get("readerSchema"))
+    // manifest metas stand in for header preads wherever present; only the
+    // files a metaless manifest (or no manifest) leaves uncovered are read
+    def manifestMeta(f: FileSlice): Option[OcfFileMeta] =
+      snapMetaByPath.get(f.path).map(_.copy(path = f.path, len = f.len,
+        partitionValues = f.partitionValues))
+    def metasOf(fls: Seq[FileSlice]): Seq[OcfFileMeta] = {
+      val need = fls.filter(f => manifestMeta(f).isEmpty)
+      val fetched =
+        if (need.isEmpty) Map.empty[String, OcfFileMeta]
+        else fetchMetas(conf, need).map(m => m.path -> m).toMap
+      fls.map(f => manifestMeta(f).getOrElse(fetched(f.path)))
+    }
     var firstMeta: Option[OcfFileMeta] = None
     val (readerJson, prefetched) = readerOpt match {
       // case-insensitive: option KEYS already are, and "AUTO" silently
       // parsing as schema JSON would yield a baffling error
       case Some(v) if v.equalsIgnoreCase("auto") =>
-        val metas = fetchMetas(conf, files)
+        val metas = metasOf(files)
         metas.map(_.codecName).distinct.foreach(AvroCodecs(_))
         (widestSchema(metas.map(_.writerSchemaJson).distinct), Some(metas))
       case Some(json) => (json, None)
       case None =>
-        val m = fetchMetas(conf, Seq(files.head)).head
+        val m = metasOf(Seq(files.head)).head
         firstMeta = Some(m)
         (m.writerSchemaJson, None)
     }
@@ -371,6 +396,9 @@ object OcfDataSource {
       partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
       maxBytes, reportPartitioning = reportPart, bucket = bucketSpec)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
+    // seed the per-resolve meta memo with every manifest-carried meta:
+    // buildScan then preads ONLY the files the manifest left uncovered
+    files.foreach(f => manifestMeta(f).foreach(m => r.metaCache.put(m.path, m)))
     r
   }
 
@@ -957,16 +985,34 @@ private[sources] final class OcfScanBuilder(
     // (base64 + JSON, potentially MBs across a wide listing) only runs
     // when the pushed set contains a shape a bloom can answer.
     val bloomUseful = OcfBloom.anyEqualityShape(pushed.toSeq)
-    val metas =
+    val statsKept =
       if (pushed.isEmpty) metas0
-      else metas0.filter { m =>
-        m.statsJson.forall { js =>
-          OcfPartitions.mayMatch(pushed.toSeq, partValOf(m.partitionValues),
-            OcfPartitions.parseStats(js).get)
-        } && (!bloomUseful || m.bloomJson.forall { js =>
-          OcfBloom.mayMatch(pushed.toSeq, OcfBloom.parse(js).get)
-        })
+      else metas0.filter(m => m.statsJson.forall { js =>
+        OcfPartitions.mayMatch(pushed.toSeq, partValOf(m.partitionValues),
+          OcfPartitions.parseStats(js).get)
+      })
+    // manifest metas omit bloom stamps; when the pushed shapes can use one
+    // and the manifest flags a header bloom, pread those headers now — only
+    // for the files that survived partition + (manifest-inline) stats
+    // pruning, so a point lookup pays preads for its candidates alone
+    val metas1 =
+      if (!bloomUseful) statsKept
+      else {
+        val need = statsKept.filter(m => m.bloomInHeader && m.bloomJson.isEmpty)
+        if (need.isEmpty) statsKept
+        else {
+          val fetched = OcfDataSource.fetchMetas(resolved.conf,
+            need.map(m => OcfDataSource.FileSlice(m.path, m.len, m.partitionValues)))
+            .map(m => m.path -> m).toMap
+          fetched.values.foreach(m => resolved.metaCache.put(m.path, m))
+          statsKept.map(m => fetched.getOrElse(m.path, m))
+        }
       }
+    val metas =
+      if (!bloomUseful) metas1
+      else metas1.filter(m => m.bloomJson.forall { js =>
+        OcfBloom.mayMatch(pushed.toSeq, OcfBloom.parse(js).get)
+      })
     OcfDataSource.lastPlannedFiles.set(metas.map(_.path))
     // partition columns the query still needs, in layout order
     val reqPartCols = required match {
@@ -1273,6 +1319,18 @@ private[graft] final case class OcfScan(
     runtimeFilters = filters.toSeq
     val nameToIdx = partCols.zipWithIndex.toMap
     val bloomUseful = OcfBloom.anyEqualityShape(filters.toSeq)
+    // lazy bloom upgrade (manifest metas carry only a presence flag): the
+    // runtime key set arrived with equality shapes, so headers flagged as
+    // bloom-stamped are worth one pread each before the refutation pass
+    val upgraded: Map[String, OcfDataSource.OcfFileMeta] =
+      if (!bloomUseful) Map.empty
+      else {
+        val need = files.filter(m => m.bloomInHeader && m.bloomJson.isEmpty)
+        if (need.isEmpty) Map.empty
+        else OcfDataSource.fetchMetas(conf.value,
+          need.map(m => OcfDataSource.FileSlice(m.path, m.len, m.partitionValues)))
+          .map(m => m.path -> m).toMap
+      }
     val bucketIds: Option[Set[Int]] =
       if (bucketN == 0) None
       else OcfBucket.admittedIds(filters.toSeq, bucketCols, bucketColTypes, bucketN)
@@ -1290,7 +1348,7 @@ private[graft] final case class OcfScan(
         m.partitionValues.length > bucketValueIdx &&
           m.partitionValues(bucketValueIdx).toIntOption.exists(ids.contains)) &&
       OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get) &&
-        (!bloomUseful || m.bloomJson.forall { js =>
+        (!bloomUseful || upgraded.getOrElse(m.path, m).bloomJson.forall { js =>
           OcfBloom.mayMatch(filters.toSeq, OcfBloom.parse(js).get)
         })
     }
@@ -1378,6 +1436,21 @@ private[graft] final case class OcfScan(
       val keep: OcfDataSource.OcfFileMeta => Boolean =
         if (runtimeFiles == null) _ => true
         else { val kept = runtimeFiles.iterator.map(_.path).toSet; m => kept(m.path) }
+      val allFilters =
+        pushedFilters ++ (if (runtimeFilters == null) Nil else runtimeFilters)
+      // lazy block-index upgrade (manifest metas carry a presence flag
+      // only): with filters in play, a header-stamped block index can
+      // refute whole blocks inside surviving files — one pread each
+      val blockUpgraded: Map[String, OcfDataSource.OcfFileMeta] =
+        if (allFilters.isEmpty) Map.empty
+        else {
+          val need = files.filter(m =>
+            keep(m) && m.blockIndexInHeader && m.blockIndexJson.isEmpty)
+          if (need.isEmpty) Map.empty
+          else OcfDataSource.fetchMetas(conf.value,
+            need.map(m => OcfDataSource.FileSlice(m.path, m.len, m.partitionValues)))
+            .map(m => m.path -> m).toMap
+        }
       val keyed = keyGrouped
       files.iterator.zipWithIndex.filter { case (f, _) => keep(f) }.flatMap { case (f, i) =>
         def keyRow(f: OcfDataSource.OcfFileMeta): InternalRow = {
@@ -1396,9 +1469,8 @@ private[graft] final case class OcfScan(
           else OcfInputPartition(i, s, e, aligned)
         // defensive null check: @transient fields revive as null if a scan
         // object ever crosses a serialization boundary before planning
-        OcfScan.blockAlignedRanges(f,
-          pushedFilters ++ (if (runtimeFilters == null) Nil else runtimeFilters),
-          splitSize) match {
+        OcfScan.blockAlignedRanges(blockUpgraded.getOrElse(f.path, f),
+          allFilters, splitSize) match {
           case Some(ranges) => ranges.iterator.map { case (s, e) => mk(s, e, aligned = true) }
           case None =>
             (0L until math.max(1L, (f.len + splitSize - 1) / splitSize)).iterator.map { k =>

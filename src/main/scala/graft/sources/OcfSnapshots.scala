@@ -33,7 +33,17 @@ private[graft] object OcfSnapshots {
 
   val Dir = "_graft_snapshots"
 
-  final case class SnapFile(path: String, len: Long)
+  /** One manifest entry: the file's relative path + length, plus (when the
+    * commit embedded it) the header metadata a scan needs — writer schema,
+    * codec, sync marker, first-block offset, row stamp, stats and sort
+    * stamps. A manifest whose entries carry metas plans with ZERO per-file
+    * header reads: at 100k files that removes 100k round trips from every
+    * query's planning. Bloom / block-index stamps are deliberately NOT
+    * inlined (they can be MBs per file); `hasBloom`/`hasBlockIndex` tell
+    * the scan a lazy header pread is worthwhile for the query shapes that
+    * can use them. */
+  final case class SnapFile(path: String, len: Long,
+                            meta: Option[OcfDataSource.OcfFileMeta] = None)
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
                             files: Seq[SnapFile])
 
@@ -70,11 +80,39 @@ private[graft] object OcfSnapshots {
     val in = fs.open(manifestPath(tableDir, version))
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = mapper.readTree(bytes)
+    // writer schemas are deduplicated into one table (a 10k-file table
+    // usually has a handful of distinct schemas, not 10k copies)
+    val schemas: IndexedSeq[String] = Option(root.get("schemas")) match {
+      case Some(arr) =>
+        val b = IndexedSeq.newBuilder[String]
+        val it = arr.elements()
+        while (it.hasNext) b += it.next().asText
+        b.result()
+      case None => IndexedSeq.empty
+    }
     val files = Seq.newBuilder[SnapFile]
     val it = root.get("files").elements()
     while (it.hasNext) {
       val f = it.next()
-      files += SnapFile(f.get("path").asText, f.get("len").asLong)
+      val path = f.get("path").asText
+      val len = f.get("len").asLong
+      // meta fields are OPTIONAL: manifests written before meta embedding
+      // (or by minimal commits) still read — the scan falls back to preads
+      val meta = Option(f.get("schema")).map { sIdx =>
+        def strOpt(k: String): Option[String] = Option(f.get(k)).map(_.asText)
+        OcfDataSource.OcfFileMeta(
+          path = path, len = len,
+          writerSchemaJson = schemas(sIdx.asInt),
+          codecName = f.get("codec").asText,
+          sync = java.util.Base64.getDecoder.decode(f.get("sync").asText),
+          headerEnd = f.get("end").asLong,
+          statsJson = strOpt("stats"),
+          sortedByJson = strOpt("sorted"),
+          rowsStamp = Option(f.get("rows")).map(_.asLong),
+          bloomInHeader = Option(f.get("bloom")).exists(_.asBoolean),
+          blockIndexInHeader = Option(f.get("blockIndex")).exists(_.asBoolean))
+      }
+      files += SnapFile(path, len, meta)
     }
     Snapshot(root.get("version").asLong, root.get("timestampMs").asLong,
       root.get("operation").asText, files.result())
@@ -93,12 +131,29 @@ private[graft] object OcfSnapshots {
     root.put("version", s.version)
     root.put("timestampMs", s.timestampMs)
     root.put("operation", s.operation)
+    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val arr = root.putArray("files")
     s.files.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path)
       o.put("len", f.len)
+      f.meta.foreach { m =>
+        val idx = schemaIdx.getOrElseUpdate(m.writerSchemaJson, schemaIdx.size)
+        o.put("schema", idx)
+        o.put("codec", m.codecName)
+        o.put("sync", java.util.Base64.getEncoder.encodeToString(m.sync))
+        o.put("end", m.headerEnd)
+        m.rowsStamp.foreach(o.put("rows", _))
+        m.statsJson.foreach(o.put("stats", _))
+        m.sortedByJson.foreach(o.put("sorted", _))
+        // presence flags only — the stamps themselves stay in the header
+        if (m.bloomJson.isDefined || m.bloomInHeader) o.put("bloom", true)
+        if (m.blockIndexJson.isDefined || m.blockIndexInHeader)
+          o.put("blockIndex", true)
+      }
     }
+    val sarr = root.putArray("schemas")
+    schemaIdx.keys.foreach(sarr.add)
     mapper.writeValueAsBytes(root)
   }
 

@@ -1540,13 +1540,27 @@ private[sources] object OcfCommit {
     val fs = dirPath.getFileSystem(cfg.conf.value)
     renameAll(cfg, fs, messages)
     val qualDir = fs.makeQualified(dirPath).toString
-    val added: Seq[OcfSnapshots.SnapFile] = messages.toSeq.flatMap {
+    val addedPathsLens: Seq[(String, Long)] = messages.toSeq.flatMap {
       case OcfCommitMessage(files, _) => files.map { f =>
         val dst = fs.makeQualified(new Path(f.dest))
-        OcfSnapshots.SnapFile(OcfSnapshots.relativize(qualDir, dst.toString),
-          fs.getFileStatus(dst).getLen)
+        (dst.toString, fs.getFileStatus(dst).getLen)
       }
       case _ => Nil
+    }
+    // embed each new file's header metadata in the manifest (schema, codec,
+    // sync, first-block offset, rows/stats/sort stamps + bloom/block-index
+    // presence): one pooled header read per file at COMMIT time buys every
+    // future read a zero-pread plan
+    val addedMetas = OcfDataSource.fetchMetas(cfg.conf.value,
+      addedPathsLens.map { case (p, l) => OcfDataSource.FileSlice(p, l) })
+    val added: Seq[OcfSnapshots.SnapFile] = addedMetas.map { m =>
+      OcfSnapshots.SnapFile(OcfSnapshots.relativize(qualDir, m.path), m.len,
+        meta = Some(m.copy(
+          bloomInHeader = m.bloomJson.isDefined,
+          blockIndexInHeader = m.blockIndexJson.isDefined,
+          // the large stamps live in the header, not the manifest
+          bloomJson = None, blockIndexJson = None,
+          partitionValues = Array.empty)))
     }
     // relative partition directory of a manifest path, the `_bucket=K`
     // level lifted — dynamic overwrite replaces PARTITIONS, not buckets

@@ -150,6 +150,43 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no snapshot version 2"), e.getMessage)
   }
 
+  test("manifest metas: reads plan with zero header preads; bloom preads stay lazy") {
+    spark.sql(
+      """CREATE TABLE gs.ns.m (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id', bloomColumns 'id')""".stripMargin)
+    spark.sql("INSERT INTO gs.ns.m SELECT id, concat('x', id) FROM range(100)")
+    spark.sql("INSERT INTO gs.ns.m SELECT id, concat('x', id) FROM range(100, 200)")
+
+    // a plain scan and a stats-range scan plan entirely from the manifest
+    def preads[T](body: => T): Long = {
+      val before = OcfDataSource.headerReads.get()
+      body
+      OcfDataSource.headerReads.get() - before
+    }
+    assert(preads(assert(spark.table("gs.ns.m").count() == 200L)) == 0L,
+      "a manifest-meta scan must not read any file header at plan time")
+    assert(preads(assert(spark.sql(
+      "SELECT count(*) FROM gs.ns.m WHERE id >= 150").head.getLong(0) == 50L)) == 0L,
+      "stats-range pruning must run from manifest-inline stats")
+    // min/max/sum aggregate pushdown answers from manifest stats too
+    assert(preads(assert(spark.sql(
+      "SELECT min(id), max(id) FROM gs.ns.m").head.toSeq == Seq(0L, 199L))) == 0L,
+      "header-constant aggregates must come from manifest-inline stats")
+
+    // a point lookup NEEDS the bloom stamp: exactly the candidate files
+    // (stats-survivors) get preads, and pruning still works
+    val n = preads {
+      assert(spark.sql("SELECT v FROM gs.ns.m WHERE id = 42")
+        .head.getString(0) == "x42")
+    }
+    assert(n > 0L, "a bloom-eligible lookup pays lazy header preads")
+    val planned = OcfDataSource.lastPlannedFiles.get()
+    val total = OcfSnapshots.latest(fs,
+      new Path(warehouse.getAbsolutePath, "ns/m")).get.files.length
+    assert(planned.size < total,
+      s"bloom refutation must prune: planned ${planned.size} of $total")
+  }
+
   test("optimistic commit survives a racing writer") {
     val root = new Path(warehouse.getAbsolutePath, "ns/t")
     val v0 = OcfSnapshots.versions(fs, root).last
