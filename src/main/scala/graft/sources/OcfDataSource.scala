@@ -1231,14 +1231,36 @@ private[graft] final case class OcfScan(
     * ascending-nulls-first on it — Spark's `EnsureRequirements` then drops
     * local Sort nodes (`sortWithinPartitions`, sort-based aggregation,
     * window sorts over the same prefix) instead of re-sorting data the
-    * layout already ordered. Withheld when the scan reports a
-    * KeyGroupedPartitioning (grouping CONCATENATES same-key splits of
-    * different files — each sorted, the concatenation not), for aggregate
-    * pushdown shapes (different output schema), and for any column pruned
-    * out of the read schema (an ordering claim must reference output
-    * columns). */
+    * layout already ordered. Withheld under a KeyGroupedPartitioning whose
+    * groups CONCATENATE several splits (each sorted, the concatenation
+    * not) — but CLAIMED when every key group is a single split
+    * ([[singleSplitPerKey]]): a co-bucketed, sort-stamped pair of tables
+    * then joins with neither a shuffle NOR a sort on either side. Also
+    * withheld for aggregate pushdown shapes (different output schema) and
+    * for any column pruned out of the read schema (an ordering claim must
+    * reference output columns). */
+  /** Key tuple of a file under the reported key-grouping (identity
+    * partition values + bucket id), for the one-split-per-key probe. */
+  private def groupKeyOf(m: OcfDataSource.OcfFileMeta): Seq[String] =
+    partIdx.toSeq.map(i =>
+      if (i < m.partitionValues.length) m.partitionValues(i) else null) ++
+      (if (bucketN > 0) Seq(m.partitionValues(bucketValueIdx)) else Nil)
+
+  /** True when every key group is exactly ONE split: one file per key, the
+    * file small enough for a single size-based split, and no block index
+    * (which could shard it into several aligned ranges). Only then does a
+    * per-file sort stamp survive key grouping — a group that CONCATENATES
+    * splits (several files, or several ranges of one file) is not ordered
+    * even though each piece is. */
+  private def singleSplitPerKey: Boolean =
+    files.groupBy(groupKeyOf).valuesIterator.forall { fs =>
+      fs.lengthCompare(1) == 0 && fs.head.len <= splitSize &&
+        fs.head.blockIndexJson.isEmpty && !fs.head.blockIndexInHeader
+    }
+
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    if (countStar || aggExprs.nonEmpty || files.isEmpty || keyGrouped)
+    if (countStar || aggExprs.nonEmpty || files.isEmpty ||
+        (keyGrouped && !singleSplitPerKey))
       return Array.empty
     val lists = files.map(_.sortedByJson)
     if (lists.exists(_.isEmpty)) return Array.empty

@@ -230,6 +230,47 @@ class OcfBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("co-bucketed SORTED tables join with zero exchanges AND zero sorts") {
+    // bucket(4, k) + sortColumns=k: the write clusters by bucket and sorts
+    // within, each bucket lands as ONE sort-stamped file, and the scan
+    // reports both the key grouping and (single-split-per-key) the
+    // per-partition ordering — the SMJ needs nothing from the engine
+    Seq("a", "b").foreach { t =>
+      spark.sql(
+        s"""CREATE TABLE gb.ns.sorted_$t (k BIGINT, v_$t STRING)
+           |USING `graft-ocf` PARTITIONED BY (bucket(4, k))
+           |OPTIONS (reportPartitioning 'true', sortColumns 'k')""".stripMargin)
+      spark.sql(
+        s"INSERT INTO gb.ns.sorted_$t SELECT id, concat('$t', id) FROM range(120)")
+    }
+    val withSpj = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = withSpj.map { case (k, _) => k -> spark.conf.getOption(k) }
+    withSpj.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.k, a.v_a, b.v_b
+          |FROM gb.ns.sorted_a a JOIN gb.ns.sorted_b b ON a.k = b.k""".stripMargin)
+      assert(joined.count() == 120L)
+      assert(shuffles(joined) == 0,
+        s"no exchange expected:\n${joined.queryExecution.executedPlan}")
+      joined.collect()
+      def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          sorts(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => sorts(q.plan)
+        case s: org.apache.spark.sql.execution.SortExec => 1 + s.children.map(sorts).sum
+        case other => other.children.map(sorts).sum
+      }
+      assert(sorts(joined.queryExecution.executedPlan) == 0,
+        s"no sort expected (verified stamps + one split per bucket):\n${joined.queryExecution.executedPlan}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucket + identity partitions compose: layout, pruning, dynamic overwrite") {
     spark.sql(
       """CREATE TABLE gb.ns.events (ev_id BIGINT, payload STRING, day STRING)
