@@ -1372,6 +1372,17 @@ object SparkEntry {
           |ORDER BY version""".stripMargin)
     }),
 
+    // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
+    // 15-token sliding windows hashed portably (md5), windows recurring in
+    // >= 2 distinct docs mark their spans, and the per-doc union of marked
+    // spans measures how much of each document is shared boilerplate —
+    // the signal substring-level dedup strips and doc-level dedup misses.
+    "q95_dup_spans" -> ((s, dir) =>
+      graft.ops.TextAnalysis.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", window = 15)
+        .where(col("dup_windows") > 0)
+        .orderBy(col("doc_id"))),
+
     // Gopher/C4 quality-rule funnel (X70): per-rule boolean flags from the
     // published filtering heuristics, aggregated into a per-source funnel —
     // which rule kills how many documents. Integer-exact arithmetic keeps
@@ -2232,6 +2243,36 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY digest""".stripMargin,
+
+    // identical tokenization and window hashing (md5 of space-joined
+    // 15-token slices); interval-union coverage via the same sorted-lag
+    // telescope; only docs with at least one duplicated window survive
+    "q95_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), wins AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(array_to_string(ws[i:i+14], ' ')) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(ws) - 14)) AS t(i)
+        |  WHERE len(ws) >= 15
+        |), dup AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), dw AS (
+        |  SELECT w.doc_id, w.pos,
+        |    lag(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS prev
+        |  FROM wins w WHERE w.h IN (SELECT h FROM dup)
+        |), cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 15
+        |                  ELSE least(15, pos - prev) END) AS BIGINT) AS covered_tokens
+        |  FROM dw GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  c.dup_windows, c.covered_tokens
+        |FROM toks t JOIN cov c ON t.doc_id = c.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // version 1 holds the even doc_ids, version 2 everything — snapshot
     // numbering is deterministic because the query recreates the table

@@ -234,6 +234,57 @@ object TextAnalysis {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Cross-document repeated-substring metrics (X73) — the "dedup the
+    * SPANS, not just the documents" signal from Lee et al. 2022
+    * (arXiv:2107.06499): boilerplate, licenses and templated text recur as
+    * long exact token runs across otherwise-distinct documents, and
+    * document-level dedup never sees them. Every `window`-token sliding
+    * window is hashed (md5 of the space-joined tokens — engine-portable);
+    * a window duplicated across >= 2 DISTINCT documents marks its token
+    * span, and per document the UNION of marked spans yields
+    * `covered_tokens` / `dup_windows` — the repeated-substring exposure a
+    * curation pass filters or strips on.
+    *
+    * Scale shape: the text never shuffles — the fan-out ships (hash16B,
+    * doc_id, pos) triples; duplicated hashes come from a count-distinct
+    * aggregation on the hash (hash-partitioned, skew-free); span-union
+    * coverage is ONE window function keyed by doc_id using the classic
+    * sorted-interval telescope sum(min(window, pos - prev_pos)). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      window: Int = 15): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
+    val base = df.select(col(idCol), toks.as("ws"))
+    val wins = base
+      .select(col(idCol),
+        posexplode_outer(
+          when(size(col("ws")) >= window,
+            transform(sequence(lit(1), size(col("ws")) - window + 1),
+              i => md5(concat_ws(" ", slice(col("ws"), i, lit(window)))))))
+          .as(Seq("pos", "h")))
+    val dupHashes = wins.where(col("h").isNotNull)
+      .groupBy("h")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    val dupWins = wins.join(dupHashes, "h")
+      .select(col(idCol), col("pos"))
+    val covered = dupWins
+      .withColumn("prev", lag("pos", 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("pos"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(when(col("prev").isNull, lit(window))
+          .otherwise(least(lit(window), col("pos") - col("prev"))))
+          .as("covered_tokens"))
+    base.select(col(idCol), size(col("ws")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
   /** Gopher/C4-style document quality rules (X70): the published filter
     * heuristics from the Gopher "quality filtering" recipe (Rae et al. 2021,
     * arXiv:2112.11446 §A1.1) and C4's cleaning pass (Raffel et al. 2020,

@@ -189,11 +189,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** `SELECT ... FROM t VERSION AS OF n` — a read-only table pinned to
     * snapshot manifest `n` ([[OcfSnapshots]]). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft catalog: VERSION AS OF wants a numeric snapshot version, got '$version'"))
     val meta = tableMeta(ident)
     val root = new Path(meta.location)
     val fsys = root.getFileSystem(conf)
+    // numeric = snapshot version; anything else = a tag name
+    val v = version.toLongOption.getOrElse(
+      OcfSnapshots.readTags(fsys, root).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"graft catalog: table ${ident.name} has no snapshot tag '$version' " +
+            s"(tags: ${OcfSnapshots.readTags(fsys, root).keys.toSeq.sorted.mkString(", ")})")))
     require(OcfSnapshots.versions(fsys, root).contains(v),
       s"graft catalog: table ${ident.name} has no snapshot version $v " +
         s"(available: ${OcfSnapshots.versions(fsys, root).mkString(", ")})")

@@ -35,7 +35,9 @@ private[sources] object GraftProcedures {
     val known: Map[String, UnboundProcedure] = Map(
       "compact" -> new CompactProcedure(cat),
       "vacuum_temps" -> new VacuumTempsProcedure(cat),
-      "expire_snapshots" -> new ExpireSnapshotsProcedure(cat))
+      "expire_snapshots" -> new ExpireSnapshotsProcedure(cat),
+      "tag" -> new TagProcedure(cat),
+      "untag" -> new UntagProcedure(cat))
     if (ident.namespace.toSeq != Seq("system"))
       throw new RuntimeException(
         s"graft catalog: procedures live under the 'system' namespace " +
@@ -49,6 +51,8 @@ private[sources] object GraftProcedures {
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "tag"),
+        Identifier.of(Array("system"), "untag"),
         Identifier.of(Array("system"), "vacuum_temps"))
     else Array.empty
 
@@ -234,8 +238,12 @@ private[sources] object GraftProcedures {
       if (!OcfSnapshots.enabled(fs, root))
         return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
       val versions = OcfSnapshots.versions(fs, root)
-      val (expired, retained) =
+      // tagged versions are pinned: expiry never drops a named snapshot
+      val tagged = OcfSnapshots.readTags(fs, root).values.toSet
+      val (expireable, retainedTail) =
         versions.splitAt(math.max(0, versions.length - keepLast))
+      val (pinned, expired) = expireable.partition(tagged.contains)
+      val retained = (pinned ++ retainedTail).sorted
       if (expired.isEmpty)
         return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
       val keepFiles: Set[String] = retained
@@ -256,6 +264,63 @@ private[sources] object GraftProcedures {
       expired.foreach(v => OcfSnapshots.deleteManifest(fs, root, v))
       singleRowResult(outSchema,
         Array[Any](expired.length.toLong, deleted, deletedBytes))
+    }
+  }
+
+  /** `CALL g.system.tag(table => 'ns.t', name => 'v1', version => 3)` —
+    * pin a name to a snapshot (default: the latest). `VERSION AS OF 'v1'`
+    * resolves through it and expire_snapshots retains it. */
+  private final class TagProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String = "Name a snapshot version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("NULL")
+        .comment("snapshot version; defaults to the latest").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("tagged_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val v =
+        if (input.isNullAt(2))
+          OcfSnapshots.versions(fs, root).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"graft catalog: table has no snapshots to tag"))
+        else input.getLong(2)
+      OcfSnapshots.tag(fs, root, str(input, 1).get, v)
+      singleRowResult(outSchema, Array[Any](v))
+    }
+  }
+
+  private final class UntagProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "untag"
+    override def description(): String = "Remove a snapshot tag"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+
+    private val outSchema = StructType(Seq(
+      StructField("removed", org.apache.spark.sql.types.BooleanType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      singleRowResult(outSchema,
+        Array[Any](OcfSnapshots.untag(fs, root, str(input, 1).get)))
     }
   }
 }

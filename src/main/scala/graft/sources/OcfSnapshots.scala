@@ -193,6 +193,56 @@ private[graft] object OcfSnapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---- tags (named snapshots) ---------------------------------------------
+  // `CALL g.system.tag('ns.t', 'v1-release')` pins a name to a version;
+  // `VERSION AS OF 'v1-release'` resolves through it, and expire_snapshots
+  // RETAINS tagged versions (and their files) regardless of keep_last —
+  // the Iceberg tag semantics. One small JSON, replaced atomically.
+
+  private def tagsPath(tableDir: Path): Path =
+    new Path(snapshotsDir(tableDir), "_tags.json")
+
+  def readTags(fs: FileSystem, tableDir: Path): Map[String, Long] = {
+    val p = tagsPath(tableDir)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val root = mapper.readTree(bytes)
+    val b = Map.newBuilder[String, Long]
+    val it = root.fields()
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong }
+    b.result()
+  }
+
+  private def writeTags(fs: FileSystem, tableDir: Path,
+                        tags: Map[String, Long]): Unit = {
+    val root = mapper.createObjectNode()
+    tags.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    val dest = tagsPath(tableDir)
+    val tmp = new Path(snapshotsDir(tableDir),
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    fs.mkdirs(snapshotsDir(tableDir))
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"graft-ocf snapshots: could not replace $dest")
+  }
+
+  def tag(fs: FileSystem, tableDir: Path, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.exists(!_.isDigit),
+      s"graft-ocf snapshots: tag name '$name' must not look like a version number")
+    require(versions(fs, tableDir).contains(version),
+      s"graft-ocf snapshots: no snapshot version $version to tag under $tableDir")
+    writeTags(fs, tableDir, readTags(fs, tableDir) + (name -> version))
+  }
+
+  def untag(fs: FileSystem, tableDir: Path, name: String): Boolean = {
+    val tags = readTags(fs, tableDir)
+    if (!tags.contains(name)) false
+    else { writeTags(fs, tableDir, tags - name); true }
+  }
+
   /** The table directory's current visible data files as relative manifest
     * entries — the migration base for a table's first snapshot commit. */
   def listingAsFiles(fs: FileSystem, tableDir: Path): Seq[SnapFile] = {

@@ -398,6 +398,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
   }
 
+  test("duplicated spans: cross-doc windows mark exactly their token union") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 15) // exactly one 15-token window
+    val d = Seq(
+      // share the same 15-token run inside different surroundings
+      (1L, words("a", 10) + " " + shared + " " + words("b", 10)),
+      (2L, words("c", 5) + " " + shared + " " + words("d", 20)),
+      // unique doc: zero duplicated windows
+      (3L, words("solo", 40)),
+      // a LONGER shared run: 20 shared tokens = 6 overlapping windows whose
+      // union must count 20 tokens, not 6 * 15
+      (4L, words("x", 3) + " " + words("run", 20) + " " + words("y", 3)),
+      (5L, words("z", 7) + " " + words("run", 20)),
+      // shorter than the window: contributes nothing, still reported
+      (6L, words("tiny", 5))
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.duplicatedSpans(d, "doc_id", "text", window = 15)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1L) == ((35L, 1L, 15L)), s"got ${m(1L)}")
+    assert(m(2L) == ((40L, 1L, 15L)), s"got ${m(2L)}")
+    assert(m(3L) == ((40L, 0L, 0L)))
+    assert(m(4L)._2 == 6L && m(4L)._3 == 20L, s"20-token overlap union: ${m(4L)}")
+    assert(m(5L)._2 == 6L && m(5L)._3 == 20L, s"20-token overlap union: ${m(5L)}")
+    assert(m(6L) == ((5L, 0L, 0L)), "sub-window docs report zero exposure")
+  }
+
   test("gopher quality rules: each rule trips on its crafted fixture") {
     import spark.implicits._
     val goodBody = ("the quick brown fox jumps over twelve lazy dogs near " +

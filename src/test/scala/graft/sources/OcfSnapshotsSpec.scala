@@ -218,6 +218,45 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.frag").count() == 40L)
   }
 
+  test("tags: named snapshots resolve, survive expiry, and drop on untag") {
+    spark.sql("CREATE TABLE gs.ns.tg (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.tg SELECT id FROM range(5)")
+    spark.sql("INSERT INTO gs.ns.tg SELECT id FROM range(5, 12)")
+    spark.sql("INSERT INTO gs.ns.tg SELECT id FROM range(12, 20)")
+    // tag an explicit version and the latest
+    spark.sql("CALL gs.system.tag(`table` => 'ns.tg', name => 'first-five', version => 1)")
+    val latest = spark.sql("CALL gs.system.tag(`table` => 'ns.tg', name => 'current')")
+      .head.getLong(0)
+    assert(latest == 3L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.tg VERSION AS OF 'first-five'")
+      .head.getLong(0) == 5L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.tg VERSION AS OF 'current'")
+      .head.getLong(0) == 20L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gs.ns.tg VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("no snapshot tag 'nope'"), e.getMessage)
+
+    // expiry pins tagged versions: keep_last=1 would drop v1/v2, but
+    // 'first-five' holds v1 (and its files) in place
+    val r = spark.sql(
+      "CALL gs.system.expire_snapshots(`table` => 'ns.tg', keep_last => 1)").head
+    assert(r.getLong(0) == 1L, s"only the untagged v2 may expire: $r")
+    assert(spark.sql("SELECT count(*) FROM gs.ns.tg VERSION AS OF 'first-five'")
+      .head.getLong(0) == 5L, "tagged version must survive expiry intact")
+
+    // untag releases it; the next expiry reclaims
+    assert(spark.sql("CALL gs.system.untag(`table` => 'ns.tg', name => 'first-five')")
+      .head.getBoolean(0))
+    val r2 = spark.sql(
+      "CALL gs.system.expire_snapshots(`table` => 'ns.tg', keep_last => 1)").head
+    assert(r2.getLong(0) == 1L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gs.ns.tg VERSION AS OF 'first-five'").collect()
+    }
+    assert(spark.table("gs.ns.tg").count() == 20L)
+  }
+
   test("CTAS and RTAS commit create/replace snapshots") {
     spark.sql(
       """CREATE TABLE gs.ns.c USING `graft-ocf` AS
