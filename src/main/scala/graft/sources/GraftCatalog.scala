@@ -179,6 +179,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.partitions` — per-partition file/row/byte
+      // rollup from the same header-free meta loader as `.files`
+      if (ident.name == "partitions" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfPartitionsMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
+        }
+      }
       throw new NoSuchTableException(ident)
     }
     val meta = readMeta(fs, mp)
@@ -490,6 +500,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 private[sources] object GraftCatalog {
+
+  /** Layout columns + per-file metas of a table's VISIBLE files, preferring
+    * manifest-embedded metas (zero header preads on snapshot tables) and
+    * preading only the uncovered remainder — the shared loader for the
+    * `.files` / `.partitions` metadata tables. */
+  private[sources] def tableFileMetas(meta: TableMeta, conf: Configuration)
+      : (Seq[String], Seq[OcfDataSource.OcfFileMeta]) = {
+    val files =
+      try OcfDataSource.snapshotAwareList(conf, Seq(meta.location), None,
+        recursive = true)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (files.isEmpty) return (Nil, Nil)
+    val root = new Path(meta.location)
+    val fsys = root.getFileSystem(conf)
+    val qualified = fsys.makeQualified(root).toString
+    val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), files)
+    val manifest: Map[String, OcfDataSource.OcfFileMeta] =
+      OcfSnapshots.latest(fsys, root).map { s =>
+        val base = fsys.makeQualified(root)
+        s.files.iterator.flatMap(sf =>
+          sf.meta.map(m => new Path(base, sf.path).toString -> m)).toMap
+      }.getOrElse(Map.empty)
+    val need = annotated.filter(f => !manifest.contains(f.path))
+    val fetched =
+      if (need.isEmpty) Map.empty[String, OcfDataSource.OcfFileMeta]
+      else OcfDataSource.fetchMetas(conf, need).map(m => m.path -> m).toMap
+    val metas = annotated.map(f => manifest.get(f.path)
+      .map(_.copy(path = f.path, len = f.len, partitionValues = f.partitionValues))
+      .getOrElse(fetched(f.path)))
+    (layoutCols, metas)
+  }
   val MetaFileName = "_graft_table.json"
 
   /** The table's READER schema for its data columns: nullable fields carry
@@ -995,16 +1036,10 @@ private[sources] final class OcfFilesMetaTable(
         override def description(): String = s"graft-ocf FILES metadata of ${meta.location}"
         override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
           import org.apache.spark.unsafe.types.UTF8String
-          // snapshot-aware: retained time-travel files are not the table
-          val files =
-            try OcfDataSource.snapshotAwareList(conf, Seq(meta.location), None,
-              recursive = true)
-            catch { case _: java.io.FileNotFoundException => Nil }
-          if (files.isEmpty) return Array.empty
-          val root = new Path(meta.location)
-          val qualified = root.getFileSystem(conf).makeQualified(root).toString
-          val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), files)
-          val metas = OcfDataSource.fetchMetas(conf, annotated)
+          // snapshot-aware: manifest metas answer without header preads,
+          // and retained time-travel files are not the table
+          val (layoutCols, metas) = GraftCatalog.tableFileMetas(meta, conf)
+          if (metas.isEmpty) return Array.empty
           metas.map { m =>
             val part = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
               layoutCols.indices.map(i => UTF8String.fromString(layoutCols(i))).toArray[Any],
@@ -1023,8 +1058,8 @@ private[sources] final class OcfFilesMetaTable(
               part,
               sortedBy,
               m.statsJson.isDefined,
-              m.bloomJson.isDefined,
-              m.blockIndexJson.isDefined))
+              m.bloomJson.isDefined || m.bloomInHeader,
+              m.blockIndexJson.isDefined || m.blockIndexInHeader))
           }.toArray
         }
       }
@@ -1092,6 +1127,60 @@ private[sources] final class OcfHistoryMetaTable(
               s.files.length.toLong,
               s.files.map(_.len).sum))
           }.toArray
+        }
+      }
+    }
+}
+
+/** `SELECT * FROM <cat>.<ns>.<table>.partitions` - one row per partition
+  * tuple: file count, stamped row total (null when any file lacks a row
+  * stamp - never a guess), and byte size. The operational rollup behind
+  * "which partitions are skewed / fragmented / due for compaction",
+  * answered from manifest metas (or one header pread per uncovered file),
+  * zero data blocks read. */
+private[sources] final class OcfPartitionsMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta, conf: Configuration)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("partition", MapType(StringType, StringType, valueContainsNull = true),
+      nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-ocf PARTITIONS rollup of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val (layoutCols, metas) = GraftCatalog.tableFileMetas(meta, conf)
+          if (metas.isEmpty) return Array.empty
+          metas.groupBy(_.partitionValues.toSeq).toSeq
+            .sortBy(_._1.map(v => if (v == null) "" else v).mkString(" "))
+            .map { case (vals, fs) =>
+              val part = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+                layoutCols.indices.map(i =>
+                  UTF8String.fromString(layoutCols(i))).toArray[Any],
+                layoutCols.indices.map(i =>
+                  if (i < vals.length && vals(i) != null)
+                    UTF8String.fromString(vals(i))
+                  else null).toArray[Any])
+              val rowsTotal: Any =
+                if (fs.forall(_.rowsStamp.isDefined))
+                  java.lang.Long.valueOf(fs.map(_.rowsStamp.get).sum)
+                else null
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+                part, fs.length.toLong, rowsTotal, fs.map(_.len).sum))
+            }.toArray
         }
       }
     }

@@ -1534,6 +1534,63 @@ private[graft] final case class OcfScan(
         OptionalLong.of(fs.map(_.rowsStamp.get).sum)
       else OptionalLong.empty()
     }
+
+    /** Per-column min/max/nullCount for CBO, folded from the planned files'
+      * `graft.stats` stamps (manifest-inline or header): filter-selectivity
+      * and join-size estimation then work from real bounds instead of
+      * byte-count guesses. A column reports only when EVERY planned file
+      * stamps it (a partial bound is a wrong bound); bounds may be wider
+      * than the post-filter rows — conservative, like parquet's. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue) return out
+      val fs = effectiveFiles
+      if (fs.isEmpty || !fs.forall(_.statsJson.isDefined)) return out
+      val parsed = fs.map(m =>
+        m -> scala.util.Try(OcfPartitions.parseStats(m.statsJson.get))
+          .getOrElse(Map.empty[String, OcfPartitions.ColStat]))
+      val dataFields = readSchema().fields.filterNot(f =>
+        partCols.contains(f.name) || f.name == OcfDataSource.FileColName)
+      dataFields.foreach { f =>
+        val stats = parsed.map { case (_, m) => m.get(f.name) }
+        val renderable = f.dataType match {
+          case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType |
+               org.apache.spark.sql.types.StringType => true
+          case _ => false
+        }
+        if (renderable && stats.forall(_.isDefined)) {
+          val ss = stats.map(_.get)
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]]
+          val mins = ss.flatMap(_.min).map(OcfDataSource.statValue(_, f.dataType))
+          val maxs = ss.flatMap(_.max).map(OcfDataSource.statValue(_, f.dataType))
+          val nulls: Option[Long] =
+            if (parsed.forall(_._1.rowsStamp.isDefined) && ss.forall(_.nonNull.isDefined))
+              Some(parsed.map(_._1.rowsStamp.get).sum - ss.flatMap(_.nonNull).sum)
+            else None
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                if (mins.isEmpty) java.util.Optional.empty()
+                else java.util.Optional.of(mins.min(ord).asInstanceOf[Object])
+              override def max(): java.util.Optional[Object] =
+                if (maxs.isEmpty) java.util.Optional.empty()
+                else java.util.Optional.of(maxs.max(ord).asInstanceOf[Object])
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+        }
+      }
+      out
+    }
   }
 }
 

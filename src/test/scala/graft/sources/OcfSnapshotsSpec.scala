@@ -257,6 +257,48 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.tg").count() == 20L)
   }
 
+  test(".partitions rollup and CBO column statistics from stamps") {
+    spark.sql(
+      """CREATE TABLE gs.ns.pstat (id BIGINT, v STRING, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (statsColumns 'id')""".stripMargin)
+    spark.sql(
+      """INSERT INTO gs.ns.pstat SELECT id, concat('v', id),
+        |CASE WHEN id < 30 THEN 'en' ELSE 'fr' END FROM range(50)""".stripMargin)
+
+    // .partitions: per-tuple file/row/byte rollup, header-free
+    val parts = spark.sql(
+      "SELECT partition['lang'] AS lang, n_files, rows, size_bytes " +
+        "FROM gs.ns.pstat.partitions ORDER BY lang").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("en", "fr"))
+    assert(parts.map(_.getLong(2)).toSeq == Seq(30L, 20L),
+      s"stamped row rollup: ${parts.mkString(", ")}")
+    assert(parts.forall(r => r.getLong(1) >= 1L && r.getLong(3) > 0L))
+
+    // column statistics: the scan reports exact min/max/nullCount for the
+    // stamped column, folded across files
+    val scan = spark.table("gs.ns.pstat").queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.head
+    val stats = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(stats.numRows().getAsLong == 50L)
+    val cs = stats.columnStats()
+    val entry = {
+      val it = cs.entrySet().iterator()
+      var found: org.apache.spark.sql.connector.read.colstats.ColumnStatistics = null
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.fieldNames.toSeq == Seq("id")) found = e.getValue
+      }
+      found
+    }
+    assert(entry != null, s"no colStats for 'id': ${cs.keySet()}")
+    assert(entry.min.get == 0L && entry.max.get == 49L,
+      s"min=${entry.min} max=${entry.max}")
+    assert(entry.nullCount.getAsLong == 0L)
+  }
+
   test("CTAS and RTAS commit create/replace snapshots") {
     spark.sql(
       """CREATE TABLE gs.ns.c USING `graft-ocf` AS
