@@ -36,6 +36,7 @@ private[sources] object GraftProcedures {
       "compact" -> new CompactProcedure(cat),
       "vacuum_temps" -> new VacuumTempsProcedure(cat),
       "expire_snapshots" -> new ExpireSnapshotsProcedure(cat),
+      "rollback" -> new RollbackProcedure(cat),
       "tag" -> new TagProcedure(cat),
       "untag" -> new UntagProcedure(cat))
     if (ident.namespace.toSeq != Seq("system"))
@@ -51,6 +52,7 @@ private[sources] object GraftProcedures {
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "tag"),
         Identifier.of(Array("system"), "untag"),
         Identifier.of(Array("system"), "vacuum_temps"))
@@ -321,6 +323,48 @@ private[sources] object GraftProcedures {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       singleRowResult(outSchema,
         Array[Any](OcfSnapshots.untag(fs, root, str(input, 1).get)))
+    }
+  }
+
+  /** `CALL g.system.rollback(table => 'ns.t', version => 3)` — restore the
+    * table to snapshot `version` by committing a NEW manifest with that
+    * version's file list (op `rollback`). History is preserved: the bad
+    * commits stay inspectable, the rollback is itself a commit, and
+    * nothing is deleted — the safe undo for a bad overwrite/delete, valid
+    * as long as the target's files have not been expired. */
+  private final class RollbackProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "Restore a table to an earlier snapshot via a new commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+
+    private val outSchema = StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val v = input.getLong(1)
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      require(OcfSnapshots.versions(fs, root).contains(v),
+        s"graft catalog: no snapshot version $v to roll back to " +
+          s"(available: ${OcfSnapshots.versions(fs, root).mkString(", ")})")
+      val target = OcfSnapshots.read(fs, root, v)
+      // every restored file must still exist (expiry may have reclaimed it)
+      target.files.foreach { f =>
+        require(fs.exists(new Path(root, f.path)),
+          s"graft catalog: cannot roll back to version $v - file ${f.path} " +
+            "has been expired; the snapshot is no longer restorable")
+      }
+      val committed = OcfSnapshots.commit(fs, root, "rollback")(_ => target.files)
+      singleRowResult(outSchema, Array[Any](v, committed.version))
     }
   }
 }

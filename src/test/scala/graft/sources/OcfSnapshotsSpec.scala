@@ -218,6 +218,55 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.frag").count() == 40L)
   }
 
+  test("rollback restores an earlier snapshot as a new commit") {
+    spark.sql("CREATE TABLE gs.ns.rb (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.rb SELECT id FROM range(10)")
+    // a "bad" overwrite wipes the table
+    spark.sql("INSERT OVERWRITE gs.ns.rb SELECT id FROM range(2)")
+    assert(spark.table("gs.ns.rb").count() == 2L)
+    val r = spark.sql(
+      "CALL gs.system.rollback(`table` => 'ns.rb', version => 1)").head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L, s"got $r")
+    assert(spark.table("gs.ns.rb").count() == 10L,
+      "rollback must restore version 1's contents")
+    // history preserved: the bad overwrite is still inspectable
+    assert(spark.sql("SELECT operation FROM gs.ns.rb.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("append", "overwrite", "rollback"))
+    assert(spark.sql("SELECT count(*) FROM gs.ns.rb VERSION AS OF 2").head.getLong(0) == 2L)
+    // unknown target refused
+    val e = intercept[Exception] {
+      spark.sql("CALL gs.system.rollback(`table` => 'ns.rb', version => 99)")
+    }
+    assert(e.getMessage.contains("no snapshot version 99"), e.getMessage)
+  }
+
+  test("streaming reads follow snapshot commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE gs.ns.str (id BIGINT, v STRING) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.str SELECT id, concat('a', id) FROM range(5)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snap-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-snap-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.table("gs.ns.str")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 5L)
+    // a new snapshot commit lands; the next trigger discovers ONLY its files
+    spark.sql("INSERT INTO gs.ns.str SELECT id, concat('b', id) FROM range(5, 12)")
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 12L, "second commit's rows must arrive exactly once")
+    assert(out.select("id").distinct().count() == 12L)
+  }
+
   test("tags: named snapshots resolve, survive expiry, and drop on untag") {
     spark.sql("CREATE TABLE gs.ns.tg (id BIGINT) USING `graft-ocf`")
     spark.sql("INSERT INTO gs.ns.tg SELECT id FROM range(5)")
