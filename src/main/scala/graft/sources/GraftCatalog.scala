@@ -212,8 +212,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"graft catalog: table ${ident.name} has no snapshot version $v " +
         s"(available: ${OcfSnapshots.versions(fsys, root).mkString(", ")})")
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
-    new CatalogOcfTable(fullName, meta, GraftCatalog.transformsOf(meta), conf,
-      pinnedVersion = Some(v))
+    new CatalogOcfTable(fullName, GraftCatalog.pinnedMeta(meta, fsys, root, v),
+      GraftCatalog.transformsOf(meta), conf, pinnedVersion = Some(v))
   }
 
   /** `SELECT ... FROM t TIMESTAMP AS OF ts` — pins the latest snapshot
@@ -227,8 +227,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft catalog: table ${ident.name} has no snapshot at or before " +
           s"timestamp ${timestampMicros / 1000L} ms"))
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
-    new CatalogOcfTable(fullName, meta, GraftCatalog.transformsOf(meta), conf,
-      pinnedVersion = Some(snap.version))
+    new CatalogOcfTable(fullName,
+      GraftCatalog.pinnedMeta(meta, fsys, root, snap.version),
+      GraftCatalog.transformsOf(meta), conf, pinnedVersion = Some(snap.version))
   }
 
   /** Shared CREATE-shape validation: identity transforms plus at most one
@@ -414,7 +415,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // history (expire_snapshots reclaims them), and readers switch
         // from old-complete to new-complete atomically
         val op = if (replacing) "replace-table" else "create-table"
-        OcfSnapshots.commit(catalogFs, dir, op)(_ => promoted.result())
+        OcfSnapshots.commit(catalogFs, dir, op,
+          Some(finalMeta.schema.json))(_ => promoted.result())
         catalogFs.delete(stagingDir, true)
         ()
       }
@@ -500,6 +502,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 private[sources] object GraftCatalog {
+
+  /** Table meta for a PINNED (time-travel) read: when the target manifest
+    * recorded its commit-time schema, the pinned table reports THAT schema
+    * — a read before an ADD COLUMN shows the table as it was. Partition
+    * columns are layout and never change, so they carry over as-is. */
+  private[sources] def pinnedMeta(meta: TableMeta,
+      fsys: org.apache.hadoop.fs.FileSystem, root: Path, v: Long): TableMeta =
+    OcfSnapshots.read(fsys, root, v).tableSchemaJson match {
+      case Some(js) =>
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js))
+          .toOption match {
+          case Some(st: StructType) => meta.copy(schema = st)
+          case _ => meta
+        }
+      case None => meta
+    }
 
   /** Layout columns + per-file metas of a table's VISIBLE files, preferring
     * manifest-embedded metas (zero header preads on snapshot tables) and
@@ -689,7 +707,10 @@ private[sources] class CatalogOcfTable(
       ("graft.catalogWrite" -> "true") +
       // catalog tables are snapshot-managed ([[OcfSnapshots]]): commits
       // publish a manifest, reads plan from it, history is time-travelable
-      ("graft.snapshots" -> snapshotWrites.toString)
+      ("graft.snapshots" -> snapshotWrites.toString) +
+      // schema-at-commit-time for the manifest: a pinned VERSION AS OF
+      // read then shows the schema the data HAD, not today's
+      ("graft.tableSchemaJson" -> meta.schema.json)
   private lazy val inner = new OcfTable(Some(meta.schema), transforms,
     meta.partCols.toArray, () => resolved, fullName, writeOptions)
 
@@ -811,7 +832,7 @@ private[sources] class CatalogOcfTable(
     if (OcfSnapshots.enabled(fsys, root)) {
       val relDir = OcfSnapshots.relativize(
         fsys.makeQualified(root).toString, fsys.makeQualified(d).toString)
-      OcfSnapshots.commit(fsys, root, op)(prev =>
+      OcfSnapshots.commit(fsys, root, op, Some(meta.schema.json))(prev =>
         prev.filterNot(f => f.path.startsWith(relDir + "/")))
       ()
     }
@@ -906,7 +927,8 @@ private[sources] class CatalogOcfTable(
     // snapshot-managed: the delete is a MANIFEST commit — matching files
     // drop from the visible set, bytes stay for time travel
     if (OcfSnapshots.enabled(fsys, root)) {
-      OcfSnapshots.commit(fsys, root, "delete-where") { prev =>
+      OcfSnapshots.commit(fsys, root, "delete-where",
+          Some(meta.schema.json)) { prev =>
         prev.filterNot { f =>
           val segs = f.path.split('/').dropRight(1).takeWhile(_.contains('='))
           val idx = segs.map(_.takeWhile(_ != '=')).zipWithIndex.toMap

@@ -164,7 +164,8 @@ private[sources] object GraftProcedures {
           OcfSnapshots.relativize(fs.makeQualified(root).toString,
             fs.makeQualified(p).toString)
         }.toSet
-        OcfSnapshots.commit(fs, root, "compact")(prev =>
+        OcfSnapshots.commit(fs, root, "compact",
+          Some(meta.schema.json))(prev =>
           prev.filterNot(f => beforeRel.contains(f.path)) ++ movedRel)
       } else {
         before.foreach { case (p, _) => fs.delete(p, false) }
@@ -363,7 +364,10 @@ private[sources] object GraftProcedures {
           s"graft catalog: cannot roll back to version $v - file ${f.path} " +
             "has been expired; the snapshot is no longer restorable")
       }
-      val committed = OcfSnapshots.commit(fs, root, "rollback")(_ => target.files)
+      // rollback restores CONTENTS under the CURRENT schema (DDL is not
+      // rolled back; old files null-fill any later-added columns)
+      val committed = OcfSnapshots.commit(fs, root, "rollback",
+        Some(meta.schema.json))(_ => target.files)
       singleRowResult(outSchema, Array[Any](v, committed.version))
     }
   }

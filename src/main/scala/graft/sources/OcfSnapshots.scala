@@ -45,7 +45,12 @@ private[graft] object OcfSnapshots {
   final case class SnapFile(path: String, len: Long,
                             meta: Option[OcfDataSource.OcfFileMeta] = None)
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
-                            files: Seq[SnapFile])
+                            files: Seq[SnapFile],
+                            // the table's Catalyst schema AT COMMIT TIME
+                            // (catalog commits only): a pinned VERSION AS OF
+                            // read shows the schema the data had, not the
+                            // one DDL later evolved it to
+                            tableSchemaJson: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -115,7 +120,8 @@ private[graft] object OcfSnapshots {
       files += SnapFile(path, len, meta)
     }
     Snapshot(root.get("version").asLong, root.get("timestampMs").asLong,
-      root.get("operation").asText, files.result())
+      root.get("operation").asText, files.result(),
+      Option(root.get("tableSchema")).map(_.asText))
   }
 
   def latest(fs: FileSystem, tableDir: Path): Option[Snapshot] =
@@ -131,6 +137,7 @@ private[graft] object OcfSnapshots {
     root.put("version", s.version)
     root.put("timestampMs", s.timestampMs)
     root.put("operation", s.operation)
+    s.tableSchemaJson.foreach(root.put("tableSchema", _))
     val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val arr = root.putArray("files")
     s.files.foreach { f =>
@@ -165,7 +172,8 @@ private[graft] object OcfSnapshots {
     * version, the transform re-runs against the WINNER's files — the
     * retry sees the concurrent commit's effects, it does not clobber them.
     * Returns the committed snapshot. */
-  def commit(fs: FileSystem, tableDir: Path, operation: String)
+  def commit(fs: FileSystem, tableDir: Path, operation: String,
+             tableSchemaJson: Option[String] = None)
             (transform: Seq[SnapFile] => Seq[SnapFile]): Snapshot = {
     val sdir = snapshotsDir(tableDir)
     fs.mkdirs(sdir)
@@ -177,8 +185,11 @@ private[graft] object OcfSnapshots {
         case Some(v) => read(fs, tableDir, v).files
         case None => listingAsFiles(fs, tableDir)
       }
+      val prevSchema = prevVersion.flatMap(v => read(fs, tableDir, v).tableSchemaJson)
       val next = Snapshot(prevVersion.getOrElse(0L) + 1, System.currentTimeMillis(),
-        operation, transform(prevFiles))
+        operation, transform(prevFiles),
+        // a schema-less commit (path write) inherits the previous schema
+        tableSchemaJson.orElse(prevSchema))
       val dest = manifestPath(tableDir, next.version)
       val tmp = new Path(sdir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)

@@ -321,6 +321,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       bucketNames = bucketOrdinals.map(sql.fields(_).name),
       bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
       snapshots = Option(opts.get("graft.snapshots")).exists(_.toBoolean),
+      tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
       statsCols = statsCols,
       bloomCols = bloomCols, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
@@ -364,6 +365,7 @@ private[sources] final case class OcfWriteConfig(
     bucketOrdinals: Array[Int] = Array.empty,
     numBuckets: Int = 0,
     snapshots: Boolean = false,
+    tableSchemaJson: Option[String] = None,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomFpp: Double = 0.01,
@@ -1614,7 +1616,7 @@ private[sources] object OcfCommit {
     // a replayed streaming epoch reuses its deterministic names: the added
     // entry REPLACES any same-path survivor, never duplicates it
     val addedPaths = added.map(_.path).toSet
-    OcfSnapshots.commit(fs, dirPath, op) { prev =>
+    OcfSnapshots.commit(fs, dirPath, op, cfg.tableSchemaJson) { prev =>
       prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
     }
     ()

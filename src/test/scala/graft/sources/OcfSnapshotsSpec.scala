@@ -218,6 +218,21 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.frag").count() == 40L)
   }
 
+  test("time travel shows the schema at commit time, not today's") {
+    spark.sql("CREATE TABLE gs.ns.evo (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.evo SELECT id FROM range(4)")
+    spark.sql("ALTER TABLE gs.ns.evo ADD COLUMN note STRING")
+    spark.sql("INSERT INTO gs.ns.evo SELECT id, concat('n', id) FROM range(4, 7)")
+    // current: evolved schema, old files null-fill
+    assert(spark.table("gs.ns.evo").columns.toSeq == Seq("id", "note"))
+    assert(spark.table("gs.ns.evo").count() == 7L)
+    // pinned to v1: the PRE-ALTER schema — no 'note' column at all
+    val v1 = spark.sql("SELECT * FROM gs.ns.evo VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("id"),
+      s"v1 predates the ADD COLUMN; got ${v1.columns.toSeq}")
+    assert(v1.count() == 4L)
+  }
+
   test("rollback restores an earlier snapshot as a new commit") {
     spark.sql("CREATE TABLE gs.ns.rb (id BIGINT) USING `graft-ocf`")
     spark.sql("INSERT INTO gs.ns.rb SELECT id FROM range(10)")
