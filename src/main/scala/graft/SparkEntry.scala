@@ -1372,6 +1372,42 @@ object SparkEntry {
           |ORDER BY version""".stripMargin)
     }),
 
+    // Incremental append scan (X78): the same two-commit table as q94, but
+    // read with startingVersion=1 — only the rows whose FILES were
+    // committed after v1 (here: the odd doc_ids of commit 2), resolved by
+    // manifest path-set difference with zero data reads or row diffing.
+    // The "process only what arrived since the last run" primitive of an
+    // incremental training-data pipeline.
+    "q96_incremental_read" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q96",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q96_wh_")
+      s.conf.set("spark.sql.catalog.graft_q96.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q96.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q96.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q96.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q96_src")
+      s.sql(
+        """INSERT INTO graft_q96.corpus.docs
+          |SELECT doc_id, source, n_chars FROM graft_q96_src
+          |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q96.corpus.docs
+          |SELECT doc_id, source, n_chars FROM graft_q96_src
+          |WHERE doc_id % 2 = 1""".stripMargin)
+      s.read.option("startingVersion", "1")
+        .table("graft_q96.corpus.docs")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2285,6 +2321,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |ORDER BY version""".stripMargin,
+
+    // the incremental range (1, latest] holds exactly commit 2's files —
+    // the odd doc_ids
+    "q96_incremental_read" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // same tokenization (whitespace split of trimmed text), same trimmed
     // non-empty lines, same integer-exact ratio comparisons as the Spark

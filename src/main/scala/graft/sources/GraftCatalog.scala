@@ -741,9 +741,35 @@ private[sources] class CatalogOcfTable(
       catch { case _: java.io.FileNotFoundException => false }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
-    else inner.newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Incremental append scan (X78): `spark.read.option("startingVersion", v)
+    // [.option("endingVersion", v2)].table(...)` reads only the rows whose
+    // files were COMMITTED after v (up to v2 / latest) — the "process what
+    // arrived since the last run" primitive. Exact-or-refuse semantics live
+    // in [[OcfSnapshots.incrementalFiles]]; an empty range is an empty
+    // frame. Options are per-SCAN (they arrive here, not in table state),
+    // so the same table instance serves normal reads untouched.
+    val starting = Option(options.get("startingVersion")).map(_.toLong)
+    val ending = Option(options.get("endingVersion")).map(_.toLong)
+    require(starting.isDefined || ending.isEmpty,
+      s"graft catalog: $fullName: endingVersion needs startingVersion " +
+        "(for a single-version read use VERSION AS OF)")
+    starting match {
+      case Some(s) =>
+        require(pinnedVersion.isEmpty,
+          s"graft catalog: $fullName is pinned (VERSION/TIMESTAMP AS OF); " +
+            "combine startingVersion/endingVersion with the live table instead")
+        val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
+        m.put("graft.snapshot.startingVersion", s.toString)
+        ending.foreach(e => m.put("graft.snapshot.version", e.toString))
+        val r = OcfDataSource.resolve(new CaseInsensitiveStringMap(m))
+        if (r.files.isEmpty) new EmptyOcfScanBuilder(meta.schema)
+        else new OcfScanBuilder(r)
+      case None =>
+        if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
+        else inner.newScanBuilder(options)
+    }
+  }
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
     require(pinnedVersion.isEmpty,

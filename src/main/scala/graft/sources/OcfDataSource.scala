@@ -249,32 +249,42 @@ object OcfDataSource {
     // stays correct. `graft.snapshot.version` pins a historical manifest
     // (VERSION AS OF through the catalog).
     val snapVersion = Option(options.get("graft.snapshot.version")).map(_.toLong)
+    // incremental append scan (X78): files added in (startingVersion,
+    // snapVersion-or-latest] — see [[OcfSnapshots.incrementalFiles]]
+    val snapStarting =
+      Option(options.get("graft.snapshot.startingVersion")).map(_.toLong)
     val snapRoot: Option[Path] =
       if (paths.length == 1 && glob.isEmpty) {
         val root = new Path(paths.head)
         val fs = root.getFileSystem(conf)
         if (OcfSnapshots.enabled(fs, root)) Some(root) else None
       } else None
-    require(snapVersion.isEmpty || snapRoot.isDefined,
-      "graft-ocf: graft.snapshot.version needs a single snapshot-managed " +
-        s"root directory; got ${paths.mkString(", ")} glob=$glob")
+    require((snapVersion.isEmpty && snapStarting.isEmpty) || snapRoot.isDefined,
+      "graft-ocf: graft.snapshot.version/startingVersion needs a single " +
+        s"snapshot-managed root directory; got ${paths.mkString(", ")} glob=$glob")
     // manifest-embedded header metadata, keyed by qualified path: reads of
     // a meta-carrying manifest plan with ZERO per-file header preads
     var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty
     var listed = snapRoot match {
       case Some(root) =>
         val fs = root.getFileSystem(conf)
-        val snap = snapVersion match {
-          case Some(v) => OcfSnapshots.read(fs, root, v)
-          case None => OcfSnapshots.latest(fs, root).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft-ocf: $root has a ${OcfSnapshots.Dir} directory but no manifest"))
+        val snapFiles = snapStarting match {
+          case Some(start) =>
+            OcfSnapshots.incrementalFiles(fs, root, start, snapVersion)
+          case None =>
+            val snap = snapVersion match {
+              case Some(v) => OcfSnapshots.read(fs, root, v)
+              case None => OcfSnapshots.latest(fs, root).getOrElse(
+                throw new IllegalArgumentException(
+                  s"graft-ocf: $root has a ${OcfSnapshots.Dir} directory but no manifest"))
+            }
+            snap.files
         }
         recursive = true // manifest files live in col=value subtrees
         val base = fs.makeQualified(root)
-        snapMetaByPath = snap.files.iterator.flatMap(sf =>
+        snapMetaByPath = snapFiles.iterator.flatMap(sf =>
           sf.meta.map(m => new Path(base, sf.path).toString -> m)).toMap
-        OcfSnapshots.toFileSlices(fs, root, snap.files)
+        OcfSnapshots.toFileSlices(fs, root, snapFiles)
       case None => list(conf, paths, glob, userRecursive)
     }
     if (listed.isEmpty && !userRecursive && snapRoot.isEmpty) {
@@ -283,7 +293,18 @@ object OcfDataSource {
       listed = list(conf, paths, glob, recursive = true)
       recursive = true
     }
-    require(listed.nonEmpty, s"graft-ocf: no input files under ${paths.mkString(", ")}")
+    // an EMPTY file list is legal for exactly one shape: an incremental
+    // range that added no files, under an explicit readerSchema (the schema
+    // can't come from headers there's none of) — "no changes since v" is an
+    // empty frame, not an error. Everything else still fails loudly.
+    val readerOpt0 = Option(options.get("readerSchema"))
+    require(listed.nonEmpty || (snapStarting.isDefined &&
+        readerOpt0.exists(!_.equalsIgnoreCase("auto"))),
+      if (snapStarting.isDefined)
+        s"graft-ocf: incremental range after version ${snapStarting.get} " +
+          s"added no files under ${paths.mkString(", ")} and no explicit " +
+          "readerSchema was given to shape an empty result"
+      else s"graft-ocf: no input files under ${paths.mkString(", ")}")
     val qualifiedRoots = paths.map { p =>
       val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString
     }
@@ -316,7 +337,7 @@ object OcfDataSource {
     val partCols = if (bucket.isDefined) inferredCols.dropRight(1) else inferredCols
     // header resolution is LAZY (deferred to build, after partition pruning);
     // only what the schema needs is read here
-    val readerOpt = Option(options.get("readerSchema"))
+    val readerOpt = readerOpt0
     // manifest metas stand in for header preads wherever present; only the
     // files a metaless manifest (or no manifest) leaves uncovered are read
     def manifestMeta(f: FileSlice): Option[OcfFileMeta] =

@@ -132,6 +132,55 @@ private[graft] object OcfSnapshots {
     versions(fs, tableDir).map(read(fs, tableDir, _))
       .filter(_.timestampMs <= ts).lastOption
 
+  /** Incremental append scan (the Iceberg `incremental read` shape): the
+    * files ADDED strictly after `startVersion` and up to & including
+    * `endVersion` (default: latest) — so "process only what arrived since
+    * the last run" costs reading exactly the new files, never a diff of row
+    * sets. Exact-or-refuse: every retained manifest step in the range must
+    * be append-only (its file set a superset of its predecessor's); a
+    * commit that removed or replaced files (overwrite, CoW delete/update,
+    * compaction) makes "the changes" unrepresentable as added rows, and the
+    * read REFUSES with the offending version rather than emit rows that
+    * were since deleted or double-count compacted ones. Both endpoint
+    * manifests must still be retained (`expire_snapshots` may have
+    * collected them); expired INTERMEDIATE manifests degrade the
+    * append-only check to coarser consecutive-retained pairs, which still
+    * proves no retained file ever disappeared. Writers never reuse file
+    * names (task-unique temps), so path-set difference is exact. */
+  def incrementalFiles(fs: FileSystem, tableDir: Path,
+                       startVersion: Long, endVersion: Option[Long]): Seq[SnapFile] = {
+    val vs = versions(fs, tableDir)
+    require(vs.nonEmpty, s"graft-ocf: $tableDir has no snapshot manifests")
+    def known(v: Long, role: String): Unit = require(vs.contains(v),
+      s"graft-ocf: $role version $v is not a retained snapshot of $tableDir " +
+        s"(retained: ${vs.mkString(", ")}); expire_snapshots may have removed it")
+    known(startVersion, "startingVersion")
+    val end = endVersion.getOrElse(vs.last)
+    known(end, "endingVersion")
+    require(end >= startVersion,
+      s"graft-ocf: endingVersion $end precedes startingVersion $startVersion")
+    if (end == startVersion) return Nil
+    val chain = vs.filter(v => v >= startVersion && v <= end)
+    var prevPaths = read(fs, tableDir, chain.head).files.map(_.path).toSet
+    val startPaths = prevPaths
+    var endSnap: Snapshot = null
+    chain.tail.foreach { v =>
+      val snap = read(fs, tableDir, v)
+      val cur = snap.files.map(_.path).toSet
+      val removed = prevPaths.diff(cur)
+      require(removed.isEmpty,
+        s"graft-ocf: incremental read of $tableDir ($startVersion, $end] " +
+          s"refused: version $v (operation '${snap.operation}') removed or " +
+          s"replaced ${removed.size} file(s) (e.g. ${removed.head}) — the " +
+          "range's changes are not representable as appended rows. Read " +
+          "a full snapshot (VERSION AS OF) instead, or start after the " +
+          "rewriting commit.")
+      prevPaths = cur
+      endSnap = snap
+    }
+    endSnap.files.filterNot(f => startPaths.contains(f.path))
+  }
+
   private def render(s: Snapshot): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)

@@ -379,4 +379,49 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     // same-schema replace: the replaced generation stays time-travelable
     assert(spark.sql("SELECT count(*) FROM gs.ns.c VERSION AS OF 1").head.getLong(0) == 12L)
   }
+
+  test("incremental read (X78): startingVersion delivers exactly the appended rows") {
+    spark.sql("CREATE TABLE gs.ns.inc (id BIGINT, v STRING) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.inc SELECT id, concat('a', id) FROM range(10)")
+    spark.sql("INSERT INTO gs.ns.inc SELECT id, concat('b', id) FROM range(10, 25)")
+    spark.sql("INSERT INTO gs.ns.inc SELECT id, concat('c', id) FROM range(25, 30)")
+
+    def inc(start: Long, end: Option[Long] = None) = {
+      val r = spark.read.option("startingVersion", start.toString)
+      end.foreach(e => r.option("endingVersion", e.toString))
+      r.table("gs.ns.inc")
+    }
+    // (1, latest] = commits 2 and 3
+    assert(inc(1).count() == 20L)
+    assert(inc(1).agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).head.toSeq == Seq(10L, 29L))
+    // (1, 2] = commit 2 only; (2, latest] = commit 3 only
+    assert(inc(1, Some(2L)).count() == 15L)
+    assert(inc(2).select("v").where("id = 27").head.getString(0) == "c27")
+    // filters compose with the incremental file set
+    assert(inc(1, Some(3L)).where("id >= 25").count() == 5L)
+    // empty range: an empty frame with the table's schema, not an error
+    assert(inc(3).count() == 0L)
+    assert(inc(3).schema.fieldNames.toSeq == Seq("id", "v"))
+
+    // a rewriting commit in range REFUSES (its changes are not appendable)
+    spark.sql("DELETE FROM gs.ns.inc WHERE id = 12")
+    val e = intercept[Exception] { inc(3).collect() }
+    assert(e.getMessage.contains("removed or replaced"), e.getMessage)
+    // ranges that END before the rewrite still read
+    assert(inc(1, Some(3L)).count() == 20L)
+    // and a range STARTING at the rewrite is clean again
+    spark.sql("INSERT INTO gs.ns.inc SELECT id, concat('d', id) FROM range(100, 103)")
+    assert(inc(4).count() == 3L)
+    assert(inc(4).select("v").orderBy("id").head.getString(0) == "d100")
+
+    // endingVersion alone is refused (that's VERSION AS OF's job)
+    val e2 = intercept[Exception] {
+      spark.read.option("endingVersion", "2").table("gs.ns.inc").collect()
+    }
+    assert(e2.getMessage.contains("endingVersion needs startingVersion"), e2.getMessage)
+    // an expired (unknown) starting version is refused with the retained list
+    val e3 = intercept[Exception] { inc(99).collect() }
+    assert(e3.getMessage.contains("not a retained snapshot"), e3.getMessage)
+  }
 }
