@@ -1408,6 +1408,42 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Zero-rewrite schema evolution (X79): RENAME COLUMN records the old
+    // name as an Avro reader-field ALIAS (old files resolve their data into
+    // the new name), DROP COLUMN turns the files' field into a wire skip.
+    // Half the corpus is written under the OLD shape, half under the new —
+    // and the final aggregate must see one uniform frame.
+    "q97_rename_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q97",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q97_wh_")
+      s.conf.set("spark.sql.catalog.graft_q97.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q97.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q97.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q97.corpus.docs
+          |(doc_id BIGINT, nc BIGINT, junk STRING, lang STRING)
+          |USING `graft-ocf`""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_q97_src")
+      s.sql(
+        """INSERT INTO graft_q97.corpus.docs
+          |SELECT doc_id, n_chars, 'legacy', lang FROM graft_q97_src
+          |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE graft_q97.corpus.docs RENAME COLUMN nc TO n_chars")
+      s.sql("ALTER TABLE graft_q97.corpus.docs DROP COLUMN junk")
+      s.sql(
+        """INSERT INTO graft_q97.corpus.docs
+          |SELECT doc_id, n_chars, lang FROM graft_q97_src
+          |WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q97.corpus.docs
+          |GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2329,6 +2365,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 2 = 1
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // both generations (old-shape files read via alias, new-shape direct)
+    // must aggregate as if the table had always had the final schema
+    "q97_rename_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // same tokenization (whitespace split of trimmed text), same trimmed
     // non-empty lines, same integer-exact ratio comparisons as the Spark

@@ -460,14 +460,96 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           "graft catalog: ADD COLUMN positioning is not supported; new columns " +
             "append after the existing data columns")
+        // resolution matches by NAME, so a name old files still carry under
+        // another guise would resurrect their data into the "new" column:
+        // a previous name of a renamed column (the files' field feeds the
+        // renamed column via alias, and a direct name match would outrank
+        // the alias), or a dropped column (the files still hold its data)
+        m.schema.fields.find(f =>
+            GraftCatalog.renamedFrom(f).exists(_.equalsIgnoreCase(name))).foreach { f =>
+          throw new IllegalArgumentException(
+            s"graft catalog: '$name' is a previous name of column '${f.name}' — " +
+              "old files' data would resolve into the new column instead of " +
+              s"'${f.name}'; pick a different name")
+        }
+        require(!GraftCatalog.droppedCols(m.options).exists(_.equalsIgnoreCase(name)),
+          s"graft catalog: column '$name' was previously dropped; old files " +
+            "still carry its data, which a same-named column would silently " +
+            "resurrect — pick a different name (or rewrite the table)")
         // no Avro shape for the type => fail the DDL, not a later scan
         graft.spark.SchemaConverters.toAvroType(add.dataType, nullable = true)
         val parts = m.schema.fields.filter(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
         m.copy(schema = StructType((m.dataSchema.fields :+
           org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true)) ++ parts))
+      case (m, rn: TableChange.RenameColumn) =>
+        // zero-rewrite rename: the descriptor records the OLD name on the
+        // field ([[GraftCatalog.RenamedFromKey]]); every read's Avro reader
+        // schema declares it as a field ALIAS, so files written before the
+        // rename resolve their old-named data into the renamed column —
+        // exactly Avro's published rename mechanism, no data migration
+        require(rn.fieldNames.length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns only")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName
+        require(!m.partCols.exists(_.equalsIgnoreCase(from)),
+          s"graft catalog: '$from' is a partition column; directory names " +
+            "encode it, so a rename would need a full layout rewrite")
+        require(!GraftCatalog.bucketColsOf(m.options).exists(_.equalsIgnoreCase(from)),
+          s"graft catalog: '$from' is a bucket column; the layout's bucket " +
+            "spec names it, so a rename would need a table rewrite")
+        val idx = m.schema.fields.indexWhere(_.name.equalsIgnoreCase(from))
+        require(idx >= 0, s"graft catalog: no such column '$from'")
+        require(!m.schema.fields.exists(_.name.equalsIgnoreCase(to)),
+          s"graft catalog: column '$to' already exists")
+        require(!to.startsWith("_") && !to.startsWith("."),
+          s"graft catalog: '$to' — underscore/dot-prefixed names are reserved " +
+            "(metadata columns, layout directories)")
+        GraftCatalog.guardOptionRefs(m.options, from, "RENAME")
+        val f = m.schema.fields(idx)
+        val prior = GraftCatalog.renamedFrom(f)
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putStringArray(GraftCatalog.RenamedFromKey,
+            (prior :+ f.name).distinct.toArray)
+          .build()
+        m.copy(schema = StructType(
+          m.schema.fields.updated(idx, f.copy(name = to, metadata = md))))
+      case (m, del: TableChange.DeleteColumn) =>
+        // zero-rewrite drop: the column leaves the stored schema (and so
+        // every reader schema — existing files' field becomes a wire SKIP);
+        // its name is recorded so a later same-named ADD COLUMN cannot
+        // silently resurrect the old files' data
+        require(del.fieldNames.length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns only")
+        val name = del.fieldNames()(0)
+        val exists = m.schema.fields.exists(_.name.equalsIgnoreCase(name))
+        if (!exists && del.ifExists) m
+        else {
+          require(exists, s"graft catalog: no such column '$name'")
+          require(!m.partCols.exists(_.equalsIgnoreCase(name)),
+            s"graft catalog: '$name' is a partition column; the directory " +
+              "layout encodes it, so a drop would need a full rewrite")
+          require(!GraftCatalog.bucketColsOf(m.options).exists(_.equalsIgnoreCase(name)),
+            s"graft catalog: '$name' is a bucket column; the layout's bucket " +
+              "spec names it, so a drop would need a table rewrite")
+          require(m.dataSchema.fields.length > 1,
+            s"graft catalog: cannot drop '$name' — a table needs at least " +
+              "one data column")
+          GraftCatalog.guardOptionRefs(m.options, name, "DROP")
+          val dropped = m.schema.fields.find(_.name.equalsIgnoreCase(name)).get
+          // the field's CURRENT and previous names all become unavailable
+          // for re-ADD (old files may carry any of them)
+          val unavailable = (GraftCatalog.droppedCols(m.options) ++
+            (GraftCatalog.renamedFrom(dropped) :+ dropped.name)).distinct
+          m.copy(
+            schema = StructType(m.schema.fields.filterNot(
+              _.name.equalsIgnoreCase(name))),
+            options = m.options + (GraftCatalog.DroppedColsKey ->
+              unavailable.mkString(",")))
+        }
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported table change $other (properties and " +
-          "nullable ADD COLUMN only)")
+        s"graft catalog: unsupported table change $other (properties, " +
+          "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN only)")
     }
     writeMeta(fs, mp, updated)
     loadTable(ident)
@@ -557,15 +639,63 @@ private[sources] object GraftCatalog {
     * kernel's reader-default materialization — schema evolution without
     * rewriting a byte of data (reference analog: reader-default fill,
     * python-udf/avro/io.py resolution). */
+  /** StructField-metadata key recording a column's PREVIOUS names after
+    * `ALTER TABLE RENAME COLUMN` (schema.json round-trips field metadata, so
+    * the descriptor persists it for free). [[readerJsonWithDefaults]] emits
+    * them as Avro field ALIASES — the kernel's alias resolution then feeds
+    * old files' data into the renamed column with zero bytes rewritten. */
+  val RenamedFromKey = "graft.renamedFrom"
+
+  /** Options key recording names removed by `ALTER TABLE DROP COLUMN`.
+    * Re-ADDing such a name is refused: old files still CARRY the dropped
+    * field, and Avro resolution matches by name, so the "new" column would
+    * silently resurrect years-old data in every pre-drop file. */
+  val DroppedColsKey = "graft.droppedColumns"
+
+  /** Previous names of `field` (empty when never renamed). */
+  def renamedFrom(field: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (field.metadata.contains(RenamedFromKey))
+      field.metadata.getStringArray(RenamedFromKey).toSeq
+    else Nil
+
+  /** Names recorded under [[DroppedColsKey]] (never re-ADDable). */
+  def droppedCols(options: Map[String, String]): Seq[String] =
+    options.find(_._1.equalsIgnoreCase(DroppedColsKey))
+      .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  def bucketColsOf(options: Map[String, String]): Seq[String] =
+    options.find(_._1.equalsIgnoreCase("bucketColumns"))
+      .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Refuse a RENAME/DROP of a column the stored WRITE options still
+    * reference (stats/bloom/sort stamping): the option would silently stop
+    * applying (stats) or fail the next INSERT's plan (unknown column) —
+    * the user must update OPTIONS first so the intent stays explicit.
+    * Dotted `statsColumns=a.b` entries count as references to `a`. */
+  private[sources] def guardOptionRefs(options: Map[String, String],
+                                       col: String, verb: String): Unit =
+    Seq("statsColumns", "bloomColumns", "sortColumns").foreach { k =>
+      val refs = options.find(_._1.equalsIgnoreCase(k)).toSeq
+        .flatMap(_._2.split(",").map(_.trim).filter(_.nonEmpty))
+        .filter(e => e.equalsIgnoreCase(col) ||
+          e.toLowerCase.startsWith(col.toLowerCase + "."))
+      require(refs.isEmpty,
+        s"graft catalog: cannot $verb column '$col' — the table's $k option " +
+          s"references it (${refs.mkString(", ")}); ALTER TABLE SET " +
+          s"TBLPROPERTIES ('$k'='...') without it first")
+    }
+
   def readerJsonWithDefaults(dataSchema: StructType): String = {
     val rec = graft.spark.SchemaConverters.toAvroType(dataSchema)
       .asInstanceOf[graft.avro.ARecord]
-    val withDefaults = rec.copy(fields = rec.fields.map { f =>
-      f.schema match {
-        case u: graft.avro.AUnion if u.isNullable =>
-          f.copy(default = Some(com.fasterxml.jackson.databind.node.NullNode.getInstance()))
-        case _ => f
-      }
+    val withDefaults = rec.copy(fields = rec.fields.zip(dataSchema.fields).map {
+      case (f, sf) =>
+        val aliased = f.copy(aliases = renamedFrom(sf))
+        aliased.schema match {
+          case u: graft.avro.AUnion if u.isNullable =>
+            aliased.copy(default = Some(com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+          case _ => aliased
+        }
     })
     graft.avro.AvroSchemaParser.toJson(withDefaults)
   }

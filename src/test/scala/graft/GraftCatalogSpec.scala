@@ -543,4 +543,69 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.evo.d ADD COLUMN strict STRING NOT NULL")
     }
   }
+
+  test("ALTER TABLE RENAME/DROP COLUMN: alias resolution and wire-skip, zero rewrite") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo2")
+    spark.sql(
+      """CREATE TABLE g.evo2.d (id BIGINT, nc BIGINT, junk STRING, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)""".stripMargin)
+    spark.sql("INSERT INTO g.evo2.d VALUES (1, 100, 'x', 'en'), (2, 200, 'y', 'fr')")
+
+    // rename: old files resolve their 'nc' data into 'n_chars' via the
+    // reader-schema field ALIAS — values survive, nothing rewritten
+    spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN nc TO n_chars")
+    assert(spark.table("g.evo2.d").schema.fieldNames.toSeq ==
+      Seq("id", "n_chars", "junk", "lang"))
+    assert(spark.sql("SELECT sum(n_chars) FROM g.evo2.d").head.getLong(0) == 300L)
+    // projection of JUST the renamed column still alias-resolves (pruned
+    // reader schemas keep aliases)
+    assert(spark.sql("SELECT n_chars FROM g.evo2.d WHERE id = 1").head.getLong(0) == 100L)
+
+    // drop: the column leaves the schema; old files' field is a wire skip
+    spark.sql("ALTER TABLE g.evo2.d DROP COLUMN junk")
+    assert(spark.table("g.evo2.d").schema.fieldNames.toSeq ==
+      Seq("id", "n_chars", "lang"))
+    // inserts after the evolution write the NEW shape; mixed generations read uniformly
+    spark.sql("INSERT INTO g.evo2.d VALUES (3, 50, 'en')")
+    assert(spark.sql("SELECT sum(n_chars) FROM g.evo2.d").head.getLong(0) == 350L)
+    assert(spark.table("g.evo2.d").count() == 3L)
+
+    // rename chains: n_chars -> len keeps BOTH old names as aliases
+    spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN n_chars TO len")
+    assert(spark.sql("SELECT sum(len) FROM g.evo2.d").head.getLong(0) == 350L)
+
+    // resurrection guards: a previous name and a dropped name refuse re-ADD
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.d ADD COLUMN n_chars BIGINT") }
+    assert(e1.getMessage.contains("previous name"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.d ADD COLUMN junk STRING") }
+    assert(e2.getMessage.contains("previously dropped"), e2.getMessage)
+
+    // layout columns refuse: partition and (elsewhere) bucket columns are
+    // encoded in directory names
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN lang TO language") }
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.d DROP COLUMN lang") }
+    assert(e4.getMessage.contains("partition column"), e4.getMessage)
+
+    // a column the stored write options still stamp refuses until the
+    // option is updated (silent stat loss would be a skipping regression)
+    spark.sql(
+      """CREATE TABLE g.evo2.s (id BIGINT, v BIGINT)
+        |USING `graft-ocf` OPTIONS (statsColumns 'v')""".stripMargin)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.s RENAME COLUMN v TO w") }
+    assert(e5.getMessage.contains("statsColumns"), e5.getMessage)
+    spark.sql("ALTER TABLE g.evo2.s SET TBLPROPERTIES ('statsColumns'='id')")
+    spark.sql("ALTER TABLE g.evo2.s RENAME COLUMN v TO w")
+    assert(spark.table("g.evo2.s").schema.fieldNames.toSeq == Seq("id", "w"))
+    // cannot drop the last data column
+    spark.sql("ALTER TABLE g.evo2.s DROP COLUMN w")
+    val e6 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.s DROP COLUMN id") }
+    assert(e6.getMessage.contains("at least one data column"), e6.getMessage)
+  }
 }
