@@ -892,9 +892,10 @@ private[sources] class CatalogOcfTable(
         val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
         m.put("graft.snapshot.startingVersion", s.toString)
         ending.foreach(e => m.put("graft.snapshot.version", e.toString))
-        val r = OcfDataSource.resolve(new CaseInsensitiveStringMap(m))
-        if (r.files.isEmpty) new EmptyOcfScanBuilder(meta.schema)
-        else new OcfScanBuilder(r)
+        // a zero-file resolution is legal here (range added nothing yet):
+        // batch reads plan zero splits; a STREAM from the same builder keeps
+        // discovering post-v files forever via the scan's exclusion set
+        new OcfScanBuilder(OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
       case None =>
         if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
         else inner.newScanBuilder(options)

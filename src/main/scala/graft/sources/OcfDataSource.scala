@@ -148,7 +148,13 @@ object OcfDataSource {
                             maxFilesPerTrigger: Option[Int] = None,
                             maxBytesPerTrigger: Option[Long] = None,
                             reportPartitioning: Boolean = false,
-                            bucket: Option[OcfBucket.Spec] = None) {
+                            bucket: Option[OcfBucket.Spec] = None,
+                            // incremental STREAMING (X78): qualified paths of
+                            // the startingVersion snapshot's files — the
+                            // micro-batch source's discovery never admits
+                            // them, so a stream started "from version v"
+                            // processes only what landed after v
+                            streamExclude: Set[String] = Set.empty) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -265,12 +271,20 @@ object OcfDataSource {
     // manifest-embedded header metadata, keyed by qualified path: reads of
     // a meta-carrying manifest plan with ZERO per-file header preads
     var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty
+    var streamExclude: Set[String] = Set.empty
     var listed = snapRoot match {
       case Some(root) =>
         val fs = root.getFileSystem(conf)
         val snapFiles = snapStarting match {
           case Some(start) =>
-            OcfSnapshots.incrementalFiles(fs, root, start, snapVersion)
+            // validates start/end first (clear refusal on expired versions)
+            val inc = OcfSnapshots.incrementalFiles(fs, root, start, snapVersion)
+            // the start snapshot's files are the STREAMING exclusion set:
+            // a stream "from version v" discovers everything else, forever
+            val baseQ = fs.makeQualified(root)
+            streamExclude = OcfSnapshots.read(fs, root, start).files
+              .map(sf => new Path(baseQ, sf.path).toString).toSet
+            inc
           case None =>
             val snap = snapVersion match {
               case Some(v) => OcfSnapshots.read(fs, root, v)
@@ -415,7 +429,8 @@ object OcfDataSource {
     val reportPart = options.getBoolean("reportPartitioning", false)
     val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
       partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
-      maxBytes, reportPartitioning = reportPart, bucket = bucketSpec)
+      maxBytes, reportPartitioning = reportPart, bucket = bucketSpec,
+      streamExclude = streamExclude)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     // seed the per-resolve meta memo with every manifest-carried meta:
     // buildScan then preads ONLY the files the manifest left uncovered
@@ -1132,7 +1147,8 @@ private[sources] final class OcfScanBuilder(
       bucketColTypes = resolved.bucket.map(_.cols.map(c =>
         resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)).getOrElse(Nil),
       bucketN = resolved.bucket.map(_.numBuckets).getOrElse(0),
-      bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1))
+      bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1),
+      excludePaths = resolved.streamExclude)
   }
 }
 
@@ -1204,7 +1220,9 @@ private[graft] final case class OcfScan(
     bucketCols: Seq[String] = Nil,
     bucketColTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     bucketN: Int = 0,
-    bucketValueIdx: Int = -1)
+    bucketValueIdx: Int = -1,
+    // incremental streaming: paths the micro-batch discovery never admits
+    excludePaths: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning

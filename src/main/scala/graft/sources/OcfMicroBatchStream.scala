@@ -65,7 +65,12 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     * a read limit. Returns the discovered-file count. */
   private def discover(): Int = {
     val listed = OcfDataSource.snapshotAwareList(conf, scan.paths, scan.glob, scan.recursive)
-    val freshRaw = listed.filterNot(f => known.contains(f.path))
+    // incremental stream (X78): files of the startingVersion snapshot are
+    // never admitted — the stream's world begins after that version. The
+    // set is re-derived from the SAME pinned manifest on restart, so a
+    // checkpoint replay sees the identical exclusion.
+    val freshRaw = listed.filterNot(f =>
+      known.contains(f.path) || scan.excludePaths.contains(f.path))
     if (freshRaw.nonEmpty) {
       val fresh =
         if (scan.partCols.isEmpty) freshRaw

@@ -424,4 +424,54 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     val e3 = intercept[Exception] { inc(99).collect() }
     assert(e3.getMessage.contains("not a retained snapshot"), e3.getMessage)
   }
+
+  test("incremental streaming: startingVersion excludes the pre-v backlog") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE gs.ns.istr (id BIGINT, v STRING) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.istr SELECT id, concat('a', id) FROM range(6)")
+    spark.sql("INSERT INTO gs.ns.istr SELECT id, concat('b', id) FROM range(6, 10)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-istr-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-istr-out").toString
+    def runOnce(fromVersion: String): Unit = {
+      val q = spark.readStream.option("startingVersion", fromVersion)
+        .table("gs.ns.istr")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    // the stream's world begins after version 1: commit 1's 6 rows never appear
+    runOnce("1")
+    assert(spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == (6L until 10L))
+    // later commits flow normally (and exactly once)
+    spark.sql("INSERT INTO gs.ns.istr SELECT id, concat('c', id) FROM range(10, 13)")
+    runOnce("1")
+    assert(spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == (6L until 13L))
+
+    // a stream started AT the latest version has an empty backlog — it
+    // waits for the next commit instead of failing
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-istr-ck2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-istr-out2").toString
+    def runLatest(): Unit = {
+      val q = spark.readStream.option("startingVersion", "3")
+        .table("gs.ns.istr")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt2)
+        .option("path", out2)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    runLatest() // nothing yet
+    spark.sql("INSERT INTO gs.ns.istr SELECT id, concat('d', id) FROM range(100, 104)")
+    runLatest()
+    assert(spark.read.parquet(out2).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == (100L until 104L))
+  }
 }
