@@ -1444,6 +1444,42 @@ object SparkEntry {
           |GROUP BY lang ORDER BY lang""".stripMargin)
     }),
 
+    // ADD COLUMN DEFAULT evolution (X80): the pre-ALTER half of the corpus
+    // materializes the declared constant via the Avro READER DEFAULT (zero
+    // bytes rewritten), the post-ALTER half writes real values — and the
+    // grouped aggregate must see both cohorts exactly.
+    "q98_default_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q98",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q98_wh_")
+      s.conf.set("spark.sql.catalog.graft_q98.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q98.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q98.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q98.corpus.docs
+          |(doc_id BIGINT, n_chars BIGINT)
+          |USING `graft-ocf`""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q98_src")
+      s.sql(
+        """INSERT INTO graft_q98.corpus.docs
+          |SELECT doc_id, n_chars FROM graft_q98_src
+          |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(
+        """ALTER TABLE graft_q98.corpus.docs
+          |ADD COLUMN cohort STRING DEFAULT 'legacy'""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q98.corpus.docs
+          |SELECT doc_id, n_chars, 'fresh' FROM graft_q98_src
+          |WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT cohort, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q98.corpus.docs
+          |GROUP BY cohort ORDER BY cohort""".stripMargin)
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2365,6 +2401,15 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 2 = 1
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // pre-ALTER files carry no cohort field: the reader default supplies
+    // 'legacy' for exactly the even doc_ids
+    "q98_default_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'legacy' ELSE 'fresh' END AS cohort,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // both generations (old-shape files read via alias, new-shape direct)
     // must aggregate as if the table had always had the final schema

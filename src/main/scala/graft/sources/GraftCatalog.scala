@@ -51,6 +51,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import GraftCatalog._
 
+  /** Column DEFAULTs are supported (X80): `ALTER TABLE … ADD COLUMN x T
+    * DEFAULT lit` stores the literal in field metadata — Spark's analyzer
+    * fills it on INSERTs that omit the column (`CURRENT_DEFAULT`), and the
+    * read side emits it as the Avro READER DEFAULT, so files written before
+    * the column existed materialize the constant, not null, with zero bytes
+    * rewritten. */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `SELECT <cat>.system.fn_decode_avro_binary(hex)` and friends — the
     * reference's SQL-UDF surface, catalog-qualified (see [[GraftFunctions]]). */
   override def loadFunction(ident: Identifier)
@@ -478,9 +488,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "resurrect — pick a different name (or rewrite the table)")
         // no Avro shape for the type => fail the DDL, not a later scan
         graft.spark.SchemaConverters.toAvroType(add.dataType, nullable = true)
+        // DEFAULT literal (X80): stored three ways off one constant —
+        // CURRENT_DEFAULT (Spark's analyzer fills INSERTs omitting the
+        // column), EXISTS_DEFAULT (standard metadata, observability), and
+        // the Avro default JSON the reader schema emits so PRE-EXISTING
+        // files materialize the constant instead of null
+        val md = Option(add.defaultValue()) match {
+          case None => org.apache.spark.sql.types.Metadata.empty
+          case Some(dv) =>
+            val lit = dv.getValue
+            require(lit != null,
+              s"graft catalog: ADD COLUMN '$name' DEFAULT must fold to a " +
+                "constant literal")
+            require(org.apache.spark.sql.graft.Shims.sameType(
+                StructType(Seq(org.apache.spark.sql.types.StructField("d", lit.dataType))),
+                StructType(Seq(org.apache.spark.sql.types.StructField("d", add.dataType)))),
+              s"graft catalog: ADD COLUMN '$name' DEFAULT literal type " +
+                s"${lit.dataType.simpleString} does not match the column type " +
+                add.dataType.simpleString)
+            val sqlText = Option(dv.getSql).getOrElse(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                lit.value, lit.dataType).sql)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sqlText)
+              .putString("EXISTS_DEFAULT", sqlText)
+              .putString(GraftCatalog.AddDefaultKey,
+                GraftCatalog.avroDefaultJson(lit))
+              .build()
+        }
         val parts = m.schema.fields.filter(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
         m.copy(schema = StructType((m.dataSchema.fields :+
-          org.apache.spark.sql.types.StructField(name, add.dataType, nullable = true)) ++ parts))
+          org.apache.spark.sql.types.StructField(name, add.dataType,
+            nullable = true, metadata = md)) ++ parts))
       case (m, rn: TableChange.RenameColumn) =>
         // zero-rewrite rename: the descriptor records the OLD name on the
         // field ([[GraftCatalog.RenamedFromKey]]); every read's Avro reader
@@ -658,6 +697,37 @@ private[sources] object GraftCatalog {
       field.metadata.getStringArray(RenamedFromKey).toSeq
     else Nil
 
+  /** StructField-metadata key holding an ADD COLUMN DEFAULT literal as Avro
+    * default JSON (what a reader-schema field `default` accepts). Old files
+    * materialize it through the kernel's reader-default path (F16) — the
+    * same mechanism null-fill uses, just with the declared constant. */
+  val AddDefaultKey = "graft.addDefault"
+
+  /** V2 literal default → Avro default JSON text. Only shapes an Avro field
+    * default can express primitively are accepted; everything else refuses
+    * at DDL time (never a mis-typed default surfacing mid-scan). */
+  private[sources] def avroDefaultJson(
+      lit: org.apache.spark.sql.connector.expressions.Literal[_]): String = {
+    import org.apache.spark.sql.types._
+    (lit.dataType, lit.value) match {
+      case (_, null) => "null"
+      case (BooleanType, v: java.lang.Boolean) => v.toString
+      case (ByteType | ShortType | IntegerType | LongType, v: Number) =>
+        v.longValue.toString
+      case (FloatType | DoubleType, v: Number) =>
+        val d = v.doubleValue
+        require(!d.isNaN && !d.isInfinite,
+          "graft catalog: NaN/Infinity cannot be an Avro default")
+        d.toString
+      case (StringType, v) =>
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        om.writeValueAsString(v.toString)
+      case (dt, _) => throw new IllegalArgumentException(
+        s"graft catalog: DEFAULT of type ${dt.simpleString} is not supported " +
+          "(boolean, integral, float/double and string literals only)")
+    }
+  }
+
   /** Names recorded under [[DroppedColsKey]] (never re-ADDable). */
   def droppedCols(options: Map[String, String]): Seq[String] =
     options.find(_._1.equalsIgnoreCase(DroppedColsKey))
@@ -691,8 +761,22 @@ private[sources] object GraftCatalog {
     val withDefaults = rec.copy(fields = rec.fields.zip(dataSchema.fields).map {
       case (f, sf) =>
         val aliased = f.copy(aliases = renamedFrom(sf))
-        aliased.schema match {
-          case u: graft.avro.AUnion if u.isNullable =>
+        val declared: Option[com.fasterxml.jackson.databind.JsonNode] =
+          if (sf.metadata.contains(AddDefaultKey))
+            Some(new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(sf.metadata.getString(AddDefaultKey)))
+          else None
+        (declared, aliased.schema) match {
+          // an Avro union default must conform to the FIRST branch, so a
+          // non-null declared default reorders the nullable union to
+          // [T, "null"] — still the same nullable type, now spec-legal
+          case (Some(d), u: graft.avro.AUnion) if u.isNullable && !d.isNull =>
+            aliased.copy(
+              schema = graft.avro.AUnion(
+                u.branches.filterNot(_ == graft.avro.ANull) :+ graft.avro.ANull),
+              default = Some(d))
+          case (Some(d), _) => aliased.copy(default = Some(d))
+          case (None, u: graft.avro.AUnion) if u.isNullable =>
             aliased.copy(default = Some(com.fasterxml.jackson.databind.node.NullNode.getInstance()))
           case _ => aliased
         }

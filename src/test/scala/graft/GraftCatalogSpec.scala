@@ -608,4 +608,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE g.evo2.s DROP COLUMN id") }
     assert(e6.getMessage.contains("at least one data column"), e6.getMessage)
   }
+
+  test("ALTER TABLE ADD COLUMN DEFAULT: old files materialize the constant, inserts fill it") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo3")
+    spark.sql("CREATE TABLE g.evo3.d (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO g.evo3.d VALUES (1), (2)")
+    spark.sql("ALTER TABLE g.evo3.d ADD COLUMN score BIGINT DEFAULT 7")
+    spark.sql("ALTER TABLE g.evo3.d ADD COLUMN tag STRING DEFAULT 'base'")
+    // files written BEFORE the columns existed read the declared constants
+    // (Avro reader defaults), not null
+    val old = spark.sql("SELECT score, tag FROM g.evo3.d WHERE id = 1").head
+    assert(old.getLong(0) == 7L && old.getString(1) == "base", old.toString)
+    // an INSERT omitting the columns gets the CURRENT defaults
+    spark.sql("INSERT INTO g.evo3.d (id) VALUES (3)")
+    // the DEFAULT keyword works too, and explicit values win
+    spark.sql("INSERT INTO g.evo3.d VALUES (4, DEFAULT, 'other'), (5, 9, DEFAULT)")
+    val rows = spark.table("g.evo3.d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 7L, "base"), (2L, 7L, "base"), (3L, 7L, "base"),
+      (4L, 7L, "other"), (5L, 9L, "base")), rows.toString)
+    // defaulted columns filter and aggregate like any other
+    assert(spark.sql("SELECT count(*) FROM g.evo3.d WHERE score = 7")
+      .head.getLong(0) == 4L)
+    // a non-constant default is refused at DDL time
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo3.d ADD COLUMN r DOUBLE DEFAULT rand()") }
+  }
 }
