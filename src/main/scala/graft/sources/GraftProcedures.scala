@@ -36,6 +36,7 @@ private[sources] object GraftProcedures {
       "compact" -> new CompactProcedure(cat),
       "vacuum_temps" -> new VacuumTempsProcedure(cat),
       "expire_snapshots" -> new ExpireSnapshotsProcedure(cat),
+      "remove_orphan_files" -> new RemoveOrphanFilesProcedure(cat),
       "rollback" -> new RollbackProcedure(cat),
       "tag" -> new TagProcedure(cat),
       "untag" -> new UntagProcedure(cat))
@@ -52,6 +53,7 @@ private[sources] object GraftProcedures {
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
         Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "remove_orphan_files"),
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "tag"),
         Identifier.of(Array("system"), "untag"),
@@ -267,6 +269,78 @@ private[sources] object GraftProcedures {
       expired.foreach(v => OcfSnapshots.deleteManifest(fs, root, v))
       singleRowResult(outSchema,
         Array[Any](expired.length.toLong, deleted, deletedBytes))
+    }
+  }
+
+  /** `CALL g.system.remove_orphan_files(table => 'ns.t')` — delete data
+    * files NO retained manifest references (Iceberg's remove_orphan_files
+    * shape): the leftovers of a commit that crashed between landing its
+    * renamed files and writing the manifest, which no read will ever see
+    * and no expire_snapshots will ever reclaim (expiry walks manifests;
+    * these files are in none). Snapshot-managed tables only — without
+    * manifests the listing IS the table and nothing can be orphaned. An
+    * age gate (default 24 h, by modification time) protects a LIVE
+    * concurrent commit's already-renamed files during its land-then-commit
+    * window; underscore/dot path segments (manifests, staged CTAS dirs,
+    * writer temps) are never touched — temps stay vacuum_temps' job. */
+  private final class RemoveOrphanFilesProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "remove_orphan_files"
+    override def description(): String =
+      "Delete data files referenced by no retained snapshot manifest"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("min_age_ms", LongType)
+        .defaultValue(String.valueOf(24L * 3600 * 1000))
+        .comment("only delete files last modified at least this long ago").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("scanned_files", LongType, nullable = false),
+      StructField("orphans_deleted", LongType, nullable = false),
+      StructField("deleted_bytes", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val minAge = if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      require(OcfSnapshots.enabled(fs, root),
+        s"graft remove_orphan_files: ${meta.location} is not snapshot-managed " +
+          "— without manifests the directory listing IS the table, so no " +
+          "file can be orphaned")
+      val referenced: Set[String] = OcfSnapshots.versions(fs, root)
+        .flatMap(v => OcfSnapshots.read(fs, root, v).files.map(_.path)).toSet
+      val baseQ = fs.makeQualified(root).toString
+      val cutoff = System.currentTimeMillis() - minAge
+      var scanned = 0L; var deleted = 0L; var deletedBytes = 0L
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile) {
+          val rel = OcfSnapshots.relativize(baseQ, fs.makeQualified(st.getPath).toString)
+          // any hidden segment (manifests, _staged-* dirs, .tmp temps) is
+          // out of scope for orphan collection — EXCEPT the bucket layout's
+          // `_bucket=K` directories, which hold ordinary referenced data
+          val hidden = rel.split('/').exists(s =>
+            s.startsWith(".") || (s.startsWith("_") &&
+              !s.startsWith(OcfBucket.DirCol + "=")))
+          if (!hidden) {
+            scanned += 1
+            if (!referenced.contains(rel) && st.getModificationTime < cutoff) {
+              val len = st.getLen
+              if (fs.delete(st.getPath, false)) {
+                deleted += 1
+                deletedBytes += len
+              }
+            }
+          }
+        }
+      }
+      singleRowResult(outSchema, Array[Any](scanned, deleted, deletedBytes))
     }
   }
 

@@ -474,4 +474,45 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.read.parquet(out2).select("id").collect().map(_.getLong(0)).sorted
       .toSeq == (100L until 104L))
   }
+
+  test("remove_orphan_files deletes only unreferenced, aged data files") {
+    spark.sql("CREATE TABLE gs.ns.orph (id BIGINT) USING `graft-ocf`")
+    // an EMPTY table has no manifests yet — refused (nothing can be orphaned)
+    val e0 = intercept[Exception] {
+      spark.sql("CALL gs.system.remove_orphan_files(table => 'ns.orph')").collect()
+    }
+    assert(e0.getMessage.contains("not snapshot-managed"), e0.getMessage)
+
+    spark.sql("INSERT INTO gs.ns.orph SELECT id FROM range(10)")
+    spark.sql("INSERT INTO gs.ns.orph SELECT id FROM range(10, 25)")
+    val root = new Path(warehouse.getAbsolutePath, "ns/orph")
+    val visibleBefore = OcfSnapshots.latest(fs, root).get.files.map(_.path).toSet
+
+    // plant two orphans with data-file-shaped names: one aged 2 h (eligible),
+    // one fresh (inside any live commit's land-then-commit window)
+    def plant(name: String, ageMs: Long): Path = {
+      val p = new Path(root, name)
+      val out = fs.create(p, true)
+      out.write("not a referenced file".getBytes("UTF-8")); out.close()
+      val t = System.currentTimeMillis() - ageMs
+      fs.setTimes(p, t, t)
+      p
+    }
+    val aged = plant("orphan-aged.avro", 2L * 3600 * 1000)
+    val fresh = plant("orphan-fresh.avro", 0L)
+
+    val res = spark.sql(
+      "CALL gs.system.remove_orphan_files(table => 'ns.orph', min_age_ms => 3600000)")
+      .collect().head
+    assert(!fs.exists(aged), "aged orphan must be deleted")
+    assert(fs.exists(fresh), "fresh orphan must survive the age gate")
+    assert(res.getLong(1) == 1L, s"orphans_deleted=${res.getLong(1)}")
+    assert(res.getLong(2) > 0L)
+
+    // every referenced file survives; reads and time travel are intact
+    visibleBefore.foreach(rel => assert(fs.exists(new Path(root, rel)), rel))
+    assert(spark.table("gs.ns.orph").count() == 25L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.orph VERSION AS OF 1")
+      .head.getLong(0) == 10L)
+  }
 }
