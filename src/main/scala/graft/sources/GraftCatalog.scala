@@ -586,9 +586,35 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             options = m.options + (GraftCatalog.DroppedColsKey ->
               unavailable.mkString(",")))
         }
+      case (m, ch: TableChange.UpdateColumnDefaultValue) =>
+        // SET/DROP DEFAULT (standard SQL semantics): changes what FUTURE
+        // inserts fill — CURRENT_DEFAULT only. The existence default old
+        // files materialize ([[GraftCatalog.AddDefaultKey]], set at ADD
+        // COLUMN time) is part of the data's history and never moves.
+        require(ch.fieldNames.length == 1,
+          "graft catalog: ALTER COLUMN DEFAULT supports top-level columns only")
+        val name = ch.fieldNames()(0)
+        require(!m.partCols.exists(_.equalsIgnoreCase(name)),
+          s"graft catalog: '$name' is a partition column; defaults apply to " +
+            "data columns")
+        val idx = m.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft catalog: no such column '$name'")
+        val f = m.schema.fields(idx)
+        val newSql: Option[String] =
+          Option(ch.newCurrentDefault()).map(_.getSql)
+            .orElse(Option(ch.newDefaultValue()).filter(_.nonEmpty))
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        newSql match {
+          case Some(sql) => mb.putString("CURRENT_DEFAULT", sql)
+          case None => mb.remove("CURRENT_DEFAULT")
+        }
+        m.copy(schema = StructType(
+          m.schema.fields.updated(idx, f.copy(metadata = mb.build()))))
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other (properties, " +
-          "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN only)")
+          "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN, ALTER COLUMN " +
+          "SET/DROP DEFAULT only)")
     }
     writeMeta(fs, mp, updated)
     loadTable(ident)

@@ -633,5 +633,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     // a non-constant default is refused at DDL time
     intercept[Exception] {
       spark.sql("ALTER TABLE g.evo3.d ADD COLUMN r DOUBLE DEFAULT rand()") }
+
+    // SET DEFAULT changes what FUTURE inserts fill; old files keep
+    // materializing the default they were ADDed with (existence semantics)
+    spark.sql("ALTER TABLE g.evo3.d ALTER COLUMN score SET DEFAULT 11")
+    spark.sql("INSERT INTO g.evo3.d (id) VALUES (6)")
+    assert(spark.sql("SELECT score FROM g.evo3.d WHERE id = 6").head.getLong(0) == 11L)
+    assert(spark.sql("SELECT score FROM g.evo3.d WHERE id = 1").head.getLong(0) == 7L,
+      "pre-ADD files keep the ADD-time existence default")
+    // DROP DEFAULT: inserts omitting the column now get null
+    spark.sql("ALTER TABLE g.evo3.d ALTER COLUMN score DROP DEFAULT")
+    spark.sql("INSERT INTO g.evo3.d (id) VALUES (7)")
+    assert(spark.sql("SELECT score FROM g.evo3.d WHERE id = 7").head.isNullAt(0))
+
+    // CREATE TABLE with column DEFAULTs: inserts fill them from day one
+    spark.sql(
+      """CREATE TABLE g.evo3.c (id BIGINT, state STRING DEFAULT 'new')
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql("INSERT INTO g.evo3.c (id) VALUES (1)")
+    spark.sql("INSERT INTO g.evo3.c VALUES (2, DEFAULT), (3, 'done')")
+    assert(spark.table("g.evo3.c").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1L, "new"), (2L, "new"), (3L, "done")))
   }
 }
