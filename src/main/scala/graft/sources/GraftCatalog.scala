@@ -59,7 +59,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * rewritten. */
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
-      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** `SELECT <cat>.system.fn_decode_avro_binary(hex)` and friends — the
     * reference's SQL-UDF surface, catalog-qualified (see [[GraftFunctions]]). */
@@ -611,10 +612,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         m.copy(schema = StructType(
           m.schema.fields.updated(idx, f.copy(metadata = mb.build()))))
+      case (m, add: TableChange.AddConstraint) =>
+        val c = add.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check => ck
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are supported — " +
+              s"'${other.name}' (${other.getClass.getSimpleName}) would claim " +
+              "a cross-file invariant this engine does not police")
+        }
+        val existing = GraftCatalog.constraintsOf(m.options)
+        require(!existing.exists(_.name.equalsIgnoreCase(c.name)),
+          s"graft catalog: constraint '${c.name}' already exists")
+        m.copy(options = m.options + (GraftCatalog.ConstraintsKey ->
+          GraftCatalog.renderConstraints(existing :+ c)))
+      case (m, drop: TableChange.DropConstraint) =>
+        val existing = GraftCatalog.constraintsOf(m.options)
+        val remaining = existing.filterNot(_.name.equalsIgnoreCase(drop.name))
+        if (remaining.length == existing.length && !drop.ifExists)
+          throw new IllegalArgumentException(
+            s"graft catalog: no such constraint '${drop.name}' " +
+              s"(existing: ${existing.map(_.name).mkString(", ")})")
+        m.copy(options =
+          if (remaining.isEmpty) m.options - GraftCatalog.ConstraintsKey
+          else m.options + (GraftCatalog.ConstraintsKey ->
+            GraftCatalog.renderConstraints(remaining)))
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported table change $other (properties, " +
           "nullable ADD COLUMN, RENAME COLUMN, DROP COLUMN, ALTER COLUMN " +
-          "SET/DROP DEFAULT only)")
+          "SET/DROP DEFAULT, ADD/DROP CHECK CONSTRAINT only)")
     }
     writeMeta(fs, mp, updated)
     loadTable(ident)
@@ -754,6 +779,46 @@ private[sources] object GraftCatalog {
     }
   }
 
+  /** Options key holding the table's CHECK constraints (X82) as a JSON
+    * array of {name, sql, enforced, rely, status}. CHECK is the one
+    * constraint family a file engine can enforce honestly — per-row, at
+    * write time, via Spark's own V2 constraint validation; UNIQUE / PRIMARY
+    * KEY / FOREIGN KEY would claim cross-file invariants nothing here
+    * polices, so they are refused rather than stored as dead metadata. */
+  val ConstraintsKey = "graft.constraints"
+
+  def constraintsOf(options: Map[String, String])
+      : Seq[org.apache.spark.sql.connector.catalog.constraints.Check] =
+    options.find(_._1.equalsIgnoreCase(ConstraintsKey)).map(_._2) match {
+      case None => Nil
+      case Some(json) =>
+        import org.apache.spark.sql.connector.catalog.constraints.Constraint
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        (0 until root.size()).map { i =>
+          val o = root.get(i)
+          Constraint.check(o.get("name").asText)
+            .predicateSql(o.get("sql").asText)
+            .enforced(o.get("enforced").asBoolean)
+            .rely(o.get("rely").asBoolean)
+            .validationStatus(
+              Constraint.ValidationStatus.valueOf(o.get("status").asText))
+            .build()
+        }
+    }
+
+  private[sources] def renderConstraints(
+      cs: Seq[org.apache.spark.sql.connector.catalog.constraints.Check]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = om.createArrayNode()
+    cs.foreach { c =>
+      val o = arr.addObject()
+      o.put("name", c.name); o.put("sql", c.predicateSql)
+      o.put("enforced", c.enforced); o.put("rely", c.rely)
+      o.put("status", c.validationStatus.name)
+    }
+    om.writeValueAsString(arr)
+  }
+
   /** Names recorded under [[DroppedColsKey]] (never re-ADDable). */
   def droppedCols(options: Map[String, String]): Seq[String] =
     options.find(_._1.equalsIgnoreCase(DroppedColsKey))
@@ -767,9 +832,11 @@ private[sources] object GraftCatalog {
     * reference (stats/bloom/sort stamping): the option would silently stop
     * applying (stats) or fail the next INSERT's plan (unknown column) —
     * the user must update OPTIONS first so the intent stays explicit.
-    * Dotted `statsColumns=a.b` entries count as references to `a`. */
+    * Dotted `statsColumns=a.b` entries count as references to `a`.
+    * A CHECK constraint whose predicate mentions the column refuses too
+    * (its stored SQL would dangle). */
   private[sources] def guardOptionRefs(options: Map[String, String],
-                                       col: String, verb: String): Unit =
+                                       col: String, verb: String): Unit = {
     Seq("statsColumns", "bloomColumns", "sortColumns").foreach { k =>
       val refs = options.find(_._1.equalsIgnoreCase(k)).toSeq
         .flatMap(_._2.split(",").map(_.trim).filter(_.nonEmpty))
@@ -780,6 +847,18 @@ private[sources] object GraftCatalog {
           s"references it (${refs.mkString(", ")}); ALTER TABLE SET " +
           s"TBLPROPERTIES ('$k'='...') without it first")
     }
+    // identifier-boundary match on the stored predicate SQL (conservative:
+    // a false positive refuses, never a dangling constraint)
+    val pat = java.util.regex.Pattern.compile(
+      "(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(col) +
+        "($|[^A-Za-z0-9_])")
+    constraintsOf(options).foreach { c =>
+      require(!pat.matcher(c.predicateSql).find(),
+        s"graft catalog: cannot $verb column '$col' — CHECK constraint " +
+          s"'${c.name}' references it (${c.predicateSql}); DROP CONSTRAINT " +
+          "first")
+    }
+  }
 
   def readerJsonWithDefaults(dataSchema: StructType): String = {
     val rec = graft.spark.SchemaConverters.toAvroType(dataSchema)
@@ -957,6 +1036,11 @@ private[sources] class CatalogOcfTable(
   override def name(): String = fullName
   override def schema(): StructType = meta.schema
   override def partitioning(): Array[Transform] = transforms
+  /** Stored CHECK constraints (X82): reported to Spark, whose own V2
+    * constraint validation then rejects violating INSERT/UPDATE/MERGE rows
+    * at write time — the engine stores and serves, Spark enforces. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    GraftCatalog.constraintsOf(meta.options).toArray
   /** Stored write/read options, surfaced so `SHOW CREATE TABLE` and
     * `DESCRIBE EXTENDED` reproduce the table's configuration. */
   override def properties(): java.util.Map[String, String] = {

@@ -656,4 +656,45 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
       Seq((1L, "new"), (2L, "new"), (3L, "done")))
   }
+
+  test("CHECK constraints: stored in the descriptor, enforced by Spark on write") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.cons")
+    spark.sql("CREATE TABLE g.cons.d (id BIGINT, n BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO g.cons.d VALUES (1, 10)")
+    spark.sql("ALTER TABLE g.cons.d ADD CONSTRAINT n_nonneg CHECK (n >= 0)")
+
+    // a violating INSERT is rejected; a clean one lands
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO g.cons.d VALUES (2, -5)") }
+    assert(e1.getMessage.toLowerCase.contains("n_nonneg") ||
+      e1.getMessage.toLowerCase.contains("check"), e1.getMessage)
+    spark.sql("INSERT INTO g.cons.d VALUES (3, 7)")
+    assert(spark.table("g.cons.d").count() == 2L)
+
+    // duplicate name refused; non-CHECK families refused as unenforceable
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.cons.d ADD CONSTRAINT n_nonneg CHECK (n >= 1)") }
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.cons.d ADD CONSTRAINT pk PRIMARY KEY (id)") }
+    assert(e2.getMessage.contains("CHECK"), e2.getMessage)
+
+    // renaming/dropping a constrained column refuses until the constraint drops
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.cons.d RENAME COLUMN n TO m") }
+    assert(e3.getMessage.contains("n_nonneg"), e3.getMessage)
+
+    // DROP CONSTRAINT releases both the write gate and the column
+    spark.sql("ALTER TABLE g.cons.d DROP CONSTRAINT n_nonneg")
+    spark.sql("INSERT INTO g.cons.d VALUES (4, -1)")
+    assert(spark.table("g.cons.d").count() == 3L)
+    spark.sql("ALTER TABLE g.cons.d RENAME COLUMN n TO m")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE g.cons.d DROP CONSTRAINT nope") }
+
+    // ADD CONSTRAINT validates EXISTING rows (Spark scans through the V2
+    // source): the -1 row above refutes a non-negativity claim
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.cons.d ADD CONSTRAINT m_nonneg CHECK (m >= 0)") }
+    assert(e4.getMessage.contains("violated by existing"), e4.getMessage)
+  }
 }
