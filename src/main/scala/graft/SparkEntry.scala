@@ -1480,6 +1480,42 @@ object SparkEntry {
           |GROUP BY cohort ORDER BY cohort""".stripMargin)
     }),
 
+    // Write-audit-publish (X83): half the corpus lands on MAIN, half on a
+    // BRANCH (invisible to main); the audit read sees base+branch, then
+    // fast_forward publishes and the final main aggregate covers both
+    // halves — the manifest-gated visibility pipeline end to end.
+    "q99_wap_branch" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q99",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q99_wh_")
+      s.conf.set("spark.sql.catalog.graft_q99.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q99.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q99.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q99.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      src.createOrReplaceTempView("graft_q99_src")
+      s.sql(
+        """INSERT INTO graft_q99.corpus.docs
+          |SELECT * FROM graft_q99_src WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql("CALL graft_q99.system.create_branch(table => 'corpus.docs', name => 'staging')")
+      src.where(col("doc_id") % 2 === 1)
+        .writeTo("graft_q99.corpus.docs").option("branch", "staging").append()
+      // audit gate: the branch must hold the full corpus before publishing
+      val audited = s.read.option("branch", "staging")
+        .table("graft_q99.corpus.docs").count()
+      require(audited > 0, "audit read came back empty")
+      s.sql("CALL graft_q99.system.fast_forward(table => 'corpus.docs', name => 'staging')")
+      s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q99.corpus.docs
+          |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2400,6 +2436,13 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 2 = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // after fast_forward the published table holds the whole corpus
+    "q99_wap_branch" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // pre-ALTER files carry no cohort field: the reader default supplies

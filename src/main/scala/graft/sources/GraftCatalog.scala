@@ -1078,6 +1078,19 @@ private[sources] class CatalogOcfTable(
     require(starting.isDefined || ending.isEmpty,
       s"graft catalog: $fullName: endingVersion needs startingVersion " +
         "(for a single-version read use VERSION AS OF)")
+    // branch read (X83): `spark.read.option("branch", b).table(...)` pins
+    // the scan to the branch HEAD's manifest
+    Option(options.get("branch")).map(_.trim).filter(_.nonEmpty) match {
+      case Some(b) =>
+        require(starting.isEmpty && pinnedVersion.isEmpty,
+          s"graft catalog: $fullName: a branch read cannot combine with " +
+            "startingVersion or VERSION/TIMESTAMP AS OF")
+        val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
+        m.put("graft.snapshot.branch", b)
+        return new OcfScanBuilder(
+          OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
+      case None => ()
+    }
     starting match {
       case Some(s) =>
         require(pinnedVersion.isEmpty,

@@ -39,7 +39,10 @@ private[sources] object GraftProcedures {
       "remove_orphan_files" -> new RemoveOrphanFilesProcedure(cat),
       "rollback" -> new RollbackProcedure(cat),
       "tag" -> new TagProcedure(cat),
-      "untag" -> new UntagProcedure(cat))
+      "untag" -> new UntagProcedure(cat),
+      "create_branch" -> new CreateBranchProcedure(cat),
+      "fast_forward" -> new FastForwardProcedure(cat),
+      "drop_branch" -> new DropBranchProcedure(cat))
     if (ident.namespace.toSeq != Seq("system"))
       throw new RuntimeException(
         s"graft catalog: procedures live under the 'system' namespace " +
@@ -52,7 +55,10 @@ private[sources] object GraftProcedures {
   def list(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact"),
+        Identifier.of(Array("system"), "create_branch"),
+        Identifier.of(Array("system"), "drop_branch"),
         Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "fast_forward"),
         Identifier.of(Array("system"), "remove_orphan_files"),
         Identifier.of(Array("system"), "rollback"),
         Identifier.of(Array("system"), "tag"),
@@ -243,16 +249,21 @@ private[sources] object GraftProcedures {
       if (!OcfSnapshots.enabled(fs, root))
         return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
       val versions = OcfSnapshots.versions(fs, root)
-      // tagged versions are pinned: expiry never drops a named snapshot
-      val tagged = OcfSnapshots.readTags(fs, root).values.toSet
+      // tagged versions are pinned, and so are branch BASES (a branch's
+      // pre-first-commit state reads through its base manifest)
+      val tagged = OcfSnapshots.readTags(fs, root).values.toSet ++
+        OcfSnapshots.branchBases(fs, root)
       val (expireable, retainedTail) =
         versions.splitAt(math.max(0, versions.length - keepLast))
       val (pinned, expired) = expireable.partition(tagged.contains)
       val retained = (pinned ++ retainedTail).sorted
       if (expired.isEmpty)
         return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
+      // branch manifests' files are live too: an expired MAIN version's
+      // file may still be visible on a branch lineage
       val keepFiles: Set[String] = retained
-        .flatMap(v => OcfSnapshots.read(fs, root, v).files.map(_.path)).toSet
+        .flatMap(v => OcfSnapshots.read(fs, root, v).files.map(_.path)).toSet ++
+        OcfSnapshots.branchReferencedFiles(fs, root)
       var deleted = 0L
       var deletedBytes = 0L
       expired.foreach { v =>
@@ -269,6 +280,93 @@ private[sources] object GraftProcedures {
       expired.foreach(v => OcfSnapshots.deleteManifest(fs, root, v))
       singleRowResult(outSchema,
         Array[Any](expired.length.toLong, deleted, deletedBytes))
+    }
+  }
+
+  /** Write-audit-publish branches (X83). `create_branch(table, name
+    * [, version])` opens a branch at a main version (default: latest);
+    * `df.writeTo(t).option("branch", name)` commits into it while main
+    * readers see nothing; `spark.read.option("branch", name).table(t)`
+    * audits it; `fast_forward(table, name)` publishes the whole branch to
+    * main (refusing if main advanced — divergence is never silently
+    * merged); `drop_branch` abandons it (its data files become orphans for
+    * remove_orphan_files). */
+  private final class CreateBranchProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "Open a write-audit-publish branch at a main snapshot version"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("NULL")
+        .comment("main version to branch from; default latest").build())
+    private val outSchema = StructType(Seq(
+      StructField("branch", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val nm = str(input, 1).get
+      val from = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val base = OcfSnapshots.createBranch(fs, root, nm, from)
+      singleRowResult(outSchema, Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(nm), base))
+    }
+  }
+
+  private final class FastForwardProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "Publish a branch: advance main to the branch head (refuses on divergence)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build())
+    private val outSchema = StructType(Seq(
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val (base, head) = OcfSnapshots.fastForward(fs, root, str(input, 1).get)
+      singleRowResult(outSchema, Array[Any](base, head))
+    }
+  }
+
+  private final class DropBranchProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "Abandon a branch (its unpublished files become orphans)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build())
+    private val outSchema = StructType(Seq(
+      StructField("dropped", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      singleRowResult(outSchema, Array[Any](
+        OcfSnapshots.dropBranch(fs, root, str(input, 1).get)))
     }
   }
 
@@ -312,8 +410,11 @@ private[sources] object GraftProcedures {
         s"graft remove_orphan_files: ${meta.location} is not snapshot-managed " +
           "— without manifests the directory listing IS the table, so no " +
           "file can be orphaned")
+      // branch manifests count as references: an unpublished branch's
+      // files are invisible to main but NOT orphans
       val referenced: Set[String] = OcfSnapshots.versions(fs, root)
-        .flatMap(v => OcfSnapshots.read(fs, root, v).files.map(_.path)).toSet
+        .flatMap(v => OcfSnapshots.read(fs, root, v).files.map(_.path)).toSet ++
+        OcfSnapshots.branchReferencedFiles(fs, root)
       val baseQ = fs.makeQualified(root).toString
       val cutoff = System.currentTimeMillis() - minAge
       var scanned = 0L; var deleted = 0L; var deletedBytes = 0L

@@ -154,7 +154,9 @@ object OcfDataSource {
                             // micro-batch source's discovery never admits
                             // them, so a stream started "from version v"
                             // processes only what landed after v
-                            streamExclude: Set[String] = Set.empty) {
+                            streamExclude: Set[String] = Set.empty,
+                            // branch read (X83): batch-only pin to a branch head
+                            branchRead: Boolean = false) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -259,15 +261,22 @@ object OcfDataSource {
     // snapVersion-or-latest] — see [[OcfSnapshots.incrementalFiles]]
     val snapStarting =
       Option(options.get("graft.snapshot.startingVersion")).map(_.toLong)
+    // branch read (X83): the branch head's manifest is the visible set
+    val snapBranch =
+      Option(options.get("graft.snapshot.branch")).map(_.trim).filter(_.nonEmpty)
+    require(snapBranch.isEmpty || (snapVersion.isEmpty && snapStarting.isEmpty),
+      "graft-ocf: a branch read cannot combine with VERSION AS OF or " +
+        "startingVersion (branches have their own single head)")
     val snapRoot: Option[Path] =
       if (paths.length == 1 && glob.isEmpty) {
         val root = new Path(paths.head)
         val fs = root.getFileSystem(conf)
         if (OcfSnapshots.enabled(fs, root)) Some(root) else None
       } else None
-    require((snapVersion.isEmpty && snapStarting.isEmpty) || snapRoot.isDefined,
-      "graft-ocf: graft.snapshot.version/startingVersion needs a single " +
-        s"snapshot-managed root directory; got ${paths.mkString(", ")} glob=$glob")
+    require((snapVersion.isEmpty && snapStarting.isEmpty && snapBranch.isEmpty) ||
+        snapRoot.isDefined,
+      "graft-ocf: graft.snapshot.version/startingVersion/branch needs a " +
+        s"single snapshot-managed root directory; got ${paths.mkString(", ")} glob=$glob")
     // manifest-embedded header metadata, keyed by qualified path: reads of
     // a meta-carrying manifest plan with ZERO per-file header preads
     var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty
@@ -275,7 +284,9 @@ object OcfDataSource {
     var listed = snapRoot match {
       case Some(root) =>
         val fs = root.getFileSystem(conf)
-        val snapFiles = snapStarting match {
+        val snapFiles = snapBranch match {
+          case Some(b) => OcfSnapshots.branchHead(fs, root, b).files
+          case None => snapStarting match {
           case Some(start) =>
             // validates start/end first (clear refusal on expired versions)
             val inc = OcfSnapshots.incrementalFiles(fs, root, start, snapVersion)
@@ -293,6 +304,7 @@ object OcfDataSource {
                   s"graft-ocf: $root has a ${OcfSnapshots.Dir} directory but no manifest"))
             }
             snap.files
+        }
         }
         recursive = true // manifest files live in col=value subtrees
         val base = fs.makeQualified(root)
@@ -312,9 +324,10 @@ object OcfDataSource {
     // can't come from headers there's none of) — "no changes since v" is an
     // empty frame, not an error. Everything else still fails loudly.
     val readerOpt0 = Option(options.get("readerSchema"))
-    require(listed.nonEmpty || (snapStarting.isDefined &&
-        readerOpt0.exists(!_.equalsIgnoreCase("auto"))),
-      if (snapStarting.isDefined)
+    require(listed.nonEmpty ||
+        ((snapStarting.isDefined || snapBranch.isDefined) &&
+          readerOpt0.exists(!_.equalsIgnoreCase("auto"))),
+      if (snapStarting.isDefined || snapBranch.isDefined)
         s"graft-ocf: incremental range after version ${snapStarting.get} " +
           s"added no files under ${paths.mkString(", ")} and no explicit " +
           "readerSchema was given to shape an empty result"
@@ -430,7 +443,7 @@ object OcfDataSource {
     val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
       partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
       maxBytes, reportPartitioning = reportPart, bucket = bucketSpec,
-      streamExclude = streamExclude)
+      streamExclude = streamExclude, branchRead = snapBranch.isDefined)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     // seed the per-resolve meta memo with every manifest-carried meta:
     // buildScan then preads ONLY the files the manifest left uncovered
@@ -1148,7 +1161,8 @@ private[sources] final class OcfScanBuilder(
         resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)).getOrElse(Nil),
       bucketN = resolved.bucket.map(_.numBuckets).getOrElse(0),
       bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1),
-      excludePaths = resolved.streamExclude)
+      excludePaths = resolved.streamExclude,
+      branchRead = resolved.branchRead)
   }
 }
 
@@ -1222,7 +1236,11 @@ private[graft] final case class OcfScan(
     bucketN: Int = 0,
     bucketValueIdx: Int = -1,
     // incremental streaming: paths the micro-batch discovery never admits
-    excludePaths: Set[String] = Set.empty)
+    excludePaths: Set[String] = Set.empty,
+    // branch read (X83): file set pinned to a branch head — batch-only
+    // (streaming discovery follows MAIN's manifest and would silently
+    // stream the wrong lineage)
+    branchRead: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1452,6 +1470,9 @@ private[graft] final case class OcfScan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!countStar && aggExprs.isEmpty && limit == Long.MaxValue,
       "graft-ocf: limit/aggregate pushdown is batch-only")
+    require(!branchRead,
+      "graft-ocf: branch reads are batch-only — streaming discovery follows " +
+        "the MAIN manifest lineage, not a branch head")
     // partition-exact filters are CONSUMED at the batch planner (no
     // post-scan Filter); the streaming planner reads every discovered file,
     // so a consumed filter here would silently return unfiltered rows.

@@ -59,8 +59,11 @@ private[graft] object OcfSnapshots {
   // underscore-prefixed NAME: every data listing in this source filters
   // file names on "_"/"." prefixes, so manifests are invisible to them
   // even when a recursive walk reaches inside _graft_snapshots
+  private def manifestFile(dir: Path, version: Long): Path =
+    new Path(dir, f"_v$version%012d.json")
+
   private def manifestPath(tableDir: Path, version: Long): Path =
-    new Path(snapshotsDir(tableDir), f"_v$version%012d.json")
+    manifestFile(snapshotsDir(tableDir), version)
 
   /** Physically remove one manifest (expire_snapshots). */
   def deleteManifest(fs: FileSystem, tableDir: Path, version: Long): Unit = {
@@ -71,18 +74,22 @@ private[graft] object OcfSnapshots {
   def enabled(fs: FileSystem, tableDir: Path): Boolean =
     try fs.exists(snapshotsDir(tableDir)) catch { case _: java.io.IOException => false }
 
-  /** All manifest versions present, ascending. */
-  def versions(fs: FileSystem, tableDir: Path): Seq[Long] = {
-    val d = snapshotsDir(tableDir)
+  private def versionsIn(fs: FileSystem, d: Path): Seq[Long] =
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).iterator.map(_.getPath.getName)
       .filter(n => n.startsWith("_v") && n.endsWith(".json"))
       .flatMap(n => n.stripPrefix("_v").stripSuffix(".json").toLongOption)
       .toSeq.sorted
-  }
 
-  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot = {
-    val in = fs.open(manifestPath(tableDir, version))
+  /** All manifest versions present, ascending. */
+  def versions(fs: FileSystem, tableDir: Path): Seq[Long] =
+    versionsIn(fs, snapshotsDir(tableDir))
+
+  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot =
+    readManifest(fs, manifestPath(tableDir, version))
+
+  private def readManifest(fs: FileSystem, file: Path): Snapshot = {
+    val in = fs.open(file)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = mapper.readTree(bytes)
     // writer schemas are deduplicated into one table (a 10k-file table
@@ -252,6 +259,155 @@ private[graft] object OcfSnapshots {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  // ---- branches (X83): write-audit-publish ---------------------------------
+  // A branch is its own manifest sequence under
+  // `_graft_snapshots/_branch-<name>/`, seeded from a MAIN version (the
+  // branch base) and numbering onward from it. Writes routed to the branch
+  // land their DATA files in the table directory as usual — manifests gate
+  // visibility, so main readers never see them — and commit manifests into
+  // the branch dir. `fast_forward` publishes: when main still sits at the
+  // branch base, the branch's manifests copy into main verbatim (manifests
+  // are absolute file lists, so no rebasing) and main's head jumps to the
+  // branch head atomically-per-manifest; a main that advanced past the base
+  // REFUSES (divergent histories need a rewrite, not a silent merge).
+
+  def branchDir(tableDir: Path, name: String): Path =
+    new Path(snapshotsDir(tableDir), "_branch-" + name)
+
+  private def branchBasePath(bd: Path): Path = new Path(bd, "_base.json")
+
+  def branchExists(fs: FileSystem, tableDir: Path, name: String): Boolean =
+    try fs.exists(branchBasePath(branchDir(tableDir, name)))
+    catch { case _: java.io.IOException => false }
+
+  def listBranches(fs: FileSystem, tableDir: Path): Seq[String] = {
+    val d = snapshotsDir(tableDir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("_branch-"))
+      .map(_.stripPrefix("_branch-")).toSeq.sorted
+  }
+
+  /** Create `name` at main version `from` (default: latest). Create-exclusive
+    * on the base marker: of two racing creators exactly one wins. */
+  def createBranch(fs: FileSystem, tableDir: Path, name: String,
+                   from: Option[Long]): Long = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
+      s"graft-ocf branches: invalid branch name '$name'")
+    val vs = versions(fs, tableDir)
+    require(vs.nonEmpty,
+      s"graft-ocf branches: $tableDir has no snapshots to branch from")
+    val base = from.getOrElse(vs.last)
+    require(vs.contains(base),
+      s"graft-ocf branches: version $base is not a retained snapshot " +
+        s"(retained: ${vs.mkString(", ")})")
+    val bd = branchDir(tableDir, name)
+    require(!fs.exists(bd),
+      s"graft-ocf branches: branch '$name' already exists")
+    fs.mkdirs(bd)
+    val out = fs.create(branchBasePath(bd), false)
+    try out.write(s"""{"base":$base}""".getBytes("UTF-8")) finally out.close()
+    base
+  }
+
+  def branchBase(fs: FileSystem, tableDir: Path, name: String): Long = {
+    val p = branchBasePath(branchDir(tableDir, name))
+    require(fs.exists(p),
+      s"graft-ocf branches: no branch '$name' of $tableDir " +
+        s"(branches: ${listBranches(fs, tableDir).mkString(", ")})")
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    mapper.readTree(bytes).get("base").asLong
+  }
+
+  def branchVersions(fs: FileSystem, tableDir: Path, name: String): Seq[Long] =
+    versionsIn(fs, branchDir(tableDir, name))
+
+  /** The branch's visible snapshot: its newest own manifest, or (before any
+    * branch commit) the main BASE manifest — which must still be retained. */
+  def branchHead(fs: FileSystem, tableDir: Path, name: String): Snapshot = {
+    val bd = branchDir(tableDir, name)
+    branchVersions(fs, tableDir, name).lastOption match {
+      case Some(v) => readManifest(fs, manifestFile(bd, v))
+      case None =>
+        val base = branchBase(fs, tableDir, name)
+        require(versions(fs, tableDir).contains(base),
+          s"graft-ocf branches: branch '$name' base version $base was " +
+            "expired; the branch has no readable state")
+        read(fs, tableDir, base)
+    }
+  }
+
+  /** Optimistic commit into the branch's manifest sequence (same discipline
+    * as [[commit]]: exactly one committer wins a version). */
+  def commitToBranch(fs: FileSystem, tableDir: Path, name: String,
+                     operation: String, tableSchemaJson: Option[String])
+                    (transform: Seq[SnapFile] => Seq[SnapFile]): Snapshot = {
+    val bd = branchDir(tableDir, name)
+    require(fs.exists(branchBasePath(bd)),
+      s"graft-ocf branches: no branch '$name' of $tableDir " +
+        s"(branches: ${listBranches(fs, tableDir).mkString(", ")}); " +
+        "CALL <cat>.system.create_branch first")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val head = branchHead(fs, tableDir, name)
+      val next = Snapshot(head.version + 1, System.currentTimeMillis(),
+        operation, transform(head.files),
+        tableSchemaJson.orElse(head.tableSchemaJson))
+      val dest = manifestFile(bd, next.version)
+      val tmp = new Path(bd, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try { out.write(render(next)) } finally out.close()
+      val won = !fs.exists(dest) && fs.rename(tmp, dest)
+      if (won) return next
+      fs.delete(tmp, false)
+      if (attempts >= 20) throw new java.io.IOException(
+        s"graft-ocf branches: lost the commit race $attempts times on '$name'")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish the branch: copy its manifests into main (verbatim — version
+    * numbers continue from the base, and main must still BE at the base) and
+    * drop the branch. Returns (base, new main head). */
+  def fastForward(fs: FileSystem, tableDir: Path, name: String): (Long, Long) = {
+    val base = branchBase(fs, tableDir, name)
+    val mainVs = versions(fs, tableDir)
+    require(mainVs.lastOption.contains(base),
+      s"graft-ocf branches: cannot fast-forward '$name' — main is at " +
+        s"${mainVs.lastOption.getOrElse(0L)}, branch base is $base; " +
+        "histories diverged (publish would drop main's commits). Re-branch " +
+        "from the current head and replay, or rollback main first.")
+    val bd = branchDir(tableDir, name)
+    val bvs = branchVersions(fs, tableDir, name)
+    bvs.foreach { v =>
+      val src = manifestFile(bd, v)
+      val dest = manifestPath(tableDir, v)
+      val in = fs.open(src)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      val out = fs.create(dest, false) // create-exclusive: a racing main commit loses us the publish
+      try out.write(bytes) finally out.close()
+    }
+    fs.delete(bd, true)
+    (base, bvs.lastOption.getOrElse(base))
+  }
+
+  def dropBranch(fs: FileSystem, tableDir: Path, name: String): Boolean =
+    fs.delete(branchDir(tableDir, name), true)
+
+  /** Every file path any branch manifest references, plus branch BASE
+    * versions — what expiry and orphan collection must treat as live. */
+  def branchReferencedFiles(fs: FileSystem, tableDir: Path): Set[String] =
+    listBranches(fs, tableDir).flatMap { b =>
+      val bd = branchDir(tableDir, b)
+      versionsIn(fs, bd).flatMap(v =>
+        readManifest(fs, manifestFile(bd, v)).files.map(_.path))
+    }.toSet
+
+  def branchBases(fs: FileSystem, tableDir: Path): Set[Long] =
+    listBranches(fs, tableDir).map(b => branchBase(fs, tableDir, b)).toSet
 
   // ---- tags (named snapshots) ---------------------------------------------
   // `CALL g.system.tag('ns.t', 'v1-release')` pins a name to a version;

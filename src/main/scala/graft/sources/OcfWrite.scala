@@ -321,6 +321,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       bucketNames = bucketOrdinals.map(sql.fields(_).name),
       bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
       snapshots = Option(opts.get("graft.snapshots")).exists(_.toBoolean),
+      branch = Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
       statsCols = statsCols,
       bloomCols = bloomCols, bloomFpp = bloomFpp,
@@ -365,6 +366,10 @@ private[sources] final case class OcfWriteConfig(
     bucketOrdinals: Array[Int] = Array.empty,
     numBuckets: Int = 0,
     snapshots: Boolean = false,
+    // write-audit-publish (X83): commit manifests into this branch's
+    // sequence instead of main — data files land normally (manifests gate
+    // visibility), main readers see nothing until fast_forward
+    branch: Option[String] = None,
     tableSchemaJson: Option[String] = None,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomCols: Array[OcfWrite.StatCol] = Array.empty,
@@ -1409,6 +1414,10 @@ private[sources] object OcfCommit {
         clearDynamic, clearPaths)
       return
     }
+    require(cfg.branch.isEmpty,
+      s"graft-ocf write: option branch='${cfg.branch.get}' needs a " +
+        "snapshot-managed table (manifests gate visibility; a plain " +
+        "directory has no branch to commit to)")
     clearPaths.foreach { paths =>
       // group-based row-level operation (copy-on-write DELETE/UPDATE/MERGE):
       // replace exactly the files the operation's scan read — their
@@ -1616,8 +1625,13 @@ private[sources] object OcfCommit {
     // a replayed streaming epoch reuses its deterministic names: the added
     // entry REPLACES any same-path survivor, never duplicates it
     val addedPaths = added.map(_.path).toSet
-    OcfSnapshots.commit(fs, dirPath, op, cfg.tableSchemaJson) { prev =>
-      prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
+    val transform: Seq[OcfSnapshots.SnapFile] => Seq[OcfSnapshots.SnapFile] =
+      prev => prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
+    cfg.branch match {
+      case Some(b) =>
+        OcfSnapshots.commitToBranch(fs, dirPath, b, op, cfg.tableSchemaJson)(transform)
+      case None =>
+        OcfSnapshots.commit(fs, dirPath, op, cfg.tableSchemaJson)(transform)
     }
     ()
   }

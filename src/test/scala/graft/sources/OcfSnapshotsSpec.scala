@@ -515,4 +515,77 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gs.ns.orph VERSION AS OF 1")
       .head.getLong(0) == 10L)
   }
+
+  test("branches (X83): write-audit-publish with fast_forward, divergence refused") {
+    spark.sql("CREATE TABLE gs.ns.wap (id BIGINT, v STRING) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.wap SELECT id, concat('a', id) FROM range(5)")
+
+    // open a branch at the latest main version
+    val created = spark.sql(
+      "CALL gs.system.create_branch(table => 'ns.wap', name => 'audit')").head
+    assert(created.getString(0) == "audit" && created.getLong(1) == 1L)
+
+    // write INTO the branch: main must not see it, the branch must
+    import spark.implicits._
+    (5L until 12L).map(i => (i, s"b$i")).toDF("id", "v")
+      .writeTo("gs.ns.wap").option("branch", "audit").append()
+    assert(spark.table("gs.ns.wap").count() == 5L, "main sees nothing pre-publish")
+    val branchRead = spark.read.option("branch", "audit").table("gs.ns.wap")
+    assert(branchRead.count() == 12L)
+    assert(branchRead.where("id >= 5").count() == 7L)
+
+    // a branch before any commit reads as its base
+    spark.sql("CALL gs.system.create_branch(table => 'ns.wap', name => 'idle')")
+    assert(spark.read.option("branch", "idle").table("gs.ns.wap").count() == 5L)
+
+    // publish: main fast-forwards to the branch head
+    val ff = spark.sql(
+      "CALL gs.system.fast_forward(table => 'ns.wap', name => 'audit')").head
+    assert(ff.getLong(0) == 1L && ff.getLong(1) == 2L, ff.toString)
+    assert(spark.table("gs.ns.wap").count() == 12L)
+    // the published history is normal main history
+    assert(spark.sql("SELECT count(*) FROM gs.ns.wap VERSION AS OF 2")
+      .head.getLong(0) == 12L)
+    // the branch is gone after publishing
+    val e0 = intercept[Exception] {
+      spark.read.option("branch", "audit").table("gs.ns.wap").collect() }
+    assert(e0.getMessage.contains("no branch"), e0.getMessage)
+
+    // divergence: main advanced past 'idle''s base -> fast_forward refuses
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gs.system.fast_forward(table => 'ns.wap', name => 'idle')").collect() }
+    assert(e1.getMessage.contains("diverged"), e1.getMessage)
+
+    // an unpublished branch's files are NOT orphans; after drop they are
+    spark.sql("CALL gs.system.create_branch(table => 'ns.wap', name => 'tmp')")
+    Seq((100L, "x")).toDF("id", "v")
+      .writeTo("gs.ns.wap").option("branch", "tmp").append()
+    val root = new Path(warehouse.getAbsolutePath, "ns/wap")
+    // age every file so only reference-tracking protects them
+    def ageAll(): Unit = {
+      val it = fs.listFiles(root, true)
+      val t = System.currentTimeMillis() - 2L * 3600 * 1000
+      while (it.hasNext) { val st = it.next(); if (st.isFile) fs.setTimes(st.getPath, t, t) }
+    }
+    ageAll()
+    val kept = spark.sql(
+      "CALL gs.system.remove_orphan_files(table => 'ns.wap', min_age_ms => 3600000)")
+      .collect().head
+    assert(kept.getLong(1) == 0L, s"branch files must not be orphans: $kept")
+    assert(spark.read.option("branch", "tmp").table("gs.ns.wap").count() == 13L)
+    spark.sql("CALL gs.system.drop_branch(table => 'ns.wap', name => 'tmp')")
+    ageAll()
+    val swept = spark.sql(
+      "CALL gs.system.remove_orphan_files(table => 'ns.wap', min_age_ms => 3600000)")
+      .collect().head
+    assert(swept.getLong(1) == 1L, s"dropped branch's file should sweep: $swept")
+    assert(spark.table("gs.ns.wap").count() == 12L)
+
+    // duplicate branch name refused; unknown branch read refused
+    intercept[Exception] {
+      spark.sql("CALL gs.system.create_branch(table => 'ns.wap', name => 'idle')").collect() }
+    val e2 = intercept[Exception] {
+      spark.read.option("branch", "nope").table("gs.ns.wap").collect() }
+    assert(e2.getMessage.contains("no branch"), e2.getMessage)
+  }
 }
