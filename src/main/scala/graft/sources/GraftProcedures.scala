@@ -232,7 +232,10 @@ private[sources] object GraftProcedures {
         .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
       ProcedureParameter.in("keep_last", LongType)
         .defaultValue("1")
-        .comment("how many newest snapshots to retain (min 1)").build())
+        .comment("how many newest snapshots to retain (min 1)").build(),
+      ProcedureParameter.in("older_than_ms", LongType).defaultValue("NULL")
+        .comment("only expire snapshots committed before this epoch-ms " +
+          "timestamp (default: no time bound)").build())
 
     private val outSchema = StructType(Seq(
       StructField("expired_snapshots", LongType, nullable = false),
@@ -253,10 +256,22 @@ private[sources] object GraftProcedures {
       // pre-first-commit state reads through its base manifest)
       val tagged = OcfSnapshots.readTags(fs, root).values.toSet ++
         OcfSnapshots.branchBases(fs, root)
-      val (expireable, retainedTail) =
+      val olderThan: Option[Long] =
+        if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val (expireable0, retainedTail) =
         versions.splitAt(math.max(0, versions.length - keepLast))
-      val (pinned, expired) = expireable.partition(tagged.contains)
-      val retained = (pinned ++ retainedTail).sorted
+      // the Iceberg older_than bound: a snapshot younger than the cutoff is
+      // RETAINED even when keep_last would drop it — time-based retention
+      // policies ("keep a week of history") compose with count-based ones
+      val expireable = olderThan match {
+        case Some(cut) => expireable0.filter(v =>
+          OcfSnapshots.read(fs, root, v).timestampMs < cut)
+        case None => expireable0
+      }
+      val expired = expireable.filterNot(tagged.contains)
+      // retained = EVERYTHING not expired (tag-pinned, keep_last tail, AND
+      // too-young-under-older_than) — keepFiles must cover all of them
+      val retained = versions.diff(expired)
       if (expired.isEmpty)
         return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
       // branch manifests' files are live too: an expired MAIN version's

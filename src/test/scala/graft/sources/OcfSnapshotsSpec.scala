@@ -516,6 +516,28 @@ class OcfSnapshotsSpec extends AnyFunSuite {
       .head.getLong(0) == 10L)
   }
 
+  test("expire_snapshots older_than_ms retains young snapshots under keep_last") {
+    spark.sql("CREATE TABLE gs.ns.exp2 (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.exp2 SELECT id FROM range(3)")
+    spark.sql("INSERT INTO gs.ns.exp2 SELECT id FROM range(3, 7)")
+    spark.sql("INSERT INTO gs.ns.exp2 SELECT id FROM range(7, 12)")
+    val root = new Path(warehouse.getAbsolutePath, "ns/exp2")
+    // every commit is younger than a 1-hour bound: keep_last=1 expires NOTHING
+    val r1 = spark.sql(
+      s"CALL gs.system.expire_snapshots(table => 'ns.exp2', keep_last => 1, " +
+        s"older_than_ms => ${System.currentTimeMillis() - 3600000L})").head
+    assert(r1.getLong(0) == 0L, r1.toString)
+    assert(OcfSnapshots.versions(fs, root) == Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT count(*) FROM gs.ns.exp2 VERSION AS OF 1").head.getLong(0) == 3L)
+    // a future bound releases them: count-based retention applies again
+    val r2 = spark.sql(
+      s"CALL gs.system.expire_snapshots(table => 'ns.exp2', keep_last => 1, " +
+        s"older_than_ms => ${System.currentTimeMillis() + 3600000L})").head
+    assert(r2.getLong(0) == 2L, r2.toString)
+    assert(OcfSnapshots.versions(fs, root) == Seq(3L))
+    assert(spark.table("gs.ns.exp2").count() == 12L)
+  }
+
   test("branches (X83): write-audit-publish with fast_forward, divergence refused") {
     spark.sql("CREATE TABLE gs.ns.wap (id BIGINT, v STRING) USING `graft-ocf`")
     spark.sql("INSERT INTO gs.ns.wap SELECT id, concat('a', id) FROM range(5)")
