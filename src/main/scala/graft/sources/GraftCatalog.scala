@@ -190,6 +190,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.branches` — one row per WAP branch (X83)
+      if (ident.name == "branches" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfBranchesMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
+        }
+      }
       // `SELECT * FROM g.ns.t.partitions` — per-partition file/row/byte
       // rollup from the same header-free meta loader as `.files`
       if (ident.name == "partitions" && ident.namespace.length >= 2) {
@@ -213,12 +222,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = tableMeta(ident)
     val root = new Path(meta.location)
     val fsys = root.getFileSystem(conf)
-    // numeric = snapshot version; anything else = a tag name
-    val v = version.toLongOption.getOrElse(
-      OcfSnapshots.readTags(fsys, root).getOrElse(version,
+    val fullNameB = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
+    // numeric = snapshot version; otherwise a tag name, then a BRANCH name
+    // (X83): `VERSION AS OF 'audit'` reads the branch head, read-only
+    val v = version.toLongOption.getOrElse {
+      val tags = OcfSnapshots.readTags(fsys, root)
+      tags.getOrElse(version, {
+        if (OcfSnapshots.branchExists(fsys, root, version))
+          return new CatalogOcfTable(fullNameB, meta,
+            GraftCatalog.transformsOf(meta), conf,
+            branchPin = Some(version))
         throw new IllegalArgumentException(
-          s"graft catalog: table ${ident.name} has no snapshot tag '$version' " +
-            s"(tags: ${OcfSnapshots.readTags(fsys, root).keys.toSeq.sorted.mkString(", ")})")))
+          s"graft catalog: table ${ident.name} has no snapshot tag or " +
+            s"branch '$version' (tags: ${tags.keys.toSeq.sorted.mkString(", ")}; " +
+            s"branches: ${OcfSnapshots.listBranches(fsys, root).mkString(", ")})")
+      })
+    }
     require(OcfSnapshots.versions(fsys, root).contains(v),
       s"graft catalog: table ${ident.name} has no snapshot version $v " +
         s"(available: ${OcfSnapshots.versions(fsys, root).mkString(", ")})")
@@ -987,7 +1006,9 @@ private[sources] class CatalogOcfTable(
     // grow its own manifest — the table-level snapshot is committed at the
     // staged swap; time-travel instances carry the pinned version
     snapshotWrites: Boolean = true,
-    pinnedVersion: Option[Long] = None)
+    pinnedVersion: Option[Long] = None,
+    // `VERSION AS OF '<branch>'` (X83): a read-only pin to the branch head
+    branchPin: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1010,6 +1031,7 @@ private[sources] class CatalogOcfTable(
     m.put("readerSchema", GraftCatalog.readerJsonWithDefaults(meta.dataSchema))
     if (meta.partCols.nonEmpty) m.put("partitionSchema", meta.partSchemaDdl)
     pinnedVersion.foreach(v => m.put("graft.snapshot.version", v.toString))
+    branchPin.foreach(b => m.put("graft.snapshot.branch", b))
     new CaseInsensitiveStringMap(m)
   }
 
@@ -1059,6 +1081,10 @@ private[sources] class CatalogOcfTable(
     case Some(v) =>
       val root = new Path(meta.location)
       OcfSnapshots.read(root.getFileSystem(conf), root, v).files.nonEmpty
+    case None if branchPin.isDefined =>
+      val root = new Path(meta.location)
+      OcfSnapshots.branchHead(root.getFileSystem(conf), root,
+        branchPin.get).files.nonEmpty
     case None =>
       try OcfDataSource.snapshotAwareList(conf, Seq(meta.location), None,
         recursive = true).nonEmpty
@@ -1082,9 +1108,10 @@ private[sources] class CatalogOcfTable(
     // the scan to the branch HEAD's manifest
     Option(options.get("branch")).map(_.trim).filter(_.nonEmpty) match {
       case Some(b) =>
-        require(starting.isEmpty && pinnedVersion.isEmpty,
+        require(starting.isEmpty && pinnedVersion.isEmpty &&
+            branchPin.forall(_ == b),
           s"graft catalog: $fullName: a branch read cannot combine with " +
-            "startingVersion or VERSION/TIMESTAMP AS OF")
+            "startingVersion, VERSION/TIMESTAMP AS OF, or another branch pin")
         val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
         m.put("graft.snapshot.branch", b)
         return new OcfScanBuilder(
@@ -1114,6 +1141,9 @@ private[sources] class CatalogOcfTable(
       s"graft catalog: $fullName is pinned to snapshot version " +
         s"${pinnedVersion.get} (VERSION/TIMESTAMP AS OF) — historical " +
         "versions are read-only")
+    require(branchPin.isEmpty,
+      s"graft catalog: $fullName is a VERSION AS OF branch pin — read-only; " +
+        "write to the branch with df.writeTo(...).option(\"branch\", ...)")
     inner.newWriteBuilder(info)
   }
 
@@ -1512,6 +1542,50 @@ private[sources] final class OcfHistoryMetaTable(
               UTF8String.fromString(s.operation),
               s.files.length.toLong,
               s.files.map(_.len).sum))
+          }.toArray
+        }
+      }
+    }
+}
+
+/** `SELECT * FROM <cat>.<ns>.<table>.branches` — one row per WAP branch
+  * (X83): name, base version, head version (= base before any branch
+  * commit), commit count, and the branch head's file/byte totals. The
+  * "what audit sets are in flight" rollup, from manifest JSONs alone. */
+private[sources] final class OcfBranchesMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta, conf: Configuration)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("base_version", LongType, nullable = false),
+    StructField("head_version", LongType, nullable = false),
+    StructField("n_commits", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-ocf BRANCHES of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val root = new Path(meta.location)
+          val fsys = root.getFileSystem(conf)
+          OcfSnapshots.listBranches(fsys, root).map { b =>
+            val base = OcfSnapshots.branchBase(fsys, root, b)
+            val head = OcfSnapshots.branchHead(fsys, root, b)
+            val commits = OcfSnapshots.branchVersions(fsys, root, b).length.toLong
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+              UTF8String.fromString(b), base, head.version, commits,
+              head.files.length.toLong, head.files.map(_.len).sum))
           }.toArray
         }
       }

@@ -560,6 +560,17 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     spark.sql("CALL gs.system.create_branch(table => 'ns.wap', name => 'idle')")
     assert(spark.read.option("branch", "idle").table("gs.ns.wap").count() == 5L)
 
+    // SQL surface: VERSION AS OF '<branch>' reads the branch head
+    assert(spark.sql("SELECT count(*) FROM gs.ns.wap VERSION AS OF 'audit'")
+      .head.getLong(0) == 12L)
+
+    // `.branches` metadata table: one row per in-flight branch
+    val br = spark.sql(
+      """SELECT name, base_version, head_version, n_commits
+        |FROM gs.ns.wap.branches ORDER BY name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(br == Seq(("audit", 1L, 2L, 1L), ("idle", 1L, 1L, 0L)), br.toString)
+
     // publish: main fast-forwards to the branch head
     val ff = spark.sql(
       "CALL gs.system.fast_forward(table => 'ns.wap', name => 'audit')").head
