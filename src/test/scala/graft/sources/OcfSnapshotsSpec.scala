@@ -299,7 +299,7 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gs.ns.tg VERSION AS OF 'nope'").collect()
     }
-    assert(e.getMessage.contains("no snapshot tag 'nope'"), e.getMessage)
+    assert(e.getMessage.contains("no snapshot tag or branch 'nope'"), e.getMessage)
 
     // expiry pins tagged versions: keep_last=1 would drop v1/v2, but
     // 'first-five' holds v1 (and its files) in place
@@ -514,6 +514,22 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.orph").count() == 25L)
     assert(spark.sql("SELECT count(*) FROM gs.ns.orph VERSION AS OF 1")
       .head.getLong(0) == 10L)
+  }
+
+  test("incremental reads keep stats-based file skipping and filter pushdown") {
+    spark.sql(
+      """CREATE TABLE gs.ns.incs (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id')""".stripMargin)
+    spark.sql("INSERT INTO gs.ns.incs SELECT id, 'a' FROM range(100)")
+    // commit 2: four range-contiguous files (one per task partition)
+    spark.sql("INSERT INTO gs.ns.incs SELECT id, 'b' FROM range(1000, 1400)")
+    val inc = spark.read.option("startingVersion", "1").table("gs.ns.incs")
+      .where("id >= 1300")
+    assert(inc.count() == 100L)
+    // the diff admitted only commit 2's files, and the manifest-embedded
+    // min/max stats then skipped every file below 1300 — one file planned
+    val planned = OcfDataSource.lastPlannedFiles.get()
+    assert(planned.size == 1, s"planned ${planned.size} files: $planned")
   }
 
   test("expire_snapshots older_than_ms retains young snapshots under keep_last") {
