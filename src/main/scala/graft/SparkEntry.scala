@@ -1928,6 +1928,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
 
+    // Temperature-based corpus mixing (X84, the XLM-R/mT5 alpha-sampling
+    // recipe): p_i ∝ sqrt(n_i) flattens the source distribution toward a
+    // 30k-row target; rates are floored onto a 2^-20 grid so the DuckDB
+    // oracle's independent rate recomputation agrees bit-for-bit.
+    "q100_temperature_mix" -> ((s, dir) =>
+      ops.Sampling.temperatureMix(t(s, dir, "documents"), "doc_id", "source",
+          targetRows = 30000, alpha = 0.5, salt = "r15")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
     // Weighted corpus mixing with oversampling (epochs): books-style strata
     // above 1x, web-style below — the standard pretraining mix as one
     // declarative operator (generated epoch fan-out, map-side fractional
@@ -3058,6 +3068,23 @@ object SparkEntry {
         |    WHEN 'src6' THEN 0.5 WHEN 'src7' THEN 0.25 WHEN 'src8' THEN 0.75
         |    WHEN 'src9' THEN 0.5 END
         |ORDER BY doc_id""".stripMargin,
+
+    // same alpha-sampling arithmetic, recomputed independently: sqrt is
+    // correctly rounded IEEE in both engines and the 2^-20 rate grid
+    // absorbs any last-ulp normalizer difference
+    "q100_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY source
+        |), z AS (SELECT sum(sqrt(n)) AS z FROM c),
+        |r AS (
+        |  SELECT source,
+        |    floor(LEAST(1.0, 30000 * sqrt(n) / (SELECT z FROM z) / n) * 1048576) / 1048576 AS rate
+        |  FROM c
+        |)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#r15'),1,8)) AS BIGINT)/4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
 
     // exact-N per stratum: rank by the SAME hashUnit integer (the /2^32
     // division is order-preserving, so the oracle ranks the raw value)

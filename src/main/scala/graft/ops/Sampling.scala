@@ -41,6 +41,43 @@ object Sampling {
     df.where(hashUnit(col(keyCol), lit(salt)) < element_at(typedLit(rates), col(stratumCol)))
   }
 
+  /** Temperature-based corpus mixing (X84): the published alpha-sampling
+    * recipe (XLM-R, arXiv:1911.02116 §3.1; mT5, arXiv:2010.11934) — stratum
+    * sampling probability p_i ∝ n_i^alpha flattens the source distribution
+    * (alpha < 1 raises small sources' relative share), `targetRows` sets
+    * the expected output size, and each stratum's keep rate
+    * min(1, targetRows·p_i / n_i) feeds the same deterministic md5 filter
+    * as [[stratifiedSample]] — no RNG, reproducible under retry, and
+    * engine-portable for external audit.
+    *
+    * Determinism discipline: rates derive from one #strata-row
+    * groupBy-count collect (driver-trivial at any corpus size — the SCAN
+    * is distributed, only the per-source totals land), alpha = 0.5 runs
+    * through sqrt (correctly rounded per IEEE 754, so an external engine
+    * recomputing the rates agrees), and the final rate is floored onto a
+    * 2^-20 grid in both engines so a last-ulp difference in the
+    * normalizer's float sum can never flip a row's membership. Rates cap
+    * at 1.0 — temperature mixing DOWN-samples big sources; use
+    * [[weightedMix]] when small sources must repeat (oversample). */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     targetRows: Long, alpha: Double = 0.5,
+                     salt: String = ""): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive; got $targetRows")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]; got $alpha")
+    val counts: Seq[(String, Long)] = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(counts.nonEmpty, "temperatureMix needs at least one stratum")
+    def powA(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val z = counts.map { case (_, n) => powA(n) }.sum
+    val grid = 1048576.0 // 2^20
+    val rates: Map[String, Double] = counts.map { case (s, n) =>
+      val r = math.min(1.0, targetRows * powA(n) / z / n)
+      s -> math.floor(r * grid) / grid
+    }.toMap
+    stratifiedSample(df, keyCol, stratumCol, rates, salt)
+  }
+
   /** EXACT-size per-stratum sampling: keep the `n` rows of each stratum
     * with the smallest deterministic key hash — "give me exactly 20k docs
     * per source" where [[stratifiedSample]]'s rate-based filter gives an

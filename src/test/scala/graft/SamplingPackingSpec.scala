@@ -44,6 +44,36 @@ class SamplingPackingSpec extends AnyFunSuite {
     assert(bySource.getOrElse("src1", 0) > 2 && bySource("src1") < 23)
   }
 
+  test("temperatureMix flattens the source distribution toward alpha sampling") {
+    // synthetic skewed corpus: a big source and a small one
+    import spark.implicits._
+    val corpus = ((1L to 900L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(corpus, "doc_id", "source",
+      targetRows = 400, alpha = 0.5, salt = "t")
+    val by = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected rates: z = sqrt(900)+sqrt(100) = 40; big: 400*30/40/900 = 1/3,
+    // small: 400*10/40/100 = 1.0 (capped) — the small source keeps
+    // EVERYTHING while the big one downsamples: the alpha<1 flattening
+    assert(by("small") == 100L, by.toString)
+    assert(by("big") > 200L && by("big") < 400L, by.toString)
+    // deterministic: identical re-runs
+    val again = Sampling.temperatureMix(corpus, "doc_id", "source",
+      targetRows = 400, alpha = 0.5, salt = "t")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(out.select("doc_id").collect().map(_.getLong(0)).sorted))
+    // alpha = 1 reproduces proportional sampling: equal rates across strata
+    val prop = Sampling.temperatureMix(corpus, "doc_id", "source",
+      targetRows = 500, alpha = 1.0, salt = "t")
+    val byProp = prop.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate = 500/1000 for every stratum; shares stay roughly proportional
+    assert(byProp("big").toDouble / byProp("small") > 5.0, byProp.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(corpus, "doc_id", "source", targetRows = 0) }
+  }
+
   test("different salts draw different samples") {
     val rates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.5, "src3" -> 0.5)
     val a = Sampling.stratifiedSample(docs, "doc_id", "source", rates, salt = "a")
