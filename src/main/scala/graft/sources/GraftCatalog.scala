@@ -190,6 +190,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.tags` — one row per named snapshot
+      if (ident.name == "tags" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfTagsMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
+        }
+      }
       // `SELECT * FROM g.ns.t.branches` — one row per WAP branch (X83)
       if (ident.name == "branches" && ident.namespace.length >= 2) {
         val base = Identifier.of(ident.namespace.init, ident.namespace.last)
@@ -1542,6 +1551,44 @@ private[sources] final class OcfHistoryMetaTable(
               UTF8String.fromString(s.operation),
               s.files.length.toLong,
               s.files.map(_.len).sum))
+          }.toArray
+        }
+      }
+    }
+}
+
+/** `SELECT * FROM <cat>.<ns>.<table>.tags` — one row per named snapshot
+  * (tag → pinned version + that manifest's commit time), from two small
+  * JSONs. The audit surface for "what can a training run still re-read". */
+private[sources] final class OcfTagsMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta, conf: Configuration)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-ocf TAGS of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val root = new Path(meta.location)
+          val fsys = root.getFileSystem(conf)
+          OcfSnapshots.readTags(fsys, root).toSeq.sortBy(_._1).map {
+            case (nm, v) =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+                UTF8String.fromString(nm), v,
+                OcfSnapshots.read(fsys, root, v).timestampMs * 1000L))
           }.toArray
         }
       }

@@ -636,7 +636,7 @@ private[sources] final class OcfStreamingWrite(cfg: OcfWriteConfig, truncateAll:
     * replaces the directory's contents. */
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     OcfCommit.publish(cfg, messages, clearVisible = truncateAll,
-      clearPrefix = if (truncateAll) None else Some(f"part-$epochId%05d-"))
+      clearPrefix = if (truncateAll) None else Some(f"part-e$epochId%05d-"))
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     OcfCommit.discard(cfg, messages)
@@ -652,10 +652,14 @@ private[sources] final case class OcfBatchWriterFactory(cfg: OcfWriteConfig)
 
 private[sources] final case class OcfStreamingWriterFactory(cfg: OcfWriteConfig)
     extends StreamingDataWriterFactory {
+  // the `e` infix keeps the epoch namespace DISJOINT from batch names
+  // (`part-<pid>-<jobId>.avro`): epoch 0's replay-cleanup prefix
+  // `part-e00000-` can then never match (and silently drop) a batch
+  // partition-0 file appended to the same table earlier
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new OcfDataWriter(cfg,
-      f"part-$epochId%05d-$partitionId%05d.avro",
-      f".part-$epochId%05d-$partitionId%05d-$taskId.avro.tmp")
+      f"part-e$epochId%05d-$partitionId%05d.avro",
+      f".part-e$epochId%05d-$partitionId%05d-$taskId.avro.tmp")
 }
 
 /** Streams one partition's rows to temp OCF files. The file is opened

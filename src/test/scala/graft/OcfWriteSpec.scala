@@ -516,7 +516,9 @@ class OcfWriteSpec extends AnyFunSuite {
     } finally q.stop()
 
     val files = visibleFiles(dir)
-    assert(files.forall(_.getName.matches("part-\\d{5}-\\d{5}\\.avro")),
+    // the `e` infix keeps epoch names disjoint from batch `part-<pid>-<job>`
+    // names, so epoch-replay cleanup can never match a batch file
+    assert(files.forall(_.getName.matches("part-e\\d{5}-\\d{5}\\.avro")),
       s"deterministic epoch-partition names required, got ${files.map(_.getName)}")
     // two epochs → file name prefixes for two distinct epoch ids
     assert(files.map(_.getName.split("-")(1)).distinct.size == 2)

@@ -296,6 +296,10 @@ class OcfSnapshotsSpec extends AnyFunSuite {
       .head.getLong(0) == 5L)
     assert(spark.sql("SELECT count(*) FROM gs.ns.tg VERSION AS OF 'current'")
       .head.getLong(0) == 20L)
+    // `.tags` metadata table lists every named snapshot
+    assert(spark.sql("SELECT name, version FROM gs.ns.tg.tags ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("current", 3L), ("first-five", 1L)))
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM gs.ns.tg VERSION AS OF 'nope'").collect()
     }
@@ -636,5 +640,45 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       spark.read.option("branch", "nope").table("gs.ns.wap").collect() }
     assert(e2.getMessage.contains("no branch"), e2.getMessage)
+  }
+
+  test("epoch-0 streaming append never clobbers batch partition-0 files") {
+    import org.apache.spark.sql.streaming.Trigger
+    // regression: epoch 0's replay-cleanup prefix used to be `part-00000-`,
+    // which ALSO matched the batch INSERT's partition-0 file name — the
+    // first streamed epoch silently dropped those rows from the manifest
+    spark.sql("CREATE TABLE gs.ns.mix (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.mix SELECT id FROM range(5)")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mix-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mix-ck").toString
+    spark.range(100, 108).toDF("id").coalesce(1).write.parquet(srcDir + "/p1")
+    val q = spark.readStream.schema("id LONG").parquet(srcDir + "/*")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gs.ns.mix")
+    q.awaitTermination(60000)
+    assert(spark.table("gs.ns.mix").count() == 13L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.mix VERSION AS OF 1")
+      .head.getLong(0) == 5L)
+  }
+
+  test("streaming writes commit into a branch; main blind until publish") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE gs.ns.swap (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.swap SELECT id FROM range(5)")
+    spark.sql("CALL gs.system.create_branch(table => 'ns.swap', name => 'stream')")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-swap-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-swap-ck").toString
+    spark.range(100, 108).toDF("id").coalesce(1).write.parquet(srcDir + "/p1")
+    val q = spark.readStream.schema("id LONG").parquet(srcDir + "/*")
+      .writeStream.option("checkpointLocation", ckpt)
+      .option("branch", "stream")
+      .trigger(Trigger.AvailableNow())
+      .toTable("gs.ns.swap")
+    q.awaitTermination(60000)
+    assert(spark.table("gs.ns.swap").count() == 5L, "main blind to branch epochs")
+    assert(spark.read.option("branch", "stream").table("gs.ns.swap").count() == 13L)
+    spark.sql("CALL gs.system.fast_forward(table => 'ns.swap', name => 'stream')")
+    assert(spark.table("gs.ns.swap").count() == 13L)
   }
 }
