@@ -1639,6 +1639,24 @@ object SparkEntry {
         Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text"))
         .orderBy("doc_id")),
 
+    // Leakage-safe splitting (X85): near-dup clusters (q62's labels) are
+    // the assignment unit, so no near-duplicate pair can straddle
+    // train/eval; singleton docs group as themselves. Deterministic md5
+    // cut at cumulative weights — the oracle recomputes everything,
+    // including the same float partial sums.
+    "q101_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comp = Dedup.connectedComponents(
+        Dedup.simhashPairs(docs, "doc_id", "text"))
+      ops.Sampling.splitByGroup(
+          docs.join(comp, Seq("doc_id"), "left")
+            .withColumn("grp", coalesce(col("component"), col("doc_id"))),
+          "grp", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1),
+          salt = "r15")
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // the filter face of q62: corpus minus every non-canonical cluster
     // member — text never shuffles, the loser set rides a broadcast
     "q64_neardup_dedup" -> ((s, dir) => {
@@ -2690,6 +2708,32 @@ object SparkEntry {
         |  SELECT e.a, w.label FROM e JOIN walk w ON w.id = e.b)
         |SELECT id AS doc_id, CAST(min(label) AS BIGINT) AS component
         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q62's labels as the split-assignment unit; the cut thresholds are
+    // written as the SAME float partial sums Scala's scanLeft computes
+    // (0.8 + 0.1 is NOT the literal 0.9 in IEEE doubles)
+    "q101_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+        |pairs AS (SELECT id_a, id_b FROM ($simhashPairsOracleSql) q),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |      UNION SELECT id_b AS a, id_a AS b FROM pairs),
+        |walk(id, label) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, w.label FROM e JOIN walk w ON w.id = e.b),
+        |comp AS (SELECT id, CAST(min(label) AS BIGINT) AS lbl FROM walk GROUP BY id),
+        |g AS (
+        |  SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substr(md5(CAST(grp AS VARCHAR)||'#r15'),1,8)) AS BIGINT)/4294967296.0 AS u
+        |  FROM g)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < (0.8 + 0.1) THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // q62's labeling applied as a filter: drop docs whose component label
     // is a DIFFERENT doc's id; docs outside the pair graph survive

@@ -78,6 +78,33 @@ object Sampling {
     stratifiedSample(df, keyCol, stratumCol, rates, salt)
   }
 
+  /** Leakage-safe train/valid/test assignment (X85): every row of a GROUP
+    * lands in the SAME split, so near-duplicates (grouped by, e.g., X43's
+    * connected-component label) can never straddle the train/eval boundary
+    * — the split discipline behind honest held-out evaluation (Lee et al.
+    * 2022, arXiv:2107.06499, measured how train/test duplicate leakage
+    * inflates eval). The GROUP key hashes through the same deterministic
+    * md5 unit as [[stratifiedSample]], and [0,1) is cut at the splits'
+    * cumulative weights in DECLARED order — no RNG, retry-reproducible,
+    * engine-portable for external audit (an oracle recomputing the same
+    * float partial sums in the same order agrees exactly). Appends a
+    * `split` column; weights must sum to 1 (every group gets a split). */
+  def splitByGroup(df: DataFrame, groupCol: String,
+                   splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "splitByGroup needs at least one split")
+    require(splits.map(_._1).distinct.length == splits.length,
+      s"duplicate split names in ${splits.map(_._1)}")
+    require(splits.forall(_._2 > 0), s"split weights must be positive; got $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1; got ${splits.map(_._2).sum}")
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val h = hashUnit(col(groupCol), lit(salt))
+    val assign = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(h < lit(cut), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** EXACT-size per-stratum sampling: keep the `n` rows of each stratum
     * with the smallest deterministic key hash — "give me exactly 20k docs
     * per source" where [[stratifiedSample]]'s rate-based filter gives an

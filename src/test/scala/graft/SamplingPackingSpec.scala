@@ -74,6 +74,37 @@ class SamplingPackingSpec extends AnyFunSuite {
       Sampling.temperatureMix(corpus, "doc_id", "source", targetRows = 0) }
   }
 
+  test("splitByGroup: groups never straddle splits, weights respected, deterministic") {
+    import spark.implicits._
+    // 200 groups x 5 rows — a near-dup "cluster" must land whole
+    val corpus = (0L until 1000L).map(i => (i, i / 5L)).toDF("doc_id", "grp")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByGroup(corpus, "grp", splits, salt = "s")
+    assert(out.count() == 1000L, "every row is assigned")
+    // group integrity: one split per group
+    val perGroup = out.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .where("n > 1").count()
+    assert(perGroup == 0L, "a group straddled splits")
+    // share sanity over 200 groups: train gets the bulk
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit("train") > 600L && bySplit("train") < 950L, bySplit.toString)
+    assert(bySplit.keySet == Set("train", "valid", "test"), bySplit.toString)
+    // deterministic re-run
+    val again = Sampling.splitByGroup(corpus, "grp", splits, salt = "s")
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(again.sameElements(out.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted))
+    // refusals
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(corpus, "grp", Seq("a" -> 0.5, "b" -> 0.4)) }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(corpus, "grp", Seq("a" -> 0.5, "a" -> 0.5)) }
+    intercept[IllegalArgumentException] {
+      Sampling.splitByGroup(corpus, "grp", Seq("a" -> 1.5, "b" -> -0.5)) }
+  }
+
   test("different salts draw different samples") {
     val rates = Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.5, "src3" -> 0.5)
     val a = Sampling.stratifiedSample(docs, "doc_id", "source", rates, salt = "a")
