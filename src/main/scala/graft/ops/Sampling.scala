@@ -64,9 +64,16 @@ object Sampling {
                      salt: String = ""): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive; got $targetRows")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]; got $alpha")
-    val counts: Seq[(String, Long)] = df.groupBy(col(stratumCol)).count()
+    // strata compare as STRINGS (the rate-map key type) and a NULL stratum
+    // is "not in the mix" — the same drop semantics as stratifiedSample's
+    // missing-rate case, instead of an NPE in the driver-side sort
+    val counts: Seq[(String, Long)] = df
+      .select(col(stratumCol).cast("string").as("s"))
+      .where(col("s").isNotNull)
+      .groupBy(col("s")).count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
-    require(counts.nonEmpty, "temperatureMix needs at least one stratum")
+    require(counts.nonEmpty,
+      "temperatureMix needs at least one non-null stratum")
     def powA(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     val z = counts.map { case (_, n) => powA(n) }.sum
@@ -75,7 +82,12 @@ object Sampling {
       val r = math.min(1.0, targetRows * powA(n) / z / n)
       s -> math.floor(r * grid) / grid
     }.toMap
-    stratifiedSample(df, keyCol, stratumCol, rates, salt)
+    // the rate lookup is string-keyed; sample on a cast view of the
+    // stratum so int/date-typed strata work too
+    stratifiedSample(df.withColumn("__graft_stratum_str",
+        col(stratumCol).cast("string")),
+        keyCol, "__graft_stratum_str", rates, salt)
+      .drop("__graft_stratum_str")
   }
 
   /** Leakage-safe train/valid/test assignment (X85): every row of a GROUP

@@ -237,10 +237,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val v = version.toLongOption.getOrElse {
       val tags = OcfSnapshots.readTags(fsys, root)
       tags.getOrElse(version, {
-        if (OcfSnapshots.branchExists(fsys, root, version))
-          return new CatalogOcfTable(fullNameB, meta,
+        if (OcfSnapshots.branchExists(fsys, root, version)) {
+          // the branch head's COMMIT-TIME schema governs the pinned read,
+          // exactly like a numeric pin — main DDL after the branch write
+          // must not reshape what the audit read (and fast_forward) sees
+          val pinned = OcfSnapshots.branchHead(fsys, root, version)
+            .tableSchemaJson.flatMap(js =>
+              scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js))
+                .toOption.collect { case st: StructType => meta.copy(schema = st) })
+            .getOrElse(meta)
+          return new CatalogOcfTable(fullNameB, pinned,
             GraftCatalog.transformsOf(meta), conf,
             branchPin = Some(version))
+        }
         throw new IllegalArgumentException(
           s"graft catalog: table ${ident.name} has no snapshot tag or " +
             s"branch '$version' (tags: ${tags.keys.toSeq.sorted.mkString(", ")}; " +
@@ -572,6 +581,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!to.startsWith("_") && !to.startsWith("."),
           s"graft catalog: '$to' — underscore/dot-prefixed names are reserved " +
             "(metadata columns, layout directories)")
+        // the same resurrection guards as ADD COLUMN: renaming TO a name
+        // old files still carry under another guise would direct-match
+        // their stale data (outranking the alias to the real column)
+        m.schema.fields.find(f =>
+            GraftCatalog.renamedFrom(f).exists(_.equalsIgnoreCase(to))).foreach { f =>
+          throw new IllegalArgumentException(
+            s"graft catalog: '$to' is a previous name of column '${f.name}' — " +
+              "old files' data would resolve into the renamed column instead " +
+              s"of '${f.name}'; pick a different name")
+        }
+        require(!GraftCatalog.droppedCols(m.options).exists(_.equalsIgnoreCase(to)),
+          s"graft catalog: column '$to' was previously dropped; old files " +
+            "still carry its data, which a same-named column would silently " +
+            "resurrect — pick a different name (or rewrite the table)")
         GraftCatalog.guardOptionRefs(m.options, from, "RENAME")
         val f = m.schema.fields(idx)
         val prior = GraftCatalog.renamedFrom(f)
@@ -878,7 +901,7 @@ private[sources] object GraftCatalog {
     // identifier-boundary match on the stored predicate SQL (conservative:
     // a false positive refuses, never a dangling constraint)
     val pat = java.util.regex.Pattern.compile(
-      "(?i)(^|[^A-Za-z0-9_`])" + java.util.regex.Pattern.quote(col) +
+      "(?i)(^|[^A-Za-z0-9_])" + java.util.regex.Pattern.quote(col) +
         "($|[^A-Za-z0-9_])")
     constraintsOf(options).foreach { c =>
       require(!pat.matcher(c.predicateSql).find(),

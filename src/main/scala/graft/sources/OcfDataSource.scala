@@ -288,13 +288,13 @@ object OcfDataSource {
           case Some(b) => OcfSnapshots.branchHead(fs, root, b).files
           case None => snapStarting match {
           case Some(start) =>
-            // validates start/end first (clear refusal on expired versions)
-            val inc = OcfSnapshots.incrementalFiles(fs, root, start, snapVersion)
-            // the start snapshot's files are the STREAMING exclusion set:
-            // a stream "from version v" discovers everything else, forever
+            // one call validates the range AND returns the start snapshot's
+            // paths — the STREAMING exclusion set: a stream "from version v"
+            // discovers everything else, forever
+            val (inc, startPaths) =
+              OcfSnapshots.incrementalWithStart(fs, root, start, snapVersion)
             val baseQ = fs.makeQualified(root)
-            streamExclude = OcfSnapshots.read(fs, root, start).files
-              .map(sf => new Path(baseQ, sf.path).toString).toSet
+            streamExclude = startPaths.map(p => new Path(baseQ, p).toString)
             inc
           case None =>
             val snap = snapVersion match {
@@ -327,10 +327,14 @@ object OcfDataSource {
     require(listed.nonEmpty ||
         ((snapStarting.isDefined || snapBranch.isDefined) &&
           readerOpt0.exists(!_.equalsIgnoreCase("auto"))),
-      if (snapStarting.isDefined || snapBranch.isDefined)
+      if (snapStarting.isDefined)
         s"graft-ocf: incremental range after version ${snapStarting.get} " +
           s"added no files under ${paths.mkString(", ")} and no explicit " +
           "readerSchema was given to shape an empty result"
+      else if (snapBranch.isDefined)
+        s"graft-ocf: branch '${snapBranch.get}' holds no files under " +
+          s"${paths.mkString(", ")} and no explicit readerSchema was given " +
+          "to shape an empty result"
       else s"graft-ocf: no input files under ${paths.mkString(", ")}")
     val qualifiedRoots = paths.map { p =>
       val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString

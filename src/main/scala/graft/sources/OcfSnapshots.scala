@@ -155,7 +155,15 @@ private[graft] object OcfSnapshots {
     * proves no retained file ever disappeared. Writers never reuse file
     * names (task-unique temps), so path-set difference is exact. */
   def incrementalFiles(fs: FileSystem, tableDir: Path,
-                       startVersion: Long, endVersion: Option[Long]): Seq[SnapFile] = {
+                       startVersion: Long, endVersion: Option[Long]): Seq[SnapFile] =
+    incrementalWithStart(fs, tableDir, startVersion, endVersion)._1
+
+  /** [[incrementalFiles]] plus the start snapshot's path set (the streaming
+    * exclusion set) — one manifest read serves both, instead of the caller
+    * re-reading the start manifest it just validated. */
+  def incrementalWithStart(fs: FileSystem, tableDir: Path,
+                           startVersion: Long, endVersion: Option[Long])
+      : (Seq[SnapFile], Set[String]) = {
     val vs = versions(fs, tableDir)
     require(vs.nonEmpty, s"graft-ocf: $tableDir has no snapshot manifests")
     def known(v: Long, role: String): Unit = require(vs.contains(v),
@@ -166,10 +174,10 @@ private[graft] object OcfSnapshots {
     known(end, "endingVersion")
     require(end >= startVersion,
       s"graft-ocf: endingVersion $end precedes startingVersion $startVersion")
-    if (end == startVersion) return Nil
     val chain = vs.filter(v => v >= startVersion && v <= end)
     var prevPaths = read(fs, tableDir, chain.head).files.map(_.path).toSet
     val startPaths = prevPaths
+    if (end == startVersion) return (Nil, startPaths)
     var endSnap: Snapshot = null
     chain.tail.foreach { v =>
       val snap = read(fs, tableDir, v)
@@ -185,7 +193,7 @@ private[graft] object OcfSnapshots {
       prevPaths = cur
       endSnap = snap
     }
-    endSnap.files.filterNot(f => startPaths.contains(f.path))
+    (endSnap.files.filterNot(f => startPaths.contains(f.path)), startPaths)
   }
 
   private def render(s: Snapshot): Array[Byte] = {
@@ -286,7 +294,12 @@ private[graft] object OcfSnapshots {
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).iterator.filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("_branch-"))
-      .map(_.stripPrefix("_branch-")).toSeq.sorted
+      .map(_.stripPrefix("_branch-"))
+      // a dir without its base marker is creation debris (crash between
+      // mkdirs and the marker write) — invisible, so it can never wedge
+      // expiry/orphan collection/.branches; createBranch sweeps it
+      .filter(b => fs.exists(branchBasePath(branchDir(tableDir, b))))
+      .toSeq.sorted
   }
 
   /** Create `name` at main version `from` (default: latest). Create-exclusive
@@ -303,6 +316,9 @@ private[graft] object OcfSnapshots {
       s"graft-ocf branches: version $base is not a retained snapshot " +
         s"(retained: ${vs.mkString(", ")})")
     val bd = branchDir(tableDir, name)
+    // a marker-less dir is debris from a crashed create — sweep and retry;
+    // a marked dir is a real branch and refuses
+    if (fs.exists(bd) && !fs.exists(branchBasePath(bd))) fs.delete(bd, true)
     require(!fs.exists(bd),
       s"graft-ocf branches: branch '$name' already exists")
     fs.mkdirs(bd)
@@ -370,28 +386,52 @@ private[graft] object OcfSnapshots {
   }
 
   /** Publish the branch: copy its manifests into main (verbatim — version
-    * numbers continue from the base, and main must still BE at the base) and
-    * drop the branch. Returns (base, new main head). */
+    * numbers continue from the base) and drop the branch. IDEMPOTENT and
+    * RESUMABLE: a main manifest that already holds byte-identical content
+    * (an earlier partial publish, or a concurrent fast_forward of the same
+    * branch) is skipped, so a crash or race mid-copy never wedges the
+    * branch — retrying finishes the job. A main manifest with DIFFERENT
+    * content is a genuinely foreign commit: refuse (divergent histories are
+    * never silently merged) and leave the branch intact for inspection.
+    * Returns (base, new main head). */
   def fastForward(fs: FileSystem, tableDir: Path, name: String): (Long, Long) = {
     val base = branchBase(fs, tableDir, name)
-    val mainVs = versions(fs, tableDir)
-    require(mainVs.lastOption.contains(base),
-      s"graft-ocf branches: cannot fast-forward '$name' — main is at " +
-        s"${mainVs.lastOption.getOrElse(0L)}, branch base is $base; " +
-        "histories diverged (publish would drop main's commits). Re-branch " +
-        "from the current head and replay, or rollback main first.")
     val bd = branchDir(tableDir, name)
     val bvs = branchVersions(fs, tableDir, name)
+    val mainLast = versions(fs, tableDir).lastOption.getOrElse(0L)
+    require(mainLast >= base,
+      s"graft-ocf branches: branch '$name' base $base is ahead of main " +
+        s"($mainLast) — the base manifest was expired or removed")
+    def bytesOf(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    def refuse(v: Long): Nothing = throw new IllegalArgumentException(
+      s"graft-ocf branches: cannot fast-forward '$name' — main's version $v " +
+        "differs from the branch's (a foreign commit landed); histories " +
+        "diverged and publish would drop main's commits. Re-branch from the " +
+        "current head and replay, or rollback main first.")
+    if (mainLast > base + bvs.length) refuse(base + bvs.length + 1)
     bvs.foreach { v =>
       val src = manifestFile(bd, v)
       val dest = manifestPath(tableDir, v)
-      val in = fs.open(src)
-      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-      val out = fs.create(dest, false) // create-exclusive: a racing main commit loses us the publish
-      try out.write(bytes) finally out.close()
+      val bytes = bytesOf(src)
+      if (fs.exists(dest)) {
+        if (!java.util.Arrays.equals(bytes, bytesOf(dest))) refuse(v)
+        // byte-identical: already published (partial retry) — continue
+      } else {
+        val won = try {
+          val out = fs.create(dest, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+        // lost a create race: re-check content — identical means a
+        // concurrent publish of the same branch, anything else diverged
+        if (!won && !java.util.Arrays.equals(bytes, bytesOf(dest))) refuse(v)
+      }
     }
     fs.delete(bd, true)
-    (base, bvs.lastOption.getOrElse(base))
+    (base, if (bvs.nonEmpty) bvs.last else base)
   }
 
   def dropBranch(fs: FileSystem, tableDir: Path, name: String): Boolean =

@@ -381,6 +381,21 @@ private[sources] final case class OcfWriteConfig(
 
 private[sources] object OcfWrite {
 
+  /** Whether `name` belongs to the epoch that `clearPrefix` targets: the
+    * current `part-eNNNNN-` namespace, or — for checkpointed streams that
+    * wrote before the `e` infix existed — the legacy shape
+    * `part-NNNNN-NNNNN[-cNNN].avro` of the SAME epoch id, so an upgraded
+    * stream replaying an old epoch still cleans its old-named files. The
+    * legacy match requires the exact digit shape, which batch names
+    * (`part-NNNNN-<queryId uuid>.avro`) never have — so this can never
+    * resurrect the epoch-0/batch-partition-0 collision. */
+  private[sources] def epochDoomed(name: String, prefix: String): Boolean =
+    name.startsWith(prefix) || (prefix.startsWith("part-e") && {
+      val legacy = "part-" + prefix.stripPrefix("part-e")
+      name.startsWith(legacy) &&
+        name.stripPrefix(legacy).matches("\\d{5}(-c\\d+)?\\.avro")
+    })
+
   /** One tracked stats column: the canonical dotted name (the header stamp
     * key, which matches the dotted attribute names Spark's nested-predicate
     * pushdown emits), the ordinal chain from the row root through any
@@ -1499,7 +1514,7 @@ private[sources] object OcfCommit {
         val n = st.getPath.getName
         val doomed =
           if (clearVisible) !n.startsWith(".") && !n.startsWith("_")
-          else clearPrefix.exists(n.startsWith)
+          else clearPrefix.exists(OcfWrite.epochDoomed(n, _))
         if (st.isFile && doomed) fs.delete(st.getPath, false)
       }
     }
@@ -1601,7 +1616,7 @@ private[sources] object OcfCommit {
       if (clearVisible) true
       else if (clearPrefix.isDefined) {
         val name = f.path.substring(f.path.lastIndexOf('/') + 1)
-        clearPrefix.exists(name.startsWith)
+        clearPrefix.exists(OcfWrite.epochDoomed(name, _))
       } else if (clearWhere.isDefined) {
         val segs = f.path.split('/').dropRight(1).takeWhile(_.contains('='))
         val idx = segs.map(_.takeWhile(_ != '=')).zipWithIndex.toMap

@@ -581,6 +581,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE g.evo2.d ADD COLUMN junk STRING") }
     assert(e2.getMessage.contains("previously dropped"), e2.getMessage)
+    // ... and RENAME-TO such a name refuses identically (old files'
+    // same-named field would direct-match, outranking the alias)
+    val e1b = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN id TO n_chars") }
+    assert(e1b.getMessage.contains("previous name"), e1b.getMessage)
+    val e2b = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN id TO junk") }
+    assert(e2b.getMessage.contains("previously dropped"), e2b.getMessage)
 
     // layout columns refuse: partition and (elsewhere) bucket columns are
     // encoded in directory names

@@ -642,6 +642,38 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no branch"), e2.getMessage)
   }
 
+  test("fast_forward resumes a partial publish; creation debris is invisible") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gs.ns.ffr (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.ffr SELECT id FROM range(3)")
+    spark.sql("CALL gs.system.create_branch(table => 'ns.ffr', name => 'b')")
+    Seq(10L, 11L).toDF("id").writeTo("gs.ns.ffr").option("branch", "b").append()
+    Seq(20L).toDF("id").writeTo("gs.ns.ffr").option("branch", "b").append()
+    val root = new Path(warehouse.getAbsolutePath, "ns/ffr")
+    // simulate a publish that crashed after copying the FIRST branch
+    // manifest (v2) into main
+    val bd = OcfSnapshots.branchDir(root, "b")
+    val src = new Path(bd, "_v000000000002.json")
+    val dst = new Path(new Path(root, OcfSnapshots.Dir), "_v000000000002.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sessionState.newHadoopConf())
+    assert(OcfSnapshots.versions(fs, root) == Seq(1L, 2L))
+    // retrying finishes the job instead of refusing "diverged"
+    val ff = spark.sql(
+      "CALL gs.system.fast_forward(table => 'ns.ffr', name => 'b')").head
+    assert(ff.getLong(1) == 3L, ff.toString)
+    assert(spark.table("gs.ns.ffr").count() == 6L)
+    assert(OcfSnapshots.listBranches(fs, root).isEmpty)
+
+    // a half-created branch dir (no base marker) is invisible and swept
+    val debris = OcfSnapshots.branchDir(root, "ghost")
+    fs.mkdirs(debris)
+    assert(OcfSnapshots.listBranches(fs, root).isEmpty)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.ffr.branches").head.getLong(0) == 0L)
+    spark.sql("CALL gs.system.create_branch(table => 'ns.ffr', name => 'ghost')")
+    assert(OcfSnapshots.listBranches(fs, root) == Seq("ghost"))
+  }
+
   test("epoch-0 streaming append never clobbers batch partition-0 files") {
     import org.apache.spark.sql.streaming.Trigger
     // regression: epoch 0's replay-cleanup prefix used to be `part-00000-`,
