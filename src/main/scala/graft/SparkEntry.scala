@@ -1516,6 +1516,41 @@ object SparkEntry {
           |GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // Zero-rewrite type widening (X86): half the corpus lands as INT
+    // n_chars, the column widens to BIGINT via Avro promotion, the other
+    // half lands wide — and the aggregate must see one uniform BIGINT
+    // column across both file generations.
+    "q102_type_widening" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q102",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q102_wh_")
+      s.conf.set("spark.sql.catalog.graft_q102.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q102.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q102.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q102.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars INT)
+          |USING `graft-ocf`""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("int").as("n_chars"))
+        .createOrReplaceTempView("graft_q102_src")
+      s.sql(
+        """INSERT INTO graft_q102.corpus.docs
+          |SELECT doc_id, source, n_chars FROM graft_q102_src
+          |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql("ALTER TABLE graft_q102.corpus.docs ALTER COLUMN n_chars TYPE BIGINT")
+      s.sql(
+        """INSERT INTO graft_q102.corpus.docs
+          |SELECT doc_id, source, CAST(n_chars AS BIGINT) FROM graft_q102_src
+          |WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars
+          |FROM graft_q102.corpus.docs
+          |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2464,6 +2499,14 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE doc_id % 2 = 1
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // mixed int/long file generations read as one BIGINT column
+    "q102_type_widening" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // after fast_forward the published table holds the whole corpus

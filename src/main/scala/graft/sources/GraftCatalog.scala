@@ -638,6 +638,43 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             options = m.options + (GraftCatalog.DroppedColsKey ->
               unavailable.mkString(",")))
         }
+      case (m, up: TableChange.UpdateColumnType) =>
+        // zero-rewrite type WIDENING via Avro's published promotion rules:
+        // the stored (reader) schema changes type, existing files' narrower
+        // writer values promote during decode — no data migration, exactly
+        // like rename-via-alias. Only Avro-legal promotions are accepted;
+        // anything else (narrowing, string→numeric) would need a rewrite
+        // and refuses at DDL time.
+        require(up.fieldNames.length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns only")
+        val name = up.fieldNames()(0)
+        require(!m.partCols.exists(_.equalsIgnoreCase(name)),
+          s"graft catalog: '$name' is a partition column; its type is part " +
+            "of the directory layout contract (declare partitionSchema at " +
+            "CREATE time instead)")
+        require(!GraftCatalog.bucketColsOf(m.options).exists(_.equalsIgnoreCase(name)),
+          s"graft catalog: '$name' is a bucket column; the directory hash " +
+            "is computed over the typed value, so a type change would " +
+            "scatter existing rows' buckets")
+        val idx = m.schema.fields.indexWhere(_.name.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft catalog: no such column '$name'")
+        val f = m.schema.fields(idx)
+        import org.apache.spark.sql.types.{IntegerType, LongType, FloatType, DoubleType, ByteType, ShortType}
+        val promotable = (f.dataType, up.newDataType()) match {
+          case (a, b) if a == b => true
+          case (ByteType | ShortType | IntegerType, LongType) => true
+          case (ByteType | ShortType | IntegerType | LongType,
+                FloatType | DoubleType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(promotable,
+          s"graft catalog: cannot change '$name' from " +
+            s"${f.dataType.simpleString} to ${up.newDataType().simpleString} — " +
+            "only Avro promotions (int→long, int/long→float/double, " +
+            "float→double) read existing files without a rewrite")
+        m.copy(schema = StructType(
+          m.schema.fields.updated(idx, f.copy(dataType = up.newDataType()))))
       case (m, ch: TableChange.UpdateColumnDefaultValue) =>
         // SET/DROP DEFAULT (standard SQL semantics): changes what FUTURE
         // inserts fill — CURRENT_DEFAULT only. The existence default old

@@ -665,6 +665,31 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq((1L, "new"), (2L, "new"), (3L, "done")))
   }
 
+  test("ALTER COLUMN TYPE: Avro-promotion widening reads old files unrewritten") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.evo4")
+    spark.sql("CREATE TABLE g.evo4.d (id BIGINT, n INT, r FLOAT) USING `graft-ocf`")
+    spark.sql("INSERT INTO g.evo4.d VALUES (1, 100, CAST(1.5 AS FLOAT))")
+    spark.sql("ALTER TABLE g.evo4.d ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE g.evo4.d ALTER COLUMN r TYPE DOUBLE")
+    assert(spark.table("g.evo4.d").schema.map(f => f.dataType.simpleString)
+      == Seq("bigint", "bigint", "double"))
+    // old files' int/float values promote during decode; new writes land wide
+    spark.sql("INSERT INTO g.evo4.d VALUES (2, 5000000000, 2.25)")
+    val rows = spark.table("g.evo4.d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 100L, 1.5), (2L, 5000000000L, 2.25)), rows.toString)
+    assert(spark.sql("SELECT sum(n) FROM g.evo4.d").head.getLong(0) == 5000000100L)
+    // narrowing refuses in Spark's own analyzer (canUpCast gate) before
+    // reaching the catalog; a Spark-upcastable-but-not-Avro-promotable
+    // change (long -> string) reaches the catalog and refuses THERE
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo4.d ALTER COLUMN n TYPE INT") }
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.evo4.d ALTER COLUMN id TYPE STRING") }
+    assert(e2.getMessage.contains("Avro promotions"), e2.getMessage)
+  }
+
   test("CHECK constraints: stored in the descriptor, enforced by Spark on write") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.cons")
     spark.sql("CREATE TABLE g.cons.d (id BIGINT, n BIGINT) USING `graft-ocf`")
