@@ -241,11 +241,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           // the branch head's COMMIT-TIME schema governs the pinned read,
           // exactly like a numeric pin — main DDL after the branch write
           // must not reshape what the audit read (and fast_forward) sees
-          val pinned = OcfSnapshots.branchHead(fsys, root, version)
-            .tableSchemaJson.flatMap(js =>
-              scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js))
-                .toOption.collect { case st: StructType => meta.copy(schema = st) })
-            .getOrElse(meta)
+          val pinned = GraftCatalog.withCommitSchema(meta,
+            OcfSnapshots.branchHead(fsys, root, version).tableSchemaJson)
           return new CatalogOcfTable(fullNameB, pinned,
             GraftCatalog.transformsOf(meta), conf,
             branchPin = Some(version))
@@ -476,11 +473,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    // property changes update the descriptor; ADD COLUMN is real schema
-    // evolution via Avro reader defaults (see [[GraftCatalog.readerJsonWithDefaults]]):
-    // files written before the column existed resolve it to null, no
-    // rewrite. Anything else (drop/rename/retype a column) would need a
-    // data migration story and is refused loudly.
+    // property changes update the descriptor; the schema changes are all
+    // ZERO-REWRITE Avro evolution (see [[GraftCatalog.readerJsonWithDefaults]]):
+    // ADD COLUMN via reader defaults (null or a declared constant), RENAME
+    // via reader-field aliases, DROP via wire skip, ALTER TYPE via Avro
+    // promotions, SET/DROP DEFAULT via CURRENT_DEFAULT metadata, and
+    // ADD/DROP CHECK CONSTRAINT via the descriptor's constraint list.
+    // Anything outside those shapes is refused loudly.
     val dir = tableDir(ident)
     val mp = metaPath(dir)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
@@ -582,9 +581,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft catalog: '$to' — underscore/dot-prefixed names are reserved " +
             "(metadata columns, layout directories)")
         // the same resurrection guards as ADD COLUMN: renaming TO a name
-        // old files still carry under another guise would direct-match
-        // their stale data (outranking the alias to the real column)
-        m.schema.fields.find(f =>
+        // old files still carry under ANOTHER column's guise would
+        // direct-match their stale data (outranking the alias to the real
+        // column). The renamed column's OWN previous names are exempt —
+        // renaming back (n→m, then m→n) re-claims its own data, which is
+        // exactly right.
+        m.schema.fields.find(f => !f.name.equalsIgnoreCase(from) &&
             GraftCatalog.renamedFrom(f).exists(_.equalsIgnoreCase(to))).foreach { f =>
           throw new IllegalArgumentException(
             s"graft catalog: '$to' is a previous name of column '${f.name}' — " +
@@ -662,7 +664,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         import org.apache.spark.sql.types.{IntegerType, LongType, FloatType, DoubleType, ByteType, ShortType}
         val promotable = (f.dataType, up.newDataType()) match {
           case (a, b) if a == b => true
-          case (ByteType | ShortType | IntegerType, LongType) => true
+          // byte/short/int all encode as Avro int — widening within that
+          // family is a wire NO-OP, and onward to long a real promotion
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
           case (ByteType | ShortType | IntegerType | LongType,
                 FloatType | DoubleType) => true
           case (FloatType, DoubleType) => true
@@ -671,7 +677,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(promotable,
           s"graft catalog: cannot change '$name' from " +
             s"${f.dataType.simpleString} to ${up.newDataType().simpleString} — " +
-            "only Avro promotions (int→long, int/long→float/double, " +
+            "only Avro promotions (byte/short/int→long, int/long→float/double, " +
             "float→double) read existing files without a rewrite")
         m.copy(schema = StructType(
           m.schema.fields.updated(idx, f.copy(dataType = up.newDataType()))))
@@ -769,15 +775,17 @@ private[sources] object GraftCatalog {
     * columns are layout and never change, so they carry over as-is. */
   private[sources] def pinnedMeta(meta: TableMeta,
       fsys: org.apache.hadoop.fs.FileSystem, root: Path, v: Long): TableMeta =
-    OcfSnapshots.read(fsys, root, v).tableSchemaJson match {
-      case Some(js) =>
-        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js))
-          .toOption match {
-          case Some(st: StructType) => meta.copy(schema = st)
-          case _ => meta
-        }
-      case None => meta
-    }
+    withCommitSchema(meta, OcfSnapshots.read(fsys, root, v).tableSchemaJson)
+
+  /** `meta` with its schema replaced by a manifest's recorded commit-time
+    * schema (when present and parseable) — the single parsing point for
+    * every pin (numeric VERSION AS OF, tags, branch heads). */
+  private[sources] def withCommitSchema(meta: TableMeta,
+      tableSchemaJson: Option[String]): TableMeta =
+    tableSchemaJson.flatMap(js =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(js))
+        .toOption.collect { case st: StructType => meta.copy(schema = st) })
+      .getOrElse(meta)
 
   /** Layout columns + per-file metas of a table's VISIBLE files, preferring
     * manifest-embedded metas (zero header preads on snapshot tables) and

@@ -412,6 +412,7 @@ private[graft] object OcfSnapshots {
         "diverged and publish would drop main's commits. Re-branch from the " +
         "current head and replay, or rollback main first.")
     if (mainLast > base + bvs.length) refuse(base + bvs.length + 1)
+    val sdir = snapshotsDir(tableDir)
     bvs.foreach { v =>
       val src = manifestFile(bd, v)
       val dest = manifestPath(tableDir, v)
@@ -420,14 +421,20 @@ private[graft] object OcfSnapshots {
         if (!java.util.Arrays.equals(bytes, bytesOf(dest))) refuse(v)
         // byte-identical: already published (partial retry) — continue
       } else {
-        val won = try {
-          val out = fs.create(dest, false)
-          try out.write(bytes) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-        // lost a create race: re-check content — identical means a
-        // concurrent publish of the same branch, anything else diverged
-        if (!won && !java.util.Arrays.equals(bytes, bytesOf(dest))) refuse(v)
+        // the same temp + no-overwrite-rename discipline as [[commit]]:
+        // dest either doesn't exist or is a COMPLETE manifest — a crashed
+        // write can never leave truncated bytes that a retry (or a reader)
+        // would misread
+        val tmp = new Path(sdir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        val won = !fs.exists(dest) && fs.rename(tmp, dest)
+        if (!won) {
+          fs.delete(tmp, false)
+          // lost the rename race: identical content means a concurrent
+          // publish of the same branch; anything else is a foreign commit
+          if (!java.util.Arrays.equals(bytes, bytesOf(dest))) refuse(v)
+        }
       }
     }
     fs.delete(bd, true)

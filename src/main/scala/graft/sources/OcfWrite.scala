@@ -381,20 +381,17 @@ private[sources] final case class OcfWriteConfig(
 
 private[sources] object OcfWrite {
 
-  /** Whether `name` belongs to the epoch that `clearPrefix` targets: the
-    * current `part-eNNNNN-` namespace, or — for checkpointed streams that
-    * wrote before the `e` infix existed — the legacy shape
-    * `part-NNNNN-NNNNN[-cNNN].avro` of the SAME epoch id, so an upgraded
-    * stream replaying an old epoch still cleans its old-named files. The
-    * legacy match requires the exact digit shape, which batch names
-    * (`part-NNNNN-<queryId uuid>.avro`) never have — so this can never
-    * resurrect the epoch-0/batch-partition-0 collision. */
+  /** Whether `name` belongs to the epoch that `clearPrefix` targets — a
+    * plain prefix match on the `part-eNNNNN-` epoch namespace. Deliberately
+    * NO legacy (pre-`e`) matching: the old epoch shape
+    * `part-NNNNN-NNNNN.avro` is indistinguishable from other digit-named
+    * files a directory may legitimately hold (e.g. [[graft.spark.OcfFiles]]
+    * payload names), so matching it would delete unrelated data on every
+    * epoch commit. A stream checkpointed under the old naming must drain
+    * (complete its in-flight epoch) before upgrading — the standard
+    * file-naming-migration discipline. */
   private[sources] def epochDoomed(name: String, prefix: String): Boolean =
-    name.startsWith(prefix) || (prefix.startsWith("part-e") && {
-      val legacy = "part-" + prefix.stripPrefix("part-e")
-      name.startsWith(legacy) &&
-        name.stripPrefix(legacy).matches("\\d{5}(-c\\d+)?\\.avro")
-    })
+    name.startsWith(prefix)
 
   /** One tracked stats column: the canonical dotted name (the header stamp
     * key, which matches the dotted attribute names Spark's nested-predicate

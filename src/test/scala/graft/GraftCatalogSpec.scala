@@ -573,6 +573,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     // rename chains: n_chars -> len keeps BOTH old names as aliases
     spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN n_chars TO len")
     assert(spark.sql("SELECT sum(len) FROM g.evo2.d").head.getLong(0) == 350L)
+    // renaming BACK re-claims the column's own previous name (its data is
+    // its own — the cross-column resurrection guard must not fire)
+    spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN len TO n_chars")
+    assert(spark.sql("SELECT sum(n_chars) FROM g.evo2.d").head.getLong(0) == 350L)
+    spark.sql("ALTER TABLE g.evo2.d RENAME COLUMN n_chars TO len")
 
     // resurrection guards: a previous name and a dropped name refuse re-ADD
     val e1 = intercept[Exception] {
@@ -679,6 +684,13 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(rows == Seq((1L, 100L, 1.5), (2L, 5000000000L, 2.25)), rows.toString)
     assert(spark.sql("SELECT sum(n) FROM g.evo4.d").head.getLong(0) == 5000000100L)
+    // byte/short widen too (they ENCODE as Avro int — a wire no-op)
+    spark.sql("CREATE TABLE g.evo4.s (c SMALLINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO g.evo4.s VALUES (CAST(7 AS SMALLINT))")
+    spark.sql("ALTER TABLE g.evo4.s ALTER COLUMN c TYPE INT")
+    spark.sql("ALTER TABLE g.evo4.s ALTER COLUMN c TYPE BIGINT")
+    assert(spark.sql("SELECT sum(c) FROM g.evo4.s").head.getLong(0) == 7L)
+
     // narrowing refuses in Spark's own analyzer (canUpCast gate) before
     // reaching the catalog; a Spark-upcastable-but-not-Avro-promotable
     // change (long -> string) reaches the catalog and refuses THERE
