@@ -114,7 +114,16 @@ object Sampling {
     val assign = splits.init.zip(cuts.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), rest) => when(h < lit(cut), lit(name)).otherwise(rest)
     }
-    df.withColumn("split", assign)
+    // a NULL group key hashes to null, every `h < cut` is then unknown, and
+    // the row would silently fall through to the LAST split — an ungrouped
+    // population dumped into the eval slice is exactly the leakage this
+    // operator exists to prevent, so it fails the ROW loudly instead
+    // (assign every row a lineage group first, e.g. coalesce(component, id))
+    val guarded = when(col(groupCol).isNotNull, assign).otherwise(
+      raise_error(lit(s"graft splitByGroup: null group key in '$groupCol' — " +
+        "assign every row a lineage group (e.g. coalesce(component, id)) " +
+        "before splitting")))
+    df.withColumn("split", guarded)
   }
 
   /** EXACT-size per-stratum sampling: keep the `n` rows of each stratum

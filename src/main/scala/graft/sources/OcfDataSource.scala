@@ -156,7 +156,10 @@ object OcfDataSource {
                             // processes only what landed after v
                             streamExclude: Set[String] = Set.empty,
                             // branch read (X83): batch-only pin to a branch head
-                            branchRead: Boolean = false) {
+                            branchRead: Boolean = false,
+                            // startingVersion + endingVersion: a bounded
+                            // range is batch-only (a stream has no end)
+                            boundedIncremental: Boolean = false) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -447,7 +450,8 @@ object OcfDataSource {
     val r = Resolved(files, readerJson, dataSql, sql, wrap, conf, splitSize,
       partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
       maxBytes, reportPartitioning = reportPart, bucket = bucketSpec,
-      streamExclude = streamExclude, branchRead = snapBranch.isDefined)
+      streamExclude = streamExclude, branchRead = snapBranch.isDefined,
+      boundedIncremental = snapStarting.isDefined && snapVersion.isDefined)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     // seed the per-resolve meta memo with every manifest-carried meta:
     // buildScan then preads ONLY the files the manifest left uncovered
@@ -1166,7 +1170,8 @@ private[sources] final class OcfScanBuilder(
       bucketN = resolved.bucket.map(_.numBuckets).getOrElse(0),
       bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1),
       excludePaths = resolved.streamExclude,
-      branchRead = resolved.branchRead)
+      branchRead = resolved.branchRead,
+      boundedIncremental = resolved.boundedIncremental)
   }
 }
 
@@ -1244,7 +1249,9 @@ private[graft] final case class OcfScan(
     // branch read (X83): file set pinned to a branch head — batch-only
     // (streaming discovery follows MAIN's manifest and would silently
     // stream the wrong lineage)
-    branchRead: Boolean = false)
+    branchRead: Boolean = false,
+    // startingVersion + endingVersion: batch-only (a stream has no end)
+    boundedIncremental: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1477,6 +1484,9 @@ private[graft] final case class OcfScan(
     require(!branchRead,
       "graft-ocf: branch reads are batch-only — streaming discovery follows " +
         "the MAIN manifest lineage, not a branch head")
+    require(!boundedIncremental,
+      "graft-ocf: endingVersion is batch-only — a stream keeps discovering " +
+        "new commits and has no end; drop endingVersion (or use spark.read)")
     // partition-exact filters are CONSUMED at the batch planner (no
     // post-scan Filter); the streaming planner reads every discovered file,
     // so a consumed filter here would silently return unfiltered rows.

@@ -69,6 +69,23 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     // never admitted — the stream's world begins after that version. The
     // set is re-derived from the SAME pinned manifest on restart, so a
     // checkpoint replay sees the identical exclusion.
+    if (scan.excludePaths.nonEmpty) {
+      // the exact-or-refuse contract holds MID-STREAM too: a rewriting
+      // commit (compaction, overwrite, CoW delete) replaces files the
+      // stream excluded or already delivered with merged new-named ones —
+      // admitting those would re-deliver pre-startingVersion and
+      // already-processed rows as duplicates. Batch incremental reads
+      // refuse such ranges up front; the stream refuses at the trigger
+      // that first observes the rewrite.
+      val cur = listed.iterator.map(_.path).toSet
+      val gone = (known.keysIterator ++ scan.excludePaths.iterator)
+        .filterNot(cur.contains).take(1).toSeq
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"graft-ocf stream: a rewriting commit removed ${gone.head} " +
+          "mid-stream — an incremental stream cannot represent " +
+          "compaction/overwrite/CoW changes as appended rows. Restart the " +
+          "stream with a fresh startingVersion after the rewrite.")
+    }
     val freshRaw = listed.filterNot(f =>
       known.contains(f.path) || scan.excludePaths.contains(f.path))
     if (freshRaw.nonEmpty) {

@@ -280,14 +280,31 @@ private[graft] object OcfSnapshots {
   // branch head atomically-per-manifest; a main that advanced past the base
   // REFUSES (divergent histories need a rewrite, not a silent merge).
 
-  def branchDir(tableDir: Path, name: String): Path =
+  /** Legal branch names: path-safe (no separators/dot-segments — the name
+    * becomes a directory, and Hadoop Path resolution would let '../..'
+    * escape the branch namespace into the manifests themselves) and
+    * non-numeric (VERSION AS OF parses digits as a snapshot version FIRST,
+    * so a branch named '7' could never be resolved by name). */
+  private def validBranchName(name: String): Boolean =
+    name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") && !name.contains("..") &&
+      name.toLongOption.isEmpty
+
+  def branchDir(tableDir: Path, name: String): Path = {
+    // EVERY branch operation funnels through here: a traversal-shaped name
+    // (drop_branch(name => '../..') would resolve to the snapshots dir and
+    // recursively delete every manifest) must die before touching paths
+    require(validBranchName(name),
+      s"graft-ocf branches: invalid branch name '$name' (letters, digits, " +
+        "._- only, not starting with a separator, not purely numeric)")
     new Path(snapshotsDir(tableDir), "_branch-" + name)
+  }
 
   private def branchBasePath(bd: Path): Path = new Path(bd, "_base.json")
 
   def branchExists(fs: FileSystem, tableDir: Path, name: String): Boolean =
-    try fs.exists(branchBasePath(branchDir(tableDir, name)))
-    catch { case _: java.io.IOException => false }
+    validBranchName(name) && // arbitrary VERSION AS OF strings probe here
+      (try fs.exists(branchBasePath(branchDir(tableDir, name)))
+       catch { case _: java.io.IOException => false })
 
   def listBranches(fs: FileSystem, tableDir: Path): Seq[String] = {
     val d = snapshotsDir(tableDir)
@@ -295,6 +312,7 @@ private[graft] object OcfSnapshots {
     else fs.listStatus(d).iterator.filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("_branch-"))
       .map(_.stripPrefix("_branch-"))
+      .filter(validBranchName) // foreign/mangled dir names are not branches
       // a dir without its base marker is creation debris (crash between
       // mkdirs and the marker write) — invisible, so it can never wedge
       // expiry/orphan collection/.branches; createBranch sweeps it
@@ -306,8 +324,10 @@ private[graft] object OcfSnapshots {
     * on the base marker: of two racing creators exactly one wins. */
   def createBranch(fs: FileSystem, tableDir: Path, name: String,
                    from: Option[Long]): Long = {
-    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*"),
-      s"graft-ocf branches: invalid branch name '$name'")
+    require(validBranchName(name),
+      s"graft-ocf branches: invalid branch name '$name' (letters, digits, " +
+        "._- only, not purely numeric — VERSION AS OF would shadow a " +
+        "numeric name with the snapshot version)")
     val vs = versions(fs, tableDir)
     require(vs.nonEmpty,
       s"graft-ocf branches: $tableDir has no snapshots to branch from")
@@ -437,7 +457,22 @@ private[graft] object OcfSnapshots {
         }
       }
     }
-    fs.delete(bd, true)
+    // Retire EXACTLY what was published: the copied manifests and the base
+    // marker, then the (now empty) directory NON-recursively. Publishing
+    // while branch writers are still active violates the WAP contract
+    // (publish happens after the audit, writers quiesced) — but if it
+    // happens anyway, the racing commit's manifest survives the per-file
+    // deletes, the directory delete fails on the non-empty dir, and this
+    // raises LOUDLY instead of recursively destroying a committed epoch.
+    bvs.foreach(v => fs.delete(manifestFile(bd, v), false))
+    fs.delete(branchBasePath(bd), false)
+    val emptied = try fs.delete(bd, false)
+      catch { case _: java.io.IOException => false }
+    if (!emptied && fs.exists(bd)) throw new IllegalStateException(
+      s"graft-ocf branches: a commit landed on '$name' DURING fast_forward — " +
+        s"its manifest remains under $bd. The published versions are live on " +
+        "main; re-create the branch from the current head and replay the " +
+        "late commit.")
     (base, if (bvs.nonEmpty) bvs.last else base)
   }
 

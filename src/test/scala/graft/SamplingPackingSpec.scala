@@ -103,6 +103,16 @@ class SamplingPackingSpec extends AnyFunSuite {
       Sampling.splitByGroup(corpus, "grp", Seq("a" -> 0.5, "a" -> 0.5)) }
     intercept[IllegalArgumentException] {
       Sampling.splitByGroup(corpus, "grp", Seq("a" -> 1.5, "b" -> -0.5)) }
+    // a null group key fails the ROW loudly instead of silently landing in
+    // the last (eval) split
+    val withNull = corpus.withColumn("grp",
+      org.apache.spark.sql.functions.when(col("doc_id") === 0L,
+        org.apache.spark.sql.functions.lit(null)).otherwise(col("grp")))
+    val eNull = intercept[Exception] {
+      Sampling.splitByGroup(withNull, "grp", splits, salt = "s").collect() }
+    assert(eNull.getMessage.contains("null group key") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("null group key")),
+      eNull.getMessage)
   }
 
   test("different salts draw different samples") {

@@ -672,6 +672,57 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gs.ns.ffr.branches").head.getLong(0) == 0L)
     spark.sql("CALL gs.system.create_branch(table => 'ns.ffr', name => 'ghost')")
     assert(OcfSnapshots.listBranches(fs, root) == Seq("ghost"))
+
+    // traversal-shaped and numeric branch names refuse before touching paths
+    val eTrav = intercept[Exception] {
+      spark.sql("CALL gs.system.drop_branch(table => 'ns.ffr', name => '../..')").collect() }
+    assert(eTrav.getMessage.contains("invalid branch name"), eTrav.getMessage)
+    assert(fs.exists(new Path(root, OcfSnapshots.Dir)), "manifests must survive")
+    val eNum = intercept[Exception] {
+      spark.sql("CALL gs.system.create_branch(table => 'ns.ffr', name => '7')").collect() }
+    assert(eNum.getMessage.contains("numeric"), eNum.getMessage)
+  }
+
+  test("incremental streams refuse endingVersion and mid-stream rewrites") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE gs.ns.istr2 (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.istr2 SELECT id FROM range(4)")
+    spark.sql("INSERT INTO gs.ns.istr2 SELECT id FROM range(4, 9)")
+    // endingVersion on a stream refuses loudly (batch-only bound)
+    val out0 = java.nio.file.Files.createTempDirectory("graft-istr2-o0").toString
+    val e0 = intercept[Exception] {
+      val q = spark.readStream.option("startingVersion", "1")
+        .option("endingVersion", "2").table("gs.ns.istr2")
+        .writeStream.format("parquet")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-istr2-c0").toString)
+        .option("path", out0).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.exception.foreach(throw _)
+    }
+    assert(e0.getMessage.contains("batch-only") ||
+      Option(e0.getCause).exists(_.getMessage.contains("batch-only")), e0.getMessage)
+
+    // a rewriting commit mid-stream fails the next trigger instead of
+    // re-delivering compacted rows as duplicates
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-istr2-ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-istr2-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.option("startingVersion", "1").table("gs.ns.istr2")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      q.exception.foreach(throw _)
+    }
+    run()
+    assert(spark.read.parquet(outDir).count() == 5L)
+    spark.sql("CALL gs.system.compact(table => 'ns.istr2')").collect()
+    val e1 = intercept[Exception] { run() }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(6)
+        .flatMap(c => Option(c.getMessage)).toSeq
+    assert(msgs(e1).exists(_.contains("rewriting commit")), msgs(e1).mkString(" | "))
   }
 
   test("epoch-0 streaming append never clobbers batch partition-0 files") {
