@@ -190,6 +190,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.constraints` — one row per CHECK constraint
+      if (ident.name == "constraints" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfConstraintsMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm)
+        }
+      }
       // `SELECT * FROM g.ns.t.tags` — one row per named snapshot
       if (ident.name == "tags" && ident.namespace.length >= 2) {
         val base = Identifier.of(ident.namespace.init, ident.namespace.last)
@@ -1619,6 +1628,43 @@ private[sources] final class OcfHistoryMetaTable(
               UTF8String.fromString(s.operation),
               s.files.length.toLong,
               s.files.map(_.len).sum))
+          }.toArray
+        }
+      }
+    }
+}
+
+/** `SELECT * FROM <cat>.<ns>.<table>.constraints` — one row per stored
+  * CHECK constraint (X82): name, predicate SQL, enforced/rely flags and
+  * validation status, straight from the descriptor. */
+private[sources] final class OcfConstraintsMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("predicate", StringType, nullable = false),
+    StructField("enforced", BooleanType, nullable = false),
+    StructField("rely", BooleanType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-ocf CONSTRAINTS of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          GraftCatalog.constraintsOf(meta.options).sortBy(_.name).map { c =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+              UTF8String.fromString(c.name), UTF8String.fromString(c.predicateSql),
+              c.enforced, c.rely, UTF8String.fromString(c.validationStatus.name)))
           }.toArray
         }
       }

@@ -741,5 +741,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e4 = intercept[Exception] {
       spark.sql("ALTER TABLE g.cons.d ADD CONSTRAINT m_nonneg CHECK (m >= 0)") }
     assert(e4.getMessage.contains("violated by existing"), e4.getMessage)
+
+    // `.constraints` metadata table lists the stored predicates
+    spark.sql("ALTER TABLE g.cons.d ADD CONSTRAINT id_pos CHECK (id > 0)")
+    val cons = spark.sql(
+      "SELECT name, predicate, enforced FROM g.cons.d.constraints ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(cons == Seq(("id_pos", "id > 0", true)), cons.toString)
   }
 }
