@@ -253,6 +253,19 @@ class SamplingPackingSpec extends AnyFunSuite {
       val mixShuffles = mixPlan.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
       assert(mixShuffles.isEmpty, s"weightedMix must not shuffle:\n$mixPlan")
+      // temperatureMix: ONE tiny count aggregation trains the rates
+      // driver-side; the SAMPLING pass itself is a shuffle-free map filter
+      val tmPlan = Sampling.temperatureMix(docs, "doc_id", "source",
+        targetRows = 50).queryExecution.executedPlan
+      val tmShuffles = tmPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(tmShuffles.isEmpty, s"temperatureMix sampling must not shuffle:\n$tmPlan")
+      // splitByGroup: a pure map-side expression, zero exchanges
+      val spPlan = Sampling.splitByGroup(docs, "source",
+        Seq("train" -> 0.9, "test" -> 0.1)).queryExecution.executedPlan
+      val spShuffles = spPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(spShuffles.isEmpty, s"splitByGroup must not shuffle:\n$spPlan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
