@@ -107,6 +107,18 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // the harness tail-captures stdout with a bounded window: with 100+
+    // queries the full-name per-query dict alone overflows it and the
+    // FIRST ~30 queries' numbers fall out of the artifact (the BENCH_r15
+    // lesson). The compact line therefore keys queries by their qNN id
+    // only ("q01_agg" -> "q01") — ids are unique by construction — which
+    // keeps every query's number inside the captured tail; the full file
+    // keeps full names.
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.length == results.length,
+      "bench: short query keys collide; fix query naming")
+    val qsShort = results.map { case (k, v, _, _, _, _) =>
+      "\"" + shortKey(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val oks = results.map { case (k, _, ok, _, _, _) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val allRuns = results.map { case (k, _, _, rs, _, _) =>
@@ -131,7 +143,7 @@ object Bench {
     // diagnostics (per-run samples, load averages, retry markers)
     val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_steady":$totalSteady,"all_ok":$allOk,"failed":$failed,"repeats":$repeats,"n_queries":${results.length},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"total_steady":$totalSteady,"all_ok":$allOk,"failed":$failed,"repeats":$repeats,"n_queries":${results.length},"sf":"$sfDir"}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"steady_state":$steady,"total_steady":$totalSteady,"ok":$oks,"all_ok":$allOk,"repeats":$repeats,"runs":$allRuns,"load_1m":$loads,"retried":$retried,"n_queries":${results.length},"sf":"$sfDir"}"""
     try {
       val out = java.nio.file.Paths.get("target", "bench-latest.json")

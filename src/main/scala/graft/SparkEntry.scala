@@ -1504,10 +1504,14 @@ object SparkEntry {
       s.sql("CALL graft_q99.system.create_branch(table => 'corpus.docs', name => 'staging')")
       src.where(col("doc_id") % 2 === 1)
         .writeTo("graft_q99.corpus.docs").option("branch", "staging").append()
-      // audit gate: the branch must hold the full corpus before publishing
+      // audit gate: the branch must hold the FULL corpus before publishing —
+      // a partial branch write (evens only, or a failed staging append)
+      // must fail the audit, not fast-forward into main
+      val expected = src.count()
       val audited = s.read.option("branch", "staging")
         .table("graft_q99.corpus.docs").count()
-      require(audited > 0, "audit read came back empty")
+      require(audited == expected,
+        s"audit failed: branch holds $audited rows, corpus has $expected")
       s.sql("CALL graft_q99.system.fast_forward(table => 'corpus.docs', name => 'staging')")
       s.sql(
         """SELECT source, count(*) AS n_docs,
@@ -3163,7 +3167,7 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT source, CAST(count(*) AS DOUBLE) AS n
         |  FROM documents GROUP BY source
-        |), z AS (SELECT sum(sqrt(n)) AS z FROM c),
+        |), z AS (SELECT sum(sqrt(n) ORDER BY source) AS z FROM c),
         |r AS (
         |  SELECT source,
         |    floor(LEAST(1.0, 30000 * sqrt(n) / (SELECT z FROM z) / n) * 1048576) / 1048576 AS rate

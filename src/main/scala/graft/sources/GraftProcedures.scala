@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 /** SQL-callable maintenance procedures under the catalog's `system`
   * namespace (the Iceberg `CALL catalog.system.rewrite_data_files` shape):
@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * (leftovers of a driver that died between task and job commit). Both
   * return a metrics row. */
 private[sources] object GraftProcedures {
+
+  /** Safety floor for `remove_orphan_files(min_age_ms)`: no sane commit
+    * (land data files, then write the manifest referencing them) takes 10
+    * minutes, and object-store mtime/clock skew stays well inside it too. */
+  private val MinOrphanAgeFloorMs = 10L * 60 * 1000
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     val known: Map[String, UnboundProcedure] = Map(
@@ -408,7 +413,15 @@ private[sources] object GraftProcedures {
         .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
       ProcedureParameter.in("min_age_ms", LongType)
         .defaultValue(String.valueOf(24L * 3600 * 1000))
-        .comment("only delete files last modified at least this long ago").build())
+        .comment("only delete files last modified at least this long ago; " +
+          "must exceed the longest possible commit duration (land files, " +
+          "then write manifest) plus any mtime/clock skew, or an in-flight " +
+          "commit's files could be collected — floored at 10 minutes " +
+          "unless force => true").build(),
+      ProcedureParameter.in("force", BooleanType)
+        .defaultValue("false")
+        .comment("allow min_age_ms below the 10-minute safety floor " +
+          "(tests / provably quiesced tables only)").build())
 
     private val outSchema = StructType(Seq(
       StructField("scanned_files", LongType, nullable = false),
@@ -419,6 +432,16 @@ private[sources] object GraftProcedures {
       val spark = SparkSession.active
       val meta = cat.tableMeta(tableIdent(str(input, 0).get))
       val minAge = if (input.isNullAt(1)) 24L * 3600 * 1000 else input.getLong(1)
+      val force = !input.isNullAt(2) && input.getBoolean(2)
+      // a min_age below any plausible commit duration turns this procedure
+      // into a weapon against in-flight commits (files land BEFORE the
+      // manifest referencing them exists; mtimes skew on object stores)
+      require(force || minAge >= MinOrphanAgeFloorMs,
+        s"graft remove_orphan_files: min_age_ms=$minAge is below the " +
+          s"${MinOrphanAgeFloorMs / 60000}-minute safety floor — files of an " +
+          "in-flight commit (landed but not yet manifest-referenced) would " +
+          "be collected. Pass force => true only for a provably quiesced " +
+          "table (no active writers), e.g. in tests.")
       val root = new Path(meta.location)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       require(OcfSnapshots.enabled(fs, root),

@@ -393,6 +393,26 @@ private[sources] object OcfWrite {
   private[sources] def epochDoomed(name: String, prefix: String): Boolean =
     name.startsWith(prefix)
 
+  /** The PRE-`e` streaming epoch shape (`part-NNNNN-NNNNN.avro`). Epoch
+    * cleanup deliberately never matches it (see [[epochDoomed]]) — but a
+    * sink still holding such files when a NEW-naming epoch commits means an
+    * old-naming stream's committed-but-uncheckpointed epoch could replay
+    * under new names with the stale old-named files left in place,
+    * silently duplicating that epoch's rows. Streaming append commits
+    * refuse loudly instead (the runtime guard behind the "drain before
+    * upgrading" discipline). */
+  private val legacyEpochName =
+    java.util.regex.Pattern.compile("part-\\d{5}-\\d{5}\\.avro")
+  private[sources] def isLegacyEpochName(name: String): Boolean =
+    legacyEpochName.matcher(name).matches()
+  private[sources] def legacyEpochRefusal(dir: String, example: String): String =
+    s"graft-ocf streaming sink: $dir holds legacy-named epoch file(s) " +
+      s"(e.g. $example — the pre-'e' epoch naming part-NNNNN-NNNNN.avro). " +
+      "A replayed epoch cannot replace them under the part-eNNNNN- naming " +
+      "and would commit duplicate rows. Drain the old-naming stream to " +
+      "completion, then rename or compact those committed files before " +
+      "resuming under the new naming."
+
   /** One tracked stats column: the canonical dotted name (the header stamp
     * key, which matches the dotted attribute names Spark's nested-predicate
     * pushdown emits), the ordinal chain from the row root through any
@@ -1504,16 +1524,27 @@ private[sources] object OcfCommit {
     }
     if (clearVisible || clearPrefix.isDefined) {
       // RECURSIVE: partitioned layouts commit into col=value/ subdirectories,
-      // so overwrite-truncate and epoch-replay cleanup must reach them too
+      // so overwrite-truncate and epoch-replay cleanup must reach them too.
+      // Collect-then-delete: the legacy-name guard must fire BEFORE any
+      // cleanup delete, not mid-way through one.
       val it = fs.listFiles(dirPath, true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
         val st = it.next()
         val n = st.getPath.getName
-        val doomed =
-          if (clearVisible) !n.startsWith(".") && !n.startsWith("_")
-          else clearPrefix.exists(OcfWrite.epochDoomed(n, _))
-        if (st.isFile && doomed) fs.delete(st.getPath, false)
+        if (st.isFile) {
+          // append-mode epoch commit into a dir still holding old-naming
+          // epoch files: refuse (complete mode truncates them anyway)
+          if (!clearVisible && clearPrefix.isDefined &&
+              OcfWrite.isLegacyEpochName(n))
+            throw new IOException(OcfWrite.legacyEpochRefusal(cfg.dir, n))
+          val d =
+            if (clearVisible) !n.startsWith(".") && !n.startsWith("_")
+            else clearPrefix.exists(OcfWrite.epochDoomed(n, _))
+          if (d) doomed += st.getPath
+        }
       }
+      doomed.foreach(fs.delete(_, false))
     }
     renameAll(cfg, fs, messages)
   }
@@ -1641,8 +1672,18 @@ private[sources] object OcfCommit {
     // a replayed streaming epoch reuses its deterministic names: the added
     // entry REPLACES any same-path survivor, never duplicates it
     val addedPaths = added.map(_.path).toSet
-    val transform: Seq[OcfSnapshots.SnapFile] => Seq[OcfSnapshots.SnapFile] =
-      prev => prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
+    val transform: Seq[OcfSnapshots.SnapFile] => Seq[OcfSnapshots.SnapFile] = { prev =>
+      // same legacy-epoch-name guard as the listing path: an append-mode
+      // epoch commit refuses while pre-'e'-named epoch files are still
+      // visible (throwing here aborts BEFORE the manifest commit; the
+      // landed temps stay invisible)
+      if (!clearVisible && clearPrefix.isDefined) prev.foreach { f =>
+        val name = f.path.substring(f.path.lastIndexOf('/') + 1)
+        if (OcfWrite.isLegacyEpochName(name))
+          throw new IOException(OcfWrite.legacyEpochRefusal(cfg.dir, name))
+      }
+      prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
+    }
     cfg.branch match {
       case Some(b) =>
         OcfSnapshots.commitToBranch(fs, dirPath, b, op, cfg.tableSchemaJson)(transform)

@@ -526,6 +526,39 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(dir.listFiles().forall(f => !f.getName.endsWith(".tmp")))
   }
 
+  test("streaming sink refuses to commit over legacy-named epoch files") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("graft-w-legacy")
+    val ckpt = tempDir("graft-w-legacy-ckpt")
+    // a committed epoch file from the pre-'e' naming era: the new naming's
+    // replay cleanup can never match it (epochDoomed is deliberately
+    // new-prefix-only), so an upgraded stream replaying that epoch would
+    // silently duplicate its rows — the commit must refuse loudly instead
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000-00001.avro").toPath,
+      "legacy epoch data".getBytes("UTF-8"))
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().withColumnRenamed("value", "id")
+      .writeStream.format("graft-ocf")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append")
+      .start(dir.getAbsolutePath)
+    val e = intercept[Exception] {
+      try { stream.addData(1L, 2L); q.processAllAvailable() } finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(
+        x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("legacy-named epoch file")),
+      s"expected the legacy-epoch refusal, got: ${chain(e).mkString(" | ")}")
+    // nothing committed: the legacy file is untouched and no epoch landed
+    assert(new java.io.File(dir, "part-00000-00001.avro").exists())
+    assert(!dir.listFiles().exists(_.getName.matches("part-e\\d{5}-.*\\.avro")),
+      "no new epoch file may become visible after the refused commit")
+  }
+
   test("partitionBy writes hive-style dirs, drops values from files, reads back") {
     import spark.implicits._
     val dir = tempDir("graft-w-part")

@@ -518,6 +518,21 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.orph").count() == 25L)
     assert(spark.sql("SELECT count(*) FROM gs.ns.orph VERSION AS OF 1")
       .head.getLong(0) == 10L)
+
+    // min_age safety floor: a sub-floor min_age could collect files of an
+    // in-flight commit (landed but not yet manifest-referenced) — refused
+    // unless force => true declares the table provably quiesced
+    val e1 = intercept[Exception] {
+      spark.sql(
+        "CALL gs.system.remove_orphan_files(table => 'ns.orph', min_age_ms => 1000)")
+        .collect()
+    }
+    assert(e1.getMessage.contains("safety floor"), e1.getMessage)
+    spark.sql(
+      "CALL gs.system.remove_orphan_files(table => 'ns.orph', min_age_ms => 1, force => true)")
+      .collect()
+    assert(!fs.exists(fresh), "forced sub-floor sweep collects the fresh orphan")
+    visibleBefore.foreach(rel => assert(fs.exists(new Path(root, rel)), rel))
   }
 
   test("incremental reads keep stats-based file skipping and filter pushdown") {
