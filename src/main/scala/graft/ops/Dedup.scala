@@ -336,14 +336,25 @@ object Dedup {
     * a component gets the component's MINIMUM doc id as its label, so "keep
     * one per cluster" is then `WHERE doc_id = component`.
     *
-    * Algorithm: iterative min-label propagation to EXACT convergence — each
-    * round every vertex takes the min of its own and its neighbors' labels;
-    * a round is one shuffle join (edges x labels) plus one aggregate, and
-    * the rounds needed equal the largest component's diameter (near-dup
-    * clusters are dense, typically 2-4). The per-round driver cost is ONE
-    * scalar (the changed-label count); labels for the next round stay
-    * distributed. `maxRounds` is a safety valve that THROWS rather than
-    * return a partially-converged (wrong) labeling.
+    * Two regimes, one exact semantics:
+    *  - **Bounded graphs** (edge count <= `maxDriverEdges`, default 2^20):
+    *    union-find on the driver. A near-dup candidate graph this small is
+    *    pure job-scheduling overhead to iterate distributedly (at sf0.1 the
+    *    whole graph is a few hundred edges and each Spark round costs more
+    *    to PLAN than to run); the collect is provably bounded by the
+    *    pre-checked edge count — the same bounded-driver discipline as the
+    *    PQ training sample and the Jaccard hot-gram rank.
+    *  - **At scale**: iterative min-label propagation to EXACT convergence
+    *    — each round every vertex takes the min of its own and its
+    *    neighbors' labels; a round is one edges x labels shuffle join plus
+    *    a min aggregate, and the rounds needed equal the largest
+    *    component's diameter (near-dup clusters are dense, typically 2-4).
+    *    The whole round materializes in ONE Spark job: the convergence
+    *    count doubles as the lazy checkpoint's materializing action. The
+    *    per-round driver cost is ONE scalar (the changed-label count);
+    *    labels for the next round stay distributed. `maxRounds` is a
+    *    safety valve that THROWS rather than return a partially-converged
+    *    (wrong) labeling.
     *
     * At 100 TB the edge set is the already-bucketed candidate pairs —
     * orders of magnitude smaller than the corpus — and only (id, label)
@@ -351,11 +362,18 @@ object Dedup {
     * output (they are their own singleton cluster by definition). */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxRounds: Int = 64): DataFrame = {
+                          maxRounds: Int = 64,
+                          maxDriverEdges: Long = 1L << 20): DataFrame = {
     // ids keep their NATIVE type (long, string, ...): a cast("long") here
     // would turn uncastable ids into nulls and silently collapse the label
     // frame — string/UUID corpora must cluster, not no-op
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      // checkpoint (eager) before the regime gate: the candidate-pair
+      // producer upstream (simhash/minhash/jaccard) runs ONCE, and the
+      // count that picks the regime reads the cached frame
+      .localCheckpoint()
+    if (edges.count() <= maxDriverEdges)
+      return driverComponents(pairs.sparkSession, edges)
     // localCheckpoint (not persist) everywhere a frame re-enters the loop:
     // an iterative plan's LINEAGE grows multiplicatively per round, and by
     // ~10 rounds plan analysis alone exhausts driver heap — truncating
@@ -379,20 +397,77 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("component").as("nl")), "b")
         .groupBy("a").agg(min("nl").as("nl"))
       // the convergence flag rides INSIDE the propagation projection (label
-      // shrank iff a neighbor's min label beat the current one), so the
-      // changed count is a scan of the just-checkpointed frame — no second
-      // labels join and no extra pass per round
+      // shrank iff a neighbor's min label beat the current one), and the
+      // changed count is the LAZY checkpoint's materializing action — so
+      // propagation, checkpoint and convergence test are ONE job per round
       val next = labels
         .join(neigh.select(col("a").as("id"), col("nl")), Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nl"), col("component"))).as("component"),
           (coalesce(col("nl"), col("component")) < col("component")).as("__changed"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.where(col("__changed")).count()
       labels = next.drop("__changed")
       round += 1
     }
     labels.select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Exact driver-side finish for a BOUNDED edge set: union-find with path
+    * compression, labels = per-component minimum id under the same ordering
+    * Spark's `min`/`least` use (numeric order for numbers; UTF-8 byte order
+    * for strings — NOT Java's UTF-16 `compareTo`, which disagrees above the
+    * BMP). Output rows and labels are identical to the distributed loop's
+    * fixpoint. */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               edges: DataFrame): DataFrame = {
+    val idType = edges.schema.fields(0).dataType
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+    }
+    // SQL ordering: UTF8String compares unsigned UTF-8 bytes
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        while (i < n) {
+          val d = (ab(i) & 0xff) - (bb(i) & 0xff)
+          if (d != 0) return d < 0
+          i += 1
+        }
+        ab.length < bb.length
+      case (a: java.lang.Comparable[_], _) =>
+        a.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+      case _ => throw new IllegalArgumentException(
+        s"connectedComponents: unorderable id type $idType")
+    }
+    val minOfRoot = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { v =>
+      val r = find(v)
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(v, cur)) minOfRoot.put(r, v)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { v =>
+      out.add(org.apache.spark.sql.Row(v, minOfRoot.get(find(v))))
+    }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("component", idType))))
   }
 
   /** Keep ONE document per near-dup cluster: the corpus minus every doc

@@ -157,15 +157,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), s"got $got")
 
-    // a long path exercises multi-round convergence (diameter 9)
+    // a long path exercises the DISTRIBUTED loop's multi-round convergence
+    // (maxDriverEdges = 0 forces it; the default would take the bounded
+    // driver union-find fast path)
     val path = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(path).collect().map(_.getLong(1)).distinct
+    val labels = Dedup.connectedComponents(path, maxDriverEdges = 0)
+      .collect().map(_.getLong(1)).distinct
     assert(labels.toSeq == Seq(0L), "one component spanning the whole path")
 
     // the safety valve throws instead of returning unconverged labels
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxRounds = 2).collect()
+      Dedup.connectedComponents(path, maxRounds = 2, maxDriverEdges = 0).collect()
     }
+
+    // regime parity: the driver union-find fast path and the distributed
+    // loop produce the IDENTICAL labeling on the same graph
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponents(pairs, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaLoop, s"driver=$viaDriver loop=$viaLoop")
 
     // dropNearDups keeps one doc per cluster; singletons (30) pass through
     val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
