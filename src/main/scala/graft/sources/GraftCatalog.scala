@@ -1702,7 +1702,7 @@ private[sources] final class OcfTagsMetaTable(
             case (nm, v) =>
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
                 UTF8String.fromString(nm), v,
-                OcfSnapshots.read(fsys, root, v).timestampMs * 1000L))
+                OcfSnapshots.timestampOf(fsys, root, v) * 1000L))
           }.toArray
         }
       }

@@ -270,7 +270,7 @@ private[sources] object GraftProcedures {
       // policies ("keep a week of history") compose with count-based ones
       val expireable = olderThan match {
         case Some(cut) => expireable0.filter(v =>
-          OcfSnapshots.read(fs, root, v).timestampMs < cut)
+          OcfSnapshots.timestampOf(fs, root, v) < cut)
         case None => expireable0
       }
       val expired = expireable.filterNot(tagged.contains)
@@ -297,6 +297,14 @@ private[sources] object GraftProcedures {
           }
         }
       }
+      // a RETAINED manifest may be a delta whose chain passes through the
+      // expired range — checkpoint those (same version, full content) so
+      // deleting the expired manifests never dangles retained history.
+      // Ascending order: a lower retained version checkpointed first
+      // terminates higher retained versions' chains before the doomed range
+      val doomed = expired.toSet
+      retained.sorted.foreach(v =>
+        OcfSnapshots.checkpointIfChained(fs, root, v, doomed))
       expired.foreach(v => OcfSnapshots.deleteManifest(fs, root, v))
       singleRowResult(outSchema,
         Array[Any](expired.length.toLong, deleted, deletedBytes))

@@ -4,34 +4,51 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Snapshot manifests for `graft-ocf` catalog tables: every commit writes a
-  * new numbered manifest listing the table's VISIBLE data files, making the
-  * manifest — not the directory listing — the source of truth for reads.
+  * new numbered manifest making the manifest sequence — not the directory
+  * listing — the source of truth for reads.
   *
   * What this buys at 100 TB:
-  *  - **O(1) planning listings**: a read opens ONE small JSON instead of
-  *    recursively listing a million-file directory tree (the S3 LIST call
-  *    train that dominates large-table planning).
+  *  - **O(delta) commits**: a commit writes the files it ADDED and the paths
+  *    it REMOVED, not the table's whole file list — a 1M-file table
+  *    committing a 10-file streaming epoch writes a 10-entry delta, never a
+  *    1M-entry JSON (the Iceberg manifest/manifest-list shape, folded into
+  *    one numbered file per commit). Every `CheckpointEvery`-th commit in a
+  *    chain writes a FULL manifest, bounding any read's resolution walk.
+  *  - **O(chain) planning listings**: a read opens at most
+  *    `CheckpointEvery + 1` small JSONs instead of recursively listing a
+  *    million-file directory tree (the S3 LIST call train that dominates
+  *    large-table planning).
   *  - **Atomic commits + snapshot isolation**: a manifest appears with a
   *    single create; concurrent readers see either the old complete version
   *    or the new complete version, never a half-renamed directory.
   *  - **Optimistic concurrency**: the next version is created with
   *    CREATE-exclusive semantics — two racing committers cannot both win;
-  *    the loser recomputes against the winner's manifest and retries.
+  *    the loser recomputes against the winner's manifest and retries (and
+  *    the retry re-reads only the winner's DELTA, not the whole table).
   *  - **Time travel**: `VERSION AS OF n` / `TIMESTAMP AS OF t` pin a read
-  *    to an old manifest. Removed files are dropped from the manifest but
-  *    NOT physically deleted — `expire_snapshots` reclaims unreferenced
-  *    files once history is no longer wanted.
+  *    to an old manifest. Removed files are dropped from the visible set
+  *    but NOT physically deleted — `expire_snapshots` reclaims
+  *    unreferenced files once history is no longer wanted (checkpointing
+  *    any retained manifest whose delta chain crosses the expired range
+  *    first, so retained history never dangles).
   *
-  * Layout: `<table>/_graft_snapshots/v000000000042.json` (underscore dir —
+  * Layout: `<table>/_graft_snapshots/_v000000000042.json` (underscore dir —
   * invisible to data-file listings). Paths inside a manifest are RELATIVE
   * to the table directory, so a table can be relocated wholesale.
   *
   * Migration: a directory without a snapshots dir reads by listing, exactly
   * as before; the FIRST snapshot commit folds the pre-existing listing in
-  * as its base, so existing tables upgrade in place. */
+  * as its base (a full manifest), so existing tables upgrade in place.
+  * Manifests written before the delta format (always-full) read unchanged —
+  * a delta is recognized by its `base` field. */
 private[graft] object OcfSnapshots {
 
   val Dir = "_graft_snapshots"
+
+  /** After this many consecutive delta commits the next commit writes a
+    * full (checkpoint) manifest: commits stay O(delta) while any read's
+    * chain walk stays O(CheckpointEvery) small files. */
+  private[graft] val CheckpointEvery = 16
 
   /** One manifest entry: the file's relative path + length, plus (when the
     * commit embedded it) the header metadata a scan needs — writer schema,
@@ -51,6 +68,17 @@ private[graft] object OcfSnapshots {
                             // read shows the schema the data had, not the
                             // one DDL later evolved it to
                             tableSchemaJson: Option[String] = None)
+
+  /** One manifest file as WRITTEN: either a full file list (`full` defined;
+    * checkpoints and the pre-delta format) or a delta against `base`
+    * (adds + removed paths). Every manifest — delta included — carries the
+    * commit's RESOLVED table schema, so resolution never walks for it. */
+  private final case class Raw(version: Long, timestampMs: Long,
+                               operation: String,
+                               tableSchemaJson: Option[String],
+                               full: Option[Seq[SnapFile]],
+                               base: Long, adds: Seq[SnapFile],
+                               removes: Set[String])
 
   private val mapper = new ObjectMapper()
 
@@ -85,10 +113,9 @@ private[graft] object OcfSnapshots {
   def versions(fs: FileSystem, tableDir: Path): Seq[Long] =
     versionsIn(fs, snapshotsDir(tableDir))
 
-  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot =
-    readManifest(fs, manifestPath(tableDir, version))
+  // ---- manifest parse/render ----------------------------------------------
 
-  private def readManifest(fs: FileSystem, file: Path): Snapshot = {
+  private def readRaw(fs: FileSystem, file: Path): Raw = {
     val in = fs.open(file)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     val root = mapper.readTree(bytes)
@@ -102,42 +129,158 @@ private[graft] object OcfSnapshots {
         b.result()
       case None => IndexedSeq.empty
     }
-    val files = Seq.newBuilder[SnapFile]
-    val it = root.get("files").elements()
-    while (it.hasNext) {
-      val f = it.next()
-      val path = f.get("path").asText
-      val len = f.get("len").asLong
-      // meta fields are OPTIONAL: manifests written before meta embedding
-      // (or by minimal commits) still read — the scan falls back to preads
-      val meta = Option(f.get("schema")).map { sIdx =>
-        def strOpt(k: String): Option[String] = Option(f.get(k)).map(_.asText)
-        OcfDataSource.OcfFileMeta(
-          path = path, len = len,
-          writerSchemaJson = schemas(sIdx.asInt),
-          codecName = f.get("codec").asText,
-          sync = java.util.Base64.getDecoder.decode(f.get("sync").asText),
-          headerEnd = f.get("end").asLong,
-          statsJson = strOpt("stats"),
-          sortedByJson = strOpt("sorted"),
-          rowsStamp = Option(f.get("rows")).map(_.asLong),
-          bloomInHeader = Option(f.get("bloom")).exists(_.asBoolean),
-          blockIndexInHeader = Option(f.get("blockIndex")).exists(_.asBoolean))
+    def parseFiles(): Seq[SnapFile] = {
+      val files = Seq.newBuilder[SnapFile]
+      val it = root.get("files").elements()
+      while (it.hasNext) {
+        val f = it.next()
+        val path = f.get("path").asText
+        val len = f.get("len").asLong
+        // meta fields are OPTIONAL: manifests written before meta embedding
+        // (or by minimal commits) still read — the scan falls back to preads
+        val meta = Option(f.get("schema")).map { sIdx =>
+          def strOpt(k: String): Option[String] = Option(f.get(k)).map(_.asText)
+          OcfDataSource.OcfFileMeta(
+            path = path, len = len,
+            writerSchemaJson = schemas(sIdx.asInt),
+            codecName = f.get("codec").asText,
+            sync = java.util.Base64.getDecoder.decode(f.get("sync").asText),
+            headerEnd = f.get("end").asLong,
+            statsJson = strOpt("stats"),
+            sortedByJson = strOpt("sorted"),
+            rowsStamp = Option(f.get("rows")).map(_.asLong),
+            bloomInHeader = Option(f.get("bloom")).exists(_.asBoolean),
+            blockIndexInHeader = Option(f.get("blockIndex")).exists(_.asBoolean))
+        }
+        files += SnapFile(path, len, meta)
       }
-      files += SnapFile(path, len, meta)
+      files.result()
     }
-    Snapshot(root.get("version").asLong, root.get("timestampMs").asLong,
-      root.get("operation").asText, files.result(),
-      Option(root.get("tableSchema")).map(_.asText))
+    val version = root.get("version").asLong
+    val ts = root.get("timestampMs").asLong
+    val op = root.get("operation").asText
+    val schema = Option(root.get("tableSchema")).map(_.asText)
+    Option(root.get("base")) match {
+      case Some(b) => // delta manifest
+        val removes = Set.newBuilder[String]
+        Option(root.get("removes")).foreach { arr =>
+          val it = arr.elements()
+          while (it.hasNext) removes += it.next().asText
+        }
+        Raw(version, ts, op, schema, None, b.asLong, parseFiles(), removes.result())
+      case None =>
+        Raw(version, ts, op, schema, Some(parseFiles()), -1L, Nil, Set.empty)
+    }
   }
+
+  private def writeEntries(root: com.fasterxml.jackson.databind.node.ObjectNode,
+                           files: Seq[SnapFile]): Unit = {
+    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val arr = root.putArray("files")
+    files.foreach { f =>
+      val o = arr.addObject()
+      o.put("path", f.path)
+      o.put("len", f.len)
+      f.meta.foreach { m =>
+        val idx = schemaIdx.getOrElseUpdate(m.writerSchemaJson, schemaIdx.size)
+        o.put("schema", idx)
+        o.put("codec", m.codecName)
+        o.put("sync", java.util.Base64.getEncoder.encodeToString(m.sync))
+        o.put("end", m.headerEnd)
+        m.rowsStamp.foreach(o.put("rows", _))
+        m.statsJson.foreach(o.put("stats", _))
+        m.sortedByJson.foreach(o.put("sorted", _))
+        // presence flags only — the stamps themselves stay in the header
+        if (m.bloomJson.isDefined || m.bloomInHeader) o.put("bloom", true)
+        if (m.blockIndexJson.isDefined || m.blockIndexInHeader)
+          o.put("blockIndex", true)
+      }
+    }
+    val sarr = root.putArray("schemas")
+    schemaIdx.keys.foreach(sarr.add)
+  }
+
+  private def renderFull(s: Snapshot): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("timestampMs", s.timestampMs)
+    root.put("operation", s.operation)
+    s.tableSchemaJson.foreach(root.put("tableSchema", _))
+    writeEntries(root, s.files)
+    mapper.writeValueAsBytes(root)
+  }
+
+  private def renderDelta(s: Snapshot, base: Long, adds: Seq[SnapFile],
+                          removes: Seq[String]): Array[Byte] = {
+    val root = mapper.createObjectNode()
+    root.put("version", s.version)
+    root.put("timestampMs", s.timestampMs)
+    root.put("operation", s.operation)
+    s.tableSchemaJson.foreach(root.put("tableSchema", _))
+    root.put("base", base)
+    val rarr = root.putArray("removes")
+    removes.foreach(rarr.add)
+    writeEntries(root, adds)
+    mapper.writeValueAsBytes(root)
+  }
+
+  // ---- chain resolution ----------------------------------------------------
+
+  /** Apply one delta: survivors keep base order (replaced same-path entries
+    * drop out via the adds-path filter), adds append in delta order —
+    * exactly the `prev.filterNot(removed) ++ added` shape every built-in
+    * commit transform produces, so delta round-trips preserve file order. */
+  private def applyDelta(base: Seq[SnapFile], d: Raw): Seq[SnapFile] = {
+    val addPaths = d.adds.iterator.map(_.path).toSet
+    base.filterNot(f => d.removes.contains(f.path) || addPaths.contains(f.path)) ++
+      d.adds
+  }
+
+  /** Resolve `top`'s visible file set by walking its delta chain down to
+    * the nearest full manifest through `lookup`. Returns the snapshot and
+    * the number of DELTA manifests in the chain (0 = top itself is full) —
+    * the commit cadence input. */
+  private def resolveWithDepth(top: Raw, lookup: Long => Raw): (Snapshot, Int) = {
+    var deltas = List.empty[Raw]
+    var cur = top
+    while (cur.full.isEmpty) {
+      deltas ::= cur // ends up base-to-top ordered
+      cur = lookup(cur.base)
+    }
+    var files = cur.full.get
+    deltas.foreach(d => files = applyDelta(files, d))
+    (Snapshot(top.version, top.timestampMs, top.operation, files,
+      top.tableSchemaJson), deltas.length)
+  }
+
+  private def rawMain(fs: FileSystem, tableDir: Path)(v: Long): Raw =
+    readRaw(fs, manifestPath(tableDir, v))
+
+  /** Branch chain lookup: the branch's own manifest when it has one, else
+    * main's — a branch's first delta references its MAIN base version, and
+    * numbering is continuous, so one lookup serves the whole chain. */
+  private def rawBranch(fs: FileSystem, tableDir: Path, name: String)(v: Long): Raw = {
+    val bf = manifestFile(branchDir(tableDir, name), v)
+    if (fs.exists(bf)) readRaw(fs, bf) else rawMain(fs, tableDir)(v)
+  }
+
+  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot =
+    resolveWithDepth(rawMain(fs, tableDir)(version), rawMain(fs, tableDir))._1
+
+  /** The commit timestamp alone — one small read, NO chain resolution
+    * (every manifest, delta or full, carries it). */
+  def timestampOf(fs: FileSystem, tableDir: Path, version: Long): Long =
+    readRaw(fs, manifestPath(tableDir, version)).timestampMs
 
   def latest(fs: FileSystem, tableDir: Path): Option[Snapshot] =
     versions(fs, tableDir).lastOption.map(read(fs, tableDir, _))
 
-  /** Latest snapshot with `timestampMs <= ts`, for TIMESTAMP AS OF. */
+  /** Latest snapshot with `timestampMs <= ts`, for TIMESTAMP AS OF —
+    * timestamps read raw (no chain resolution); only the pick resolves. */
   def asOfTimestamp(fs: FileSystem, tableDir: Path, ts: Long): Option[Snapshot] =
-    versions(fs, tableDir).map(read(fs, tableDir, _))
-      .filter(_.timestampMs <= ts).lastOption
+    versions(fs, tableDir)
+      .filter(v => timestampOf(fs, tableDir, v) <= ts).lastOption
+      .map(read(fs, tableDir, _))
 
   /** Incremental append scan (the Iceberg `incremental read` shape): the
     * files ADDED strictly after `startVersion` and up to & including
@@ -159,8 +302,9 @@ private[graft] object OcfSnapshots {
     incrementalWithStart(fs, tableDir, startVersion, endVersion)._1
 
   /** [[incrementalFiles]] plus the start snapshot's path set (the streaming
-    * exclusion set) — one manifest read serves both, instead of the caller
-    * re-reading the start manifest it just validated. */
+    * exclusion set) — one resolution serves both. Consecutive versions
+    * apply as deltas forward (O(delta) per step); only the start — and any
+    * step after a retention gap — pays a full chain resolution. */
   def incrementalWithStart(fs: FileSystem, tableDir: Path,
                            startVersion: Long, endVersion: Option[Long])
       : (Seq[SnapFile], Set[String]) = {
@@ -175,64 +319,92 @@ private[graft] object OcfSnapshots {
     require(end >= startVersion,
       s"graft-ocf: endingVersion $end precedes startingVersion $startVersion")
     val chain = vs.filter(v => v >= startVersion && v <= end)
-    var prevPaths = read(fs, tableDir, chain.head).files.map(_.path).toSet
+    var curFiles = read(fs, tableDir, chain.head).files
+    var prevPaths = curFiles.map(_.path).toSet
     val startPaths = prevPaths
     if (end == startVersion) return (Nil, startPaths)
-    var endSnap: Snapshot = null
+    var prevV = chain.head
     chain.tail.foreach { v =>
-      val snap = read(fs, tableDir, v)
-      val cur = snap.files.map(_.path).toSet
+      val raw = rawMain(fs, tableDir)(v)
+      curFiles =
+        if (raw.full.isDefined) raw.full.get
+        else if (raw.base == prevV) applyDelta(curFiles, raw)
+        else read(fs, tableDir, v).files // retention gap: full resolve
+      val cur = curFiles.map(_.path).toSet
       val removed = prevPaths.diff(cur)
       require(removed.isEmpty,
         s"graft-ocf: incremental read of $tableDir ($startVersion, $end] " +
-          s"refused: version $v (operation '${snap.operation}') removed or " +
+          s"refused: version $v (operation '${raw.operation}') removed or " +
           s"replaced ${removed.size} file(s) (e.g. ${removed.head}) — the " +
           "range's changes are not representable as appended rows. Read " +
           "a full snapshot (VERSION AS OF) instead, or start after the " +
           "rewriting commit.")
       prevPaths = cur
-      endSnap = snap
+      prevV = v
     }
-    (endSnap.files.filterNot(f => startPaths.contains(f.path)), startPaths)
+    (curFiles.filterNot(f => startPaths.contains(f.path)), startPaths)
   }
 
-  private def render(s: Snapshot): Array[Byte] = {
-    val root = mapper.createObjectNode()
-    root.put("version", s.version)
-    root.put("timestampMs", s.timestampMs)
-    root.put("operation", s.operation)
-    s.tableSchemaJson.foreach(root.put("tableSchema", _))
-    val schemaIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val arr = root.putArray("files")
-    s.files.foreach { f =>
-      val o = arr.addObject()
-      o.put("path", f.path)
-      o.put("len", f.len)
-      f.meta.foreach { m =>
-        val idx = schemaIdx.getOrElseUpdate(m.writerSchemaJson, schemaIdx.size)
-        o.put("schema", idx)
-        o.put("codec", m.codecName)
-        o.put("sync", java.util.Base64.getEncoder.encodeToString(m.sync))
-        o.put("end", m.headerEnd)
-        m.rowsStamp.foreach(o.put("rows", _))
-        m.statsJson.foreach(o.put("stats", _))
-        m.sortedByJson.foreach(o.put("sorted", _))
-        // presence flags only — the stamps themselves stay in the header
-        if (m.bloomJson.isDefined || m.bloomInHeader) o.put("bloom", true)
-        if (m.blockIndexJson.isDefined || m.blockIndexInHeader)
-          o.put("blockIndex", true)
-      }
+  // ---- commit --------------------------------------------------------------
+
+  /** Deep SnapFile equality (the case class would compare the `sync` array
+    * by REFERENCE): decides whether a path surviving a commit kept the same
+    * entry (stays out of the delta) or was replaced (remove + add). */
+  private def sameFile(a: SnapFile, b: SnapFile): Boolean =
+    a.path == b.path && a.len == b.len && ((a.meta, b.meta) match {
+      case (None, None) => true
+      case (Some(x), Some(y)) =>
+        x.writerSchemaJson == y.writerSchemaJson &&
+          x.codecName == y.codecName &&
+          java.util.Arrays.equals(x.sync, y.sync) &&
+          x.headerEnd == y.headerEnd &&
+          x.statsJson == y.statsJson &&
+          x.sortedByJson == y.sortedByJson &&
+          x.rowsStamp == y.rowsStamp &&
+          (x.bloomJson.isDefined || x.bloomInHeader) ==
+            (y.bloomJson.isDefined || y.bloomInHeader) &&
+          (x.blockIndexJson.isDefined || x.blockIndexInHeader) ==
+            (y.blockIndexJson.isDefined || y.blockIndexInHeader)
+      case _ => false
+    })
+
+  /** Render `next` as a delta against `prev` when the commit's change IS a
+    * delta (O(new files) bytes), falling back to a full manifest when the
+    * chain hit the checkpoint cadence, the transform reordered survivors
+    * (delta application could not reproduce the exact sequence), or the
+    * delta would not actually be smaller (a rollback/overwrite that
+    * replaces most of the table). */
+  private def renderCommit(next: Snapshot, prevVersion: Option[Long],
+                           prevFiles: Seq[SnapFile], prevDepth: Int): Array[Byte] = {
+    if (prevVersion.isEmpty || prevDepth >= CheckpointEvery)
+      return renderFull(next)
+    val prevByPath = new java.util.HashMap[String, SnapFile](prevFiles.length * 2)
+    prevFiles.foreach(f => prevByPath.put(f.path, f))
+    val newPaths = next.files.iterator.map(_.path).toSet
+    val removes = prevFiles.iterator.map(_.path).filterNot(newPaths.contains).toSeq
+    val adds = next.files.filter { f =>
+      val old = prevByPath.get(f.path)
+      old == null || !sameFile(old, f)
     }
-    val sarr = root.putArray("schemas")
-    schemaIdx.keys.foreach(sarr.add)
-    mapper.writeValueAsBytes(root)
+    if (adds.length + removes.length >= next.files.length)
+      return renderFull(next)
+    // order proof: replaying (prev - removes - replaced) ++ adds must equal
+    // the transform's exact output sequence, or readers of the delta would
+    // see a different file order than this commit declared
+    val addPaths = adds.iterator.map(_.path).toSet
+    val replayed = prevFiles.iterator.map(_.path)
+      .filter(p => newPaths.contains(p) && !addPaths.contains(p)) ++
+      adds.iterator.map(_.path)
+    if (!replayed.sameElements(next.files.iterator.map(_.path)))
+      return renderFull(next)
+    renderDelta(next, prevVersion.get, adds, removes)
   }
 
   /** Optimistic snapshot commit: `transform` maps the previous visible set
-    * (the latest manifest's files, or — on the very first commit — the
-    * directory's current listing, folding a pre-snapshot table in) to the
-    * new visible set. The next version is written CREATE-EXCLUSIVE through
-    * a temp + no-overwrite rename; when a racing committer wins the
+    * (the latest manifest's resolved files, or — on the very first commit —
+    * the directory's current listing, folding a pre-snapshot table in) to
+    * the new visible set. The next version is written CREATE-EXCLUSIVE
+    * through a temp + no-overwrite rename; when a racing committer wins the
     * version, the transform re-runs against the WINNER's files — the
     * retry sees the concurrent commit's effects, it does not clobber them.
     * Returns the committed snapshot. */
@@ -245,11 +417,13 @@ private[graft] object OcfSnapshots {
     while (true) {
       attempts += 1
       val prevVersion = versions(fs, tableDir).lastOption
-      val prevFiles = prevVersion match {
-        case Some(v) => read(fs, tableDir, v).files
-        case None => listingAsFiles(fs, tableDir)
+      val (prevFiles, prevSchema, prevDepth) = prevVersion match {
+        case Some(v) =>
+          val (snap, depth) =
+            resolveWithDepth(rawMain(fs, tableDir)(v), rawMain(fs, tableDir))
+          (snap.files, snap.tableSchemaJson, depth)
+        case None => (listingAsFiles(fs, tableDir), None, 0)
       }
-      val prevSchema = prevVersion.flatMap(v => read(fs, tableDir, v).tableSchemaJson)
       val next = Snapshot(prevVersion.getOrElse(0L) + 1, System.currentTimeMillis(),
         operation, transform(prevFiles),
         // a schema-less commit (path write) inherits the previous schema
@@ -257,7 +431,8 @@ private[graft] object OcfSnapshots {
       val dest = manifestPath(tableDir, next.version)
       val tmp = new Path(sdir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
-      try { out.write(render(next)) } finally out.close()
+      try { out.write(renderCommit(next, prevVersion, prevFiles, prevDepth)) }
+      finally out.close()
       // rename WITHOUT overwrite: exactly one committer wins a version
       val won = !fs.exists(dest) && fs.rename(tmp, dest)
       if (won) return next
@@ -268,16 +443,65 @@ private[graft] object OcfSnapshots {
     throw new IllegalStateException("unreachable")
   }
 
+  // ---- expiry support ------------------------------------------------------
+
+  /** If retained version `v`'s delta chain references any version in
+    * `doomed`, rewrite `v`'s manifest IN PLACE as a full checkpoint (same
+    * version, same resolved content) so the doomed manifests can be deleted
+    * without breaking it. Callers process retained versions ASCENDING: a
+    * lower retained version checkpointed first terminates higher versions'
+    * chains before they reach the doomed range. Returns true if rewritten. */
+  def checkpointIfChained(fs: FileSystem, tableDir: Path, v: Long,
+                          doomed: Set[Long]): Boolean = {
+    var cur = rawMain(fs, tableDir)(v)
+    var hit = false
+    while (cur.full.isEmpty && !hit) {
+      if (doomed.contains(cur.base)) hit = true
+      else cur = rawMain(fs, tableDir)(cur.base)
+    }
+    if (!hit) return false
+    replaceFile(fs, manifestPath(tableDir, v), renderFull(read(fs, tableDir, v)))
+    true
+  }
+
+  /** Replace `dest` with `bytes` — FileContext OVERWRITE rename (atomic on
+    * HDFS/local) with an exists/delete/rename fallback. Used only by
+    * maintenance rewrites whose old and new content RESOLVE identically, so
+    * even the fallback's window is benign to readers. */
+  private def replaceFile(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      // FileContext renames bypass ChecksumFileSystem: drop stale crc
+      // sidecars that would fail verification on a later read
+      Seq(new Path(tmp.getParent, "." + tmp.getName + ".crc"),
+          new Path(dest.getParent, "." + dest.getName + ".crc"))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, false))
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(
+            s"graft-ocf snapshots: could not replace $dest")
+    }
+  }
+
   // ---- branches (X83): write-audit-publish ---------------------------------
   // A branch is its own manifest sequence under
   // `_graft_snapshots/_branch-<name>/`, seeded from a MAIN version (the
   // branch base) and numbering onward from it. Writes routed to the branch
   // land their DATA files in the table directory as usual — manifests gate
   // visibility, so main readers never see them — and commit manifests into
-  // the branch dir. `fast_forward` publishes: when main still sits at the
-  // branch base, the branch's manifests copy into main verbatim (manifests
-  // are absolute file lists, so no rebasing) and main's head jumps to the
-  // branch head atomically-per-manifest; a main that advanced past the base
+  // the branch dir. Branch deltas resolve through [[rawBranch]]: versions
+  // the branch owns read from its dir, older ones fall through to main.
+  // `fast_forward` publishes: when main still sits at the branch base, the
+  // branch's manifests copy into main verbatim (continuous numbering means
+  // delta base references stay valid) and main's head jumps to the branch
+  // head atomically-per-manifest; a main that advanced past the base
   // REFUSES (divergent histories need a rewrite, not a silent merge).
 
   /** Legal branch names: path-safe (no separators/dot-segments — the name
@@ -360,12 +584,16 @@ private[graft] object OcfSnapshots {
   def branchVersions(fs: FileSystem, tableDir: Path, name: String): Seq[Long] =
     versionsIn(fs, branchDir(tableDir, name))
 
+  /** One branch version's resolved snapshot (chain may cross into main). */
+  def branchRead(fs: FileSystem, tableDir: Path, name: String, v: Long): Snapshot =
+    resolveWithDepth(rawBranch(fs, tableDir, name)(v),
+      rawBranch(fs, tableDir, name))._1
+
   /** The branch's visible snapshot: its newest own manifest, or (before any
     * branch commit) the main BASE manifest — which must still be retained. */
   def branchHead(fs: FileSystem, tableDir: Path, name: String): Snapshot = {
-    val bd = branchDir(tableDir, name)
     branchVersions(fs, tableDir, name).lastOption match {
-      case Some(v) => readManifest(fs, manifestFile(bd, v))
+      case Some(v) => branchRead(fs, tableDir, name, v)
       case None =>
         val base = branchBase(fs, tableDir, name)
         require(versions(fs, tableDir).contains(base),
@@ -376,7 +604,8 @@ private[graft] object OcfSnapshots {
   }
 
   /** Optimistic commit into the branch's manifest sequence (same discipline
-    * as [[commit]]: exactly one committer wins a version). */
+    * as [[commit]]: exactly one committer wins a version; deltas resolve
+    * through the branch-then-main lookup). */
   def commitToBranch(fs: FileSystem, tableDir: Path, name: String,
                      operation: String, tableSchemaJson: Option[String])
                     (transform: Seq[SnapFile] => Seq[SnapFile]): Snapshot = {
@@ -388,14 +617,29 @@ private[graft] object OcfSnapshots {
     var attempts = 0
     while (true) {
       attempts += 1
-      val head = branchHead(fs, tableDir, name)
-      val next = Snapshot(head.version + 1, System.currentTimeMillis(),
-        operation, transform(head.files),
-        tableSchemaJson.orElse(head.tableSchemaJson))
+      val lookup = rawBranch(fs, tableDir, name) _
+      val (headVersion, headSnap, headDepth) =
+        branchVersions(fs, tableDir, name).lastOption match {
+          case Some(v) =>
+            val (snap, depth) = resolveWithDepth(lookup(v), lookup)
+            (v, snap, depth)
+          case None =>
+            val base = branchBase(fs, tableDir, name)
+            require(versions(fs, tableDir).contains(base),
+              s"graft-ocf branches: branch '$name' base version $base was " +
+                "expired; the branch has no readable state")
+            val (snap, depth) =
+              resolveWithDepth(rawMain(fs, tableDir)(base), rawMain(fs, tableDir))
+            (base, snap, depth)
+        }
+      val next = Snapshot(headVersion + 1, System.currentTimeMillis(),
+        operation, transform(headSnap.files),
+        tableSchemaJson.orElse(headSnap.tableSchemaJson))
       val dest = manifestFile(bd, next.version)
       val tmp = new Path(bd, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
-      try { out.write(render(next)) } finally out.close()
+      try { out.write(renderCommit(next, Some(headVersion), headSnap.files, headDepth)) }
+      finally out.close()
       val won = !fs.exists(dest) && fs.rename(tmp, dest)
       if (won) return next
       fs.delete(tmp, false)
@@ -406,14 +650,14 @@ private[graft] object OcfSnapshots {
   }
 
   /** Publish the branch: copy its manifests into main (verbatim — version
-    * numbers continue from the base) and drop the branch. IDEMPOTENT and
-    * RESUMABLE: a main manifest that already holds byte-identical content
-    * (an earlier partial publish, or a concurrent fast_forward of the same
-    * branch) is skipped, so a crash or race mid-copy never wedges the
-    * branch — retrying finishes the job. A main manifest with DIFFERENT
-    * content is a genuinely foreign commit: refuse (divergent histories are
-    * never silently merged) and leave the branch intact for inspection.
-    * Returns (base, new main head). */
+    * numbers continue from the base, so delta base references stay valid)
+    * and drop the branch. IDEMPOTENT and RESUMABLE: a main manifest that
+    * already holds byte-identical content (an earlier partial publish, or a
+    * concurrent fast_forward of the same branch) is skipped, so a crash or
+    * race mid-copy never wedges the branch — retrying finishes the job. A
+    * main manifest with DIFFERENT content is a genuinely foreign commit:
+    * refuse (divergent histories are never silently merged) and leave the
+    * branch intact for inspection. Returns (base, new main head). */
   def fastForward(fs: FileSystem, tableDir: Path, name: String): (Long, Long) = {
     val base = branchBase(fs, tableDir, name)
     val bd = branchDir(tableDir, name)
@@ -479,13 +723,13 @@ private[graft] object OcfSnapshots {
   def dropBranch(fs: FileSystem, tableDir: Path, name: String): Boolean =
     fs.delete(branchDir(tableDir, name), true)
 
-  /** Every file path any branch manifest references, plus branch BASE
-    * versions — what expiry and orphan collection must treat as live. */
+  /** Every file path any branch manifest's RESOLVED snapshot references,
+    * plus branch BASE versions — what expiry and orphan collection must
+    * treat as live. */
   def branchReferencedFiles(fs: FileSystem, tableDir: Path): Set[String] =
     listBranches(fs, tableDir).flatMap { b =>
-      val bd = branchDir(tableDir, b)
-      versionsIn(fs, bd).flatMap(v =>
-        readManifest(fs, manifestFile(bd, v)).files.map(_.path))
+      branchVersions(fs, tableDir, b).flatMap(v =>
+        branchRead(fs, tableDir, b, v).files.map(_.path))
     }.toSet
 
   def branchBases(fs: FileSystem, tableDir: Path): Set[Long] =
@@ -516,15 +760,8 @@ private[graft] object OcfSnapshots {
                         tags: Map[String, Long]): Unit = {
     val root = mapper.createObjectNode()
     tags.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
-    val dest = tagsPath(tableDir)
-    val tmp = new Path(snapshotsDir(tableDir),
-      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
     fs.mkdirs(snapshotsDir(tableDir))
-    val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"graft-ocf snapshots: could not replace $dest")
+    replaceFile(fs, tagsPath(tableDir), mapper.writeValueAsBytes(root))
   }
 
   def tag(fs: FileSystem, tableDir: Path, name: String, version: Long): Unit = {

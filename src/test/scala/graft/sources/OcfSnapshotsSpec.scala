@@ -779,4 +779,77 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     spark.sql("CALL gs.system.fast_forward(table => 'ns.swap', name => 'stream')")
     assert(spark.table("gs.ns.swap").count() == 13L)
   }
+
+  test("commits write O(delta) bytes; checkpoints bound the chain; reads resolve") {
+    val root = new Path(warehouse.getAbsolutePath, "ns/delta-unit")
+    fs.mkdirs(root)
+    def manifestLen(v: Long): Long =
+      fs.getFileStatus(new Path(root,
+        f"${OcfSnapshots.Dir}/_v$v%012d.json")).getLen
+    // commit 1: a big base table (2,000 files) — the FIRST commit is a full
+    // manifest by construction
+    val base = (0 until 2000).map(i => OcfSnapshots.SnapFile(f"part-$i%05d.avro", 1000L + i))
+    OcfSnapshots.commit(fs, root, "append")(_ => base)
+    val fullLen = manifestLen(1L)
+    // commit 2: append TWO files — the manifest must be O(delta), not
+    // O(table): orders of magnitude smaller than the full base manifest
+    val twoMore = Seq(OcfSnapshots.SnapFile("extra-a.avro", 7L),
+      OcfSnapshots.SnapFile("extra-b.avro", 8L))
+    OcfSnapshots.commit(fs, root, "append")(prev => prev ++ twoMore)
+    val deltaLen = manifestLen(2L)
+    assert(deltaLen * 50 < fullLen,
+      s"append-2 manifest ($deltaLen B) must be tiny next to the " +
+        s"2000-file full manifest ($fullLen B)")
+    // commit 3: remove one + add one — still O(delta)
+    OcfSnapshots.commit(fs, root, "replace-rows")(prev =>
+      prev.filterNot(_.path == "part-00000.avro") :+
+        OcfSnapshots.SnapFile("rewritten.avro", 9L))
+    assert(manifestLen(3L) * 50 < fullLen)
+    // resolution: exact content and order (survivors in base order, adds
+    // appended)
+    val resolved = OcfSnapshots.read(fs, root, 3L).files.map(_.path)
+    assert(resolved.length == 2002)
+    assert(resolved.head == "part-00001.avro")
+    assert(resolved.takeRight(3) == Seq("extra-a.avro", "extra-b.avro", "rewritten.avro"))
+    assert(OcfSnapshots.read(fs, root, 2L).files.map(_.path).length == 2002)
+    assert(OcfSnapshots.read(fs, root, 1L).files.map(_.path).length == 2000)
+    // a long run of small commits: every CheckpointEvery-th write is a full
+    // manifest (bounding any read's chain walk), the rest stay O(delta)
+    (0 until OcfSnapshots.CheckpointEvery + 3).foreach { i =>
+      OcfSnapshots.commit(fs, root, "append")(prev =>
+        prev :+ OcfSnapshots.SnapFile(s"tail-$i.avro", 10L + i))
+    }
+    val head = OcfSnapshots.versions(fs, root).last
+    val lens = (2L to head).map(manifestLen)
+    val fulls = lens.count(_ > fullLen / 2)
+    val deltas = lens.count(_ * 50 < fullLen)
+    assert(fulls >= 1, s"a checkpoint full manifest must appear in $lens")
+    assert(fulls <= 2, s"checkpoints must be periodic, not frequent: $lens")
+    assert(fulls + deltas == lens.length, s"every manifest is full or tiny: $lens")
+    // the resolved head is exact after crossing the checkpoint
+    val headFiles = OcfSnapshots.read(fs, root, head).files
+    assert(headFiles.length == 2002 + OcfSnapshots.CheckpointEvery + 3)
+    assert(headFiles.last.path == s"tail-${OcfSnapshots.CheckpointEvery + 2}.avro")
+  }
+
+  test("expire_snapshots checkpoints retained deltas before dropping their chain") {
+    spark.sql("CREATE TABLE gs.ns.expchain (id BIGINT) USING `graft-ocf`")
+    (0 until 6).foreach(i =>
+      spark.sql(s"INSERT INTO gs.ns.expchain SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val root = new Path(warehouse.getAbsolutePath, "ns/expchain")
+    assert(OcfSnapshots.versions(fs, root) == (1L to 6L))
+    // versions 2..6 are deltas chained down to the full v1 — expiring
+    // 1..4 must leave v5 (now the oldest retained) readable: the procedure
+    // checkpoints it before deleting its chain
+    spark.sql(
+      "CALL gs.system.expire_snapshots(table => 'ns.expchain', keep_last => 2)")
+      .collect()
+    assert(OcfSnapshots.versions(fs, root) == Seq(5L, 6L))
+    assert(spark.sql("SELECT count(*) FROM gs.ns.expchain VERSION AS OF 5")
+      .head.getLong(0) == 50L)
+    assert(spark.table("gs.ns.expchain").count() == 60L)
+    // and the table still commits + reads normally afterwards
+    spark.sql("INSERT INTO gs.ns.expchain SELECT id FROM range(60, 70)")
+    assert(spark.table("gs.ns.expchain").count() == 70L)
+  }
 }
