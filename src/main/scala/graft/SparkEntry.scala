@@ -1555,6 +1555,44 @@ object SparkEntry {
           |GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // Merge-on-read position deletes (X87): a point-ish DELETE on a
+    // merge-on-read table writes (file, pos) delete files — zero data
+    // bytes rewritten — and the scan applies them ('mor' phase); CALL
+    // rewrite_position_deletes folds them into clean files ('folded'
+    // phase). Both phases must agree with the oracle's logical view.
+    "q103_mor_delete" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q103",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q103_wh_")
+      s.conf.set("spark.sql.catalog.graft_q103.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q103.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q103.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q103.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`
+          |OPTIONS (statsColumns 'doc_id', `write.delete.mode` 'merge-on-read')""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q103_src")
+      s.sql("INSERT INTO graft_q103.corpus.docs SELECT * FROM graft_q103_src")
+      s.sql("DELETE FROM graft_q103.corpus.docs WHERE doc_id % 7 = 3")
+      def agg(phase: String) = s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q103.corpus.docs GROUP BY source""".stripMargin)
+        .withColumn("phase", lit(phase))
+      val mor = agg("mor")
+      // materialize BEFORE the fold rewrites the files (#strata rows only)
+      val morRows = mor.collect()
+      val morCached = s.createDataFrame(
+        java.util.Arrays.asList(morRows: _*), mor.schema)
+      s.sql("CALL graft_q103.system.rewrite_position_deletes(table => 'corpus.docs')")
+      morCached.unionByName(agg("folded"))
+        .select(col("phase"), col("source"), col("n_docs"), col("sum_chars"))
+        .orderBy("phase", "source")
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2512,6 +2550,18 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // both phases (reading through delete files; after the fold) must show
+    // the corpus minus the deleted rows
+    "q103_mor_delete" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 7 <> 3 GROUP BY source
+        |)
+        |SELECT p.phase, a.source, a.n_docs, a.sum_chars
+        |FROM agg a CROSS JOIN (SELECT 'mor' AS phase UNION ALL SELECT 'folded') p
+        |ORDER BY p.phase, a.source""".stripMargin,
 
     // after fast_forward the published table holds the whole corpus
     "q99_wap_branch" ->

@@ -1102,10 +1102,16 @@ private[sources] class CatalogOcfTable(
     with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (meta.schema.fieldNames.exists(_.equalsIgnoreCase(OcfDataSource.FileColName)))
-      Array.empty
-    else Array(OcfDataSource.FileMetadataColumn)
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val names = meta.schema.fieldNames
+    ((if (names.exists(_.equalsIgnoreCase(OcfDataSource.FileColName))) Nil
+      else Seq(OcfDataSource.FileMetadataColumn)) ++
+     (if (names.exists(_.equalsIgnoreCase(OcfDataSource.PosColName))) Nil
+      else Seq(OcfDataSource.PosMetadataColumn))).toArray
+  }
+
+  private[sources] def catalogMeta: GraftCatalog.TableMeta = meta
+  private[sources] def hadoopConf: Configuration = conf
 
   private def readOptions: CaseInsensitiveStringMap = {
     val m = new java.util.HashMap[String, String]()
@@ -1252,9 +1258,26 @@ private[sources] class CatalogOcfTable(
       s"graft-ocf: row-level ${info.command} needs the " +
         s"${OcfDataSource.FileColName} metadata column, which a table column " +
         "of the same name shadows")
+    // merge-on-read DELETE (X87): `write.delete.mode = merge-on-read`
+    // switches DELETE from the group-based copy-on-write rewrite to a
+    // delta operation writing POSITION-DELETE files — a point delete then
+    // costs O(matched rows), not O(matched files' bytes). UPDATE/MERGE
+    // stay copy-on-write (their delta form needs row re-encoding anyway).
+    val deleteMode = meta.options.find(_._1.equalsIgnoreCase("write.delete.mode"))
+      .map(_._2.trim.toLowerCase(java.util.Locale.ROOT))
+    require(deleteMode.forall(m => m == "copy-on-write" || m == "merge-on-read"),
+      s"graft-ocf: write.delete.mode must be 'copy-on-write' or " +
+        s"'merge-on-read'; got '${deleteMode.get}'")
+    val morDelete =
+      info.command == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
+        deleteMode.contains("merge-on-read")
+    if (morDelete) require(snapshotWrites,
+      "graft-ocf: merge-on-read DELETE needs a snapshot-managed table " +
+        "(delete files are manifest entries)")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new OcfRowLevelOperation(info.command, CatalogOcfTable.this)
+        if (morDelete) new OcfPositionDeltaOperation(CatalogOcfTable.this)
+        else new OcfRowLevelOperation(info.command, CatalogOcfTable.this)
     }
   }
 
@@ -1503,6 +1526,247 @@ private[sources] final class OcfRowLevelOperation(
   override def description(): String = s"graft-ocf copy-on-write $cmd"
 }
 
+/** Merge-on-read DELETE (X87): the [[org.apache.spark.sql.connector.write.SupportsDelta]]
+  * row-level operation. Spark plans the DELETE as: scan the rows MATCHING
+  * the predicate (files pruned by the usual stamp machinery; the scan
+  * emits the `_file`/`_pos` row id), then feed each matched row id to the
+  * delta writer — which writes one POSITION-DELETE file per touched data
+  * file instead of rewriting any data bytes. The commit adds the delete
+  * files to the snapshot (`deleteOf` entries); scans attach them to their
+  * targets and skip the ordinals. `CALL g.system.rewrite_position_deletes`
+  * folds them back into clean data files.
+  *
+  * At 100 TB: a GDPR point-delete writes a few KB of ordinals instead of
+  * rewriting multi-GB files; the read-side cost is an unsplit scan of the
+  * few burdened files until the fold. */
+private[sources] final class OcfPositionDeltaOperation(table: CatalogOcfTable)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.RowLevelOperation
+
+  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        OcfDataSource.FileColName),
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        OcfDataSource.PosColName))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // the PLAIN table scan: existing deletes applied (an already-deleted
+    // row can't re-match), `_pos` forces unsplit plans on candidate files
+    table.newScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new OcfPositionDeleteWrite(table, info)
+    }
+
+  override def description(): String = "graft-ocf merge-on-read DELETE"
+}
+
+private[sources] final class OcfPositionDeleteWrite(
+    table: CatalogOcfTable,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+    new IllegalStateException("graft-ocf merge-on-read DELETE: Spark " +
+      "provided no rowIdSchema"))
+  private val fileOrd = rowIdSchema.fieldIndex(OcfDataSource.FileColName)
+  private val posOrd = rowIdSchema.fieldIndex(OcfDataSource.PosColName)
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    OcfPositionDeleteWriterFactory(
+      new SerializableHadoopConf(table.hadoopConf),
+      table.catalogMeta.location, fileOrd, posOrd)
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val root = new Path(table.catalogMeta.location)
+    val fs = root.getFileSystem(table.hadoopConf)
+    val qualRoot = fs.makeQualified(root).toString
+    val entries = messages.toSeq.flatMap {
+      case OcfPositionDeleteMessage(files) => files
+      case _ => Nil
+    }
+    // land the delete files (create-then-commit: invisible until the
+    // manifest commit, same discipline as data writes)
+    entries.foreach { e =>
+      val src = new Path(e.tmp)
+      val dst = new Path(e.dest)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"graft-ocf merge-on-read DELETE: failed to rename ${e.tmp} to ${e.dest}")
+    }
+    val metas = OcfDataSource.fetchMetas(table.hadoopConf,
+      entries.map(e => OcfDataSource.FileSlice(
+        fs.makeQualified(new Path(e.dest)).toString,
+        fs.getFileStatus(new Path(e.dest)).getLen)))
+      .map(m => m.path -> m).toMap
+    val added = entries.map { e =>
+      val qp = fs.makeQualified(new Path(e.dest)).toString
+      val m = metas(qp)
+      OcfSnapshots.SnapFile(OcfSnapshots.relativize(qualRoot, qp), m.len,
+        meta = Some(m.copy(bloomJson = None, blockIndexJson = None,
+          partitionValues = Array.empty)),
+        deleteOf = Some(e.targetRel))
+    }
+    OcfSnapshots.commit(fs, root, "delete-rows",
+      Some(table.catalogMeta.schema.json)) { prev =>
+      // a concurrent rewrite/compaction may have replaced a target between
+      // our scan and this commit — the recorded ordinals would then refer
+      // to a DEAD file. Refuse (optimistic-concurrency conflict) rather
+      // than let dropOrphanDeletes silently discard the DELETE.
+      val dataPaths = prev.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
+      added.foreach(a => require(dataPaths.contains(a.deleteOf.get),
+        s"graft-ocf merge-on-read DELETE: data file ${a.deleteOf.get} was " +
+          "replaced by a concurrent commit; re-run the DELETE"))
+      prev ++ added
+    }
+    ()
+  }
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val root = new Path(table.catalogMeta.location)
+    val fs = root.getFileSystem(table.hadoopConf)
+    messages.foreach {
+      case OcfPositionDeleteMessage(files) => files.foreach { e =>
+        val p = new Path(e.tmp)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      case _ => ()
+    }
+  }
+}
+
+private[sources] final case class OcfPositionDeleteEntry(
+    tmp: String, dest: String, targetRel: String)
+private[sources] final case class OcfPositionDeleteMessage(
+    files: Seq[OcfPositionDeleteEntry])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] final case class OcfPositionDeleteWriterFactory(
+    conf: SerializableHadoopConf,
+    tableDir: String, fileOrd: Int, posOrd: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new OcfPositionDeleteWriter(conf.value, tableDir, fileOrd, posOrd,
+      partitionId, taskId)
+}
+
+/** Task-side position-delete writer: buffers (target file -> ordinals) —
+  * 8 bytes per matched row — and on commit writes ONE small OCF per
+  * touched data file (`{"pos": long}` datums, sorted, `graft.deleteTarget`
+  * header stamp for observability). Only delete/insert arrive for a
+  * DELETE command; insert/update are contract violations and throw. */
+private[sources] final class OcfPositionDeleteWriter(
+    conf: Configuration, tableDir: String, fileOrd: Int, posOrd: Int,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
+
+  private val byTarget =
+    new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+
+  override def delete(metadata: org.apache.spark.sql.catalyst.InternalRow,
+                      id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val file = id.getUTF8String(fileOrd).toString
+    val pos = id.getLong(posOrd)
+    var b = byTarget.get(file)
+    if (b == null) {
+      b = new scala.collection.mutable.ArrayBuilder.ofLong
+      byTarget.put(file, b)
+    }
+    b += pos
+  }
+
+  override def update(metadata: org.apache.spark.sql.catalyst.InternalRow,
+                      id: org.apache.spark.sql.catalyst.InternalRow,
+                      row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    throw new IllegalStateException(
+      "graft-ocf merge-on-read operation only supports DELETE")
+  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    throw new IllegalStateException(
+      "graft-ocf merge-on-read operation only supports DELETE")
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    import scala.jdk.CollectionConverters._
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    val qualRoot = fs.makeQualified(root).toString
+    val entries = byTarget.asScala.toSeq.sortBy(_._1).map { case (target, b) =>
+      val positions = b.result()
+      java.util.Arrays.sort(positions)
+      val targetRel = OcfSnapshots.relativize(qualRoot, target)
+      // underscore prefix: invisible to every data-file listing; only the
+      // manifest (deleteOf entries) makes delete files reachable
+      val name = f"_delete-p$partitionId%05d-$taskId-" +
+        s"${java.util.UUID.randomUUID()}.avro"
+      val tmp = new Path(root, s".$name.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(OcfPositionDeleteWriter.render(positions, targetRel))
+      finally out.close()
+      OcfPositionDeleteEntry(tmp.toString, new Path(root, name).toString, targetRel)
+    }
+    OcfPositionDeleteMessage(entries)
+  }
+
+  override def abort(): Unit = {
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    // temps are only created in commit(); nothing to clean before that
+    ()
+  }
+  override def close(): Unit = ()
+}
+
+private[sources] object OcfPositionDeleteWriter {
+  /** Avro schema of a position-delete datum: one long, the deleted row's
+    * ordinal in its target file (the target rides the header, not rows). */
+  val DeleteSchemaJson: String =
+    """{"type":"record","name":"graft_position_delete","fields":[{"name":"pos","type":"long"}]}"""
+
+  /** Render a complete delete OCF: header (schema, null codec, deleteTarget
+    * + rows stamps) and blocks of zigzag-varint ordinals. */
+  def render(positions: Array[Long], targetRel: String): Array[Byte] = {
+    val sync = new Array[Byte](graft.avro.Ocf.SyncSize)
+    new java.security.SecureRandom().nextBytes(sync)
+    val meta = scala.collection.mutable.LinkedHashMap[String, Array[Byte]](
+      "avro.schema" -> DeleteSchemaJson.getBytes("UTF-8"),
+      "avro.codec" -> "null".getBytes("UTF-8"),
+      "graft.deleteTarget" -> targetRel.getBytes("UTF-8"),
+      "graft.rows" -> positions.length.toString.getBytes("UTF-8"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(graft.avro.Ocf.headerBytes(meta, sync))
+    var i = 0
+    val perBlock = 65536
+    while (i < positions.length) {
+      val n = math.min(perBlock, positions.length - i)
+      val body = new graft.avro.AvroBinaryWriter()
+      var k = 0
+      while (k < n) { body.writeLong(positions(i + k)); k += 1 }
+      val data = body.toByteArray
+      val frame = new graft.avro.AvroBinaryWriter()
+      frame.writeLong(n.toLong)
+      frame.writeLong(data.length.toLong)
+      frame.writeFixed(data)
+      frame.writeFixed(sync)
+      out.write(frame.toByteArray)
+      i += n
+    }
+    out.toByteArray
+  }
+}
+
 /** The `<table>.files` METADATA table: one row per data file with its size,
   * sealed-row-count stamp, codec, partition values and stamp inventory —
   * answered entirely from file headers at PLAN time (the same one-pread-per-
@@ -1524,7 +1788,10 @@ private[sources] final class OcfFilesMetaTable(
     StructField("sorted_by", ArrayType(StringType, containsNull = false), nullable = true),
     StructField("has_stats", BooleanType, nullable = false),
     StructField("has_bloom", BooleanType, nullable = false),
-    StructField("has_block_index", BooleanType, nullable = false)))
+    StructField("has_block_index", BooleanType, nullable = false),
+    // 'data' | 'position-deletes' (X87); delete rows also name their target
+    StructField("content", StringType, nullable = false),
+    StructField("delete_of", StringType, nullable = true)))
 
   override def name(): String = fullName
   override def schema(): StructType = outSchema
@@ -1561,8 +1828,41 @@ private[sources] final class OcfFilesMetaTable(
               sortedBy,
               m.statsJson.isDefined,
               m.bloomJson.isDefined || m.bloomInHeader,
-              m.blockIndexJson.isDefined || m.blockIndexInHeader))
-          }.toArray
+              m.blockIndexJson.isDefined || m.blockIndexInHeader,
+              UTF8String.fromString("data"),
+              null))
+          }.toArray ++ deleteRows(layoutCols)
+        }
+
+        /** Position-delete files (X87): listed alongside data files with
+          * content='position-deletes' and their target path — the
+          * observability `WHERE content != 'data'` needs to find tables
+          * due a rewrite_position_deletes. */
+        private def deleteRows(layoutCols: Seq[String])
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val root = new Path(meta.location)
+          val fsys = root.getFileSystem(conf)
+          if (!OcfSnapshots.enabled(fsys, root)) return Array.empty
+          val base = fsys.makeQualified(root)
+          val emptyPart = org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            layoutCols.map(c => UTF8String.fromString(c): Any).toArray,
+            layoutCols.map(_ => null: Any).toArray)
+          OcfSnapshots.latest(fsys, root).map(_.files).getOrElse(Nil)
+            .filter(_.deleteOf.isDefined).map { sf =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+                UTF8String.fromString(new Path(base, sf.path).toString),
+                sf.len,
+                sf.meta.flatMap(_.rowsStamp).map(java.lang.Long.valueOf).orNull,
+                UTF8String.fromString(sf.meta.map(_.codecName).getOrElse("null")),
+                emptyPart,
+                null,
+                false,
+                false,
+                false,
+                UTF8String.fromString("position-deletes"),
+                UTF8String.fromString(sf.deleteOf.get)))
+            }.toArray
         }
       }
     }

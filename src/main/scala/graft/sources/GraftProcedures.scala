@@ -39,6 +39,7 @@ private[sources] object GraftProcedures {
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
     val known: Map[String, UnboundProcedure] = Map(
       "compact" -> new CompactProcedure(cat),
+      "rewrite_position_deletes" -> new RewritePositionDeletesProcedure(cat),
       "vacuum_temps" -> new VacuumTempsProcedure(cat),
       "expire_snapshots" -> new ExpireSnapshotsProcedure(cat),
       "remove_orphan_files" -> new RemoveOrphanFilesProcedure(cat),
@@ -188,6 +189,81 @@ private[sources] object GraftProcedures {
       singleRowResult(outSchema, Array[Any](
         before.size.toLong, after.size.toLong,
         before.map(_._2).sum, after.map(_._2).sum))
+    }
+  }
+
+  /** `CALL g.system.rewrite_position_deletes(table => 'ns.t')` — fold
+    * merge-on-read position deletes (X87) back into clean data files: read
+    * EXACTLY the delete-burdened files (deletes applied by the scan),
+    * rewrite their surviving rows, and commit a snapshot that replaces
+    * those files and drops their delete files. Restores split scans,
+    * aggregate pushdown and streaming reads for the table. Distributed:
+    * the rewrite is a Spark job over only the burdened files. */
+  private final class RewritePositionDeletesProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rewrite_position_deletes"
+    override def description(): String =
+      "Fold position-delete files into rewritten data files"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue(String.valueOf(128L * 1024 * 1024))
+        .comment("approximate output file size bound").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("data_files_rewritten", LongType, nullable = false),
+      StructField("delete_files_folded", LongType, nullable = false),
+      StructField("bytes_rewritten", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val targetBytes = if (input.isNullAt(1)) 128L * 1024 * 1024 else input.getLong(1)
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!OcfSnapshots.enabled(fs, root))
+        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
+      val snap = OcfSnapshots.latest(fs, root).getOrElse(
+        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L)))
+      val delFiles = snap.files.filter(_.deleteOf.isDefined)
+      if (delFiles.isEmpty)
+        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
+      val targets: Set[String] = delFiles.map(_.deleteOf.get).toSet
+      val targetBytesTotal = snap.files
+        .filter(f => targets.contains(f.path)).map(_.len).sum
+      // staging sibling dir, same discipline as compact: the table's
+      // recursive listing must never see half-written output
+      val staging = meta.location + ".rewrite-del-" + java.util.UUID.randomUUID()
+      OcfMaintenance.compact(spark, meta.location, staging,
+        codec = meta.options.find(_._1.equalsIgnoreCase("codec")).map(_._2)
+          .getOrElse("null"),
+        targetBytes = targetBytes,
+        readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
+        onlyFiles = Some(targets))
+      val stagingRoot = fs.makeQualified(new Path(staging))
+      val moved = visibleFiles(spark, staging)
+      val movedRel = moved.map { case (p, len) =>
+        val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
+          .stripPrefix(Path.SEPARATOR)
+        val dest = new Path(root, rel)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(
+            s"graft rewrite_position_deletes: could not move $p to $dest")
+        OcfSnapshots.SnapFile(rel, len)
+      }
+      // one commit: burdened data files and their delete files out, clean
+      // rewrites in (old generation stays for time travel until expiry)
+      OcfSnapshots.commit(fs, root, "rewrite-position-deletes",
+        Some(meta.schema.json))(prev =>
+        prev.filterNot(f => targets.contains(f.path) ||
+          f.deleteOf.exists(targets.contains)) ++ movedRel)
+      fs.delete(new Path(staging), true)
+      singleRowResult(outSchema, Array[Any](
+        targets.size.toLong, delFiles.size.toLong, targetBytesTotal))
     }
   }
 

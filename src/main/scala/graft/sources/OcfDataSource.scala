@@ -159,7 +159,13 @@ object OcfDataSource {
                             branchRead: Boolean = false,
                             // startingVersion + endingVersion: a bounded
                             // range is batch-only (a stream has no end)
-                            boundedIncremental: Boolean = false) {
+                            boundedIncremental: Boolean = false,
+                            // merge-on-read position deletes (X87): qualified
+                            // data-file path -> metas of the delete files
+                            // holding its deleted row ordinals. Readers of a
+                            // mapped file skip those positions; affected
+                            // files plan unsplit.
+                            deletes: Map[String, Seq[OcfFileMeta]] = Map.empty) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -177,9 +183,30 @@ object OcfDataSource {
     override def name(): String = FileColName
     override def dataType(): org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.StringType
-    // nullable: a MERGE's NOT MATCHED insert rows have no source file
-    override def isNullable: Boolean = true
+    // NON-nullable: delta row-level operations use (_file, _pos) as the row
+    // id, and Spark refuses nullable row-id attributes. A MERGE's NOT
+    // MATCHED insert rows still carry a null in the (ignored) metadata
+    // projection — Spark does not re-check metadata nullability there.
+    override def isNullable: Boolean = false
     override def comment(): String = "path of the data file the row came from"
+  }
+
+  /** Name of the `_pos` METADATA column: the row's ordinal within its data
+    * file, counted over RAW datums from the file's first block (position 0)
+    * — the row half of the (file, pos) row id merge-on-read DELETE writes
+    * into position-delete files (X87). Requesting it plans every file as a
+    * single unsplit task (a mid-file split cannot know how many rows
+    * precede it), which is exactly the DELETE-scan shape: candidate files
+    * are already pruned by the predicate before positions are counted. */
+  val PosColName = "_pos"
+
+  private[sources] object PosMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = PosColName
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false // row-id attribute (see _file)
+    override def comment(): String = "row ordinal within its data file"
   }
 
   /** Test observability: counts [[readHeaderAt]] calls, asserting the
@@ -284,10 +311,11 @@ object OcfDataSource {
     // a meta-carrying manifest plan with ZERO per-file header preads
     var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty
     var streamExclude: Set[String] = Set.empty
+    var deletesByPath: Map[String, Seq[OcfFileMeta]] = Map.empty
     var listed = snapRoot match {
       case Some(root) =>
         val fs = root.getFileSystem(conf)
-        val snapFiles = snapBranch match {
+        val snapFilesAll = snapBranch match {
           case Some(b) => OcfSnapshots.branchHead(fs, root, b).files
           case None => snapStarting match {
           case Some(start) =>
@@ -311,6 +339,42 @@ object OcfDataSource {
         }
         recursive = true // manifest files live in col=value subtrees
         val base = fs.makeQualified(root)
+        // split position-delete files (X87) out of the data set: they are
+        // attached to their TARGET file's reads, never read as table data
+        val (delFiles, snapFiles0) = snapFilesAll.partition(_.deleteOf.isDefined)
+        require(delFiles.isEmpty || snapStarting.isEmpty,
+          s"graft-ocf: incremental read after version ${snapStarting.getOrElse(-1L)} " +
+            s"refused: the range committed ${delFiles.size} position-delete " +
+            "file(s) — rows were logically REMOVED, so the changes are not " +
+            "representable as appended rows. Read a full snapshot instead, " +
+            "or start after the deleting commit (or after " +
+            "rewrite_position_deletes folded it).")
+        // `graft.files`: restrict the read to NAMED table-relative data
+        // files (maintenance surface — rewrite_position_deletes reads
+        // exactly the delete-burdened files). Unknown names fail loudly.
+        val onlyRel = Option(options.get("graft.files"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        val snapFiles = onlyRel match {
+          case Some(sel) =>
+            val have = snapFiles0.map(_.path).toSet
+            val missing = sel.diff(have)
+            require(missing.isEmpty,
+              s"graft-ocf: graft.files names ${missing.size} file(s) not in " +
+                s"the visible snapshot (e.g. ${missing.head})")
+            snapFiles0.filter(f => sel(f.path))
+          case None => snapFiles0
+        }
+        val keptTargets = snapFiles.map(_.path).toSet
+        deletesByPath = delFiles.filter(d => keptTargets(d.deleteOf.get))
+          .groupBy(_.deleteOf.get).map { case (target, dels) =>
+          new Path(base, target).toString -> dels.map { d =>
+            val qp = new Path(base, d.path).toString
+            d.meta.map(_.copy(path = qp, len = d.len)).getOrElse(
+              // delete files commit with inlined metas; pread covers any
+              // hand-built manifest that omitted them
+              fetchMetas(conf, Seq(FileSlice(qp, d.len))).head)
+          }
+        }
         snapMetaByPath = snapFiles.iterator.flatMap(sf =>
           sf.meta.map(m => new Path(base, sf.path).toString -> m)).toMap
         OcfSnapshots.toFileSlices(fs, root, snapFiles)
@@ -451,7 +515,8 @@ object OcfDataSource {
       partCols, partSchema, prefetched, paths, glob, recursive, maxFiles,
       maxBytes, reportPartitioning = reportPart, bucket = bucketSpec,
       streamExclude = streamExclude, branchRead = snapBranch.isDefined,
-      boundedIncremental = snapStarting.isDefined && snapVersion.isDefined)
+      boundedIncremental = snapStarting.isDefined && snapVersion.isDefined,
+      deletes = deletesByPath)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     // seed the per-resolve meta memo with every manifest-carried meta:
     // buildScan then preads ONLY the files the manifest left uncovered
@@ -565,14 +630,27 @@ object OcfDataSource {
     * surface (streaming discovery, emptiness probes) so retained
     * time-travel files stay invisible everywhere, not just in resolve(). */
   private[sources] def snapshotAwareList(conf: Configuration, paths: Seq[String],
-                   glob: Option[String], recursive: Boolean): Seq[FileSlice] = {
+                   glob: Option[String], recursive: Boolean,
+                   failOnDeletes: Boolean = false): Seq[FileSlice] = {
     if (paths.length == 1 && glob.isEmpty) {
       val root = new Path(paths.head)
       val fs = root.getFileSystem(conf)
-      if (OcfSnapshots.enabled(fs, root))
-        return OcfSnapshots.latest(fs, root)
-          .map(s => OcfSnapshots.toFileSlices(fs, root, s.files))
-          .getOrElse(Nil)
+      if (OcfSnapshots.enabled(fs, root)) {
+        val files = OcfSnapshots.latest(fs, root).map(_.files).getOrElse(Nil)
+        // streaming discovery must fail LOUDLY when a merge-on-read DELETE
+        // lands mid-stream: rows already emitted cannot be retracted, and
+        // silently streaming on would misrepresent the table
+        if (failOnDeletes) require(!files.exists(_.deleteOf.isDefined),
+          s"graft-ocf: streaming read of $root refused — a position-delete " +
+            "file was committed (merge-on-read DELETE); a stream cannot " +
+            "retract already-emitted rows. CALL " +
+            "<cat>.system.rewrite_position_deletes to fold the deletes, " +
+            "then restart the stream.")
+        // data files only: position-delete files attach to reads of their
+        // targets, they are never themselves listed as table data
+        return OcfSnapshots.toFileSlices(fs, root,
+          files.filter(_.deleteOf.isEmpty))
+      }
     }
     list(conf, paths, glob, recursive)
   }
@@ -694,14 +772,16 @@ private[sources] final class OcfTable(
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = tableName
   override def schema(): StructType = external.getOrElse(resolve().sql)
-  /** `_file` metadata column, shadowed by any real column of that name. A
-    * write-only table (nothing to list yet) advertises none. */
+  /** `_file` / `_pos` metadata columns, each shadowed by any real column of
+    * its name. A write-only table (nothing to list yet) advertises none. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     try {
-      if (schema().fieldNames.exists(_.equalsIgnoreCase(OcfDataSource.FileColName)))
-        Array.empty
-      else Array(OcfDataSource.FileMetadataColumn)
-    } catch { case scala.util.control.NonFatal(_) => Array.empty }
+      val names = schema().fieldNames
+      (if (names.exists(_.equalsIgnoreCase(OcfDataSource.FileColName))) Nil
+       else Seq(OcfDataSource.FileMetadataColumn)) ++
+      (if (names.exists(_.equalsIgnoreCase(OcfDataSource.PosColName))) Nil
+       else Seq(OcfDataSource.PosMetadataColumn))
+    }.toArray catch { case scala.util.control.NonFatal(_) => Array.empty }
   // echo the requested transforms: DataFrameWriter verifies the table's
   // partitioning matches its partitionBy before writing
   override def partitioning(): Array[Transform] = transforms
@@ -743,6 +823,7 @@ private[sources] final class OcfScanBuilder(
     with SupportsPushDownAggregates {
   private var required: Option[StructType] = None
   private var wantFile = false
+  private var wantPos = false
   private var limit: Option[Int] = None
   private var topNCols: Seq[String] = Nil
   private var countStar = false
@@ -783,9 +864,16 @@ private[sources] final class OcfScanBuilder(
     wantFile = requiredSchema.fieldNames.contains(OcfDataSource.FileColName) &&
       !resolved.dataSql.fieldNames.contains(OcfDataSource.FileColName) &&
       !resolved.partCols.contains(OcfDataSource.FileColName)
+    // `_pos` (row ordinal in its file) mirrors `_file`, but is emitted
+    // per-row by the reader; requesting it forces unsplit file plans
+    wantPos = requiredSchema.fieldNames.contains(OcfDataSource.PosColName) &&
+      !resolved.dataSql.fieldNames.contains(OcfDataSource.PosColName) &&
+      !resolved.partCols.contains(OcfDataSource.PosColName)
     required = Some(
-      if (wantFile)
-        StructType(requiredSchema.fields.filterNot(_.name == OcfDataSource.FileColName))
+      if (wantFile || wantPos)
+        StructType(requiredSchema.fields.filterNot(f =>
+          (wantFile && f.name == OcfDataSource.FileColName) ||
+            (wantPos && f.name == OcfDataSource.PosColName)))
       else requiredSchema)
   }
 
@@ -879,7 +967,12 @@ private[sources] final class OcfScanBuilder(
     // exact for the filtered query. Spark only attempts the push when no
     // residual filters remain, so `pushed` here is normally all-consumed —
     // the guard is defensive.
-    if (limit.nonEmpty || wantFile ||
+    // position deletes (X87) remove rows the header stamps still count:
+    // every header-constant answer (block-walk COUNT, stamp MIN/MAX/SUM)
+    // would include deleted rows — no aggregate pushdown while any delete
+    // file is attached (rewrite_position_deletes restores it)
+    if (resolved.deletes.nonEmpty) return false
+    if (limit.nonEmpty || wantFile || wantPos ||
         pushed.exists(f => !OcfPartitions.exactOnPartitions(f, partType)) ||
         agg.aggregateExpressions.isEmpty) return false
     val gCols: Array[String] = agg.groupByExpressions.map {
@@ -1164,6 +1257,8 @@ private[sources] final class OcfScanBuilder(
       pushedFilters = pushed.toSeq,
       reportPartitioning = resolved.reportPartitioning,
       withFilePath = wantFile,
+      withPos = wantPos,
+      deletes = resolved.deletes,
       bucketCols = resolved.bucket.map(_.cols).getOrElse(Nil),
       bucketColTypes = resolved.bucket.map(_.cols.map(c =>
         resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)).getOrElse(Nil),
@@ -1251,7 +1346,13 @@ private[graft] final case class OcfScan(
     // stream the wrong lineage)
     branchRead: Boolean = false,
     // startingVersion + endingVersion: batch-only (a stream has no end)
-    boundedIncremental: Boolean = false)
+    boundedIncremental: Boolean = false,
+    // `_pos` metadata column requested: emit each row's file ordinal and
+    // plan files unsplit (a mid-file split can't know its first ordinal)
+    withPos: Boolean = false,
+    // position deletes (X87): qualified data path -> delete-file metas;
+    // mapped files read unsplit with those ordinals skipped
+    deletes: Map[String, Seq[OcfDataSource.OcfFileMeta]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1475,6 +1576,10 @@ private[graft] final case class OcfScan(
       (if (withFilePath)
         Seq(StructField(OcfDataSource.FileColName,
           org.apache.spark.sql.types.StringType, nullable = true))
+      else Nil) ++
+      (if (withPos)
+        Seq(StructField(OcfDataSource.PosColName,
+          org.apache.spark.sql.types.LongType, nullable = true))
       else Nil))
   override def toBatch: Batch = this
   override def toMicroBatchStream(
@@ -1495,8 +1600,13 @@ private[graft] final case class OcfScan(
     require(pushedFilters.isEmpty,
       "graft-ocf: filter pushdown is batch-only; the streaming source would " +
         "not apply consumed partition filters")
-    require(!withFilePath,
-      "graft-ocf: the _file metadata column is batch-only")
+    require(!withFilePath && !withPos,
+      "graft-ocf: the _file/_pos metadata columns are batch-only")
+    require(deletes.isEmpty,
+      "graft-ocf: streaming read refused — the table carries position-" +
+        "delete files, and a stream cannot retract already-emitted rows. " +
+        "CALL <cat>.system.rewrite_position_deletes to fold them, then " +
+        "restart the stream.")
     new OcfMicroBatchStream(this, checkpointLocation)
   }
   override def description(): String = {
@@ -1563,6 +1673,14 @@ private[graft] final case class OcfScan(
         def mk(s: Long, e: Long, aligned: Boolean): OcfSplit =
           if (keyed) OcfKeyedInputPartition(i, s, e, keyRow(f), aligned)
           else OcfInputPartition(i, s, e, aligned)
+        // position semantics need the whole file in one task: a `_pos`
+        // read counts ordinals from the first block, and a file with
+        // attached position deletes must be skip-walked from ordinal 0 —
+        // neither block-aligned skipping nor byte splits can know how many
+        // rows precede them
+        if (withPos || deletes.contains(f.path))
+          Iterator.single(mk(0L, f.len, aligned = false))
+        else
         // defensive null check: @transient fields revive as null if a scan
         // object ever crosses a serialization boundary before planning
         OcfScan.blockAlignedRanges(blockUpgraded.getOrElse(f.path, f),
@@ -1588,8 +1706,20 @@ private[graft] final case class OcfScan(
     else if (aggExprs.nonEmpty)
       OcfAggReaderFactory(shipped, conf, aggExprs.toArray,
         aggValues.toIndexedSeq, aggGroupCols.length)
-    else OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes,
-      withFilePath)
+    else {
+      // position deletes ride the factory as per-file-INDEX meta lists
+      // (small: point deletes touch few files); the reader loads the
+      // ordinals task-side, so the driver never materializes them
+      val delByIdx: Map[Int, Seq[OcfDataSource.OcfFileMeta]] =
+        if (deletes.isEmpty) Map.empty
+        else files.iterator.zipWithIndex.flatMap { case (f, i) =>
+          deletes.get(f.path).map(ds => i -> ds.map(d =>
+            d.copy(statsJson = None, bloomJson = None, blockIndexJson = None,
+              sortedByJson = None)))
+        }.toMap
+      OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes,
+        withFilePath, withPos, delByIdx)
+    }
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -1601,7 +1731,9 @@ private[graft] final case class OcfScan(
       * pushed limit, or an aggregate shape leaves it empty (a wrong
       * cardinality misleads the planner more than a missing one). */
     override def numRows(): OptionalLong = {
-      if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue)
+      // position deletes make stamped row counts overcounts
+      if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue ||
+          deletes.nonEmpty)
         return OptionalLong.empty()
       val fs = effectiveFiles
       if (fs.nonEmpty && fs.forall(_.rowsStamp.isDefined))
@@ -1733,14 +1865,21 @@ private[sources] final case class OcfReaderFactory(
     wrap: Boolean, conf: SerializableHadoopConf, limit: Long = Long.MaxValue,
     partIdx: Array[Int] = Array.empty,
     partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
-    withFilePath: Boolean = false)
+    withFilePath: Boolean = false,
+    withPos: Boolean = false,
+    deletes: Map[Int, Seq[OcfDataSource.OcfFileMeta]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
     val meta = files(p.fileIndex)
     new OcfSplitReader(meta, p.start, p.end, readerJson, wrap,
       conf.value, limit,
-      OcfSplitReader.appendedRow(meta, partIdx, partTypes, withFilePath), p.aligned)
+      OcfSplitReader.appendedRow(meta, partIdx, partTypes, withFilePath, withPos),
+      p.aligned,
+      deleteFiles = deletes.getOrElse(p.fileIndex, Nil),
+      // `_pos` slot ordinal in the appended row: after partition values
+      // and (when present) the `_file` constant
+      posSlot = if (withPos) partIdx.length + (if (withFilePath) 1 else 0) else -1)
   }
 }
 
@@ -1901,15 +2040,57 @@ private[graft] object OcfSplitReader {
     * file's path as a string. */
   def appendedRow(meta: OcfDataSource.OcfFileMeta, partIdx: Array[Int],
                   partTypes: Seq[org.apache.spark.sql.types.DataType],
-                  withFilePath: Boolean): InternalRow = {
-    if (!withFilePath) return partitionRow(meta, partIdx, partTypes)
-    val vals = new Array[Any](partIdx.length + 1)
+                  withFilePath: Boolean, withPos: Boolean = false): InternalRow = {
+    if (!withFilePath && !withPos) return partitionRow(meta, partIdx, partTypes)
+    val vals = new Array[Any](partIdx.length + (if (withFilePath) 1 else 0) +
+      (if (withPos) 1 else 0))
     var k = 0
     while (k < partIdx.length) {
       vals(k) = partitionValue(meta, partIdx(k), partTypes(k)); k += 1
     }
-    vals(partIdx.length) = org.apache.spark.unsafe.types.UTF8String.fromString(meta.path)
+    if (withFilePath) {
+      vals(k) = org.apache.spark.unsafe.types.UTF8String.fromString(meta.path)
+      k += 1
+    }
+    // the `_pos` slot is per-ROW: the reader overwrites it before each emit
+    if (withPos) vals(k) = 0L
     new GenericInternalRow(vals)
+  }
+
+  /** Load, merge, sort and dedup the deleted ordinals of ONE data file from
+    * its position-delete files — small (point/sparse deletes), read once
+    * per task. Dedup matters: a re-deleted position would desync the
+    * reader's single-pass skip walk. */
+  def loadDeletePositions(deleteFiles: Seq[OcfDataSource.OcfFileMeta],
+                          conf: Configuration): Array[Long] = {
+    if (deleteFiles.isEmpty) return Array.emptyLongArray
+    val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+    deleteFiles.foreach { m =>
+      val p = new Path(m.path)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        val codec = AvroCodecs(m.codecName)
+        var bs = m.headerEnd
+        while (bs >= 0 && bs < m.len) {
+          val h = OcfBlocks.readBlockHeader(in, m, bs)
+          val body = new Array[Byte](h.size.toInt)
+          in.readFully(h.dataStart, body, 0, body.length)
+          val bin = new AvroBinaryReader(codec.decompress(body))
+          var k = 0L
+          while (k < h.count) { buf += bin.readLong(); k += 1 }
+          bs = h.dataStart + h.size + Ocf.SyncSize
+        }
+      } finally in.close()
+    }
+    val arr = buf.result()
+    java.util.Arrays.sort(arr)
+    var n = 0
+    var i = 0
+    while (i < arr.length) {
+      if (n == 0 || arr(i) != arr(n - 1)) { arr(n) = arr(i); n += 1 }
+      i += 1
+    }
+    if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
 }
 
@@ -1917,8 +2098,16 @@ private[graft] final class OcfSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
     readerJson: String, wrap: Boolean, conf: Configuration,
     limit: Long = Long.MaxValue, partRow: InternalRow = null,
-    aligned: Boolean = false)
+    aligned: Boolean = false,
+    deleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    posSlot: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  // position semantics (deletes to apply, or `_pos` to emit) require the
+  // split to BE the file: ordinals count raw datums from the first block
+  require((deleteFiles.isEmpty && posSlot < 0) || (start == 0L && !aligned),
+    s"graft-ocf: positional read of ${meta.path} must scan the whole file " +
+      s"(got split [$start, $end), aligned=$aligned)")
 
   private val hPath = new Path(meta.path)
   private val in: FSDataInputStream = hPath.getFileSystem(conf).open(hPath)
@@ -1952,6 +2141,18 @@ private[graft] final class OcfSplitReader(
   private var bin: AvroBinaryReader = _
   private var row: InternalRow = _
 
+  // position-delete application (X87): sorted distinct ordinals to skip;
+  // the scan is sequential, so one monotone index walks them in O(1)/row
+  private val deletedPos: Array[Long] =
+    try OcfSplitReader.loadDeletePositions(deleteFiles, conf)
+    catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+  private var delIdx = 0
+  private var rawPos = 0L
+
   // reused per row: joins the decoded data row with the per-file constant
   // partition-value row (Spark copies rows it retains, the standard
   // file-source appended-partition-columns contract)
@@ -1962,18 +2163,31 @@ private[graft] final class OcfSplitReader(
   override def next(): Boolean = {
     // pushed-down limit: a split never decodes (or loads) past `limit` rows,
     // so limit(10) stops after the first block regardless of split size
+    // (counted over SURVIVING rows — deletes are applied first)
     if (emitted >= limit) return false
-    while (remaining == 0L) {
-      if (blockStart < 0L || blockStart >= meta.len || blockStart >= stopAt)
-        return false
-      loadBlock()
+    while (true) {
+      while (remaining == 0L) {
+        if (blockStart < 0L || blockStart >= meta.len || blockStart >= stopAt)
+          return false
+        loadBlock()
+      }
+      val v = compiled(bin)
+      remaining -= 1L
+      val p = rawPos
+      rawPos += 1L
+      if (delIdx < deletedPos.length && deletedPos(delIdx) == p) {
+        delIdx += 1 // deleted ordinal: decoded (stream must advance), dropped
+      } else {
+        if (posSlot >= 0)
+          partRow.asInstanceOf[GenericInternalRow].update(posSlot, p)
+        val data =
+          if (wrap) new GenericInternalRow(Array[Any](v)) else v.asInstanceOf[InternalRow]
+        row = if (joined == null) data else joined(data, partRow)
+        emitted += 1L
+        return true
+      }
     }
-    val v = compiled(bin)
-    val data = if (wrap) new GenericInternalRow(Array[Any](v)) else v.asInstanceOf[InternalRow]
-    row = if (joined == null) data else joined(data, partRow)
-    remaining -= 1L
-    emitted += 1L
-    true
+    false // unreachable
   }
 
   private var blocksVisited = 0L

@@ -64,7 +64,8 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
     * delta-persistence and first-seen order are identical with and without
     * a read limit. Returns the discovered-file count. */
   private def discover(): Int = {
-    val listed = OcfDataSource.snapshotAwareList(conf, scan.paths, scan.glob, scan.recursive)
+    val listed = OcfDataSource.snapshotAwareList(conf, scan.paths, scan.glob,
+      scan.recursive, failOnDeletes = true)
     // incremental stream (X78): files of the startingVersion snapshot are
     // never admitted — the stream's world begins after that version. The
     // set is re-derived from the SAME pinned manifest on restart, so a

@@ -59,8 +59,13 @@ private[graft] object OcfSnapshots {
     * inlined (they can be MBs per file); `hasBloom`/`hasBlockIndex` tell
     * the scan a lazy header pread is worthwhile for the query shapes that
     * can use them. */
+  /** `deleteOf`: when set, this entry is a POSITION-DELETE file (X87,
+    * merge-on-read DELETE) holding the ordinals of deleted rows of the
+    * named data file (table-relative path). Scans attach it to exactly
+    * that file; it is never read as table data. */
   final case class SnapFile(path: String, len: Long,
-                            meta: Option[OcfDataSource.OcfFileMeta] = None)
+                            meta: Option[OcfDataSource.OcfFileMeta] = None,
+                            deleteOf: Option[String] = None)
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
                             files: Seq[SnapFile],
                             // the table's Catalyst schema AT COMMIT TIME
@@ -152,7 +157,8 @@ private[graft] object OcfSnapshots {
             bloomInHeader = Option(f.get("bloom")).exists(_.asBoolean),
             blockIndexInHeader = Option(f.get("blockIndex")).exists(_.asBoolean))
         }
-        files += SnapFile(path, len, meta)
+        files += SnapFile(path, len, meta,
+          deleteOf = Option(f.get("deleteOf")).map(_.asText))
       }
       files.result()
     }
@@ -181,6 +187,7 @@ private[graft] object OcfSnapshots {
       val o = arr.addObject()
       o.put("path", f.path)
       o.put("len", f.len)
+      f.deleteOf.foreach(o.put("deleteOf", _))
       f.meta.foreach { m =>
         val idx = schemaIdx.getOrElseUpdate(m.writerSchemaJson, schemaIdx.size)
         o.put("schema", idx)
@@ -351,7 +358,8 @@ private[graft] object OcfSnapshots {
     * by REFERENCE): decides whether a path surviving a commit kept the same
     * entry (stays out of the delta) or was replaced (remove + add). */
   private def sameFile(a: SnapFile, b: SnapFile): Boolean =
-    a.path == b.path && a.len == b.len && ((a.meta, b.meta) match {
+    a.path == b.path && a.len == b.len && a.deleteOf == b.deleteOf &&
+      ((a.meta, b.meta) match {
       case (None, None) => true
       case (Some(x), Some(y)) =>
         x.writerSchemaJson == y.writerSchemaJson &&
@@ -366,7 +374,18 @@ private[graft] object OcfSnapshots {
           (x.blockIndexJson.isDefined || x.blockIndexInHeader) ==
             (y.blockIndexJson.isDefined || y.blockIndexInHeader)
       case _ => false
-    })
+      })
+
+  /** Snapshot invariant, enforced on EVERY commit path: a position-delete
+    * file whose target data file left the visible set (CoW rewrite,
+    * compaction, overwrite) is dropped with it — readers never attach
+    * deletes to files that no longer exist, and no commit path has to
+    * remember to clean them up. */
+  private def dropOrphanDeletes(files: Seq[SnapFile]): Seq[SnapFile] = {
+    if (!files.exists(_.deleteOf.isDefined)) return files
+    val dataPaths = files.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
+    files.filter(f => f.deleteOf.forall(dataPaths.contains))
+  }
 
   /** Render `next` as a delta against `prev` when the commit's change IS a
     * delta (O(new files) bytes), falling back to a full manifest when the
@@ -425,7 +444,7 @@ private[graft] object OcfSnapshots {
         case None => (listingAsFiles(fs, tableDir), None, 0)
       }
       val next = Snapshot(prevVersion.getOrElse(0L) + 1, System.currentTimeMillis(),
-        operation, transform(prevFiles),
+        operation, dropOrphanDeletes(transform(prevFiles)),
         // a schema-less commit (path write) inherits the previous schema
         tableSchemaJson.orElse(prevSchema))
       val dest = manifestPath(tableDir, next.version)
@@ -633,7 +652,7 @@ private[graft] object OcfSnapshots {
             (base, snap, depth)
         }
       val next = Snapshot(headVersion + 1, System.currentTimeMillis(),
-        operation, transform(headSnap.files),
+        operation, dropOrphanDeletes(transform(headSnap.files)),
         tableSchemaJson.orElse(headSnap.tableSchemaJson))
       val dest = manifestFile(bd, next.version)
       val tmp = new Path(bd, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")

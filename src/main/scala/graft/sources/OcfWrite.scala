@@ -1246,7 +1246,11 @@ object OcfMaintenance {
               readerSchemaJson: Option[String] = None,
               statsColumns: Option[Seq[String]] = None,
               zorderColumns: Option[Seq[String]] = None,
-              preserveSort: Boolean = true): Unit = {
+              preserveSort: Boolean = true,
+              // rewrite ONLY these table-relative files (snapshot-managed
+              // input only) — rewrite_position_deletes folds exactly the
+              // delete-burdened files this way
+              onlyFiles: Option[Set[String]] = None): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
     require(zorderColumns.forall(_.nonEmpty),
       "graft-ocf compact: zorderColumns, when given, needs at least one column")
@@ -1259,8 +1263,12 @@ object OcfMaintenance {
     // layout is PRESERVED on the output — compacting a hive-partitioned
     // stream landing must not flatten partition values into data columns.
     val inRoot = new Path(inDir)
-    val files =
-      if (OcfSnapshots.enabled(inRoot.getFileSystem(conf), inRoot))
+    val inFs = inRoot.getFileSystem(conf)
+    val snapManaged = OcfSnapshots.enabled(inFs, inRoot)
+    require(onlyFiles.isEmpty || snapManaged,
+      "graft-ocf compact: onlyFiles needs a snapshot-managed input")
+    val files0 =
+      if (snapManaged)
         // snapshot-managed input: the manifest is the visible set (retained
         // time-travel files must not fold into the compaction)
         OcfDataSource.snapshotAwareList(conf, Seq(inDir), None, recursive = true)
@@ -1269,6 +1277,12 @@ object OcfMaintenance {
         if (direct.nonEmpty) direct
         else OcfDataSource.list(conf, Seq(inDir), None, recursive = true)
       }
+    val files = onlyFiles match {
+      case Some(sel) =>
+        val qualRoot = inFs.makeQualified(inRoot).toString
+        files0.filter(f => sel(OcfSnapshots.relativize(qualRoot, f.path)))
+      case None => files0
+    }
     require(files.nonEmpty, s"graft-ocf compact: no input files under $inDir")
     val qualified = {
       val hp = new Path(inDir); Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
@@ -1319,7 +1333,9 @@ object OcfMaintenance {
     // maxBytesPerFile still rolls any task whose share lands oversized
     val inputBytes = files.map(_.len).sum
     val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
-    val r = spark.read.format("graft-ocf")
+    val r0 = spark.read.format("graft-ocf")
+    val r = onlyFiles.foldLeft(r0)((b, sel) =>
+      b.option("graft.files", sel.toSeq.sorted.mkString(",")))
     val df = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
       .load(inDir)
     // a readerSchema projection may drop a stamped column; stamp only what

@@ -404,7 +404,9 @@ class GraftCatalogSpec extends AnyFunSuite {
         |SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END FROM range(20)""".stripMargin)
     val files = spark.sql("SELECT * FROM g.meta.t.files")
     assert(files.columns.toSeq == Seq("file", "size_bytes", "rows", "codec",
-      "partition", "sorted_by", "has_stats", "has_bloom", "has_block_index"))
+      "partition", "sorted_by", "has_stats", "has_bloom", "has_block_index",
+      "content", "delete_of"))
+    assert(files.collect().forall(_.getString(9) == "data"))
     // row stamps sum to the table's row count; every file is stats-stamped
     assert(spark.sql("SELECT sum(rows) FROM g.meta.t.files")
       .collect().head.getLong(0) == 20L)

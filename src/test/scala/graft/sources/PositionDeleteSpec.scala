@@ -1,0 +1,190 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read position deletes (X87): `write.delete.mode=merge-on-read`
+  * makes DELETE write (file, pos) delete files instead of rewriting data
+  * files; scans apply them; `rewrite_position_deletes` folds them back. */
+class PositionDeleteSpec extends AnyFunSuite {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-mor-wh").toFile
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-mor-spec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.gm", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gm.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gm.ns")
+    s
+  }
+
+  private def fs = new Path(warehouse.getAbsolutePath)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def snapFiles(table: String) = {
+    val root = new Path(warehouse.getAbsolutePath, s"ns/$table")
+    OcfSnapshots.latest(fs, root).get.files
+  }
+
+  test("MoR DELETE writes delete files and rewrites zero data bytes") {
+    spark.sql(
+      """CREATE TABLE gm.ns.mor (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id',
+        |  `write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gm.ns.mor SELECT id, concat('a', id) FROM range(100)")
+    spark.sql("INSERT INTO gm.ns.mor SELECT id, concat('b', id) FROM range(100, 250)")
+    val dataBefore = snapFiles("mor").filter(_.deleteOf.isEmpty)
+      .map(f => f.path -> f.len).toMap
+    assert(dataBefore.nonEmpty)
+
+    spark.sql("DELETE FROM gm.ns.mor WHERE id % 10 = 3")
+
+    // the data files are byte-identical survivors; only delete files landed
+    val after = snapFiles("mor")
+    val dataAfter = after.filter(_.deleteOf.isEmpty).map(f => f.path -> f.len).toMap
+    assert(dataAfter == dataBefore, "MoR DELETE must not rewrite data files")
+    val dels = after.filter(_.deleteOf.isDefined)
+    assert(dels.nonEmpty, "DELETE must land position-delete files")
+    dels.foreach(d => assert(dataBefore.contains(d.deleteOf.get),
+      s"delete file targets unknown ${d.deleteOf}"))
+    assert(dels.forall(_.path.startsWith("_delete-")),
+      s"delete files are underscore-hidden, got ${dels.map(_.path)}")
+
+    // read-side application: deleted ids gone, everything else intact
+    val got = spark.table("gm.ns.mor").select("id")
+      .collect().map(_.getLong(0)).sorted
+    val expect = (0L until 250L).filterNot(_ % 10 == 3)
+    assert(got.toSeq == expect, s"got ${got.length} rows")
+    // count(*) (the agg-pushdown shape) must see deletes too
+    assert(spark.sql("SELECT count(*) FROM gm.ns.mor").head.getLong(0)
+      == expect.length.toLong)
+    // predicate + projection still work on burdened files
+    assert(spark.sql("SELECT v FROM gm.ns.mor WHERE id = 13").collect().isEmpty)
+    assert(spark.sql("SELECT v FROM gm.ns.mor WHERE id = 14").head.getString(0) == "a14")
+
+    // time travel: the pre-DELETE version still shows every row
+    assert(spark.sql("SELECT count(*) FROM gm.ns.mor VERSION AS OF 2")
+      .head.getLong(0) == 250L)
+
+    // a second DELETE stacks (dedup + merge across delete files)
+    spark.sql("DELETE FROM gm.ns.mor WHERE id % 10 = 7 OR id % 10 = 3")
+    val got2 = spark.table("gm.ns.mor").select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got2.toSeq == (0L until 250L).filterNot(i => i % 10 == 3 || i % 10 == 7))
+  }
+
+  test(".files reports position-delete files with their targets") {
+    val rows = spark.sql(
+      "SELECT file, content, delete_of FROM gm.ns.mor.files").collect()
+    val dataRows = rows.filter(_.getString(1) == "data")
+    val delRows = rows.filter(_.getString(1) == "position-deletes")
+    assert(dataRows.nonEmpty && delRows.nonEmpty)
+    assert(delRows.forall(r => r.getString(2) != null))
+    assert(dataRows.forall(r => r.getString(2) == null))
+  }
+
+  test("streaming read refuses while delete files are attached") {
+    // the refusal surfaces when the stream plans its first batch
+    val q = spark.readStream.table("gm.ns.mor")
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mor-ck").toString)
+      .start()
+    val e = intercept[Exception] {
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("rewrite_position_deletes")),
+      chain(e).mkString(" | "))
+  }
+
+  test("rewrite_position_deletes folds deletes into clean files") {
+    val before = spark.table("gm.ns.mor").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val untouched = snapFiles("mor").filter(f => f.deleteOf.isEmpty &&
+      !snapFiles("mor").exists(_.deleteOf.contains(f.path))).map(_.path).toSet
+
+    val res = spark.sql(
+      "CALL gm.system.rewrite_position_deletes(table => 'ns.mor')").collect().head
+    assert(res.getLong(0) > 0 && res.getLong(1) > 0)
+
+    val after = snapFiles("mor")
+    assert(!after.exists(_.deleteOf.isDefined), "all delete files folded")
+    // files that carried no deletes survive as the same entries
+    untouched.foreach(p => assert(after.exists(_.path == p), s"$p must survive"))
+    // content identical after the fold
+    val got = spark.table("gm.ns.mor").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == before.toSeq)
+    // idempotent: nothing left to fold
+    val res2 = spark.sql(
+      "CALL gm.system.rewrite_position_deletes(table => 'ns.mor')").collect().head
+    assert(res2.getLong(0) == 0 && res2.getLong(1) == 0)
+    // streaming is allowed again
+    val q = spark.readStream.table("gm.ns.mor")
+      .writeStream.format("noop")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mor-ck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+  }
+
+  test("copy-on-write UPDATE over a delete-burdened table applies deletes first") {
+    spark.sql(
+      """CREATE TABLE gm.ns.morup (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gm.ns.morup SELECT id, concat('x', id) FROM range(50)")
+    spark.sql("DELETE FROM gm.ns.morup WHERE id = 7")
+    assert(snapFiles("morup").exists(_.deleteOf.isDefined))
+    // UPDATE stays CoW: it rewrites the burdened file with deletes applied,
+    // and the commit drops the now-orphaned delete entry
+    spark.sql("UPDATE gm.ns.morup SET v = 'updated' WHERE id = 8")
+    val got = spark.table("gm.ns.morup").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!got.contains(7L), "deleted row must not resurrect through CoW")
+    assert(got(8L) == "updated")
+    assert(got(9L) == "x9")
+    assert(!snapFiles("morup").exists(_.deleteOf.isDefined),
+      "orphaned delete entries must drop with their rewritten target")
+  }
+
+  test("_pos metadata column: raw ordinals, unsplit plans") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pos").toFile
+    (0L until 1000L).map(i => (i, s"d$i")).toDF("id", "v")
+      .coalesce(1)
+      .write.format("graft-ocf").mode("append").save(dir.getAbsolutePath)
+    val rows = spark.read.format("graft-ocf")
+      // tiny splitSize would split the file — _pos must force one task
+      .option("splitSize", "1024")
+      .load(dir.getAbsolutePath)
+      .selectExpr("id", "_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 1000)
+    rows.foreach { case (id, pos) => assert(id == pos, s"id $id at pos $pos") }
+  }
+
+  test("incremental read refuses a range containing a MoR delete") {
+    spark.sql(
+      """CREATE TABLE gm.ns.morinc (id BIGINT)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gm.ns.morinc SELECT id FROM range(10)")
+    spark.sql("INSERT INTO gm.ns.morinc SELECT id FROM range(10, 20)")
+    spark.sql("DELETE FROM gm.ns.morinc WHERE id = 5")
+    val e = intercept[Exception] {
+      spark.read.option("startingVersion", "1").table("gm.ns.morinc").collect()
+    }
+    assert(e.getMessage.contains("position-delete"), e.getMessage)
+  }
+}
