@@ -1593,6 +1593,42 @@ object SparkEntry {
         .orderBy("phase", "source")
     }),
 
+    // Hidden partitioning (X88): events land in a days(ts)-transformed
+    // layout — the raw-ts range predicate prunes whole day directories
+    // (file-prune proof in OcfTransformsSpec) while the query stays on the
+    // data column; the oracle recomputes from the flat parquet.
+    "q104_hidden_partitioning" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q104",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q104_wh_")
+      s.conf.set("spark.sql.catalog.graft_q104.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q104.ev")
+      s.sql("DROP TABLE IF EXISTS graft_q104.ev.events")
+      s.sql(
+        """CREATE TABLE graft_q104.ev.events
+          |(event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+          | event_type STRING, value DOUBLE)
+          |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+      val ev = t(s, dir, "events")
+      val tsExpr = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts DIV 1000"))
+        case _ => col("ts")
+      }
+      ev.withColumn("ts", tsExpr)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value").cast("double").as("value"))
+        .createOrReplaceTempView("graft_q104_src")
+      s.sql("INSERT INTO graft_q104.ev.events SELECT * FROM graft_q104_src")
+      s.sql(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+          |FROM graft_q104.ev.events
+          |WHERE ts >= timestamp'2024-01-02 00:00:00'
+          |  AND ts < timestamp'2024-01-04 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // Cross-document repeated-substring exposure (X73, Lee et al. 2022):
     // 15-token sliding windows hashed portably (md5), windows recurring in
     // >= 2 distinct docs mark their spans, and the per-doc union of marked
@@ -2048,6 +2084,20 @@ object SparkEntry {
     "q42_token_packing" -> ((s, dir) =>
       ops.Packing.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
           "source", budgetTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("chunk_id"), col("chunk_offset"))
+        .orderBy("doc_id")),
+
+    // Exact-subword packing (X90): q42's shape re-based on the byte-level
+    // BPE counter under the frozen graft-bpe-v1 merges table — the budgets
+    // a model actually consumes, not the whitespace heuristic. No SQL
+    // oracle (greedy BPE is not SQL-expressible); correctness is pinned by
+    // BpeSpec's hand-derived fixtures + the driver's rows check, and the
+    // counts are deterministic by construction.
+    "q105_bpe_packing" -> ((s, dir) =>
+      ops.Packing.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+          "source", budgetTokens = 2048,
+          counter = c => ops.TextAnalysis.bpeTokenCount(c))
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("chunk_id"), col("chunk_offset"))
         .orderBy("doc_id")),
@@ -2550,6 +2600,16 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the hidden-partitioned table must agree with the flat parquet on the
+    // same raw-ts range
+    "q104_hidden_partitioning" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= timestamp'2024-01-02 00:00:00'
+        |  AND ts < timestamp'2024-01-04 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // both phases (reading through delete files; after the fold) must show
     // the corpus minus the deleted rows

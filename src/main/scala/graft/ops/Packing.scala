@@ -24,11 +24,16 @@ object Packing {
     * division below loses exactness (≈ 4×10^15 tokens — far past any real
     * shard). */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
-                  shardCol: String, budgetTokens: Int): DataFrame = {
+                  shardCol: String, budgetTokens: Int,
+                  // token counter: the whitespace heuristic by default;
+                  // pass TextAnalysis.bpeTokenCount(_) for exact subword
+                  // budgets (X90)
+                  counter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                    TextAnalysis.tokenCount): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive; got $budgetTokens")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    df.withColumn("n_tokens", counter(col(textCol)).cast("long"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("chunk_id",
         floor(col("tokens_before").cast("double") / budgetTokens))

@@ -63,6 +63,13 @@ object TextAnalysis {
     ((avgLenOk + stopTerm + punctOk).cast("double") / lit(3000.0)).as("quality")
   }
 
+  /** Exact byte-level-BPE token count (X90) under the fixed `graft-bpe-v1`
+    * merges table — or a custom GPT-2-format merges file's text. The
+    * production-true token budget for packing/budget/mixing, vs. the
+    * whitespace heuristic of [[tokenCount]]. */
+  def bpeTokenCount(text: Column, mergesText: Option[String] = None): Column =
+    Shims.column(graft.spark.BpeTokenCount(Shims.expression(text), mergesText))
+
   def langId(text: Column): Column = Shims.column(LangId(Shims.expression(text)))
 
   def fingerprint(text: Column): Column =

@@ -295,8 +295,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def buildMeta(ident: Identifier, schema: StructType,
                         partitions: Array[Transform],
                         properties: java.util.Map[String, String]): TableMeta = {
-    val (bucketTs, identTs) = partitions.toSeq.partition(t =>
+    val (bucketTs, rest0) = partitions.toSeq.partition(t =>
       t.name == "bucket" || t.name == "sorted_bucket")
+    // hidden partition transforms (X88): years/months/days/hours/truncate
+    val (transformTs, identTs) = rest0.partition(t =>
+      OcfTransforms.Kinds.contains(t.name))
+    val transformSpecs: Seq[OcfTransforms.Spec] = transformTs.map { t =>
+      val cols = t.arguments().collect {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.mkString(".")
+      }.toSeq
+      require(cols.length == 1,
+        s"graft catalog: transform '$t' must name exactly one column")
+      if (t.name == "truncate") {
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case i: java.lang.Integer => i.intValue
+              case l2: java.lang.Long => l2.intValue
+              case other => throw new IllegalArgumentException(
+                s"graft catalog: truncate width literal must be INT, got $other")
+            }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: truncate transform '$t' carries no width"))
+        require(w > 0, s"graft catalog: truncate width must be > 0, got $w")
+        OcfTransforms.Spec("truncate", cols.head, w)
+      } else OcfTransforms.Spec(t.name, cols.head)
+    }
+    val canonSpecs: Seq[OcfTransforms.Spec] = transformSpecs.map { spec =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(spec.col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft catalog: transform column '${spec.col}' is not in the table schema"))
+      require(OcfTransforms.supportedType(spec.kind, f.dataType),
+        s"graft catalog: ${spec.kind}(${spec.col}) does not support type " +
+          f.dataType.simpleString)
+      spec.copy(col = f.name) // canonical casing for write/read resolution
+    }
+    require(canonSpecs.map(_.dirCol).distinct.length == canonSpecs.length,
+      "graft catalog: duplicate partition transforms")
     val partCols: Seq[String] = identTs.map {
       case t if t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1 =>
@@ -370,7 +406,21 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val optsWithBucket = bucketSpec.fold(opts) { case (cols, n) =>
       opts + ("bucketColumns" -> cols.mkString(",")) + ("numBuckets" -> n.toString)
     }
-    TableMeta(stored, partCols, dir.toString, optsWithBucket)
+    val optsWithTransforms =
+      if (canonSpecs.isEmpty) optsWithBucket
+      else {
+        require(!opts.keys.exists(_.equalsIgnoreCase("transformPartitions")),
+          "graft catalog: declare transforms via PARTITIONED BY (days(col), " +
+            "...), not OPTIONS")
+        canonSpecs.foreach { spec =>
+          require(!partCols.exists(_.equalsIgnoreCase(spec.col)),
+            s"graft catalog: '${spec.col}' cannot be both an identity " +
+              "partition and a transform source")
+        }
+        optsWithBucket +
+          ("transformPartitions" -> canonSpecs.map(_.render).mkString(","))
+      }
+    TableMeta(stored, partCols, dir.toString, optsWithTransforms)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -1018,12 +1068,24 @@ private[sources] object GraftCatalog {
   def transformsOf(meta: TableMeta): Array[Transform] = {
     val ids = meta.partCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform)
+    val transforms = meta.options.find(_._1.equalsIgnoreCase("transformPartitions"))
+      .map(_._2).map(OcfTransforms.parseList).getOrElse(Nil).map { spec =>
+        import org.apache.spark.sql.connector.expressions.Expressions
+        spec.kind match {
+          case "years" => Expressions.years(spec.col): Transform
+          case "months" => Expressions.months(spec.col): Transform
+          case "days" => Expressions.days(spec.col): Transform
+          case "hours" => Expressions.hours(spec.col): Transform
+          case "truncate" => Expressions.apply("truncate",
+            Expressions.literal(spec.width), Expressions.column(spec.col)): Transform
+        }
+      }
     val bucket = for {
       cols <- meta.options.find(_._1.equalsIgnoreCase("bucketColumns")).map(_._2)
       n <- meta.options.find(_._1.equalsIgnoreCase("numBuckets")).map(_._2)
     } yield org.apache.spark.sql.connector.expressions.Expressions.bucket(
       n.toInt, cols.split(","): _*): Transform
-    (ids ++ bucket).toArray
+    (ids ++ transforms ++ bucket).toArray
   }
 
   final case class TableMeta(schema: StructType, partCols: Seq[String],

@@ -36,6 +36,12 @@ private[sources] object GraftFunctions {
     // partitioned join's scan transforms
     if (ident.namespace.isEmpty && ident.name == "bucket")
       return GraftBucketFunction
+    // hidden partition transforms (X88) resolve at the same empty namespace
+    if (ident.namespace.isEmpty &&
+        Set("years", "months", "days", "hours").contains(ident.name))
+      return GraftTimeTransformFunction(ident.name)
+    if (ident.namespace.isEmpty && ident.name == "truncate")
+      return GraftTruncateFunction
     if (ident.namespace.toSeq != Seq("system"))
       throw new RuntimeException(
         s"graft catalog: functions live under the 'system' namespace " +

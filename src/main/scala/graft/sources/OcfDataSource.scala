@@ -160,12 +160,20 @@ object OcfDataSource {
                             // startingVersion + endingVersion: a bounded
                             // range is batch-only (a stream has no end)
                             boundedIncremental: Boolean = false,
+                            // VERSION/TIMESTAMP AS OF (or a tag): batch-only
+                            // (streaming discovery follows the LATEST
+                            // manifest and would silently leave the pin)
+                            versionPinned: Boolean = false,
                             // merge-on-read position deletes (X87): qualified
                             // data-file path -> metas of the delete files
                             // holding its deleted row ordinals. Readers of a
                             // mapped file skip those positions; affected
                             // files plan unsplit.
-                            deletes: Map[String, Seq[OcfFileMeta]] = Map.empty) {
+                            deletes: Map[String, Seq[OcfFileMeta]] = Map.empty,
+                            // hidden partition transforms (X88): spec + the
+                            // index of its directory value in each file's
+                            // partitionValues array
+                            transforms: Seq[(OcfTransforms.Spec, Int)] = Nil) {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
@@ -432,7 +440,33 @@ object OcfDataSource {
         }
         Some(OcfBucket.Spec(bucketColsOpt.toSeq, numBuckets, inferredCols.length - 1))
       }
-    val partCols = if (bucket.isDefined) inferredCols.dropRight(1) else inferredCols
+    val partCols0 = if (bucket.isDefined) inferredCols.dropRight(1) else inferredCols
+    // Hidden-transform layout (X88): when the read declares
+    // `transformPartitions` (always the case through the catalog), the
+    // trailing `_p_<kind>_<col>=` levels are transform ordinals — folded
+    // into the transform spec for pruning, NOT surfaced as partition
+    // columns (the SOURCE columns are ordinary data columns). An
+    // option-less path read sees them as ordinary partition columns
+    // instead (honest observability, same convention as `_bucket`).
+    val transformSpecs: Seq[OcfTransforms.Spec] =
+      Option(options.get("transformPartitions")).map(OcfTransforms.parseList)
+        .getOrElse(Nil)
+    val transforms: Seq[(OcfTransforms.Spec, Int)] =
+      if (transformSpecs.isEmpty || files.isEmpty) Nil
+      else {
+        val dirCols = transformSpecs.map(_.dirCol)
+        require(partCols0.length >= dirCols.length &&
+            partCols0.takeRight(dirCols.length) == dirCols,
+          s"graft-ocf: read declares transformPartitions " +
+            s"${transformSpecs.map(_.render).mkString(",")} but the layout's " +
+            s"trailing levels are ${partCols0.mkString(", ")} — expected " +
+            s"${dirCols.mkString(", ")} before any ${OcfBucket.DirCol}= level")
+        val base = partCols0.length - dirCols.length
+        transformSpecs.zipWithIndex.map { case (s, k) => (s, base + k) }
+      }
+    val partCols =
+      if (transforms.isEmpty) partCols0
+      else partCols0.dropRight(transforms.length)
     // header resolution is LAZY (deferred to build, after partition pruning);
     // only what the schema needs is read here
     val readerOpt = readerOpt0
@@ -516,7 +550,9 @@ object OcfDataSource {
       maxBytes, reportPartitioning = reportPart, bucket = bucketSpec,
       streamExclude = streamExclude, branchRead = snapBranch.isDefined,
       boundedIncremental = snapStarting.isDefined && snapVersion.isDefined,
-      deletes = deletesByPath)
+      versionPinned = snapVersion.isDefined && snapStarting.isEmpty,
+      deletes = deletesByPath,
+      transforms = transforms)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     // seed the per-resolve meta memo with every manifest-carried meta:
     // buildScan then preads ONLY the files the manifest left uncovered
@@ -1112,8 +1148,34 @@ private[sources] final class OcfScanBuilder(
         }
       case None => _ => true
     }
+    // hidden-transform prune (X88): predicates on the RAW source column
+    // (`WHERE ts >= X`) refute whole `_p_days_ts=`-style directories via
+    // the transforms' monotonicity — before any header I/O
+    val transformKeep: OcfDataSource.FileSlice => Boolean = {
+      if (resolved.transforms.isEmpty || pushed.isEmpty) _ => true
+      else {
+        val specs = resolved.transforms.flatMap { case (spec, idx) =>
+          resolved.dataSql.fields.find(_.name.equalsIgnoreCase(spec.col))
+            .map(fld => (spec.copy(col = fld.name), idx, fld.dataType))
+        }
+        f => specs.forall { case (spec, idx, dt) =>
+          if (idx >= f.partitionValues.length) true
+          else {
+            val dv = f.partitionValues(idx)
+            val parsed: Either[Unit, Any] =
+              if (dv == null) Right(null)
+              else try Right(OcfTransforms.parseOrdinal(spec, dv,
+                dt == org.apache.spark.sql.types.StringType))
+              catch { case scala.util.control.NonFatal(_) => Left(()) }
+            // unparsable dir value: admit (pruning must never guess)
+            parsed.fold(_ => true,
+              ord => OcfTransforms.mayMatch(spec, dt, ord, pushed.toSeq))
+          }
+        }
+      }
+    }
     // 1. partition-prune on path values — NO header I/O for pruned files
-    val kept = resolved.files.filter(f => bucketKeep(f) &&
+    val kept = resolved.files.filter(f => bucketKeep(f) && transformKeep(f) &&
       OcfPartitions.mayMatch(pushed.toSeq, partValOf(f.partitionValues), _ => None))
     // 2. headers for the survivors only (auto mode already fetched all);
     // memoized per resolve so repeated builds/actions don't re-read
@@ -1266,7 +1328,8 @@ private[sources] final class OcfScanBuilder(
       bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1),
       excludePaths = resolved.streamExclude,
       branchRead = resolved.branchRead,
-      boundedIncremental = resolved.boundedIncremental)
+      boundedIncremental = resolved.boundedIncremental,
+      versionPinned = resolved.versionPinned)
   }
 }
 
@@ -1347,6 +1410,8 @@ private[graft] final case class OcfScan(
     branchRead: Boolean = false,
     // startingVersion + endingVersion: batch-only (a stream has no end)
     boundedIncremental: Boolean = false,
+    // VERSION/TIMESTAMP AS OF or tag pin: batch-only
+    versionPinned: Boolean = false,
     // `_pos` metadata column requested: emit each row's file ordinal and
     // plan files unsplit (a mid-file split can't know its first ordinal)
     withPos: Boolean = false,
@@ -1588,7 +1653,15 @@ private[graft] final case class OcfScan(
       "graft-ocf: limit/aggregate pushdown is batch-only")
     require(!branchRead,
       "graft-ocf: branch reads are batch-only — streaming discovery follows " +
-        "the MAIN manifest lineage, not a branch head")
+        "the MAIN manifest lineage, not a branch head. Audit the branch " +
+        "with spark.read.option(\"branch\", ...), or fast_forward it and " +
+        "stream main (optionally from its version via startingVersion).")
+    require(!versionPinned,
+      "graft-ocf: VERSION/TIMESTAMP AS OF (and tag) reads are batch-only — " +
+        "streaming discovery follows the LATEST manifest and would silently " +
+        "leave the pin. Use spark.read for the pinned snapshot, or stream " +
+        "the live table with option(\"startingVersion\", v) to begin AFTER " +
+        "that version.")
     require(!boundedIncremental,
       "graft-ocf: endingVersion is batch-only — a stream keeps discovering " +
         "new commits and has no end; drop endingVersion (or use spark.read)")
@@ -1753,7 +1826,8 @@ private[graft] final case class OcfScan(
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue) return out
+      if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue ||
+          deletes.nonEmpty) return out
       val fs = effectiveFiles
       if (fs.isEmpty || !fs.forall(_.statsJson.isDefined)) return out
       val parsed = fs.map(m =>
@@ -1782,6 +1856,25 @@ private[graft] final case class OcfScan(
             if (parsed.forall(_._1.rowsStamp.isDefined) && ss.forall(_.nonNull.isDefined))
               Some(parsed.map(_._1.rowsStamp.get).sum - ss.flatMap(_.nonNull).sum)
             else None
+          // NDV (X89): union the per-file HLL sketches — reported only when
+          // every non-all-null file carries one (a partial union is an
+          // undercount, which misleads join planning worse than absence)
+          val ndv: Option[Long] = {
+            val carrying = ss.filterNot(_.allNull)
+            if (carrying.isEmpty || !carrying.forall(_.hllB64.isDefined)) None
+            else {
+              val regs = carrying.flatMap(s => OcfHll.fromBase64(s.hllB64.get))
+              if (regs.length != carrying.length) None
+              else {
+                val merged = regs.reduceLeft(OcfHll.merge)
+                val est = OcfHll.estimate(merged)
+                // clamp to the known row-count bound (a 4.6%-error sketch
+                // must not claim more distinct values than rows)
+                val bound = ss.flatMap(_.nonNull).reduceOption(_ + _)
+                Some(bound.fold(est)(b => math.min(est, b)).max(1L))
+              }
+            }
+          }
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def min(): java.util.Optional[Object] =
@@ -1792,6 +1885,8 @@ private[graft] final case class OcfScan(
                 else java.util.Optional.of(maxs.max(ord).asInstanceOf[Object])
               override def nullCount(): OptionalLong =
                 nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def distinctCount(): OptionalLong =
+                ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
             })
         }
       }

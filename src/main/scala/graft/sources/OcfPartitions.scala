@@ -217,7 +217,10 @@ private[graft] object OcfPartitions {
     * aggregate pushdown, never that it guesses. */
   final case class ColStat(typ: String, min: Option[JsonNode], max: Option[JsonNode],
                            hasNull: Boolean, allNull: Boolean,
-                           nonNull: Option[Long] = None, sum: Option[Long] = None) {
+                           nonNull: Option[Long] = None, sum: Option[Long] = None,
+                           // NDV sketch (X89): base64 HLL registers; absent
+                           // on pre-sketch stamps (CBO just reports no NDV)
+                           hllB64: Option[String] = None) {
     /** sign(v - min), sign(v - max); None when `v`'s type does not line up
       * with the stamped type (no skipping on a mismatched comparison). */
     def cmp(v: Any): Option[(Int, Int)] = (min, max) match {
@@ -301,7 +304,8 @@ private[graft] object OcfPartitions {
       b += e.getKey -> ColStat(o.get("t").asText,
         Option(o.get("min")), Option(o.get("max")),
         o.get("hasNull").asBoolean, o.get("allNull").asBoolean,
-        Option(o.get("nn")).map(_.asLong), Option(o.get("sum")).map(_.asLong))
+        Option(o.get("nn")).map(_.asLong), Option(o.get("sum")).map(_.asLong),
+        Option(o.get("hll")).map(_.asText))
     }
     b.result()
   }

@@ -291,6 +291,37 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         s"graft-ocf write: column '${OcfBucket.DirCol}' collides with the " +
           "bucket directory level")
     }
+    // `transformPartitions` (X88): hidden time/truncate partition levels.
+    // Like bucketing, the source columns stay DATA columns; only the
+    // transform ordinal's rendering becomes a `_p_<kind>_<col>=v/` level.
+    val transformSpecs: Seq[OcfTransforms.Spec] =
+      Option(opts.get("transformPartitions")).map(OcfTransforms.parseList)
+        .getOrElse(Nil)
+    val transformOrdinals: Array[Int] = transformSpecs.map { spec =>
+      val exact = sql.fields.indexWhere(_.name == spec.col)
+      val i = if (exact >= 0) exact
+        else sql.fields.indexWhere(_.name.equalsIgnoreCase(spec.col))
+      if (i < 0) throw new IllegalArgumentException(
+        s"graft-ocf write: transform column '${spec.col}' is not in the " +
+          s"query schema (${sql.fieldNames.mkString(", ")})")
+      require(!partOrdinals.contains(i),
+        s"graft-ocf write: transform column '${spec.col}' is a partition " +
+          "column; a value with its own directory needs no transform")
+      require(OcfTransforms.supportedType(spec.kind, sql.fields(i).dataType),
+        s"graft-ocf write: ${spec.kind}(${spec.col}) does not support type " +
+          sql.fields(i).dataType.simpleString)
+      i
+    }.toArray
+    if (transformSpecs.nonEmpty) {
+      require(Option(opts.get("graft.catalogWrite")).exists(_.toBoolean),
+        "graft-ocf write: transform-partitioned writes go through a catalog " +
+          "table (CREATE TABLE ... PARTITIONED BY (days(col), ...)); a bare " +
+          "path write cannot cluster rows by transform")
+      transformSpecs.foreach(spec =>
+        require(!sql.fieldNames.exists(_.equalsIgnoreCase(spec.dirCol)),
+          s"graft-ocf write: column '${spec.dirCol}' collides with the " +
+            "transform directory level"))
+    }
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -320,6 +351,8 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       partOrdinals = partOrdinals,
       bucketNames = bucketOrdinals.map(sql.fields(_).name),
       bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
+      transformSpecs = transformSpecs,
+      transformOrdinals = transformOrdinals,
       snapshots = Option(opts.get("graft.snapshots")).exists(_.toBoolean),
       branch = Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
@@ -365,6 +398,10 @@ private[sources] final case class OcfWriteConfig(
     bucketNames: Array[String] = Array.empty,
     bucketOrdinals: Array[Int] = Array.empty,
     numBuckets: Int = 0,
+    // hidden partition transforms (X88): specs + their source-column
+    // ordinals in `sql`, aligned
+    transformSpecs: Seq[OcfTransforms.Spec] = Nil,
+    transformOrdinals: Array[Int] = Array.empty,
     snapshots: Boolean = false,
     // write-audit-publish (X83): commit manifests into this branch's
     // sequence instead of main — data files land normally (manifests gate
@@ -592,6 +629,22 @@ private[sources] final class OcfWrite(
     org.apache.spark.sql.connector.expressions.Expressions.bucket(
       cfg.numBuckets, cfg.bucketNames: _*)
 
+  /** Hidden-transform expressions (X88), resolved by Spark through the
+    * table's V2 function catalog (years/months/days/hours/truncate) — the
+    * same ordinals the writer renders into directory names. */
+  private def transformExprs: Seq[org.apache.spark.sql.connector.expressions.Transform] =
+    cfg.transformSpecs.map { spec =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      spec.kind match {
+        case "years" => Expressions.years(spec.col)
+        case "months" => Expressions.months(spec.col)
+        case "days" => Expressions.days(spec.col)
+        case "hours" => Expressions.hours(spec.col)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(spec.width), Expressions.column(spec.col))
+      }
+    }
+
   /** Bucketed writes cluster rows by (partitions, bucket id) BEFORE the
     * tasks run, so each bucket's rows land in one task → one well-sized
     * file per bucket per partition (otherwise every task would write a
@@ -601,10 +654,11 @@ private[sources] final class OcfWrite(
     * directory names. Unbucketed writes keep the unspecified distribution
     * (any pre-existing partitioning of the query is fine). */
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (cfg.numBuckets > 0)
+    if (cfg.numBuckets > 0 || cfg.transformSpecs.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        (cfg.partNames.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-          :+ bucketTransform)
+        (cfg.partNames.map(org.apache.spark.sql.connector.expressions.Expressions.identity) ++
+          transformExprs ++
+          (if (cfg.numBuckets > 0) Seq(bucketTransform) else Nil))
           .toArray[org.apache.spark.sql.connector.expressions.Expression])
     else
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
@@ -614,9 +668,13 @@ private[sources] final class OcfWrite(
       org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(n),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-    // partitions, then bucket id, then the in-file sort: each task's rows
-    // arrive directory-contiguous, so the writer keeps ONE open file
+    // partitions, then transform levels, then bucket id, then the in-file
+    // sort: each task's rows arrive directory-contiguous, so the writer
+    // keeps ONE open file
     cfg.partNames.map(colSort) ++
+      transformExprs.map(t =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(t,
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) ++
       (if (cfg.numBuckets > 0)
         Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
           bucketTransform,
@@ -716,6 +774,9 @@ private[sources] final class OcfDataWriter(
   private val bucketGetters =
     cfg.bucketOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
   private val bucketTypes = cfg.bucketOrdinals.map(o => cfg.sql.fields(o).dataType)
+  private val transformGetters =
+    cfg.transformOrdinals.map(o => InternalRowGetters.forType(cfg.sql.fields(o).dataType))
+  private val transformTypes = cfg.transformOrdinals.map(o => cfg.sql.fields(o).dataType)
   private val stats =
     if (cfg.statsCols.isEmpty) null else new OcfStatsTracker(cfg)
   private val blockIdx =
@@ -762,7 +823,27 @@ private[sources] final class OcfDataWriter(
         else OcfPartitions.renderPartValue(partGetters(i)(row, o), partTypes(i))
       i += 1
     }
-    val pd = OcfPartitions.partitionDir(cfg.partNames, vals)
+    val pd0 = OcfPartitions.partitionDir(cfg.partNames, vals)
+    // hidden transform levels (X88) between identity partitions and the
+    // trailing bucket level; source values stay in the data columns
+    val pd =
+      if (cfg.transformSpecs.isEmpty) pd0
+      else {
+        var acc = pd0
+        var j = 0
+        while (j < cfg.transformOrdinals.length) {
+          val spec = cfg.transformSpecs(j)
+          val o = cfg.transformOrdinals(j)
+          val seg = spec.dirCol + "=" + (
+            if (row.isNullAt(o)) OcfPartitions.NullDir
+            else OcfPartitions.escape(OcfTransforms.renderOrdinal(spec,
+              OcfTransforms.ordinalOf(spec, transformGetters(j)(row, o),
+                transformTypes(j)))))
+          acc = if (acc.isEmpty) seg else acc + "/" + seg
+          j += 1
+        }
+        acc
+      }
     if (cfg.numBuckets == 0) pd
     else {
       val keys = new Array[Any](cfg.bucketOrdinals.length)
@@ -786,7 +867,8 @@ private[sources] final class OcfDataWriter(
   private val dirNextChunk = scala.collection.mutable.Map.empty[String, Int]
 
   override def write(row: InternalRow): Unit = {
-    if (cfg.partOrdinals.nonEmpty || cfg.numBuckets > 0) {
+    if (cfg.partOrdinals.nonEmpty || cfg.numBuckets > 0 ||
+        cfg.transformSpecs.nonEmpty) {
       val pd = partDirOf(row)
       if (pd != currentPartDir) {
         sealCurrent()
@@ -794,7 +876,8 @@ private[sources] final class OcfDataWriter(
         // revisit means unsorted input (or a sort-equal/string-distinct
         // value pair) and silently reusing the tmp path would clobber the
         // sealed file — fail the task loudly instead
-        require(cfg.numBuckets > 0 || seenPartDirs.add(pd),
+        require(cfg.numBuckets > 0 || cfg.transformSpecs.nonEmpty ||
+            seenPartDirs.add(pd),
           s"graft-ocf write: partition directory '$pd' revisited out of " +
             "order — input rows are not sorted by the partition columns")
         currentPartDir = pd
@@ -942,6 +1025,9 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   private val sawNull = new Array[Boolean](n)
   private val sumL = new Array[Long](n)
   private val sumOverflow = new Array[Boolean](n)
+  // per-column NDV sketch (X89): mergeable HLL registers, stamped base64 —
+  // plan-time union across files feeds CBO a real distinct count
+  private val hll = Array.fill(n)(OcfHll.empty())
 
   def reset(): Unit = {
     java.util.Arrays.fill(nonNull, 0L)
@@ -950,6 +1036,8 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
     java.util.Arrays.fill(sumOverflow, false)
     java.util.Arrays.fill(minS.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(maxS.asInstanceOf[Array[AnyRef]], null)
+    var i = 0
+    while (i < n) { java.util.Arrays.fill(hll(i), 0.toByte); i += 1 }
   }
 
   def update(row: InternalRow): Unit = {
@@ -965,6 +1053,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             val v = getters(i)(lr, o).asInstanceOf[Number].longValue
             if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
             if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
+            OcfHll.add(hll(i), OcfHll.hashLong(v))
             val s = sumL(i) + v
             // two same-signed operands producing the opposite sign = wrap
             if (((sumL(i) ^ s) & (v ^ s)) < 0) sumOverflow(i) = true
@@ -979,6 +1068,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             val v = getters(i)(lr, o).asInstanceOf[Number].doubleValue
             if (nonNull(i) == 0L || java.lang.Double.compare(v, minD(i)) < 0) minD(i) = v
             if (nonNull(i) == 0L || java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
+            OcfHll.add(hll(i), OcfHll.hashDouble(v))
           case _ =>
             val v = getters(i)(lr, o)
               .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -986,6 +1076,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             // reused decode buffer): O(distinct extrema), not O(rows)
             if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
             if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
+            OcfHll.add(hll(i), OcfHll.hashUtf8(v))
         }
         nonNull(i) += 1L
       }
@@ -1026,6 +1117,10 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
       // an absent "sum" just means the read side refuses the push
       o.put("nn", nonNull(i))
       if (sumEligible(i) && nonNull(i) > 0L && !sumOverflow(i)) o.put("sum", sumL(i))
+      // NDV sketch (X89): mergeable HLL registers — ~700 base64 chars per
+      // column; the read side unions them across planned files into
+      // ColumnStatistics.distinctCount for CBO
+      if (nonNull(i) > 0L) o.put("hll", OcfHll.toBase64(hll(i)))
       i += 1
     }
     om.writeValueAsString(root)

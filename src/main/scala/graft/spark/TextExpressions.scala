@@ -215,6 +215,33 @@ case class HotGramRank(child: Expression, ranks: Map[String, Int])
     copy(child = newChild)
 }
 
+/** `bpe_token_count(text)` → long: EXACT byte-level-BPE token count (X90,
+  * the published GPT-2 construction — [[graft.spark.Bpe]]) under a fixed,
+  * versioned merges table (`graft-bpe-v1` built-in, or a custom
+  * GPT-2-format merges file text). Deterministic and engine-portable: the
+  * same merges table yields the same count anywhere, so token budgets
+  * (packing X28, budget selection X44, temperature mixing X84) stamped
+  * into a corpus are reproducible forever — where the whitespace heuristic
+  * undercounts the subwords a model actually consumes. Codegen'd via the
+  * one-virtual-call mixin; per-word results memoize task-locally. */
+case class BpeTokenCount(child: Expression, mergesText: Option[String] = None)
+    extends UnaryExpression with GraftUnaryCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+  @transient private lazy val table = mergesText match {
+    case None => graft.spark.Bpe.V1
+    case Some(t) =>
+      val id = "custom-" + java.security.MessageDigest.getInstance("SHA-256")
+        .digest(t.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      graft.spark.Bpe.MergeTable.parse(id, t)
+  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      graft.spark.Bpe.countTokens(input.asInstanceOf[UTF8String], table))
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 /** `simhash64(text)` → long. Near-duplicate pairs have small Hamming distance;
   * compare with `bit_count(a ^ b)` (built-in, codegen'd). */
 case class SimHash64(child: Expression)

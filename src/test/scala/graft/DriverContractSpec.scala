@@ -12,11 +12,18 @@ class DriverContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("every declared query has an oracle") {
-    // q57 regained its oracle in r13 (exact quantiles + bound booleans), so
-    // the oracle-less set is now empty — keep this assert so a new query
-    // can't silently ship oracle-less by accident.
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every declared query has an oracle (or is on the declared exception list)") {
+    // the driver records a weaker rows-only check for these — each needs a
+    // spec-pinned reason, never an accident:
+    //  - q105: greedy byte-level BPE is not SQL-expressible; BpeSpec pins
+    //    the counts with hand-derived fixtures and a byte-lossless property
+    val declaredOracleLess = Set("q105_bpe_packing")
+    assert(declaredOracleLess.subsetOf(SparkEntry.queries.keySet),
+      "stale exception list")
+    assert(declaredOracleLess.intersect(SparkEntry.oracleSql.keySet).isEmpty,
+      "exception list entries that DO have oracles")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      declaredOracleLess
     assert(missing.isEmpty, s"queries lacking an oracle: $missing")
   }
 

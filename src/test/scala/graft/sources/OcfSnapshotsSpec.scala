@@ -365,6 +365,61 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(entry.min.get == 0L && entry.max.get == 49L,
       s"min=${entry.min} max=${entry.max}")
     assert(entry.nullCount.getAsLong == 0L)
+    // NDV (X89): all-distinct ids → distinctCount ~= 50, clamped to rows
+    assert(entry.distinctCount().isPresent, "id must report a distinct count")
+    assert(entry.distinctCount().getAsLong == 50L,
+      s"ndv=${entry.distinctCount()}")
+  }
+
+  test("NDV sketches union across overlapping files and feed CBO (X89)") {
+    spark.sql(
+      """CREATE TABLE gs.ns.ndv (k BIGINT, u BIGINT, s STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'k,u,s')""".stripMargin)
+    // three commits whose k values OVERLAP completely: per-file NDV is 100
+    // each, and a naive sum would claim 300 — the union must still say ~100
+    (0 until 3).foreach(i => spark.sql(
+      s"""INSERT INTO gs.ns.ndv
+         |SELECT id % 100, id + ${i * 1000}, concat('s', id % 7)
+         |FROM range(1000)""".stripMargin))
+    def colStat(name: String) = {
+      val scan = spark.table("gs.ns.ndv").queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      val cs = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats()
+      val it = cs.entrySet().iterator()
+      var found: org.apache.spark.sql.connector.read.colstats.ColumnStatistics = null
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.fieldNames.toSeq == Seq(name)) found = e.getValue
+      }
+      assert(found != null, s"no colStats for '$name'")
+      found
+    }
+    val k = colStat("k").distinctCount()
+    // +-15%: the p=9 sketch's error for THIS value set (deterministic
+    // hash, deterministic estimate — this is a fixed number, not a flake)
+    assert(k.isPresent && math.abs(k.getAsLong - 100L) <= 15L,
+      s"k NDV should be ~100 (union, not 300): $k")
+    // u is all-distinct (3000 values): the sketch must land within ~10%
+    val u = colStat("u").distinctCount()
+    assert(u.isPresent && math.abs(u.getAsLong - 3000L) <= 300L,
+      s"u NDV should be ~3000: $u")
+    // s has 7 distinct strings — the linear-counting range is near-exact
+    val s7 = colStat("s").distinctCount()
+    assert(s7.isPresent && s7.getAsLong == 7L, s"s NDV should be 7: $s7")
+    // with CBO on, the logical plan's attribute stats carry the NDV — the
+    // join-cardinality input byte-size estimation cannot provide
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val attrStats = spark.table("gs.ns.ndv").where("k >= 0")
+        .queryExecution.optimizedPlan.stats.attributeStats
+      val kAttr = attrStats.find(_._1.name == "k").map(_._2)
+      assert(kAttr.exists(_.distinctCount.exists(dc =>
+          (dc.toLong - 100L).abs <= 15L)),
+        s"CBO attribute stats must carry k's NDV; got $attrStats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
   test("CTAS and RTAS commit create/replace snapshots") {
@@ -778,6 +833,30 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.read.option("branch", "stream").table("gs.ns.swap").count() == 13L)
     spark.sql("CALL gs.system.fast_forward(table => 'ns.swap', name => 'stream')")
     assert(spark.table("gs.ns.swap").count() == 13L)
+  }
+
+  test("streaming refuses branch and version-pinned reads, naming alternatives") {
+    spark.sql("CREATE TABLE gs.ns.sg (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.sg SELECT id FROM range(5)")
+    spark.sql("CALL gs.system.create_branch(table => 'ns.sg', name => 'aud')")
+    def refusal(start: => org.apache.spark.sql.streaming.StreamingQuery): Seq[String] = {
+      val q = start
+      val e = intercept[Exception] { try q.awaitTermination(60000) finally q.stop() }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    }
+    def ck() = java.nio.file.Files.createTempDirectory("graft-sg-ck").toString
+    val m1 = refusal(spark.readStream.option("branch", "aud").table("gs.ns.sg")
+      .writeStream.format("noop").option("checkpointLocation", ck()).start())
+    assert(m1.exists(s => s.contains("branch reads are batch-only") &&
+      s.contains("fast_forward")), m1.mkString(" | "))
+    val root = new Path(warehouse.getAbsolutePath, "ns/sg")
+    val m2 = refusal(spark.readStream.format("graft-ocf")
+      .option("graft.snapshot.version", "1")
+      .load(root.toString)
+      .writeStream.format("noop").option("checkpointLocation", ck()).start())
+    assert(m2.exists(s => s.contains("batch-only") &&
+      s.contains("startingVersion")), m2.mkString(" | "))
   }
 
   test("commits write O(delta) bytes; checkpoints bound the chain; reads resolve") {
