@@ -164,6 +164,8 @@ object OcfDataSource {
                             // (streaming discovery follows the LATEST
                             // manifest and would silently leave the pin)
                             versionPinned: Boolean = false,
+                            // vectorized flat-scan lane (X91) opt-out
+                            columnarEnabled: Boolean = true,
                             // merge-on-read position deletes (X87): qualified
                             // data-file path -> metas of the delete files
                             // holding its deleted row ordinals. Readers of a
@@ -551,6 +553,7 @@ object OcfDataSource {
       streamExclude = streamExclude, branchRead = snapBranch.isDefined,
       boundedIncremental = snapStarting.isDefined && snapVersion.isDefined,
       versionPinned = snapVersion.isDefined && snapStarting.isEmpty,
+      columnarEnabled = options.getBoolean("columnar", true),
       deletes = deletesByPath,
       transforms = transforms)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
@@ -1329,7 +1332,8 @@ private[sources] final class OcfScanBuilder(
       excludePaths = resolved.streamExclude,
       branchRead = resolved.branchRead,
       boundedIncremental = resolved.boundedIncremental,
-      versionPinned = resolved.versionPinned)
+      versionPinned = resolved.versionPinned,
+      columnarEnabled = resolved.columnarEnabled)
   }
 }
 
@@ -1412,6 +1416,8 @@ private[graft] final case class OcfScan(
     boundedIncremental: Boolean = false,
     // VERSION/TIMESTAMP AS OF or tag pin: batch-only
     versionPinned: Boolean = false,
+    // vectorized flat-scan lane (X91) opt-out (option columnar=false)
+    columnarEnabled: Boolean = true,
     // `_pos` metadata column requested: emit each row's file ordinal and
     // plan files unsplit (a mid-file split can't know its first ordinal)
     withPos: Boolean = false,
@@ -1790,8 +1796,17 @@ private[graft] final case class OcfScan(
             d.copy(statsJson = None, bloomJson = None, blockIndexJson = None,
               sortedByJson = None)))
         }.toMap
+      // vectorized fast lane (X91): flat all-primitive reader schema,
+      // identity resolution for EVERY planned file, no appended columns,
+      // no positional semantics — everything else rides the row reader
+      val cf: Option[Array[OcfColumnar.Field]] =
+        if (!columnarEnabled || wrap || partIdx.nonEmpty || withFilePath ||
+            withPos || delByIdx.nonEmpty) None
+        else OcfColumnar.fieldsFor(readerJson).filter(_ =>
+          files.forall(m =>
+            OcfColumnar.identityResolution(m.writerSchemaJson, readerJson)))
       OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes,
-        withFilePath, withPos, delByIdx)
+        withFilePath, withPos, delByIdx, columnarFields = cf)
     }
   }
 
@@ -1962,7 +1977,11 @@ private[sources] final case class OcfReaderFactory(
     partTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     withFilePath: Boolean = false,
     withPos: Boolean = false,
-    deletes: Map[Int, Seq[OcfDataSource.OcfFileMeta]] = Map.empty)
+    deletes: Map[Int, Seq[OcfDataSource.OcfFileMeta]] = Map.empty,
+    // vectorized fast lane (X91): defined only when EVERY planned file's
+    // flat primitive schema resolves identically — uniform across
+    // partitions, so Spark's all-or-nothing columnar planning holds
+    columnarFields: Option[Array[OcfColumnar.Field]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
@@ -1975,6 +1994,16 @@ private[sources] final case class OcfReaderFactory(
       // `_pos` slot ordinal in the appended row: after partition values
       // and (when present) the `_file` constant
       posSlot = if (withPos) partIdx.length + (if (withFilePath) 1 else 0) else -1)
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarFields.isDefined
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[OcfSplit]
+    new OcfColumnarSplitReader(files(p.fileIndex), p.start, p.end,
+      columnarFields.get, conf.value, limit, p.aligned)
   }
 }
 
