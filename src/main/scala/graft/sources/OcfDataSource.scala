@@ -317,6 +317,10 @@ object OcfDataSource {
         snapRoot.isDefined,
       "graft-ocf: graft.snapshot.version/startingVersion/branch needs a " +
         s"single snapshot-managed root directory; got ${paths.mkString(", ")} glob=$glob")
+    // a silently-ignored file restriction would read the WHOLE table where
+    // the caller (rewrite_position_deletes) meant a targeted subset
+    require(Option(options.get("graft.files")).isEmpty || snapRoot.isDefined,
+      "graft-ocf: graft.files needs a single snapshot-managed root directory")
     // manifest-embedded header metadata, keyed by qualified path: reads of
     // a meta-carrying manifest plan with ZERO per-file header preads
     var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty

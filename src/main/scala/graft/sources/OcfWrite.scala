@@ -988,7 +988,14 @@ private[sources] final class OcfDataWriter(
   * arithmetic; a floating sum depends on accumulation order, so a header
   * stamp could disagree with a row-order recompute) and is dropped on Long
   * overflow rather than stamped wrapped. */
-private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
+private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig,
+                                             // the per-BLOCK accumulator
+                                             // skips NDV: a sketch per
+                                             // block would bloat the block
+                                             // index ~700 B/entry for a
+                                             // quantity only the FILE-level
+                                             // merge ever uses
+                                             trackNdv: Boolean = true) {
   private val n = cfg.statsCols.length
   private val names = cfg.statsCols.map(_.name)
   private val getters = cfg.statsCols.map(c => InternalRowGetters.forType(c.dt))
@@ -1027,7 +1034,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
   private val sumOverflow = new Array[Boolean](n)
   // per-column NDV sketch (X89): mergeable HLL registers, stamped base64 —
   // plan-time union across files feeds CBO a real distinct count
-  private val hll = Array.fill(n)(OcfHll.empty())
+  private val hll = if (trackNdv) Array.fill(n)(OcfHll.empty()) else null
 
   def reset(): Unit = {
     java.util.Arrays.fill(nonNull, 0L)
@@ -1036,8 +1043,10 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
     java.util.Arrays.fill(sumOverflow, false)
     java.util.Arrays.fill(minS.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(maxS.asInstanceOf[Array[AnyRef]], null)
-    var i = 0
-    while (i < n) { java.util.Arrays.fill(hll(i), 0.toByte); i += 1 }
+    if (hll != null) {
+      var i = 0
+      while (i < n) { java.util.Arrays.fill(hll(i), 0.toByte); i += 1 }
+    }
   }
 
   def update(row: InternalRow): Unit = {
@@ -1053,7 +1062,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             val v = getters(i)(lr, o).asInstanceOf[Number].longValue
             if (nonNull(i) == 0L || v < minL(i)) minL(i) = v
             if (nonNull(i) == 0L || v > maxL(i)) maxL(i) = v
-            OcfHll.add(hll(i), OcfHll.hashLong(v))
+            if (hll != null) OcfHll.add(hll(i), OcfHll.hashLong(v))
             val s = sumL(i) + v
             // two same-signed operands producing the opposite sign = wrap
             if (((sumL(i) ^ s) & (v ^ s)) < 0) sumOverflow(i) = true
@@ -1068,7 +1077,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             val v = getters(i)(lr, o).asInstanceOf[Number].doubleValue
             if (nonNull(i) == 0L || java.lang.Double.compare(v, minD(i)) < 0) minD(i) = v
             if (nonNull(i) == 0L || java.lang.Double.compare(v, maxD(i)) > 0) maxD(i) = v
-            OcfHll.add(hll(i), OcfHll.hashDouble(v))
+            if (hll != null) OcfHll.add(hll(i), OcfHll.hashDouble(v))
           case _ =>
             val v = getters(i)(lr, o)
               .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
@@ -1076,7 +1085,7 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
             // reused decode buffer): O(distinct extrema), not O(rows)
             if (minS(i) == null || v.compareTo(minS(i)) < 0) minS(i) = v.clone()
             if (maxS(i) == null || v.compareTo(maxS(i)) > 0) maxS(i) = v.clone()
-            OcfHll.add(hll(i), OcfHll.hashUtf8(v))
+            if (hll != null) OcfHll.add(hll(i), OcfHll.hashUtf8(v))
         }
         nonNull(i) += 1L
       }
@@ -1120,7 +1129,8 @@ private[sources] final class OcfStatsTracker(cfg: OcfWriteConfig) {
       // NDV sketch (X89): mergeable HLL registers — ~700 base64 chars per
       // column; the read side unions them across planned files into
       // ColumnStatistics.distinctCount for CBO
-      if (nonNull(i) > 0L) o.put("hll", OcfHll.toBase64(hll(i)))
+      if (hll != null && nonNull(i) > 0L)
+        o.put("hll", OcfHll.toBase64(hll(i)))
       i += 1
     }
     om.writeValueAsString(root)
@@ -1233,7 +1243,7 @@ private[sources] final class OcfSortTracker(cfg: OcfWriteConfig) {
   * blocks drops its index (absent index = no block pruning — conservative),
   * bounding the header stamp at ~100 B × maxEntries. */
 private[sources] final class OcfBlockIndexTracker(cfg: OcfWriteConfig) {
-  private val acc = new OcfStatsTracker(cfg)
+  private val acc = new OcfStatsTracker(cfg, trackNdv = false)
   private val entries = scala.collection.mutable.ArrayBuffer.empty[String]
   private var dropped = false
 

@@ -71,6 +71,33 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (0L until 1000L))
   }
 
+  test("columnar composes with block-index aligned splits and stats skipping") {
+    import spark.implicits._
+    val dir = tempDir("graft-col-bi")
+    (0L until 20000L).map(i => (i, s"payload $i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+      .write.format("graft-ocf")
+      .option("statsColumns", "id").option("blockIndex", "true")
+      .option("blockBytes", "4096")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
+      .where($"id" >= 19900L)
+    assert(isColumnar(df), df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (19900L until 20000L))
+    assert(got.length == 100)
+    // stamp-size regression pin (X89): the FILE stamp carries the NDV
+    // sketch; the per-BLOCK index entries must NOT (a sketch per block
+    // would bloat the header ~700 B/entry for a file-level-only quantity)
+    val f = OcfDataSource.list(
+      spark.sessionState.newHadoopConf(), Seq(dir.getAbsolutePath), None,
+      recursive = false).head
+    val m = OcfDataSource.fetchMetas(spark.sessionState.newHadoopConf(), Seq(f)).head
+    assert(m.statsJson.exists(_.contains("\"hll\"")), "file stamp needs the sketch")
+    assert(m.blockIndexJson.exists(j => !j.contains("\"hll\"")),
+      "block index entries must stay sketch-free")
+  }
+
   test("row-reader fallback for metadata columns, nested schemas, partitions") {
     import spark.implicits._
     val dir = tempDir("graft-col-fb")

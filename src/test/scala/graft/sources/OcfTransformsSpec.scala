@@ -195,6 +195,32 @@ class OcfTransformsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("does not support type"), e2.getMessage)
   }
 
+  test("compaction preserves the transform layout and its pruning") {
+    spark.sql(
+      """CREATE TABLE gt.ns.cmp (ts TIMESTAMP, v BIGINT)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+    // many small commits -> fragmented day directories
+    (0 until 4).foreach(i => spark.sql(
+      s"""INSERT INTO gt.ns.cmp
+         |SELECT timestamp'2024-05-01 00:00:00'
+         |  + make_interval(0,0,0,0,0,0,(id + ${i * 50}) * 3600), id + ${i * 50}
+         |FROM range(0, 50)""".stripMargin)) // 200 hourly rows over ~9 days
+    val before = spark.table("gt.ns.cmp").collect().map(_.getLong(1)).sorted
+    spark.sql("CALL gt.system.compact(table => 'ns.cmp')").collect()
+    // identical rows, layout intact, pruning still works
+    val after = spark.table("gt.ns.cmp").collect().map(_.getLong(1)).sorted
+    assert(after.toSeq == before.toSeq)
+    val root = new java.io.File(warehouse, "ns/cmp")
+    assert(root.listFiles().exists(f => f.isDirectory &&
+      f.getName.startsWith("_p_days_ts=2024-05-01")))
+    spark.sql(
+      "SELECT count(*) FROM gt.ns.cmp WHERE ts < timestamp'2024-05-02 00:00:00'")
+      .collect()
+    val planned = OcfDataSource.lastPlannedFiles.get()
+    assert(planned.nonEmpty && planned.forall(_.contains("_p_days_ts=2024-05-01")),
+      planned.toString)
+  }
+
   test("time travel and snapshots compose with transform layouts") {
     val root = new Path(warehouse.getAbsolutePath, "ns/ev")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())

@@ -175,6 +175,33 @@ class PositionDeleteSpec extends AnyFunSuite {
     rows.foreach { case (id, pos) => assert(id == pos, s"id $id at pos $pos") }
   }
 
+  test("MoR delete + fold on a hidden-partitioned (days) table") {
+    spark.sql(
+      """CREATE TABLE gm.ns.mortf (ts TIMESTAMP, id BIGINT)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))
+        |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO gm.ns.mortf
+        |SELECT timestamp'2024-07-01 00:00:00'
+        |  + make_interval(0,0,0,0,0,0,id * 7200), id FROM range(0, 60)""".stripMargin)
+    spark.sql("DELETE FROM gm.ns.mortf WHERE id % 5 = 2")
+    val expect = (0L until 60L).filterNot(_ % 5 == 2)
+    assert(spark.table("gm.ns.mortf").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    assert(snapFiles("mortf").exists(_.deleteOf.isDefined))
+    // the fold rewrites only burdened files, back into their day dirs
+    spark.sql("CALL gm.system.rewrite_position_deletes(table => 'ns.mortf')")
+      .collect()
+    assert(!snapFiles("mortf").exists(_.deleteOf.isDefined))
+    assert(spark.table("gm.ns.mortf").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == expect)
+    // raw-ts pruning still serves the rewritten layout
+    assert(spark.sql(
+      """SELECT count(*) FROM gm.ns.mortf
+        |WHERE ts < timestamp'2024-07-02 00:00:00'""".stripMargin)
+      .head.getLong(0) == expect.count(_ < 12))
+  }
+
   test("incremental read refuses a range containing a MoR delete") {
     spark.sql(
       """CREATE TABLE gm.ns.morinc (id BIGINT)
