@@ -1593,6 +1593,39 @@ object SparkEntry {
         .orderBy("phase", "source")
     }),
 
+    // Merge-on-read UPDATE (X87): the correction writes delete files for
+    // the old positions plus fresh data files for the replacements — no
+    // existing data file rewritten — and the read folds all three
+    // generations (original, deletes, replacements) into one logical view.
+    "q106_mor_update" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q106",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q106_wh_")
+      s.conf.set("spark.sql.catalog.graft_q106.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q106.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q106.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q106.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`
+          |OPTIONS (statsColumns 'doc_id',
+          |  `write.delete.mode` 'merge-on-read',
+          |  `write.update.mode` 'merge-on-read')""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q106_src")
+      s.sql("INSERT INTO graft_q106.corpus.docs SELECT * FROM graft_q106_src")
+      s.sql(
+        """UPDATE graft_q106.corpus.docs
+          |SET n_chars = n_chars + 1000 WHERE doc_id % 9 = 5""".stripMargin)
+      s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          |  CAST(max(n_chars) AS BIGINT) AS max_chars
+          |FROM graft_q106.corpus.docs
+          |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Hidden partitioning (X88): events land in a days(ts)-transformed
     // layout — the raw-ts range predicate prunes whole day directories
     // (file-prune proof in OcfTransformsSpec) while the query stays on the
@@ -2598,6 +2631,17 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the merge-on-read UPDATE's logical view: every doc once, corrected
+    // lengths where doc_id % 9 = 5
+    "q106_mor_update" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 9 = 5 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars,
+        |  CAST(max(CASE WHEN doc_id % 9 = 5 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS max_chars
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
 

@@ -1174,6 +1174,7 @@ private[sources] class CatalogOcfTable(
 
   private[sources] def catalogMeta: GraftCatalog.TableMeta = meta
   private[sources] def hadoopConf: Configuration = conf
+  private[sources] def catalogWriteOptions: Map[String, String] = writeOptions
 
   private def readOptions: CaseInsensitiveStringMap = {
     val m = new java.util.HashMap[String, String]()
@@ -1320,25 +1321,31 @@ private[sources] class CatalogOcfTable(
       s"graft-ocf: row-level ${info.command} needs the " +
         s"${OcfDataSource.FileColName} metadata column, which a table column " +
         "of the same name shadows")
-    // merge-on-read DELETE (X87): `write.delete.mode = merge-on-read`
-    // switches DELETE from the group-based copy-on-write rewrite to a
-    // delta operation writing POSITION-DELETE files — a point delete then
-    // costs O(matched rows), not O(matched files' bytes). UPDATE/MERGE
-    // stay copy-on-write (their delta form needs row re-encoding anyway).
-    val deleteMode = meta.options.find(_._1.equalsIgnoreCase("write.delete.mode"))
+    // merge-on-read (X87): `write.{delete,update,merge}.mode =
+    // merge-on-read` switches the command from the group-based
+    // copy-on-write rewrite to a delta operation — DELETE writes
+    // POSITION-DELETE files only; UPDATE/MERGE represent as delete +
+    // insert (old positions into delete files, new rows into fresh data
+    // files), so a point update costs O(matched rows), not
+    // O(matched files' bytes).
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    val modeKey = info.command match {
+      case Command.DELETE => "write.delete.mode"
+      case Command.UPDATE => "write.update.mode"
+      case Command.MERGE => "write.merge.mode"
+    }
+    val mode = meta.options.find(_._1.equalsIgnoreCase(modeKey))
       .map(_._2.trim.toLowerCase(java.util.Locale.ROOT))
-    require(deleteMode.forall(m => m == "copy-on-write" || m == "merge-on-read"),
-      s"graft-ocf: write.delete.mode must be 'copy-on-write' or " +
-        s"'merge-on-read'; got '${deleteMode.get}'")
-    val morDelete =
-      info.command == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE &&
-        deleteMode.contains("merge-on-read")
-    if (morDelete) require(snapshotWrites,
-      "graft-ocf: merge-on-read DELETE needs a snapshot-managed table " +
-        "(delete files are manifest entries)")
+    require(mode.forall(m => m == "copy-on-write" || m == "merge-on-read"),
+      s"graft-ocf: $modeKey must be 'copy-on-write' or " +
+        s"'merge-on-read'; got '${mode.get}'")
+    val mor = mode.contains("merge-on-read")
+    if (mor) require(snapshotWrites,
+      s"graft-ocf: merge-on-read ${info.command} needs a snapshot-managed " +
+        "table (delete files are manifest entries)")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        if (morDelete) new OcfPositionDeltaOperation(CatalogOcfTable.this)
+        if (mor) new OcfPositionDeltaOperation(info.command, CatalogOcfTable.this)
         else new OcfRowLevelOperation(info.command, CatalogOcfTable.this)
     }
   }
@@ -1588,24 +1595,34 @@ private[sources] final class OcfRowLevelOperation(
   override def description(): String = s"graft-ocf copy-on-write $cmd"
 }
 
-/** Merge-on-read DELETE (X87): the [[org.apache.spark.sql.connector.write.SupportsDelta]]
-  * row-level operation. Spark plans the DELETE as: scan the rows MATCHING
-  * the predicate (files pruned by the usual stamp machinery; the scan
-  * emits the `_file`/`_pos` row id), then feed each matched row id to the
-  * delta writer — which writes one POSITION-DELETE file per touched data
-  * file instead of rewriting any data bytes. The commit adds the delete
-  * files to the snapshot (`deleteOf` entries); scans attach them to their
-  * targets and skip the ordinals. `CALL g.system.rewrite_position_deletes`
-  * folds them back into clean data files.
+/** Merge-on-read row-level operations (X87): the
+  * [[org.apache.spark.sql.connector.write.SupportsDelta]] operation. Spark
+  * scans the rows MATCHING the predicate (files pruned by the usual stamp
+  * machinery; the scan emits the `_file`/`_pos` row id) and feeds the
+  * delta writer:
   *
-  * At 100 TB: a GDPR point-delete writes a few KB of ordinals instead of
-  * rewriting multi-GB files; the read-side cost is an unsplit scan of the
-  * few burdened files until the fold. */
-private[sources] final class OcfPositionDeltaOperation(table: CatalogOcfTable)
+  *  - DELETE rows become ordinals in one POSITION-DELETE file per touched
+  *    data file — zero data bytes rewritten;
+  *  - UPDATE/MERGE represent as delete + insert
+  *    (`representUpdateAsDeleteAndInsert`): old positions into delete
+  *    files, replacement/new rows into FRESH data files through the
+  *    normal validated write config (stats/bloom/partition/bucket/
+  *    transform routing all apply; unsorted partition revisits roll
+  *    chunks — sparse updates write few small files, compact folds them).
+  *
+  * One snapshot commit lands both sides; `rewrite_position_deletes` folds
+  * the delete files back. At 100 TB: a GDPR point-delete or a
+  * single-document correction costs O(matched rows), not O(matched
+  * files' bytes). */
+private[sources] final class OcfPositionDeltaOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    table: CatalogOcfTable)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write.RowLevelOperation
 
-  override def command(): RowLevelOperation.Command = RowLevelOperation.Command.DELETE
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(
@@ -1624,23 +1641,40 @@ private[sources] final class OcfPositionDeltaOperation(table: CatalogOcfTable)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new OcfPositionDeleteWrite(table, info)
+        new OcfPositionDeleteWrite(table, info, cmd)
     }
 
-  override def description(): String = "graft-ocf merge-on-read DELETE"
+  override def description(): String = s"graft-ocf merge-on-read $cmd"
 }
 
 private[sources] final class OcfPositionDeleteWrite(
     table: CatalogOcfTable,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.DeltaWrite
     with org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
+  import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
   private val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
-    new IllegalStateException("graft-ocf merge-on-read DELETE: Spark " +
+    new IllegalStateException(s"graft-ocf merge-on-read $cmd: Spark " +
       "provided no rowIdSchema"))
   private val fileOrd = rowIdSchema.fieldIndex(OcfDataSource.FileColName)
   private val posOrd = rowIdSchema.fieldIndex(OcfDataSource.PosColName)
+
+  /** Insert-side write config (UPDATE/MERGE): built through the NORMAL
+    * validated builder — stats/bloom/partition/bucket/transform routing,
+    * codec, compat gate — so delta-inserted files are indistinguishable
+    * from appended ones; revisit tolerance covers the missing delta-write
+    * ordering. DELETE never inserts and builds none. */
+  private val insertCfg: Option[OcfWriteConfig] =
+    if (cmd == Command.DELETE) None
+    else {
+      val builder = new OcfWriteBuilder(info, table.catalogMeta.partCols.toArray,
+        table.catalogWriteOptions)
+      Some(builder.build().asInstanceOf[OcfWrite].config
+        .copy(tolerateUnsortedPartitions = true))
+    }
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
 
@@ -1649,49 +1683,67 @@ private[sources] final class OcfPositionDeleteWrite(
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     OcfPositionDeleteWriterFactory(
       new SerializableHadoopConf(table.hadoopConf),
-      table.catalogMeta.location, fileOrd, posOrd)
+      table.catalogMeta.location, fileOrd, posOrd, insertCfg)
+
+  private def opName: String = cmd match {
+    case Command.DELETE => "delete-rows"
+    case Command.UPDATE => "update-rows"
+    case Command.MERGE => "merge-rows"
+  }
 
   override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val root = new Path(table.catalogMeta.location)
     val fs = root.getFileSystem(table.hadoopConf)
     val qualRoot = fs.makeQualified(root).toString
-    val entries = messages.toSeq.flatMap {
-      case OcfPositionDeleteMessage(files) => files
-      case _ => Nil
-    }
-    // land the delete files (create-then-commit: invisible until the
-    // manifest commit, same discipline as data writes)
+    val all = messages.toSeq.collect { case m: OcfMorDeltaMessage => m }
+    val entries = all.flatMap(_.deletes)
+    val dataMsgs = all.flatMap(_.data)
+    // land the INSERT files first (temp -> final renames; still invisible
+    // until the manifest commit), then the delete files — same discipline
+    // as data writes
+    insertCfg.foreach(cfg => OcfCommit.renameAll(cfg, fs, dataMsgs.toArray))
     entries.foreach { e =>
       val src = new Path(e.tmp)
       val dst = new Path(e.dest)
       if (fs.exists(dst)) fs.delete(dst, false)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(
-          s"graft-ocf merge-on-read DELETE: failed to rename ${e.tmp} to ${e.dest}")
+          s"graft-ocf merge-on-read $cmd: failed to rename ${e.tmp} to ${e.dest}")
     }
-    val metas = OcfDataSource.fetchMetas(table.hadoopConf,
-      entries.map(e => OcfDataSource.FileSlice(
-        fs.makeQualified(new Path(e.dest)).toString,
-        fs.getFileStatus(new Path(e.dest)).getLen)))
+    val dataDests: Seq[String] = dataMsgs.flatMap {
+      case OcfCommitMessage(files, _) => files.map(f =>
+        fs.makeQualified(new Path(f.dest)).toString)
+      case _ => Nil
+    }
+    val slices = (entries.map(e => fs.makeQualified(new Path(e.dest)).toString)
+      ++ dataDests).map(qp =>
+      OcfDataSource.FileSlice(qp, fs.getFileStatus(new Path(qp)).getLen))
+    val metas = OcfDataSource.fetchMetas(table.hadoopConf, slices)
       .map(m => m.path -> m).toMap
-    val added = entries.map { e =>
-      val qp = fs.makeQualified(new Path(e.dest)).toString
+    def snap(qp: String, deleteOf: Option[String]): OcfSnapshots.SnapFile = {
       val m = metas(qp)
       OcfSnapshots.SnapFile(OcfSnapshots.relativize(qualRoot, qp), m.len,
-        meta = Some(m.copy(bloomJson = None, blockIndexJson = None,
+        meta = Some(m.copy(
+          bloomInHeader = m.bloomJson.isDefined,
+          blockIndexInHeader = m.blockIndexJson.isDefined,
+          bloomJson = None, blockIndexJson = None,
           partitionValues = Array.empty)),
-        deleteOf = Some(e.targetRel))
+        deleteOf = deleteOf)
     }
-    OcfSnapshots.commit(fs, root, "delete-rows",
+    val added =
+      entries.map(e => snap(fs.makeQualified(new Path(e.dest)).toString,
+        Some(e.targetRel))) ++
+      dataDests.map(snap(_, None))
+    OcfSnapshots.commit(fs, root, opName,
       Some(table.catalogMeta.schema.json)) { prev =>
       // a concurrent rewrite/compaction may have replaced a target between
       // our scan and this commit — the recorded ordinals would then refer
       // to a DEAD file. Refuse (optimistic-concurrency conflict) rather
-      // than let dropOrphanDeletes silently discard the DELETE.
+      // than let dropOrphanDeletes silently discard the operation.
       val dataPaths = prev.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
-      added.foreach(a => require(dataPaths.contains(a.deleteOf.get),
-        s"graft-ocf merge-on-read DELETE: data file ${a.deleteOf.get} was " +
-          "replaced by a concurrent commit; re-run the DELETE"))
+      added.foreach(a => a.deleteOf.foreach(t => require(dataPaths.contains(t),
+        s"graft-ocf merge-on-read $cmd: data file $t was replaced by a " +
+          s"concurrent commit; re-run the $cmd")))
       prev ++ added
     }
     ()
@@ -1701,10 +1753,15 @@ private[sources] final class OcfPositionDeleteWrite(
     val root = new Path(table.catalogMeta.location)
     val fs = root.getFileSystem(table.hadoopConf)
     messages.foreach {
-      case OcfPositionDeleteMessage(files) => files.foreach { e =>
-        val p = new Path(e.tmp)
-        if (fs.exists(p)) fs.delete(p, false)
-      }
+      case OcfMorDeltaMessage(deletes, data) =>
+        deletes.foreach { e =>
+          val p = new Path(e.tmp)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+        (insertCfg, data) match {
+          case (Some(cfg), Some(d)) => OcfCommit.discard(cfg, Array(d))
+          case _ => ()
+        }
       case _ => ()
     }
   }
@@ -1712,32 +1769,37 @@ private[sources] final class OcfPositionDeleteWrite(
 
 private[sources] final case class OcfPositionDeleteEntry(
     tmp: String, dest: String, targetRel: String)
-private[sources] final case class OcfPositionDeleteMessage(
-    files: Seq[OcfPositionDeleteEntry])
+private[sources] final case class OcfMorDeltaMessage(
+    deletes: Seq[OcfPositionDeleteEntry],
+    data: Option[org.apache.spark.sql.connector.write.WriterCommitMessage])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] final case class OcfPositionDeleteWriterFactory(
     conf: SerializableHadoopConf,
-    tableDir: String, fileOrd: Int, posOrd: Int)
+    tableDir: String, fileOrd: Int, posOrd: Int,
+    insertCfg: Option[OcfWriteConfig] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] =
     new OcfPositionDeleteWriter(conf.value, tableDir, fileOrd, posOrd,
-      partitionId, taskId)
+      partitionId, taskId, insertCfg)
 }
 
-/** Task-side position-delete writer: buffers (target file -> ordinals) —
-  * 8 bytes per matched row — and on commit writes ONE small OCF per
-  * touched data file (`{"pos": long}` datums, sorted, `graft.deleteTarget`
-  * header stamp for observability). Only delete/insert arrive for a
-  * DELETE command; insert/update are contract violations and throw. */
+/** Task-side merge-on-read delta writer: DELETE ids buffer as
+  * (target file -> ordinals) — 8 bytes per matched row — and on commit
+  * write ONE small OCF per touched data file (`{"pos": long}` datums,
+  * sorted, `graft.deleteTarget` header stamp). INSERT rows (UPDATE/MERGE
+  * replacements, MERGE NOT MATCHED) stream through a normal
+  * [[OcfDataWriter]] under the table's validated write config. */
 private[sources] final class OcfPositionDeleteWriter(
     conf: Configuration, tableDir: String, fileOrd: Int, posOrd: Int,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    insertCfg: Option[OcfWriteConfig] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[org.apache.spark.sql.catalyst.InternalRow] {
 
   private val byTarget =
     new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+  private var dataWriter: OcfDataWriter = null
 
   override def delete(metadata: org.apache.spark.sql.catalyst.InternalRow,
                       id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
@@ -1753,12 +1815,23 @@ private[sources] final class OcfPositionDeleteWriter(
 
   override def update(metadata: org.apache.spark.sql.catalyst.InternalRow,
                       id: org.apache.spark.sql.catalyst.InternalRow,
-                      row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-    throw new IllegalStateException(
-      "graft-ocf merge-on-read operation only supports DELETE")
-  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-    throw new IllegalStateException(
-      "graft-ocf merge-on-read operation only supports DELETE")
+                      row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    // representUpdateAsDeleteAndInsert is declared, so Spark normally
+    // splits updates before they reach the writer — honor the pair form
+    // anyway rather than refuse
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val cfg = insertCfg.getOrElse(throw new IllegalStateException(
+      "graft-ocf merge-on-read DELETE received an insert row"))
+    if (dataWriter == null)
+      dataWriter = new OcfDataWriter(cfg,
+        f"part-u$partitionId%05d-$taskId-${cfg.jobId}.avro",
+        f".part-u$partitionId%05d-$taskId-${cfg.jobId}.avro.tmp")
+    dataWriter.write(row)
+  }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     import scala.jdk.CollectionConverters._
@@ -1779,16 +1852,15 @@ private[sources] final class OcfPositionDeleteWriter(
       finally out.close()
       OcfPositionDeleteEntry(tmp.toString, new Path(root, name).toString, targetRel)
     }
-    OcfPositionDeleteMessage(entries)
+    OcfMorDeltaMessage(entries,
+      if (dataWriter == null) None else Some(dataWriter.commit()))
   }
 
   override def abort(): Unit = {
-    val root = new Path(tableDir)
-    val fs = root.getFileSystem(conf)
-    // temps are only created in commit(); nothing to clean before that
-    ()
+    if (dataWriter != null) dataWriter.abort()
+    () // delete temps are only created in commit(); nothing before that
   }
-  override def close(): Unit = ()
+  override def close(): Unit = if (dataWriter != null) dataWriter.close()
 }
 
 private[sources] object OcfPositionDeleteWriter {

@@ -402,6 +402,11 @@ private[sources] final case class OcfWriteConfig(
     // ordinals in `sql`, aligned
     transformSpecs: Seq[OcfTransforms.Spec] = Nil,
     transformOrdinals: Array[Int] = Array.empty,
+    // merge-on-read UPDATE/MERGE inserts (X87) arrive UNSORTED by
+    // partition (no required ordering on delta writes): tolerate directory
+    // revisits by rolling chunks — sparse updates write few small files,
+    // and compact folds them
+    tolerateUnsortedPartitions: Boolean = false,
     snapshots: Boolean = false,
     // write-audit-publish (X83): commit manifests into this branch's
     // sequence instead of main — data files land normally (manifests gate
@@ -624,6 +629,10 @@ private[sources] final class OcfWrite(
     replaceFiles: Option[() => Seq[String]] = None)
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** The validated write config — the MoR delta write path builds its
+    * insert-side config through the normal builder and reads it here. */
+  private[sources] def config: OcfWriteConfig = cfg
 
   private def bucketTransform: org.apache.spark.sql.connector.expressions.Transform =
     org.apache.spark.sql.connector.expressions.Expressions.bucket(
@@ -877,7 +886,7 @@ private[sources] final class OcfDataWriter(
         // value pair) and silently reusing the tmp path would clobber the
         // sealed file — fail the task loudly instead
         require(cfg.numBuckets > 0 || cfg.transformSpecs.nonEmpty ||
-            seenPartDirs.add(pd),
+            cfg.tolerateUnsortedPartitions || seenPartDirs.add(pd),
           s"graft-ocf write: partition directory '$pd' revisited out of " +
             "order — input rows are not sorted by the partition columns")
         currentPartDir = pd
@@ -1672,7 +1681,7 @@ private[sources] object OcfCommit {
 
   /** Rename every committed temp over its final name (FileContext OVERWRITE
     * rename where available — atomic on HDFS/local). */
-  private def renameAll(cfg: OcfWriteConfig, fs: org.apache.hadoop.fs.FileSystem,
+  private[sources] def renameAll(cfg: OcfWriteConfig, fs: org.apache.hadoop.fs.FileSystem,
                         messages: Array[WriterCommitMessage]): Unit = {
     val fc =
       try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, cfg.conf.value))

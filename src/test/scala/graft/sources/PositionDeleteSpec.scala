@@ -202,6 +202,63 @@ class PositionDeleteSpec extends AnyFunSuite {
       .head.getLong(0) == expect.count(_ < 12))
   }
 
+  test("merge-on-read UPDATE/MERGE: delete files + fresh data files, no rewrites") {
+    spark.sql(
+      """CREATE TABLE gm.ns.moru (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id',
+        |  `write.delete.mode` 'merge-on-read',
+        |  `write.update.mode` 'merge-on-read',
+        |  `write.merge.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gm.ns.moru SELECT id, concat('a', id) FROM range(60)")
+    spark.sql("INSERT INTO gm.ns.moru SELECT id, concat('b', id) FROM range(60, 100)")
+    val dataBefore = snapFiles("moru").filter(_.deleteOf.isEmpty)
+      .map(f => f.path -> f.len).toMap
+
+    spark.sql("UPDATE gm.ns.moru SET v = concat('u', id) WHERE id % 10 = 4")
+
+    val after = snapFiles("moru")
+    // every pre-update data file survives byte-identical; the update added
+    // delete files AND fresh data files holding the replacements
+    dataBefore.foreach { case (p, len) =>
+      assert(after.exists(f => f.path == p && f.len == len && f.deleteOf.isEmpty),
+        s"$p must survive unreplaced") }
+    assert(after.exists(_.deleteOf.isDefined), "update must land delete files")
+    assert(after.count(_.deleteOf.isEmpty) > dataBefore.size,
+      "update must land fresh data files for the replacements")
+
+    val got = spark.table("gm.ns.moru").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 100)
+    assert(got(4L) == "u4" && got(94L) == "u94")
+    assert(got(5L) == "a5" && got(95L) == "b95")
+    // pre-update snapshot intact
+    assert(spark.sql(
+      "SELECT v FROM gm.ns.moru VERSION AS OF 2 WHERE id = 4").head.getString(0) == "a4")
+
+    // MERGE: matched rows update, unmatched insert — all merge-on-read
+    spark.sql(
+      """MERGE INTO gm.ns.moru t
+        |USING (SELECT id, concat('m', id) AS v
+        |       FROM range(95, 105)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val got2 = spark.table("gm.ns.moru").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got2.size == 105)
+    assert(got2(95L) == "m95" && got2(99L) == "m99")
+    assert(got2(100L) == "m100" && got2(104L) == "m104")
+    assert(got2(94L) == "u94" && got2(5L) == "a5")
+
+    // the fold restores a clean table with identical content
+    spark.sql("CALL gm.system.rewrite_position_deletes(table => 'ns.moru')")
+      .collect()
+    assert(!snapFiles("moru").exists(_.deleteOf.isDefined))
+    val got3 = spark.table("gm.ns.moru").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got3 == got2)
+  }
+
   test("incremental read refuses a range containing a MoR delete") {
     spark.sql(
       """CREATE TABLE gm.ns.morinc (id BIGINT)
