@@ -543,13 +543,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mp = metaPath(dir)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
     val meta = readMeta(fs, mp)
-    def guardBucketKey(k: String): Unit =
+    def guardBucketKey(k: String): Unit = {
       require(!k.equalsIgnoreCase("bucketColumns") && !k.equalsIgnoreCase("numBuckets"),
         "graft catalog: the bucket spec is layout (directory names encode " +
           "the hash); it cannot be altered without rewriting the table")
+      require(!k.equalsIgnoreCase("transformPartitions"),
+        "graft catalog: the partition transforms are layout (directory " +
+          "names encode the ordinals); they cannot be altered without " +
+          "rewriting the table")
+    }
+    // row-level mode flips (copy-on-write <-> merge-on-read) are legal and
+    // take effect on the next DML — but a bad VALUE must fail HERE, not at
+    // some future DELETE
+    def guardModeValue(k: String, v: String): Unit =
+      if (k.equalsIgnoreCase("write.delete.mode") ||
+          k.equalsIgnoreCase("write.update.mode") ||
+          k.equalsIgnoreCase("write.merge.mode")) {
+        val m = v.trim.toLowerCase(java.util.Locale.ROOT)
+        require(m == "copy-on-write" || m == "merge-on-read",
+          s"graft catalog: $k must be 'copy-on-write' or 'merge-on-read'; got '$v'")
+      }
     val updated = changes.foldLeft(meta) {
       case (m, set: TableChange.SetProperty) =>
         guardBucketKey(set.property)
+        guardModeValue(set.property, set.value)
         m.copy(options = m.options + (set.property -> set.value))
       case (m, rm: TableChange.RemoveProperty) =>
         guardBucketKey(rm.property)

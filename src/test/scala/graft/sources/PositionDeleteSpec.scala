@@ -259,6 +259,32 @@ class PositionDeleteSpec extends AnyFunSuite {
     assert(got3 == got2)
   }
 
+  test("ALTER TABLE flips row-level modes; layout keys and bad values refuse") {
+    spark.sql("CREATE TABLE gm.ns.morf (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gm.ns.morf SELECT id FROM range(20)")
+    // default copy-on-write: DELETE rewrites, no delete files
+    spark.sql("DELETE FROM gm.ns.morf WHERE id = 1")
+    assert(!snapFiles("morf").exists(_.deleteOf.isDefined))
+    // flip to merge-on-read: the NEXT delete lands position files
+    spark.sql(
+      "ALTER TABLE gm.ns.morf SET TBLPROPERTIES (`write.delete.mode` 'merge-on-read')")
+    spark.sql("DELETE FROM gm.ns.morf WHERE id = 2")
+    assert(snapFiles("morf").exists(_.deleteOf.isDefined))
+    assert(spark.table("gm.ns.morf").count() == 18L)
+    // a bad value fails AT ALTER, not at some future DELETE
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gm.ns.morf SET TBLPROPERTIES (`write.delete.mode` 'sideways')")
+    }
+    assert(e.getMessage.contains("copy-on-write"), e.getMessage)
+    // partition transforms are layout: not alterable
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gm.ns.morf SET TBLPROPERTIES (transformPartitions 'days(id)')")
+    }
+    assert(e2.getMessage.contains("layout"), e2.getMessage)
+  }
+
   test("incremental read refuses a range containing a MoR delete") {
     spark.sql(
       """CREATE TABLE gm.ns.morinc (id BIGINT)
