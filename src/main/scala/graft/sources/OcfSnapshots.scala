@@ -83,7 +83,12 @@ private[graft] object OcfSnapshots {
                                tableSchemaJson: Option[String],
                                full: Option[Seq[SnapFile]],
                                base: Long, adds: Seq[SnapFile],
-                               removes: Set[String])
+                               removes: Set[String],
+                               // the chain's FULL (checkpoint) manifest
+                               // version, stamped in every delta so a read
+                               // can fetch the whole chain CONCURRENTLY
+                               // (-1 on pre-stamp deltas: sequential walk)
+                               ckpt: Long = -1L)
 
   private val mapper = new ObjectMapper()
 
@@ -173,7 +178,8 @@ private[graft] object OcfSnapshots {
           val it = arr.elements()
           while (it.hasNext) removes += it.next().asText
         }
-        Raw(version, ts, op, schema, None, b.asLong, parseFiles(), removes.result())
+        Raw(version, ts, op, schema, None, b.asLong, parseFiles(), removes.result(),
+          ckpt = Option(root.get("ckpt")).map(_.asLong).getOrElse(-1L))
       case None =>
         Raw(version, ts, op, schema, Some(parseFiles()), -1L, Nil, Set.empty)
     }
@@ -217,7 +223,8 @@ private[graft] object OcfSnapshots {
     mapper.writeValueAsBytes(root)
   }
 
-  private def renderDelta(s: Snapshot, base: Long, adds: Seq[SnapFile],
+  private def renderDelta(s: Snapshot, base: Long, ckpt: Long,
+                          adds: Seq[SnapFile],
                           removes: Seq[String]): Array[Byte] = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
@@ -225,6 +232,7 @@ private[graft] object OcfSnapshots {
     root.put("operation", s.operation)
     s.tableSchemaJson.foreach(root.put("tableSchema", _))
     root.put("base", base)
+    if (ckpt >= 0) root.put("ckpt", ckpt)
     val rarr = root.putArray("removes")
     removes.foreach(rarr.add)
     writeEntries(root, adds)
@@ -248,17 +256,48 @@ private[graft] object OcfSnapshots {
     * the number of DELTA manifests in the chain (0 = top itself is full) —
     * the commit cadence input. */
   private def resolveWithDepth(top: Raw, lookup: Long => Raw): (Snapshot, Int) = {
+    // ckpt-stamped chains PREFETCH every manifest down to the checkpoint
+    // concurrently — on an object store that turns up-to-CheckpointEvery
+    // sequential round trips into one parallel batch. The prefetch is only
+    // a cache: the walk below still follows base pointers exactly, so a
+    // stale stamp (an intermediate manifest expire rewrote to full) just
+    // terminates earlier, and a fetch miss falls back to the direct lookup.
+    val prefetched: Map[Long, Raw] =
+      if (top.full.isDefined || top.ckpt < 0 || top.version - top.ckpt <= 2)
+        Map.empty
+      else {
+        val vs = top.ckpt until top.version
+        val futs = vs.map(v => v -> chainPool.submit(
+          new java.util.concurrent.Callable[Option[Raw]] {
+            override def call(): Option[Raw] =
+              try Some(lookup(v)) catch { case _: Exception => None }
+          }))
+        futs.flatMap { case (v, f) => f.get().map(v -> _) }.toMap
+      }
+    val look: Long => Raw = v => prefetched.getOrElse(v, lookup(v))
     var deltas = List.empty[Raw]
     var cur = top
     while (cur.full.isEmpty) {
       deltas ::= cur // ends up base-to-top ordered
-      cur = lookup(cur.base)
+      cur = look(cur.base)
     }
     var files = cur.full.get
     deltas.foreach(d => files = applyDelta(files, d))
     (Snapshot(top.version, top.timestampMs, top.operation, files,
       top.tableSchemaJson), deltas.length)
   }
+
+  /** Bounded daemon pool for concurrent chain prefetch (manifest JSONs are
+    * tiny; latency, not bandwidth, is the cost being parallelized). */
+  private lazy val chainPool = java.util.concurrent.Executors.newFixedThreadPool(8,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-manifest-chain-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 
   private def rawMain(fs: FileSystem, tableDir: Path)(v: Long): Raw =
     readRaw(fs, manifestPath(tableDir, v))
@@ -416,7 +455,7 @@ private[graft] object OcfSnapshots {
       adds.iterator.map(_.path)
     if (!replayed.sameElements(next.files.iterator.map(_.path)))
       return renderFull(next)
-    renderDelta(next, prevVersion.get, adds, removes)
+    renderDelta(next, prevVersion.get, prevVersion.get - prevDepth, adds, removes)
   }
 
   /** Optimistic snapshot commit: `transform` maps the previous visible set

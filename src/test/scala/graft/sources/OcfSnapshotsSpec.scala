@@ -909,6 +909,25 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     val headFiles = OcfSnapshots.read(fs, root, head).files
     assert(headFiles.length == 2002 + OcfSnapshots.CheckpointEvery + 3)
     assert(headFiles.last.path == s"tail-${OcfSnapshots.CheckpointEvery + 2}.avro")
+    // every delta stamps its chain's checkpoint version, enabling the
+    // concurrent chain prefetch (readers never walk base pointers one
+    // round trip at a time on an object store)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    (2L to head).foreach { v =>
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root.toUri.getPath, OcfSnapshots.Dir, f"_v$v%012d.json"))
+      val node = om.readTree(bytes)
+      if (node.has("base")) {
+        assert(node.has("ckpt"), s"delta v$v must stamp its checkpoint")
+        val ck = node.get("ckpt").asLong
+        assert(ck >= 1L && ck < v, s"v$v ckpt=$ck")
+        // the stamped version IS a full manifest
+        val ckNode = om.readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(root.toUri.getPath, OcfSnapshots.Dir,
+            f"_v$ck%012d.json")))
+        assert(!ckNode.has("base"), s"v$v ckpt=$ck must name a FULL manifest")
+      }
+    }
   }
 
   test("expire_snapshots checkpoints retained deltas before dropping their chain") {
