@@ -1710,7 +1710,11 @@ private[graft] final case class OcfScan(
         (if (pushedFilters.nonEmpty)
           s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "") +
-        (if (bucketN > 0) s" BucketedBy: ${bucketCols.mkString(",")} into $bucketN" else "")
+        (if (bucketN > 0) s" BucketedBy: ${bucketCols.mkString(",")} into $bucketN" else "") +
+        (if (deletes.nonEmpty)
+          s" PositionDeletes: ${deletes.valuesIterator.map(_.size).sum} file(s) " +
+            s"over ${deletes.size} target(s)" else "") +
+        (if (withPos) " RowOrdinals: _pos (unsplit files)" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }
 
