@@ -1593,6 +1593,39 @@ object SparkEntry {
         .orderBy("phase", "source")
     }),
 
+    // Change-data-feed (X92): the per-commit inserts/deletes recovered
+    // from snapshot diffs and position-delete anti-joins — a MoR DELETE
+    // emits its lost rows, a MoR UPDATE its delete+insert pair. The oracle
+    // recomputes the exact same feed from the flat corpus.
+    "q107_change_feed" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q107",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q107_wh_")
+      s.conf.set("spark.sql.catalog.graft_q107.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q107.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q107.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q107.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`
+          |OPTIONS (`write.delete.mode` 'merge-on-read',
+          |  `write.update.mode` 'merge-on-read')""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q107_src")
+      s.sql("INSERT INTO graft_q107.corpus.docs SELECT * FROM graft_q107_src")
+      s.sql("DELETE FROM graft_q107.corpus.docs WHERE doc_id % 11 = 3")
+      s.sql(
+        """UPDATE graft_q107.corpus.docs
+          |SET n_chars = n_chars + 500 WHERE doc_id % 13 = 2""".stripMargin)
+      graft.sources.GraftChanges.changes(s,
+          new java.io.File(wh, "corpus/docs").getAbsolutePath, 1L)
+        .select(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("commit_version", "change_type", "doc_id")
+    }),
+
     // Merge-on-read UPDATE (X87): the correction writes delete files for
     // the old positions plus fresh data files for the replacements — no
     // existing data file rewritten — and the read folds all three
@@ -2633,6 +2666,20 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the exact feed: v2 deletes the % 11 = 3 docs; v3 pairs a delete of
+    // each still-live % 13 = 2 doc with its corrected insert
+    "q107_change_feed" ->
+      """SELECT CAST(2 AS BIGINT) AS commit_version, 'delete' AS change_type,
+        |  doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 11 = 3
+        |UNION ALL
+        |SELECT 3, 'delete', doc_id, CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 13 = 2 AND doc_id % 11 <> 3
+        |UNION ALL
+        |SELECT 3, 'insert', doc_id, CAST(n_chars AS BIGINT) + 500
+        |FROM documents WHERE doc_id % 13 = 2 AND doc_id % 11 <> 3
+        |ORDER BY commit_version, change_type, doc_id""".stripMargin,
 
     // the merge-on-read UPDATE's logical view: every doc once, corrected
     // lengths where doc_id % 9 = 5

@@ -40,6 +40,7 @@ private[sources] object GraftProcedures {
     val known: Map[String, UnboundProcedure] = Map(
       "compact" -> new CompactProcedure(cat),
       "rewrite_position_deletes" -> new RewritePositionDeletesProcedure(cat),
+      "rewrite_manifests" -> new RewriteManifestsProcedure(cat),
       "vacuum_temps" -> new VacuumTempsProcedure(cat),
       "expire_snapshots" -> new ExpireSnapshotsProcedure(cat),
       "remove_orphan_files" -> new RemoveOrphanFilesProcedure(cat),
@@ -189,6 +190,42 @@ private[sources] object GraftProcedures {
       singleRowResult(outSchema, Array[Any](
         before.size.toLong, after.size.toLong,
         before.map(_._2).sum, after.map(_._2).sum))
+    }
+  }
+
+  /** `CALL g.system.rewrite_manifests(table => 'ns.t')` — force the head
+    * manifest into a full checkpoint (in place, same version, identical
+    * resolved content). After a long run of delta commits this collapses
+    * every read's chain walk to ONE manifest fetch and resets the delta
+    * chain for subsequent commits — the Iceberg `rewrite_manifests`
+    * analog, pointed at the delta/checkpoint shape. */
+  private final class RewriteManifestsProcedure(cat: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rewrite_manifests"
+    override def description(): String =
+      "Checkpoint the head manifest (collapse its delta chain)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("catalog-relative table name, e.g. 'corpus.docs'").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("rewritten", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      require(OcfSnapshots.enabled(fs, root),
+        s"graft rewrite_manifests: ${meta.location} is not snapshot-managed")
+      val (v, rewritten) = OcfSnapshots.checkpointHead(fs, root).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft rewrite_manifests: ${meta.location} has no snapshots"))
+      singleRowResult(outSchema, Array[Any](v, rewritten))
     }
   }
 

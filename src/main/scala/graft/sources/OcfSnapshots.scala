@@ -522,6 +522,21 @@ private[graft] object OcfSnapshots {
     true
   }
 
+  /** Force the HEAD manifest into a full checkpoint in place (same version,
+    * same resolved content — only the representation changes, so races with
+    * readers and committers are benign). Resets the delta chain: the next
+    * commit deltas against a depth-0 base, and every read of head becomes
+    * one manifest fetch. Returns (head version, whether it was a delta). */
+  def checkpointHead(fs: FileSystem, tableDir: Path): Option[(Long, Boolean)] =
+    versions(fs, tableDir).lastOption.map { v =>
+      val raw = rawMain(fs, tableDir)(v)
+      if (raw.full.isDefined) (v, false)
+      else {
+        replaceFile(fs, manifestPath(tableDir, v), renderFull(read(fs, tableDir, v)))
+        (v, true)
+      }
+    }
+
   /** Replace `dest` with `bytes` — FileContext OVERWRITE rename (atomic on
     * HDFS/local) with an exists/delete/rename fallback. Used only by
     * maintenance rewrites whose old and new content RESOLVE identically, so

@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Change-data-feed reads (X92): inserts/deletes per commit recovered from
+  * snapshot diffs + position-delete anti-joins; refusal on unrecoverable
+  * rewrites; row-preserving maintenance emits nothing. */
+class GraftChangesSpec extends AnyFunSuite {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-cdc-wh").toFile
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-cdc-spec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.gc", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gc.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gc.ns")
+    s
+  }
+
+  private def loc(t: String) = new java.io.File(warehouse, s"ns/$t").getAbsolutePath
+
+  test("insert/delete/update commits emit the exact CDC rows") {
+    spark.sql(
+      """CREATE TABLE gc.ns.cdc (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (
+        |  `write.delete.mode` 'merge-on-read',
+        |  `write.update.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gc.ns.cdc SELECT id, concat('a', id) FROM range(10)")   // v1
+    spark.sql("INSERT INTO gc.ns.cdc SELECT id, concat('b', id) FROM range(10, 16)") // v2
+    spark.sql("DELETE FROM gc.ns.cdc WHERE id IN (3, 12)")                          // v3
+    spark.sql("UPDATE gc.ns.cdc SET v = concat('u', id) WHERE id IN (5, 13)")       // v4
+
+    val ch = GraftChanges.changes(spark, loc("cdc"), 1L)
+      .select("_commit_version", "_change_type", "id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    // v2: 6 inserts; v3: 2 deletes (original values); v4: delete+insert pairs
+    assert(ch.filter(_._1 == 2L).toSeq ==
+      (10L until 16L).map(i => (2L, "insert", i, s"b$i")))
+    assert(ch.filter(_._1 == 3L).toSeq ==
+      Seq((3L, "delete", 3L, "a3"), (3L, "delete", 12L, "b12")))
+    assert(ch.filter(_._1 == 4L).toSeq == Seq(
+      (4L, "delete", 5L, "a5"), (4L, "delete", 13L, "b13"),
+      (4L, "insert", 5L, "u5"), (4L, "insert", 13L, "u13")))
+    // bounded range: only v2
+    val ch2 = GraftChanges.changes(spark, loc("cdc"), 1L, Some(2L))
+    assert(ch2.count() == 6L)
+    // applying the feed to the v1 snapshot reproduces the v4 snapshot
+    val base = spark.sql("SELECT id, v FROM gc.ns.cdc VERSION AS OF 1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val replayed = ch.foldLeft(base) {
+      case (s, (_, "insert", id, v)) => s + ((id, v))
+      case (s, (_, "delete", id, v)) => s - ((id, v))
+      case (s, _) => s
+    }
+    val now = spark.table("gc.ns.cdc")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == now, "replaying the feed must reproduce the head")
+  }
+
+  test("row-preserving rewrites emit nothing; CoW rewrites refuse") {
+    spark.sql(
+      """CREATE TABLE gc.ns.cdp (id BIGINT)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gc.ns.cdp SELECT id FROM range(10)")       // v1
+    spark.sql("DELETE FROM gc.ns.cdp WHERE id = 4")                   // v2
+    spark.sql("CALL gc.system.rewrite_position_deletes(table => 'ns.cdp')") // v3
+    spark.sql("INSERT INTO gc.ns.cdp SELECT id FROM range(10, 12)")   // v4
+    val ch = GraftChanges.changes(spark, loc("cdp"), 1L)
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // the fold (v3) contributes nothing; v2's delete and v4's inserts do
+    assert(ch.toSet == Set((2L, "delete", 4L),
+      (4L, "insert", 10L), (4L, "insert", 11L)))
+
+    // a copy-on-write UPDATE replaces files: unrecoverable, refused
+    spark.sql("UPDATE gc.ns.cdp SET id = id + 100 WHERE id = 5")      // v5 (CoW)
+    val e = intercept[Exception] {
+      GraftChanges.changes(spark, loc("cdp"), 1L).collect()
+    }
+    assert(e.getMessage.contains("not recoverable"), e.getMessage)
+    // starting after the rewriting commit works again
+    spark.sql("INSERT INTO gc.ns.cdp SELECT id FROM range(20, 22)")   // v6
+    val ch2 = GraftChanges.changes(spark, loc("cdp"), 5L)
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ch2.toSet == Set((6L, "insert", 20L), (6L, "insert", 21L)))
+  }
+}

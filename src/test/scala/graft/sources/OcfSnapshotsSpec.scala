@@ -930,6 +930,30 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("rewrite_manifests checkpoints the head in place, idempotently") {
+    spark.sql("CREATE TABLE gs.ns.rwm (id BIGINT) USING `graft-ocf`")
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO gs.ns.rwm SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val root = new Path(warehouse.getAbsolutePath, "ns/rwm")
+    def headJson() = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        root.toUri.getPath, OcfSnapshots.Dir, "_v000000000004.json")))
+    assert(headJson().has("base"), "head starts as a delta")
+    val r1 = spark.sql("CALL gs.system.rewrite_manifests(table => 'ns.rwm')")
+      .collect().head
+    assert(r1.getLong(0) == 4L && r1.getBoolean(1))
+    assert(!headJson().has("base"), "head is now a full checkpoint")
+    assert(spark.table("gs.ns.rwm").count() == 40L)
+    assert(spark.sql("SELECT count(*) FROM gs.ns.rwm VERSION AS OF 2")
+      .head.getLong(0) == 20L)
+    // idempotent; the next commit deltas against the fresh checkpoint
+    val r2 = spark.sql("CALL gs.system.rewrite_manifests(table => 'ns.rwm')")
+      .collect().head
+    assert(r2.getLong(0) == 4L && !r2.getBoolean(1))
+    spark.sql("INSERT INTO gs.ns.rwm SELECT id FROM range(40, 45)")
+    assert(spark.table("gs.ns.rwm").count() == 45L)
+  }
+
   test("expire_snapshots checkpoints retained deltas before dropping their chain") {
     spark.sql("CREATE TABLE gs.ns.expchain (id BIGINT) USING `graft-ocf`")
     (0 until 6).foreach(i =>
