@@ -38,6 +38,27 @@ object GraftChanges {
   /** Commits whose file removals are row-preserving by construction. */
   private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
 
+  /** [[changes]] for a catalog-qualified table (`"cat.ns.table"`): the
+    * location AND the stored reader schema come from the catalog, so the
+    * feed unions cleanly even across schema evolution in the range. */
+  def forTable(spark: SparkSession, qualifiedName: String,
+               startVersion: Long, endVersion: Option[Long] = None): DataFrame = {
+    val parts = qualifiedName.split('.')
+    require(parts.length >= 3,
+      s"graft-ocf changes: want 'catalog.namespace.table', got '$qualifiedName'")
+    val cat = spark.sessionState.catalogManager.catalog(parts.head) match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"graft-ocf changes: catalog '${parts.head}' is ${other.getClass.getName}, " +
+          "not a GraftCatalog")
+    }
+    val meta = cat.tableMeta(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        parts.tail.init, parts.last))
+    changes(spark, meta.location, startVersion, endVersion,
+      Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)))
+  }
+
   def changes(spark: SparkSession, tableDir: String,
               startVersion: Long, endVersion: Option[Long] = None,
               readerSchemaJson: Option[String] = None): DataFrame = {

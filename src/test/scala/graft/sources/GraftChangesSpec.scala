@@ -66,6 +66,13 @@ class GraftChangesSpec extends AnyFunSuite {
     val now = spark.table("gc.ns.cdc")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(replayed == now, "replaying the feed must reproduce the head")
+    // catalog-qualified convenience: same feed, schema from the catalog
+    val viaCat = GraftChanges.forTable(spark, "gc.ns.cdc", 1L)
+      .select("_commit_version", "_change_type", "id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(viaCat.toSeq == ch.toSeq)
   }
 
   test("row-preserving rewrites emit nothing; CoW rewrites refuse") {
