@@ -217,6 +217,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.manifests` — the manifest layer's physical
+      // shape: full-vs-delta, sizes, entry counts, checkpoint stamps
+      if (ident.name == "manifests" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          return new OcfManifestsMetaTable(
+            (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
+        }
+      }
       // `SELECT * FROM g.ns.t.partitions` — per-partition file/row/byte
       // rollup from the same header-free meta loader as `.files`
       if (ident.name == "partitions" && ident.namespace.length >= 2) {
@@ -2014,6 +2024,60 @@ private[sources] final class OcfFilesMetaTable(
                 UTF8String.fromString("position-deletes"),
                 UTF8String.fromString(sf.deleteOf.get)))
             }.toArray
+        }
+      }
+    }
+}
+
+/** `SELECT * FROM <cat>.<ns>.<table>.manifests` — one row per retained
+  * manifest with its PHYSICAL shape: kind (full checkpoint vs delta),
+  * serialized size, entry/remove counts and the delta's checkpoint stamp.
+  * The observability face of the O(delta) commit layer: `WHERE kind =
+  * 'delta' AND version - checkpoint > N` finds tables due a
+  * `rewrite_manifests`, and the size column shows commit cost staying
+  * O(delta) as the table grows. Manifest JSONs only — no data touched. */
+private[sources] final class OcfManifestsMetaTable(
+    fullName: String, meta: GraftCatalog.TableMeta, conf: Configuration)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val outSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("entries", LongType, nullable = false),
+    StructField("removes", LongType, nullable = false),
+    StructField("checkpoint", LongType, nullable = true)))
+
+  override def name(): String = fullName
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String =
+          s"graft-ocf MANIFESTS metadata of ${meta.location}"
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val root = new Path(meta.location)
+          val fsys = root.getFileSystem(conf)
+          if (!OcfSnapshots.enabled(fsys, root)) return Array.empty
+          OcfSnapshots.manifestSummaries(fsys, root).map { m =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+              m.version,
+              m.timestampMs * 1000L,
+              UTF8String.fromString(m.operation),
+              UTF8String.fromString(if (m.isFull) "full" else "delta"),
+              m.sizeBytes,
+              m.entries.toLong,
+              m.removes.toLong,
+              if (m.ckpt >= 0) java.lang.Long.valueOf(m.ckpt) else null))
+          }.toArray
         }
       }
     }

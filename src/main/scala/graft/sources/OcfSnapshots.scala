@@ -522,6 +522,24 @@ private[graft] object OcfSnapshots {
     true
   }
 
+  /** One retained manifest's physical shape, for the `.manifests`
+    * observability table: full-vs-delta, entry counts and the delta's
+    * checkpoint stamp (-1 on fulls and pre-stamp deltas). */
+  final case class ManifestInfo(version: Long, timestampMs: Long,
+                                operation: String, isFull: Boolean,
+                                sizeBytes: Long, entries: Int, removes: Int,
+                                ckpt: Long)
+
+  def manifestSummaries(fs: FileSystem, tableDir: Path): Seq[ManifestInfo] =
+    versions(fs, tableDir).map { v =>
+      val p = manifestPath(tableDir, v)
+      val len = fs.getFileStatus(p).getLen
+      val raw = readRaw(fs, p)
+      ManifestInfo(v, raw.timestampMs, raw.operation, raw.full.isDefined, len,
+        raw.full.map(_.length).getOrElse(raw.adds.length), raw.removes.size,
+        raw.ckpt)
+    }
+
   /** Force the HEAD manifest into a full checkpoint in place (same version,
     * same resolved content — only the representation changes, so races with
     * readers and committers are benign). Resets the delta chain: the next

@@ -954,6 +954,27 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     assert(spark.table("gs.ns.rwm").count() == 45L)
   }
 
+  test(".manifests reports the delta/checkpoint shape of the commit layer") {
+    val rows = spark.sql(
+      """SELECT version, kind, size_bytes, entries, removes, checkpoint
+        |FROM gs.ns.rwm.manifests ORDER BY version""".stripMargin).collect()
+    // rwm (previous test): v1 full, v2-v4 deltas until rewrite_manifests
+    // checkpointed v4 in place, then v5 deltas against it
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    val kinds = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds(1L) == "full" && kinds(2L) == "delta" && kinds(3L) == "delta")
+    assert(kinds(4L) == "full", "rewrite_manifests checkpointed the head")
+    assert(kinds(5L) == "delta")
+    // the delta commits stayed O(delta): each carries few entries, and its
+    // checkpoint stamp names a full manifest
+    rows.filter(_.getString(1) == "delta").foreach { r =>
+      assert(r.getLong(3) <= 8L, s"delta v${r.getLong(0)} entries=${r.getLong(3)}")
+      assert(!r.isNullAt(5) && kinds(r.getLong(5)) == "full",
+        s"delta v${r.getLong(0)} checkpoint=${r.get(5)}")
+    }
+    assert(rows.forall(_.getLong(2) > 0L))
+  }
+
   test("expire_snapshots checkpoints retained deltas before dropping their chain") {
     spark.sql("CREATE TABLE gs.ns.expchain (id BIGINT) USING `graft-ocf`")
     (0 until 6).foreach(i =>
