@@ -1679,7 +1679,8 @@ private[sources] final class OcfPositionDeleteWrite(
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.DeltaWrite
-    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
@@ -1704,6 +1705,21 @@ private[sources] final class OcfPositionDeleteWrite(
     }
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+
+  /** Cluster the delta stream by the INSERT side's layout (identity
+    * partitions / transforms / buckets) so replacement rows land one task
+    * per directory instead of a sliver per task. Best-effort, not
+    * strictly required: delete-only streams and tiny updates should not
+    * pay a mandatory exchange, and the writer's revisit tolerance keeps
+    * any ordering correct. DELETE commands require nothing. */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    insertCfg.map(OcfWrite.clusteredDistributionFor).getOrElse(
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified())
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def createBatchWriterFactory(
       pinfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)

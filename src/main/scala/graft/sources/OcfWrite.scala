@@ -435,6 +435,48 @@ private[sources] object OcfWrite {
   private[sources] def epochDoomed(name: String, prefix: String): Boolean =
     name.startsWith(prefix)
 
+  private[sources] def bucketTransformFor(cfg: OcfWriteConfig)
+      : org.apache.spark.sql.connector.expressions.Transform =
+    org.apache.spark.sql.connector.expressions.Expressions.bucket(
+      cfg.numBuckets, cfg.bucketNames: _*)
+
+  /** Hidden-transform expressions (X88), resolved by Spark through the
+    * table's V2 function catalog (years/months/days/hours/truncate) — the
+    * same ordinals the writer renders into directory names. */
+  private[sources] def transformExprsFor(cfg: OcfWriteConfig)
+      : Seq[org.apache.spark.sql.connector.expressions.Transform] =
+    cfg.transformSpecs.map { spec =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      spec.kind match {
+        case "years" => Expressions.years(spec.col)
+        case "months" => Expressions.months(spec.col)
+        case "days" => Expressions.days(spec.col)
+        case "hours" => Expressions.hours(spec.col)
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(spec.width), Expressions.column(spec.col))
+      }
+    }
+
+  /** The layout-clustering distribution every write of `cfg` wants: rows
+    * grouped by (identity partitions, transform ordinals, bucket id) so a
+    * directory's rows land in one task — shared by the batch write and the
+    * merge-on-read delta write's insert side. */
+  private[sources] def clusteredDistributionFor(cfg: OcfWriteConfig)
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (cfg.numBuckets > 0 || cfg.transformSpecs.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        (cfg.partNames.map(org.apache.spark.sql.connector.expressions.Expressions.identity) ++
+          transformExprsFor(cfg) ++
+          (if (cfg.numBuckets > 0) Seq(bucketTransformFor(cfg)) else Nil))
+          .toArray[org.apache.spark.sql.connector.expressions.Expression])
+    else if (cfg.partNames.nonEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        cfg.partNames.map(n =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(n)
+            : org.apache.spark.sql.connector.expressions.Expression))
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
   /** The PRE-`e` streaming epoch shape (`part-NNNNN-NNNNN.avro`). Epoch
     * cleanup deliberately never matches it (see [[epochDoomed]]) — but a
     * sink still holding such files when a NEW-naming epoch commits means an
@@ -635,24 +677,10 @@ private[sources] final class OcfWrite(
   private[sources] def config: OcfWriteConfig = cfg
 
   private def bucketTransform: org.apache.spark.sql.connector.expressions.Transform =
-    org.apache.spark.sql.connector.expressions.Expressions.bucket(
-      cfg.numBuckets, cfg.bucketNames: _*)
+    OcfWrite.bucketTransformFor(cfg)
 
-  /** Hidden-transform expressions (X88), resolved by Spark through the
-    * table's V2 function catalog (years/months/days/hours/truncate) — the
-    * same ordinals the writer renders into directory names. */
   private def transformExprs: Seq[org.apache.spark.sql.connector.expressions.Transform] =
-    cfg.transformSpecs.map { spec =>
-      import org.apache.spark.sql.connector.expressions.Expressions
-      spec.kind match {
-        case "years" => Expressions.years(spec.col)
-        case "months" => Expressions.months(spec.col)
-        case "days" => Expressions.days(spec.col)
-        case "hours" => Expressions.hours(spec.col)
-        case "truncate" => Expressions.apply("truncate",
-          Expressions.literal(spec.width), Expressions.column(spec.col))
-      }
-    }
+    OcfWrite.transformExprsFor(cfg)
 
   /** Bucketed writes cluster rows by (partitions, bucket id) BEFORE the
     * tasks run, so each bucket's rows land in one task → one well-sized
