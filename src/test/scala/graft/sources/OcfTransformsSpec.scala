@@ -221,6 +221,52 @@ class OcfTransformsSpec extends AnyFunSuite {
       planned.toString)
   }
 
+  test("streaming reads and writes compose with transform layouts") {
+    import org.apache.spark.sql.streaming.Trigger
+    // streaming READ of the days(ts) table from the earlier test
+    val ck1 = java.nio.file.Files.createTempDirectory("graft-tf-ck1").toString
+    val q1 = spark.readStream.table("gt.ns.ev")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("tf_stream_count")
+      .outputMode("complete")
+      .option("checkpointLocation", ck1)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination(60000)
+    val streamed = spark.sql("SELECT count FROM tf_stream_count").head.getLong(0)
+    assert(streamed == spark.table("gt.ns.ev").count(), s"streamed $streamed")
+
+    // streaming WRITE routes epochs into transform directories
+    spark.sql(
+      """CREATE TABLE gt.ns.evs (ts TIMESTAMP, v BIGINT)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+    val src = java.nio.file.Files.createTempDirectory("graft-tf-src").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-tf-ck2").toString
+    spark.sql(
+      """SELECT timestamp'2024-08-01 00:00:00'
+        |  + make_interval(0,0,0,0,0,0,id*43200) AS ts, id AS v
+        |FROM range(0, 8)""".stripMargin) // 4 days, half-day steps
+      .coalesce(1).write.parquet(src + "/p1")
+    val q2 = spark.readStream.schema("ts TIMESTAMP, v BIGINT")
+      .parquet(src + "/*")
+      .writeStream.option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow())
+      .toTable("gt.ns.evs")
+    q2.awaitTermination(60000)
+    assert(spark.table("gt.ns.evs").count() == 8L)
+    val root = new java.io.File(warehouse, "ns/evs")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("_p_")).sorted
+    assert(dirs.toSeq == Seq("_p_days_ts=2024-08-01", "_p_days_ts=2024-08-02",
+      "_p_days_ts=2024-08-03", "_p_days_ts=2024-08-04"), dirs.toSeq.toString)
+    // and hidden pruning serves the streamed layout
+    spark.sql(
+      "SELECT count(*) FROM gt.ns.evs WHERE ts < timestamp'2024-08-02 00:00:00'")
+      .collect()
+    assert(OcfDataSource.lastPlannedFiles.get()
+      .forall(_.contains("_p_days_ts=2024-08-01")))
+  }
+
   test("time travel and snapshots compose with transform layouts") {
     val root = new Path(warehouse.getAbsolutePath, "ns/ev")
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())

@@ -259,6 +259,38 @@ class PositionDeleteSpec extends AnyFunSuite {
     assert(got3 == got2)
   }
 
+  test("expire_snapshots physically reclaims folded delete files") {
+    spark.sql(
+      """CREATE TABLE gm.ns.morx (id BIGINT)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gm.ns.morx SELECT id FROM range(30)")
+    spark.sql("DELETE FROM gm.ns.morx WHERE id % 3 = 1")
+    val root = new Path(warehouse.getAbsolutePath, "ns/morx")
+    def deleteFilesOnDisk(): Seq[String] = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.startsWith("_delete-")) b += n
+      }
+      b.result()
+    }
+    assert(deleteFilesOnDisk().nonEmpty)
+    spark.sql("CALL gm.system.rewrite_position_deletes(table => 'ns.morx')")
+      .collect()
+    // folded OUT of the manifest, but retained on disk for time travel
+    assert(!snapFiles("morx").exists(_.deleteOf.isDefined))
+    assert(deleteFilesOnDisk().nonEmpty, "history retains the delete files")
+    assert(spark.sql("SELECT count(*) FROM gm.ns.morx VERSION AS OF 2")
+      .head.getLong(0) == 20L, "pre-fold version still reads through them")
+    spark.sql(
+      "CALL gm.system.expire_snapshots(table => 'ns.morx', keep_last => 1)")
+      .collect()
+    assert(deleteFilesOnDisk().isEmpty,
+      "expiry must reclaim delete files referenced only by expired history")
+    assert(spark.table("gm.ns.morx").count() == 20L)
+  }
+
   test("ALTER TABLE flips row-level modes; layout keys and bad values refuse") {
     spark.sql("CREATE TABLE gm.ns.morf (id BIGINT) USING `graft-ocf`")
     spark.sql("INSERT INTO gm.ns.morf SELECT id FROM range(20)")
