@@ -46,6 +46,23 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological unbroken blobs count in bounded time (segmented)") {
+    // a 200 KB single pre-token (no merges apply) — the quadratic greedy
+    // loop would take minutes unsegmented; segmented it is instant, exact,
+    // and byte-lossless
+    val blob = "x" * 200000
+    val t0 = System.nanoTime()
+    assert(count(blob) == 200000L)
+    assert((System.nanoTime() - t0) / 1e9 < 20.0, "segmentation must bound the loop")
+    assert(Bpe.tokenizeBytes(blob, Bpe.V1).length == count(blob))
+    // a blob that DOES merge: 'ththth...' halves via the t-h merge, and
+    // tokenize/count agree across segment boundaries
+    val merging = "th" * 50000
+    assert(count(merging) == Bpe.tokenizeBytes(merging, Bpe.V1).length.toLong)
+    val joined = Bpe.tokenizeBytes(merging, Bpe.V1).foldLeft(Array.empty[Byte])(_ ++ _)
+    assert(java.util.Arrays.equals(joined, merging.getBytes("UTF-8")))
+  }
+
   test("deterministic across calls and threads; custom merges tables work") {
     val t = "the theatre and the band"
     val first = count(t)
