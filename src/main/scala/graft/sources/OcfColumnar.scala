@@ -20,9 +20,12 @@ import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   * the flat-scan shape, never a second semantics. */
 private[graft] object OcfColumnar {
 
-  /** One flat field: its Spark type, the wire primitive, and (for a
-    * nullable `[null,T]`/`[T,null]` union) which branch index is null. */
-  final case class Field(dt: DataType, wire: AvroSchema, nullBranch: Int) {
+  /** One flat reader field: its name, Spark type, wire primitive, and
+    * (for a nullable `[null,T]`/`[T,null]` union) which branch index is
+    * null. Doubles as a per-file WIRE plan entry, where the union shape is
+    * the WRITER's. */
+  final case class Field(name: String, dt: DataType, wire: AvroSchema,
+                         nullBranch: Int) {
     def nullable: Boolean = nullBranch >= 0
   }
 
@@ -45,6 +48,15 @@ private[graft] object OcfColumnar {
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
+  private def flatFieldOf(name: String, s: AvroSchema): Option[Field] = s match {
+    case p if plainPrimitive(p) => Some(Field(name, sparkTypeOf(p), p, -1))
+    case AUnion(Seq(ANull, p)) if plainPrimitive(p) =>
+      Some(Field(name, sparkTypeOf(p), p, 0))
+    case AUnion(Seq(p, ANull)) if plainPrimitive(p) =>
+      Some(Field(name, sparkTypeOf(p), p, 1))
+    case _ => None
+  }
+
   /** Field specs when `readerJson` is a flat all-primitive record. */
   def fieldsFor(readerJson: String): Option[Array[Field]] =
     scala.util.Try(AvroSchemaParser.parse(readerJson)).toOption.flatMap {
@@ -52,14 +64,9 @@ private[graft] object OcfColumnar {
         val out = new Array[Field](rec.fields.length)
         var i = 0
         while (i < out.length) {
-          rec.fields(i).schema match {
-            case p if plainPrimitive(p) =>
-              out(i) = Field(sparkTypeOf(p), p, -1)
-            case AUnion(Seq(ANull, p)) if plainPrimitive(p) =>
-              out(i) = Field(sparkTypeOf(p), p, 0)
-            case AUnion(Seq(p, ANull)) if plainPrimitive(p) =>
-              out(i) = Field(sparkTypeOf(p), p, 1)
-            case _ => return None
+          flatFieldOf(rec.fields(i).name, rec.fields(i).schema) match {
+            case Some(f) => out(i) = f
+            case None => return None
           }
           i += 1
         }
@@ -67,14 +74,49 @@ private[graft] object OcfColumnar {
       case _ => None
     }
 
-  // canonical-form identity memo: resolution must be a no-op for the
-  // columnar decode loop to be exact (field order, names, types equal)
-  private val canonCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def canon(json: String): String =
-    canonCache.computeIfAbsent(json,
-      j => scala.util.Try(AvroSchemaParser.parse(j).canonical).getOrElse(j))
-  def identityResolution(writerJson: String, readerJson: String): Boolean =
-    writerJson == readerJson || canon(writerJson) == canon(readerJson)
+  /** The per-FILE wire plan: how each reader field sits on this writer's
+    * wire. Columnar resolution supports exactly the shapes whose decode is
+    * a plain positional loop: the writer record has the SAME field names
+    * in the SAME order, each field the SAME primitive, where either side
+    * may independently be plain (`T`) or nullable (`[null,T]`/`[T,null]`)
+    * EXCEPT writer-nullable under reader-plain (a null would have nowhere
+    * to go). A plain writer under a nullable reader is the CATALOG's
+    * common case — nullable table schema over non-null-written files —
+    * and decodes with no branch byte. Promotions, reordered/renamed
+    * fields, aliases: None, row-reader fallback. */
+  def wirePlanFor(writerJson: String, reader: Array[Field]): Option[Array[Field]] = {
+    val key = writerJson + "\u0001" +
+      reader.map(f => f.name + ":" + f.dt.simpleString + ":" + f.nullBranch)
+        .mkString(",")
+    wireCache.computeIfAbsent(key, _ => computeWirePlan(writerJson, reader))
+  }
+
+  private val wireCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Field]]]()
+
+  private def computeWirePlan(writerJson: String,
+                              reader: Array[Field]): Option[Array[Field]] =
+    scala.util.Try(AvroSchemaParser.parse(writerJson)).toOption.flatMap {
+      case rec: ARecord =>
+        if (rec.fields.length != reader.length) return None
+        val out = new Array[Field](reader.length)
+        var i = 0
+        while (i < out.length) {
+          val wf = rec.fields(i)
+          val rf = reader(i)
+          flatFieldOf(wf.name, wf.schema) match {
+            // Avro resolves fields by NAME: equal names in equal order make
+            // the positional decode exact
+            case Some(w) if w.name == rf.name && w.dt == rf.dt &&
+                (!w.nullable || rf.nullable) =>
+              out(i) = w
+            case _ => return None
+          }
+          i += 1
+        }
+        Some(out)
+      case _ => None
+    }
 }
 
 /** The vectorized split reader: the same block walk as [[OcfSplitReader]],
