@@ -10,22 +10,30 @@ import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
 /** Vectorized (ColumnarBatch) reads for FLAT primitive schemas (X91): when
   * every reader field is a plain Avro primitive (nullable unions included)
-  * and resolution is identity, the scan decodes straight into on-heap
-  * column vectors — one tight loop per batch instead of a per-row
-  * compiled-reader virtual call + row allocation + iterator step. Spark's
-  * `ColumnarToRow` (codegen'd) consumes the batches; everything else
-  * (nested schemas, resolution/promotion, partition columns, `_file`/
-  * `_pos`, position deletes, aggregates) falls back to the row reader —
-  * Avro is row-oriented, so the columnar path is an opt-in fast lane for
-  * the flat-scan shape, never a second semantics. */
+  * and every planned file's writer schema admits a positional WIRE PLAN
+  * (below), the scan decodes straight into on-heap column vectors — one
+  * tight loop per batch instead of a per-row compiled-reader virtual call
+  * + row allocation + iterator step. Spark's `ColumnarToRow` (codegen'd)
+  * consumes the batches; everything else (nested schemas, promotions,
+  * partition columns, `_file`/`_pos`, position deletes, aggregates) falls
+  * back to the row reader — Avro is row-oriented, so the columnar path is
+  * an opt-in fast lane for the flat-scan shape, never a second semantics. */
 private[graft] object OcfColumnar {
 
-  /** One flat reader field: its name, Spark type, wire primitive, and
+  /** One flat READER field: its name, Spark type, wire primitive, and
     * (for a nullable `[null,T]`/`[T,null]` union) which branch index is
-    * null. Doubles as a per-file WIRE plan entry, where the union shape is
-    * the WRITER's. */
+    * null. These define the batch's vector types; the on-wire shape each
+    * file actually wrote is the [[WireStep]] plan's business. */
   final case class Field(name: String, dt: DataType, wire: AvroSchema,
                          nullBranch: Int) {
+    def nullable: Boolean = nullBranch >= 0
+  }
+
+  /** One step of a per-FILE wire plan, in WRITER field order: decode the
+    * writer field described by (`wire`, `nullBranch`) — the WRITER's union
+    * shape, which is what sits on the wire — into vector `target`, or
+    * type-skip it when `target < 0` (a projected-away column). */
+  final case class WireStep(wire: AvroSchema, nullBranch: Int, target: Int) {
     def nullable: Boolean = nullBranch >= 0
   }
 
@@ -74,57 +82,75 @@ private[graft] object OcfColumnar {
       case _ => None
     }
 
-  /** The per-FILE wire plan: how each reader field sits on this writer's
-    * wire. Columnar resolution supports exactly the shapes whose decode is
-    * a plain positional loop: the writer record has the SAME field names
-    * in the SAME order, each field the SAME primitive, where either side
-    * may independently be plain (`T`) or nullable (`[null,T]`/`[T,null]`)
-    * EXCEPT writer-nullable under reader-plain (a null would have nowhere
-    * to go). A plain writer under a nullable reader is the CATALOG's
-    * common case — nullable table schema over non-null-written files —
-    * and decodes with no branch byte. Promotions, reordered/renamed
-    * fields, aliases: None, row-reader fallback. */
-  def wirePlanFor(writerJson: String, reader: Array[Field]): Option[Array[Field]] = {
-    val key = writerJson + "\u0001" +
+  /** The per-FILE wire plan: how this writer's record decodes into the
+    * reader's vectors, as one forward positional pass. Supported shapes —
+    * exactly those whose decode is a tight loop with no name resolution at
+    * decode time:
+    *
+    *   - every reader field matches a writer field of the SAME name and
+    *     SAME primitive, with the reader fields appearing as an in-order
+    *     subsequence of the writer fields (Avro resolves by name; Spark's
+    *     column pruning preserves relative field order, so a pruned flat
+    *     projection plans as match steps with cheap type-directed skip
+    *     steps for the writer-only columns);
+    *   - either side may independently be plain (`T`) or nullable
+    *     (`[null,T]`/`[T,null]`) EXCEPT writer-nullable under reader-plain
+    *     (a null would have nowhere to go). A plain writer under a
+    *     nullable reader is the CATALOG's common case — nullable table
+    *     schema over non-null-written files — and decodes with NO branch
+    *     byte, because the wire shape is the WRITER's.
+    *
+    * Promotions, renamed fields, reader-only fields (defaults), reordered
+    * projections: None → row-reader fallback. */
+  def wirePlanFor(writerJson: String, reader: Array[Field]): Option[Array[WireStep]] = {
+    val key = writerJson + "" +
       reader.map(f => f.name + ":" + f.dt.simpleString + ":" + f.nullBranch)
         .mkString(",")
     wireCache.computeIfAbsent(key, _ => computeWirePlan(writerJson, reader))
   }
 
   private val wireCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Field]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[WireStep]]]()
 
   private def computeWirePlan(writerJson: String,
-                              reader: Array[Field]): Option[Array[Field]] =
+                              reader: Array[Field]): Option[Array[WireStep]] =
     scala.util.Try(AvroSchemaParser.parse(writerJson)).toOption.flatMap {
       case rec: ARecord =>
-        if (rec.fields.length != reader.length) return None
-        val out = new Array[Field](reader.length)
-        var i = 0
-        while (i < out.length) {
-          val wf = rec.fields(i)
-          val rf = reader(i)
+        val out = new Array[WireStep](rec.fields.length)
+        var w = 0
+        var r = 0
+        while (w < out.length) {
+          val wf = rec.fields(w)
           flatFieldOf(wf.name, wf.schema) match {
-            // Avro resolves fields by NAME: equal names in equal order make
-            // the positional decode exact
-            case Some(w) if w.name == rf.name && w.dt == rf.dt &&
-                (!w.nullable || rf.nullable) =>
-              out(i) = w
-            case _ => return None
+            case Some(wSpec) =>
+              if (r < reader.length && wSpec.name == reader(r).name) {
+                // matched: vector types must agree and a writer null must
+                // have a nullable vector to land in
+                val rf = reader(r)
+                if (wSpec.dt != rf.dt || (wSpec.nullable && !rf.nullable))
+                  return None
+                out(w) = WireStep(wSpec.wire, wSpec.nullBranch, r)
+                r += 1
+              } else out(w) = WireStep(wSpec.wire, wSpec.nullBranch, -1)
+            case None => return None // non-flat writer column — row reader
           }
-          i += 1
+          w += 1
         }
-        Some(out)
+        if (r == reader.length) Some(out) else None
       case _ => None
     }
 }
 
 /** The vectorized split reader: the same block walk as [[OcfSplitReader]],
   * decoding up to `batchSize` datums per `next()` into reused on-heap
-  * vectors. `limit` counts emitted rows, exactly like the row reader. */
+  * vectors. Vector types come from the READER fields; the decode loop runs
+  * this file's WIRE PLAN, so the union-branch byte is read exactly when the
+  * writer wrote one and projected-away writer columns are type-skipped.
+  * `limit` counts emitted rows, exactly like the row reader. */
 private[graft] final class OcfColumnarSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
-    fields: Array[OcfColumnar.Field], conf: Configuration,
+    fields: Array[OcfColumnar.Field], plan: Array[OcfColumnar.WireStep],
+    conf: Configuration,
     limit: Long = Long.MaxValue, aligned: Boolean = false,
     batchSize: Int = 4096)
     extends PartitionReader[ColumnarBatch] {
@@ -185,24 +211,38 @@ private[graft] final class OcfColumnarSplitReader(
 
   private def decodeRow(row: Int): Unit = {
     var j = 0
-    while (j < fields.length) {
-      val f = fields(j)
-      val v = vectors(j)
+    while (j < plan.length) {
+      val step = plan(j)
       var isNull = false
-      if (f.nullable) {
+      if (step.nullable) {
         val br = bin.readLong().toInt
-        if (br == f.nullBranch) { v.putNull(row); isNull = true }
+        if (br == step.nullBranch) {
+          isNull = true
+          if (step.target >= 0) vectors(step.target).putNull(row)
+        }
       }
-      if (!isNull) f.wire match {
-        case AInt => v.putInt(row, bin.readLong().toInt)
-        case ALong => v.putLong(row, bin.readLong())
-        case AFloat => v.putFloat(row, bin.readFloat())
-        case ADouble => v.putDouble(row, bin.readDouble())
-        case ABoolean => v.putBoolean(row, bin.readBoolean())
-        case AString | ABytes =>
-          val b = bin.readBytes()
-          v.putByteArray(row, b, 0, b.length)
-        case other => throw new IllegalStateException(s"not flat: $other")
+      if (!isNull) {
+        if (step.target < 0) step.wire match {
+          case AInt | ALong => bin.skipLong()
+          case AFloat => bin.skip(4L)
+          case ADouble => bin.skip(8L)
+          case ABoolean => bin.skip(1L)
+          case AString | ABytes => bin.skipBytes()
+          case other => throw new IllegalStateException(s"not flat: $other")
+        } else {
+          val v = vectors(step.target)
+          step.wire match {
+            case AInt => v.putInt(row, bin.readLong().toInt)
+            case ALong => v.putLong(row, bin.readLong())
+            case AFloat => v.putFloat(row, bin.readFloat())
+            case ADouble => v.putDouble(row, bin.readDouble())
+            case ABoolean => v.putBoolean(row, bin.readBoolean())
+            case AString | ABytes =>
+              val b = bin.readBytes()
+              v.putByteArray(row, b, 0, b.length)
+            case other => throw new IllegalStateException(s"not flat: $other")
+          }
+        }
       }
       j += 1
     }

@@ -1804,15 +1804,16 @@ private[graft] final case class OcfScan(
             d.copy(statsJson = None, bloomJson = None, blockIndexJson = None,
               sortedByJson = None)))
         }.toMap
-      // vectorized fast lane (X91): flat all-primitive reader schema,
-      // identity resolution for EVERY planned file, no appended columns,
+      // vectorized fast lane (X91): flat all-primitive reader schema and a
+      // positional wire plan for EVERY planned file (identity, pruned
+      // subsets, plain-writer-under-nullable-reader), no appended columns,
       // no positional semantics — everything else rides the row reader
       val cf: Option[Array[OcfColumnar.Field]] =
         if (!columnarEnabled || wrap || partIdx.nonEmpty || withFilePath ||
             withPos || delByIdx.nonEmpty) None
-        else OcfColumnar.fieldsFor(readerJson).filter(_ =>
+        else OcfColumnar.fieldsFor(readerJson).filter(rf =>
           files.forall(m =>
-            OcfColumnar.identityResolution(m.writerSchemaJson, readerJson)))
+            OcfColumnar.wirePlanFor(m.writerSchemaJson, rf).isDefined))
       OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes,
         withFilePath, withPos, delByIdx, columnarFields = cf)
     }
@@ -2010,8 +2011,14 @@ private[sources] final case class OcfReaderFactory(
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[OcfSplit]
-    new OcfColumnarSplitReader(files(p.fileIndex), p.start, p.end,
-      columnarFields.get, conf.value, limit, p.aligned)
+    val meta = files(p.fileIndex)
+    // the per-FILE wire plan drives the decode — the driver gated the lane
+    // on every planned file having one, so a miss here is a planning bug
+    val plan = OcfColumnar.wirePlanFor(meta.writerSchemaJson, columnarFields.get)
+      .getOrElse(throw new IllegalStateException(
+        s"columnar lane planned without a wire plan for ${meta.path}"))
+    new OcfColumnarSplitReader(meta, p.start, p.end,
+      columnarFields.get, plan, conf.value, limit, p.aligned)
   }
 }
 

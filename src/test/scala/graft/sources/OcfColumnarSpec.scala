@@ -64,11 +64,65 @@ class OcfColumnarSpec extends AnyFunSuite {
     val df = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
     assert(isColumnar(df))
     assert(df.count() == 1000L)
-    // a projection PRUNES the reader schema — resolution is no longer
-    // identity against the writer, so the scan falls back to rows (and
-    // stays correct); the wire-skip row path owns projections
+    // a projection PRUNES the reader schema — the wire plan decodes the
+    // kept columns positionally and type-SKIPS the projected-away ones,
+    // so the flat subset still rides the columnar lane
     val pruned = df.select("id")
+    assert(isColumnar(pruned), pruned.queryExecution.executedPlan.toString)
     assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == (0L until 1000L))
+    val prunedRows = spark.read.format("graft-ocf").option("columnar", "false")
+      .load(dir.getAbsolutePath).select("id")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      prunedRows.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("per-file wire plan: plain writer under nullable reader, both lanes equal") {
+    import spark.implicits._
+    val dir = tempDir("graft-col-wire")
+    // tuple fields (Long, Double) are non-nullable in Spark => the sink
+    // writes PLAIN long/double — no union, no branch byte on the wire
+    (0L until 3000L).map(i => (i, i * 0.25)).toDF("id", "score")
+      .write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    // a NULLABLE reader over those plain files is the catalog's common
+    // case (nullable table schema over non-null-written files): the wire
+    // plan must decode with NO branch byte, not consume one the writer
+    // never wrote
+    val readerJson =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |{"name":"id","type":["null","long"]},
+        |{"name":"score","type":["null","double"]}]}""".stripMargin
+    val col = spark.read.format("graft-ocf")
+      .option("readerSchema", readerJson).load(dir.getAbsolutePath)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    val row = spark.read.format("graft-ocf").option("columnar", "false")
+      .option("readerSchema", readerJson).load(dir.getAbsolutePath)
+    def canon(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val got = canon(col)
+    assert(got == canon(row), "columnar decode must be bit-identical to the row lane")
+    assert(got.length == 3000 && got(17) == ((17L, 4.25)))
+    // the inverse — NULLABLE writer under a PLAIN reader — has nowhere to
+    // put a null: the lane must refuse and ride the row reader
+    val ndir = tempDir("graft-col-wire-n")
+    (0L until 100L).map(i => (i, if (i % 9 == 0) null else s"s$i"))
+      .toDF("id", "v") // v nullable => union on the wire
+      .write.format("graft-ocf").mode(SaveMode.Append).save(ndir.getAbsolutePath)
+    val plainReader =
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |{"name":"id","type":"long"}]}""".stripMargin
+    val fb = spark.read.format("graft-ocf")
+      .option("readerSchema", plainReader).load(ndir.getAbsolutePath)
+    // pruned to id only: writer id is plain, so this DOES vectorize; but a
+    // plain reader including v must not
+    val fields = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"topLevelRecord","fields":[
+        |{"name":"id","type":"long"},{"name":"v","type":"string"}]}""".stripMargin).get
+    val writerJson = OcfDataSource.fetchMetas(spark.sessionState.newHadoopConf(),
+      OcfDataSource.list(spark.sessionState.newHadoopConf(),
+        Seq(ndir.getAbsolutePath), None, recursive = false)).head.writerSchemaJson
+    assert(OcfColumnar.wirePlanFor(writerJson, fields).isEmpty,
+      "nullable-writer-under-plain-reader must refuse the columnar lane")
+    assert(fb.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L))
   }
 
   test("columnar composes with block-index aligned splits and stats skipping") {
