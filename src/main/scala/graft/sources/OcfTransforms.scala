@@ -139,8 +139,14 @@ private[graft] object OcfTransforms {
     case "years" => localDateOf(v, dt).getYear - 1970L
     case "truncate" => dt match {
       case StringType =>
+        // truncate by CODE POINTS, not UTF-16 chars: cutting inside a
+        // surrogate pair leaves a lone surrogate that UTF-8-encodes as
+        // '?', breaking the prefix property the directory-pruning proof
+        // relies on (cmp is UTF-8 byte order — the ordinal must stay a
+        // true prefix to stay monotone). Iceberg truncates the same way.
         val s = toStr(v)
-        if (s.length <= spec.width) s else s.substring(0, spec.width)
+        if (s.codePointCount(0, s.length) <= spec.width) s
+        else s.substring(0, s.offsetByCodePoints(0, spec.width))
       case _ =>
         val x = toLong(v)
         x - Math.floorMod(x, spec.width.toLong)
@@ -219,7 +225,9 @@ private[graft] object OcfTransforms {
           Math.floorMod(toMicros(v), MicrosPerDay) == 0L
       }
       case "truncate" => dt match {
-        case StringType => toStr(v).length <= spec.width
+        case StringType =>
+          val s = toStr(v)
+          s.codePointCount(0, s.length) <= spec.width
         case _ => Math.floorMod(toLong(v), spec.width.toLong) == 0L
       }
     }

@@ -28,9 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte-level fallback covers every input exactly once. */
 object Bpe {
 
-  /** The published GPT-2 pre-tokenization pattern (encoder.py). */
+  /** The published GPT-2 pre-tokenization pattern (encoder.py).
+    * UNICODE_CHARACTER_CLASS so `\s` matches Unicode whitespace like
+    * Python's `re` — without it U+00A0 falls into the punctuation-run
+    * branch and counts diverge from the reference tokenizer. */
   private val PreToken = java.util.regex.Pattern.compile(
-    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
   /** The published reversible byte->unicode map: visible latin bytes map to
     * themselves; the remaining 68 bytes map to U+0100 + running index.

@@ -77,6 +77,27 @@ class BpeSpec extends AnyFunSuite {
     assert(first != t.split("\\s+").length.toLong)
   }
 
+  test("pre-tokenizer treats Unicode whitespace as whitespace (NBSP)") {
+    // Python's `re` \s is Unicode; Java's default is ASCII-only. The
+    // pattern must compile with UNICODE_CHARACTER_CLASS or U+00A0 joins
+    // the punctuation-run branch and counts diverge from the reference
+    // tokenizer. Pin it with a merge that can ONLY fire if NBSP is
+    // (wrongly) glued into the adjacent punctuation pre-token:
+    // 0xA0 maps to U+0142 in the byte->unicode alphabet, so the word
+    // "<NBSP>!" would be [0xC2-char][U+0142][!] and the merge below folds
+    // it to 2 symbols; correct Unicode-\s pre-tokenization keeps NBSP
+    // and "!" in separate words (2 + 1 symbols) and the merge never fires.
+    val nbspGlue = Bpe.MergeTable.parse("nbsp-glue", "\u0142 !\n")
+    def c(s: String) = Bpe.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), nbspGlue)
+    assert(c("x\u00a0!") == 4L,
+      "NBSP must pre-tokenize as whitespace, not punctuation")
+    // byte-losslessness holds across the boundary either way
+    val toks = Bpe.tokenizeBytes("x\u00a0!", nbspGlue)
+    assert(java.util.Arrays.equals(
+      toks.foldLeft(Array.empty[Byte])(_ ++ _), "x\u00a0!".getBytes("UTF-8")))
+  }
+
   test("the expression rides whole-stage codegen and handles nulls") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -65,6 +65,20 @@ class OcfTransformsSpec extends AnyFunSuite {
     val ts = Spec("truncate", "name", 3)
     assert(ordinalOf(ts, "abcdef", StringType) == "abc")
     assert(ordinalOf(ts, "ab", StringType) == "ab")
+
+    // CODE-POINT truncation: "𝄞" (U+1D11E, musical G clef) is
+    // ONE code point in TWO UTF-16 chars. Char-based truncation at width 3
+    // would cut "ab<clef>x" to "ab\uD834" — a lone surrogate whose UTF-8
+    // form ('?') is no longer a prefix of the value, breaking the
+    // monotone-prefix property pruning relies on. Code-point truncation
+    // keeps the pair whole.
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(ordinalOf(ts, "ab" + clef + "x", StringType) == "ab" + clef)
+    assert(ordinalOf(ts, "ab" + clef, StringType) == "ab" + clef)
+    // width counts code points, so a 3-code-point string is exact even
+    // when it spans 4 UTF-16 chars
+    assert(ordinalOf(Spec("truncate", "name", 2), clef + clef + clef, StringType)
+      == clef + clef)
   }
 
   test("days(ts) DDL: layout, hidden pruning on raw predicates, exact reads") {
