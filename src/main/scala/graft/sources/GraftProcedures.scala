@@ -106,6 +106,38 @@ private[sources] object GraftProcedures {
     b.result()
   }
 
+  /** Optimistic-concurrency conflict for fold-style rewrites: the rewritten
+    * output was computed from fold inputs that moved before the commit won
+    * its version. Never user-visible — the procedures catch it and re-run
+    * the fold against the new head. */
+  private[sources] final class FoldConflictException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Validate — INSIDE the commit transform, where the racing winner's file
+    * set is what `prev` shows — that a fold's inputs are exactly what the
+    * fold read: every targeted data file still present, and the delete-file
+    * set burdening the targets unchanged. Otherwise replaying the fold's
+    * output would lose concurrent rows: a MoR DELETE that landed between
+    * fold and commit would be dropped with its target (its deleted rows
+    * resurrect in the rewrite), and a target replaced by a concurrent
+    * rewrite would have its rows duplicated. */
+  private[sources] def requireFoldStable(prev: Seq[OcfSnapshots.SnapFile],
+      targets: Set[String], foldedDeletes: Set[String], op: String): Unit = {
+    val present = prev.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
+    val missing = targets.diff(present)
+    val nowDeletes = prev.iterator
+      .filter(_.deleteOf.exists(targets.contains)).map(_.path).toSet
+    if (missing.nonEmpty || nowDeletes != foldedDeletes)
+      throw new FoldConflictException(
+        s"graft $op: fold inputs changed concurrently (" +
+          (if (missing.nonEmpty) s"targets gone: ${missing.take(3).mkString(", ")}; " else "") +
+          (if (nowDeletes != foldedDeletes)
+            s"delete files now ${nowDeletes.size}, folded ${foldedDeletes.size}" else "") +
+          ") - refolding against the new head")
+  }
+
+  private val FoldAttempts = 5
+
   private def singleRowResult(schema: StructType, vals: Array[Any]): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
@@ -144,52 +176,85 @@ private[sources] object GraftProcedures {
       val targetBytes = if (input.isNullAt(1)) 128L * 1024 * 1024 else input.getLong(1)
       val codec = str(input, 2).orElse(meta.options.get("codec")).getOrElse("null")
       val zorder = str(input, 3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      val before = visibleFiles(spark, meta.location)
-      if (before.isEmpty)
-        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L, 0L))
-      // compact into a SIBLING staging dir (never inside the table dir — the
-      // table's recursive listing must not see half-written output)
-      val staging = meta.location + ".compact-" + java.util.UUID.randomUUID()
-      OcfMaintenance.compact(spark, meta.location, staging,
-        codec = codec, targetBytes = targetBytes,
-        readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
-        zorderColumns = zorder)
-      // swap: move the compacted files in under fresh names, then drop the
-      // snapshot of old files — a crash between the two leaves duplicates
-      // (re-compactable), never data loss
       val root = new Path(meta.location)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val stagingRoot = fs.makeQualified(new Path(staging))
-      val moved = visibleFiles(spark, staging)
-      val movedRel = moved.map { case (p, len) =>
-        val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
-          .stripPrefix(Path.SEPARATOR)
-        val dest = new Path(root, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(
-            s"graft compact: could not move $p to $dest")
-        OcfSnapshots.SnapFile(rel, len)
+      val snapshotted = OcfSnapshots.enabled(fs, root)
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val before = visibleFiles(spark, meta.location)
+        if (before.isEmpty)
+          return singleRowResult(outSchema, Array[Any](0L, 0L, 0L, 0L))
+        // the fold's inputs, split for the stability guard: the data files
+        // being rewritten and the EXACT delete files applied while reading
+        val (targetsData, foldedDeletes): (Set[String], Set[String]) =
+          if (snapshotted) {
+            val fsnap = OcfSnapshots.latest(fs, root).map(_.files).getOrElse(Nil)
+            (fsnap.filter(_.deleteOf.isEmpty).map(_.path).toSet,
+              fsnap.filter(_.deleteOf.isDefined).map(_.path).toSet)
+          } else (Set.empty, Set.empty)
+        // compact into a SIBLING staging dir (never inside the table dir —
+        // the table's recursive listing must not see half-written output)
+        val staging = meta.location + ".compact-" + java.util.UUID.randomUUID()
+        OcfMaintenance.compact(spark, meta.location, staging,
+          codec = codec, targetBytes = targetBytes,
+          readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
+          zorderColumns = zorder)
+        // swap: move the compacted files in under fresh names, then drop the
+        // snapshot of old files — a crash between the two leaves duplicates
+        // (re-compactable), never data loss
+        val stagingRoot = fs.makeQualified(new Path(staging))
+        val moved = visibleFiles(spark, staging)
+        val movedRel = moved.map { case (p, len) =>
+          val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
+            .stripPrefix(Path.SEPARATOR)
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(
+              s"graft compact: could not move $p to $dest")
+          OcfSnapshots.SnapFile(rel, len)
+        }
+        val committed =
+          if (snapshotted) {
+            // snapshot-managed: ONE manifest commit flips visibility to the
+            // compacted set; the fragmented generation stays on disk as
+            // retained history for time travel (expire_snapshots reclaims
+            // it). The stability guard runs INSIDE the transform: a MoR
+            // DELETE or rewrite that landed after this fold read its inputs
+            // refuses the commit (and the fold re-runs) instead of losing
+            // those rows.
+            val beforeRel = before.map { case (p, _) =>
+              OcfSnapshots.relativize(fs.makeQualified(root).toString,
+                fs.makeQualified(p).toString)
+            }.toSet
+            try {
+              OcfSnapshots.commit(fs, root, "compact",
+                Some(meta.schema.json)) { prev =>
+                requireFoldStable(prev, targetsData, foldedDeletes, "compact")
+                prev.filterNot(f => beforeRel.contains(f.path)) ++ movedRel
+              }
+              true
+            } catch {
+              case _: FoldConflictException if attempt < FoldAttempts =>
+                // uncommitted output (the manifest governs visibility) —
+                // discard and refold against the new head
+                movedRel.foreach(f => fs.delete(new Path(root, f.path), false))
+                false
+            }
+          } else {
+            before.foreach { case (p, _) => fs.delete(p, false) }
+            true
+          }
+        fs.delete(new Path(staging), true)
+        if (committed) {
+          val after = visibleFiles(spark, meta.location)
+          return singleRowResult(outSchema, Array[Any](
+            before.size.toLong, after.size.toLong,
+            before.map(_._2).sum, after.map(_._2).sum))
+        }
       }
-      if (OcfSnapshots.enabled(fs, root)) {
-        // snapshot-managed: ONE manifest commit flips visibility to the
-        // compacted set; the fragmented generation stays on disk as
-        // retained history for time travel (expire_snapshots reclaims it)
-        val beforeRel = before.map { case (p, _) =>
-          OcfSnapshots.relativize(fs.makeQualified(root).toString,
-            fs.makeQualified(p).toString)
-        }.toSet
-        OcfSnapshots.commit(fs, root, "compact",
-          Some(meta.schema.json))(prev =>
-          prev.filterNot(f => beforeRel.contains(f.path)) ++ movedRel)
-      } else {
-        before.foreach { case (p, _) => fs.delete(p, false) }
-      }
-      fs.delete(new Path(staging), true)
-      val after = visibleFiles(spark, meta.location)
-      singleRowResult(outSchema, Array[Any](
-        before.size.toLong, after.size.toLong,
-        before.map(_._2).sum, after.map(_._2).sum))
+      throw new IllegalStateException("unreachable")
     }
   }
 
@@ -263,44 +328,65 @@ private[sources] object GraftProcedures {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       if (!OcfSnapshots.enabled(fs, root))
         return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
-      val snap = OcfSnapshots.latest(fs, root).getOrElse(
-        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L)))
-      val delFiles = snap.files.filter(_.deleteOf.isDefined)
-      if (delFiles.isEmpty)
-        return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
-      val targets: Set[String] = delFiles.map(_.deleteOf.get).toSet
-      val targetBytesTotal = snap.files
-        .filter(f => targets.contains(f.path)).map(_.len).sum
-      // staging sibling dir, same discipline as compact: the table's
-      // recursive listing must never see half-written output
-      val staging = meta.location + ".rewrite-del-" + java.util.UUID.randomUUID()
-      OcfMaintenance.compact(spark, meta.location, staging,
-        codec = meta.options.find(_._1.equalsIgnoreCase("codec")).map(_._2)
-          .getOrElse("null"),
-        targetBytes = targetBytes,
-        readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
-        onlyFiles = Some(targets))
-      val stagingRoot = fs.makeQualified(new Path(staging))
-      val moved = visibleFiles(spark, staging)
-      val movedRel = moved.map { case (p, len) =>
-        val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
-          .stripPrefix(Path.SEPARATOR)
-        val dest = new Path(root, rel)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(
-            s"graft rewrite_position_deletes: could not move $p to $dest")
-        OcfSnapshots.SnapFile(rel, len)
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val snap = OcfSnapshots.latest(fs, root).getOrElse(
+          return singleRowResult(outSchema, Array[Any](0L, 0L, 0L)))
+        val delFiles = snap.files.filter(_.deleteOf.isDefined)
+        if (delFiles.isEmpty)
+          return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
+        val targets: Set[String] = delFiles.map(_.deleteOf.get).toSet
+        val foldedDeletes: Set[String] = delFiles.map(_.path).toSet
+        val targetBytesTotal = snap.files
+          .filter(f => targets.contains(f.path)).map(_.len).sum
+        // staging sibling dir, same discipline as compact: the table's
+        // recursive listing must never see half-written output
+        val staging = meta.location + ".rewrite-del-" + java.util.UUID.randomUUID()
+        OcfMaintenance.compact(spark, meta.location, staging,
+          codec = meta.options.find(_._1.equalsIgnoreCase("codec")).map(_._2)
+            .getOrElse("null"),
+          targetBytes = targetBytes,
+          readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
+          onlyFiles = Some(targets))
+        val stagingRoot = fs.makeQualified(new Path(staging))
+        val moved = visibleFiles(spark, staging)
+        val movedRel = moved.map { case (p, len) =>
+          val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
+            .stripPrefix(Path.SEPARATOR)
+          val dest = new Path(root, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(
+              s"graft rewrite_position_deletes: could not move $p to $dest")
+          OcfSnapshots.SnapFile(rel, len)
+        }
+        try {
+          // one commit: burdened data files and their delete files out,
+          // clean rewrites in (old generation stays for time travel until
+          // expiry). The stability guard runs INSIDE the transform so a
+          // version-race retry re-validates against the winner's files — a
+          // MoR DELETE that landed after the fold refuses this output
+          // instead of being silently dropped with its target.
+          OcfSnapshots.commit(fs, root, "rewrite-position-deletes",
+            Some(meta.schema.json)) { prev =>
+            requireFoldStable(prev, targets, foldedDeletes,
+              "rewrite_position_deletes")
+            prev.filterNot(f => targets.contains(f.path) ||
+              f.deleteOf.exists(targets.contains)) ++ movedRel
+          }
+          fs.delete(new Path(staging), true)
+          return singleRowResult(outSchema, Array[Any](
+            targets.size.toLong, delFiles.size.toLong, targetBytesTotal))
+        } catch {
+          case _: FoldConflictException if attempt < FoldAttempts =>
+            // the moved rewrites were never committed (the manifest governs
+            // visibility) — discard them and refold against the new head
+            movedRel.foreach(f => fs.delete(new Path(root, f.path), false))
+            fs.delete(new Path(staging), true)
+        }
       }
-      // one commit: burdened data files and their delete files out, clean
-      // rewrites in (old generation stays for time travel until expiry)
-      OcfSnapshots.commit(fs, root, "rewrite-position-deletes",
-        Some(meta.schema.json))(prev =>
-        prev.filterNot(f => targets.contains(f.path) ||
-          f.deleteOf.exists(targets.contains)) ++ movedRel)
-      fs.delete(new Path(staging), true)
-      singleRowResult(outSchema, Array[Any](
-        targets.size.toLong, delFiles.size.toLong, targetBytesTotal))
+      throw new IllegalStateException("unreachable")
     }
   }
 

@@ -329,4 +329,36 @@ class PositionDeleteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("position-delete"), e.getMessage)
   }
+
+  test("fold-stability guard: concurrent MoR deletes refuse the fold commit") {
+    import GraftProcedures.requireFoldStable
+    def d(path: String) = OcfSnapshots.SnapFile(path, 10L)
+    def del(path: String, of: String) =
+      OcfSnapshots.SnapFile(path, 8L, deleteOf = Some(of))
+    val targets = Set("a.avro", "b.avro")
+    val folded = Set("del-1.avro")
+    val base = Seq(d("a.avro"), d("b.avro"), del("del-1.avro", "a.avro"))
+    // unchanged inputs: commit proceeds
+    requireFoldStable(base, targets, folded, "t")
+    // a concurrent APPEND (new unrelated data file) is not a conflict
+    requireFoldStable(base :+ d("c.avro"), targets, folded, "t")
+    // a delete file on a NON-target is not a conflict either
+    requireFoldStable(base ++ Seq(d("c.avro"), del("del-2.avro", "c.avro")),
+      targets, folded, "t")
+    // a MoR DELETE that landed on a target AFTER the fold read its inputs:
+    // dropping it with the target would resurrect its deleted rows
+    intercept[GraftProcedures.FoldConflictException] {
+      requireFoldStable(base :+ del("del-2.avro", "b.avro"), targets, folded, "t")
+    }
+    // a folded delete file that VANISHED (another rewrite won): conflict
+    intercept[GraftProcedures.FoldConflictException] {
+      requireFoldStable(Seq(d("a.avro"), d("b.avro")), targets, folded, "t")
+    }
+    // a target replaced by a concurrent rewrite: replaying the fold output
+    // would duplicate its rows
+    intercept[GraftProcedures.FoldConflictException] {
+      requireFoldStable(Seq(d("a.avro"), d("a2.avro"),
+        del("del-1.avro", "a.avro")), targets, folded, "t")
+    }
+  }
 }
