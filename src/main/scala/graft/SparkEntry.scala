@@ -1560,6 +1560,48 @@ object SparkEntry {
     // bytes rewritten — and the scan applies them ('mor' phase); CALL
     // rewrite_position_deletes folds them into clean files ('folded'
     // phase). Both phases must agree with the oracle's logical view.
+    // Merge-on-read equality deletes (X94): a CDC batch upserts keyed on
+    // doc_id with NO target scan — the commit lands insert files plus
+    // equality-delete key files that kill every OLDER row with those keys.
+    // Phase 'mor' reads through the key filters; phase 'folded' re-reads
+    // after rewrite_position_deletes folds them into clean files.
+    "q108_equality_upsert" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q108",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q108_wh_")
+      s.conf.set("spark.sql.catalog.graft_q108.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q108.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q108.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q108.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf` OPTIONS (statsColumns 'doc_id')""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      src.createOrReplaceTempView("graft_q108_src")
+      s.sql("INSERT INTO graft_q108.corpus.docs SELECT * FROM graft_q108_src")
+      // the CDC batch: corrected rows for every doc_id % 6 = 1, keyed upsert
+      src.where(col("doc_id") % 6 === 1)
+        .select(col("doc_id"), lit("cdc").as("source"),
+          (col("n_chars") + 777L).as("n_chars"))
+        .writeTo("graft_q108.corpus.docs").option("upsertKeys", "doc_id")
+        .append()
+      def agg(phase: String) = s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q108.corpus.docs GROUP BY source""".stripMargin)
+        .withColumn("phase", lit(phase))
+      val mor = agg("mor")
+      // materialize BEFORE the fold rewrites the files
+      val morRows = mor.collect()
+      val morCached = s.createDataFrame(
+        java.util.Arrays.asList(morRows: _*), mor.schema)
+      s.sql("CALL graft_q108.system.rewrite_position_deletes(table => 'corpus.docs')")
+      morCached.unionByName(agg("folded"))
+        .select(col("phase"), col("source"), col("n_docs"), col("sum_chars"))
+        .orderBy("phase", "source")
+    }),
+
     "q103_mor_delete" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.graft_q103",
         classOf[graft.sources.GraftCatalog].getName)
@@ -2701,6 +2743,25 @@ object SparkEntry {
         |WHERE ts >= timestamp'2024-01-02 00:00:00'
         |  AND ts < timestamp'2024-01-04 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // both phases (reading through the equality-delete key filters; after
+    // the fold) must show the corpus with the CDC batch's rows replacing
+    // their older generations
+    "q108_equality_upsert" ->
+      """WITH upserted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 1 THEN 'cdc' ELSE source END AS source,
+        |    CAST(CASE WHEN doc_id % 6 = 1 THEN n_chars + 777
+        |              ELSE n_chars END AS BIGINT) AS n_chars
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM upserted GROUP BY source
+        |)
+        |SELECT p.phase, a.source, a.n_docs, a.sum_chars
+        |FROM agg a CROSS JOIN (SELECT 'mor' AS phase UNION ALL SELECT 'folded') p
+        |ORDER BY p.phase, a.source""".stripMargin,
 
     // both phases (reading through delete files; after the fold) must show
     // the corpus minus the deleted rows

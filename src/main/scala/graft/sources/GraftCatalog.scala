@@ -1783,7 +1783,7 @@ private[sources] final class OcfPositionDeleteWrite(
       // our scan and this commit — the recorded ordinals would then refer
       // to a DEAD file. Refuse (optimistic-concurrency conflict) rather
       // than let dropOrphanDeletes silently discard the operation.
-      val dataPaths = prev.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
+      val dataPaths = prev.iterator.filter(_.isData).map(_.path).toSet
       added.foreach(a => a.deleteOf.foreach(t => require(dataPaths.contains(t),
         s"graft-ocf merge-on-read $cmd: data file $t was replaced by a " +
           s"concurrent commit; re-run the $cmd")))
@@ -2026,7 +2026,7 @@ private[sources] final class OcfFilesMetaTable(
             layoutCols.map(c => UTF8String.fromString(c): Any).toArray,
             layoutCols.map(_ => null: Any).toArray)
           OcfSnapshots.latest(fsys, root).map(_.files).getOrElse(Nil)
-            .filter(_.deleteOf.isDefined).map { sf =>
+            .filterNot(_.isData).map { sf =>
               new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
                 UTF8String.fromString(new Path(base, sf.path).toString),
                 sf.len,
@@ -2037,8 +2037,13 @@ private[sources] final class OcfFilesMetaTable(
                 false,
                 false,
                 false,
-                UTF8String.fromString("position-deletes"),
-                UTF8String.fromString(sf.deleteOf.get)))
+                UTF8String.fromString(
+                  if (sf.isPositionDelete) "position-deletes"
+                  else "equality-deletes"),
+                // target: the position delete's one file, or the equality
+                // delete's key columns (its burden is seq-wide)
+                UTF8String.fromString(sf.deleteOf.getOrElse(
+                  sf.equalityOf.map(_.mkString(",")).getOrElse("")))))
             }.toArray
         }
       }

@@ -96,7 +96,7 @@ object GraftChanges {
       val prevByPath = prev.files.map(f => f.path -> f).toMap
       val curPaths = cur.files.map(_.path).toSet
       val removedData = prev.files.filter(f =>
-        f.deleteOf.isEmpty && !curPaths.contains(f.path))
+        f.isData && !curPaths.contains(f.path))
       if (removedData.nonEmpty)
         require(RowPreservingOps.contains(cur.operation),
           s"graft-ocf changes: version $v (operation '${cur.operation}') " +
@@ -105,15 +105,25 @@ object GraftChanges {
             "a full snapshot instead, or start after the rewriting commit.")
       if (!RowPreservingOps.contains(cur.operation)) {
         val addedData = cur.files.filter(f =>
-          f.deleteOf.isEmpty && !prevByPath.contains(f.path)).map(_.path)
+          f.isData && !prevByPath.contains(f.path)).map(_.path)
         // anti-join only targets that were VISIBLE at the previous
         // retained version: a target added in the same step (or an expired
         // gap) surfaces through the as-of-v insert read, which already
         // applies this step's deletes
-        val addedDeleteTargets = cur.files.filter(f =>
-          f.deleteOf.isDefined && !prevByPath.contains(f.path))
+        val addedPosTargets = cur.files.filter(f =>
+          f.isPositionDelete && !prevByPath.contains(f.path))
           .flatMap(_.deleteOf).distinct
           .filter(prevByPath.contains)
+        // an EQUALITY delete (X94, upsert commit) burdens every data file
+        // born before it: the same before/after anti-join recovers its
+        // per-row deletions exactly — the after-read applies the new keys
+        val addedEq = cur.files.filter(f =>
+          f.isEqualityDelete && !prevByPath.contains(f.path))
+        val addedEqTargets =
+          if (addedEq.isEmpty) Nil
+          else prev.files.filter(f =>
+            f.isData && addedEq.exists(_.seq > f.seq)).map(_.path)
+        val addedDeleteTargets = (addedPosTargets ++ addedEqTargets).distinct
         if (addedData.nonEmpty)
           parts += readAsOf(v, addedData, withPos = false)
             .withColumn(ChangeTypeCol, lit("insert"))

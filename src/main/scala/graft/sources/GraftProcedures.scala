@@ -123,10 +123,14 @@ private[sources] object GraftProcedures {
     * rewrite would have its rows duplicated. */
   private[sources] def requireFoldStable(prev: Seq[OcfSnapshots.SnapFile],
       targets: Set[String], foldedDeletes: Set[String], op: String): Unit = {
-    val present = prev.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
+    val present = prev.iterator.filter(_.isData).map(_.path).toSet
     val missing = targets.diff(present)
+    // position deletes over the targets + EVERY equality delete (an
+    // equality delete's burden is seq-wide, so any new one invalidates a
+    // fold output computed without it)
     val nowDeletes = prev.iterator
-      .filter(_.deleteOf.exists(targets.contains)).map(_.path).toSet
+      .filter(f => f.deleteOf.exists(targets.contains) || f.isEqualityDelete)
+      .map(_.path).toSet
     if (missing.nonEmpty || nowDeletes != foldedDeletes)
       throw new FoldConflictException(
         s"graft $op: fold inputs changed concurrently (" +
@@ -190,8 +194,8 @@ private[sources] object GraftProcedures {
         val (targetsData, foldedDeletes): (Set[String], Set[String]) =
           if (snapshotted) {
             val fsnap = OcfSnapshots.latest(fs, root).map(_.files).getOrElse(Nil)
-            (fsnap.filter(_.deleteOf.isEmpty).map(_.path).toSet,
-              fsnap.filter(_.deleteOf.isDefined).map(_.path).toSet)
+            (fsnap.filter(_.isData).map(_.path).toSet,
+              fsnap.filterNot(_.isData).map(_.path).toSet)
           } else (Set.empty, Set.empty)
         // compact into a SIBLING staging dir (never inside the table dir —
         // the table's recursive listing must not see half-written output)
@@ -333,10 +337,19 @@ private[sources] object GraftProcedures {
         attempt += 1
         val snap = OcfSnapshots.latest(fs, root).getOrElse(
           return singleRowResult(outSchema, Array[Any](0L, 0L, 0L)))
-        val delFiles = snap.files.filter(_.deleteOf.isDefined)
-        if (delFiles.isEmpty)
+        val posFiles = snap.files.filter(_.isPositionDelete)
+        val eqFiles = snap.files.filter(_.isEqualityDelete)
+        if (posFiles.isEmpty && eqFiles.isEmpty)
           return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
-        val targets: Set[String] = delFiles.map(_.deleteOf.get).toSet
+        // targets: every data file burdened by a position delete OR born
+        // before an equality delete — rewriting them (the scan applies both
+        // kinds) leaves nothing for any delete file to say
+        val posTargets: Set[String] = posFiles.map(_.deleteOf.get).toSet
+        val targets: Set[String] = snap.files.iterator.filter(_.isData)
+          .filter(f => posTargets.contains(f.path) ||
+            eqFiles.exists(_.seq > f.seq))
+          .map(_.path).toSet
+        val delFiles = posFiles ++ eqFiles
         val foldedDeletes: Set[String] = delFiles.map(_.path).toSet
         val targetBytesTotal = snap.files
           .filter(f => targets.contains(f.path)).map(_.len).sum
@@ -373,7 +386,8 @@ private[sources] object GraftProcedures {
             requireFoldStable(prev, targets, foldedDeletes,
               "rewrite_position_deletes")
             prev.filterNot(f => targets.contains(f.path) ||
-              f.deleteOf.exists(targets.contains)) ++ movedRel
+              f.deleteOf.exists(targets.contains) ||
+              foldedDeletes.contains(f.path)) ++ movedRel
           }
           fs.delete(new Path(staging), true)
           return singleRowResult(outSchema, Array[Any](

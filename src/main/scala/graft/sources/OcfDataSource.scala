@@ -172,6 +172,12 @@ object OcfDataSource {
                             // mapped file skip those positions; affected
                             // files plan unsplit.
                             deletes: Map[String, Seq[OcfFileMeta]] = Map.empty,
+                            // merge-on-read equality deletes (X94): qualified
+                            // data-file path -> metas of the equality-delete
+                            // files born AFTER it (seq order). Readers of a
+                            // mapped file drop rows whose key tuple matches;
+                            // files may still split (the filter is stateless).
+                            eqDeletes: Map[String, Seq[OcfFileMeta]] = Map.empty,
                             // hidden partition transforms (X88): spec + the
                             // index of its directory value in each file's
                             // partitionValues array
@@ -179,6 +185,17 @@ object OcfDataSource {
     /** Driver-side per-path header memo: one read per file per RESOLVE, no
       * matter how many scans (builds/actions) share this resolve. */
     val metaCache = new java.util.concurrent.ConcurrentHashMap[String, OcfFileMeta]()
+
+    /** Key columns of every attached equality-delete file (X94): the delete
+      * file's writer schema IS its key tuple, so the union here is what
+      * column pruning must keep readable for the reader-side filter. */
+    lazy val eqKeyCols: Set[String] =
+      eqDeletes.valuesIterator.flatten.flatMap(m =>
+        scala.util.Try(graft.avro.AvroSchemaParser.parse(m.writerSchemaJson))
+          .toOption match {
+          case Some(r: graft.avro.ARecord) => r.fields.map(_.name)
+          case _ => Nil
+        }).toSet
   }
 
   /** Name of the `_file` METADATA column (the row's source-file path) every
@@ -326,6 +343,7 @@ object OcfDataSource {
     var snapMetaByPath: Map[String, OcfFileMeta] = Map.empty
     var streamExclude: Set[String] = Set.empty
     var deletesByPath: Map[String, Seq[OcfFileMeta]] = Map.empty
+    var eqDeletesByPath: Map[String, Seq[OcfFileMeta]] = Map.empty
     var listed = snapRoot match {
       case Some(root) =>
         val fs = root.getFileSystem(conf)
@@ -353,16 +371,19 @@ object OcfDataSource {
         }
         recursive = true // manifest files live in col=value subtrees
         val base = fs.makeQualified(root)
-        // split position-delete files (X87) out of the data set: they are
-        // attached to their TARGET file's reads, never read as table data
-        val (delFiles, snapFiles0) = snapFilesAll.partition(_.deleteOf.isDefined)
-        require(delFiles.isEmpty || snapStarting.isEmpty,
+        // split position-delete (X87) and equality-delete (X94) files out
+        // of the data set: they are attached to data-file READS (by target
+        // path / by birth seq respectively), never read as table data
+        val delFiles = snapFilesAll.filter(_.isPositionDelete)
+        val eqFiles = snapFilesAll.filter(_.isEqualityDelete)
+        val snapFiles0 = snapFilesAll.filter(_.isData)
+        require((delFiles.isEmpty && eqFiles.isEmpty) || snapStarting.isEmpty,
           s"graft-ocf: incremental read after version ${snapStarting.getOrElse(-1L)} " +
             s"refused: the range committed ${delFiles.size} position-delete " +
-            "file(s) — rows were logically REMOVED, so the changes are not " +
-            "representable as appended rows. Read a full snapshot instead, " +
-            "or start after the deleting commit (or after " +
-            "rewrite_position_deletes folded it).")
+            s"and ${eqFiles.size} equality-delete file(s) — rows were " +
+            "logically REMOVED, so the changes are not representable as " +
+            "appended rows. Read a full snapshot instead, or start after " +
+            "the deleting commit (or after rewrite_position_deletes folded it).")
         // `graft.files`: restrict the read to NAMED table-relative data
         // files (maintenance surface — rewrite_position_deletes reads
         // exactly the delete-burdened files). Unknown names fail loudly.
@@ -379,15 +400,30 @@ object OcfDataSource {
           case None => snapFiles0
         }
         val keptTargets = snapFiles.map(_.path).toSet
+        def deleteMeta(d: OcfSnapshots.SnapFile): OcfFileMeta = {
+          val qp = new Path(base, d.path).toString
+          d.meta.map(_.copy(path = qp, len = d.len)).getOrElse(
+            // delete files commit with inlined metas; pread covers any
+            // hand-built manifest that omitted them
+            fetchMetas(conf, Seq(FileSlice(qp, d.len))).head)
+        }
         deletesByPath = delFiles.filter(d => keptTargets(d.deleteOf.get))
           .groupBy(_.deleteOf.get).map { case (target, dels) =>
-          new Path(base, target).toString -> dels.map { d =>
-            val qp = new Path(base, d.path).toString
-            d.meta.map(_.copy(path = qp, len = d.len)).getOrElse(
-              // delete files commit with inlined metas; pread covers any
-              // hand-built manifest that omitted them
-              fetchMetas(conf, Seq(FileSlice(qp, d.len))).head)
-          }
+          new Path(base, target).toString -> dels.map(deleteMeta)
+        }
+        // equality deletes (X94) burden every kept data file BORN BEFORE
+        // them (seq order, legacy seq-0 files before everything); the
+        // reader filters decoded rows by key membership. Metas resolve
+        // once per delete file, shared across all burdened targets.
+        if (eqFiles.nonEmpty) {
+          val eqMetas: Seq[(Long, OcfFileMeta)] =
+            eqFiles.map(e => e.seq -> deleteMeta(e))
+          eqDeletesByPath = snapFiles.iterator.flatMap { f =>
+            val applicable = eqMetas.collect {
+              case (eseq, m) if f.seq < eseq => m }
+            if (applicable.isEmpty) None
+            else Some(new Path(base, f.path).toString -> applicable)
+          }.toMap
         }
         snapMetaByPath = snapFiles.iterator.flatMap(sf =>
           sf.meta.map(m => new Path(base, sf.path).toString -> m)).toMap
@@ -559,6 +595,7 @@ object OcfDataSource {
       versionPinned = snapVersion.isDefined && snapStarting.isEmpty,
       columnarEnabled = options.getBoolean("columnar", true),
       deletes = deletesByPath,
+      eqDeletes = eqDeletesByPath,
       transforms = transforms)
     firstMeta.foreach(m => r.metaCache.put(m.path, m))
     // seed the per-resolve meta memo with every manifest-carried meta:
@@ -683,16 +720,16 @@ object OcfDataSource {
         // streaming discovery must fail LOUDLY when a merge-on-read DELETE
         // lands mid-stream: rows already emitted cannot be retracted, and
         // silently streaming on would misrepresent the table
-        if (failOnDeletes) require(!files.exists(_.deleteOf.isDefined),
-          s"graft-ocf: streaming read of $root refused — a position-delete " +
-            "file was committed (merge-on-read DELETE); a stream cannot " +
-            "retract already-emitted rows. CALL " +
+        if (failOnDeletes) require(files.forall(_.isData),
+          s"graft-ocf: streaming read of $root refused — a position- or " +
+            "equality-delete file was committed (merge-on-read DELETE/" +
+            "upsert); a stream cannot retract already-emitted rows. CALL " +
             "<cat>.system.rewrite_position_deletes to fold the deletes, " +
             "then restart the stream.")
-        // data files only: position-delete files attach to reads of their
-        // targets, they are never themselves listed as table data
+        // data files only: position/equality-delete files attach to reads
+        // of their targets, they are never themselves listed as table data
         return OcfSnapshots.toFileSlices(fs, root,
-          files.filter(_.deleteOf.isEmpty))
+          files.filter(_.isData))
       }
     }
     list(conf, paths, glob, recursive)
@@ -918,6 +955,18 @@ private[sources] final class OcfScanBuilder(
           (wantFile && f.name == OcfDataSource.FileColName) ||
             (wantPos && f.name == OcfDataSource.PosColName)))
       else requiredSchema)
+    // equality deletes (X94) filter rows BY KEY inside the reader, so the
+    // key columns must survive pruning even when the query projects them
+    // away — the scan reports the (slightly) wider readSchema and Spark's
+    // project above selects what the query asked for
+    if (resolved.eqDeletes.nonEmpty) {
+      required = required.map { req =>
+        val have = req.fieldNames.toSet
+        val missing = resolved.dataSql.fields.filter(f =>
+          resolved.eqKeyCols.contains(f.name) && !have.contains(f.name))
+        if (missing.isEmpty) req else StructType(req.fields ++ missing)
+      }
+    }
   }
 
   /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, Spark keeps the
@@ -1010,11 +1059,11 @@ private[sources] final class OcfScanBuilder(
     // exact for the filtered query. Spark only attempts the push when no
     // residual filters remain, so `pushed` here is normally all-consumed —
     // the guard is defensive.
-    // position deletes (X87) remove rows the header stamps still count:
-    // every header-constant answer (block-walk COUNT, stamp MIN/MAX/SUM)
-    // would include deleted rows — no aggregate pushdown while any delete
-    // file is attached (rewrite_position_deletes restores it)
-    if (resolved.deletes.nonEmpty) return false
+    // position (X87) and equality (X94) deletes remove rows the header
+    // stamps still count: every header-constant answer (block-walk COUNT,
+    // stamp MIN/MAX/SUM) would include deleted rows — no aggregate pushdown
+    // while any delete file is attached (rewrite_position_deletes restores it)
+    if (resolved.deletes.nonEmpty || resolved.eqDeletes.nonEmpty) return false
     if (limit.nonEmpty || wantFile || wantPos ||
         pushed.exists(f => !OcfPartitions.exactOnPartitions(f, partType)) ||
         agg.aggregateExpressions.isEmpty) return false
@@ -1328,6 +1377,7 @@ private[sources] final class OcfScanBuilder(
       withFilePath = wantFile,
       withPos = wantPos,
       deletes = resolved.deletes,
+      eqDeletes = resolved.eqDeletes,
       bucketCols = resolved.bucket.map(_.cols).getOrElse(Nil),
       bucketColTypes = resolved.bucket.map(_.cols.map(c =>
         resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)).getOrElse(Nil),
@@ -1427,7 +1477,11 @@ private[graft] final case class OcfScan(
     withPos: Boolean = false,
     // position deletes (X87): qualified data path -> delete-file metas;
     // mapped files read unsplit with those ordinals skipped
-    deletes: Map[String, Seq[OcfDataSource.OcfFileMeta]] = Map.empty)
+    deletes: Map[String, Seq[OcfDataSource.OcfFileMeta]] = Map.empty,
+    // equality deletes (X94): qualified data path -> metas of the
+    // equality-delete files born after it; mapped files read with a
+    // key-membership row filter (splits still allowed)
+    eqDeletes: Map[String, Seq[OcfDataSource.OcfFileMeta]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1685,11 +1739,11 @@ private[graft] final case class OcfScan(
         "not apply consumed partition filters")
     require(!withFilePath && !withPos,
       "graft-ocf: the _file/_pos metadata columns are batch-only")
-    require(deletes.isEmpty,
-      "graft-ocf: streaming read refused — the table carries position-" +
-        "delete files, and a stream cannot retract already-emitted rows. " +
-        "CALL <cat>.system.rewrite_position_deletes to fold them, then " +
-        "restart the stream.")
+    require(deletes.isEmpty && eqDeletes.isEmpty,
+      "graft-ocf: streaming read refused — the table carries position- or " +
+        "equality-delete files, and a stream cannot retract already-emitted " +
+        "rows. CALL <cat>.system.rewrite_position_deletes to fold them, " +
+        "then restart the stream.")
     new OcfMicroBatchStream(this, checkpointLocation)
   }
   override def description(): String = {
@@ -1714,6 +1768,8 @@ private[graft] final case class OcfScan(
         (if (deletes.nonEmpty)
           s" PositionDeletes: ${deletes.valuesIterator.map(_.size).sum} file(s) " +
             s"over ${deletes.size} target(s)" else "") +
+        (if (eqDeletes.nonEmpty)
+          s" EqualityDeletes: over ${eqDeletes.size} target(s)" else "") +
         (if (withPos) " RowOrdinals: _pos (unsplit files)" else "")
     s"graft-ocf files=${files.size} splitSize=$splitSize$pushed ReadSchema: ${readSchema().simpleString}"
   }
@@ -1797,12 +1853,20 @@ private[graft] final case class OcfScan(
       // position deletes ride the factory as per-file-INDEX meta lists
       // (small: point deletes touch few files); the reader loads the
       // ordinals task-side, so the driver never materializes them
+      def slim(ds: Seq[OcfDataSource.OcfFileMeta]): Seq[OcfDataSource.OcfFileMeta] =
+        ds.map(d => d.copy(statsJson = None, bloomJson = None,
+          blockIndexJson = None, sortedByJson = None))
       val delByIdx: Map[Int, Seq[OcfDataSource.OcfFileMeta]] =
         if (deletes.isEmpty) Map.empty
         else files.iterator.zipWithIndex.flatMap { case (f, i) =>
-          deletes.get(f.path).map(ds => i -> ds.map(d =>
-            d.copy(statsJson = None, bloomJson = None, blockIndexJson = None,
-              sortedByJson = None)))
+          deletes.get(f.path).map(ds => i -> slim(ds))
+        }.toMap
+      // equality deletes (X94): same per-file-index shape; the reader loads
+      // each delete file's key tuples task-side into a hash set
+      val eqByIdx: Map[Int, Seq[OcfDataSource.OcfFileMeta]] =
+        if (eqDeletes.isEmpty) Map.empty
+        else files.iterator.zipWithIndex.flatMap { case (f, i) =>
+          eqDeletes.get(f.path).map(ds => i -> slim(ds))
         }.toMap
       // vectorized fast lane (X91): flat all-primitive reader schema and a
       // positional wire plan for EVERY planned file (identity, pruned
@@ -1810,12 +1874,13 @@ private[graft] final case class OcfScan(
       // no positional semantics — everything else rides the row reader
       val cf: Option[Array[OcfColumnar.Field]] =
         if (!columnarEnabled || wrap || partIdx.nonEmpty || withFilePath ||
-            withPos || delByIdx.nonEmpty) None
+            withPos || delByIdx.nonEmpty || eqByIdx.nonEmpty) None
         else OcfColumnar.fieldsFor(readerJson).filter(rf =>
           files.forall(m =>
             OcfColumnar.wirePlanFor(m.writerSchemaJson, rf).isDefined))
       OcfReaderFactory(shipped, readerJson, wrap, conf, limit, partIdx, partTypes,
-        withFilePath, withPos, delByIdx, columnarFields = cf)
+        withFilePath, withPos, delByIdx, columnarFields = cf,
+        eqDeletes = eqByIdx)
     }
   }
 
@@ -1830,7 +1895,7 @@ private[graft] final case class OcfScan(
     override def numRows(): OptionalLong = {
       // position deletes make stamped row counts overcounts
       if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue ||
-          deletes.nonEmpty)
+          deletes.nonEmpty || eqDeletes.nonEmpty)
         return OptionalLong.empty()
       val fs = effectiveFiles
       if (fs.nonEmpty && fs.forall(_.rowsStamp.isDefined))
@@ -1851,7 +1916,7 @@ private[graft] final case class OcfScan(
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       if (countStar || aggExprs.nonEmpty || limit != Long.MaxValue ||
-          deletes.nonEmpty) return out
+          deletes.nonEmpty || eqDeletes.nonEmpty) return out
       val fs = effectiveFiles
       if (fs.isEmpty || !fs.forall(_.statsJson.isDefined)) return out
       val parsed = fs.map(m =>
@@ -1990,7 +2055,10 @@ private[sources] final case class OcfReaderFactory(
     // vectorized fast lane (X91): defined only when EVERY planned file's
     // flat primitive schema resolves identically — uniform across
     // partitions, so Spark's all-or-nothing columnar planning holds
-    columnarFields: Option[Array[OcfColumnar.Field]] = None)
+    columnarFields: Option[Array[OcfColumnar.Field]] = None,
+    // equality deletes (X94): per-file-index metas of the key files whose
+    // tuples the reader drops
+    eqDeletes: Map[Int, Seq[OcfDataSource.OcfFileMeta]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OcfSplit]
@@ -2002,7 +2070,8 @@ private[sources] final case class OcfReaderFactory(
       deleteFiles = deletes.getOrElse(p.fileIndex, Nil),
       // `_pos` slot ordinal in the appended row: after partition values
       // and (when present) the `_file` constant
-      posSlot = if (withPos) partIdx.length + (if (withFilePath) 1 else 0) else -1)
+      posSlot = if (withPos) partIdx.length + (if (withFilePath) 1 else 0) else -1,
+      eqDeleteFiles = eqDeletes.getOrElse(p.fileIndex, Nil))
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -2231,6 +2300,103 @@ private[graft] object OcfSplitReader {
     }
     if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
   }
+
+  /** One equality-delete key group (X94): delete files sharing a key-column
+    * set load into one hash set of key tuples; `matches` probes a decoded
+    * data row. Tuples are `immutable.ArraySeq`s of Catalyst values
+    * (UTF8String/Long/...), which hash/compare element-wise. */
+  final class EqGroup(val ordinals: Array[Int],
+                      val types: Array[org.apache.spark.sql.types.DataType],
+                      val keys: java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]) {
+    def matches(row: InternalRow): Boolean = {
+      val t = new Array[Any](ordinals.length)
+      var i = 0
+      while (i < ordinals.length) {
+        t(i) = if (row.isNullAt(ordinals(i))) null
+               else row.get(ordinals(i), types(i))
+        i += 1
+      }
+      keys.contains(scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
+    }
+  }
+
+  /** Load ONE data file's applicable equality-delete files into key-group
+    * filters. Each delete file's writer schema IS its key record; the keys
+    * decode THROUGH resolution against the data reader's matching fields,
+    * so a widened table column (int -> long) compares in the widened
+    * domain. The scan's pruning keeps key columns readable, so every key
+    * name binds to an ordinal of the decoded data row. */
+  def loadEqualityFilters(eqFiles: Seq[OcfDataSource.OcfFileMeta],
+                          readerJson: String,
+                          conf: Configuration): Array[EqGroup] = {
+    if (eqFiles.isEmpty) return Array.empty
+    val dataRec = graft.avro.AvroSchemaParser.parse(readerJson) match {
+      case r: graft.avro.ARecord => r
+      case other => throw new IllegalStateException(
+        s"graft-ocf: equality deletes need a record reader schema, got " +
+          other.typeName)
+    }
+    val fieldsByName = dataRec.fields.map(f => f.name -> f).toMap
+    val (dataSql, _) = OcfDataSource.sqlShape(readerJson)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[String], EqGroup]
+    eqFiles.foreach { m =>
+      val eqRec = graft.avro.AvroSchemaParser.parse(m.writerSchemaJson) match {
+        case r: graft.avro.ARecord => r
+        case other => throw new IllegalStateException(
+          s"graft-ocf: equality-delete file ${m.path} has a non-record " +
+            s"schema (${other.typeName})")
+      }
+      val names: Seq[String] = eqRec.fields.map(_.name)
+      val group = groups.getOrElseUpdate(names, {
+        val ords = new Array[Int](names.length)
+        val tps = new Array[org.apache.spark.sql.types.DataType](names.length)
+        var i = 0
+        names.foreach { n =>
+          val ord = dataSql.fieldNames.indexOf(n)
+          require(ord >= 0,
+            s"graft-ocf: equality-delete key column '$n' of ${m.path} is " +
+              "not in the scan's reader schema (pruning must keep keys)")
+          ords(i) = ord
+          tps(i) = dataSql.fields(ord).dataType
+          i += 1
+        }
+        new EqGroup(ords, tps, new java.util.HashSet())
+      })
+      // read the delete file resolved against the DATA reader's key fields
+      val eqReaderJson = graft.avro.AvroSchemaParser.toJson(
+        graft.avro.ARecord(eqRec.name, eqRec.namespace,
+          names.map(n => graft.avro.AField(n, fieldsByName(n).schema))))
+      val compiled = graft.spark.AvroRuntime.catalystReader(
+        m.writerSchemaJson, eqReaderJson)
+      val p = new Path(m.path)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        val codec = AvroCodecs(m.codecName)
+        var bs = m.headerEnd
+        while (bs >= 0 && bs < m.len) {
+          val h = OcfBlocks.readBlockHeader(in, m, bs)
+          val body = new Array[Byte](h.size.toInt)
+          in.readFully(h.dataStart, body, 0, body.length)
+          val bin = new AvroBinaryReader(codec.decompress(body))
+          var k = 0L
+          while (k < h.count) {
+            val kr = compiled(bin).asInstanceOf[InternalRow]
+            val t = new Array[Any](group.ordinals.length)
+            var i = 0
+            while (i < t.length) {
+              t(i) = if (kr.isNullAt(i)) null else kr.get(i, group.types(i))
+              i += 1
+            }
+            group.keys.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
+            k += 1
+          }
+          bs = h.dataStart + h.size + Ocf.SyncSize
+        }
+      } finally in.close()
+    }
+    groups.valuesIterator.toArray
+  }
 }
 
 private[graft] final class OcfSplitReader(
@@ -2239,8 +2405,14 @@ private[graft] final class OcfSplitReader(
     limit: Long = Long.MaxValue, partRow: InternalRow = null,
     aligned: Boolean = false,
     deleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
-    posSlot: Int = -1)
+    posSlot: Int = -1,
+    eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
     extends PartitionReader[InternalRow] {
+
+  // equality deletes (X94) filter by decoded KEY — meaningless on a
+  // wrapped bare-datum read (no record fields to bind)
+  require(eqDeleteFiles.isEmpty || !wrap,
+    s"graft-ocf: equality deletes need a record read of ${meta.path}")
 
   // position semantics (deletes to apply, or `_pos` to emit) require the
   // split to BE the file: ordinals count raw datums from the first block
@@ -2292,6 +2464,25 @@ private[graft] final class OcfSplitReader(
   private var delIdx = 0
   private var rawPos = 0L
 
+  // equality-delete application (X94): key-group hash sets, probed per
+  // decoded row — stateless, so splits stay legal under equality deletes
+  private val eqGroups: Array[OcfSplitReader.EqGroup] =
+    try OcfSplitReader.loadEqualityFilters(eqDeleteFiles, readerJson, conf)
+    catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+
+  private def equalityDeleted(data: InternalRow): Boolean = {
+    var i = 0
+    while (i < eqGroups.length) {
+      if (eqGroups(i).matches(data)) return true
+      i += 1
+    }
+    false
+  }
+
   // reused per row: joins the decoded data row with the per-file constant
   // partition-value row (Spark copies rows it retains, the standard
   // file-source appended-partition-columns contract)
@@ -2316,6 +2507,9 @@ private[graft] final class OcfSplitReader(
       rawPos += 1L
       if (delIdx < deletedPos.length && deletedPos(delIdx) == p) {
         delIdx += 1 // deleted ordinal: decoded (stream must advance), dropped
+      } else if (eqGroups.length > 0 &&
+          equalityDeleted(v.asInstanceOf[InternalRow])) {
+        // equality-deleted key: decoded (stream must advance), dropped
       } else {
         if (posSlot >= 0)
           partRow.asInstanceOf[GenericInternalRow].update(posSlot, p)

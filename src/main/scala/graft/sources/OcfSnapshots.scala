@@ -62,10 +62,26 @@ private[graft] object OcfSnapshots {
   /** `deleteOf`: when set, this entry is a POSITION-DELETE file (X87,
     * merge-on-read DELETE) holding the ordinals of deleted rows of the
     * named data file (table-relative path). Scans attach it to exactly
-    * that file; it is never read as table data. */
+    * that file; it is never read as table data.
+    *
+    * `equalityOf`: when set, this entry is an EQUALITY-DELETE file (X94,
+    * merge-on-read upsert): its datums are key tuples over the named
+    * columns, and it deletes every matching row of every data file with a
+    * SMALLER `seq` (files born before it). Never read as table data.
+    *
+    * `seq`: the commit version that ADDED this file (0 = pre-sequencing
+    * legacy, ordered before everything). Commit() stamps it centrally;
+    * the only consumer is equality-delete applicability, mirroring
+    * Iceberg's sequence numbers. */
   final case class SnapFile(path: String, len: Long,
                             meta: Option[OcfDataSource.OcfFileMeta] = None,
-                            deleteOf: Option[String] = None)
+                            deleteOf: Option[String] = None,
+                            equalityOf: Option[Seq[String]] = None,
+                            seq: Long = 0L) {
+    def isPositionDelete: Boolean = deleteOf.isDefined
+    def isEqualityDelete: Boolean = equalityOf.isDefined
+    def isData: Boolean = deleteOf.isEmpty && equalityOf.isEmpty
+  }
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
                             files: Seq[SnapFile],
                             // the table's Catalyst schema AT COMMIT TIME
@@ -162,8 +178,16 @@ private[graft] object OcfSnapshots {
             bloomInHeader = Option(f.get("bloom")).exists(_.asBoolean),
             blockIndexInHeader = Option(f.get("blockIndex")).exists(_.asBoolean))
         }
+        val eq = Option(f.get("equalityOf")).map { arr =>
+          val cols = Seq.newBuilder[String]
+          val cit = arr.elements()
+          while (cit.hasNext) cols += cit.next().asText
+          cols.result()
+        }
         files += SnapFile(path, len, meta,
-          deleteOf = Option(f.get("deleteOf")).map(_.asText))
+          deleteOf = Option(f.get("deleteOf")).map(_.asText),
+          equalityOf = eq,
+          seq = Option(f.get("seq")).map(_.asLong).getOrElse(0L))
       }
       files.result()
     }
@@ -194,6 +218,11 @@ private[graft] object OcfSnapshots {
       o.put("path", f.path)
       o.put("len", f.len)
       f.deleteOf.foreach(o.put("deleteOf", _))
+      f.equalityOf.foreach { cols =>
+        val a = o.putArray("equalityOf")
+        cols.foreach(a.add)
+      }
+      if (f.seq != 0L) o.put("seq", f.seq)
       f.meta.foreach { m =>
         val idx = schemaIdx.getOrElseUpdate(m.writerSchemaJson, schemaIdx.size)
         o.put("schema", idx)
@@ -398,6 +427,7 @@ private[graft] object OcfSnapshots {
     * entry (stays out of the delta) or was replaced (remove + add). */
   private def sameFile(a: SnapFile, b: SnapFile): Boolean =
     a.path == b.path && a.len == b.len && a.deleteOf == b.deleteOf &&
+      a.equalityOf == b.equalityOf && a.seq == b.seq &&
       ((a.meta, b.meta) match {
       case (None, None) => true
       case (Some(x), Some(y)) =>
@@ -420,10 +450,36 @@ private[graft] object OcfSnapshots {
     * compaction, overwrite) is dropped with it — readers never attach
     * deletes to files that no longer exist, and no commit path has to
     * remember to clean them up. */
+  /** Stamp `seq` (the commit version a file was born in) on every entry the
+    * transform produced: a path new to `prev` gets THIS commit's version; a
+    * surviving or replaced path inherits its previous seq (a replayed
+    * streaming epoch re-adds the same deterministic path — its rows' birth
+    * version is unchanged, so equality-delete applicability must not
+    * reset). Entries that already carry a seq keep it. */
+  private def stampSeq(files: Seq[SnapFile], prev: Seq[SnapFile],
+                       version: Long): Seq[SnapFile] = {
+    if (files.forall(_.seq != 0L)) return files
+    val prevSeq = new java.util.HashMap[String, java.lang.Long](prev.size * 2)
+    prev.foreach(f => prevSeq.put(f.path, f.seq))
+    files.map { f =>
+      if (f.seq != 0L) f
+      else prevSeq.get(f.path) match {
+        case null => f.copy(seq = version)
+        case s => if (s.longValue == 0L) f else f.copy(seq = s.longValue)
+      }
+    }
+  }
+
   private def dropOrphanDeletes(files: Seq[SnapFile]): Seq[SnapFile] = {
-    if (!files.exists(_.deleteOf.isDefined)) return files
-    val dataPaths = files.iterator.filter(_.deleteOf.isEmpty).map(_.path).toSet
-    files.filter(f => f.deleteOf.forall(dataPaths.contains))
+    if (files.forall(_.isData)) return files
+    val dataPaths = files.iterator.filter(_.isData).map(_.path).toSet
+    // an equality delete burdens every data file with a SMALLER seq; once
+    // all such files are rewritten away (fold/compact), it deletes nothing
+    val minDataSeq: Long =
+      files.iterator.filter(_.isData).map(_.seq).minOption.getOrElse(Long.MaxValue)
+    files.filter(f =>
+      f.deleteOf.forall(dataPaths.contains) &&
+        (!f.isEqualityDelete || minDataSeq < f.seq))
   }
 
   /** Render `next` as a delta against `prev` when the commit's change IS a
@@ -482,8 +538,10 @@ private[graft] object OcfSnapshots {
           (snap.files, snap.tableSchemaJson, depth)
         case None => (listingAsFiles(fs, tableDir), None, 0)
       }
-      val next = Snapshot(prevVersion.getOrElse(0L) + 1, System.currentTimeMillis(),
-        operation, dropOrphanDeletes(transform(prevFiles)),
+      val nextVersion = prevVersion.getOrElse(0L) + 1
+      val next = Snapshot(nextVersion, System.currentTimeMillis(),
+        operation,
+        dropOrphanDeletes(stampSeq(transform(prevFiles), prevFiles, nextVersion)),
         // a schema-less commit (path write) inherits the previous schema
         tableSchemaJson.orElse(prevSchema))
       val dest = manifestPath(tableDir, next.version)
@@ -724,7 +782,9 @@ private[graft] object OcfSnapshots {
             (base, snap, depth)
         }
       val next = Snapshot(headVersion + 1, System.currentTimeMillis(),
-        operation, dropOrphanDeletes(transform(headSnap.files)),
+        operation,
+        dropOrphanDeletes(
+          stampSeq(transform(headSnap.files), headSnap.files, headVersion + 1)),
         tableSchemaJson.orElse(headSnap.tableSchemaJson))
       val dest = manifestFile(bd, next.version)
       val tmp = new Path(bd, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")

@@ -322,6 +322,50 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
           s"graft-ocf write: column '${spec.dirCol}' collides with the " +
             "transform directory level"))
     }
+    // `upsertKeys` (X94): merge-on-read upsert — the batch's key tuples
+    // land in equality-delete files alongside the data, deleting all OLDER
+    // rows with those keys in one commit and NEVER scanning the target
+    // (the CDC-ingest shape). Keys must be data columns with exact-equality
+    // semantics; the write must commit through a snapshot manifest (the
+    // delete entry has no meaning in a bare directory listing).
+    val upsertKeys: Array[String] = Option(opts.get("upsertKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    if (upsertKeys.nonEmpty) {
+      require(!truncateAll && overwriteFilters.isEmpty && !dynamicOverwrite,
+        "graft-ocf write: upsertKeys composes with APPEND only — an " +
+          "overwrite already replaces the rows an upsert would delete")
+      upsertKeys.foreach { k =>
+        val i = dataSql.fields.indexWhere(_.name == k)
+        require(i >= 0,
+          s"graft-ocf write: upsertKeys entry '$k' is not a data column " +
+            s"(${dataSql.fieldNames.mkString(", ")}); partition columns " +
+            "cannot key an upsert")
+        dataSql.fields(i).dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BooleanType |
+               org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => ()
+          case dt => throw new IllegalArgumentException(
+            s"graft-ocf write: upsertKeys entry '$k' has type " +
+              s"${dt.simpleString}; keys need exact equality " +
+              "(string/integral/boolean/date/timestamp)")
+        }
+      }
+      val snapshotted = Option(opts.get("graft.snapshots")).exists(_.toBoolean) ||
+        OcfSnapshots.enabled(
+          new Path(dir).getFileSystem(
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()),
+          new Path(dir))
+      require(snapshotted,
+        "graft-ocf write: upsertKeys needs a snapshot-managed table — the " +
+          "equality-delete entry lives in the manifest; a bare directory " +
+          "listing would read the key file as table data")
+    }
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -356,6 +400,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       snapshots = Option(opts.get("graft.snapshots")).exists(_.toBoolean),
       branch = Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
+      upsertKeys = upsertKeys,
       statsCols = statsCols,
       bloomCols = bloomCols, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
@@ -413,6 +458,10 @@ private[sources] final case class OcfWriteConfig(
     // visibility), main readers see nothing until fast_forward
     branch: Option[String] = None,
     tableSchemaJson: Option[String] = None,
+    // merge-on-read upsert (X94): every task additionally writes its
+    // rows' key tuples to an equality-delete file, so the commit deletes
+    // all OLDER rows with those keys — CDC upsert with NO target scan
+    upsertKeys: Array[String] = Array.empty,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomFpp: Double = 0.01,
@@ -828,6 +877,52 @@ private[sources] final class OcfDataWriter(
   private var out: FSDataOutputStream = _
   private var ocf: OcfStreamWriter = _
   private var chunk = 0
+
+  // merge-on-read upsert (X94): this task's key tuples stream to ONE
+  // equality-delete OCF at the table root (the delete is table-global, not
+  // per partition). Dedup is best-effort and bounded — duplicate key datums
+  // only cost bytes, the read side unions into a set anyway.
+  private val eqAvroIdx: Array[Int] =
+    cfg.upsertKeys.map(k => schema.fields.indexWhere(_.name == k))
+  private val eqSchema =
+    if (cfg.upsertKeys.isEmpty) null
+    else graft.avro.ARecord("graft_eq_keys", None,
+      eqAvroIdx.map(j => graft.avro.AField(
+        schema.fields(j).name, schema.fields(j).schema)).toSeq)
+  private var eqOut: FSDataOutputStream = _
+  private var eqOcf: OcfStreamWriter = _
+  private var eqSeen: java.util.HashSet[scala.collection.immutable.ArraySeq[Any]] =
+    if (cfg.upsertKeys.isEmpty) null else new java.util.HashSet()
+  private def eqName(n: String): String = n.replace(".avro", ".eqdel.avro")
+
+  private def writeUpsertKey(row: InternalRow): Unit = {
+    val t = new Array[Any](eqAvroIdx.length)
+    var i = 0
+    while (i < t.length) {
+      val j = eqAvroIdx(i)
+      val ord = ordinals(j)
+      t(i) = if (row.isNullAt(ord)) null else fieldWriters(j)._2(row, ord)
+      i += 1
+    }
+    if (eqSeen != null) {
+      if (!eqSeen.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(t)))
+        return // duplicate within this task
+      if (eqSeen.size > (1 << 20)) eqSeen = null // bounded: write-through
+    }
+    if (eqOcf == null) {
+      val p = new Path(cfg.dir, eqName(tmpName))
+      eqOut = p.getFileSystem(cfg.conf.value).create(p, true)
+      eqOcf = new OcfStreamWriter(eqOut, eqSchema, cfg.codecName,
+        blockBytes = cfg.blockBytes)
+    }
+    enc.out.reset()
+    var k = 0
+    while (k < eqAvroIdx.length) {
+      fieldWriters(eqAvroIdx(k))._1(t(k), enc)
+      k += 1
+    }
+    eqOcf.append(enc.toByteArray)
+  }
   private var totalRows = 0L
   private var filesSealed = 0L
   private var bytesSealed = 0L
@@ -944,6 +1039,7 @@ private[sources] final class OcfDataWriter(
       i += 1
     }
     ocf.append(enc.toByteArray)
+    if (eqAvroIdx.length > 0) writeUpsertKey(row)
     // getPos counts FLUSHED bytes, so the roll triggers on sealed blocks
     // only — at most one block of overshoot past the bound
     if (out.getPos >= cfg.maxBytesPerFile) {
@@ -997,22 +1093,38 @@ private[sources] final class OcfDataWriter(
 
   override def commit(): WriterCommitMessage = {
     sealCurrent()
+    if (eqOcf != null) {
+      eqOcf.finish()
+      eqOut.close()
+      eqOcf = null
+      eqOut = null
+      sealedFiles += OcfWrittenFile(
+        new Path(cfg.dir, eqName(tmpName)).toString,
+        new Path(cfg.dir, eqName(finalName)).toString,
+        eqKeys = Some(cfg.upsertKeys.toSeq))
+    }
     OcfCommitMessage(sealedFiles.result(), totalRows)
   }
 
   override def abort(): Unit = {
     close()
     val fs = new Path(cfg.dir).getFileSystem(cfg.conf.value)
-    (sealedFiles.result().map(f => new Path(f.tmp)) :+ currentTmp).foreach { p =>
+    (sealedFiles.result().map(f => new Path(f.tmp)) :+ currentTmp :+
+        new Path(cfg.dir, eqName(tmpName))).foreach { p =>
       if (fs.exists(p)) fs.delete(p, false)
     }
   }
 
-  override def close(): Unit =
+  override def close(): Unit = {
     if (out != null) {
       try out.close() catch { case _: IOException => }
       out = null
     }
+    if (eqOut != null) {
+      try eqOut.close() catch { case _: IOException => }
+      eqOut = null
+    }
+  }
 }
 
 /** Per-file column statistics for `statsColumns`: running min/max (typed
@@ -1356,7 +1468,11 @@ private[sources] object OcfStatsTracker {
 }
 
 /** One written file: temp path + rename destination. */
-private[sources] final case class OcfWrittenFile(tmp: String, dest: String)
+private[sources] final case class OcfWrittenFile(tmp: String, dest: String,
+    // set when this is an EQUALITY-DELETE key file (X94): the key column
+    // names its datums tuple over — publish() manifests it as a delete
+    // entry, never as table data
+    eqKeys: Option[Seq[String]] = None)
 
 /** One task's committed output: every sealed (tmp, dest) pair — empty for a
   * partition that wrote nothing — plus the row total. */
@@ -1612,6 +1728,10 @@ private[sources] object OcfCommit {
       s"graft-ocf write: option branch='${cfg.branch.get}' needs a " +
         "snapshot-managed table (manifests gate visibility; a plain " +
         "directory has no branch to commit to)")
+    // build() already requires snapshots for upsertKeys; backstop here so a
+    // key file can never land as plain table data in a bare directory
+    require(cfg.upsertKeys.isEmpty,
+      "graft-ocf write: upsertKeys needs a snapshot-managed table")
     clearPaths.foreach { paths =>
       // group-based row-level operation (copy-on-write DELETE/UPDATE/MERGE):
       // replace exactly the files the operation's scan read — their
@@ -1769,6 +1889,13 @@ private[sources] object OcfCommit {
     // future read a zero-pread plan
     val addedMetas = OcfDataSource.fetchMetas(cfg.conf.value,
       addedPathsLens.map { case (p, l) => OcfDataSource.FileSlice(p, l) })
+    // upsert key files (X94) manifest as EQUALITY-DELETE entries: commit()
+    // stamps their seq, so they burden exactly the files born before them
+    val eqKeyByDest: Map[String, Seq[String]] = messages.toSeq.flatMap {
+      case OcfCommitMessage(files, _) => files.flatMap(f =>
+        f.eqKeys.map(k => fs.makeQualified(new Path(f.dest)).toString -> k))
+      case _ => Nil
+    }.toMap
     val added: Seq[OcfSnapshots.SnapFile] = addedMetas.map { m =>
       OcfSnapshots.SnapFile(OcfSnapshots.relativize(qualDir, m.path), m.len,
         meta = Some(m.copy(
@@ -1776,7 +1903,8 @@ private[sources] object OcfCommit {
           blockIndexInHeader = m.blockIndexJson.isDefined,
           // the large stamps live in the header, not the manifest
           bloomJson = None, blockIndexJson = None,
-          partitionValues = Array.empty)))
+          partitionValues = Array.empty)),
+        equalityOf = eqKeyByDest.get(m.path))
     }
     // relative partition directory of a manifest path, the `_bucket=K`
     // level lifted — dynamic overwrite replaces PARTITIONS, not buckets
