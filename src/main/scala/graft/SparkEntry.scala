@@ -1660,6 +1660,12 @@ object SparkEntry {
       s.sql(
         """UPDATE graft_q107.corpus.docs
           |SET n_chars = n_chars + 500 WHERE doc_id % 13 = 2""".stripMargin)
+      // flip to copy-on-write and DELETE: the feed recovers the CoW
+      // commit's rows from the replaced-vs-replacement multiset diff
+      s.sql(
+        """ALTER TABLE graft_q107.corpus.docs
+          |SET TBLPROPERTIES ('write.delete.mode'='copy-on-write')""".stripMargin)
+      s.sql("DELETE FROM graft_q107.corpus.docs WHERE doc_id % 17 = 4")
       graft.sources.GraftChanges.changes(s,
           new java.io.File(wh, "corpus/docs").getAbsolutePath, 1L)
         .select(col("_commit_version").as("commit_version"),
@@ -2721,6 +2727,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT 3, 'insert', doc_id, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2 AND doc_id % 11 <> 3
+        |UNION ALL
+        |SELECT 4, 'delete', doc_id,
+        |  CAST(CASE WHEN doc_id % 13 = 2 THEN n_chars + 500
+        |       ELSE n_chars END AS BIGINT)
+        |FROM documents WHERE doc_id % 17 = 4 AND doc_id % 11 <> 3
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
 
     // the merge-on-read UPDATE's logical view: every doc once, corrected

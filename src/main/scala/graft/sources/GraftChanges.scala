@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{coalesce, col, count, explode, lit, sequence}
 
 /** Change-data-feed reads over snapshot history (X92, the Delta CDF /
   * Iceberg changelog shape): every row the table GAINED or LOST in
@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions.lit
   *    two targeted scans and one shuffle over only the burdened files;
   *  - a merge-on-read UPDATE therefore emits its old rows as deletes and
   *    its new rows as inserts in the same commit (the standard CDC pair);
+  *  - equality-delete files ADDED (X94 upserts) → the same before/after
+  *    anti-join over the burdened (older-seq) files;
+  *  - a COPY-ON-WRITE row-level commit ('replace-rows': CoW DELETE/
+  *    UPDATE/MERGE) → the MULTISET DIFF of the replaced files' rows
+  *    (as of v-1) against the replacement files' rows (as of v): rows
+  *    only in the before side are deletes, only in the after side are
+  *    inserts, and surviving rows cancel — a groupBy-count full-outer
+  *    join over only the replaced/replacement files, exact by value;
   *  - row-preserving rewrites (compact, rewrite_position_deletes) emit
-  *    nothing; any OTHER commit that removed/replaced data files (CoW
-  *    DELETE/UPDATE/MERGE, overwrites) REFUSES — its per-row changes are
+  *    nothing; any OTHER commit that removed/replaced data files
+  *    (overwrites, partition drops) REFUSES — its per-row changes are
   *    not recoverable from the file diff, and a silent partial answer
   *    would corrupt every downstream increment.
   *
@@ -37,6 +45,43 @@ object GraftChanges {
 
   /** Commits whose file removals are row-preserving by construction. */
   private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
+
+  /** The copy-on-write row-level operation ([[OcfCommit]]'s `replace-rows`):
+    * the ONLY file-replacing commit whose per-row changes are recoverable —
+    * the replaced and replacement file sets are both named by the commit,
+    * so their value-level multiset diff IS the change set. */
+  private val CowRowLevelOp = "replace-rows"
+
+  /** Exact multiset diff of two row sets sharing a schema: rows only in
+    * `before` are deletes, only in `after` inserts, common multiplicity
+    * cancels. One groupBy-count per side + a null-safe full-outer join —
+    * work proportional to the replaced/replacement files, never the table. */
+  private def multisetDiff(before: Option[DataFrame], after: Option[DataFrame],
+                           v: Long): Seq[DataFrame] = {
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(t)).withColumn(CommitVersionCol, lit(v))
+    (before, after) match {
+      case (None, None) => Nil
+      case (Some(b), None) => Seq(tag(b, "delete"))
+      case (None, Some(a)) => Seq(tag(a, "insert"))
+      case (Some(b), Some(a)) =>
+        val cols = b.columns.toSeq
+        val bg = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_nb"))
+        val ag = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_na"))
+        val joined = bg.join(ag,
+          cols.map(c => bg(c) <=> ag(c)).reduce(_ && _), "full_outer")
+        val merged = joined.select(
+          cols.map(c => coalesce(bg(c), ag(c)).as(c)) ++ Seq(
+            coalesce(col("_nb"), lit(0L)).as("_nb"),
+            coalesce(col("_na"), lit(0L)).as("_na")): _*)
+        def emit(t: String, n: org.apache.spark.sql.Column) =
+          tag(merged.where(n > lit(0L))
+            .withColumn("_dup", explode(sequence(lit(1L), n)))
+            .select(cols.map(col): _*), t)
+        Seq(emit("delete", col("_nb") - col("_na")),
+          emit("insert", col("_na") - col("_nb")))
+    }
+  }
 
   /** [[changes]] for a catalog-qualified table (`"cat.ns.table"`): the
     * location AND the stored reader schema come from the catalog, so the
@@ -98,12 +143,25 @@ object GraftChanges {
       val removedData = prev.files.filter(f =>
         f.isData && !curPaths.contains(f.path))
       if (removedData.nonEmpty)
-        require(RowPreservingOps.contains(cur.operation),
+        require(RowPreservingOps.contains(cur.operation) ||
+            cur.operation == CowRowLevelOp,
           s"graft-ocf changes: version $v (operation '${cur.operation}') " +
             s"removed or replaced ${removedData.size} data file(s) — its " +
             "per-row changes are not recoverable from the file diff. Read " +
             "a full snapshot instead, or start after the rewriting commit.")
-      if (!RowPreservingOps.contains(cur.operation)) {
+      if (cur.operation == CowRowLevelOp) {
+        // copy-on-write DELETE/UPDATE/MERGE: the replaced files' rows
+        // (before) vs the replacement files' rows (after), value-exact
+        val addedData = cur.files.filter(f =>
+          f.isData && !prevByPath.contains(f.path)).map(_.path)
+        val before =
+          if (removedData.isEmpty) None
+          else Some(readAsOf(prevV, removedData.map(_.path), withPos = false))
+        val after =
+          if (addedData.isEmpty) None
+          else Some(readAsOf(v, addedData, withPos = false))
+        parts ++= multisetDiff(before, after, v)
+      } else if (!RowPreservingOps.contains(cur.operation)) {
         val addedData = cur.files.filter(f =>
           f.isData && !prevByPath.contains(f.path)).map(_.path)
         // anti-join only targets that were VISIBLE at the previous

@@ -90,17 +90,32 @@ class GraftChangesSpec extends AnyFunSuite {
     assert(ch.toSet == Set((2L, "delete", 4L),
       (4L, "insert", 10L), (4L, "insert", 11L)))
 
-    // a copy-on-write UPDATE replaces files: unrecoverable, refused
+    // a copy-on-write UPDATE replaces files: the multiset diff of the
+    // replaced vs replacement rows recovers the exact delete+insert pair
     spark.sql("UPDATE gc.ns.cdp SET id = id + 100 WHERE id = 5")      // v5 (CoW)
+    val ch5 = GraftChanges.changes(spark, loc("cdp"), 4L, Some(5L))
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ch5.toSet == Set((5L, "delete", 5L), (5L, "insert", 105L)), ch5.toSeq)
+    // the full range unions the MoR and CoW recoveries
+    val chAll = GraftChanges.changes(spark, loc("cdp"), 1L)
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(chAll.toSet == Set((2L, "delete", 4L),
+      (4L, "insert", 10L), (4L, "insert", 11L),
+      (5L, "delete", 5L), (5L, "insert", 105L)), chAll.toSeq)
+    // a TRUE overwrite stays refused — its per-row changes are the whole
+    // table, which is not an incremental answer
+    spark.sql("INSERT OVERWRITE gc.ns.cdp SELECT id FROM range(3)")   // v6
     val e = intercept[Exception] {
       GraftChanges.changes(spark, loc("cdp"), 1L).collect()
     }
     assert(e.getMessage.contains("not recoverable"), e.getMessage)
     // starting after the rewriting commit works again
-    spark.sql("INSERT INTO gc.ns.cdp SELECT id FROM range(20, 22)")   // v6
-    val ch2 = GraftChanges.changes(spark, loc("cdp"), 5L)
+    spark.sql("INSERT INTO gc.ns.cdp SELECT id FROM range(20, 22)")   // v7
+    val ch2 = GraftChanges.changes(spark, loc("cdp"), 6L)
       .select("_commit_version", "_change_type", "id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    assert(ch2.toSet == Set((6L, "insert", 20L), (6L, "insert", 21L)))
+    assert(ch2.toSet == Set((7L, "insert", 20L), (7L, "insert", 21L)))
   }
 }
