@@ -1560,6 +1560,48 @@ object SparkEntry {
     // bytes rewritten — and the scan applies them ('mor' phase); CALL
     // rewrite_position_deletes folds them into clean files ('folded'
     // phase). Both phases must agree with the oracle's logical view.
+    // Streaming change-data-feed (X95): the change feed as a micro-batch
+    // source whose offset is the table version. The feed streams the
+    // table's whole life — inserts, MoR delete rows, and an equality
+    // upsert's delete+insert generations — into a memory sink, run to
+    // completion here so the oracle can check the exact change log.
+    "q109_streaming_cdf" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q109",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q109_wh_")
+      s.conf.set("spark.sql.catalog.graft_q109.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q109.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q109.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q109.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`
+          |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      src.createOrReplaceTempView("graft_q109_src")
+      s.sql("INSERT INTO graft_q109.corpus.docs SELECT * FROM graft_q109_src") // v1
+      s.sql("DELETE FROM graft_q109.corpus.docs WHERE doc_id % 11 = 3")        // v2
+      src.where(col("doc_id") % 13 === 2)
+        .select(col("doc_id"), lit("cdc").as("source"),
+          (col("n_chars") + 500L).as("n_chars"))
+        .writeTo("graft_q109.corpus.docs").option("upsertKeys", "doc_id")
+        .append()                                                              // v3
+      val ckpt = landingDir(s, "graft_q109_ck_")
+      s.catalog.dropTempView("graft_q109_feed")
+      val q = s.readStream.format("graft-ocf-changes")
+        .option("startingVersion", "0")
+        .load(new java.io.File(wh, "corpus/docs").getAbsolutePath)
+        .writeStream.format("memory").queryName("graft_q109_feed")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q109_feed")
+        .select(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("commit_version", "change_type", "doc_id")
+    }),
+
     // Merge-on-read equality deletes (X94): a CDC batch upserts keyed on
     // doc_id with NO target scan — the commit lands insert files plus
     // equality-delete key files that kill every OLDER row with those keys.
@@ -2754,6 +2796,23 @@ object SparkEntry {
         |WHERE ts >= timestamp'2024-01-02 00:00:00'
         |  AND ts < timestamp'2024-01-04 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the streamed change log: v1 backfill inserts, v2's MoR delete rows,
+    // v3's upsert as delete(old generation, minus already-dead)+insert(new)
+    "q109_streaming_cdf" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        |  doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, 'delete', doc_id, CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 3
+        |UNION ALL
+        |SELECT 3, 'delete', doc_id, CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 13 = 2 AND doc_id % 11 <> 3
+        |UNION ALL
+        |SELECT 3, 'insert', doc_id, CAST(n_chars AS BIGINT) + 500
+        |FROM documents WHERE doc_id % 13 = 2
+        |ORDER BY commit_version, change_type, doc_id""".stripMargin,
 
     // both phases (reading through the equality-delete key filters; after
     // the fold) must show the corpus with the CDC batch's rows replacing

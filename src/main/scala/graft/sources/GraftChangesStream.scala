@@ -1,0 +1,280 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STREAMING change-data-feed (X95): `readStream.format("graft-ocf-changes")
+  * .option("startingVersion", v).load(tableDir)` — the batch change feed
+  * (X92) as a micro-batch source. The offset IS the table version, so a
+  * checkpointed stream resumes exactly at its last committed commit; each
+  * micro-batch covers the newly committed versions and emits their rows
+  * tagged `_change_type` ('insert'|'delete') and `_commit_version`.
+  *
+  * The same exact-or-refuse contract as the batch feed, enforced at the
+  * trigger that first observes the offending commit:
+  *  - appends and upsert inserts → their files read whole, as inserts;
+  *  - merge-on-read position-delete commits → the target file re-read in
+  *    the reader's CHANGES mode, emitting ONLY the newly deleted ordinals
+  *    (new delete files minus the previously dead set);
+  *  - equality-delete commits (X94 upserts) → every burdened older file
+  *    re-read emitting ONLY rows that survive the pre-commit delete state
+  *    AND match the commit's new keys;
+  *  - row-preserving rewrites (compact, rewrite_position_deletes) emit
+  *    nothing; any commit that removed/replaced data files (CoW row-level
+  *    ops, overwrites) REFUSES — a stream cannot multiset-diff
+  *    replaced-vs-replacement files incrementally;
+  *  - an expired (no longer retained) version inside the pending range
+  *    refuses rather than skipping commits.
+  *
+  * Unlike the file-discovery ingest source (S6), deletes here are DATA
+  * (change-log rows), so delete commits are representable, not refused.
+  * Identity-partitioned layouts are refused for now: their partition
+  * values live in directory names, which this version-oriented reader does
+  * not re-infer (hidden-transform and bucket levels keep source columns in
+  * the files and stream fine). */
+final class GraftChangesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-ocf-changes"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftChangesSource.resolveSchema(options)._2
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (dir, out, readerJson) = GraftChangesSource.resolveSchema(opts)
+    new GraftChangesTable(dir, out, readerJson,
+      Option(opts.get("startingVersion")).map(_.toLong))
+  }
+}
+
+private[sources] object GraftChangesSource {
+  val ChangeCols: Seq[StructField] = Seq(
+    StructField(GraftChanges.ChangeTypeCol, StringType, nullable = false),
+    StructField(GraftChanges.CommitVersionCol, LongType, nullable = false))
+
+  /** (tableDir, output schema, reader Avro JSON) for one options map. */
+  def resolveSchema(options: CaseInsensitiveStringMap)
+      : (String, StructType, String) = {
+    val dir = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-ocf-changes: no 'path' specified"))
+    val root = new Path(dir)
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    require(OcfSnapshots.enabled(fs, root),
+      s"graft-ocf-changes: $dir is not snapshot-managed — the change feed " +
+        "derives from commit history")
+    val snap = OcfSnapshots.latest(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-ocf-changes: $dir has no snapshots yet"))
+    snap.files.filter(_.isData).foreach { f =>
+      val segs = f.path.split('/').dropRight(1)
+      val identity = segs.filter(s => s.contains('=') &&
+        !s.startsWith(OcfBucket.DirCol + "=") && !s.startsWith("_p_"))
+      require(identity.isEmpty,
+        s"graft-ocf-changes: $dir is identity-partitioned " +
+          s"(${identity.head}) — partition values live in directory names, " +
+          "which the version-oriented change reader does not re-infer")
+    }
+    val dataSchema: StructType = snap.tableSchemaJson match {
+      case Some(js) => DataType.fromJson(js).asInstanceOf[StructType]
+      case None =>
+        val first = snap.files.find(_.isData).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-ocf-changes: $dir holds no data files"))
+        val qp = new Path(fs.makeQualified(root), first.path).toString
+        val m = first.meta.getOrElse(OcfDataSource.fetchMetas(conf,
+          Seq(OcfDataSource.FileSlice(qp, first.len))).head)
+        OcfDataSource.sqlShape(m.writerSchemaJson)._1
+    }
+    val readerJson = GraftCatalog.readerJsonWithDefaults(dataSchema)
+    (dir, StructType(dataSchema.fields ++ ChangeCols), readerJson)
+  }
+}
+
+private[sources] final class GraftChangesTable(
+    dir: String, out: StructType, readerJson: String,
+    startingVersion: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-ocf-changes $dir"
+  override def schema(): StructType = out
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = out
+        override def description(): String = s"graft-ocf-changes $dir"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftChangesMicroBatchStream(dir, readerJson, startingVersion,
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      }
+    }
+}
+
+private[graft] final case class GraftChangesOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+private[graft] object GraftChangesOffset {
+  def fromJson(json: String): GraftChangesOffset = GraftChangesOffset(
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("version").asLong)
+}
+
+/** One change part: ONE file read whole, rows tagged (changeType, version).
+  * Delete parts carry the pre-commit delete state (skips) and the commit's
+  * new delete files (the emit-only set). Header metas ride the partition —
+  * a batch covers only the trigger's commits, so factory interning buys
+  * nothing. */
+private[sources] final case class GraftChangesPartition(
+    meta: OcfDataSource.OcfFileMeta, changeType: String, version: Long,
+    skipPos: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    skipEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    emitPos: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    emitEq: Seq[OcfDataSource.OcfFileMeta] = Nil) extends InputPartition
+
+private[sources] final case class GraftChangesReaderFactory(
+    readerJson: String, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftChangesPartition]
+    val appended = new GenericInternalRow(Array[Any](
+      UTF8String.fromString(p.changeType), p.version))
+    new OcfSplitReader(p.meta, 0L, p.meta.len, readerJson, wrap = false,
+      conf.value, partRow = appended,
+      deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
+      emitOnlyPosFiles = p.emitPos, emitOnlyEqFiles = p.emitEq)
+  }
+}
+
+private[graft] final class GraftChangesMicroBatchStream(
+    dir: String, readerJson: String, startingVersion: Option[Long],
+    conf: Configuration) extends MicroBatchStream {
+
+  private val root = new Path(dir)
+  private val fs = root.getFileSystem(conf)
+  private val qualRoot = fs.makeQualified(root)
+
+  private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
+
+  override def initialOffset(): Offset = {
+    val vs = OcfSnapshots.versions(fs, root)
+    // default: changes from NOW on (the Kafka-latest analog); 0 = genesis
+    val sv = startingVersion.getOrElse(vs.lastOption.getOrElse(0L))
+    require(sv == 0L || vs.contains(sv) || vs.isEmpty,
+      s"graft-ocf-changes: startingVersion $sv is not a retained snapshot " +
+        s"(retained: ${vs.mkString(", ")}; 0 streams from genesis)")
+    GraftChangesOffset(sv)
+  }
+
+  override def latestOffset(): Offset =
+    GraftChangesOffset(OcfSnapshots.versions(fs, root).lastOption.getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftChangesOffset.fromJson(json)
+
+  private def metaOf(sf: OcfSnapshots.SnapFile): OcfDataSource.OcfFileMeta = {
+    val qp = new Path(qualRoot, sf.path).toString
+    sf.meta.map(_.copy(path = qp, len = sf.len,
+        statsJson = None, bloomJson = None, blockIndexJson = None,
+        sortedByJson = None))
+      .getOrElse(OcfDataSource.fetchMetas(conf,
+        Seq(OcfDataSource.FileSlice(qp, sf.len))).head)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val sv = start.asInstanceOf[GraftChangesOffset].version
+    val ev = end.asInstanceOf[GraftChangesOffset].version
+    if (ev <= sv) return Array.empty
+    val vs = OcfSnapshots.versions(fs, root)
+    val (prev0, chain) =
+      if (sv == 0L) {
+        // genesis: an empty pre-history; version 1 must still be retained
+        require(vs.nonEmpty && vs.head == 1L,
+          s"graft-ocf-changes: streaming from genesis needs version 1 " +
+            s"retained (retained: ${vs.mkString(", ")})")
+        (OcfSnapshots.Snapshot(0L, 0L, "genesis", Nil, None),
+          vs.filter(_ <= ev))
+      } else {
+        require(vs.contains(sv),
+          s"graft-ocf-changes: version $sv expired mid-stream — the feed " +
+            "cannot skip commits. Restart from a retained version.")
+        (OcfSnapshots.read(fs, root, sv), vs.filter(v => v > sv && v <= ev))
+      }
+    val parts = Array.newBuilder[InputPartition]
+    var prev = prev0
+    chain.foreach { v =>
+      val cur = OcfSnapshots.read(fs, root, v)
+      val prevByPath = prev.files.map(f => f.path -> f).toMap
+      val curPaths = cur.files.map(_.path).toSet
+      val removedData = prev.files.filter(f =>
+        f.isData && !curPaths.contains(f.path))
+      if (removedData.nonEmpty)
+        require(RowPreservingOps.contains(cur.operation),
+          s"graft-ocf-changes: version $v (operation '${cur.operation}') " +
+            s"removed or replaced ${removedData.size} data file(s) — a " +
+            "stream cannot represent rewrites incrementally. Restart from " +
+            s"a version at or after $v.")
+      if (!RowPreservingOps.contains(cur.operation)) {
+        // inserts: files new at v — nothing burdens a file in its own commit
+        cur.files.filter(f => f.isData && !prevByPath.contains(f.path))
+          .foreach(f => parts += GraftChangesPartition(metaOf(f), "insert", v))
+        // deletes from new POSITION-delete files: targets visible before v
+        // (a same-commit target's rows surface through its insert part,
+        // already filtered by the commit's own deletes... which cannot
+        // exist for a same-commit file; mirror the batch feed's rule)
+        val newPos = cur.files.filter(f =>
+          f.isPositionDelete && !prevByPath.contains(f.path))
+        newPos.groupBy(_.deleteOf.get).foreach { case (target, dels) =>
+          prevByPath.get(target).foreach { t =>
+            val oldPos = prev.files.filter(f =>
+              f.isPositionDelete && f.deleteOf.contains(target))
+            parts += GraftChangesPartition(metaOf(t), "delete", v,
+              skipPos = oldPos.map(metaOf), emitPos = dels.map(metaOf))
+          }
+        }
+        // deletes from new EQUALITY-delete files: every previously visible
+        // data file born before them re-reads in emit-only-matching mode,
+        // with the PRE-commit delete state as the survival filter
+        val newEq = cur.files.filter(f =>
+          f.isEqualityDelete && !prevByPath.contains(f.path))
+        if (newEq.nonEmpty) {
+          val newEqMetas = newEq.map(e => e.seq -> metaOf(e))
+          prev.files.filter(_.isData).foreach { f =>
+            val burdening = newEqMetas.collect {
+              case (eseq, m) if f.seq < eseq => m }
+            if (burdening.nonEmpty) {
+              val oldPos = prev.files.filter(d =>
+                d.isPositionDelete && d.deleteOf.contains(f.path))
+              val oldEq = prev.files.filter(e =>
+                e.isEqualityDelete && f.seq < e.seq)
+              parts += GraftChangesPartition(metaOf(f), "delete", v,
+                skipPos = oldPos.map(metaOf), skipEq = oldEq.map(metaOf),
+                emitEq = burdening)
+            }
+          }
+        }
+      }
+      prev = cur
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftChangesReaderFactory(readerJson, new SerializableHadoopConf(conf))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

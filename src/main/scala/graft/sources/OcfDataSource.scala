@@ -2406,17 +2406,29 @@ private[graft] final class OcfSplitReader(
     aligned: Boolean = false,
     deleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
     posSlot: Int = -1,
-    eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
+    eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    // CHANGES read (X95): invert the filter — emit ONLY the rows a commit
+    // deleted. `emitOnlyPosFiles`: emit rows whose ordinal is in these
+    // position-delete files but NOT in `deleteFiles` (the older set —
+    // re-deletes of dead rows are not changes). `emitOnlyEqFiles`: emit
+    // rows SURVIVING deleteFiles/eqDeleteFiles whose key matches these
+    // equality-delete files (the commit's new keys). At most one of the
+    // two per reader; both empty = normal read.
+    emitOnlyPosFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    emitOnlyEqFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
     extends PartitionReader[InternalRow] {
 
   // equality deletes (X94) filter by decoded KEY — meaningless on a
   // wrapped bare-datum read (no record fields to bind)
-  require(eqDeleteFiles.isEmpty || !wrap,
+  require((eqDeleteFiles.isEmpty && emitOnlyEqFiles.isEmpty) || !wrap,
     s"graft-ocf: equality deletes need a record read of ${meta.path}")
+  require(emitOnlyPosFiles.isEmpty || emitOnlyEqFiles.isEmpty,
+    "graft-ocf: one changes-read mode per reader")
 
   // position semantics (deletes to apply, or `_pos` to emit) require the
   // split to BE the file: ordinals count raw datums from the first block
-  require((deleteFiles.isEmpty && posSlot < 0) || (start == 0L && !aligned),
+  require((deleteFiles.isEmpty && posSlot < 0 && emitOnlyPosFiles.isEmpty) ||
+      (start == 0L && !aligned),
     s"graft-ocf: positional read of ${meta.path} must scan the whole file " +
       s"(got split [$start, $end), aligned=$aligned)")
 
@@ -2483,6 +2495,41 @@ private[graft] final class OcfSplitReader(
     false
   }
 
+  // changes-read state (X95): the NEWLY-deleted ordinals (new minus old),
+  // or the new key groups to match
+  private val emitPos: Array[Long] =
+    try {
+      if (emitOnlyPosFiles.isEmpty) null
+      else {
+        val fresh = OcfSplitReader.loadDeletePositions(emitOnlyPosFiles, conf)
+        if (deletedPos.length == 0) fresh
+        else fresh.filterNot(p =>
+          java.util.Arrays.binarySearch(deletedPos, p) >= 0)
+      }
+    } catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+  private var emitIdx = 0
+  private val emitEqGroups: Array[OcfSplitReader.EqGroup] =
+    try OcfSplitReader.loadEqualityFilters(emitOnlyEqFiles, readerJson, conf)
+    catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+  private val changesRead = emitPos != null || emitEqGroups.length > 0
+
+  private def matchesNewKeys(data: InternalRow): Boolean = {
+    var i = 0
+    while (i < emitEqGroups.length) {
+      if (emitEqGroups(i).matches(data)) return true
+      i += 1
+    }
+    false
+  }
+
   // reused per row: joins the decoded data row with the per-file constant
   // partition-value row (Spark copies rows it retains, the standard
   // file-source appended-partition-columns contract)
@@ -2505,12 +2552,24 @@ private[graft] final class OcfSplitReader(
       remaining -= 1L
       val p = rawPos
       rawPos += 1L
-      if (delIdx < deletedPos.length && deletedPos(delIdx) == p) {
-        delIdx += 1 // deleted ordinal: decoded (stream must advance), dropped
-      } else if (eqGroups.length > 0 &&
-          equalityDeleted(v.asInstanceOf[InternalRow])) {
-        // equality-deleted key: decoded (stream must advance), dropped
-      } else {
+      val keep =
+        if (delIdx < deletedPos.length && deletedPos(delIdx) == p) {
+          delIdx += 1 // already-dead ordinal: decoded (stream must
+          false       // advance), dropped in EVERY mode
+        } else if (changesRead) {
+          // X95: emit ONLY what the commit newly deleted
+          if (emitPos != null) {
+            while (emitIdx < emitPos.length && emitPos(emitIdx) < p) emitIdx += 1
+            emitIdx < emitPos.length && emitPos(emitIdx) == p
+          } else {
+            val data = v.asInstanceOf[InternalRow]
+            !equalityDeleted(data) && matchesNewKeys(data)
+          }
+        } else if (eqGroups.length > 0 &&
+            equalityDeleted(v.asInstanceOf[InternalRow])) {
+          false // equality-deleted key: decoded, dropped
+        } else true
+      if (keep) {
         if (posSlot >= 0)
           partRow.asInstanceOf[GenericInternalRow].update(posSlot, p)
         val data =

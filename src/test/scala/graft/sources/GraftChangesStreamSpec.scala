@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming change-data-feed (X95): the batch feed as a micro-batch
+  * source whose offset is the table version — exact delete+insert rows per
+  * commit, checkpoint-resumable, exact-or-refuse on rewrites. */
+class GraftChangesStreamSpec extends AnyFunSuite {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-cs-wh").toFile
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-changes-stream-spec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.gcs", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcs.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gcs.ns")
+    s
+  }
+
+  private def loc(t: String): String =
+    new Path(warehouse.getAbsolutePath, s"ns/$t").toString
+
+  test("the feed streams inserts, MoR deletes, and upsert generations") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gcs.ns.cdc (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gcs.ns.cdc SELECT id, concat('v', id) FROM range(20)") // v1
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-ck").toString
+    val q = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0").load(loc("cdc"))
+      .writeStream.format("memory").queryName("cdc_feed")
+      .option("checkpointLocation", ckpt).start()
+    def feed(): Set[(Long, String, String, Long)] = {
+      q.processAllAvailable()
+      spark.table("cdc_feed").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version"))).toSet
+    }
+
+    // batch 1: genesis backfill = v1's inserts
+    val f1 = feed()
+    assert(f1.size == 20 && f1.forall(t => t._3 == "insert" && t._4 == 1L), f1.take(5))
+
+    // v2: MoR DELETE — the stream emits the lost rows as deletes
+    spark.sql("DELETE FROM gcs.ns.cdc WHERE id IN (3, 7)")
+    val f2 = feed()
+    assert(f2.diff(f1) == Set((3L, "v3", "delete", 2L), (7L, "v7", "delete", 2L)),
+      f2.diff(f1))
+
+    // v3: a second MoR DELETE re-deleting a dead row plus a fresh one —
+    // only the NEWLY dead ordinal is a change
+    spark.sql("DELETE FROM gcs.ns.cdc WHERE id IN (3, 8)")
+    val f3 = feed()
+    assert(f3.diff(f2) == Set((8L, "v8", "delete", 3L)), f3.diff(f2))
+
+    // v4: equality upsert — old generations out, new rows in
+    Seq((5L, "u5"), (100L, "new100")).toDF("id", "v")
+      .writeTo("gcs.ns.cdc").option("upsertKeys", "id").append()
+    val f4 = feed()
+    assert(f4.diff(f3) == Set((5L, "v5", "delete", 4L),
+      (5L, "u5", "insert", 4L), (100L, "new100", "insert", 4L)), f4.diff(f3))
+
+    // v5: a second upsert kills v4's generation, not the long-dead ones
+    Seq((5L, "w5")).toDF("id", "v")
+      .writeTo("gcs.ns.cdc").option("upsertKeys", "id").append()
+    val f5 = feed()
+    assert(f5.diff(f4) == Set((5L, "u5", "delete", 5L),
+      (5L, "w5", "insert", 5L)), f5.diff(f4))
+    q.stop()
+
+    // the feed replays the whole table's life: applying it reconstructs
+    // the current state exactly
+    val net = f5.groupBy(t => (t._1, t._2)).view.mapValues(ts =>
+      ts.count(_._3 == "insert") - ts.count(_._3 == "delete")).toMap
+    val live = net.filter(_._2 > 0).keySet.map(_._1)
+    val table = spark.table("gcs.ns.cdc").collect().map(_.getLong(0)).toSet
+    assert(live == table)
+  }
+
+  test("checkpoint resume continues at the committed version") {
+    // the memory sink cannot recover a checkpoint; a FILE sink can — the
+    // output parquet accumulates each batch exactly once across restarts
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-ck2").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cs-out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-ocf-changes")
+        .option("startingVersion", "4").load(loc("cdc"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    val got1 = spark.read.parquet(outDir).count() // v5's two rows
+    assert(got1 == 2L, s"got $got1") // v5: u5 delete + w5 insert
+    // a commit while the stream is down...
+    spark.sql("INSERT INTO gcs.ns.cdc SELECT 200, 'x'") // v6
+    // ...surfaces on restart from the SAME checkpoint, without re-emitting
+    run()
+    val all = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+    assert(all.count(_._3 == 6L) == 1 && all.exists(_ == ((200L, "insert", 6L))),
+      all.toSeq.sortBy(_._3))
+    assert(all.count(_._3 == 5L) == 2, "v5 rows must not re-emit")
+  }
+
+  test("rewriting commits refuse; row-preserving folds emit nothing") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gcs.ns.rw (id BIGINT)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gcs.ns.rw SELECT id FROM range(10)")  // v1
+    spark.sql("DELETE FROM gcs.ns.rw WHERE id = 4")              // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-ck3").toString
+    val q = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0").load(loc("rw"))
+      .writeStream.format("memory").queryName("rw_feed")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    assert(spark.table("rw_feed").count() == 11L) // 10 inserts + 1 delete
+    // the fold is row-preserving: nothing new
+    spark.sql("CALL gcs.system.rewrite_position_deletes(table => 'ns.rw')") // v3
+    q.processAllAvailable()
+    assert(spark.table("rw_feed").count() == 11L)
+    // a CoW UPDATE replaces files: the trigger refuses loudly
+    spark.sql("UPDATE gcs.ns.rw SET id = id + 50 WHERE id = 6")  // v4 (CoW)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("cannot represent rewrites")),
+      chain(e).mkString(" | "))
+    q.stop()
+  }
+}
