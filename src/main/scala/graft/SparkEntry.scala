@@ -1602,6 +1602,54 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // Streaming upsert sink (X96): CDC epochs stream INTO the table —
+    // each micro-batch commits its insert files plus an equality-delete
+    // key file killing every older generation of the epoch's keys
+    // (O(epoch) write cost, no target scan). Three epochs: backfill, then
+    // two correction batches whose keys overlap; the table must read as
+    // last-writer-wins per doc_id.
+    "q110_streaming_upsert" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q110",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q110_wh_")
+      s.conf.set("spark.sql.catalog.graft_q110.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q110.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q110.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q110.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val ckpt = landingDir(s, "graft_q110_ck_")
+      val q = in.toDF().toDF("doc_id", "source", "n_chars")
+        .writeStream.option("checkpointLocation", ckpt.getAbsolutePath)
+        .option("upsertKeys", "doc_id")
+        .toTable("graft_q110.corpus.docs")
+      try {
+        def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+          df.collect().toSeq.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        in.addData(rows(src)) // epoch 0: backfill
+        q.processAllAvailable()
+        in.addData(rows(src.where(col("doc_id") % 7 === 1)
+          .select(col("doc_id"), lit("u1").as("source"),
+            (col("n_chars") + 1000L).as("n_chars"))))
+        q.processAllAvailable() // epoch 1
+        in.addData(rows(src.where(col("doc_id") % 5 === 2)
+          .select(col("doc_id"), lit("u2").as("source"),
+            (col("n_chars") + 2000L).as("n_chars"))))
+        q.processAllAvailable() // epoch 2
+      } finally q.stop()
+      s.sql(
+        """SELECT source, count(*) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q110.corpus.docs GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
     // Merge-on-read equality deletes (X94): a CDC batch upserts keyed on
     // doc_id with NO target scan — the commit lands insert files plus
     // equality-delete key files that kill every OLDER row with those keys.
@@ -2796,6 +2844,19 @@ object SparkEntry {
         |WHERE ts >= timestamp'2024-01-02 00:00:00'
         |  AND ts < timestamp'2024-01-04 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // last-writer-wins per doc_id across the three streamed epochs:
+    // epoch 2 (doc_id%5=2, 'u2') beats epoch 1 (doc_id%7=1, 'u1') beats
+    // the backfill
+    "q110_streaming_upsert" ->
+      """SELECT CASE WHEN doc_id % 5 = 2 THEN 'u2'
+        |            WHEN doc_id % 7 = 1 THEN 'u1'
+        |            ELSE source END AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 5 = 2 THEN n_chars + 2000
+        |                WHEN doc_id % 7 = 1 THEN n_chars + 1000
+        |                ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY source""".stripMargin,
 
     // the streamed change log: v1 backfill inserts, v2's MoR delete rows,
     // v3's upsert as delete(old generation, minus already-dead)+insert(new)
