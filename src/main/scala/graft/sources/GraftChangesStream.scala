@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,7 +53,9 @@ final class GraftChangesSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     val (dir, out, readerJson) = GraftChangesSource.resolveSchema(opts)
     new GraftChangesTable(dir, out, readerJson,
-      Option(opts.get("startingVersion")).map(_.toLong))
+      Option(opts.get("startingVersion")).map(_.toLong),
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
@@ -105,8 +107,14 @@ private[sources] object GraftChangesSource {
 
 private[sources] final class GraftChangesTable(
     dir: String, out: StructType, readerJson: String,
-    startingVersion: Option[Long])
+    startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Table with SupportsRead {
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    "graft-ocf-changes: maxVersionsPerTrigger must be positive")
+  require(maxFilesPerTrigger.forall(_ > 0),
+    "graft-ocf-changes: maxFilesPerTrigger must be positive")
   override def name(): String = s"graft-ocf-changes $dir"
   override def schema(): StructType = out
   override def capabilities(): java.util.Set[TableCapability] =
@@ -119,7 +127,8 @@ private[sources] final class GraftChangesTable(
         override def description(): String = s"graft-ocf-changes $dir"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesMicroBatchStream(dir, readerJson, startingVersion,
-            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+            org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+            maxVersionsPerTrigger, maxFilesPerTrigger)
       }
     }
 }
@@ -161,13 +170,94 @@ private[sources] final case class GraftChangesReaderFactory(
 
 private[graft] final class GraftChangesMicroBatchStream(
     dir: String, readerJson: String, startingVersion: Option[Long],
-    conf: Configuration) extends MicroBatchStream {
+    conf: Configuration,
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val root = new Path(dir)
   private val fs = root.getFileSystem(conf)
   private val qualRoot = fs.makeQualified(root)
 
   private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
+
+  /** Admission control: a backfill from genesis must NOT land in one giant
+    * micro-batch — at scale a table's whole history is unboundedly larger
+    * than any single trigger should be. `maxVersionsPerTrigger` rides
+    * ReadMaxRows (rows = commit versions, the offset unit);
+    * `maxFilesPerTrigger` bounds the batch by its commits' own NEW file
+    * counts (a version's changes are never split, so a single huge commit
+    * still admits alone). */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = (maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong)).toSeq ++
+      maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq).toArray
+    limits.length match {
+      case 0 => ReadLimit.allAvailable()
+      case 1 => limits.head
+      case _ => ReadLimit.compositeLimit(limits)
+    }
+  }
+
+  // Trigger.AvailableNow: pin the head at prepare time; every trigger
+  // admits against this frozen target, then the query stops
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(OcfSnapshots.versions(fs, root).lastOption.getOrElse(0L))
+
+  override def reportLatestOffset(): Offset =
+    GraftChangesOffset(OcfSnapshots.versions(fs, root).lastOption.getOrElse(0L))
+
+  /** New files (data + delete) a commit added over its predecessor — the
+    * unit `maxFilesPerTrigger` counts. Chain reads are prefetched and
+    * bounded by the admitted window. */
+  private def newFileCount(prevPaths: Set[String], v: Long): (Int, Set[String]) = {
+    val cur = OcfSnapshots.read(fs, root, v)
+    val paths = cur.files.map(_.path).toSet
+    (cur.files.count(f => !prevPaths.contains(f.path)), paths)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val sv = start.asInstanceOf[GraftChangesOffset].version
+    val head = availableNowTarget.getOrElse(
+      OcfSnapshots.versions(fs, root).lastOption.getOrElse(0L))
+    if (head <= sv) return GraftChangesOffset(sv)
+    val pending = OcfSnapshots.versions(fs, root)
+      .filter(v => v > sv && v <= head)
+    GraftChangesOffset(admit(sv, pending, limit))
+  }
+
+  /** The last version admitted into this trigger (at least one — progress
+    * must be possible even when a single commit exceeds the file budget). */
+  private def admit(sv: Long, pending: Seq[Long], limit: ReadLimit): Long =
+    limit match {
+      case _: ReadAllAvailable => pending.lastOption.getOrElse(sv)
+      case r: ReadMaxRows => // rows = versions
+        pending.take(math.min(r.maxRows(), Int.MaxValue.toLong).toInt)
+          .lastOption.getOrElse(sv)
+      case f: ReadMaxFiles =>
+        var prevPaths =
+          if (sv == 0L) Set.empty[String]
+          else OcfSnapshots.read(fs, root, sv).files.map(_.path).toSet
+        var admitted = sv
+        var files = 0
+        val it = pending.iterator
+        var full = false
+        while (it.hasNext && !full) {
+          val v = it.next()
+          val (n, paths) = newFileCount(prevPaths, v)
+          if (admitted == sv || files + n <= f.maxFiles()) {
+            files += n; admitted = v; prevPaths = paths
+            if (files >= f.maxFiles()) full = true
+          } else full = true
+        }
+        admitted
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(l => admit(sv, pending, l)).min
+      case other => throw new UnsupportedOperationException(
+        s"graft-ocf-changes: unsupported read limit $other")
+    }
 
   override def initialOffset(): Offset = {
     val vs = OcfSnapshots.versions(fs, root)

@@ -143,4 +143,57 @@ class GraftChangesStreamSpec extends AnyFunSuite {
       chain(e).mkString(" | "))
     q.stop()
   }
+
+  test("admission control bounds each trigger; AvailableNow drains and stops") {
+    spark.sql("CREATE TABLE gcs.ns.adm (id BIGINT) USING `graft-ocf`")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gcs.ns.adm SELECT id + ${i * 10} FROM range(0, 3, 1, 1)")
+    } // v1..v4, one data file each (single-partition range)
+    // maxVersionsPerTrigger=1: the genesis backfill takes one COMMIT per
+    // micro-batch instead of one giant batch
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-adm").toString
+    val q = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(loc("adm"))
+      .writeStream.format("memory").queryName("adm_feed")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    assert(spark.table("adm_feed").count() == 12L)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4, // one commit per trigger
+      q.recentProgress.map(p => p.batchId -> p.numInputRows).toSeq)
+    assert(batches.forall(_.numInputRows == 3L),
+      batches.map(_.numInputRows).toSeq)
+    q.stop()
+
+    // maxFilesPerTrigger=2: two one-file commits per trigger
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-cs-adm2").toString
+    val q2 = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .load(loc("adm"))
+      .writeStream.format("memory").queryName("adm_feed2")
+      .option("checkpointLocation", ckpt2).start()
+    q2.processAllAvailable()
+    assert(spark.table("adm_feed2").count() == 12L)
+    val batches2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches2.length == 2 && batches2.forall(_.numInputRows == 6L),
+      batches2.map(_.numInputRows).toSeq)
+    q2.stop()
+
+    // Trigger.AvailableNow: drains the pinned head under the limit, then
+    // the query terminates on its own
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft-cs-adm3").toString
+    val q3 = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(loc("adm"))
+      .writeStream.format("memory").queryName("adm_feed3")
+      .option("checkpointLocation", ckpt3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q3.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(spark.table("adm_feed3").count() == 12L)
+  }
 }
