@@ -174,13 +174,25 @@ object GraftChanges {
           .filter(prevByPath.contains)
         // an EQUALITY delete (X94, upsert commit) burdens every data file
         // born before it: the same before/after anti-join recovers its
-        // per-row deletions exactly — the after-read applies the new keys
+        // per-row deletions exactly — the after-read applies the new keys.
+        // Burden SCOPING ([[OcfEqScope]]): files whose manifest-inline
+        // min/max bounds provably admit none of the commit's keys lost no
+        // rows and are excluded — without this, every upsert commit
+        // re-reads ~the whole pre-commit table through the anti-join.
         val addedEq = cur.files.filter(f =>
           f.isEqualityDelete && !prevByPath.contains(f.path))
         val addedEqTargets =
           if (addedEq.isEmpty) Nil
-          else prev.files.filter(f =>
-            f.isData && addedEq.exists(_.seq > f.seq)).map(_.path)
+          else {
+            val conf = spark.sessionState.newHadoopConf()
+            val baseQ = fs.makeQualified(root)
+            val eqInfos = addedEq.map(e => (e.seq,
+              OcfEqScope.summaryFor(OcfEqScope.metaOfSnap(baseQ, e, conf), conf)))
+            prev.files.filter(f => f.isData && eqInfos.exists {
+              case (eseq, sum) => f.seq < eseq &&
+                OcfEqScope.mayBurden(f.meta.flatMap(_.statsJson), sum)
+            }).map(_.path)
+          }
         val addedDeleteTargets = (addedPosTargets ++ addedEqTargets).distinct
         if (addedData.nonEmpty)
           parts += readAsOf(v, addedData, withPos = false)
@@ -205,10 +217,29 @@ object GraftChanges {
       prevV = v
     }
     val all = parts.result()
-    require(all.nonEmpty,
-      s"graft-ocf changes: range ($startVersion, $end] holds only " +
-        "row-preserving commits; read any version in the range for the " +
-        "(unchanged) rows")
+    if (all.isEmpty) {
+      // a range of only row-preserving commits legitimately changed zero
+      // rows — an EMPTY frame (shaped by the pinned reader schema, the
+      // same rule as X78's incremental read), not an error; incremental
+      // consumers must not have to try/catch "no changes". Without a
+      // schema there is nothing to shape, so the refusal stays loud.
+      readerSchemaJson match {
+        case Some(j) =>
+          val (dataSql, _) = OcfDataSource.sqlShape(j)
+          val shape = org.apache.spark.sql.types.StructType(dataSql.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(ChangeTypeCol,
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField(CommitVersionCol,
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          return spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), shape)
+        case None => throw new IllegalArgumentException(
+          s"graft-ocf changes: range ($startVersion, $end] holds only " +
+            "row-preserving commits and no readerSchema was given to shape " +
+            "an empty result; read any version in the range for the " +
+            "(unchanged) rows")
+      }
+    }
     all.reduce(_ unionByName _)
   }
 }

@@ -325,33 +325,50 @@ private[graft] final class GraftChangesMicroBatchStream(
         // (a same-commit target's rows surface through its insert part,
         // already filtered by the commit's own deletes... which cannot
         // exist for a same-commit file; mirror the batch feed's rule)
+        // prior equality deletes applicable to a data file, SCOPED by the
+        // file's manifest-inline key bounds ([[OcfEqScope]]) — a refuted
+        // delete file provably killed none of its rows
+        def priorEq(f: OcfSnapshots.SnapFile): Seq[OcfSnapshots.SnapFile] =
+          prev.files.filter(e => e.isEqualityDelete && f.seq < e.seq &&
+            OcfEqScope.mayBurden(f.meta.flatMap(_.statsJson),
+              OcfEqScope.summaryFor(metaOf(e), conf)))
         val newPos = cur.files.filter(f =>
           f.isPositionDelete && !prevByPath.contains(f.path))
         newPos.groupBy(_.deleteOf.get).foreach { case (target, dels) =>
           prevByPath.get(target).foreach { t =>
             val oldPos = prev.files.filter(f =>
               f.isPositionDelete && f.deleteOf.contains(target))
+            // skipEq carries the PRE-commit equality state: a position
+            // delete whose ordinal names an already-equality-deleted row
+            // must not re-emit that row as a change
             parts += GraftChangesPartition(metaOf(t), "delete", v,
-              skipPos = oldPos.map(metaOf), emitPos = dels.map(metaOf))
+              skipPos = oldPos.map(metaOf), skipEq = priorEq(t).map(metaOf),
+              emitPos = dels.map(metaOf))
           }
         }
         // deletes from new EQUALITY-delete files: every previously visible
         // data file born before them re-reads in emit-only-matching mode,
-        // with the PRE-commit delete state as the survival filter
+        // with the PRE-commit delete state as the survival filter. Burden
+        // SCOPING ([[OcfEqScope]]): files whose key bounds admit none of
+        // the commit's keys are skipped — the seq rule alone re-reads ~the
+        // whole pre-commit table per upsert trigger.
         val newEq = cur.files.filter(f =>
           f.isEqualityDelete && !prevByPath.contains(f.path))
         if (newEq.nonEmpty) {
-          val newEqMetas = newEq.map(e => e.seq -> metaOf(e))
+          val newEqInfos = newEq.map { e =>
+            val m = metaOf(e)
+            (e.seq, m, OcfEqScope.summaryFor(m, conf))
+          }
           prev.files.filter(_.isData).foreach { f =>
-            val burdening = newEqMetas.collect {
-              case (eseq, m) if f.seq < eseq => m }
+            val stats = f.meta.flatMap(_.statsJson)
+            val burdening = newEqInfos.collect {
+              case (eseq, m, sum) if f.seq < eseq &&
+                OcfEqScope.mayBurden(stats, sum) => m }
             if (burdening.nonEmpty) {
               val oldPos = prev.files.filter(d =>
                 d.isPositionDelete && d.deleteOf.contains(f.path))
-              val oldEq = prev.files.filter(e =>
-                e.isEqualityDelete && f.seq < e.seq)
               parts += GraftChangesPartition(metaOf(f), "delete", v,
-                skipPos = oldPos.map(metaOf), skipEq = oldEq.map(metaOf),
+                skipPos = oldPos.map(metaOf), skipEq = priorEq(f).map(metaOf),
                 emitEq = burdening)
             }
           }

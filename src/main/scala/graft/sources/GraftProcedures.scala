@@ -186,24 +186,34 @@ private[sources] object GraftProcedures {
       var attempt = 0
       while (true) {
         attempt += 1
-        val before = visibleFiles(spark, meta.location)
+        // ONE snapshot read feeds everything: the fold's target set, the
+        // delete files applied while reading, AND (via onlyFiles) the
+        // compact read itself. Deriving them from separate latest() calls
+        // left a window where a concurrent append landed between the
+        // guard's snapshot and an unpinned compact read — its rows folded
+        // into the compacted output while the original file survived the
+        // commit (absent from beforeRel), silently duplicating rows with a
+        // passing guard. Restricting the read to exactly targetsData makes
+        // concurrent appends commute with the fold instead of corrupting it.
+        val fsnap: Seq[OcfSnapshots.SnapFile] =
+          if (snapshotted) OcfSnapshots.latest(fs, root).map(_.files).getOrElse(Nil)
+          else Nil
+        val before: Seq[(Path, Long)] =
+          if (snapshotted)
+            fsnap.map(f => (new Path(fs.makeQualified(root), f.path), f.len))
+          else visibleFiles(spark, meta.location)
         if (before.isEmpty)
           return singleRowResult(outSchema, Array[Any](0L, 0L, 0L, 0L))
-        // the fold's inputs, split for the stability guard: the data files
-        // being rewritten and the EXACT delete files applied while reading
-        val (targetsData, foldedDeletes): (Set[String], Set[String]) =
-          if (snapshotted) {
-            val fsnap = OcfSnapshots.latest(fs, root).map(_.files).getOrElse(Nil)
-            (fsnap.filter(_.isData).map(_.path).toSet,
-              fsnap.filterNot(_.isData).map(_.path).toSet)
-          } else (Set.empty, Set.empty)
+        val targetsData: Set[String] = fsnap.filter(_.isData).map(_.path).toSet
+        val foldedDeletes: Set[String] = fsnap.filterNot(_.isData).map(_.path).toSet
         // compact into a SIBLING staging dir (never inside the table dir —
         // the table's recursive listing must not see half-written output)
         val staging = meta.location + ".compact-" + java.util.UUID.randomUUID()
         OcfMaintenance.compact(spark, meta.location, staging,
           codec = codec, targetBytes = targetBytes,
           readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
-          zorderColumns = zorder)
+          zorderColumns = zorder,
+          onlyFiles = if (snapshotted) Some(targetsData) else None)
         // swap: move the compacted files in under fresh names, then drop the
         // snapshot of old files — a crash between the two leaves duplicates
         // (re-compactable), never data loss

@@ -416,11 +416,20 @@ object OcfDataSource {
         // reader filters decoded rows by key membership. Metas resolve
         // once per delete file, shared across all burdened targets.
         if (eqFiles.nonEmpty) {
-          val eqMetas: Seq[(Long, OcfFileMeta)] =
-            eqFiles.map(e => e.seq -> deleteMeta(e))
+          // burden SCOPING ([[OcfEqScope]]): a delete file whose key
+          // values provably miss a data file's manifest-inline min/max
+          // bounds is not attached — the seq rule alone would burden the
+          // whole pre-commit table per upsert commit
+          val eqMetas: Seq[(Long, OcfFileMeta, Option[OcfEqScope.KeySummary])] =
+            eqFiles.map { e =>
+              val m = deleteMeta(e)
+              (e.seq, m, OcfEqScope.summaryFor(m, conf))
+            }
           eqDeletesByPath = snapFiles.iterator.flatMap { f =>
+            val stats = f.meta.flatMap(_.statsJson)
             val applicable = eqMetas.collect {
-              case (eseq, m) if f.seq < eseq => m }
+              case (eseq, m, sum) if f.seq < eseq &&
+                OcfEqScope.mayBurden(stats, sum) => m }
             if (applicable.isEmpty) None
             else Some(new Path(base, f.path).toString -> applicable)
           }.toMap
@@ -2338,8 +2347,15 @@ private[graft] object OcfSplitReader {
     }
     val fieldsByName = dataRec.fields.map(f => f.name -> f).toMap
     val (dataSql, _) = OcfDataSource.sqlShape(readerJson)
-    val groups = scala.collection.mutable.LinkedHashMap
-      .empty[Seq[String], EqGroup]
+    // group files by key-column set; tuple sets come from the JVM-wide
+    // [[OcfEqScope]] cache (one upsert commit attaches the same key file
+    // to many data files — without the cache every split re-read and
+    // re-hashed the same bytes)
+    final case class GroupAcc(ords: Array[Int],
+        tps: Array[org.apache.spark.sql.types.DataType],
+        sets: scala.collection.mutable.ArrayBuffer[
+          java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]])
+    val groups = scala.collection.mutable.LinkedHashMap.empty[Seq[String], GroupAcc]
     eqFiles.foreach { m =>
       val eqRec = graft.avro.AvroSchemaParser.parse(m.writerSchemaJson) match {
         case r: graft.avro.ARecord => r
@@ -2361,41 +2377,27 @@ private[graft] object OcfSplitReader {
           tps(i) = dataSql.fields(ord).dataType
           i += 1
         }
-        new EqGroup(ords, tps, new java.util.HashSet())
+        GroupAcc(ords, tps, scala.collection.mutable.ArrayBuffer.empty)
       })
       // read the delete file resolved against the DATA reader's key fields
+      // (a widened table column compares in the widened domain)
       val eqReaderJson = graft.avro.AvroSchemaParser.toJson(
         graft.avro.ARecord(eqRec.name, eqRec.namespace,
           names.map(n => graft.avro.AField(n, fieldsByName(n).schema))))
-      val compiled = graft.spark.AvroRuntime.catalystReader(
-        m.writerSchemaJson, eqReaderJson)
-      val p = new Path(m.path)
-      val in = p.getFileSystem(conf).open(p)
-      try {
-        val codec = AvroCodecs(m.codecName)
-        var bs = m.headerEnd
-        while (bs >= 0 && bs < m.len) {
-          val h = OcfBlocks.readBlockHeader(in, m, bs)
-          val body = new Array[Byte](h.size.toInt)
-          in.readFully(h.dataStart, body, 0, body.length)
-          val bin = new AvroBinaryReader(codec.decompress(body))
-          var k = 0L
-          while (k < h.count) {
-            val kr = compiled(bin).asInstanceOf[InternalRow]
-            val t = new Array[Any](group.ordinals.length)
-            var i = 0
-            while (i < t.length) {
-              t(i) = if (kr.isNullAt(i)) null else kr.get(i, group.types(i))
-              i += 1
-            }
-            group.keys.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
-            k += 1
-          }
-          bs = h.dataStart + h.size + Ocf.SyncSize
-        }
-      } finally in.close()
+      group.sets += OcfEqScope.keySet(m, eqReaderJson, group.tps, conf)
     }
-    groups.valuesIterator.toArray
+    groups.valuesIterator.map { g =>
+      // single-file groups (the common per-commit shape) share the cached
+      // set directly (read-only); multi-file groups union into a fresh one
+      val keys =
+        if (g.sets.length == 1) g.sets.head
+        else {
+          val u = new java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]()
+          g.sets.foreach(u.addAll)
+          u
+        }
+      new EqGroup(g.ords, g.tps, keys)
+    }.toArray
   }
 }
 
@@ -2560,7 +2562,12 @@ private[graft] final class OcfSplitReader(
           // X95: emit ONLY what the commit newly deleted
           if (emitPos != null) {
             while (emitIdx < emitPos.length && emitPos(emitIdx) < p) emitIdx += 1
-            emitIdx < emitPos.length && emitPos(emitIdx) == p
+            // a newly position-deleted ordinal whose row was ALREADY
+            // equality-deleted (skipEq = the pre-commit state) is a
+            // re-delete of a dead row, not a change
+            emitIdx < emitPos.length && emitPos(emitIdx) == p &&
+              (eqGroups.length == 0 ||
+                !equalityDeleted(v.asInstanceOf[InternalRow]))
           } else {
             val data = v.asInstanceOf[InternalRow]
             !equalityDeleted(data) && matchesNewKeys(data)

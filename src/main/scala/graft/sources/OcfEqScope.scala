@@ -1,0 +1,263 @@
+package graft.sources
+
+import graft.avro._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Equality-delete (X94) burden SCOPING and key caching.
+  *
+  * An equality delete logically burdens every data file with an older
+  * `seq`, but PHYSICALLY it can only touch files whose key-column value
+  * ranges admit at least one of its keys. The sink stamps per-file
+  * min/max for stats columns into the manifest ([[OcfSnapshots]] inlines
+  * metas, X72), so the driver can refute (data file, delete file) pairs
+  * with ZERO extra I/O beyond one bounded read of each delete file's keys
+  * — the same economics as runtime stats skipping. Without this, one
+  * upsert commit burdens the whole pre-commit table: every scan probes
+  * every row of every older file, and the change feeds re-read ~the whole
+  * table per upsert commit. With it, a CDC batch whose keys land in a
+  * handful of files burdens exactly those files.
+  *
+  * Two JVM-wide caches, both bounded LRU:
+  *  - key SUMMARIES (driver, planning): per-column sorted key arrays in
+  *    the stats-stamp comparison domain (integral family as internal
+  *    longs, strings in UTF8 binary order — matching
+  *    [[OcfPartitions.ColStat]] exactly);
+  *  - key SETS (executors, [[OcfSplitReader]]): the decoded tuple hash
+  *    set per (delete file, resolved reader schema). One upsert commit
+  *    attaches the SAME key file to many data files; before this cache
+  *    every split re-read and re-hashed those bytes.
+  *
+  * Scoping is an optimization, never a semantics change: any failure to
+  * read or summarize a delete file degrades to "burdens everything older"
+  * (today's behavior), and admission is conservative wherever the stamp
+  * and key domains don't line up.
+  */
+private[sources] object OcfEqScope {
+
+  /** One key column's values in the stats-comparison domain. */
+  sealed trait ColKeys { def hasNull: Boolean }
+  /** Integral family (byte/short/int/long/date/timestamp): internal
+    * backing values, sorted — the exact domain the `"long"` stamp uses. */
+  final case class LongKeys(sorted: Array[Long], hasNull: Boolean) extends ColKeys
+  /** Strings in UTF8 binary order — the `"string"` stamp's order. */
+  final case class StringKeys(sorted: Array[UTF8String], hasNull: Boolean) extends ColKeys
+  /** A type the stamp domain can't refute (boolean &c): never prunes. */
+  final case class OpaqueKeys(hasNull: Boolean) extends ColKeys
+
+  /** All key columns of one equality-delete file, by field name. */
+  final case class KeySummary(cols: Seq[(String, ColKeys)])
+
+  /** Delete files larger than this are not summarized (their burden stays
+    * seq-wide). A CDC batch's key file is KBs–MBs; this bound only guards
+    * the driver against a pathological hand-built manifest. */
+  private val MaxSummaryBytes: Long = 64L * 1024 * 1024
+
+  private def lru[K, V](maxEntries: Int) =
+    new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > maxEntries
+    }
+
+  // (qualified path, len) -> summary; None = too big / unreadable.
+  // Committed files are immutable, so (path, len) identifies content.
+  private val summaries = lru[(String, Long), Option[KeySummary]](256)
+
+  // (qualified path, len, resolved eq reader json) -> decoded key tuples
+  private val keySets =
+    lru[(String, Long, String), java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]](256)
+
+  /** Decode every key datum of an equality-delete file through the runtime
+    * reader (writer -> `eqReaderJson` resolution) — the one block walk
+    * shared by the key-set and summary loaders. */
+  private def foreachKeyRow(m: OcfDataSource.OcfFileMeta, eqReaderJson: String,
+                            conf: Configuration)(f: InternalRow => Unit): Unit = {
+    val compiled = graft.spark.AvroRuntime.catalystReader(m.writerSchemaJson, eqReaderJson)
+    val p = new Path(m.path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val codec = AvroCodecs(m.codecName)
+      var bs = m.headerEnd
+      while (bs >= 0 && bs < m.len) {
+        val h = OcfBlocks.readBlockHeader(in, m, bs)
+        val body = new Array[Byte](h.size.toInt)
+        in.readFully(h.dataStart, body, 0, body.length)
+        val bin = new AvroBinaryReader(codec.decompress(body))
+        var k = 0L
+        while (k < h.count) {
+          f(compiled(bin).asInstanceOf[InternalRow])
+          k += 1L
+        }
+        bs = h.dataStart + h.size + Ocf.SyncSize
+      }
+    } finally in.close()
+  }
+
+  /** The decoded key-tuple set of one delete file under one resolved
+    * reader schema — cached JVM-wide. `types` are the tuple's Catalyst
+    * types in field order (the caller's probe domain). The returned set is
+    * shared and must be treated as read-only. */
+  def keySet(m: OcfDataSource.OcfFileMeta, eqReaderJson: String,
+             types: Array[DataType], conf: Configuration)
+      : java.util.HashSet[scala.collection.immutable.ArraySeq[Any]] = {
+    val k = (m.path, m.len, eqReaderJson)
+    locked(keySets) { c => Option(c.get(k)) } match {
+      case Some(s) => s
+      case None =>
+        val s = new java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]()
+        foreachKeyRow(m, eqReaderJson, conf) { kr =>
+          val t = new Array[Any](types.length)
+          var i = 0
+          while (i < t.length) {
+            t(i) = if (kr.isNullAt(i)) null else kr.get(i, types(i))
+            i += 1
+          }
+          s.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
+        }
+        locked(keySets) { c => c.put(k, s) }
+        s
+    }
+  }
+
+  private def locked[C <: AnyRef, R](cache: C)(f: C => R): R =
+    cache.synchronized(f(cache))
+
+  /** Load (or recall) the key summary of one equality-delete file. The
+    * keys decode against the delete file's OWN writer schema — integral
+    * widening is a non-issue because both the stamp domain and the summary
+    * domain are internal longs. `None` (too big, unreadable) means the
+    * file's burden cannot be scoped and stays seq-wide. */
+  def summaryFor(m: OcfDataSource.OcfFileMeta, conf: Configuration): Option[KeySummary] = {
+    val k = (m.path, m.len)
+    locked(summaries) { c => Option(c.get(k)) } match {
+      case Some(cached) => cached
+      case None =>
+        val computed =
+          if (m.len > MaxSummaryBytes) None
+          else try Some(computeSummary(m, conf))
+          catch { case scala.util.control.NonFatal(_) => None }
+        locked(summaries) { c => c.put(k, computed) }
+        computed
+    }
+  }
+
+  private def computeSummary(m: OcfDataSource.OcfFileMeta,
+                             conf: Configuration): KeySummary = {
+    val (sql, _) = OcfDataSource.sqlShape(m.writerSchemaJson)
+    val n = sql.fields.length
+    // 0 = integral family (internal long), 1 = string, 2 = opaque
+    val tags = sql.fields.map(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => 0
+      case StringType => 1
+      case _ => 2
+    })
+    val longs = Array.fill(n)(new scala.collection.mutable.ArrayBuilder.ofLong)
+    val strs = Array.fill(n)(Seq.newBuilder[UTF8String])
+    val nulls = new Array[Boolean](n)
+    foreachKeyRow(m, m.writerSchemaJson, conf) { kr =>
+      var i = 0
+      while (i < n) {
+        if (kr.isNullAt(i)) nulls(i) = true
+        else tags(i) match {
+          case 0 => longs(i) += (sql.fields(i).dataType match {
+            case ByteType => kr.getByte(i).toLong
+            case ShortType => kr.getShort(i).toLong
+            case IntegerType | DateType => kr.getInt(i).toLong
+            case _ => kr.getLong(i)
+          })
+          case 1 => strs(i) += kr.getUTF8String(i)
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    KeySummary(sql.fields.indices.map { i =>
+      val ck = tags(i) match {
+        case 0 =>
+          val a = longs(i).result(); java.util.Arrays.sort(a)
+          LongKeys(a, nulls(i))
+        case 1 =>
+          val a = strs(i).result().toArray
+          java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) => x.compareTo(y))
+          StringKeys(a, nulls(i))
+        case _ => OpaqueKeys(nulls(i))
+      }
+      sql.fields(i).name -> ck
+    })
+  }
+
+  /** May this delete file's keys match ANY row of a data file with these
+    * manifest-inline stats? `false` is a PROOF of disjointness: for some
+    * key column, no key value (and no null key, when the file has no
+    * nulls) lies within the file's stamped bounds — so no key tuple can
+    * equal any row's tuple. Conservative `true` on any missing
+    * information. */
+  def mayBurden(dataStatsJson: Option[String], sum: Option[KeySummary]): Boolean =
+    (dataStatsJson, sum) match {
+      case (Some(js), Some(s)) =>
+        val stats =
+          try OcfPartitions.parseStats(js)
+          catch { case scala.util.control.NonFatal(_) => return true }
+        s.cols.forall { case (name, keys) =>
+          stats.get(name) match {
+            case Some(st) => colAdmits(st, keys)
+            case None => true // column not stamped: cannot refute
+          }
+        }
+      case _ => true
+    }
+
+  private def colAdmits(st: OcfPartitions.ColStat, keys: ColKeys): Boolean = {
+    // a null key deletes rows whose key is null — admitted iff the file
+    // has nulls in this column
+    if (keys.hasNull && st.hasNull) return true
+    if (st.allNull) return false // only null keys could match; none did
+    (st.min, st.max) match {
+      case (Some(mn), Some(mx)) => (st.typ, keys) match {
+        case ("long", LongKeys(sorted, _)) =>
+          anyInRangeLong(sorted, mn.asLong, mx.asLong)
+        case ("string", StringKeys(sorted, _)) =>
+          anyInRangeStr(sorted, UTF8String.fromString(mn.asText),
+            UTF8String.fromString(mx.asText))
+        case _ => true // stamp/key domain mismatch: cannot refute
+      }
+      case _ => true // no bounds (pre-stats stamp): cannot refute
+    }
+  }
+
+  private def anyInRangeLong(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+    if (sorted.length == 0) return false
+    var i = java.util.Arrays.binarySearch(sorted, lo)
+    if (i < 0) i = -i - 1 // insertion point = first element >= lo
+    i < sorted.length && sorted(i) <= hi
+  }
+
+  private def anyInRangeStr(sorted: Array[UTF8String],
+                            lo: UTF8String, hi: UTF8String): Boolean = {
+    if (sorted.length == 0) return false
+    // first element >= lo by binary search over UTF8 binary order
+    var l = 0
+    var r = sorted.length
+    while (l < r) {
+      val mid = (l + r) >>> 1
+      if (sorted(mid).compareTo(lo) < 0) l = mid + 1 else r = mid
+    }
+    l < sorted.length && sorted(l).compareTo(hi) <= 0
+  }
+
+  /** Qualified [[OcfDataSource.OcfFileMeta]] of a manifest entry: the
+    * inlined meta when the commit carried one (the engine's own writers
+    * always do), else one header pread — the shared resolution the three
+    * burden-scoping call sites use. */
+  def metaOfSnap(baseQualified: Path, sf: OcfSnapshots.SnapFile,
+                 conf: Configuration): OcfDataSource.OcfFileMeta = {
+    val qp = new Path(baseQualified, sf.path).toString
+    sf.meta.map(_.copy(path = qp, len = sf.len)).getOrElse(
+      OcfDataSource.fetchMetas(conf,
+        Seq(OcfDataSource.FileSlice(qp, sf.len))).head)
+  }
+}

@@ -328,18 +328,46 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
     // (the CDC-ingest shape). Keys must be data columns with exact-equality
     // semantics; the write must commit through a snapshot manifest (the
     // delete entry has no meaning in a bare directory listing).
-    val upsertKeys: Array[String] = Option(opts.get("upsertKeys"))
+    //
+    // IN-BATCH DUPLICATE KEYS: the equality delete kills only rows with a
+    // STRICTLY OLDER seq, so two rows with the same key inside ONE batch
+    // BOTH survive — Iceberg's equality-delete semantics exactly. A CDC
+    // feed carrying several events per key per epoch must pre-collapse to
+    // the last event (e.g. window-rank on the change timestamp) before
+    // writing; the sink cannot know which duplicate is "last" once rows
+    // are distributed across tasks. Pinned by EqualityDeleteSpec.
+    val upsertKeysRaw: Array[String] = Option(opts.get("upsertKeys"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    // resolve key names under the session's resolver (case-insensitive by
+    // default, like every other column reference) and CANONICALIZE to the
+    // data column's declared name — the writer and the manifest entry then
+    // always carry the exact schema spelling
+    val upsertKeys: Array[String] = upsertKeysRaw.map { k =>
+      val exact = dataSql.fields.indexWhere(_.name == k)
+      val i =
+        if (exact >= 0 || org.apache.spark.sql.SparkSession.active
+            .sessionState.conf.caseSensitiveAnalysis) exact
+        else {
+          val ms = dataSql.fields.indices.filter(j =>
+            dataSql.fields(j).name.equalsIgnoreCase(k))
+          require(ms.length <= 1,
+            s"graft-ocf write: upsertKeys entry '$k' is ambiguous under " +
+              s"case-insensitive resolution (${ms.map(dataSql.fields(_).name)
+                .mkString(", ")})")
+          ms.headOption.getOrElse(-1)
+        }
+      require(i >= 0,
+        s"graft-ocf write: upsertKeys entry '$k' is not a data column " +
+          s"(${dataSql.fieldNames.mkString(", ")}); partition columns " +
+          "cannot key an upsert")
+      dataSql.fields(i).name
+    }
     if (upsertKeys.nonEmpty) {
       require(!truncateAll && overwriteFilters.isEmpty && !dynamicOverwrite,
         "graft-ocf write: upsertKeys composes with APPEND only — an " +
           "overwrite already replaces the rows an upsert would delete")
       upsertKeys.foreach { k =>
         val i = dataSql.fields.indexWhere(_.name == k)
-        require(i >= 0,
-          s"graft-ocf write: upsertKeys entry '$k' is not a data column " +
-            s"(${dataSql.fieldNames.mkString(", ")}); partition columns " +
-            "cannot key an upsert")
         dataSql.fields(i).dataType match {
           case org.apache.spark.sql.types.StringType |
                org.apache.spark.sql.types.BooleanType |
@@ -401,7 +429,15 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       branch = Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
       upsertKeys = upsertKeys,
-      statsCols = statsCols,
+      // upsert keys auto-join the stats set: equality-delete burden
+      // scoping ([[OcfEqScope]]) intersects a commit's keys with per-file
+      // key BOUNDS — a CDC table whose data files carried no key stats
+      // would silently fall back to "every upsert burdens the whole
+      // table". Costs nothing new when the caller already stamped them.
+      statsCols = statsCols ++ upsertKeys
+        .filterNot(k => statsCols.exists(_.name == k))
+        .flatMap(k => OcfWrite.resolveStatPath(sql, k))
+        .filter(c => statsEligible(c.dt)),
       bloomCols = bloomCols, bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
       blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries,

@@ -170,4 +170,21 @@ class EqualityDeleteSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("not a data column"), e2.getMessage)
   }
+
+  test("in-batch duplicate keys: both rows survive (Iceberg equality-" +
+      "delete semantics, pinned) — older generations still die") {
+    import spark.implicits._
+    spark.sql(
+      "CREATE TABLE ge.ns.dup (id BIGINT, v STRING) USING `graft-ocf`")
+    spark.sql("INSERT INTO ge.ns.dup VALUES (1, 'old1'), (2, 'old2')")
+    // one CDC batch carrying TWO events for key 1: the equality delete
+    // kills only STRICTLY OLDER seqs, so both in-batch rows land live.
+    // Feeds with several events per key per epoch must pre-collapse to
+    // the last event before writing (documented on upsertKeys).
+    Seq((1L, "e1"), (1L, "e2")).toDF("id", "v")
+      .writeTo("ge.ns.dup").option("upsertKeys", "id").append()
+    val got = spark.table("ge.ns.dup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq((1L, "e1"), (1L, "e2"), (2L, "old2")), got)
+  }
 }

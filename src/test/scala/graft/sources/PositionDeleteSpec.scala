@@ -330,6 +330,34 @@ class PositionDeleteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("position-delete"), e.getMessage)
   }
 
+  test("compact's fold is pinned to its snapshot: a file appended after " +
+      "the pin contributes NO rows to the compacted output") {
+    // the CompactProcedure derives targetsData AND beforeRel from ONE
+    // snapshot read and restricts the compact read to exactly targetsData
+    // (onlyFiles) — so a concurrent append between pin and commit survives
+    // untouched instead of having its rows silently DUPLICATED (folded
+    // into the output while the original, absent from beforeRel, also
+    // survives the commit). This pins the onlyFiles mechanism.
+    spark.sql("CREATE TABLE gm.ns.cpin (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gm.ns.cpin SELECT id FROM range(10)")       // v1
+    val pinned = snapFiles("cpin").filter(_.isData).map(_.path).toSet
+    spark.sql("INSERT INTO gm.ns.cpin SELECT id FROM range(100, 110)") // v2: "concurrent" append
+    val root = new Path(warehouse.getAbsolutePath, "ns/cpin")
+    val staging = root.toString + ".compact-test"
+    OcfMaintenance.compact(spark, root.toString, staging,
+      onlyFiles = Some(pinned))
+    val out = spark.read.format("graft-ocf")
+      .option("recursiveFileLookup", "true").load(staging)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == (0L until 10L).toSet,
+      s"compacted output must hold ONLY the pinned files' rows, got $out")
+    fs.delete(new Path(staging), true)
+    // and the procedure end-to-end still converges to the right rows
+    spark.sql("CALL gm.system.compact(table => 'ns.cpin')")
+    assert(spark.table("gm.ns.cpin").collect().map(_.getLong(0)).toSet ==
+      ((0L until 10L) ++ (100L until 110L)).toSet)
+  }
+
   test("fold-stability guard: concurrent MoR deletes refuse the fold commit") {
     import GraftProcedures.requireFoldStable
     def d(path: String) = OcfSnapshots.SnapFile(path, 10L)
