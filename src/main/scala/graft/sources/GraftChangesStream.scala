@@ -38,10 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Unlike the file-discovery ingest source (S6), deletes here are DATA
   * (change-log rows), so delete commits are representable, not refused.
-  * Identity-partitioned layouts are refused for now: their partition
-  * values live in directory names, which this version-oriented reader does
-  * not re-infer (hidden-transform and bucket levels keep source columns in
-  * the files and stream fine). */
+  * Identity-partitioned layouts stream with their partition columns: the
+  * columns are re-inferred from the manifest's file paths at source
+  * creation and each change part carries its file's values as per-row
+  * constants (hidden-transform and bucket levels keep source columns in
+  * the files and are never surfaced). */
 final class GraftChangesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-ocf-changes"
 
@@ -51,11 +52,12 @@ final class GraftChangesSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (dir, out, readerJson) = GraftChangesSource.resolveSchema(opts)
-    new GraftChangesTable(dir, out, readerJson,
+    val (dir, out, readerJson, partSchema) = GraftChangesSource.resolveSchema(opts)
+    new GraftChangesTable(dir, out, readerJson, partSchema,
       Option(opts.get("startingVersion")).map(_.toLong),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toInt),
-      Option(opts.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(opts.get("splitSize")).map(_.toLong))
   }
 }
 
@@ -64,9 +66,16 @@ private[sources] object GraftChangesSource {
     StructField(GraftChanges.ChangeTypeCol, StringType, nullable = false),
     StructField(GraftChanges.CommitVersionCol, LongType, nullable = false))
 
-  /** (tableDir, output schema, reader Avro JSON) for one options map. */
+  /** (tableDir, output schema, reader Avro JSON, identity partition
+    * schema) for one options map. Identity-partitioned layouts: the
+    * partition columns are re-inferred from the manifest's file paths
+    * (the same `k=v` segment rules as the batch scan), typed by the
+    * committed table schema when one exists, else by value inference —
+    * their values ride each change part as per-file constants. Hidden
+    * transform (`_p_*`) and bucket levels keep their source values in
+    * the data columns and are never surfaced. */
   def resolveSchema(options: CaseInsensitiveStringMap)
-      : (String, StructType, String) = {
+      : (String, StructType, String, StructType) = {
     val dir = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-ocf-changes: no 'path' specified"))
@@ -80,19 +89,23 @@ private[sources] object GraftChangesSource {
     val snap = OcfSnapshots.latest(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"graft-ocf-changes: $dir has no snapshots yet"))
-    snap.files.filter(_.isData).foreach { f =>
-      val segs = f.path.split('/').dropRight(1)
-      val identity = segs.filter(s => s.contains('=') &&
-        !s.startsWith(OcfBucket.DirCol + "=") && !s.startsWith("_p_"))
-      require(identity.isEmpty,
-        s"graft-ocf-changes: $dir is identity-partitioned " +
-          s"(${identity.head}) — partition values live in directory names, " +
-          "which the version-oriented change reader does not re-infer")
-    }
-    val dataSchema: StructType = snap.tableSchemaJson match {
-      case Some(js) => DataType.fromJson(js).asInstanceOf[StructType]
+    val dataFiles = snap.files.filter(_.isData)
+    // identity partition columns, in DIRECTORY order; infer() enforces
+    // that every file agrees on the layout (loud on a half-partitioned
+    // tree). Transform/bucket levels are engine-owned, not columns.
+    val qualRoot = fs.makeQualified(root).toString
+    val (allCols, _) = OcfPartitions.infer(Seq(qualRoot),
+      dataFiles.map(f => OcfDataSource.FileSlice(
+        new Path(qualRoot, f.path).toString, f.len)))
+    val partCols = allCols.filter(c =>
+      c != OcfBucket.DirCol && !c.startsWith("_p_"))
+    val committed: Option[StructType] = snap.tableSchemaJson
+      .map(js => DataType.fromJson(js).asInstanceOf[StructType])
+    val dataSchema: StructType = committed match {
+      case Some(st) => StructType(st.fields.filterNot(f =>
+        partCols.exists(_.equalsIgnoreCase(f.name))))
       case None =>
-        val first = snap.files.find(_.isData).getOrElse(
+        val first = dataFiles.headOption.getOrElse(
           throw new IllegalArgumentException(
             s"graft-ocf-changes: $dir holds no data files"))
         val qp = new Path(fs.makeQualified(root), first.path).toString
@@ -100,16 +113,37 @@ private[sources] object GraftChangesSource {
           Seq(OcfDataSource.FileSlice(qp, first.len))).head)
         OcfDataSource.sqlShape(m.writerSchemaJson)._1
     }
+    val partSchema = StructType(partCols.map { c =>
+      val dt = committed.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+        .map(_.dataType).getOrElse(OcfPartitions.inferColumnType(
+          dataFiles.iterator.map(f => partValueOf(f.path, c))))
+      StructField(c, dt, nullable = true)
+    })
     val readerJson = GraftCatalog.readerJsonWithDefaults(dataSchema)
-    (dir, StructType(dataSchema.fields ++ ChangeCols), readerJson)
+    (dir, StructType(dataSchema.fields ++ partSchema.fields ++ ChangeCols),
+      readerJson, partSchema)
+  }
+
+  /** The raw (unescaped, null-decoded) value of one identity partition
+    * column in a table-relative file path, or null when absent. */
+  def partValueOf(relPath: String, col: String): String = {
+    val segs = relPath.split('/').dropRight(1)
+    segs.collectFirst {
+      case s if s.length > col.length && s.startsWith(col) &&
+          s.charAt(col.length) == '=' =>
+        val v = s.substring(col.length + 1)
+        if (v == OcfPartitions.NullDir) null else OcfPartitions.unescape(v)
+    }.orNull
   }
 }
 
 private[sources] final class GraftChangesTable(
     dir: String, out: StructType, readerJson: String,
+    partSchema: StructType,
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    splitSizeOpt: Option[Long] = None)
     extends Table with SupportsRead {
   require(maxVersionsPerTrigger.forall(_ > 0),
     "graft-ocf-changes: maxVersionsPerTrigger must be positive")
@@ -126,9 +160,10 @@ private[sources] final class GraftChangesTable(
         override def readSchema(): StructType = out
         override def description(): String = s"graft-ocf-changes $dir"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftChangesMicroBatchStream(dir, readerJson, startingVersion,
+          new GraftChangesMicroBatchStream(dir, readerJson, partSchema,
+            startingVersion,
             org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
-            maxVersionsPerTrigger, maxFilesPerTrigger)
+            maxVersionsPerTrigger, maxFilesPerTrigger, splitSizeOpt)
       }
     }
 }
@@ -152,16 +187,32 @@ private[sources] final case class GraftChangesPartition(
     skipPos: Seq[OcfDataSource.OcfFileMeta] = Nil,
     skipEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
     emitPos: Seq[OcfDataSource.OcfFileMeta] = Nil,
-    emitEq: Seq[OcfDataSource.OcfFileMeta] = Nil) extends InputPartition
+    emitEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    // identity partition values (raw path strings, aligned with the
+    // source's partition schema) — per-file constants, like any scan
+    partValues: Array[String] = Array.empty,
+    // byte range of the file this part owns (end < 0 = whole file).
+    // Parts without POSITION semantics (inserts; equality-only deletes,
+    // whose filters are stateless per row) split like any batch scan —
+    // a commit landing one huge file must not serialize on one task.
+    start: Long = 0L, end: Long = -1L) extends InputPartition
 
 private[sources] final case class GraftChangesReaderFactory(
-    readerJson: String, conf: SerializableHadoopConf)
+    readerJson: String, partSchema: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangesPartition]
-    val appended = new GenericInternalRow(Array[Any](
-      UTF8String.fromString(p.changeType), p.version))
-    new OcfSplitReader(p.meta, 0L, p.meta.len, readerJson, wrap = false,
+    // appended per-row constants: identity partition values (cast through
+    // the scan's single materialization point), then the change tags
+    val appended = new GenericInternalRow(
+      partSchema.fields.indices.map(i =>
+        if (i >= p.partValues.length || p.partValues(i) == null) null
+        else OcfPartitions.castPartValue(p.partValues(i),
+          partSchema.fields(i).dataType)).toArray[Any] ++
+      Array[Any](UTF8String.fromString(p.changeType), p.version))
+    new OcfSplitReader(p.meta,
+      p.start, if (p.end < 0L) p.meta.len else p.end,
+      readerJson, wrap = false,
       conf.value, partRow = appended,
       deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
       emitOnlyPosFiles = p.emitPos, emitOnlyEqFiles = p.emitEq)
@@ -169,16 +220,26 @@ private[sources] final case class GraftChangesReaderFactory(
 }
 
 private[graft] final class GraftChangesMicroBatchStream(
-    dir: String, readerJson: String, startingVersion: Option[Long],
+    dir: String, readerJson: String, partSchema: StructType,
+    startingVersion: Option[Long],
     conf: Configuration,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    splitSizeOpt: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
   private val root = new Path(dir)
   private val fs = root.getFileSystem(conf)
   private val qualRoot = fs.makeQualified(root)
+
+  // split sizing for the splittable part shapes — the batch scan's default
+  private val splitSize: Long = splitSizeOpt.getOrElse(
+    org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.files.maxPartitionBytes", "128MB")))
+  require(splitSize > 0,
+    s"graft-ocf-changes: splitSize must be positive, got $splitSize")
 
   private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
 
@@ -318,9 +379,33 @@ private[graft] final class GraftChangesMicroBatchStream(
             "stream cannot represent rewrites incrementally. Restart from " +
             s"a version at or after $v.")
       if (!RowPreservingOps.contains(cur.operation)) {
+        // identity partition values for one data file, aligned with the
+        // source's partition schema (empty for unpartitioned layouts)
+        def partVals(f: OcfSnapshots.SnapFile): Array[String] =
+          if (partSchema.isEmpty) Array.empty
+          else partSchema.fieldNames.map(c =>
+            GraftChangesSource.partValueOf(f.path, c))
+        // split a position-free part at the batch scan's split size: a
+        // commit landing one huge file fans out instead of serializing on
+        // one task (position-bearing parts must stay whole-file — their
+        // ordinals count raw datums from block 0)
+        def addSplit(base: GraftChangesPartition): Unit = {
+          val len = base.meta.len
+          if (len <= splitSize || base.skipPos.nonEmpty ||
+              base.emitPos.nonEmpty) parts += base
+          else {
+            var s = 0L
+            while (s < len) {
+              val e = math.min(s + splitSize, len)
+              parts += base.copy(start = s, end = e)
+              s = e
+            }
+          }
+        }
         // inserts: files new at v — nothing burdens a file in its own commit
         cur.files.filter(f => f.isData && !prevByPath.contains(f.path))
-          .foreach(f => parts += GraftChangesPartition(metaOf(f), "insert", v))
+          .foreach(f => addSplit(GraftChangesPartition(metaOf(f), "insert", v,
+            partValues = partVals(f))))
         // deletes from new POSITION-delete files: targets visible before v
         // (a same-commit target's rows surface through its insert part,
         // already filtered by the commit's own deletes... which cannot
@@ -343,7 +428,7 @@ private[graft] final class GraftChangesMicroBatchStream(
             // must not re-emit that row as a change
             parts += GraftChangesPartition(metaOf(t), "delete", v,
               skipPos = oldPos.map(metaOf), skipEq = priorEq(t).map(metaOf),
-              emitPos = dels.map(metaOf))
+              emitPos = dels.map(metaOf), partValues = partVals(t))
           }
         }
         // deletes from new EQUALITY-delete files: every previously visible
@@ -367,9 +452,9 @@ private[graft] final class GraftChangesMicroBatchStream(
             if (burdening.nonEmpty) {
               val oldPos = prev.files.filter(d =>
                 d.isPositionDelete && d.deleteOf.contains(f.path))
-              parts += GraftChangesPartition(metaOf(f), "delete", v,
+              addSplit(GraftChangesPartition(metaOf(f), "delete", v,
                 skipPos = oldPos.map(metaOf), skipEq = priorEq(f).map(metaOf),
-                emitEq = burdening)
+                emitEq = burdening, partValues = partVals(f)))
             }
           }
         }
@@ -380,7 +465,8 @@ private[graft] final class GraftChangesMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftChangesReaderFactory(readerJson, new SerializableHadoopConf(conf))
+    GraftChangesReaderFactory(readerJson, partSchema,
+      new SerializableHadoopConf(conf))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

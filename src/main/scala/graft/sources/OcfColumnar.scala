@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
 /** Vectorized (ColumnarBatch) reads for FLAT primitive schemas (X91): when
-  * every reader field is a plain Avro primitive (nullable unions included)
+  * every reader field is a plain Avro primitive or a scalar logical type
+  * (date/time/timestamp/uuid; nullable unions included)
   * and every planned file's writer schema admits a positional WIRE PLAN
   * (below), the scan decodes straight into on-heap column vectors — one
   * tight loop per batch instead of a per-row compiled-reader virtual call
@@ -38,13 +39,19 @@ private[graft] object OcfColumnar {
   }
 
   private def plainPrimitive(s: AvroSchema): Boolean = s match {
-    // logical types (date/timestamp/decimal) are distinct LogicalSchema
-    // nodes and convert during decode — the row reader owns those; the
-    // columnar lane takes raw primitives only
     case ABoolean | AInt | ALong | AFloat | ADouble | AString | ABytes => true
+    // SCALAR logical types decode as one fixed-width/length-prefixed wire
+    // primitive with at most a ×1000 rescale (timestamp-millis) — exactly
+    // as vectorizable as their underlying primitives. Decimal stays with
+    // the row reader (two physical encodings + sign extension).
+    case ADate(_) | ATimeMillis(_) | ATimeMicros(_) |
+         ATimestampMillis(_) | ATimestampMicros(_) | AUuid(_) => true
     case _ => false
   }
 
+  /** The reader-facing Spark type — the SAME mapping as
+    * [[graft.spark.SchemaConverters]], so the columnar and row lanes can
+    * never disagree on a column's type. */
   private def sparkTypeOf(s: AvroSchema): DataType = s match {
     case ABoolean => BooleanType
     case AInt => IntegerType
@@ -53,6 +60,11 @@ private[graft] object OcfColumnar {
     case ADouble => DoubleType
     case AString => StringType
     case ABytes => BinaryType
+    case ADate(_) => DateType
+    case ATimeMillis(_) => IntegerType
+    case ATimeMicros(_) => LongType
+    case ATimestampMillis(_) | ATimestampMicros(_) => TimestampType
+    case AUuid(_) => StringType
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
@@ -223,21 +235,27 @@ private[graft] final class OcfColumnarSplitReader(
       }
       if (!isNull) {
         if (step.target < 0) step.wire match {
-          case AInt | ALong => bin.skipLong()
+          case AInt | ALong | ADate(_) | ATimeMillis(_) | ATimeMicros(_) |
+               ATimestampMillis(_) | ATimestampMicros(_) => bin.skipLong()
           case AFloat => bin.skip(4L)
           case ADouble => bin.skip(8L)
           case ABoolean => bin.skip(1L)
-          case AString | ABytes => bin.skipBytes()
+          case AString | ABytes | AUuid(_) => bin.skipBytes()
           case other => throw new IllegalStateException(s"not flat: $other")
         } else {
           val v = vectors(step.target)
           step.wire match {
-            case AInt => v.putInt(row, bin.readLong().toInt)
-            case ALong => v.putLong(row, bin.readLong())
+            case AInt | ADate(_) | ATimeMillis(_) =>
+              v.putInt(row, bin.readLong().toInt)
+            case ALong | ATimeMicros(_) | ATimestampMicros(_) =>
+              v.putLong(row, bin.readLong())
+            case ATimestampMillis(_) =>
+              // ms -> us, the row reader's exact conversion (TimestampType)
+              v.putLong(row, bin.readLong() * 1000L)
             case AFloat => v.putFloat(row, bin.readFloat())
             case ADouble => v.putDouble(row, bin.readDouble())
             case ABoolean => v.putBoolean(row, bin.readBoolean())
-            case AString | ABytes =>
+            case AString | ABytes | AUuid(_) =>
               val b = bin.readBytes()
               v.putByteArray(row, b, 0, b.length)
             case other => throw new IllegalStateException(s"not flat: $other")

@@ -196,4 +196,78 @@ class GraftChangesStreamSpec extends AnyFunSuite {
     assert(q3.awaitTermination(120000), "AvailableNow query must terminate")
     assert(spark.table("adm_feed3").count() == 12L)
   }
+
+  test("position-free parts split: a tiny splitSize yields exact rows " +
+      "across many splits of one file") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE gcs.ns.spl (id BIGINT, v STRING) USING `graft-ocf`")
+    // one file, many blocks (id 0..4999 at ~20 B/row spans many 4 KB blocks)
+    spark.range(0, 5000).select($"id",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("value-"), $"id").as("v"))
+      .coalesce(1).writeTo("gcs.ns.spl").option("blockBytes", "4096").append() // v1
+    Seq((42L, "upd")).toDF("id", "v")
+      .writeTo("gcs.ns.spl").option("upsertKeys", "id").append() // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-spl").toString
+    val q = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0")
+      .option("splitSize", "4096") // force many splits per insert/eq part
+      .load(loc("spl"))
+      .writeStream.format("memory").queryName("spl_feed")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val rows = spark.table("spl_feed").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version")))
+    q.stop()
+    assert(rows.length == rows.distinct.length, "split tiling must not dupe")
+    assert(rows.count(_._4 == 1L) == 5000, s"v1 inserts: ${rows.count(_._4 == 1L)}")
+    assert(rows.filter(_._4 == 2L).toSet ==
+      Set((42L, "value-42", "delete", 2L), (42L, "upd", "insert", 2L)),
+      rows.filter(_._4 == 2L).toSeq)
+  }
+
+  test("identity-partitioned layouts stream with their partition columns") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gcs.ns.pcdc (id BIGINT, v STRING, p STRING)
+        |USING `graft-ocf` PARTITIONED BY (p)
+        |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql(
+      """INSERT INTO gcs.ns.pcdc VALUES
+        |(1, 'a1', 'x'), (2, 'a2', 'x'), (3, 'a3', 'y')""".stripMargin) // v1
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-part").toString
+    val q = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0").load(loc("pcdc"))
+      .writeStream.format("memory").queryName("pcdc_feed")
+      .option("checkpointLocation", ckpt).start()
+    def feed(): Set[(Long, String, String, String, Long)] = {
+      q.processAllAvailable()
+      spark.table("pcdc_feed").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("p"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    }
+    // inserts carry their directory's partition value
+    val f1 = feed()
+    assert(f1 == Set((1L, "a1", "x", "insert", 1L), (2L, "a2", "x", "insert", 1L),
+      (3L, "a3", "y", "insert", 1L)), f1)
+    // a MoR delete inside one partition emits the lost row WITH its value
+    spark.sql("DELETE FROM gcs.ns.pcdc WHERE id = 2") // v2
+    val f2 = feed()
+    assert(f2.diff(f1) == Set((2L, "a2", "x", "delete", 2L)), f2.diff(f1))
+    // an upsert's delete+insert pair keeps partition values on both sides
+    Seq((3L, "b3", "y")).toDF("id", "v", "p")
+      .writeTo("gcs.ns.pcdc").option("upsertKeys", "id").append() // v3
+    val f3 = feed()
+    assert(f3.diff(f2) == Set((3L, "a3", "y", "delete", 3L),
+      (3L, "b3", "y", "insert", 3L)), f3.diff(f2))
+    q.stop()
+    // net-applying the feed reconstructs the table exactly
+    val net = f3.groupBy(t => (t._1, t._2, t._3)).view.mapValues(ts =>
+      ts.count(_._4 == "insert") - ts.count(_._4 == "delete")).toMap
+    val live = net.filter(_._2 > 0).keySet
+    val table = spark.table("gcs.ns.pcdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(live == table, s"live=$live table=$table")
+  }
 }

@@ -179,4 +179,55 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(!isColumnar(nested))
     assert(nested.count() == 10L)
   }
+
+  test("scalar logical types (date/timestamp) ride the columnar lane; " +
+      "values equal the row path exactly") {
+    import spark.implicits._
+    val dir = tempDir("graft-col-logic")
+    val src = (0 until 2000).map { i =>
+      (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1577836800L + i, (i % 1000) * 1000L)),
+        if (i % 11 == 0) null
+        else java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L + i)))
+    }.toDF("id", "d", "ts", "tsn").repartition(2)
+    src.write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+
+    val colDf = spark.read.format("graft-ocf")
+      .option("splitSize", "65536").load(dir.getAbsolutePath)
+    assert(isColumnar(colDf), colDf.queryExecution.executedPlan.toString)
+    val rowDf = spark.read.format("graft-ocf")
+      .option("splitSize", "65536").option("columnar", "false")
+      .load(dir.getAbsolutePath)
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getDate(1).toString, r.getTimestamp(2).toInstant.toString,
+      if (r.isNullAt(3)) null else r.getTimestamp(3).toInstant.toString))
+      .sortBy(_._1).toSeq
+    val a = canon(colDf)
+    assert(a == canon(rowDf))
+    assert(a.length == 2000)
+    assert(a(1) == ((1L, "2020-01-02", "2020-01-01T00:00:01.000001Z",
+      "2020-09-13T12:26:41Z")))
+    assert(a(0)._4 == null)
+    // date/timestamp predicates and aggregates consume the batches
+    assert(colDf.where($"d" >= java.sql.Date.valueOf("2023-01-01")).count() ==
+      rowDf.where($"d" >= java.sql.Date.valueOf("2023-01-01")).count())
+
+    // wire-plan level: an EXTERNAL writer's timestamp-millis resolves under
+    // a timestamp-micros reader (same Spark type; decode is writer-driven)
+    val reader = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}"""
+        .stripMargin).get
+    val plan = OcfColumnar.wirePlanFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
+        .stripMargin, reader)
+    assert(plan.isDefined && plan.get.length == 1 && plan.get.head.target == 0)
+    // decimal stays with the row reader
+    assert(OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"d","type":{"type":"bytes","logicalType":"decimal",
+        |"precision":10,"scale":2}}]}""".stripMargin).isEmpty)
+  }
 }
