@@ -1602,6 +1602,50 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // Streaming CDF over an IDENTITY-PARTITIONED layout (X95 extension):
+    // the partition columns are re-inferred from the manifest's file
+    // paths and each change part ships its file's values as per-row
+    // constants, so the feed carries the table's full schema. A tiny
+    // splitSize also forces the position-free parts (inserts, equality
+    // deletes) through the split-tiling path — exactness across many
+    // splits of one file is part of what the oracle checks.
+    "q111_partitioned_cdf" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q111",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q111_wh_")
+      s.conf.set("spark.sql.catalog.graft_q111.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q111.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q111.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q111.corpus.docs
+          |(doc_id BIGINT, n_chars BIGINT, lang STRING)
+          |USING `graft-ocf` PARTITIONED BY (lang)
+          |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"), col("lang"))
+      src.createOrReplaceTempView("graft_q111_src")
+      s.sql("INSERT INTO graft_q111.corpus.docs SELECT * FROM graft_q111_src") // v1
+      s.sql("DELETE FROM graft_q111.corpus.docs WHERE doc_id % 11 = 3")        // v2
+      src.where(col("doc_id") % 13 === 2)
+        .select(col("doc_id"), (col("n_chars") + 500L).as("n_chars"), col("lang"))
+        .writeTo("graft_q111.corpus.docs").option("upsertKeys", "doc_id")
+        .append()                                                              // v3
+      val ckpt = landingDir(s, "graft_q111_ck_")
+      s.catalog.dropTempView("graft_q111_feed")
+      val q = s.readStream.format("graft-ocf-changes")
+        .option("startingVersion", "0")
+        .option("splitSize", "8192")
+        .load(new java.io.File(wh, "corpus/docs").getAbsolutePath)
+        .writeStream.format("memory").queryName("graft_q111_feed")
+        .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("graft_q111_feed")
+        .select(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("commit_version", "change_type", "doc_id")
+    }),
+
     // Streaming upsert sink (X96): CDC epochs stream INTO the table —
     // each micro-batch commits its insert files plus an equality-delete
     // key file killing every older generation of the epoch's keys
@@ -2872,6 +2916,23 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 13 = 2 AND doc_id % 11 <> 3
         |UNION ALL
         |SELECT 3, 'insert', doc_id, CAST(n_chars AS BIGINT) + 500
+        |FROM documents WHERE doc_id % 13 = 2
+        |ORDER BY commit_version, change_type, doc_id""".stripMargin,
+
+    // the identity-partitioned feed carries the partition column's values
+    // (re-inferred from directory names) on every insert AND delete row
+    "q111_partitioned_cdf" ->
+      """SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+        |  doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, 'delete', doc_id, lang, CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 11 = 3
+        |UNION ALL
+        |SELECT 3, 'delete', doc_id, lang, CAST(n_chars AS BIGINT)
+        |FROM documents WHERE doc_id % 13 = 2 AND doc_id % 11 <> 3
+        |UNION ALL
+        |SELECT 3, 'insert', doc_id, lang, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
 
