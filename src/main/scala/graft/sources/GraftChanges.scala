@@ -190,7 +190,7 @@ object GraftChanges {
               OcfEqScope.summaryFor(OcfEqScope.metaOfSnap(baseQ, e, conf), conf)))
             prev.files.filter(f => f.isData && eqInfos.exists {
               case (eseq, sum) => f.seq < eseq &&
-                OcfEqScope.mayBurden(f.meta.flatMap(_.statsJson), sum)
+                OcfEqScope.mayBurdenFile(f, baseQ, sum, conf)
             }).map(_.path)
           }
         val addedDeleteTargets = (addedPosTargets ++ addedEqTargets).distinct

@@ -415,8 +415,8 @@ private[graft] final class GraftChangesMicroBatchStream(
         // delete file provably killed none of its rows
         def priorEq(f: OcfSnapshots.SnapFile): Seq[OcfSnapshots.SnapFile] =
           prev.files.filter(e => e.isEqualityDelete && f.seq < e.seq &&
-            OcfEqScope.mayBurden(f.meta.flatMap(_.statsJson),
-              OcfEqScope.summaryFor(metaOf(e), conf)))
+            OcfEqScope.mayBurdenFile(f, qualRoot,
+              OcfEqScope.summaryFor(metaOf(e), conf), conf))
         val newPos = cur.files.filter(f =>
           f.isPositionDelete && !prevByPath.contains(f.path))
         newPos.groupBy(_.deleteOf.get).foreach { case (target, dels) =>
@@ -445,10 +445,9 @@ private[graft] final class GraftChangesMicroBatchStream(
             (e.seq, m, OcfEqScope.summaryFor(m, conf))
           }
           prev.files.filter(_.isData).foreach { f =>
-            val stats = f.meta.flatMap(_.statsJson)
             val burdening = newEqInfos.collect {
               case (eseq, m, sum) if f.seq < eseq &&
-                OcfEqScope.mayBurden(stats, sum) => m }
+                OcfEqScope.mayBurdenFile(f, qualRoot, sum, conf) => m }
             if (burdening.nonEmpty) {
               val oldPos = prev.files.filter(d =>
                 d.isPositionDelete && d.deleteOf.contains(f.path))

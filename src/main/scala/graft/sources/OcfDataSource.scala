@@ -426,10 +426,9 @@ object OcfDataSource {
               (e.seq, m, OcfEqScope.summaryFor(m, conf))
             }
           eqDeletesByPath = snapFiles.iterator.flatMap { f =>
-            val stats = f.meta.flatMap(_.statsJson)
             val applicable = eqMetas.collect {
               case (eseq, m, sum) if f.seq < eseq &&
-                OcfEqScope.mayBurden(stats, sum) => m }
+                OcfEqScope.mayBurdenFile(f, base, sum, conf) => m }
             if (applicable.isEmpty) None
             else Some(new Path(base, f.path).toString -> applicable)
           }.toMap

@@ -260,4 +260,66 @@ private[sources] object OcfEqScope {
       OcfDataSource.fetchMetas(conf,
         Seq(OcfDataSource.FileSlice(qp, sf.len))).head)
   }
+
+  /** Bloom probing only pays when the key set is SMALL: for a point
+    * correction / GDPR-erasure batch a per-file bloom refutes ~everything
+    * min/max admits, but a bulk batch's thousands of keys saturate any
+    * file's filter and the header preads are pure waste. */
+  private val BloomProbeMaxKeys = 4096
+
+  private def keyCount(s: KeySummary): Int = s.cols.iterator.map {
+    case (_, LongKeys(a, _)) => a.length
+    case (_, StringKeys(a, _)) => a.length
+    case _ => Int.MaxValue // opaque: treat as unbounded (no probing)
+  }.foldLeft(0)(math.max)
+
+  // (qualified path, len) -> parsed per-column blooms (None = none stamped)
+  private val blooms = lru[(String, Long), Option[Map[String, OcfBloom.BloomLite]]](64)
+
+  /** Stats + bloom burden admission for one DATA manifest entry. Order of
+    * proof attempts, cheapest first: manifest-inline min/max bounds (zero
+    * I/O), then — only for small key sets on files flagged as carrying a
+    * header bloom — one cached header pread and a per-key membership
+    * probe. Any missing information admits. */
+  def mayBurdenFile(sf: OcfSnapshots.SnapFile, baseQualified: Path,
+                    sum: Option[KeySummary], conf: Configuration): Boolean = {
+    val meta = sf.meta
+    if (!mayBurden(meta.flatMap(_.statsJson), sum)) return false
+    (sum, meta) match {
+      case (Some(s), Some(m0)) if keyCount(s) <= BloomProbeMaxKeys &&
+          (m0.bloomJson.isDefined || m0.bloomInHeader) =>
+        val qp = new Path(baseQualified, sf.path).toString
+        val parsed: Option[Map[String, OcfBloom.BloomLite]] =
+          locked(blooms) { c => Option(c.get((qp, sf.len))) }.getOrElse {
+            val p =
+              try {
+                val js = m0.bloomJson.orElse(
+                  OcfDataSource.fetchMetas(conf, Seq(OcfDataSource.FileSlice(
+                    qp, sf.len))).head.bloomJson)
+                js.map(OcfBloom.parse)
+              } catch { case scala.util.control.NonFatal(_) => None }
+            locked(blooms) { c => c.put((qp, sf.len), p) }
+            p
+          }
+        parsed match {
+          case Some(byCol) => !s.cols.exists { case (name, keys) =>
+            byCol.get(name).exists(b => bloomRefutesCol(b, keys))
+          }
+          case None => true
+        }
+      case _ => true
+    }
+  }
+
+  /** True iff this column's bloom PROVES none of the keys occur in the
+    * file. A null key can match null rows the bloom never saw — never
+    * refute a column whose key set contains null. */
+  private def bloomRefutesCol(b: OcfBloom.BloomLite, keys: ColKeys): Boolean =
+    keys match {
+      case LongKeys(sorted, false) if b.typ == "long" =>
+        !sorted.exists(v => b.mightContain(OcfBloom.hashLong(v)))
+      case StringKeys(sorted, false) if b.typ == "string" =>
+        !sorted.exists(v => b.mightContain(OcfBloom.hashUtf8(v)))
+      case _ => false
+    }
 }

@@ -438,7 +438,15 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
         .filterNot(k => statsCols.exists(_.name == k))
         .flatMap(k => OcfWrite.resolveStatPath(sql, k))
         .filter(c => statsEligible(c.dt)),
-      bloomCols = bloomCols, bloomFpp = bloomFpp,
+      // upsert keys auto-join the bloom set too: min/max bounds scope a
+      // bulk batch's burden, but a POINT correction's key matches every
+      // file's range on a well-mixed key — the bloom is what proves "this
+      // key is not in this file" ([[OcfEqScope.mayBurdenFile]])
+      bloomCols = bloomCols ++ upsertKeys
+        .filterNot(k => bloomCols.exists(_.name == k))
+        .flatMap(k => OcfWrite.resolveStatPath(sql, k))
+        .filter(c => OcfBloom.eligible(c.dt)),
+      bloomFpp = bloomFpp,
       bloomMaxItems = bloomMaxItems,
       blockIndex = blockIndex, blockIndexMaxEntries = blockIndexMaxEntries,
       sortNames = sortNames)

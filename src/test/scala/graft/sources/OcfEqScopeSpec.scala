@@ -131,6 +131,32 @@ class OcfEqScopeSpec extends AnyFunSuite {
     assert(spark.table("gsc.ns.scoped").count() == 2000L)
   }
 
+  test("bloom stamps refute a point upsert whose key is inside every " +
+      "file's min/max range but present in only one file") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gsc.ns.bloomed (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id', bloomColumns 'id')""".stripMargin)
+    // interleaved key ranges: min/max admits BOTH files for any key
+    spark.range(0, 1000).select(($"id" * 2).as("id"),
+      org.apache.spark.sql.functions.lit("even").as("v"))
+      .coalesce(1).writeTo("gsc.ns.bloomed").append() // v1: evens 0..1998
+    spark.range(0, 1000).select(($"id" * 2 + 1).as("id"),
+      org.apache.spark.sql.functions.lit("odd").as("v"))
+      .coalesce(1).writeTo("gsc.ns.bloomed").append() // v2: odds 1..1999
+    Seq((500L, "upd")).toDF("id", "v")
+      .writeTo("gsc.ns.bloomed").option("upsertKeys", "id").append() // v3
+    val resolved = OcfDataSource.resolve(new CaseInsensitiveStringMap(
+      java.util.Map.of("path", root("bloomed").toString)))
+    // min/max admits both old files; the odd file's bloom proves 500 absent
+    assert(resolved.eqDeletes.size == 1,
+      s"bloom must refute the odd-keys file: ${resolved.eqDeletes.keySet}")
+    val got = spark.table("gsc.ns.bloomed").where($"id" === 500L)
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("upd"))
+    assert(spark.table("gsc.ns.bloomed").count() == 2000L)
+  }
+
   test("files without key stats stay conservatively burdened") {
     import spark.implicits._
     // no statsColumns option and the FIRST commit predates any upsert, so
