@@ -142,6 +142,40 @@ private[sources] object GraftProcedures {
 
   private val FoldAttempts = 5
 
+  /** Move a fold's staged output files under the table root and return
+    * their manifest entries WITH inline header metas — the same
+    * zero-pread-planning discipline as the write path's commit
+    * ([[OcfWrite]]). A fold that manifested bare (path, len) entries
+    * would silently regress every later read's planning (header preads
+    * return) and the equality-burden scoping (no inline stats = every
+    * upsert conservatively burdens the fold's output). One pooled header
+    * read per moved file at fold time buys both back. */
+  private def moveStagedWithMetas(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: Path, staging: String,
+      op: String): Seq[OcfSnapshots.SnapFile] = {
+    val stagingRoot = fs.makeQualified(new Path(staging))
+    val moved = visibleFiles(spark, staging)
+    val placed: Seq[(String, Path, Long)] = moved.map { case (p, len) =>
+      val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
+        .stripPrefix(Path.SEPARATOR)
+      val dest = new Path(root, rel)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(p, dest))
+        throw new java.io.IOException(s"graft $op: could not move $p to $dest")
+      (rel, fs.makeQualified(dest), len)
+    }
+    val metas = OcfDataSource.fetchMetas(spark.sessionState.newHadoopConf(),
+      placed.map { case (_, qp, len) => OcfDataSource.FileSlice(qp.toString, len) })
+    placed.zip(metas).map { case ((rel, _, len), m) =>
+      OcfSnapshots.SnapFile(rel, len, meta = Some(m.copy(
+        bloomInHeader = m.bloomJson.isDefined,
+        blockIndexInHeader = m.blockIndexJson.isDefined,
+        // the large stamps live in the header, not the manifest
+        bloomJson = None, blockIndexJson = None,
+        partitionValues = Array.empty)))
+    }
+  }
+
   private def singleRowResult(schema: StructType, vals: Array[Any]): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
@@ -214,21 +248,11 @@ private[sources] object GraftProcedures {
           readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
           zorderColumns = zorder,
           onlyFiles = if (snapshotted) Some(targetsData) else None)
-        // swap: move the compacted files in under fresh names, then drop the
-        // snapshot of old files — a crash between the two leaves duplicates
-        // (re-compactable), never data loss
-        val stagingRoot = fs.makeQualified(new Path(staging))
-        val moved = visibleFiles(spark, staging)
-        val movedRel = moved.map { case (p, len) =>
-          val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
-            .stripPrefix(Path.SEPARATOR)
-          val dest = new Path(root, rel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(p, dest))
-            throw new java.io.IOException(
-              s"graft compact: could not move $p to $dest")
-          OcfSnapshots.SnapFile(rel, len)
-        }
+        // swap: move the compacted files in under fresh names (manifest
+        // entries carry inline header metas, like any write commit), then
+        // drop the snapshot of old files — a crash between the two leaves
+        // duplicates (re-compactable), never data loss
+        val movedRel = moveStagedWithMetas(spark, fs, root, staging, "compact")
         val committed =
           if (snapshotted) {
             // snapshot-managed: ONE manifest commit flips visibility to the
@@ -353,14 +377,42 @@ private[sources] object GraftProcedures {
           return singleRowResult(outSchema, Array[Any](0L, 0L, 0L))
         // targets: every data file burdened by a position delete OR born
         // before an equality delete — rewriting them (the scan applies both
-        // kinds) leaves nothing for any delete file to say
+        // kinds) leaves nothing for any delete file to say. Equality
+        // burdens are SCOPED ([[OcfEqScope]]): a file whose key bounds /
+        // bloom provably admit none of a delete's keys holds no matching
+        // rows, so rewriting it would be a pure waste — at scale the
+        // difference between folding a handful of touched files and
+        // rewriting the whole table after every upsert. Dropping the key
+        // file without rewriting a refuted file is sound for the same
+        // reason: the delete says nothing about that file's rows.
         val posTargets: Set[String] = posFiles.map(_.deleteOf.get).toSet
+        val conf = spark.sessionState.newHadoopConf()
+        val baseQ = fs.makeQualified(root)
+        val eqInfos = eqFiles.map(e => (e.seq,
+          OcfEqScope.summaryFor(OcfEqScope.metaOfSnap(baseQ, e, conf), conf)))
         val targets: Set[String] = snap.files.iterator.filter(_.isData)
           .filter(f => posTargets.contains(f.path) ||
-            eqFiles.exists(_.seq > f.seq))
+            eqInfos.exists { case (eseq, sum) => eseq > f.seq &&
+              OcfEqScope.mayBurdenFile(f, baseQ, sum, conf) })
           .map(_.path).toSet
         val delFiles = posFiles ++ eqFiles
         val foldedDeletes: Set[String] = delFiles.map(_.path).toSet
+        if (targets.isEmpty) {
+          // every burden refuted (e.g. an insert-only upsert whose keys
+          // matched nothing): retire the delete files with NO rewrite
+          try {
+            OcfSnapshots.commit(fs, root, "rewrite-position-deletes",
+              Some(meta.schema.json)) { prev =>
+              requireFoldStable(prev, targets, foldedDeletes,
+                "rewrite_position_deletes")
+              prev.filterNot(f => foldedDeletes.contains(f.path))
+            }
+            return singleRowResult(outSchema, Array[Any](
+              0L, delFiles.size.toLong, 0L))
+          } catch {
+            case _: FoldConflictException if attempt < FoldAttempts => ()
+          }
+        } else {
         val targetBytesTotal = snap.files
           .filter(f => targets.contains(f.path)).map(_.len).sum
         // staging sibling dir, same discipline as compact: the table's
@@ -372,18 +424,8 @@ private[sources] object GraftProcedures {
           targetBytes = targetBytes,
           readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
           onlyFiles = Some(targets))
-        val stagingRoot = fs.makeQualified(new Path(staging))
-        val moved = visibleFiles(spark, staging)
-        val movedRel = moved.map { case (p, len) =>
-          val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
-            .stripPrefix(Path.SEPARATOR)
-          val dest = new Path(root, rel)
-          fs.mkdirs(dest.getParent)
-          if (!fs.rename(p, dest))
-            throw new java.io.IOException(
-              s"graft rewrite_position_deletes: could not move $p to $dest")
-          OcfSnapshots.SnapFile(rel, len)
-        }
+        val movedRel = moveStagedWithMetas(spark, fs, root, staging,
+          "rewrite_position_deletes")
         try {
           // one commit: burdened data files and their delete files out,
           // clean rewrites in (old generation stays for time travel until
@@ -408,6 +450,7 @@ private[sources] object GraftProcedures {
             // visibility) — discard them and refold against the new head
             movedRel.foreach(f => fs.delete(new Path(root, f.path), false))
             fs.delete(new Path(staging), true)
+        }
         }
       }
       throw new IllegalStateException("unreachable")

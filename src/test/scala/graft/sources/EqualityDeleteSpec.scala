@@ -171,6 +171,48 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not a data column"), e2.getMessage)
   }
 
+  test("fold scoping: key-refuted files are NOT rewritten; an insert-only " +
+      "upsert's delete retires with zero rewrites") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE ge.ns.fsc (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id')""".stripMargin)
+    spark.range(0, 100).select($"id", org.apache.spark.sql.functions.lit("a").as("v"))
+      .coalesce(1).writeTo("ge.ns.fsc").append() // v1: ids 0..99
+    spark.range(1000, 1100).select($"id", org.apache.spark.sql.functions.lit("b").as("v"))
+      .coalesce(1).writeTo("ge.ns.fsc").append() // v2: ids 1000..1099
+    val before = snapFiles("fsc").filter(_.isData).map(f => f.path -> f.len).toMap
+    Seq((1050L, "upd")).toDF("id", "v")
+      .writeTo("ge.ns.fsc").option("upsertKeys", "id").append() // v3: burdens v2's file only
+    val fold1 = spark.sql(
+      "CALL ge.system.rewrite_position_deletes(table => 'ns.fsc')").collect()(0)
+    assert(fold1.getLong(0) == 1L,
+      s"only the admitted file must be rewritten, got ${fold1.getLong(0)}")
+    val after = snapFiles("fsc")
+    assert(after.forall(!_.isEqualityDelete))
+    // the refuted low-range file survives byte-identical
+    val lowFile = before.keys.find(_ != before.keys.maxBy(before)).get
+    assert(before.exists { case (p, l) =>
+      after.exists(f => f.path == p && f.len == l) })
+    assert(spark.table("ge.ns.fsc").count() == 200L)
+    assert(spark.table("ge.ns.fsc").where($"id" === 1050L)
+      .select("v").as[String].collect().toSeq == Seq("upd"))
+
+    // an upsert of a BRAND-NEW key burdens nothing admitted: the fold
+    // retires its key file with zero rewrites
+    Seq((99999L, "new")).toDF("id", "v")
+      .writeTo("ge.ns.fsc").option("upsertKeys", "id").append()
+    assert(snapFiles("fsc").exists(_.isEqualityDelete))
+    val dataBefore2 = snapFiles("fsc").filter(_.isData).map(f => f.path -> f.len).toSet
+    val fold2 = spark.sql(
+      "CALL ge.system.rewrite_position_deletes(table => 'ns.fsc')").collect()(0)
+    assert(fold2.getLong(0) == 0L && fold2.getLong(1) == 1L, fold2.toString)
+    assert(snapFiles("fsc").filter(_.isData).map(f => f.path -> f.len).toSet ==
+      dataBefore2, "zero-rewrite fold must leave every data file untouched")
+    assert(snapFiles("fsc").forall(!_.isEqualityDelete))
+    assert(spark.table("ge.ns.fsc").count() == 201L)
+  }
+
   test("in-batch duplicate keys: both rows survive (Iceberg equality-" +
       "delete semantics, pinned) — older generations still die") {
     import spark.implicits._
