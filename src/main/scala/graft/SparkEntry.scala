@@ -1646,6 +1646,56 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // Scoped incremental compaction (X98): maintenance at 100 TB must be
+    // O(touched partition), never O(table). A fragmented, upsert-burdened
+    // partitioned table compacts ONE partition (`where` rides the scan's
+    // own prune stack; equality deletes still burdening other partitions
+    // are kept, and can't re-kill the new files — newer seq), then the
+    // whole table. The aggregate must be identical at every phase.
+    "q112_scoped_compact" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q112",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q112_wh_")
+      s.conf.set("spark.sql.catalog.graft_q112.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q112.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q112.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q112.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf` PARTITIONED BY (source)
+          |OPTIONS (statsColumns 'doc_id')""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      // three fragmenting appends per partition
+      for (r <- 0 until 3)
+        src.where(col("doc_id") % 3 === r)
+          .writeTo("graft_q112.corpus.docs").append()
+      // CDC upsert burdens every admitted older file with its keys
+      src.where(col("doc_id") % 6 === 1)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") + 777L).as("n_chars"))
+        .writeTo("graft_q112.corpus.docs").option("upsertKeys", "doc_id")
+        .append()
+      def agg(phase: String) = {
+        val a = s.sql(
+          """SELECT source, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            |FROM graft_q112.corpus.docs GROUP BY source""".stripMargin)
+          .withColumn("phase", lit(phase))
+        // materialize now: later maintenance rewrites the files
+        s.createDataFrame(
+          java.util.Arrays.asList(a.collect(): _*), a.schema)
+      }
+      val mor = agg("mor")
+      s.sql("CALL graft_q112.system.compact(table => 'corpus.docs', " +
+        "where => \"source = 'src3'\")")
+      val scoped = agg("scoped")
+      s.sql("CALL graft_q112.system.compact(table => 'corpus.docs')")
+      mor.unionByName(scoped).unionByName(agg("full"))
+        .select(col("phase"), col("source"), col("n_docs"), col("sum_chars"))
+        .orderBy("phase", "source")
+    }),
+
     // Streaming upsert sink (X96): CDC epochs stream INTO the table —
     // each micro-batch commits its insert files plus an equality-delete
     // key file killing every older generation of the epoch's keys
@@ -2935,6 +2985,25 @@ object SparkEntry {
         |SELECT 3, 'insert', doc_id, lang, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
+
+    // all three phases (through the equality-delete key filters; after a
+    // partition-scoped compact; after the full compact) must show the
+    // corpus with the CDC batch's n_chars corrections applied
+    "q112_scoped_compact" ->
+      """WITH upserted AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN doc_id % 6 = 1 THEN n_chars + 777
+        |              ELSE n_chars END AS BIGINT) AS n_chars
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM upserted GROUP BY source
+        |)
+        |SELECT p.phase, a.source, a.n_docs, a.sum_chars
+        |FROM agg a CROSS JOIN (SELECT 'mor' AS phase
+        |  UNION ALL SELECT 'scoped' UNION ALL SELECT 'full') p
+        |ORDER BY p.phase, a.source""".stripMargin,
 
     // both phases (reading through the equality-delete key filters; after
     // the fold) must show the corpus with the CDC batch's rows replacing

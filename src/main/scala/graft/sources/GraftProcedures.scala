@@ -176,6 +176,55 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** File-granular evaluation of a scoped-compaction `where` predicate:
+    * resolve it against the table schema, translate each conjunct to a data
+    * source filter, and run the filters through the TABLE'S OWN scan
+    * builder — the same partition-value / hidden-transform / bucket /
+    * stats / bloom prune stack every query uses, with zero duplicated
+    * logic and no data reads. Selection is CONSERVATIVE: a file that MAY
+    * hold a matching row is selected (rewriting extra files is only cost,
+    * never wrongness); an identity-partition predicate selects exactly its
+    * partitions' files. A conjunct with no source-filter translation
+    * refuses loudly rather than silently widening to the whole table. */
+  private def selectFilesWhere(spark: SparkSession, cat: GraftCatalog,
+      ident: Identifier, meta: GraftCatalog.TableMeta,
+      fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      where: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      meta.schema).where(where)
+    val conds: Seq[Expression] = probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    // fold constant subtrees first: analysis leaves comparison literals
+    // wrapped in casts (`id < CAST(1000 AS BIGINT)`), which the filter
+    // translation only accepts as plain literals
+    val filters = conds.flatMap(split).map(_.transformUp {
+      case e: Expression if e.foldable && !e.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          e.eval(InternalRow.empty), e.dataType)
+    }).map { p =>
+      org.apache.spark.sql.graft.Shims
+        .translateFilter(p, supportNestedPredicatePushdown = true)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft compact: where conjunct '${p.sql}' has no file-level " +
+            "translation - use predicates over partition or stats columns"))
+    }
+    var sel: Seq[String] = Nil
+    val tbl = cat.loadTable(ident).asInstanceOf[CatalogOcfTable]
+    val sb = tbl.rowLevelScanBuilder(scan => sel = scan.plannedFilePaths)
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(filters.toArray)
+    sb.build()
+    val qualRoot = fs.makeQualified(root).toString
+    sel.map(p => OcfSnapshots.relativize(qualRoot, p)).toSet
+  }
+
   private def singleRowResult(schema: StructType, vals: Array[Any]): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
@@ -200,7 +249,15 @@ private[sources] object GraftProcedures {
       ProcedureParameter.in("codec", StringType).defaultValue("NULL")
         .comment("output codec; defaults to the table's codec option").build(),
       ProcedureParameter.in("zorder", StringType).defaultValue("NULL")
-        .comment("comma-separated z-order columns (unpartitioned tables)").build())
+        .comment("comma-separated z-order columns (unpartitioned tables)").build(),
+      ProcedureParameter.in("where", StringType).defaultValue("NULL")
+        .comment("SQL predicate scoping which data files to rewrite " +
+          "(file-granular, conservative; exact on identity partitions)").build(),
+      ProcedureParameter.in("small_file_bytes", LongType).defaultValue("NULL")
+        .comment("only rewrite data files smaller than this").build(),
+      ProcedureParameter.in("min_input_files", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("NULL")
+        .comment("no-op unless at least this many files are selected").build())
 
     private val outSchema = StructType(Seq(
       StructField("files_before", LongType, nullable = false),
@@ -210,13 +267,29 @@ private[sources] object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
-      val meta = cat.tableMeta(tableIdent(str(input, 0).get))
+      val ident = tableIdent(str(input, 0).get)
+      val meta = cat.tableMeta(ident)
       val targetBytes = if (input.isNullAt(1)) 128L * 1024 * 1024 else input.getLong(1)
       val codec = str(input, 2).orElse(meta.options.get("codec")).getOrElse("null")
       val zorder = str(input, 3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      // X98 incremental scoping: at 100 TB a maintenance pass must be
+      // O(touched partition), never O(table) — a streaming sink's hourly
+      // compaction targets the last hour's partition (`where`), skips the
+      // already-big files (`small_file_bytes`), and doesn't churn when the
+      // partition is barely fragmented (`min_input_files`).
+      val whereStr = str(input, 4)
+      val smallBytes: Option[Long] =
+        if (input.isNullAt(5)) None else Some(input.getLong(5))
+      val minInput: Int = if (input.isNullAt(6)) 1 else input.getInt(6)
+      require(smallBytes.forall(_ > 0L),
+        "graft compact: small_file_bytes must be positive")
       val root = new Path(meta.location)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val snapshotted = OcfSnapshots.enabled(fs, root)
+      val scoped = whereStr.isDefined || smallBytes.isDefined
+      require(!scoped || snapshotted, "graft compact: where/small_file_bytes " +
+        "scoping needs a snapshot-managed table (the swap is a manifest " +
+        "commit replacing exactly the selected files)")
       var attempt = 0
       while (true) {
         attempt += 1
@@ -226,9 +299,9 @@ private[sources] object GraftProcedures {
         // left a window where a concurrent append landed between the
         // guard's snapshot and an unpinned compact read — its rows folded
         // into the compacted output while the original file survived the
-        // commit (absent from beforeRel), silently duplicating rows with a
-        // passing guard. Restricting the read to exactly targetsData makes
-        // concurrent appends commute with the fold instead of corrupting it.
+        // commit, silently duplicating rows with a passing guard.
+        // Restricting the read to exactly targetsData makes concurrent
+        // appends commute with the fold instead of corrupting it.
         val fsnap: Seq[OcfSnapshots.SnapFile] =
           if (snapshotted) OcfSnapshots.latest(fs, root).map(_.files).getOrElse(Nil)
           else Nil
@@ -238,8 +311,34 @@ private[sources] object GraftProcedures {
           else visibleFiles(spark, meta.location)
         if (before.isEmpty)
           return singleRowResult(outSchema, Array[Any](0L, 0L, 0L, 0L))
-        val targetsData: Set[String] = fsnap.filter(_.isData).map(_.path).toSet
-        val foldedDeletes: Set[String] = fsnap.filterNot(_.isData).map(_.path).toSet
+        val whereSel: Option[Set[String]] = whereStr.map(w =>
+          selectFilesWhere(spark, cat, ident, meta, fs, root, w))
+        val targetsData: Set[String] = fsnap.iterator.filter(_.isData)
+          .filter(f => whereSel.forall(_.contains(f.path)))
+          .filter(f => smallBytes.forall(f.len < _))
+          .map(_.path).toSet
+        if (snapshotted && (targetsData.isEmpty || targetsData.size < minInput))
+          return singleRowResult(outSchema, Array[Any](0L, 0L, 0L, 0L))
+        // deletes: position deletes OVER the targets fold away with them;
+        // an equality-delete file retires ONLY when every data file it may
+        // burden ([[OcfEqScope]] scoping) is being rewritten — a kept one
+        // still burdens the untouched files, and can never re-kill the
+        // compacted output (new files commit with a NEWER seq). The guard
+        // set stays "pos-over-targets + every equality delete": any
+        // concurrently added equality delete burdens the fold's inputs.
+        val posOfTargets: Set[String] = fsnap.iterator
+          .filter(_.deleteOf.exists(targetsData.contains)).map(_.path).toSet
+        val eqFiles = fsnap.filter(_.isEqualityDelete)
+        val guardDeletes: Set[String] = posOfTargets ++ eqFiles.map(_.path)
+        val conf = spark.sessionState.newHadoopConf()
+        val baseQ = fs.makeQualified(root)
+        val droppableEq: Set[String] = eqFiles.iterator.filter { e =>
+          val sum = OcfEqScope.summaryFor(OcfEqScope.metaOfSnap(baseQ, e, conf), conf)
+          fsnap.iterator.filter(_.isData).forall(f =>
+            targetsData.contains(f.path) || f.seq >= e.seq ||
+              !OcfEqScope.mayBurdenFile(f, baseQ, sum, conf))
+        }.map(_.path).toSet
+        val dropped: Set[String] = targetsData ++ posOfTargets ++ droppableEq
         // compact into a SIBLING staging dir (never inside the table dir —
         // the table's recursive listing must not see half-written output)
         val staging = meta.location + ".compact-" + java.util.UUID.randomUUID()
@@ -262,15 +361,11 @@ private[sources] object GraftProcedures {
             // DELETE or rewrite that landed after this fold read its inputs
             // refuses the commit (and the fold re-runs) instead of losing
             // those rows.
-            val beforeRel = before.map { case (p, _) =>
-              OcfSnapshots.relativize(fs.makeQualified(root).toString,
-                fs.makeQualified(p).toString)
-            }.toSet
             try {
               OcfSnapshots.commit(fs, root, "compact",
                 Some(meta.schema.json)) { prev =>
-                requireFoldStable(prev, targetsData, foldedDeletes, "compact")
-                prev.filterNot(f => beforeRel.contains(f.path)) ++ movedRel
+                requireFoldStable(prev, targetsData, guardDeletes, "compact")
+                prev.filterNot(f => dropped.contains(f.path)) ++ movedRel
               }
               true
             } catch {
@@ -286,10 +381,14 @@ private[sources] object GraftProcedures {
           }
         fs.delete(new Path(staging), true)
         if (committed) {
-          val after = visibleFiles(spark, meta.location)
+          val (beforeCount, beforeBytes) =
+            if (snapshotted)
+              (dropped.size.toLong,
+                fsnap.filter(f => dropped.contains(f.path)).map(_.len).sum)
+            else (before.size.toLong, before.map(_._2).sum)
           return singleRowResult(outSchema, Array[Any](
-            before.size.toLong, after.size.toLong,
-            before.map(_._2).sum, after.map(_._2).sum))
+            beforeCount, movedRel.size.toLong,
+            beforeBytes, movedRel.map(_.len).sum))
         }
       }
       throw new IllegalStateException("unreachable")

@@ -20,6 +20,16 @@ object Shims {
                b: org.apache.spark.sql.types.DataType): Boolean =
     a.sameType(b)
 
+  /** Catalyst predicate -> data source [[org.apache.spark.sql.sources.Filter]]
+    * (`DataSourceStrategy.translateFilter` is `protected[sql]`): the exact
+    * translation Spark's own pushdown performs, reused for file-granular
+    * `where` scoping in maintenance procedures. */
+  def translateFilter(predicate: Expression,
+                      supportNestedPredicatePushdown: Boolean)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown)
+
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
