@@ -1646,6 +1646,63 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // CDC replication loop closed (X99): the source table's streaming
+    // change feed (X95) pipes into the apply-changes sink — insert/update
+    // rows upsert, delete rows land ONLY their equality-delete key — so a
+    // mirror tracks the source exactly, row deletions included, one source
+    // commit per epoch (the in-batch contract: an equality delete kills
+    // strictly older generations only). The result reads from the MIRROR.
+    "q113_cdc_mirror" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q113",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q113_wh_")
+      s.conf.set("spark.sql.catalog.graft_q113.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q113.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q113.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q113.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`
+          |OPTIONS (statsColumns 'doc_id', `write.delete.mode` 'merge-on-read')
+          |""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      src.createOrReplaceTempView("graft_q113_src")
+      s.sql("INSERT INTO graft_q113.corpus.docs SELECT * FROM graft_q113_src") // v1
+      src.where(col("doc_id") % 6 === 1)
+        .select(col("doc_id"), lit("cdc").as("source"),
+          (col("n_chars") + 777L).as("n_chars"))
+        .writeTo("graft_q113.corpus.docs").option("upsertKeys", "doc_id")
+        .append()                                                              // v2
+      s.sql("DELETE FROM graft_q113.corpus.docs WHERE doc_id % 10 = 3")        // v3
+      src.where(col("doc_id") % 9 === 4)
+        .select(col("doc_id"), lit("cdc2").as("source"),
+          (col("n_chars") + 111L).as("n_chars"))
+        .writeTo("graft_q113.corpus.docs").option("upsertKeys", "doc_id")
+        .append()                                                              // v4
+      val mirror = landingDir(s, "graft_q113_mirror_")
+      val ckpt = landingDir(s, "graft_q113_ck_")
+      val q = s.readStream.format("graft-ocf-changes")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(new java.io.File(wh, "corpus/docs").getAbsolutePath)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("_change_type"))
+        .writeStream.option("checkpointLocation", ckpt.getAbsolutePath)
+        .format("graft-ocf")
+        .option("graft.snapshots", "true")
+        .option("upsertKeys", "doc_id")
+        .option("changeColumn", "_change_type")
+        .outputMode("append")
+        .start(mirror.getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("graft-ocf").load(mirror.getAbsolutePath)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Scoped incremental compaction (X98): maintenance at 100 TB must be
     // O(touched partition), never O(table). A fragmented, upsert-burdened
     // partitioned table compacts ONE partition (`where` rides the scan's
@@ -2985,6 +3042,26 @@ object SparkEntry {
         |SELECT 3, 'insert', doc_id, lang, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
+
+    // the MIRROR (replicated commit-by-commit through the change feed +
+    // apply-changes sink) must aggregate identically to the source's
+    // final state: upserts applied last-writer-wins, deleted keys absent,
+    // a deleted-then-reupserted key present with its newest values
+    "q113_cdc_mirror" ->
+      """WITH fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 4 THEN 'cdc2'
+        |         WHEN doc_id % 6 = 1 THEN 'cdc'
+        |         ELSE source END AS source,
+        |    CAST(CASE WHEN doc_id % 9 = 4 THEN n_chars + 111
+        |              WHEN doc_id % 6 = 1 THEN n_chars + 777
+        |              ELSE n_chars END AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE doc_id % 9 = 4 OR doc_id % 10 <> 3
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin GROUP BY source ORDER BY source""".stripMargin,
 
     // all three phases (through the equality-delete key filters; after a
     // partition-scoped compact; after the full compact) must show the

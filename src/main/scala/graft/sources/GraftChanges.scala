@@ -115,7 +115,16 @@ object GraftChanges {
     def known(v: Long, role: String): Unit = require(vs.contains(v),
       s"graft-ocf changes: $role version $v is not a retained snapshot " +
         s"(retained: ${vs.mkString(", ")})")
-    known(startVersion, "startVersion")
+    // startVersion 0 = the GENESIS baseline (empty table before its first
+    // commit), mirroring the streaming feed's `startingVersion=0`: every
+    // retained version replays, the first one as pure inserts. Exact only
+    // while the full history survives — an expired v1 refuses.
+    if (startVersion == 0L)
+      require(vs.headOption.contains(1L),
+        "graft-ocf changes: startVersion 0 (genesis) needs the full " +
+          s"history retained; earliest retained version is ${vs.headOption
+            .getOrElse(-1L)}")
+    else known(startVersion, "startVersion")
     val end = endVersion.getOrElse(vs.last)
     known(end, "endVersion")
     require(end > startVersion,
@@ -133,10 +142,14 @@ object GraftChanges {
       else df
     }
 
-    var prev = OcfSnapshots.read(fs, root, chain.head)
-    var prevV = chain.head
+    var prev =
+      if (startVersion == 0L)
+        OcfSnapshots.Snapshot(0L, 0L, "genesis", Nil)
+      else OcfSnapshots.read(fs, root, chain.head)
+    var prevV = if (startVersion == 0L) 0L else chain.head
     val parts = Seq.newBuilder[DataFrame]
-    chain.tail.foreach { v =>
+    val walk = if (startVersion == 0L) chain else chain.tail
+    walk.foreach { v =>
       val cur = OcfSnapshots.read(fs, root, v)
       val prevByPath = prev.files.map(f => f.path -> f).toMap
       val curPaths = cur.files.map(_.path).toSet

@@ -135,8 +135,39 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
             "have a faithful, sort-consistent directory-name representation")
       }
     }
+    // `changeColumn` (X99): apply-changes sink — the named STRING column
+    // tags each row with its CDC change type instead of being stored.
+    // insert/update/update_postimage rows take the normal upsert path
+    // (data + equality-delete key); delete rows land ONLY their key
+    // (row-level delete with no target scan); update_preimage rows are
+    // ignored. Composes a table's change feed (X92/X95) directly into a
+    // mirror: readStream changes -> writeStream applyChanges.
+    val changeOrdinal: Int = Option(opts.get("changeColumn")).map(_.trim)
+      .filter(_.nonEmpty).map { cn =>
+        val exact = sql.fields.indexWhere(_.name == cn)
+        val i =
+          if (exact >= 0) exact
+          else {
+            val ms = sql.fields.indices.filter(j =>
+              sql.fields(j).name.equalsIgnoreCase(cn))
+            require(ms.length <= 1,
+              s"graft-ocf write: changeColumn '$cn' is ambiguous under " +
+                s"case-insensitive resolution (${ms.map(sql.fields(_).name)
+                  .mkString(", ")})")
+            ms.headOption.getOrElse(-1)
+          }
+        require(i >= 0, s"graft-ocf write: changeColumn '$cn' is not in " +
+          s"the query schema (${sql.fieldNames.mkString(", ")})")
+        require(sql.fields(i).dataType ==
+            org.apache.spark.sql.types.StringType,
+          s"graft-ocf write: changeColumn '$cn' has type " +
+            s"${sql.fields(i).dataType.simpleString}; change types are strings")
+        require(!partOrdinals.contains(i),
+          s"graft-ocf write: changeColumn '$cn' cannot be a partition column")
+        i
+      }.getOrElse(-1)
     val dataSql = StructType(sql.fields.zipWithIndex.collect {
-      case (f, i) if !partOrdinals.contains(i) => f
+      case (f, i) if !partOrdinals.contains(i) && i != changeOrdinal => f
     })
     require(dataSql.fields.nonEmpty,
       "graft-ocf write: every column is a partition column; nothing to store in files")
@@ -394,6 +425,9 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
           "equality-delete entry lives in the manifest; a bare directory " +
           "listing would read the key file as table data")
     }
+    require(changeOrdinal < 0 || upsertKeys.nonEmpty,
+      "graft-ocf write: changeColumn needs upsertKeys — delete rows carry " +
+        "no position, so they can only identify their victims by key")
     val codecName = Option(opts.get("codec")).getOrElse("null")
     AvroCodecs(codecName) // fail the PLAN on an unknown codec, not a task
     val blockBytes = Option(opts.get("blockBytes")).map(_.toInt).getOrElse(Ocf.SyncInterval)
@@ -429,6 +463,7 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       branch = Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
       upsertKeys = upsertKeys,
+      changeOrdinal = changeOrdinal,
       // upsert keys auto-join the stats set: equality-delete burden
       // scoping ([[OcfEqScope]]) intersects a commit's keys with per-file
       // key BOUNDS — a CDC table whose data files carried no key stats
@@ -506,6 +541,10 @@ private[sources] final case class OcfWriteConfig(
     // rows' key tuples to an equality-delete file, so the commit deletes
     // all OLDER rows with those keys — CDC upsert with NO target scan
     upsertKeys: Array[String] = Array.empty,
+    // apply-changes sink (X99): ordinal of the change-type column in `sql`
+    // (-1 = plain write). The column is metadata, never stored: delete
+    // rows write ONLY their equality-delete key.
+    changeOrdinal: Int = -1,
     statsCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomCols: Array[OcfWrite.StatCol] = Array.empty,
     bloomFpp: Double = 0.01,
@@ -1043,6 +1082,22 @@ private[sources] final class OcfDataWriter(
   private val dirNextChunk = scala.collection.mutable.Map.empty[String, Int]
 
   override def write(row: InternalRow): Unit = {
+    // apply-changes routing (X99): a delete row contributes ONLY its
+    // equality-delete key (killing every older generation of that key); a
+    // preimage is the dead half of an update pair and contributes nothing.
+    // insert/update(_postimage) fall through to the normal upsert path.
+    if (cfg.changeOrdinal >= 0) {
+      require(!row.isNullAt(cfg.changeOrdinal),
+        "graft-ocf write: changeColumn value is null")
+      row.getUTF8String(cfg.changeOrdinal).toString match {
+        case "insert" | "update" | "update_postimage" => ()
+        case "delete" => writeUpsertKey(row); return
+        case "update_preimage" => return
+        case other => throw new IllegalArgumentException(
+          s"graft-ocf write: changeColumn value '$other' is not a change " +
+            "type (insert/update/update_preimage/update_postimage/delete)")
+      }
+    }
     if (cfg.partOrdinals.nonEmpty || cfg.numBuckets > 0 ||
         cfg.transformSpecs.nonEmpty) {
       val pd = partDirOf(row)

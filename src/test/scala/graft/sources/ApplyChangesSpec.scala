@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Apply-changes sink (X99): `option("changeColumn", c)` turns the upsert
+  * sink into a CDC APPLY — insert/update rows take the normal upsert path
+  * (data + equality-delete key), `delete` rows land ONLY their key, and
+  * the change column itself is never stored. Composed with the change
+  * feeds (X92 batch / X95 streaming) this replicates a table into a
+  * mirror, deletes included, with per-commit batches (the in-batch
+  * contract is Iceberg's: a delete only kills STRICTLY OLDER generations,
+  * so replication must not collapse multiple source commits into one
+  * apply epoch — `maxVersionsPerTrigger=1`). */
+class ApplyChangesSpec extends AnyFunSuite {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-apply-wh").toFile
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-apply-changes-spec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.ge", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.ge.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS ge.ns")
+    s
+  }
+
+  private def tempDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toFile
+
+  private def srcTableWithHistory(name: String): String = {
+    import spark.implicits._
+    spark.sql(
+      s"""CREATE TABLE ge.ns.$name (id BIGINT, v STRING)
+         |USING `graft-ocf`
+         |OPTIONS (statsColumns 'id', `write.delete.mode` 'merge-on-read')
+         |""".stripMargin)
+    spark.range(0, 100).select($"id", concat(lit("v"), $"id").as("v"))
+      .writeTo(s"ge.ns.$name").append()                               // v1
+    Seq((7L, "UPD7"), (13L, "UPD13"), (500L, "NEW500"))
+      .toDF("id", "v").writeTo(s"ge.ns.$name")
+      .option("upsertKeys", "id").append()                            // v2
+    spark.sql(s"DELETE FROM ge.ns.$name WHERE id % 10 = 3")           // v3
+    Seq((13L, "RES13"), (44L, "UPD44")).toDF("id", "v")
+      .writeTo(s"ge.ns.$name").option("upsertKeys", "id").append()    // v4
+    new java.io.File(warehouse, s"ns/$name").getAbsolutePath
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] = {
+    import spark.implicits._
+    df.select($"id", $"v").as[(Long, String)].collect().toSeq.sorted
+  }
+
+  test("batch per-commit apply replicates inserts, upserts and deletes") {
+    val srcDir = srcTableWithHistory("ac1")
+    val mirror = tempDir("graft-apply-mirror1")
+    val feed = GraftChanges.changes(spark, srcDir, 0L)
+    val versions = feed.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foreach { v =>
+      feed.where(col("_commit_version") === v)
+        .select(col("id"), col("v"), col("_change_type"))
+        .write.format("graft-ocf").mode("append")
+        .option("graft.snapshots", "true")
+        .option("upsertKeys", "id")
+        .option("changeColumn", "_change_type")
+        .save(mirror.getAbsolutePath)
+    }
+    val src = sortedRows(spark.table("ge.ns.ac1"))
+    val got = sortedRows(spark.read.format("graft-ocf").load(mirror.getAbsolutePath))
+    assert(got == src, s"mirror diverged: ${got.diff(src)} vs ${src.diff(got)}")
+    // the change column is metadata, not data: the mirror's schema is (id, v)
+    assert(spark.read.format("graft-ocf").load(mirror.getAbsolutePath)
+      .schema.fieldNames.toSeq == Seq("id", "v"))
+    // resurrected key 13 reads its LAST value, not the deleted one
+    assert(got.contains((13L, "RES13")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("streaming mirror: changes feed -> apply-changes sink, " +
+      "one source commit per epoch") {
+    val srcDir = srcTableWithHistory("ac2")
+    val mirror = tempDir("graft-apply-mirror2")
+    val ckpt = tempDir("graft-apply-ck2")
+    val q = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(srcDir)
+      .select(col("id"), col("v"), col("_change_type"))
+      .writeStream.format("graft-ocf")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .option("graft.snapshots", "true")
+      .option("upsertKeys", "id")
+      .option("changeColumn", "_change_type")
+      .outputMode("append")
+      .start(mirror.getAbsolutePath)
+    try q.processAllAvailable() finally q.stop()
+    val src = sortedRows(spark.table("ge.ns.ac2"))
+    val got = sortedRows(spark.read.format("graft-ocf").load(mirror.getAbsolutePath))
+    assert(got == src, s"mirror diverged: ${got.diff(src)} vs ${src.diff(got)}")
+
+    // the source keeps moving; the mirror catches up incrementally
+    import spark.implicits._
+    Seq((7L, "UPD7b"), (901L, "NEW901")).toDF("id", "v")
+      .writeTo("ge.ns.ac2").option("upsertKeys", "id").append()
+    spark.sql("DELETE FROM ge.ns.ac2 WHERE id = 44")
+    val q2 = spark.readStream.format("graft-ocf-changes")
+      .option("maxVersionsPerTrigger", "1")
+      .load(srcDir)
+      .select(col("id"), col("v"), col("_change_type"))
+      .writeStream.format("graft-ocf")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .option("graft.snapshots", "true")
+      .option("upsertKeys", "id")
+      .option("changeColumn", "_change_type")
+      .outputMode("append")
+      .start(mirror.getAbsolutePath)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sortedRows(spark.read.format("graft-ocf")
+      .load(mirror.getAbsolutePath)) == sortedRows(spark.table("ge.ns.ac2")))
+  }
+
+  test("refusals: changeColumn needs upsertKeys; unknown change types fail") {
+    import spark.implicits._
+    val dir = tempDir("graft-apply-refuse")
+    val df = Seq((1L, "a", "insert")).toDF("id", "v", "_change_type")
+    val e1 = intercept[Exception] {
+      df.write.format("graft-ocf").mode("append")
+        .option("graft.snapshots", "true")
+        .option("changeColumn", "_change_type")
+        .save(dir.getAbsolutePath)
+    }
+    assert(e1.getMessage.contains("needs upsertKeys"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq((1L, "a", "bogus")).toDF("id", "v", "_change_type")
+        .write.format("graft-ocf").mode("append")
+        .option("graft.snapshots", "true")
+        .option("upsertKeys", "id")
+        .option("changeColumn", "_change_type")
+        .save(dir.getAbsolutePath)
+    }
+    assert(e2.getMessage != null)
+  }
+}
