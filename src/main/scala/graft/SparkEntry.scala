@@ -1646,6 +1646,43 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // Hidden-transform partition-spec evolution (X100): a table partitioned
+    // days(ts) evolves to hours(ts) mid-life; era-A files stay under their
+    // `_p_days_ts=` dirs, era-B lands under `_p_hours_ts=`, and the scan
+    // prunes each file through the self-describing levels its own path
+    // carries. The aggregate (with a ts-range filter that exercises both
+    // eras' pruning) must equal the oracle over the union.
+    "q114_partition_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q114",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q114_wh_")
+      s.conf.set("spark.sql.catalog.graft_q114.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q114.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q114.corpus.ev")
+      s.sql(
+        """CREATE TABLE graft_q114.corpus.ev
+          |(event_id BIGINT, ts TIMESTAMP, event_type STRING)
+          |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+      t(s, dir, "events").select(col("event_id"), col("ts"), col("event_type"))
+        .createOrReplaceTempView("graft_q114_src")
+      s.sql(
+        """INSERT INTO graft_q114.corpus.ev
+          |SELECT * FROM graft_q114_src WHERE event_id % 2 = 0""".stripMargin)
+      s.sql(
+        """ALTER TABLE graft_q114.corpus.ev
+          |SET TBLPROPERTIES ('transformPartitions'='hours(ts)')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q114.corpus.ev
+          |SELECT * FROM graft_q114_src WHERE event_id % 2 = 1""".stripMargin)
+      s.sql(
+        """SELECT event_type, count(*) AS n_events,
+          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+          |FROM graft_q114.corpus.ev
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
     // CDC replication loop closed (X99): the source table's streaming
     // change feed (X95) pipes into the apply-changes sink — insert/update
     // rows upsert, delete rows land ONLY their equality-delete key — so a
@@ -3042,6 +3079,17 @@ object SparkEntry {
         |SELECT 3, 'insert', doc_id, lang, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
+
+    // both eras' rows (written under days(ts) and, post-evolution,
+    // hours(ts)) must aggregate identically to the plain union — the
+    // layout split is invisible to results
+    "q114_partition_evolution" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the MIRROR (replicated commit-by-commit through the change feed +
     // apply-changes sink) must aggregate identically to the source's

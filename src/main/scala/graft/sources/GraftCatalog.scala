@@ -553,15 +553,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mp = metaPath(dir)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
     val meta = readMeta(fs, mp)
-    def guardBucketKey(k: String): Unit = {
+    def guardBucketKey(k: String): Unit =
       require(!k.equalsIgnoreCase("bucketColumns") && !k.equalsIgnoreCase("numBuckets"),
         "graft catalog: the bucket spec is layout (directory names encode " +
           "the hash); it cannot be altered without rewriting the table")
-      require(!k.equalsIgnoreCase("transformPartitions"),
-        "graft catalog: the partition transforms are layout (directory " +
-          "names encode the ordinals); they cannot be altered without " +
-          "rewriting the table")
-    }
+    // hidden-transform partition-spec EVOLUTION (X100): `ALTER TABLE ... SET
+    // TBLPROPERTIES ('transformPartitions'='hours(ts)')` re-routes future
+    // writes; files written under former specs stay where they are and the
+    // scan prunes each file through the self-describing `_p_*` levels its
+    // own path carries. Identity partition columns and bucket specs stay
+    // immutable (their values/hashes are data-bearing layout). Validation
+    // runs HERE so a bad spec fails the DDL, not some future write.
+    def guardTransformValue(k: String, v: String): Unit =
+      if (k.equalsIgnoreCase("transformPartitions")) {
+        val specs = OcfTransforms.parseList(v)
+        specs.foreach { s =>
+          val f = meta.schema.fields.find(_.name.equalsIgnoreCase(s.col))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft catalog: transform ${s.render} names '${s.col}', " +
+                s"which is not a column of the table"))
+          require(!meta.partCols.exists(_.equalsIgnoreCase(s.col)),
+            s"graft catalog: transform ${s.render} names identity " +
+              s"partition column '${s.col}'")
+          require(OcfTransforms.supportedType(s.kind, f.dataType),
+            s"graft catalog: ${s.render} does not support type " +
+              f.dataType.simpleString)
+          require(!meta.schema.fields.exists(_.name.equalsIgnoreCase(s.dirCol)),
+            s"graft catalog: column '${s.dirCol}' collides with the " +
+              "transform directory level")
+        }
+        require(specs.map(_.dirCol).distinct.length == specs.length,
+          "graft catalog: duplicate transform levels in '" + v + "'")
+      }
     // row-level mode flips (copy-on-write <-> merge-on-read) are legal and
     // take effect on the next DML — but a bad VALUE must fail HERE, not at
     // some future DELETE
@@ -577,10 +600,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (m, set: TableChange.SetProperty) =>
         guardBucketKey(set.property)
         guardModeValue(set.property, set.value)
+        guardTransformValue(set.property, set.value)
         m.copy(options = m.options + (set.property -> set.value))
       case (m, rm: TableChange.RemoveProperty) =>
         guardBucketKey(rm.property)
-        m.copy(options = m.options - rm.property)
+        // UNSET of the transform spec evolves to "no transforms" but must
+        // stay PRESENT (empty): its presence is what tells reads this
+        // table owns its synthetic levels (mixed-era union, X100)
+        if (rm.property.equalsIgnoreCase("transformPartitions"))
+          m.copy(options = m.options + (rm.property -> ""))
+        else m.copy(options = m.options - rm.property)
       case (m, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "graft catalog: ADD COLUMN supports top-level columns only")

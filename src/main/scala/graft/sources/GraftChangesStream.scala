@@ -96,7 +96,10 @@ private[sources] object GraftChangesSource {
     val qualRoot = fs.makeQualified(root).toString
     val (allCols, _) = OcfPartitions.infer(Seq(qualRoot),
       dataFiles.map(f => OcfDataSource.FileSlice(
-        new Path(qualRoot, f.path).toString, f.len)))
+        new Path(qualRoot, f.path).toString, f.len)),
+      // mixed-era synthetic levels (X100 spec evolution) union instead of
+      // refusing — the feed only surfaces identity columns anyway
+      unionSynthetic = true)
     val partCols = allCols.filter(c =>
       c != OcfBucket.DirCol && !c.startsWith("_p_"))
     val committed: Option[StructType] = snap.tableSchemaJson

@@ -464,7 +464,16 @@ object OcfDataSource {
     val qualifiedRoots = paths.map { p =>
       val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    val (inferredCols, files) = OcfPartitions.infer(qualifiedRoots, listed)
+    // `transformPartitions` parsed up front: its PRESENCE (even empty — a
+    // spec evolved back to none) marks an engine-driven read that owns its
+    // synthetic levels, which is what licenses union-aligning mixed-era
+    // layouts (X100 partition-spec evolution) instead of refusing them
+    val transformSpecs: Seq[OcfTransforms.Spec] =
+      Option(options.get("transformPartitions")).map(OcfTransforms.parseList)
+        .getOrElse(Nil)
+    val transformAware = options.containsKey("transformPartitions")
+    val (inferredCols, files) = OcfPartitions.infer(qualifiedRoots, listed,
+      unionSynthetic = transformAware)
     // Hash-bucketed layout ([[OcfBucket]]): when the read declares
     // `bucketColumns`/`numBuckets` (always the case through the catalog),
     // the trailing `_bucket=K` directory level is the bucket id — folded
@@ -485,38 +494,42 @@ object OcfDataSource {
             s"(found: ${inferredCols.mkString(", ")})")
         files.foreach { f =>
           val v = f.partitionValues.last
+          require(v != OcfPartitions.AbsentDir,
+            s"graft-ocf: ${f.path} predates the ${OcfBucket.DirCol}= level — " +
+              "the bucket spec is not evolvable (bucket ids are layout)")
           require(v != null && v.toIntOption.exists(b => b >= 0 && b < numBuckets),
             s"graft-ocf: ${f.path} has bucket id '$v' outside [0, $numBuckets)")
         }
         Some(OcfBucket.Spec(bucketColsOpt.toSeq, numBuckets, inferredCols.length - 1))
       }
     val partCols0 = if (bucket.isDefined) inferredCols.dropRight(1) else inferredCols
-    // Hidden-transform layout (X88): when the read declares
-    // `transformPartitions` (always the case through the catalog), the
-    // trailing `_p_<kind>_<col>=` levels are transform ordinals — folded
-    // into the transform spec for pruning, NOT surfaced as partition
-    // columns (the SOURCE columns are ordinary data columns). An
-    // option-less path read sees them as ordinary partition columns
-    // instead (honest observability, same convention as `_bucket`).
-    val transformSpecs: Seq[OcfTransforms.Spec] =
-      Option(options.get("transformPartitions")).map(OcfTransforms.parseList)
-        .getOrElse(Nil)
+    // Hidden-transform layout (X88): under a transform-aware read (the
+    // `transformPartitions` option is present — always the case through
+    // the catalog), every `_p_<kind>_<col>=` level is a transform ordinal
+    // — folded into the prune specs, NOT surfaced as a partition column
+    // (the SOURCE columns are ordinary data columns). The specs come from
+    // the LEVELS THEMSELVES ([[OcfTransforms.specOfDirCol]] — the names
+    // are self-describing), not the declared list, so after a spec
+    // evolution (X100) files prune through whichever era's transforms
+    // their own paths carry; a declared spec no file exhibits yet (just
+    // evolved, nothing written) simply prunes nothing. An option-less
+    // path read sees the levels as ordinary partition columns instead
+    // (honest observability, same convention as `_bucket`).
     val transforms: Seq[(OcfTransforms.Spec, Int)] =
-      if (transformSpecs.isEmpty || files.isEmpty) Nil
-      else {
-        val dirCols = transformSpecs.map(_.dirCol)
-        require(partCols0.length >= dirCols.length &&
-            partCols0.takeRight(dirCols.length) == dirCols,
-          s"graft-ocf: read declares transformPartitions " +
-            s"${transformSpecs.map(_.render).mkString(",")} but the layout's " +
-            s"trailing levels are ${partCols0.mkString(", ")} — expected " +
-            s"${dirCols.mkString(", ")} before any ${OcfBucket.DirCol}= level")
-        val base = partCols0.length - dirCols.length
-        transformSpecs.zipWithIndex.map { case (s, k) => (s, base + k) }
+      if (!transformAware || files.isEmpty) Nil
+      else partCols0.zipWithIndex.flatMap { case (c, i) =>
+        OcfTransforms.specOfDirCol(c).map(s => (s, i))
       }
     val partCols =
       if (transforms.isEmpty) partCols0
-      else partCols0.dropRight(transforms.length)
+      else {
+        val tCols = transforms.map { case (s, _) => s.dirCol }.toSet
+        // transform levels always trail the identity columns (the writer's
+        // directory order, preserved by the union alignment), so dropping
+        // them by name keeps identity indices 0..n-1 aligned with every
+        // file's partitionValues prefix
+        partCols0.filterNot(tCols.contains)
+      }
     // header resolution is LAZY (deferred to build, after partition pruning);
     // only what the schema needs is read here
     val readerOpt = readerOpt0
@@ -1226,14 +1239,21 @@ private[sources] final class OcfScanBuilder(
           if (idx >= f.partitionValues.length) true
           else {
             val dv = f.partitionValues(idx)
-            val parsed: Either[Unit, Any] =
-              if (dv == null) Right(null)
-              else try Right(OcfTransforms.parseOrdinal(spec, dv,
-                dt == org.apache.spark.sql.types.StringType))
-              catch { case scala.util.control.NonFatal(_) => Left(()) }
-            // unparsable dir value: admit (pruning must never guess)
-            parsed.fold(_ => true,
-              ord => OcfTransforms.mayMatch(spec, dt, ord, pushed.toSeq))
+            // a file from another spec era (X100) carries no such level —
+            // it says nothing about the rows, always admit (distinct from
+            // dv == null, which means the rows' source value IS null and
+            // prunes exactly)
+            if (dv == OcfPartitions.AbsentDir) true
+            else {
+              val parsed: Either[Unit, Any] =
+                if (dv == null) Right(null)
+                else try Right(OcfTransforms.parseOrdinal(spec, dv,
+                  dt == org.apache.spark.sql.types.StringType))
+                catch { case scala.util.control.NonFatal(_) => Left(()) }
+              // unparsable dir value: admit (pruning must never guess)
+              parsed.fold(_ => true,
+                ord => OcfTransforms.mayMatch(spec, dt, ord, pushed.toSeq))
+            }
           }
         }
       }

@@ -59,7 +59,24 @@ private[graft] object OcfPartitions {
     * sequence (a half-partitioned directory is a layout bug, not something
     * to paper over). Returns the column names and each file annotated with
     * its (unescaped, null-decoded) values, aligned to the names. */
-  def infer(roots: Seq[String], files: Seq[OcfDataSource.FileSlice])
+  /** Sentinel partition value for a SYNTHETIC directory level a file does
+    * not carry (written before a partition-spec evolution added the level,
+    * or after one removed it). Distinct from `null` — `null` means the
+    * file's rows have a NULL source value (the `NullDir` rendering) and
+    * PRUNES against null-intolerant predicates, while an absent level says
+    * nothing about the rows and must always admit. The NUL byte cannot
+    * appear in a real directory name. */
+  val AbsentDir: String = "\u0000absent"
+
+  def infer(roots: Seq[String], files: Seq[OcfDataSource.FileSlice],
+            // partition-spec evolution (X100): union heterogeneous layouts
+            // by LEVEL NAME, provided every disagreement is a synthetic
+            // (`_p_*` transform / `_bucket`) level — identity partition
+            // columns must still agree everywhere. Only engine-driven
+            // reads (which declare the spec) opt in; a bare path read
+            // keeps the loud refusal (it would otherwise surface phantom
+            // absent values as column data).
+            unionSynthetic: Boolean = false)
       : (Seq[String], Seq[OcfDataSource.FileSlice]) = {
     // normalize roots for prefix matching (they were resolved by the same
     // FileSystem that produced the file paths, but may lack scheme)
@@ -87,10 +104,33 @@ private[graft] object OcfPartitions {
             if (v == NullDir) null else unescape(v)
           }.toArray)
         })
-      case many => throw new IllegalArgumentException(
-        "graft-ocf: inconsistent partition layout under " +
-          s"${roots.mkString(", ")} — files disagree on partition columns: " +
-          many.map(_.mkString("[", ",", "]")).mkString(" vs "))
+      case many =>
+        def refuse(): Nothing = throw new IllegalArgumentException(
+          "graft-ocf: inconsistent partition layout under " +
+            s"${roots.mkString(", ")} — files disagree on partition columns: " +
+            many.map(_.mkString("[", ",", "]")).mkString(" vs "))
+        if (!unionSynthetic) refuse()
+        // X100: identity prefixes must agree; every extra level must be
+        // synthetic. Union = identity ++ transform levels (first-seen
+        // order) ++ `_bucket` last; a file's missing levels read AbsentDir.
+        def synthetic(c: String) = c == OcfBucket.DirCol || c.startsWith("_p_")
+        val idSeqs = many.map(_.takeWhile(c => !synthetic(c))).distinct
+        if (idSeqs.length != 1) refuse()
+        val identity = idSeqs.head
+        if (many.exists(_.drop(identity.length).exists(c => !synthetic(c))))
+          refuse()
+        val synth = many.flatMap(_.drop(identity.length)).distinct
+        val (buckets, trans) = synth.partition(_ == OcfBucket.DirCol)
+        val union = identity ++ trans ++ buckets
+        (union, perFile.map { case (f, segs) =>
+          val byName = segs.toMap
+          f.copy(partitionValues = union.map { c =>
+            byName.get(c) match {
+              case Some(v) => if (v == NullDir) null else unescape(v)
+              case None => AbsentDir
+            }
+          }.toArray)
+        })
     }
   }
 

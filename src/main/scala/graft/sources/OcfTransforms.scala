@@ -42,6 +42,32 @@ private[graft] object OcfTransforms {
       if (kind == "truncate") s"truncate($width,$col)" else s"$kind($col)"
   }
 
+  /** Inverse of [[Spec.dirCol]]: reconstruct the transform a synthetic
+    * `_p_*` directory level encodes — the levels are SELF-DESCRIBING, which
+    * is what makes partition-spec evolution (X100) work without spec
+    * history: the scan prunes each file through whatever transform levels
+    * its own path carries, current spec or a former one. Returns None for
+    * names that don't parse (admitted conservatively by callers). */
+  def specOfDirCol(name: String): Option[Spec] = {
+    if (!name.startsWith("_p_")) return None
+    val rest = name.drop(3)
+    if (rest.startsWith("truncate_")) {
+      val r2 = rest.drop("truncate_".length)
+      val us = r2.indexOf('_')
+      if (us <= 0 || us == r2.length - 1) None
+      else r2.take(us).toIntOption.filter(_ > 0)
+        .map(w => Spec("truncate", r2.drop(us + 1), w))
+    } else {
+      val us = rest.indexOf('_')
+      if (us <= 0 || us == rest.length - 1) None
+      else {
+        val kind = rest.take(us)
+        if (Kinds(kind) && kind != "truncate") Some(Spec(kind, rest.drop(us + 1)))
+        else None
+      }
+    }
+  }
+
   /** Parse the `transformPartitions` option: `days(ts),truncate(4,name)`.
     * Entries are whole `kind(args)` groups — the split respects parens
     * (a truncate's width/column comma is not a list separator). */

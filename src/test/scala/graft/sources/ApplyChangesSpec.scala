@@ -27,9 +27,9 @@ class ApplyChangesSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .appName("graft-apply-changes-spec")
       .getOrCreate()
-    s.conf.set("spark.sql.catalog.ge", classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.ge.warehouse", warehouse.getAbsolutePath)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS ge.ns")
+    s.conf.set("spark.sql.catalog.gac", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gac.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gac.ns")
     s
   }
 
@@ -39,18 +39,18 @@ class ApplyChangesSpec extends AnyFunSuite {
   private def srcTableWithHistory(name: String): String = {
     import spark.implicits._
     spark.sql(
-      s"""CREATE TABLE ge.ns.$name (id BIGINT, v STRING)
+      s"""CREATE TABLE gac.ns.$name (id BIGINT, v STRING)
          |USING `graft-ocf`
          |OPTIONS (statsColumns 'id', `write.delete.mode` 'merge-on-read')
          |""".stripMargin)
     spark.range(0, 100).select($"id", concat(lit("v"), $"id").as("v"))
-      .writeTo(s"ge.ns.$name").append()                               // v1
+      .writeTo(s"gac.ns.$name").append()                               // v1
     Seq((7L, "UPD7"), (13L, "UPD13"), (500L, "NEW500"))
-      .toDF("id", "v").writeTo(s"ge.ns.$name")
+      .toDF("id", "v").writeTo(s"gac.ns.$name")
       .option("upsertKeys", "id").append()                            // v2
-    spark.sql(s"DELETE FROM ge.ns.$name WHERE id % 10 = 3")           // v3
+    spark.sql(s"DELETE FROM gac.ns.$name WHERE id % 10 = 3")           // v3
     Seq((13L, "RES13"), (44L, "UPD44")).toDF("id", "v")
-      .writeTo(s"ge.ns.$name").option("upsertKeys", "id").append()    // v4
+      .writeTo(s"gac.ns.$name").option("upsertKeys", "id").append()    // v4
     new java.io.File(warehouse, s"ns/$name").getAbsolutePath
   }
 
@@ -74,7 +74,7 @@ class ApplyChangesSpec extends AnyFunSuite {
         .option("changeColumn", "_change_type")
         .save(mirror.getAbsolutePath)
     }
-    val src = sortedRows(spark.table("ge.ns.ac1"))
+    val src = sortedRows(spark.table("gac.ns.ac1"))
     val got = sortedRows(spark.read.format("graft-ocf").load(mirror.getAbsolutePath))
     assert(got == src, s"mirror diverged: ${got.diff(src)} vs ${src.diff(got)}")
     // the change column is metadata, not data: the mirror's schema is (id, v)
@@ -103,15 +103,15 @@ class ApplyChangesSpec extends AnyFunSuite {
       .outputMode("append")
       .start(mirror.getAbsolutePath)
     try q.processAllAvailable() finally q.stop()
-    val src = sortedRows(spark.table("ge.ns.ac2"))
+    val src = sortedRows(spark.table("gac.ns.ac2"))
     val got = sortedRows(spark.read.format("graft-ocf").load(mirror.getAbsolutePath))
     assert(got == src, s"mirror diverged: ${got.diff(src)} vs ${src.diff(got)}")
 
     // the source keeps moving; the mirror catches up incrementally
     import spark.implicits._
     Seq((7L, "UPD7b"), (901L, "NEW901")).toDF("id", "v")
-      .writeTo("ge.ns.ac2").option("upsertKeys", "id").append()
-    spark.sql("DELETE FROM ge.ns.ac2 WHERE id = 44")
+      .writeTo("gac.ns.ac2").option("upsertKeys", "id").append()
+    spark.sql("DELETE FROM gac.ns.ac2 WHERE id = 44")
     val q2 = spark.readStream.format("graft-ocf-changes")
       .option("maxVersionsPerTrigger", "1")
       .load(srcDir)
@@ -125,7 +125,7 @@ class ApplyChangesSpec extends AnyFunSuite {
       .start(mirror.getAbsolutePath)
     try q2.processAllAvailable() finally q2.stop()
     assert(sortedRows(spark.read.format("graft-ocf")
-      .load(mirror.getAbsolutePath)) == sortedRows(spark.table("ge.ns.ac2")))
+      .load(mirror.getAbsolutePath)) == sortedRows(spark.table("gac.ns.ac2")))
   }
 
   test("refusals: changeColumn needs upsertKeys; unknown change types fail") {

@@ -309,12 +309,19 @@ class PositionDeleteSpec extends AnyFunSuite {
         "ALTER TABLE gm.ns.morf SET TBLPROPERTIES (`write.delete.mode` 'sideways')")
     }
     assert(e.getMessage.contains("copy-on-write"), e.getMessage)
-    // partition transforms are layout: not alterable
+    // partition transforms ARE alterable (X100 spec evolution), but a bad
+    // spec fails AT ALTER — days() over a bigint is not a transform
     val e2 = intercept[Exception] {
       spark.sql(
         "ALTER TABLE gm.ns.morf SET TBLPROPERTIES (transformPartitions 'days(id)')")
     }
-    assert(e2.getMessage.contains("layout"), e2.getMessage)
+    assert(e2.getMessage.contains("does not support type"), e2.getMessage)
+    // the bucket spec stays immutable — ids are data-bearing layout
+    val e3 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE gm.ns.morf SET TBLPROPERTIES (numBuckets '8')")
+    }
+    assert(e3.getMessage.contains("layout"), e3.getMessage)
   }
 
   test("incremental read refuses a range containing a MoR delete") {
