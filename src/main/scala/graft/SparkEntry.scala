@@ -1647,8 +1647,8 @@ object SparkEntry {
     }),
 
     // Hidden-transform partition-spec evolution (X100): a table partitioned
-    // days(ts) evolves to hours(ts) mid-life; era-A files stay under their
-    // `_p_days_ts=` dirs, era-B lands under `_p_hours_ts=`, and the scan
+    // months(ts) evolves to days(ts) mid-life; era-A files stay under their
+    // `_p_months_ts=` dirs, era-B lands under `_p_days_ts=`, and the scan
     // prunes each file through the self-describing levels its own path
     // carries. The aggregate (with a ts-range filter that exercises both
     // eras' pruning) must equal the oracle over the union.
@@ -1662,7 +1662,7 @@ object SparkEntry {
       s.sql(
         """CREATE TABLE graft_q114.corpus.ev
           |(event_id BIGINT, ts TIMESTAMP, event_type STRING)
-          |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+          |USING `graft-ocf` PARTITIONED BY (months(ts))""".stripMargin)
       t(s, dir, "events").select(col("event_id"), col("ts"), col("event_type"))
         .createOrReplaceTempView("graft_q114_src")
       s.sql(
@@ -1670,7 +1670,7 @@ object SparkEntry {
           |SELECT * FROM graft_q114_src WHERE event_id % 2 = 0""".stripMargin)
       s.sql(
         """ALTER TABLE graft_q114.corpus.ev
-          |SET TBLPROPERTIES ('transformPartitions'='hours(ts)')""".stripMargin)
+          |SET TBLPROPERTIES ('transformPartitions'='days(ts)')""".stripMargin)
       s.sql(
         """INSERT INTO graft_q114.corpus.ev
           |SELECT * FROM graft_q114_src WHERE event_id % 2 = 1""".stripMargin)
@@ -3080,8 +3080,8 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
 
-    // both eras' rows (written under days(ts) and, post-evolution,
-    // hours(ts)) must aggregate identically to the plain union — the
+    // both eras' rows (written under months(ts) and, post-evolution,
+    // days(ts)) must aggregate identically to the plain union — the
     // layout split is invisible to results
     "q114_partition_evolution" ->
       """SELECT event_type, count(*) AS n_events,
