@@ -346,7 +346,11 @@ private[sources] object GraftProcedures {
           codec = codec, targetBytes = targetBytes,
           readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
           zorderColumns = zorder,
-          onlyFiles = if (snapshotted) Some(targetsData) else None)
+          onlyFiles = if (snapshotted) Some(targetsData) else None,
+          // current hidden-transform spec: output UNIFIES to it (X100) —
+          // compacting after an evolution migrates the touched bytes
+          transformPartitions = meta.options
+            .find(_._1.equalsIgnoreCase("transformPartitions")).map(_._2))
         // swap: move the compacted files in under fresh names (manifest
         // entries carry inline header metas, like any write commit), then
         // drop the snapshot of old files — a crash between the two leaves
@@ -522,7 +526,9 @@ private[sources] object GraftProcedures {
             .getOrElse("null"),
           targetBytes = targetBytes,
           readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
-          onlyFiles = Some(targets))
+          onlyFiles = Some(targets),
+          transformPartitions = meta.options
+            .find(_._1.equalsIgnoreCase("transformPartitions")).map(_._2))
         val movedRel = moveStagedWithMetas(spark, fs, root, staging,
           "rewrite_position_deletes")
         try {

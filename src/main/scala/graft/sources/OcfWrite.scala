@@ -459,6 +459,8 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
       transformSpecs = transformSpecs,
       transformOrdinals = transformOrdinals,
+      transformsBySource =
+        Option(opts.get("graft.transformsBySource")).exists(_.toBoolean),
       snapshots = Option(opts.get("graft.snapshots")).exists(_.toBoolean),
       branch = Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       tableSchemaJson = Option(opts.get("graft.tableSchemaJson")),
@@ -526,6 +528,11 @@ private[sources] final case class OcfWriteConfig(
     // ordinals in `sql`, aligned
     transformSpecs: Seq[OcfTransforms.Spec] = Nil,
     transformOrdinals: Array[Int] = Array.empty,
+    // path writes (compact unifying eras, X100) cannot resolve `days(ts)`
+    // through a function catalog; every supported transform is MONOTONE in
+    // its source column, so sorting by the SOURCE keeps directories
+    // task-contiguous — and the coalesced input needs no clustering shuffle
+    transformsBySource: Boolean = false,
     // merge-on-read UPDATE/MERGE inserts (X87) arrive UNSORTED by
     // partition (no required ordering on delta writes): tolerate directory
     // revisits by rolling chunks — sparse updates write few small files,
@@ -823,7 +830,8 @@ private[sources] final class OcfWrite(
     * directory names. Unbucketed writes keep the unspecified distribution
     * (any pre-existing partitioning of the query is fine). */
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (cfg.numBuckets > 0 || cfg.transformSpecs.nonEmpty)
+    if (cfg.numBuckets > 0 ||
+        (cfg.transformSpecs.nonEmpty && !cfg.transformsBySource))
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
         (cfg.partNames.map(org.apache.spark.sql.connector.expressions.Expressions.identity) ++
           transformExprs ++
@@ -841,9 +849,12 @@ private[sources] final class OcfWrite(
     // sort: each task's rows arrive directory-contiguous, so the writer
     // keeps ONE open file
     cfg.partNames.map(colSort) ++
-      transformExprs.map(t =>
+      (if (cfg.transformsBySource)
+        cfg.transformOrdinals.map(o => colSort(cfg.sql.fields(o).name))
+      else transformExprs.map(t =>
         org.apache.spark.sql.connector.expressions.Expressions.sort(t,
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)) ++
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray) ++
       (if (cfg.numBuckets > 0)
         Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
           bucketTransform,
@@ -1607,7 +1618,15 @@ object OcfMaintenance {
               // rewrite ONLY these table-relative files (snapshot-managed
               // input only) — rewrite_position_deletes folds exactly the
               // delete-burdened files this way
-              onlyFiles: Option[Set[String]] = None): Unit = {
+              onlyFiles: Option[Set[String]] = None,
+              // the table's CURRENT hidden-transform spec (X100): when
+              // given, the read hides `_p_*` levels (catalog lens — mixed
+              // spec eras union instead of refusing) and the output is
+              // re-routed under THIS spec, computed from the rows' source
+              // columns — compaction/folds UNIFY eras to the current
+              // spec, the Iceberg rewrite_data_files behavior. None keeps
+              // the path-read behavior: levels preserved verbatim.
+              transformPartitions: Option[String] = None): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
     require(zorderColumns.forall(_.nonEmpty),
       "graft-ocf compact: zorderColumns, when given, needs at least one column")
@@ -1644,7 +1663,14 @@ object OcfMaintenance {
     val qualified = {
       val hp = new Path(inDir); Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
     }
-    val (partCols, _) = OcfPartitions.infer(qualified, files)
+    val (allCols, _) = OcfPartitions.infer(qualified, files,
+      unionSynthetic = transformPartitions.isDefined)
+    // under the catalog lens the `_p_*` levels are derived data, not
+    // partition columns: the write recomputes them from the rows under the
+    // CURRENT spec instead of preserving the old era's directories
+    val partCols =
+      if (transformPartitions.isEmpty) allCols
+      else allCols.filterNot(c => OcfTransforms.specOfDirCol(c).isDefined)
     // Stats stamps are PRESERVED too: compaction re-stamps the columns the
     // input files carried (union across files — a partially-stamped input
     // still skips on whichever files have bounds, and so should the output)
@@ -1691,8 +1717,10 @@ object OcfMaintenance {
     val inputBytes = files.map(_.len).sum
     val parts = math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
     val r0 = spark.read.format("graft-ocf")
-    val r = onlyFiles.foldLeft(r0)((b, sel) =>
+    val r1 = onlyFiles.foldLeft(r0)((b, sel) =>
       b.option("graft.files", sel.toSeq.sorted.mkString(",")))
+    val r = transformPartitions.foldLeft(r1)((b, tp) =>
+      b.option("transformPartitions", tp))
     val df = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
       .load(inDir)
     // a readerSchema projection may drop a stamped column; stamp only what
@@ -1727,12 +1755,23 @@ object OcfMaintenance {
       "graft-ocf compact: zorderColumns is not supported on a hive-partitioned " +
         "layout (the partition-first write sort would undo the z-order); " +
         "compact each partition directory separately instead")
+    require(zcols.isEmpty || transformPartitions.forall(_.trim.isEmpty),
+      "graft-ocf compact: zorderColumns is not supported on a transform-" +
+        "partitioned layout (the transform-first write sort would undo the " +
+        "z-order)")
     var w = (if (zcols.nonEmpty) graft.ops.Layout.zorderBy(df, parts, zcols: _*)
              else df.coalesce(parts))
       .write.format("graft-ocf").mode("overwrite")
       .option("codec", codec)
       .option("maxBytesPerFile", targetBytes.toString)
     if (partCols.nonEmpty) w = w.option("partitionBy", partCols.mkString(","))
+    transformPartitions.filter(_.trim.nonEmpty).foreach { tp =>
+      w = w.option("transformPartitions", tp)
+        .option("graft.catalogWrite", "true")
+        // no function catalog on a path write: sort by the (monotone)
+        // source columns locally instead of clustering on `days(ts)`
+        .option("graft.transformsBySource", "true")
+    }
     val statsWithZ = (keptStats ++ zcols.filterNot(keptStats.contains)).toSeq
     if (statsWithZ.nonEmpty) w = w.option("statsColumns", statsWithZ.mkString(","))
     if (keptBloom.nonEmpty) w = w.option("bloomColumns", keptBloom.mkString(","))

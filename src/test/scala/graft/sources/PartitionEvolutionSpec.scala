@@ -166,6 +166,49 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inconsistent partition layout"), e.getMessage)
   }
 
+  test("compact unifies eras to the current spec; upsert folds work " +
+      "across eras") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE pe.ns.ev7 (id BIGINT, ts TIMESTAMP, v STRING)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))
+        |OPTIONS (statsColumns 'id')""".stripMargin)
+    Seq((1L, ts("2024-03-01T10:00:00Z"), "a"),
+        (2L, ts("2024-03-20T11:00:00Z"), "b"))
+      .toDF("id", "ts", "v").coalesce(1).writeTo("pe.ns.ev7").append()
+    spark.sql("ALTER TABLE pe.ns.ev7 SET TBLPROPERTIES " +
+      "('transformPartitions'='months(ts)')")
+    Seq((3L, ts("2024-04-05T08:30:00Z"), "c"))
+      .toDF("id", "ts", "v").coalesce(1).writeTo("pe.ns.ev7").append()
+    // an upsert whose keys burden BOTH eras, then the fold across them
+    Seq((1L, ts("2024-03-01T10:00:00Z"), "A"),
+        (3L, ts("2024-04-05T08:30:00Z"), "C"))
+      .toDF("id", "ts", "v").writeTo("pe.ns.ev7")
+      .option("upsertKeys", "id").append()
+    val fold = spark.sql(
+      "CALL pe.system.rewrite_position_deletes(table => 'ns.ev7')").collect()(0)
+    assert(fold.getLong(1) >= 1L, fold.toString)
+    assert(spark.table("pe.ns.ev7").orderBy("id")
+      .select("v").as[String].collect().toSeq == Seq("A", "b", "C"))
+    // full compact migrates every surviving row under the CURRENT spec
+    spark.sql("CALL pe.system.compact(table => 'ns.ev7')")
+    val dirs = new java.io.File(warehouse, "ns/ev7").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_p_")).toSet
+    // old-era days dirs may remain on disk as retained history, but the
+    // VISIBLE files all live under months(ts)
+    val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath, "ns/ev7")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val visible = OcfSnapshots.latest(fs, root).get.files.filter(_.isData)
+    assert(visible.nonEmpty)
+    assert(visible.forall(_.path.startsWith("_p_months_ts=")),
+      visible.map(_.path).mkString(", "))
+    assert(spark.table("pe.ns.ev7").orderBy("id")
+      .select("v").as[String].collect().toSeq == Seq("A", "b", "C"))
+    // and pruning now rides the unified month level
+    spark.table("pe.ns.ev7").where($"ts" >= "2024-04-01 00:00:00").count()
+    assert(planned().length == 1, planned().mkString(", "))
+  }
+
   test("streaming change feed keeps working across a spec evolution") {
     import spark.implicits._
     spark.sql(
