@@ -1646,6 +1646,42 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // The `.changes` metadata table (X101): the change-data-feed as a
+    // plain SQL TABLE — `SELECT * FROM cat.ns.t.changes` replays the full
+    // exact-or-refuse log from genesis (Iceberg `t.changes` analog),
+    // sharing the streaming feed's planner. The per-commit change
+    // aggregate must reconstruct exactly what each commit did.
+    "q115_changes_table" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q115",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q115_wh_")
+      s.conf.set("spark.sql.catalog.graft_q115.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q115.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q115.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q115.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf`
+          |OPTIONS (statsColumns 'doc_id', `write.delete.mode` 'merge-on-read')
+          |""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q115_src")
+      s.sql("INSERT INTO graft_q115.corpus.docs SELECT * FROM graft_q115_src") // v1
+      s.sql("DELETE FROM graft_q115.corpus.docs WHERE doc_id % 10 = 3")        // v2
+      s.table("graft_q115_src").where(col("doc_id") % 6 === 1)
+        .select(col("doc_id"), lit("cdc").as("source"),
+          (col("n_chars") + 777L).as("n_chars"))
+        .writeTo("graft_q115.corpus.docs").option("upsertKeys", "doc_id")
+        .append()                                                              // v3
+      s.sql(
+        """SELECT _commit_version AS commit_version,
+          |  _change_type AS change_type,
+          |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+          |FROM graft_q115.corpus.docs.changes
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // Hidden-transform partition-spec evolution (X100): a table partitioned
     // months(ts) evolves to days(ts) mid-life; era-A files stay under their
     // `_p_months_ts=` dirs, era-B lands under `_p_days_ts=`, and the scan
@@ -3079,6 +3115,25 @@ object SparkEntry {
         |SELECT 3, 'insert', doc_id, lang, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
+
+    // the change log's per-commit aggregate: v1 inserts the corpus, v2
+    // MoR-deletes doc_id%10=3, v3 upserts doc_id%6=1 (insert + deletes of
+    // the keys' surviving older generations — rows v2 already killed do
+    // not re-emit)
+    "q115_changes_table" ->
+      """SELECT 1 AS commit_version, 'insert' AS change_type,
+        |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, 'delete', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 1 AND doc_id % 10 <> 3
+        |UNION ALL
+        |SELECT 3, 'insert', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 1
+        |ORDER BY commit_version, change_type""".stripMargin,
 
     // both eras' rows (written under months(ts) and, post-evolution,
     // days(ts)) must aggregate identically to the plain union — the

@@ -181,6 +181,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             (catName +: ident.namespace :+ ident.name).mkString("."), bm, conf)
         }
       }
+      // `SELECT * FROM g.ns.t.changes` — the change-data-feed as a TABLE
+      // (X101, the Iceberg `t.changes` analog): the full exact-or-refuse
+      // change log from genesis, rows tagged _change_type/_commit_version;
+      // `spark.read.option("startingVersion", v).option("endingVersion",
+      // w).table(...)` ranges it. Same planner as the streaming feed.
+      if (ident.name == "changes" && ident.namespace.length >= 2) {
+        val base = Identifier.of(ident.namespace.init, ident.namespace.last)
+        if (tableExists(base)) {
+          val bm = readMeta(fs, metaPath(tableDir(base)))
+          val m = new java.util.HashMap[String, String]()
+          m.put("path", bm.location)
+          val (_, out, readerJson, partSchema) = GraftChangesSource
+            .resolveSchema(new CaseInsensitiveStringMap(m))
+          return new GraftChangesTable(bm.location, out, readerJson,
+            partSchema, startingVersion = None,
+            tableName = Some(
+              (catName +: ident.namespace :+ ident.name).mkString(".")))
+        }
+      }
       // `SELECT * FROM g.ns.t.history` — one row per snapshot commit
       if (ident.name == "history" && ident.namespace.length >= 2) {
         val base = Identifier.of(ident.namespace.init, ident.namespace.last)

@@ -146,27 +146,59 @@ private[sources] final class GraftChangesTable(
     startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    splitSizeOpt: Option[Long] = None)
+    splitSizeOpt: Option[Long] = None,
+    tableName: Option[String] = None)
     extends Table with SupportsRead {
   require(maxVersionsPerTrigger.forall(_ > 0),
     "graft-ocf-changes: maxVersionsPerTrigger must be positive")
   require(maxFilesPerTrigger.forall(_ > 0),
     "graft-ocf-changes: maxFilesPerTrigger must be positive")
-  override def name(): String = s"graft-ocf-changes $dir"
+  override def name(): String = tableName.getOrElse(s"graft-ocf-changes $dir")
   override def schema(): StructType = out
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan
+          with org.apache.spark.sql.connector.read.Batch {
         override def readSchema(): StructType = out
-        override def description(): String = s"graft-ocf-changes $dir"
+        override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesMicroBatchStream(dir, readerJson, partSchema,
             startingVersion,
             org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
             maxVersionsPerTrigger, maxFilesPerTrigger, splitSizeOpt)
+
+        // BATCH read (X101, the `.changes` metadata table / a batch
+        // format load): one planner walk over [startingVersion, ending].
+        // Batch defaults to GENESIS (the full change log) where the
+        // stream defaults to latest — a bounded query wants history, an
+        // unbounded one wants the tail. Scan-level options override the
+        // table-level ones, so `spark.read.option("startingVersion", v)
+        // .table("g.ns.t.changes")` ranges the log.
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+        private def conf =
+          org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        override def planInputPartitions(): Array[InputPartition] = {
+          val c = conf
+          val root = new Path(dir)
+          val fs = root.getFileSystem(c)
+          val sv = Option(options.get("startingVersion")).map(_.toLong)
+            .orElse(startingVersion).getOrElse(0L)
+          val ev = Option(options.get("endingVersion")).map(_.toLong)
+            .getOrElse(OcfSnapshots.versions(fs, root).lastOption.getOrElse(0L))
+          val splitSize = Option(options.get("splitSize")).map(_.toLong)
+            .orElse(splitSizeOpt).getOrElse(
+              org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                org.apache.spark.sql.SparkSession.active.conf
+                  .get("spark.sql.files.maxPartitionBytes", "128MB")))
+          GraftChangesPlanner.plan(root, c, partSchema, splitSize, sv, ev)
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          GraftChangesReaderFactory(readerJson, partSchema,
+            new SerializableHadoopConf(conf))
       }
     }
 }
@@ -243,8 +275,6 @@ private[graft] final class GraftChangesMicroBatchStream(
         .get("spark.sql.files.maxPartitionBytes", "128MB")))
   require(splitSize > 0,
     s"graft-ocf-changes: splitSize must be positive, got $splitSize")
-
-  private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
 
   /** Admission control: a backfill from genesis must NOT land in one giant
     * micro-batch — at scale a table's whole history is unboundedly larger
@@ -339,18 +369,40 @@ private[graft] final class GraftChangesMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftChangesOffset.fromJson(json)
 
-  private def metaOf(sf: OcfSnapshots.SnapFile): OcfDataSource.OcfFileMeta = {
-    val qp = new Path(qualRoot, sf.path).toString
-    sf.meta.map(_.copy(path = qp, len = sf.len,
-        statsJson = None, bloomJson = None, blockIndexJson = None,
-        sortedByJson = None))
-      .getOrElse(OcfDataSource.fetchMetas(conf,
-        Seq(OcfDataSource.FileSlice(qp, sf.len))).head)
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftChangesPlanner.plan(root, conf, partSchema, splitSize,
+      start.asInstanceOf[GraftChangesOffset].version,
+      end.asInstanceOf[GraftChangesOffset].version)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val sv = start.asInstanceOf[GraftChangesOffset].version
-    val ev = end.asInstanceOf[GraftChangesOffset].version
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftChangesReaderFactory(readerJson, partSchema,
+      new SerializableHadoopConf(conf))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The change-feed PART PLANNER, shared by the streaming source (X95) and
+  * the batch `.changes` read (X101): walk the retained versions in
+  * (sv, ev], emit insert parts for new data files and delete parts for new
+  * position/equality delete files, refuse non-row-preserving rewrites.
+  * sv = 0 is the GENESIS baseline (needs version 1 retained). */
+private[sources] object GraftChangesPlanner {
+
+  private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
+
+  def plan(root: Path, conf: Configuration, partSchema: StructType,
+           splitSize: Long, sv: Long, ev: Long): Array[InputPartition] = {
+    val fs = root.getFileSystem(conf)
+    val qualRoot = fs.makeQualified(root)
+    def metaOf(sf: OcfSnapshots.SnapFile): OcfDataSource.OcfFileMeta = {
+      val qp = new Path(qualRoot, sf.path).toString
+      sf.meta.map(_.copy(path = qp, len = sf.len,
+          statsJson = None, bloomJson = None, blockIndexJson = None,
+          sortedByJson = None))
+        .getOrElse(OcfDataSource.fetchMetas(conf,
+          Seq(OcfDataSource.FileSlice(qp, sf.len))).head)
+    }
     if (ev <= sv) return Array.empty
     val vs = OcfSnapshots.versions(fs, root)
     val (prev0, chain) =
@@ -465,11 +517,4 @@ private[graft] final class GraftChangesMicroBatchStream(
     }
     parts.result()
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftChangesReaderFactory(readerJson, partSchema,
-      new SerializableHadoopConf(conf))
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }

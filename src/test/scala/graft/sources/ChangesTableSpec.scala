@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `.changes` metadata table (X101): the change-data-feed as a plain
+  * batch TABLE — `SELECT * FROM g.ns.t.changes` replays the full log from
+  * genesis (the Iceberg `t.changes` analog), and read options
+  * `startingVersion`/`endingVersion` range it. Shares the streaming
+  * feed's planner, so the exact-or-refuse contract is identical. */
+class ChangesTableSpec extends AnyFunSuite {
+
+  private val warehouse =
+    java.nio.file.Files.createTempDirectory("graft-ct-wh").toFile
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-changes-table-spec")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.gct", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gct.warehouse", warehouse.getAbsolutePath)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gct.ns")
+    s
+  }
+
+  private def history(name: String): Unit = {
+    import spark.implicits._
+    spark.sql(
+      s"""CREATE TABLE gct.ns.$name (id BIGINT, v STRING)
+         |USING `graft-ocf`
+         |OPTIONS (statsColumns 'id', `write.delete.mode` 'merge-on-read')
+         |""".stripMargin)
+    spark.range(0, 50).select($"id", concat(lit("v"), $"id").as("v"))
+      .writeTo(s"gct.ns.$name").append()                              // v1
+    spark.sql(s"DELETE FROM gct.ns.$name WHERE id % 10 = 3")          // v2
+    Seq((7L, "UPD7"), (99L, "NEW99")).toDF("id", "v")
+      .writeTo(s"gct.ns.$name").option("upsertKeys", "id").append()   // v3
+  }
+
+  test("SELECT * FROM t.changes replays the full log from genesis") {
+    history("ct1")
+    val feed = spark.sql(
+      "SELECT _commit_version, _change_type, id, v FROM gct.ns.ct1.changes")
+    val byVer = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVer((1L, "insert")) == 50L)
+    assert(byVer((2L, "delete")) == 5L)
+    assert(byVer((3L, "insert")) == 2L)
+    assert(byVer((3L, "delete")) == 1L) // the older generation of key 7
+    // the replayed log reconstructs the table: inserts minus deletes
+    import spark.implicits._
+    val replayed = feed.as[(Long, String, Long, String)].collect()
+      .groupBy(_._3).toSeq.map { case (id, evs) =>
+        val last = evs.maxBy(e => (e._1, e._2 == "insert"))
+        (id, last)
+      }.collect { case (id, (_, "insert", _, v)) => (id, v) }.sorted
+    val table = spark.table("gct.ns.ct1").as[(Long, String)].collect().toSeq.sorted
+    assert(replayed == table)
+  }
+
+  test("startingVersion / endingVersion range the log") {
+    history("ct2")
+    val ranged = spark.read
+      .option("startingVersion", "1").option("endingVersion", "2")
+      .table("gct.ns.ct2.changes")
+    val types = ranged.select("_change_type", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(types.nonEmpty && types.forall(_._2 == 2L))
+    assert(types.count(_._1 == "delete") == 5)
+    // bare format load works too (path-based batch CDF)
+    val loc = new java.io.File(warehouse, "ns/ct2").getAbsolutePath
+    val full = spark.read.format("graft-ocf-changes")
+      .option("startingVersion", "0").load(loc)
+    assert(full.count() ==
+      spark.table("gct.ns.ct2.changes").count())
+  }
+
+  test("a CoW rewrite refuses — same contract as the stream") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gct.ns.ct3 (id BIGINT)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql("INSERT INTO gct.ns.ct3 SELECT id FROM range(10)")
+    spark.sql("DELETE FROM gct.ns.ct3 WHERE id = 5") // CoW (default mode)
+    val e = intercept[Exception] {
+      spark.table("gct.ns.ct3.changes").collect()
+    }
+    assert(e.getMessage.contains("removed or replaced"), e.getMessage)
+  }
+}
