@@ -185,9 +185,20 @@ private[sources] final class GraftChangesTable(
           val c = conf
           val root = new Path(dir)
           val fs = root.getFileSystem(c)
+          // `startingTag`/`endingTag` (X74 named snapshots) resolve to the
+          // tagged versions — "what changed between release tags" as one
+          // ranged read; version options win when both are given
+          def tagVersion(opt: String): Option[Long] =
+            Option(options.get(opt)).map { t =>
+              OcfSnapshots.readTags(fs, root).getOrElse(t,
+                throw new IllegalArgumentException(
+                  s"graft-ocf-changes: $opt '$t' is not a tag of $dir"))
+            }
           val sv = Option(options.get("startingVersion")).map(_.toLong)
+            .orElse(tagVersion("startingTag"))
             .orElse(startingVersion).getOrElse(0L)
           val ev = Option(options.get("endingVersion")).map(_.toLong)
+            .orElse(tagVersion("endingTag"))
             .getOrElse(OcfSnapshots.versions(fs, root).lastOption.getOrElse(0L))
           val splitSize = Option(options.get("splitSize")).map(_.toLong)
             .orElse(splitSizeOpt).getOrElse(

@@ -80,6 +80,25 @@ class ChangesTableSpec extends AnyFunSuite {
       spark.table("gct.ns.ct2.changes").count())
   }
 
+  test("startingTag / endingTag range the log by named snapshots") {
+    history("ct4")
+    spark.sql("CALL gct.system.tag(table => 'ns.ct4', name => 'rel1', " +
+      "version => 1)")
+    spark.sql("CALL gct.system.tag(table => 'ns.ct4', name => 'rel2', " +
+      "version => 2)")
+    val ranged = spark.read
+      .option("startingTag", "rel1").option("endingTag", "rel2")
+      .table("gct.ns.ct4.changes")
+    val got = ranged.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), got.toString)
+    val e = intercept[Exception] {
+      spark.read.option("startingTag", "nope")
+        .table("gct.ns.ct4.changes").collect()
+    }
+    assert(e.getMessage.contains("not a tag"), e.getMessage)
+  }
+
   test("a CoW rewrite refuses — same contract as the stream") {
     import spark.implicits._
     spark.sql(
