@@ -99,6 +99,39 @@ class ChangesTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a tag"), e.getMessage)
   }
 
+  test("the changes table carries identity partition columns") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gct.ns.ct5 (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("id", "lang")
+      .writeTo("gct.ns.ct5").append()
+    spark.sql("DELETE FROM gct.ns.ct5 WHERE id = 3")
+    val feed = spark.table("gct.ns.ct5.changes")
+      .select("_commit_version", "_change_type", "id", "lang")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(feed == Seq((1L, "insert", 1L, "en"), (1L, "insert", 2L, "fr"),
+      (1L, "insert", 3L, "en"), (2L, "delete", 3L, "en")), feed.toString)
+  }
+
+  test("the change feed reads evolved schemas: pre-ADD-COLUMN commits " +
+      "materialize the default") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gct.ns.ct6 (id BIGINT)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql("INSERT INTO gct.ns.ct6 SELECT id FROM range(3)")       // v1
+    spark.sql("ALTER TABLE gct.ns.ct6 ADD COLUMN note STRING")
+    spark.sql("INSERT INTO gct.ns.ct6 VALUES (10, 'tagged')")         // v2
+    val feed = spark.table("gct.ns.ct6.changes")
+      .select("_commit_version", "id", "note")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("<null>"))).toSeq.sorted
+    assert(feed == Seq((1L, 0L, "<null>"), (1L, 1L, "<null>"),
+      (1L, 2L, "<null>"), (2L, 10L, "tagged")), feed.toString)
+  }
+
   test("a CoW rewrite refuses — same contract as the stream") {
     import spark.implicits._
     spark.sql(
