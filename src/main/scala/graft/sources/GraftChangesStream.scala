@@ -165,11 +165,20 @@ private[sources] final class GraftChangesTable(
           with org.apache.spark.sql.connector.read.Batch {
         override def readSchema(): StructType = out
         override def description(): String = name()
+        // scan-level options override the table-level ones, so
+        // `readStream.option("startingVersion", v).table("g.ns.t.changes")`
+        // works — a catalog metadata table has no table-level options
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesMicroBatchStream(dir, readerJson, partSchema,
-            startingVersion,
+            Option(options.get("startingVersion")).map(_.toLong)
+              .orElse(startingVersion),
             org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
-            maxVersionsPerTrigger, maxFilesPerTrigger, splitSizeOpt)
+            Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+              .orElse(maxVersionsPerTrigger),
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+              .orElse(maxFilesPerTrigger),
+            Option(options.get("splitSize")).map(_.toLong)
+              .orElse(splitSizeOpt))
 
         // BATCH read (X101, the `.changes` metadata table / a batch
         // format load): one planner walk over [startingVersion, ending].

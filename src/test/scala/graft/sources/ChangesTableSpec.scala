@@ -132,6 +132,21 @@ class ChangesTableSpec extends AnyFunSuite {
       (1L, 2L, "<null>"), (2L, 10L, "tagged")), feed.toString)
   }
 
+  test("readStream.table on the changes table streams the feed") {
+    history("ct7")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ct7-ck").toFile
+    spark.catalog.dropTempView("gct_ct7_feed")
+    val q = spark.readStream
+      .option("startingVersion", "0")
+      .table("gct.ns.ct7.changes")
+      .writeStream.format("memory").queryName("gct_ct7_feed")
+      .option("checkpointLocation", ckpt.getAbsolutePath).start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("gct_ct7_feed").count()
+    assert(n == spark.table("gct.ns.ct7.changes").count(), n.toString)
+    assert(n == 58L, n.toString) // 50 inserts + 5 + (2 ins + 1 del) upsert
+  }
+
   test("a CoW rewrite refuses — same contract as the stream") {
     import spark.implicits._
     spark.sql(
