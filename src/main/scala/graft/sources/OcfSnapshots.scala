@@ -339,8 +339,41 @@ private[graft] object OcfSnapshots {
     if (fs.exists(bf)) readRaw(fs, bf) else rawMain(fs, tableDir)(v)
   }
 
-  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot =
-    resolveWithDepth(rawMain(fs, tableDir)(version), rawMain(fs, tableDir))._1
+  /** Resolved-snapshot cache: a version's content is IMMUTABLE (in-place
+    * manifest rewrites — checkpointHead, expire's full-ification — keep
+    * the resolved set identical by contract), so (qualified manifest
+    * path, len, mtime) identifies it exactly; a dropped-and-recreated
+    * table writes a fresh manifest whose stat differs. Bounded small: a
+    * 100 TB table's snapshot is ~a million entries, and the point is to
+    * stop re-walking the delta chain and re-parsing MBs of manifest JSON
+    * on EVERY query and every CDF version step — not to hold history. */
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Snapshot](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean =
+        size() > 8
+    }
+
+  /** Test observability: resolutions that actually walked + parsed. */
+  private[sources] val chainResolves = new java.util.concurrent.atomic.AtomicLong
+
+  def read(fs: FileSystem, tableDir: Path, version: Long): Snapshot = {
+    val p = manifestPath(tableDir, version)
+    val key =
+      try {
+        val st = fs.getFileStatus(p)
+        Some((fs.makeQualified(p).toString, st.getLen, st.getModificationTime))
+      } catch { case _: java.io.IOException => None }
+    key.flatMap(k => snapCache.synchronized(Option(snapCache.get(k)))) match {
+      case Some(hit) => hit
+      case None =>
+        chainResolves.incrementAndGet()
+        val snap =
+          resolveWithDepth(rawMain(fs, tableDir)(version), rawMain(fs, tableDir))._1
+        key.foreach(k => snapCache.synchronized(snapCache.put(k, snap)))
+        snap
+    }
+  }
 
   /** The commit timestamp alone — one small read, NO chain resolution
     * (every manifest, delta or full, carries it). */

@@ -995,4 +995,26 @@ class OcfSnapshotsSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gs.ns.expchain SELECT id FROM range(60, 70)")
     assert(spark.table("gs.ns.expchain").count() == 70L)
   }
+
+  test("resolved snapshots cache by (path, len, mtime): repeat reads " +
+      "walk no chains; a recreated table re-resolves") {
+    spark.sql("CREATE TABLE gs.ns.scache (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.scache SELECT id FROM range(10)")
+    spark.sql("INSERT INTO gs.ns.scache SELECT id FROM range(10, 25)")
+    val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath, "ns/scache")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val first = OcfSnapshots.latest(fs, root).get
+    val before = OcfSnapshots.chainResolves.get()
+    // repeat reads of an immutable version are pure cache hits
+    (1 to 5).foreach(_ => assert(
+      OcfSnapshots.read(fs, root, first.version).files == first.files))
+    assert(OcfSnapshots.chainResolves.get() == before,
+      "repeat reads of the same version must not re-walk the chain")
+    // a dropped-and-recreated table at the SAME path must NOT serve the
+    // old content: the fresh manifest's (len, mtime) differs
+    spark.sql("DROP TABLE gs.ns.scache")
+    spark.sql("CREATE TABLE gs.ns.scache (id BIGINT) USING `graft-ocf`")
+    spark.sql("INSERT INTO gs.ns.scache SELECT id FROM range(3)")
+    assert(spark.table("gs.ns.scache").count() == 3L)
+  }
 }
