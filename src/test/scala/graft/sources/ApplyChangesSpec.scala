@@ -128,6 +128,30 @@ class ApplyChangesSpec extends AnyFunSuite {
       .load(mirror.getAbsolutePath)) == sortedRows(spark.table("gac.ns.ac2")))
   }
 
+  test("a partitioned mirror routes inserts to partitions; deletes are " +
+      "partition-free key files") {
+    import spark.implicits._
+    val mirror = tempDir("graft-apply-mirror3")
+    def apply(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("id", "lang", "_change_type")
+        .write.format("graft-ocf").mode("append")
+        .option("graft.snapshots", "true")
+        .option("partitionBy", "lang")
+        .option("upsertKeys", "id")
+        .option("changeColumn", "_change_type")
+        .save(mirror.getAbsolutePath)
+    apply(Seq((1L, "en", "insert"), (2L, "fr", "insert"), (3L, "en", "insert")))
+    apply(Seq((3L, "en", "delete"), (4L, "de", "insert")))
+    val got = spark.read.format("graft-ocf").load(mirror.getAbsolutePath)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "en"), (2L, "fr"), (4L, "de")), got.toString)
+    // inserts landed under their lang= dirs; the delete epoch's only
+    // partition dir is the new insert's
+    val dirs = mirror.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.filter(_.startsWith("lang=")) == Set("lang=en", "lang=fr", "lang=de"),
+      dirs.toString)
+  }
+
   test("refusals: changeColumn needs upsertKeys; unknown change types fail") {
     import spark.implicits._
     val dir = tempDir("graft-apply-refuse")
