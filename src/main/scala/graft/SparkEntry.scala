@@ -1646,6 +1646,41 @@ object SparkEntry {
         .orderBy("commit_version", "change_type", "doc_id")
     }),
 
+    // Nested ADD COLUMN evolution (X102): a field appended INSIDE a
+    // struct after data landed — pre-ALTER files materialize null at
+    // depth through the reader schema's nested defaults, zero rewrite.
+    "q116_nested_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q116",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q116_wh_")
+      s.conf.set("spark.sql.catalog.graft_q116.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q116.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q116.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q116.corpus.docs
+          |(doc_id BIGINT, meta STRUCT<n_chars: BIGINT>)
+          |USING `graft-ocf`""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q116_src")
+      s.sql(
+        """INSERT INTO graft_q116.corpus.docs
+          |SELECT doc_id, named_struct('n_chars', n_chars)
+          |FROM graft_q116_src WHERE doc_id % 2 = 0""".stripMargin)     // era A
+      s.sql(
+        """ALTER TABLE graft_q116.corpus.docs
+          |ADD COLUMN meta.lang STRING""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q116.corpus.docs
+          |SELECT doc_id, named_struct('n_chars', n_chars, 'lang', lang)
+          |FROM graft_q116_src WHERE doc_id % 2 = 1""".stripMargin)     // era B
+      s.sql(
+        """SELECT coalesce(meta.lang, '<none>') AS lang2,
+          |  count(*) AS n_docs, CAST(sum(meta.n_chars) AS BIGINT) AS sum_chars
+          |FROM graft_q116.corpus.docs
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // The `.changes` metadata table (X101): the change-data-feed as a
     // plain SQL TABLE — `SELECT * FROM cat.ns.t.changes` replays the full
     // exact-or-refuse log from genesis (Iceberg `t.changes` analog),
@@ -3115,6 +3150,13 @@ object SparkEntry {
         |SELECT 3, 'insert', doc_id, lang, CAST(n_chars AS BIGINT) + 500
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
+
+    // era-A rows (written before meta.lang existed) group under '<none>';
+    // era-B rows carry their lang inside the struct
+    "q116_nested_evolution" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<none>' END AS lang2,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the change log's per-commit aggregate: v1 inserts the corpus, v2
     // MoR-deletes doc_id%10=3, v3 upserts doc_id%6=1 (insert + deletes of

@@ -629,6 +629,50 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (rm.property.equalsIgnoreCase("transformPartitions"))
           m.copy(options = m.options + (rm.property -> ""))
         else m.copy(options = m.options - rm.property)
+      case (m, add: TableChange.AddColumn) if add.fieldNames.length > 1 =>
+        // NESTED add (X102): `ALTER TABLE t ADD COLUMN info.extra STRING`
+        // appends a nullable field inside a struct. Zero rewrite: the
+        // reader schema carries null defaults at EVERY depth
+        // ([[readerJsonWithDefaults]] nullDefaultsDeep), and the Avro
+        // kernel materializes reader-only fields recursively (F16), so
+        // pre-ALTER files read the new nested field as null.
+        val path = add.fieldNames.toSeq
+        val leaf = path.last
+        require(add.isNullable,
+          s"graft catalog: ADD COLUMN '${path.mkString(".")}' must be " +
+            "nullable — files written before the field existed " +
+            "materialize it as null (Avro reader default)")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN positioning is not supported; new " +
+            "fields append after the struct's existing fields")
+        require(Option(add.defaultValue()).isEmpty,
+          "graft catalog: nested ADD COLUMN does not take a DEFAULT; " +
+            "only top-level columns carry declared defaults")
+        // no Avro shape for the type => fail the DDL, not a later scan
+        graft.spark.SchemaConverters.toAvroType(add.dataType, nullable = true)
+        def addAt(st: StructType, parents: Seq[String]): StructType =
+          if (parents.isEmpty) {
+            require(!st.fields.exists(_.name.equalsIgnoreCase(leaf)),
+              s"graft catalog: field '${path.mkString(".")}' already exists")
+            StructType(st.fields :+ org.apache.spark.sql.types.StructField(
+              leaf, add.dataType, nullable = true))
+          } else {
+            val i = st.fields.indexWhere(_.name.equalsIgnoreCase(parents.head))
+            require(i >= 0, s"graft catalog: '${parents.head}' is not a " +
+              s"column (${st.fieldNames.mkString(", ")})")
+            val f = st.fields(i)
+            val inner = f.dataType match {
+              case s2: StructType => s2
+              case dt => throw new IllegalArgumentException(
+                s"graft catalog: '${f.name}' has type ${dt.simpleString}; " +
+                  "a nested ADD COLUMN path must traverse structs")
+            }
+            StructType(st.fields.updated(i,
+              f.copy(dataType = addAt(inner, parents.tail))))
+          }
+        require(!m.partCols.exists(_.equalsIgnoreCase(path.head)),
+          s"graft catalog: '${path.head}' is a partition column")
+        m.copy(schema = addAt(m.schema, path.init))
       case (m, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
           "graft catalog: ADD COLUMN supports top-level columns only")
@@ -1090,6 +1134,29 @@ private[sources] object GraftCatalog {
     }
   }
 
+  /** Null defaults for every NESTED nullable field, recursively — a field
+    * added inside a struct (`ALTER TABLE ... ADD COLUMN info.extra`)
+    * resolves against pre-ALTER files through the same reader-default
+    * materialization (F16) as a top-level add; the Avro kernel applies
+    * defaults at any record depth, it only needs the reader JSON to carry
+    * them there. */
+  private def nullDefaultsDeep(s: graft.avro.AvroSchema): graft.avro.AvroSchema =
+    s match {
+      case r: graft.avro.ARecord => r.copy(fields = r.fields.map { f =>
+        val fs = nullDefaultsDeep(f.schema)
+        f.schema match {
+          case u: graft.avro.AUnion if u.isNullable && f.default.isEmpty =>
+            f.copy(schema = fs, default = Some(
+              com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+          case _ => f.copy(schema = fs)
+        }
+      })
+      case a: graft.avro.AArray => a.copy(items = nullDefaultsDeep(a.items))
+      case m: graft.avro.AMap => m.copy(values = nullDefaultsDeep(m.values))
+      case u: graft.avro.AUnion => graft.avro.AUnion(u.branches.map(nullDefaultsDeep))
+      case other => other
+    }
+
   def readerJsonWithDefaults(dataSchema: StructType): String = {
     val rec = graft.spark.SchemaConverters.toAvroType(dataSchema)
       .asInstanceOf[graft.avro.ARecord]
@@ -1116,7 +1183,11 @@ private[sources] object GraftCatalog {
           case _ => aliased
         }
     })
-    graft.avro.AvroSchemaParser.toJson(withDefaults)
+    // nested nullable fields get null defaults too, so nested ADD COLUMN
+    // evolution resolves against pre-ALTER files
+    val deep = withDefaults.copy(fields = withDefaults.fields.map(f =>
+      f.copy(schema = nullDefaultsDeep(f.schema))))
+    graft.avro.AvroSchemaParser.toJson(deep)
   }
 
   /** Reserved property keys Spark attaches to CREATE TABLE that are not

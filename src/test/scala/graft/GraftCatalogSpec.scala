@@ -751,4 +751,53 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
     assert(cons == Seq(("id_pos", "id > 0", true)), cons.toString)
   }
+
+  test("nested ADD COLUMN: pre-ALTER files materialize null at depth, " +
+      "zero rewrite") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE g.corpus.nestadd
+        |(id BIGINT, info STRUCT<score: DOUBLE, tag: STRING>)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql(
+      "INSERT INTO g.corpus.nestadd VALUES (1, named_struct('score', 0.5d, 'tag', 'a'))")
+    val filesBefore = {
+      val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath, "corpus/nestadd")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.sources.OcfSnapshots.latest(fs, root).get.files
+        .filter(_.isData).map(f => f.path -> f.len).toSet
+    }
+    spark.sql("ALTER TABLE g.corpus.nestadd ADD COLUMN info.extra STRING")
+    spark.sql("INSERT INTO g.corpus.nestadd VALUES " +
+      "(2, named_struct('score', 0.9d, 'tag', 'b', 'extra', 'deep'))")
+    val rows = spark.sql(
+      "SELECT id, info.score, info.tag, info.extra FROM g.corpus.nestadd ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("<null>"))).toSeq
+    assert(rows == Seq((1L, 0.5, "a", "<null>"), (2L, 0.9, "b", "deep")),
+      rows.toString)
+    // filters on the new nested field work across eras
+    assert(spark.sql(
+      "SELECT count(*) FROM g.corpus.nestadd WHERE info.extra = 'deep'")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql(
+      "SELECT count(*) FROM g.corpus.nestadd WHERE info.extra IS NULL")
+      .collect()(0).getLong(0) == 1L)
+    // zero rewrite: the pre-ALTER file is byte-identical
+    val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath, "corpus/nestadd")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val after = graft.sources.OcfSnapshots.latest(fs, root).get.files
+      .filter(_.isData).map(f => f.path -> f.len).toSet
+    assert(filesBefore.subsetOf(after))
+    // refusals: non-struct parent; duplicate nested name
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.corpus.nestadd ADD COLUMN id.sub STRING")
+    }
+    assert(e1.getMessage.contains("must traverse structs") ||
+      e1.getMessage.contains("struct"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.corpus.nestadd ADD COLUMN info.extra STRING")
+    }
+    assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
+  }
 }
