@@ -615,6 +615,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(m == "copy-on-write" || m == "merge-on-read",
           s"graft catalog: $k must be 'copy-on-write' or 'merge-on-read'; got '$v'")
       }
+    // nested-path walk shared by the nested ADD/RENAME/DROP/TYPE branches:
+    // apply `f` to the struct at `parents`, preserving everything else
+    def mapStructAt(schema: StructType, parents: Seq[String])(
+        f: StructType => StructType): StructType =
+      if (parents.isEmpty) f(schema)
+      else {
+        val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(parents.head))
+        require(i >= 0, s"graft catalog: '${parents.head}' is not a column " +
+          s"(${schema.fieldNames.mkString(", ")})")
+        val fld = schema.fields(i)
+        val inner = fld.dataType match {
+          case s2: StructType => s2
+          case dt => throw new IllegalArgumentException(
+            s"graft catalog: '${fld.name}' has type ${dt.simpleString}; a " +
+              "nested column path must traverse structs")
+        }
+        StructType(schema.fields.updated(i,
+          fld.copy(dataType = mapStructAt(inner, parents.tail)(f))))
+      }
+    def fieldAt(schema: StructType, path: Seq[String]): Option[org.apache.spark.sql.types.StructField] =
+      schema.fields.find(_.name.equalsIgnoreCase(path.head)).flatMap { f =>
+        if (path.tail.isEmpty) Some(f)
+        else f.dataType match {
+          case s2: StructType => fieldAt(s2, path.tail)
+          case _ => None
+        }
+      }
     val updated = changes.foldLeft(meta) {
       case (m, set: TableChange.SetProperty) =>
         guardBucketKey(set.property)
@@ -672,6 +699,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           }
         require(!m.partCols.exists(_.equalsIgnoreCase(path.head)),
           s"graft catalog: '${path.head}' is a partition column")
+        require(!GraftCatalog.droppedCols(m.options)
+            .exists(_.equalsIgnoreCase(path.mkString("."))),
+          s"graft catalog: field '${path.mkString(".")}' was previously " +
+            "dropped; old files still carry its data, which a same-named " +
+            "field would silently resurrect — pick a different name")
         m.copy(schema = addAt(m.schema, path.init))
       case (m, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -735,6 +767,46 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         m.copy(schema = StructType((m.dataSchema.fields :+
           org.apache.spark.sql.types.StructField(name, add.dataType,
             nullable = true, metadata = md)) ++ parts))
+      case (m, rn: TableChange.RenameColumn) if rn.fieldNames.length > 1 =>
+        // NESTED rename (X102): same alias mechanism as the top level —
+        // the nested StructField records its previous names, and
+        // [[readerJsonWithDefaults]] `decorateDeep` emits them as Avro
+        // aliases at that depth, so pre-rename files resolve their
+        // old-named nested data into the renamed field. Zero rewrite.
+        val path = rn.fieldNames.toSeq
+        val from = path.last
+        val to = rn.newName
+        val dotted = path.mkString(".")
+        require(!to.startsWith("_") && !to.startsWith("."),
+          s"graft catalog: '$to' — underscore/dot-prefixed names are reserved")
+        GraftCatalog.guardOptionRefs(m.options, dotted, "RENAME")
+        require(!GraftCatalog.droppedCols(m.options)
+            .exists(_.equalsIgnoreCase((path.init :+ to).mkString("."))),
+          s"graft catalog: field '${(path.init :+ to).mkString(".")}' was " +
+            "previously dropped; old files still carry its data — pick a " +
+            "different name")
+        m.copy(schema = mapStructAt(m.schema, path.init) { st =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(from))
+          require(idx >= 0, s"graft catalog: no such field '$dotted'")
+          require(!st.fields.exists(_.name.equalsIgnoreCase(to)),
+            s"graft catalog: field '${(path.init :+ to).mkString(".")}' " +
+              "already exists")
+          st.fields.find(f2 => !f2.name.equalsIgnoreCase(from) &&
+              GraftCatalog.renamedFrom(f2).exists(_.equalsIgnoreCase(to)))
+            .foreach { f2 =>
+              throw new IllegalArgumentException(
+                s"graft catalog: '$to' is a previous name of field " +
+                  s"'${f2.name}' at this level — old files' data would " +
+                  s"resolve into the renamed field instead of '${f2.name}'")
+            }
+          val f = st.fields(idx)
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putStringArray(GraftCatalog.RenamedFromKey,
+              (GraftCatalog.renamedFrom(f) :+ f.name).distinct.toArray)
+            .build()
+          StructType(st.fields.updated(idx, f.copy(name = to, metadata = md)))
+        })
       case (m, rn: TableChange.RenameColumn) =>
         // zero-rewrite rename: the descriptor records the OLD name on the
         // field ([[GraftCatalog.RenamedFromKey]]); every read's Avro reader
@@ -785,6 +857,36 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           .build()
         m.copy(schema = StructType(
           m.schema.fields.updated(idx, f.copy(name = to, metadata = md))))
+      case (m, del: TableChange.DeleteColumn) if del.fieldNames.length > 1 =>
+        // NESTED drop (X102): the field leaves the stored schema, so every
+        // reader schema omits it and existing files' nested field becomes
+        // a type-directed wire SKIP (P2 works at any depth). The dotted
+        // path (and the field's previous names) go on the dropped list so
+        // a later same-path ADD cannot resurrect old data. Zero rewrite.
+        val path = del.fieldNames.toSeq
+        val leaf = path.last
+        val dotted = path.mkString(".")
+        if (fieldAt(m.schema, path).isEmpty && del.ifExists) m
+        else {
+          require(fieldAt(m.schema, path).isDefined,
+            s"graft catalog: no such field '$dotted'")
+          GraftCatalog.guardOptionRefs(m.options, dotted, "DROP")
+          var gone: Seq[String] = Nil
+          val newSchema = mapStructAt(m.schema, path.init) { st =>
+            val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+            require(st.fields.length > 1,
+              s"graft catalog: cannot drop '$dotted' — a struct needs at " +
+                "least one field")
+            val f = st.fields(idx)
+            gone = (GraftCatalog.renamedFrom(f) :+ f.name)
+              .map(n => (path.init :+ n).mkString("."))
+            StructType(st.fields.filterNot(_.name.equalsIgnoreCase(leaf)))
+          }
+          m.copy(schema = newSchema,
+            options = m.options + (GraftCatalog.DroppedColsKey ->
+              (GraftCatalog.droppedCols(m.options) ++ gone)
+                .distinct.mkString(",")))
+        }
       case (m, del: TableChange.DeleteColumn) =>
         // zero-rewrite drop: the column leaves the stored schema (and so
         // every reader schema — existing files' field becomes a wire SKIP);
@@ -818,6 +920,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             options = m.options + (GraftCatalog.DroppedColsKey ->
               unavailable.mkString(",")))
         }
+      case (m, up: TableChange.UpdateColumnType) if up.fieldNames.length > 1 =>
+        // NESTED widen (X102): the stored schema declares the wider type
+        // at depth; Avro promotion resolves existing files' narrower
+        // nested values during decode — zero rewrite, same rules as the
+        // top level.
+        val path = up.fieldNames.toSeq
+        val leaf = path.last
+        val dotted = path.mkString(".")
+        m.copy(schema = mapStructAt(m.schema, path.init) { st =>
+          val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(leaf))
+          require(idx >= 0, s"graft catalog: no such field '$dotted'")
+          val f = st.fields(idx)
+          require(GraftCatalog.avroPromotable(f.dataType, up.newDataType()),
+            s"graft catalog: cannot change '$dotted' from " +
+              s"${f.dataType.simpleString} to " +
+              s"${up.newDataType().simpleString} — only Avro promotions " +
+              "(byte/short/int→long, int/long→float/double, float→double) " +
+              "read existing files without a rewrite")
+          StructType(st.fields.updated(idx, f.copy(dataType = up.newDataType())))
+        })
       case (m, up: TableChange.UpdateColumnType) =>
         // zero-rewrite type WIDENING via Avro's published promotion rules:
         // the stored (reader) schema changes type, existing files' narrower
@@ -1022,6 +1144,25 @@ private[sources] object GraftCatalog {
       field.metadata.getStringArray(RenamedFromKey).toSeq
     else Nil
 
+  /** Avro's published type promotions — the widenings a reader schema can
+    * declare with existing files resolving by promotion, no rewrite.
+    * byte/short/int all encode as Avro int, so widening within that family
+    * is a wire no-op. */
+  def avroPromotable(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | LongType,
+            FloatType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** StructField-metadata key holding an ADD COLUMN DEFAULT literal as Avro
     * default JSON (what a reader-schema field `default` accepts). Old files
     * materialize it through the kernel's reader-default path (F16) — the
@@ -1134,27 +1275,41 @@ private[sources] object GraftCatalog {
     }
   }
 
-  /** Null defaults for every NESTED nullable field, recursively — a field
-    * added inside a struct (`ALTER TABLE ... ADD COLUMN info.extra`)
-    * resolves against pre-ALTER files through the same reader-default
-    * materialization (F16) as a top-level add; the Avro kernel applies
-    * defaults at any record depth, it only needs the reader JSON to carry
-    * them there. */
-  private def nullDefaultsDeep(s: graft.avro.AvroSchema): graft.avro.AvroSchema =
-    s match {
-      case r: graft.avro.ARecord => r.copy(fields = r.fields.map { f =>
-        val fs = nullDefaultsDeep(f.schema)
-        f.schema match {
-          case u: graft.avro.AUnion if u.isNullable && f.default.isEmpty =>
-            f.copy(schema = fs, default = Some(
-              com.fasterxml.jackson.databind.node.NullNode.getInstance()))
-          case _ => f.copy(schema = fs)
-        }
-      })
-      case a: graft.avro.AArray => a.copy(items = nullDefaultsDeep(a.items))
-      case m: graft.avro.AMap => m.copy(values = nullDefaultsDeep(m.values))
-      case u: graft.avro.AUnion => graft.avro.AUnion(u.branches.map(nullDefaultsDeep))
-      case other => other
+  /** Decorate every NESTED record field, recursively: null defaults on
+    * nullable fields (a field added inside a struct — `ALTER TABLE ... ADD
+    * COLUMN info.extra` — resolves against pre-ALTER files through the
+    * same reader-default materialization (F16) as a top-level add; the
+    * kernel applies defaults at any record depth, it only needs the
+    * reader JSON to carry them there) and ALIASES from the nested
+    * StructField's rename history (nested `RENAME COLUMN info.a TO b`
+    * rides Avro's published alias mechanism, exactly like X79 at the top
+    * level). Walks the Avro and Catalyst shapes in parallel — the Avro
+    * conversion drops field metadata, so the aliases live on the Spark
+    * side. */
+  private def decorateDeep(s: graft.avro.AvroSchema,
+      dt: org.apache.spark.sql.types.DataType): graft.avro.AvroSchema =
+    (s, dt) match {
+      case (r: graft.avro.ARecord, st: StructType)
+          if r.fields.length == st.fields.length =>
+        r.copy(fields = r.fields.zip(st.fields).map { case (f, sf) =>
+          val inner = decorateDeep(f.schema, sf.dataType)
+          val withAlias = f.copy(schema = inner,
+            aliases = (f.aliases ++ renamedFrom(sf)).distinct)
+          f.schema match {
+            case u: graft.avro.AUnion if u.isNullable && f.default.isEmpty =>
+              withAlias.copy(default = Some(
+                com.fasterxml.jackson.databind.node.NullNode.getInstance()))
+            case _ => withAlias
+          }
+        })
+      case (a: graft.avro.AArray, at: org.apache.spark.sql.types.ArrayType) =>
+        a.copy(items = decorateDeep(a.items, at.elementType))
+      case (m: graft.avro.AMap, mt: org.apache.spark.sql.types.MapType) =>
+        m.copy(values = decorateDeep(m.values, mt.valueType))
+      case (u: graft.avro.AUnion, _) =>
+        graft.avro.AUnion(u.branches.map(b =>
+          if (b == graft.avro.ANull) b else decorateDeep(b, dt)))
+      case (other, _) => other
     }
 
   def readerJsonWithDefaults(dataSchema: StructType): String = {
@@ -1183,10 +1338,12 @@ private[sources] object GraftCatalog {
           case _ => aliased
         }
     })
-    // nested nullable fields get null defaults too, so nested ADD COLUMN
-    // evolution resolves against pre-ALTER files
-    val deep = withDefaults.copy(fields = withDefaults.fields.map(f =>
-      f.copy(schema = nullDefaultsDeep(f.schema))))
+    // nested fields get null defaults + rename aliases too, so nested
+    // ADD/RENAME evolution resolves against pre-ALTER files
+    val deep = withDefaults.copy(fields =
+      withDefaults.fields.zip(dataSchema.fields).map { case (f, sf) =>
+        f.copy(schema = decorateDeep(f.schema, sf.dataType))
+      })
     graft.avro.AvroSchemaParser.toJson(deep)
   }
 

@@ -800,4 +800,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
   }
+
+  test("nested RENAME / DROP / TYPE widen: full evolution parity at depth") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE g.corpus.nestevo
+        |(id BIGINT, info STRUCT<score: INT, tag: STRING, junk: STRING>)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql("INSERT INTO g.corpus.nestevo VALUES " +
+      "(1, named_struct('score', 7, 'tag', 'a', 'junk', 'x'))")
+    // RENAME at depth: pre-rename files resolve via the nested alias
+    spark.sql("ALTER TABLE g.corpus.nestevo RENAME COLUMN info.tag TO label")
+    assert(spark.sql("SELECT info.label FROM g.corpus.nestevo")
+      .collect()(0).getString(0) == "a")
+    // WIDEN at depth: int -> long; old files promote during decode
+    spark.sql("ALTER TABLE g.corpus.nestevo ALTER COLUMN info.score TYPE BIGINT")
+    spark.sql("INSERT INTO g.corpus.nestevo VALUES " +
+      "(2, named_struct('score', 5000000000L, 'label', 'b', 'junk', 'y'))")
+    val scores = spark.sql(
+      "SELECT info.score FROM g.corpus.nestevo ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(scores == Seq(7L, 5000000000L), scores.toString)
+    // DROP at depth: the field disappears; old files wire-skip it
+    spark.sql("ALTER TABLE g.corpus.nestevo DROP COLUMN info.junk")
+    assert(spark.table("g.corpus.nestevo").schema("info").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("score", "label"))
+    val rows = spark.sql(
+      "SELECT id, info.score, info.label FROM g.corpus.nestevo ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 7L, "a"), (2L, 5000000000L, "b")), rows.toString)
+    // resurrect guard: re-adding the dropped nested path refuses
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.corpus.nestevo ADD COLUMN info.junk STRING")
+    }
+    assert(e1.getMessage.contains("previously dropped"), e1.getMessage)
+    // narrowing at depth refuses (Spark's analyzer catches it before the
+    // catalog; a non-Avro-promotable widening the analyzer allows — e.g.
+    // long -> double is fine for Spark but IS an Avro promotion too, so
+    // exercise the catalog guard with a string target via the analyzer)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.corpus.nestevo ALTER COLUMN info.score TYPE INT")
+    }
+    assert(e2.getMessage.contains("Avro promotions") ||
+      e2.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), e2.getMessage)
+    // and a rename TO a previous name of a sibling refuses
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.corpus.nestevo RENAME COLUMN info.score TO tag")
+    }
+    assert(e3.getMessage.contains("previous name"), e3.getMessage)
+  }
 }
