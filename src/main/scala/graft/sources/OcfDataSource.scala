@@ -464,13 +464,13 @@ object OcfDataSource {
     val qualifiedRoots = paths.map { p =>
       val hp = new Path(p); hp.getFileSystem(conf).makeQualified(hp).toString
     }
-    // `transformPartitions` parsed up front: its PRESENCE (even empty — a
-    // spec evolved back to none) marks an engine-driven read that owns its
-    // synthetic levels, which is what licenses union-aligning mixed-era
-    // layouts (X100 partition-spec evolution) instead of refusing them
-    val transformSpecs: Seq[OcfTransforms.Spec] =
-      Option(options.get("transformPartitions")).map(OcfTransforms.parseList)
-        .getOrElse(Nil)
+    // `transformPartitions` validated up front; its PRESENCE (even empty —
+    // a spec evolved back to none) marks an engine-driven read that owns
+    // its synthetic levels, which is what licenses union-aligning
+    // mixed-era layouts (X100 partition-spec evolution) instead of
+    // refusing them. The prune specs themselves come from the observed
+    // directory levels below, not this list.
+    Option(options.get("transformPartitions")).foreach(OcfTransforms.parseList)
     val transformAware = options.containsKey("transformPartitions")
     val (inferredCols, files) = OcfPartitions.infer(qualifiedRoots, listed,
       unionSynthetic = transformAware)
