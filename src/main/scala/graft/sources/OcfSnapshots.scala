@@ -347,11 +347,22 @@ private[graft] object OcfSnapshots {
     * 100 TB table's snapshot is ~a million entries, and the point is to
     * stop re-walking the delta chain and re-parsing MBs of manifest JSON
     * on EVERY query and every CDF version step — not to hold history. */
+  // WEIGHT-bounded, not just count-bounded: at a million manifest entries
+  // a single resolved snapshot is hundreds of MB of driver heap, so the
+  // cache evicts by total cached FILE ENTRIES (and skips pathological
+  // single snapshots outright) rather than pinning 8 giants.
+  private val SnapCacheMaxEntries = 4
+  private val SnapCacheMaxWeight = 4_000_000L
   private val snapCache =
     new java.util.LinkedHashMap[(String, Long, Long), Snapshot](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean =
-        size() > 8
+          e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean = {
+        if (size() <= 1) return false
+        var weight = 0L
+        val it = values().iterator()
+        while (it.hasNext) weight += it.next().files.length
+        size() > SnapCacheMaxEntries || weight > SnapCacheMaxWeight
+      }
     }
 
   /** Test observability: resolutions that actually walked + parsed. */
@@ -370,7 +381,8 @@ private[graft] object OcfSnapshots {
         chainResolves.incrementAndGet()
         val snap =
           resolveWithDepth(rawMain(fs, tableDir)(version), rawMain(fs, tableDir))._1
-        key.foreach(k => snapCache.synchronized(snapCache.put(k, snap)))
+        if (snap.files.length <= SnapCacheMaxWeight)
+          key.foreach(k => snapCache.synchronized(snapCache.put(k, snap)))
         snap
     }
   }
