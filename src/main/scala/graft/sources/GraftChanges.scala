@@ -135,8 +135,16 @@ object GraftChanges {
       var r = spark.read.format("graft-ocf")
         .option("graft.snapshot.version", v.toString)
         .option("graft.files", relFiles.sorted.mkString(","))
+        // engine lens: `_p_*` transform levels are derived layout, never
+        // feed columns — also what keeps MIXED spec eras (X100) unioning
+        // instead of failing on per-era phantom columns
+        .option("transformPartitions", "")
       readerSchemaJson.foreach(j => r = r.option("readerSchema", j))
-      val df = r.load(tableDir)
+      val df0 = r.load(tableDir)
+      // the `_bucket` level is layout too (the read has no bucket spec to
+      // fold it into, so it would surface as an int column)
+      val df = if (df0.columns.contains(OcfBucket.DirCol))
+        df0.drop(OcfBucket.DirCol) else df0
       if (withPos) df.selectExpr("*", OcfDataSource.FileColName,
         OcfDataSource.PosColName)
       else df

@@ -152,6 +152,45 @@ class ApplyChangesSpec extends AnyFunSuite {
       dirs.toString)
   }
 
+  test("the CDC loop composes with partition-spec evolution: a mirror " +
+      "of an evolved transform-partitioned source stays exact") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gac.ns.ac4 (id BIGINT, ts TIMESTAMP, v STRING)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))
+        |OPTIONS (statsColumns 'id', `write.delete.mode` 'merge-on-read')
+        |""".stripMargin)
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    Seq((1L, t("2024-03-01T10:00:00Z"), "a"), (2L, t("2024-03-02T10:00:00Z"), "b"))
+      .toDF("id", "ts", "v").coalesce(1).writeTo("gac.ns.ac4").append()   // v1
+    spark.sql("ALTER TABLE gac.ns.ac4 SET TBLPROPERTIES " +
+      "('transformPartitions'='hours(ts)')")
+    Seq((3L, t("2024-04-05T08:30:00Z"), "c")).toDF("id", "ts", "v")
+      .coalesce(1).writeTo("gac.ns.ac4").append()                          // v2
+    spark.sql("DELETE FROM gac.ns.ac4 WHERE id = 2")                       // v3
+    Seq((1L, t("2024-03-01T10:00:00Z"), "A2")).toDF("id", "ts", "v")
+      .writeTo("gac.ns.ac4").option("upsertKeys", "id").append()           // v4
+    val srcDir = new java.io.File(warehouse, "ns/ac4").getAbsolutePath
+    val mirror = tempDir("graft-apply-mirror4")
+    val feed = GraftChanges.changes(spark, srcDir, 0L)
+    val versions = feed.select("_commit_version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foreach { v =>
+      feed.where(col("_commit_version") === v)
+        .select(col("id"), col("ts"), col("v"), col("_change_type"))
+        .write.format("graft-ocf").mode("append")
+        .option("graft.snapshots", "true")
+        .option("upsertKeys", "id")
+        .option("changeColumn", "_change_type")
+        .save(mirror.getAbsolutePath)
+    }
+    val src = spark.table("gac.ns.ac4").select("id", "v")
+      .as[(Long, String)].collect().toSeq.sorted
+    val got = spark.read.format("graft-ocf").load(mirror.getAbsolutePath)
+      .select("id", "v").as[(Long, String)].collect().toSeq.sorted
+    assert(got == src && src == Seq((1L, "A2"), (3L, "c")), s"$got vs $src")
+  }
+
   test("refusals: changeColumn needs upsertKeys; unknown change types fail") {
     import spark.implicits._
     val dir = tempDir("graft-apply-refuse")
