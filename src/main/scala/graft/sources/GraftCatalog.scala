@@ -1101,7 +1101,13 @@ private[sources] object GraftCatalog {
     val root = new Path(meta.location)
     val fsys = root.getFileSystem(conf)
     val qualified = fsys.makeQualified(root).toString
-    val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), files)
+    // catalog-owned observability read: mixed spec eras (X100) union by
+    // level name; a file's absent synthetic level renders as null
+    val (layoutCols, annotated0) =
+      OcfPartitions.infer(Seq(qualified), files, unionSynthetic = true)
+    val annotated = annotated0.map(f => f.copy(partitionValues =
+      f.partitionValues.map(v =>
+        if (v == OcfPartitions.AbsentDir) null else v)))
     val manifest: Map[String, OcfDataSource.OcfFileMeta] =
       OcfSnapshots.latest(fsys, root).map { s =>
         val base = fsys.makeQualified(root)

@@ -1892,7 +1892,11 @@ private[sources] object OcfCommit {
       val listed = OcfDataSource.list(cfg.conf.value, Seq(cfg.dir), None, recursive = true)
       if (listed.nonEmpty) {
         val qualified = fs.makeQualified(dirPath).toString
-        val (layoutCols, annotated) = OcfPartitions.infer(Seq(qualified), listed)
+        // the matcher consults IDENTITY columns only; union-tolerate mixed
+        // synthetic eras (X100) so a static overwrite on an evolved table
+        // still lists
+        val (layoutCols, annotated) =
+          OcfPartitions.infer(Seq(qualified), listed, unionSynthetic = true)
         val idx = layoutCols.zipWithIndex.toMap
         val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
           cfg.partOrdinals.map(o => cfg.sql.fields(o).name -> cfg.sql.fields(o).dataType).toMap

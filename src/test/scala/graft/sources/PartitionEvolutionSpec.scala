@@ -230,4 +230,29 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("pe_ev6_feed").count() == 2)
   }
+
+  test("observability and overwrites survive an evolution: .files and " +
+      "INSERT OVERWRITE work over mixed eras") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE pe.ns.ev8 (id BIGINT, ts TIMESTAMP)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+    Seq((1L, ts("2024-03-01T10:00:00Z"))).toDF("id", "ts")
+      .coalesce(1).writeTo("pe.ns.ev8").append()
+    spark.sql("ALTER TABLE pe.ns.ev8 SET TBLPROPERTIES " +
+      "('transformPartitions'='months(ts)')")
+    Seq((2L, ts("2024-04-05T08:30:00Z"))).toDF("id", "ts")
+      .coalesce(1).writeTo("pe.ns.ev8").append()
+    // .files unions eras; the absent level reads as a null map value
+    val files = spark.sql("SELECT file, partition FROM pe.ns.ev8.files")
+      .collect().map(r => r.getString(0) ->
+        r.getMap[String, String](1)).toMap
+    assert(files.size == 2, files.toString)
+    assert(files.keys.exists(_.contains("_p_days_ts=")) &&
+      files.keys.exists(_.contains("_p_months_ts=")), files.keys.toString)
+    // a whole-table overwrite still lists and replaces across eras
+    spark.sql("INSERT OVERWRITE pe.ns.ev8 VALUES (9, TIMESTAMP '2024-05-01 00:00:00')")
+    assert(spark.table("pe.ns.ev8").count() == 1L)
+    assert(spark.table("pe.ns.ev8").select("id").as[Long].head() == 9L)
+  }
 }
