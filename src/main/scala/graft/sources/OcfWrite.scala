@@ -2110,6 +2110,28 @@ private[sources] object OcfCommit {
         if (OcfWrite.isLegacyEpochName(name))
           throw new IOException(OcfWrite.legacyEpochRefusal(cfg.dir, name))
       }
+      // dynamic overwrite matches replaced partitions by the CURRENT
+      // spec's directory shape — a mixed-era layout (X100 evolution)
+      // would silently keep old-era rows of the very partitions being
+      // "replaced". Refuse loudly: unify first.
+      if (clearDynamic) {
+        val cur = cfg.transformSpecs.map(_.dirCol).toSet
+        prev.filter(_.isData).foreach { f =>
+          val eraLevels = f.path.split('/').dropRight(1)
+            .filter(_.contains('='))
+            .map(_.takeWhile(_ != '='))
+            .filter(_.startsWith("_p_")).toSet
+          if (eraLevels != cur)
+            throw new IOException(
+              "graft-ocf write: dynamic partition overwrite over a MIXED " +
+                "partition-spec layout would silently keep old-era rows " +
+                s"of the replaced partitions (file '${f.path}' carries " +
+                s"levels ${eraLevels.mkString("[", ",", "]")}, current " +
+                s"spec ${cur.mkString("[", ",", "]")}). Compact the " +
+                "table to the current spec first (CALL <cat>.system." +
+                "compact), or use an explicit OVERWRITE")
+        }
+      }
       prev.filterNot(f => removedBy(f) || addedPaths.contains(f.path)) ++ added
     }
     cfg.branch match {

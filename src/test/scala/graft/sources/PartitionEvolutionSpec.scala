@@ -255,4 +255,40 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     assert(spark.table("pe.ns.ev8").count() == 1L)
     assert(spark.table("pe.ns.ev8").select("id").as[Long].head() == 9L)
   }
+
+  test("dynamic partition overwrite refuses over mixed eras, works after " +
+      "compaction unifies them") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE pe.ns.ev9 (id BIGINT, ts TIMESTAMP)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+    Seq((1L, ts("2024-03-01T10:00:00Z"))).toDF("id", "ts")
+      .coalesce(1).writeTo("pe.ns.ev9").append()
+    spark.sql("ALTER TABLE pe.ns.ev9 SET TBLPROPERTIES " +
+      "('transformPartitions'='months(ts)')")
+    Seq((2L, ts("2024-04-05T08:30:00Z"))).toDF("id", "ts")
+      .coalesce(1).writeTo("pe.ns.ev9").append()
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE TABLE pe.ns.ev9 " +
+          "VALUES (9, TIMESTAMP '2024-03-15 00:00:00')")
+      }
+      assert(e.getMessage.contains("MIXED") ||
+        Option(e.getCause).exists(_.getMessage.contains("MIXED")), e.getMessage)
+      // unify, then the same dynamic overwrite replaces exactly its month
+      spark.sql("CALL pe.system.compact(table => 'ns.ev9')")
+      spark.sql("INSERT OVERWRITE TABLE pe.ns.ev9 " +
+        "VALUES (9, TIMESTAMP '2024-03-15 00:00:00')")
+      val rows = spark.table("pe.ns.ev9").select("id").as[Long]
+        .collect().toSeq.sorted
+      assert(rows == Seq(2L, 9L), rows.toString) // March replaced, April kept
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }
