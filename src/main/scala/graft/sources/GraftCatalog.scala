@@ -1596,7 +1596,16 @@ private[sources] class CatalogOcfTable(
         new OcfScanBuilder(OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
       case None =>
         if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
-        else inner.newScanBuilder(options)
+        else Option(options.get("columnar")) match {
+          // per-scan columnar opt-out (X91): `spark.read.option("columnar",
+          // "false").table(...)` — the row/columnar A/B debugging lever the
+          // path reader already has, reaching through the catalog
+          case Some(c) =>
+            val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
+            m.put("columnar", c)
+            new OcfScanBuilder(OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
+          case None => inner.newScanBuilder(options)
+        }
     }
   }
 

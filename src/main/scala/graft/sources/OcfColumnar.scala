@@ -15,10 +15,14 @@ import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
   * (below), the scan decodes straight into on-heap column vectors — one
   * tight loop per batch instead of a per-row compiled-reader virtual call
   * + row allocation + iterator step. Spark's `ColumnarToRow` (codegen'd)
-  * consumes the batches; everything else (nested schemas, promotions,
-  * partition columns, `_file`/`_pos`, position deletes, aggregates) falls
-  * back to the row reader — Avro is row-oriented, so the columnar path is
-  * an opt-in fast lane for the flat-scan shape, never a second semantics. */
+  * consumes the batches. Partition values and the `_file` metadata column
+  * are per-split CONSTANTS and ride along as [[ConstantColumnVector]]s —
+  * identity/transform/bucket-partitioned tables (the normal production
+  * shape) vectorize exactly like unpartitioned ones. Everything else
+  * (nested schemas, promotions, `_pos`, position/equality deletes,
+  * aggregates) falls back to the row reader — Avro is row-oriented, so the
+  * columnar path is an opt-in fast lane for the flat-scan shape, never a
+  * second semantics. */
 private[graft] object OcfColumnar {
 
   /** One flat READER field: its name, Spark type, wire primitive, and
@@ -42,10 +46,18 @@ private[graft] object OcfColumnar {
     case ABoolean | AInt | ALong | AFloat | ADouble | AString | ABytes => true
     // SCALAR logical types decode as one fixed-width/length-prefixed wire
     // primitive with at most a ×1000 rescale (timestamp-millis) — exactly
-    // as vectorizable as their underlying primitives. Decimal stays with
-    // the row reader (two physical encodings + sign extension).
+    // as vectorizable as their underlying primitives.
     case ADate(_) | ATimeMillis(_) | ATimeMicros(_) |
          ATimestampMillis(_) | ATimestampMicros(_) | AUuid(_) => true
+    // decimal: both physical encodings (length-prefixed bytes and fixed)
+    // are one contiguous big-endian two's-complement run — BigInteger does
+    // the sign extension, exactly as in the row lane
+    // (avro/AvroData.scala ADecimal cases). Wider-than-38 precision can't
+    // be a Spark DecimalType — leave it to the row reader's error path.
+    case ADecimal(p, _, u) if p <= 38 => u.physical match {
+      case ABytes | _: AFixed => true
+      case _ => false
+    }
     case _ => false
   }
 
@@ -65,6 +77,7 @@ private[graft] object OcfColumnar {
     case ATimeMicros(_) => LongType
     case ATimestampMillis(_) | ATimestampMicros(_) => TimestampType
     case AUuid(_) => StringType
+    case ADecimal(p, s, _) => DecimalType(p, s)
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
@@ -115,7 +128,7 @@ private[graft] object OcfColumnar {
     * Promotions, renamed fields, reader-only fields (defaults), reordered
     * projections: None → row-reader fallback. */
   def wirePlanFor(writerJson: String, reader: Array[Field]): Option[Array[WireStep]] = {
-    val key = writerJson + "" +
+    val key = writerJson + "\u0001" +
       reader.map(f => f.name + ":" + f.dt.simpleString + ":" + f.nullBranch)
         .mkString(",")
     wireCache.computeIfAbsent(key, _ => computeWirePlan(writerJson, reader))
@@ -158,12 +171,18 @@ private[graft] object OcfColumnar {
   * vectors. Vector types come from the READER fields; the decode loop runs
   * this file's WIRE PLAN, so the union-branch byte is read exactly when the
   * writer wrote one and projected-away writer columns are type-skipped.
+  * `appended` carries the split's CONSTANT trailing columns — required
+  * partition values under their resolved read types, then (when requested)
+  * the `_file` path — as `(DataType, catalystValue)` pairs; they become
+  * [[org.apache.spark.sql.execution.vectorized.ConstantColumnVector]]s, so
+  * a partitioned scan decodes no more bytes than an unpartitioned one.
   * `limit` counts emitted rows, exactly like the row reader. */
 private[graft] final class OcfColumnarSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
     fields: Array[OcfColumnar.Field], plan: Array[OcfColumnar.WireStep],
     conf: Configuration,
     limit: Long = Long.MaxValue, aligned: Boolean = false,
+    appended: Array[(DataType, Any)] = Array.empty,
     batchSize: Int = 4096)
     extends PartitionReader[ColumnarBatch] {
 
@@ -190,7 +209,25 @@ private[graft] final class OcfColumnarSplitReader(
 
   private val vectors: Array[OnHeapColumnVector] =
     fields.map(f => new OnHeapColumnVector(batchSize, f.dt))
-  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  // per-split constants (partition values, `_file`): set once, never reset
+  private val constVectors: Array[ColumnVector] = appended.map { case (dt, v) =>
+    val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+      batchSize, dt)
+    if (v == null) cv.setNull()
+    else dt match {
+      case StringType => cv.setUtf8String(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case ByteType => cv.setByte(v.asInstanceOf[Byte])
+      case ShortType => cv.setShort(v.asInstanceOf[Short])
+      case IntegerType | DateType => cv.setInt(v.asInstanceOf[Int])
+      case LongType => cv.setLong(v.asInstanceOf[Long])
+      case other => throw new IllegalStateException(
+        s"graft-ocf: unsupported constant column type ${other.simpleString}")
+    }
+    cv
+  }
+  private val batch =
+    new ColumnarBatch(vectors.map(v => v: ColumnVector) ++ constVectors)
 
   private var blocksVisited = 0L
   private var bytesFetched = 0L
@@ -241,6 +278,10 @@ private[graft] final class OcfColumnarSplitReader(
           case ADouble => bin.skip(8L)
           case ABoolean => bin.skip(1L)
           case AString | ABytes | AUuid(_) => bin.skipBytes()
+          case d: ADecimal => d.underlying.physical match {
+            case f: AFixed => bin.skip(f.size.toLong)
+            case _ => bin.skipBytes()
+          }
           case other => throw new IllegalStateException(s"not flat: $other")
         } else {
           val v = vectors(step.target)
@@ -258,6 +299,15 @@ private[graft] final class OcfColumnarSplitReader(
             case AString | ABytes | AUuid(_) =>
               val b = bin.readBytes()
               v.putByteArray(row, b, 0, b.length)
+            case d @ ADecimal(p, s, _) =>
+              // big-endian two's complement (BigInteger sign-extends), scale
+              // from the schema — the row lane's exact construction
+              val b = d.underlying.physical match {
+                case f: AFixed => bin.readFixed(f.size)
+                case _ => bin.readBytes()
+              }
+              v.putDecimal(row, org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(new java.math.BigInteger(b), s)), p)
             case other => throw new IllegalStateException(s"not flat: $other")
           }
         }

@@ -1898,10 +1898,12 @@ private[graft] final case class OcfScan(
         }.toMap
       // vectorized fast lane (X91): flat all-primitive reader schema and a
       // positional wire plan for EVERY planned file (identity, pruned
-      // subsets, plain-writer-under-nullable-reader), no appended columns,
-      // no positional semantics — everything else rides the row reader
+      // subsets, plain-writer-under-nullable-reader), no positional
+      // semantics — everything else rides the row reader. Partition values
+      // and `_file` are per-split CONSTANTS and ride as constant vectors;
+      // `_pos` and deletes are per-ROW semantics and stay row-lane.
       val cf: Option[Array[OcfColumnar.Field]] =
-        if (!columnarEnabled || wrap || partIdx.nonEmpty || withFilePath ||
+        if (!columnarEnabled || wrap ||
             withPos || delByIdx.nonEmpty || eqByIdx.nonEmpty) None
         else OcfColumnar.fieldsFor(readerJson).filter(rf =>
           files.forall(m =>
@@ -2114,8 +2116,21 @@ private[sources] final case class OcfReaderFactory(
     val plan = OcfColumnar.wirePlanFor(meta.writerSchemaJson, columnarFields.get)
       .getOrElse(throw new IllegalStateException(
         s"columnar lane planned without a wire plan for ${meta.path}"))
+    // appended constants, in readSchema order: required partition values
+    // (the SAME materialization as the row lane's appendedRow), then `_file`
+    val appended = new Array[(org.apache.spark.sql.types.DataType, Any)](
+      partIdx.length + (if (withFilePath) 1 else 0))
+    var k = 0
+    while (k < partIdx.length) {
+      appended(k) = (partTypes(k),
+        OcfSplitReader.partitionValue(meta, partIdx(k), partTypes(k)))
+      k += 1
+    }
+    if (withFilePath)
+      appended(k) = (org.apache.spark.sql.types.StringType,
+        org.apache.spark.unsafe.types.UTF8String.fromString(meta.path))
     new OcfColumnarSplitReader(meta, p.start, p.end,
-      columnarFields.get, plan, conf.value, limit, p.aligned)
+      columnarFields.get, plan, conf.value, limit, p.aligned, appended)
   }
 }
 

@@ -152,24 +152,17 @@ class OcfColumnarSpec extends AnyFunSuite {
       "block index entries must stay sketch-free")
   }
 
-  test("row-reader fallback for metadata columns, nested schemas, partitions") {
+  test("`_file` and partition values ride as constant vectors; nested and " +
+      "`_pos` shapes stay row-lane") {
     import spark.implicits._
     val dir = tempDir("graft-col-fb")
     (0L until 100L).map(i => (i, s"d$i")).toDF("id", "v")
       .write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
     val base = spark.read.format("graft-ocf").load(dir.getAbsolutePath)
-    // `_file` is an appended per-file constant — row path
+    // `_file` is a per-split CONSTANT — a ConstantColumnVector, still columnar
     val withFile = base.select($"id", $"_file")
-    assert(!isColumnar(withFile))
+    assert(isColumnar(withFile), withFile.queryExecution.executedPlan.toString)
     assert(withFile.collect().forall(_.getString(1).contains("graft-col-fb")))
-    // partitioned layout appends partition values — row path
-    val pdir = tempDir("graft-col-part")
-    (0L until 100L).map(i => (i, s"p$i", s"g${i % 2}")).toDF("id", "v", "g")
-      .write.format("graft-ocf").partitionBy("g")
-      .mode(SaveMode.Append).save(pdir.getAbsolutePath)
-    val part = spark.read.format("graft-ocf").load(pdir.getAbsolutePath)
-    assert(!isColumnar(part))
-    assert(part.count() == 100L)
     // nested schema — row path
     val ndir = tempDir("graft-col-nested")
     (0L until 10L).map(i => (i, (s"n$i", i * 2)))
@@ -178,6 +171,118 @@ class OcfColumnarSpec extends AnyFunSuite {
     val nested = spark.read.format("graft-ocf").load(ndir.getAbsolutePath)
     assert(!isColumnar(nested))
     assert(nested.count() == 10L)
+  }
+
+  test("identity-partitioned scans vectorize: constant partition vectors, " +
+      "bit-identical to the row lane, pruning intact") {
+    import spark.implicits._
+    val pdir = tempDir("graft-col-part")
+    (0L until 2000L).map(i => (i, s"p$i", s"g${i % 3}", (i % 5).toInt))
+      .toDF("id", "v", "g", "n")
+      .write.format("graft-ocf").partitionBy("g", "n")
+      .mode(SaveMode.Append).save(pdir.getAbsolutePath)
+    val col = spark.read.format("graft-ocf").load(pdir.getAbsolutePath)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    val row = spark.read.format("graft-ocf").option("columnar", "false")
+      .load(pdir.getAbsolutePath)
+    def canon(df: DataFrame) = df.select("id", "v", "g", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(row), "partitioned columnar decode must equal the row lane")
+    assert(a.length == 2000 && a(7) == ((7L, "p7", "g1", 2)))
+    // partition-value predicates still prune at plan time AND stay columnar
+    val pruned = col.where($"g" === "g1" && $"n" === 2)
+    assert(isColumnar(pruned))
+    assert(pruned.count() == row.where($"g" === "g1" && $"n" === 2).count())
+    // partition columns + `_file` together, projected in odd orders
+    val mixed = col.select($"g", $"_file", $"id").where($"id" < 50)
+    assert(isColumnar(mixed), mixed.queryExecution.executedPlan.toString)
+    val got = mixed.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 50)
+    assert(got.forall { case (g, f, i) =>
+      g == s"g${i % 3}" && f.contains(s"g=g${i % 3}") })
+    // partition-only projection (zero data columns decoded) stays exact
+    val gOnly = col.select("n")
+    assert(isColumnar(gOnly))
+    assert(gOnly.collect().map(_.getInt(0)).sorted.toSeq ==
+      (0L until 2000L).map(i => (i % 5).toInt).sorted.toSeq)
+  }
+
+  test("transform- and bucket-partitioned CATALOG tables vectorize; values " +
+      "equal the inserted rows and the row lane") {
+    import spark.implicits._
+    val wh = tempDir("graft-col-wh")
+    spark.conf.set("spark.sql.catalog.gcol", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcol.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcol.ns")
+    // hidden transform layout: days(ts) — ts stays a data column
+    spark.sql(
+      """CREATE TABLE gcol.ns.tfc (id BIGINT, ts TIMESTAMP, v STRING)
+        |USING `graft-ocf` PARTITIONED BY (days(ts))""".stripMargin)
+    (0 until 500).map(i => (i.toLong,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i * 7200L)),
+        s"v$i")).toDF("id", "ts", "v")
+      .writeTo("gcol.ns.tfc").append()
+    val tf = spark.read.table("gcol.ns.tfc")
+    assert(isColumnar(tf), tf.queryExecution.executedPlan.toString)
+    val tfRows = spark.read.option("columnar", "false").table("gcol.ns.tfc")
+    assert(!isColumnar(tfRows), "columnar=false read option must reach the catalog scan")
+    def canonT(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1).toInstant.toString, r.getString(2)))
+      .sortBy(_._1).toSeq
+    val at = canonT(tf)
+    assert(at == canonT(tfRows))
+    assert(at.length == 500 && at(3) ==
+      ((3L, java.time.Instant.ofEpochSecond(1700021600L).toString, "v3")))
+    // hidden-pruned transform predicate stays columnar
+    val d0 = tf.where($"ts" < java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700086400L)))
+    assert(isColumnar(d0))
+    assert(d0.count() == tfRows.where($"ts" < java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(1700086400L))).count())
+
+    // bucket layout: engine-owned hash dirs, id stays a data column
+    spark.sql(
+      """CREATE TABLE gcol.ns.bkc (id BIGINT, v STRING)
+        |USING `graft-ocf` PARTITIONED BY (bucket(4, id))""".stripMargin)
+    (0 until 400).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .writeTo("gcol.ns.bkc").append()
+    val bk = spark.read.table("gcol.ns.bkc")
+    assert(isColumnar(bk), bk.queryExecution.executedPlan.toString)
+    val bkGot = bk.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(bkGot.toSeq == (0 until 400).map(i => (i.toLong, s"b$i")))
+    val bkRows = spark.read.option("columnar", "false").table("gcol.ns.bkc")
+    assert(bkGot.toSeq ==
+      bkRows.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    // bucket point-lookup pruning stays columnar
+    val one = bk.where($"id" === 37L)
+    assert(isColumnar(one))
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("b37"))
+  }
+
+  test("date-typed and null (hive default) partition values land constant " +
+      "vectors exactly like the row lane") {
+    import spark.implicits._
+    val pdir = tempDir("graft-col-pdate")
+    (0 until 300).map(i => (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(i % 4)),
+        if (i % 7 == 0) null else s"k${i % 3}"))
+      .toDF("id", "d", "k")
+      .write.format("graft-ocf").partitionBy("d", "k")
+      .mode(SaveMode.Append).save(pdir.getAbsolutePath)
+    val col = spark.read.format("graft-ocf").load(pdir.getAbsolutePath)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    val row = spark.read.format("graft-ocf").option("columnar", "false")
+      .load(pdir.getAbsolutePath)
+    def canon(df: DataFrame) = df.select("id", "d", "k").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) null else r.getString(2))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(row))
+    assert(a.length == 300)
+    assert(a(7) == ((7L, "2021-01-04", null)))
+    assert(a(8) == ((8L, "2021-01-01", "k2")))
   }
 
   test("scalar logical types (date/timestamp) ride the columnar lane; " +
@@ -224,10 +329,57 @@ class OcfColumnarSpec extends AnyFunSuite {
         |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
         .stripMargin, reader)
     assert(plan.isDefined && plan.get.length == 1 && plan.get.head.target == 0)
-    // decimal stays with the row reader
+  }
+
+  test("decimal (bytes and fixed encodings) rides the columnar lane, " +
+      "bit-identical to the row reader") {
+    import spark.implicits._
+    val dir = tempDir("graft-col-dec")
+    val src = (0 until 3000).map { i =>
+      (i.toLong,
+        BigDecimal(i * 1001L - 1500000L, 2), // negatives exercise sign extension
+        if (i % 13 == 0) null
+        else (BigDecimal(Long.MaxValue).pow(2) + i).toBigInt.toString) // > 18 digits
+    }.toDF("id", "small", "wide")
+      .select($"id", $"small".cast("decimal(10,2)").as("small"),
+        $"wide".cast("decimal(38,0)").as("wide"))
+      .repartition(2)
+    src.write.format("graft-ocf").mode(SaveMode.Append).save(dir.getAbsolutePath)
+    val col = spark.read.format("graft-ocf")
+      .option("splitSize", "65536").load(dir.getAbsolutePath)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    val row = spark.read.format("graft-ocf")
+      .option("splitSize", "65536").option("columnar", "false")
+      .load(dir.getAbsolutePath)
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getDecimal(1).toString,
+      if (r.isNullAt(2)) null else r.getDecimal(2).toString)).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(row), "columnar decimal decode must equal the row lane")
+    assert(a.length == 3000)
+    assert(a(0) == ((0L, "-15000.00", null)))
+    assert(a(1) == ((1L, "-14989.99",
+      (BigDecimal(Long.MaxValue).pow(2) + 1).toBigInt.toString)))
+    // decimal predicates/aggregates consume the batches
+    assert(col.where($"small" < BigDecimal(0)).count() ==
+      row.where($"small" < BigDecimal(0)).count())
+    // wire-plan level: a FIXED-encoded writer decimal (external files)
+    // resolves under the same DecimalType reader — decode is writer-driven
+    val rf = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"d","type":{"type":"bytes","logicalType":"decimal",
+        |"precision":10,"scale":2}}]}""".stripMargin)
+    assert(rf.isDefined)
+    val fixedPlan = OcfColumnar.wirePlanFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"d","type":{"type":"fixed","name":"f","size":5,
+        |"logicalType":"decimal","precision":10,"scale":2}}]}""".stripMargin,
+      rf.get)
+    assert(fixedPlan.isDefined && fixedPlan.get.head.target == 0)
+    // precision beyond DecimalType's 38 must refuse the lane
     assert(OcfColumnar.fieldsFor(
       """{"type":"record","name":"r","fields":[
         |{"name":"d","type":{"type":"bytes","logicalType":"decimal",
-        |"precision":10,"scale":2}}]}""".stripMargin).isEmpty)
+        |"precision":44,"scale":2}}]}""".stripMargin).isEmpty)
   }
 }
