@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * table per upsert commit. With it, a CDC batch whose keys land in a
   * handful of files burdens exactly those files.
   *
-  * Two JVM-wide caches, both bounded LRU:
+  * Two JVM-wide caches, both WEIGHT-bounded LRU (bounded by what they
+  * hold — decoded values — not by entry count, so large CDC key files
+  * cannot OOM an executor through the cache):
   *  - key SUMMARIES (driver, planning): per-column sorted key arrays in
   *    the stats-stamp comparison domain (integral family as internal
   *    longs, strings in UTF8 binary order — matching
@@ -56,19 +58,61 @@ private[sources] object OcfEqScope {
     * the driver against a pathological hand-built manifest. */
   private val MaxSummaryBytes: Long = 64L * 1024 * 1024
 
-  private def lru[K, V](maxEntries: Int) =
-    new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-        size() > maxEntries
+  /** WEIGHT-bounded LRU (the [[OcfSnapshots]] snapCache discipline): a
+    * cache of decoded key material must evict by what it HOLDS, not by how
+    * many files contributed it — 256 entry slots each holding a 64 MB key
+    * file's boxed tuples is an executor OOM, not a cache. Eviction walks
+    * eldest-first after each put until both bounds hold; the newest entry
+    * always survives (caching the set just loaded never costs more heap
+    * than the live probe set the reader holds anyway), so a single
+    * over-weight file degrades to "no reuse", never to a failure. */
+  private[sources] final class WeightedLru[K, V](
+      maxEntries: Int, maxWeight: Long, weigh: V => Long) {
+    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+    private var weight = 0L
+    def get(k: K): Option[V] = synchronized(Option(map.get(k)))
+    def put(k: K, v: V): Unit = synchronized {
+      Option(map.remove(k)).foreach(o => weight -= weigh(o))
+      map.put(k, v)
+      weight += weigh(v)
+      while ((map.size() > maxEntries || weight > maxWeight) && map.size() > 1) {
+        val it = map.entrySet().iterator()
+        val e = it.next() // access-order map: eldest first; newest is last
+        weight -= weigh(e.getValue)
+        it.remove()
+      }
     }
+    private[sources] def totalWeight: Long = synchronized(weight)
+    private[sources] def entryCount: Int = synchronized(map.size())
+    private[sources] def clear(): Unit = synchronized { map.clear(); weight = 0L }
+  }
+
+  /** Cache bounds, in held VALUES (a boxed key value is ~100–150 B with
+    * its tuple/hash-node overhead): ~1M tuples of executor heap for key
+    * sets, ~16M driver-side summary values, ~64 MB of driver bloom bits. */
+  private val MaxKeySetTuples = 1_000_000L
+  private val MaxSummaryValues = 16_000_000L
+  private val MaxBloomLongs = 8_000_000L
+
+  private def summaryValues(s: KeySummary): Long = s.cols.iterator.map {
+    case (_, LongKeys(a, _)) => a.length.toLong
+    case (_, StringKeys(a, _)) =>
+      // strings weigh their bytes in value-equivalents (8 B per value unit)
+      a.iterator.map(u => 1L + u.numBytes() / 8L).sum
+    case _ => 0L
+  }.sum
 
   // (qualified path, len) -> summary; None = too big / unreadable.
   // Committed files are immutable, so (path, len) identifies content.
-  private val summaries = lru[(String, Long), Option[KeySummary]](256)
+  private[sources] val summaries =
+    new WeightedLru[(String, Long), Option[KeySummary]](
+      256, MaxSummaryValues, _.map(summaryValues).getOrElse(1L))
 
   // (qualified path, len, resolved eq reader json) -> decoded key tuples
-  private val keySets =
-    lru[(String, Long, String), java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]](256)
+  private[sources] val keySets =
+    new WeightedLru[(String, Long, String),
+        java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]](
+      256, MaxKeySetTuples, s => s.size.toLong.max(1L))
 
   /** Decode every key datum of an equality-delete file through the runtime
     * reader (writer -> `eqReaderJson` resolution) — the one block walk
@@ -104,7 +148,7 @@ private[sources] object OcfEqScope {
              types: Array[DataType], conf: Configuration)
       : java.util.HashSet[scala.collection.immutable.ArraySeq[Any]] = {
     val k = (m.path, m.len, eqReaderJson)
-    locked(keySets) { c => Option(c.get(k)) } match {
+    keySets.get(k) match {
       case Some(s) => s
       case None =>
         val s = new java.util.HashSet[scala.collection.immutable.ArraySeq[Any]]()
@@ -117,13 +161,10 @@ private[sources] object OcfEqScope {
           }
           s.add(scala.collection.immutable.ArraySeq.unsafeWrapArray(t))
         }
-        locked(keySets) { c => c.put(k, s) }
+        keySets.put(k, s)
         s
     }
   }
-
-  private def locked[C <: AnyRef, R](cache: C)(f: C => R): R =
-    cache.synchronized(f(cache))
 
   /** Load (or recall) the key summary of one equality-delete file. The
     * keys decode against the delete file's OWN writer schema — integral
@@ -132,14 +173,14 @@ private[sources] object OcfEqScope {
     * file's burden cannot be scoped and stays seq-wide. */
   def summaryFor(m: OcfDataSource.OcfFileMeta, conf: Configuration): Option[KeySummary] = {
     val k = (m.path, m.len)
-    locked(summaries) { c => Option(c.get(k)) } match {
+    summaries.get(k) match {
       case Some(cached) => cached
       case None =>
         val computed =
           if (m.len > MaxSummaryBytes) None
           else try Some(computeSummary(m, conf))
           catch { case scala.util.control.NonFatal(_) => None }
-        locked(summaries) { c => c.put(k, computed) }
+        summaries.put(k, computed)
         computed
     }
   }
@@ -273,8 +314,12 @@ private[sources] object OcfEqScope {
     case _ => Int.MaxValue // opaque: treat as unbounded (no probing)
   }.foldLeft(0)(math.max)
 
-  // (qualified path, len) -> parsed per-column blooms (None = none stamped)
-  private val blooms = lru[(String, Long), Option[Map[String, OcfBloom.BloomLite]]](64)
+  // (qualified path, len) -> parsed per-column blooms (None = none stamped);
+  // weighed by held bit-array longs (8 B each)
+  private[sources] val blooms =
+    new WeightedLru[(String, Long), Option[Map[String, OcfBloom.BloomLite]]](
+      64, MaxBloomLongs,
+      _.map(_.valuesIterator.map(_.bits.length.toLong).sum.max(1L)).getOrElse(1L))
 
   /** Stats + bloom burden admission for one DATA manifest entry. Order of
     * proof attempts, cheapest first: manifest-inline min/max bounds (zero
@@ -290,7 +335,7 @@ private[sources] object OcfEqScope {
           (m0.bloomJson.isDefined || m0.bloomInHeader) =>
         val qp = new Path(baseQualified, sf.path).toString
         val parsed: Option[Map[String, OcfBloom.BloomLite]] =
-          locked(blooms) { c => Option(c.get((qp, sf.len))) }.getOrElse {
+          blooms.get((qp, sf.len)).getOrElse {
             val p =
               try {
                 val js = m0.bloomJson.orElse(
@@ -298,7 +343,7 @@ private[sources] object OcfEqScope {
                     qp, sf.len))).head.bloomJson)
                 js.map(OcfBloom.parse)
               } catch { case scala.util.control.NonFatal(_) => None }
-            locked(blooms) { c => c.put((qp, sf.len), p) }
+            blooms.put((qp, sf.len), p)
             p
           }
         parsed match {

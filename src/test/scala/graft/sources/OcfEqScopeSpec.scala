@@ -262,4 +262,75 @@ class OcfEqScopeSpec extends AnyFunSuite {
       .collect().map(r0 => (r0.getLong(0), r0.getAs[String]("_change_type"))).toSet
     assert(b == Set((5L, "delete")), b)
   }
+
+  test("caches are WEIGHT-bounded: eviction by held values, newest entry " +
+      "always survives, reads stay correct") {
+    import OcfEqScope._
+    // unit semantics of the weighted LRU
+    val c = new WeightedLru[String, Array[Byte]](10, 100, _.length.toLong)
+    c.put("a", new Array[Byte](40)); c.put("b", new Array[Byte](40))
+    assert(c.entryCount == 2 && c.totalWeight == 80)
+    c.put("c", new Array[Byte](40)) // 120 > 100: evict eldest "a"
+    assert(c.entryCount == 2 && c.totalWeight == 80)
+    assert(c.get("a").isEmpty && c.get("b").isDefined && c.get("c").isDefined)
+    // access order: touching "b" re-ranks it, so "c" is next out
+    c.get("b")
+    c.put("d", new Array[Byte](40))
+    assert(c.get("c").isEmpty && c.get("b").isDefined && c.get("d").isDefined)
+    // an over-weight single entry survives ALONE (degrades to no-reuse,
+    // never to a failure) and is evicted by the next put
+    c.put("giant", new Array[Byte](150))
+    assert(c.entryCount == 1 && c.totalWeight == 150)
+    c.put("e", new Array[Byte](40))
+    assert(c.entryCount == 1 && c.get("giant").isEmpty && c.get("e").isDefined)
+    // re-putting a key replaces its weight (no double count)
+    c.put("e", new Array[Byte](60))
+    assert(c.totalWeight == 60)
+    // the entry-count bound still applies independently of weight
+    val c2 = new WeightedLru[Int, String](3, 1000000L, _ => 1L)
+    (0 until 10).foreach(i => c2.put(i, "x"))
+    assert(c2.entryCount == 3)
+
+    // integration: real upsert key files load through the JVM-wide key-set
+    // cache; its weight is exactly the held tuples and a second read of the
+    // same file shares the SAME instance (no re-read, no re-hash)
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gsc.ns.wboun (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id')""".stripMargin)
+    spark.range(0, 300).select($"id",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("x"), $"id").as("v"))
+      .coalesce(1).writeTo("gsc.ns.wboun").append()
+    (0 until 3).foreach { k =>
+      (0 until 5).map(i => ((k * 100 + i).toLong, s"u$k-$i")).toDF("id", "v")
+        .coalesce(1).writeTo("gsc.ns.wboun")
+        .option("upsertKeys", "id").append()
+    }
+    val eqFiles = snapFiles("wboun").filter(_.isEqualityDelete)
+    assert(eqFiles.size == 3)
+    keySets.clear()
+    val base = fs.makeQualified(root("wboun"))
+    val types = Array[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType)
+    val loaded = eqFiles.map { sf =>
+      val m = metaOfSnap(base, sf, conf)
+      keySet(m, m.writerSchemaJson, types, conf)
+    }
+    assert(loaded.forall(_.size == 5))
+    assert(keySets.entryCount == 3)
+    assert(keySets.totalWeight == 15L,
+      s"weight must equal held tuples, got ${keySets.totalWeight}")
+    // a re-load is a cache HIT: same instance, weight unchanged
+    val again = eqFiles.map { sf =>
+      val m = metaOfSnap(base, sf, conf)
+      keySet(m, m.writerSchemaJson, types, conf)
+    }
+    assert(again.zip(loaded).forall { case (x, y) => x eq y })
+    assert(keySets.totalWeight == 15L)
+    // and the table still reads exactly right through the same cache
+    assert(spark.table("gsc.ns.wboun").count() == 300L)
+    assert(spark.table("gsc.ns.wboun").where($"id" === 104L)
+      .select("v").as[String].collect().toSeq == Seq("u1-4"))
+  }
 }
