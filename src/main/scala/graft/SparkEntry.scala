@@ -1754,6 +1754,52 @@ object SparkEntry {
           |GROUP BY event_type ORDER BY event_type""".stripMargin)
     }),
 
+    // Bucket-count evolution (X103): a bucket(4, doc_id) table evolves to
+    // 8 buckets mid-life; era-A files keep their bare `_bucket=` level
+    // (genesis modulus 4), era-B lands era-stamped under `_bucket8=`, and
+    // point lookups prune each file under ITS OWN era's modulus. Phase
+    // 'mixed' aggregates across both eras; phase 'unified' repeats the
+    // aggregate after a compact migrates every visible file to the current
+    // modulus (which also restores storage-partitioned reporting). Both
+    // phases must equal the same plain-SQL oracle.
+    "q117_bucket_evolution" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q117",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q117_wh_")
+      s.conf.set("spark.sql.catalog.graft_q117.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q117.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q117.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q117.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf` PARTITIONED BY (bucket(4, doc_id))""".stripMargin)
+      t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+        .createOrReplaceTempView("graft_q117_src")
+      s.sql(
+        """INSERT INTO graft_q117.corpus.docs
+          |SELECT * FROM graft_q117_src WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(
+        """ALTER TABLE graft_q117.corpus.docs
+          |SET TBLPROPERTIES ('numBuckets'='8')""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_q117.corpus.docs
+          |SELECT * FROM graft_q117_src WHERE doc_id % 2 = 1""".stripMargin)
+      def agg(phase: String) = s.sql(
+        s"""SELECT '$phase' AS phase, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM graft_q117.corpus.docs
+           |WHERE doc_id < 300 OR doc_id IN (301, 302, 303)
+           |GROUP BY source""".stripMargin)
+      val mixed = agg("mixed")
+      mixed.collect() // materialize BEFORE the compact flips the layout
+      s.sql("CALL graft_q117.system.compact(table => 'corpus.docs')")
+      val out = mixed.unionAll(agg("unified"))
+        .orderBy(col("phase"), col("source"))
+      out.cache(); out.count() // pin: the plan re-executes at write time
+      out
+    }),
+
     // CDC replication loop closed (X99): the source table's streaming
     // change feed (X95) pipes into the apply-changes sink — insert/update
     // rows upsert, delete rows land ONLY their equality-delete key — so a
@@ -3187,6 +3233,21 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // both phases (mixed bucket eras; post-compact unified) must show the
+    // identical aggregate — the bucket layout split is invisible to results
+    "q117_bucket_evolution" ->
+      """WITH agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents
+        |  WHERE doc_id < 300 OR doc_id IN (301, 302, 303)
+        |  GROUP BY source
+        |)
+        |SELECT 'mixed' AS phase, source, n_docs, sum_chars FROM agg
+        |UNION ALL
+        |SELECT 'unified' AS phase, source, n_docs, sum_chars FROM agg
+        |ORDER BY phase, source""".stripMargin,
 
     // the MIRROR (replicated commit-by-commit through the change feed +
     // apply-changes sink) must aggregate identically to the source's

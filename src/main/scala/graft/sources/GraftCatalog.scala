@@ -432,6 +432,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "not OPTIONS")
       ()
     }
+    require(!opts.keys.exists(_.equalsIgnoreCase("numBucketsGenesis")),
+      "graft catalog: numBucketsGenesis is engine-managed (stamped by the " +
+        "first ALTER of numBuckets); it cannot be declared")
     val optsWithBucket = bucketSpec.fold(opts) { case (cols, n) =>
       opts + ("bucketColumns" -> cols.mkString(",")) + ("numBuckets" -> n.toString)
     }
@@ -572,10 +575,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val mp = metaPath(dir)
     if (!fs.exists(mp)) throw new NoSuchTableException(ident)
     val meta = readMeta(fs, mp)
-    def guardBucketKey(k: String): Unit =
-      require(!k.equalsIgnoreCase("bucketColumns") && !k.equalsIgnoreCase("numBuckets"),
-        "graft catalog: the bucket spec is layout (directory names encode " +
-          "the hash); it cannot be altered without rewriting the table")
+    // bucket COLUMNS are immutable (the hash input is data identity), and
+    // the genesis stamp is engine-managed; the bucket COUNT evolves via its
+    // own branch below (X103) — era-stamped levels, zero rewrite
+    def guardBucketKey(k: String): Unit = {
+      require(!k.equalsIgnoreCase("bucketColumns"),
+        "graft catalog: the bucket columns are layout (directory names " +
+          "encode their hash); they cannot be altered without rewriting " +
+          "the table")
+      require(!k.equalsIgnoreCase("numBucketsGenesis"),
+        "graft catalog: numBucketsGenesis is engine-managed (stamped by " +
+          "the first ALTER of numBuckets); it cannot be set directly")
+    }
     // hidden-transform partition-spec EVOLUTION (X100): `ALTER TABLE ... SET
     // TBLPROPERTIES ('transformPartitions'='hours(ts)')` re-routes future
     // writes; files written under former specs stay where they are and the
@@ -643,6 +654,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     val updated = changes.foldLeft(meta) {
+      // bucket-count EVOLUTION (X103): `ALTER TABLE t SET TBLPROPERTIES
+      // ('numBuckets'='N')` re-routes future writes through the new
+      // modulus, stamped into the level name (`_bucketN=K`). Files stay
+      // where they are: each prunes under its own era's modulus (the bare
+      // `_bucket=` level's modulus is the genesis count recorded HERE, at
+      // the first evolution). Zero rewrite; storage-partitioned reporting
+      // is withheld while eras are mixed and returns once compact unifies.
+      case (m, set: TableChange.SetProperty)
+          if set.property.equalsIgnoreCase("numBuckets") =>
+        val cur = m.options.find(_._1.equalsIgnoreCase("numBuckets"))
+          .map(_._2.toInt).getOrElse(throw new IllegalArgumentException(
+            s"graft catalog: $ident is not a bucketed table — numBuckets " +
+              "cannot be set on an unbucketed layout (bucketing itself is " +
+              "not evolvable; the existing files carry no bucket level)"))
+        val n = try set.value.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft catalog: numBuckets must be an integer, got '${set.value}'")
+        }
+        require(n > 1, s"graft catalog: numBuckets must be > 1, got $n")
+        if (n == cur) m
+        else {
+          val hasGenesis = m.options.keys.exists(_.equalsIgnoreCase("numBucketsGenesis"))
+          m.copy(options = m.options + ("numBuckets" -> n.toString) ++
+            (if (hasGenesis) Map.empty[String, String]
+             else Map("numBucketsGenesis" -> cur.toString)))
+        }
       case (m, set: TableChange.SetProperty) =>
         guardBucketKey(set.property)
         guardModeValue(set.property, set.value)
@@ -650,6 +687,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         m.copy(options = m.options + (set.property -> set.value))
       case (m, rm: TableChange.RemoveProperty) =>
         guardBucketKey(rm.property)
+        require(!rm.property.equalsIgnoreCase("numBuckets"),
+          "graft catalog: numBuckets cannot be unset — the layout's bucket " +
+            "levels need a declared modulus to read under")
         // UNSET of the transform spec evolves to "no transforms" but must
         // stay PRESENT (empty): its presence is what tells reads this
         // table owns its synthetic levels (mixed-era union, X100)

@@ -141,10 +141,9 @@ object GraftChanges {
         .option("transformPartitions", "")
       readerSchemaJson.foreach(j => r = r.option("readerSchema", j))
       val df0 = r.load(tableDir)
-      // the `_bucket` level is layout too (the read has no bucket spec to
-      // fold it into, so it would surface as an int column)
-      val df = if (df0.columns.contains(OcfBucket.DirCol))
-        df0.drop(OcfBucket.DirCol) else df0
+      // bucket levels (any era, X103) are layout too (the read has no
+      // bucket spec to fold them into, so they would surface as columns)
+      val df = df0.drop(df0.columns.filter(OcfBucket.isLevel).toIndexedSeq: _*)
       if (withPos) df.selectExpr("*", OcfDataSource.FileColName,
         OcfDataSource.PosColName)
       else df

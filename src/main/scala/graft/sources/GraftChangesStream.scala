@@ -101,7 +101,7 @@ private[sources] object GraftChangesSource {
       // refusing — the feed only surfaces identity columns anyway
       unionSynthetic = true)
     val partCols = allCols.filter(c =>
-      c != OcfBucket.DirCol && !c.startsWith("_p_"))
+      !OcfBucket.isLevel(c) && !c.startsWith("_p_"))
     val committed: Option[StructType] = snap.tableSchemaJson
       .map(js => DataType.fromJson(js).asInstanceOf[StructType])
     val dataSchema: StructType = committed match {

@@ -225,6 +225,18 @@ private[sources] object GraftProcedures {
     sel.map(p => OcfSnapshots.relativize(qualRoot, p)).toSet
   }
 
+
+  /** The table's current bucket spec for a compact-style rewrite (X103):
+    * (bucket columns, current numBuckets, genesis numBuckets when the
+    * count has ever evolved). */
+  private def bucketPartitionsOf(meta: GraftCatalog.TableMeta)
+      : Option[(Seq[String], Int, Option[Int])] = for {
+    cols <- meta.options.find(_._1.equalsIgnoreCase("bucketColumns"))
+      .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    n <- meta.options.find(_._1.equalsIgnoreCase("numBuckets")).map(_._2.toInt)
+  } yield (cols, n,
+    meta.options.find(_._1.equalsIgnoreCase("numBucketsGenesis")).map(_._2.toInt))
+
   private def singleRowResult(schema: StructType, vals: Array[Any]): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[InternalRow] = Array(new GenericInternalRow(vals))
@@ -350,7 +362,9 @@ private[sources] object GraftProcedures {
           // current hidden-transform spec: output UNIFIES to it (X100) —
           // compacting after an evolution migrates the touched bytes
           transformPartitions = meta.options
-            .find(_._1.equalsIgnoreCase("transformPartitions")).map(_._2))
+            .find(_._1.equalsIgnoreCase("transformPartitions")).map(_._2),
+          // current bucket spec: output UNIFIES mixed bucket eras (X103)
+          bucketPartitions = bucketPartitionsOf(meta))
         // swap: move the compacted files in under fresh names (manifest
         // entries carry inline header metas, like any write commit), then
         // drop the snapshot of old files — a crash between the two leaves
@@ -528,7 +542,8 @@ private[sources] object GraftProcedures {
           readerSchemaJson = Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
           onlyFiles = Some(targets),
           transformPartitions = meta.options
-            .find(_._1.equalsIgnoreCase("transformPartitions")).map(_._2))
+            .find(_._1.equalsIgnoreCase("transformPartitions")).map(_._2),
+          bucketPartitions = bucketPartitionsOf(meta))
         val movedRel = moveStagedWithMetas(spark, fs, root, staging,
           "rewrite_position_deletes")
         try {
@@ -845,7 +860,7 @@ private[sources] object GraftProcedures {
           // `_bucket=K` directories, which hold ordinary referenced data
           val hidden = rel.split('/').exists(s =>
             s.startsWith(".") || (s.startsWith("_") &&
-              !s.startsWith(OcfBucket.DirCol + "=")))
+              !OcfBucket.isLevelDir(s)))
           if (!hidden) {
             scanned += 1
             if (!referenced.contains(rel) && st.getModificationTime < cutoff) {

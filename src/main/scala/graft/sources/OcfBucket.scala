@@ -42,6 +42,31 @@ private[graft] object OcfBucket {
     * the catalog). */
   val DirCol = "_bucket"
 
+  /** Bucket-count EVOLUTION (X103): after `ALTER TABLE ... SET
+    * TBLPROPERTIES ('numBuckets'='N')`, writes stamp the modulus into the
+    * level NAME — `_bucketN=K` — so every file's directory path
+    * self-describes which era's hash routed it (the X100 self-describing-
+    * level discipline). Files from before the first evolution keep their
+    * bare `_bucket=K` level; their modulus is the table's GENESIS bucket
+    * count, recorded as `numBucketsGenesis` at the first ALTER. Old-era
+    * files prune under their own modulus; storage-partitioned reporting is
+    * withheld while eras are mixed (the files are not grouped by ONE
+    * bucket function) and returns once compaction unifies the layout. */
+  def isLevel(c: String): Boolean =
+    c == DirCol || (c.startsWith(DirCol) && c.length > DirCol.length &&
+      c.substring(DirCol.length).forall(_.isDigit))
+
+  /** The modulus an era-stamped level name carries; None for the bare
+    * (genesis) level, whose modulus is `numBucketsGenesis`. */
+  def levelEra(c: String): Option[Int] =
+    if (c == DirCol) None else c.substring(DirCol.length).toIntOption
+
+  /** Is this `name=value` path segment a bucket level of ANY era? */
+  def isLevelDir(seg: String): Boolean = {
+    val eq = seg.indexOf('=')
+    eq > 0 && isLevel(seg.substring(0, eq))
+  }
+
   /** Types a bucket column may have. Floating point is excluded for the
     * same reason partition columns exclude it (-0.0/0.0 and NaN-payload
     * equality make a value's identity ambiguous); decimals are excluded
@@ -114,10 +139,17 @@ private[graft] object OcfBucket {
     idOf(h, numBuckets)
   }
 
-  /** Read-side bucket spec: bucket column names (data columns), bucket
-    * count, and the index of the `_bucket` value in each file's inferred
-    * partition-value array. */
-  final case class Spec(cols: Seq[String], numBuckets: Int, valueIdx: Int)
+  /** Read-side bucket spec: bucket column names (data columns), the
+    * DECLARED (current) bucket count, the index of the current-era level's
+    * value in each file's inferred partition-value array (-1 when the
+    * layout holds no single current-era level), and every observed era as
+    * (modulus, valueIdx) — one entry per distinct bucket level name in the
+    * layout. `uniform` licenses storage-partitioned reporting: exactly one
+    * era, and it is the declared one. */
+  final case class Spec(cols: Seq[String], numBuckets: Int, valueIdx: Int,
+                        eras: Seq[(Int, Int)] = Nil) {
+    def uniform: Boolean = eras.length == 1 && eras.head._1 == numBuckets
+  }
 
   /** Bucket ids admitted by pushed/runtime filters, or None when the
     * filters don't pin every bucket column to concrete values. Only

@@ -472,37 +472,66 @@ object OcfDataSource {
     // directory levels below, not this list.
     Option(options.get("transformPartitions")).foreach(OcfTransforms.parseList)
     val transformAware = options.containsKey("transformPartitions")
-    val (inferredCols, files) = OcfPartitions.infer(qualifiedRoots, listed,
-      unionSynthetic = transformAware)
     // Hash-bucketed layout ([[OcfBucket]]): when the read declares
     // `bucketColumns`/`numBuckets` (always the case through the catalog),
-    // the trailing `_bucket=K` directory level is the bucket id — folded
-    // into the bucket spec, NOT surfaced as a partition column. An
-    // option-less path read of the same directory sees `_bucket` as an
-    // ordinary int partition column instead (honest observability).
+    // the trailing `_bucket=K` (or era-stamped `_bucketN=K`, X103)
+    // directory level is the bucket id — folded into the bucket spec, NOT
+    // surfaced as a partition column. An option-less path read of the same
+    // directory sees the level as an ordinary int partition column instead
+    // (honest observability). A declared bucket spec licenses mixed-era
+    // union alignment the same way a declared transform spec does.
     val bucketColsOpt: Array[String] = Option(options.get("bucketColumns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
     val numBuckets: Int = Option(options.get("numBuckets")).map(_.toInt).getOrElse(0)
     require(bucketColsOpt.isEmpty == (numBuckets == 0),
       "graft-ocf: bucketColumns and numBuckets must be set together")
+    val (inferredCols, files) = OcfPartitions.infer(qualifiedRoots, listed,
+      unionSynthetic = transformAware || numBuckets > 0)
+    // bucket-count evolution (X103): the bare `_bucket=` level's modulus is
+    // the table's GENESIS bucket count (stamped into the descriptor at the
+    // first numBuckets ALTER); era-stamped `_bucketN=` levels carry theirs
+    // in the name. An unevolved table has no genesis option: bare = current.
+    val genesisN: Int = Option(options.get("numBucketsGenesis")).map(_.toInt)
+      .getOrElse(numBuckets)
     val bucket: Option[OcfBucket.Spec] =
       if (numBuckets == 0) None
       else {
-        require(inferredCols.nonEmpty && inferredCols.last == OcfBucket.DirCol,
+        val levels = inferredCols.zipWithIndex.filter { case (c, _) =>
+          OcfBucket.isLevel(c) }
+        require(levels.nonEmpty,
           s"graft-ocf: read declares numBuckets=$numBuckets but the layout " +
-            s"has no trailing ${OcfBucket.DirCol}= directory level " +
+            s"has no trailing ${OcfBucket.DirCol}*= directory level " +
             s"(found: ${inferredCols.mkString(", ")})")
+        require(levels.map(_._2).min == inferredCols.length - levels.length,
+          s"graft-ocf: bucket levels must trail the layout " +
+            s"(found: ${inferredCols.mkString(", ")})")
+        val eras: Seq[(Int, Int)] = levels.map { case (c, i) =>
+          (OcfBucket.levelEra(c).getOrElse(genesisN), i) }
+        require(eras.map(_._1).distinct.length == eras.length,
+          s"graft-ocf: bucket layout carries two levels of the same " +
+            s"modulus (${levels.map(_._1).mkString(", ")} with " +
+            s"numBucketsGenesis=$genesisN) — ambiguous routing; compact " +
+            "the table to unify its eras")
         files.foreach { f =>
-          val v = f.partitionValues.last
-          require(v != OcfPartitions.AbsentDir,
-            s"graft-ocf: ${f.path} predates the ${OcfBucket.DirCol}= level — " +
-              "the bucket spec is not evolvable (bucket ids are layout)")
-          require(v != null && v.toIntOption.exists(b => b >= 0 && b < numBuckets),
-            s"graft-ocf: ${f.path} has bucket id '$v' outside [0, $numBuckets)")
+          val present = eras.filter { case (_, i) =>
+            i < f.partitionValues.length &&
+              f.partitionValues(i) != OcfPartitions.AbsentDir }
+          require(present.length == 1,
+            s"graft-ocf: ${f.path} must carry exactly one bucket level — " +
+              "bucketing itself is not evolvable (bucket ids are layout); " +
+              s"found ${present.length} of ${eras.length} era levels")
+          val (mod, i) = present.head
+          val v = f.partitionValues(i)
+          require(v != null && v.toIntOption.exists(b => b >= 0 && b < mod),
+            s"graft-ocf: ${f.path} has bucket id '$v' outside [0, $mod)")
         }
-        Some(OcfBucket.Spec(bucketColsOpt.toSeq, numBuckets, inferredCols.length - 1))
+        val uniform = eras.length == 1 && eras.head._1 == numBuckets
+        Some(OcfBucket.Spec(bucketColsOpt.toSeq, numBuckets,
+          if (uniform) eras.head._2 else -1, eras))
       }
-    val partCols0 = if (bucket.isDefined) inferredCols.dropRight(1) else inferredCols
+    val partCols0 =
+      if (bucket.isDefined) inferredCols.filterNot(OcfBucket.isLevel)
+      else inferredCols
     // Hidden-transform layout (X88): under a transform-aware read (the
     // `transformPartitions` option is present — always the case through
     // the catalog), every `_p_<kind>_<col>=` level is a transform ordinal
@@ -1217,11 +1246,18 @@ private[sources] final class OcfScanBuilder(
       case Some(spec) =>
         val dts = spec.cols.map(c =>
           resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)
-        OcfBucket.admittedIds(pushed.toSeq, spec.cols, dts, spec.numBuckets) match {
-          case Some(ids) => f =>
-            f.partitionValues.length > spec.valueIdx &&
-              f.partitionValues(spec.valueIdx).toIntOption.exists(ids.contains)
-          case None => _ => true
+        // per ERA (X103): each level's admitted ids under its own modulus;
+        // a file is judged by the one level its own path carries
+        val byEra: Seq[(Int, Option[Set[Int]])] = spec.eras.map { case (mod, idx) =>
+          idx -> OcfBucket.admittedIds(pushed.toSeq, spec.cols, dts, mod) }
+        if (byEra.forall(_._2.isEmpty)) _ => true
+        else f => byEra.forall { case (idx, admitted) =>
+          admitted.forall { ids =>
+            idx >= f.partitionValues.length ||
+              f.partitionValues(idx) == OcfPartitions.AbsentDir ||
+              Option(f.partitionValues(idx))
+                .flatMap(_.toIntOption).exists(ids.contains)
+          }
         }
       case None => _ => true
     }
@@ -1409,8 +1445,12 @@ private[sources] final class OcfScanBuilder(
       bucketCols = resolved.bucket.map(_.cols).getOrElse(Nil),
       bucketColTypes = resolved.bucket.map(_.cols.map(c =>
         resolved.dataSql.fields(resolved.dataSql.fieldIndex(c)).dataType)).getOrElse(Nil),
-      bucketN = resolved.bucket.map(_.numBuckets).getOrElse(0),
-      bucketValueIdx = resolved.bucket.map(_.valueIdx).getOrElse(-1),
+      // X103: storage-partitioned (key-grouped) semantics only under a
+      // UNIFORM current-era layout — mixed eras are not grouped by one
+      // bucket function; per-era pruning rides bucketEras regardless
+      bucketN = resolved.bucket.filter(_.uniform).map(_.numBuckets).getOrElse(0),
+      bucketValueIdx = resolved.bucket.filter(_.uniform).map(_.valueIdx).getOrElse(-1),
+      bucketEras = resolved.bucket.map(_.eras).getOrElse(Nil),
       excludePaths = resolved.streamExclude,
       branchRead = resolved.branchRead,
       boundedIncremental = resolved.boundedIncremental,
@@ -1488,6 +1528,9 @@ private[graft] final case class OcfScan(
     bucketColTypes: Seq[org.apache.spark.sql.types.DataType] = Nil,
     bucketN: Int = 0,
     bucketValueIdx: Int = -1,
+    // every bucket era in the layout as (modulus, level valueIdx) — X103;
+    // nonEmpty iff the read is bucketed, even when bucketN is withheld
+    bucketEras: Seq[(Int, Int)] = Nil,
     // incremental streaming: paths the micro-batch discovery never admits
     excludePaths: Set[String] = Set.empty,
     // branch read (X83): file set pinned to a branch head — batch-only
@@ -1679,9 +1722,12 @@ private[graft] final case class OcfScan(
           need.map(m => OcfDataSource.FileSlice(m.path, m.len, m.partitionValues)))
           .map(m => m.path -> m).toMap
       }
-    val bucketIds: Option[Set[Int]] =
-      if (bucketN == 0) None
-      else OcfBucket.admittedIds(filters.toSeq, bucketCols, bucketColTypes, bucketN)
+    // per-ERA bucket pruning (X103): each era's admitted-id set is computed
+    // under ITS OWN modulus; a file is judged by the one level its own path
+    // carries (other eras' levels read AbsentDir and admit vacuously)
+    val eraAdmitted: Seq[(Int, Option[Set[Int]])] =
+      bucketEras.map { case (mod, idx) =>
+        idx -> OcfBucket.admittedIds(filters.toSeq, bucketCols, bucketColTypes, mod) }
     runtimeFiles = files.filter { m =>
       def partValue(name: String): Option[OcfPartitions.PartVal] =
         nameToIdx.get(name).collect {
@@ -1692,9 +1738,14 @@ private[graft] final case class OcfScan(
       // bloom parse (base64 decode, potentially MBs across a wide listing)
       // only runs when the runtime key set contains an equality shape a
       // bloom can answer — a range-only runtime filter costs no decode
-      bucketIds.forall(ids =>
-        m.partitionValues.length > bucketValueIdx &&
-          m.partitionValues(bucketValueIdx).toIntOption.exists(ids.contains)) &&
+      eraAdmitted.forall { case (idx, admitted) =>
+        admitted.forall { ids =>
+          idx >= m.partitionValues.length ||
+            m.partitionValues(idx) == OcfPartitions.AbsentDir ||
+            Option(m.partitionValues(idx))
+              .flatMap(_.toIntOption).exists(ids.contains)
+        }
+      } &&
       OcfPartitions.mayMatch(filters.toSeq, partValue, stats.get) &&
         (!bloomUseful || upgraded.getOrElse(m.path, m).bloomJson.forall { js =>
           OcfBloom.mayMatch(filters.toSeq, OcfBloom.parse(js).get)
@@ -1793,6 +1844,10 @@ private[graft] final case class OcfScan(
           s" PushedFilters: [${pushedFilters.mkString(", ")}]" else "") +
         (if (partCols.nonEmpty) s" PartitionCols: ${partCols.mkString(",")}" else "") +
         (if (bucketN > 0) s" BucketedBy: ${bucketCols.mkString(",")} into $bucketN" else "") +
+        (if (bucketN == 0 && bucketEras.nonEmpty)
+          s" BucketedBy: ${bucketCols.mkString(",")} MIXED ERAS " +
+            s"(${bucketEras.map(_._1).sorted.mkString(",")}) — key grouping withheld"
+        else "") +
         (if (deletes.nonEmpty)
           s" PositionDeletes: ${deletes.valuesIterator.map(_.size).sum} file(s) " +
             s"over ${deletes.size} target(s)" else "") +

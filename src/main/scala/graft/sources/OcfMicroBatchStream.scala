@@ -94,15 +94,19 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
         if (scan.partCols.isEmpty) freshRaw
         else {
           val (cols, annotated) = OcfPartitions.infer(qualifiedRoots, freshRaw)
-          // a bucketed layout carries its synthetic trailing _bucket level;
-          // the scan's partCols exclude it by design
-          val expected =
-            if (scan.bucketN > 0) scan.partCols :+ OcfBucket.DirCol
-            else scan.partCols
-          require(cols == expected,
+          // a bucketed layout carries one synthetic trailing bucket level
+          // (any era name, X103); the scan's partCols exclude it by design
+          val ok =
+            if (scan.bucketEras.nonEmpty)
+              cols.length == scan.partCols.length + 1 &&
+                cols.take(scan.partCols.length) == scan.partCols &&
+                OcfBucket.isLevel(cols.last)
+            else cols == scan.partCols
+          require(ok,
             s"graft-ocf stream: newly landed files have partition layout " +
               s"[${cols.mkString(",")}] but the stream resolved " +
-              s"[${expected.mkString(",")}]")
+              s"[${scan.partCols.mkString(",")}" +
+              (if (scan.bucketEras.nonEmpty) " + a bucket level" else "") + "]")
           annotated
         }
       val metas = OcfDataSource.fetchMetas(conf, fresh)

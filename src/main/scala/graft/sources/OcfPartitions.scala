@@ -112,15 +112,18 @@ private[graft] object OcfPartitions {
         if (!unionSynthetic) refuse()
         // X100: identity prefixes must agree; every extra level must be
         // synthetic. Union = identity ++ transform levels (first-seen
-        // order) ++ `_bucket` last; a file's missing levels read AbsentDir.
-        def synthetic(c: String) = c == OcfBucket.DirCol || c.startsWith("_p_")
+        // order) ++ bucket levels last (genesis `_bucket` first, then
+        // era-stamped `_bucketN` by modulus — X103 bucket-count
+        // evolution); a file's missing levels read AbsentDir.
+        def synthetic(c: String) = OcfBucket.isLevel(c) || c.startsWith("_p_")
         val idSeqs = many.map(_.takeWhile(c => !synthetic(c))).distinct
         if (idSeqs.length != 1) refuse()
         val identity = idSeqs.head
         if (many.exists(_.drop(identity.length).exists(c => !synthetic(c))))
           refuse()
         val synth = many.flatMap(_.drop(identity.length)).distinct
-        val (buckets, trans) = synth.partition(_ == OcfBucket.DirCol)
+        val (buckets0, trans) = synth.partition(OcfBucket.isLevel)
+        val buckets = buckets0.sortBy(c => OcfBucket.levelEra(c).getOrElse(-1))
         val union = identity ++ trans ++ buckets
         (union, perFile.map { case (f, segs) =>
           val byName = segs.toMap

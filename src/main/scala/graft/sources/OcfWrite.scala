@@ -310,17 +310,21 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
           "string/binary/boolean/integral/date")
       i
     }
+    val bucketNoClustering =
+      Option(opts.get("graft.bucketNoClustering")).exists(_.toBoolean)
     if (numBuckets > 0) {
       require(numBuckets > 1,
         s"graft-ocf write: numBuckets must be > 1, got $numBuckets")
-      require(Option(opts.get("graft.catalogWrite")).exists(_.toBoolean),
+      require(bucketNoClustering ||
+          Option(opts.get("graft.catalogWrite")).exists(_.toBoolean),
         "graft-ocf write: bucketed writes go through a catalog table " +
           "(CREATE TABLE ... PARTITIONED BY (bucket(N, col))); a bare path " +
           "write cannot cluster rows by bucket — Spark resolves the " +
           "bucket transform via the table's function catalog")
-      require(!sql.fieldNames.exists(_.equalsIgnoreCase(OcfBucket.DirCol)),
-        s"graft-ocf write: column '${OcfBucket.DirCol}' collides with the " +
-          "bucket directory level")
+      require(!sql.fieldNames.exists(c => OcfBucket.isLevel(c) ||
+          c.equalsIgnoreCase(OcfBucket.DirCol)),
+        s"graft-ocf write: a column collides with the bucket directory " +
+          s"level (${OcfBucket.DirCol} / ${OcfBucket.DirCol}N)")
     }
     // `transformPartitions` (X88): hidden time/truncate partition levels.
     // Like bucketing, the source columns stay DATA columns; only the
@@ -457,6 +461,8 @@ private[sources] final class OcfWriteBuilder(info: LogicalWriteInfo,
       partOrdinals = partOrdinals,
       bucketNames = bucketOrdinals.map(sql.fields(_).name),
       bucketOrdinals = bucketOrdinals, numBuckets = numBuckets,
+      bucketEraStamped = opts.containsKey("numBucketsGenesis"),
+      bucketNoClustering = bucketNoClustering,
       transformSpecs = transformSpecs,
       transformOrdinals = transformOrdinals,
       transformsBySource =
@@ -524,6 +530,16 @@ private[sources] final case class OcfWriteConfig(
     bucketNames: Array[String] = Array.empty,
     bucketOrdinals: Array[Int] = Array.empty,
     numBuckets: Int = 0,
+    // bucket-count evolution (X103): once a table has EVER evolved its
+    // bucket count (numBucketsGenesis present in the descriptor), every
+    // write stamps the modulus into the level name (`_bucketN=K`) so the
+    // path self-describes its era; unevolved tables keep bare `_bucket=K`
+    bucketEraStamped: Boolean = false,
+    // path writes (compact unifying bucket eras, X103) have no function
+    // catalog to resolve the bucket transform through: skip the clustering
+    // distribution/ordering and let the writer's directory-revisit
+    // tolerance route rows per-file (a compact writes few tasks)
+    bucketNoClustering: Boolean = false,
     // hidden partition transforms (X88): specs + their source-column
     // ordinals in `sql`, aligned
     transformSpecs: Seq[OcfTransforms.Spec] = Nil,
@@ -830,12 +846,13 @@ private[sources] final class OcfWrite(
     * directory names. Unbucketed writes keep the unspecified distribution
     * (any pre-existing partitioning of the query is fine). */
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
-    if (cfg.numBuckets > 0 ||
+    if ((cfg.numBuckets > 0 && !cfg.bucketNoClustering) ||
         (cfg.transformSpecs.nonEmpty && !cfg.transformsBySource))
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
         (cfg.partNames.map(org.apache.spark.sql.connector.expressions.Expressions.identity) ++
           transformExprs ++
-          (if (cfg.numBuckets > 0) Seq(bucketTransform) else Nil))
+          (if (cfg.numBuckets > 0 && !cfg.bucketNoClustering)
+            Seq(bucketTransform) else Nil))
           .toArray[org.apache.spark.sql.connector.expressions.Expression])
     else
       org.apache.spark.sql.connector.distributions.Distributions.unspecified()
@@ -855,7 +872,7 @@ private[sources] final class OcfWrite(
         org.apache.spark.sql.connector.expressions.Expressions.sort(t,
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
         .toArray) ++
-      (if (cfg.numBuckets > 0)
+      (if (cfg.numBuckets > 0 && !cfg.bucketNoClustering)
         Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
           bucketTransform,
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
@@ -1079,7 +1096,8 @@ private[sources] final class OcfDataWriter(
         keys(j) = if (row.isNullAt(o)) null else bucketGetters(j)(row, o)
         j += 1
       }
-      val seg = OcfBucket.DirCol + "=" +
+      val seg = (if (cfg.bucketEraStamped) OcfBucket.DirCol + cfg.numBuckets
+                 else OcfBucket.DirCol) + "=" +
         OcfBucket.idOfValues(keys, bucketTypes, cfg.numBuckets)
       if (pd.isEmpty) seg else pd + "/" + seg
     }
@@ -1626,7 +1644,16 @@ object OcfMaintenance {
               // columns — compaction/folds UNIFY eras to the current
               // spec, the Iceberg rewrite_data_files behavior. None keeps
               // the path-read behavior: levels preserved verbatim.
-              transformPartitions: Option[String] = None): Unit = {
+              transformPartitions: Option[String] = None,
+              // the table's CURRENT bucket spec (X103): (bucket columns,
+              // current numBuckets, genesis numBuckets when ever evolved).
+              // When given, bucket levels fold into the read's spec (mixed
+              // eras union) and the output re-hashes every row under the
+              // CURRENT modulus — compaction UNIFIES bucket eras, after
+              // which storage-partitioned reporting returns. None keeps
+              // the path-read behavior: the level reads as an ordinary
+              // partition column, preserved verbatim.
+              bucketPartitions: Option[(Seq[String], Int, Option[Int])] = None): Unit = {
     require(inDir != outDir, "compact writes to a separate directory")
     require(zorderColumns.forall(_.nonEmpty),
       "graft-ocf compact: zorderColumns, when given, needs at least one column")
@@ -1664,13 +1691,17 @@ object OcfMaintenance {
       val hp = new Path(inDir); Seq(hp.getFileSystem(conf).makeQualified(hp).toString)
     }
     val (allCols, _) = OcfPartitions.infer(qualified, files,
-      unionSynthetic = transformPartitions.isDefined)
+      unionSynthetic = transformPartitions.isDefined || bucketPartitions.isDefined)
     // under the catalog lens the `_p_*` levels are derived data, not
     // partition columns: the write recomputes them from the rows under the
     // CURRENT spec instead of preserving the old era's directories
-    val partCols =
+    val partCols0c =
       if (transformPartitions.isEmpty) allCols
       else allCols.filterNot(c => OcfTransforms.specOfDirCol(c).isDefined)
+    // likewise bucket levels (X103): re-hashed from the rows, not preserved
+    val partCols =
+      if (bucketPartitions.isEmpty) partCols0c
+      else partCols0c.filterNot(OcfBucket.isLevel)
     // Stats stamps are PRESERVED too: compaction re-stamps the columns the
     // input files carried (union across files — a partially-stamped input
     // still skips on whichever files have bounds, and so should the output)
@@ -1719,8 +1750,13 @@ object OcfMaintenance {
     val r0 = spark.read.format("graft-ocf")
     val r1 = onlyFiles.foldLeft(r0)((b, sel) =>
       b.option("graft.files", sel.toSeq.sorted.mkString(",")))
-    val r = transformPartitions.foldLeft(r1)((b, tp) =>
+    val r2 = transformPartitions.foldLeft(r1)((b, tp) =>
       b.option("transformPartitions", tp))
+    val r = bucketPartitions.foldLeft(r2) { case (b, (cols, n, genesis)) =>
+      val b1 = b.option("bucketColumns", cols.mkString(","))
+        .option("numBuckets", n.toString)
+      genesis.fold(b1)(g => b1.option("numBucketsGenesis", g.toString))
+    }
     val df = readerSchemaJson.foldLeft(r)((b, j) => b.option("readerSchema", j))
       .load(inDir)
     // a readerSchema projection may drop a stamped column; stamp only what
@@ -1759,6 +1795,9 @@ object OcfMaintenance {
       "graft-ocf compact: zorderColumns is not supported on a transform-" +
         "partitioned layout (the transform-first write sort would undo the " +
         "z-order)")
+    require(zcols.isEmpty || bucketPartitions.isEmpty,
+      "graft-ocf compact: zorderColumns is not supported on a bucketed " +
+        "layout (rows re-route per bucket, interleaving the z-order)")
     var w = (if (zcols.nonEmpty) graft.ops.Layout.zorderBy(df, parts, zcols: _*)
              else df.coalesce(parts))
       .write.format("graft-ocf").mode("overwrite")
@@ -1771,6 +1810,14 @@ object OcfMaintenance {
         // no function catalog on a path write: sort by the (monotone)
         // source columns locally instead of clustering on `days(ts)`
         .option("graft.transformsBySource", "true")
+    }
+    bucketPartitions.foreach { case (cols, n, genesis) =>
+      w = w.option("bucketColumns", cols.mkString(","))
+        .option("numBuckets", n.toString)
+        // no function catalog on a path write: the writer's directory-
+        // revisit tolerance routes rows per-file instead of clustering
+        .option("graft.bucketNoClustering", "true")
+      genesis.foreach(g => w = w.option("numBucketsGenesis", g.toString))
     }
     val statsWithZ = (keptStats ++ zcols.filterNot(keptStats.contains)).toSeq
     if (statsWithZ.nonEmpty) w = w.option("statsColumns", statsWithZ.mkString(","))
@@ -1921,8 +1968,7 @@ private[sources] object OcfCommit {
             // overwrite replaces the PARTITION, so lift to the partition
             // dir — clearing only the touched buckets would leave stale
             // rows in that partition's untouched buckets
-            if (cfg.numBuckets > 0 &&
-                parent.getName.startsWith(OcfBucket.DirCol + "="))
+            if (cfg.numBuckets > 0 && OcfBucket.isLevelDir(parent.getName))
               parent.getParent
             else parent
           }
@@ -2057,7 +2103,7 @@ private[sources] object OcfCommit {
       else {
         val j = dir.lastIndexOf('/')
         val last = if (j < 0) dir else dir.substring(j + 1)
-        if (last.startsWith(OcfBucket.DirCol + "="))
+        if (OcfBucket.isLevelDir(last))
           (if (j < 0) "" else dir.substring(0, j))
         else dir
       }

@@ -133,7 +133,7 @@ class OcfBucketSpec extends AnyFunSuite {
       .head.getLong(0) == 50L)
   }
 
-  test("bucketed table surfaces its transform and refuses bucket-spec alters") {
+  test("bucketed table surfaces its transform; bucket COLUMNS stay immutable") {
     val t = spark.sessionState.catalogManager.catalog("gb")
       .asInstanceOf[GraftCatalog]
       .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
@@ -141,10 +141,22 @@ class OcfBucketSpec extends AnyFunSuite {
     val parts = t.partitioning().map(_.toString).toSeq
     assert(parts.exists(_.contains("bucket(4, doc_id)")),
       s"partitioning must carry the bucket transform, got $parts")
+    // the COUNT evolves (X103, BucketEvolutionSpec); the COLUMNS and the
+    // engine-managed genesis stamp do not
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gb.ns.docs SET TBLPROPERTIES ('numBuckets' = '8')")
+      spark.sql("ALTER TABLE gb.ns.docs SET TBLPROPERTIES " +
+        "('bucketColumns' = 'body')")
     }
     assert(e.getMessage.contains("cannot be altered"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gb.ns.docs SET TBLPROPERTIES " +
+        "('numBucketsGenesis' = '2')")
+    }
+    assert(e2.getMessage.contains("engine-managed"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE gb.ns.docs UNSET TBLPROPERTIES ('numBuckets')")
+    }
+    assert(e3.getMessage.contains("cannot be unset"), e3.getMessage)
   }
 
   test("bare path write with bucketColumns is refused (catalog-managed only)") {

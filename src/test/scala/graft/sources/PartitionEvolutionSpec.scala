@@ -152,8 +152,10 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       "('transformPartitions'='days(nope)')", "not a column")
     refuse("ALTER TABLE pe.ns.ev5 SET TBLPROPERTIES " +
       "('transformPartitions'='days(v)')", "does not support type")
+    // numBuckets on an UNBUCKETED table: still refused (bucketing itself is
+    // not evolvable — X103 only evolves the COUNT of an existing layout)
     refuse("ALTER TABLE pe.ns.ev5 SET TBLPROPERTIES " +
-      "('numBuckets'='8')", "bucket spec is layout")
+      "('numBuckets'='8')", "not a bucketed table")
     // mixed-era directories WITHOUT the engine's spec option: loud refusal
     spark.sql("ALTER TABLE pe.ns.ev5 SET TBLPROPERTIES " +
       "('transformPartitions'='hours(ts)')")
