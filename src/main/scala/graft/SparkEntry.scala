@@ -1670,15 +1670,22 @@ object SparkEntry {
       s.sql(
         """ALTER TABLE graft_q116.corpus.docs
           |ADD COLUMN meta.lang STRING""".stripMargin)
+      // nested ADD with a declared DEFAULT: era-A files (already on disk)
+      // materialize the CONSTANT at depth — an existence default, zero
+      // rewrite; era-B writes carry an explicit value
+      s.sql(
+        """ALTER TABLE graft_q116.corpus.docs
+          |ADD COLUMN meta.qual STRING DEFAULT 'unscored'""".stripMargin)
       s.sql(
         """INSERT INTO graft_q116.corpus.docs
-          |SELECT doc_id, named_struct('n_chars', n_chars, 'lang', lang)
+          |SELECT doc_id, named_struct('n_chars', n_chars, 'lang', lang,
+          |  'qual', CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END)
           |FROM graft_q116_src WHERE doc_id % 2 = 1""".stripMargin)     // era B
       s.sql(
-        """SELECT coalesce(meta.lang, '<none>') AS lang2,
+        """SELECT coalesce(meta.lang, '<none>') AS lang2, meta.qual AS qual,
           |  count(*) AS n_docs, CAST(sum(meta.n_chars) AS BIGINT) AS sum_chars
           |FROM graft_q116.corpus.docs
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     }),
 
     // The `.changes` metadata table (X101): the change-data-feed as a
@@ -3197,12 +3204,15 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 13 = 2
         |ORDER BY commit_version, change_type, doc_id""".stripMargin,
 
-    // era-A rows (written before meta.lang existed) group under '<none>';
-    // era-B rows carry their lang inside the struct
+    // era-A rows (written before meta.lang existed) group under '<none>'
+    // and materialize meta.qual's declared DEFAULT ('unscored'); era-B
+    // rows carry their lang and an explicit qual inside the struct
     "q116_nested_evolution" ->
       """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '<none>' END AS lang2,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'unscored'
+        |       WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS qual,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the change log's per-commit aggregate: v1 inserts the corpus, v2
     // MoR-deletes doc_id%10=3, v3 upserts doc_id%6=1 (insert + deletes of

@@ -712,17 +712,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           "graft catalog: ADD COLUMN positioning is not supported; new " +
             "fields append after the struct's existing fields")
-        require(Option(add.defaultValue()).isEmpty,
-          "graft catalog: nested ADD COLUMN does not take a DEFAULT; " +
-            "only top-level columns carry declared defaults")
         // no Avro shape for the type => fail the DDL, not a later scan
         graft.spark.SchemaConverters.toAvroType(add.dataType, nullable = true)
+        // DEFAULT at depth is an EXISTENCE default (Iceberg initial-default
+        // semantics): pre-ALTER files materialize the constant via the
+        // kernel's recursive reader-default fill (F16). New writes always
+        // carry the struct's full shape, so there is no INSERT fill to
+        // promise — CURRENT_DEFAULT is deliberately NOT stored (Spark's
+        // analyzer fills omitted TOP-LEVEL columns only; a nested
+        // CURRENT_DEFAULT would be dead metadata masquerading as behavior).
+        val nestedMd = GraftCatalog.declaredDefaultMetadata(
+          path.mkString("."), add, withCurrentDefault = false)
         def addAt(st: StructType, parents: Seq[String]): StructType =
           if (parents.isEmpty) {
             require(!st.fields.exists(_.name.equalsIgnoreCase(leaf)),
               s"graft catalog: field '${path.mkString(".")}' already exists")
             StructType(st.fields :+ org.apache.spark.sql.types.StructField(
-              leaf, add.dataType, nullable = true))
+              leaf, add.dataType, nullable = true, metadata = nestedMd))
           } else {
             val i = st.fields.indexWhere(_.name.equalsIgnoreCase(parents.head))
             require(i >= 0, s"graft catalog: '${parents.head}' is not a " +
@@ -780,29 +786,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         // column), EXISTS_DEFAULT (standard metadata, observability), and
         // the Avro default JSON the reader schema emits so PRE-EXISTING
         // files materialize the constant instead of null
-        val md = Option(add.defaultValue()) match {
-          case None => org.apache.spark.sql.types.Metadata.empty
-          case Some(dv) =>
-            val lit = dv.getValue
-            require(lit != null,
-              s"graft catalog: ADD COLUMN '$name' DEFAULT must fold to a " +
-                "constant literal")
-            require(org.apache.spark.sql.graft.Shims.sameType(
-                StructType(Seq(org.apache.spark.sql.types.StructField("d", lit.dataType))),
-                StructType(Seq(org.apache.spark.sql.types.StructField("d", add.dataType)))),
-              s"graft catalog: ADD COLUMN '$name' DEFAULT literal type " +
-                s"${lit.dataType.simpleString} does not match the column type " +
-                add.dataType.simpleString)
-            val sqlText = Option(dv.getSql).getOrElse(
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                lit.value, lit.dataType).sql)
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .putString("CURRENT_DEFAULT", sqlText)
-              .putString("EXISTS_DEFAULT", sqlText)
-              .putString(GraftCatalog.AddDefaultKey,
-                GraftCatalog.avroDefaultJson(lit))
-              .build()
-        }
+        val md = GraftCatalog.declaredDefaultMetadata(
+          name, add, withCurrentDefault = true)
         val parts = m.schema.fields.filter(f => m.partCols.exists(_.equalsIgnoreCase(f.name)))
         m.copy(schema = StructType((m.dataSchema.fields :+
           org.apache.spark.sql.types.StructField(name, add.dataType,
@@ -1240,6 +1225,40 @@ private[sources] object GraftCatalog {
     }
   }
 
+  /** Field metadata for an ADD COLUMN's declared DEFAULT (empty when none):
+    * validates the default folds to a constant literal of the column's own
+    * type, then stores EXISTS_DEFAULT (standard metadata, observability) and
+    * the Avro default JSON ([[AddDefaultKey]]) the reader schema emits so
+    * files written BEFORE the column existed materialize the constant.
+    * CURRENT_DEFAULT (Spark's analyzer filling INSERTs that omit the column)
+    * is stored for top-level columns only — the analyzer never fills nested
+    * fields, so a nested CURRENT_DEFAULT would be a dead promise. */
+  private[sources] def declaredDefaultMetadata(
+      name: String, add: TableChange.AddColumn,
+      withCurrentDefault: Boolean): org.apache.spark.sql.types.Metadata =
+    Option(add.defaultValue()) match {
+      case None => org.apache.spark.sql.types.Metadata.empty
+      case Some(dv) =>
+        val lit = dv.getValue
+        require(lit != null,
+          s"graft catalog: ADD COLUMN '$name' DEFAULT must fold to a " +
+            "constant literal")
+        require(org.apache.spark.sql.graft.Shims.sameType(
+            StructType(Seq(org.apache.spark.sql.types.StructField("d", lit.dataType))),
+            StructType(Seq(org.apache.spark.sql.types.StructField("d", add.dataType)))),
+          s"graft catalog: ADD COLUMN '$name' DEFAULT literal type " +
+            s"${lit.dataType.simpleString} does not match the column type " +
+            add.dataType.simpleString)
+        val sqlText = Option(dv.getSql).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            lit.value, lit.dataType).sql)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        if (withCurrentDefault) mb.putString("CURRENT_DEFAULT", sqlText)
+        mb.putString("EXISTS_DEFAULT", sqlText)
+          .putString(AddDefaultKey, avroDefaultJson(lit))
+          .build()
+    }
+
   /** Options key holding the table's CHECK constraints (X82) as a JSON
     * array of {name, sql, enforced, rely, status}. CHECK is the one
     * constraint family a file engine can enforce honestly — per-row, at
@@ -1341,8 +1360,24 @@ private[sources] object GraftCatalog {
           val inner = decorateDeep(f.schema, sf.dataType)
           val withAlias = f.copy(schema = inner,
             aliases = (f.aliases ++ renamedFrom(sf)).distinct)
-          f.schema match {
-            case u: graft.avro.AUnion if u.isNullable && f.default.isEmpty =>
+          // a nested ADD COLUMN's declared DEFAULT (existence default):
+          // pre-ALTER files materialize the constant at depth, same
+          // union-reorder rule as the top level (an Avro union default
+          // must conform to the FIRST branch)
+          val declared: Option[com.fasterxml.jackson.databind.JsonNode] =
+            if (sf.metadata.contains(AddDefaultKey))
+              Some(new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(sf.metadata.getString(AddDefaultKey)))
+            else None
+          (declared, withAlias.schema) match {
+            case (Some(d), u: graft.avro.AUnion) if u.isNullable && !d.isNull =>
+              withAlias.copy(
+                schema = graft.avro.AUnion(
+                  u.branches.filterNot(_ == graft.avro.ANull) :+ graft.avro.ANull),
+                default = Some(d))
+            case (Some(d), _) => withAlias.copy(default = Some(d))
+            case (None, u: graft.avro.AUnion)
+                if u.isNullable && f.default.isEmpty =>
               withAlias.copy(default = Some(
                 com.fasterxml.jackson.databind.node.NullNode.getInstance()))
             case _ => withAlias

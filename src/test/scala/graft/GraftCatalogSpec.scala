@@ -850,4 +850,74 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("previous name"), e3.getMessage)
   }
+
+  test("nested ADD COLUMN DEFAULT: pre-ALTER files materialize the " +
+      "constant at depth (existence default), zero rewrite") {
+    spark.sql(
+      """CREATE TABLE g.corpus.nestdef
+        |(id BIGINT, info STRUCT<score: DOUBLE, tag: STRING>)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql(
+      "INSERT INTO g.corpus.nestdef VALUES (1, named_struct('score', 0.5d, 'tag', 'a'))")
+    val filesBefore = {
+      val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath, "corpus/nestdef")
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.sources.OcfSnapshots.latest(fs, root).get.files
+        .filter(_.isData).map(f => f.path -> f.len).toSet
+    }
+    spark.sql(
+      "ALTER TABLE g.corpus.nestdef ADD COLUMN info.qual STRING DEFAULT 'unscored'")
+    spark.sql(
+      "ALTER TABLE g.corpus.nestdef ADD COLUMN info.rank BIGINT DEFAULT 7")
+    // post-ALTER writes carry the struct's full shape explicitly; an
+    // explicit null STAYS null — the default is an existence default
+    // (Iceberg initial-default), not a write-time rewrite
+    spark.sql("INSERT INTO g.corpus.nestdef VALUES (2, named_struct(" +
+      "'score', 0.9d, 'tag', 'b', 'qual', 'gold', 'rank', 1L))")
+    spark.sql("INSERT INTO g.corpus.nestdef VALUES (3, named_struct(" +
+      "'score', 0.1d, 'tag', 'c', 'qual', CAST(NULL AS STRING), 'rank', 2L))")
+    val rows = spark.sql(
+      "SELECT id, info.qual, info.rank FROM g.corpus.nestdef ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("<null>"), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "unscored", 7L), (2L, "gold", 1L),
+      (3L, "<null>", 2L)), rows.toString)
+    // filters on the defaulted nested field work across eras — the
+    // pre-ALTER row is FOUND by its materialized constant, incl. grouping
+    assert(spark.sql(
+      "SELECT count(*) FROM g.corpus.nestdef WHERE info.qual = 'unscored'")
+      .collect()(0).getLong(0) == 1L)
+    val grouped = spark.sql(
+      "SELECT info.rank AS r, count(*) AS n FROM g.corpus.nestdef GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(grouped == Seq((1L, 1L), (2L, 1L), (7L, 1L)), grouped.toString)
+    // zero rewrite: the pre-ALTER file is byte-identical
+    val root = new org.apache.hadoop.fs.Path(warehouse.getAbsolutePath, "corpus/nestdef")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val after = graft.sources.OcfSnapshots.latest(fs, root).get.files
+      .filter(_.isData).map(f => f.path -> f.len).toSet
+    assert(filesBefore.subsetOf(after))
+    // post-ALTER writes may not omit the field (Spark's struct-shape
+    // check, the reason nested CURRENT_DEFAULT is deliberately absent)
+    val e1 = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO g.corpus.nestdef VALUES (4, named_struct('score', 0.2d, 'tag', 'd'))")
+    }
+    assert(e1.getMessage.contains("missing fields") ||
+      e1.getMessage.contains("INCOMPATIBLE_DATA"), e1.getMessage)
+    // a non-foldable / mis-typed DEFAULT refuses at DDL time
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE g.corpus.nestdef ADD COLUMN info.bad BIGINT DEFAULT 'oops'")
+    }
+    assert(e2.getMessage.contains("INVALID_DEFAULT_VALUE") ||
+      e2.getMessage.contains("DEFAULT literal type"), e2.getMessage)
+    // an unsupported default SHAPE (no primitive Avro form) refuses too
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE g.corpus.nestdef ADD COLUMN info.ts TIMESTAMP " +
+        "DEFAULT TIMESTAMP '2024-01-01 00:00:00'")
+    }
+    assert(e3.getMessage.contains("is not supported") ||
+      e3.getMessage.contains("INVALID_DEFAULT_VALUE"), e3.getMessage)
+  }
 }
