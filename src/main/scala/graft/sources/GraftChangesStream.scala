@@ -57,7 +57,8 @@ final class GraftChangesSource extends TableProvider with DataSourceRegister {
       Option(opts.get("startingVersion")).map(_.toLong),
       Option(opts.get("maxVersionsPerTrigger")).map(_.toInt),
       Option(opts.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(opts.get("splitSize")).map(_.toLong))
+      Option(opts.get("splitSize")).map(_.toLong),
+      updateImages = Option(opts.get("updateImages")).exists(_.toBoolean))
   }
 }
 
@@ -147,7 +148,8 @@ private[sources] final class GraftChangesTable(
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     splitSizeOpt: Option[Long] = None,
-    tableName: Option[String] = None)
+    tableName: Option[String] = None,
+    updateImages: Boolean = false)
     extends Table with SupportsRead {
   require(maxVersionsPerTrigger.forall(_ > 0),
     "graft-ocf-changes: maxVersionsPerTrigger must be positive")
@@ -168,6 +170,12 @@ private[sources] final class GraftChangesTable(
         // scan-level options override the table-level ones, so
         // `readStream.option("startingVersion", v).table("g.ns.t.changes")`
         // works — a catalog metadata table has no table-level options
+        // `updateImages=true` (X104) pairs an upsert commit's delete+insert
+        // rows sharing a key into update_preimage/update_postimage
+        private def pairUpdates: Boolean =
+          Option(options.get("updateImages")).map(_.toBoolean)
+            .getOrElse(updateImages)
+
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangesMicroBatchStream(dir, readerJson, partSchema,
             Option(options.get("startingVersion")).map(_.toLong)
@@ -178,7 +186,8 @@ private[sources] final class GraftChangesTable(
             Option(options.get("maxFilesPerTrigger")).map(_.toInt)
               .orElse(maxFilesPerTrigger),
             Option(options.get("splitSize")).map(_.toLong)
-              .orElse(splitSizeOpt))
+              .orElse(splitSizeOpt),
+            pairUpdates = pairUpdates)
 
         // BATCH read (X101, the `.changes` metadata table / a batch
         // format load): one planner walk over [startingVersion, ending].
@@ -214,7 +223,8 @@ private[sources] final class GraftChangesTable(
               org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
                 org.apache.spark.sql.SparkSession.active.conf
                   .get("spark.sql.files.maxPartitionBytes", "128MB")))
-          GraftChangesPlanner.plan(root, c, partSchema, splitSize, sv, ev)
+          GraftChangesPlanner.plan(root, c, partSchema, splitSize, sv, ev,
+            pairUpdates = pairUpdates)
         }
         override def createReaderFactory(): PartitionReaderFactory =
           GraftChangesReaderFactory(readerJson, partSchema,
@@ -243,6 +253,13 @@ private[sources] final case class GraftChangesPartition(
     skipEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
     emitPos: Seq[OcfDataSource.OcfFileMeta] = Nil,
     emitEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    // UPDATE pairing (X104, `updateImages=true`): for an equality-driven
+    // delete part, the commit's NEW data files (a killed key found there
+    // re-emits as update_preimage); for an insert part, the commit's
+    // burdened old files + skip state (an inserted key that killed a
+    // visible row re-emits as update_postimage). Empty = no pairing.
+    pairNewData: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    pairOld: Seq[GraftPairOldFile] = Nil,
     // identity partition values (raw path strings, aligned with the
     // source's partition schema) — per-file constants, like any scan
     partValues: Array[String] = Array.empty,
@@ -265,12 +282,41 @@ private[sources] final case class GraftChangesReaderFactory(
         else OcfPartitions.castPartValue(p.partValues(i),
           partSchema.fields(i).dataType)).toArray[Any] ++
       Array[Any](UTF8String.fromString(p.changeType), p.version))
-    new OcfSplitReader(p.meta,
+    val inner = new OcfSplitReader(p.meta,
       p.start, if (p.end < 0L) p.meta.len else p.end,
       readerJson, wrap = false,
       conf.value, partRow = appended,
       deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
       emitOnlyPosFiles = p.emitPos, emitOnlyEqFiles = p.emitEq)
+    // UPDATE pairing (X104): a per-row classifier over the part's pairing
+    // key sets flips the change tag in the appended row — the data row
+    // passes through untouched, so pairing costs one hash probe per row
+    val pairGroups: Array[OcfSplitReader.EqGroup] =
+      if (p.pairNewData.nonEmpty && p.emitEq.nonEmpty)
+        GraftChangePairing.newDataKeyGroups(p.emitEq, p.pairNewData,
+          readerJson, conf.value)
+      else if (p.pairOld.nonEmpty)
+        GraftChangePairing.oldKeyGroups(p.pairOld, readerJson, conf.value)
+      else Array.empty
+    if (pairGroups.isEmpty) inner
+    else new PartitionReader[InternalRow] {
+      private val slot = partSchema.fields.length // _change_type ordinal
+      private val base = UTF8String.fromString(p.changeType)
+      private val paired = UTF8String.fromString(
+        if (p.changeType == "delete") GraftChangePairing.PreImage
+        else GraftChangePairing.PostImage)
+      override def next(): Boolean = {
+        val has = inner.next()
+        if (has)
+          appended.update(slot,
+            if (GraftChangePairing.matches(pairGroups, inner.get())) paired
+            else base)
+        has
+      }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+      override def currentMetricsValues() = inner.currentMetricsValues()
+    }
   }
 }
 
@@ -280,7 +326,8 @@ private[graft] final class GraftChangesMicroBatchStream(
     conf: Configuration,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    splitSizeOpt: Option[Long] = None)
+    splitSizeOpt: Option[Long] = None,
+    pairUpdates: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -392,7 +439,8 @@ private[graft] final class GraftChangesMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GraftChangesPlanner.plan(root, conf, partSchema, splitSize,
       start.asInstanceOf[GraftChangesOffset].version,
-      end.asInstanceOf[GraftChangesOffset].version)
+      end.asInstanceOf[GraftChangesOffset].version,
+      pairUpdates = pairUpdates)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangesReaderFactory(readerJson, partSchema,
@@ -412,7 +460,8 @@ private[sources] object GraftChangesPlanner {
   private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
 
   def plan(root: Path, conf: Configuration, partSchema: StructType,
-           splitSize: Long, sv: Long, ev: Long): Array[InputPartition] = {
+           splitSize: Long, sv: Long, ev: Long,
+           pairUpdates: Boolean = false): Array[InputPartition] = {
     val fs = root.getFileSystem(conf)
     val qualRoot = fs.makeQualified(root)
     def metaOf(sf: OcfSnapshots.SnapFile): OcfDataSource.OcfFileMeta = {
@@ -477,14 +526,6 @@ private[sources] object GraftChangesPlanner {
             }
           }
         }
-        // inserts: files new at v — nothing burdens a file in its own commit
-        cur.files.filter(f => f.isData && !prevByPath.contains(f.path))
-          .foreach(f => addSplit(GraftChangesPartition(metaOf(f), "insert", v,
-            partValues = partVals(f))))
-        // deletes from new POSITION-delete files: targets visible before v
-        // (a same-commit target's rows surface through its insert part,
-        // already filtered by the commit's own deletes... which cannot
-        // exist for a same-commit file; mirror the batch feed's rule)
         // prior equality deletes applicable to a data file, SCOPED by the
         // file's manifest-inline key bounds ([[OcfEqScope]]) — a refuted
         // delete file provably killed none of its rows
@@ -492,6 +533,59 @@ private[sources] object GraftChangesPlanner {
           prev.files.filter(e => e.isEqualityDelete && f.seq < e.seq &&
             OcfEqScope.mayBurdenFile(f, qualRoot,
               OcfEqScope.summaryFor(metaOf(e), conf), conf))
+        val newData = cur.files.filter(f =>
+          f.isData && !prevByPath.contains(f.path))
+        // new EQUALITY-delete burden set, computed BEFORE the insert parts
+        // so pairing (X104) can hand each insert part the commit's burdened
+        // old files: every previously visible data file born before the new
+        // deletes re-reads in emit-only-matching mode, with the PRE-commit
+        // delete state as the survival filter. Burden SCOPING
+        // ([[OcfEqScope]]): files whose key bounds admit none of the
+        // commit's keys are skipped — the seq rule alone re-reads ~the
+        // whole pre-commit table per upsert trigger.
+        val newEq = cur.files.filter(f =>
+          f.isEqualityDelete && !prevByPath.contains(f.path))
+        val burdened: Seq[(OcfSnapshots.SnapFile,
+            Seq[OcfDataSource.OcfFileMeta], Seq[OcfDataSource.OcfFileMeta],
+            Seq[OcfDataSource.OcfFileMeta])] =
+          if (newEq.isEmpty) Nil
+          else {
+            val newEqInfos = newEq.map { e =>
+              val m = metaOf(e)
+              (e.seq, m, OcfEqScope.summaryFor(m, conf))
+            }
+            prev.files.filter(_.isData).flatMap { f =>
+              val burdening = newEqInfos.collect {
+                case (eseq, m, sum) if f.seq < eseq &&
+                  OcfEqScope.mayBurdenFile(f, qualRoot, sum, conf) => m }
+              if (burdening.isEmpty) None
+              else {
+                val oldPos = prev.files.filter(d =>
+                  d.isPositionDelete && d.deleteOf.contains(f.path))
+                Some((f, oldPos.map(metaOf), priorEq(f).map(metaOf), burdening))
+              }
+            }
+          }
+        // UPDATE pairing (X104): only a commit that both killed keys and
+        // inserted data can pair — hand the delete parts the new data
+        // files and the insert parts the burdened-old-file specs
+        val pairNew: Seq[OcfDataSource.OcfFileMeta] =
+          if (pairUpdates && newEq.nonEmpty && newData.nonEmpty)
+            newData.map(metaOf)
+          else Nil
+        val pairOldSpecs: Seq[GraftPairOldFile] =
+          if (pairNew.nonEmpty)
+            burdened.map { case (f, sp, se, em) =>
+              GraftPairOldFile(metaOf(f), sp, se, em) }
+          else Nil
+        // inserts: files new at v — nothing burdens a file in its own commit
+        newData.foreach(f => addSplit(GraftChangesPartition(metaOf(f),
+          "insert", v, partValues = partVals(f), pairOld = pairOldSpecs)))
+        // deletes from new POSITION-delete files: targets visible before v
+        // (a same-commit target's rows surface through its insert part,
+        // already filtered by the commit's own deletes... which cannot
+        // exist for a same-commit file; mirror the batch feed's rule).
+        // Never paired — position deletes name ordinals, not keys.
         val newPos = cur.files.filter(f =>
           f.isPositionDelete && !prevByPath.contains(f.path))
         newPos.groupBy(_.deleteOf.get).foreach { case (target, dels) =>
@@ -506,31 +600,12 @@ private[sources] object GraftChangesPlanner {
               emitPos = dels.map(metaOf), partValues = partVals(t))
           }
         }
-        // deletes from new EQUALITY-delete files: every previously visible
-        // data file born before them re-reads in emit-only-matching mode,
-        // with the PRE-commit delete state as the survival filter. Burden
-        // SCOPING ([[OcfEqScope]]): files whose key bounds admit none of
-        // the commit's keys are skipped — the seq rule alone re-reads ~the
-        // whole pre-commit table per upsert trigger.
-        val newEq = cur.files.filter(f =>
-          f.isEqualityDelete && !prevByPath.contains(f.path))
-        if (newEq.nonEmpty) {
-          val newEqInfos = newEq.map { e =>
-            val m = metaOf(e)
-            (e.seq, m, OcfEqScope.summaryFor(m, conf))
-          }
-          prev.files.filter(_.isData).foreach { f =>
-            val burdening = newEqInfos.collect {
-              case (eseq, m, sum) if f.seq < eseq &&
-                OcfEqScope.mayBurdenFile(f, qualRoot, sum, conf) => m }
-            if (burdening.nonEmpty) {
-              val oldPos = prev.files.filter(d =>
-                d.isPositionDelete && d.deleteOf.contains(f.path))
-              addSplit(GraftChangesPartition(metaOf(f), "delete", v,
-                skipPos = oldPos.map(metaOf), skipEq = priorEq(f).map(metaOf),
-                emitEq = burdening, partValues = partVals(f)))
-            }
-          }
+        // deletes from the new equality-delete files' burden set
+        burdened.foreach { case (f, oldPos, skipEq, burdening) =>
+          addSplit(GraftChangesPartition(metaOf(f), "delete", v,
+            skipPos = oldPos, skipEq = skipEq,
+            emitEq = burdening, partValues = partVals(f),
+            pairNewData = pairNew))
         }
       }
       prev = cur

@@ -212,4 +212,48 @@ class ApplyChangesSpec extends AnyFunSuite {
     }
     assert(e2.getMessage != null)
   }
+
+  test("a mirror built from the PAIRED feed (updateImages=true) is " +
+      "row-identical to one built from the unpaired feed (X104)") {
+    val srcDir = srcTableWithHistory("ac6")
+    def mirrorOf(pair: Boolean): Seq[(Long, String)] = {
+      val mirror = tempDir(s"graft-apply-mirror6-$pair")
+      val ckpt = tempDir(s"graft-apply-ck6-$pair")
+      val q = spark.readStream.format("graft-ocf-changes")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .option("updateImages", pair.toString)
+        .load(srcDir)
+        .select(col("id"), col("v"), col("_change_type"))
+        .writeStream.format("graft-ocf")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .option("graft.snapshots", "true")
+        .option("upsertKeys", "id")
+        .option("changeColumn", "_change_type")
+        .outputMode("append")
+        .start(mirror.getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+      sortedRows(spark.read.format("graft-ocf").load(mirror.getAbsolutePath))
+    }
+    val paired = mirrorOf(true)
+    val plain = mirrorOf(false)
+    val src = sortedRows(spark.table("gac.ns.ac6"))
+    assert(paired == src, s"paired mirror diverged: ${paired.diff(src)}")
+    assert(paired == plain)
+    // the paired STREAM really carried image types (the sink consumed
+    // preimage=no-op / postimage=upsert, not delete+insert)
+    spark.catalog.dropTempView("gac_ac6_feed")
+    val ckpt2 = tempDir("graft-apply-ck6-mem")
+    val q2 = spark.readStream.format("graft-ocf-changes")
+      .option("startingVersion", "0").option("updateImages", "true")
+      .load(srcDir)
+      .writeStream.format("memory").queryName("gac_ac6_feed")
+      .option("checkpointLocation", ckpt2.getAbsolutePath).start()
+    try q2.processAllAvailable() finally q2.stop()
+    import spark.implicits._
+    val types = spark.table("gac_ac6_feed").select("_change_type")
+      .as[String].collect().toSet
+    assert(types.contains("update_preimage") &&
+      types.contains("update_postimage"), types.toString)
+  }
 }

@@ -159,4 +159,47 @@ class ChangesTableSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("removed or replaced"), e.getMessage)
   }
+
+  test("updateImages=true pairs an upsert's delete+insert sharing a key " +
+      "as update_preimage/update_postimage (X104)") {
+    import spark.implicits._
+    history("ct8") // v1: 50 inserts; v2: 5 position deletes; v3: upsert 7+99
+    // v4: a pure key-delete (apply-changes row, eq-delete with NO insert)
+    val loc = new java.io.File(warehouse, "ns/ct8").getAbsolutePath
+    Seq((12L, "x", "delete")).toDF("id", "v", "_ct").write
+      .format("graft-ocf").mode("append")
+      .option("upsertKeys", "id").option("changeColumn", "_ct").save(loc)
+    val paired = spark.read.option("updateImages", "true")
+      .table("gct.ns.ct8.changes")
+      .select($"_commit_version", $"_change_type", $"id", $"v")
+      .as[(Long, String, Long, String)].collect().toSeq
+    val byVerType = paired.groupBy(e => (e._1, e._2)).view.mapValues(_.length)
+    assert(byVerType((1L, "insert")) == 50)
+    // v2 position deletes are NEVER paired (ordinals, not keys)
+    assert(byVerType((2L, "delete")) == 5)
+    assert(!byVerType.contains((2L, "update_preimage")))
+    // v3: key 7 existed (one UPDATE pair); key 99 is fresh (plain insert)
+    assert(paired.filter(_._1 == 3L).map(e => (e._2, e._3, e._4)).sorted ==
+      Seq(("insert", 99L, "NEW99"), ("update_postimage", 7L, "UPD7"),
+        ("update_preimage", 7L, "v7")))
+    // v4: a killed key with no re-insert stays a plain delete
+    assert(paired.filter(_._1 == 4L).map(e => (e._2, e._3)) ==
+      Seq(("delete", 12L)))
+    // the default read is unchanged: delete+insert, no image types
+    val plain = spark.table("gct.ns.ct8.changes")
+      .select("_change_type").as[String].collect().toSet
+    assert(plain == Set("insert", "delete"), plain.toString)
+    // and the paired feed is the same multiset of DATA rows — only the
+    // tags differ (preimage<->delete, postimage<->insert)
+    def normalized(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_change_type",
+          when($"_change_type" === "update_preimage", "delete")
+            .when($"_change_type" === "update_postimage", "insert")
+            .otherwise($"_change_type"))
+        .select("_commit_version", "_change_type", "id", "v")
+        .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(normalized(spark.read.option("updateImages", "true")
+        .table("gct.ns.ct8.changes")) ==
+      normalized(spark.table("gct.ns.ct8.changes")))
+  }
 }
