@@ -183,8 +183,23 @@ private[graft] final class OcfColumnarSplitReader(
     conf: Configuration,
     limit: Long = Long.MaxValue, aligned: Boolean = false,
     appended: Array[(DataType, Any)] = Array.empty,
-    batchSize: Int = 4096)
+    batchSize: Int = 4096,
+    // MoR deletes (X105): position-delete ordinals SKIP-decode (the wire
+    // walks forward without touching the vectors), equality-deleted rows
+    // decode into slot n and the slot is simply not advanced — the next
+    // surviving row overwrites it. A MoR-burdened table thus vectorizes
+    // like a clean one instead of dragging the whole scan onto the row
+    // lane. `readerJson` binds the equality keys' vector ordinals.
+    readerJson: String = null,
+    deleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
     extends PartitionReader[ColumnarBatch] {
+
+  // position ordinals count raw datums from block 0 — the planner plans
+  // burdened files as one whole-file split (OcfScan), same as the row lane
+  require(deleteFiles.isEmpty || (start == 0L && !aligned),
+    s"graft-ocf: positional columnar read of ${meta.path} must scan the " +
+      s"whole file (got split [$start, $end), aligned=$aligned)")
 
   private val hPath = new Path(meta.path)
   private val in = hPath.getFileSystem(conf).open(hPath)
@@ -197,6 +212,24 @@ private[graft] final class OcfColumnarSplitReader(
               else OcfBlocks.syncScan(in, meta.sync, meta.len, start, end)
       (c, b)
     } catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+
+  private val deletedPos: Array[Long] =
+    try OcfSplitReader.loadDeletePositions(deleteFiles, conf)
+    catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+  private var delIdx = 0
+  private var rawPos = 0L
+
+  private val eqGroups: Array[OcfSplitReader.EqGroup] =
+    try OcfSplitReader.loadEqualityFilters(eqDeleteFiles, readerJson, conf)
+    catch {
       case t: Throwable =>
         try in.close() catch { case s: Throwable => t.addSuppressed(s) }
         throw t
@@ -248,14 +281,63 @@ private[graft] final class OcfColumnarSplitReader(
         else loadBlock()
       }
       if (!done && remaining > 0L) {
-        decodeRow(n)
+        val p = rawPos
+        rawPos += 1L
+        if (delIdx < deletedPos.length && deletedPos(delIdx) == p) {
+          delIdx += 1
+          skipRow() // position-deleted ordinal: wire walked, vectors untouched
+        } else {
+          decodeRow(n)
+          if (eqGroups.length == 0 || !equalityDeleted(n)) {
+            emitted += 1L
+            n += 1
+          } // else: slot n is simply reused by the next surviving row
+        }
         remaining -= 1L
-        emitted += 1L
-        n += 1
       }
     }
     if (n == 0) false
     else { batch.setNumRows(n); true }
+  }
+
+  /** Key probe of the just-decoded row at slot `row` — the vectors ARE the
+    * decoded values, so the probe reads them back through the batch's row
+    * view (EqGroup ordinals are reader-field ordinals = vector indices). */
+  private def equalityDeleted(row: Int): Boolean = {
+    batch.setNumRows(row + 1) // getRow bounds-checks; final count set later
+    val r = batch.getRow(row)
+    var i = 0
+    while (i < eqGroups.length) {
+      if (eqGroups(i).matches(r)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Walk one datum forward without touching the vectors (a
+    * position-deleted ordinal still occupies wire bytes). */
+  private def skipRow(): Unit = {
+    var j = 0
+    while (j < plan.length) {
+      val step = plan(j)
+      val isNull = step.nullable && bin.readLong().toInt == step.nullBranch
+      if (!isNull) skipValue(step.wire)
+      j += 1
+    }
+  }
+
+  private def skipValue(wire: AvroSchema): Unit = wire match {
+    case AInt | ALong | ADate(_) | ATimeMillis(_) | ATimeMicros(_) |
+         ATimestampMillis(_) | ATimestampMicros(_) => bin.skipLong()
+    case AFloat => bin.skip(4L)
+    case ADouble => bin.skip(8L)
+    case ABoolean => bin.skip(1L)
+    case AString | ABytes | AUuid(_) => bin.skipBytes()
+    case d: ADecimal => d.underlying.physical match {
+      case f: AFixed => bin.skip(f.size.toLong)
+      case _ => bin.skipBytes()
+    }
+    case other => throw new IllegalStateException(s"not flat: $other")
   }
 
   private def decodeRow(row: Int): Unit = {
@@ -271,20 +353,12 @@ private[graft] final class OcfColumnarSplitReader(
         }
       }
       if (!isNull) {
-        if (step.target < 0) step.wire match {
-          case AInt | ALong | ADate(_) | ATimeMillis(_) | ATimeMicros(_) |
-               ATimestampMillis(_) | ATimestampMicros(_) => bin.skipLong()
-          case AFloat => bin.skip(4L)
-          case ADouble => bin.skip(8L)
-          case ABoolean => bin.skip(1L)
-          case AString | ABytes | AUuid(_) => bin.skipBytes()
-          case d: ADecimal => d.underlying.physical match {
-            case f: AFixed => bin.skip(f.size.toLong)
-            case _ => bin.skipBytes()
-          }
-          case other => throw new IllegalStateException(s"not flat: $other")
-        } else {
+        if (step.target < 0) skipValue(step.wire)
+        else {
           val v = vectors(step.target)
+          // an equality-deleted row's slot is REUSED by the next surviving
+          // row: putX does not clear a stale null bit, so clear it here
+          if (step.nullable && eqGroups.length > 0) v.putNotNull(row)
           step.wire match {
             case AInt | ADate(_) | ATimeMillis(_) =>
               v.putInt(row, bin.readLong().toInt)

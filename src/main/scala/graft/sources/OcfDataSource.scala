@@ -1953,13 +1953,14 @@ private[graft] final case class OcfScan(
         }.toMap
       // vectorized fast lane (X91): flat all-primitive reader schema and a
       // positional wire plan for EVERY planned file (identity, pruned
-      // subsets, plain-writer-under-nullable-reader), no positional
-      // semantics — everything else rides the row reader. Partition values
-      // and `_file` are per-split CONSTANTS and ride as constant vectors;
-      // `_pos` and deletes are per-ROW semantics and stay row-lane.
+      // subsets, plain-writer-under-nullable-reader) — everything else
+      // rides the row reader. Partition values and `_file` are per-split
+      // CONSTANTS and ride as constant vectors; MoR position/equality
+      // deletes vectorize too (X105: skip-decode / slot-reuse in
+      // [[OcfColumnarSplitReader]]), so a burdened table keeps the lane.
+      // `_pos` emission stays row-lane (a per-row ordinal output column).
       val cf: Option[Array[OcfColumnar.Field]] =
-        if (!columnarEnabled || wrap ||
-            withPos || delByIdx.nonEmpty || eqByIdx.nonEmpty) None
+        if (!columnarEnabled || wrap || withPos) None
         else OcfColumnar.fieldsFor(readerJson).filter(rf =>
           files.forall(m =>
             OcfColumnar.wirePlanFor(m.writerSchemaJson, rf).isDefined))
@@ -2185,7 +2186,10 @@ private[sources] final case class OcfReaderFactory(
       appended(k) = (org.apache.spark.sql.types.StringType,
         org.apache.spark.unsafe.types.UTF8String.fromString(meta.path))
     new OcfColumnarSplitReader(meta, p.start, p.end,
-      columnarFields.get, plan, conf.value, limit, p.aligned, appended)
+      columnarFields.get, plan, conf.value, limit, p.aligned, appended,
+      readerJson = readerJson,
+      deleteFiles = deletes.getOrElse(p.fileIndex, Nil),
+      eqDeleteFiles = eqDeletes.getOrElse(p.fileIndex, Nil))
   }
 }
 

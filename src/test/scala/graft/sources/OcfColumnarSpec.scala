@@ -382,4 +382,74 @@ class OcfColumnarSpec extends AnyFunSuite {
         |{"name":"d","type":{"type":"bytes","logicalType":"decimal",
         |"precision":44,"scale":2}}]}""".stripMargin).isEmpty)
   }
+
+  test("MoR position- and equality-deleted tables stay on the columnar " +
+      "lane; results bit-equal the row lane (X105)") {
+    import spark.implicits._
+    val wh = tempDir("graft-col-mor-wh")
+    spark.conf.set("spark.sql.catalog.gcolm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcolm.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcolm.ns")
+
+    // POSITION deletes: DELETE FROM under merge-on-read
+    spark.sql(
+      """CREATE TABLE gcolm.ns.pos (id BIGINT, v STRING)
+        |USING `graft-ocf`
+        |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    (0L until 3000L).map(i => (i, if (i % 5 == 0) null else s"v$i"))
+      .toDF("id", "v").coalesce(1).writeTo("gcolm.ns.pos").append()
+    spark.sql("DELETE FROM gcolm.ns.pos WHERE id % 7 = 2")
+    val posCol = spark.read.table("gcolm.ns.pos")
+    assert(isColumnar(posCol), posCol.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1).toSeq
+    val posRows = spark.read.option("columnar", "false").table("gcolm.ns.pos")
+    val a = canon(posCol)
+    assert(a == canon(posRows))
+    assert(!a.exists(_._1 % 7 == 2) &&
+      a.length == (0L until 3000L).count(_ % 7 != 2))
+    assert(a.exists(_._2 == null)) // nulls survive the skip walk
+
+    // EQUALITY deletes (upserts): old generations drop on the lane, and a
+    // killed NULL row's slot reused by a non-null survivor must not leak
+    // the stale null bit (id=15 null+killed; id=16 "v16" reuses its slot)
+    spark.sql(
+      """CREATE TABLE gcolm.ns.eq (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id')""".stripMargin)
+    (0L until 3000L).map(i => (i, if (i % 5 == 0) null else s"v$i"))
+      .toDF("id", "v").coalesce(1).writeTo("gcolm.ns.eq").append()
+    (0L until 3000L by 3).map(i => (i, s"upd$i")).toDF("id", "v")
+      .coalesce(1).writeTo("gcolm.ns.eq").option("upsertKeys", "id").append()
+    val eqCol = spark.read.table("gcolm.ns.eq")
+    assert(isColumnar(eqCol), eqCol.queryExecution.executedPlan.toString)
+    val eqRows = spark.read.option("columnar", "false").table("gcolm.ns.eq")
+    val b = canon(eqCol)
+    assert(b == canon(eqRows))
+    assert(b.length == 3000)
+    val byId = b.toMap
+    assert(byId(15L) == "upd15") // killed null row replaced by the upsert
+    assert(byId(16L) == "v16")   // slot-reuse survivor: stale-null pin
+    assert(byId(20L) == null)    // genuine surviving null stays null
+    assert(byId(3L) == "upd3" && byId(4L) == "v4")
+    // split-legal: equality filters are stateless per row, so the burdened
+    // file still SPLITS on the columnar lane
+    val split = spark.read.option("splitSize", "16384").table("gcolm.ns.eq")
+    assert(isColumnar(split))
+    assert(canon(split) == b)
+    // pushed limit counts SURVIVORS on the burdened columnar read
+    assert(spark.read.table("gcolm.ns.eq").limit(10).collect().length == 10)
+
+    // both delete kinds together: position-delete the upserted table
+    spark.sql("ALTER TABLE gcolm.ns.eq SET TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    spark.sql("DELETE FROM gcolm.ns.eq WHERE id % 11 = 1")
+    val both = spark.read.table("gcolm.ns.eq")
+    assert(isColumnar(both), both.queryExecution.executedPlan.toString)
+    val c = canon(both)
+    assert(c == canon(spark.read.option("columnar", "false")
+      .table("gcolm.ns.eq")))
+    assert(!c.exists(_._1 % 11 == 1) &&
+      c.length == (0L until 3000L).count(_ % 11 != 1))
+  }
 }
