@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (X92) as a micro-batch source. The offset IS the table version, so a
   * checkpointed stream resumes exactly at its last committed commit; each
   * micro-batch covers the newly committed versions and emits their rows
-  * tagged `_change_type` ('insert'|'delete') and `_commit_version`.
+  * tagged `_change_type` ('insert'|'delete'; with `updateImages=true` an
+  * upsert's paired rows re-tag 'update_preimage'/'update_postimage', X104)
+  * and `_commit_version`.
   *
   * The same exact-or-refuse contract as the batch feed, enforced at the
   * trigger that first observes the offending commit:

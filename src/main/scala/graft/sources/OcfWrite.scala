@@ -1798,8 +1798,29 @@ object OcfMaintenance {
     require(zcols.isEmpty || bucketPartitions.isEmpty,
       "graft-ocf compact: zorderColumns is not supported on a bucketed " +
         "layout (rows re-route per bucket, interleaving the z-order)")
+    // bucketed relayout: the path write has no function catalog to CLUSTER
+    // on bucket(n, cols), and the sink keeps ONE open file, sealing on
+    // every directory change — unsorted input would seal a file per bucket
+    // RUN (thousands of tiny files from one compact). Route locally
+    // instead: compute the engine-owned bucket id and sort each coalesced
+    // task's rows by it, so a task seals at most numBuckets files. The udf
+    // is maintenance-side row routing with no built-in equivalent (the
+    // bucket hash is the engine's own FNV/splitmix).
+    val clustered = bucketPartitions match {
+      case Some((cols, n, _)) if zcols.isEmpty =>
+        val dts = cols.map(c => df.schema.fields
+          .find(_.name.equalsIgnoreCase(c)).get.dataType).toArray
+        val route = org.apache.spark.sql.functions.udf(
+          (r: org.apache.spark.sql.Row) => OcfBucket.idOfValues(
+            Array.tabulate[Any](r.length)(r.get), dts, n))
+        val rcol = "__graft_bucket_route"
+        df.withColumn(rcol, route(org.apache.spark.sql.functions.struct(
+            cols.map(df.col): _*)))
+          .coalesce(parts).sortWithinPartitions(rcol).drop(rcol)
+      case _ => df.coalesce(parts)
+    }
     var w = (if (zcols.nonEmpty) graft.ops.Layout.zorderBy(df, parts, zcols: _*)
-             else df.coalesce(parts))
+             else clustered)
       .write.format("graft-ocf").mode("overwrite")
       .option("codec", codec)
       .option("maxBytesPerFile", targetBytes.toString)
