@@ -1864,6 +1864,55 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // CDF update pairing (X104, opt-in): `updateImages=true` re-tags an
+    // upsert commit's delete+insert rows sharing a key as update_preimage/
+    // update_postimage (Delta CDF parity) — a killed key with no re-insert
+    // stays 'delete', a fresh key stays 'insert'. The per-commit change
+    // aggregate must reconstruct each commit under the paired taxonomy.
+    "q118_update_pairing" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q118",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q118_wh_")
+      s.conf.set("spark.sql.catalog.graft_q118.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q118.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q118.corpus.docs")
+      s.sql(
+        """CREATE TABLE graft_q118.corpus.docs
+          |(doc_id BIGINT, source STRING, n_chars BIGINT)
+          |USING `graft-ocf` OPTIONS (statsColumns 'doc_id')""".stripMargin)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("n_chars"))
+      src.createOrReplaceTempView("graft_q118_src")
+      s.sql("INSERT INTO graft_q118.corpus.docs SELECT * FROM graft_q118_src") // v1
+      // v2: ONE upsert batch mixing updates of existing keys (doc_id%6=1)
+      // with fresh keys (doc_id+10000000 for doc_id%7=2) — the paired feed
+      // must split it into update pairs vs plain inserts BY KEY
+      src.where(col("doc_id") % 6 === 1)
+        .select(col("doc_id"), lit("cdc").as("source"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .unionAll(src.where(col("doc_id") % 7 === 2)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("fresh").as("source"), col("n_chars")))
+        .writeTo("graft_q118.corpus.docs").option("upsertKeys", "doc_id")
+        .append()                                                              // v2
+      // v3: apply-changes keys-only delete (equality delete with NO
+      // re-insert) — stays a plain 'delete' even in paired mode
+      src.where(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), lit("x").as("source"), lit(0L).as("n_chars"),
+          lit("delete").as("ct"))
+        .write.format("graft-ocf").mode("append")
+        .option("upsertKeys", "doc_id").option("changeColumn", "ct")
+        .save(new java.io.File(wh, "corpus/docs").getAbsolutePath)             // v3
+      s.read.option("updateImages", "true")
+        .table("graft_q118.corpus.docs.changes")
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum("doc_id").cast("long").as("sum_ids"))
+        .orderBy("commit_version", "change_type")
+        .select("commit_version", "change_type", "n_rows", "sum_ids")
+    }),
+
     // Scoped incremental compaction (X98): maintenance at 100 TB must be
     // O(touched partition), never O(table). A fragmented, upsert-burdened
     // partitioned table compacts ONE partition (`where` rides the scan's
@@ -3213,6 +3262,29 @@ object SparkEntry {
         |       WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS qual,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the paired change log (X104): v1 plain inserts; v2's one upsert
+    // batch splits BY KEY into update pairs (existing doc_id%6=1, same
+    // keys on both sides) and plain inserts (fresh doc_id+10000000 for
+    // doc_id%7=2); v3's keys-only delete (doc_id%10=3, no re-insert)
+    // stays a plain delete even in paired mode
+    "q118_update_pairing" ->
+      """SELECT 1 AS commit_version, 'insert' AS change_type,
+        |  count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, 'insert', count(*), CAST(sum(doc_id + 10000000) AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 2
+        |UNION ALL
+        |SELECT 2, 'update_postimage', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 1
+        |UNION ALL
+        |SELECT 2, 'update_preimage', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 1
+        |UNION ALL
+        |SELECT 3, 'delete', count(*), CAST(sum(doc_id) AS BIGINT)
+        |FROM documents WHERE doc_id % 10 = 3
+        |ORDER BY commit_version, change_type""".stripMargin,
 
     // the change log's per-commit aggregate: v1 inserts the corpus, v2
     // MoR-deletes doc_id%10=3, v3 upserts doc_id%6=1 (insert + deletes of
