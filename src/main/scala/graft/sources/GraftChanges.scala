@@ -87,7 +87,8 @@ object GraftChanges {
     * location AND the stored reader schema come from the catalog, so the
     * feed unions cleanly even across schema evolution in the range. */
   def forTable(spark: SparkSession, qualifiedName: String,
-               startVersion: Long, endVersion: Option[Long] = None): DataFrame = {
+               startVersion: Long, endVersion: Option[Long] = None,
+               updateImages: Boolean = false): DataFrame = {
     val parts = qualifiedName.split('.')
     require(parts.length >= 3,
       s"graft-ocf changes: want 'catalog.namespace.table', got '$qualifiedName'")
@@ -101,12 +102,22 @@ object GraftChanges {
       org.apache.spark.sql.connector.catalog.Identifier.of(
         parts.tail.init, parts.last))
     changes(spark, meta.location, startVersion, endVersion,
-      Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)))
+      Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
+      updateImages = updateImages)
   }
 
+  /** `updateImages=true` (X104 parity for the programmatic surface): an
+    * equality-delete commit's delete+insert rows sharing a key re-tag
+    * `update_preimage`/`update_postimage` — two broadcastable key
+    * semi/anti joins per upsert commit, O(batch). Pairing applies to the
+    * upsert/apply-changes commit SHAPE (equality deletes, one key-column
+    * set, both sides present); a commit also carrying position deletes or
+    * mixing key shapes stays delete+insert — the file diff cannot
+    * attribute its lost rows to keys. */
   def changes(spark: SparkSession, tableDir: String,
               startVersion: Long, endVersion: Option[Long] = None,
-              readerSchemaJson: Option[String] = None): DataFrame = {
+              readerSchemaJson: Option[String] = None,
+              updateImages: Boolean = false): DataFrame = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(OcfSnapshots.enabled(fs, root),
@@ -214,23 +225,52 @@ object GraftChanges {
             }).map(_.path)
           }
         val addedDeleteTargets = (addedPosTargets ++ addedEqTargets).distinct
-        if (addedData.nonEmpty)
-          parts += readAsOf(v, addedData, withPos = false)
-            .withColumn(ChangeTypeCol, lit("insert"))
+        val insertDf: Option[DataFrame] =
+          if (addedData.isEmpty) None
+          else Some(readAsOf(v, addedData, withPos = false))
+        val deleteDf: Option[DataFrame] =
+          if (addedDeleteTargets.isEmpty) None
+          else {
+            // before = the previous RETAINED version (v-1 may be expired);
+            // deletions inside an expired gap then attribute to v — the same
+            // consecutive-retained coarsening the incremental read documents
+            val before = readAsOf(prevV, addedDeleteTargets, withPos = true)
+            val after = readAsOf(v, addedDeleteTargets, withPos = true)
+              .select(OcfDataSource.FileColName, OcfDataSource.PosColName)
+            Some(before.join(after,
+                Seq(OcfDataSource.FileColName, OcfDataSource.PosColName),
+                "left_anti")
+              .drop(OcfDataSource.FileColName, OcfDataSource.PosColName))
+          }
+        def tag(df: DataFrame, t: String): DataFrame =
+          df.withColumn(ChangeTypeCol, lit(t))
             .withColumn(CommitVersionCol, lit(v))
-        if (addedDeleteTargets.nonEmpty) {
-          // before = the previous RETAINED version (v-1 may be expired);
-          // deletions inside an expired gap then attribute to v — the same
-          // consecutive-retained coarsening the incremental read documents
-          val before = readAsOf(prevV, addedDeleteTargets, withPos = true)
-          val after = readAsOf(v, addedDeleteTargets, withPos = true)
-            .select(OcfDataSource.FileColName, OcfDataSource.PosColName)
-          parts += before.join(after,
-              Seq(OcfDataSource.FileColName, OcfDataSource.PosColName),
-              "left_anti")
-            .drop(OcfDataSource.FileColName, OcfDataSource.PosColName)
-            .withColumn(ChangeTypeCol, lit("delete"))
-            .withColumn(CommitVersionCol, lit(v))
+        // UPDATE pairing (X104): only the clean upsert shape pairs — the
+        // anti-join's lost rows are attributable to keys only when EVERY
+        // delete this commit made was an equality delete of ONE key shape.
+        // Null-safe key equality (an upsert key may be null — the engine's
+        // tuple match treats null == null, so must the join).
+        val pairKeys: Option[Seq[String]] =
+          if (updateImages && addedEq.nonEmpty && addedPosTargets.isEmpty &&
+              insertDf.isDefined && deleteDf.isDefined &&
+              addedEq.map(_.equalityOf.get).distinct.length == 1)
+            Some(addedEq.head.equalityOf.get)
+          else None
+        pairKeys match {
+          case Some(kc) =>
+            val ins = insertDf.get
+            val del = deleteDf.get
+            val insKeys = ins.select(kc.map(ins(_)): _*).distinct()
+            val delCond = kc.map(c => del(c) <=> insKeys(c)).reduce(_ && _)
+            parts += tag(del.join(insKeys, delCond, "left_semi"), "update_preimage")
+            parts += tag(del.join(insKeys, delCond, "left_anti"), "delete")
+            val delKeys = del.select(kc.map(del(_)): _*).distinct()
+            val insCond = kc.map(c => ins(c) <=> delKeys(c)).reduce(_ && _)
+            parts += tag(ins.join(delKeys, insCond, "left_semi"), "update_postimage")
+            parts += tag(ins.join(delKeys, insCond, "left_anti"), "insert")
+          case None =>
+            insertDf.foreach(df => parts += tag(df, "insert"))
+            deleteDf.foreach(df => parts += tag(df, "delete"))
         }
       }
       prev = cur

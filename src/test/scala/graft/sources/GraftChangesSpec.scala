@@ -118,4 +118,42 @@ class GraftChangesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(ch2.toSet == Set((7L, "insert", 20L), (7L, "insert", 21L)))
   }
+
+  test("updateImages=true pairs an upsert's delete+insert by key on the " +
+      "programmatic surface too (X104)") {
+    import spark.implicits._
+    spark.sql(
+      """CREATE TABLE gc.ns.cdpair (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id',
+        |  `write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO gc.ns.cdpair SELECT id, concat('a', id) FROM range(20)") // v1
+    // v2: upsert — ids 3,7 exist (update pairs), 100 is fresh (insert)
+    Seq((3L, "u3"), (7L, "u7"), (100L, "fresh")).toDF("id", "v")
+      .writeTo("gc.ns.cdpair").option("upsertKeys", "id").append()                  // v2
+    // v3: MoR position delete — never paired, even under the option
+    spark.sql("DELETE FROM gc.ns.cdpair WHERE id = 5")                              // v3
+    val paired = GraftChanges.changes(spark, loc("cdpair"), 1L, updateImages = true)
+      .select("_commit_version", "_change_type", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(paired.filter(_._1 == 2L).toSeq == Seq(
+      (2L, "insert", 100L, "fresh"),
+      (2L, "update_postimage", 3L, "u3"), (2L, "update_postimage", 7L, "u7"),
+      (2L, "update_preimage", 3L, "a3"), (2L, "update_preimage", 7L, "a7")),
+      paired.filter(_._1 == 2L).toSeq.toString)
+    assert(paired.filter(_._1 == 3L).toSeq == Seq((3L, "delete", 5L, "a5")))
+    // default stays delete+insert, same multiset of data rows
+    val plain = GraftChanges.changes(spark, loc("cdpair"), 1L)
+      .select("_commit_version", "_change_type", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(plain.count(_._2 == "insert") ==
+      paired.count(t => t._2 == "insert" || t._2 == "update_postimage"))
+    assert(plain.count(_._2 == "delete") ==
+      paired.count(t => t._2 == "delete" || t._2 == "update_preimage"))
+    assert(!plain.exists(t => t._2.startsWith("update_")))
+    // forTable passes the flag through
+    val viaCat = GraftChanges.forTable(spark, "gc.ns.cdpair", 1L, updateImages = true)
+      .select("_change_type").collect().map(_.getString(0)).toSet
+    assert(viaCat.contains("update_preimage") && viaCat.contains("update_postimage"))
+  }
 }
