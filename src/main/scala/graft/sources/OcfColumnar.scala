@@ -192,12 +192,15 @@ private[graft] final class OcfColumnarSplitReader(
     // lane. `readerJson` binds the equality keys' vector ordinals.
     readerJson: String = null,
     deleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
-    eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
+    eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    // `_pos` emission (the row-ordinal metadata column): a REAL LongType
+    // vector — the one appended column that is per-row, not per-split
+    withPos: Boolean = false)
     extends PartitionReader[ColumnarBatch] {
 
   // position ordinals count raw datums from block 0 — the planner plans
   // burdened files as one whole-file split (OcfScan), same as the row lane
-  require(deleteFiles.isEmpty || (start == 0L && !aligned),
+  require((deleteFiles.isEmpty && !withPos) || (start == 0L && !aligned),
     s"graft-ocf: positional columnar read of ${meta.path} must scan the " +
       s"whole file (got split [$start, $end), aligned=$aligned)")
 
@@ -259,8 +262,11 @@ private[graft] final class OcfColumnarSplitReader(
     }
     cv
   }
+  private val posVector: OnHeapColumnVector =
+    if (withPos) new OnHeapColumnVector(batchSize, LongType) else null
   private val batch =
-    new ColumnarBatch(vectors.map(v => v: ColumnVector) ++ constVectors)
+    new ColumnarBatch(vectors.map(v => v: ColumnVector) ++ constVectors ++
+      (if (withPos) Array[ColumnVector](posVector) else Array.empty[ColumnVector]))
 
   private var blocksVisited = 0L
   private var bytesFetched = 0L
@@ -272,6 +278,7 @@ private[graft] final class OcfColumnarSplitReader(
     if (emitted >= limit) return false
     var i = 0
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    if (posVector != null) posVector.reset()
     var n = 0
     var done = false
     while (n < batchSize && emitted < limit && !done) {
@@ -289,6 +296,7 @@ private[graft] final class OcfColumnarSplitReader(
         } else {
           decodeRow(n)
           if (eqGroups.length == 0 || !equalityDeleted(n)) {
+            if (withPos) posVector.putLong(n, p)
             emitted += 1L
             n += 1
           } // else: slot n is simply reused by the next surviving row

@@ -1957,10 +1957,11 @@ private[graft] final case class OcfScan(
       // rides the row reader. Partition values and `_file` are per-split
       // CONSTANTS and ride as constant vectors; MoR position/equality
       // deletes vectorize too (X105: skip-decode / slot-reuse in
-      // [[OcfColumnarSplitReader]]), so a burdened table keeps the lane.
-      // `_pos` emission stays row-lane (a per-row ordinal output column).
+      // [[OcfColumnarSplitReader]]), so a burdened table keeps the lane;
+      // `_pos` rides as a real LongType ordinal vector (whole-file splits,
+      // planner-enforced) — the CDC anti-joins' scan shape.
       val cf: Option[Array[OcfColumnar.Field]] =
-        if (!columnarEnabled || wrap || withPos) None
+        if (!columnarEnabled || wrap) None
         else OcfColumnar.fieldsFor(readerJson).filter(rf =>
           files.forall(m =>
             OcfColumnar.wirePlanFor(m.writerSchemaJson, rf).isDefined))
@@ -2189,7 +2190,8 @@ private[sources] final case class OcfReaderFactory(
       columnarFields.get, plan, conf.value, limit, p.aligned, appended,
       readerJson = readerJson,
       deleteFiles = deletes.getOrElse(p.fileIndex, Nil),
-      eqDeleteFiles = eqDeletes.getOrElse(p.fileIndex, Nil))
+      eqDeleteFiles = eqDeletes.getOrElse(p.fileIndex, Nil),
+      withPos = withPos)
   }
 }
 

@@ -452,4 +452,35 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(!c.exists(_._1 % 11 == 1) &&
       c.length == (0L until 3000L).count(_ % 11 != 1))
   }
+
+  test("`_pos` rides the columnar lane as a real ordinal vector; deleted " +
+      "ordinals stay raw-datum-based (X105)") {
+    import spark.implicits._
+    val wh = tempDir("graft-col-pos-wh")
+    spark.conf.set("spark.sql.catalog.gcolp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcolp.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcolp.ns")
+    spark.sql(
+      """CREATE TABLE gcolp.ns.t (id BIGINT, v STRING)
+        |USING `graft-ocf`
+        |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    (0L until 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .coalesce(1).writeTo("gcolp.ns.t").append()
+    spark.sql("DELETE FROM gcolp.ns.t WHERE id % 4 = 1")
+    val dir = new java.io.File(wh, "ns/t").getAbsolutePath
+    def posRead(columnar: Boolean) = spark.read.format("graft-ocf")
+      .option("columnar", columnar.toString).load(dir)
+      .selectExpr("id", OcfDataSource.PosColName)
+    val col = posRead(columnar = true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(posRead(columnar = false)))
+    // one single-task file: ordinal == id, and deleted ordinals are GAPS
+    // (the ordinal counts raw datums, not surviving rows)
+    assert(a.forall { case (id, pos) => id == pos })
+    assert(!a.exists(_._1 % 4 == 1) &&
+      a.length == (0L until 2000L).count(_ % 4 != 1))
+  }
 }
