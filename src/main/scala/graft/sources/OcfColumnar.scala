@@ -243,12 +243,26 @@ private[graft] final class OcfColumnarSplitReader(
   private var emitted = 0L
   private var bin: AvroBinaryReader = _
 
+  // batch CAPACITY: the sink's `graft.rows` stamp bounds the split's row
+  // count (scaled by the byte fraction for mid-file splits), so a 50-row
+  // CDC file allocates 50-slot vectors, not 4096 — per-reader vector
+  // allocation is the columnar lane's only fixed cost, and small-file
+  // scans (the post-upsert, pre-compaction shape) create MANY readers
+  private val capacity: Int = meta.rowsStamp match {
+    case Some(rows) if rows > 0 =>
+      val bytes = (if (end < 0L) meta.len else math.min(end, meta.len)) - start
+      val frac = math.min(1.0, bytes.toDouble / math.max(1L, meta.len).toDouble)
+      // 1.25 slack: block boundaries don't align with byte fractions
+      math.max(16, math.min(batchSize, (rows * frac * 1.25).toInt + 1))
+    case _ => batchSize
+  }
+
   private val vectors: Array[OnHeapColumnVector] =
-    fields.map(f => new OnHeapColumnVector(batchSize, f.dt))
+    fields.map(f => new OnHeapColumnVector(capacity, f.dt))
   // per-split constants (partition values, `_file`): set once, never reset
   private val constVectors: Array[ColumnVector] = appended.map { case (dt, v) =>
     val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
-      batchSize, dt)
+      capacity, dt)
     if (v == null) cv.setNull()
     else dt match {
       case StringType => cv.setUtf8String(
@@ -263,7 +277,7 @@ private[graft] final class OcfColumnarSplitReader(
     cv
   }
   private val posVector: OnHeapColumnVector =
-    if (withPos) new OnHeapColumnVector(batchSize, LongType) else null
+    if (withPos) new OnHeapColumnVector(capacity, LongType) else null
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector) ++ constVectors ++
       (if (withPos) Array[ColumnVector](posVector) else Array.empty[ColumnVector]))
@@ -281,7 +295,7 @@ private[graft] final class OcfColumnarSplitReader(
     if (posVector != null) posVector.reset()
     var n = 0
     var done = false
-    while (n < batchSize && emitted < limit && !done) {
+    while (n < capacity && emitted < limit && !done) {
       if (remaining == 0L) {
         if (blockStart < 0L || blockStart >= meta.len || blockStart >= stopAt)
           done = true
@@ -308,15 +322,40 @@ private[graft] final class OcfColumnarSplitReader(
     else { batch.setNumRows(n); true }
   }
 
-  /** Key probe of the just-decoded row at slot `row` — the vectors ARE the
-    * decoded values, so the probe reads them back through the batch's row
-    * view (EqGroup ordinals are reader-field ordinals = vector indices). */
+  // Key probe of the just-decoded row at slot `row` — the vectors ARE the
+  // decoded values. Typed extractors bound ONCE at init (ordinal = vector
+  // index) read them back without a per-row InternalRow view.
+  private val eqExtractors: Array[Array[Int => Any]] =
+    eqGroups.map(g => g.ordinals.zip(g.types).map { case (ord, dt) =>
+      val v = vectors(ord)
+      val get: Int => Any = dt match {
+        case BooleanType => r => java.lang.Boolean.valueOf(v.getBoolean(r))
+        case ByteType => r => java.lang.Byte.valueOf(v.getByte(r))
+        case ShortType => r => java.lang.Short.valueOf(v.getShort(r))
+        case IntegerType | DateType => r => java.lang.Integer.valueOf(v.getInt(r))
+        case LongType | TimestampType | TimestampNTZType =>
+          r => java.lang.Long.valueOf(v.getLong(r))
+        case FloatType => r => java.lang.Float.valueOf(v.getFloat(r))
+        case DoubleType => r => java.lang.Double.valueOf(v.getDouble(r))
+        case StringType => r => v.getUTF8String(r)
+        case BinaryType => r => v.getBinary(r)
+        case d: DecimalType => r => v.getDecimal(r, d.precision, d.scale)
+        case other => throw new IllegalStateException(
+          s"graft-ocf: equality key type ${other.simpleString} has no " +
+            "columnar extractor")
+      }
+      (r: Int) => if (v.isNullAt(r)) null else get(r)
+    })
+
   private def equalityDeleted(row: Int): Boolean = {
-    batch.setNumRows(row + 1) // getRow bounds-checks; final count set later
-    val r = batch.getRow(row)
     var i = 0
     while (i < eqGroups.length) {
-      if (eqGroups(i).matches(r)) return true
+      val ex = eqExtractors(i)
+      val t = new Array[Any](ex.length)
+      var j = 0
+      while (j < ex.length) { t(j) = ex(j)(row); j += 1 }
+      if (eqGroups(i).keys.contains(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(t))) return true
       i += 1
     }
     false
