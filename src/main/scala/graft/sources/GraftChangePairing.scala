@@ -133,7 +133,10 @@ private[sources] object GraftChangePairing {
       val projNames = (shapes.flatMap(_.names) ++ skipNames).distinct
       val projJson = graft.avro.AvroSchemaParser.toJson(
         graft.avro.ARecord(dataRec.name, dataRec.namespace,
-          projNames.map(n => graft.avro.AField(n, fieldsByName(n).schema))))
+          projNames.map(n => graft.avro.AField(n, fieldsByName.getOrElse(n,
+            throw new IllegalStateException(
+              s"graft-ocf-changes: pairing key column '$n' is not in the " +
+                "feed's reader schema")).schema))))
       val cacheKey = (Seq(po.meta.path, po.meta.len.toString) ++
         po.skipPos.map(_.path) ++ Seq("|") ++ po.skipEq.map(_.path) ++
         Seq("|") ++ po.emitEq.map(_.path) ++ Seq("|", projJson)).mkString("")

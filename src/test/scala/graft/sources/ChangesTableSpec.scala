@@ -201,5 +201,12 @@ class ChangesTableSpec extends AnyFunSuite {
     assert(normalized(spark.read.option("updateImages", "true")
         .table("gct.ns.ct8.changes")) ==
       normalized(spark.table("gct.ns.ct8.changes")))
+    // pairing survives SPLIT insert parts — each split classifies against
+    // the same cached key sets
+    val split = spark.read.option("updateImages", "true")
+      .option("splitSize", "8192").table("gct.ns.ct8.changes")
+      .select($"_commit_version", $"_change_type", $"id", $"v")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(split == paired.sorted, s"split pairing diverged")
   }
 }
