@@ -201,7 +201,10 @@ private[sources] final class GraftChangesTable(
         override def toBatch: org.apache.spark.sql.connector.read.Batch = this
         private def conf =
           org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-        override def planInputPartitions(): Array[InputPartition] = {
+        // one planning walk regardless of planInputPartitions /
+        // createReaderFactory call order — the factory needs the plan's
+        // per-commit pairing maps (X104)
+        @transient private lazy val planned: GraftChangesPlanner.Planned = {
           val c = conf
           val root = new Path(dir)
           val fs = root.getFileSystem(c)
@@ -228,9 +231,12 @@ private[sources] final class GraftChangesTable(
           GraftChangesPlanner.plan(root, c, partSchema, splitSize, sv, ev,
             pairUpdates = pairUpdates)
         }
+        override def planInputPartitions(): Array[InputPartition] = planned.parts
         override def createReaderFactory(): PartitionReaderFactory =
           GraftChangesReaderFactory(readerJson, partSchema,
-            new SerializableHadoopConf(conf))
+            new SerializableHadoopConf(conf),
+            pairNewByVersion = planned.pairNewByVersion,
+            pairOldByVersion = planned.pairOldByVersion)
       }
     }
 }
@@ -255,13 +261,6 @@ private[sources] final case class GraftChangesPartition(
     skipEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
     emitPos: Seq[OcfDataSource.OcfFileMeta] = Nil,
     emitEq: Seq[OcfDataSource.OcfFileMeta] = Nil,
-    // UPDATE pairing (X104, `updateImages=true`): for an equality-driven
-    // delete part, the commit's NEW data files (a killed key found there
-    // re-emits as update_preimage); for an insert part, the commit's
-    // burdened old files + skip state (an inserted key that killed a
-    // visible row re-emits as update_postimage). Empty = no pairing.
-    pairNewData: Seq[OcfDataSource.OcfFileMeta] = Nil,
-    pairOld: Seq[GraftPairOldFile] = Nil,
     // identity partition values (raw path strings, aligned with the
     // source's partition schema) — per-file constants, like any scan
     partValues: Array[String] = Array.empty,
@@ -271,8 +270,16 @@ private[sources] final case class GraftChangesPartition(
     // a commit landing one huge file must not serialize on one task.
     start: Long = 0L, end: Long = -1L) extends InputPartition
 
+/** UPDATE pairing (X104) state rides the FACTORY, not the partitions: the
+  * pairing inputs are per-COMMIT constants (the commit's new data files for
+  * preimage probes; its burdened old files + skip state for postimage
+  * probes), and the factory serializes ONCE into the stage's broadcast
+  * task binary — per-partition copies would ship O(burdened × splits)
+  * metas through every task. Empty maps = pairing off. */
 private[sources] final case class GraftChangesReaderFactory(
-    readerJson: String, partSchema: StructType, conf: SerializableHadoopConf)
+    readerJson: String, partSchema: StructType, conf: SerializableHadoopConf,
+    pairNewByVersion: Map[Long, Seq[OcfDataSource.OcfFileMeta]] = Map.empty,
+    pairOldByVersion: Map[Long, Seq[GraftPairOldFile]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangesPartition]
@@ -290,15 +297,24 @@ private[sources] final case class GraftChangesReaderFactory(
       conf.value, partRow = appended,
       deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
       emitOnlyPosFiles = p.emitPos, emitOnlyEqFiles = p.emitEq)
-    // UPDATE pairing (X104): a per-row classifier over the part's pairing
+    // UPDATE pairing (X104): a per-row classifier over the commit's pairing
     // key sets flips the change tag in the appended row — the data row
-    // passes through untouched, so pairing costs one hash probe per row
+    // passes through untouched, so pairing costs one hash probe per row.
+    // Eq-driven delete parts probe the commit's new-data keys; insert parts
+    // probe the killed visible-old keys; position parts never pair.
     val pairGroups: Array[OcfSplitReader.EqGroup] =
-      if (p.pairNewData.nonEmpty && p.emitEq.nonEmpty)
-        GraftChangePairing.newDataKeyGroups(p.emitEq, p.pairNewData,
-          readerJson, conf.value)
-      else if (p.pairOld.nonEmpty)
-        GraftChangePairing.oldKeyGroups(p.pairOld, readerJson, conf.value)
+      if (p.changeType == "delete" && p.emitEq.nonEmpty)
+        pairNewByVersion.get(p.version) match {
+          case Some(newData) => GraftChangePairing.newDataKeyGroups(
+            p.emitEq, newData, readerJson, conf.value)
+          case None => Array.empty[OcfSplitReader.EqGroup]
+        }
+      else if (p.changeType == "insert")
+        pairOldByVersion.get(p.version) match {
+          case Some(po) if po.nonEmpty =>
+            GraftChangePairing.oldKeyGroups(po, readerJson, conf.value)
+          case _ => Array.empty[OcfSplitReader.EqGroup]
+        }
       else Array.empty
     if (pairGroups.isEmpty) inner
     else new PartitionReader[InternalRow] {
@@ -438,15 +454,27 @@ private[graft] final class GraftChangesMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftChangesOffset.fromJson(json)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftChangesPlanner.plan(root, conf, partSchema, splitSize,
+  // each trigger plans then builds its factory; the plan's per-commit
+  // pairing maps (X104) travel through this slot instead of every part
+  @volatile private var lastPlanned: GraftChangesPlanner.Planned =
+    GraftChangesPlanner.Planned(Array.empty, Map.empty, Map.empty)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val planned = GraftChangesPlanner.plan(root, conf, partSchema, splitSize,
       start.asInstanceOf[GraftChangesOffset].version,
       end.asInstanceOf[GraftChangesOffset].version,
       pairUpdates = pairUpdates)
+    lastPlanned = planned
+    planned.parts
+  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val planned = lastPlanned
     GraftChangesReaderFactory(readerJson, partSchema,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf),
+      pairNewByVersion = planned.pairNewByVersion,
+      pairOldByVersion = planned.pairOldByVersion)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -461,9 +489,17 @@ private[sources] object GraftChangesPlanner {
 
   private val RowPreservingOps = Set("compact", "rewrite-position-deletes")
 
+  /** One planning pass's output: the parts, plus the per-COMMIT pairing
+    * inputs (X104) destined for the READER FACTORY — per-commit constants
+    * must not ride every partition. Maps are empty when pairing is off. */
+  final case class Planned(
+      parts: Array[InputPartition],
+      pairNewByVersion: Map[Long, Seq[OcfDataSource.OcfFileMeta]],
+      pairOldByVersion: Map[Long, Seq[GraftPairOldFile]])
+
   def plan(root: Path, conf: Configuration, partSchema: StructType,
            splitSize: Long, sv: Long, ev: Long,
-           pairUpdates: Boolean = false): Array[InputPartition] = {
+           pairUpdates: Boolean = false): Planned = {
     val fs = root.getFileSystem(conf)
     val qualRoot = fs.makeQualified(root)
     def metaOf(sf: OcfSnapshots.SnapFile): OcfDataSource.OcfFileMeta = {
@@ -474,7 +510,7 @@ private[sources] object GraftChangesPlanner {
         .getOrElse(OcfDataSource.fetchMetas(conf,
           Seq(OcfDataSource.FileSlice(qp, sf.len))).head)
     }
-    if (ev <= sv) return Array.empty
+    if (ev <= sv) return Planned(Array.empty, Map.empty, Map.empty)
     val vs = OcfSnapshots.versions(fs, root)
     val (prev0, chain) =
       if (sv == 0L) {
@@ -491,6 +527,8 @@ private[sources] object GraftChangesPlanner {
         (OcfSnapshots.read(fs, root, sv), vs.filter(v => v > sv && v <= ev))
       }
     val parts = Array.newBuilder[InputPartition]
+    val pairNewAcc = Map.newBuilder[Long, Seq[OcfDataSource.OcfFileMeta]]
+    val pairOldAcc = Map.newBuilder[Long, Seq[GraftPairOldFile]]
     var prev = prev0
     chain.foreach { v =>
       val cur = OcfSnapshots.read(fs, root, v)
@@ -569,20 +607,19 @@ private[sources] object GraftChangesPlanner {
             }
           }
         // UPDATE pairing (X104): only a commit that both killed keys and
-        // inserted data can pair — hand the delete parts the new data
-        // files and the insert parts the burdened-old-file specs
-        val pairNew: Seq[OcfDataSource.OcfFileMeta] =
-          if (pairUpdates && newEq.nonEmpty && newData.nonEmpty)
-            newData.map(metaOf)
-          else Nil
-        val pairOldSpecs: Seq[GraftPairOldFile] =
-          if (pairNew.nonEmpty)
-            burdened.map { case (f, sp, se, em) =>
+        // inserted data can pair. The per-commit constants land in the
+        // PLANNED maps (→ the reader factory, shipped once per stage), not
+        // on every partition: the delete parts probe the commit's new data
+        // files, the insert parts its burdened-old-file specs.
+        if (pairUpdates && newEq.nonEmpty && newData.nonEmpty) {
+          pairNewAcc += v -> newData.map(metaOf)
+          if (burdened.nonEmpty)
+            pairOldAcc += v -> burdened.map { case (f, sp, se, em) =>
               GraftPairOldFile(metaOf(f), sp, se, em) }
-          else Nil
+        }
         // inserts: files new at v — nothing burdens a file in its own commit
         newData.foreach(f => addSplit(GraftChangesPartition(metaOf(f),
-          "insert", v, partValues = partVals(f), pairOld = pairOldSpecs)))
+          "insert", v, partValues = partVals(f))))
         // deletes from new POSITION-delete files: targets visible before v
         // (a same-commit target's rows surface through its insert part,
         // already filtered by the commit's own deletes... which cannot
@@ -606,12 +643,11 @@ private[sources] object GraftChangesPlanner {
         burdened.foreach { case (f, oldPos, skipEq, burdening) =>
           addSplit(GraftChangesPartition(metaOf(f), "delete", v,
             skipPos = oldPos, skipEq = skipEq,
-            emitEq = burdening, partValues = partVals(f),
-            pairNewData = pairNew))
+            emitEq = burdening, partValues = partVals(f)))
         }
       }
       prev = cur
     }
-    parts.result()
+    Planned(parts.result(), pairNewAcc.result(), pairOldAcc.result())
   }
 }
