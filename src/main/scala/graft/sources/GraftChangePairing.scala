@@ -139,7 +139,7 @@ private[sources] object GraftChangePairing {
                 "feed's reader schema")).schema))))
       val cacheKey = (Seq(po.meta.path, po.meta.len.toString) ++
         po.skipPos.map(_.path) ++ Seq("|") ++ po.skipEq.map(_.path) ++
-        Seq("|") ++ po.emitEq.map(_.path) ++ Seq("|", projJson)).mkString("")
+        Seq("|") ++ po.emitEq.map(_.path) ++ Seq("|", projJson)).mkString("\u0001")
       val fileSets = oldKeyCache.get(cacheKey).getOrElse {
         // per-shape probe groups bound to the PROJECTED row shape — used
         // both to test which shape a surviving row matched and to extract
