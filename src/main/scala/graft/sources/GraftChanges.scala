@@ -55,15 +55,15 @@ object GraftChanges {
   /** Exact multiset diff of two row sets sharing a schema: rows only in
     * `before` are deletes, only in `after` inserts, common multiplicity
     * cancels. One groupBy-count per side + a null-safe full-outer join —
-    * work proportional to the replaced/replacement files, never the table. */
+    * work proportional to the replaced/replacement files, never the table.
+    * `pairKeys` (X104, CoW commits): the changed rows re-tag as update
+    * pairs by key where both sides carry the key. */
   private def multisetDiff(before: Option[DataFrame], after: Option[DataFrame],
-                           v: Long): Seq[DataFrame] = {
-    def tag(df: DataFrame, t: String): DataFrame =
-      df.withColumn(ChangeTypeCol, lit(t)).withColumn(CommitVersionCol, lit(v))
+                           v: Long, pairKeys: Seq[String] = Nil): Seq[DataFrame] = {
     (before, after) match {
       case (None, None) => Nil
-      case (Some(b), None) => Seq(tag(b, "delete"))
-      case (None, Some(a)) => Seq(tag(a, "insert"))
+      case (Some(b), None) => Seq(tag(b, "delete", v))
+      case (None, Some(a)) => Seq(tag(a, "insert", v))
       case (Some(b), Some(a)) =>
         val cols = b.columns.toSeq
         val bg = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("_nb"))
@@ -74,14 +74,42 @@ object GraftChanges {
           cols.map(c => coalesce(bg(c), ag(c)).as(c)) ++ Seq(
             coalesce(col("_nb"), lit(0L)).as("_nb"),
             coalesce(col("_na"), lit(0L)).as("_na")): _*)
-        def emit(t: String, n: org.apache.spark.sql.Column) =
-          tag(merged.where(n > lit(0L))
+        def emit(n: org.apache.spark.sql.Column) =
+          merged.where(n > lit(0L))
             .withColumn("_dup", explode(sequence(lit(1L), n)))
-            .select(cols.map(col): _*), t)
-        Seq(emit("delete", col("_nb") - col("_na")),
-          emit("insert", col("_na") - col("_nb")))
+            .select(cols.map(col): _*)
+        pairAndTag(Some(emit(col("_na") - col("_nb"))),
+          Some(emit(col("_nb") - col("_na"))), pairKeys, v)
     }
   }
+
+  private def tag(df: DataFrame, t: String, v: Long): DataFrame =
+    df.withColumn(ChangeTypeCol, lit(t)).withColumn(CommitVersionCol, lit(v))
+
+  /** Tag one commit's insert/delete row sets — as update pairs by key
+    * (X104) when `pairKeys` is given and both sides exist, else plainly.
+    * Null-safe key equality (the engine's tuple match treats null == null,
+    * so must the join); the key sets are O(changed rows), broadcastable. */
+  private def pairAndTag(insertDf: Option[DataFrame], deleteDf: Option[DataFrame],
+                         pairKeys: Seq[String], v: Long): Seq[DataFrame] =
+    (insertDf, deleteDf) match {
+      case (Some(ins), Some(del)) if pairKeys.nonEmpty =>
+        val kc = pairKeys.map(k => ins.columns.find(_.equalsIgnoreCase(k))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft-ocf changes: pairing key column '$k' is not in the feed " +
+              s"schema (${ins.columns.mkString(", ")})")))
+        val insKeys = ins.select(kc.map(ins(_)): _*).distinct()
+        val delCond = kc.map(c => del(c) <=> insKeys(c)).reduce(_ && _)
+        val delKeys = del.select(kc.map(del(_)): _*).distinct()
+        val insCond = kc.map(c => ins(c) <=> delKeys(c)).reduce(_ && _)
+        Seq(tag(del.join(insKeys, delCond, "left_semi"), "update_preimage", v),
+          tag(del.join(insKeys, delCond, "left_anti"), "delete", v),
+          tag(ins.join(delKeys, insCond, "left_semi"), "update_postimage", v),
+          tag(ins.join(delKeys, insCond, "left_anti"), "insert", v))
+      case _ =>
+        insertDf.map(tag(_, "insert", v)).toSeq ++
+          deleteDf.map(tag(_, "delete", v))
+    }
 
   /** [[changes]] for a catalog-qualified table (`"cat.ns.table"`): the
     * location AND the stored reader schema come from the catalog, so the
@@ -101,9 +129,16 @@ object GraftChanges {
     val meta = cat.tableMeta(
       org.apache.spark.sql.connector.catalog.Identifier.of(
         parts.tail.init, parts.last))
+    // a declared `upsertKeys` table option names the row identity — CoW
+    // commits pair by it under updateImages (eq commits carry their own)
+    val declaredKeys: Seq[String] =
+      if (!updateImages) Nil
+      else meta.options.find(_._1.equalsIgnoreCase("upsertKeys"))
+        .map(_._2.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
     changes(spark, meta.location, startVersion, endVersion,
       Some(GraftCatalog.readerJsonWithDefaults(meta.dataSchema)),
-      updateImages = updateImages)
+      updateImages = updateImages, pairKeys = declaredKeys)
   }
 
   /** `updateImages=true` (X104 parity for the programmatic surface): an
@@ -113,11 +148,18 @@ object GraftChanges {
     * upsert/apply-changes commit SHAPE (equality deletes, one key-column
     * set, both sides present); a commit also carrying position deletes or
     * mixing key shapes stays delete+insert — the file diff cannot
-    * attribute its lost rows to keys. */
+    * attribute its lost rows to keys.
+    *
+    * `pairKeys` extends pairing to COPY-ON-WRITE row-level commits (CoW
+    * UPDATE/MERGE), whose value-level multiset diff has no delete files to
+    * derive keys from: the caller names the row-identity columns and the
+    * diff's changed rows pair by them. `forTable` fills it from the
+    * table's declared `upsertKeys` option when present. */
   def changes(spark: SparkSession, tableDir: String,
               startVersion: Long, endVersion: Option[Long] = None,
               readerSchemaJson: Option[String] = None,
-              updateImages: Boolean = false): DataFrame = {
+              updateImages: Boolean = false,
+              pairKeys: Seq[String] = Nil): DataFrame = {
     val root = new Path(tableDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(OcfSnapshots.enabled(fs, root),
@@ -191,7 +233,8 @@ object GraftChanges {
         val after =
           if (addedData.isEmpty) None
           else Some(readAsOf(v, addedData, withPos = false))
-        parts ++= multisetDiff(before, after, v)
+        parts ++= multisetDiff(before, after, v,
+          pairKeys = if (updateImages) pairKeys else Nil)
       } else if (!RowPreservingOps.contains(cur.operation)) {
         val addedData = cur.files.filter(f =>
           f.isData && !prevByPath.contains(f.path)).map(_.path)
@@ -242,36 +285,15 @@ object GraftChanges {
                 "left_anti")
               .drop(OcfDataSource.FileColName, OcfDataSource.PosColName))
           }
-        def tag(df: DataFrame, t: String): DataFrame =
-          df.withColumn(ChangeTypeCol, lit(t))
-            .withColumn(CommitVersionCol, lit(v))
         // UPDATE pairing (X104): only the clean upsert shape pairs — the
         // anti-join's lost rows are attributable to keys only when EVERY
         // delete this commit made was an equality delete of ONE key shape.
-        // Null-safe key equality (an upsert key may be null — the engine's
-        // tuple match treats null == null, so must the join).
-        val pairKeys: Option[Seq[String]] =
+        val eqPairKeys: Seq[String] =
           if (updateImages && addedEq.nonEmpty && addedPosTargets.isEmpty &&
-              insertDf.isDefined && deleteDf.isDefined &&
               addedEq.map(_.equalityOf.get).distinct.length == 1)
-            Some(addedEq.head.equalityOf.get)
-          else None
-        pairKeys match {
-          case Some(kc) =>
-            val ins = insertDf.get
-            val del = deleteDf.get
-            val insKeys = ins.select(kc.map(ins(_)): _*).distinct()
-            val delCond = kc.map(c => del(c) <=> insKeys(c)).reduce(_ && _)
-            parts += tag(del.join(insKeys, delCond, "left_semi"), "update_preimage")
-            parts += tag(del.join(insKeys, delCond, "left_anti"), "delete")
-            val delKeys = del.select(kc.map(del(_)): _*).distinct()
-            val insCond = kc.map(c => ins(c) <=> delKeys(c)).reduce(_ && _)
-            parts += tag(ins.join(delKeys, insCond, "left_semi"), "update_postimage")
-            parts += tag(ins.join(delKeys, insCond, "left_anti"), "insert")
-          case None =>
-            insertDf.foreach(df => parts += tag(df, "insert"))
-            deleteDf.foreach(df => parts += tag(df, "delete"))
-        }
+            addedEq.head.equalityOf.get
+          else Nil
+        parts ++= pairAndTag(insertDf, deleteDf, eqPairKeys, v)
       }
       prev = cur
       prevV = v

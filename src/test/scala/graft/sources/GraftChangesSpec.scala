@@ -156,4 +156,39 @@ class GraftChangesSpec extends AnyFunSuite {
       .select("_change_type").collect().map(_.getString(0)).toSet
     assert(viaCat.contains("update_preimage") && viaCat.contains("update_postimage"))
   }
+
+  test("CoW row-level commits pair by the declared upsertKeys (X104)") {
+    // copy-on-write UPDATE: the multiset diff has no delete files to derive
+    // keys from — the table's declared upsertKeys option names the row
+    // identity, and forTable routes it into the pairing
+    spark.sql(
+      """CREATE TABLE gc.ns.cowpair (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (upsertKeys 'id')""".stripMargin)
+    spark.sql("INSERT INTO gc.ns.cowpair SELECT id, concat('a', id) FROM range(12)") // v1
+    spark.sql("UPDATE gc.ns.cowpair SET v = concat('u', id) WHERE id IN (2, 9)")     // v2 (CoW)
+    val paired = GraftChanges.forTable(spark, "gc.ns.cowpair", 1L, updateImages = true)
+      .select("_commit_version", "_change_type", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(paired.filter(_._1 == 2L).toSeq == Seq(
+      (2L, "update_postimage", 2L, "u2"), (2L, "update_postimage", 9L, "u9"),
+      (2L, "update_preimage", 2L, "a2"), (2L, "update_preimage", 9L, "a9")),
+      paired.toSeq.toString)
+    // the unpaired default is unchanged (delete+insert), and the path-based
+    // call pairs only when the caller names the keys
+    val plain = GraftChanges.changes(spark, loc("cowpair"), 1L)
+      .select("_change_type").collect().map(_.getString(0)).toSet
+    assert(plain == Set("insert", "delete"), plain.toString)
+    val explicitKeys = GraftChanges.changes(spark, loc("cowpair"), 1L,
+      updateImages = true, pairKeys = Seq("id"))
+      .select("_change_type").collect().map(_.getString(0)).toSet
+    assert(explicitKeys == Set("update_preimage", "update_postimage"),
+      explicitKeys.toString)
+    // a CoW DELETE (no re-insert of the key) stays a plain delete
+    spark.sql("DELETE FROM gc.ns.cowpair WHERE id = 4")                              // v3
+    val afterDel = GraftChanges.forTable(spark, "gc.ns.cowpair", 2L, updateImages = true)
+      .select("_commit_version", "_change_type", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(afterDel.toSeq == Seq((3L, "delete", 4L)), afterDel.toSeq.toString)
+  }
 }
