@@ -28,18 +28,57 @@ private[graft] object OcfColumnar {
   /** One flat READER field: its name, Spark type, wire primitive, and
     * (for a nullable `[null,T]`/`[T,null]` union) which branch index is
     * null. These define the batch's vector types; the on-wire shape each
-    * file actually wrote is the [[WireStep]] plan's business. */
+    * file actually wrote is the [[WireStep]] plan's business. `aliases`
+    * (rename history) let a file written under a former name match, and
+    * `defaultJson` (the reader default) lets a file written BEFORE the
+    * field existed fill it as a per-file CONSTANT vector — the same
+    * evolution semantics the row lane gets from Avro resolution. */
   final case class Field(name: String, dt: DataType, wire: AvroSchema,
-                         nullBranch: Int) {
+                         nullBranch: Int, aliases: Seq[String] = Nil,
+                         defaultJson: Option[String] = None) {
     def nullable: Boolean = nullBranch >= 0
   }
 
   /** One step of a per-FILE wire plan, in WRITER field order: decode the
     * writer field described by (`wire`, `nullBranch`) — the WRITER's union
     * shape, which is what sits on the wire — into vector `target`, or
-    * type-skip it when `target < 0` (a projected-away column). */
-  final case class WireStep(wire: AvroSchema, nullBranch: Int, target: Int) {
+    * type-skip it when `target < 0` (a projected-away column). A non-null
+    * `rdt` is a numeric Avro PROMOTION (int->long/float/double,
+    * long->float/double, float->double): decode the writer's primitive,
+    * widen into the reader-typed vector — the row lane's exact semantics. */
+  final case class WireStep(wire: AvroSchema, nullBranch: Int, target: Int,
+                            rdt: DataType = null) {
     def nullable: Boolean = nullBranch >= 0
+  }
+
+  /** A file's full decode recipe: the writer-ordered steps plus the reader
+    * ordinals this writer never wrote (post-ADD-COLUMN old files) — those
+    * fill from their reader defaults as constant vectors. */
+  final case class WirePlan(steps: Array[WireStep], absent: Array[Int])
+
+  /** The CONSTANT a writer-absent reader field materializes (Catalyst
+    * domain, per the field's wire logical type — the same conversions the
+    * decode path applies), or None when the default's shape can't ride a
+    * constant vector (falls back to the row lane). Some(null) is a genuine
+    * null default. */
+  def constDefault(f: Field): Option[Any] = f.defaultJson.flatMap { js =>
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+    if (node.isNull) { if (f.nullable) Some(null) else None }
+    else f.wire match {
+      case ABoolean => Some(java.lang.Boolean.valueOf(node.asBoolean))
+      case AInt | ADate(_) | ATimeMillis(_) =>
+        Some(java.lang.Integer.valueOf(node.asInt))
+      case ALong | ATimeMicros(_) | ATimestampMicros(_) =>
+        Some(java.lang.Long.valueOf(node.asLong))
+      case ATimestampMillis(_) => Some(java.lang.Long.valueOf(node.asLong * 1000L))
+      case AFloat => Some(java.lang.Float.valueOf(node.asDouble.toFloat))
+      case ADouble => Some(java.lang.Double.valueOf(node.asDouble))
+      case AString | AUuid(_) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(node.asText))
+      case ABytes => Some(node.asText.getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+      case _ => None
+    }
   }
 
   private def plainPrimitive(s: AvroSchema): Boolean = s match {
@@ -97,8 +136,10 @@ private[graft] object OcfColumnar {
         val out = new Array[Field](rec.fields.length)
         var i = 0
         while (i < out.length) {
-          flatFieldOf(rec.fields(i).name, rec.fields(i).schema) match {
-            case Some(f) => out(i) = f
+          val rf = rec.fields(i)
+          flatFieldOf(rf.name, rf.schema) match {
+            case Some(f) => out(i) = f.copy(aliases = rf.aliases,
+              defaultJson = rf.default.map(_.toString))
             case None => return None
           }
           i += 1
@@ -123,45 +164,100 @@ private[graft] object OcfColumnar {
     *     (a null would have nowhere to go). A plain writer under a
     *     nullable reader is the CATALOG's common case — nullable table
     *     schema over non-null-written files — and decodes with NO branch
-    *     byte, because the wire shape is the WRITER's.
+    *     byte, because the wire shape is the WRITER's;
+    *   - SCHEMA EVOLUTION resolves too, so one legacy file no longer costs
+    *     the whole scan the lane: a RENAMED reader field matches the
+    *     writer's old name through its aliases; a reader-only field
+    *     (post-ADD-COLUMN old file) fills from its reader default as a
+    *     constant vector; Avro's numeric promotions (int->long/float/
+    *     double, long->float/double, float->double) and the string<->bytes
+    *     byte-copy widen during decode — each the row lane's exact
+    *     semantics.
     *
-    * Promotions, renamed fields, reader-only fields (defaults), reordered
-    * projections: None → row-reader fallback. */
-  def wirePlanFor(writerJson: String, reader: Array[Field]): Option[Array[WireStep]] = {
+    * Reordered projections and non-flat shapes: None → row-reader
+    * fallback. */
+  def wirePlanFor(writerJson: String, reader: Array[Field]): Option[WirePlan] = {
     val key = writerJson + "\u0001" +
-      reader.map(f => f.name + ":" + f.dt.simpleString + ":" + f.nullBranch)
+      reader.map(f => f.name + ":" + f.dt.simpleString + ":" + f.nullBranch +
+        ":" + f.aliases.mkString("~") + ":" + f.defaultJson.getOrElse(""))
         .mkString(",")
     wireCache.computeIfAbsent(key, _ => computeWirePlan(writerJson, reader))
   }
 
   private val wireCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[WireStep]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Option[WirePlan]]()
+
+  /** Avro numeric promotion: decode the writer primitive, widen into the
+    * reader-typed vector. string<->bytes need no tag — the byte-copy
+    * decode is identical either way. */
+  private def promoted(wire: AvroSchema, rdt: DataType): Boolean = (wire, rdt) match {
+    case (AInt, LongType | FloatType | DoubleType) => true
+    case (ALong, FloatType | DoubleType) => true
+    case (AFloat, DoubleType) => true
+    case _ => false
+  }
 
   private def computeWirePlan(writerJson: String,
-                              reader: Array[Field]): Option[Array[WireStep]] =
+                              reader: Array[Field]): Option[WirePlan] =
     scala.util.Try(AvroSchemaParser.parse(writerJson)).toOption.flatMap {
       case rec: ARecord =>
-        val out = new Array[WireStep](rec.fields.length)
-        var w = 0
+        // reader lookup by CURRENT name and by rename-history aliases —
+        // names bind first (two passes), so one field's alias can never
+        // shadow another field's real name
+        val idxByName = scala.collection.mutable.HashMap.empty[String, Int]
+        reader.zipWithIndex.foreach { case (f, i) =>
+          idxByName.getOrElseUpdate(f.name, i)
+        }
+        reader.zipWithIndex.foreach { case (f, i) =>
+          f.aliases.foreach(a => idxByName.getOrElseUpdate(a, i))
+        }
+        val steps = new Array[WireStep](rec.fields.length)
+        val absent = Array.newBuilder[Int]
         var r = 0
-        while (w < out.length) {
+        // reader fields the writer never wrote fill as constant vectors —
+        // possible only when the default's shape supports one
+        def fillAbsentUpTo(until: Int): Boolean = {
+          while (r < until) {
+            if (constDefault(reader(r)).isEmpty) return false
+            absent += r
+            r += 1
+          }
+          true
+        }
+        var w = 0
+        while (w < steps.length) {
           val wf = rec.fields(w)
           flatFieldOf(wf.name, wf.schema) match {
             case Some(wSpec) =>
-              if (r < reader.length && wSpec.name == reader(r).name) {
-                // matched: vector types must agree and a writer null must
-                // have a nullable vector to land in
-                val rf = reader(r)
-                if (wSpec.dt != rf.dt || (wSpec.nullable && !rf.nullable))
-                  return None
-                out(w) = WireStep(wSpec.wire, wSpec.nullBranch, r)
-                r += 1
-              } else out(w) = WireStep(wSpec.wire, wSpec.nullBranch, -1)
+              idxByName.get(wf.name) match {
+                case Some(idx) if idx >= r =>
+                  if (!fillAbsentUpTo(idx)) return None
+                  // matched (by name or alias): types must agree, promote,
+                  // or be the string<->bytes byte-copy; a writer null must
+                  // have a nullable vector to land in
+                  val rf = reader(idx)
+                  if (wSpec.nullable && !rf.nullable) return None
+                  val step =
+                    if (wSpec.dt == rf.dt)
+                      WireStep(wSpec.wire, wSpec.nullBranch, idx)
+                    else if (promoted(wSpec.wire, rf.dt))
+                      WireStep(wSpec.wire, wSpec.nullBranch, idx, rdt = rf.dt)
+                    else if ((wSpec.wire == AString && rf.dt == BinaryType) ||
+                        (wSpec.wire == ABytes && rf.dt == StringType))
+                      WireStep(wSpec.wire, wSpec.nullBranch, idx)
+                    else return None
+                  steps(w) = step
+                  r = idx + 1
+                case Some(_) => return None // reordered projection: row lane
+                case None => // writer-only (dropped/pruned) column: type-skip
+                  steps(w) = WireStep(wSpec.wire, wSpec.nullBranch, -1)
+              }
             case None => return None // non-flat writer column — row reader
           }
           w += 1
         }
-        if (r == reader.length) Some(out) else None
+        if (!fillAbsentUpTo(reader.length)) None
+        else Some(WirePlan(steps, absent.result()))
       case _ => None
     }
 }
@@ -179,7 +275,7 @@ private[graft] object OcfColumnar {
   * `limit` counts emitted rows, exactly like the row reader. */
 private[graft] final class OcfColumnarSplitReader(
     meta: OcfDataSource.OcfFileMeta, start: Long, end: Long,
-    fields: Array[OcfColumnar.Field], plan: Array[OcfColumnar.WireStep],
+    fields: Array[OcfColumnar.Field], plan: OcfColumnar.WirePlan,
     conf: Configuration,
     limit: Long = Long.MaxValue, aligned: Boolean = false,
     appended: Array[(DataType, Any)] = Array.empty,
@@ -257,29 +353,48 @@ private[graft] final class OcfColumnarSplitReader(
     case _ => batchSize
   }
 
-  private val vectors: Array[OnHeapColumnVector] =
-    fields.map(f => new OnHeapColumnVector(capacity, f.dt))
-  // per-split constants (partition values, `_file`): set once, never reset
-  private val constVectors: Array[ColumnVector] = appended.map { case (dt, v) =>
+  private def constVec(dt: DataType, v: Any): ColumnVector = {
     val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
       capacity, dt)
     if (v == null) cv.setNull()
     else dt match {
+      case BooleanType => cv.setBoolean(v.asInstanceOf[Boolean])
       case StringType => cv.setUtf8String(
         v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case BinaryType => cv.setBinary(v.asInstanceOf[Array[Byte]])
       case ByteType => cv.setByte(v.asInstanceOf[Byte])
       case ShortType => cv.setShort(v.asInstanceOf[Short])
       case IntegerType | DateType => cv.setInt(v.asInstanceOf[Int])
-      case LongType => cv.setLong(v.asInstanceOf[Long])
+      case LongType | TimestampType => cv.setLong(v.asInstanceOf[Long])
+      case FloatType => cv.setFloat(v.asInstanceOf[Float])
+      case DoubleType => cv.setDouble(v.asInstanceOf[Double])
       case other => throw new IllegalStateException(
         s"graft-ocf: unsupported constant column type ${other.simpleString}")
     }
     cv
   }
+  // reader fields this file WROTE decode into writable vectors; fields the
+  // writer never had (post-ADD-COLUMN old files) are per-file CONSTANTS
+  // from their reader defaults — the plan validated they exist
+  private val writable: Array[OnHeapColumnVector] = new Array(fields.length)
+  private val vectors: Array[ColumnVector] = {
+    val absent = plan.absent.toSet
+    fields.zipWithIndex.map { case (f, i) =>
+      if (absent(i)) constVec(f.dt, OcfColumnar.constDefault(f).get)
+      else {
+        val v = new OnHeapColumnVector(capacity, f.dt)
+        writable(i) = v
+        v
+      }
+    }
+  }
+  // per-split constants (partition values, `_file`): set once, never reset
+  private val constVectors: Array[ColumnVector] =
+    appended.map { case (dt, v) => constVec(dt, v) }
   private val posVector: OnHeapColumnVector =
     if (withPos) new OnHeapColumnVector(capacity, LongType) else null
   private val batch =
-    new ColumnarBatch(vectors.map(v => v: ColumnVector) ++ constVectors ++
+    new ColumnarBatch(vectors ++ constVectors ++
       (if (withPos) Array[ColumnVector](posVector) else Array.empty[ColumnVector]))
 
   private var blocksVisited = 0L
@@ -291,7 +406,10 @@ private[graft] final class OcfColumnarSplitReader(
   override def next(): Boolean = {
     if (emitted >= limit) return false
     var i = 0
-    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    while (i < writable.length) {
+      if (writable(i) != null) writable(i).reset()
+      i += 1
+    }
     if (posVector != null) posVector.reset()
     var n = 0
     var done = false
@@ -364,9 +482,10 @@ private[graft] final class OcfColumnarSplitReader(
   /** Walk one datum forward without touching the vectors (a
     * position-deleted ordinal still occupies wire bytes). */
   private def skipRow(): Unit = {
+    val steps = plan.steps
     var j = 0
-    while (j < plan.length) {
-      val step = plan(j)
+    while (j < steps.length) {
+      val step = steps(j)
       val isNull = step.nullable && bin.readLong().toInt == step.nullBranch
       if (!isNull) skipValue(step.wire)
       j += 1
@@ -388,25 +507,40 @@ private[graft] final class OcfColumnarSplitReader(
   }
 
   private def decodeRow(row: Int): Unit = {
+    val steps = plan.steps
     var j = 0
-    while (j < plan.length) {
-      val step = plan(j)
+    while (j < steps.length) {
+      val step = steps(j)
       var isNull = false
       if (step.nullable) {
         val br = bin.readLong().toInt
         if (br == step.nullBranch) {
           isNull = true
-          if (step.target >= 0) vectors(step.target).putNull(row)
+          if (step.target >= 0) writable(step.target).putNull(row)
         }
       }
       if (!isNull) {
         if (step.target < 0) skipValue(step.wire)
         else {
-          val v = vectors(step.target)
+          val v = writable(step.target)
           // an equality-deleted row's slot is REUSED by the next surviving
           // row: putX does not clear a stale null bit, so clear it here
           if (step.nullable && eqGroups.length > 0) v.putNotNull(row)
-          step.wire match {
+          if (step.rdt != null) {
+            // numeric Avro PROMOTION: decode the writer primitive, widen
+            // into the reader-typed vector (the row lane's conversions)
+            (step.wire, step.rdt) match {
+              case (AInt | ALong, LongType) => v.putLong(row, bin.readLong())
+              case (AInt | ALong, FloatType) =>
+                v.putFloat(row, bin.readLong().toFloat)
+              case (AInt | ALong, DoubleType) =>
+                v.putDouble(row, bin.readLong().toDouble)
+              case (AFloat, DoubleType) =>
+                v.putDouble(row, bin.readFloat().toDouble)
+              case other => throw new IllegalStateException(
+                s"graft-ocf: unplanned promotion $other")
+            }
+          } else step.wire match {
             case AInt | ADate(_) | ATimeMillis(_) =>
               v.putInt(row, bin.readLong().toInt)
             case ALong | ATimeMicros(_) | ATimestampMicros(_) =>

@@ -328,7 +328,7 @@ class OcfColumnarSpec extends AnyFunSuite {
       """{"type":"record","name":"r","fields":[
         |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
         .stripMargin, reader)
-    assert(plan.isDefined && plan.get.length == 1 && plan.get.head.target == 0)
+    assert(plan.isDefined && plan.get.steps.length == 1 && plan.get.steps.head.target == 0)
   }
 
   test("decimal (bytes and fixed encodings) rides the columnar lane, " +
@@ -375,7 +375,7 @@ class OcfColumnarSpec extends AnyFunSuite {
         |{"name":"d","type":{"type":"fixed","name":"f","size":5,
         |"logicalType":"decimal","precision":10,"scale":2}}]}""".stripMargin,
       rf.get)
-    assert(fixedPlan.isDefined && fixedPlan.get.head.target == 0)
+    assert(fixedPlan.isDefined && fixedPlan.get.steps.head.target == 0)
     // precision beyond DecimalType's 38 must refuse the lane
     assert(OcfColumnar.fieldsFor(
       """{"type":"record","name":"r","fields":[
@@ -451,6 +451,46 @@ class OcfColumnarSpec extends AnyFunSuite {
       .table("gcolm.ns.eq")))
     assert(!c.exists(_._1 % 11 == 1) &&
       c.length == (0L until 3000L).count(_ % 11 != 1))
+  }
+
+  test("schema evolution keeps the columnar lane: ADD (null and DEFAULT), " +
+      "RENAME via alias, int->bigint promotion — old files resolve (X106)") {
+    import spark.implicits._
+    val wh = tempDir("graft-col-evo-wh")
+    spark.conf.set("spark.sql.catalog.gcole", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcole.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcole.ns")
+    spark.sql(
+      """CREATE TABLE gcole.ns.t (id BIGINT, n INT, tag STRING)
+        |USING `graft-ocf`""".stripMargin)
+    (0 until 1500).map(i => (i.toLong, i * 3, s"t$i")).toDF("id", "n", "tag")
+      .coalesce(1).writeTo("gcole.ns.t").append()               // era A
+    spark.sql("ALTER TABLE gcole.ns.t ADD COLUMN note STRING")  // null default
+    spark.sql("ALTER TABLE gcole.ns.t ADD COLUMN qual STRING DEFAULT 'unscored'")
+    spark.sql("ALTER TABLE gcole.ns.t ADD COLUMN rank BIGINT DEFAULT 7")
+    spark.sql("ALTER TABLE gcole.ns.t RENAME COLUMN tag TO label")
+    spark.sql("ALTER TABLE gcole.ns.t ALTER COLUMN n TYPE BIGINT")
+    (1500 until 2000).map(i => (i.toLong, i * 3L, s"t$i", s"note$i", "gold", 1L))
+      .toDF("id", "n", "label", "note", "qual", "rank")
+      .coalesce(1).writeTo("gcole.ns.t").append()               // era B
+    val col = spark.read.table("gcole.ns.t")
+    // the evolved table STAYS columnar — the old file resolves via alias
+    // (label<-tag), promotion (n int->bigint) and constant default fills
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    val row = spark.read.option("columnar", "false").table("gcole.ns.t")
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getString(2),
+      Option(r.getString(3)).getOrElse("<null>"), r.getString(4), r.getLong(5)))
+      .sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(row), "evolved columnar decode must equal the row lane")
+    assert(a.length == 2000)
+    assert(a(3) == ((3L, 9L, "t3", "<null>", "unscored", 7L)))      // era A
+    assert(a(1600) == ((1600L, 4800L, "t1600", "note1600", "gold", 1L)))
+    // filters across eras consume the batches
+    assert(col.where($"qual" === "unscored").count() == 1500L)
+    assert(col.where($"n" > 4497L).count() ==
+      row.where($"n" > 4497L).count())
   }
 
   test("`_pos` rides the columnar lane as a real ordinal vector; deleted " +
