@@ -77,6 +77,10 @@ private[graft] object OcfColumnar {
         Some(org.apache.spark.unsafe.types.UTF8String.fromString(node.asText))
       case ABytes => Some(node.asText.getBytes(
         java.nio.charset.StandardCharsets.ISO_8859_1))
+      case _: AEnum =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(node.asText))
+      case _: AFixed => Some(node.asText.getBytes(
+        java.nio.charset.StandardCharsets.ISO_8859_1))
       case _ => None
     }
   }
@@ -97,6 +101,9 @@ private[graft] object OcfColumnar {
       case ABytes | _: AFixed => true
       case _ => false
     }
+    // enum decodes writer-driven (index -> symbol string) and fixed is one
+    // writer-sized read — both single wire ops, exactly like the row lane
+    case _: AEnum | _: AFixed => true
     case _ => false
   }
 
@@ -117,6 +124,8 @@ private[graft] object OcfColumnar {
     case ATimestampMillis(_) | ATimestampMicros(_) => TimestampType
     case AUuid(_) => StringType
     case ADecimal(p, s, _) => DecimalType(p, s)
+    case _: AEnum => StringType
+    case _: AFixed => BinaryType
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
@@ -237,8 +246,16 @@ private[graft] object OcfColumnar {
                   // have a nullable vector to land in
                   val rf = reader(idx)
                   if (wSpec.nullable && !rf.nullable) return None
+                  // enum-under-enum: plan only when every writer symbol is
+                  // a reader symbol — the reader-default / resolution-error
+                  // semantics stay on the row lane
+                  val enumOk = (wSpec.wire, rf.wire) match {
+                    case (we: AEnum, re: AEnum) =>
+                      we.symbols.forall(re.symbols.contains)
+                    case _ => true
+                  }
                   val step =
-                    if (wSpec.dt == rf.dt)
+                    if (wSpec.dt == rf.dt && enumOk)
                       WireStep(wSpec.wire, wSpec.nullBranch, idx)
                     else if (promoted(wSpec.wire, rf.dt))
                       WireStep(wSpec.wire, wSpec.nullBranch, idx, rdt = rf.dt)
@@ -503,6 +520,8 @@ private[graft] final class OcfColumnarSplitReader(
       case f: AFixed => bin.skip(f.size.toLong)
       case _ => bin.skipBytes()
     }
+    case f: AFixed => bin.skip(f.size.toLong)
+    case _: AEnum => bin.skipLong()
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
@@ -563,6 +582,15 @@ private[graft] final class OcfColumnarSplitReader(
               }
               v.putDecimal(row, org.apache.spark.sql.types.Decimal(
                 new java.math.BigDecimal(new java.math.BigInteger(b), s)), p)
+            case f: AFixed =>
+              val b = bin.readFixed(f.size)
+              v.putByteArray(row, b, 0, b.length)
+            case e: AEnum =>
+              // writer-driven: index -> the WRITER's symbol, the row lane's
+              // exact decode (the plan admitted only subset-safe enums)
+              val b = e.symbols(bin.readInt()).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              v.putByteArray(row, b, 0, b.length)
             case other => throw new IllegalStateException(s"not flat: $other")
           }
         }

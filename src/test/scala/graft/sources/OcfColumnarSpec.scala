@@ -453,6 +453,47 @@ class OcfColumnarSpec extends AnyFunSuite {
       c.length == (0L until 3000L).count(_ % 11 != 1))
   }
 
+  test("enum and fixed (external files) ride the columnar lane, " +
+      "value-identical to the row reader") {
+    import graft.avro._
+    val dir = tempDir("graft-col-enumfix")
+    val schema = AvroSchemaParser.parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"state","type":{"type":"enum","name":"St",
+        |  "symbols":["NEW","OPEN","DONE"]}},
+        |{"name":"mac","type":{"type":"fixed","name":"Mac","size":6}},
+        |{"name":"note","type":["null",{"type":"enum","name":"Lvl",
+        |  "symbols":["LO","HI"]}]}]}""".stripMargin).asInstanceOf[ARecord]
+    val syms = Seq("NEW", "OPEN", "DONE")
+    val datums = (0 until 900).map { i =>
+      AvroRecord(schema, Array[Any](i.toLong, syms(i % 3),
+        Array.tabulate[Byte](6)(k => ((i + k) % 120).toByte),
+        if (i % 4 == 0) null else (if (i % 2 == 0) "LO" else "HI")))
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "ef.avro").toPath,
+      Ocf.writeAll(schema, datums))
+    def rd(c: Boolean) = spark.read.format("graft-ocf")
+      .option("columnar", c.toString).load(dir.getAbsolutePath)
+    val col = rd(true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getString(1), r.getAs[Array[Byte]](2).toSeq,
+      Option(r.getString(3)).getOrElse("<null>"))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(rd(false)))
+    assert(a(5) == ((5L, "DONE", (5 until 11).map(_.toByte).toSeq, "HI")))
+    assert(a(4)._4 == "<null>")
+    // a writer symbol OUTSIDE the reader enum refuses the lane (the reader-
+    // default / resolution-error semantics stay on the row reader)
+    val narrow = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"state","type":{"type":"enum","name":"St",
+        |  "symbols":["NEW","OPEN"]}}]}""".stripMargin).get
+    val writerJson = AvroSchemaParser.toJson(schema)
+    assert(OcfColumnar.wirePlanFor(writerJson, narrow).isEmpty)
+  }
+
   test("schema evolution keeps the columnar lane: ADD (null and DEFAULT), " +
       "RENAME via alias, int->bigint promotion — old files resolve (X106)") {
     import spark.implicits._
