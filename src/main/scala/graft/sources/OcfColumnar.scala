@@ -8,21 +8,23 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
 
-/** Vectorized (ColumnarBatch) reads for FLAT primitive schemas (X91): when
-  * every reader field is a plain Avro primitive or a scalar logical type
-  * (date/time/timestamp/uuid; nullable unions included)
-  * and every planned file's writer schema admits a positional WIRE PLAN
+/** Vectorized (ColumnarBatch) reads for FLAT schemas (X91): when every
+  * reader field is a scalar Avro shape (primitives, date/time/timestamp/
+  * uuid/decimal logical types, enum, fixed; nullable unions included) and
+  * every planned file's writer schema admits a positional WIRE PLAN
   * (below), the scan decodes straight into on-heap column vectors — one
   * tight loop per batch instead of a per-row compiled-reader virtual call
   * + row allocation + iterator step. Spark's `ColumnarToRow` (codegen'd)
   * consumes the batches. Partition values and the `_file` metadata column
   * are per-split CONSTANTS and ride along as [[ConstantColumnVector]]s —
   * identity/transform/bucket-partitioned tables (the normal production
-  * shape) vectorize exactly like unpartitioned ones. Everything else
-  * (nested schemas, promotions, `_pos`, position/equality deletes,
-  * aggregates) falls back to the row reader — Avro is row-oriented, so the
-  * columnar path is an opt-in fast lane for the flat-scan shape, never a
-  * second semantics. */
+  * shape) vectorize exactly like unpartitioned ones; `_pos` rides as a
+  * real ordinal vector, MoR position/equality deletes apply in-lane
+  * (X105), and SCHEMA EVOLUTION resolves per file (X106: aliases,
+  * reader-default constants, numeric promotions). Only NESTED shapes
+  * (and aggregate pushdowns, which have their own readers) fall back to
+  * the row reader — Avro is row-oriented, so the columnar path is a fast
+  * lane with one semantics, never a second one. */
 private[graft] object OcfColumnar {
 
   /** One flat READER field: its name, Spark type, wire primitive, and
