@@ -82,6 +82,58 @@ class ColumnarPropertySpec extends AnyFunSuite {
       }
     }).sortBy(_.mkString(""))
 
+  test("random EXTERNAL flat files (kernel-written; enum/fixed/uuid/times " +
+      "included) read value-identical through both lanes") {
+    import graft.avro._
+    val params = Gen.Parameters.default
+    var seed = rng.Seed(77_2026_0815L)
+    def next[A](g: Gen[A]): A = { val v = g.pureApply(params, seed); seed = seed.next; v }
+    val genWire: Gen[AvroSchema] = Gen.oneOf(
+      Gen.const(ABoolean), Gen.const(AInt), Gen.const(ALong),
+      Gen.const(AFloat), Gen.const(ADouble), Gen.const(AString),
+      Gen.const(ABytes),
+      Gen.choose(1, 6).map(n => AEnum(s"E$n", None, (0 until n).map(i => s"S$i"))),
+      Gen.choose(0, 9).map(sz => AFixed(s"F$sz", None, sz)))
+    def valueOf(s: AvroSchema): Gen[Any] = s match {
+      case ABoolean => Gen.oneOf(true, false)
+      case AInt => Gen.chooseNum(Int.MinValue, Int.MaxValue)
+      case ALong => Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      case AFloat => Gen.chooseNum(-1e20f, 1e20f)
+      case ADouble => Gen.chooseNum(-1e200, 1e200)
+      case AString => Gen.alphaNumStr.map(_.take(20))
+      case ABytes => Gen.choose(0, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+      case e: AEnum => Gen.oneOf(e.symbols)
+      case f: AFixed => Gen.const(Array.tabulate[Byte](f.size)(i => (i * 7).toByte))
+      case AUnion(Seq(ANull, p)) =>
+        Gen.frequency(1 -> Gen.const(null), 3 -> valueOf(p))
+      case other => throw new IllegalStateException(other.typeName)
+    }
+    for (iter <- 1 to 6) {
+      val n = next(Gen.choose(1, 6))
+      val fields = (0 until n).map { i =>
+        val base = next(genWire)
+        val nullable = next(Gen.oneOf(true, false))
+        AField(s"f$i", if (nullable) AUnion(Seq(ANull, base)) else base)
+      }
+      val schema = ARecord(s"ExtProp$iter", Some("prop.ext"), fields)
+      val rows = (0 until 200 + iter * 13).map { _ =>
+        AvroRecord(schema, fields.map(f => next(valueOf(f.schema))).toArray)
+      }
+      val dir = tempDir(s"graft-colprop-ext-$iter")
+      java.nio.file.Files.write(
+        new java.io.File(dir, "x.avro").toPath, Ocf.writeAll(schema, rows))
+      def rd(c: Boolean) = spark.read.format("graft-ocf")
+        .option("columnar", c.toString).load(dir)
+      assert(rd(true).queryExecution.executedPlan.toString
+        .contains("ColumnarToRow"), s"ext iter $iter did not vectorize: " +
+        fields.map(_.schema.typeName).mkString(","))
+      assert(canon(rd(true)) == canon(rd(false)),
+        s"ext iter $iter mismatch on ${fields.map(f =>
+          f.name + ":" + f.schema.typeName).mkString(",")}")
+    }
+  }
+
   test("random flat schemas read value-identical through both lanes, " +
       "full and pruned, clean and equality-burdened") {
     val params = Gen.Parameters.default
