@@ -37,7 +37,10 @@ private[graft] object OcfColumnar {
     * evolution semantics the row lane gets from Avro resolution. */
   final case class Field(name: String, dt: DataType, wire: AvroSchema,
                          nullBranch: Int, aliases: Seq[String] = Nil,
-                         defaultJson: Option[String] = None) {
+                         defaultJson: Option[String] = None,
+                         // STRUCT-of-scalars (X107): one nesting level —
+                         // the struct's leaves, each itself a scalar Field
+                         children: Array[Field] = null) {
     def nullable: Boolean = nullBranch >= 0
   }
 
@@ -49,7 +52,11 @@ private[graft] object OcfColumnar {
     * long->float/double, float->double): decode the writer's primitive,
     * widen into the reader-typed vector — the row lane's exact semantics. */
   final case class WireStep(wire: AvroSchema, nullBranch: Int, target: Int,
-                            rdt: DataType = null) {
+                            rdt: DataType = null,
+                            // struct step (X107): the leaves' sub-steps, in
+                            // WRITER child order; targets index the struct
+                            // vector's children
+                            children: Array[WireStep] = null) {
     def nullable: Boolean = nullBranch >= 0
   }
 
@@ -140,6 +147,32 @@ private[graft] object OcfColumnar {
     case _ => None
   }
 
+  /** A STRUCT-of-scalars field (X107): one nesting level, every leaf a
+    * scalar — the document-metadata shape. Deeper nesting, arrays, maps
+    * keep the row lane. */
+  private def structFieldOf(name: String, s: AvroSchema): Option[Field] = {
+    def ofRecord(r: ARecord, nullBranch: Int): Option[Field] = {
+      val kids = new Array[Field](r.fields.length)
+      var i = 0
+      while (i < kids.length) {
+        flatFieldOf(r.fields(i).name, r.fields(i).schema) match {
+          case Some(k) => kids(i) = k
+          case None => return None
+        }
+        i += 1
+      }
+      Some(Field(name,
+        StructType(kids.map(k => StructField(k.name, k.dt, k.nullable))),
+        r, nullBranch, children = kids))
+    }
+    s match {
+      case r: ARecord => ofRecord(r, -1)
+      case AUnion(Seq(ANull, r: ARecord)) => ofRecord(r, 0)
+      case AUnion(Seq(r: ARecord, ANull)) => ofRecord(r, 1)
+      case _ => None
+    }
+  }
+
   /** Field specs when `readerJson` is a flat all-primitive record. */
   def fieldsFor(readerJson: String): Option[Array[Field]] =
     scala.util.Try(AvroSchemaParser.parse(readerJson)).toOption.flatMap {
@@ -148,7 +181,8 @@ private[graft] object OcfColumnar {
         var i = 0
         while (i < out.length) {
           val rf = rec.fields(i)
-          flatFieldOf(rf.name, rf.schema) match {
+          flatFieldOf(rf.name, rf.schema)
+            .orElse(structFieldOf(rf.name, rf.schema)) match {
             case Some(f) => out(i) = f.copy(aliases = rf.aliases,
               defaultJson = rf.default.map(_.toString))
             case None => return None
@@ -229,11 +263,45 @@ private[graft] object OcfColumnar {
         // possible only when the default's shape supports one
         def fillAbsentUpTo(until: Int): Boolean = {
           while (r < until) {
-            if (constDefault(reader(r)).isEmpty) return false
+            // scalar constants only — an absent STRUCT has no constant
+            // vector shape (nested ADDs keep the row lane)
+            if (reader(r).children != null ||
+                constDefault(reader(r)).isEmpty) return false
             absent += r
             r += 1
           }
           true
+        }
+        // struct-of-scalars (X107): writer and reader structs resolve by
+        // EXACT child name+type at depth (no aliases/promotions/absent
+        // children — nested evolution keeps the row lane); writer-only
+        // children type-skip, reader children must be an in-order
+        // subsequence of the writer's
+        def structSteps(wKids: Seq[AField], rKids: Array[Field]): Option[Array[WireStep]] = {
+          val out = new Array[WireStep](wKids.length)
+          var rc = 0
+          var wc = 0
+          while (wc < out.length) {
+            val wk = wKids(wc)
+            flatFieldOf(wk.name, wk.schema) match {
+              case Some(ws) =>
+                if (rc < rKids.length && ws.name == rKids(rc).name) {
+                  val rk = rKids(rc)
+                  val enumOk = (ws.wire, rk.wire) match {
+                    case (we: AEnum, re: AEnum) =>
+                      we.symbols.forall(re.symbols.contains)
+                    case _ => true
+                  }
+                  if (ws.dt != rk.dt || (ws.nullable && !rk.nullable) ||
+                      !enumOk) return None
+                  out(wc) = WireStep(ws.wire, ws.nullBranch, rc)
+                  rc += 1
+                } else out(wc) = WireStep(ws.wire, ws.nullBranch, -1)
+              case None => return None
+            }
+            wc += 1
+          }
+          if (rc == rKids.length) Some(out) else None
         }
         var w = 0
         while (w < steps.length) {
@@ -271,7 +339,31 @@ private[graft] object OcfColumnar {
                 case None => // writer-only (dropped/pruned) column: type-skip
                   steps(w) = WireStep(wSpec.wire, wSpec.nullBranch, -1)
               }
-            case None => return None // non-flat writer column — row reader
+            case None => structFieldOf(wf.name, wf.schema) match {
+              case Some(wStruct) =>
+                idxByName.get(wf.name) match {
+                  case Some(idx) if idx >= r =>
+                    if (!fillAbsentUpTo(idx)) return None
+                    val rf = reader(idx)
+                    if (rf.children == null ||
+                        (wStruct.nullable && !rf.nullable)) return None
+                    structSteps(wStruct.wire.asInstanceOf[ARecord].fields,
+                        rf.children) match {
+                      case Some(kids) =>
+                        steps(w) = WireStep(wStruct.wire, wStruct.nullBranch,
+                          idx, children = kids)
+                        r = idx + 1
+                      case None => return None
+                    }
+                  case Some(_) => return None
+                  case None => // writer-only struct: type-skip the record —
+                    // the children carry the leaves' wire shapes to skip
+                    steps(w) = WireStep(wStruct.wire, wStruct.nullBranch, -1,
+                      children = wStruct.children.map(k =>
+                        WireStep(k.wire, k.nullBranch, -1)))
+                }
+              case None => return None // non-flat writer column — row reader
+            }
           }
           w += 1
         }
@@ -504,10 +596,19 @@ private[graft] final class OcfColumnarSplitReader(
     val steps = plan.steps
     var j = 0
     while (j < steps.length) {
-      val step = steps(j)
-      val isNull = step.nullable && bin.readLong().toInt == step.nullBranch
-      if (!isNull) skipValue(step.wire)
+      skipField(steps(j))
       j += 1
+    }
+  }
+
+  private def skipField(step: OcfColumnar.WireStep): Unit = {
+    val isNull = step.nullable && bin.readLong().toInt == step.nullBranch
+    if (!isNull) {
+      if (step.children == null) skipValue(step.wire)
+      else {
+        var k = 0
+        while (k < step.children.length) { skipField(step.children(k)); k += 1 }
+      }
     }
   }
 
@@ -527,23 +628,72 @@ private[graft] final class OcfColumnarSplitReader(
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
+  // per struct STEP, its reader struct vector's child vectors (X107)
+  private val structKids
+      : Array[Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector]] =
+    plan.steps.map { st =>
+      if (st.children != null && st.target >= 0) {
+        val sv = writable(st.target)
+        val n = fields(st.target).children.length
+        Array.tabulate(n)(sv.getChild)
+      } else null
+    }
+
   private def decodeRow(row: Int): Unit = {
     val steps = plan.steps
     var j = 0
     while (j < steps.length) {
       val step = steps(j)
+      if (step.children == null) decodeField(step, row,
+        if (step.target < 0) null else writable(step.target))
+      else {
+        // STRUCT step (X107): null branch marks the struct vector; present
+        // structs decode each child into the struct vector's children —
+        // slots of a null struct stay untouched (the parent null masks them)
+        var isNull = false
+        if (step.nullable) {
+          val br = bin.readLong().toInt
+          if (br == step.nullBranch) {
+            isNull = true
+            if (step.target >= 0) writable(step.target).putNull(row)
+          }
+        }
+        if (!isNull) {
+          val cs = step.children
+          if (step.target < 0) {
+            var k = 0
+            while (k < cs.length) { skipField(cs(k)); k += 1 }
+          } else {
+            if (step.nullable && eqGroups.length > 0)
+              writable(step.target).putNotNull(row)
+            val kids = structKids(j)
+            var k = 0
+            while (k < cs.length) {
+              val c = cs(k)
+              decodeField(c, row, if (c.target < 0) null else kids(c.target))
+              k += 1
+            }
+          }
+        }
+      }
+      j += 1
+    }
+  }
+
+  private def decodeField(step: OcfColumnar.WireStep, row: Int,
+      v0: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
       var isNull = false
       if (step.nullable) {
         val br = bin.readLong().toInt
         if (br == step.nullBranch) {
           isNull = true
-          if (step.target >= 0) writable(step.target).putNull(row)
+          if (v0 != null) v0.putNull(row)
         }
       }
       if (!isNull) {
-        if (step.target < 0) skipValue(step.wire)
+        if (v0 == null) skipValue(step.wire)
         else {
-          val v = writable(step.target)
+          val v = v0
           // an equality-deleted row's slot is REUSED by the next surviving
           // row: putX does not clear a stale null bit, so clear it here
           if (step.nullable && eqGroups.length > 0) v.putNotNull(row)
@@ -597,8 +747,6 @@ private[graft] final class OcfColumnarSplitReader(
           }
         }
       }
-      j += 1
-    }
   }
 
   override def get(): ColumnarBatch = batch

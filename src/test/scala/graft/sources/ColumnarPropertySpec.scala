@@ -33,9 +33,18 @@ class ColumnarPropertySpec extends AnyFunSuite {
     BinaryType, DateType, TimestampType,
     DecimalType(10, 2), DecimalType(38, 0), DecimalType(7, 7))
 
+  // one-level struct-of-scalars (X107) joins the pool
+  private val genStructType: Gen[DataType] = for {
+    k <- Gen.choose(1, 4)
+    kids <- Gen.listOfN(k, genFieldType)
+    nbs <- Gen.listOfN(k, Gen.oneOf(true, false))
+  } yield StructType(kids.zip(nbs).zipWithIndex.map {
+    case ((dt, nb), i) => StructField(s"s$i", dt, nullable = nb)
+  })
+
   private def genSchema: Gen[StructType] = for {
     n <- Gen.choose(1, 7)
-    types <- Gen.listOfN(n, genFieldType)
+    types <- Gen.listOfN(n, Gen.frequency(5 -> genFieldType, 2 -> genStructType))
     nullables <- Gen.listOfN(n, Gen.oneOf(true, false))
   } yield StructType(types.zip(nullables).zipWithIndex.map {
     case ((dt, nb), i) => StructField(s"c$i", dt, nullable = nb)
@@ -62,6 +71,11 @@ class ColumnarPropertySpec extends AnyFunSuite {
       val maxUnscaled = BigInt(10).pow(math.min(d.precision, 18)) - 1
       Gen.chooseNum(-maxUnscaled.toLong, maxUnscaled.toLong).map(u =>
         new java.math.BigDecimal(java.math.BigInteger.valueOf(u), d.scale))
+    case st: StructType =>
+      Gen.sequence[Seq[Any], Any](st.fields.toSeq.map { f =>
+        if (f.nullable) Gen.frequency(1 -> Gen.const(null), 4 -> genValue(f.dataType))
+        else genValue(f.dataType)
+      }).map(Row.fromSeq)
     case other => throw new IllegalStateException(other.simpleString)
   }
 
@@ -74,12 +88,15 @@ class ColumnarPropertySpec extends AnyFunSuite {
   // canonical, NaN-stable rendering for comparison
   private def canon(df: DataFrame): Seq[Seq[String]] =
     df.collect().toSeq.map(r => (0 until r.length).map { i =>
-      r.get(i) match {
+      def render(x: Any): String = x match {
         case null => "<null>"
         case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
         case d: java.math.BigDecimal => d.toPlainString
+        case sr: Row => "{" + (0 until sr.length).map(k =>
+          render(sr.get(k))).mkString(";") + "}"
         case v => String.valueOf(v)
       }
+      render(r.get(i))
     }).sortBy(_.mkString(""))
 
   test("random EXTERNAL flat files (kernel-written; enum/fixed/uuid/times " +

@@ -152,8 +152,8 @@ class OcfColumnarSpec extends AnyFunSuite {
       "block index entries must stay sketch-free")
   }
 
-  test("`_file` and partition values ride as constant vectors; nested and " +
-      "`_pos` shapes stay row-lane") {
+  test("`_file` and partition values ride as constant vectors; DEEP " +
+      "nesting stays row-lane") {
     import spark.implicits._
     val dir = tempDir("graft-col-fb")
     (0L until 100L).map(i => (i, s"d$i")).toDF("id", "v")
@@ -163,9 +163,10 @@ class OcfColumnarSpec extends AnyFunSuite {
     val withFile = base.select($"id", $"_file")
     assert(isColumnar(withFile), withFile.queryExecution.executedPlan.toString)
     assert(withFile.collect().forall(_.getString(1).contains("graft-col-fb")))
-    // nested schema — row path
+    // struct-of-scalars rides the lane since X107; TWO-level nesting (a
+    // struct inside a struct) is the conservative row-path boundary
     val ndir = tempDir("graft-col-nested")
-    (0L until 10L).map(i => (i, (s"n$i", i * 2)))
+    (0L until 10L).map(i => (i, ((s"n$i", i * 2), i * 3)))
       .toDF("id", "info")
       .write.format("graft-ocf").mode(SaveMode.Append).save(ndir.getAbsolutePath)
     val nested = spark.read.format("graft-ocf").load(ndir.getAbsolutePath)
@@ -451,6 +452,65 @@ class OcfColumnarSpec extends AnyFunSuite {
       .table("gcolm.ns.eq")))
     assert(!c.exists(_._1 % 11 == 1) &&
       c.length == (0L until 3000L).count(_ % 11 != 1))
+  }
+
+  test("struct-of-scalars rides the columnar lane (X107): nullable " +
+      "structs, nullable leaves, nested pruning — value-identical") {
+    import spark.implicits._
+    val dir = tempDir("graft-col-struct")
+    val src = (0L until 4000L).map { i =>
+      (i,
+        if (i % 11 == 0) null
+        else (i * 0.5, if (i % 5 == 0) null else s"m$i", i % 2 == 0),
+        s"tail$i")
+    }.toDF("id", "meta", "tail")
+    src.coalesce(2).write.format("graft-ocf")
+      .mode(SaveMode.Append).save(dir.getAbsolutePath)
+    def rd(c: Boolean) = spark.read.format("graft-ocf")
+      .option("columnar", c.toString).load(dir.getAbsolutePath)
+    val col = rd(true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.selectExpr(
+        "id", "meta._1 AS a", "meta._2 AS b", "meta._3 AS c", "tail",
+        "meta IS NULL AS mn")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "<n>" else r.getDouble(1).toString,
+        Option(r.getString(2)).getOrElse("<n>"),
+        if (r.isNullAt(3)) "<n>" else r.getBoolean(3).toString,
+        r.getString(4), r.getBoolean(5))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(rd(false)))
+    assert(a.length == 4000)
+    assert(a(11)._6 && a(11)._2 == "<n>")                 // null struct
+    assert(a(10) == ((10L, "5.0", "<n>", "true", "tail10", false))) // null leaf
+    assert(a(7) == ((7L, "3.5", "m7", "false", "tail7", false)))
+    // NESTED pruning: a struct-subfield projection stays columnar and equal
+    val pr = col.selectExpr("id", "meta._2 AS b")
+    assert(isColumnar(pr), pr.queryExecution.executedPlan.toString)
+    assert(pr.collect().map(r => (r.getLong(0),
+        Option(r.getString(1)).getOrElse("<n>"))).sortBy(_._1).toSeq ==
+      rd(false).selectExpr("id", "meta._2 AS b").collect().map(r =>
+        (r.getLong(0), Option(r.getString(1)).getOrElse("<n>")))
+        .sortBy(_._1).toSeq)
+    // a WHOLE-struct projection-away skips the record on the wire
+    val noStruct = col.select("id", "tail")
+    assert(isColumnar(noStruct))
+    assert(noStruct.count() == 4000 &&
+      noStruct.where($"tail" === "tail99").count() == 1)
+    // nested evolution keeps the row lane (conservative): an old file
+    // missing a struct CHILD refuses the plan
+    val rf = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"m","type":{"type":"record","name":"M","fields":[
+        |  {"name":"x","type":"long"},
+        |  {"name":"y","type":["null","string"],"default":null}]}}]}"""
+        .stripMargin).get
+    val oldWriter =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"m","type":{"type":"record","name":"M","fields":[
+        |  {"name":"x","type":"long"}]}}]}""".stripMargin
+    assert(OcfColumnar.wirePlanFor(oldWriter, rf).isEmpty,
+      "a struct missing a reader child must keep the row lane")
   }
 
   test("enum and fixed (external files) ride the columnar lane, " +
