@@ -1799,11 +1799,14 @@ object SparkEntry {
            |WHERE doc_id < 300 OR doc_id IN (301, 302, 303)
            |GROUP BY source""".stripMargin)
       val mixed = agg("mixed")
-      mixed.collect() // materialize BEFORE the compact flips the layout
+      // Cache + materialize the mixed-era aggregate itself BEFORE the
+      // compact flips the layout, so the union's first leg pins the
+      // genuinely mixed-era scan (old-era files pruning under their own
+      // modulus) rather than re-scanning the unified layout at write time.
+      mixed.cache(); mixed.count()
       s.sql("CALL graft_q117.system.compact(table => 'corpus.docs')")
       val out = mixed.unionAll(agg("unified"))
         .orderBy(col("phase"), col("source"))
-      out.cache(); out.count() // pin: the plan re-executes at write time
       out
     }),
 

@@ -1643,6 +1643,22 @@ private[sources] class CatalogOcfTable(
     require(starting.isDefined || ending.isEmpty,
       s"graft catalog: $fullName: endingVersion needs startingVersion " +
         "(for a single-version read use VERSION AS OF)")
+    // Per-scan passthrough options (columnar opt-out, splitSize, ...):
+    // everything the user supplied EXCEPT the keys this method translates
+    // itself overlays the table's stored readOptions, so per-scan options
+    // compose with branch/startingVersion reads instead of being dropped.
+    val handled = Set("startingversion", "endingversion", "branch")
+    val passthrough = new java.util.HashMap[String, String]()
+    options.forEach { (k, v) =>
+      if (!handled.contains(k.toLowerCase(java.util.Locale.ROOT)))
+        passthrough.put(k, v)
+    }
+    def merged(extra: (String, String)*): CaseInsensitiveStringMap = {
+      val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
+      m.putAll(passthrough)
+      extra.foreach { case (k, v) => m.put(k, v) }
+      new CaseInsensitiveStringMap(m)
+    }
     // branch read (X83): `spark.read.option("branch", b).table(...)` pins
     // the scan to the branch HEAD's manifest
     Option(options.get("branch")).map(_.trim).filter(_.nonEmpty) match {
@@ -1651,10 +1667,8 @@ private[sources] class CatalogOcfTable(
             branchPin.forall(_ == b),
           s"graft catalog: $fullName: a branch read cannot combine with " +
             "startingVersion, VERSION/TIMESTAMP AS OF, or another branch pin")
-        val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
-        m.put("graft.snapshot.branch", b)
         return new OcfScanBuilder(
-          OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
+          OcfDataSource.resolve(merged("graft.snapshot.branch" -> b)))
       case None => ()
     }
     starting match {
@@ -1662,25 +1676,17 @@ private[sources] class CatalogOcfTable(
         require(pinnedVersion.isEmpty,
           s"graft catalog: $fullName is pinned (VERSION/TIMESTAMP AS OF); " +
             "combine startingVersion/endingVersion with the live table instead")
-        val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
-        m.put("graft.snapshot.startingVersion", s.toString)
-        ending.foreach(e => m.put("graft.snapshot.version", e.toString))
         // a zero-file resolution is legal here (range added nothing yet):
         // batch reads plan zero splits; a STREAM from the same builder keeps
         // discovering post-v files forever via the scan's exclusion set
-        new OcfScanBuilder(OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
+        new OcfScanBuilder(OcfDataSource.resolve(merged(
+          Seq("graft.snapshot.startingVersion" -> s.toString) ++
+            ending.map(e => "graft.snapshot.version" -> e.toString): _*)))
       case None =>
         if (!hasDataFiles) new EmptyOcfScanBuilder(meta.schema)
-        else Option(options.get("columnar")) match {
-          // per-scan columnar opt-out (X91): `spark.read.option("columnar",
-          // "false").table(...)` — the row/columnar A/B debugging lever the
-          // path reader already has, reaching through the catalog
-          case Some(c) =>
-            val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
-            m.put("columnar", c)
-            new OcfScanBuilder(OcfDataSource.resolve(new CaseInsensitiveStringMap(m)))
-          case None => inner.newScanBuilder(options)
-        }
+        else if (!passthrough.isEmpty)
+          new OcfScanBuilder(OcfDataSource.resolve(merged()))
+        else inner.newScanBuilder(options)
     }
   }
 

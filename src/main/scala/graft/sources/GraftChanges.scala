@@ -98,10 +98,23 @@ object GraftChanges {
           .getOrElse(throw new IllegalArgumentException(
             s"graft-ocf changes: pairing key column '$k' is not in the feed " +
               s"schema (${ins.columns.mkString(", ")})")))
-        val insKeys = ins.select(kc.map(ins(_)): _*).distinct()
-        val delCond = kc.map(c => del(c) <=> insKeys(c)).reduce(_ && _)
-        val delKeys = del.select(kc.map(del(_)): _*).distinct()
-        val insCond = kc.map(c => ins(c) <=> delKeys(c)).reduce(_ && _)
+        // The insert and delete sides of a CoW commit derive from the SAME
+        // file-diff plan, so a key set selected straight off one side would
+        // share expression IDs with the other — a self-join whose
+        // resolution rests on Spark's dataset-id disambiguation. Aliasing
+        // every key-set column to a fresh name mints new expression IDs at
+        // the key set's output, making each semi/anti join unambiguous by
+        // construction (the probe side's attributes can only resolve left).
+        val fresh = kc.indices.map(i => s"_graft_pk$i")
+        def keysOf(side: DataFrame) =
+          side.select(kc.zip(fresh).map { case (c, f) => side(c).as(f) }: _*)
+            .distinct()
+        val insKeys = keysOf(ins)
+        val delCond = kc.zip(fresh).map { case (c, f) => del(c) <=> insKeys(f) }
+          .reduce(_ && _)
+        val delKeys = keysOf(del)
+        val insCond = kc.zip(fresh).map { case (c, f) => ins(c) <=> delKeys(f) }
+          .reduce(_ && _)
         Seq(tag(del.join(insKeys, delCond, "left_semi"), "update_preimage", v),
           tag(del.join(insKeys, delCond, "left_anti"), "delete", v),
           tag(ins.join(delKeys, insCond, "left_semi"), "update_postimage", v),

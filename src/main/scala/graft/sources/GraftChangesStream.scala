@@ -268,7 +268,14 @@ private[sources] final case class GraftChangesPartition(
     // Parts without POSITION semantics (inserts; equality-only deletes,
     // whose filters are stateless per row) split like any batch scan —
     // a commit landing one huge file must not serialize on one task.
-    start: Long = 0L, end: Long = -1L) extends InputPartition
+    start: Long = 0L, end: Long = -1L,
+    // X104 integrity stamp: true iff the PLANNER computed pairing inputs
+    // for this part's commit. The factory's pairing maps travel separately
+    // (through the stream's planned slot) — if plan/factory calls ever
+    // interleave across micro-batches, a stamped part whose version is
+    // absent from the factory's maps must FAIL, not silently degrade to
+    // unpaired tags (a postimage without its preimage corrupts the feed).
+    pairPlanned: Boolean = false) extends InputPartition
 
 /** UPDATE pairing (X104) state rides the FACTORY, not the partitions: the
   * pairing inputs are per-COMMIT constants (the commit's new data files for
@@ -302,17 +309,24 @@ private[sources] final case class GraftChangesReaderFactory(
     // passes through untouched, so pairing costs one hash probe per row.
     // Eq-driven delete parts probe the commit's new-data keys; insert parts
     // probe the killed visible-old keys; position parts never pair.
+    def staleFactory(map: String): Nothing = throw new IllegalStateException(
+      s"graft-ocf-changes: partition for version ${p.version} was planned " +
+        s"with UPDATE pairing but the reader factory's $map has no entry " +
+        "for it — plan/factory calls interleaved across micro-batches " +
+        "(recovery/retry); refusing to emit unpaired tags for a paired plan")
     val pairGroups: Array[OcfSplitReader.EqGroup] =
       if (p.changeType == "delete" && p.emitEq.nonEmpty)
         pairNewByVersion.get(p.version) match {
           case Some(newData) => GraftChangePairing.newDataKeyGroups(
             p.emitEq, newData, readerJson, conf.value)
+          case None if p.pairPlanned => staleFactory("pairNewByVersion")
           case None => Array.empty[OcfSplitReader.EqGroup]
         }
       else if (p.changeType == "insert")
         pairOldByVersion.get(p.version) match {
           case Some(po) if po.nonEmpty =>
             GraftChangePairing.oldKeyGroups(po, readerJson, conf.value)
+          case None if p.pairPlanned => staleFactory("pairOldByVersion")
           case _ => Array.empty[OcfSplitReader.EqGroup]
         }
       else Array.empty
@@ -611,7 +625,8 @@ private[sources] object GraftChangesPlanner {
         // PLANNED maps (→ the reader factory, shipped once per stage), not
         // on every partition: the delete parts probe the commit's new data
         // files, the insert parts its burdened-old-file specs.
-        if (pairUpdates && newEq.nonEmpty && newData.nonEmpty) {
+        val pairedCommit = pairUpdates && newEq.nonEmpty && newData.nonEmpty
+        if (pairedCommit) {
           pairNewAcc += v -> newData.map(metaOf)
           if (burdened.nonEmpty)
             pairOldAcc += v -> burdened.map { case (f, sp, se, em) =>
@@ -619,7 +634,8 @@ private[sources] object GraftChangesPlanner {
         }
         // inserts: files new at v — nothing burdens a file in its own commit
         newData.foreach(f => addSplit(GraftChangesPartition(metaOf(f),
-          "insert", v, partValues = partVals(f))))
+          "insert", v, partValues = partVals(f),
+          pairPlanned = pairedCommit && burdened.nonEmpty)))
         // deletes from new POSITION-delete files: targets visible before v
         // (a same-commit target's rows surface through its insert part,
         // already filtered by the commit's own deletes... which cannot
@@ -643,7 +659,8 @@ private[sources] object GraftChangesPlanner {
         burdened.foreach { case (f, oldPos, skipEq, burdening) =>
           addSplit(GraftChangesPartition(metaOf(f), "delete", v,
             skipPos = oldPos, skipEq = skipEq,
-            emitEq = burdening, partValues = partVals(f)))
+            emitEq = burdening, partValues = partVals(f),
+            pairPlanned = pairedCommit))
         }
       }
       prev = cur

@@ -50,9 +50,9 @@ object TextHashing {
   def shingles(s: String, n: Int): Array[String] = {
     val toks = tokenize(s)
     if (toks.length < n) {
-      if (toks.isEmpty) Array.empty else Array(toks.mkString(""))
+      if (toks.isEmpty) Array.empty else Array(toks.mkString("\u0001"))
     } else {
-      Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(""))
+      Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString("\u0001"))
     }
   }
 

@@ -191,4 +191,34 @@ class GraftChangesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(afterDel.toSeq == Seq((3L, "delete", 4L)), afterDel.toSeq.toString)
   }
+
+  test("one CoW MERGE commit mixing updated keys and fresh inserts pairs " +
+      "the updates and keeps the inserts plain (self-join disambiguation)") {
+    // Both the insert and delete sides of a CoW commit's multiset diff
+    // derive from the SAME plan — the pairing joins are self-joins. This
+    // shape (some keys on both sides, some only on the insert side) is the
+    // one a degenerate/ambiguous resolution would mis-tag.
+    spark.sql(
+      """CREATE TABLE gc.ns.cowmix (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (upsertKeys 'id')""".stripMargin)
+    spark.sql(
+      "INSERT INTO gc.ns.cowmix SELECT id, concat('a', id) FROM range(8)") // v1
+    spark.sql(
+      """MERGE INTO gc.ns.cowmix t
+        |USING (SELECT CAST(col1 AS BIGINT) AS id, col2 AS v FROM VALUES
+        |  (3, 'm3'), (6, 'm6'), (20, 'm20'), (21, 'm21')) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)                    // v2
+    val feed = GraftChanges.forTable(spark, "gc.ns.cowmix", 1L,
+        updateImages = true)
+      .select("_change_type", "id", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+    assert(feed == Seq(
+      ("insert", 20L, "m20"), ("insert", 21L, "m21"),
+      ("update_postimage", 3L, "m3"), ("update_postimage", 6L, "m6"),
+      ("update_preimage", 3L, "a3"), ("update_preimage", 6L, "a6")),
+      feed.toString)
+  }
 }
