@@ -1916,6 +1916,39 @@ object SparkEntry {
         .select("commit_version", "change_type", "n_rows", "sum_ids")
     }),
 
+    // Columnar embedding store (X108): the engine's OWN table format holds
+    // array<float> vectors and the scan rides the VECTORIZED lane — arrays
+    // and maps of scalars decode as offset+child vectors, so the single
+    // most common LLM-pipeline storage shape (embeddings / token lists in
+    // the lake) gets batch decode instead of per-row reads. The top-k
+    // re-rank over the round-tripped store equals q26's brute-force oracle
+    // on the source parquet, proving the array decode is value-exact.
+    "q119_columnar_embedding_store" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_q119",
+        classOf[graft.sources.GraftCatalog].getName)
+      val wh = landingDir(s, "graft_q119_wh_")
+      s.conf.set("spark.sql.catalog.graft_q119.warehouse", wh.getAbsolutePath)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_q119.corpus")
+      s.sql("DROP TABLE IF EXISTS graft_q119.corpus.emb")
+      s.sql(
+        """CREATE TABLE graft_q119.corpus.emb
+          |(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT)
+          |USING `graft-ocf` OPTIONS (statsColumns 'vec_id')""".stripMargin)
+      t(s, dir, "embeddings").createOrReplaceTempView("graft_q119_src")
+      s.sql(
+        """INSERT INTO graft_q119.corpus.emb
+          |SELECT vec_id, embedding, label FROM graft_q119_src""".stripMargin)
+      val emb = s.table("graft_q119.corpus.emb")
+      // the point of the query: the array column must NOT drop the scan to
+      // the row lane (pre-X108 it dragged the whole scan off the fast path)
+      require(emb.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        "q119: the array<float> scan must ride the columnar lane")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, 5)
+        .select(col("q_id"), col("n_id"),
+          expr("CAST(round(sim, 9) AS DOUBLE)").as("sim"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Scoped incremental compaction (X98): maintenance at 100 TB must be
     // O(touched partition), never O(table). A fragmented, upsert-burdened
     // partitioned table compacts ONE partition (`where` rides the scan's
@@ -3288,6 +3321,19 @@ object SparkEntry {
         |SELECT 3, 'delete', count(*), CAST(sum(doc_id) AS BIGINT)
         |FROM documents WHERE doc_id % 10 = 3
         |ORDER BY commit_version, change_type""".stripMargin,
+
+    // q26's brute-force re-rank, but over the vectors ROUND-TRIPPED
+    // through the engine's own columnar-scanned table — the oracle reads
+    // the source parquet, so any array-decode drift would hash-mismatch
+    "q119_columnar_embedding_store" ->
+      """SELECT q_id, n_id, CAST(round(sim0, 9) AS DOUBLE) AS sim, rank FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim0,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS INTEGER) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // the change log's per-commit aggregate: v1 inserts the corpus, v2
     // MoR-deletes doc_id%10=3, v3 upserts doc_id%6=1 (insert + deletes of

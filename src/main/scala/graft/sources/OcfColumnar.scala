@@ -147,9 +147,50 @@ private[graft] object OcfColumnar {
     case _ => None
   }
 
+  /** An ARRAY-of-scalars element (X108) — the embedding / token-list
+    * shape. Decimal elements stay on the row lane (vectors append
+    * elements; decimal has no append form), every other scalar appends
+    * in one wire op. The element may itself be nullable. */
+  private def elemFieldOf(s: AvroSchema): Option[Field] =
+    flatFieldOf("item", s).filter(!_.wire.isInstanceOf[ADecimal])
+
+  /** `array<scalar>` (X108): the single most common LLM-pipeline column
+    * shape (embeddings `array<float>`, token lists `array<string>`).
+    * Avro arrays are block-encoded contiguous runs — they decode as
+    * offset+length into a growing child vector, Spark's native columnar
+    * array representation. */
+  private def arrayFieldOf(name: String, s: AvroSchema): Option[Field] = {
+    def of(a: AArray, nb: Int): Option[Field] =
+      elemFieldOf(a.items).map(ef =>
+        Field(name, ArrayType(ef.dt, ef.nullable), a, nb,
+          children = Array(ef)))
+    s match {
+      case a: AArray => of(a, -1)
+      case AUnion(Seq(ANull, a: AArray)) => of(a, 0)
+      case AUnion(Seq(a: AArray, ANull)) => of(a, 1)
+      case _ => None
+    }
+  }
+
+  /** `map<string,scalar>` (X108): Avro map blocks decode as parallel
+    * key/value child vectors under the same offset+length — Spark's
+    * columnar map representation (keys are Avro-mandated strings). */
+  private def mapFieldOf(name: String, s: AvroSchema): Option[Field] = {
+    def of(m: AMap, nb: Int): Option[Field] =
+      elemFieldOf(m.values).map(vf =>
+        Field(name, MapType(StringType, vf.dt, vf.nullable), m, nb,
+          children = Array(vf)))
+    s match {
+      case m: AMap => of(m, -1)
+      case AUnion(Seq(ANull, m: AMap)) => of(m, 0)
+      case AUnion(Seq(m: AMap, ANull)) => of(m, 1)
+      case _ => None
+    }
+  }
+
   /** A STRUCT-of-scalars field (X107): one nesting level, every leaf a
-    * scalar — the document-metadata shape. Deeper nesting, arrays, maps
-    * keep the row lane. */
+    * scalar — the document-metadata shape. Deeper nesting keeps the row
+    * lane (arrays/maps of scalars have their own lane, X108). */
   private def structFieldOf(name: String, s: AvroSchema): Option[Field] = {
     def ofRecord(r: ARecord, nullBranch: Int): Option[Field] = {
       val kids = new Array[Field](r.fields.length)
@@ -182,7 +223,9 @@ private[graft] object OcfColumnar {
         while (i < out.length) {
           val rf = rec.fields(i)
           flatFieldOf(rf.name, rf.schema)
-            .orElse(structFieldOf(rf.name, rf.schema)) match {
+            .orElse(structFieldOf(rf.name, rf.schema))
+            .orElse(arrayFieldOf(rf.name, rf.schema))
+            .orElse(mapFieldOf(rf.name, rf.schema)) match {
             case Some(f) => out(i) = f.copy(aliases = rf.aliases,
               defaultJson = rf.default.map(_.toString))
             case None => return None
@@ -277,6 +320,27 @@ private[graft] object OcfColumnar {
         // children — nested evolution keeps the row lane); writer-only
         // children type-skip, reader children must be an in-order
         // subsequence of the writer's
+        // array/map ELEMENT compatibility (X108): same rules as a scalar
+        // field match — identical type, numeric promotion, or the
+        // string<->bytes byte-copy; a writer-nullable element needs a
+        // reader-nullable element (the null must have somewhere to go).
+        // The step's target is unused for elements (the child vector is
+        // implied by the parent).
+        def elemStepOf(w: Field, rk: Field): Option[WireStep] = {
+          if (w.nullable && !rk.nullable) return None
+          val enumOk = (w.wire, rk.wire) match {
+            case (we: AEnum, re: AEnum) => we.symbols.forall(re.symbols.contains)
+            case _ => true
+          }
+          if (w.dt == rk.dt && enumOk)
+            Some(WireStep(w.wire, w.nullBranch, 0))
+          else if (promoted(w.wire, rk.dt))
+            Some(WireStep(w.wire, w.nullBranch, 0, rdt = rk.dt))
+          else if ((w.wire == AString && rk.dt == BinaryType) ||
+              (w.wire == ABytes && rk.dt == StringType))
+            Some(WireStep(w.wire, w.nullBranch, 0))
+          else None
+        }
         def structSteps(wKids: Seq[AField], rKids: Array[Field]): Option[Array[WireStep]] = {
           val out = new Array[WireStep](wKids.length)
           var rc = 0
@@ -339,27 +403,42 @@ private[graft] object OcfColumnar {
                 case None => // writer-only (dropped/pruned) column: type-skip
                   steps(w) = WireStep(wSpec.wire, wSpec.nullBranch, -1)
               }
-            case None => structFieldOf(wf.name, wf.schema) match {
-              case Some(wStruct) =>
+            case None => structFieldOf(wf.name, wf.schema)
+              .orElse(arrayFieldOf(wf.name, wf.schema))
+              .orElse(mapFieldOf(wf.name, wf.schema)) match {
+              case Some(wNested) =>
                 idxByName.get(wf.name) match {
                   case Some(idx) if idx >= r =>
                     if (!fillAbsentUpTo(idx)) return None
                     val rf = reader(idx)
                     if (rf.children == null ||
-                        (wStruct.nullable && !rf.nullable)) return None
-                    structSteps(wStruct.wire.asInstanceOf[ARecord].fields,
-                        rf.children) match {
-                      case Some(kids) =>
-                        steps(w) = WireStep(wStruct.wire, wStruct.nullBranch,
-                          idx, children = kids)
-                        r = idx + 1
+                        (wNested.nullable && !rf.nullable)) return None
+                    // shape must agree: struct under struct, array under
+                    // array, map under map — anything else is the row
+                    // lane's resolution-error business
+                    val stepOpt: Option[WireStep] = (wNested.wire, rf.wire) match {
+                      case (wr: ARecord, _: ARecord) =>
+                        structSteps(wr.fields, rf.children).map(kids =>
+                          WireStep(wr, wNested.nullBranch, idx, children = kids))
+                      case (wa: AArray, _: AArray) =>
+                        elemStepOf(wNested.children(0), rf.children(0)).map(
+                          es => WireStep(wa, wNested.nullBranch, idx,
+                            children = Array(es)))
+                      case (wm: AMap, _: AMap) =>
+                        elemStepOf(wNested.children(0), rf.children(0)).map(
+                          es => WireStep(wm, wNested.nullBranch, idx,
+                            children = Array(es)))
+                      case _ => None
+                    }
+                    stepOpt match {
+                      case Some(st) => steps(w) = st; r = idx + 1
                       case None => return None
                     }
                   case Some(_) => return None
-                  case None => // writer-only struct: type-skip the record —
-                    // the children carry the leaves' wire shapes to skip
-                    steps(w) = WireStep(wStruct.wire, wStruct.nullBranch, -1,
-                      children = wStruct.children.map(k =>
+                  case None => // writer-only nested column: type-skip — the
+                    // children carry the wire shapes the skip walk needs
+                    steps(w) = WireStep(wNested.wire, wNested.nullBranch, -1,
+                      children = wNested.children.map(k =>
                         WireStep(k.wire, k.nullBranch, -1)))
                 }
               case None => return None // non-flat writer column — row reader
@@ -605,9 +684,12 @@ private[graft] final class OcfColumnarSplitReader(
     val isNull = step.nullable && bin.readLong().toInt == step.nullBranch
     if (!isNull) {
       if (step.children == null) skipValue(step.wire)
-      else {
-        var k = 0
-        while (k < step.children.length) { skipField(step.children(k)); k += 1 }
+      else step.wire match {
+        case _: ARecord =>
+          var k = 0
+          while (k < step.children.length) { skipField(step.children(k)); k += 1 }
+        // arrays/maps (X108): the wire schema self-describes the skip walk
+        case w => skipValue(w)
       }
     }
   }
@@ -625,6 +707,28 @@ private[graft] final class OcfColumnarSplitReader(
     }
     case f: AFixed => bin.skip(f.size.toLong)
     case _: AEnum => bin.skipLong()
+    case ANull => ()
+    // a union element inside a skipped array/map: branch byte, then branch
+    case AUnion(branches) => skipValue(branches(bin.readLong().toInt))
+    // array/map blocks: a sized block (negative count) skips in ONE seek;
+    // an unsized block walks its items by type
+    case AArray(items) =>
+      var c = bin.readLong()
+      while (c != 0L) {
+        if (c < 0L) bin.skip(bin.readLong())
+        else { var i = 0L; while (i < c) { skipValue(items); i += 1 } }
+        c = bin.readLong()
+      }
+    case AMap(values) =>
+      var c = bin.readLong()
+      while (c != 0L) {
+        if (c < 0L) bin.skip(bin.readLong())
+        else {
+          var i = 0L
+          while (i < c) { bin.skipBytes(); skipValue(values); i += 1 }
+        }
+        c = bin.readLong()
+      }
     case other => throw new IllegalStateException(s"not flat: $other")
   }
 
@@ -632,12 +736,98 @@ private[graft] final class OcfColumnarSplitReader(
   private val structKids
       : Array[Array[org.apache.spark.sql.execution.vectorized.WritableColumnVector]] =
     plan.steps.map { st =>
-      if (st.children != null && st.target >= 0) {
+      if (st.children != null && st.target >= 0 && st.wire.isInstanceOf[ARecord]) {
         val sv = writable(st.target)
         val n = fields(st.target).children.length
         Array.tabulate(n)(sv.getChild)
       } else null
     }
+
+  /** Array decode (X108): Avro arrays are blocked runs — each block a
+    * count (negative = sized, abs(count) items follow a byte length),
+    * terminated by a 0 count. Elements APPEND into the growing child
+    * vector; the row's slot records (offset, length) — Spark's native
+    * columnar array shape. An equality-deleted row's appended elements are
+    * simply dead space in the child (the reused slot's putArray points past
+    * them), which a batch reset reclaims. */
+  private def decodeArray(elem: OcfColumnar.WireStep, row: Int,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    val child = v.getChild(0)
+    val start = child.getElementsAppended
+    var total = 0
+    var c = bin.readLong()
+    while (c != 0L) {
+      if (c < 0L) { bin.readLong(); c = -c } // sized block: length unused
+      var i = 0L
+      while (i < c) { appendElement(elem, child); i += 1 }
+      total += c.toInt
+      c = bin.readLong()
+    }
+    v.putArray(row, start, total)
+  }
+
+  /** Map decode (X108): same block walk; each item is a string key + a
+    * value — parallel appends into the key/value child vectors keep them
+    * aligned (a null value still appends a null slot). */
+  private def decodeMap(valueStep: OcfColumnar.WireStep, row: Int,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    val keys = v.getChild(0)
+    val vals = v.getChild(1)
+    val start = keys.getElementsAppended
+    var total = 0
+    var c = bin.readLong()
+    while (c != 0L) {
+      if (c < 0L) { bin.readLong(); c = -c }
+      var i = 0L
+      while (i < c) {
+        val kb = bin.readBytes()
+        keys.appendByteArray(kb, 0, kb.length)
+        appendElement(valueStep, vals)
+        i += 1
+      }
+      total += c.toInt
+      c = bin.readLong()
+    }
+    v.putArray(row, start, total)
+  }
+
+  /** One array/map element: same wire shapes as a scalar field, routed
+    * through the child vector's APPEND cursor (elements are dense — no
+    * slot addressing, no stale-null concerns). */
+  private def appendElement(step: OcfColumnar.WireStep,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    if (step.nullable) {
+      val br = bin.readLong().toInt
+      if (br == step.nullBranch) { v.appendNull(); return }
+    }
+    if (step.rdt != null) (step.wire, step.rdt) match {
+      case (AInt | ALong, LongType) => v.appendLong(bin.readLong())
+      case (AInt | ALong, FloatType) => v.appendFloat(bin.readLong().toFloat)
+      case (AInt | ALong, DoubleType) => v.appendDouble(bin.readLong().toDouble)
+      case (AFloat, DoubleType) => v.appendDouble(bin.readFloat().toDouble)
+      case other => throw new IllegalStateException(
+        s"graft-ocf: unplanned element promotion $other")
+    } else step.wire match {
+      case AInt | ADate(_) | ATimeMillis(_) => v.appendInt(bin.readLong().toInt)
+      case ALong | ATimeMicros(_) | ATimestampMicros(_) =>
+        v.appendLong(bin.readLong())
+      case ATimestampMillis(_) => v.appendLong(bin.readLong() * 1000L)
+      case AFloat => v.appendFloat(bin.readFloat())
+      case ADouble => v.appendDouble(bin.readDouble())
+      case ABoolean => v.appendBoolean(bin.readBoolean())
+      case AString | ABytes | AUuid(_) =>
+        val b = bin.readBytes()
+        v.appendByteArray(b, 0, b.length)
+      case f: AFixed =>
+        val b = bin.readFixed(f.size)
+        v.appendByteArray(b, 0, b.length)
+      case e: AEnum =>
+        val b = e.symbols(bin.readInt()).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        v.appendByteArray(b, 0, b.length)
+      case other => throw new IllegalStateException(s"not flat: $other")
+    }
+  }
 
   private def decodeRow(row: Int): Unit = {
     val steps = plan.steps
@@ -647,9 +837,10 @@ private[graft] final class OcfColumnarSplitReader(
       if (step.children == null) decodeField(step, row,
         if (step.target < 0) null else writable(step.target))
       else {
-        // STRUCT step (X107): null branch marks the struct vector; present
-        // structs decode each child into the struct vector's children —
-        // slots of a null struct stay untouched (the parent null masks them)
+        // NESTED step (X107 struct / X108 array / X108 map): null branch
+        // marks the parent vector; present values decode into the parent's
+        // child vectors — slots of a null parent stay untouched (the
+        // parent null masks them)
         var isNull = false
         if (step.nullable) {
           val br = bin.readLong().toInt
@@ -660,18 +851,26 @@ private[graft] final class OcfColumnarSplitReader(
         }
         if (!isNull) {
           val cs = step.children
-          if (step.target < 0) {
-            var k = 0
-            while (k < cs.length) { skipField(cs(k)); k += 1 }
+          if (step.target < 0) step.wire match {
+            case _: ARecord =>
+              var k = 0
+              while (k < cs.length) { skipField(cs(k)); k += 1 }
+            case w => skipValue(w)
           } else {
-            if (step.nullable && eqGroups.length > 0)
-              writable(step.target).putNotNull(row)
-            val kids = structKids(j)
-            var k = 0
-            while (k < cs.length) {
-              val c = cs(k)
-              decodeField(c, row, if (c.target < 0) null else kids(c.target))
-              k += 1
+            val v = writable(step.target)
+            if (step.nullable && eqGroups.length > 0) v.putNotNull(row)
+            step.wire match {
+              case _: ARecord =>
+                val kids = structKids(j)
+                var k = 0
+                while (k < cs.length) {
+                  val c = cs(k)
+                  decodeField(c, row, if (c.target < 0) null else kids(c.target))
+                  k += 1
+                }
+              case _: AArray => decodeArray(cs(0), row, v)
+              case _: AMap => decodeMap(cs(0), row, v)
+              case other => throw new IllegalStateException(s"not flat: $other")
             }
           }
         }

@@ -42,9 +42,26 @@ class ColumnarPropertySpec extends AnyFunSuite {
     case ((dt, nb), i) => StructField(s"s$i", dt, nullable = nb)
   })
 
+  // array/map-of-scalars (X108) join the pool — decimal elements are the
+  // one scalar the lane leaves to the row reader, so exclude them here
+  private val genElemType: Gen[DataType] = Gen.oneOf(
+    BooleanType, IntegerType, LongType, FloatType, DoubleType, StringType,
+    BinaryType, DateType, TimestampType)
+
+  private val genArrayType: Gen[DataType] = for {
+    el <- genElemType
+    cn <- Gen.oneOf(true, false)
+  } yield ArrayType(el, containsNull = cn)
+
+  private val genMapType: Gen[DataType] = for {
+    v <- genElemType
+    cn <- Gen.oneOf(true, false)
+  } yield MapType(StringType, v, valueContainsNull = cn)
+
   private def genSchema: Gen[StructType] = for {
     n <- Gen.choose(1, 7)
-    types <- Gen.listOfN(n, Gen.frequency(5 -> genFieldType, 2 -> genStructType))
+    types <- Gen.listOfN(n, Gen.frequency(5 -> genFieldType,
+      2 -> genStructType, 2 -> genArrayType, 1 -> genMapType))
     nullables <- Gen.listOfN(n, Gen.oneOf(true, false))
   } yield StructType(types.zip(nullables).zipWithIndex.map {
     case ((dt, nb), i) => StructField(s"c$i", dt, nullable = nb)
@@ -76,6 +93,15 @@ class ColumnarPropertySpec extends AnyFunSuite {
         if (f.nullable) Gen.frequency(1 -> Gen.const(null), 4 -> genValue(f.dataType))
         else genValue(f.dataType)
       }).map(Row.fromSeq)
+    case ArrayType(el, cn) =>
+      val ge = if (cn) Gen.frequency(1 -> Gen.const(null), 4 -> genValue(el))
+               else genValue(el)
+      Gen.choose(0, 9).flatMap(k => Gen.listOfN(k, ge).map(_.toSeq))
+    case MapType(StringType, v, cn) =>
+      val gv = if (cn) Gen.frequency(1 -> Gen.const(null), 4 -> genValue(v))
+               else genValue(v)
+      Gen.choose(0, 6).flatMap(k => Gen.listOfN(k,
+        Gen.zip(Gen.alphaNumStr.map(_.take(10)), gv)).map(_.toMap))
     case other => throw new IllegalStateException(other.simpleString)
   }
 
@@ -94,6 +120,11 @@ class ColumnarPropertySpec extends AnyFunSuite {
         case d: java.math.BigDecimal => d.toPlainString
         case sr: Row => "{" + (0 until sr.length).map(k =>
           render(sr.get(k))).mkString(";") + "}"
+        case xs: scala.collection.Seq[_] =>
+          "[" + xs.map(render).mkString(";") + "]"
+        case m: scala.collection.Map[_, _] =>
+          "(" + m.toSeq.map { case (k, v) => render(k) + "=" + render(v) }
+            .sorted.mkString(";") + ")"
         case v => String.valueOf(v)
       }
       render(r.get(i))
@@ -105,12 +136,19 @@ class ColumnarPropertySpec extends AnyFunSuite {
     val params = Gen.Parameters.default
     var seed = rng.Seed(77_2026_0815L)
     def next[A](g: Gen[A]): A = { val v = g.pureApply(params, seed); seed = seed.next; v }
-    val genWire: Gen[AvroSchema] = Gen.oneOf(
+    val genScalarWire: Gen[AvroSchema] = Gen.oneOf(
       Gen.const(ABoolean), Gen.const(AInt), Gen.const(ALong),
       Gen.const(AFloat), Gen.const(ADouble), Gen.const(AString),
       Gen.const(ABytes),
       Gen.choose(1, 6).map(n => AEnum(s"E$n", None, (0 until n).map(i => s"S$i"))),
       Gen.choose(0, 9).map(sz => AFixed(s"F$sz", None, sz)))
+    // array/map-of-scalars (X108) — items possibly themselves nullable
+    val genWire: Gen[AvroSchema] = Gen.frequency(
+      6 -> genScalarWire,
+      2 -> (for { e <- genScalarWire; nb <- Gen.oneOf(true, false) }
+        yield AArray(if (nb) AUnion(Seq(ANull, e)) else e)),
+      1 -> (for { v <- genScalarWire; nb <- Gen.oneOf(true, false) }
+        yield AMap(if (nb) AUnion(Seq(ANull, v)) else v)))
     def valueOf(s: AvroSchema): Gen[Any] = s match {
       case ABoolean => Gen.oneOf(true, false)
       case AInt => Gen.chooseNum(Int.MinValue, Int.MaxValue)
@@ -124,6 +162,11 @@ class ColumnarPropertySpec extends AnyFunSuite {
       case f: AFixed => Gen.const(Array.tabulate[Byte](f.size)(i => (i * 7).toByte))
       case AUnion(Seq(ANull, p)) =>
         Gen.frequency(1 -> Gen.const(null), 3 -> valueOf(p))
+      case AArray(items) =>
+        Gen.choose(0, 8).flatMap(k => Gen.listOfN(k, valueOf(items)).map(_.toSeq))
+      case AMap(values) =>
+        Gen.choose(0, 5).flatMap(k => Gen.listOfN(k,
+          Gen.zip(Gen.alphaNumStr.map(_.take(8)), valueOf(values))).map(_.toMap))
       case other => throw new IllegalStateException(other.typeName)
     }
     for (iter <- 1 to 6) {

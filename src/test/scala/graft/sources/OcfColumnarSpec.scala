@@ -624,4 +624,68 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(!a.exists(_._1 % 4 == 1) &&
       a.length == (0L until 2000L).count(_ % 4 != 1))
   }
+  test("array- and map-of-scalars ride the columnar lane (X108): " +
+      "embeddings, token lists, attr maps; nulls, empties, MoR burden") {
+    import spark.implicits._
+    val wh = tempDir("graft-col-arr-wh")
+    spark.conf.set("spark.sql.catalog.gcola", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcola.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcola.ns")
+    spark.sql(
+      """CREATE TABLE gcola.ns.emb
+        |(id BIGINT, embedding ARRAY<FLOAT>, toks ARRAY<STRING>,
+        | attrs MAP<STRING, BIGINT>, lbl INT)
+        |USING `graft-ocf` OPTIONS (statsColumns 'id')""".stripMargin)
+    val rows = (0L until 3000L).map { i =>
+      val emb = if (i % 11 == 3) null
+        else (0 until 16).map(j => (i * 31 + j).toFloat / 7.0f)
+      val toks = if (i % 13 == 5) Seq.empty[String]
+        else Seq(s"tok$i", null, s"t${i % 9}").filter(t => t != null || i % 2 == 0)
+      val attrs = if (i % 17 == 7) null
+        else Map(s"k${i % 5}" -> i, "n" -> (i * 2))
+      (i, emb, toks, attrs, (i % 100).toInt)
+    }
+    rows.toDF("id", "embedding", "toks", "attrs", "lbl")
+      .coalesce(2).writeTo("gcola.ns.emb").append()
+    def rd(columnar: Boolean) = spark.read
+      .option("columnar", columnar.toString).table("gcola.ns.emb")
+    val col = rd(columnar = true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    assert(!isColumnar(rd(columnar = false)))
+    def canon(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Float](1).mkString(","),
+        if (r.isNullAt(2)) null else r.getSeq[String](2)
+          .map(t => if (t == null) "<null>" else t).mkString(","),
+        if (r.isNullAt(3)) null else r.getMap[String, Long](3)
+          .toSeq.sortBy(_._1).mkString(";"),
+        r.getInt(4))
+    }.sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(rd(columnar = false)))
+    assert(a.length == 3000)
+    // pruning a projection AWAY from the arrays type-skips them columnar
+    def pruned(columnar: Boolean) = spark.read
+      .option("columnar", columnar.toString).table("gcola.ns.emb")
+      .select("id", "lbl")
+    assert(isColumnar(pruned(columnar = true)))
+    assert(pruned(columnar = true).collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1).toSeq ==
+      pruned(columnar = false).collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1).toSeq)
+    // MoR equality burden (X105) keeps the lane with array columns live
+    spark.sql(
+      """ALTER TABLE gcola.ns.emb
+        |SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')""".stripMargin)
+    rows.filter(_._1 % 3 == 0)
+      .map { case (i, _, _, _, l) =>
+        (i, Seq(9.5f, (i % 7).toFloat), Seq(s"upd$i"), Map("u" -> i), l + 1000) }
+      .toDF("id", "embedding", "toks", "attrs", "lbl")
+      .coalesce(1).writeTo("gcola.ns.emb").option("upsertKeys", "id").append()
+    val burdened = rd(columnar = true)
+    assert(isColumnar(burdened), burdened.queryExecution.executedPlan.toString)
+    val b = canon(burdened)
+    assert(b == canon(rd(columnar = false)))
+    assert(b.count(_._5 >= 1000) == rows.count(_._1 % 3 == 0))
+  }
 }
