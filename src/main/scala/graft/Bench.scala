@@ -25,6 +25,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.AvroDecodePruning.install(spark)
+    graft.plans.RuntimeFilterSplit.install(spark)
 
     // warm up the JVM + filesystem + codegen/agg/join/window/text paths once,
     // outside any query's timing (the first query touching a path otherwise

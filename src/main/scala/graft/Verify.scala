@@ -20,6 +20,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.AvroDecodePruning.install(spark)
+    graft.plans.RuntimeFilterSplit.install(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_VERIFY_ONLY=q01_agg,q77_sum_pushdown — subset dump for
     // local iteration; unset (the driver's mode) dumps everything

@@ -99,6 +99,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
       s"graft catalog '$name': set spark.sql.catalog.$name.warehouse to a directory"))
     warehouse = new Path(wh)
+    // composite-key runtime filters (X109): every catalog session gets the
+    // split rule — row-level DML is a catalog-only surface, and without the
+    // split a table declaring >1 filter attribute loses ALL runtime group
+    // pruning (the stock translator refuses struct keys)
+    scala.util.Try(SparkSession.active)
+      .foreach(graft.plans.RuntimeFilterSplit.install)
   }
   override def name(): String = catName
 

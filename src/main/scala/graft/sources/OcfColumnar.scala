@@ -56,7 +56,13 @@ private[graft] object OcfColumnar {
                             // struct step (X107): the leaves' sub-steps, in
                             // WRITER child order; targets index the struct
                             // vector's children
-                            children: Array[WireStep] = null) {
+                            children: Array[WireStep] = null,
+                            // struct step, nested evolution (X106 at depth):
+                            // READER children this writer never wrote — they
+                            // fill from their reader defaults per present
+                            // row (a struct child has no constant-vector
+                            // form; the parent's null mask is per-row)
+                            absentKids: Array[Int] = null) {
     def nullable: Boolean = nullBranch >= 0
   }
 
@@ -190,14 +196,18 @@ private[graft] object OcfColumnar {
 
   /** A STRUCT-of-scalars field (X107): one nesting level, every leaf a
     * scalar — the document-metadata shape. Deeper nesting keeps the row
-    * lane (arrays/maps of scalars have their own lane, X108). */
+    * lane (arrays/maps of scalars have their own lane, X108). Child
+    * aliases (nested RENAME history) and defaults (nested ADD COLUMN)
+    * propagate so old files resolve at depth like they do at top level. */
   private def structFieldOf(name: String, s: AvroSchema): Option[Field] = {
     def ofRecord(r: ARecord, nullBranch: Int): Option[Field] = {
       val kids = new Array[Field](r.fields.length)
       var i = 0
       while (i < kids.length) {
-        flatFieldOf(r.fields(i).name, r.fields(i).schema) match {
-          case Some(k) => kids(i) = k
+        val kf = r.fields(i)
+        flatFieldOf(kf.name, kf.schema) match {
+          case Some(k) => kids(i) = k.copy(aliases = kf.aliases,
+            defaultJson = kf.default.map(_.toString))
           case None => return None
         }
         i += 1
@@ -265,10 +275,14 @@ private[graft] object OcfColumnar {
     * Reordered projections and non-flat shapes: None → row-reader
     * fallback. */
   def wirePlanFor(writerJson: String, reader: Array[Field]): Option[WirePlan] = {
-    val key = writerJson + "\u0001" +
-      reader.map(f => f.name + ":" + f.dt.simpleString + ":" + f.nullBranch +
-        ":" + f.aliases.mkString("~") + ":" + f.defaultJson.getOrElse(""))
-        .mkString(",")
+    // the key renders CHILDREN too — two readers differing only in nested
+    // aliases/defaults (X106-at-depth) must not share a cached plan
+    def renderField(f: Field): String =
+      f.name + ":" + f.dt.simpleString + ":" + f.nullBranch +
+        ":" + f.aliases.mkString("~") + ":" + f.defaultJson.getOrElse("") +
+        (if (f.children == null) ""
+         else f.children.map(renderField).mkString("<", "|", ">"))
+    val key = writerJson + "\u0001" + reader.map(renderField).mkString(",")
     wireCache.computeIfAbsent(key, _ => computeWirePlan(writerJson, reader))
   }
 
@@ -341,31 +355,57 @@ private[graft] object OcfColumnar {
             Some(WireStep(w.wire, w.nullBranch, 0))
           else None
         }
-        def structSteps(wKids: Seq[AField], rKids: Array[Field]): Option[Array[WireStep]] = {
+        // struct-of-scalars (X107), with X106's evolution tolerance at
+        // DEPTH: children resolve by name THEN by rename-history aliases;
+        // numeric promotions and string<->bytes widen during decode;
+        // reader-only children (nested ADD COLUMN on an old file) fill
+        // from their defaults per present row; writer-only children
+        // type-skip. Reader children must still be an in-order subsequence
+        // of the writer's — a reordered nested projection keeps the row
+        // lane, same as at top level.
+        def structSteps(wKids: Seq[AField],
+            rKids: Array[Field]): Option[(Array[WireStep], Array[Int])] = {
+          val kidIdx = scala.collection.mutable.HashMap.empty[String, Int]
+          rKids.zipWithIndex.foreach { case (f, i) =>
+            kidIdx.getOrElseUpdate(f.name, i)
+          }
+          rKids.zipWithIndex.foreach { case (f, i) =>
+            f.aliases.foreach(a => kidIdx.getOrElseUpdate(a, i))
+          }
           val out = new Array[WireStep](wKids.length)
+          val absentK = Array.newBuilder[Int]
           var rc = 0
+          def fillAbsentKidsUpTo(until: Int): Boolean = {
+            while (rc < until) {
+              if (constDefault(rKids(rc)).isEmpty) return false
+              absentK += rc
+              rc += 1
+            }
+            true
+          }
           var wc = 0
           while (wc < out.length) {
             val wk = wKids(wc)
             flatFieldOf(wk.name, wk.schema) match {
               case Some(ws) =>
-                if (rc < rKids.length && ws.name == rKids(rc).name) {
-                  val rk = rKids(rc)
-                  val enumOk = (ws.wire, rk.wire) match {
-                    case (we: AEnum, re: AEnum) =>
-                      we.symbols.forall(re.symbols.contains)
-                    case _ => true
-                  }
-                  if (ws.dt != rk.dt || (ws.nullable && !rk.nullable) ||
-                      !enumOk) return None
-                  out(wc) = WireStep(ws.wire, ws.nullBranch, rc)
-                  rc += 1
-                } else out(wc) = WireStep(ws.wire, ws.nullBranch, -1)
+                kidIdx.get(ws.name) match {
+                  case Some(idx) if idx >= rc =>
+                    if (!fillAbsentKidsUpTo(idx)) return None
+                    elemStepOf(ws, rKids(idx)) match {
+                      case Some(es) => out(wc) = es.copy(target = idx)
+                      case None => return None
+                    }
+                    rc = idx + 1
+                  case Some(_) => return None // reordered nested projection
+                  case None => // writer-only child: type-skip
+                    out(wc) = WireStep(ws.wire, ws.nullBranch, -1)
+                }
               case None => return None
             }
             wc += 1
           }
-          if (rc == rKids.length) Some(out) else None
+          if (!fillAbsentKidsUpTo(rKids.length)) None
+          else Some((out, absentK.result()))
         }
         var w = 0
         while (w < steps.length) {
@@ -418,8 +458,11 @@ private[graft] object OcfColumnar {
                     // lane's resolution-error business
                     val stepOpt: Option[WireStep] = (wNested.wire, rf.wire) match {
                       case (wr: ARecord, _: ARecord) =>
-                        structSteps(wr.fields, rf.children).map(kids =>
-                          WireStep(wr, wNested.nullBranch, idx, children = kids))
+                        structSteps(wr.fields, rf.children).map {
+                          case (kids, absentK) =>
+                            WireStep(wr, wNested.nullBranch, idx,
+                              children = kids, absentKids = absentK)
+                        }
                       case (wa: AArray, _: AArray) =>
                         elemStepOf(wNested.children(0), rf.children(0)).map(
                           es => WireStep(wa, wNested.nullBranch, idx,
@@ -743,6 +786,46 @@ private[graft] final class OcfColumnarSplitReader(
       } else null
     }
 
+  // nested ADD COLUMN on old files (X106 at depth): per struct step, the
+  // reader children this writer never wrote fill from their defaults per
+  // PRESENT row (a struct child vector can't be swapped for a constant —
+  // the parent's null mask is per-row)
+  private val structAbsentFills: Array[Array[(
+      org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      DataType, Any)]] =
+    plan.steps.map { st =>
+      if (st.absentKids != null && st.absentKids.nonEmpty && st.target >= 0) {
+        val sv = writable(st.target)
+        val rks = fields(st.target).children
+        st.absentKids.map { k =>
+          (sv.getChild(k), rks(k).dt, OcfColumnar.constDefault(rks(k)).get)
+        }
+      } else null
+    }
+
+  private def putConst(
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      row: Int, dt: DataType, value: Any): Unit = {
+    if (value == null) { v.putNull(row); return }
+    if (eqGroups.length > 0) v.putNotNull(row) // reused slot: clear stale bit
+    dt match {
+      case BooleanType => v.putBoolean(row, value.asInstanceOf[Boolean])
+      case IntegerType | DateType => v.putInt(row, value.asInstanceOf[Int])
+      case LongType | TimestampType => v.putLong(row, value.asInstanceOf[Long])
+      case FloatType => v.putFloat(row, value.asInstanceOf[Float])
+      case DoubleType => v.putDouble(row, value.asInstanceOf[Double])
+      case StringType =>
+        val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        v.putByteArray(row, b, 0, b.length)
+      case BinaryType =>
+        val b = value.asInstanceOf[Array[Byte]]
+        v.putByteArray(row, b, 0, b.length)
+      case other => throw new IllegalStateException(
+        s"graft-ocf: nested default of type ${other.simpleString} has no " +
+          "columnar fill")
+    }
+  }
+
   /** Array decode (X108): Avro arrays are blocked runs — each block a
     * count (negative = sized, abs(count) items follow a byte length),
     * terminated by a 0 count. Elements APPEND into the growing child
@@ -867,6 +950,16 @@ private[graft] final class OcfColumnarSplitReader(
                   val c = cs(k)
                   decodeField(c, row, if (c.target < 0) null else kids(c.target))
                   k += 1
+                }
+                // reader-only children: fill defaults for this present row
+                val fills = structAbsentFills(j)
+                if (fills != null) {
+                  var a = 0
+                  while (a < fills.length) {
+                    val (cv, dt, value) = fills(a)
+                    putConst(cv, row, dt, value)
+                    a += 1
+                  }
                 }
               case _: AArray => decodeArray(cs(0), row, v)
               case _: AMap => decodeMap(cs(0), row, v)

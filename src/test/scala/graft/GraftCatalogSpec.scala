@@ -920,4 +920,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("is not supported") ||
       e3.getMessage.contains("INVALID_DEFAULT_VALUE"), e3.getMessage)
   }
+  test("composite-key runtime group filters reach the source split per " +
+      "column (X109): a CoW DELETE prunes files at execution time") {
+    spark.sql(
+      """CREATE TABLE g.corpus.rtsplit
+        |(doc_id BIGINT, n_chars BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (statsColumns 'doc_id')""".stripMargin)
+    // six files, each a tight doc_id range within one lang partition
+    for ((lang, base) <- Seq(("en", 0L), ("fr", 300L)); r <- 0 until 3)
+      spark.sql(
+        s"""INSERT INTO g.corpus.rtsplit
+           |SELECT id, id * 10, '$lang' FROM range(${base + r * 100},
+           |  ${base + r * 100 + 100})""".stripMargin)
+    // the DELETE predicate touches NO filter attribute (n_chars has no
+    // stamps), so static pruning keeps all 6 files; the row-level runtime
+    // group filter computes the matched keys — (lang, doc_id) as ONE tuple
+    // subquery, which stock Spark cannot translate to a source filter.
+    // The split rule relaxes it to In(lang) AND In(doc_id): the scan's
+    // runtime filter() must keep exactly the one file holding doc_id=5.
+    spark.sql("DELETE FROM g.corpus.rtsplit WHERE n_chars = 50")
+    val planned = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(planned.size == 1,
+      s"runtime (lang, doc_id) split must prune 6 files to 1; kept $planned")
+    assert(planned.head.contains("lang=en"), planned.toString)
+    // and NO row was lost from the rewritten group (the relaxation is
+    // pruning-only: survivors of the burdened file are all kept)
+    val n = spark.table("g.corpus.rtsplit").count()
+    assert(n == 599L, s"expected 599 survivors, got $n")
+    val survivors = spark.sql(
+      "SELECT doc_id FROM g.corpus.rtsplit WHERE doc_id < 10 ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(survivors == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L), survivors)
+  }
 }

@@ -209,4 +209,38 @@ class ChangesTableSpec extends AnyFunSuite {
       .as[(Long, String, Long, String)].collect().toSeq.sorted
     assert(split == paired.sorted, s"split pairing diverged")
   }
+
+  test("no pushdown is ever offered on .changes reads — a header-only " +
+      "COUNT over a PAIRED feed would count pre-pairing taxonomy (X104)") {
+    import spark.implicits._
+    history("ct9")
+    // contract pin: the scan builder implements NO pushdown mixin — the
+    // paired feed reclassifies rows at READ time (delete->update_preimage,
+    // insert->update_postimage), so any header-only shortcut (agg, topN,
+    // limit-before-classify) would answer from the pre-pairing taxonomy
+    import org.apache.spark.sql.connector.read._
+    val sb = new GraftChangesTable(
+      new java.io.File(warehouse, "ns/ct9").getAbsolutePath,
+      spark.table("gct.ns.ct9.changes").schema,
+      GraftCatalog.readerJsonWithDefaults(spark.table("gct.ns.ct9").schema),
+      new org.apache.spark.sql.types.StructType(), None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("updateImages", "true")))
+    assert(!sb.isInstanceOf[SupportsPushDownAggregates])
+    assert(!sb.isInstanceOf[SupportsPushDownLimit])
+    assert(!sb.isInstanceOf[SupportsPushDownTopN])
+    assert(!sb.isInstanceOf[SupportsPushDownFilters])
+    assert(!sb.isInstanceOf[SupportsPushDownV2Filters])
+    assert(!sb.isInstanceOf[SupportsPushDownRequiredColumns])
+    // and the aggregate executes AFTER classification: counts follow the
+    // paired taxonomy, with a real Aggregate in the plan (nothing pushed)
+    val agg = spark.read.option("updateImages", "true")
+      .table("gct.ns.ct9.changes").groupBy("_change_type").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.toLowerCase.contains("pushedaggregat"), plan)
+    val got = agg.as[(String, Long)].collect().toMap
+    assert(got == Map("insert" -> 51L, "delete" -> 5L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L), got.toString)
+  }
 }

@@ -497,8 +497,9 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(isColumnar(noStruct))
     assert(noStruct.count() == 4000 &&
       noStruct.where($"tail" === "tail99").count() == 1)
-    // nested evolution keeps the row lane (conservative): an old file
-    // missing a struct CHILD refuses the plan
+    // nested evolution at depth (X106): an old file missing a struct CHILD
+    // plans when the reader child has a default (it fills per present
+    // row); WITHOUT a default the plan refuses — row lane
     val rf = OcfColumnar.fieldsFor(
       """{"type":"record","name":"r","fields":[
         |{"name":"m","type":{"type":"record","name":"M","fields":[
@@ -509,8 +510,17 @@ class OcfColumnarSpec extends AnyFunSuite {
       """{"type":"record","name":"r","fields":[
         |{"name":"m","type":{"type":"record","name":"M","fields":[
         |  {"name":"x","type":"long"}]}}]}""".stripMargin
-    assert(OcfColumnar.wirePlanFor(oldWriter, rf).isEmpty,
-      "a struct missing a reader child must keep the row lane")
+    val healed = OcfColumnar.wirePlanFor(oldWriter, rf)
+    assert(healed.isDefined,
+      "a struct child WITH a default must fill columnar (X106 at depth)")
+    assert(healed.get.steps(0).absentKids.toSeq == Seq(1))
+    val rfNoDefault = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"m","type":{"type":"record","name":"M","fields":[
+        |  {"name":"x","type":"long"},
+        |  {"name":"y","type":["null","string"]}]}}]}""".stripMargin).get
+    assert(OcfColumnar.wirePlanFor(oldWriter, rfNoDefault).isEmpty,
+      "a struct child with NO default must keep the row lane")
   }
 
   test("enum and fixed (external files) ride the columnar lane, " +
@@ -687,5 +697,47 @@ class OcfColumnarSpec extends AnyFunSuite {
     val b = canon(burdened)
     assert(b == canon(rd(columnar = false)))
     assert(b.count(_._5 >= 1000) == rows.count(_._1 % 3 == 0))
+  }
+  test("nested evolution at depth (X106/X107): rename+widen+add-default " +
+      "history keeps UN-compacted old files on the columnar lane") {
+    val wh = tempDir("graft-col-ne-wh")
+    spark.conf.set("spark.sql.catalog.gcoln", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcoln.warehouse", wh.getAbsolutePath)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcoln.ns")
+    spark.sql(
+      """CREATE TABLE gcoln.ns.ne
+        |(id BIGINT, info STRUCT<score: INT, tag: STRING>)
+        |USING `graft-ocf`""".stripMargin)
+    spark.sql(
+      """INSERT INTO gcoln.ns.ne
+        |SELECT id, named_struct('score', CAST(id AS INT), 'tag',
+        |  concat('t', id)) FROM range(1500)""".stripMargin)   // old-era file
+    spark.sql("ALTER TABLE gcoln.ns.ne RENAME COLUMN info.tag TO label")
+    spark.sql("ALTER TABLE gcoln.ns.ne ALTER COLUMN info.score TYPE BIGINT")
+    spark.sql(
+      "ALTER TABLE gcoln.ns.ne ADD COLUMN info.qual STRING DEFAULT 'unscored'")
+    spark.sql(
+      """INSERT INTO gcoln.ns.ne
+        |SELECT id, named_struct('score', id * 10, 'label', concat('n', id),
+        |  'qual', 'gold') FROM range(1500, 2500)""".stripMargin) // new era
+    def rd(columnar: Boolean) = spark.read
+      .option("columnar", columnar.toString).table("gcoln.ns.ne")
+      .selectExpr("id", "info.score AS score", "info.label AS label",
+        "info.qual AS qual")
+    // the heal: the PRE-evolution file resolves at depth (alias name,
+    // int->long promotion, per-row default fill) — the scan keeps the lane
+    val col = rd(columnar = true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getLong(1), r.getString(2), r.getString(3))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(rd(columnar = false)))
+    assert(a(3) == ((3L, 3L, "t3", "unscored")), a(3).toString)
+    assert(a(1600) == ((1600L, 16000L, "n1600", "gold")), a(1600).toString)
+    // compact rewrites under the current schema: lane retained, identical
+    spark.sql("CALL gcoln.system.compact(table => 'ns.ne')")
+    val after = rd(columnar = true)
+    assert(isColumnar(after), after.queryExecution.executedPlan.toString)
+    assert(canon(after) == a)
   }
 }
