@@ -236,7 +236,13 @@ private[sources] final class GraftChangesTable(
           GraftChangesReaderFactory(readerJson, partSchema,
             new SerializableHadoopConf(conf),
             pairNewByVersion = planned.pairNewByVersion,
-            pairOldByVersion = planned.pairOldByVersion)
+            pairOldByVersion = planned.pairOldByVersion,
+            // X110: the batch feed vectorizes when every part is eligible;
+            // `columnar=false` is the same per-scan A/B lever as table scans
+            columnarFields =
+              if (!Option(options.get("columnar")).forall(_.toBoolean)) None
+              else GraftChangesReaderFactory.columnarFieldsFor(
+                planned.parts, readerJson, partSchema, pairUpdates))
       }
     }
 }
@@ -283,11 +289,84 @@ private[sources] final case class GraftChangesPartition(
   * probes), and the factory serializes ONCE into the stage's broadcast
   * task binary — per-partition copies would ship O(burdened × splits)
   * metas through every task. Empty maps = pairing off. */
+private[sources] object GraftChangesReaderFactory {
+  /** Columnar eligibility for a change-feed scan (X110): vectorize iff
+    * pairing is OFF (pairing re-tags per row — a per-split constant can't
+    * carry it), the reader schema is lane-eligible, every planned part's
+    * data file admits a wire plan, and the appended constants (partition
+    * values + change tag + version) have constant-vector forms. The
+    * decision is SCAN-wide (Spark requires `supportColumnarReads` uniform
+    * across a scan's partitions) — one ineligible part keeps the whole
+    * feed on the row lane, exactly like the batch table scan. */
+  def columnarFieldsFor(parts: Array[InputPartition], readerJson: String,
+      partSchema: StructType, pairUpdates: Boolean)
+      : Option[Array[OcfColumnar.Field]] = {
+    if (pairUpdates || parts.isEmpty) return None
+    def constOk(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    if (!partSchema.fields.forall(f => constOk(f.dataType))) return None
+    OcfColumnar.fieldsFor(readerJson).filter(rf =>
+      parts.forall(ip => OcfColumnar.wirePlanFor(
+        ip.asInstanceOf[GraftChangesPartition].meta.writerSchemaJson, rf)
+        .isDefined))
+  }
+}
+
 private[sources] final case class GraftChangesReaderFactory(
     readerJson: String, partSchema: StructType, conf: SerializableHadoopConf,
     pairNewByVersion: Map[Long, Seq[OcfDataSource.OcfFileMeta]] = Map.empty,
-    pairOldByVersion: Map[Long, Seq[GraftPairOldFile]] = Map.empty)
+    pairOldByVersion: Map[Long, Seq[GraftPairOldFile]] = Map.empty,
+    // X110: Some = every planned part decodes through the vectorized lane
+    // (insert parts batch-decode; delete parts type-skip survivors and
+    // decode only the emitted rows); None = row lane
+    columnarFields: Option[Array[OcfColumnar.Field]] = None)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnarFields.isDefined
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftChangesPartition]
+    val rf = columnarFields.get
+    val plan = OcfColumnar.wirePlanFor(p.meta.writerSchemaJson, rf)
+      .getOrElse(throw new IllegalStateException(
+        s"graft-ocf-changes: columnar feed planned without a wire plan " +
+          s"for ${p.meta.path}"))
+    // appended constants, same order as the row lane's appended row:
+    // partition values, then the change tag and commit version
+    val appended = new Array[(org.apache.spark.sql.types.DataType, Any)](
+      partSchema.fields.length + 2)
+    var k = 0
+    while (k < partSchema.fields.length) {
+      appended(k) = (partSchema.fields(k).dataType,
+        if (k >= p.partValues.length || p.partValues(k) == null) null
+        else OcfPartitions.castPartValue(p.partValues(k),
+          partSchema.fields(k).dataType))
+      k += 1
+    }
+    appended(k) = (org.apache.spark.sql.types.StringType,
+      UTF8String.fromString(p.changeType))
+    appended(k + 1) = (org.apache.spark.sql.types.LongType, p.version)
+    new OcfColumnarSplitReader(p.meta, p.start,
+      if (p.end < 0L) p.meta.len else p.end,
+      rf, plan, conf.value, appended = appended,
+      readerJson = readerJson,
+      deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
+      emitPosFiles = p.emitPos, emitEqFiles = p.emitEq)
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangesPartition]
     // appended per-row constants: identity partition values (cast through

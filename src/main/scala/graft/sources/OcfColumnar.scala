@@ -524,12 +524,23 @@ private[graft] final class OcfColumnarSplitReader(
     eqDeleteFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
     // `_pos` emission (the row-ordinal metadata column): a REAL LongType
     // vector — the one appended column that is per-row, not per-split
-    withPos: Boolean = false)
+    withPos: Boolean = false,
+    // CHANGES read, columnar (X95/X110): invert the filter — emit ONLY
+    // the rows a commit deleted, mirroring [[OcfSplitReader]]'s modes.
+    // `emitPosFiles`: ordinals in these position-delete files but not in
+    // `deleteFiles` (non-matching rows type-SKIP, never touch vectors);
+    // `emitEqFiles`: rows surviving the skip state whose key matches the
+    // commit's new equality deletes. At most one mode per reader.
+    emitPosFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    emitEqFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
+  require(emitPosFiles.isEmpty || emitEqFiles.isEmpty,
+    "graft-ocf: one changes-read mode per reader")
   // position ordinals count raw datums from block 0 — the planner plans
   // burdened files as one whole-file split (OcfScan), same as the row lane
-  require((deleteFiles.isEmpty && !withPos) || (start == 0L && !aligned),
+  require((deleteFiles.isEmpty && !withPos && emitPosFiles.isEmpty) ||
+      (start == 0L && !aligned),
     s"graft-ocf: positional columnar read of ${meta.path} must scan the " +
       s"whole file (got split [$start, $end), aligned=$aligned)")
 
@@ -566,6 +577,37 @@ private[graft] final class OcfColumnarSplitReader(
         try in.close() catch { case s: Throwable => t.addSuppressed(s) }
         throw t
     }
+
+  // changes-read state (X110): the NEWLY-deleted ordinals (new minus old)
+  // or the commit's new key groups — the row lane's exact derivation
+  private val emitPos: Array[Long] =
+    try {
+      if (emitPosFiles.isEmpty) null
+      else {
+        val fresh = OcfSplitReader.loadDeletePositions(emitPosFiles, conf)
+        if (deletedPos.length == 0) fresh
+        else fresh.filterNot(p =>
+          java.util.Arrays.binarySearch(deletedPos, p) >= 0)
+      }
+    } catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+  private var emitIdx = 0
+  private val emitEqGroups: Array[OcfSplitReader.EqGroup] =
+    try OcfSplitReader.loadEqualityFilters(emitEqFiles, readerJson, conf)
+    catch {
+      case t: Throwable =>
+        try in.close() catch { case s: Throwable => t.addSuppressed(s) }
+        throw t
+    }
+  private val changesRead = emitPos != null || emitEqGroups.length > 0
+  // a decoded row can be REJECTED (equality-deleted, or not matching the
+  // commit's new keys) and its slot reused by the next candidate — putX
+  // does not clear a stale null bit, so decode must putNotNull under any
+  // mode that rejects decoded rows
+  private val slotReuse = eqGroups.length > 0 || emitEqGroups.length > 0
 
   private var blockStart: Long = firstBlockStart
   private var remaining = 0L
@@ -657,7 +699,33 @@ private[graft] final class OcfColumnarSplitReader(
         rawPos += 1L
         if (delIdx < deletedPos.length && deletedPos(delIdx) == p) {
           delIdx += 1
-          skipRow() // position-deleted ordinal: wire walked, vectors untouched
+          skipRow() // already-dead ordinal: dropped in EVERY mode
+        } else if (changesRead) {
+          // X110: emit ONLY what the commit newly deleted — non-matching
+          // rows type-SKIP the wire without touching the vectors, so a
+          // delete part's cost is ~the skip walk plus the emitted rows
+          if (emitPos != null) {
+            while (emitIdx < emitPos.length && emitPos(emitIdx) < p) emitIdx += 1
+            if (emitIdx < emitPos.length && emitPos(emitIdx) == p) {
+              decodeRow(n)
+              // a newly position-deleted ordinal whose row was ALREADY
+              // equality-deleted (skipEq = pre-commit state) is a
+              // re-delete of a dead row, not a change
+              if (eqGroups.length == 0 || !equalityDeleted(n)) {
+                if (withPos) posVector.putLong(n, p)
+                emitted += 1L
+                n += 1
+              }
+            } else skipRow()
+          } else {
+            decodeRow(n)
+            if ((eqGroups.length == 0 || !equalityDeleted(n)) &&
+                matchesNewKeys(n)) {
+              if (withPos) posVector.putLong(n, p)
+              emitted += 1L
+              n += 1
+            }
+          }
         } else {
           decodeRow(n)
           if (eqGroups.length == 0 || !equalityDeleted(n)) {
@@ -676,8 +744,9 @@ private[graft] final class OcfColumnarSplitReader(
   // Key probe of the just-decoded row at slot `row` — the vectors ARE the
   // decoded values. Typed extractors bound ONCE at init (ordinal = vector
   // index) read them back without a per-row InternalRow view.
-  private val eqExtractors: Array[Array[Int => Any]] =
-    eqGroups.map(g => g.ordinals.zip(g.types).map { case (ord, dt) =>
+  private def extractorsFor(groups: Array[OcfSplitReader.EqGroup])
+      : Array[Array[Int => Any]] =
+    groups.map(g => g.ordinals.zip(g.types).map { case (ord, dt) =>
       val v = vectors(ord)
       val get: Int => Any = dt match {
         case BooleanType => r => java.lang.Boolean.valueOf(v.getBoolean(r))
@@ -698,19 +767,29 @@ private[graft] final class OcfColumnarSplitReader(
       (r: Int) => if (v.isNullAt(r)) null else get(r)
     })
 
-  private def equalityDeleted(row: Int): Boolean = {
+  private val eqExtractors = extractorsFor(eqGroups)
+  private val emitExtractors = extractorsFor(emitEqGroups)
+
+  private def probe(groups: Array[OcfSplitReader.EqGroup],
+      extractors: Array[Array[Int => Any]], row: Int): Boolean = {
     var i = 0
-    while (i < eqGroups.length) {
-      val ex = eqExtractors(i)
+    while (i < groups.length) {
+      val ex = extractors(i)
       val t = new Array[Any](ex.length)
       var j = 0
       while (j < ex.length) { t(j) = ex(j)(row); j += 1 }
-      if (eqGroups(i).keys.contains(
+      if (groups(i).keys.contains(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(t))) return true
       i += 1
     }
     false
   }
+
+  private def equalityDeleted(row: Int): Boolean =
+    probe(eqGroups, eqExtractors, row)
+
+  private def matchesNewKeys(row: Int): Boolean =
+    probe(emitEqGroups, emitExtractors, row)
 
   /** Walk one datum forward without touching the vectors (a
     * position-deleted ordinal still occupies wire bytes). */
@@ -807,7 +886,7 @@ private[graft] final class OcfColumnarSplitReader(
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       row: Int, dt: DataType, value: Any): Unit = {
     if (value == null) { v.putNull(row); return }
-    if (eqGroups.length > 0) v.putNotNull(row) // reused slot: clear stale bit
+    if (slotReuse) v.putNotNull(row) // reused slot: clear stale bit
     dt match {
       case BooleanType => v.putBoolean(row, value.asInstanceOf[Boolean])
       case IntegerType | DateType => v.putInt(row, value.asInstanceOf[Int])
@@ -941,7 +1020,7 @@ private[graft] final class OcfColumnarSplitReader(
             case w => skipValue(w)
           } else {
             val v = writable(step.target)
-            if (step.nullable && eqGroups.length > 0) v.putNotNull(row)
+            if (step.nullable && slotReuse) v.putNotNull(row)
             step.wire match {
               case _: ARecord =>
                 val kids = structKids(j)
@@ -988,7 +1067,7 @@ private[graft] final class OcfColumnarSplitReader(
           val v = v0
           // an equality-deleted row's slot is REUSED by the next surviving
           // row: putX does not clear a stale null bit, so clear it here
-          if (step.nullable && eqGroups.length > 0) v.putNotNull(row)
+          if (step.nullable && slotReuse) v.putNotNull(row)
           if (step.rdt != null) {
             // numeric Avro PROMOTION: decode the writer primitive, widen
             // into the reader-typed vector (the row lane's conversions)

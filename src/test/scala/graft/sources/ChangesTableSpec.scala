@@ -243,4 +243,49 @@ class ChangesTableSpec extends AnyFunSuite {
     assert(got == Map("insert" -> 51L, "delete" -> 5L,
       "update_preimage" -> 1L, "update_postimage" -> 1L), got.toString)
   }
+
+  test("the batch change feed rides the columnar lane (X110): insert parts " +
+      "batch-decode, delete parts skip-walk; identical to the row lane") {
+    import spark.implicits._
+    history("ct10") // 50 inserts; 5 position deletes; eq upsert (7 + 99)
+    def rd(columnar: Boolean) = spark.read
+      .option("columnar", columnar.toString).table("gct.ns.ct10.changes")
+    val col = rd(columnar = true)
+    assert(col.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      col.queryExecution.executedPlan.toString)
+    val row = rd(columnar = false)
+    assert(!row.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"_commit_version", $"_change_type", $"id", $"v")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    val a = canon(col)
+    assert(a == canon(row))
+    assert(a.count(e => e._1 == 2L && e._2 == "delete") == 5)
+    assert(a.contains((3L, "delete", 7L, "v7")) &&
+      a.contains((3L, "insert", 7L, "UPD7")) &&
+      a.contains((3L, "insert", 99L, "NEW99")), a.toString)
+    // a PAIRED feed keeps the row lane (tags flip per row at read time)
+    val paired = spark.read.option("updateImages", "true")
+      .table("gct.ns.ct10.changes")
+    assert(!paired.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      paired.queryExecution.executedPlan.toString)
+    assert(paired.count() == a.length)
+    // identity-partitioned feeds vectorize too: partition values are
+    // per-part constants, exactly like a table scan
+    spark.sql(
+      """CREATE TABLE gct.ns.ct11 (id BIGINT, lang STRING)
+        |USING `graft-ocf` PARTITIONED BY (lang)
+        |OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("id", "lang")
+      .writeTo("gct.ns.ct11").append()
+    spark.sql("DELETE FROM gct.ns.ct11 WHERE id = 3")
+    val pf = spark.table("gct.ns.ct11.changes")
+    assert(pf.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      pf.queryExecution.executedPlan.toString)
+    val feed = pf.select("_commit_version", "_change_type", "id", "lang")
+      .as[(Long, String, Long, String)].collect().toSeq.sorted
+    assert(feed == Seq((1L, "insert", 1L, "en"), (1L, "insert", 2L, "fr"),
+      (1L, "insert", 3L, "en"), (2L, "delete", 3L, "en")), feed.toString)
+  }
 }
