@@ -566,7 +566,12 @@ private[graft] final class GraftChangesMicroBatchStream(
     GraftChangesReaderFactory(readerJson, partSchema,
       new SerializableHadoopConf(conf),
       pairNewByVersion = planned.pairNewByVersion,
-      pairOldByVersion = planned.pairOldByVersion)
+      pairOldByVersion = planned.pairOldByVersion,
+      // X110 for the stream too: each trigger's factory decides from ITS
+      // planned parts (micro-batches are independent scans, so the lane
+      // can engage on clean triggers and fall back on ineligible ones)
+      columnarFields = GraftChangesReaderFactory.columnarFieldsFor(
+        planned.parts, readerJson, partSchema, pairUpdates))
   }
 
   override def commit(end: Offset): Unit = ()
