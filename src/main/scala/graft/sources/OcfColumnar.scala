@@ -205,7 +205,12 @@ private[graft] object OcfColumnar {
       var i = 0
       while (i < kids.length) {
         val kf = r.fields(i)
-        flatFieldOf(kf.name, kf.schema) match {
+        // children may themselves be array/map-of-scalars (X108 inside
+        // X107) — `meta STRUCT<..., tags ARRAY<STRING>>`; struct-in-struct
+        // stays on the row lane
+        flatFieldOf(kf.name, kf.schema)
+          .orElse(arrayFieldOf(kf.name, kf.schema))
+          .orElse(mapFieldOf(kf.name, kf.schema)) match {
           case Some(k) => kids(i) = k.copy(aliases = kf.aliases,
             defaultJson = kf.default.map(_.toString))
           case None => return None
@@ -386,18 +391,40 @@ private[graft] object OcfColumnar {
           var wc = 0
           while (wc < out.length) {
             val wk = wKids(wc)
-            flatFieldOf(wk.name, wk.schema) match {
+            flatFieldOf(wk.name, wk.schema)
+              .orElse(arrayFieldOf(wk.name, wk.schema))
+              .orElse(mapFieldOf(wk.name, wk.schema)) match {
               case Some(ws) =>
                 kidIdx.get(ws.name) match {
                   case Some(idx) if idx >= rc =>
                     if (!fillAbsentKidsUpTo(idx)) return None
-                    elemStepOf(ws, rKids(idx)) match {
-                      case Some(es) => out(wc) = es.copy(target = idx)
+                    val rk = rKids(idx)
+                    val stepOpt: Option[WireStep] =
+                      if (ws.children == null && rk.children == null)
+                        elemStepOf(ws, rk).map(_.copy(target = idx))
+                      else if (ws.children != null && rk.children != null)
+                        (ws.wire, rk.wire) match {
+                          case (wa: AArray, _: AArray) =>
+                            if (ws.nullable && !rk.nullable) None
+                            else elemStepOf(ws.children(0), rk.children(0))
+                              .map(es => WireStep(wa, ws.nullBranch, idx,
+                                children = Array(es)))
+                          case (wm: AMap, _: AMap) =>
+                            if (ws.nullable && !rk.nullable) None
+                            else elemStepOf(ws.children(0), rk.children(0))
+                              .map(es => WireStep(wm, ws.nullBranch, idx,
+                                children = Array(es)))
+                          case _ => None
+                        }
+                      else None // array-under-scalar etc: row lane
+                    stepOpt match {
+                      case Some(st) => out(wc) = st
                       case None => return None
                     }
                     rc = idx + 1
                   case Some(_) => return None // reordered nested projection
-                  case None => // writer-only child: type-skip
+                  case None => // writer-only child: type-skip (skipValue
+                    // self-describes array/map children from the wire)
                     out(wc) = WireStep(ws.wire, ws.nullBranch, -1)
                 }
               case None => return None
@@ -953,6 +980,32 @@ private[graft] final class OcfColumnarSplitReader(
     v.putArray(row, start, total)
   }
 
+  /** An array/map CHILD of a struct step (X108 inside X107): null branch
+    * marks the child vector inside the struct, present values decode via
+    * the block walk into ITS child vectors. */
+  private def decodeNestedChild(step: OcfColumnar.WireStep, row: Int,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    var isNull = false
+    if (step.nullable) {
+      val br = bin.readLong().toInt
+      if (br == step.nullBranch) {
+        isNull = true
+        if (v != null) v.putNull(row)
+      }
+    }
+    if (!isNull) {
+      if (v == null) skipValue(step.wire)
+      else {
+        if (step.nullable && slotReuse) v.putNotNull(row)
+        step.wire match {
+          case _: AArray => decodeArray(step.children(0), row, v)
+          case _: AMap => decodeMap(step.children(0), row, v)
+          case other => throw new IllegalStateException(s"not flat: $other")
+        }
+      }
+    }
+  }
+
   /** One array/map element: same wire shapes as a scalar field, routed
     * through the child vector's APPEND cursor (elements are dense — no
     * slot addressing, no stale-null concerns). */
@@ -1027,7 +1080,9 @@ private[graft] final class OcfColumnarSplitReader(
                 var k = 0
                 while (k < cs.length) {
                   val c = cs(k)
-                  decodeField(c, row, if (c.target < 0) null else kids(c.target))
+                  val cv = if (c.target < 0) null else kids(c.target)
+                  if (c.children == null) decodeField(c, row, cv)
+                  else decodeNestedChild(c, row, cv) // array/map in struct
                   k += 1
                 }
                 // reader-only children: fill defaults for this present row

@@ -33,15 +33,6 @@ class ColumnarPropertySpec extends AnyFunSuite {
     BinaryType, DateType, TimestampType,
     DecimalType(10, 2), DecimalType(38, 0), DecimalType(7, 7))
 
-  // one-level struct-of-scalars (X107) joins the pool
-  private val genStructType: Gen[DataType] = for {
-    k <- Gen.choose(1, 4)
-    kids <- Gen.listOfN(k, genFieldType)
-    nbs <- Gen.listOfN(k, Gen.oneOf(true, false))
-  } yield StructType(kids.zip(nbs).zipWithIndex.map {
-    case ((dt, nb), i) => StructField(s"s$i", dt, nullable = nb)
-  })
-
   // array/map-of-scalars (X108) join the pool — decimal elements are the
   // one scalar the lane leaves to the row reader, so exclude them here
   private val genElemType: Gen[DataType] = Gen.oneOf(
@@ -52,6 +43,16 @@ class ColumnarPropertySpec extends AnyFunSuite {
     el <- genElemType
     cn <- Gen.oneOf(true, false)
   } yield ArrayType(el, containsNull = cn)
+
+  // one-level struct (X107) joins the pool — children may themselves be
+  // arrays-of-scalars (X108 inside X107)
+  private val genStructType: Gen[DataType] = for {
+    k <- Gen.choose(1, 4)
+    kids <- Gen.listOfN(k, Gen.frequency(4 -> genFieldType, 1 -> genArrayType))
+    nbs <- Gen.listOfN(k, Gen.oneOf(true, false))
+  } yield StructType(kids.zip(nbs).zipWithIndex.map {
+    case ((dt, nb), i) => StructField(s"s$i", dt, nullable = nb)
+  })
 
   private val genMapType: Gen[DataType] = for {
     v <- genElemType
