@@ -270,4 +270,62 @@ class GraftChangesStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     assert(live == table, s"live=$live table=$table")
   }
+  test("micro-batch triggers vectorize when clean (X110): the factory " +
+      "offers columnar and the batch decode equals the row reader") {
+    spark.sql(
+      """CREATE TABLE gcs.ns.colstream (id BIGINT, v STRING)
+        |USING `graft-ocf` OPTIONS (`write.delete.mode` 'merge-on-read')""".stripMargin)
+    spark.sql(
+      "INSERT INTO gcs.ns.colstream SELECT id, concat('v', id) FROM range(40)")
+    spark.sql("DELETE FROM gcs.ns.colstream WHERE id % 5 = 2")          // v2
+    val conf = spark.sessionState.newHadoopConf()
+    val stream = new GraftChangesMicroBatchStream(loc("colstream"),
+      GraftCatalog.readerJsonWithDefaults(spark.table("gcs.ns.colstream").schema),
+      new org.apache.spark.sql.types.StructType(), Some(0L), conf)
+    val parts = stream.planInputPartitions(
+      GraftChangesOffset(0L), GraftChangesOffset(2L))
+    val factory = stream.createReaderFactory()
+    assert(parts.nonEmpty && parts.forall(factory.supportColumnarReads),
+      "a clean insert+position-delete trigger must offer columnar")
+    def viaColumnar: Seq[(Long, String, String, Long)] = parts.toSeq.flatMap { p =>
+      val r = factory.createColumnarReader(p)
+      val b = Seq.newBuilder[(Long, String, String, Long)]
+      try while (r.next()) {
+        val batch = r.get()
+        var i = 0
+        while (i < batch.numRows()) {
+          val row = batch.getRow(i)
+          b += ((row.getLong(0), row.getUTF8String(1).toString,
+            row.getUTF8String(2).toString, row.getLong(3)))
+          i += 1
+        }
+      } finally r.close()
+      b.result()
+    }
+    def viaRows: Seq[(Long, String, String, Long)] = parts.toSeq.flatMap { p =>
+      val r = factory.createReader(p)
+      val b = Seq.newBuilder[(Long, String, String, Long)]
+      try while (r.next()) {
+        val row = r.get()
+        b += ((row.getLong(0), row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString, row.getLong(3)))
+      } finally r.close()
+      b.result()
+    }
+    val col = viaColumnar.sorted
+    assert(col == viaRows.sorted, "columnar trigger decode diverged")
+    assert(col.count(e => e._3 == "insert" && e._4 == 1L) == 40)
+    assert(col.count(e => e._3 == "delete" && e._4 == 2L) == 8)
+    assert(col.filter(_._3 == "delete").map(_._1).sorted ==
+      (0L until 40L).filter(_ % 5 == 2))
+    // a PAIRED stream keeps the row lane
+    val paired = new GraftChangesMicroBatchStream(loc("colstream"),
+      GraftCatalog.readerJsonWithDefaults(spark.table("gcs.ns.colstream").schema),
+      new org.apache.spark.sql.types.StructType(), Some(0L), conf,
+      pairUpdates = true)
+    val pparts = paired.planInputPartitions(
+      GraftChangesOffset(0L), GraftChangesOffset(2L))
+    val pfactory = paired.createReaderFactory()
+    assert(!pparts.exists(pfactory.supportColumnarReads))
+  }
 }
