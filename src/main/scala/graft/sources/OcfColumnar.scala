@@ -154,11 +154,10 @@ private[graft] object OcfColumnar {
   }
 
   /** An ARRAY-of-scalars element (X108) — the embedding / token-list
-    * shape. Decimal elements stay on the row lane (vectors append
-    * elements; decimal has no append form), every other scalar appends
-    * in one wire op. The element may itself be nullable. */
+    * shape. Every scalar appends in one wire op (decimal via an explicit
+    * appendNotNull + slot put). The element may itself be nullable. */
   private def elemFieldOf(s: AvroSchema): Option[Field] =
-    flatFieldOf("item", s).filter(!_.wire.isInstanceOf[ADecimal])
+    flatFieldOf("item", s)
 
   /** `array<scalar>` (X108): the single most common LLM-pipeline column
     * shape (embeddings `array<float>`, token lists `array<string>`).
@@ -1040,6 +1039,16 @@ private[graft] final class OcfColumnarSplitReader(
         val b = e.symbols(bin.readInt()).getBytes(
           java.nio.charset.StandardCharsets.UTF_8)
         v.appendByteArray(b, 0, b.length)
+      case d @ ADecimal(p, s, _) =>
+        // no appendDecimal form exists: reserve the slot explicitly, then
+        // put at it — putDecimal routes to int/long/bytes by precision
+        val b = d.underlying.physical match {
+          case f: AFixed => bin.readFixed(f.size)
+          case _ => bin.readBytes()
+        }
+        val idx = v.appendNotNull()
+        v.putDecimal(idx, org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(new java.math.BigInteger(b), s)), p)
       case other => throw new IllegalStateException(s"not flat: $other")
     }
   }

@@ -33,11 +33,11 @@ class ColumnarPropertySpec extends AnyFunSuite {
     BinaryType, DateType, TimestampType,
     DecimalType(10, 2), DecimalType(38, 0), DecimalType(7, 7))
 
-  // array/map-of-scalars (X108) join the pool — decimal elements are the
-  // one scalar the lane leaves to the row reader, so exclude them here
+  // array/map-of-scalars (X108) join the pool — every scalar element
+  // type, decimals included (both compact and byte-backed precisions)
   private val genElemType: Gen[DataType] = Gen.oneOf(
     BooleanType, IntegerType, LongType, FloatType, DoubleType, StringType,
-    BinaryType, DateType, TimestampType)
+    BinaryType, DateType, TimestampType, DecimalType(10, 2), DecimalType(38, 0))
 
   private val genArrayType: Gen[DataType] = for {
     el <- genElemType
