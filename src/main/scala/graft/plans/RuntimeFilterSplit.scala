@@ -39,7 +39,16 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * Runs in the user-provided optimizer batch, which Spark places AFTER the
   * `PartitionPruning` batch that plants the composite condition. Gated to
   * Filters sitting directly on OUR scans: other sources keep Spark's stock
-  * behavior. */
+  * behavior.
+  *
+  * Cost trade at scale: the N per-column subqueries each run the same
+  * matched-rows build plan (Spark reuses only IDENTICAL subqueries, and
+  * these differ in their final projection), so the build side — the DML
+  * predicate's matching rows, small by construction — executes N times.
+  * That buys file pruning on the probe side, which is the whole table:
+  * at 100 TB, re-running a kilobyte-scale key scan twice to avoid reading
+  * every statically-admitted file is the right side of the trade by many
+  * orders of magnitude. */
 object RuntimeFilterSplit extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
