@@ -142,7 +142,10 @@ class ColumnarPropertySpec extends AnyFunSuite {
       Gen.const(AFloat), Gen.const(ADouble), Gen.const(AString),
       Gen.const(ABytes),
       Gen.choose(1, 6).map(n => AEnum(s"E$n", None, (0 until n).map(i => s"S$i"))),
-      Gen.choose(0, 9).map(sz => AFixed(s"F$sz", None, sz)))
+      Gen.choose(0, 9).map(sz => AFixed(s"F$sz", None, sz)),
+      // decimals under BOTH physical encodings, incl. as array elements
+      Gen.const(ADecimal(9, 2, ABytes)),
+      Gen.const(ADecimal(12, 3, AFixed("DF", None, 6))))
     // array/map-of-scalars (X108) — items possibly themselves nullable
     val genWire: Gen[AvroSchema] = Gen.frequency(
       6 -> genScalarWire,
@@ -161,6 +164,10 @@ class ColumnarPropertySpec extends AnyFunSuite {
         Gen.listOfN(k, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
       case e: AEnum => Gen.oneOf(e.symbols)
       case f: AFixed => Gen.const(Array.tabulate[Byte](f.size)(i => (i * 7).toByte))
+      case ADecimal(p, s, _) =>
+        val mx = BigInt(10).pow(math.min(p, 11)) - 1
+        Gen.chooseNum(-mx.toLong, mx.toLong).map(u =>
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(u), s))
       case AUnion(Seq(ANull, p)) =>
         Gen.frequency(1 -> Gen.const(null), 3 -> valueOf(p))
       case AArray(items) =>
