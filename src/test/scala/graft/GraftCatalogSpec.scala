@@ -952,5 +952,27 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT doc_id FROM g.corpus.rtsplit WHERE doc_id < 10 ORDER BY doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(survivors == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L, 9L), survivors)
+    // MERGE through the same path: matched keys live in one file (doc_id
+    // 310/311, fr), fresh key 9999 inserts — runtime pruning scopes the
+    // rewrite to that one file and every untouched row survives
+    spark.sql(
+      """MERGE INTO g.corpus.rtsplit t
+        |USING (SELECT CAST(col1 AS BIGINT) AS doc_id, CAST(col2 AS BIGINT)
+        |         AS n_chars, col3 AS lang FROM VALUES
+        |  (310, 1, 'fr'), (311, 1, 'fr'), (9999, 1, 'de')) s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+        |WHEN NOT MATCHED THEN INSERT (doc_id, n_chars, lang)
+        |  VALUES (s.doc_id, s.n_chars, s.lang)""".stripMargin)
+    val merged = graft.sources.OcfDataSource.lastPlannedFiles.get()
+    assert(merged.size == 1 && merged.head.contains("lang=fr"),
+      s"MERGE group scan must runtime-prune to the one fr file; kept $merged")
+    assert(spark.table("g.corpus.rtsplit").count() == 600L)
+    val touched = spark.sql(
+      """SELECT doc_id, n_chars FROM g.corpus.rtsplit
+        |WHERE doc_id IN (310, 311, 312, 9999) ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(touched == Seq((310L, 1L), (311L, 1L), (312L, 3120L),
+      (9999L, 1L)), touched.toString)
   }
 }
