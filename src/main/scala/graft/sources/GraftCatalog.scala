@@ -1660,9 +1660,16 @@ private[sources] class CatalogOcfTable(
         passthrough.put(k, v)
     }
     def merged(extra: (String, String)*): CaseInsensitiveStringMap = {
-      val m = new java.util.HashMap[String, String](readOptions.asCaseSensitiveMap())
+      // iterate readOptions itself (lowercased keys) rather than its
+      // original-case view: passthrough keys are lowercased too, so a
+      // per-scan override of a stored option must land on the SAME map
+      // key — mixed-case duplicates would resolve arbitrarily
+      val m = new java.util.HashMap[String, String]()
+      readOptions.forEach { (k, v) => m.put(k, v) }
       m.putAll(passthrough)
-      extra.foreach { case (k, v) => m.put(k, v) }
+      extra.foreach { case (k, v) =>
+        m.put(k.toLowerCase(java.util.Locale.ROOT), v)
+      }
       new CaseInsensitiveStringMap(m)
     }
     // branch read (X83): `spark.read.option("branch", b).table(...)` pins

@@ -189,7 +189,9 @@ private[sources] final class GraftChangesTable(
               .orElse(maxFilesPerTrigger),
             Option(options.get("splitSize")).map(_.toLong)
               .orElse(splitSizeOpt),
-            pairUpdates = pairUpdates)
+            pairUpdates = pairUpdates,
+            columnarEnabled =
+              Option(options.get("columnar")).forall(_.toBoolean))
 
         // BATCH read (X101, the `.changes` metadata table / a batch
         // format load): one planner walk over [startingVersion, ending].
@@ -231,18 +233,21 @@ private[sources] final class GraftChangesTable(
           GraftChangesPlanner.plan(root, c, partSchema, splitSize, sv, ev,
             pairUpdates = pairUpdates)
         }
-        override def planInputPartitions(): Array[InputPartition] = planned.parts
+        // X110: the batch feed vectorizes when every part is eligible;
+        // `columnar=false` is the same per-scan A/B lever as table scans.
+        // Admitted parts carry the lane STAMP the factory answers from.
+        @transient private lazy val lane: Option[Array[OcfColumnar.Field]] =
+          if (!Option(options.get("columnar")).forall(_.toBoolean)) None
+          else GraftChangesReaderFactory.columnarFieldsFor(
+            planned.parts, readerJson, partSchema, pairUpdates)
+        override def planInputPartitions(): Array[InputPartition] =
+          GraftChangesReaderFactory.stamp(planned.parts, lane)
         override def createReaderFactory(): PartitionReaderFactory =
           GraftChangesReaderFactory(readerJson, partSchema,
             new SerializableHadoopConf(conf),
             pairNewByVersion = planned.pairNewByVersion,
             pairOldByVersion = planned.pairOldByVersion,
-            // X110: the batch feed vectorizes when every part is eligible;
-            // `columnar=false` is the same per-scan A/B lever as table scans
-            columnarFields =
-              if (!Option(options.get("columnar")).forall(_.toBoolean)) None
-              else GraftChangesReaderFactory.columnarFieldsFor(
-                planned.parts, readerJson, partSchema, pairUpdates))
+            columnarFields = lane)
       }
     }
 }
@@ -281,7 +286,14 @@ private[sources] final case class GraftChangesPartition(
     // interleave across micro-batches, a stamped part whose version is
     // absent from the factory's maps must FAIL, not silently degrade to
     // unpaired tags (a postimage without its preimage corrupts the feed).
-    pairPlanned: Boolean = false) extends InputPartition
+    pairPlanned: Boolean = false,
+    // X110 lane stamp: true iff THIS part's plan admitted the whole batch
+    // to the columnar lane. The factory answers supportColumnarReads from
+    // the PARTITION's stamp (its reader fields are deterministic from the
+    // stream-constant reader schema), so a factory built from a different
+    // trigger's plan degrades a mismatched batch to the row lane instead
+    // of crashing on a part without a wire plan.
+    columnarOk: Boolean = false) extends InputPartition
 
 /** UPDATE pairing (X104) state rides the FACTORY, not the partitions: the
   * pairing inputs are per-COMMIT constants (the commit's new data files for
@@ -302,26 +314,21 @@ private[sources] object GraftChangesReaderFactory {
       partSchema: StructType, pairUpdates: Boolean)
       : Option[Array[OcfColumnar.Field]] = {
     if (pairUpdates || parts.isEmpty) return None
-    def constOk(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.BooleanType |
-           org.apache.spark.sql.types.StringType |
-           org.apache.spark.sql.types.BinaryType |
-           org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.DateType |
-           org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType => true
-      case _ => false
-    }
-    if (!partSchema.fields.forall(f => constOk(f.dataType))) return None
+    if (!partSchema.fields.forall(f => OcfColumnar.constSupported(f.dataType)))
+      return None
     OcfColumnar.fieldsFor(readerJson).filter(rf =>
       parts.forall(ip => OcfColumnar.wirePlanFor(
         ip.asInstanceOf[GraftChangesPartition].meta.writerSchemaJson, rf)
         .isDefined))
   }
+
+  /** Stamp every part of an admitted plan (see `columnarOk`). */
+  def stamp(parts: Array[InputPartition],
+      lane: Option[Array[OcfColumnar.Field]]): Array[InputPartition] =
+    if (lane.isEmpty) parts
+    else parts.map(p =>
+      p.asInstanceOf[GraftChangesPartition].copy(columnarOk = true)
+        : InputPartition)
 }
 
 private[sources] final case class GraftChangesReaderFactory(
@@ -335,7 +342,8 @@ private[sources] final case class GraftChangesReaderFactory(
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnarFields.isDefined
+    columnarFields.isDefined &&
+      partition.asInstanceOf[GraftChangesPartition].columnarOk
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -345,21 +353,7 @@ private[sources] final case class GraftChangesReaderFactory(
       .getOrElse(throw new IllegalStateException(
         s"graft-ocf-changes: columnar feed planned without a wire plan " +
           s"for ${p.meta.path}"))
-    // appended constants, same order as the row lane's appended row:
-    // partition values, then the change tag and commit version
-    val appended = new Array[(org.apache.spark.sql.types.DataType, Any)](
-      partSchema.fields.length + 2)
-    var k = 0
-    while (k < partSchema.fields.length) {
-      appended(k) = (partSchema.fields(k).dataType,
-        if (k >= p.partValues.length || p.partValues(k) == null) null
-        else OcfPartitions.castPartValue(p.partValues(k),
-          partSchema.fields(k).dataType))
-      k += 1
-    }
-    appended(k) = (org.apache.spark.sql.types.StringType,
-      UTF8String.fromString(p.changeType))
-    appended(k + 1) = (org.apache.spark.sql.types.LongType, p.version)
+    val appended = appendedTypes.zip(appendedValues(p))
     new OcfColumnarSplitReader(p.meta, p.start,
       if (p.end < 0L) p.meta.len else p.end,
       rf, plan, conf.value, appended = appended,
@@ -367,16 +361,26 @@ private[sources] final case class GraftChangesReaderFactory(
       deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
       emitPosFiles = p.emitPos, emitEqFiles = p.emitEq)
   }
+  // appended per-row CONSTANTS, one construction for BOTH lanes: identity
+  // partition values (cast through the scan's single materialization
+  // point), then the change tag and commit version — the column order the
+  // feed schema declares
+  private def appendedValues(p: GraftChangesPartition): Array[Any] =
+    partSchema.fields.indices.map(i =>
+      if (i >= p.partValues.length || p.partValues(i) == null) null
+      else OcfPartitions.castPartValue(p.partValues(i),
+        partSchema.fields(i).dataType)).toArray[Any] ++
+      Array[Any](UTF8String.fromString(p.changeType), p.version)
+
+  private val appendedTypes: Array[org.apache.spark.sql.types.DataType] =
+    partSchema.fields.map(_.dataType) ++
+      Array[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangesPartition]
-    // appended per-row constants: identity partition values (cast through
-    // the scan's single materialization point), then the change tags
-    val appended = new GenericInternalRow(
-      partSchema.fields.indices.map(i =>
-        if (i >= p.partValues.length || p.partValues(i) == null) null
-        else OcfPartitions.castPartValue(p.partValues(i),
-          partSchema.fields(i).dataType)).toArray[Any] ++
-      Array[Any](UTF8String.fromString(p.changeType), p.version))
+    val appended = new GenericInternalRow(appendedValues(p))
     val inner = new OcfSplitReader(p.meta,
       p.start, if (p.end < 0L) p.meta.len else p.end,
       readerJson, wrap = false,
@@ -438,7 +442,9 @@ private[graft] final class GraftChangesMicroBatchStream(
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     splitSizeOpt: Option[Long] = None,
-    pairUpdates: Boolean = false)
+    pairUpdates: Boolean = false,
+    // X110 per-stream A/B lever, same as the batch scans' `columnar` option
+    columnarEnabled: Boolean = true)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -549,29 +555,35 @@ private[graft] final class GraftChangesMicroBatchStream(
 
   // each trigger plans then builds its factory; the plan's per-commit
   // pairing maps (X104) travel through this slot instead of every part
-  @volatile private var lastPlanned: GraftChangesPlanner.Planned =
-    GraftChangesPlanner.Planned(Array.empty, Map.empty, Map.empty)
+  @volatile private var lastPlanned
+      : (GraftChangesPlanner.Planned, Option[Array[OcfColumnar.Field]]) =
+    (GraftChangesPlanner.Planned(Array.empty, Map.empty, Map.empty), None)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val planned = GraftChangesPlanner.plan(root, conf, partSchema, splitSize,
       start.asInstanceOf[GraftChangesOffset].version,
       end.asInstanceOf[GraftChangesOffset].version,
       pairUpdates = pairUpdates)
-    lastPlanned = planned
-    planned.parts
+    // X110 for the stream too: each trigger decides from ITS planned parts
+    // (micro-batches are independent scans) and STAMPS the admitted parts —
+    // the factory answers per PARTITION, so a factory built from another
+    // trigger's plan degrades a mismatched batch to the row lane instead
+    // of crashing on a part without a wire plan
+    val lane =
+      if (!columnarEnabled) None
+      else GraftChangesReaderFactory.columnarFieldsFor(
+        planned.parts, readerJson, partSchema, pairUpdates)
+    lastPlanned = (planned, lane)
+    GraftChangesReaderFactory.stamp(planned.parts, lane)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val planned = lastPlanned
+    val (planned, lane) = lastPlanned
     GraftChangesReaderFactory(readerJson, partSchema,
       new SerializableHadoopConf(conf),
       pairNewByVersion = planned.pairNewByVersion,
       pairOldByVersion = planned.pairOldByVersion,
-      // X110 for the stream too: each trigger's factory decides from ITS
-      // planned parts (micro-batches are independent scans, so the lane
-      // can engage on clean triggers and fall back on ineligible ones)
-      columnarFields = GraftChangesReaderFactory.columnarFieldsFor(
-        planned.parts, readerJson, partSchema, pairUpdates))
+      columnarFields = lane)
   }
 
   override def commit(end: Offset): Unit = ()

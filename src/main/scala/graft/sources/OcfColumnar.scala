@@ -100,6 +100,17 @@ private[graft] object OcfColumnar {
     }
   }
 
+  /** Types a per-split CONSTANT vector can carry — the single source of
+    * truth for both [[OcfColumnarSplitReader]]'s `constVec` dispatch and
+    * the change feed's lane-eligibility gate (partition values, change
+    * tag, commit version all ride as constants). */
+  def constSupported(dt: DataType): Boolean = dt match {
+    case BooleanType | StringType | BinaryType | ByteType | ShortType |
+         IntegerType | DateType | LongType | TimestampType |
+         FloatType | DoubleType => true
+    case _ => false
+  }
+
   private def plainPrimitive(s: AvroSchema): Boolean = s match {
     case ABoolean | AInt | ALong | AFloat | ADouble | AString | ABytes => true
     // SCALAR logical types decode as one fixed-width/length-prefixed wire
@@ -279,10 +290,13 @@ private[graft] object OcfColumnar {
     * Reordered projections and non-flat shapes: None → row-reader
     * fallback. */
   def wirePlanFor(writerJson: String, reader: Array[Field]): Option[WirePlan] = {
-    // the key renders CHILDREN too — two readers differing only in nested
-    // aliases/defaults (X106-at-depth) must not share a cached plan
+    // the key renders CHILDREN and the reader's WIRE identity too — two
+    // readers differing only in nested aliases/defaults (X106-at-depth) or
+    // in enum SYMBOL SETS (both map to Spark StringType, but enum-subset
+    // admission depends on the symbols) must not share a cached plan
     def renderField(f: Field): String =
-      f.name + ":" + f.dt.simpleString + ":" + f.nullBranch +
+      f.name + ":" + f.dt.simpleString + ":" + f.wire.toString + ":" +
+        f.nullBranch +
         ":" + f.aliases.mkString("~") + ":" + f.defaultJson.getOrElse("") +
         (if (f.children == null) ""
          else f.children.map(renderField).mkString("<", "|", ">"))

@@ -46,16 +46,6 @@ object TextHashing {
     if (out.length > 0 && out(0).isEmpty) out.drop(1) else out
   }
 
-  /** Word-level shingles of size n, joined with a separator unlikely in text. */
-  def shingles(s: String, n: Int): Array[String] = {
-    val toks = tokenize(s)
-    if (toks.length < n) {
-      if (toks.isEmpty) Array.empty else Array(toks.mkString("\u0001"))
-    } else {
-      Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString("\u0001"))
-    }
-  }
-
   /** Hash-family parameters for a k-permutation MinHash family; derived
     * deterministically so every executor agrees. Built once per expression
     * instance (NOT per row — see MinHashSignature). */
@@ -65,10 +55,14 @@ object TextHashing {
 
   /** MinHash signature: k permutations h_i(x) = a_i*x + b_i over shingle
     * hashes (odd a_i, so the map is a bijection on Z/2^64). Shingle hashes
-    * are computed directly over token byte arrays — FNV-1a over the
-    * concatenated UTF-8 bytes equals FNV-1a over the joined string, so no
+    * fold the tokens' UTF-8 bytes directly, WITHOUT a separator — no
     * per-shingle string is ever materialized (the hot allocation in the
-    * most data-intensive operator). */
+    * most data-intensive operator). A boundary-straddling token split
+    * ("ab","c" vs "a","bc") can therefore collide; that only WIDENS the
+    * LSH candidate set — membership is decided by the exact-Jaccard
+    * verify stage over real gram strings (Dedup.wordGrams), so results
+    * are unaffected and the trade is deliberate (the hash parameters are
+    * recall-pinned by LshRecallSpec and must stay byte-stable). */
   def minHash(text: String, as: Array[Long], bs: Array[Long], shingleSize: Int): Array[Long] = {
     val numHashes = as.length
     val sig = Array.fill(numHashes)(Long.MaxValue)
