@@ -740,4 +740,57 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(isColumnar(after), after.queryExecution.executedPlan.toString)
     assert(canon(after) == a)
   }
+  test("SIZED (negative-count) array/map blocks decode on both lanes — " +
+      "the external-writer encoding our own sink never emits (X108)") {
+    import graft.avro._
+    val schema = AvroSchemaParser.parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"xs","type":{"type":"array","items":"long"}},
+        |{"name":"m","type":{"type":"map","values":"string"}},
+        |{"name":"tail","type":"string"}]}""".stripMargin)
+    def datum(id: Long): Array[Byte] = {
+      val w = new AvroBinaryWriter()
+      w.writeLong(id)
+      // xs: TWO sized blocks (2 items + 1 item), then the 0 terminator —
+      // the Avro spec's negative-count form carrying a byte length
+      val b1 = new AvroBinaryWriter()
+      b1.writeLong(id); b1.writeLong(id + 1)
+      w.writeLong(-2L); w.writeLong(b1.toByteArray.length.toLong)
+      w.out.write(b1.toByteArray, 0, b1.toByteArray.length)
+      val b2 = new AvroBinaryWriter()
+      b2.writeLong(id * 7)
+      w.writeLong(-1L); w.writeLong(b2.toByteArray.length.toLong)
+      w.out.write(b2.toByteArray, 0, b2.toByteArray.length)
+      w.writeLong(0L)
+      // m: one sized block of 2 entries
+      val kv = new AvroBinaryWriter()
+      kv.writeString("a"); kv.writeString(s"x$id")
+      kv.writeString("b"); kv.writeString(s"y$id")
+      w.writeLong(-2L); w.writeLong(kv.toByteArray.length.toLong)
+      w.out.write(kv.toByteArray, 0, kv.toByteArray.length)
+      w.writeLong(0L)
+      w.writeString(s"t$id")
+      w.toByteArray
+    }
+    val dir = tempDir("graft-col-sized")
+    java.nio.file.Files.write(new java.io.File(dir, "x.avro").toPath,
+      Ocf.writePreEncoded(schema, (0L until 500L).iterator.map(datum)))
+    def rd(columnar: Boolean) = spark.read.format("graft-ocf")
+      .option("columnar", columnar.toString).load(dir.getAbsolutePath)
+    val col = rd(columnar = true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Long](1).mkString(","),
+      r.getMap[String, String](2).toSeq.sortBy(_._1).mkString(";"),
+      r.getString(3))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(rd(columnar = false)))
+    assert(a(5) == ((5L, "5,6,35", "(a,x5);(b,y5)", "t5")), a(5).toString)
+    // pruning the array/map away exercises the O(1) sized-block SKIP
+    val pruned = rd(columnar = true).select("id", "tail")
+    assert(isColumnar(pruned))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == (0L until 500L).map(i => (i, s"t$i")))
+  }
 }
