@@ -101,8 +101,10 @@ class ColumnarPropertySpec extends AnyFunSuite {
     case MapType(StringType, v, cn) =>
       val gv = if (cn) Gen.frequency(1 -> Gen.const(null), 4 -> genValue(v))
                else genValue(v)
+      val gk = Gen.frequency(6 -> Gen.alphaNumStr.map(_.take(10)),
+        1 -> Gen.const(""), 1 -> Gen.const("clé中😀"))
       Gen.choose(0, 6).flatMap(k => Gen.listOfN(k,
-        Gen.zip(Gen.alphaNumStr.map(_.take(10)), gv)).map(_.toMap))
+        Gen.zip(gk, gv)).map(_.toMap))
     case other => throw new IllegalStateException(other.simpleString)
   }
 
