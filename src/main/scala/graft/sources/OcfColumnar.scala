@@ -58,11 +58,14 @@ private[graft] object OcfColumnar {
                             // vector's children
                             children: Array[WireStep] = null,
                             // struct step, nested evolution (X106 at depth):
-                            // READER children this writer never wrote — they
-                            // fill from their reader defaults per present
-                            // row (a struct child has no constant-vector
-                            // form; the parent's null mask is per-row)
-                            absentKids: Array[Int] = null) {
+                            // READER children this writer never wrote fill
+                            // from their reader defaults per present row (a
+                            // struct child has no constant-vector form; the
+                            // parent's null mask is per-row). Each entry is
+                            // (child ordinal, child type, default constant)
+                            // so the decoder needs no Field lookup at any
+                            // nesting depth.
+                            absentFills: Array[(Int, DataType, Any)] = null) {
     def nullable: Boolean = nullBranch >= 0
   }
 
@@ -216,11 +219,13 @@ private[graft] object OcfColumnar {
       while (i < kids.length) {
         val kf = r.fields(i)
         // children may themselves be array/map-of-scalars (X108 inside
-        // X107) — `meta STRUCT<..., tags ARRAY<STRING>>`; struct-in-struct
-        // stays on the row lane
+        // X107) — `meta STRUCT<..., tags ARRAY<STRING>>` — or structs
+        // (recursion: arbitrary nesting of scalars/arrays/maps/structs
+        // vectorizes; unions-of-structs stay on the row lane)
         flatFieldOf(kf.name, kf.schema)
           .orElse(arrayFieldOf(kf.name, kf.schema))
-          .orElse(mapFieldOf(kf.name, kf.schema)) match {
+          .orElse(mapFieldOf(kf.name, kf.schema))
+          .orElse(structFieldOf(kf.name, kf.schema)) match {
           case Some(k) => kids(i) = k.copy(aliases = kf.aliases,
             defaultJson = kf.default.map(_.toString))
           case None => return None
@@ -382,7 +387,8 @@ private[graft] object OcfColumnar {
         // of the writer's — a reordered nested projection keeps the row
         // lane, same as at top level.
         def structSteps(wKids: Seq[AField],
-            rKids: Array[Field]): Option[(Array[WireStep], Array[Int])] = {
+            rKids: Array[Field])
+            : Option[(Array[WireStep], Array[(Int, DataType, Any)])] = {
           val kidIdx = scala.collection.mutable.HashMap.empty[String, Int]
           rKids.zipWithIndex.foreach { case (f, i) =>
             kidIdx.getOrElseUpdate(f.name, i)
@@ -391,12 +397,14 @@ private[graft] object OcfColumnar {
             f.aliases.foreach(a => kidIdx.getOrElseUpdate(a, i))
           }
           val out = new Array[WireStep](wKids.length)
-          val absentK = Array.newBuilder[Int]
+          val absentK = Array.newBuilder[(Int, DataType, Any)]
           var rc = 0
           def fillAbsentKidsUpTo(until: Int): Boolean = {
             while (rc < until) {
-              if (constDefault(rKids(rc)).isEmpty) return false
-              absentK += rc
+              constDefault(rKids(rc)) match {
+                case Some(v) => absentK += ((rc, rKids(rc).dt, v))
+                case None => return false
+              }
               rc += 1
             }
             true
@@ -406,7 +414,8 @@ private[graft] object OcfColumnar {
             val wk = wKids(wc)
             flatFieldOf(wk.name, wk.schema)
               .orElse(arrayFieldOf(wk.name, wk.schema))
-              .orElse(mapFieldOf(wk.name, wk.schema)) match {
+              .orElse(mapFieldOf(wk.name, wk.schema))
+              .orElse(structFieldOf(wk.name, wk.schema)) match {
               case Some(ws) =>
                 kidIdx.get(ws.name) match {
                   case Some(idx) if idx >= rc =>
@@ -427,6 +436,13 @@ private[graft] object OcfColumnar {
                             else elemStepOf(ws.children(0), rk.children(0))
                               .map(es => WireStep(wm, ws.nullBranch, idx,
                                 children = Array(es)))
+                          case (wr: ARecord, _: ARecord) => // struct-in-struct
+                            if (ws.nullable && !rk.nullable) None
+                            else structSteps(wr.fields, rk.children).map {
+                              case (kids, af) =>
+                                WireStep(wr, ws.nullBranch, idx,
+                                  children = kids, absentFills = af)
+                            }
                           case _ => None
                         }
                       else None // array-under-scalar etc: row lane
@@ -499,9 +515,9 @@ private[graft] object OcfColumnar {
                     val stepOpt: Option[WireStep] = (wNested.wire, rf.wire) match {
                       case (wr: ARecord, _: ARecord) =>
                         structSteps(wr.fields, rf.children).map {
-                          case (kids, absentK) =>
+                          case (kids, af) =>
                             WireStep(wr, wNested.nullBranch, idx,
-                              children = kids, absentKids = absentK)
+                              children = kids, absentFills = af)
                         }
                       case (wa: AArray, _: AArray) =>
                         elemStepOf(wNested.children(0), rf.children(0)).map(
@@ -872,6 +888,11 @@ private[graft] final class OcfColumnarSplitReader(
     case ANull => ()
     // a union element inside a skipped array/map: branch byte, then branch
     case AUnion(branches) => skipValue(branches(bin.readLong().toInt))
+    // a record inside a skipped nested shape (writer-only struct child,
+    // struct element of a skipped parent): skip each field by type
+    case r: ARecord =>
+      var i = 0
+      while (i < r.fields.length) { skipValue(r.fields(i).schema); i += 1 }
     // array/map blocks: a sized block (negative count) skips in ONE seek;
     // an unsized block walks its items by type
     case AArray(items) =>
@@ -902,23 +923,6 @@ private[graft] final class OcfColumnarSplitReader(
         val sv = writable(st.target)
         val n = fields(st.target).children.length
         Array.tabulate(n)(sv.getChild)
-      } else null
-    }
-
-  // nested ADD COLUMN on old files (X106 at depth): per struct step, the
-  // reader children this writer never wrote fill from their defaults per
-  // PRESENT row (a struct child vector can't be swapped for a constant —
-  // the parent's null mask is per-row)
-  private val structAbsentFills: Array[Array[(
-      org.apache.spark.sql.execution.vectorized.WritableColumnVector,
-      DataType, Any)]] =
-    plan.steps.map { st =>
-      if (st.absentKids != null && st.absentKids.nonEmpty && st.target >= 0) {
-        val sv = writable(st.target)
-        val rks = fields(st.target).children
-        st.absentKids.map { k =>
-          (sv.getChild(k), rks(k).dt, OcfColumnar.constDefault(rks(k)).get)
-        }
       } else null
     }
 
@@ -993,9 +997,25 @@ private[graft] final class OcfColumnarSplitReader(
     v.putArray(row, start, total)
   }
 
-  /** An array/map CHILD of a struct step (X108 inside X107): null branch
-    * marks the child vector inside the struct, present values decode via
-    * the block walk into ITS child vectors. */
+  /** Reader-only children of a struct step (nested ADD COLUMN on an old
+    * file): fill their default constants into this present row's slots. */
+  private def fillAbsent(step: OcfColumnar.WireStep, row: Int,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    val fills = step.absentFills
+    if (fills != null) {
+      var a = 0
+      while (a < fills.length) {
+        val (ord, dt, value) = fills(a)
+        putConst(v.getChild(ord), row, dt, value)
+        a += 1
+      }
+    }
+  }
+
+  /** A NESTED child of a struct step — array/map (X108 inside X107) or
+    * struct (recursion: arbitrary nesting of scalars/arrays/maps/structs):
+    * null branch marks the child vector inside the struct, present values
+    * decode into ITS child vectors. */
   private def decodeNestedChild(step: OcfColumnar.WireStep, row: Int,
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
     var isNull = false
@@ -1013,6 +1033,17 @@ private[graft] final class OcfColumnarSplitReader(
         step.wire match {
           case _: AArray => decodeArray(step.children(0), row, v)
           case _: AMap => decodeMap(step.children(0), row, v)
+          case _: ARecord =>
+            val cs = step.children
+            var k = 0
+            while (k < cs.length) {
+              val c = cs(k)
+              val gv = if (c.target < 0) null else v.getChild(c.target)
+              if (c.children == null) decodeField(c, row, gv)
+              else decodeNestedChild(c, row, gv)
+              k += 1
+            }
+            fillAbsent(step, row, v)
           case other => throw new IllegalStateException(s"not flat: $other")
         }
       }
@@ -1109,15 +1140,7 @@ private[graft] final class OcfColumnarSplitReader(
                   k += 1
                 }
                 // reader-only children: fill defaults for this present row
-                val fills = structAbsentFills(j)
-                if (fills != null) {
-                  var a = 0
-                  while (a < fills.length) {
-                    val (cv, dt, value) = fills(a)
-                    putConst(cv, row, dt, value)
-                    a += 1
-                  }
-                }
+                fillAbsent(step, row, v)
               case _: AArray => decodeArray(cs(0), row, v)
               case _: AMap => decodeMap(cs(0), row, v)
               case other => throw new IllegalStateException(s"not flat: $other")

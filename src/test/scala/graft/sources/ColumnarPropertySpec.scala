@@ -44,11 +44,20 @@ class ColumnarPropertySpec extends AnyFunSuite {
     cn <- Gen.oneOf(true, false)
   } yield ArrayType(el, containsNull = cn)
 
-  // one-level struct (X107) joins the pool — children may themselves be
-  // arrays-of-scalars (X108 inside X107)
+  // structs join the pool — children may themselves be arrays-of-scalars
+  // (X108 inside X107) or structs (recursive nesting)
+  private val genLeafStructType: Gen[DataType] = for {
+    k <- Gen.choose(1, 3)
+    kids <- Gen.listOfN(k, genFieldType)
+    nbs <- Gen.listOfN(k, Gen.oneOf(true, false))
+  } yield StructType(kids.zip(nbs).zipWithIndex.map {
+    case ((dt, nb), i) => StructField(s"n$i", dt, nullable = nb)
+  })
+
   private val genStructType: Gen[DataType] = for {
     k <- Gen.choose(1, 4)
-    kids <- Gen.listOfN(k, Gen.frequency(4 -> genFieldType, 1 -> genArrayType))
+    kids <- Gen.listOfN(k, Gen.frequency(4 -> genFieldType,
+      1 -> genArrayType, 1 -> genLeafStructType))
     nbs <- Gen.listOfN(k, Gen.oneOf(true, false))
   } yield StructType(kids.zip(nbs).zipWithIndex.map {
     case ((dt, nb), i) => StructField(s"s$i", dt, nullable = nb)

@@ -153,7 +153,7 @@ class OcfColumnarSpec extends AnyFunSuite {
   }
 
   test("`_file` and partition values ride as constant vectors; DEEP " +
-      "nesting stays row-lane") {
+      "nesting vectorizes too (recursive structs), unions-of-structs do not") {
     import spark.implicits._
     val dir = tempDir("graft-col-fb")
     (0L until 100L).map(i => (i, s"d$i")).toDF("id", "v")
@@ -163,15 +163,30 @@ class OcfColumnarSpec extends AnyFunSuite {
     val withFile = base.select($"id", $"_file")
     assert(isColumnar(withFile), withFile.queryExecution.executedPlan.toString)
     assert(withFile.collect().forall(_.getString(1).contains("graft-col-fb")))
-    // struct-of-scalars rides the lane since X107; TWO-level nesting (a
-    // struct inside a struct) is the conservative row-path boundary
+    // TWO-level nesting (a struct inside a struct) rides the lane since
+    // the struct resolver went recursive — value-identical to the row path
     val ndir = tempDir("graft-col-nested")
     (0L until 10L).map(i => (i, ((s"n$i", i * 2), i * 3)))
       .toDF("id", "info")
       .write.format("graft-ocf").mode(SaveMode.Append).save(ndir.getAbsolutePath)
-    val nested = spark.read.format("graft-ocf").load(ndir.getAbsolutePath)
-    assert(!isColumnar(nested))
-    assert(nested.count() == 10L)
+    def nested(columnar: Boolean) = spark.read.format("graft-ocf")
+      .option("columnar", columnar.toString).load(ndir.getAbsolutePath)
+    assert(isColumnar(nested(columnar = true)),
+      nested(columnar = true).queryExecution.executedPlan.toString)
+    def canonN(df: DataFrame) = df
+      .selectExpr("id", "info._1._1 AS a", "info._1._2 AS b", "info._2 AS c")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(canonN(nested(columnar = true)) == canonN(nested(columnar = false)))
+    assert(canonN(nested(columnar = true))(3) == ((3L, "n3", 6L, 9L)))
+    // a non-nullable UNION of two records is the remaining row-path shape
+    val fields = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"u","type":[
+        |  {"type":"record","name":"A","fields":[{"name":"x","type":"long"}]},
+        |  {"type":"record","name":"B","fields":[{"name":"y","type":"string"}]}]}]}"""
+        .stripMargin)
+    assert(fields.isEmpty, "unions-of-structs must keep the row lane")
   }
 
   test("identity-partitioned scans vectorize: constant partition vectors, " +
@@ -513,7 +528,7 @@ class OcfColumnarSpec extends AnyFunSuite {
     val healed = OcfColumnar.wirePlanFor(oldWriter, rf)
     assert(healed.isDefined,
       "a struct child WITH a default must fill columnar (X106 at depth)")
-    assert(healed.get.steps(0).absentKids.toSeq == Seq(1))
+    assert(healed.get.steps(0).absentFills.map(_._1).toSeq == Seq(1))
     val rfNoDefault = OcfColumnar.fieldsFor(
       """{"type":"record","name":"r","fields":[
         |{"name":"m","type":{"type":"record","name":"M","fields":[
