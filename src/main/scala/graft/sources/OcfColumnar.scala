@@ -167,11 +167,14 @@ private[graft] object OcfColumnar {
     case _ => None
   }
 
-  /** An ARRAY-of-scalars element (X108) — the embedding / token-list
-    * shape. Every scalar appends in one wire op (decimal via an explicit
-    * appendNotNull + slot put). The element may itself be nullable. */
+  /** An ARRAY element (X108): a scalar — the embedding / token-list
+    * shape, every scalar appends in one wire op (decimal via an explicit
+    * appendNotNull + slot put) — or a STRUCT of scalars (the span/entity
+    * list shape, `array<struct<start,end,label>>`), appended via
+    * `appendStruct` + per-child appends. The element may be nullable. */
   private def elemFieldOf(s: AvroSchema): Option[Field] =
-    flatFieldOf("item", s)
+    flatFieldOf("item", s).orElse(
+      structFieldOf("item", s).filter(_.children.forall(_.children == null)))
 
   /** `array<scalar>` (X108): the single most common LLM-pipeline column
     * shape (embeddings `array<float>`, token lists `array<string>`).
@@ -365,6 +368,17 @@ private[graft] object OcfColumnar {
         // implied by the parent).
         def elemStepOf(w: Field, rk: Field): Option[WireStep] = {
           if (w.nullable && !rk.nullable) return None
+          // struct ELEMENTS (array/map of struct-of-scalars): resolve the
+          // children like any struct, decoded in APPEND mode
+          (w.wire, rk.wire) match {
+            case (wr: ARecord, _: ARecord) =>
+              if (w.children == null || rk.children == null) return None
+              return structSteps(wr.fields, rk.children).map {
+                case (kids, af) => WireStep(wr, w.nullBranch, 0,
+                  children = kids, absentFills = af)
+              }
+            case _ => ()
+          }
           val enumOk = (w.wire, rk.wire) match {
             case (we: AEnum, re: AEnum) => we.symbols.forall(re.symbols.contains)
             case _ => true
@@ -1053,11 +1067,69 @@ private[graft] final class OcfColumnarSplitReader(
   /** One array/map element: same wire shapes as a scalar field, routed
     * through the child vector's APPEND cursor (elements are dense — no
     * slot addressing, no stale-null concerns). */
+  /** A STRUCT element of an array/map (X108): `appendStruct(false)`
+    * advances the struct vector, then every reader child receives exactly
+    * ONE append — matched children decode, writer-only children type-skip,
+    * reader-only children append their default constants — so the
+    * children's cursors stay element-aligned by construction. */
+  private def appendStructElement(step: OcfColumnar.WireStep,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
+    v.appendStruct(false)
+    val cs = step.children
+    var k = 0
+    while (k < cs.length) {
+      val c = cs(k)
+      if (c.target < 0) skipField(c)
+      else appendElement(c, v.getChild(c.target))
+      k += 1
+    }
+    val fills = step.absentFills
+    if (fills != null) {
+      var a = 0
+      while (a < fills.length) {
+        val (ord, dt, value) = fills(a)
+        appendConst(v.getChild(ord), dt, value)
+        a += 1
+      }
+    }
+  }
+
+  private def appendConst(
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      dt: DataType, value: Any): Unit = {
+    if (value == null) { v.appendNull(); return }
+    dt match {
+      case BooleanType => v.appendBoolean(value.asInstanceOf[Boolean])
+      case IntegerType | DateType => v.appendInt(value.asInstanceOf[Int])
+      case LongType | TimestampType => v.appendLong(value.asInstanceOf[Long])
+      case FloatType => v.appendFloat(value.asInstanceOf[Float])
+      case DoubleType => v.appendDouble(value.asInstanceOf[Double])
+      case StringType =>
+        val b = value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+        v.appendByteArray(b, 0, b.length)
+      case BinaryType =>
+        val b = value.asInstanceOf[Array[Byte]]
+        v.appendByteArray(b, 0, b.length)
+      case other => throw new IllegalStateException(
+        s"graft-ocf: element default of type ${other.simpleString} has no " +
+          "columnar append")
+    }
+  }
+
   private def appendElement(step: OcfColumnar.WireStep,
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector): Unit = {
     if (step.nullable) {
       val br = bin.readLong().toInt
-      if (br == step.nullBranch) { v.appendNull(); return }
+      if (br == step.nullBranch) {
+        // a null STRUCT element must keep the children's append cursors
+        // aligned — appendStruct(true) appends a null slot to each child
+        if (step.wire.isInstanceOf[ARecord]) v.appendStruct(true)
+        else v.appendNull()
+        return
+      }
+    }
+    if (step.children != null && step.wire.isInstanceOf[ARecord]) {
+      appendStructElement(step, v); return
     }
     if (step.rdt != null) (step.wire, step.rdt) match {
       case (AInt | ALong, LongType) => v.appendLong(bin.readLong())

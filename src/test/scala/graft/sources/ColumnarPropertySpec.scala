@@ -39,14 +39,14 @@ class ColumnarPropertySpec extends AnyFunSuite {
     BooleanType, IntegerType, LongType, FloatType, DoubleType, StringType,
     BinaryType, DateType, TimestampType, DecimalType(10, 2), DecimalType(38, 0))
 
-  private val genArrayType: Gen[DataType] = for {
-    el <- genElemType
+  private lazy val genArrayType: Gen[DataType] = for {
+    el <- Gen.frequency(5 -> genElemType, 1 -> genLeafStructType)
     cn <- Gen.oneOf(true, false)
   } yield ArrayType(el, containsNull = cn)
 
   // structs join the pool — children may themselves be arrays-of-scalars
   // (X108 inside X107) or structs (recursive nesting)
-  private val genLeafStructType: Gen[DataType] = for {
+  private lazy val genLeafStructType: Gen[DataType] = for {
     k <- Gen.choose(1, 3)
     kids <- Gen.listOfN(k, genFieldType)
     nbs <- Gen.listOfN(k, Gen.oneOf(true, false))
