@@ -38,8 +38,9 @@ private[graft] object OcfColumnar {
   final case class Field(name: String, dt: DataType, wire: AvroSchema,
                          nullBranch: Int, aliases: Seq[String] = Nil,
                          defaultJson: Option[String] = None,
-                         // STRUCT-of-scalars (X107): one nesting level —
-                         // the struct's leaves, each itself a scalar Field
+                         // NESTED shapes (X107/X108): a struct's child
+                         // Fields (which may themselves nest), or an
+                         // array/map's single element/value Field
                          children: Array[Field] = null) {
     def nullable: Boolean = nullBranch >= 0
   }
@@ -210,11 +211,12 @@ private[graft] object OcfColumnar {
     }
   }
 
-  /** A STRUCT-of-scalars field (X107): one nesting level, every leaf a
-    * scalar — the document-metadata shape. Deeper nesting keeps the row
-    * lane (arrays/maps of scalars have their own lane, X108). Child
-    * aliases (nested RENAME history) and defaults (nested ADD COLUMN)
-    * propagate so old files resolve at depth like they do at top level. */
+  /** A STRUCT field (X107): children are scalars, arrays/maps of
+    * scalars (X108), or structs — the resolver RECURSES, so arbitrary
+    * nesting of those shapes vectorizes (unions-of-structs and
+    * arrays-of-arrays keep the row lane). Child aliases (nested RENAME
+    * history) and defaults (nested ADD COLUMN) propagate so old files
+    * resolve at depth like they do at top level. */
   private def structFieldOf(name: String, s: AvroSchema): Option[Field] = {
     def ofRecord(r: ARecord, nullBranch: Int): Option[Field] = {
       val kids = new Array[Field](r.fields.length)
@@ -940,6 +942,10 @@ private[graft] final class OcfColumnarSplitReader(
       } else null
     }
 
+  // NOTE: putConst (slot mode) and appendConst (element-append mode) are
+  // the same dispatch over the constDefault-producible types and must stay
+  // in lockstep — a type added to one without the other makes struct-field
+  // fills work while element fills throw (or vice versa).
   private def putConst(
       v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
       row: Int, dt: DataType, value: Any): Unit = {
