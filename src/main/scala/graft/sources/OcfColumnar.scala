@@ -211,6 +211,35 @@ private[graft] object OcfColumnar {
     }
   }
 
+  /** A general UNION field (X111, the F14 struct-of-branches shape):
+    * two or more non-null branches map to `member$i` struct children,
+    * exactly one non-null per row — the branch byte selects it. Branches
+    * may be any lane-eligible shape (scalar, struct, array, map — not
+    * unions, which Avro forbids nesting). A null branch anywhere in the
+    * union makes the column nullable. Field.nullBranch stays -1: the
+    * branch byte is ALWAYS on the wire, read by the union decode itself,
+    * never by the generic nullable prefix. */
+  private def unionFieldOf(name: String, s: AvroSchema): Option[Field] = s match {
+    case u: AUnion if u.nonNullBranches.length >= 2 =>
+      val kids = u.nonNullBranches.zipWithIndex.map { case (b, i) =>
+        fieldOfShape(s"member$i", b)
+      }
+      if (kids.exists(_.isEmpty)) None
+      else Some(Field(name,
+        StructType(kids.flatten.map(k =>
+          StructField(k.name, k.dt, nullable = true))),
+        u, -1, children = kids.flatten.toArray))
+    case _ => None
+  }
+
+  /** Any lane-eligible shape, by name: the one dispatch every nesting
+    * site uses (top-level fields, struct children, union branches). */
+  private def fieldOfShape(name: String, s: AvroSchema): Option[Field] =
+    flatFieldOf(name, s)
+      .orElse(structFieldOf(name, s))
+      .orElse(arrayFieldOf(name, s))
+      .orElse(mapFieldOf(name, s))
+
   /** A STRUCT field (X107): children are scalars, arrays/maps of
     * scalars (X108), or structs — the resolver RECURSES, so arbitrary
     * nesting of those shapes vectorizes (unions-of-structs and
@@ -257,10 +286,8 @@ private[graft] object OcfColumnar {
         var i = 0
         while (i < out.length) {
           val rf = rec.fields(i)
-          flatFieldOf(rf.name, rf.schema)
-            .orElse(structFieldOf(rf.name, rf.schema))
-            .orElse(arrayFieldOf(rf.name, rf.schema))
-            .orElse(mapFieldOf(rf.name, rf.schema)) match {
+          fieldOfShape(rf.name, rf.schema)
+            .orElse(unionFieldOf(rf.name, rf.schema)) match {
             case Some(f) => out(i) = f.copy(aliases = rf.aliases,
               defaultJson = rf.default.map(_.toString))
             case None => return None
@@ -370,8 +397,9 @@ private[graft] object OcfColumnar {
         // implied by the parent).
         def elemStepOf(w: Field, rk: Field): Option[WireStep] = {
           if (w.nullable && !rk.nullable) return None
-          // struct ELEMENTS (array/map of struct-of-scalars): resolve the
-          // children like any struct, decoded in APPEND mode
+          // NESTED shapes resolve recursively: struct children like any
+          // struct (decoded in slot or APPEND mode as the site demands),
+          // array/map through their element steps
           (w.wire, rk.wire) match {
             case (wr: ARecord, _: ARecord) =>
               if (w.children == null || rk.children == null) return None
@@ -379,6 +407,14 @@ private[graft] object OcfColumnar {
                 case (kids, af) => WireStep(wr, w.nullBranch, 0,
                   children = kids, absentFills = af)
               }
+            case (wa: AArray, _: AArray) =>
+              if (w.children == null || rk.children == null) return None
+              return elemStepOf(w.children(0), rk.children(0)).map(es =>
+                WireStep(wa, w.nullBranch, 0, children = Array(es)))
+            case (wm: AMap, _: AMap) =>
+              if (w.children == null || rk.children == null) return None
+              return elemStepOf(w.children(0), rk.children(0)).map(es =>
+                WireStep(wm, w.nullBranch, 0, children = Array(es)))
             case _ => ()
           }
           val enumOk = (w.wire, rk.wire) match {
@@ -402,6 +438,31 @@ private[graft] object OcfColumnar {
         // type-skip. Reader children must still be an in-order subsequence
         // of the writer's — a reordered nested projection keeps the row
         // lane, same as at top level.
+        // general UNION (X111): per-WIRE-branch steps — branch lists must
+        // match positionally (same order, null at the same index, member
+        // shapes compatible); the null branch marks the whole struct null
+        def unionSteps(wu: AUnion, ru: AUnion, wKids: Array[Field],
+            rKids: Array[Field]): Option[Array[WireStep]] = {
+          if (wu.branches.length != ru.branches.length) return None
+          val out = new Array[WireStep](wu.branches.length)
+          var m = 0
+          var bi = 0
+          while (bi < out.length) {
+            (wu.branches(bi), ru.branches(bi)) match {
+              case (ANull, ANull) => out(bi) = WireStep(ANull, -1, -1)
+              case (ANull, _) | (_, ANull) => return None
+              case _ =>
+                if (m >= rKids.length || m >= wKids.length) return None
+                elemStepOf(wKids(m), rKids(m)) match {
+                  case Some(st) => out(bi) = st.copy(target = m)
+                  case None => return None
+                }
+                m += 1
+            }
+            bi += 1
+          }
+          if (m == rKids.length) Some(out) else None
+        }
         def structSteps(wKids: Seq[AField],
             rKids: Array[Field])
             : Option[(Array[WireStep], Array[(Int, DataType, Any)])] = {
@@ -517,7 +578,8 @@ private[graft] object OcfColumnar {
               }
             case None => structFieldOf(wf.name, wf.schema)
               .orElse(arrayFieldOf(wf.name, wf.schema))
-              .orElse(mapFieldOf(wf.name, wf.schema)) match {
+              .orElse(mapFieldOf(wf.name, wf.schema))
+              .orElse(unionFieldOf(wf.name, wf.schema)) match {
               case Some(wNested) =>
                 idxByName.get(wf.name) match {
                   case Some(idx) if idx >= r =>
@@ -529,21 +591,11 @@ private[graft] object OcfColumnar {
                     // array, map under map — anything else is the row
                     // lane's resolution-error business
                     val stepOpt: Option[WireStep] = (wNested.wire, rf.wire) match {
-                      case (wr: ARecord, _: ARecord) =>
-                        structSteps(wr.fields, rf.children).map {
-                          case (kids, af) =>
-                            WireStep(wr, wNested.nullBranch, idx,
-                              children = kids, absentFills = af)
-                        }
-                      case (wa: AArray, _: AArray) =>
-                        elemStepOf(wNested.children(0), rf.children(0)).map(
-                          es => WireStep(wa, wNested.nullBranch, idx,
-                            children = Array(es)))
-                      case (wm: AMap, _: AMap) =>
-                        elemStepOf(wNested.children(0), rf.children(0)).map(
-                          es => WireStep(wm, wNested.nullBranch, idx,
-                            children = Array(es)))
-                      case _ => None
+                      case (wu: AUnion, ru: AUnion) =>
+                        unionSteps(wu, ru, wNested.children, rf.children)
+                          .map(kids => WireStep(wu, -1, idx, children = kids))
+                      case _ =>
+                        elemStepOf(wNested, rf).map(_.copy(target = idx))
                     }
                     stepOpt match {
                       case Some(st) => steps(w) = st; r = idx + 1
@@ -1017,6 +1069,29 @@ private[graft] final class OcfColumnarSplitReader(
     v.putArray(row, start, total)
   }
 
+  /** A general UNION column (X111, struct-of-branches): the branch byte
+    * selects the member — the taken member decodes into its child vector,
+    * every other member's slot is explicitly nulled (slots are written
+    * exactly once per row), and the null branch nulls the whole struct. */
+  private def decodeUnion(step: OcfColumnar.WireStep, row: Int,
+      v: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      nMembers: Int): Unit = {
+    val b = bin.readLong().toInt
+    val c = step.children(b)
+    if (c.wire == ANull) v.putNull(row)
+    else {
+      if (slotReuse) v.putNotNull(row)
+      var m = 0
+      while (m < nMembers) {
+        if (m != c.target) v.getChild(m).putNull(row)
+        m += 1
+      }
+      val child = v.getChild(c.target)
+      if (c.children == null) decodeField(c, row, child)
+      else decodeNestedChild(c, row, child)
+    }
+  }
+
   /** Reader-only children of a struct step (nested ADD COLUMN on an old
     * file): fill their default constants into this present row's slots. */
   private def fillAbsent(step: OcfColumnar.WireStep, row: Int,
@@ -1221,6 +1296,8 @@ private[graft] final class OcfColumnarSplitReader(
                 fillAbsent(step, row, v)
               case _: AArray => decodeArray(cs(0), row, v)
               case _: AMap => decodeMap(cs(0), row, v)
+              case _: AUnion =>
+                decodeUnion(step, row, v, fields(step.target).children.length)
               case other => throw new IllegalStateException(s"not flat: $other")
             }
           }

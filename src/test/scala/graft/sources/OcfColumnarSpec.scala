@@ -153,7 +153,7 @@ class OcfColumnarSpec extends AnyFunSuite {
   }
 
   test("`_file` and partition values ride as constant vectors; DEEP " +
-      "nesting vectorizes too (recursive structs), unions-of-structs do not") {
+      "nesting vectorizes too (recursive structs); arrays-of-arrays do not") {
     import spark.implicits._
     val dir = tempDir("graft-col-fb")
     (0L until 100L).map(i => (i, s"d$i")).toDF("id", "v")
@@ -179,14 +179,20 @@ class OcfColumnarSpec extends AnyFunSuite {
         r.getLong(3))).sortBy(_._1).toSeq
     assert(canonN(nested(columnar = true)) == canonN(nested(columnar = false)))
     assert(canonN(nested(columnar = true))(3) == ((3L, "n3", 6L, 9L)))
-    // a non-nullable UNION of two records is the remaining row-path shape
-    val fields = OcfColumnar.fieldsFor(
+    // general unions vectorize since X111; an ARRAY-OF-ARRAYS element is
+    // the remaining row-path shape
+    val unionFields = OcfColumnar.fieldsFor(
       """{"type":"record","name":"r","fields":[
         |{"name":"u","type":[
         |  {"type":"record","name":"A","fields":[{"name":"x","type":"long"}]},
         |  {"type":"record","name":"B","fields":[{"name":"y","type":"string"}]}]}]}"""
         .stripMargin)
-    assert(fields.isEmpty, "unions-of-structs must keep the row lane")
+    assert(unionFields.isDefined, "unions-of-structs vectorize (X111)")
+    val aoa = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"xs","type":{"type":"array","items":
+        |  {"type":"array","items":"long"}}}]}""".stripMargin)
+    assert(aoa.isEmpty, "arrays-of-arrays must keep the row lane")
   }
 
   test("identity-partitioned scans vectorize: constant partition vectors, " +
@@ -807,5 +813,56 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(isColumnar(pruned))
     assert(pruned.collect().map(r => (r.getLong(0), r.getString(1)))
       .sortBy(_._1).toSeq == (0L until 500L).map(i => (i, s"t$i")))
+  }
+  test("general UNIONS (struct-of-branches, X111) ride the columnar lane: " +
+      "the branch byte selects the member, other members null, both lanes equal") {
+    import graft.avro._
+    val schema = AvroSchemaParser.parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"u","type":[
+        |  {"type":"record","name":"A","fields":[
+        |    {"name":"x","type":"long"},{"name":"tag","type":"string"}]},
+        |  "null",
+        |  "string",
+        |  {"type":"array","items":"long"}]},
+        |{"name":"tail","type":"string"}]}""".stripMargin)
+    val aRec = schema.asInstanceOf[ARecord].fields(1).schema
+      .asInstanceOf[AUnion].branches.head.asInstanceOf[ARecord]
+    val rows = (0L until 800L).map { i =>
+      val u: Any = (i % 4) match {
+        case 0 => AvroRecord(aRec, Array[Any](i * 3, s"a$i"))
+        case 1 => null
+        case 2 => s"s$i"
+        case _ => Seq[Any](i, i + 1)
+      }
+      AvroRecord(schema.asInstanceOf[ARecord], Array[Any](i, u, s"t$i"))
+    }
+    val dir = tempDir("graft-col-union")
+    java.nio.file.Files.write(new java.io.File(dir, "x.avro").toPath,
+      Ocf.writeAll(schema, rows))
+    def rd(columnar: Boolean) = spark.read.format("graft-ocf")
+      .option("columnar", columnar.toString).load(dir.getAbsolutePath)
+    val col = rd(columnar = true)
+    assert(isColumnar(col), col.queryExecution.executedPlan.toString)
+    def canon(df: DataFrame) = df.selectExpr("id",
+        "u.member0.x AS ax", "u.member0.tag AS atag",
+        "u.member1 AS s", "u.member2 AS xs", "u IS NULL AS unull", "tail")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse("<n>"),
+        Option(r.getString(3)).getOrElse("<n>"),
+        if (r.isNullAt(4)) "<n>" else r.getSeq[Long](4).mkString(","),
+        r.getBoolean(5), r.getString(6))).sortBy(_._1).toSeq
+    val a = canon(col)
+    assert(a == canon(rd(columnar = false)))
+    assert(a(0) == ((0L, 0L, "a0", "<n>", "<n>", false, "t0")), a(0).toString)
+    assert(a(1) == ((1L, -1L, "<n>", "<n>", "<n>", true, "t1")), a(1).toString)
+    assert(a(2) == ((2L, -1L, "<n>", "s2", "<n>", false, "t2")), a(2).toString)
+    assert(a(3) == ((3L, -1L, "<n>", "<n>", "3,4", false, "t3")), a(3).toString)
+    // pruning the union away type-skips it (branch byte + branch value)
+    val pruned = rd(columnar = true).select("id", "tail")
+    assert(isColumnar(pruned))
+    assert(pruned.count() == 800L)
   }
 }
