@@ -256,10 +256,7 @@ private[graft] object OcfColumnar {
         // X107) — `meta STRUCT<..., tags ARRAY<STRING>>` — or structs
         // (recursion: arbitrary nesting of scalars/arrays/maps/structs
         // vectorizes; unions-of-structs stay on the row lane)
-        flatFieldOf(kf.name, kf.schema)
-          .orElse(arrayFieldOf(kf.name, kf.schema))
-          .orElse(mapFieldOf(kf.name, kf.schema))
-          .orElse(structFieldOf(kf.name, kf.schema)) match {
+        fieldOfShape(kf.name, kf.schema) match {
           case Some(k) => kids(i) = k.copy(aliases = kf.aliases,
             defaultJson = kf.default.map(_.toString))
           case None => return None
@@ -417,6 +414,12 @@ private[graft] object OcfColumnar {
                 WireStep(wm, w.nullBranch, 0, children = Array(es)))
             case _ => ()
           }
+          // cross-KIND nested pairs whose Spark types coincide (a union and
+          // the F14 member-struct both render as the same StructType) must
+          // refuse here — the scalar tail below matches on dt alone, and a
+          // children-less nested step would throw at decode instead of
+          // falling back to the row lane's resolution semantics
+          if (w.children != null || rk.children != null) return None
           val enumOk = (w.wire, rk.wire) match {
             case (we: AEnum, re: AEnum) => we.symbols.forall(re.symbols.contains)
             case _ => true
@@ -489,10 +492,7 @@ private[graft] object OcfColumnar {
           var wc = 0
           while (wc < out.length) {
             val wk = wKids(wc)
-            flatFieldOf(wk.name, wk.schema)
-              .orElse(arrayFieldOf(wk.name, wk.schema))
-              .orElse(mapFieldOf(wk.name, wk.schema))
-              .orElse(structFieldOf(wk.name, wk.schema)) match {
+            fieldOfShape(wk.name, wk.schema) match {
               case Some(ws) =>
                 kidIdx.get(ws.name) match {
                   case Some(idx) if idx >= rc =>
@@ -1087,6 +1087,11 @@ private[graft] final class OcfColumnarSplitReader(
         m += 1
       }
       val child = v.getChild(c.target)
+      // a REUSED slot may carry a stale null from a rejected row that took
+      // a different member (decodeUnion putNulls non-taken members), and
+      // branch steps are NON-nullable by Avro rules — nothing downstream
+      // would clear it, so clear it here
+      if (slotReuse) child.putNotNull(row)
       if (c.children == null) decodeField(c, row, child)
       else decodeNestedChild(c, row, child)
     }

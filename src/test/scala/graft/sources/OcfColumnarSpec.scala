@@ -865,4 +865,80 @@ class OcfColumnarSpec extends AnyFunSuite {
     assert(isColumnar(pruned))
     assert(pruned.count() == 800L)
   }
+  test("union slot reuse under equality deletes (X111+X105): a rejected " +
+      "row's nulled members cannot leak into the surviving reuser; " +
+      "cross-kind union-vs-record plans refuse") {
+    import graft.avro._
+    val schema = AvroSchemaParser.parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"u","type":[
+        |  {"type":"record","name":"A","fields":[{"name":"x","type":"long"}]},
+        |  "null",
+        |  "string"]}]}""".stripMargin)
+    val aRec = schema.asInstanceOf[ARecord].fields(1).schema
+      .asInstanceOf[AUnion].branches.head.asInstanceOf[ARecord]
+    // id i takes member (i%4): 0 -> A(x=i*3), 1 -> string (KILLED),
+    // 2 -> A, 3 -> null. Killing every string-taker makes each killed
+    // slot — whose member0 was explicitly nulled — get reused DIRECTLY by
+    // the next A-taker, whose member0 must not inherit the stale null.
+    val rows = (0L until 120L).map { i =>
+      val u: Any = (i % 4) match {
+        case 0 | 2 => AvroRecord(aRec, Array[Any](i * 3))
+        case 1 => s"s$i"
+        case _ => null
+      }
+      AvroRecord(schema.asInstanceOf[ARecord], Array[Any](i, u))
+    }
+    val dir = tempDir("graft-col-union-eq")
+    java.nio.file.Files.write(new java.io.File(dir, "d.avro").toPath,
+      Ocf.writeAll(schema, rows))
+    val keySchema = AvroSchemaParser.parse(
+      """{"type":"record","name":"k","fields":[{"name":"id","type":"long"}]}"""
+    ).asInstanceOf[ARecord]
+    java.nio.file.Files.write(new java.io.File(dir, "k.avro").toPath,
+      Ocf.writeAll(keySchema, (0L until 120L).filter(_ % 4 == 1)
+        .map(i => AvroRecord(keySchema, Array[Any](i)))))
+    val conf = spark.sessionState.newHadoopConf()
+    val metas = OcfDataSource.fetchMetas(conf, OcfDataSource.list(conf,
+      Seq(dir.getAbsolutePath), None, recursive = false)).sortBy(_.path)
+    val dataMeta = metas.find(_.path.endsWith("d.avro")).get
+    val keyMeta = metas.find(_.path.endsWith("k.avro")).get
+    val readerJson = dataMeta.writerSchemaJson
+    val fields = OcfColumnar.fieldsFor(readerJson).get
+    val plan = OcfColumnar.wirePlanFor(readerJson, fields).get
+    val r = new OcfColumnarSplitReader(dataMeta, 0L, dataMeta.len,
+      fields, plan, conf, readerJson = readerJson,
+      eqDeleteFiles = Seq(keyMeta))
+    val got = Seq.newBuilder[(Long, Long, String)]
+    try while (r.next()) {
+      val b = r.get()
+      var i = 0
+      while (i < b.numRows()) {
+        val row = b.getRow(i)
+        val u = row.getStruct(1, 2)
+        got += ((row.getLong(0),
+          if (u == null || u.isNullAt(0) || u.getStruct(0, 1).isNullAt(0)) -1L
+          else u.getStruct(0, 1).getLong(0),
+          if (u == null || u.isNullAt(1)) "<n>" else u.getUTF8String(1).toString))
+        i += 1
+      }
+    } finally r.close()
+    val a = got.result().sortBy(_._1)
+    val expected = (0L until 120L).filter(_ % 4 != 1).map { i =>
+      if (i % 4 == 0 || i % 4 == 2) (i, i * 3, "<n>") else (i, -1L, "<n>")
+    }
+    assert(a == expected, a.take(8).toString)
+    // cross-kind: a reader that declares u as the member-STRUCT over this
+    // union-writing file must refuse the lane (row-lane resolution rules)
+    val recordReader = OcfColumnar.fieldsFor(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"u","type":{"type":"record","name":"U","fields":[
+        |  {"name":"member0","type":["null",{"type":"record","name":"A2",
+        |    "fields":[{"name":"x","type":"long"}]}]},
+        |  {"name":"member1","type":["null","string"]}]}}]}""".stripMargin).get
+    assert(OcfColumnar.wirePlanFor(readerJson, recordReader).isEmpty,
+      "union-under-record must keep the row lane")
+  }
 }
