@@ -144,7 +144,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
                                metadata: java.util.Map[String, String]): Unit = {
     if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
-    fs.mkdirs(nsDir(namespace))
+    GraftIO.mkdirs(fs, nsDir(namespace))
     ()
   }
 
@@ -468,7 +468,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace.toSeq)
     val meta = buildMeta(ident, schema, partitions, properties)
-    fs.mkdirs(new Path(meta.location))
+    GraftIO.mkdirs(fs, new Path(meta.location))
     writeMeta(fs, metaPath(tableDir(ident)), meta)
     loadTable(ident)
   }
@@ -523,7 +523,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val stagingDir = new Path(dir,
       "_staged-" + java.util.UUID.randomUUID().toString)
     val stagingMeta = finalMeta.copy(location = stagingDir.toString)
-    fs.mkdirs(stagingDir)
+    GraftIO.mkdirs(fs, stagingDir)
     val transforms: Array[Transform] = GraftCatalog.transformsOf(finalMeta)
     val fullName = (catName +: (ident.namespace() :+ ident.name())).mkString(".")
     val catalogFs = fs
@@ -545,8 +545,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             val rel = catalogFs.makeQualified(st.getPath).toString
               .stripPrefix(stagedRoot).stripPrefix(Path.SEPARATOR)
             val dest = new Path(dir, rel)
-            catalogFs.mkdirs(dest.getParent)
-            if (!catalogFs.rename(st.getPath, dest))
+            GraftIO.mkdirs(catalogFs, dest.getParent)
+            if (!GraftIO.rename(catalogFs, st.getPath, dest))
               throw new java.io.IOException(
                 s"graft catalog: staged commit could not move ${st.getPath} to $dest")
             promoted += OcfSnapshots.SnapFile(rel, st.getLen)
@@ -1091,7 +1091,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       "graft catalog: RENAME of a table with an external LOCATION is not " +
         "supported (the location would dangle)")
     val to = tableDir(newIdent)
-    if (!fs.rename(from, to))
+    if (!GraftIO.rename(fs, from, to))
       throw new IllegalStateException(
         s"graft catalog: rename $from -> $to failed")
     writeMeta(fs, metaPath(to), meta.copy(location = to.toString))
@@ -1498,15 +1498,11 @@ private[sources] object GraftCatalog {
     val oo = root.putObject("options")
     meta.options.foreach { case (k, v) => oo.put(k, v) }
     val tmp = new Path(path.getParent, s".${path.getName}.tmp")
-    val out = fs.create(tmp, true)
+    val out = GraftIO.create(fs, tmp, true)
     try out.write(om.writeValueAsBytes(root)) finally out.close()
-    // HDFS-semantics rename REFUSES an existing destination (rename + alter
-    // rewrite the descriptor in place), so replace = delete + rename. DDL is
-    // single-writer; a crash inside the window leaves the new content in the
-    // temp file rather than a torn descriptor.
-    if (fs.exists(path)) fs.delete(path, false)
-    if (!fs.rename(tmp, path))
-      throw new java.io.IOException(s"graft catalog: could not commit $path")
+    // atomic replace (DDL is single-writer; a crash inside the window leaves
+    // the new content in the temp file rather than a torn descriptor)
+    GraftIO.renameOverwrite(fs, fs.getConf, tmp, path)
   }
 
   def readMeta(fs: org.apache.hadoop.fs.FileSystem, path: Path): TableMeta = {
@@ -1802,7 +1798,7 @@ private[sources] class CatalogOcfTable(
     if (partitionExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
         fullName, ident, partitionSchema())
-    fsys.mkdirs(partDirOf(ident))
+    GraftIO.mkdirs(fsys, partDirOf(ident))
     ()
   }
 
@@ -2131,12 +2127,7 @@ private[sources] final class OcfPositionDeleteWrite(
     // as data writes
     insertCfg.foreach(cfg => OcfCommit.renameAll(cfg, fs, dataMsgs.toArray))
     entries.foreach { e =>
-      val src = new Path(e.tmp)
-      val dst = new Path(e.dest)
-      if (fs.exists(dst)) fs.delete(dst, false)
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(
-          s"graft-ocf merge-on-read $cmd: failed to rename ${e.tmp} to ${e.dest}")
+      GraftIO.renameOverwrite(fs, fs.getConf, new Path(e.tmp), new Path(e.dest))
     }
     val dataDests: Seq[String] = dataMsgs.flatMap {
       case OcfCommitMessage(files, _) => files.map(f =>
@@ -2275,7 +2266,7 @@ private[sources] final class OcfPositionDeleteWriter(
       val name = f"_delete-p$partitionId%05d-$taskId-" +
         s"${java.util.UUID.randomUUID()}.avro"
       val tmp = new Path(root, s".$name.tmp")
-      val out = fs.create(tmp, false)
+      val out = GraftIO.create(fs, tmp, false)
       try out.write(OcfPositionDeleteWriter.render(positions, targetRel))
       finally out.close()
       OcfPositionDeleteEntry(tmp.toString, new Path(root, name).toString, targetRel)

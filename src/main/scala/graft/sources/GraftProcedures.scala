@@ -159,8 +159,8 @@ private[sources] object GraftProcedures {
       val rel = fs.makeQualified(p).toString.stripPrefix(stagingRoot.toString)
         .stripPrefix(Path.SEPARATOR)
       val dest = new Path(root, rel)
-      fs.mkdirs(dest.getParent)
-      if (!fs.rename(p, dest))
+      GraftIO.mkdirs(fs, dest.getParent)
+      if (!GraftIO.rename(fs, p, dest))
         throw new java.io.IOException(s"graft $op: could not move $p to $dest")
       (rel, fs.makeQualified(dest), len)
     }

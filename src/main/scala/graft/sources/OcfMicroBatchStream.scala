@@ -40,7 +40,7 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
   private val conf = scan.conf.value
   private val logDir = new Path(checkpointLocation, "graft-ocf-files")
   private val fs = logDir.getFileSystem(conf)
-  fs.mkdirs(logDir)
+  GraftIO.mkdirs(fs, logDir)
 
   // the discovery log: files in first-seen order; guarded by `this` (Spark
   // calls the stream from its single streaming-query thread, but restore on
@@ -230,9 +230,9 @@ private[graft] final class OcfMicroBatchStream(scan: OcfScan, checkpointLocation
       ()
     }
     val tmp = new Path(logDir, s".${count}.tmp")
-    val out = fs.create(tmp, true)
+    val out = GraftIO.create(fs, tmp, true)
     try out.write(om.writeValueAsBytes(arr)) finally out.close()
-    if (!fs.rename(tmp, logPath(count)) && !fs.exists(logPath(count)))
+    if (!GraftIO.rename(fs, tmp, logPath(count)) && !fs.exists(logPath(count)))
       throw new java.io.IOException(s"graft-ocf stream: could not persist file log $count")
   }
 

@@ -571,7 +571,7 @@ private[graft] object OcfSnapshots {
              tableSchemaJson: Option[String] = None)
             (transform: Seq[SnapFile] => Seq[SnapFile]): Snapshot = {
     val sdir = snapshotsDir(tableDir)
-    fs.mkdirs(sdir)
+    GraftIO.mkdirs(fs, sdir)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -591,11 +591,11 @@ private[graft] object OcfSnapshots {
         tableSchemaJson.orElse(prevSchema))
       val dest = manifestPath(tableDir, next.version)
       val tmp = new Path(sdir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
+      val out = GraftIO.create(fs, tmp, false)
       try { out.write(renderCommit(next, prevVersion, prevFiles, prevDepth)) }
       finally out.close()
       // rename WITHOUT overwrite: exactly one committer wins a version
-      val won = !fs.exists(dest) && fs.rename(tmp, dest)
+      val won = !fs.exists(dest) && GraftIO.rename(fs, tmp, dest)
       if (won) return next
       fs.delete(tmp, false)
       if (attempts >= 20) throw new java.io.IOException(
@@ -658,30 +658,17 @@ private[graft] object OcfSnapshots {
       }
     }
 
-  /** Replace `dest` with `bytes` — FileContext OVERWRITE rename (atomic on
-    * HDFS/local) with an exists/delete/rename fallback. Used only by
-    * maintenance rewrites whose old and new content RESOLVE identically, so
-    * even the fallback's window is benign to readers. */
+  /** Replace `dest` with `bytes` — atomic replace via
+    * [[GraftIO.renameOverwrite]] (POSIX rename on local, FileContext
+    * OVERWRITE on HDFS, exists/delete/rename fallback elsewhere). Used only
+    * by maintenance rewrites whose old and new content RESOLVE identically,
+    * so even the fallback's window is benign to readers. */
   private def replaceFile(fs: FileSystem, dest: Path, bytes: Array[Byte]): Unit = {
     val tmp = new Path(dest.getParent,
       s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
+    val out = GraftIO.create(fs, tmp, false)
     try out.write(bytes) finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      // FileContext renames bypass ChecksumFileSystem: drop stale crc
-      // sidecars that would fail verification on a later read
-      Seq(new Path(tmp.getParent, "." + tmp.getName + ".crc"),
-          new Path(dest.getParent, "." + dest.getName + ".crc"))
-        .foreach(p => if (fs.exists(p)) fs.delete(p, false))
-      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        if (fs.exists(dest)) fs.delete(dest, false)
-        if (!fs.rename(tmp, dest))
-          throw new java.io.IOException(
-            s"graft-ocf snapshots: could not replace $dest")
-    }
+    GraftIO.renameOverwrite(fs, fs.getConf, tmp, dest)
   }
 
   // ---- branches (X83): write-audit-publish ---------------------------------
@@ -759,8 +746,8 @@ private[graft] object OcfSnapshots {
     if (fs.exists(bd) && !fs.exists(branchBasePath(bd))) fs.delete(bd, true)
     require(!fs.exists(bd),
       s"graft-ocf branches: branch '$name' already exists")
-    fs.mkdirs(bd)
-    val out = fs.create(branchBasePath(bd), false)
+    GraftIO.mkdirs(fs, bd)
+    val out = GraftIO.create(fs, branchBasePath(bd), false)
     try out.write(s"""{"base":$base}""".getBytes("UTF-8")) finally out.close()
     base
   }
@@ -833,10 +820,10 @@ private[graft] object OcfSnapshots {
         tableSchemaJson.orElse(headSnap.tableSchemaJson))
       val dest = manifestFile(bd, next.version)
       val tmp = new Path(bd, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
+      val out = GraftIO.create(fs, tmp, false)
       try { out.write(renderCommit(next, Some(headVersion), headSnap.files, headDepth)) }
       finally out.close()
-      val won = !fs.exists(dest) && fs.rename(tmp, dest)
+      val won = !fs.exists(dest) && GraftIO.rename(fs, tmp, dest)
       if (won) return next
       fs.delete(tmp, false)
       if (attempts >= 20) throw new java.io.IOException(
@@ -886,9 +873,9 @@ private[graft] object OcfSnapshots {
         // write can never leave truncated bytes that a retry (or a reader)
         // would misread
         val tmp = new Path(sdir, s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
-        val out = fs.create(tmp, false)
+        val out = GraftIO.create(fs, tmp, false)
         try out.write(bytes) finally out.close()
-        val won = !fs.exists(dest) && fs.rename(tmp, dest)
+        val won = !fs.exists(dest) && GraftIO.rename(fs, tmp, dest)
         if (!won) {
           fs.delete(tmp, false)
           // lost the rename race: identical content means a concurrent
@@ -956,7 +943,7 @@ private[graft] object OcfSnapshots {
                         tags: Map[String, Long]): Unit = {
     val root = mapper.createObjectNode()
     tags.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
-    fs.mkdirs(snapshotsDir(tableDir))
+    GraftIO.mkdirs(fs, snapshotsDir(tableDir))
     replaceFile(fs, tagsPath(tableDir), mapper.writeValueAsBytes(root))
   }
 

@@ -1022,7 +1022,7 @@ private[sources] final class OcfDataWriter(
     }
     if (eqOcf == null) {
       val p = new Path(cfg.dir, eqName(tmpName))
-      eqOut = p.getFileSystem(cfg.conf.value).create(p, true)
+      eqOut = GraftIO.create(p.getFileSystem(cfg.conf.value), p, true)
       eqOcf = new OcfStreamWriter(eqOut, eqSchema, cfg.codecName,
         blockBytes = cfg.blockBytes)
     }
@@ -1146,7 +1146,7 @@ private[sources] final class OcfDataWriter(
     }
     if (ocf == null) {
       val p = currentTmp
-      out = p.getFileSystem(cfg.conf.value).create(p, true)
+      out = GraftIO.create(p.getFileSystem(cfg.conf.value), p, true)
       ocf = new OcfStreamWriter(out, schema, cfg.codecName, blockBytes = cfg.blockBytes,
         onBlockSealed = if (blockIdx == null) null else blockIdx.sealBlock)
       if (stats != null) stats.reset()
@@ -1577,7 +1577,7 @@ private[sources] object OcfStatsTracker {
       val (hdr, headerEnd) = parsed
       val meta = hdr.meta.clone()
       entries.foreach { case (k, v) => meta(k) = v.getBytes("UTF-8") }
-      val outS = fs.create(dst, true)
+      val outS = GraftIO.create(fs, dst, true)
       try {
         val hb = Ocf.headerBytes(meta, hdr.sync)
         outS.write(hb, 0, hb.length)
@@ -1908,11 +1908,11 @@ private[sources] object OcfCommit {
     * directory's files), or the partition directories RECEIVING new files
     * (`clearDynamic`, Spark's dynamic partition overwrite mode — untouched
     * partitions survive), then rename every committed temp over its final
-    * name. Replacement uses [[FileContext]] rename with `OVERWRITE` where
-    * the filesystem supports it — a SINGLE atomic operation on HDFS/local,
-    * so a driver crash mid-commit never leaves a destination deleted but
-    * not yet replaced; the exists→delete→rename fallback is only for
-    * filesystems without a FileContext binding. */
+    * name. Replacement uses [[GraftIO.renameOverwrite]] — a SINGLE atomic
+    * operation on local (POSIX rename) and HDFS (FileContext OVERWRITE), so
+    * a driver crash mid-commit never leaves a destination deleted but not
+    * yet replaced; the exists→delete→rename fallback is only for
+    * filesystems with neither. */
   def publish(cfg: OcfWriteConfig, messages: Array[WriterCommitMessage],
               clearVisible: Boolean, clearPrefix: Option[String] = None,
               clearWhere: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
@@ -1920,7 +1920,7 @@ private[sources] object OcfCommit {
               clearPaths: Option[Seq[String]] = None): Unit = {
     val dirPath = new Path(cfg.dir)
     val fs = dirPath.getFileSystem(cfg.conf.value)
-    fs.mkdirs(dirPath)
+    GraftIO.mkdirs(fs, dirPath)
     // snapshot mode when the config asks for it (catalog tables) OR the
     // directory is already snapshot-managed — a path-API write into a
     // snapshot table must keep the manifest consistent, else its rows
@@ -2036,34 +2036,18 @@ private[sources] object OcfCommit {
     renameAll(cfg, fs, messages)
   }
 
-  /** Rename every committed temp over its final name (FileContext OVERWRITE
-    * rename where available — atomic on HDFS/local). */
+  /** Rename every committed temp over its final name (atomic replace via
+    * [[GraftIO.renameOverwrite]]: POSIX rename on local, FileContext
+    * OVERWRITE rename on HDFS). */
   private[sources] def renameAll(cfg: OcfWriteConfig, fs: org.apache.hadoop.fs.FileSystem,
                         messages: Array[WriterCommitMessage]): Unit = {
-    val fc =
-      try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, cfg.conf.value))
-      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
     val madeDirs = scala.collection.mutable.Set.empty[Path]
     messages.foreach {
       case OcfCommitMessage(files, _) => files.foreach { f =>
         val src = fs.makeQualified(new Path(f.tmp))
         val dst = fs.makeQualified(new Path(f.dest))
-        if (madeDirs.add(dst.getParent)) fs.mkdirs(dst.getParent)
-        fc match {
-          case Some(c) =>
-            // FileContext renames bypass ChecksumFileSystem, so on local FS
-            // the `.{name}.crc` sidecars are neither moved nor replaced —
-            // drop both (the temp's orphan and any stale one under the
-            // destination name, which would fail verification on read)
-            Seq(new Path(src.getParent, "." + src.getName + ".crc"),
-                new Path(dst.getParent, "." + dst.getName + ".crc"))
-              .foreach(p => if (fs.exists(p)) fs.delete(p, false))
-            c.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          case None =>
-            if (fs.exists(dst)) fs.delete(dst, false)
-            if (!fs.rename(src, dst))
-              throw new IOException(s"graft-ocf write: failed to rename ${f.tmp} to ${f.dest}")
-        }
+        if (madeDirs.add(dst.getParent)) GraftIO.mkdirs(fs, dst.getParent)
+        GraftIO.renameOverwrite(fs, cfg.conf.value, src, dst)
       }
       case _ => ()
     }
