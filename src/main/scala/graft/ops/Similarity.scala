@@ -82,10 +82,11 @@ object Similarity {
     * nprobe (nprobe = nlist is exhaustive); candidate cost is ~nprobe/nlist
     * of the corpus.
     *
-    * Scale notes: training runs distributed k-means EAGERLY at call time —
-    * pass `trainFraction < 1` to fit the quantizer on a corpus sample (the
-    * centers converge on a sample at scale; only nlist × dim doubles come
-    * back to the driver). Cell assignment is a partition-local expression
+    * Scale notes: the quantizer trains EAGERLY at call time on a bounded
+    * hash-ordered driver sample (≤65,536 rows, local Lloyd's — the
+    * [[pqTrain]]/FAISS discipline, one Spark job); pass `trainFraction < 1`
+    * to pre-thin the sample draw at scale.
+    * Cell assignment is a partition-local expression
     * with the centroid table shipped in the closure; the probe join matches
     * on the int cell id with ids only — vectors are re-joined by id after
     * candidate dedup, the same discipline as the LSH paths. At 100 TB the
@@ -456,23 +457,47 @@ object Similarity {
   }
 
   /** Coarse k-means quantizer centers in cosine geometry (shared by
-    * [[ivfTopK]] and [[semDedup]]'s cluster scoping): deterministic via
-    * seed, trained on a sample when `trainFraction < 1`, zero-norm vectors
-    * excluded from training only. Only nlist × dim doubles return to the
-    * driver. */
+    * [[ivfTopK]] and [[semDedup]]'s cluster scoping), deterministic via
+    * seed: the same bounded-driver-sample discipline as
+    * [[pqTrain]] (the FAISS recipe). A deterministic hash-ordered sample of
+    * at most `maxTrainRows` vectors rides back to the driver — 64k × dim
+    * doubles (~32 MB at dim=64) regardless of corpus size — and LOCAL
+    * Lloyd's runs there in ONE pass of driver arithmetic. Rows are
+    * L2-normalized first, which makes Euclidean Lloyd's equivalent to
+    * spherical (cosine) k-means for ASSIGNMENT (‖a−b‖² = 2 − 2·cosθ on the
+    * unit sphere); zero-norm vectors (padding rows, failed embeds) are
+    * excluded from training exactly as before, and cell ASSIGNMENT of the
+    * full corpus stays a partition-local expression either way.
+    *
+    * vs the previous distributed ML KMeans fit: one Spark job instead of
+    * 12+ (k-means‖ init rounds + 10 Lloyd jobs), which at any scale is
+    * pure scheduling overhead for a quantizer that converges on a sample.
+    * Centroid POSITIONS differ from the old fit's; every declared IVF query
+    * is constructed to be centroid-placement-independent (exhaustive
+    * probes, or colinear-probe top-1 — see q38/q44/q90 notes). */
   private def trainCentroids(cv: DataFrame, nlist: Int, seed: Long,
-                             trainFraction: Double): Seq[Seq[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                             trainFraction: Double,
+                             maxTrainRows: Int = 65536): Seq[Seq[Double]] = {
     val trainable = cv
       .where(expr("aggregate(vec, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) > 0"))
-    val train = (if (trainFraction < 1.0) trainable.sample(trainFraction, seed) else trainable)
-      .select(array_to_vector(col("vec")).as("features"))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10)
-      .setDistanceMeasure("cosine")
-      .setFeaturesCol("features")
-      .fit(train)
-    model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val base = (if (trainFraction < 1.0) trainable.sample(trainFraction, seed) else trainable)
+      .select(col("vec").as("v"))
+      .withColumn("h", xxhash64(col("v")))
+      .orderBy("h").limit(maxTrainRows)
+      .select("v")
+    val sample: Array[Array[Double]] = base.collect().map { r =>
+      val s = r.getSeq[Float](0)
+      val a = new Array[Double](s.length)
+      var n2 = 0.0
+      var i = 0
+      while (i < s.length) { a(i) = s(i).toDouble; n2 += a(i) * a(i); i += 1 }
+      // n2 > 0 guaranteed by the trainable filter
+      val inv = 1.0 / math.sqrt(n2); i = 0
+      while (i < a.length) { a(i) *= inv; i += 1 }
+      a
+    }
+    require(sample.nonEmpty, "trainCentroids: empty training set")
+    val dim = sample(0).length
+    localKMeans(sample, 0, dim, nlist, seed).map(_.toSeq).toSeq
   }
 }
