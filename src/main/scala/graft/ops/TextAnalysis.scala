@@ -269,12 +269,17 @@ object TextAnalysis {
             transform(sequence(lit(1), size(col("ws")) - window + 1),
               i => md5(concat_ws(" ", slice(col("ws"), i, lit(window)))))))
           .as(Seq("pos", "h")))
-    val dupHashes = wins.where(col("h").isNotNull)
-      .groupBy("h")
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .where(col("nd") >= 2)
-      .select("h")
-    val dupWins = wins.join(dupHashes, "h")
+    // "window hash seen in >= 2 distinct docs" as min(id) != max(id) over a
+    // whole-partition window keyed by h: ONE exchange of the (id, pos, h)
+    // rows and — decisively — ONE evaluation of the expensive tokenize+md5
+    // generate above. The previous groupBy(h)+join-back form re-evaluated
+    // the full generate subtree on the probe side (two posexplode nodes in
+    // the plan) and paid three exchanges (partial agg, final agg, join).
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val dupWins = wins.where(col("h").isNotNull)
+      .withColumn("mn", min(col(idCol)).over(byH))
+      .withColumn("mx", max(col(idCol)).over(byH))
+      .where(col("mn") =!= col("mx"))
       .select(col(idCol), col("pos"))
     val covered = dupWins
       .withColumn("prev", lag("pos", 1)
