@@ -2321,7 +2321,10 @@ object SparkEntry {
     // generator fan-out (split → sequence → explode → slice), zero shuffle,
     // zero UDF; the oracle re-slices the same token lists in SQL.
     "q65_text_chunking" -> ((s, dir) =>
-      ops.TextAnalysis.chunkText(t(s, dir, "documents"), "doc_id", "text",
+      // sort-early, see q12: chunks generate in ascending chunk_idx per doc,
+      // so the final orderBy's sampling pass must not re-run the generator
+      ops.TextAnalysis.chunkText(
+          t(s, dir, "documents").orderBy("doc_id"), "doc_id", "text",
           chunkTokens = 32, overlapTokens = 8)
         .orderBy("doc_id", "chunk_idx")),
 
@@ -2571,37 +2574,46 @@ object SparkEntry {
     // decode stats. The byte-level decode is a documented deterministic
     // stub (no codec libs in this environment); the schema/batch/partition
     // plumbing is the real contract under test.
+    // Sort-early (the q12 lesson), multimodal form: decode runs in
+    // mapPartitions, which Catalyst treats as opaque — an orderBy ABOVE it
+    // range-samples the decode output, re-running every codec twice per
+    // pass. mapPartitions is order-preserving and asset_id is monotone in
+    // doc_id, so sorting the scan yields the identical output order with
+    // the sampling pass touching only the scan (oracle-verified).
     "q30_multimodal_stats" -> ((s, dir) =>
-      ops.Multimodal.decodeStats(ops.Multimodal.syntheticAssets(t(s, dir, "documents")))
-        .orderBy("asset_id")),
+      ops.Multimodal.decodeStats(ops.Multimodal.syntheticAssets(
+        t(s, dir, "documents").orderBy("doc_id")))),
 
     // Multimodal with a REAL codec: mono PCM-16 WAVs synthesized by the
     // from-scratch RIFF/WAVE writer, parsed back by the real chunk-walking
     // parser (X16 de-stubbed for audio). sum_samples reduces the PCM payload
     // itself, so a wrong data-chunk walk cannot match the oracle.
     "q53_wav_audio_meta" -> ((s, dir) =>
+      // sort-early (see q30): codec work must not be range-sampled twice
       ops.Multimodal.audioInfo(
-        ops.Multimodal.syntheticWavAssets(t(s, dir, "documents")))
-        .orderBy("asset_id")),
+        ops.Multimodal.syntheticWavAssets(
+          t(s, dir, "documents").orderBy("doc_id")))),
 
     // Multimodal with the REAL image codec: binary PPM/PGM synthesized by
     // the from-scratch Netpbm writer, parsed back by the comment-tolerant
     // header scanner (X16 de-stubbed for images). sum_pixels reduces the
     // raster itself, so a wrong raster offset cannot match the oracle.
     "q54_pnm_image_meta" -> ((s, dir) =>
+      // sort-early (see q30): codec work must not be range-sampled twice
       ops.Multimodal.imageInfo(
-        ops.Multimodal.syntheticPnmAssets(t(s, dir, "documents")))
-        .orderBy("asset_id")),
+        ops.Multimodal.syntheticPnmAssets(
+          t(s, dir, "documents").orderBy("doc_id")))),
 
     // REAL nearest-neighbor resize: decode → resample pixels → re-encode,
     // then re-parse the resized raster. The oracle recomputes every sampled
     // source pixel arithmetically, so a byte-truncating fake resize (or an
     // off-by-one in the sy/sx mapping) cannot match.
     "q55_pnm_resize" -> ((s, dir) =>
+      // sort-early (see q30): codec work must not be range-sampled twice
       ops.Multimodal.imageInfo(
         ops.Multimodal.resizeImages(
-          ops.Multimodal.syntheticPnmAssets(t(s, dir, "documents")), 8, 6))
-        .orderBy("asset_id")),
+          ops.Multimodal.syntheticPnmAssets(
+            t(s, dir, "documents").orderBy("doc_id")), 8, 6))),
 
     // Multimodal with the REAL video codec: uncompressed YUV4MPEG2 clips
     // synthesized by the from-scratch Y4M writer, parsed back frame by
@@ -2609,9 +2621,10 @@ object SparkEntry {
     // of every frame, so a wrong 4:2:0 plane-size computation or a
     // header-only fake cannot match the oracle.
     "q59_y4m_video_meta" -> ((s, dir) =>
+      // sort-early (see q30): codec work must not be range-sampled twice
       ops.Multimodal.videoInfo(
-        ops.Multimodal.syntheticY4mAssets(t(s, dir, "documents")))
-        .orderBy("asset_id")),
+        ops.Multimodal.syntheticY4mAssets(
+          t(s, dir, "documents").orderBy("doc_id")))),
 
     // Frame EXTRACTION composing two real codecs: Y4M parse → luma plane →
     // PGM encode → PNM parse. Every 2nd frame of each clip becomes a real
@@ -2619,12 +2632,15 @@ object SparkEntry {
     // (asset, frame) — at 100 TB only the sampled frames' bytes are ever
     // materialized, partition-locally.
     "q60_y4m_frame_sample" -> ((s, dir) =>
+      // sort-early (see q30): frames emit in ascending frame_idx (< 100 by
+      // construction, <= 7 frames/clip) so asset_id*100+frame_idx stays
+      // monotone over the sorted input — the codec chain is never sampled
       ops.Multimodal.imageInfo(
         ops.Multimodal.videoFrameImages(
-          ops.Multimodal.syntheticY4mAssets(t(s, dir, "documents")), everyK = 2)
+          ops.Multimodal.syntheticY4mAssets(
+            t(s, dir, "documents").orderBy("doc_id")), everyK = 2)
           .select((col("asset_id") * 100 + col("frame_idx")).as("asset_id"),
-            col("content")))
-        .orderBy("asset_id")),
+            col("content")))),
 
     // Multimodal: video frame sampling — metadata-only relational fan-out
     // (no binary content touched until a later decode stage selects frames).
