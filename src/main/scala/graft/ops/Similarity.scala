@@ -288,34 +288,63 @@ object Similarity {
     PqCodebook(cents)
   }
 
-  /** Seeded local Lloyd's over one subspace of the collected sample: init
-    * from a seeded shuffle of distinct rows, 10 iterations, empty clusters
-    * keep their previous center. Deterministic given the same sample. */
+  /** Seeded local Lloyd's over one subspace of the collected sample:
+    * farthest-point (maximin) init, 10 iterations, empty clusters keep
+    * their previous center. Deterministic given the same sample.
+    *
+    * Init matters here: a plain seeded-shuffle init can drop two seeds
+    * into one natural cluster and Lloyd's never recovers (it splits that
+    * cluster and merges two others — LshRecallSpec's separated-cluster
+    * invariant caught exactly this after the switch from ML KMeans, whose
+    * k-means|| seeding avoided it). Maximin picks each next seed as the
+    * point farthest from all chosen seeds: on separated clusters that is
+    * provably one seed per cluster, and it is deterministic — the first
+    * seed comes from a seeded shuffle, ties break on the lowest row index
+    * of the deterministic hash-ordered sample. */
   private def localKMeans(sample: Array[Array[Double]], off: Int, dsub: Int,
                           k: Int, seed: Long): Array[Array[Double]] = {
     val n = sample.length
     val rnd = new scala.util.Random(seed)
     val order = rnd.shuffle((0 until n).toVector)
     val centers = Array.ofDim[Double](k, dsub)
-    var taken = 0
-    var oi = 0
-    while (taken < k && oi < n) {
-      val row = sample(order(oi))
-      var dup = false
-      var c = 0
-      while (c < taken && !dup) {
-        var same = true
-        var i = 0
-        while (i < dsub && same) { same = centers(c)(i) == row(off + i); i += 1 }
-        dup = same; c += 1
-      }
-      if (!dup) { var i = 0; while (i < dsub) { centers(taken)(i) = row(off + i); i += 1 }; taken += 1 }
-      oi += 1
+    // first seed: first row of the seeded shuffle
+    java.lang.System.arraycopy(sample(order(0)), off, centers(0), 0, dsub)
+    var taken = 1
+    // minD2(r) = distance^2 from row r to its nearest chosen seed
+    val minD2 = new Array[Double](n)
+    var r0 = 0
+    while (r0 < n) {
+      var d = 0.0
+      var i = 0
+      while (i < dsub) { val t = sample(r0)(off + i) - centers(0)(i); d += t * t; i += 1 }
+      minD2(r0) = d
+      r0 += 1
     }
-    // fewer distinct rows than k: remaining centers stay at the last value
-    while (taken < k && taken > 0) {
-      java.lang.System.arraycopy(centers(taken - 1), 0, centers(taken), 0, dsub)
-      taken += 1
+    while (taken < k) {
+      var best = -1
+      var bestD = -1.0
+      var r = 0
+      while (r < n) {
+        if (minD2(r) > bestD) { bestD = minD2(r); best = r }
+        r += 1
+      }
+      if (bestD <= 0.0) {
+        // fewer distinct rows than k: remaining centers duplicate the last
+        java.lang.System.arraycopy(centers(taken - 1), 0, centers(taken), 0, dsub)
+        taken += 1
+      } else {
+        var i = 0
+        while (i < dsub) { centers(taken)(i) = sample(best)(off + i); i += 1 }
+        r = 0
+        while (r < n) {
+          var d = 0.0
+          i = 0
+          while (i < dsub) { val t = sample(r)(off + i) - centers(taken)(i); d += t * t; i += 1 }
+          if (d < minD2(r)) minD2(r) = d
+          r += 1
+        }
+        taken += 1
+      }
     }
     val assign = new Array[Int](n)
     var iter = 0
