@@ -438,6 +438,22 @@ class OpsSpec extends AnyFunSuite {
     assert(m(6L) == ((5L, 0L, 0L)), "sub-window docs report zero exposure")
   }
 
+  test("duplicatedSpans evaluates the window-hash generate exactly once") {
+    // r21 optimization pin: the cross-doc dup-hash test is a min/max window
+    // over h, NOT a groupBy+join-back — the join form re-evaluated the whole
+    // tokenize+md5 generate on the probe side (two Generate nodes, measured
+    // ~2x the query). A second Generate reappearing means the plan regressed.
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.duplicatedSpans(d, "doc_id", "text", window = 2)
+      .queryExecution.optimizedPlan
+    val generates = plan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.length == 1,
+      s"expected exactly one window-hash Generate, got ${generates.length}")
+  }
+
   test("gopher quality rules: each rule trips on its crafted fixture") {
     import spark.implicits._
     val goodBody = ("the quick brown fox jumps over twelve lazy dogs near " +
