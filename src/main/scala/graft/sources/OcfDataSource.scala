@@ -872,16 +872,71 @@ private[graft] object OcfAggExpr {
   final case class SumOf(field: String) extends OcfAggExpr
 }
 
-/** Hadoop `Configuration` is not `java.io.Serializable`; this 12-line
-  * envelope ships it to executors via its own `write`/`readFields`. */
+/** Hadoop `Configuration` is not `java.io.Serializable`; this envelope ships
+  * it to executors via its own `write`/`readFields` — MEMOIZED on both sides.
+  * A session's ~110 KB Configuration costs 10–40 ms to write and 20–50 ms to
+  * parse, and Spark deserializes each stage's task binary PER TASK, so an
+  * unmemoized envelope re-parses the full conf once per task — for a
+  * commit-heavy DML statement or a many-split scan that parse alone was the
+  * dominant scheduling cost. Here the driver serializes each Configuration
+  * instance once (weak identity memo) and every task of a JVM shares ONE
+  * parsed instance per distinct content hash; the shared instance is
+  * READ-ONLY by contract (every consumer only resolves filesystems/opens
+  * streams from it — none mutates it). */
 final class SerializableHadoopConf(@transient var value: Configuration) extends Serializable {
   @throws[IOException]
   private def writeObject(out: ObjectOutputStream): Unit = {
-    out.defaultWriteObject(); value.write(out)
+    out.defaultWriteObject()
+    val bytes = SerializableHadoopConf.bytesFor(value)
+    out.writeInt(bytes.length)
+    out.write(bytes)
   }
   @throws[IOException]
   private def readObject(in: ObjectInputStream): Unit = {
-    in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+    in.defaultReadObject()
+    val n = in.readInt()
+    val bytes = new Array[Byte](n)
+    in.readFully(bytes)
+    value = SerializableHadoopConf.confFor(bytes)
+  }
+}
+
+object SerializableHadoopConf {
+  // driver side: serialized form per Configuration INSTANCE (confs are
+  // handed to the envelope fully built and never mutated afterwards)
+  private val outCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Configuration, Array[Byte]]())
+  private def bytesFor(conf: Configuration): Array[Byte] = {
+    val cached = outCache.get(conf)
+    if (cached != null) cached
+    else {
+      val bos = new java.io.ByteArrayOutputStream(1 << 17)
+      val dos = new java.io.DataOutputStream(bos)
+      conf.write(dos)
+      dos.flush()
+      val bytes = bos.toByteArray
+      outCache.put(conf, bytes)
+      bytes
+    }
+  }
+  // executor side: parsed Configuration per CONTENT hash (128-bit MD5 —
+  // a collision would silently alias two different confs, so a 32-bit
+  // array hash is not enough). Distinct conf contents per JVM are few
+  // (one per session configuration), so the map stays tiny.
+  private val inCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
+  private def confFor(bytes: Array[Byte]): Configuration = {
+    val h = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    val cached = inCache.get(h)
+    if (cached != null) cached
+    else {
+      val c = new Configuration(false)
+      c.readFields(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      inCache.putIfAbsent(h, c)
+      inCache.get(h)
+    }
   }
 }
 
