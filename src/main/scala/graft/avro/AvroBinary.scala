@@ -1,6 +1,5 @@
 package graft.avro
 
-import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
 final class AvroEofException(msg: String) extends RuntimeException(msg)
@@ -87,38 +86,96 @@ final class AvroBinaryReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   def skipBytes(): Unit = skip(readLong())
 }
 
-/** Avro wire-format writer (reference: python-udf/avro/io.py:441-631 write_*). */
-final class AvroBinaryWriter(val out: ByteArrayOutputStream = new ByteArrayOutputStream()) {
-  def toByteArray: Array[Byte] = out.toByteArray
+/** Avro wire-format writer (reference: python-udf/avro/io.py:441-631
+  * write_*), backed by an UNSYNCHRONIZED growable byte array. The previous
+  * `ByteArrayOutputStream` backing paid a synchronized virtual call PER BYTE
+  * (a varint long = up to 10 monitor acquisitions); the engine sink encodes
+  * every row through this class, so the buffer is hand-rolled: bounds are
+  * checked once per primitive (`ensure`), bytes land via direct array
+  * stores, and [[reserve]]/[[advance]] expose the raw tail so callers can
+  * bulk-copy payloads (e.g. UTF8String bytes) without an intermediate
+  * array. */
+final class AvroBinaryWriter(initialCapacity: Int = 64) {
+  private var buf = new Array[Byte](math.max(16, initialCapacity))
+  private var count = 0
 
-  def writeBoolean(b: Boolean): Unit = out.write(if (b) 1 else 0)
+  /** Bytes written so far. */
+  def size: Int = count
+  /** Drop the contents, keeping the capacity (per-datum reuse). */
+  def reset(): Unit = count = 0
+  def toByteArray: Array[Byte] = java.util.Arrays.copyOf(buf, count)
+  /** Copy the contents to `os` without materializing an intermediate array. */
+  def writeTo(os: java.io.OutputStream): Unit = os.write(buf, 0, count)
+
+  @inline private def ensure(n: Int): Unit =
+    if (count + n > buf.length) grow(n)
+  private def grow(n: Int): Unit =
+    buf = java.util.Arrays.copyOf(buf,
+      math.max(buf.length << 1, count + n))
+
+  /** Ensure `n` writable bytes and return the backing array; the caller
+    * fills `[position, position + n)` and then [[advance]]s. */
+  def reserve(n: Int): Array[Byte] = { ensure(n); buf }
+  def position: Int = count
+  def advance(n: Int): Unit = count += n
+
+  def writeBoolean(b: Boolean): Unit = {
+    ensure(1)
+    buf(count) = if (b) 1 else 0
+    count += 1
+  }
 
   /** zigzag varint encode `(n<<1)^(n>>63)` (reference: io.py:454-468). */
   def writeLong(v: Long): Unit = {
     var n = (v << 1) ^ (v >> 63)
+    ensure(10)
+    val b = buf
+    var c = count
     while ((n & ~0x7fL) != 0) {
-      out.write(((n & 0x7f) | 0x80).toInt)
+      b(c) = ((n & 0x7f) | 0x80).toByte
+      c += 1
       n >>>= 7
     }
-    out.write(n.toInt)
+    b(c) = n.toByte
+    count = c + 1
   }
   def writeInt(v: Int): Unit = writeLong(v.toLong)
 
   def writeFloat(v: Float): Unit = {
     val bits = java.lang.Float.floatToIntBits(v)
-    out.write(bits & 0xff); out.write((bits >> 8) & 0xff)
-    out.write((bits >> 16) & 0xff); out.write((bits >> 24) & 0xff)
+    ensure(4)
+    val b = buf
+    val c = count
+    b(c) = bits.toByte
+    b(c + 1) = (bits >> 8).toByte
+    b(c + 2) = (bits >> 16).toByte
+    b(c + 3) = (bits >> 24).toByte
+    count = c + 4
   }
 
   def writeDouble(v: Double): Unit = {
     val bits = java.lang.Double.doubleToLongBits(v)
+    ensure(8)
+    val b = buf
+    val c = count
     var i = 0
-    while (i < 8) { out.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
+    while (i < 8) { b(c + i) = (bits >> (8 * i)).toByte; i += 1 }
+    count = c + 8
   }
 
-  def writeFixed(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+  def writeFixed(b: Array[Byte]): Unit = writeRaw(b, 0, b.length)
 
-  def writeBytes(b: Array[Byte]): Unit = { writeLong(b.length.toLong); out.write(b, 0, b.length) }
+  /** Append `len` raw bytes (no length prefix). */
+  def writeRaw(b: Array[Byte], off: Int, len: Int): Unit = {
+    ensure(len)
+    System.arraycopy(b, off, buf, count, len)
+    count += len
+  }
+
+  def writeBytes(b: Array[Byte]): Unit = {
+    writeLong(b.length.toLong)
+    writeRaw(b, 0, b.length)
+  }
 
   def writeString(s: String): Unit = writeBytes(s.getBytes(StandardCharsets.UTF_8))
 }

@@ -295,34 +295,60 @@ final class OcfStreamWriter(out: java.io.OutputStream, schema: AvroSchema,
     out.write(bytes, 0, bytes.length)
   }
 
-  private var buf = new ByteArrayOutputStream()
+  private val buf = new AvroBinaryWriter(math.min(blockBytes + 1024, 1 << 20))
   private var blockCount = 0L
   private var total = 0L
   private var sectionBytes = 0L // block-section bytes written so far
+  // block framing scratch (count varint, size varint), reused per block
+  private val frame = new AvroBinaryWriter(24)
 
   /** Rows appended so far (across all blocks). */
   def rowCount: Long = total
 
   def append(datum: Array[Byte]): Unit = {
-    buf.write(datum, 0, datum.length)
+    buf.writeRaw(datum, 0, datum.length)
+    endDatum()
+  }
+
+  /** Direct-encode lane: the engine sink writes one datum's bytes straight
+    * into the block buffer through [[datumEncoder]] and seals it with
+    * [[endDatum]] — the zero-copy equivalent of encoding to a scratch array
+    * and calling [[append]]. A datum must be written COMPLETELY between
+    * `endDatum` calls (a throwing encoder aborts the whole file, which the
+    * task-level commit protocol already discards). */
+  def datumEncoder: AvroBinaryWriter = buf
+  def endDatum(): Unit = {
     blockCount += 1
     total += 1
-    if (buf.size() >= blockBytes) flushBlock()
+    if (buf.size >= blockBytes) flushBlock()
   }
 
   private def flushBlock(): Unit = if (blockCount > 0) {
-    val compressed = codec.compress(buf.toByteArray)
-    val w = new AvroBinaryWriter()
-    w.writeLong(blockCount)
-    w.writeLong(compressed.length.toLong)
-    w.writeFixed(compressed)
-    w.writeFixed(sync)
-    val bytes = w.toByteArray
-    out.write(bytes, 0, bytes.length)
-    val rel = sectionBytes
-    sectionBytes += bytes.length
-    if (onBlockSealed != null) onBlockSealed(rel, blockCount, bytes.length.toLong)
-    buf = new ByteArrayOutputStream()
+    frame.reset()
+    frame.writeLong(blockCount)
+    if (codec eq AvroCodecs.NullCodec) {
+      // null codec: the block body IS the buffer — stream it out directly
+      // instead of materializing a compressed copy
+      frame.writeLong(buf.size.toLong)
+      frame.writeTo(out)
+      buf.writeTo(out)
+      out.write(sync, 0, sync.length)
+      val len = frame.size.toLong + buf.size + sync.length
+      val rel = sectionBytes
+      sectionBytes += len
+      if (onBlockSealed != null) onBlockSealed(rel, blockCount, len)
+    } else {
+      val compressed = codec.compress(buf.toByteArray)
+      frame.writeLong(compressed.length.toLong)
+      frame.writeTo(out)
+      out.write(compressed, 0, compressed.length)
+      out.write(sync, 0, sync.length)
+      val len = frame.size.toLong + compressed.length + sync.length
+      val rel = sectionBytes
+      sectionBytes += len
+      if (onBlockSealed != null) onBlockSealed(rel, blockCount, len)
+    }
+    buf.reset()
     blockCount = 0
   }
 

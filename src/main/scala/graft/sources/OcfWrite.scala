@@ -783,6 +783,19 @@ private[sources] object OcfWrite {
       (CatalystAvroWriter.compile(dt, f.schema), InternalRowGetters.forType(dt))
     }.toArray
   }
+
+  /** Fused per-field encoders for the hot row→datum loop: each reads its
+    * source column straight out of the InternalRow and writes Avro bytes —
+    * flat primitives skip the boxed `Any` hand-off entirely (complex leaves
+    * fall back to the boxed writer inside
+    * [[CatalystAvroWriter.compileField]], so bytes are identical). */
+  def compileFieldEncoders(cfg: OcfWriteConfig): Array[CatalystAvroWriter.FieldEncoder] = {
+    val rec = recordOf(cfg.avroJson)
+    rec.fields.zipWithIndex.map { case (f, i) =>
+      CatalystAvroWriter.compileField(
+        cfg.sql.fields(cfg.ordinals(i)).dataType, f.schema, cfg.ordinals(i))
+    }.toArray
+  }
 }
 
 /** Custom V2 metrics: per-task counters surfaced on the write node in the
@@ -963,6 +976,11 @@ private[sources] final class OcfDataWriter(
     extends DataWriter[InternalRow] {
 
   private val fieldWriters = OcfWrite.compileFieldWriters(cfg)
+  // the hot row→datum loop runs the FUSED encoders (no boxed hand-off for
+  // flat primitives, bytes identical — see OcfWrite.compileFieldEncoders);
+  // the boxed (writer, getter) pairs above stay for the equality-delete
+  // path, which needs the boxed values for its dedup set anyway
+  private val fieldEncoders = OcfWrite.compileFieldEncoders(cfg)
   private val ordinals = cfg.ordinals
   private val schema = OcfWrite.recordOf(cfg.avroJson)
   private val partGetters =
@@ -1026,21 +1044,18 @@ private[sources] final class OcfDataWriter(
       eqOcf = new OcfStreamWriter(eqOut, eqSchema, cfg.codecName,
         blockBytes = cfg.blockBytes)
     }
-    enc.out.reset()
+    val e = eqOcf.datumEncoder
     var k = 0
     while (k < eqAvroIdx.length) {
-      fieldWriters(eqAvroIdx(k))._1(t(k), enc)
+      fieldWriters(eqAvroIdx(k))._1(t(k), e)
       k += 1
     }
-    eqOcf.append(enc.toByteArray)
+    eqOcf.endDatum()
   }
   private var totalRows = 0L
   private var filesSealed = 0L
   private var bytesSealed = 0L
   private val sealedFiles = Seq.newBuilder[OcfWrittenFile]
-  // one reusable datum encoder per writer: reset the backing buffer per row
-  // instead of allocating a fresh writer + stream per row
-  private val enc = new AvroBinaryWriter()
   // relative `col=value/...` directory of the OPEN file ("" = unpartitioned
   // root). Input arrives sorted on the partition columns (requiredOrdering),
   // so each value change seals the current file — one open file per task.
@@ -1158,15 +1173,13 @@ private[sources] final class OcfDataWriter(
     if (blockIdx != null) blockIdx.update(row)
     if (bloom != null) bloom.update(row)
     if (sortTrk != null) sortTrk.update(row)
-    enc.out.reset()
+    val e = ocf.datumEncoder
     var i = 0
-    while (i < fieldWriters.length) {
-      val ord = ordinals(i)
-      val (fw, getter) = fieldWriters(i)
-      fw(if (row.isNullAt(ord)) null else getter(row, ord), enc)
+    while (i < fieldEncoders.length) {
+      fieldEncoders(i)(row, e)
       i += 1
     }
-    ocf.append(enc.toByteArray)
+    ocf.endDatum()
     if (eqAvroIdx.length > 0) writeUpsertKey(row)
     // getPos counts FLUSHED bytes, so the roll triggers on sealed blocks
     // only — at most one block of overshoot past the bound

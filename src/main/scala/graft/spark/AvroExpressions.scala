@@ -153,8 +153,15 @@ case class AvroEncode(child: Expression, schemaJsonOpt: Option[String] = None)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "to_avro"
 
+  // one reusable encode buffer per thread: the expression object is shared
+  // across a local-mode session's task threads, and an unshared buffer per
+  // ROW would re-grow from scratch every evaluation
+  @transient private lazy val encBuf: ThreadLocal[AvroBinaryWriter] =
+    ThreadLocal.withInitial(() => new AvroBinaryWriter(256))
+
   override def nullSafeEval(input: Any): Any = {
-    val out = new AvroBinaryWriter()
+    val out = encBuf.get()
+    out.reset()
     writer(input, out)
     out.toByteArray
   }

@@ -309,6 +309,88 @@ object CatalystAvroWriter {
   def compile(dt: DataType, avro: AvroSchema): Writer =
     nullGuarded("<value>", avro, make(dt, avro))
 
+  /** Fused per-ordinal field encoder for the OCF sink: reads column `ord`
+    * of an [[InternalRow]] and writes its Avro bytes in one step — flat
+    * primitives never box through `Any`, strings copy straight from the
+    * UTF8String's memory into the output buffer. Complex or resolution-
+    * heavy leaves (records, arrays, maps, enums, decimals, fixed, general
+    * unions) fall back to the boxed [[Writer]] + getter pair, so the bytes
+    * and every error message are identical to the boxed path by
+    * construction (pinned by OcfV2WriteSpec's byte-identity test). */
+  type FieldEncoder = (InternalRow, AvroBinaryWriter) => Unit
+
+  def compileField(dt: DataType, avro: AvroSchema, ord: Int): FieldEncoder = {
+    // boxed fallback: exactly the pair the previous sink hot loop used
+    def boxed: FieldEncoder = {
+      val w = compile(dt, avro)
+      val g = InternalRowGetters.forType(dt)
+      (row, out) => w(if (row.isNullAt(ord)) null else g(row, ord), out)
+    }
+    deref(avro) match {
+      case AUnion(branches) =>
+        val nullIdx = branches.indexOf(ANull)
+        val valueBranches = branches.zipWithIndex.filter(_._1 != ANull)
+        if (nullIdx >= 0 && valueBranches.length == 1) {
+          primField(dt, valueBranches.head._1, ord) match {
+            case Some(prim) =>
+              val nIdx = nullIdx.toLong
+              val vIdx = valueBranches.head._2.toLong
+              (row, out) =>
+                if (row.isNullAt(ord)) out.writeLong(nIdx)
+                else { out.writeLong(vIdx); prim(row, out) }
+            case None => boxed
+          }
+        } else boxed
+      case nonUnion =>
+        primField(dt, nonUnion, ord) match {
+          case Some(prim) =>
+            // a null into a non-nullable schema must fail with the same
+            // typed error the boxed path raises — route it there
+            val onNull = compile(dt, avro)
+            (row, out) =>
+              if (row.isNullAt(ord)) onNull(null, out) else prim(row, out)
+          case None => boxed
+        }
+    }
+  }
+
+  /** Non-null flat-primitive encoders (the write mirror of the X91 read
+    * lanes); None = not a flat primitive, caller falls back to boxed. */
+  private def primField(dt: DataType, s0: AvroSchema, ord: Int): Option[FieldEncoder] =
+    (deref(s0), dt) match {
+      case (ABoolean, BooleanType) =>
+        Some((r, o) => o.writeBoolean(r.getBoolean(ord)))
+      case (AInt, ByteType) => Some((r, o) => o.writeInt(r.getByte(ord).toInt))
+      case (AInt, ShortType) => Some((r, o) => o.writeInt(r.getShort(ord).toInt))
+      case (AInt, IntegerType | DateType) => Some((r, o) => o.writeInt(r.getInt(ord)))
+      case (ALong, IntegerType) => Some((r, o) => o.writeLong(r.getInt(ord).toLong))
+      case (ALong, LongType | TimestampType | TimestampNTZType) =>
+        Some((r, o) => o.writeLong(r.getLong(ord)))
+      case (AFloat, FloatType) => Some((r, o) => o.writeFloat(r.getFloat(ord)))
+      case (ADouble, DoubleType) => Some((r, o) => o.writeDouble(r.getDouble(ord)))
+      case (AString, StringType) => Some((r, o) => writeUtf8(r.getUTF8String(ord), o))
+      case (AUuid(_), StringType) => Some((r, o) => writeUtf8(r.getUTF8String(ord), o))
+      case (ABytes, BinaryType) => Some((r, o) => o.writeBytes(r.getBinary(ord)))
+      case (ADate(_), DateType) => Some((r, o) => o.writeInt(r.getInt(ord)))
+      case (ATimeMillis(_), IntegerType) => Some((r, o) => o.writeInt(r.getInt(ord)))
+      case (ATimeMicros(_), LongType) => Some((r, o) => o.writeLong(r.getLong(ord)))
+      case (ATimestampMillis(_), TimestampType) =>
+        Some((r, o) => o.writeLong(r.getLong(ord) / 1000L))
+      case (ATimestampMicros(_), TimestampType) =>
+        Some((r, o) => o.writeLong(r.getLong(ord)))
+      case _ => None
+    }
+
+  /** Length-prefixed UTF-8 copy straight from the UTF8String's backing
+    * memory — no intermediate `getBytes` array. */
+  private def writeUtf8(u: UTF8String, out: AvroBinaryWriter): Unit = {
+    val n = u.numBytes
+    out.writeLong(n.toLong)
+    val arr = out.reserve(n)
+    u.writeToMemory(arr, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + out.position)
+    out.advance(n)
+  }
+
   private def deref(s: AvroSchema): AvroSchema = s match {
     case r: ARef => deref(r.target); case o => o
   }

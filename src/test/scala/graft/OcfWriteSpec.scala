@@ -645,6 +645,87 @@ class OcfWriteSpec extends AnyFunSuite {
     assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
   }
 
+  test("direct-lane fused field encoders write files byte-identical to the boxed writer path") {
+    // r22 optimization pin: the sink's hot row→datum loop runs fused
+    // per-ordinal encoders that write straight into the block buffer
+    // (no boxed Any hand-off, no per-datum scratch copy). This proves the
+    // whole FILE — header, block framing, datum bytes, sync markers — is
+    // byte-for-byte what the boxed reference path (CatalystAvroWriter
+    // Writer + getter per field, Ocf.writePreEncoded assembly) produces,
+    // for every flat primitive lane plus the boxed-fallback leaves
+    // (decimal, array, map, struct), nullable and not, under the null and
+    // deflate codecs.
+    import graft.spark.{AvroRuntime, CatalystAvroWriter, InternalRowGetters, SchemaConverters}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("sh", ShortType, nullable = true),
+      StructField("by", ByteType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("dec", DecimalType(10, 2), nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("arr", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("m", MapType(StringType, LongType, valueContainsNull = false), nullable = true),
+      StructField("st", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("bb", StringType, nullable = true))), nullable = true)))
+    val rows = (0 until 500).map { k =>
+      def n[T](v: T): Any = if (k % 7 == 3) null else v
+      Row(k.toLong, n(k * 2), n((k % 100).toShort), n((k % 50).toByte),
+        n(k % 2 == 0), n(k.toFloat / 3.0f), n(k.toDouble / 7.0),
+        n(if (k % 11 == 0) "" else s"row $k é中"),
+        n(Array.tabulate(k % 5)(_.toByte)),
+        n(new java.math.BigDecimal(s"$k.25")),
+        n(java.sql.Date.valueOf("2024-01-01")),
+        n(java.sql.Timestamp.valueOf("2024-01-01 12:34:56.789")),
+        n(Seq(k.toLong, k + 1L)),
+        n(Map(s"k$k" -> k.toLong)),
+        n(Row(n(k.toLong), n(s"inner$k"))))
+    }
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).sortWithinPartitions("id")
+    for (codec <- Seq("null", "deflate")) {
+      val dir = tempDir(s"graft-w-byteid-$codec")
+      df.write.format("graft-ocf").option("codec", codec)
+        .mode(SaveMode.Append).save(dir.getAbsolutePath)
+      val got = java.nio.file.Files.readAllBytes(visibleFiles(dir).head.toPath)
+      // boxed reference: same rows, same order, encoded field by field
+      // through the boxed Writer + getter pairs the sink used before the
+      // fused lane, assembled by the kernel block writer
+      val avroJson = graft.avro.AvroSchemaParser.toJson(SchemaConverters.toAvroType(schema))
+      val rec = AvroRuntime.parse(avroJson).physical.asInstanceOf[graft.avro.ARecord]
+      val writers = rec.fields.map(f =>
+        CatalystAvroWriter.compile(schema(f.name).dataType, f.schema)).toArray
+      val getters = rec.fields.map(f =>
+        InternalRowGetters.forType(schema(f.name).dataType)).toArray
+      val ords = rec.fields.map(f => schema.fieldIndex(f.name)).toArray
+      val internal = df.queryExecution.executedPlan.executeCollect()
+      val datums = internal.iterator.map { r =>
+        val w = new graft.avro.AvroBinaryWriter()
+        var i = 0
+        while (i < writers.length) {
+          writers(i)(if (r.isNullAt(ords(i))) null else getters(i)(r, ords(i)), w)
+          i += 1
+        }
+        w.toByteArray
+      }
+      val want = Ocf.writePreEncoded(
+        AvroRuntime.parse(avroJson).physical.asInstanceOf[graft.avro.ARecord],
+        datums, codec)
+      assert(got.length == want.length,
+        s"[$codec] file length ${got.length} != reference ${want.length}")
+      assert(java.util.Arrays.equals(got, want),
+        s"[$codec] direct-lane file bytes differ from the boxed reference")
+    }
+  }
+
   test("statsColumns stamps per-file min/max into the header") {
     import spark.implicits._
     val dir = tempDir("graft-w-stats")

@@ -778,18 +778,18 @@ class OcfColumnarSpec extends AnyFunSuite {
       val b1 = new AvroBinaryWriter()
       b1.writeLong(id); b1.writeLong(id + 1)
       w.writeLong(-2L); w.writeLong(b1.toByteArray.length.toLong)
-      w.out.write(b1.toByteArray, 0, b1.toByteArray.length)
+      w.writeFixed(b1.toByteArray)
       val b2 = new AvroBinaryWriter()
       b2.writeLong(id * 7)
       w.writeLong(-1L); w.writeLong(b2.toByteArray.length.toLong)
-      w.out.write(b2.toByteArray, 0, b2.toByteArray.length)
+      w.writeFixed(b2.toByteArray)
       w.writeLong(0L)
       // m: one sized block of 2 entries
       val kv = new AvroBinaryWriter()
       kv.writeString("a"); kv.writeString(s"x$id")
       kv.writeString("b"); kv.writeString(s"y$id")
       w.writeLong(-2L); w.writeLong(kv.toByteArray.length.toLong)
-      w.out.write(kv.toByteArray, 0, kv.toByteArray.length)
+      w.writeFixed(kv.toByteArray)
       w.writeLong(0L)
       w.writeString(s"t$id")
       w.toByteArray
