@@ -15,6 +15,8 @@ import java.nio.file.{Files, Paths}
   */
 object Explain {
   def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      s"usage: graft.Explain <sfDir> <outDir> <suffix> <q1,q2,...> (got ${args.length} args)")
     val Array(sfDir, outDir, suffix, names) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

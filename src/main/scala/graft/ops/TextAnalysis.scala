@@ -253,33 +253,70 @@ object TextAnalysis {
     * curation pass filters or strips on.
     *
     * Scale shape: the text never shuffles — the fan-out ships (hash16B,
-    * doc_id, pos) triples; duplicated hashes come from a count-distinct
-    * aggregation on the hash (hash-partitioned, skew-free); span-union
-    * coverage is ONE window function keyed by doc_id using the classic
-    * sorted-interval telescope sum(min(window, pos - prev_pos)). */
+    * doc_id, pos) triples, exchanged ONCE by (hash, doc-salt) and REUSED by
+    * both consumers (the physical plan materializes that exchange a single
+    * time, so the expensive tokenize+md5 generate runs exactly once); the
+    * dup-hash test is a two-stage min/max aggregation on the hash whose
+    * partial stage runs inside the salted partitions — a boilerplate hash
+    * occurring in millions of documents collapses map-side instead of
+    * funneling through one task (the r21 window form's skew exposure);
+    * the dup-hash set then semi-joins back onto the same reused exchange
+    * (AQE broadcasts it when small, splits probe skew otherwise);
+    * span-union coverage is ONE window function keyed by doc_id using the
+    * classic sorted-interval telescope sum(min(window, pos - prev_pos)). */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       window: Int = 15): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     val toks = filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0)
     val base = df.select(col(idCol), toks.as("ws"))
+    // unhex(md5(...)): the SAME md5 equality classes (hex → bytes is a
+    // bijection) carried as 16 raw bytes instead of a 32-char hex string —
+    // half the exchange bytes and a cheaper aggregation/join key (§2.3
+    // narrower types)
     val wins = base
       .select(col(idCol),
         posexplode_outer(
           when(size(col("ws")) >= window,
             transform(sequence(lit(1), size(col("ws")) - window + 1),
-              i => md5(concat_ws(" ", slice(col("ws"), i, lit(window)))))))
+              i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(window))))))))
           .as(Seq("pos", "h")))
-    // "window hash seen in >= 2 distinct docs" as min(id) != max(id) over a
-    // whole-partition window keyed by h: ONE exchange of the (id, pos, h)
-    // rows and — decisively — ONE evaluation of the expensive tokenize+md5
-    // generate above. The previous groupBy(h)+join-back form re-evaluated
-    // the full generate subtree on the probe side (two posexplode nodes in
-    // the plan) and paid three exchanges (partial agg, final agg, join).
-    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val dupWins = wins.where(col("h").isNotNull)
-      .withColumn("mn", min(col(idCol)).over(byH))
-      .withColumn("mx", max(col(idCol)).over(byH))
-      .where(col("mn") =!= col("mx"))
+    // "window hash seen in >= 2 distinct docs" as a SHARED salted exchange
+    // feeding (a) a two-stage min(id)/max(id) aggregation by h and (b) the
+    // row stream the resulting dup-hash set semi-joins back onto. Both
+    // consumers reference the SAME repartition subtree, so the physical
+    // planner materializes one exchange and reuses it — the generate above
+    // is evaluated once (pinned by OpsSpec's metrics test). The salt keeps
+    // the exchange AND the partial aggregation skew-free: a hot boilerplate
+    // hash spreads over up to 64 partitions by document and collapses to
+    // one partial row per partition before the (tiny) final agg exchange.
+    // The r21 window form (min/max over Window.partitionBy(h)) evaluated
+    // the generate once too but routed every occurrence of a hot hash to
+    // ONE task with no partial aggregation — a single-task hotspot at
+    // corpus scale.
+    val shuffled = wins.where(col("h").isNotNull)
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(64)))
+      .repartition(col("h"), col("__salt"))
+    // max(pos) is never used for its value: `__p < 0` is never true (pos is
+    // a posexplode ordinal), so the filter is exactly `min != max` — but the
+    // reference keeps `pos` alive below the aggregation branch's copy of the
+    // exchange, so column pruning cannot specialize it away from the row
+    // branch's copy: the two subtrees stay canonically identical and the
+    // planner REUSES one materialized exchange instead of evaluating the
+    // generate twice. (An aggregate over struct(id, pos) would pin `pos`
+    // more directly, but struct buffers demote the whole aggregation to
+    // SortAggregate — measured two extra full sorts.)
+    val dupHashes = shuffled
+      .groupBy(col("h"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"),
+        max(col("pos")).as("__p"))
+      .where(col("__mn") =!= col("__mx") || col("__p") < lit(0))
+      .select(col("h"))
+    // INNER join, not left_semi: dupHashes is unique by h (it is a groupBy
+    // result), so the inner join keeps exactly the semi-join's rows — and
+    // unlike a semi join it is not pushed below the repartition by
+    // PushDownLeftSemiAntiJoin, which would strip the probe side's
+    // exchange and with it the reuse that makes the generate run once.
+    val dupWins = shuffled.join(dupHashes, Seq("h"), "inner")
       .select(col(idCol), col("pos"))
     val covered = dupWins
       .withColumn("prev", lag("pos", 1)

@@ -438,20 +438,68 @@ class OpsSpec extends AnyFunSuite {
     assert(m(6L) == ((5L, 0L, 0L)), "sub-window docs report zero exposure")
   }
 
-  test("duplicatedSpans evaluates the window-hash generate exactly once") {
-    // r21 optimization pin: the cross-doc dup-hash test is a min/max window
-    // over h, NOT a groupBy+join-back — the join form re-evaluated the whole
-    // tokenize+md5 generate on the probe side (two Generate nodes, measured
-    // ~2x the query). A second Generate reappearing means the plan regressed.
+  test("duplicatedSpans evaluates the window-hash generate exactly once, through a reused exchange") {
+    // r21 pin, r22 form: the dup-hash test is a salted two-stage min/max
+    // aggregation whose input exchange is SHARED with the row stream the
+    // dup-hash set joins back onto — the physical planner must materialize
+    // that exchange once (ReusedExchangeExec on the second consumer), so
+    // the expensive tokenize+md5 generate runs exactly once. Two
+    // regressions are pinned here: a second materialized Generate (the r20
+    // join-back disease, measured ~2x the query) and the reuse silently
+    // breaking (e.g. column pruning specializing one branch's copy of the
+    // exchange — that is why the aggregation consumes struct(id, pos)).
+    // AQE wraps stages opaquely; assert on the non-AQE physical plan, which
+    // exercises the same ReuseExchange machinery.
     import spark.implicits._
-    val d = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
-    val plan = TextAnalysis.duplicatedSpans(d, "doc_id", "text", window = 2)
-      .queryExecution.optimizedPlan
-    val generates = plan.collect {
-      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+      val plan = TextAnalysis.duplicatedSpans(d, "doc_id", "text", window = 2)
+        .queryExecution.executedPlan
+      val generates = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(generates.length == 1,
+        s"expected exactly one materialized window-hash Generate, got ${generates.length}")
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(reused.length == 1,
+        s"expected the salted (h, salt) exchange to be reused by the dup-hash " +
+          s"aggregation, got ${reused.length} ReusedExchange nodes")
+      // the dup-hash decision must keep a PARTIAL aggregation stage — the
+      // skew guard: a hot boilerplate hash collapses map-side inside the
+      // salted partitions instead of funneling through one task
+      val partialAggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists(ae =>
+              ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial &&
+                ae.aggregateFunction.isInstanceOf[
+                  org.apache.spark.sql.catalyst.expressions.aggregate.Min]) => a
+      }
+      assert(partialAggs.nonEmpty,
+        "dup-hash min/max aggregation lost its partial (map-side) stage")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("duplicatedSpans is exact under a hot boilerplate hash (skew fixture)") {
+    // the 100 TB failure mode the salted form guards: ONE window hash
+    // occurring in a large share of documents. 400 docs share the same
+    // 15-token boilerplate prefix (one hot h per window position) plus a
+    // unique tail; results must match the per-doc expectation exactly.
+    import spark.implicits._
+    val boiler = (0 until 15).map(i => s"license$i").mkString(" ")
+    val d = (1 to 400).map { i =>
+      (i.toLong, boiler + " " + (0 until 5).map(j => s"u${i}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val m = TextAnalysis.duplicatedSpans(d, "doc_id", "text", window = 15)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m.size == 400)
+    // every doc: 20 tokens, 6 windows, only window at pos 0 (the pure
+    // boilerplate one) is shared across docs -> 1 dup window, 15 covered
+    m.foreach { case (id, got) =>
+      assert(got == ((20L, 1L, 15L)), s"doc $id: $got")
     }
-    assert(generates.length == 1,
-      s"expected exactly one window-hash Generate, got ${generates.length}")
   }
 
   test("gopher quality rules: each rule trips on its crafted fixture") {
