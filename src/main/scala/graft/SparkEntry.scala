@@ -2401,12 +2401,17 @@ object SparkEntry {
 
     // Flagship curation pipeline: exact dedup → language filter → quality
     // floor — each stage an already-verified primitive, composed.
+    // sort-early, see q12: curate(sortById) places the total sort BELOW its
+    // langId+quality scoring, so the range partitioner samples only the
+    // deduped (id, text) rows — an orderBy above curate re-evaluated the
+    // expensive scoring projections a second time (plan-proven in
+    // plans/r22/q33_curation_before.txt); output order is identical (the
+    // projections and filters above the sort are per-row).
     "q33_curation" -> ((s, dir) =>
-      ops.Curation.curate(t(s, dir, "documents"), "doc_id", "text",
-          lang = "en", minQuality = 0.5)
+      ops.Curation.curate(t(s, dir, "documents"),
+          "doc_id", "text", lang = "en", minQuality = 0.5, sortById = true)
         .select(col("doc_id"), col("lang_pred"),
-          expr("CAST(round(quality, 9) AS DOUBLE)").as("quality"))
-        .orderBy("doc_id")),
+          expr("CAST(round(quality, 9) AS DOUBLE)").as("quality"))),
 
     // X31: benchmark decontamination — the train/test-contamination guard
     // every corpus release runs (8-gram overlap, the production shape). The

@@ -22,14 +22,42 @@ object Curation {
     *
     * Output contract: the result carries `lang_pred` and `quality` columns
     * computed HERE — input columns of those names would be replaced, so
-    * rename any pre-existing ones before calling. */
+    * rename any pre-existing ones before calling.
+    *
+    * `sortById = true` emits survivors totally ordered by `idCol`, with the
+    * sort placed BELOW the language/quality scoring: a consumer's own
+    * `orderBy(id)` above `curate` makes the range partitioner SAMPLE its
+    * child and so evaluate the expensive langId + quality expressions a
+    * second time (measured ~2x the query at sf0.1); here the sampling pass
+    * touches only the deduped (id, text) rows, and the per-row scoring
+    * projections and filters above preserve the order. A sort below the
+    * dedup join would not survive (the optimizer drops sorts under joins),
+    * which is why the operator owns this placement. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             lang: String = "en", minQuality: Double = 0.5): DataFrame =
-    Dedup.exact(docs, idCol, textCol)
+             lang: String = "en", minQuality: Double = 0.5,
+             sortById: Boolean = false): DataFrame = {
+    val deduped = Dedup.exact(docs, idCol, textCol)
+    // pushdown barrier (sortById only): predicate pushdown would otherwise
+    // drag the language/quality conditions BELOW the sort, re-deriving the
+    // expensive expressions under the range exchange where the sampling
+    // pass evaluates them a second time — the exact duplication sortById
+    // exists to remove. A nondeterministic projection blocks filter
+    // pushdown at this boundary, and the always-true `barrier >= 0`
+    // conjunct keeps the column referenced so pruning cannot remove the
+    // barrier (an unused nondeterministic projection is dropped).
+    val base =
+      if (!sortById) deduped
+      else deduped.orderBy(col(idCol))
+        .withColumn("__curate_sort_barrier", monotonically_increasing_id())
+    val guard =
+      if (sortById) col("__curate_sort_barrier") >= lit(0L) else lit(true)
+    val scored = base
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
-      .where(col("lang_pred") === lang)
+      .where(col("lang_pred") === lang && guard)
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .where(col("quality") >= minQuality)
+    if (sortById) scored.drop("__curate_sort_barrier") else scored
+  }
 
   /** Per-stage survivor counts for pipeline observability (one job, one
     * pass: conditional aggregation, no per-stage actions). */

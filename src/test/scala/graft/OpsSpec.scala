@@ -382,6 +382,42 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.ops.Curation.curate(docs, "doc_id", "text").count() == q)
   }
 
+  test("curate(sortById) emits id-ordered survivors with the sort BELOW the scoring") {
+    // r22 optimization pin: sortById places the total sort under the
+    // langId/quality scoring so the range partitioner samples only the
+    // deduped (id, text) rows — a sort ABOVE the scoring re-evaluates the
+    // expensive expressions a second time during sampling, and predicate
+    // pushdown must NOT drag the scoring filters back below the sort (the
+    // nondeterministic barrier guards that).
+    val sorted = graft.ops.Curation.curate(docs, "doc_id", "text", sortById = true)
+    val ids = sorted.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted), "survivors must come out id-ordered")
+    // same survivors as the unsorted form
+    val plain = graft.ops.Curation.curate(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sorted.sameElements(plain))
+    // plan shape: the (single) range exchange sits BELOW every lang_id
+    // evaluation — sampling never touches the scoring
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.ops.Curation.curate(docs, "doc_id", "text", sortById = true)
+        .queryExecution.executedPlan
+      def containsLangId(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.expressions.exists(_.find(_.getClass.getSimpleName == "LangId").isDefined)
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+      }
+      assert(exchanges.length == 1, s"expected one range exchange, got ${exchanges.length}")
+      val belowSort = exchanges.head.collect { case p if containsLangId(p) => p }
+      assert(belowSort.isEmpty,
+        "scoring leaked below the range exchange — its sampling pass would re-evaluate langId")
+      assert(plan.collect { case p if containsLangId(p) => p }.nonEmpty,
+        "scoring must still be present above the exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text features: quality in [0,1], token count zero on blank text") {
     import spark.implicits._
     val d = Seq((1L, "the cat sat on the mat. it was that good."), (2L, "   "), (3L, ""))
