@@ -13,6 +13,17 @@ import org.apache.spark.sql.functions._
   * (exact decimal sums, integer-space scoring, one final double division) so
   * the DuckDB oracle reproduces results bit-for-bit. Column names are aliased
   * identically on both sides — the driver's compare sorts columns by name.
+  *
+  * DECLARED EXCEPTION (sort-early, r21/r22): q12, q30, q33, q53, q54, q55,
+  * q59, q60 carry their total sort BELOW an expensive pure per-row stage
+  * (avro roundtrip, multimodal codecs, curation scoring) instead of above
+  * it, because a global orderBy ABOVE such a stage makes the range
+  * partitioner re-execute the whole stage a second time to sample partition
+  * bounds. Output order is identical — the stages above each early sort are
+  * order-preserving per-row projections / `mapPartitions` with monotone
+  * keys — and the shape is PINNED by DriverContractSpec's sort-early plan
+  * test, so a Spark upgrade that stops preserving the order fails a spec,
+  * not just the round-end oracle.
   */
 object SparkEntry {
 

@@ -102,9 +102,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // composite-key runtime filters (X109): every catalog session gets the
     // split rule — row-level DML is a catalog-only surface, and without the
     // split a table declaring >1 filter attribute loses ALL runtime group
-    // pruning (the stock translator refuses struct keys)
-    scala.util.Try(SparkSession.active)
-      .foreach(graft.plans.RuntimeFilterSplit.install)
+    // pruning (the stock translator refuses struct keys). No active session
+    // here warns and retries at scan build (see installRuntimeFilterSplit).
+    GraftCatalog.installRuntimeFilterSplit()
   }
   override def name(): String = catName
 
@@ -1098,7 +1098,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
-private[sources] object GraftCatalog {
+private[graft] object GraftCatalog {
+
+  /** X109 rule install, retried from every point that builds a catalog
+    * scan: `initialize()` can run WITHOUT an active SparkSession (catalog
+    * instantiated from config during session build), and silently skipping
+    * the install there used to cost a session ALL runtime group pruning on
+    * composite-key tables — a silent total perf loss. The retry makes the
+    * install land on the first scan built under a live session; the
+    * warning makes the (now transient) gap observable. */
+  private[graft] val warnedNoSession = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] def installRuntimeFilterSplit(): Unit =
+    scala.util.Try(SparkSession.active) match {
+      case scala.util.Success(s) => graft.plans.RuntimeFilterSplit.install(s)
+      case scala.util.Failure(_) =>
+        if (warnedNoSession.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(classOf[GraftCatalog]).warn(
+            "graft catalog: no active SparkSession at initialize(); the " +
+              "X109 composite-key runtime-filter rule will be installed " +
+              "when the first scan is built — until then row-level DML " +
+              "on multi-filter-attribute tables loses runtime group pruning")
+    }
 
   /** Table meta for a PINNED (time-travel) read: when the target manifest
     * recorded its commit-time schema, the pinned table reports THAT schema
@@ -1633,6 +1653,8 @@ private[sources] class CatalogOcfTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // X109 install retry: initialize() may have run without a session
+    GraftCatalog.installRuntimeFilterSplit()
     // Incremental append scan (X78): `spark.read.option("startingVersion", v)
     // [.option("endingVersion", v2)].table(...)` reads only the rows whose
     // files were COMMITTED after v (up to v2 / latest) — the "process what
@@ -1722,6 +1744,8 @@ private[sources] class CatalogOcfTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // X109 install retry: this is exactly the surface the rule protects
+    GraftCatalog.installRuntimeFilterSplit()
     // the operation REQUIRES the _file metadata column (Spark's group-based
     // plans only project data rows cleanly for the write when the operation
     // declares metadata attributes); a table shadowing it cannot do CoW

@@ -975,4 +975,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(touched == Seq((310L, 1L), (311L, 1L), (312L, 3120L),
       (9999L, 1L)), touched.toString)
   }
+
+  test("X109 rule install without an active session warns once and retries at scan build") {
+    spark // make sure the session exists before detaching it
+    val active = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      graft.sources.GraftCatalog.warnedNoSession.set(false)
+      graft.sources.GraftCatalog.installRuntimeFilterSplit()
+      assert(graft.sources.GraftCatalog.warnedNoSession.get(),
+        "a no-session install must flip the observable warning flag")
+    } finally {
+      active.foreach(SparkSession.setActiveSession)
+      active.foreach(SparkSession.setDefaultSession)
+    }
+    // with the session back, a scan build re-installs the rule
+    graft.sources.GraftCatalog.installRuntimeFilterSplit()
+    assert(spark.experimental.extraOptimizations
+      .contains(graft.plans.RuntimeFilterSplit))
+  }
 }
