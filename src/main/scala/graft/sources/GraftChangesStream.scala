@@ -303,17 +303,20 @@ private[sources] final case class GraftChangesPartition(
   * metas through every task. Empty maps = pairing off. */
 private[sources] object GraftChangesReaderFactory {
   /** Columnar eligibility for a change-feed scan (X110): vectorize iff
-    * pairing is OFF (pairing re-tags per row — a per-split constant can't
-    * carry it), the reader schema is lane-eligible, every planned part's
-    * data file admits a wire plan, and the appended constants (partition
-    * values + change tag + version) have constant-vector forms. The
+    * the reader schema is lane-eligible, every planned part's data file
+    * admits a wire plan, and the appended constants (partition values +
+    * change tag + version) have constant-vector forms. UPDATE pairing
+    * (X104) vectorizes too: the decode stays batch-wide and only the
+    * `_change_type` column switches from a per-split constant to a
+    * writable vector filled by the same bound-extractor key probe the
+    * equality-delete lane already runs (one hash lookup per row). The
     * decision is SCAN-wide (Spark requires `supportColumnarReads` uniform
     * across a scan's partitions) — one ineligible part keeps the whole
     * feed on the row lane, exactly like the batch table scan. */
   def columnarFieldsFor(parts: Array[InputPartition], readerJson: String,
       partSchema: StructType, pairUpdates: Boolean)
       : Option[Array[OcfColumnar.Field]] = {
-    if (pairUpdates || parts.isEmpty) return None
+    if (parts.isEmpty) return None
     if (!partSchema.fields.forall(f => OcfColumnar.constSupported(f.dataType)))
       return None
     OcfColumnar.fieldsFor(readerJson).filter(rf =>
@@ -354,12 +357,23 @@ private[sources] final case class GraftChangesReaderFactory(
         s"graft-ocf-changes: columnar feed planned without a wire plan " +
           s"for ${p.meta.path}"))
     val appended = appendedTypes.zip(appendedValues(p))
+    // UPDATE pairing (X104) in the columnar lane: the same per-commit key
+    // groups the row lane probes, applied per decoded row through the
+    // vectors' bound extractors; the `_change_type` appended column flips
+    // from a per-split constant to a writable vector.
+    val pairGroups = pairGroupsFor(p)
     new OcfColumnarSplitReader(p.meta, p.start,
       if (p.end < 0L) p.meta.len else p.end,
       rf, plan, conf.value, appended = appended,
       readerJson = readerJson,
       deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
-      emitPosFiles = p.emitPos, emitEqFiles = p.emitEq)
+      emitPosFiles = p.emitPos, emitEqFiles = p.emitEq,
+      pairGroups = pairGroups,
+      pairTagAt = if (pairGroups.isEmpty) -1 else partSchema.fields.length,
+      pairBase = UTF8String.fromString(p.changeType),
+      pairAlt = UTF8String.fromString(
+        if (p.changeType == "delete") GraftChangePairing.PreImage
+        else GraftChangePairing.PostImage))
   }
   // appended per-row CONSTANTS, one construction for BOTH lanes: identity
   // partition values (cast through the scan's single materialization
@@ -378,6 +392,34 @@ private[sources] final case class GraftChangesReaderFactory(
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.LongType)
 
+  /** UPDATE pairing (X104): the per-commit key groups a part's per-row
+    * classifier probes — eq-driven delete parts probe the commit's new-data
+    * keys, insert parts probe the killed visible-old keys, position parts
+    * never pair. Shared by BOTH lanes (the row reader wraps its appended
+    * row; the columnar reader fills a writable tag vector). */
+  private def pairGroupsFor(p: GraftChangesPartition): Array[OcfSplitReader.EqGroup] = {
+    def staleFactory(map: String): Nothing = throw new IllegalStateException(
+      s"graft-ocf-changes: partition for version ${p.version} was planned " +
+        s"with UPDATE pairing but the reader factory's $map has no entry " +
+        "for it — plan/factory calls interleaved across micro-batches " +
+        "(recovery/retry); refusing to emit unpaired tags for a paired plan")
+    if (p.changeType == "delete" && p.emitEq.nonEmpty)
+      pairNewByVersion.get(p.version) match {
+        case Some(newData) => GraftChangePairing.newDataKeyGroups(
+          p.emitEq, newData, readerJson, conf.value)
+        case None if p.pairPlanned => staleFactory("pairNewByVersion")
+        case None => Array.empty[OcfSplitReader.EqGroup]
+      }
+    else if (p.changeType == "insert")
+      pairOldByVersion.get(p.version) match {
+        case Some(po) if po.nonEmpty =>
+          GraftChangePairing.oldKeyGroups(po, readerJson, conf.value)
+        case None if p.pairPlanned => staleFactory("pairOldByVersion")
+        case _ => Array.empty[OcfSplitReader.EqGroup]
+      }
+    else Array.empty
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftChangesPartition]
     val appended = new GenericInternalRow(appendedValues(p))
@@ -387,32 +429,10 @@ private[sources] final case class GraftChangesReaderFactory(
       conf.value, partRow = appended,
       deleteFiles = p.skipPos, eqDeleteFiles = p.skipEq,
       emitOnlyPosFiles = p.emitPos, emitOnlyEqFiles = p.emitEq)
-    // UPDATE pairing (X104): a per-row classifier over the commit's pairing
-    // key sets flips the change tag in the appended row — the data row
-    // passes through untouched, so pairing costs one hash probe per row.
-    // Eq-driven delete parts probe the commit's new-data keys; insert parts
-    // probe the killed visible-old keys; position parts never pair.
-    def staleFactory(map: String): Nothing = throw new IllegalStateException(
-      s"graft-ocf-changes: partition for version ${p.version} was planned " +
-        s"with UPDATE pairing but the reader factory's $map has no entry " +
-        "for it — plan/factory calls interleaved across micro-batches " +
-        "(recovery/retry); refusing to emit unpaired tags for a paired plan")
-    val pairGroups: Array[OcfSplitReader.EqGroup] =
-      if (p.changeType == "delete" && p.emitEq.nonEmpty)
-        pairNewByVersion.get(p.version) match {
-          case Some(newData) => GraftChangePairing.newDataKeyGroups(
-            p.emitEq, newData, readerJson, conf.value)
-          case None if p.pairPlanned => staleFactory("pairNewByVersion")
-          case None => Array.empty[OcfSplitReader.EqGroup]
-        }
-      else if (p.changeType == "insert")
-        pairOldByVersion.get(p.version) match {
-          case Some(po) if po.nonEmpty =>
-            GraftChangePairing.oldKeyGroups(po, readerJson, conf.value)
-          case None if p.pairPlanned => staleFactory("pairOldByVersion")
-          case _ => Array.empty[OcfSplitReader.EqGroup]
-        }
-      else Array.empty
+    // per-row classifier over the commit's pairing key sets flips the
+    // change tag in the appended row — the data row passes through
+    // untouched, so pairing costs one hash probe per row
+    val pairGroups: Array[OcfSplitReader.EqGroup] = pairGroupsFor(p)
     if (pairGroups.isEmpty) inner
     else new PartitionReader[InternalRow] {
       private val slot = partSchema.fields.length // _change_type ordinal

@@ -656,7 +656,17 @@ private[graft] final class OcfColumnarSplitReader(
     // `emitEqFiles`: rows surviving the skip state whose key matches the
     // commit's new equality deletes. At most one mode per reader.
     emitPosFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
-    emitEqFiles: Seq[OcfDataSource.OcfFileMeta] = Nil)
+    emitEqFiles: Seq[OcfDataSource.OcfFileMeta] = Nil,
+    // UPDATE pairing (X104) in the columnar lane: when `pairGroups` is
+    // non-empty, the appended column at `pairTagAt` (index into `appended`)
+    // is a WRITABLE string vector instead of a per-split constant — each
+    // emitted row gets `pairAlt` when its key tuple probes into a group
+    // (the same bound-extractor probe the equality modes run) and
+    // `pairBase` otherwise.
+    pairGroups: Array[OcfSplitReader.EqGroup] = Array.empty,
+    pairTagAt: Int = -1,
+    pairBase: org.apache.spark.unsafe.types.UTF8String = null,
+    pairAlt: org.apache.spark.unsafe.types.UTF8String = null)
     extends PartitionReader[ColumnarBatch] {
 
   require(emitPosFiles.isEmpty || emitEqFiles.isEmpty,
@@ -787,9 +797,21 @@ private[graft] final class OcfColumnarSplitReader(
       }
     }
   }
+  private val pairing = pairGroups.length > 0
+  require(!pairing || (pairTagAt >= 0 && pairTagAt < appended.length &&
+      appended(pairTagAt)._1 == StringType && pairBase != null && pairAlt != null),
+    "graft-ocf: columnar pairing needs a string appended slot and both tags")
+  // the paired tag column: per-row writable, reset per batch
+  private val pairVector: OnHeapColumnVector =
+    if (pairing) new OnHeapColumnVector(capacity, StringType) else null
+  private val pairBaseBytes: Array[Byte] = if (pairing) pairBase.getBytes else null
+  private val pairAltBytes: Array[Byte] = if (pairing) pairAlt.getBytes else null
   // per-split constants (partition values, `_file`): set once, never reset
   private val constVectors: Array[ColumnVector] =
-    appended.map { case (dt, v) => constVec(dt, v) }
+    appended.zipWithIndex.map { case ((dt, v), k) =>
+      if (pairing && k == pairTagAt) pairVector: ColumnVector
+      else constVec(dt, v)
+    }
   private val posVector: OnHeapColumnVector =
     if (withPos) new OnHeapColumnVector(capacity, LongType) else null
   private val batch =
@@ -810,6 +832,7 @@ private[graft] final class OcfColumnarSplitReader(
       i += 1
     }
     if (posVector != null) posVector.reset()
+    if (pairVector != null) pairVector.reset()
     var n = 0
     var done = false
     while (n < capacity && emitted < limit && !done) {
@@ -837,6 +860,7 @@ private[graft] final class OcfColumnarSplitReader(
               // re-delete of a dead row, not a change
               if (eqGroups.length == 0 || !equalityDeleted(n)) {
                 if (withPos) posVector.putLong(n, p)
+                tagRow(n)
                 emitted += 1L
                 n += 1
               }
@@ -846,6 +870,7 @@ private[graft] final class OcfColumnarSplitReader(
             if ((eqGroups.length == 0 || !equalityDeleted(n)) &&
                 matchesNewKeys(n)) {
               if (withPos) posVector.putLong(n, p)
+              tagRow(n)
               emitted += 1L
               n += 1
             }
@@ -854,6 +879,7 @@ private[graft] final class OcfColumnarSplitReader(
           decodeRow(n)
           if (eqGroups.length == 0 || !equalityDeleted(n)) {
             if (withPos) posVector.putLong(n, p)
+            tagRow(n)
             emitted += 1L
             n += 1
           } // else: slot n is simply reused by the next surviving row
@@ -893,6 +919,14 @@ private[graft] final class OcfColumnarSplitReader(
 
   private val eqExtractors = extractorsFor(eqGroups)
   private val emitExtractors = extractorsFor(emitEqGroups)
+  private val pairExtractors = extractorsFor(pairGroups)
+
+  /** UPDATE pairing (X104): stamp the emitted row's change tag — `pairAlt`
+    * when its key tuple probes into a pairing group, `pairBase` otherwise. */
+  private def tagRow(row: Int): Unit =
+    if (pairing)
+      pairVector.putByteArray(row,
+        if (probe(pairGroups, pairExtractors, row)) pairAltBytes else pairBaseBytes)
 
   private def probe(groups: Array[OcfSplitReader.EqGroup],
       extractors: Array[Array[Int => Any]], row: Int): Boolean = {

@@ -264,13 +264,30 @@ class ChangesTableSpec extends AnyFunSuite {
     assert(a.contains((3L, "delete", 7L, "v7")) &&
       a.contains((3L, "insert", 7L, "UPD7")) &&
       a.contains((3L, "insert", 99L, "NEW99")), a.toString)
-    // a PAIRED feed keeps the row lane (tags flip per row at read time)
-    val paired = spark.read.option("updateImages", "true")
+    // a PAIRED feed vectorizes too (r22): the decode stays batch-wide and
+    // only the _change_type column switches to a writable vector filled by
+    // the bound-extractor key probe — values must be identical to the row
+    // lane's pairing
+    def pairedRd(columnar: Boolean) = spark.read
+      .option("updateImages", "true")
+      .option("columnar", columnar.toString)
       .table("gct.ns.ct10.changes")
-    assert(!paired.queryExecution.executedPlan.toString
+    val pairedCol = pairedRd(columnar = true)
+    assert(pairedCol.queryExecution.executedPlan.toString
       .contains("ColumnarToRow"),
-      paired.queryExecution.executedPlan.toString)
-    assert(paired.count() == a.length)
+      pairedCol.queryExecution.executedPlan.toString)
+    val pairedRow = pairedRd(columnar = false)
+    assert(!pairedRow.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(canon(pairedCol) == canon(pairedRow),
+      "paired columnar feed must be value-identical to the paired row lane")
+    assert(pairedCol.count() == a.length)
+    // the upsert's shared-key delete+insert must read as an UPDATE pair in
+    // BOTH lanes
+    val tags = pairedCol.select($"_change_type")
+      .as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+    assert(tags.getOrElse("update_preimage", 0) == 1 &&
+      tags.getOrElse("update_postimage", 0) == 1, tags.toString)
     // identity-partitioned feeds vectorize too: partition values are
     // per-part constants, exactly like a table scan
     spark.sql(

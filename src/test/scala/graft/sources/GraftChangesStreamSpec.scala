@@ -318,7 +318,8 @@ class GraftChangesStreamSpec extends AnyFunSuite {
     assert(col.count(e => e._3 == "delete" && e._4 == 2L) == 8)
     assert(col.filter(_._3 == "delete").map(_._1).sorted ==
       (0L until 40L).filter(_ % 5 == 2))
-    // a PAIRED stream keeps the row lane
+    // a PAIRED stream vectorizes too (r22): the tag column flips to a
+    // writable vector; values must equal the paired ROW lane's
     val paired = new GraftChangesMicroBatchStream(loc("colstream"),
       GraftCatalog.readerJsonWithDefaults(spark.table("gcs.ns.colstream").schema),
       new org.apache.spark.sql.types.StructType(), Some(0L), conf,
@@ -326,6 +327,28 @@ class GraftChangesStreamSpec extends AnyFunSuite {
     val pparts = paired.planInputPartitions(
       GraftChangesOffset(0L), GraftChangesOffset(2L))
     val pfactory = paired.createReaderFactory()
-    assert(!pparts.exists(pfactory.supportColumnarReads))
+    assert(pparts.forall(pfactory.supportColumnarReads),
+      "paired stream triggers must vectorize")
+    def pairedVia(read: org.apache.spark.sql.connector.read.InputPartition => Iterator[org.apache.spark.sql.catalyst.InternalRow])
+        : Seq[(Long, String, String, Long)] =
+      pparts.toSeq.flatMap(p => read(p).map(row =>
+        (row.getLong(0), row.getUTF8String(1).toString,
+          row.getUTF8String(2).toString, row.getLong(3))).toList)
+    val pCol = pairedVia { p =>
+      val r = pfactory.createColumnarReader(p)
+      val b = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+      try while (r.next()) {
+        val it = r.get().rowIterator()
+        while (it.hasNext) b += it.next().copy()
+      } finally r.close()
+      b.result().iterator
+    }.sorted
+    val pRow = pairedVia { p =>
+      val r = pfactory.createReader(p)
+      val b = Seq.newBuilder[org.apache.spark.sql.catalyst.InternalRow]
+      try while (r.next()) b += r.get().copy() finally r.close()
+      b.result().iterator
+    }.sorted
+    assert(pCol == pRow, "paired columnar trigger decode diverged from the row lane")
   }
 }
