@@ -227,18 +227,26 @@ object TextAnalysis {
           (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens))).as("n_tokens"))
   }
 
-  /** Standard per-document feature set over a corpus. */
+  /** Standard per-document feature set over a corpus. Quality is derived
+    * from the SELECTED counts (q21's staged shape): the count expressions
+    * are lambda/regex forms outside codegen common-subexpression
+    * elimination, so deriving quality in the same projection would evaluate
+    * each count twice per row. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     df.select(col(idCol),
-      charCount(t).as("n_chars"),
-      tokenCount(t).as("n_tokens"),
-      subwordCount(t).as("n_subwords"),
-      punctCount(t).as("n_punct"),
-      stopwordCount(t).as("n_stopwords"),
-      qualityScore(t).as("quality"),
-      langId(t).as("lang_pred"),
-      fingerprint(t).as("fingerprint"))
+        charCount(t).as("n_chars"),
+        tokenCount(t).as("n_tokens"),
+        subwordCount(t).as("n_subwords"),
+        punctCount(t).as("n_punct"),
+        stopwordCount(t).as("n_stopwords"),
+        langId(t).as("lang_pred"),
+        fingerprint(t).as("fingerprint"))
+      .select(col(idCol), col("n_chars"), col("n_tokens"), col("n_subwords"),
+        col("n_punct"), col("n_stopwords"),
+        qualityScoreFromCounts(col("n_chars"), col("n_tokens"),
+          col("n_stopwords"), col("n_punct")).as("quality"),
+        col("lang_pred"), col("fingerprint"))
   }
 
   /** Cross-document repeated-substring metrics (X73) — the "dedup the
